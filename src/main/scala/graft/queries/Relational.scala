@@ -1,0 +1,460 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.Tables.{davg, dsum}
+
+/** SURVEY.md §2.B relational capability surface: projection/filter/scalar,
+  * joins (inner/left/semi/anti), aggregation (hash agg, distinct,
+  * rollup/cube/grouping sets), windows, sort/limit, set ops, JSON scalar.
+  * Each query has a DuckDB oracle in [[oracle]] with identical aliases and
+  * deterministic ordering (see Tables for the parity rules).
+  */
+object Relational {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // -- TPC-H Q1-style grouped aggregation: partial agg map-side, 2 groups,
+    //    decimal-exact sums (ref: table-stakes agg surface, SURVEY §2.B).
+    "q01_pricing_summary" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+          davg(col("l_quantity")).as("avg_qty"),
+          davg(col("l_extendedprice")).as("avg_price"),
+          davg(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // -- Filter + projection; predicate and column pruning reach the scan.
+    "q02_filter_project" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_quantity") > 45 && col("l_discount") >= 0.05)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount")
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // -- Inner equi-join + agg (customer is the smaller side; at cluster
+    //    scale orders shuffles on o_custkey, customer broadcasts).
+    "q03_revenue_by_segment" -> { (s, dir) =>
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"), "inner")
+        .groupBy("c_mktsegment")
+        .agg(dsum(col("o_totalprice")).as("revenue"),
+             count(lit(1)).as("n_orders"))
+        .orderBy("c_mktsegment")
+    },
+
+    // -- Multi-way join through a dimension chain (nation, region are tiny:
+    //    always broadcast; only orders⋈customer shuffles at scale).
+    "q04_nation_revenue" -> { (s, dir) =>
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+      val n = Tables.nation(s, dir)
+      val r = Tables.region(s, dir)
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(dsum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+        .orderBy("r_name", "n_name")
+    },
+
+    // -- LEFT OUTER join preserving customers with no orders (the reference's
+    //    core LEFT lookup-join shape, README.md:57-64).
+    "q05_cust_order_stats" -> { (s, dir) =>
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_orders"),
+             coalesce(dsum(col("o_totalprice")), lit(0.0)).as("total_spent"))
+        .orderBy("c_custkey")
+    },
+
+    // -- LEFT SEMI join (EXISTS).
+    "q06_semi_join" -> { (s, dir) =>
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir).filter(col("o_totalprice") > 200000.0)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+
+    // -- LEFT ANTI join (NOT EXISTS).
+    "q07_anti_join" -> { (s, dir) =>
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    },
+
+    // -- Ranking window: top-3 orders per customer (row_number, unique
+    //    tiebreak so rank is deterministic).
+    "q08_topk_per_customer" -> { (s, dir) =>
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      Tables.orders(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+        .orderBy("o_custkey", "rn")
+    },
+
+    // -- Analytic window: running sum over a total order within partition.
+    //    l_quantity is integral-valued → running double sum is exact.
+    "q09_running_qty" -> { (s, dir) =>
+      val w = Window.partitionBy("l_suppkey")
+        .orderBy(col("l_shipdate").asc, col("l_orderkey").asc, col("l_linenumber").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.lineitem(s, dir)
+        .withColumn("running_qty", sum(col("l_quantity")).over(w))
+        .select("l_suppkey", "l_orderkey", "l_linenumber", "running_qty")
+        .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+    },
+
+    // -- lag/lead analytic functions over event time per user.
+    "q10_event_gaps" -> { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy(col("event_id").asc)
+      Tables.events(s, dir)
+        .withColumn("prev_event", lag(col("event_id"), 1).over(w))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .select("user_id", "event_id", "prev_event", "next_type")
+        .orderBy("user_id", "event_id")
+    },
+
+    // -- Global sort + limit → TakeOrderedAndProject (no full sort at scale).
+    "q11_top_orders" -> { (s, dir) =>
+      Tables.orders(s, dir)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    },
+
+    // -- DISTINCT (shuffle dedup).
+    "q12_distinct_segments" -> { (s, dir) =>
+      Tables.customer(s, dir).select("c_mktsegment").distinct().orderBy("c_mktsegment")
+    },
+
+    // -- count(distinct) per group.
+    "q13_priority_stats" -> { (s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy("o_orderpriority")
+        .agg(countDistinct(col("o_custkey")).as("n_custs"),
+             count(lit(1)).as("n_orders"))
+        .orderBy("o_orderpriority")
+    },
+
+    // -- UNION (distinct) set op.
+    "q14_union_nations" -> { (s, dir) =>
+      val c = Tables.customer(s, dir).select(col("c_nationkey").as("nationkey"))
+      val p = Tables.supplier(s, dir).select(col("s_nationkey").as("nationkey"))
+      c.union(p).distinct().orderBy("nationkey")
+    },
+
+    // -- INTERSECT set op.
+    "q15_intersect_nations" -> { (s, dir) =>
+      val c = Tables.customer(s, dir).select(col("c_nationkey").as("nationkey"))
+      val p = Tables.supplier(s, dir).select(col("s_nationkey").as("nationkey"))
+      c.intersect(p).orderBy("nationkey")
+    },
+
+    // -- EXCEPT set op.
+    "q16_except_nations" -> { (s, dir) =>
+      val c = Tables.customer(s, dir).select(col("c_nationkey").as("nationkey"))
+      val p = Tables.supplier(s, dir).select(col("s_nationkey").as("nationkey"))
+      c.except(p).orderBy("nationkey")
+    },
+
+    // -- ROLLUP grouping hierarchy (nulls-first ordering aligned with oracle).
+    "q17_rollup_flags" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    },
+
+    // -- CUBE over two order dimensions.
+    "q18_cube_status" -> { (s, dir) =>
+      Tables.orders(s, dir)
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("revenue"))
+        .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+    },
+
+    // -- GROUPING SETS via the SQL surface (also exercises spark.sql).
+    "q19_grouping_sets" -> { (s, dir) =>
+      Tables.lineitem(s, dir).createOrReplaceTempView("graft_lineitem")
+      s.sql(
+        """SELECT l_returnflag, l_linestatus, COUNT(1) AS n
+          |FROM graft_lineitem
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+          |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
+    },
+
+    // -- Scalar function surface: string/date/math (all codegen'd built-ins).
+    "q20_scalar_funcs" -> { (s, dir) =>
+      Tables.orders(s, dir)
+        .select(
+          col("o_orderkey"),
+          upper(substring(col("o_orderpriority"), 1, 3)).as("pri3"),
+          concat(col("o_orderstatus"), lit("-"), col("o_orderpriority")).as("status_pri"),
+          length(col("o_orderpriority")).as("pri_len"),
+          year(col("o_orderdate")).as("yr"),
+          month(col("o_orderdate")).as("mo"),
+          (col("o_orderkey") % 7).as("k7"),
+          round(abs(col("o_totalprice") - 150000.0), 2).as("dist_150k"))
+        .orderBy("o_orderkey")
+    },
+
+    // -- Conditional aggregation (CASE WHEN inside agg).
+    "q21_case_agg" -> { (s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy("o_orderstatus")
+        .agg(
+          sum(when(col("o_totalprice") > 150000.0, 1L).otherwise(0L)).as("n_big"),
+          sum(when(col("o_totalprice") <= 150000.0, 1L).otherwise(0L)).as("n_small"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderstatus")
+    },
+
+    // -- HAVING (post-aggregation filter).
+    "q22_having" -> { (s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"))
+        .filter(col("n_orders") >= 15)
+        .orderBy("o_custkey")
+    },
+
+    // -- Scalar subquery: orders 1.5× above global average price.
+    "q23_above_avg" -> { (s, dir) =>
+      val o = Tables.orders(s, dir)
+      val avgP = o.agg(avg(col("o_totalprice")).as("a"))
+      o.crossJoin(broadcast(avgP))
+        .filter(col("o_totalprice") > col("a") * 1.5)
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    },
+
+    // -- JSON scalar extraction from the events.props payload (the
+    //    reference's whole product is JSON→rows; here as an expression).
+    "q24_json_props" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+        .orderBy("event_type")
+    },
+
+    // -- Timestamp normalization + daily aggregation over events.
+    "q25_daily_events" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+        .groupBy("day")
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .orderBy("day")
+    },
+
+    // -- explode/unnest: word frequencies across documents.
+    "q26_word_counts" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy("word")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("word").asc)
+        .limit(20)
+    },
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(28,6))) AS DOUBLE) AS sum_charge,
+        |  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) / COUNT(l_quantity), 6) AS avg_qty,
+        |  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) / COUNT(l_extendedprice), 6) AS avg_price,
+        |  ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(28,6))) AS DOUBLE) / COUNT(l_discount), 6) AS avg_disc,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount
+        |FROM lineitem
+        |WHERE l_quantity > 45 AND l_discount >= 0.05
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q03_revenue_by_segment" ->
+      """SELECT c_mktsegment,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+
+    "q04_nation_revenue" ->
+      """SELECT r_name, n_name,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name, n_name""".stripMargin,
+
+    "q05_cust_order_stats" ->
+      """SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+        |  COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE), 0.0) AS total_spent
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q06_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 200000.0)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q07_anti_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q08_topk_per_customer" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         CAST(row_number() OVER (PARTITION BY o_custkey
+        |              ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3
+        |ORDER BY o_custkey, rn""".stripMargin,
+
+    "q09_running_qty" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  SUM(l_quantity) OVER (PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
+        |FROM lineitem
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+
+    "q10_event_gaps" ->
+      """SELECT user_id, event_id,
+        |  lag(event_id, 1) OVER (PARTITION BY user_id ORDER BY event_id ASC) AS prev_event,
+        |  lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY event_id ASC) AS next_type
+        |FROM events
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "q11_top_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+
+    "q12_distinct_segments" ->
+      "SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment",
+
+    "q13_priority_stats" ->
+      """SELECT o_orderpriority,
+        |  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_custs,
+        |  COUNT(*) AS n_orders
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q14_union_nations" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |UNION
+        |SELECT s_nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin,
+
+    "q15_intersect_nations" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |INTERSECT
+        |SELECT s_nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin,
+
+    "q16_except_nations" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |EXCEPT
+        |SELECT s_nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin,
+
+    "q17_rollup_flags" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q18_cube_status" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "q19_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q20_scalar_funcs" ->
+      """SELECT o_orderkey,
+        |  upper(substring(o_orderpriority, 1, 3)) AS pri3,
+        |  concat(o_orderstatus, '-', o_orderpriority) AS status_pri,
+        |  CAST(length(o_orderpriority) AS INT) AS pri_len,
+        |  CAST(year(o_orderdate) AS INT) AS yr,
+        |  CAST(month(o_orderdate) AS INT) AS mo,
+        |  o_orderkey % 7 AS k7,
+        |  round(abs(o_totalprice - 150000.0), 2) AS dist_150k
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q21_case_agg" ->
+      """SELECT o_orderstatus,
+        |  CAST(SUM(CASE WHEN o_totalprice > 150000.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
+        |  CAST(SUM(CASE WHEN o_totalprice <= 150000.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_small,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q22_having" ->
+      """SELECT o_custkey, COUNT(*) AS n_orders FROM orders
+        |GROUP BY o_custkey HAVING COUNT(*) >= 15
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q23_above_avg" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice > 1.5 * (SELECT AVG(o_totalprice) FROM orders)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q24_json_props" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q25_daily_events" ->
+      """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+
+    "q26_word_counts" ->
+      """SELECT word, COUNT(*) AS n FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |WHERE word <> ''
+        |GROUP BY word ORDER BY n DESC, word ASC LIMIT 20""".stripMargin,
+  )
+}
