@@ -17,11 +17,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
-    graft.queries.HttpEnrichment.queries
+    graft.queries.HttpEnrichment.queries ++
+    graft.queries.Ext.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → weaker rows-only check. */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracle ++
-    graft.queries.HttpEnrichment.oracle
+    graft.queries.HttpEnrichment.oracle ++
+    graft.queries.Ext.oracle
 }

@@ -1,0 +1,144 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines (SURVEY.md §2.B
+  * [EXT]): exact, n-gram Jaccard (exact verification path), MinHash+LSH
+  * and SimHash (approximate scale paths).
+  *
+  * Scale design (100 TB): signatures are computed per-row with codegen'd
+  * higher-order functions — no shuffle, no UDF, no driver state. The only
+  * shuffles are the LSH band-bucket join (keys are uniform hashes → no
+  * skew) and the candidate-pair aggregation, whose input is orders of
+  * magnitude smaller than the corpus. The exact-Jaccard variant shuffles
+  * one row per (doc, distinct n-gram) and self-joins — correct but
+  * quadratic in hot n-grams, so it is the small-scale oracle/verify path,
+  * not the 100 TB path.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the lowest id per identical key. */
+  def exact(df: DataFrame, keyCol: String, idCol: String): DataFrame =
+    df.groupBy(col(keyCol))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_cnt"))
+
+  /** Distinct word n-grams per document, 1-based positions (matches the
+    * DuckDB oracle's list semantics). Documents shorter than n words drop. */
+  def ngrams(docs: DataFrame, textCol: String, n: Int): DataFrame = {
+    val toks = split(col(textCol), " ")
+    docs
+      .withColumn("toks", toks)
+      .filter(size(col("toks")) >= n)
+      .withColumn("g", explode(array_distinct(
+        transform(sequence(lit(1), size(col("toks")) - (n - 1)),
+          i => concat_ws(" ", (0 until n).map(k => element_at(col("toks"), i + k)): _*)))))
+      .drop("toks")
+  }
+
+  /** Exact n-gram Jaccard pairs within a blocking column (e.g. lang):
+    * shared-n-gram self-join → common counts → |A∩B| / (|A|+|B|-|A∩B|). */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                        blockCol: String, n: Int, threshold: Double): DataFrame = {
+    val tri = ngrams(docs.select(col(idCol), col(blockCol), col(textCol)), textCol, n)
+      .select(col(idCol), col(blockCol), col("g"))
+    val sizes = tri.groupBy(col(idCol)).agg(count(lit(1)).as("n_grams"))
+    val a = tri.select(col(idCol).as("a_id"), col(blockCol).as("blk"), col("g"))
+    val b = tri.select(col(idCol).as("b_id"), col(blockCol).as("blk"), col("g"))
+    val common = a.join(b, Seq("blk", "g"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id")
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.withColumnRenamed("n_grams", "na"), common("a_id") === sizes(idCol)).drop(idCol)
+      .join(sizes.withColumnRenamed("n_grams", "nb"), common("b_id") === sizes(idCol)).drop(idCol)
+      .withColumn("jac", col("common").cast("double") /
+        (col("na") + col("nb") - col("common")))
+      .filter(col("jac") >= threshold)
+      .select("a_id", "b_id", "common", "na", "nb", "jac")
+  }
+
+  /** MinHash signature of a document's distinct n-gram set: for each of
+    * `nHashes` seeded hash functions, the min hash over the set. Computed
+    * per-row (no explode/shuffle) via nested higher-order functions. */
+  def minhashSignature(gramsCol: Column, nHashes: Int): Column =
+    transform(sequence(lit(0), lit(nHashes - 1)),
+      i => array_min(transform(gramsCol, g => xxhash64(g, i))))
+
+  /** MinHash + LSH banding candidate pairs with signature-estimated
+    * Jaccard. `bands` × `rowsPerBand` must equal `nHashes`; two docs
+    * collide iff some band of their signatures is identical. */
+  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int = 3, nHashes: Int = 64, bands: Int = 16,
+                      threshold: Double = 0.5): DataFrame = {
+    require(nHashes % bands == 0, s"bands=$bands must divide nHashes=$nHashes")
+    val r = nHashes / bands
+    val toks = split(col(textCol), " ")
+    val sigs = docs
+      .withColumn("toks", toks)
+      .filter(size(col("toks")) >= n)
+      .withColumn("grams", array_distinct(
+        transform(sequence(lit(1), size(col("toks")) - (n - 1)),
+          i => concat_ws(" ", (0 until n).map(k => element_at(col("toks"), i + k)): _*))))
+      .withColumn("sig", minhashSignature(col("grams"), nHashes))
+      .select(col(idCol), col("sig"))
+    // band hash: one long per band over its signature slice
+    val banded = sigs
+      .withColumn("band", explode(transform(sequence(lit(0), lit(bands - 1)),
+        b => struct(b.as("band_idx"),
+          xxhash64(slice(col("sig"), b * r + 1, lit(r)), b).as("band_hash")))))
+      .select(col(idCol), col("band.band_idx"), col("band.band_hash"), col("sig"))
+    val l = banded.select(col(idCol).as("a_id"), col("band_idx"),
+      col("band_hash"), col("sig").as("sig_a"))
+    val rgt = banded.select(col(idCol).as("b_id"), col("band_idx"),
+      col("band_hash"), col("sig").as("sig_b"))
+    l.join(rgt, Seq("band_idx", "band_hash"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id", "sig_a", "sig_b").distinct()
+      .withColumn("est_jac",
+        aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1).otherwise(0)), lit(0),
+          (acc, v) => acc + v).cast("double") / nHashes)
+      .filter(col("est_jac") >= threshold)
+      .select("a_id", "b_id", "est_jac")
+  }
+
+  /** SimHash near-dup pairs: 8×8-bit chunk blocking (a pair within Hamming
+    * distance ≤7 must share at least one of 8 chunks — pigeonhole), then
+    * exact Hamming verification via bit_count(xor). At corpus scale, widen
+    * chunks (e.g. 4×16-bit, guarantee ≤3) to keep bucket fan-in down —
+    * blocking granularity is the recall/cost dial. */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 5): DataFrame = {
+    require(maxHamming <= 7, "8-chunk blocking only guarantees hamming <= 7")
+    val prints = docs
+      .withColumn("fp", simhash63(TextStats.tokens(col(textCol))))
+      .select(col(idCol), col("fp"))
+    val chunked = prints.withColumn("chunk", explode(array(
+      (0 until 8).map(j => struct(lit(j).as("j"),
+        shiftrightunsigned(col("fp"), j * 8).bitwiseAND(lit(0xFFL)).as("v"))): _*)))
+      .select(col(idCol), col("chunk.j"), col("chunk.v"), col("fp"))
+    val l = chunked.select(col(idCol).as("a_id"), col("j"), col("v"), col("fp").as("fp_a"))
+    val r = chunked.select(col(idCol).as("b_id"), col("j"), col("v"), col("fp").as("fp_b"))
+    l.join(r, Seq("j", "v"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id", "fp_a", "fp_b").distinct()
+      .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("a_id", "b_id", "hamming")
+  }
+
+  /** 63-bit SimHash fingerprint, packed big-endian (bit 62 first; 63 bits
+    * so the packing never touches the sign bit — Spark 4 runs ANSI mode
+    * and would throw on the final-shift overflow of a full 64-bit pack).
+    * Bit b's vote per token is the parity of a bit-indexed hash
+    * xxhash64(t, b) — an equivalent simhash family that avoids non-literal
+    * bit shifts (Spark's shift functions take constant shift amounts
+    * only). Per-row, codegen'd, shuffle-free. */
+  def simhash63(tokensCol: Column): Column =
+    aggregate(sequence(lit(62), lit(0), lit(-1)), lit(0L), (acc, b) =>
+      acc * 2 + when(
+        aggregate(tokensCol, lit(0L), (s, t) =>
+          s + when(pmod(xxhash64(t, b), lit(2L)) === 1L, lit(1L)).otherwise(lit(-1L))) > 0,
+        lit(1L)).otherwise(lit(0L)))
+}

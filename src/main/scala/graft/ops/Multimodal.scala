@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing (SURVEY.md §2.B [EXT]): image/audio/video
+  * payloads as opaque `binary` columns with typed metadata, plus the
+  * decode / feature-extract / frame-sample stages a training pipeline
+  * runs over them.
+  *
+  * The Spark-side machinery — schema, partition-preserving transforms,
+  * batch iteration via mapPartitions, binary slicing — is real and tested.
+  * The codec itself is STUBBED with a deterministic fake (this container
+  * ships no image/audio libraries): `FakeCodec.decode` derives
+  * pseudo-content from the payload bytes. Swap `FakeCodec` for a real
+  * decoder (JavaCPP/FFmpeg, TwelveMonkeys, …) without touching the
+  * pipeline shape.
+  */
+object Multimodal {
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("modality", StringType, nullable = false),
+    StructField("payload", BinaryType, nullable = true),
+    StructField("meta", StructType(Seq(
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("sample_rate", IntegerType),
+      StructField("n_frames", IntegerType))), nullable = true)))
+
+  /** Build a media table from the documents fixture: the text payload
+    * stands in for encoded bytes; modality round-robins by id. Metadata is
+    * a deterministic function of the payload so oracles can reproduce it. */
+  def fromDocuments(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3 + 1).cast("int")).as("modality"),
+      col("text").cast("binary").as("payload"),
+      struct(
+        (octet_length(col("text").cast("binary")) % 640).cast("int").as("width"),
+        (octet_length(col("text").cast("binary")) % 480).cast("int").as("height"),
+        lit(16000).as("sample_rate"),
+        (octet_length(col("text").cast("binary")) % 30 + 1).cast("int").as("n_frames")).as("meta"))
+
+  /** A decoded frame/sample batch: what a real codec would emit. */
+  final case class Decoded(mediaId: Long, modality: String, nBytes: Int,
+                           checksum: Long, frames: Array[Array[Byte]])
+
+  /** STUB codec — deterministic fake in place of a real decoder. */
+  object FakeCodec {
+    def decode(mediaId: Long, modality: String, payload: Array[Byte],
+               frameSize: Int = 64): Decoded = {
+      // ??? real decode goes here; the fake slices the payload into
+      // fixed-size "frames" and checksums it so tests have stable values.
+      val frames = payload.grouped(frameSize).toArray
+      val checksum = payload.foldLeft(1125899906842597L)((h, b) => 31 * h + b)
+      Decoded(mediaId, modality, payload.length, checksum, frames)
+    }
+  }
+
+  /** Distributed decode via mapPartitions: one codec instance per
+    * partition (real codecs are expensive to init), streaming batch shape
+    * preserved — the Spark-side plumbing a real pipeline needs. */
+  def decodeAll(media: DataFrame, frameSize: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "modality", "payload")
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition codec init would happen here
+        it.map { case (id, mod, payload) =>
+          val d = FakeCodec.decode(id, mod, Option(payload).getOrElse(Array.empty), frameSize)
+          (d.mediaId, d.modality, d.nBytes, d.checksum, d.frames.length)
+        }
+      }
+      .toDF("media_id", "modality", "n_bytes", "checksum", "n_frames")
+  }
+
+  /** Frame sampling without decode: every k-th fixed-size slice of the
+    * payload — pure Column ops (substring on binary), no UDF. */
+  def sampleSlices(media: DataFrame, sliceLen: Int, everyK: Int): DataFrame =
+    media
+      .withColumn("n_slices",
+        greatest(ceil(octet_length(col("payload")).cast("double") / sliceLen).cast("int"), lit(0)))
+      .withColumn("slice_idx", explode(when(col("n_slices") > 0,
+        sequence(lit(0), col("n_slices") - 1, lit(everyK))).otherwise(array())))
+      .withColumn("slice",
+        expr(s"substring(payload, slice_idx * $sliceLen + 1, $sliceLen)"))
+      .select("media_id", "modality", "slice_idx", "slice")
+}

@@ -1,0 +1,88 @@
+package graft.ops
+
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (SURVEY.md §2.B [EXT]).
+  *
+  * Two paths:
+  *  - [[topKCosine]]: brute-force exact — one scan, per-row score, global
+  *    top-k via TakeOrderedAndProject (no full sort). The baseline and the
+  *    verification oracle.
+  *  - [[annTopKCosine]]: random-hyperplane LSH — score only rows whose
+  *    signature is within `maxHammingBits` of the query's. At 100 TB the
+  *    signature (one long) is precomputed/persisted with the corpus and the
+  *    bucket filter prunes the scan to a tiny candidate set; brute force
+  *    stays O(corpus) per query.
+  */
+object Similarity {
+
+  /** Exact top-k by cosine against a constant query vector. */
+  def topKCosine(emb: DataFrame, vecCol: String, idCol: String,
+                 queryVec: Seq[Double], k: Int): DataFrame = {
+    val q = lit(queryVec.toArray)
+    emb
+      .withColumn("cos_sim", round(VectorFunctions.cosine(col(vecCol), q), 6))
+      .orderBy(col("cos_sim").desc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol), col("cos_sim"))
+  }
+
+  /** Approximate top-k: RHP-LSH signature prefilter, exact rescoring of
+    * survivors. `nBits`=16 keeps bucket count moderate; `maxHammingBits`
+    * trades recall for candidate-set size. */
+  def annTopKCosine(emb: DataFrame, vecCol: String, idCol: String,
+                    queryVec: Seq[Double], k: Int,
+                    nBits: Int = 16, maxHammingBits: Int = 8): DataFrame = {
+    val q = lit(queryVec.toArray)
+    val qSig = VectorFunctions.rhpSignature(q, nBits)
+    emb
+      .withColumn("sig", VectorFunctions.rhpSignature(col(vecCol), nBits))
+      .withColumn("sig_dist", bit_count(col("sig").bitwiseXOR(qSig)))
+      .filter(col("sig_dist") <= maxHammingBits)
+      .withColumn("cos_sim", round(VectorFunctions.cosine(col(vecCol), q), 6))
+      .orderBy(col("cos_sim").desc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol), col("cos_sim"))
+  }
+
+  /** Exact all-pairs cosine ≥ threshold via self-join. O(n²) dot products —
+    * the verification path for [[cosineNearDupPairs]]; at 100 TB use the
+    * LSH-blocked variant (or IVF partitioning) instead. */
+  def exactCosinePairs(emb: DataFrame, vecCol: String, idCol: String,
+                       threshold: Double): DataFrame = {
+    val l = emb.select(col(idCol).as("a_id"), col(vecCol).cast("array<double>").as("vec_a"))
+    val r = emb.select(col(idCol).as("b_id"), col(vecCol).cast("array<double>").as("vec_b"))
+    l.crossJoin(r)
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("cos_sim",
+        round(VectorFunctions.cosine(col("vec_a"), col("vec_b")), 6))
+      .filter(col("cos_sim") >= threshold)
+      .select("a_id", "b_id", "cos_sim")
+  }
+
+  /** All near-duplicate pairs by embedding cosine ≥ threshold, blocked by
+    * LSH signature chunks (8-bit) to avoid the full cross join; exact
+    * cosine verification on candidates. */
+  def cosineNearDupPairs(emb: DataFrame, vecCol: String, idCol: String,
+                         threshold: Double, nBits: Int = 16): DataFrame = {
+    val sigs = emb.withColumn("sig", VectorFunctions.rhpSignature(col(vecCol), nBits))
+      .select(col(idCol), col("sig"), col(vecCol))
+    val chunks = (0 until nBits / 8).map(j => struct(lit(j).as("j"),
+      shiftrightunsigned(col("sig"), j * 8).bitwiseAND(lit(0xFFL)).as("v")))
+    val blocked = sigs.withColumn("chunk", explode(array(chunks: _*)))
+      .select(col(idCol), col("chunk.j"), col("chunk.v"), col(vecCol))
+    val l = blocked.select(col(idCol).as("a_id"), col("j"), col("v"),
+      col(vecCol).as("vec_a"))
+    val r = blocked.select(col(idCol).as("b_id"), col("j"), col("v"),
+      col(vecCol).as("vec_b"))
+    l.join(r, Seq("j", "v"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id", "vec_a", "vec_b").distinct()
+      .withColumn("cos_sim",
+        round(VectorFunctions.cosine(col("vec_a"), col("vec_b")), 6))
+      .filter(col("cos_sim") >= threshold)
+      .select("a_id", "b_id", "cos_sim")
+  }
+}

@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines (SURVEY.md §2.B
+  * [EXT]): tokenization, quality scoring, document fingerprinting, and an
+  * n-gram/stopword language-ID heuristic. All pure Column expressions
+  * (codegen'd, shuffle-free per row) so they scale linearly over document
+  * shards.
+  */
+object TextStats {
+
+  /** Whitespace tokens with empties dropped (multi-space safe). */
+  def tokens(text: Column): Column =
+    filter(split(text, " "), t => t =!= "")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Canonical-form fingerprint: md5 of lowercased, whitespace-collapsed
+    * text — the exact-dup key that survives formatting noise. */
+  def fingerprint(text: Column): Column =
+    md5(lower(regexp_replace(text, "\\s+", " ")))
+
+  /** Per-document quality facets: char length, token stats, alpha/digit/
+    * space character ratios. */
+  def qualityColumns(text: Column): Seq[(String, Column)] = {
+    val len = length(text)
+    val alpha = length(regexp_replace(text, "[^a-zA-Z]", ""))
+    val digit = length(regexp_replace(text, "[^0-9]", ""))
+    val space = length(regexp_replace(text, "[^ ]", ""))
+    val nTok = tokenCount(text)
+    Seq(
+      "len" -> len,
+      "n_tokens" -> nTok,
+      "avg_token_len" -> round((len - space).cast("double") / nullif(nTok, lit(0)), 6),
+      "alpha_ratio" -> round(alpha.cast("double") / nullif(len, lit(0)), 6),
+      "digit_ratio" -> round(digit.cast("double") / nullif(len, lit(0)), 6))
+  }
+
+  /** Stopword vocabularies for the language-ID heuristic. Deliberately tiny
+    * and fixed: the heuristic (and its SQL oracle) must be reproducible. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "ein", "zu"))
+
+  /** Language-ID: argmax stopword-hit count with deterministic tiebreak
+    * (en > es > de > und). Works on token overlap only — no external model. */
+  def langGuess(text: Column): Column = {
+    val toks = array_distinct(tokens(lower(text)))
+    def score(lang: String): Column =
+      size(array_intersect(toks, array(stopwords(lang).map(lit): _*)))
+    val (en, es, de) = (score("en"), score("es"), score("de"))
+    when(en === 0 && es === 0 && de === 0, lit("und"))
+      .when(en >= es && en >= de, lit("en"))
+      .when(es >= de, lit("es"))
+      .otherwise(lit("de"))
+  }
+
+  /** All-facet document profile. */
+  def profile(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val withQuality = qualityColumns(col(textCol)).foldLeft(docs) {
+      case (df, (name, c)) => df.withColumn(name, c)
+    }
+    withQuality
+      .withColumn("fp", fingerprint(col(textCol)))
+      .withColumn("lang_guess", langGuess(col(textCol)))
+  }
+}

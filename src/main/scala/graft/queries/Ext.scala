@@ -1,0 +1,247 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.{Dedup, Multimodal, Similarity, TextStats}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** [EXT] LLM-training-data pipeline operators (SURVEY.md §2.B [EXT] /
+  * BASELINE.json north star): dedup (exact, n-gram Jaccard, MinHash+LSH,
+  * SimHash), similarity search (exact + ANN), text analysis (tokens,
+  * quality, fingerprint, language-ID), multimodal binary plumbing.
+  * SQL-expressible operators carry full DuckDB oracles; the approximate
+  * ones (MinHash/SimHash/ANN) are rows-only here and recall-tested against
+  * their exact counterparts in OpsSpec. */
+object Ext {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Query embedding = vec_id 0's vector (driver-side single-row lookup). */
+  private def queryVec(s: SparkSession, dir: String): Seq[Double] =
+    Tables.embeddings(s, dir).filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head()
+      .getSeq[Double](0)
+
+  val queries: Map[String, Q] = Map(
+    "x01_dedup_exact" -> { (s, dir) =>
+      Dedup.exact(Tables.documents(s, dir), "text", "doc_id")
+        .select(md5(col("text")).as("fp"), col("keep_id"), col("dup_cnt"))
+        .orderBy("fp")
+    },
+
+    "x02_ngram_jaccard_pairs" -> { (s, dir) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, dir),
+          idCol = "doc_id", textCol = "text", blockCol = "lang", n = 3, threshold = 0.5)
+        .orderBy("a_id", "b_id")
+    },
+
+    // Approximate near-dup (MinHash 64 hashes, 16 bands × 4 rows):
+    // rows-only check here; recall vs x02 asserted in OpsSpec.
+    "x03_minhash_lsh_pairs" -> { (s, dir) =>
+      Dedup.minhashLshPairs(Tables.documents(s, dir),
+          idCol = "doc_id", textCol = "text", threshold = 0.35)
+        .orderBy("a_id", "b_id")
+    },
+
+    "x04_simhash_pairs" -> { (s, dir) =>
+      Dedup.simhashPairs(Tables.documents(s, dir),
+          idCol = "doc_id", textCol = "text", maxHamming = 3)
+        .orderBy("a_id", "b_id")
+    },
+
+    "x05_cosine_topk" -> { (s, dir) =>
+      Similarity.topKCosine(
+        Tables.embeddings(s, dir).filter(col("vec_id") =!= 0),
+        vecCol = "embedding", idCol = "vec_id",
+        queryVec = queryVec(s, dir), k = 20)
+    },
+
+    "x06_ann_lsh_topk" -> { (s, dir) =>
+      Similarity.annTopKCosine(
+        Tables.embeddings(s, dir).filter(col("vec_id") =!= 0),
+        vecCol = "embedding", idCol = "vec_id",
+        queryVec = queryVec(s, dir), k = 20)
+    },
+
+    // Exact all-pairs cosine (oracle-checked verification path; the
+    // LSH-blocked variant is the 100 TB path, recall-tested in OpsSpec).
+    "x07_embedding_near_dups" -> { (s, dir) =>
+      Similarity.exactCosinePairs(Tables.embeddings(s, dir),
+          vecCol = "embedding", idCol = "vec_id", threshold = 0.45)
+        .orderBy("a_id", "b_id")
+    },
+
+    "x08_lang_stats" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+             countDistinct(col("source")).as("n_sources"),
+             round(sum(col("n_chars")).cast("double") / count(lit(1)), 6).as("avg_chars"))
+        .orderBy("lang")
+    },
+
+    "x09_text_quality" -> { (s, dir) =>
+      val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      TextStats.qualityColumns(col("text")).foldLeft(base) {
+        case (df, (name, c)) => df.withColumn(name, c)
+      }.drop("text").orderBy("doc_id")
+    },
+
+    "x10_fingerprint" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextStats.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    },
+
+    "x11_source_token_stats" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("n_tokens", TextStats.tokenCount(col("text")))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+             sum(col("n_tokens")).as("total_tokens"),
+             max(col("n_tokens")).as("max_tokens"))
+        .orderBy("source")
+    },
+
+    "x12_lang_guess" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("lang_guess", TextStats.langGuess(col("text")))
+        .groupBy("lang_guess")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang_guess")
+    },
+
+    "x13_multimodal_meta" -> { (s, dir) =>
+      Multimodal.fromDocuments(Tables.documents(s, dir))
+        .select(col("media_id"), col("modality"),
+          octet_length(col("payload")).as("n_bytes"),
+          md5(col("payload")).as("payload_md5"),
+          col("meta.width").as("width"),
+          col("meta.height").as("height"),
+          col("meta.n_frames").as("n_frames"))
+        .orderBy("media_id")
+    },
+
+    "x14_multimodal_decode" -> { (s, dir) =>
+      Multimodal.decodeAll(Multimodal.fromDocuments(Tables.documents(s, dir)))
+        .select("media_id", "modality", "n_bytes", "n_frames")
+        .orderBy("media_id")
+    },
+  )
+
+  private val enList = TextStats.stopwords("en").map(w => s"'$w'").mkString("[", ",", "]")
+  private val esList = TextStats.stopwords("es").map(w => s"'$w'").mkString("[", ",", "]")
+  private val deList = TextStats.stopwords("de").map(w => s"'$w'").mkString("[", ",", "]")
+
+  val oracle: Map[String, String] = Map(
+    "x01_dedup_exact" ->
+      """SELECT md5(text) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS dup_cnt
+        |FROM documents GROUP BY text ORDER BY fp""".stripMargin,
+
+    "x02_ngram_jaccard_pairs" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS ts FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |tri AS (
+        |  SELECT DISTINCT doc_id, lang,
+        |    unnest(list_transform(generate_series(1, len(ts) - 2),
+        |      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS g
+        |  FROM tok),
+        |nt AS (SELECT doc_id, COUNT(*) AS n FROM tri GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS common
+        |  FROM tri a JOIN tri b ON a.g = b.g AND a.lang = b.lang AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT a_id, b_id, common, na.n AS na, nb.n AS nb,
+        |       common * 1.0 / (na.n + nb.n - common) AS jac
+        |FROM pairs JOIN nt na ON a_id = na.doc_id JOIN nt nb ON b_id = nb.doc_id
+        |WHERE common * 1.0 / (na.n + nb.n - common) >= 0.5
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    "x05_cosine_topk" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id <> 0)
+        |SELECT vec_id,
+        |  round(
+        |    list_sum(list_transform(generate_series(1, len(v)), i -> v[i] * qv[i])) /
+        |    (sqrt(list_sum(list_transform(generate_series(1, len(v)), i -> v[i] * v[i]))) *
+        |     sqrt(list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * qv[i])))),
+        |  6) AS cos_sim
+        |FROM e, q
+        |ORDER BY cos_sim DESC, vec_id ASC LIMIT 20""".stripMargin,
+
+    "x07_embedding_near_dups" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |p AS (
+        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |    round(
+        |      list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i])) /
+        |      (sqrt(list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * a.v[i]))) *
+        |       sqrt(list_sum(list_transform(generate_series(1, len(b.v)), i -> b.v[i] * b.v[i])))),
+        |    6) AS cos_sim
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        |SELECT a_id, b_id, cos_sim FROM p WHERE cos_sim >= 0.45
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    "x08_lang_stats" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+        |  round(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 6) AS avg_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "x09_text_quality" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS INT) AS len,
+        |  CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS INT) AS n_tokens,
+        |  round(CAST(length(text) - length(regexp_replace(text, '[^ ]', '', 'g')) AS DOUBLE)
+        |        / NULLIF(len(list_filter(string_split(text, ' '), t -> t <> '')), 0), 6) AS avg_token_len,
+        |  round(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+        |        / NULLIF(length(text), 0), 6) AS alpha_ratio,
+        |  round(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+        |        / NULLIF(length(text), 0), 6) AS digit_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "x10_fingerprint" ->
+      """SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "x11_source_token_stats" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(len(list_filter(string_split(text, ' '), t -> t <> ''))) AS BIGINT) AS total_tokens,
+        |  CAST(MAX(len(list_filter(string_split(text, ' '), t -> t <> ''))) AS INT) AS max_tokens
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "x12_lang_guess" ->
+      s"""WITH scored AS (
+         |  SELECT doc_id,
+         |    len(list_intersect(list_distinct(list_filter(string_split(lower(text), ' '), t -> t <> '')), $enList)) AS s_en,
+         |    len(list_intersect(list_distinct(list_filter(string_split(lower(text), ' '), t -> t <> '')), $esList)) AS s_es,
+         |    len(list_intersect(list_distinct(list_filter(string_split(lower(text), ' '), t -> t <> '')), $deList)) AS s_de
+         |  FROM documents)
+         |SELECT lang_guess, COUNT(*) AS n FROM (
+         |  SELECT CASE
+         |    WHEN s_en = 0 AND s_es = 0 AND s_de = 0 THEN 'und'
+         |    WHEN s_en >= s_es AND s_en >= s_de THEN 'en'
+         |    WHEN s_es >= s_de THEN 'es'
+         |    ELSE 'de' END AS lang_guess
+         |  FROM scored)
+         |GROUP BY lang_guess ORDER BY lang_guess""".stripMargin,
+
+    "x13_multimodal_meta" ->
+      """SELECT doc_id AS media_id,
+        |  CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+        |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+        |  md5(text) AS payload_md5,
+        |  CAST(octet_length(encode(text)) % 640 AS INT) AS width,
+        |  CAST(octet_length(encode(text)) % 480 AS INT) AS height,
+        |  CAST(octet_length(encode(text)) % 30 + 1 AS INT) AS n_frames
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    "x14_multimodal_decode" ->
+      """SELECT doc_id AS media_id,
+        |  CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+        |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+        |  CAST(ceil(octet_length(encode(text)) / 64.0) AS INT) AS n_frames
+        |FROM documents ORDER BY media_id""".stripMargin,
+  )
+}

@@ -1,0 +1,112 @@
+package graft
+
+import graft.ops.{Dedup, Multimodal, Similarity, TextStats}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantics of the [EXT] operators, including the approximate↔exact
+  * relationships the DuckDB oracle can't express: MinHash/LSH recall vs
+  * exact Jaccard, ANN recall vs exact top-k, SimHash self-consistency. */
+class OpsSpec extends AnyFunSuite {
+  lazy val spark = GraftSession.local("4")
+  val dir = "/root/testdata/sf0.01" // 500 docs incl. planted near-dup pairs
+
+  lazy val docs = Tables.documents(spark, dir)
+  lazy val emb = Tables.embeddings(spark, dir)
+
+  test("minhash-LSH finds every exact-Jaccard>=0.5 pair (planted dups)") {
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", "lang", 3, 0.5)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.size >= 5, s"expected planted near-dup pairs, got $exact")
+    val approx = Dedup.minhashLshPairs(docs, "doc_id", "text", threshold = 0.35)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.subsetOf(approx),
+      s"missed pairs: ${exact -- approx} (approx found ${approx.size})")
+  }
+
+  test("minhash signature estimates Jaccard within 0.25 of exact") {
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", "lang", 3, 0.5)
+      .select(col("a_id"), col("b_id"), col("jac"))
+    val est = Dedup.minhashLshPairs(docs, "doc_id", "text", threshold = 0.0)
+    val joined = exact.join(est, Seq("a_id", "b_id"))
+      .select(abs(col("jac") - col("est_jac"))).collect().map(_.getDouble(0))
+    assert(joined.nonEmpty && joined.forall(_ <= 0.25),
+      s"estimate errors: ${joined.mkString(",")}")
+  }
+
+  test("simhash: near-identical docs collide, hamming bounded") {
+    import spark.implicits._
+    // The planted trigram-Jaccard≥0.8 pairs sit at hamming 1..5 of the
+    // 63-bit simhash; 8-chunk blocking guarantees recall through hamming 7.
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 5)
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", "lang", 3, 0.8)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val found = pairs.select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(exact.intersect(found) == exact,
+      s"simhash missed high-sim pairs: ${exact -- found}")
+    assert(pairs.collect().forall(_.getAs[Int]("hamming") <= 5))
+  }
+
+  test("ANN top-k recall >= 0.6 vs exact top-k, and never false-positives scores") {
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+    val rest = emb.filter(col("vec_id") =!= 0)
+    val exact = Similarity.topKCosine(rest, "embedding", "vec_id", q, 20)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val ann = Similarity.annTopKCosine(rest, "embedding", "vec_id", q, 20)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val recall = ann.keySet.intersect(exact.keySet).size.toDouble / exact.size
+    assert(recall >= 0.6, s"ANN recall $recall too low")
+    // scores of common ids must be identical (same exact rescoring)
+    ann.keySet.intersect(exact.keySet).foreach(id => assert(ann(id) == exact(id)))
+  }
+
+  test("LSH-blocked cosine pairs are a subset of exact pairs") {
+    import spark.implicits._
+    val exact = Similarity.exactCosinePairs(emb, "embedding", "vec_id", 0.45)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val blocked = Similarity.cosineNearDupPairs(emb, "embedding", "vec_id", 0.45)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(blocked.subsetOf(exact))
+  }
+
+  test("fingerprint is whitespace/case-canonical") {
+    import spark.implicits._
+    val df = Seq(("a", "Hello  World"), ("b", "hello world"), ("c", "different"))
+      .toDF("id", "text")
+    val fps = df.select(col("id"), TextStats.fingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(fps("a") == fps("b") && fps("a") != fps("c"))
+  }
+
+  test("langGuess picks the lang with most stopword hits") {
+    import spark.implicits._
+    val df = Seq(
+      ("the cat of a house is it", "en"),
+      ("el perro de la casa es un", "es"),
+      ("der hund und die katze ist", "de"),
+      ("xyzzy qwerty", "und")).toDF("text", "expected")
+    val got = df.withColumn("g", TextStats.langGuess(col("text"))).collect()
+    got.foreach(r => assert(r.getAs[String]("g") == r.getAs[String]("expected"),
+      s"text='${r.getString(0)}'"))
+  }
+
+  test("multimodal decode stub preserves bytes and frames deterministically") {
+    val media = Multimodal.fromDocuments(docs.limit(50))
+    val decoded = Multimodal.decodeAll(media)
+    val row = decoded.orderBy("media_id").head()
+    val d2 = Multimodal.decodeAll(media).orderBy("media_id").head()
+    assert(row == d2) // deterministic
+    assert(decoded.filter(col("n_bytes") <= 0).count() == 0)
+  }
+
+  test("frame sampling slices binary payloads without decode") {
+    val media = Multimodal.fromDocuments(docs.limit(10))
+    val slices = Multimodal.sampleSlices(media, sliceLen = 64, everyK = 2)
+    val withLen = slices.withColumn("l", octet_length(col("slice")))
+    assert(withLen.filter(col("l") > 64).count() == 0)
+    assert(slices.count() > 0)
+    // every media row contributes its slice 0
+    assert(slices.filter(col("slice_idx") === 0).count() == 10)
+  }
+}
