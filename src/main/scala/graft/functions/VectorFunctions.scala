@@ -12,9 +12,14 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  /** Elementwise dot product via zip_with + left-fold aggregate (sequential
-    * accumulation — deterministic, oracle-matching). */
-  def dot(a: Column, b: Column): Column =
+  /** Elementwise dot product — a native codegen'd loop (see
+    * [[VectorExpressions.DotProductExpr]]); same sequential accumulation
+    * order as the lambda formulation and the oracle. */
+  def dot(a: Column, b: Column): Column = VectorExpressions.dotNative(a, b)
+
+  /** The higher-order-function formulation of [[dot]] (kept for cross-
+    * checking the native expression in specs). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a.cast("array<double>"), b.cast("array<double>"),
       (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 

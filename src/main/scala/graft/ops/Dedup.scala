@@ -60,10 +60,18 @@ object Dedup {
 
   /** MinHash signature of a document's distinct n-gram set: for each of
     * `nHashes` seeded hash functions, the min hash over the set. Computed
-    * per-row (no explode/shuffle) via nested higher-order functions. */
+    * per-row (no explode/shuffle) via one left-fold over the grams with an
+    * array-of-minima accumulator. The fold evaluates its input array once,
+    * so each gram is string-hashed once and the `nHashes` family members
+    * are derived by rehashing that long — a naive seed-per-pass loop would
+    * re-string-hash every gram `nHashes` times (higher-order args are
+    * re-evaluated per outer-lambda iteration). */
   def minhashSignature(gramsCol: Column, nHashes: Int): Column =
-    transform(sequence(lit(0), lit(nHashes - 1)),
-      i => array_min(transform(gramsCol, g => xxhash64(g, i))))
+    aggregate(
+      transform(gramsCol, g => xxhash64(g)),
+      array_repeat(lit(Long.MaxValue), nHashes),
+      (acc, h) => zip_with(acc, sequence(lit(0), lit(nHashes - 1)),
+        (m, i) => least(m, xxhash64(h, i))))
 
   /** MinHash + LSH banding candidate pairs with signature-estimated
     * Jaccard. `bands` × `rowsPerBand` must equal `nHashes`; two docs
@@ -82,19 +90,26 @@ object Dedup {
           i => concat_ws(" ", (0 until n).map(k => element_at(col("toks"), i + k)): _*))))
       .withColumn("sig", minhashSignature(col("grams"), nHashes))
       .select(col(idCol), col("sig"))
+      // reused by the banding explode and two post-candidate joins; without
+      // persistence each branch recomputes every signature
+      .persist()
     // band hash: one long per band over its signature slice
     val banded = sigs
       .withColumn("band", explode(transform(sequence(lit(0), lit(bands - 1)),
         b => struct(b.as("band_idx"),
           xxhash64(slice(col("sig"), b * r + 1, lit(r)), b).as("band_hash")))))
       .select(col(idCol), col("band.band_idx"), col("band.band_hash"), col("sig"))
-    val l = banded.select(col(idCol).as("a_id"), col("band_idx"),
-      col("band_hash"), col("sig").as("sig_a"))
-    val rgt = banded.select(col(idCol).as("b_id"), col("band_idx"),
-      col("band_hash"), col("sig").as("sig_b"))
-    l.join(rgt, Seq("band_idx", "band_hash"))
+    // Candidate pairs dedupe on ids only — carrying the 64-long signature
+    // arrays through the join+distinct shuffle triples its cost; join the
+    // (small) signature table back afterwards instead.
+    val l = banded.select(col(idCol).as("a_id"), col("band_idx"), col("band_hash"))
+    val rgt = banded.select(col(idCol).as("b_id"), col("band_idx"), col("band_hash"))
+    val pairs = l.join(rgt, Seq("band_idx", "band_hash"))
       .filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id", "sig_a", "sig_b").distinct()
+      .select("a_id", "b_id").distinct()
+    pairs
+      .join(sigs.select(col(idCol).as("a_id"), col("sig").as("sig_a")), "a_id")
+      .join(sigs.select(col(idCol).as("b_id"), col("sig").as("sig_b")), "b_id")
       .withColumn("est_jac",
         aggregate(zip_with(col("sig_a"), col("sig_b"),
           (x, y) => when(x === y, 1).otherwise(0)), lit(0),
@@ -109,11 +124,12 @@ object Dedup {
     * chunks (e.g. 4×16-bit, guarantee ≤3) to keep bucket fan-in down —
     * blocking granularity is the recall/cost dial. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 5): DataFrame = {
+                   maxHamming: Int = 7): DataFrame = {
     require(maxHamming <= 7, "8-chunk blocking only guarantees hamming <= 7")
     val prints = docs
       .withColumn("fp", simhash63(TextStats.tokens(col(textCol))))
       .select(col(idCol), col("fp"))
+      .persist() // reused by both sides of the chunk join
     val chunked = prints.withColumn("chunk", explode(array(
       (0 until 8).map(j => struct(lit(j).as("j"),
         shiftrightunsigned(col("fp"), j * 8).bitwiseAND(lit(0xFFL)).as("v"))): _*)))
@@ -135,10 +151,16 @@ object Dedup {
     * xxhash64(t, b) — an equivalent simhash family that avoids non-literal
     * bit shifts (Spark's shift functions take constant shift amounts
     * only). Per-row, codegen'd, shuffle-free. */
-  def simhash63(tokensCol: Column): Column =
-    aggregate(sequence(lit(62), lit(0), lit(-1)), lit(0L), (acc, b) =>
-      acc * 2 + when(
-        aggregate(tokensCol, lit(0L), (s, t) =>
-          s + when(pmod(xxhash64(t, b), lit(2L)) === 1L, lit(1L)).otherwise(lit(-1L))) > 0,
-        lit(1L)).otherwise(lit(0L)))
+  def simhash63(tokensCol: Column): Column = {
+    // One fold over the tokens (each string-hashed once) accumulating the
+    // 63 per-bit ±1 votes as an array; then pack votes into the long.
+    // Loop-order-inverted for the same reason as minhashSignature.
+    val votes = aggregate(
+      transform(tokensCol, t => xxhash64(t)),
+      array_repeat(lit(0L), 63),
+      (acc, h) => zip_with(acc, sequence(lit(62), lit(0), lit(-1)),
+        (v, b) => v + when(pmod(xxhash64(h, b), lit(2L)) === 1L, lit(1L)).otherwise(lit(-1L))))
+    aggregate(votes, lit(0L), (acc, v) =>
+      acc * 2 + when(v > 0, lit(1L)).otherwise(lit(0L)))
+  }
 }

@@ -52,12 +52,17 @@ object Similarity {
     * LSH-blocked variant (or IVF partitioning) instead. */
   def exactCosinePairs(emb: DataFrame, vecCol: String, idCol: String,
                        threshold: Double): DataFrame = {
-    val l = emb.select(col(idCol).as("a_id"), col(vecCol).cast("array<double>").as("vec_a"))
-    val r = emb.select(col(idCol).as("b_id"), col(vecCol).cast("array<double>").as("vec_b"))
+    // Norms are precomputed per side (O(n) instead of O(n²)); the pair row
+    // then evaluates dot/(na*nb) — the identical IEEE sequence to the
+    // oracle's dot/(sqrt(Σa²)·sqrt(Σb²)), just not recomputed per pair.
+    val withNorm = emb.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nrm", VectorFunctions.norm(col("v")))
+    val l = withNorm.select(col(idCol).as("a_id"), col("v").as("vec_a"), col("nrm").as("na"))
+    val r = withNorm.select(col(idCol).as("b_id"), col("v").as("vec_b"), col("nrm").as("nb"))
     l.crossJoin(r)
       .filter(col("a_id") < col("b_id"))
       .withColumn("cos_sim",
-        round(VectorFunctions.cosine(col("vec_a"), col("vec_b")), 6))
+        round(VectorFunctions.dot(col("vec_a"), col("vec_b")) / (col("na") * col("nb")), 6))
       .filter(col("cos_sim") >= threshold)
       .select("a_id", "b_id", "cos_sim")
   }

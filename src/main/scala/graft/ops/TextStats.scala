@@ -26,9 +26,12 @@ object TextStats {
     * space character ratios. */
   def qualityColumns(text: Column): Seq[(String, Column)] = {
     val len = length(text)
-    val alpha = length(regexp_replace(text, "[^a-zA-Z]", ""))
-    val digit = length(regexp_replace(text, "[^0-9]", ""))
-    val space = length(regexp_replace(text, "[^ ]", ""))
+    // char-class counts via translate (single pass, no regex engine):
+    // count(class) = len - len(text with class chars removed)
+    val letters = ('a' to 'z').mkString + ('A' to 'Z').mkString
+    val alpha = len - length(translate(text, letters, ""))
+    val digit = len - length(translate(text, "0123456789", ""))
+    val space = len - length(translate(text, " ", ""))
     val nTok = tokenCount(text)
     Seq(
       "len" -> len,

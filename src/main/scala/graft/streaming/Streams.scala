@@ -1,0 +1,61 @@
+package graft.streaming
+
+import graft.enrich.Enrich
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface (SURVEY.md §2.B streaming rows):
+  * processing-time enrichment against a refreshing HTTP cache, event-time
+  * watermark windows, and custom keyed state.
+  *
+  * The enrichment mapping (SURVEY.md §7.3): Flink reloads its lookup cache
+  * on a timer thread; in Spark the stream-static join re-plans the static
+  * side every micro-batch, and the source's TTL [[graft.sources.http.SnapshotCache]]
+  * decides whether that re-plan re-fetches. Invariants preserved: ≤1 fetch
+  * per refresh interval, staleness ≤ interval, refresh failure fails the
+  * stream (no stale-serving).
+  */
+object Streams {
+
+  /** Processing-time enrichment of an unbounded stream against a cached
+    * lookup table (the reference's core use case, README.md:106-133).
+    * IMPORTANT: `lookup` must be the raw HTTP-source frame — persisting it
+    * would pin one snapshot and defeat refresh. */
+  def enrich(stream: DataFrame, lookup: DataFrame, condition: org.apache.spark.sql.Column,
+             joinType: String = "left"): DataFrame =
+    Enrich.lookupJoin(stream, lookup, condition, joinType)
+
+  /** Event-time tumbling/sliding window aggregation with watermark
+    * (ref declares the same watermark shape: FlinkHttpConnectorExample.scala:85). */
+  def windowedCounts(events: DataFrame, tsCol: String, watermark: String,
+                     windowDuration: String, slide: Option[String] = None): DataFrame = {
+    val w = slide.map(s => window(col(tsCol), windowDuration, s))
+      .getOrElse(window(col(tsCol), windowDuration))
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(w.as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("win.start").as("win_start"), col("win.end").as("win_end"),
+        col("event_type"), col("n"), col("sum_value"))
+  }
+
+  /** Keyed running state via mapGroupsWithState: running count + sum per
+    * user — the custom-state escape hatch (KeyValueGroupedDataset). */
+  def runningUserStats(events: Dataset[UserEvent]): Dataset[UserStat] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (userId: Long, it: Iterator[UserEvent], state: GroupState[UserStat]) =>
+          val prev = state.getOption.getOrElse(UserStat(userId, 0L, 0.0))
+          val batch = it.toSeq
+          val next = UserStat(userId, prev.n + batch.size, prev.sum + batch.map(_.value).sum)
+          state.update(next)
+          next
+      }
+  }
+}
+
+final case class UserEvent(user_id: Long, event_type: String, value: Double)
+final case class UserStat(user_id: Long, n: Long, sum: Double)

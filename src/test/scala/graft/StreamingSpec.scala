@@ -1,0 +1,121 @@
+package graft
+
+import graft.http.Fixtures
+import graft.sources.http.SnapshotCache
+import graft.sources.http.testkit.EmbeddedJsonServer
+import graft.streaming.{Streams, UserEvent}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.sql.Timestamp
+
+/** Structured Streaming parity: stream-static enrichment with TTL refresh
+  * across micro-batches (the reference's cache-refresh-visibility scenario
+  * re-expressed, ref: HttpLookupConnectorIntegrationTest.scala:428-543),
+  * watermarked windows, and keyed state. */
+class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
+  lazy val spark = GraftSession.local("4")
+
+  test("stream-static enrichment sees refreshed HTTP snapshot in later micro-batches") {
+    import spark.implicits._
+    SnapshotCache.invalidateAll()
+    val server = new EmbeddedJsonServer
+    try {
+      server.payload = Fixtures.usersJson(prefix = "Mock")
+      val users = spark.read.format("http-full-cache")
+        .schema(Fixtures.usersSchema)
+        .option("url", server.url)
+        .option("cache.refresh-interval", "PT1S")
+        .load()
+      val input = new MemoryStream[Int](1, spark)
+      val enriched = Streams.enrich(input.toDF.withColumnRenamed("value", "user_id"),
+        users, col("user_id") === col("id"), "inner")
+        .select("user_id", "name")
+      val q = enriched.writeStream.format("memory").queryName("enriched")
+        .outputMode("append").start()
+      try {
+        input.addData(1, 2)
+        q.processAllAvailable()
+        val batch1 = spark.table("enriched").collect().map(_.getString(1))
+        assert(batch1.length == 2 && batch1.forall(_.startsWith("Mock")))
+
+        server.payload = Fixtures.usersJson(prefix = "Updated")
+        Thread.sleep(1200) // TTL expiry
+        input.addData(3, 4)
+        q.processAllAvailable()
+        val all = spark.table("enriched").collect()
+          .map(r => r.getInt(0) -> r.getString(1)).toMap
+        assert(all(1).startsWith("Mock"), "earlier batch output is immutable")
+        assert(all(3).startsWith("Updated") && all(4).startsWith("Updated"),
+          s"micro-batch after TTL must see the new snapshot: $all")
+        assert(server.requestCount >= 2)
+      } finally q.stop()
+    } finally server.stop()
+  }
+
+  test("within-TTL micro-batches reuse one fetch") {
+    import spark.implicits._
+    SnapshotCache.invalidateAll()
+    val server = new EmbeddedJsonServer
+    try {
+      server.payload = Fixtures.usersJson()
+      val users = spark.read.format("http-full-cache")
+        .schema(Fixtures.usersSchema)
+        .option("url", server.url)
+        .option("cache.refresh-interval", "PT1H")
+        .load()
+      val input = new MemoryStream[Int](1, spark)
+      val q = Streams.enrich(input.toDF.withColumnRenamed("value", "user_id"),
+          users, col("user_id") === col("id"), "inner")
+        .writeStream.format("memory").queryName("one_fetch").outputMode("append").start()
+      try {
+        for (batch <- 1 to 3) { input.addData(batch); q.processAllAvailable() }
+        assert(spark.table("one_fetch").count() == 3)
+        assert(server.requestCount == 1,
+          s"expected exactly one fetch across micro-batches, got ${server.requestCount}")
+      } finally q.stop()
+    } finally server.stop()
+  }
+
+  test("watermarked tumbling window aggregates event time") {
+    import spark.implicits._
+    val input = new MemoryStream[(Timestamp, String, Double)](2, spark)
+    val df = input.toDF.toDF("ts", "event_type", "value")
+    val agg = Streams.windowedCounts(df, "ts", "10 seconds", "1 minute")
+    val q = agg.writeStream.format("memory").queryName("win")
+      .outputMode("complete").start()
+    try {
+      def t(s: String) = Timestamp.valueOf(s)
+      input.addData(
+        (t("2024-01-01 00:00:10"), "click", 1.0),
+        (t("2024-01-01 00:00:50"), "click", 2.0),
+        (t("2024-01-01 00:01:10"), "view", 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("win").collect()
+      val clicks = rows.find(r => r.getAs[String]("event_type") == "click").get
+      assert(clicks.getAs[Long]("n") == 2 && clicks.getAs[Double]("sum_value") == 3.0)
+      val views = rows.find(r => r.getAs[String]("event_type") == "view").get
+      assert(views.getAs[Timestamp]("win_start") == t("2024-01-01 00:01:00"))
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState accumulates per-key running stats across batches") {
+    import spark.implicits._
+    val input = new MemoryStream[UserEvent](3, spark)
+    val q = Streams.runningUserStats(input.toDS())
+      .writeStream.format("memory").queryName("stats").outputMode("update").start()
+    try {
+      input.addData(UserEvent(1, "a", 1.0), UserEvent(1, "b", 2.0), UserEvent(2, "a", 5.0))
+      q.processAllAvailable()
+      input.addData(UserEvent(1, "c", 4.0))
+      q.processAllAvailable()
+      val last = spark.table("stats").collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2))))
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).maxBy(_._1) }
+      assert(last(1L) == (3L, 7.0))
+      assert(last(2L) == (1L, 5.0))
+    } finally q.stop()
+  }
+}
