@@ -277,6 +277,97 @@ object Relational {
         .orderBy(col("n").desc, col("word").asc)
         .limit(20)
     },
+
+    // -- RIGHT OUTER join (probe side preserved on the right).
+    "q27_right_join" -> { (s, dir) =>
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      o.join(c, o("o_custkey") === c("c_custkey"), "right")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .orderBy("c_custkey")
+    },
+
+    // -- FULL OUTER join of two aggregates (null-preserving both sides).
+    "q28_full_outer" -> { (s, dir) =>
+      val cn = Tables.customer(s, dir).groupBy(col("c_nationkey").as("nationkey"))
+        .agg(count(lit(1)).as("n_cust"))
+      val sn = Tables.supplier(s, dir).groupBy(col("s_nationkey").as("nationkey"))
+        .agg(count(lit(1)).as("n_supp"))
+      cn.join(sn, Seq("nationkey"), "full_outer")
+        .select(col("nationkey"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+        .orderBy("nationkey")
+    },
+
+    // -- UNION ALL (bag semantics) + re-aggregation.
+    "q29_union_all" -> { (s, dir) =>
+      val c = Tables.customer(s, dir).select(col("c_nationkey").as("nationkey"))
+      val p = Tables.supplier(s, dir).select(col("s_nationkey").as("nationkey"))
+      c.union(p)
+        .groupBy("nationkey")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("nationkey")
+    },
+
+    // -- Non-equi (theta) join: range-bucket membership against a tiny
+    //    dimension → BroadcastNestedLoopJoin (the only sane physical plan).
+    "q30_theta_join" -> { (s, dir) =>
+      val e = Tables.events(s, dir)
+      val n = Tables.nation(s, dir)
+      e.join(broadcast(n),
+          e("value") >= n("n_nationkey") * 10.0 &&
+          e("value") < (n("n_nationkey") + 1) * 10.0, "inner")
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n"), Tables.dsum(col("value")).as("sum_value"))
+        .orderBy("n_name")
+    },
+
+    // -- Equi join with non-equi residual (classic shipped-after-order).
+    "q31_join_residual" -> { (s, dir) =>
+      val l = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+      l.join(o, l("l_orderkey") === o("o_orderkey") &&
+                l("l_shipdate") > o("o_orderdate"), "inner")
+        .groupBy(year(col("o_orderdate")).as("yr"))
+        .agg(count(lit(1)).as("n_lines"),
+             Tables.dsum(col("l_extendedprice")).as("revenue"))
+        .orderBy("yr")
+    },
+
+    // -- from_json into a typed struct (schema-declared JSON parsing, the
+    //    reference's core deserialization semantic as an expression).
+    "q32_from_json" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("parsed", from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k INT")))
+        .select(col("event_id"), col("parsed.k").as("k"))
+        .orderBy("event_id")
+    },
+
+    // -- approx_count_distinct (HLL sketch): no oracle (sketch values are
+    //    engine-specific); accuracy vs exact asserted in QueriesSmokeSpec.
+    "q34_approx_distinct" -> { (s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy("o_orderpriority")
+        .agg(approx_count_distinct(col("o_custkey")).as("approx_custs"),
+             countDistinct(col("o_custkey")).as("exact_custs"))
+        .orderBy("o_orderpriority")
+    },
+
+    // -- Array function surface over the embedding column.
+    "q33_array_funcs" -> { (s, dir) =>
+      Tables.embeddings(s, dir)
+        .select(
+          col("vec_id"),
+          size(col("embedding")).as("dim"),
+          array_max(col("embedding")).as("mx"),
+          array_min(col("embedding")).as("mn"),
+          round(aggregate(col("embedding").cast("array<double>"), lit(0.0),
+            (acc, x) => acc + x), 6).as("total"))
+        .orderBy("vec_id")
+    },
   )
 
   val oracle: Map[String, String] = Map(
@@ -456,5 +547,51 @@ object Relational {
         |  SELECT unnest(string_split(text, ' ')) AS word FROM documents)
         |WHERE word <> ''
         |GROUP BY word ORDER BY n DESC, word ASC LIMIT 20""".stripMargin,
+
+    "q27_right_join" ->
+      """SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+        |FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+
+    "q28_full_outer" ->
+      """WITH cn AS (SELECT c_nationkey AS nationkey, COUNT(*) AS n_cust FROM customer GROUP BY 1),
+        |sn AS (SELECT s_nationkey AS nationkey, COUNT(*) AS n_supp FROM supplier GROUP BY 1)
+        |SELECT COALESCE(cn.nationkey, sn.nationkey) AS nationkey,
+        |  COALESCE(n_cust, 0) AS n_cust, COALESCE(n_supp, 0) AS n_supp
+        |FROM cn FULL OUTER JOIN sn ON cn.nationkey = sn.nationkey
+        |ORDER BY nationkey""".stripMargin,
+
+    "q29_union_all" ->
+      """SELECT nationkey, COUNT(*) AS n FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  UNION ALL
+        |  SELECT s_nationkey FROM supplier)
+        |GROUP BY nationkey ORDER BY nationkey""".stripMargin,
+
+    "q30_theta_join" ->
+      """SELECT n_name, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+        |FROM events JOIN nation
+        |  ON value >= n_nationkey * 10.0 AND value < (n_nationkey + 1) * 10.0
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q31_join_residual" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS yr, COUNT(*) AS n_lines,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders
+        |  ON l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+        |GROUP BY 1 ORDER BY yr""".stripMargin,
+
+    "q32_from_json" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q33_array_funcs" ->
+      """SELECT vec_id,
+        |  CAST(len(embedding) AS INT) AS dim,
+        |  list_max(embedding) AS mx,
+        |  list_min(embedding) AS mn,
+        |  round(list_sum(CAST(embedding AS DOUBLE[])), 6) AS total
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
   )
 }

@@ -30,6 +30,15 @@ class QueriesSmokeSpec extends AnyFunSuite {
     assert(r.nonEmpty && r.forall(_.getAs[Double]("sum_qty") > 0))
   }
 
+  test("q34 approx_count_distinct within 10% of exact") {
+    val rows = SparkEntry.queries("q34_approx_distinct")(spark, dir).collect()
+    rows.foreach { r =>
+      val (approx, exact) = (r.getAs[Long]("approx_custs"), r.getAs[Long]("exact_custs"))
+      assert(math.abs(approx - exact) <= math.max(1L, (exact * 0.10).toLong),
+        s"approx=$approx exact=$exact")
+    }
+  }
+
   test("q11 returns exactly 10 ordered rows") {
     val r = SparkEntry.queries("q11_top_orders")(spark, dir).collect()
     assert(r.length == 10)
