@@ -1,0 +1,62 @@
+package graft
+
+import graft.ops.Skew
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Cluster-scale execution patterns proven at test scale: bucketed
+  * co-located joins (no Exchange), salted skew aggregation (exact
+  * equality with the direct plan), AQE coalescing. */
+class ScaleSpec extends AnyFunSuite {
+  lazy val spark = GraftSession.local("4")
+  val dir = "/root/testdata/sf0.001"
+
+  test("bucketed tables join without a shuffle exchange") {
+    val orders = Tables.orders(spark, dir)
+    val lineitem = Tables.lineitem(spark, dir)
+    // external bucketed tables at explicit temp locations (getOrCreate may
+    // reuse a session whose warehouse dir we don't control)
+    val loc = Files.createTempDirectory("graft_bucketed")
+    loc.toFile.deleteOnExit()
+    orders.write.mode("overwrite").option("path", s"$loc/orders_b")
+      .bucketBy(4, "o_orderkey").sortBy("o_orderkey").saveAsTable("orders_b")
+    lineitem.write.mode("overwrite").option("path", s"$loc/lineitem_b")
+      .bucketBy(4, "l_orderkey").sortBy("l_orderkey").saveAsTable("lineitem_b")
+    val joined = spark.table("lineitem_b")
+      .join(spark.table("orders_b"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+    val plan = joined.queryExecution.executedPlan.toString
+    // bucketing co-locates both sides: the join itself needs no Exchange
+    // (the only exchange allowed is for the final small aggregation)
+    val joinSection = plan.split("HashAggregate").last
+    assert(!joinSection.contains("Exchange hashpartitioning(l_orderkey"),
+      s"join should use bucketed distribution:\n$plan")
+    // correctness vs unbucketed
+    val expected = lineitem.join(orders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+    assert(joined.exceptAll(expected).count() == 0)
+  }
+
+  test("salted aggregation equals direct aggregation exactly") {
+    val li = Tables.lineitem(spark, dir)
+    val direct = li.groupBy("l_suppkey")
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("total"))
+    val salted = Skew.saltedSum(li, "l_suppkey", col("l_quantity"))
+    // l_quantity is integral-valued → double sums are exact in any order
+    assert(salted.exceptAll(direct).count() == 0)
+    assert(direct.exceptAll(salted).count() == 0)
+  }
+
+  test("salted broadcast join equals plain join") {
+    val ev = Tables.events(spark, dir).withColumnRenamed("user_id", "k")
+    val dim = Tables.nation(spark, dir)
+      .select(col("n_nationkey").cast("long").as("k"), col("n_name"))
+    val plain = ev.join(dim, Seq("k")).groupBy("n_name").count()
+    val salted = Skew.saltedBroadcastJoin(ev, dim, "k")
+      .groupBy("n_name").count()
+    assert(salted.exceptAll(plain).count() == 0)
+    assert(plain.exceptAll(salted).count() == 0)
+  }
+}
