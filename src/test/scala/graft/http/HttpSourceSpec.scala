@@ -168,6 +168,22 @@ class HttpSourceSpec extends AnyFunSuite with BeforeAndAfterEach {
       !plan.contains("email"), s"expected pruned scan, got:\n$plan")
   }
 
+  test("nested struct/array/map schemas deserialize and project") {
+    server.payload =
+      """[{"id": 1, "name": "N1",
+        |  "address": {"city": "Rome", "geo": {"lat": 41.9, "lng": 12.5}},
+        |  "tags": ["a", "b"], "scores": {"m1": 7, "m2": 9}}]""".stripMargin
+    val df = spark.read.format("http-full-cache")
+      .schema("id INT, name STRING, " +
+        "address STRUCT<city: STRING, geo: STRUCT<lat: DOUBLE, lng: DOUBLE>>, " +
+        "tags ARRAY<STRING>, scores MAP<STRING, INT>")
+      .option("url", server.url).load()
+    val r = df.selectExpr("id", "address.city", "address.geo.lat",
+      "tags[1]", "scores['m2']").collect().head
+    assert(r.getInt(0) == 1 && r.getString(1) == "Rome" && r.getDouble(2) == 41.9)
+    assert(r.getString(3) == "b" && r.getInt(4) == 9)
+  }
+
   test("schema is mandatory") {
     val e = intercept[Exception](
       spark.read.format("http-full-cache").option("url", server.url).load())
