@@ -47,6 +47,58 @@ object Similarity {
       .select(col(idCol), col("cos_sim"))
   }
 
+  /** IVF (inverted-file) ANN top-k: vectors are assigned to their nearest
+    * of `nLists` centroid vectors once (a persisted partition assignment at
+    * corpus scale); a query probes only the `nProbe` nearest lists and
+    * exact-scores those candidates. Centroids here are a deterministic
+    * sample of the corpus (ids ordered, every n/nLists-th vector) rather
+    * than k-means — the partition/probe machinery is identical and needs
+    * no iterative driver loop; swap in trained centroids without touching
+    * the query path.
+    *
+    * Scale shape: assignment is one broadcast-nested-loop pass over the
+    * corpus (centroids are tiny); the probe filter prunes the scan to
+    * nProbe/nLists of the data before any scoring. */
+  def ivfTopKCosine(emb: DataFrame, vecCol: String, idCol: String,
+                    queryVec: Seq[Double], k: Int,
+                    nLists: Int = 16, nProbe: Int = 4): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val n = emb.count()
+    val step = math.max(1L, n / nLists)
+    // deterministic centroid sample: every step-th vector by id order
+    val centroids = emb
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col(idCol))))
+      .filter((col("rn") - 1) % step === 0)
+      .limit(nLists)
+      .select(col(idCol).as("centroid_id"), v.as("cv"))
+    // assign each vector to its nearest centroid by cosine
+    val assigned = emb.select(col(idCol), v.as("vec"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("score", VectorFunctions.dot(col("vec"), col("cv")) /
+        (VectorFunctions.norm(col("vec")) * VectorFunctions.norm(col("cv"))))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
+          .orderBy(col("score").desc, col("centroid_id").asc)))
+      .filter(col("rk") === 1)
+      .select(col(idCol), col("vec"), col("centroid_id"))
+    // probe: the nProbe centroids nearest the query
+    val q = lit(queryVec.toArray)
+    val probeLists = centroids
+      .withColumn("qscore", VectorFunctions.dot(col("cv"), q) /
+        (VectorFunctions.norm(col("cv")) * VectorFunctions.norm(q)))
+      .orderBy(col("qscore").desc, col("centroid_id").asc)
+      .limit(nProbe)
+      .select("centroid_id")
+    assigned
+      .join(broadcast(probeLists), "centroid_id")
+      .withColumn("cos_sim", round(VectorFunctions.dot(col("vec"), q) /
+        (VectorFunctions.norm(col("vec")) * VectorFunctions.norm(q)), 6))
+      .orderBy(col("cos_sim").desc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol), col("cos_sim"))
+  }
+
   /** Exact all-pairs cosine ≥ threshold via self-join. O(n²) dot products —
     * the verification path for [[cosineNearDupPairs]]; at 100 TB use the
     * LSH-blocked variant (or IVF partitioning) instead. */

@@ -63,6 +63,13 @@ object Ext {
         queryVec = queryVec(s, dir), k = 20)
     },
 
+    "x15_ivf_topk" -> { (s, dir) =>
+      Similarity.ivfTopKCosine(
+        Tables.embeddings(s, dir).filter(col("vec_id") =!= 0),
+        vecCol = "embedding", idCol = "vec_id",
+        queryVec = queryVec(s, dir), k = 20)
+    },
+
     // Exact all-pairs cosine (oracle-checked verification path; the
     // LSH-blocked variant is the 100 TB path, recall-tested in OpsSpec).
     "x07_embedding_near_dups" -> { (s, dir) =>

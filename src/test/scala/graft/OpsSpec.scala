@@ -61,6 +61,20 @@ class OpsSpec extends AnyFunSuite {
     ann.keySet.intersect(exact.keySet).foreach(id => assert(ann(id) == exact(id)))
   }
 
+  test("IVF top-k: scores exact on candidates, recall bounded below") {
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+    val rest = emb.filter(col("vec_id") =!= 0)
+    val exact = Similarity.topKCosine(rest, "embedding", "vec_id", q, 20)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val ivf = Similarity.ivfTopKCosine(rest, "embedding", "vec_id", q, 20)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(ivf.size == 20)
+    val recall = ivf.keySet.intersect(exact.keySet).size.toDouble / exact.size
+    assert(recall >= 0.2, s"IVF recall $recall (nProbe=4/16 on diffuse random data)")
+    ivf.keySet.intersect(exact.keySet).foreach(id => assert(ivf(id) == exact(id)))
+  }
+
   test("LSH-blocked cosine pairs are a subset of exact pairs") {
     import spark.implicits._
     val exact = Similarity.exactCosinePairs(emb, "embedding", "vec_id", 0.45)
