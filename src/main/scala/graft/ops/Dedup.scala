@@ -42,6 +42,7 @@ object Dedup {
                         blockCol: String, n: Int, threshold: Double): DataFrame = {
     val tri = ngrams(docs.select(col(idCol), col(blockCol), col(textCol)), textCol, n)
       .select(col(idCol), col(blockCol), col("g"))
+      .persist() // consumed by the size agg and both self-join sides
     val sizes = tri.groupBy(col(idCol)).agg(count(lit(1)).as("n_grams"))
     val a = tri.select(col(idCol).as("a_id"), col(blockCol).as("blk"), col("g"))
     val b = tri.select(col(idCol).as("b_id"), col(blockCol).as("blk"), col("g"))

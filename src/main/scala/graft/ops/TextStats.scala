@@ -51,10 +51,19 @@ object TextStats {
   /** Language-ID: argmax stopword-hit count with deterministic tiebreak
     * (en > es > de > und). Works on token overlap only — no external model. */
   def langGuess(text: Column): Column = {
+    // single fold over the distinct tokens accumulating all three scores
+    // at once (separate array_intersect calls would rebuild the token
+    // array per language — higher-order args re-evaluate per use)
     val toks = array_distinct(tokens(lower(text)))
-    def score(lang: String): Column =
-      size(array_intersect(toks, array(stopwords(lang).map(lit): _*)))
-    val (en, es, de) = (score("en"), score("es"), score("de"))
+    def hit(t: Column, lang: String): Column =
+      when(t.isin(stopwords(lang): _*), 1).otherwise(0)
+    val scores = aggregate(toks,
+      struct(lit(0).as("en"), lit(0).as("es"), lit(0).as("de")),
+      (acc, t) => struct(
+        (acc("en") + hit(t, "en")).as("en"),
+        (acc("es") + hit(t, "es")).as("es"),
+        (acc("de") + hit(t, "de")).as("de")))
+    val (en, es, de) = (scores("en"), scores("es"), scores("de"))
     when(en === 0 && es === 0 && de === 0, lit("und"))
       .when(en >= es && en >= de, lit("en"))
       .when(es >= de, lit("es"))
