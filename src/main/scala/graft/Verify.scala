@@ -15,6 +15,8 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // release per-operator persisted intermediates (see Dedup scaladoc)
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
@@ -32,5 +34,8 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    // exit explicitly: non-daemon helper threads (the h01 embedded HTTP
+    // endpoint) are stopped by shutdown hooks, which only run on exit
+    sys.exit(0)
   }
 }

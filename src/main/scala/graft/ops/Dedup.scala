@@ -15,6 +15,13 @@ import org.apache.spark.sql.functions._
   * one row per (doc, distinct n-gram) and self-joins — correct but
   * quadratic in hot n-grams, so it is the small-scale oracle/verify path,
   * not the 100 TB path.
+  *
+  * Cache ownership: the pair operators persist their signature/n-gram
+  * intermediates (consumed 2-3× inside one returned plan — recomputing
+  * them tripled runtime). The blocks are released when the caller drops
+  * the returned frame and calls `spark.catalog.clearCache()` (the harness
+  * Verify/Bench mains do this per query); long-lived sessions own that
+  * cleanup.
   */
 object Dedup {
 

@@ -62,7 +62,9 @@ object Multimodal {
 
   /** Distributed decode via mapPartitions: one codec instance per
     * partition (real codecs are expensive to init), streaming batch shape
-    * preserved — the Spark-side plumbing a real pipeline needs. */
+    * preserved — the Spark-side plumbing a real pipeline needs. NULL
+    * payloads propagate as null decode columns (SQL semantics — matches
+    * the oracle's `octet_length(NULL) IS NULL`), never as empty media. */
   def decodeAll(media: DataFrame, frameSize: Int = 64): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -71,8 +73,11 @@ object Multimodal {
       .mapPartitions { it =>
         // per-partition codec init would happen here
         it.map { case (id, mod, payload) =>
-          val d = FakeCodec.decode(id, mod, Option(payload).getOrElse(Array.empty), frameSize)
-          (d.mediaId, d.modality, d.nBytes, d.checksum, d.frames.length)
+          if (payload == null) (id, mod, None, None, None)
+          else {
+            val d = FakeCodec.decode(id, mod, payload, frameSize)
+            (d.mediaId, d.modality, Some(d.nBytes), Some(d.checksum), Some(d.frames.length))
+          }
         }
       }
       .toDF("media_id", "modality", "n_bytes", "checksum", "n_frames")

@@ -29,16 +29,25 @@ object Similarity {
       .select(col(idCol), col("cos_sim"))
   }
 
-  /** Approximate top-k: RHP-LSH signature prefilter, exact rescoring of
-    * survivors. `nBits`=16 keeps bucket count moderate; `maxHammingBits`
-    * trades recall for candidate-set size. */
-  def annTopKCosine(emb: DataFrame, vecCol: String, idCol: String,
-                    queryVec: Seq[Double], k: Int,
-                    nBits: Int = 16, maxHammingBits: Int = 8): DataFrame = {
+  /** Phase 1 of the ANN path: per-row RHP-LSH signatures. At corpus scale
+    * this is the write-once index build — persist the result next to the
+    * embeddings (one extra long per row) and feed it to [[annProbe]] at
+    * query time; the signature scan is then the only per-query cost.
+    * Per-row, shuffle-free, codegen'd. */
+  def annBuildSignatures(emb: DataFrame, vecCol: String, idCol: String,
+                         nBits: Int = 16): DataFrame =
+    emb.select(col(idCol), col(vecCol),
+      VectorFunctions.rhpSignature(col(vecCol), nBits).as("sig"))
+
+  /** Phase 2: probe a signature table ([[annBuildSignatures]] output,
+    * freshly built or read back from storage) — Hamming prefilter on the
+    * packed signature, exact cosine rescoring of survivors only. */
+  def annProbe(sigs: DataFrame, vecCol: String, idCol: String,
+               queryVec: Seq[Double], k: Int,
+               nBits: Int = 16, maxHammingBits: Int = 8): DataFrame = {
     val q = lit(queryVec.toArray)
     val qSig = VectorFunctions.rhpSignature(q, nBits)
-    emb
-      .withColumn("sig", VectorFunctions.rhpSignature(col(vecCol), nBits))
+    sigs
       .withColumn("sig_dist", bit_count(col("sig").bitwiseXOR(qSig)))
       .filter(col("sig_dist") <= maxHammingBits)
       .withColumn("cos_sim", round(VectorFunctions.cosine(col(vecCol), q), 6))
@@ -47,42 +56,62 @@ object Similarity {
       .select(col(idCol), col("cos_sim"))
   }
 
-  /** IVF (inverted-file) ANN top-k: vectors are assigned to their nearest
-    * of `nLists` centroid vectors once (a persisted partition assignment at
-    * corpus scale); a query probes only the `nProbe` nearest lists and
-    * exact-scores those candidates. Centroids here are a deterministic
-    * sample of the corpus (ids ordered, every n/nLists-th vector) rather
-    * than k-means — the partition/probe machinery is identical and needs
-    * no iterative driver loop; swap in trained centroids without touching
-    * the query path.
-    *
-    * Scale shape: assignment is one broadcast-nested-loop pass over the
-    * corpus (centroids are tiny); the probe filter prunes the scan to
-    * nProbe/nLists of the data before any scoring. */
-  def ivfTopKCosine(emb: DataFrame, vecCol: String, idCol: String,
+  /** Approximate top-k: one-shot compose of [[annBuildSignatures]] +
+    * [[annProbe]]. `nBits`=16 keeps bucket count moderate;
+    * `maxHammingBits` trades recall for candidate-set size. */
+  def annTopKCosine(emb: DataFrame, vecCol: String, idCol: String,
                     queryVec: Seq[Double], k: Int,
-                    nLists: Int = 16, nProbe: Int = 4): DataFrame = {
+                    nBits: Int = 16, maxHammingBits: Int = 8): DataFrame =
+    annProbe(annBuildSignatures(emb, vecCol, idCol, nBits),
+      vecCol, idCol, queryVec, k, nBits, maxHammingBits)
+
+  /** Phase 1 of the IVF (inverted-file) path: centroid table + per-row
+    * nearest-centroid assignment. Centroids are a deterministic shuffle-free
+    * sample — the `nLists` rows with the smallest id-hash, i.e. one
+    * TakeOrderedAndProject (per-partition top-n + driver merge; no
+    * `count()`, no global window) — standing in for k-means; swap trained
+    * centroids in without touching the probe path. Assignment folds each
+    * row over the broadcast centroid array (one-row broadcast-nested-loop
+    * join) with an argmax accumulator: zero shuffle of the corpus, the
+    * whole thing codegen-friendly Column ops. At corpus scale, persist the
+    * returned assignment (partitioned by `centroid_id`) as the index. */
+  def ivfBuild(emb: DataFrame, vecCol: String, idCol: String,
+               nLists: Int = 16): (DataFrame, DataFrame) = {
     val v = col(vecCol).cast("array<double>")
-    val n = emb.count()
-    val step = math.max(1L, n / nLists)
-    // deterministic centroid sample: every step-th vector by id order
     val centroids = emb
-      .withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy(col(idCol))))
-      .filter((col("rn") - 1) % step === 0)
-      .limit(nLists)
       .select(col(idCol).as("centroid_id"), v.as("cv"))
-    // assign each vector to its nearest centroid by cosine
+      .orderBy(xxhash64(col("centroid_id")).asc, col("centroid_id").asc)
+      .limit(nLists)
+    // all centroids as ONE broadcast row; argmax fold = nearest by cosine,
+    // ties to the lowest centroid_id (same order the old window gave)
+    val centArr = centroids
+      .agg(collect_list(struct(col("centroid_id"), col("cv"))).as("cents"))
+    val best = aggregate(
+      col("cents"),
+      struct(lit(Double.NegativeInfinity).as("s"), lit(Long.MaxValue).as("cid")),
+      (acc, c) => {
+        val score = VectorFunctions.dot(col("vec"), c.getField("cv")) /
+          (VectorFunctions.norm(col("vec")) * VectorFunctions.norm(c.getField("cv")))
+        when(score > acc.getField("s") ||
+             (score === acc.getField("s") &&
+              c.getField("centroid_id") < acc.getField("cid")),
+          struct(score.as("s"), c.getField("centroid_id").cast("long").as("cid")))
+          .otherwise(acc)
+      },
+      acc => acc.getField("cid"))
     val assigned = emb.select(col(idCol), v.as("vec"))
-      .crossJoin(broadcast(centroids))
-      .withColumn("score", VectorFunctions.dot(col("vec"), col("cv")) /
-        (VectorFunctions.norm(col("vec")) * VectorFunctions.norm(col("cv"))))
-      .withColumn("rk", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
-          .orderBy(col("score").desc, col("centroid_id").asc)))
-      .filter(col("rk") === 1)
+      .crossJoin(broadcast(centArr))
+      .withColumn("centroid_id", best)
       .select(col(idCol), col("vec"), col("centroid_id"))
-    // probe: the nProbe centroids nearest the query
+    (centroids, assigned)
+  }
+
+  /** Phase 2: probe an IVF index — score the `nProbe` centroids nearest
+    * the query (tiny frame), broadcast-semi-join their lists out of the
+    * assignment, exact-score only those candidates. Prunes the scan to
+    * ~nProbe/nLists of the corpus with no shuffle beyond the final top-k. */
+  def ivfProbe(centroids: DataFrame, assigned: DataFrame, idCol: String,
+               queryVec: Seq[Double], k: Int, nProbe: Int = 4): DataFrame = {
     val q = lit(queryVec.toArray)
     val probeLists = centroids
       .withColumn("qscore", VectorFunctions.dot(col("cv"), q) /
@@ -97,6 +126,17 @@ object Similarity {
       .orderBy(col("cos_sim").desc, col(idCol).asc)
       .limit(k)
       .select(col(idCol), col("cos_sim"))
+  }
+
+  /** IVF ANN top-k: one-shot compose of [[ivfBuild]] + [[ivfProbe]].
+    * Plan shape: two TakeOrderedAndProject passes (centroid sample, final
+    * top-k), one broadcast of nLists vectors — no driver action, no window,
+    * no corpus-sized shuffle anywhere. */
+  def ivfTopKCosine(emb: DataFrame, vecCol: String, idCol: String,
+                    queryVec: Seq[Double], k: Int,
+                    nLists: Int = 16, nProbe: Int = 4): DataFrame = {
+    val (centroids, assigned) = ivfBuild(emb, vecCol, idCol, nLists)
+    ivfProbe(centroids, assigned, idCol, queryVec, k, nProbe)
   }
 
   /** Exact all-pairs cosine ≥ threshold via self-join. O(n²) dot products —

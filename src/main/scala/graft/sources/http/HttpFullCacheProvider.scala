@@ -3,7 +3,7 @@ package graft.sources.http
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -51,7 +51,7 @@ final class HttpTable(schema: StructType, opts: HttpOptions)
   override def name(): String = s"http-full-cache(${opts.url})"
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new HttpScanBuilder(schema, opts)
 }
@@ -79,19 +79,57 @@ final class HttpScan(schema: StructType, opts: HttpOptions)
     Array(HttpInputPartition(opts, schema))
   override def createReaderFactory(): PartitionReaderFactory = HttpReaderFactory
 
+  /** Native streaming read: each micro-batch re-emits the current snapshot,
+    * mirroring the reference's unbounded lookup consumption
+    * (ref: HttpLookupTableSource.scala:36-54) — the snapshot a batch sees
+    * is whatever [[SnapshotCache]] holds, so actual HTTP fetches stay
+    * TTL-dedup'd (≤1 per refresh interval per JVM) no matter the trigger
+    * rate, and a post-TTL batch sees the refreshed payload. */
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new HttpMicroBatchStream(opts, schema)
+
   /** Reported so Catalyst auto-broadcasts the enrichment join even without
-    * an explicit hint: actual bytes when this JVM has loaded the snapshot,
-    * else a conservative estimate under the 10 MB auto-broadcast default.
-    * The full-cache pattern presumes a broadcastable payload by design
-    * (the reference holds it whole on every TaskManager heap). */
+    * an explicit hint: actual payload bytes when this JVM has loaded the
+    * snapshot, else a conservative estimate under the 10 MB auto-broadcast
+    * default. The full-cache pattern presumes a broadcastable payload by
+    * design (the reference holds it whole on every TaskManager heap), but a
+    * genuinely oversized loaded payload now reports its real size and lets
+    * Catalyst decline the broadcast. */
   override def estimateStatistics(): Statistics = new Statistics {
-    override def sizeInBytes(): util.OptionalLong = util.OptionalLong.of(8L * 1024 * 1024)
+    override def sizeInBytes(): util.OptionalLong = util.OptionalLong.of(
+      SnapshotCache.loadedBodyBytes(opts).getOrElse(8L * 1024 * 1024))
     override def numRows(): util.OptionalLong = util.OptionalLong.empty()
   }
 }
 
 final case class HttpInputPartition(opts: HttpOptions, schema: StructType)
     extends InputPartition
+
+/** Monotonic batch-counter offset: the stream is a clock, not a log — the
+  * data of batch n is "the snapshot as of trigger n", so the offset only
+  * needs to order triggers. */
+final case class HttpStreamOffset(n: Long) extends Offset {
+  override def json(): String = n.toString
+}
+
+final class HttpMicroBatchStream(opts: HttpOptions, schema: StructType)
+    extends MicroBatchStream {
+  private val counter = new java.util.concurrent.atomic.AtomicLong(0L)
+  override def initialOffset(): Offset = HttpStreamOffset(0L)
+  /** Advances once per trigger → every trigger runs a (snapshot) batch. */
+  override def latestOffset(): Offset = HttpStreamOffset(counter.incrementAndGet())
+  override def deserializeOffset(json: String): Offset = {
+    val n = json.trim.toLong
+    counter.updateAndGet(c => math.max(c, n)) // restart: resume past the checkpoint
+    HttpStreamOffset(n)
+  }
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+    if (start == end) Array.empty
+    else Array(HttpInputPartition(opts, schema))
+  override def createReaderFactory(): PartitionReaderFactory = HttpReaderFactory
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
 
 object HttpReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {

@@ -65,6 +65,17 @@ object SnapshotCache extends Logging {
     }
   }
 
-  /** Drop all cached snapshots (tests / forced refresh). */
-  def invalidateAll(): Unit = { entries.clear(); locks.clear() }
+  /** Bytes of the cached payload body for `opts`, if this JVM has loaded
+    * it (feeds the scan's statistics estimate so Catalyst's broadcast
+    * decision can see the real size once known). */
+  def loadedBodyBytes(opts: HttpOptions): Option[Long] = {
+    val key = s"${opts.cacheKey}|${opts.refreshInterval.toMillis}"
+    entries.get(key).map(_.body.getBytes(java.nio.charset.StandardCharsets.UTF_8).length.toLong)
+  }
+
+  /** Drop all cached snapshots (tests / forced refresh). Lock objects are
+    * deliberately kept: clearing them would let a thread inside [[get]]
+    * (holding the old lock) race a new caller (holding a fresh one) into
+    * two simultaneous fetches for the same key. */
+  def invalidateAll(): Unit = entries.clear()
 }

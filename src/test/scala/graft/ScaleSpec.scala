@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.Skew
+import graft.ops.{Similarity, Skew}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import java.nio.file.Files
@@ -37,6 +37,21 @@ class ScaleSpec extends AnyFunSuite {
     val expected = lineitem.join(orders, col("l_orderkey") === col("o_orderkey"))
       .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
     assert(joined.exceptAll(expected).count() == 0)
+  }
+
+  test("IVF top-k plan is scale-clean: no window, no cartesian product, no corpus shuffle") {
+    val emb = Tables.embeddings(spark, dir)
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val df = Similarity.ivfTopKCosine(emb, "embedding", "vec_id",
+      Seq.tabulate(dim)(i => 0.01 * (i + 1)), k = 10)
+    val plan = df.queryExecution.executedPlan.toString
+    // the round-1 plan had an unpartitioned WindowExec (whole corpus on one
+    // partition) and a crossJoin+window argmax; neither may reappear
+    assert(!plan.contains("Window"), s"unpartitioned window in IVF plan:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian product in IVF plan:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning") &&
+           !plan.contains("Exchange rangepartitioning"),
+      s"corpus-sized shuffle in IVF plan:\n$plan")
   }
 
   test("salted aggregation equals direct aggregation exactly") {

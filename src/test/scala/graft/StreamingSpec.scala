@@ -18,6 +18,72 @@ import java.sql.Timestamp
 class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark = GraftSession.local("4")
 
+  /** Poll until the query has completed at least `n` micro-batches. */
+  private def awaitBatches(q: org.apache.spark.sql.streaming.StreamingQuery,
+                           n: Long, timeoutMs: Long = 30000): Unit = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    while ((Option(q.lastProgress).map(_.batchId).getOrElse(-1L) < n) &&
+           System.currentTimeMillis() < deadline) Thread.sleep(50)
+    assert(Option(q.lastProgress).map(_.batchId).getOrElse(-1L) >= n,
+      s"stream did not reach batch $n within ${timeoutMs}ms")
+  }
+
+  test("native readStream emits the snapshot per trigger with TTL-dedup'd fetches") {
+    SnapshotCache.invalidateAll()
+    val server = new EmbeddedJsonServer
+    try {
+      server.payload = Fixtures.usersJson(prefix = "Mock")
+      val users = spark.readStream.format("http-full-cache")
+        .schema(Fixtures.usersSchema)
+        .option("url", server.url)
+        .option("cache.refresh-interval", "PT1H")
+        .load()
+      val q = users.writeStream.format("memory").queryName("native_stream")
+        .outputMode("append").start()
+      try {
+        awaitBatches(q, 3)
+        // every micro-batch re-emits the full snapshot...
+        val perName = spark.table("native_stream").groupBy("name").count()
+          .collect().map(_.getLong(1))
+        assert(perName.nonEmpty && perName.forall(_ >= 3),
+          s"each batch should re-emit the snapshot rows")
+        // ...but within the TTL all batches share ONE fetch
+        assert(server.requestCount == 1,
+          s"expected exactly one TTL-dedup'd fetch, got ${server.requestCount}")
+      } finally q.stop()
+    } finally server.stop()
+  }
+
+  test("native readStream sees the refreshed payload after TTL expiry") {
+    SnapshotCache.invalidateAll()
+    val server = new EmbeddedJsonServer
+    try {
+      server.payload = Fixtures.usersJson(prefix = "Mock")
+      val users = spark.readStream.format("http-full-cache")
+        .schema(Fixtures.usersSchema)
+        .option("url", server.url)
+        .option("cache.refresh-interval", "PT0.3S")
+        .load()
+      val q = users.writeStream.format("memory").queryName("native_refresh")
+        .outputMode("append").start()
+      try {
+        awaitBatches(q, 1)
+        server.payload = Fixtures.usersJson(prefix = "Updated")
+        Thread.sleep(400) // TTL expiry
+        val before = Option(q.lastProgress).map(_.batchId).getOrElse(0L)
+        awaitBatches(q, before + 2)
+        val names = spark.table("native_refresh").select("name")
+          .collect().map(_.getString(0)).toSet
+        assert(names.exists(_.startsWith("Mock")) && names.exists(_.startsWith("Updated")),
+          s"post-TTL batches must carry the refreshed snapshot: $names")
+        // fetches are TTL-bounded, not per-batch: far fewer than batches
+        val batches = Option(q.lastProgress).map(_.batchId).getOrElse(0L) + 1
+        assert(server.requestCount >= 2 && server.requestCount < batches + 1,
+          s"fetches=${server.requestCount} batches=$batches")
+      } finally q.stop()
+    } finally server.stop()
+  }
+
   test("stream-static enrichment sees refreshed HTTP snapshot in later micro-batches") {
     import spark.implicits._
     SnapshotCache.invalidateAll()
