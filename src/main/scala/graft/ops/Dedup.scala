@@ -152,6 +152,62 @@ object Dedup {
       .select("a_id", "b_id", "hamming")
   }
 
+  /** Connected components over near-dup pairs: the pairs→clusters step a
+    * real dedup pipeline needs (LSH emits pairs; retention policy needs
+    * one keeper per component). Iterative min-label propagation with
+    * pointer jumping: each round every vertex takes the min label among
+    * itself and its neighbors, then compresses via label ← label(label).
+    * With compression a round halves the label-tree height, so convergence
+    * is O(log n) rounds (near-clique dedup clusters converge in 2-3); each
+    * round is two joins + one aggregation over the EDGE set (pairs, not
+    * corpus) and the per-round frame is localCheckpoint'd so lineage stays
+    * flat. The driver loop carries only a convergence counter — the
+    * standard distributed-CC shape (GraphX/GraphFrames do the same).
+    *
+    * Returns one row per vertex: (id, cluster_id), cluster_id = min id of
+    * the component; singletons map to themselves. */
+  def connectedComponents(vertices: DataFrame, idCol: String, pairs: DataFrame,
+                          aCol: String = "a_id", bCol: String = "b_id",
+                          maxIter: Int = 25): DataFrame = {
+    val edges = pairs
+      .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+      .union(pairs.select(col(bCol).cast("long").as("u"), col(aCol).cast("long").as("v")))
+      .persist()
+    var labels = vertices
+      .select(col(idCol).cast("long").as("id"), col(idCol).cast("long").as("cluster_id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val nbrMin = edges
+        .join(labels.withColumnsRenamed(Map("id" -> "v", "cluster_id" -> "vl")), "v")
+        .groupBy("u").agg(min(col("vl")).as("nbr_min"))
+        .withColumnRenamed("u", "id")
+      val stepped = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("cluster_id").as("prev"),
+          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("mid"))
+      val jump = labels.select(col("id").as("mid_id"), col("cluster_id").as("mid_label"))
+      val next = stepped.join(jump, stepped("mid") === jump("mid_id"), "left")
+        .select(col("id"), col("prev"),
+          least(col("mid"), coalesce(col("mid_label"), col("mid"))).as("cluster_id"))
+        .localCheckpoint(true)
+      changed = next.filter(col("cluster_id") =!= col("prev")).count()
+      labels = next.select("id", "cluster_id")
+      iter += 1
+    }
+    edges.unpersist(false)
+    labels
+  }
+
+  /** Keep exactly the cluster representatives (id == cluster_id) of `df`,
+    * i.e. the min-id document per near-dup component plus all singletons —
+    * the retention step after [[connectedComponents]]. */
+  def keepClusterRepresentatives(df: DataFrame, idCol: String,
+                                 components: DataFrame): DataFrame =
+    df.join(components.filter(col("cluster_id") === col("id"))
+        .select(col("id").as(idCol)),
+      Seq(idCol), "leftsemi")
+
   /** 63-bit SimHash fingerprint, packed big-endian (bit 62 first; 63 bits
     * so the packing never touches the sign bit — Spark 4 runs ANSI mode
     * and would throw on the final-shift overflow of a full 64-bit pack).

@@ -134,6 +134,18 @@ object Ext {
         .select("media_id", "modality", "n_bytes", "n_frames")
         .orderBy("media_id")
     },
+
+    // Pairs → clusters: connected components over the exact-Jaccard graph
+    // (min-id labels; singletons map to themselves). Oracle = recursive CTE.
+    "x16_dedup_clusters" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.ngramJaccardPairs(docs,
+          idCol = "doc_id", textCol = "text", blockCol = "lang", n = 3, threshold = 0.5)
+        .select("a_id", "b_id")
+      Dedup.connectedComponents(docs.select("doc_id"), "doc_id", pairs)
+        .select(col("id").as("doc_id"), col("cluster_id"))
+        .orderBy("doc_id")
+    },
   )
 
   private val enList = TextStats.stopwords("en").map(w => s"'$w'").mkString("[", ",", "]")
@@ -250,5 +262,35 @@ object Ext {
         |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
         |  CAST(ceil(octet_length(encode(text)) / 64.0) AS INT) AS n_frames
         |FROM documents ORDER BY media_id""".stripMargin,
+
+    // Connected components as a recursive reachability walk: reach(id) =
+    // every vertex reachable over the exact-Jaccard>=0.5 edge set; the
+    // component label is the min reachable id (same as Spark's min-label
+    // propagation fixpoint).
+    "x16_dedup_clusters" ->
+      """WITH RECURSIVE tok AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS ts FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |tri AS (
+        |  SELECT DISTINCT doc_id, lang,
+        |    unnest(list_transform(generate_series(1, len(ts) - 2),
+        |      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS g
+        |  FROM tok),
+        |nt AS (SELECT doc_id, COUNT(*) AS n FROM tri GROUP BY doc_id),
+        |cand AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS common
+        |  FROM tri a JOIN tri b ON a.g = b.g AND a.lang = b.lang AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |p AS (
+        |  SELECT a_id, b_id FROM cand
+        |  JOIN nt na ON a_id = na.doc_id JOIN nt nb ON b_id = nb.doc_id
+        |  WHERE common * 1.0 / (na.n + nb.n - common) >= 0.5),
+        |edges AS (SELECT a_id AS u, b_id AS v FROM p UNION SELECT b_id, a_id FROM p),
+        |walk(id, reach) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT w.id, e.v FROM walk w JOIN edges e ON w.reach = e.u)
+        |SELECT id AS doc_id, MIN(reach) AS cluster_id FROM walk
+        |GROUP BY id ORDER BY doc_id""".stripMargin,
   )
 }

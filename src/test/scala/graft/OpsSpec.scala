@@ -116,6 +116,30 @@ class OpsSpec extends AnyFunSuite {
     assert(blocked.subsetOf(exact))
   }
 
+  test("connected components: planted clusters, chains, and singletons resolve to min-id") {
+    import spark.implicits._
+    val verts = (1L to 10L).toDF("id")
+    // components: {1,2,3,4} as a chain (multi-round convergence),
+    // {5,6}, {8,9,10} as a vee, singleton {7}
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L), (9L, 8L), (9L, 10L))
+      .toDF("a_id", "b_id")
+    val comp = Dedup.connectedComponents(verts, "id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 8L, 9L -> 8L, 10L -> 8L)
+    assert(comp == expected, s"got $comp")
+  }
+
+  test("keepClusterRepresentatives retains one doc per near-dup component") {
+    import spark.implicits._
+    val docRows = Seq((1L, "a"), (2L, "a dup"), (3L, "b"), (4L, "c")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L)).toDF("a_id", "b_id")
+    val comp = Dedup.connectedComponents(docRows.select("doc_id"), "doc_id", pairs)
+    val kept = Dedup.keepClusterRepresentatives(docRows, "doc_id", comp)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L, 4L))
+  }
+
   test("fingerprint is whitespace/case-canonical") {
     import spark.implicits._
     val df = Seq(("a", "Hello  World"), ("b", "hello world"), ("c", "different"))
