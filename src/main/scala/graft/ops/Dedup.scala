@@ -173,8 +173,12 @@ object Dedup {
       .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
       .union(pairs.select(col(bCol).cast("long").as("u"), col(aCol).cast("long").as("v")))
       .persist()
-    var labels = vertices
-      .select(col(idCol).cast("long").as("id"), col(idCol).cast("long").as("cluster_id"))
+    // Iterate ONLY over pair-incident vertices: for near-dup graphs the
+    // pair set is orders of magnitude smaller than the corpus, so the
+    // per-round frames stay edge-sized; corpus-only vertices are appended
+    // as self-labeled singletons once, after convergence.
+    var labels = edges.select(col("u").as("id")).distinct()
+      .select(col("id"), col("id").as("cluster_id"))
       .localCheckpoint(true)
     var changed = 1L
     var iter = 0
@@ -196,7 +200,10 @@ object Dedup {
       iter += 1
     }
     edges.unpersist(false)
-    labels
+    val all = vertices.select(col(idCol).cast("long").as("id"))
+    val singletons = all.join(labels.select("id"), Seq("id"), "leftanti")
+      .select(col("id"), col("id").as("cluster_id"))
+    labels.union(singletons)
   }
 
   /** Keep exactly the cluster representatives (id == cluster_id) of `df`,

@@ -368,6 +368,19 @@ object Relational {
             (acc, x) => acc + x), 6).as("total"))
         .orderBy("vec_id")
     },
+
+    // -- Session windows (gap-based sessionization) in batch: the same
+    //    session_window expression the streaming path uses; oracle =
+    //    lag/cumulative-sum sessionization. Session = [min ts, max ts+gap).
+    "q35_session_windows" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(session_window(col("ts"), "6 hours").as("win"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+             Tables.dsum(col("value")).as("sum_value"))
+        .select(col("win.start").as("win_start"), col("win.end").as("win_end"),
+          col("user_id"), col("n_events"), col("sum_value"))
+        .orderBy("user_id", "win_start")
+    },
   )
 
   val oracle: Map[String, String] = Map(
@@ -593,5 +606,21 @@ object Relational {
         |  list_min(embedding) AS mn,
         |  round(list_sum(CAST(embedding AS DOUBLE[])), 6) AS total
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "q35_session_windows" ->
+      """WITH s AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 6 HOUR
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |g AS (
+        |  SELECT user_id, ts, value,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM s)
+        |SELECT MIN(ts) AS win_start, MAX(ts) + INTERVAL 6 HOUR AS win_end, user_id,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+        |FROM g GROUP BY user_id, sess
+        |ORDER BY user_id, win_start""".stripMargin,
   )
 }

@@ -57,26 +57,39 @@ final class HttpTable(schema: StructType, opts: HttpOptions)
 }
 
 /** Projection pushdown: only the planner-required columns are deserialized
-  * from the JSON payload (ref: HttpLookupTableSource.scala:30-34,70). */
+  * from the JSON payload (ref: HttpLookupTableSource.scala:30-34,70).
+  * Filter pushdown: supported predicates pre-filter the snapshot during
+  * iteration (shrinking the broadcast payload); every filter stays
+  * residual so Spark re-applies exact semantics (see [[FilterEval]]). */
 final class HttpScanBuilder(fullSchema: StructType, opts: HttpOptions)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
   private var required: StructType = fullSchema
+  private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
-  override def build(): Scan = new HttpScan(required, opts)
+  override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter]):
+      Array[org.apache.spark.sql.sources.Filter] = {
+    pushed = filters.filter(FilterEval.supported(fullSchema, _))
+    filters // all residual
+  }
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
+  override def build(): Scan = new HttpScan(required, opts, pushed)
 }
 
-final class HttpScan(schema: StructType, opts: HttpOptions)
+final class HttpScan(schema: StructType, opts: HttpOptions,
+                     pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
     extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
   override def description(): String =
-    s"http-full-cache url=${opts.url} xpath='${opts.xpath}' refresh=${opts.refreshInterval}"
+    s"http-full-cache url=${opts.url} xpath='${opts.xpath}' " +
+      s"refresh=${opts.refreshInterval} PushedFilters: [${pushed.mkString(", ")}]"
 
   // Single input partition: the payload is one bounded snapshot, fetched
   // whole (ref: HttpInputFormatProvider.scala:80-81). Parallelism comes
   // from the probe side of the enrichment join, never from this scan.
   override def planInputPartitions(): Array[InputPartition] =
-    Array(HttpInputPartition(opts, schema))
+    Array(HttpInputPartition(opts, schema, pushed))
   override def createReaderFactory(): PartitionReaderFactory = HttpReaderFactory
 
   /** Native streaming read: each micro-batch re-emits the current snapshot,
@@ -102,7 +115,8 @@ final class HttpScan(schema: StructType, opts: HttpOptions)
   }
 }
 
-final case class HttpInputPartition(opts: HttpOptions, schema: StructType)
+final case class HttpInputPartition(opts: HttpOptions, schema: StructType,
+    pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
     extends InputPartition
 
 /** Monotonic batch-counter offset: the stream is a clock, not a log — the
@@ -134,16 +148,23 @@ final class HttpMicroBatchStream(opts: HttpOptions, schema: StructType)
 object HttpReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[HttpInputPartition]
-    new HttpPartitionReader(p.opts, p.schema)
+    new HttpPartitionReader(p.opts, p.schema, p.pushed)
   }
 }
 
 /** Iterates the cached snapshot; the fetch (with retry) happens in
   * [[SnapshotCache.get]] iff the TTL has elapsed. Runs on the driver when
-  * the relation is collected for broadcast, else on an executor. */
-final class HttpPartitionReader(opts: HttpOptions, schema: StructType)
+  * the relation is collected for broadcast, else on an executor. Pushed
+  * filters prune rows at iteration time (never cached per-filter — the
+  * snapshot memo stays per (payload, schema)). */
+final class HttpPartitionReader(opts: HttpOptions, schema: StructType,
+    pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
     extends PartitionReader[InternalRow] {
-  private val rows = SnapshotCache.get(opts, schema)
+  private val rows = {
+    val all = SnapshotCache.get(opts, schema)
+    if (pushed.isEmpty) all
+    else all.filter(r => pushed.forall(FilterEval.eval(_, r, schema)))
+  }
   private var i = -1
   override def next(): Boolean = { i += 1; i < rows.length }
   override def get(): InternalRow = rows(i)

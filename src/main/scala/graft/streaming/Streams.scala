@@ -40,6 +40,19 @@ object Streams {
         col("event_type"), col("n"), col("sum_value"))
   }
 
+  /** Event-time session windows with watermark: gap-based sessionization
+    * via `session_window` — windows merge while events arrive within `gap`
+    * of the session, close when the watermark passes session end. The
+    * batch shape of the same expression is oracle-checked as q35. */
+  def sessionCounts(events: DataFrame, tsCol: String, watermark: String,
+                    gap: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap).as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("win.start").as("win_start"), col("win.end").as("win_end"),
+        col("event_type"), col("n"), col("sum_value"))
+
   /** Keyed running state via mapGroupsWithState: running count + sum per
     * user — the custom-state escape hatch (KeyValueGroupedDataset). */
   def runningUserStats(events: Dataset[UserEvent]): Dataset[UserStat] = {

@@ -167,6 +167,35 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("session windows merge gap-adjacent events and close on watermark") {
+    import spark.implicits._
+    val input = new MemoryStream[(Timestamp, String, Double)](4, spark)
+    val df = input.toDF.toDF("ts", "event_type", "value")
+    val q = Streams.sessionCounts(df, "ts", watermark = "10 seconds", gap = "30 seconds")
+      .writeStream.format("memory").queryName("sess").outputMode("append").start()
+    try {
+      def t(s: String) = Timestamp.valueOf(s)
+      input.addData(
+        (t("2024-01-01 00:00:10"), "click", 1.0),
+        (t("2024-01-01 00:00:20"), "click", 2.0), // within 30s gap → same session
+        (t("2024-01-01 00:02:00"), "click", 5.0)) // past gap → new session
+      q.processAllAvailable()
+      // two more batches: watermark computed at batch end applies next batch
+      input.addData((t("2024-01-01 00:10:00"), "flush", 0.0))
+      q.processAllAvailable()
+      input.addData((t("2024-01-01 00:10:01"), "flush", 0.0))
+      q.processAllAvailable()
+      val sessions = spark.table("sess").filter(col("event_type") === "click")
+        .orderBy("win_start").collect()
+        .map(r => (r.getAs[Timestamp]("win_start"), r.getAs[Timestamp]("win_end"),
+          r.getAs[Long]("n"), r.getAs[Double]("sum_value")))
+      assert(sessions.toSeq == Seq(
+        (t("2024-01-01 00:00:10"), t("2024-01-01 00:00:50"), 2L, 3.0),
+        (t("2024-01-01 00:02:00"), t("2024-01-01 00:02:30"), 1L, 5.0)),
+        s"got ${sessions.toSeq}")
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState accumulates per-key running stats across batches") {
     import spark.implicits._
     val input = new MemoryStream[UserEvent](3, spark)

@@ -68,6 +68,34 @@ class HttpSourceSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(got(1).isNullAt(1))
   }
 
+  // Beyond reference parity: supported predicates reach the scan (visible
+  // as PushedFilters in the plan) and pre-prune the snapshot; Spark still
+  // re-applies every filter, so results are exact regardless.
+  test("filter pushdown prunes the snapshot and shows in the plan") {
+    val df = users().filter(col("id") > 5 && col("name").isNotNull)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThan(id,5)"),
+      s"expected pushed filter in scan description:\n$plan")
+    val ids = df.select("id").collect().map(_.getInt(0)).sorted
+    assert(ids.toSeq == (6 to 10).toSeq)
+    assert(server.requestCount == 1)
+  }
+
+  test("pushed-filter results are exact for every predicate shape") {
+    import spark.implicits._
+    val u = users()
+    val checks: Seq[(DataFrame, Set[Int])] = Seq(
+      u.filter($"id" === 3)                               -> Set(3),
+      u.filter($"id".isin(2, 4, 6))                       -> Set(2, 4, 6),
+      u.filter($"name" < "Mock Name4")                    -> Set(1, 2, 3, 10),
+      u.filter(!($"id" <= 7))                             -> Set(8, 9, 10),
+      u.filter($"id" > 2 || $"username" === "Mock User1") -> (Set(1) ++ (3 to 10)))
+    checks.foreach { case (df, want) =>
+      assert(df.select("id").collect().map(_.getInt(0)).toSet == want,
+        df.queryExecution.executedPlan.toString)
+    }
+  }
+
   // Scenario (c): 500, 500, then 200 — recovers, exactly 3 calls (ref: :303-426).
   test("retry recovers from transient 500s") {
     server.failFirst = 2
