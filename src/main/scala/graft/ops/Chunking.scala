@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document chunking and deterministic sampling for training-data
+  * pipelines (SURVEY.md §2.B [EXT]).
+  *
+  * Scale shape: both are pure per-row Column programs — chunking explodes
+  * into chunk rows with no shuffle (output partitioning inherits the
+  * input's), sampling is a shuffle-free filter whose key is a cross-engine
+  * reproducible hash (md5 of the decimal id string), so the same rows are
+  * kept on any engine, any partitioning, any run.
+  */
+object Chunking {
+
+  /** Split each document into token-window chunks of `chunkTokens` tokens
+    * overlapping by `overlap` (stride = chunkTokens - overlap); the final
+    * chunk may be short, and every non-empty document yields at least one
+    * chunk. Output: one row per (doc, chunk_idx) with the chunk text and
+    * its token count. */
+  def chunk(docs: DataFrame, idCol: String, textCol: String,
+            chunkTokens: Int = 50, overlap: Int = 10): DataFrame = {
+    require(overlap >= 0 && overlap < chunkTokens,
+      s"need 0 <= overlap=$overlap < chunkTokens=$chunkTokens")
+    val stride = chunkTokens - overlap
+    val nChunks = greatest(
+      ceil((col("n_toks") - lit(overlap)).cast("double") / stride).cast("int"),
+      lit(1))
+    docs
+      .withColumn("toks", TextStats.tokens(col(textCol)))
+      .withColumn("n_toks", size(col("toks")))
+      .filter(col("n_toks") > 0)
+      .withColumn("chunk_idx", explode(sequence(lit(0), nChunks - 1)))
+      .withColumn("chunk_toks",
+        slice(col("toks"), col("chunk_idx") * stride + 1, lit(chunkTokens)))
+      .select(col(idCol), col("chunk_idx"),
+        concat_ws(" ", col("chunk_toks")).as("chunk"),
+        size(col("chunk_toks")).as("n_chunk_tokens"))
+  }
+
+  /** Deterministic ~`keepHexDigits`/16 sample predicate: keep a row iff
+    * the first hex digit of md5(id-as-decimal-string) is below the cutoff.
+    * Engine- and partitioning-independent (md5 of a decimal string is
+    * identical everywhere), so the sample is reproducible end-to-end. */
+  def hashSample(id: Column, keepHexDigits: Int = 3): Column = {
+    require(keepHexDigits >= 1 && keepHexDigits <= 16)
+    val keep = "0123456789abcdef".take(keepHexDigits).map(_.toString)
+    substring(md5(id.cast("string")), 1, 1).isin(keep: _*)
+  }
+
+  /** Exactly-k-per-stratum deterministic sample: rank rows inside each
+    * stratum by (md5(id), id) and keep the first k. One shuffle on the
+    * stratum key; the hash order is engine-reproducible. */
+  def stratifiedFixedSample(df: DataFrame, strataCol: String, idCol: String,
+                            k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .drop("rk")
+  }
+}

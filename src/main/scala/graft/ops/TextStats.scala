@@ -70,6 +70,15 @@ object TextStats {
       .otherwise(lit("de"))
   }
 
+  /** PII-style scrubbing: emails and long digit runs replaced by
+    * placeholder tokens. Pure regexp_replace (codegen'd, linear); the
+    * patterns use only syntax that behaves identically in Java regex and
+    * the oracle's engine. */
+  def redactPii(text: Column): Column = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    regexp_replace(regexp_replace(text, email, "<EMAIL>"), "[0-9]{6,}", "<NUM>")
+  }
+
   /** All-facet document profile. */
   def profile(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val withQuality = qualityColumns(col(textCol)).foldLeft(docs) {

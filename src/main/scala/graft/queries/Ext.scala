@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.{Dedup, Multimodal, Similarity, TextStats}
+import graft.ops.{Chunking, Dedup, Multimodal, Similarity, TextStats}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -144,6 +144,35 @@ object Ext {
         .select("a_id", "b_id")
       Dedup.connectedComponents(docs.select("doc_id"), "doc_id", pairs)
         .select(col("id").as("doc_id"), col("cluster_id"))
+        .orderBy("doc_id")
+    },
+
+    // Token-window chunking with overlap (50-token chunks, 10 overlap).
+    "x17_chunking" -> { (s, dir) =>
+      Chunking.chunk(Tables.documents(s, dir), "doc_id", "text",
+          chunkTokens = 50, overlap = 10)
+        .orderBy("doc_id", "chunk_idx")
+    },
+
+    // Deterministic 3/16 hash sample (engine-reproducible md5 predicate).
+    "x18_hash_sample" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .filter(Chunking.hashSample(col("doc_id"), keepHexDigits = 3))
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    },
+
+    // Exactly-10-per-language stratified sample, hash-ranked.
+    "x19_stratified_sample" -> { (s, dir) =>
+      Chunking.stratifiedFixedSample(Tables.documents(s, dir), "lang", "doc_id", k = 10)
+        .select("doc_id", "lang")
+        .orderBy("lang", "doc_id")
+    },
+
+    // PII-style scrub: emails + long digit runs → placeholders.
+    "x20_pii_redaction" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextStats.redactPii(col("text")).as("red"))
         .orderBy("doc_id")
     },
   )
@@ -292,5 +321,39 @@ object Ext {
         |  SELECT w.id, e.v FROM walk w JOIN edges e ON w.reach = e.u)
         |SELECT id AS doc_id, MIN(reach) AS cluster_id FROM walk
         |GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    "x17_chunking" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |n AS (SELECT doc_id, toks, len(toks) AS nt FROM t WHERE len(toks) > 0),
+        |c AS (
+        |  SELECT doc_id, toks,
+        |    unnest(generate_series(0, GREATEST(CAST(ceil((nt - 10) / 40.0) AS INT), 1) - 1)) AS ci
+        |  FROM n)
+        |SELECT doc_id, CAST(ci AS INT) AS chunk_idx,
+        |  array_to_string(toks[ci*40+1 : ci*40+50], ' ') AS chunk,
+        |  CAST(len(toks[ci*40+1 : ci*40+50]) AS INT) AS n_chunk_tokens
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "x18_hash_sample" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1', '2')
+        |ORDER BY doc_id""".stripMargin,
+
+    "x19_stratified_sample" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang,
+        |    ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 10 ORDER BY lang, doc_id""".stripMargin,
+
+    "x20_pii_redaction" ->
+      """SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '[0-9]{6,}', '<NUM>', 'g') AS red
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

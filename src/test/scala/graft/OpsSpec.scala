@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Dedup, Multimodal, Similarity, TextStats}
+import graft.ops.{Chunking, Dedup, Multimodal, Similarity, TextStats}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -159,6 +159,55 @@ class OpsSpec extends AnyFunSuite {
     val got = df.withColumn("g", TextStats.langGuess(col("text"))).collect()
     got.foreach(r => assert(r.getAs[String]("g") == r.getAs[String]("expected"),
       s"text='${r.getString(0)}'"))
+  }
+
+  test("chunking: strides cover every token, overlap repeats the tail, short docs chunk whole") {
+    import spark.implicits._
+    val doc = (1 to 100).map(i => s"t$i").mkString(" ")
+    val df = Seq((1L, doc), (2L, "a b c"), (3L, "")).toDF("doc_id", "text")
+    val chunks = Chunking.chunk(df, "doc_id", "text", chunkTokens = 50, overlap = 10)
+      .orderBy("doc_id", "chunk_idx").collect()
+    val d1 = chunks.filter(_.getLong(0) == 1L).map(r => r.getString(2).split(" "))
+    // starts at 1, 41, 81 → 3 chunks; chunk 0 full, chunk 2 short (20 toks)
+    assert(d1.length == 3 && d1(0).length == 50 && d1(1).length == 50 && d1(2).length == 20)
+    assert(d1(0).head == "t1" && d1(1).head == "t41" && d1(2).head == "t81")
+    // overlap: last 10 of chunk 0 == first 10 of chunk 1
+    assert(d1(0).takeRight(10).toSeq == d1(1).take(10).toSeq)
+    // full coverage: union of chunk tokens is the whole doc
+    assert(d1.flatten.toSet == (1 to 100).map(i => s"t$i").toSet)
+    // short doc → one whole chunk; empty doc → no rows
+    assert(chunks.filter(_.getLong(0) == 2L).map(_.getString(2)).toSeq == Seq("a b c"))
+    assert(!chunks.exists(_.getLong(0) == 3L))
+  }
+
+  test("hash sampling is deterministic and stratified sampling is exactly-k") {
+    import spark.implicits._
+    val s1 = docs.filter(Chunking.hashSample(col("doc_id"))).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val s2 = docs.filter(Chunking.hashSample(col("doc_id"))).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(s1 == s2 && s1.nonEmpty && s1.size < docs.count())
+    val strat = Chunking.stratifiedFixedSample(docs, "lang", "doc_id", 10)
+    val perLang = strat.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val langSizes = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    langSizes.foreach { case (lang, n) =>
+      assert(perLang(lang) == math.min(10L, n), s"$lang: ${perLang(lang)}")
+    }
+  }
+
+  test("PII redaction scrubs emails and digit runs, leaves clean text alone") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "contact me at jane.doe+x@mail.example.org today"),
+      (2L, "card 12345678 maybe, pin 12345 stays"),
+      (3L, "plain text, no pii")).toDF("doc_id", "text")
+    val red = df.select(col("doc_id"), TextStats.redactPii(col("text")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(red(1L) == "contact me at <EMAIL> today")
+    assert(red(2L) == "card <NUM> maybe, pin 12345 stays")
+    assert(red(3L) == "plain text, no pii")
   }
 
   test("multimodal decode stub preserves bytes and frames deterministically") {
