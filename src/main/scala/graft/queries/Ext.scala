@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.{Chunking, Dedup, Multimodal, Similarity, TextStats}
+import graft.ops.{AsofJoin, Chunking, Dedup, Multimodal, Similarity, TextStats}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -174,6 +174,21 @@ object Ext {
       Tables.documents(s, dir)
         .select(col("doc_id"), TextStats.redactPii(col("text")).as("red"))
         .orderBy("doc_id")
+    },
+
+    // As-of join: each click attaches the most recent error at-or-before
+    // it for the same user (union-window implementation; DuckDB ASOF JOIN
+    // oracle). Error side pre-deduped per (user, ts) for determinism.
+    "x21_asof_join" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts", "value")
+      val errors = ev.filter(col("event_type") === "error")
+        .groupBy(col("user_id"), col("ts").as("err_ts"))
+        .agg(max(col("value")).as("err_value"))
+      AsofJoin.asofLeft(clicks, errors, "user_id", "ts", "err_ts",
+          rightCols = Seq("err_ts", "err_value"))
+        .orderBy("event_id")
     },
   )
 
@@ -355,5 +370,16 @@ object Ext {
         |    regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |    '[0-9]{6,}', '<NUM>', 'g') AS red
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "x21_asof_join" ->
+      """WITH clicks AS (
+        |  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'),
+        |errors AS (
+        |  SELECT user_id, ts AS err_ts, MAX(value) AS err_value
+        |  FROM events WHERE event_type = 'error' GROUP BY user_id, ts)
+        |SELECT c.event_id, c.user_id, c.ts, c.value, e.err_ts, e.err_value
+        |FROM clicks c ASOF LEFT JOIN errors e
+        |  ON c.user_id = e.user_id AND c.ts >= e.err_ts
+        |ORDER BY c.event_id""".stripMargin,
   )
 }

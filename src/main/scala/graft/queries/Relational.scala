@@ -369,6 +369,17 @@ object Relational {
         .orderBy("vec_id")
     },
 
+    // -- Exact percentiles (linear interpolation — both engines compute
+    //    the same continuous quantile; rounded to dodge low-bit drift).
+    "q36_percentiles" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(
+          expr("transform(percentile(value, array(0.25D, 0.5D, 0.9D)), x -> round(x, 6))").as("pcts"),
+          expr("round(percentile(value, 0.5D), 6)").as("median"))
+        .orderBy("event_type")
+    },
+
     // -- Session windows (gap-based sessionization) in batch: the same
     //    session_window expression the streaming path uses; oracle =
     //    lag/cumulative-sum sessionization. Session = [min ts, max ts+gap).
@@ -606,6 +617,12 @@ object Relational {
         |  list_min(embedding) AS mn,
         |  round(list_sum(CAST(embedding AS DOUBLE[])), 6) AS total
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "q36_percentiles" ->
+      """SELECT event_type,
+        |  list_transform(quantile_cont(value, [0.25, 0.5, 0.9]), x -> round(x, 6)) AS pcts,
+        |  round(quantile_cont(value, 0.5), 6) AS median
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q35_session_windows" ->
       """WITH s AS (

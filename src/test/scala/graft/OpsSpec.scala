@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Chunking, Dedup, Multimodal, Similarity, TextStats}
+import graft.ops.{AsofJoin, Chunking, Dedup, Multimodal, Similarity, TextStats}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -114,6 +114,31 @@ class OpsSpec extends AnyFunSuite {
     val blocked = Similarity.cosineNearDupPairs(emb, "embedding", "vec_id", 0.45)
       .select("a_id", "b_id").as[(Long, Long)].collect().toSet
     assert(blocked.subsetOf(exact))
+  }
+
+  test("as-of join picks the latest right version at-or-before each left row") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, "k1", 10L, "e10"), // before any version → nulls
+      (2L, "k1", 20L, "e20"), // exactly at v20 → v20 (<= semantics)
+      (3L, "k1", 35L, "e35"), // between v30 and v40 → v30
+      (4L, "k1", 99L, "e99"), // after all → v40
+      (5L, "k2", 50L, "e50")  // key with no versions at all → nulls
+    ).toDF("event_id", "k", "ts", "tag")
+    val right = Seq(
+      ("k1", 20L, "v20"), ("k1", 30L, "v30"), ("k1", 40L, "v40")
+    ).toDF("k", "vts", "version")
+    val got = AsofJoin.asofLeft(left, right, "k", "ts", "vts",
+        rightCols = Seq("vts", "version"))
+      .orderBy("event_id").collect()
+      .map(r => (r.getLong(0), Option(r.get(4)).map(_.toString).orNull,
+        r.getString(5)))
+    assert(got.toSeq == Seq(
+      (1L, null, null),
+      (2L, "20", "v20"),
+      (3L, "30", "v30"),
+      (4L, "40", "v40"),
+      (5L, null, null)), s"got ${got.toSeq}")
   }
 
   test("connected components: planted clusters, chains, and singletons resolve to min-id") {
