@@ -176,6 +176,27 @@ object Ext {
         .orderBy("doc_id")
     },
 
+    // TF-IDF top terms per source: distinct-terms-per-doc explode, global
+    // document frequency, per-source term frequency, ln-IDF score, top-5
+    // per source with rounded-score + term tiebreak (both engines rank on
+    // the same rounded value so ties break identically).
+    "x22_tfidf_terms" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val terms = docs.select(col("doc_id"), col("source"),
+        explode(array_distinct(TextStats.tokens(lower(col("text"))))).as("term"))
+      val dfq = terms.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+      val tfq = terms.groupBy("source", "term").agg(count(lit(1)).as("tf"))
+      val tot = docs.agg(count(lit(1)).as("n_docs"))
+      val scored = tfq.join(dfq, "term").crossJoin(broadcast(tot))
+        .withColumn("tfidf",
+          round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(col("tfidf").desc, col("term").asc)
+      scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+        .select("source", "rk", "term", "tf", "df", "tfidf")
+        .orderBy("source", "rk")
+    },
+
     // As-of join: each click attaches the most recent error at-or-before
     // it for the same user (union-window implementation; DuckDB ASOF JOIN
     // oracle). Error side pre-deduped per (user, ts) for determinism.
@@ -370,6 +391,25 @@ object Ext {
         |    regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |    '[0-9]{6,}', '<NUM>', 'g') AS red
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "x22_tfidf_terms" ->
+      """WITH terms AS (
+        |  SELECT doc_id, source,
+        |    unnest(list_distinct(list_filter(string_split(lower(text), ' '), t -> t <> ''))) AS term
+        |  FROM documents),
+        |dfq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM terms GROUP BY term),
+        |tfq AS (SELECT source, term, COUNT(*) AS tf FROM terms GROUP BY source, term),
+        |tot AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT source, term, tf, df,
+        |    round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+        |  FROM tfq JOIN dfq USING (term) CROSS JOIN tot),
+        |ranked AS (
+        |  SELECT source, term, tf, df, tfidf,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY tfidf DESC, term ASC) AS rk
+        |  FROM scored)
+        |SELECT source, CAST(rk AS INT) AS rk, term, tf, df, tfidf
+        |FROM ranked WHERE rk <= 5 ORDER BY source, rk""".stripMargin,
 
     "x21_asof_join" ->
       """WITH clicks AS (

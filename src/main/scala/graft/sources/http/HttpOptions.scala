@@ -40,9 +40,19 @@ object HttpOptions {
 
   /** Validation matrix of the reference factory
     * (ref: HttpLookupTableSourceFactory.scala:58-123). */
+  /** Keys Spark's session catalog adds around user options when the table
+    * is created via SQL DDL (CREATE TABLE ... USING http-full-cache):
+    * reserved table properties plus `option.<key>` duplicates of each
+    * OPTIONS entry. They are envelope, not user input — tolerated here so
+    * the same strict validation serves both the DataFrame and SQL paths. */
+  private def catalogEnvelope(k: String): Boolean =
+    k.startsWith("option.") ||
+      Set("path", "paths", "provider", "owner", "location", "comment",
+        "external").contains(k)
+
   def parse(options: java.util.Map[String, String]): HttpOptions = {
     val m = options.asScala.map { case (k, v) => k.toLowerCase -> v }.toMap
-    val unknown = m.keySet -- knownKeys -- Set("path", "paths") // Spark adds these
+    val unknown = (m.keySet -- knownKeys).filterNot(catalogEnvelope)
     if (unknown.nonEmpty)
       fail(s"Unsupported options found for 'http-full-cache': ${unknown.toSeq.sorted.mkString(", ")}")
 

@@ -96,6 +96,35 @@ class HttpSourceSpec extends AnyFunSuite with BeforeAndAfterEach {
     }
   }
 
+  // The reference's primary UX is SQL DDL (CREATE TABLE ... WITH
+  // ('connector' = 'http-lookup-full-cache'), ref: HttpLookupConnectorTest
+  // .scala:40-54); the Spark-native equivalent is CREATE TABLE ... USING.
+  test("SQL DDL creates the table; SQL lookup join and option errors work through SQL") {
+    spark.sql("DROP TABLE IF EXISTS users_sql")
+    spark.sql(
+      s"""CREATE TABLE users_sql (id INT, name STRING, username STRING, email STRING)
+         |USING `http-full-cache`
+         |OPTIONS (url '${server.url}', `cache.refresh-interval` 'PT1H')""".stripMargin)
+    try {
+      val joined = spark.sql(
+        """SELECT p.id, u.name FROM VALUES (1), (2), (99) AS p(id)
+          |LEFT JOIN users_sql u ON p.id = u.id ORDER BY p.id""".stripMargin).collect()
+      assert(joined.length == 3)
+      assert(joined(0).getString(1) == "Mock Name1" && joined(2).isNullAt(1))
+      assert(server.requestCount == 1)
+      // option validation fires at CREATE TABLE (table-resolution) time,
+      // like the reference factory's validation
+      spark.sql("DROP TABLE IF EXISTS users_bad")
+      val e = intercept[Exception](spark.sql(
+        s"""CREATE TABLE users_bad (id INT) USING `http-full-cache`
+           |OPTIONS (url '${server.url}', `max.retries` '-1')""".stripMargin))
+      assert(e.getMessage.contains("Invalid value for max.retries"), e.getMessage)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS users_sql")
+      spark.sql("DROP TABLE IF EXISTS users_bad")
+    }
+  }
+
   // Scenario (c): 500, 500, then 200 — recovers, exactly 3 calls (ref: :303-426).
   test("retry recovers from transient 500s") {
     server.failFirst = 2
