@@ -54,6 +54,25 @@ class ScaleSpec extends AnyFunSuite {
       s"corpus-sized shuffle in IVF plan:\n$plan")
   }
 
+  test("as-of join plan has no join operator: union + keyed window only") {
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts", "value")
+    val errors = ev.filter(col("event_type") === "error")
+      .groupBy(col("user_id"), col("ts").as("err_ts"))
+      .agg(max(col("value")).as("err_value"))
+    val plan = graft.ops.AsofJoin.asofLeft(clicks, errors, "user_id", "ts",
+        "err_ts", Seq("err_ts", "err_value"))
+      .queryExecution.executedPlan.toString
+    // the 100 TB shape: no pairwise join of any kind, no range explosion —
+    // one hash shuffle on the key feeding a linear window pass
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"range-join explosion in as-of plan:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      s"unexpected join operator in as-of plan:\n$plan")
+    assert(plan.contains("Window"), plan)
+  }
+
   test("salted aggregation equals direct aggregation exactly") {
     val li = Tables.lineitem(spark, dir)
     val direct = li.groupBy("l_suppkey")
