@@ -369,6 +369,30 @@ object Relational {
         .orderBy("vec_id")
     },
 
+    // -- Pivot (explicit value list → deterministic column set) and its
+    //    CASE-aggregation oracle; count per user bucket × event type.
+    "q37_pivot" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("user_bucket", (col("user_id") % 10).cast("long"))
+        .groupBy("user_bucket")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0) // absent (bucket, type) pairs: 0 like the FILTER oracle
+        .orderBy("user_bucket")
+    },
+
+    // -- Unpivot (wide → long): per-priority order stats melted into
+    //    (metric, val) rows; oracle = UNION ALL of the measures.
+    "q38_unpivot" -> { (s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).cast("double").as("n_orders"),
+             Tables.dsum(col("o_totalprice")).as("total_price"))
+        .unpivot(Array(col("o_orderpriority")),
+          Array(col("n_orders"), col("total_price")), "metric", "val")
+        .orderBy("o_orderpriority", "metric")
+    },
+
     // -- Exact percentiles (linear interpolation — both engines compute
     //    the same continuous quantile; rounded to dodge low-bit drift).
     "q36_percentiles" -> { (s, dir) =>
@@ -617,6 +641,26 @@ object Relational {
         |  list_min(embedding) AS mn,
         |  round(list_sum(CAST(embedding AS DOUBLE[])), 6) AS total
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "q37_pivot" ->
+      """SELECT user_id % 10 AS user_bucket,
+        |  COUNT(*) FILTER (event_type = 'click') AS click,
+        |  COUNT(*) FILTER (event_type = 'error') AS error,
+        |  COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+        |  COUNT(*) FILTER (event_type = 'signup') AS signup,
+        |  COUNT(*) FILTER (event_type = 'view') AS view
+        |FROM events GROUP BY 1 ORDER BY user_bucket""".stripMargin,
+
+    "q38_unpivot" ->
+      """WITH agg AS (
+        |  SELECT o_orderpriority,
+        |    CAST(COUNT(*) AS DOUBLE) AS n_orders,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total_price
+        |  FROM orders GROUP BY o_orderpriority)
+        |SELECT o_orderpriority, 'n_orders' AS metric, n_orders AS val FROM agg
+        |UNION ALL
+        |SELECT o_orderpriority, 'total_price' AS metric, total_price AS val FROM agg
+        |ORDER BY o_orderpriority, metric""".stripMargin,
 
     "q36_percentiles" ->
       """SELECT event_type,

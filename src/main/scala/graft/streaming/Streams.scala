@@ -53,6 +53,16 @@ object Streams {
       .select(col("win.start").as("win_start"), col("win.end").as("win_end"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Streaming exact dedup bounded by the watermark: each key is emitted
+    * once; dedup state for keys older than the horizon is evicted, so
+    * state stays bounded on an unbounded stream — the streaming shape of
+    * [[graft.ops.Dedup.exact]] for continuous ingestion (dedup on the
+    * document fingerprint upstream of a training pipeline). */
+  def dedupWithinWatermark(docs: DataFrame, keyCol: String, tsCol: String,
+                           watermark: String): DataFrame =
+    docs.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCol)
+
   /** Keyed running state via mapGroupsWithState: running count + sum per
     * user — the custom-state escape hatch (KeyValueGroupedDataset). */
   def runningUserStats(events: Dataset[UserEvent]): Dataset[UserStat] = {

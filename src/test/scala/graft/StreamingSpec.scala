@@ -196,6 +196,26 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming dedup within watermark emits each fingerprint once") {
+    import spark.implicits._
+    val input = new MemoryStream[(Timestamp, String)](6, spark)
+    val df = input.toDF.toDF("ts", "fp")
+    val q = Streams.dedupWithinWatermark(df, "fp", "ts", "10 minutes")
+      .writeStream.format("memory").queryName("sdedup").outputMode("append").start()
+    try {
+      def t(s: String) = Timestamp.valueOf(s)
+      input.addData((t("2024-01-01 00:00:00"), "a"),
+                    (t("2024-01-01 00:00:01"), "b"),
+                    (t("2024-01-01 00:00:02"), "a")) // in-batch dup
+      q.processAllAvailable()
+      input.addData((t("2024-01-01 00:01:00"), "a"), // cross-batch dup, within horizon
+                    (t("2024-01-01 00:01:01"), "c"))
+      q.processAllAvailable()
+      val fps = spark.table("sdedup").select("fp").collect().map(_.getString(0))
+      assert(fps.sorted.toSeq == Seq("a", "b", "c"), s"got ${fps.toSeq}")
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState accumulates per-key running stats across batches") {
     import spark.implicits._
     val input = new MemoryStream[UserEvent](3, spark)
