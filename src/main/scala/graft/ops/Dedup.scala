@@ -218,19 +218,22 @@ object Dedup {
   /** 63-bit SimHash fingerprint, packed big-endian (bit 62 first; 63 bits
     * so the packing never touches the sign bit — Spark 4 runs ANSI mode
     * and would throw on the final-shift overflow of a full 64-bit pack).
-    * Bit b's vote per token is the parity of a bit-indexed hash
-    * xxhash64(t, b) — an equivalent simhash family that avoids non-literal
-    * bit shifts (Spark's shift functions take constant shift amounts
-    * only). Per-row, codegen'd, shuffle-free. */
+    * Standard simhash: bit b's vote per token is bit b of ONE token hash —
+    * one xxhash64 per token, bits extracted with literal shifts (Spark's
+    * shift functions take constant shift amounts only, so the bit array is
+    * unrolled over the already-hashed lambda variable rather than looped
+    * over a bit-index column). Per-row, codegen'd, shuffle-free. */
   def simhash63(tokensCol: Column): Column = {
-    // One fold over the tokens (each string-hashed once) accumulating the
+    // One fold over the tokens (each string-hashed ONCE) accumulating the
     // 63 per-bit ±1 votes as an array; then pack votes into the long.
-    // Loop-order-inverted for the same reason as minhashSignature.
+    // Big-endian: vote index 0 holds bit 62.
     val votes = aggregate(
       transform(tokensCol, t => xxhash64(t)),
       array_repeat(lit(0L), 63),
-      (acc, h) => zip_with(acc, sequence(lit(62), lit(0), lit(-1)),
-        (v, b) => v + when(pmod(xxhash64(h, b), lit(2L)) === 1L, lit(1L)).otherwise(lit(-1L))))
+      (acc, h) => zip_with(acc,
+        array((62 to 0 by -1).map(b =>
+          shiftrightunsigned(h, b).bitwiseAND(lit(1L))): _*),
+        (v, bit) => v + when(bit === 1L, lit(1L)).otherwise(lit(-1L))))
     aggregate(votes, lit(0L), (acc, v) =>
       acc * 2 + when(v > 0, lit(1L)).otherwise(lit(0L)))
   }
