@@ -126,6 +126,41 @@ object Dedup {
       .select("a_id", "b_id", "est_jac")
   }
 
+  /** Word n-gram array per row (distinct, order of first occurrence).
+    * Caller must have filtered rows with fewer than n tokens (sequence
+    * bounds must ascend). */
+  private def gramArray(textCol: Column, n: Int): Column = {
+    val toks = split(textCol, " ")
+    array_distinct(transform(
+      sequence(lit(1), size(toks) - (n - 1)),
+      i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*)))
+  }
+
+  /** One MinHash sketch per group estimating the group's n-gram-set UNION
+    * (per-row signatures merged map-side by the [[graft.functions.MinHashUnion]]
+    * Aggregator — shuffles nHashes longs per group, never the gram sets). */
+  def groupMinhashSketch(docs: DataFrame, groupCol: String, textCol: String,
+                         n: Int = 3, nHashes: Int = 64): DataFrame =
+    docs
+      .filter(size(split(col(textCol), " ")) >= n)
+      .withColumn("sig", minhashSignature(gramArray(col(textCol), n), nHashes))
+      .groupBy(col(groupCol))
+      .agg(graft.functions.MinHashUnion(col("sig"), nHashes).as("sketch"))
+
+  /** Pairwise estimated Jaccard between group sketches (tiny frame —
+    * one row per group pair). */
+  def sketchJaccardPairs(sketches: DataFrame, groupCol: String,
+                         nHashes: Int = 64): DataFrame = {
+    val a = sketches.select(col(groupCol).as("a_grp"), col("sketch").as("sk_a"))
+    val b = sketches.select(col(groupCol).as("b_grp"), col("sketch").as("sk_b"))
+    a.crossJoin(b).filter(col("a_grp") < col("b_grp"))
+      .withColumn("est_jac",
+        aggregate(zip_with(col("sk_a"), col("sk_b"),
+          (x, y) => when(x === y, 1).otherwise(0)), lit(0),
+          (acc, v) => acc + v).cast("double") / nHashes)
+      .select("a_grp", "b_grp", "est_jac")
+  }
+
   /** SimHash near-dup pairs: 8×8-bit chunk blocking (a pair within Hamming
     * distance ≤7 must share at least one of 8 chunks — pigeonhole), then
     * exact Hamming verification via bit_count(xor). At corpus scale, widen

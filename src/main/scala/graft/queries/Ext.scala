@@ -176,6 +176,37 @@ object Ext {
         .orderBy("doc_id")
     },
 
+    // Exact pairwise source-level trigram Jaccard (the oracle-checked
+    // counterpart of the x24 sketch path).
+    "x23_source_similarity" -> { (s, dir) =>
+      val tri = Dedup.ngrams(
+          Tables.documents(s, dir).select(col("source"), col("text")), "text", 3)
+        .select(col("source"), col("g")).distinct().persist()
+      val sizes = tri.groupBy("source").agg(count(lit(1)).as("n"))
+      val a = tri.select(col("source").as("a_src"), col("g"))
+      val b = tri.select(col("source").as("b_src"), col("g"))
+      val common = a.join(b, "g")
+        .filter(col("a_src") < col("b_src"))
+        .groupBy("a_src", "b_src").agg(count(lit(1)).as("common"))
+      common
+        .join(sizes.withColumnRenamed("n", "na"), common("a_src") === sizes("source")).drop("source")
+        .join(sizes.withColumnRenamed("n", "nb"), common("b_src") === sizes("source")).drop("source")
+        .select(col("a_src"), col("b_src"),
+          round(col("common").cast("double") / (col("na") + col("nb") - col("common")), 6).as("jac"))
+        .orderBy("a_src", "b_src")
+    },
+
+    // Sketch path: one MinHash-union sketch per source (custom Aggregator,
+    // map-side merge), pairwise estimates from sketches only. Rows-only
+    // here; estimate-vs-exact epsilon asserted in OpsSpec.
+    "x24_source_sketch" -> { (s, dir) =>
+      Dedup.sketchJaccardPairs(
+          Dedup.groupMinhashSketch(Tables.documents(s, dir), "source", "text"),
+          "source")
+        .withColumn("est_jac", round(col("est_jac"), 6))
+        .orderBy("a_grp", "b_grp")
+    },
+
     // TF-IDF top terms per source: distinct-terms-per-doc explode, global
     // document frequency, per-source term frequency, ln-IDF score, top-5
     // per source with rounded-score + term tiebreak (both engines rank on
@@ -391,6 +422,25 @@ object Ext {
         |    regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |    '[0-9]{6,}', '<NUM>', 'g') AS red
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "x23_source_similarity" ->
+      """WITH tok AS (
+        |  SELECT source, string_split(text, ' ') AS ts FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |tri AS (
+        |  SELECT DISTINCT source,
+        |    unnest(list_transform(generate_series(1, len(ts) - 2),
+        |      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS g
+        |  FROM tok),
+        |nt AS (SELECT source, COUNT(*) AS n FROM tri GROUP BY source),
+        |pairs AS (
+        |  SELECT a.source AS a_src, b.source AS b_src, COUNT(*) AS common
+        |  FROM tri a JOIN tri b ON a.g = b.g AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT a_src, b_src,
+        |  round(common * 1.0 / (na.n + nb.n - common), 6) AS jac
+        |FROM pairs JOIN nt na ON a_src = na.source JOIN nt nb ON b_src = nb.source
+        |ORDER BY a_src, b_src""".stripMargin,
 
     "x22_tfidf_terms" ->
       """WITH terms AS (

@@ -116,6 +116,25 @@ class OpsSpec extends AnyFunSuite {
     assert(blocked.subsetOf(exact))
   }
 
+  test("group MinHash-union sketch estimates source Jaccard within 0.2 of exact") {
+    import spark.implicits._
+    val sketches = Dedup.groupMinhashSketch(docs, "source", "text")
+    val est = Dedup.sketchJaccardPairs(sketches, "source")
+      .as[(String, String, Double)].collect()
+      .map { case (a, b, e) => (a, b) -> e }.toMap
+    val tri = Dedup.ngrams(docs.select(col("source"), col("text")), "text", 3)
+      .select(col("source"), col("g")).distinct().collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getString(1)).toSet).toMap
+    val sources = tri.keys.toSeq.sorted
+    val errs = for {
+      a <- sources; b <- sources if a < b
+      inter = tri(a).intersect(tri(b)).size.toDouble
+      exact = inter / (tri(a).size + tri(b).size - inter)
+    } yield math.abs(est((a, b)) - exact)
+    assert(errs.nonEmpty && errs.forall(_ <= 0.2),
+      s"sketch errors: ${errs.filter(_ > 0.2).mkString(",")}")
+  }
+
   test("as-of join picks the latest right version at-or-before each left row") {
     import spark.implicits._
     val left = Seq(
