@@ -369,6 +369,20 @@ object Relational {
         .orderBy("vec_id")
     },
 
+    // -- Correlated scalar subquery (Catalyst decorrelates it into a
+    //    join; oracle runs the same SQL): orders at > 2x their customer's
+    //    average price.
+    "q39_correlated_subquery" -> { (s, dir) =>
+      Tables.orders(s, dir).createOrReplaceTempView("graft_orders")
+      s.sql(
+        """SELECT o_orderkey, o_custkey, o_totalprice
+          |FROM graft_orders o
+          |WHERE o_totalprice > (SELECT 2 * AVG(o2.o_totalprice)
+          |                      FROM graft_orders o2
+          |                      WHERE o2.o_custkey = o.o_custkey)
+          |ORDER BY o_orderkey""".stripMargin)
+    },
+
     // -- Pivot (explicit value list → deterministic column set) and its
     //    CASE-aggregation oracle; count per user bucket × event type.
     "q37_pivot" -> { (s, dir) =>
@@ -641,6 +655,14 @@ object Relational {
         |  list_min(embedding) AS mn,
         |  round(list_sum(CAST(embedding AS DOUBLE[])), 6) AS total
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "q39_correlated_subquery" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders o
+        |WHERE o_totalprice > (SELECT 2 * AVG(o2.o_totalprice)
+        |                      FROM orders o2
+        |                      WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q37_pivot" ->
       """SELECT user_id % 10 AS user_bucket,
