@@ -196,6 +196,41 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming parquet file sink with checkpoint persists appended batches") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink")
+    dir.toFile.deleteOnExit()
+    val input = new MemoryStream[Int](7, spark)
+    val q = input.toDF.withColumnRenamed("value", "v")
+      .writeStream.format("parquet")
+      .option("path", s"$dir/out")
+      .option("checkpointLocation", s"$dir/cp")
+      .outputMode("append").start()
+    try {
+      input.addData(1, 2, 3); q.processAllAvailable()
+      input.addData(4, 5); q.processAllAvailable()
+      val got = spark.read.parquet(s"$dir/out").as[Int].collect().sorted
+      assert(got.toSeq == (1 to 5))
+    } finally q.stop()
+  }
+
+  test("foreachBatch sink runs arbitrary batch logic per micro-batch") {
+    import spark.implicits._
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val input = new MemoryStream[Int](8, spark)
+    val q = input.toDF.writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        seen.add(batchId -> df.count()); ()
+      }
+      .start()
+    try {
+      input.addData(1, 2, 3); q.processAllAvailable()
+      input.addData(4); q.processAllAvailable()
+      val batches = seen.toArray(Array.empty[(Long, Long)]).toMap
+      assert(batches.values.sum == 4 && batches.size >= 2, s"got $batches")
+    } finally q.stop()
+  }
+
   test("streaming dedup within watermark emits each fingerprint once") {
     import spark.implicits._
     val input = new MemoryStream[(Timestamp, String)](6, spark)
