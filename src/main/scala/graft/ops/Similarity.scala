@@ -75,15 +75,11 @@ object Similarity {
     * join) with an argmax accumulator: zero shuffle of the corpus, the
     * whole thing codegen-friendly Column ops. At corpus scale, persist the
     * returned assignment (partitioned by `centroid_id`) as the index. */
-  def ivfBuild(emb: DataFrame, vecCol: String, idCol: String,
-               nLists: Int = 16): (DataFrame, DataFrame) = {
-    val v = col(vecCol).cast("array<double>")
-    val centroids = emb
-      .select(col(idCol).as("centroid_id"), v.as("cv"))
-      .orderBy(xxhash64(col("centroid_id")).asc, col("centroid_id").asc)
-      .limit(nLists)
-    // all centroids as ONE broadcast row; argmax fold = nearest by cosine,
-    // ties to the lowest centroid_id (same order the old window gave)
+  /** Nearest-centroid assignment: all centroids collapse into ONE
+    * broadcast row; each corpus row folds over that array with an argmax
+    * accumulator (ties to the lowest centroid_id). Zero corpus shuffle. */
+  private def assignNearest(emb: DataFrame, vecCol: String, idCol: String,
+                            centroids: DataFrame): DataFrame = {
     val centArr = centroids
       .agg(collect_list(struct(col("centroid_id"), col("cv"))).as("cents"))
     val best = aggregate(
@@ -99,11 +95,48 @@ object Similarity {
           .otherwise(acc)
       },
       acc => acc.getField("cid"))
-    val assigned = emb.select(col(idCol), v.as("vec"))
+    emb.select(col(idCol), col(vecCol).cast("array<double>").as("vec"))
       .crossJoin(broadcast(centArr))
       .withColumn("centroid_id", best)
       .select(col(idCol), col("vec"), col("centroid_id"))
-    (centroids, assigned)
+  }
+
+  def ivfBuild(emb: DataFrame, vecCol: String, idCol: String,
+               nLists: Int = 16): (DataFrame, DataFrame) = {
+    val v = col(vecCol).cast("array<double>")
+    val centroids = emb
+      .select(col(idCol).as("centroid_id"), v.as("cv"))
+      .orderBy(xxhash64(col("centroid_id")).asc, col("centroid_id").asc)
+      .limit(nLists)
+    (centroids, assignNearest(emb, vecCol, idCol, centroids))
+  }
+
+  /** IVF build with k-means-trained centroids: Lloyd iterations starting
+    * from the hash sample. Each round assigns shuffle-free (broadcast
+    * argmax fold) and recomputes per-list means with the mergeable
+    * [[graft.functions.VectorSum]] Aggregator — only dim-sized partial
+    * sums shuffle, never vectors. The driver loop carries no data, only
+    * `iters` round trips; per-round frames are localCheckpoint'd flat.
+    * Lists that lose every member drop out (k may shrink — standard
+    * Lloyd behavior). */
+  def ivfBuildKmeans(emb: DataFrame, vecCol: String, idCol: String,
+                     nLists: Int = 16, iters: Int = 2): (DataFrame, DataFrame) = {
+    val v = col(vecCol).cast("array<double>")
+    var cents = emb
+      .select(col(idCol).as("centroid_id"), v.as("cv"))
+      .orderBy(xxhash64(col("centroid_id")).asc, col("centroid_id").asc)
+      .limit(nLists)
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      cents = assignNearest(emb, vecCol, idCol, cents)
+        .groupBy("centroid_id")
+        .agg(graft.functions.VectorSum(col("vec")).as("vsum"),
+             count(lit(1)).as("n"))
+        .select(col("centroid_id"),
+          transform(col("vsum"), x => x / col("n").cast("double")).as("cv"))
+        .localCheckpoint(true)
+    }
+    (cents, assignNearest(emb, vecCol, idCol, cents))
   }
 
   /** Phase 2: probe an IVF index — score the `nProbe` centroids nearest

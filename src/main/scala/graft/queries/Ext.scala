@@ -70,6 +70,15 @@ object Ext {
         queryVec = queryVec(s, dir), k = 20)
     },
 
+    // IVF with k-means-trained centroids (2 Lloyd rounds, mergeable
+    // vector-sum Aggregator); rows-only — recall vs exact in OpsSpec.
+    "x25_ivf_kmeans_topk" -> { (s, dir) =>
+      val (cents, assigned) = Similarity.ivfBuildKmeans(
+        Tables.embeddings(s, dir).filter(col("vec_id") =!= 0),
+        vecCol = "embedding", idCol = "vec_id")
+      Similarity.ivfProbe(cents, assigned, "vec_id", queryVec(s, dir), k = 20)
+    },
+
     // Exact all-pairs cosine (oracle-checked verification path; the
     // LSH-blocked variant is the 100 TB path, recall-tested in OpsSpec).
     "x07_embedding_near_dups" -> { (s, dir) =>

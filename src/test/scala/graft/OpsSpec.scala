@@ -90,6 +90,21 @@ class OpsSpec extends AnyFunSuite {
     assert(probed.toSeq == oneShot.toSeq)
   }
 
+  test("k-means-trained IVF: recall bounded, scores exact on candidates") {
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+    val rest = emb.filter(col("vec_id") =!= 0)
+    val exact = Similarity.topKCosine(rest, "embedding", "vec_id", q, 20)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val (cents, assigned) = Similarity.ivfBuildKmeans(rest, "embedding", "vec_id")
+    val ivf = Similarity.ivfProbe(cents, assigned, "vec_id", q, 20)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(ivf.size == 20)
+    val recall = ivf.keySet.intersect(exact.keySet).size.toDouble / exact.size
+    assert(recall >= 0.2, s"trained-IVF recall $recall")
+    ivf.keySet.intersect(exact.keySet).foreach(id => assert(ivf(id) == exact(id)))
+  }
+
   test("two-phase IVF: index persisted to parquet then probed == one-shot IVF") {
     val q = emb.filter(col("vec_id") === 0)
       .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
