@@ -1,9 +1,10 @@
 package graft.streaming
 
 import graft.enrich.Enrich
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Structured Streaming surface (SURVEY.md §2.B streaming rows):
   * processing-time enrichment against a refreshing HTTP cache, event-time
@@ -77,6 +78,35 @@ object Streams {
           state.update(next)
           next
       }
+  }
+
+  /** The same running stats on the arbitrary-state v2 API
+    * (`transformWithState`, Spark 4): typed state handles with TTL and
+    * timers, RocksDB-backed state store. Requires
+    * `spark.sql.streaming.stateStore.providerClass =
+    * ...state.RocksDBStateStoreProvider` on the session. */
+  def runningUserStatsV2(events: Dataset[UserEvent]): Dataset[UserStat] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new UserStatsProcessor, TimeMode.None(), OutputMode.Update())
+  }
+}
+
+/** StatefulProcessor form of the running per-user stats: one ValueState
+  * per key, no TTL, no timers — the minimal v2-state shape. */
+final class UserStatsProcessor
+    extends StatefulProcessor[Long, UserEvent, UserStat] {
+  @transient private var state: ValueState[UserStat] = _
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    state = getHandle.getValueState[UserStat]("stat",
+      Encoders.product[UserStat], TTLConfig.NONE)
+  override def handleInputRows(key: Long, rows: Iterator[UserEvent],
+                               timerValues: TimerValues): Iterator[UserStat] = {
+    val prev = if (state.exists()) state.get() else UserStat(key, 0L, 0.0)
+    val batch = rows.toSeq
+    val next = UserStat(key, prev.n + batch.size, prev.sum + batch.map(_.value).sum)
+    state.update(next)
+    Iterator.single(next)
   }
 }
 

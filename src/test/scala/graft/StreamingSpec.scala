@@ -251,6 +251,28 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("transformWithState (v2 state API, RocksDB) accumulates per-key stats") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = new MemoryStream[UserEvent](9, spark)
+      val q = Streams.runningUserStatsV2(input.toDS())
+        .writeStream.format("memory").queryName("stats_v2").outputMode("update").start()
+      try {
+        input.addData(UserEvent(1, "a", 1.0), UserEvent(1, "b", 2.0), UserEvent(2, "a", 5.0))
+        q.processAllAvailable()
+        input.addData(UserEvent(1, "c", 4.0))
+        q.processAllAvailable()
+        val last = spark.table("stats_v2").collect()
+          .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2))))
+          .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).maxBy(_._1) }
+        assert(last(1L) == (3L, 7.0))
+        assert(last(2L) == (1L, 5.0))
+      } finally q.stop()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("mapGroupsWithState accumulates per-key running stats across batches") {
     import spark.implicits._
     val input = new MemoryStream[UserEvent](3, spark)
