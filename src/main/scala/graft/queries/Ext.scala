@@ -185,6 +185,26 @@ object Ext {
         .orderBy("doc_id")
     },
 
+    // End-to-end corpus cleaning: quality gate → canonical-fingerprint
+    // dedup (keep lowest id) → deterministic hash sample. The composition
+    // a training-data prep job actually runs, as ONE declarative plan.
+    "x26_clean_corpus" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val quality = TextStats.qualityColumns(col("text")).foldLeft(docs) {
+        case (df, (name, c)) => df.withColumn(name, c)
+      }
+      val gated = quality
+        .filter(col("n_tokens") >= 5 && col("alpha_ratio") >= 0.5)
+        .withColumn("fp", TextStats.fingerprint(col("text")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("fp").orderBy("doc_id")
+      gated
+        .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .filter(Chunking.hashSample(col("doc_id"), keepHexDigits = 8))
+        .select("doc_id", "lang", "source", "n_tokens")
+        .orderBy("doc_id")
+    },
+
     // Exact pairwise source-level trigram Jaccard (the oracle-checked
     // counterpart of the x24 sketch path).
     "x23_source_similarity" -> { (s, dir) =>
@@ -431,6 +451,28 @@ object Ext {
         |    regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |    '[0-9]{6,}', '<NUM>', 'g') AS red
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "x26_clean_corpus" ->
+      """WITH q AS (
+        |  SELECT doc_id, lang, source, text,
+        |    CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS INT) AS n_tokens,
+        |    CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+        |      / NULLIF(length(text), 0) AS alpha_ratio_raw
+        |  FROM documents),
+        |gated AS (
+        |  SELECT doc_id, lang, source, n_tokens,
+        |    md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+        |  FROM q WHERE n_tokens >= 5 AND round(alpha_ratio_raw, 6) >= 0.5),
+        |deduped AS (
+        |  SELECT doc_id, lang, source, n_tokens,
+        |    ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rk
+        |  FROM gated)
+        |SELECT doc_id, lang, source, n_tokens
+        |FROM deduped
+        |WHERE rk = 1
+        |  AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN
+        |      ('0','1','2','3','4','5','6','7')
+        |ORDER BY doc_id""".stripMargin,
 
     "x23_source_similarity" ->
       """WITH tok AS (
