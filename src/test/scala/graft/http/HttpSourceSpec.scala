@@ -68,6 +68,17 @@ class HttpSourceSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(got(1).isNullAt(1))
   }
 
+  // The reported statistics (A17) must make Catalyst auto-broadcast the
+  // enrichment join without an explicit hint — the full-cache pattern's
+  // defining plan shape (probe side never shuffles).
+  test("enrichment join auto-broadcasts the http table from reported statistics") {
+    val probe = spark.range(1000).withColumnRenamed("id", "user_id")
+    val joined = probe.join(users(), col("user_id") === col("id"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected auto-broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   // Beyond reference parity: supported predicates reach the scan (visible
   // as PushedFilters in the plan) and pre-prune the snapshot; Spark still
   // re-applies every filter, so results are exact regardless.
