@@ -10,9 +10,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * h01 is the reference's defining capability: events enriched through
+    * the TTL-cached `http-full-cache` source via broadcast lookup join
+    * (embedded offline endpoint). */
   def entry(spark: SparkSession): DataFrame =
-    queries("q04_nation_revenue")(spark, "/root/testdata/sf0.001")
+    queries("h01_http_enrich_join")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
