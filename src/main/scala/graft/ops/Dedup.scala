@@ -243,7 +243,8 @@ object Dedup {
 
   /** Keep exactly the cluster representatives (id == cluster_id) of `df`,
     * i.e. the min-id document per near-dup component plus all singletons —
-    * the retention step after [[connectedComponents]]. */
+    * the retention step after [[connectedComponents]]. `components` must
+    * be that function's raw output (columns `id`, `cluster_id`). */
   def keepClusterRepresentatives(df: DataFrame, idCol: String,
                                  components: DataFrame): DataFrame =
     df.join(components.filter(col("cluster_id") === col("id"))

@@ -156,6 +156,34 @@ object Ext {
         .orderBy("doc_id")
     },
 
+    // The retention step after clustering: keep the min-id doc per
+    // near-dup component plus every singleton (completes the
+    // pairs → clusters → keep-one chain end-to-end in the harness).
+    "x27_dedup_keep_one" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.ngramJaccardPairs(docs,
+          idCol = "doc_id", textCol = "text", blockCol = "lang", n = 3, threshold = 0.5)
+        .select("a_id", "b_id")
+      val comp = Dedup.connectedComponents(docs.select("doc_id"), "doc_id", pairs)
+      Dedup.keepClusterRepresentatives(docs, "doc_id", comp)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    },
+
+    // Re-aggregatable distinct-count sketches: per-language HLL sketches
+    // merged with hll_union_agg — the two-level sketch workflow (build
+    // once per shard, merge cheaply). Approximate → rows-only; accuracy
+    // vs exact asserted in OpsSpec.
+    "x28_hll_union" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val perLang = docs.groupBy("lang")
+        .agg(hll_sketch_agg(col("source")).as("sk"),
+             countDistinct(col("source")).as("exact_lang"))
+      perLang.agg(
+          hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_total_sources"),
+          sum(col("exact_lang")).as("sum_per_lang_exact"))
+    },
+
     // Token-window chunking with overlap (50-token chunks, 10 overlap).
     "x17_chunking" -> { (s, dir) =>
       Chunking.chunk(Tables.documents(s, dir), "doc_id", "text",
@@ -451,6 +479,35 @@ object Ext {
         |    regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |    '[0-9]{6,}', '<NUM>', 'g') AS red
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "x27_dedup_keep_one" ->
+      """WITH RECURSIVE tok AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS ts FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |tri AS (
+        |  SELECT DISTINCT doc_id, lang,
+        |    unnest(list_transform(generate_series(1, len(ts) - 2),
+        |      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS g
+        |  FROM tok),
+        |nt AS (SELECT doc_id, COUNT(*) AS n FROM tri GROUP BY doc_id),
+        |cand AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS common
+        |  FROM tri a JOIN tri b ON a.g = b.g AND a.lang = b.lang AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |p AS (
+        |  SELECT a_id, b_id FROM cand
+        |  JOIN nt na ON a_id = na.doc_id JOIN nt nb ON b_id = nb.doc_id
+        |  WHERE common * 1.0 / (na.n + nb.n - common) >= 0.5),
+        |edges AS (SELECT a_id AS u, b_id AS v FROM p UNION SELECT b_id, a_id FROM p),
+        |walk(id, reach) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT w.id, e.v FROM walk w JOIN edges e ON w.reach = e.u),
+        |comp AS (SELECT id AS doc_id, MIN(reach) AS cluster_id FROM walk GROUP BY id)
+        |SELECT d.doc_id, d.lang, d.source
+        |FROM documents d JOIN comp c ON d.doc_id = c.doc_id
+        |WHERE c.doc_id = c.cluster_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     "x26_clean_corpus" ->
       """WITH q AS (

@@ -269,6 +269,25 @@ class OpsSpec extends AnyFunSuite {
     assert(red(3L) == "plain text, no pii")
   }
 
+  test("HLL sketch union estimates total distinct within 5% of exact") {
+    val exact = docs.select(countDistinct(col("source"))).head().getLong(0)
+    val est = docs.groupBy("lang").agg(hll_sketch_agg(col("source")).as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("e"))
+      .head().getLong(0)
+    assert(math.abs(est - exact) <= math.max(1L, (exact * 0.05).toLong),
+      s"est=$est exact=$exact")
+  }
+
+  test("decodeAll propagates null payloads as null decode columns") {
+    import spark.implicits._
+    val media = Seq(
+      (1L, "image", Option(Array[Byte](1, 2, 3))),
+      (2L, "audio", Option.empty[Array[Byte]])).toDF("media_id", "modality", "payload")
+    val out = Multimodal.decodeAll(media).orderBy("media_id").collect()
+    assert(out(0).getInt(2) == 3)
+    assert(out(1).isNullAt(2) && out(1).isNullAt(3) && out(1).isNullAt(4))
+  }
+
   test("multimodal decode stub preserves bytes and frames deterministically") {
     val media = Multimodal.fromDocuments(docs.limit(50))
     val decoded = Multimodal.decodeAll(media)
