@@ -3,8 +3,9 @@ package graft.streaming
 import graft.enrich.Enrich
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
-  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
+  GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode,
+  TimerValues, ValueState}
 
 /** Structured Streaming surface (SURVEY.md §2.B streaming rows):
   * processing-time enrichment against a refreshing HTTP cache, event-time
@@ -90,6 +91,17 @@ object Streams {
     events.groupByKey(_.user_id)
       .transformWithState(new UserStatsProcessor, TimeMode.None(), OutputMode.Update())
   }
+
+  /** Idle-session close via processing-time timers: a key's stats are
+    * emitted only when no event has arrived for `gapMs` — the timer form
+    * of session windows, for sinks that want exactly one record per
+    * closed session. */
+  def idleSessionClose(events: Dataset[UserEvent], gapMs: Long): Dataset[UserStat] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new IdleSessionProcessor(gapMs),
+        TimeMode.ProcessingTime(), OutputMode.Append())
+  }
 }
 
 /** StatefulProcessor form of the running per-user stats: one ValueState
@@ -107,6 +119,34 @@ final class UserStatsProcessor
     val next = UserStat(key, prev.n + batch.size, prev.sum + batch.map(_.value).sum)
     state.update(next)
     Iterator.single(next)
+  }
+}
+
+/** Timer-driven processor: every batch with events renews the key's idle
+  * timer; the timer firing (no events for gapMs) emits the session total
+  * and clears state — the registerTimer/handleExpiredTimer surface of the
+  * v2 state API. */
+final class IdleSessionProcessor(gapMs: Long)
+    extends StatefulProcessor[Long, UserEvent, UserStat] {
+  @transient private var state: ValueState[UserStat] = _
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    state = getHandle.getValueState[UserStat]("sess",
+      Encoders.product[UserStat], TTLConfig.NONE)
+  override def handleInputRows(key: Long, rows: Iterator[UserEvent],
+                               timerValues: TimerValues): Iterator[UserStat] = {
+    val prev = if (state.exists()) state.get() else UserStat(key, 0L, 0.0)
+    val batch = rows.toSeq
+    state.update(UserStat(key, prev.n + batch.size, prev.sum + batch.map(_.value).sum))
+    // renew the idle timer: drop any pending timer, arm a fresh one
+    getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+    getHandle.registerTimer(timerValues.getCurrentProcessingTimeInMs() + gapMs)
+    Iterator.empty
+  }
+  override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+                                  expiredTimerInfo: ExpiredTimerInfo): Iterator[UserStat] = {
+    val out = if (state.exists()) Iterator.single(state.get()) else Iterator.empty
+    state.clear()
+    out
   }
 }
 

@@ -273,6 +273,30 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("processing-time timers close idle sessions (v2 state API)") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = new MemoryStream[UserEvent](10, spark)
+      val q = Streams.idleSessionClose(input.toDS(), gapMs = 400)
+        .writeStream.format("memory").queryName("idle_close").outputMode("append").start()
+      try {
+        // NOTE: processAllAvailable() never settles under processing-time
+        // timers (timer wakeups keep scheduling batches), so this test
+        // polls the sink instead.
+        def closed() = spark.table("idle_close").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        input.addData(UserEvent(7, "a", 1.0), UserEvent(7, "b", 2.0))
+        val deadline = System.currentTimeMillis() + 30000
+        while (!closed().contains((7L, 2L, 3.0)) &&
+               System.currentTimeMillis() < deadline) Thread.sleep(200)
+        assert(closed().contains((7L, 2L, 3.0)),
+          s"idle timer should close the session: got ${closed().toSeq}")
+      } finally q.stop()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("mapGroupsWithState accumulates per-key running stats across batches") {
     import spark.implicits._
     val input = new MemoryStream[UserEvent](3, spark)
