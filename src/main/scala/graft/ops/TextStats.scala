@@ -17,6 +17,18 @@ object TextStats {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** BPE-ish subword pre-tokenization: letter runs, digit runs, and single
+    * non-alphanumeric marks — the coarse split a byte-pair tokenizer
+    * applies before merges (cf. GPT-2's pre-tokenizer regex, simplified to
+    * classes that behave identically in Java regex and RE2). A much better
+    * LLM-cost proxy than whitespace tokens ("don't!" = 1 ws token but 4
+    * BPE-ish pieces). */
+  val bpeishPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  def bpeishTokens(text: Column): Column = regexp_extract_all(text, lit(bpeishPattern), lit(0))
+
+  def bpeishTokenCount(text: Column): Column = size(bpeishTokens(text))
+
   /** Canonical-form fingerprint: md5 of lowercased, whitespace-collapsed
     * text — the exact-dup key that survives formatting noise. */
   def fingerprint(text: Column): Column =

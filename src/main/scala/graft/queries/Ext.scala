@@ -119,6 +119,15 @@ object Ext {
         .orderBy("source")
     },
 
+    // Whitespace vs BPE-ish token counts per doc (the LLM-cost proxy).
+    "x29_bpeish_tokens" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextStats.tokenCount(col("text")).as("ws_tokens"),
+          TextStats.bpeishTokenCount(col("text")).as("bpeish_tokens"))
+        .orderBy("doc_id")
+    },
+
     "x12_lang_guess" -> { (s, dir) =>
       Tables.documents(s, dir)
         .withColumn("lang_guess", TextStats.langGuess(col("text")))
@@ -382,6 +391,12 @@ object Ext {
         |  CAST(SUM(len(list_filter(string_split(text, ' '), t -> t <> ''))) AS BIGINT) AS total_tokens,
         |  CAST(MAX(len(list_filter(string_split(text, ' '), t -> t <> ''))) AS INT) AS max_tokens
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "x29_bpeish_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS INT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS bpeish_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "x12_lang_guess" ->
       s"""WITH scored AS (
