@@ -13,13 +13,17 @@ import java.nio.file.{Files, Paths}
   *    to a scan-count);
   *  - failures propagate and fail the bench run — a broken query must not
   *    read as a fast one;
-  *  - the cache is cleared between queries so persisted intermediates of
-  *    one operator neither leak nor subsidize the next;
+  *  - ALL operator-persisted storage is released between queries —
+  *    `Caches.releaseAll()` (tracked persists + localCheckpoint blocks,
+  *    which `clearCache()` alone would leave resident, inflating every
+  *    later query's time) plus a defensive persistent-RDD sweep;
   *  - results keep deterministic sorted-name order all the way into the
   *    emitted JSON (Seq, not Map);
-  *  - the JSON line goes to stdout AND to SPARK_GRAFT_BENCH_OUT
-  *    (default `BENCH_LOCAL.json` in the cwd) so the driver can parse it
-  *    even when a build tool decorates stdout.
+  *  - the stdout JSON line is COMPACT (short query keys = the `qNN`/`xNN`
+  *    prefix, 3-decimal seconds): the driver keeps only the last 2000
+  *    chars of stdout and a full-width line gets truncated past parsing.
+  *    The full-name full-precision JSON goes to SPARK_GRAFT_BENCH_OUT
+  *    (default `BENCH_LOCAL.json` in the cwd).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -35,17 +39,25 @@ object Bench {
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         val sec = (System.nanoTime() - t0) / 1e9
+        graft.ops.Caches.releaseAll()
         spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
         name -> sec
       }
-    val qs = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    println(json)
+    def fmt(v: Double): String = f"$v%.3f"
+    val shortQs = results
+      .map { case (k, v) => s""""${k.takeWhile(_ != '_')}":${fmt(v)}""" }
+      .mkString("{", ",", "}")
+    val shortJson =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$shortQs,"sf":"$sfDir"}"""
+    val fullQs = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    val fullJson =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir"}"""
+    println(shortJson)
     Files.writeString(
       Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")),
-      json + "\n")
+      fullJson + "\n")
     spark.stop()
     // exit explicitly: non-daemon helper threads (the h01 embedded HTTP
     // endpoint) are stopped by shutdown hooks, which only run on exit

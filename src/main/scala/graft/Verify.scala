@@ -15,7 +15,9 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // release per-operator persisted intermediates (see Dedup scaladoc)
+      // release per-operator persisted/checkpointed intermediates
+      // (clearCache alone would leave localCheckpoint blocks resident)
+      graft.ops.Caches.releaseAll()
       spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

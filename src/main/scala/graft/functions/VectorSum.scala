@@ -22,9 +22,16 @@ class VectorSum extends Aggregator[Seq[Double], Array[Double], Seq[Double]] {
       buf
     }
   }
+  // min-length like reduce: ragged inputs degrade consistently (shorter
+  // vector zero-padded in effect) instead of merge alone throwing
   override def merge(a: Array[Double], b: Array[Double]): Array[Double] =
     if (a.isEmpty) b else if (b.isEmpty) a
-    else { var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a }
+    else {
+      val (dst, src) = if (a.length >= b.length) (a, b) else (b, a)
+      var i = 0
+      while (i < src.length) { dst(i) += src(i); i += 1 }
+      dst
+    }
   override def finish(buf: Array[Double]): Seq[Double] = buf.toSeq
   override def bufferEncoder: Encoder[Array[Double]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()

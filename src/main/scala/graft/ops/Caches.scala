@@ -1,0 +1,89 @@
+package graft.ops
+
+import org.apache.spark.SparkContext
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import scala.collection.mutable
+
+/** Explicit lifecycle for operator-persisted intermediates.
+  *
+  * Pair/CC/IVF operators persist (or localCheckpoint) frames that are
+  * consumed multiple times inside one returned plan. `spark.catalog
+  * .clearCache()` releases `Dataset.persist` entries but NOT the RDD
+  * blocks behind `localCheckpoint`, so a long-lived session would leak
+  * executor storage. Every such intermediate is therefore registered
+  * here, and [[releaseAll]] frees both kinds — the harness (Verify/Bench)
+  * calls it between queries; library users call it whenever the frames
+  * returned by those operators are no longer referenced.
+  *
+  * Checkpoint block tracking works by diffing
+  * `sparkContext.getPersistentRDDs` around the checkpoint call (the
+  * checkpointed RDD is internal to the Dataset and not otherwise
+  * reachable); calls are serialized on this object so concurrent diffs
+  * can't adopt each other's RDDs.
+  */
+object Caches {
+
+  private val frames = mutable.Buffer.empty[Dataset[_]]
+  private val rddIds = mutable.Map.empty[SparkContext, mutable.Set[Int]]
+
+  /** `ds.persist()`, registered for [[releaseAll]]. */
+  def persistTracked[T](ds: Dataset[T]): Dataset[T] = synchronized {
+    val p = ds.persist()
+    frames += p
+    p
+  }
+
+  /** Eager `df.localCheckpoint(true)` whose storage blocks are registered
+    * for [[releaseAll]]. */
+  def localCheckpointTracked(df: DataFrame): DataFrame = synchronized {
+    val (cp, ids) = checkpointWithIds(df)
+    rddIds.getOrElseUpdate(df.sparkSession.sparkContext, mutable.Set.empty) ++= ids
+    cp
+  }
+
+  /** Eager local checkpoint returning a caller-owned release handle — for
+    * iterative operators that must free round N-1's blocks as soon as
+    * round N has materialized, without waiting for [[releaseAll]]. */
+  def localCheckpointScoped(df: DataFrame): Checkpointed = synchronized {
+    val (cp, ids) = checkpointWithIds(df)
+    Checkpointed(cp, df.sparkSession.sparkContext, ids)
+  }
+
+  /** Adopt a scoped checkpoint into the registry (e.g. a loop's final
+    * round, which outlives the loop inside the returned plan). */
+  def adopt(c: Checkpointed): DataFrame = synchronized {
+    rddIds.getOrElseUpdate(c.sc, mutable.Set.empty) ++= c.ids
+    c.df
+  }
+
+  private def checkpointWithIds(df: DataFrame): (DataFrame, Set[Int]) = {
+    val sc = df.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val cp = df.localCheckpoint(true)
+    (cp, sc.getPersistentRDDs.keySet.diff(before).toSet)
+  }
+
+  /** Unpersist every tracked frame and checkpoint block. Blocking, so a
+    * benchmark timing the next query starts from clean executor storage. */
+  def releaseAll(): Unit = synchronized {
+    frames.foreach(_.unpersist(blocking = true))
+    frames.clear()
+    rddIds.foreach { case (sc, ids) =>
+      if (!sc.isStopped) {
+        val live = sc.getPersistentRDDs
+        ids.foreach(id => live.get(id).foreach(_.unpersist(blocking = true)))
+      }
+    }
+    rddIds.clear()
+  }
+}
+
+/** A checkpointed frame plus the ids of its storage blocks; [[release]]
+  * frees them immediately. */
+final case class Checkpointed(df: DataFrame, sc: SparkContext, ids: Set[Int]) {
+  def release(): Unit =
+    if (!sc.isStopped) {
+      val live = sc.getPersistentRDDs
+      ids.foreach(id => live.get(id).foreach(_.unpersist(blocking = false)))
+    }
+}

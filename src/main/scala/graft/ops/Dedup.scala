@@ -18,10 +18,10 @@ import org.apache.spark.sql.functions._
   *
   * Cache ownership: the pair operators persist their signature/n-gram
   * intermediates (consumed 2-3× inside one returned plan — recomputing
-  * them tripled runtime). The blocks are released when the caller drops
-  * the returned frame and calls `spark.catalog.clearCache()` (the harness
-  * Verify/Bench mains do this per query); long-lived sessions own that
-  * cleanup.
+  * them tripled runtime). Every persisted/checkpointed intermediate is
+  * registered with [[Caches]]; callers release them via
+  * `Caches.releaseAll()` once the returned frame is no longer referenced
+  * (the harness Verify/Bench mains do this per query).
   */
 object Dedup {
 
@@ -47,9 +47,10 @@ object Dedup {
     * shared-n-gram self-join → common counts → |A∩B| / (|A|+|B|-|A∩B|). */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         blockCol: String, n: Int, threshold: Double): DataFrame = {
-    val tri = ngrams(docs.select(col(idCol), col(blockCol), col(textCol)), textCol, n)
-      .select(col(idCol), col(blockCol), col("g"))
-      .persist() // consumed by the size agg and both self-join sides
+    val tri = Caches.persistTracked(
+      ngrams(docs.select(col(idCol), col(blockCol), col(textCol)), textCol, n)
+        .select(col(idCol), col(blockCol), col("g"))
+    ) // consumed by the size agg and both self-join sides
     val sizes = tri.groupBy(col(idCol)).agg(count(lit(1)).as("n_grams"))
     val a = tri.select(col(idCol).as("a_id"), col(blockCol).as("blk"), col("g"))
     val b = tri.select(col(idCol).as("b_id"), col(blockCol).as("blk"), col("g"))
@@ -90,7 +91,7 @@ object Dedup {
     require(nHashes % bands == 0, s"bands=$bands must divide nHashes=$nHashes")
     val r = nHashes / bands
     val toks = split(col(textCol), " ")
-    val sigs = docs
+    val sigs0 = docs
       .withColumn("toks", toks)
       .filter(size(col("toks")) >= n)
       .withColumn("grams", array_distinct(
@@ -98,11 +99,11 @@ object Dedup {
           i => concat_ws(" ", (0 until n).map(k => element_at(col("toks"), i + k)): _*))))
       .withColumn("sig", minhashSignature(col("grams"), nHashes))
       .select(col(idCol), col("sig"))
-      // reused by the banding explode and two post-candidate joins; without
-      // persistence each branch recomputes every signature
-      .persist()
+    // reused by the banding explode and two post-candidate joins; without
+    // persistence each branch recomputes every signature
+    val sigsP = Caches.persistTracked(sigs0)
     // band hash: one long per band over its signature slice
-    val banded = sigs
+    val banded = sigsP
       .withColumn("band", explode(transform(sequence(lit(0), lit(bands - 1)),
         b => struct(b.as("band_idx"),
           xxhash64(slice(col("sig"), b * r + 1, lit(r)), b).as("band_hash")))))
@@ -116,8 +117,8 @@ object Dedup {
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()
     pairs
-      .join(sigs.select(col(idCol).as("a_id"), col("sig").as("sig_a")), "a_id")
-      .join(sigs.select(col(idCol).as("b_id"), col("sig").as("sig_b")), "b_id")
+      .join(sigsP.select(col(idCol).as("a_id"), col("sig").as("sig_a")), "a_id")
+      .join(sigsP.select(col(idCol).as("b_id"), col("sig").as("sig_b")), "b_id")
       .withColumn("est_jac",
         aggregate(zip_with(col("sig_a"), col("sig_b"),
           (x, y) => when(x === y, 1).otherwise(0)), lit(0),
@@ -148,11 +149,15 @@ object Dedup {
       .agg(graft.functions.MinHashUnion(col("sig"), nHashes).as("sketch"))
 
   /** Pairwise estimated Jaccard between group sketches (tiny frame —
-    * one row per group pair). */
+    * one row per group pair). The sketch frame feeds BOTH cross-join
+    * sides, so it is persisted here — without that, an unmaterialized
+    * input (e.g. a fresh [[groupMinhashSketch]], whose per-row signature
+    * aggregation is the expensive part) would be evaluated twice. */
   def sketchJaccardPairs(sketches: DataFrame, groupCol: String,
                          nHashes: Int = 64): DataFrame = {
-    val a = sketches.select(col(groupCol).as("a_grp"), col("sketch").as("sk_a"))
-    val b = sketches.select(col(groupCol).as("b_grp"), col("sketch").as("sk_b"))
+    val sk = Caches.persistTracked(sketches)
+    val a = sk.select(col(groupCol).as("a_grp"), col("sketch").as("sk_a"))
+    val b = sk.select(col(groupCol).as("b_grp"), col("sketch").as("sk_b"))
     a.crossJoin(b).filter(col("a_grp") < col("b_grp"))
       .withColumn("est_jac",
         aggregate(zip_with(col("sk_a"), col("sk_b"),
@@ -169,10 +174,9 @@ object Dedup {
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 7): DataFrame = {
     require(maxHamming <= 7, "8-chunk blocking only guarantees hamming <= 7")
-    val prints = docs
+    val prints = Caches.persistTracked(docs
       .withColumn("fp", simhash63(TextStats.tokens(col(textCol))))
-      .select(col(idCol), col("fp"))
-      .persist() // reused by both sides of the chunk join
+      .select(col(idCol), col("fp"))) // reused by both sides of the chunk join
     val chunked = prints.withColumn("chunk", explode(array(
       (0 until 8).map(j => struct(lit(j).as("j"),
         shiftrightunsigned(col("fp"), j * 8).bitwiseAND(lit(0xFFL)).as("v"))): _*)))
@@ -212,12 +216,19 @@ object Dedup {
     // pair set is orders of magnitude smaller than the corpus, so the
     // per-round frames stay edge-sized; corpus-only vertices are appended
     // as self-labeled singletons once, after convergence.
-    var labels = edges.select(col("u").as("id")).distinct()
-      .select(col("id"), col("id").as("cluster_id"))
-      .localCheckpoint(true)
-    var changed = 1L
+    //
+    // Driver-job economy: each round materializes eagerly (scoped local
+    // checkpoint, keeping lineage flat) and immediately frees the PREVIOUS
+    // round's blocks; the convergence count runs only every 2nd round —
+    // min-label propagation is monotone (labels only decrease), so a
+    // skipped check can at worst run one no-change round, never oscillate.
+    var cur = Caches.localCheckpointScoped(
+      edges.select(col("u").as("id")).distinct()
+        .select(col("id"), col("id").as("cluster_id")))
+    var labels = cur.df
+    var converged = false
     var iter = 0
-    while (changed > 0 && iter < maxIter) {
+    while (!converged && iter < maxIter) {
       val nbrMin = edges
         .join(labels.withColumnsRenamed(Map("id" -> "v", "cluster_id" -> "vl")), "v")
         .groupBy("u").agg(min(col("vl")).as("nbr_min"))
@@ -226,19 +237,24 @@ object Dedup {
         .select(col("id"), col("cluster_id").as("prev"),
           least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("mid"))
       val jump = labels.select(col("id").as("mid_id"), col("cluster_id").as("mid_label"))
-      val next = stepped.join(jump, stepped("mid") === jump("mid_id"), "left")
-        .select(col("id"), col("prev"),
-          least(col("mid"), coalesce(col("mid_label"), col("mid"))).as("cluster_id"))
-        .localCheckpoint(true)
-      changed = next.filter(col("cluster_id") =!= col("prev")).count()
-      labels = next.select("id", "cluster_id")
+      val next = Caches.localCheckpointScoped(
+        stepped.join(jump, stepped("mid") === jump("mid_id"), "left")
+          .select(col("id"), col("prev"),
+            least(col("mid"), coalesce(col("mid_label"), col("mid"))).as("cluster_id")))
+      if (iter % 2 == 1 || iter == maxIter - 1)
+        converged = next.df.filter(col("cluster_id") =!= col("prev")).isEmpty
+      cur.release() // round N is materialized → free round N-1's blocks
+      cur = next
+      labels = next.df.select("id", "cluster_id")
       iter += 1
     }
     edges.unpersist(false)
+    // the final round's blocks back the returned plan — registry-owned
+    val finalLabels = Caches.adopt(cur).select("id", "cluster_id")
     val all = vertices.select(col(idCol).cast("long").as("id"))
-    val singletons = all.join(labels.select("id"), Seq("id"), "leftanti")
+    val singletons = all.join(finalLabels.select("id"), Seq("id"), "leftanti")
       .select(col("id"), col("id").as("cluster_id"))
-    labels.union(singletons)
+    finalLabels.union(singletons)
   }
 
   /** Keep exactly the cluster representatives (id == cluster_id) of `df`,

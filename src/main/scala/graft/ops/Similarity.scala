@@ -122,20 +122,24 @@ object Similarity {
   def ivfBuildKmeans(emb: DataFrame, vecCol: String, idCol: String,
                      nLists: Int = 16, iters: Int = 2): (DataFrame, DataFrame) = {
     val v = col(vecCol).cast("array<double>")
-    var cents = emb
+    var cur = Caches.localCheckpointScoped(emb
       .select(col(idCol).as("centroid_id"), v.as("cv"))
       .orderBy(xxhash64(col("centroid_id")).asc, col("centroid_id").asc)
-      .limit(nLists)
-      .localCheckpoint(true)
+      .limit(nLists))
     for (_ <- 1 to iters) {
-      cents = assignNearest(emb, vecCol, idCol, cents)
-        .groupBy("centroid_id")
-        .agg(graft.functions.VectorSum(col("vec")).as("vsum"),
-             count(lit(1)).as("n"))
-        .select(col("centroid_id"),
-          transform(col("vsum"), x => x / col("n").cast("double")).as("cv"))
-        .localCheckpoint(true)
+      val next = Caches.localCheckpointScoped(
+        assignNearest(emb, vecCol, idCol, cur.df)
+          .groupBy("centroid_id")
+          .agg(graft.functions.VectorSum(col("vec")).as("vsum"),
+               count(lit(1)).as("n"))
+          .select(col("centroid_id"),
+            transform(col("vsum"), x => x / col("n").cast("double")).as("cv")))
+      cur.release() // round N materialized → free round N-1's blocks
+      cur = next
     }
+    // the final centroids back both returned frames — registry-owned,
+    // released by Caches.releaseAll() when the caller drops them
+    val cents = Caches.adopt(cur)
     (cents, assignNearest(emb, vecCol, idCol, cents))
   }
 

@@ -245,9 +245,9 @@ object Ext {
     // Exact pairwise source-level trigram Jaccard (the oracle-checked
     // counterpart of the x24 sketch path).
     "x23_source_similarity" -> { (s, dir) =>
-      val tri = Dedup.ngrams(
+      val tri = graft.ops.Caches.persistTracked(Dedup.ngrams(
           Tables.documents(s, dir).select(col("source"), col("text")), "text", 3)
-        .select(col("source"), col("g")).distinct().persist()
+        .select(col("source"), col("g")).distinct())
       val sizes = tri.groupBy("source").agg(count(lit(1)).as("n"))
       val a = tri.select(col("source").as("a_src"), col("g"))
       val b = tri.select(col("source").as("b_src"), col("g"))

@@ -409,18 +409,23 @@ object Relational {
 
     // -- Exact percentiles (linear interpolation — both engines compute
     //    the same continuous quantile; rounded to dodge low-bit drift).
+    //    Scalar columns, not an array: the driver's oracle compare hashes
+    //    pandas frames and cannot sort/hash array-typed cells.
     "q36_percentiles" -> { (s, dir) =>
       Tables.events(s, dir)
         .groupBy("event_type")
         .agg(
-          expr("transform(percentile(value, array(0.25D, 0.5D, 0.9D)), x -> round(x, 6))").as("pcts"),
-          expr("round(percentile(value, 0.5D), 6)").as("median"))
+          expr("round(percentile(value, 0.25D), 6)").as("p25"),
+          expr("round(percentile(value, 0.5D), 6)").as("p50"),
+          expr("round(percentile(value, 0.9D), 6)").as("p90"))
         .orderBy("event_type")
     },
 
     // -- Session windows (gap-based sessionization) in batch: the same
     //    session_window expression the streaming path uses; oracle =
     //    lag/cumulative-sum sessionization. Session = [min ts, max ts+gap).
+    //    Boundary: Spark MERGES events exactly gap apart (pinned by the
+    //    OpsSpec fixture), so the oracle breaks only on strict `>` — aligned.
     "q35_session_windows" -> { (s, dir) =>
       Tables.events(s, dir)
         .groupBy(session_window(col("ts"), "6 hours").as("win"), col("user_id"))
@@ -686,8 +691,9 @@ object Relational {
 
     "q36_percentiles" ->
       """SELECT event_type,
-        |  list_transform(quantile_cont(value, [0.25, 0.5, 0.9]), x -> round(x, 6)) AS pcts,
-        |  round(quantile_cont(value, 0.5), 6) AS median
+        |  round(quantile_cont(value, 0.25), 6) AS p25,
+        |  round(quantile_cont(value, 0.5), 6) AS p50,
+        |  round(quantile_cont(value, 0.9), 6) AS p90
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q35_session_windows" ->

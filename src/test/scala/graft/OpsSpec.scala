@@ -306,4 +306,28 @@ class OpsSpec extends AnyFunSuite {
     // every media row contributes its slice 0
     assert(slices.filter(col("slice_idx") === 0).count() == 10)
   }
+
+  test("session_window boundary: events EXACTLY gap apart merge (q35 oracle parity)") {
+    // Pins the semantics the q35 DuckDB oracle assumes: Spark merges two
+    // events spaced exactly `gap` apart into one session ending at
+    // last_ts + gap, i.e. a session breaks only when the inter-event gap
+    // is STRICTLY greater than `gap` — matching the oracle's `> INTERVAL`.
+    import spark.implicits._
+    val df = Seq(
+      (java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1),
+      (java.sql.Timestamp.valueOf("2024-01-01 06:00:00"), 1), // == gap → merge
+      (java.sql.Timestamp.valueOf("2024-01-01 12:00:01"), 1)  // > gap → break
+    ).toDF("ts", "user_id")
+    val sessions = df
+      .groupBy(session_window(col("ts"), "6 hours").as("win"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("win.start"))
+      .select(col("win.start").cast("string"), col("win.end").cast("string"), col("n"))
+      .collect()
+    assert(sessions.length == 2, s"expected 2 sessions, got ${sessions.mkString(";")}")
+    assert(sessions(0).getString(0) == "2024-01-01 00:00:00" &&
+           sessions(0).getString(1) == "2024-01-01 12:00:00" &&
+           sessions(0).getLong(2) == 2, s"merged session wrong: ${sessions(0)}")
+    assert(sessions(1).getLong(2) == 1)
+  }
 }

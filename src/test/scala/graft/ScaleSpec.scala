@@ -73,6 +73,39 @@ class ScaleSpec extends AnyFunSuite {
     assert(plan.contains("Window"), plan)
   }
 
+  test("x24 sketch pairs: the sketch build is evaluated once (cached scan on both sides)") {
+    val docs = Tables.documents(spark, dir)
+    val pairs = graft.ops.Dedup.sketchJaccardPairs(
+      graft.ops.Dedup.groupMinhashSketch(docs, "source", "text"), "source")
+    val plan = pairs.queryExecution.executedPlan.toString
+    // the expensive subtree is the per-row MinHash + UDAF aggregation; it
+    // must feed both cross-join sides through cached scans of ONE
+    // InMemoryRelation (computed once), never be planned twice live.
+    // (The relation prints its cached plan — including its aggregate —
+    // under each scan; only lines ABOVE an InMemoryTableScan execute.)
+    val liveSection = plan.linesIterator
+      .takeWhile(l => !l.contains("InMemoryTableScan")).mkString("\n")
+    val cachedScans = "InMemoryTableScan".r.findAllIn(plan).size
+    assert(cachedScans >= 2, s"sketch build not cached on both sides:\n$plan")
+    assert(!liveSection.contains("ObjectHashAggregate") &&
+           !liveSection.contains("HashAggregate"),
+      s"sketch aggregation re-planned live above the cache:\n$plan")
+    graft.ops.Caches.releaseAll()
+  }
+
+  test("x22 TF-IDF plan has no global (unpartitioned) window") {
+    val df = graft.queries.Ext.queries("x22_tfidf_terms")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // per-source top-5 must partition its window by source (a global
+    // window would funnel the whole term table through one task); the
+    // only windows allowed in the plan are source-partitioned ones
+    val specs = "windowspecdefinition\\(([^,)]*)".r
+      .findAllMatchIn(plan).map(_.group(1)).toList
+    assert(specs.nonEmpty && specs.forall(_.startsWith("source")),
+      s"non-source-partitioned window specs $specs in x22 plan:\n$plan")
+    graft.ops.Caches.releaseAll()
+  }
+
   test("salted aggregation equals direct aggregation exactly") {
     val li = Tables.lineitem(spark, dir)
     val direct = li.groupBy("l_suppkey")
