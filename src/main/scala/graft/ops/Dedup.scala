@@ -127,15 +127,17 @@ object Dedup {
       .select("a_id", "b_id", "est_jac")
   }
 
-  /** Word n-gram array per row (distinct, order of first occurrence).
-    * Caller must have filtered rows with fewer than n tokens (sequence
-    * bounds must ascend). */
-  private def gramArray(textCol: Column, n: Int): Column = {
-    val toks = split(textCol, " ")
+  /** Word n-gram array from an ALREADY-MATERIALIZED token-array column
+    * (distinct, order of first occurrence). The tokens must be a real
+    * column, not an inline `split(...)` — expressions referenced inside
+    * higher-order-function lambdas are re-evaluated per element, so an
+    * inlined split would re-tokenize the text 3× per gram. Caller must
+    * have filtered rows with fewer than n tokens (sequence bounds must
+    * ascend). */
+  private def gramArray(toksCol: Column, n: Int): Column =
     array_distinct(transform(
-      sequence(lit(1), size(toks) - (n - 1)),
-      i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*)))
-  }
+      sequence(lit(1), size(toksCol) - (n - 1)),
+      i => concat_ws(" ", (0 until n).map(k => element_at(toksCol, i + k)): _*)))
 
   /** One MinHash sketch per group estimating the group's n-gram-set UNION
     * (per-row signatures merged map-side by the [[graft.functions.MinHashUnion]]
@@ -143,8 +145,9 @@ object Dedup {
   def groupMinhashSketch(docs: DataFrame, groupCol: String, textCol: String,
                          n: Int = 3, nHashes: Int = 64): DataFrame =
     docs
-      .filter(size(split(col(textCol), " ")) >= n)
-      .withColumn("sig", minhashSignature(gramArray(col(textCol), n), nHashes))
+      .withColumn("toks", split(col(textCol), " "))
+      .filter(size(col("toks")) >= n)
+      .withColumn("sig", minhashSignature(gramArray(col("toks"), n), nHashes))
       .groupBy(col(groupCol))
       .agg(graft.functions.MinHashUnion(col("sig"), nHashes).as("sketch"))
 
