@@ -102,6 +102,33 @@ object Streams {
       .transformWithState(new IdleSessionProcessor(gapMs),
         TimeMode.ProcessingTime(), OutputMode.Append())
   }
+
+  /** Running stats whose keyed state EXPIRES `ttlMs` after its last
+    * update: the state-TTL form of the v2 API — on an unbounded key space
+    * (e.g. per-document fingerprints) state stays bounded without any
+    * explicit cleanup logic; a key silent for longer than the TTL restarts
+    * from zero. TTL is processing-time based, hence TimeMode.ProcessingTime. */
+  def runningUserStatsTtl(events: Dataset[UserEvent], ttlMs: Long): Dataset[UserStat] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new TtlUserStatsProcessor(ttlMs),
+        TimeMode.ProcessingTime(), OutputMode.Update())
+  }
+
+  /** Session close on WATERMARK passage (event-time timers): each batch
+    * re-arms the key's timer at max-event-ts + gapMs; when the event-time
+    * watermark crosses it, the closed session is emitted and state
+    * cleared. Deterministic replay (driven by data timestamps, not wall
+    * clock) — the event-time counterpart of [[idleSessionClose]].
+    * `events` must carry a watermark on `ts` before grouping. */
+  def sessionCloseOnWatermark(events: Dataset[TimedEvent], gapMs: Long,
+                              watermarkDelay: String = "0 seconds"): Dataset[UserStat] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .transformWithState(new EventTimeSessionProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
 }
 
 /** StatefulProcessor form of the running per-user stats: one ValueState
@@ -150,5 +177,53 @@ final class IdleSessionProcessor(gapMs: Long)
   }
 }
 
+/** [[UserStatsProcessor]] with a TTL-bounded value state: the store
+  * evicts (and `exists()` stops seeing) values not updated for `ttlMs` —
+  * the declarative state-retention knob of the v2 API. */
+final class TtlUserStatsProcessor(ttlMs: Long)
+    extends StatefulProcessor[Long, UserEvent, UserStat] {
+  @transient private var state: ValueState[UserStat] = _
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    state = getHandle.getValueState[UserStat]("stat",
+      Encoders.product[UserStat], TTLConfig(java.time.Duration.ofMillis(ttlMs)))
+  override def handleInputRows(key: Long, rows: Iterator[UserEvent],
+                               timerValues: TimerValues): Iterator[UserStat] = {
+    val prev = if (state.exists()) state.get() else UserStat(key, 0L, 0.0)
+    val batch = rows.toSeq
+    val next = UserStat(key, prev.n + batch.size, prev.sum + batch.map(_.value).sum)
+    state.update(next)
+    Iterator.single(next)
+  }
+}
+
+/** Event-time timer processor: handleInputRows re-arms the key's timer at
+  * max-event-ts + gapMs; the timer expires when the WATERMARK (not the
+  * wall clock) passes it, emitting the session and clearing state —
+  * deterministic under replay. */
+final class EventTimeSessionProcessor(gapMs: Long)
+    extends StatefulProcessor[Long, TimedEvent, UserStat] {
+  @transient private var state: ValueState[UserStat] = _
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    state = getHandle.getValueState[UserStat]("sess",
+      Encoders.product[UserStat], TTLConfig.NONE)
+  override def handleInputRows(key: Long, rows: Iterator[TimedEvent],
+                               timerValues: TimerValues): Iterator[UserStat] = {
+    val prev = if (state.exists()) state.get() else UserStat(key, 0L, 0.0)
+    val batch = rows.toSeq
+    state.update(UserStat(key, prev.n + batch.size, prev.sum + batch.map(_.value).sum))
+    val maxTs = batch.map(_.ts.getTime).max
+    getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+    getHandle.registerTimer(maxTs + gapMs)
+    Iterator.empty
+  }
+  override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+                                  expiredTimerInfo: ExpiredTimerInfo): Iterator[UserStat] = {
+    val out = if (state.exists()) Iterator.single(state.get()) else Iterator.empty
+    state.clear()
+    out
+  }
+}
+
 final case class UserEvent(user_id: Long, event_type: String, value: Double)
+final case class TimedEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
 final case class UserStat(user_id: Long, n: Long, sum: Double)

@@ -3,7 +3,7 @@ package graft
 import graft.http.Fixtures
 import graft.sources.http.SnapshotCache
 import graft.sources.http.testkit.EmbeddedJsonServer
-import graft.streaming.{Streams, UserEvent}
+import graft.streaming.{Streams, TimedEvent, UserEvent}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.scalatest.BeforeAndAfterAll
@@ -293,6 +293,65 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
                System.currentTimeMillis() < deadline) Thread.sleep(200)
         assert(closed().contains((7L, 2L, 3.0)),
           s"idle timer should close the session: got ${closed().toSeq}")
+      } finally q.stop()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
+  test("state TTL: a key idle past the TTL restarts from zero (v2 state API)") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = new MemoryStream[UserEvent](11, spark)
+      val q = Streams.runningUserStatsTtl(input.toDS(), ttlMs = 1000)
+        .writeStream.format("memory").queryName("stats_ttl").outputMode("update").start()
+      try {
+        // NOTE: as with processing-time timers, processAllAvailable() may
+        // not settle under TimeMode.ProcessingTime — poll the sink.
+        def rows() = spark.table("stats_ttl").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+        def awaitRow(want: (Long, Long, Double)): Unit = {
+          val deadline = System.currentTimeMillis() + 30000
+          while (!rows().contains(want) &&
+                 System.currentTimeMillis() < deadline) Thread.sleep(200)
+        }
+        input.addData(UserEvent(5, "a", 1.0), UserEvent(5, "b", 2.0))
+        awaitRow((5L, 2L, 3.0))
+        assert(rows().contains((5L, 2L, 3.0)), s"pre-TTL accumulation missing: ${rows()}")
+        Thread.sleep(2500) // let the 1s TTL lapse in processing time
+        input.addData(UserEvent(5, "c", 4.0))
+        awaitRow((5L, 1L, 4.0))
+        // expired state → the post-TTL batch starts over, NOT (5,3,7.0)
+        assert(rows().contains((5L, 1L, 4.0)) && !rows().contains((5L, 3L, 7.0)),
+          s"state survived past its TTL: ${rows()}")
+      } finally q.stop()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
+  test("event-time timers close sessions when the watermark passes (v2 state API)") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = new MemoryStream[TimedEvent](12, spark)
+      val q = Streams.sessionCloseOnWatermark(input.toDS(), gapMs = 60000)
+        .writeStream.format("memory").queryName("wm_close").outputMode("append").start()
+      try {
+        def t(s: String) = Timestamp.valueOf(s)
+        def closed() = spark.table("wm_close").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+        input.addData(TimedEvent(7, t("2024-01-01 10:00:00"), 1.0),
+                      TimedEvent(7, t("2024-01-01 10:00:05"), 2.0))
+        q.processAllAvailable()
+        // watermark still before the 10:01:05 timer → session open
+        assert(closed().isEmpty, s"session closed too early: ${closed()}")
+        // a later event (other key) advances the watermark past the timer
+        input.addData(TimedEvent(8, t("2024-01-01 10:05:00"), 9.0))
+        q.processAllAvailable()
+        assert(closed().contains((7L, 2L, 3.0)),
+          s"watermark passage should close key 7's session: ${closed()}")
+        // key 8's own session is still open (no watermark past 10:06)
+        assert(!closed().exists(_._1 == 8L), s"got ${closed()}")
       } finally q.stop()
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
