@@ -111,7 +111,11 @@ final class HttpScan(schema: StructType, opts: HttpOptions,
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): util.OptionalLong = util.OptionalLong.of(
       SnapshotCache.loadedBodyBytes(opts).getOrElse(8L * 1024 * 1024))
-    override def numRows(): util.OptionalLong = util.OptionalLong.empty()
+    // real row count once this JVM has parsed the snapshot (projection
+    // never changes the count), unknown before first load
+    override def numRows(): util.OptionalLong =
+      SnapshotCache.loadedRowCount(opts)
+        .map(util.OptionalLong.of).getOrElse(util.OptionalLong.empty())
   }
 }
 

@@ -73,6 +73,14 @@ object SnapshotCache extends Logging {
     entries.get(key).map(_.body.getBytes(java.nio.charset.StandardCharsets.UTF_8).length.toLong)
   }
 
+  /** Row count of the cached payload for `opts`, if this JVM has parsed
+    * it under any schema (projection changes the columns, never the row
+    * count) — feeds the scan's numRows statistic. */
+  def loadedRowCount(opts: HttpOptions): Option[Long] = {
+    val key = s"${opts.cacheKey}|${opts.refreshInterval.toMillis}"
+    entries.get(key).flatMap(_.rowsBySchema.values.headOption.map(_.size.toLong))
+  }
+
   /** Drop all cached snapshots (tests / forced refresh). Lock objects are
     * deliberately kept: clearing them would let a thread inside [[get]]
     * (holding the old lock) race a new caller (holding a fresh one) into
