@@ -16,6 +16,9 @@ object GraftSession {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft")
+      // native vector functions (dot_product / vec_norm / cosine_sim)
+      // available to plain SQL in every session
+      .config("spark.sql.extensions", "graft.extensions.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")

@@ -273,6 +273,69 @@ object Ext {
         .orderBy("a_grp", "b_grp")
     },
 
+    // Gopher-style quality signals per document: token count, mean word
+    // length, digit ratio (single-pass scalar folds) plus the repeated-
+    // top-bigram fraction (explode → per-doc mode — the repetition signal
+    // ratio-quality filters key on). All-integer ratios → exact in both
+    // engines; shuffles key on doc_id only.
+    "x30_gopher_quality" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+        .withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= 2)
+      val bi = docs.select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("toks")) - 1),
+        i => concat(element_at(col("toks"), i), lit(" "),
+          element_at(col("toks"), i + 1)))).as("g"))
+      val frac = bi.groupBy("doc_id", "g").agg(count(lit(1)).as("n"))
+        .groupBy("doc_id")
+        .agg(round(max(col("n")) * lit(1.0) / sum(col("n")), 6).as("top_bigram_frac"))
+      val stats = docs.select(col("doc_id"),
+        size(col("toks")).as("n_words"),
+        round(length(regexp_replace(col("text"), " ", "")).cast("double") /
+          size(col("toks")), 6).as("mean_word_len"),
+        round(length(regexp_replace(col("text"), "[^0-9]", "")).cast("double") /
+          length(col("text")), 6).as("digit_ratio"))
+      stats.join(frac, "doc_id")
+        .withColumn("passes",
+          col("n_words") >= 10 && col("mean_word_len") <= 12 &&
+          col("digit_ratio") <= 0.2 && col("top_bigram_frac") <= 0.2)
+        .orderBy("doc_id")
+    },
+
+    // Per-label embedding centroids (the reduce step of k-means / class
+    // prototypes): posexplode to (label, dim) cells, decimal-exact per-dim
+    // sums (accumulation-order-proof), then the centroid norm and first
+    // component. Shuffles one row per (label, dim) — 64·|labels| cells,
+    // never vectors.
+    "x31_label_centroids" -> { (s, dir) =>
+      val pe = Tables.embeddings(s, dir)
+        .select(col("label"), posexplode(col("embedding").cast("array<double>")))
+        .toDF("label", "pos", "v")
+      val dims = pe.groupBy("label", "pos")
+        .agg(Tables.dsum(col("v")).as("sdim"), count(lit(1)).as("n"))
+        .select(col("label"), col("pos"), col("n"),
+          round(col("sdim") / col("n"), 6).as("m"))
+      dims.groupBy("label")
+        .agg(max(col("n")).as("n_vectors"),
+          round(sqrt(sum((col("m") * col("m")).cast("decimal(38,12)"))
+            .cast("double")), 6).as("centroid_norm"),
+          max(when(col("pos") === 0, col("m"))).as("centroid_d0"))
+        .orderBy("label")
+    },
+
+    // Document-length histogram (50-token buckets, capped at bucket 19):
+    // the corpus-profiling pass before choosing chunking/packing sizes.
+    "x32_token_histogram" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("n_tokens", size(split(col("text"), " ")))
+        .withColumn("bucket", least(floor(col("n_tokens") / lit(50)), lit(19)).cast("long"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"),
+             min(col("n_tokens")).as("min_tokens"),
+             max(col("n_tokens")).as("max_tokens"))
+        .orderBy("bucket")
+    },
+
     // TF-IDF top terms per source: distinct-terms-per-doc explode, global
     // document frequency, per-source term frequency, ln-IDF score, top-5
     // per source with rounded-score + term tiebreak (both engines rank on
@@ -315,6 +378,50 @@ object Ext {
   private val deList = TextStats.stopwords("de").map(w => s"'$w'").mkString("[", ",", "]")
 
   val oracle: Map[String, String] = Map(
+    "x30_gopher_quality" ->
+      """WITH tok AS (
+        |  SELECT doc_id, text, string_split(text, ' ') AS ts FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |bi AS (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(ts) - 1),
+        |    i -> ts[i] || ' ' || ts[i+1])) AS g
+        |  FROM tok),
+        |bc AS (SELECT doc_id, g, COUNT(*) AS n FROM bi GROUP BY 1, 2),
+        |frac AS (
+        |  SELECT doc_id, round(MAX(n) * 1.0 / SUM(n), 6) AS top_bigram_frac
+        |  FROM bc GROUP BY doc_id),
+        |stats AS (
+        |  SELECT doc_id, len(ts) AS n_words,
+        |    round(len(replace(text, ' ', '')) * 1.0 / len(ts), 6) AS mean_word_len,
+        |    round(len(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / len(text), 6) AS digit_ratio
+        |  FROM tok)
+        |SELECT s.doc_id, s.n_words, s.mean_word_len, s.digit_ratio, f.top_bigram_frac,
+        |  (s.n_words >= 10 AND s.mean_word_len <= 12 AND s.digit_ratio <= 0.2
+        |   AND f.top_bigram_frac <= 0.2) AS passes
+        |FROM stats s JOIN frac f ON s.doc_id = f.doc_id
+        |ORDER BY s.doc_id""".stripMargin,
+
+    "x31_label_centroids" ->
+      """WITH pe AS (
+        |  SELECT label, unnest(generate_series(0, len(embedding) - 1)) AS pos,
+        |         CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings),
+        |dims AS (
+        |  SELECT label, pos, COUNT(*) AS n,
+        |    round(CAST(SUM(CAST(v AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6) AS m
+        |  FROM pe GROUP BY label, pos)
+        |SELECT label, MAX(n) AS n_vectors,
+        |  round(sqrt(CAST(SUM(CAST(m * m AS DECIMAL(38,12))) AS DOUBLE)), 6) AS centroid_norm,
+        |  MAX(CASE WHEN pos = 0 THEN m END) AS centroid_d0
+        |FROM dims GROUP BY label ORDER BY label""".stripMargin,
+
+    "x32_token_histogram" ->
+      """SELECT CAST(LEAST(FLOOR(len(string_split(text, ' ')) / 50), 19) AS BIGINT) AS bucket,
+        |  COUNT(*) AS n_docs,
+        |  MIN(len(string_split(text, ' '))) AS min_tokens,
+        |  MAX(len(string_split(text, ' '))) AS max_tokens
+        |FROM documents GROUP BY 1 ORDER BY bucket""".stripMargin,
+
     "x01_dedup_exact" ->
       """SELECT md5(text) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS dup_cnt
         |FROM documents GROUP BY text ORDER BY fp""".stripMargin,

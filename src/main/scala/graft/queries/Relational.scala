@@ -421,6 +421,69 @@ object Relational {
         .orderBy("event_type")
     },
 
+    // -- Distribution window functions: ntile/percent_rank/cume_dist per
+    //    segment. Tie-free ordering (acctbal, custkey) so rank-derived
+    //    values are deterministic in both engines.
+    "q40_window_funcs" -> { (s, dir) =>
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+      Tables.customer(s, dir)
+        .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cdist"))
+        .orderBy("c_mktsegment", "c_custkey")
+    },
+
+    // -- RANGE-framed window: 30-day trailing revenue per customer. Spark
+    //    ranges over epoch seconds (o_orderdate is day-granular, so the
+    //    truncation is exact); the oracle uses the equivalent INTERVAL
+    //    frame. Decimal sum → frame content, not accumulation order,
+    //    decides the hash.
+    "q41_range_window" -> { (s, dir) =>
+      // NTZ has no direct long cast; NTZ→TZ is identity under the UTC
+      // session timezone, then TZ→long = epoch seconds
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").cast("timestamp").cast("long"))
+        .rangeBetween(-30L * 86400, 0)
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          round(sum(col("o_totalprice").cast("decimal(28,6)")).over(w)
+            .cast("double"), 6).as("trailing_30d"))
+        .orderBy("o_orderkey")
+    },
+
+    // -- EXISTS / NOT EXISTS correlated predicates (Catalyst turns them
+    //    into semi/anti joins; the oracle runs the same SQL).
+    "q42_exists_subquery" -> { (s, dir) =>
+      Tables.customer(s, dir).createOrReplaceTempView("graft_customer")
+      Tables.orders(s, dir).createOrReplaceTempView("graft_orders_q42")
+      s.sql(
+        """SELECT c_custkey, c_name, c_acctbal
+          |FROM graft_customer c
+          |WHERE EXISTS (SELECT 1 FROM graft_orders_q42 o
+          |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+          |  AND NOT EXISTS (SELECT 1 FROM graft_orders_q42 o
+          |                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+          |ORDER BY c_custkey""".stripMargin)
+    },
+
+    // -- min_by/max_by + count_if/bool_or. min_by ties on equal prices are
+    //    engine-arbitrary, so the orderable is a tie-proof integer encode:
+    //    round(price*1e6) (monotone, identical in both engines) shifted by
+    //    2^24 plus the unique order key. Max encode ≈ 8.4e18 < 2^63.
+    "q43_arg_minmax" -> { (s, dir) =>
+      val enc = round(col("o_totalprice") * 1000000d).cast("long") *
+        lit(16777216L) + col("o_orderkey")
+      Tables.orders(s, dir)
+        .groupBy("o_orderpriority")
+        .agg(min_by(col("o_orderkey"), enc).as("cheapest_order"),
+             max_by(col("o_orderkey"), enc).as("priciest_order"),
+             count_if(col("o_totalprice") > 200000).as("n_big"),
+             bool_or(col("o_orderstatus") === "F").as("any_f"))
+        .orderBy("o_orderpriority")
+    },
+
     // -- Session windows (gap-based sessionization) in batch: the same
     //    session_window expression the streaming path uses; oracle =
     //    lag/cumulative-sum sessionization. Session = [min ts, max ts+gap).
@@ -695,6 +758,40 @@ object Relational {
         |  round(quantile_cont(value, 0.5), 6) AS p50,
         |  round(quantile_cont(value, 0.9), 6) AS p90
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q40_window_funcs" ->
+      """SELECT c_mktsegment, c_custkey, c_acctbal,
+        |  ntile(4) OVER w AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  round(cume_dist() OVER w, 6) AS cdist
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal ASC, c_custkey ASC)
+        |ORDER BY c_mktsegment, c_custkey""".stripMargin,
+
+    "q41_range_window" ->
+      """SELECT o_orderkey, o_custkey, o_orderdate,
+        |  round(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate
+        |    RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW) AS DOUBLE), 6)
+        |    AS trailing_30d
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q42_exists_subquery" ->
+      """SELECT c_custkey, c_name, c_acctbal
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q43_arg_minmax" ->
+      """SELECT o_orderpriority,
+        |  arg_min(o_orderkey, CAST(round(o_totalprice * 1000000) AS BIGINT) * 16777216 + o_orderkey) AS cheapest_order,
+        |  arg_max(o_orderkey, CAST(round(o_totalprice * 1000000) AS BIGINT) * 16777216 + o_orderkey) AS priciest_order,
+        |  count_if(o_totalprice > 200000) AS n_big,
+        |  bool_or(o_orderstatus = 'F') AS any_f
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q35_session_windows" ->
       """WITH s AS (
