@@ -1,0 +1,171 @@
+package graft
+
+import graft.sources.topic.{TopicLog, TopicOffset}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+import scala.collection.mutable
+
+/** Kafka-style log consumption mechanics: envelope/offsets/key affinity,
+  * exactly-once checkpoint resume, startingOffsets, admission control. */
+class TopicSourceSpec extends AnyFunSuite {
+  lazy val spark = GraftSession.local("4")
+
+  private def fill(topic: String, n: Int, parts: Int = 3, from: Int = 0): Unit = {
+    TopicLog.create(topic, parts)
+    (from until from + n).foreach { i =>
+      TopicLog.append(topic, s"user${i % 7}", s"""{"n":$i}""", 1700000000000L + i * 1000L)
+    }
+  }
+
+  test("offset JSON roundtrips and is key-sorted") {
+    val off = TopicOffset(Map(2 -> 7L, 0 -> 12L, 1 -> 0L))
+    assert(off.json() == """{"0":12,"1":0,"2":7}""")
+    assert(TopicOffset.parse(off.json()) == off)
+  }
+
+  test("batch read: full envelope, contiguous per-partition offsets, key affinity") {
+    val t = "t_batch"
+    fill(t, 40)
+    try {
+      val df = spark.read.format("graft-topic").option("topic", t).load()
+      assert(df.schema.fieldNames.toSeq ==
+        Seq("key", "value", "topic", "partition", "offset", "timestamp"))
+      assert(df.count() == 40)
+      // offsets are 0..count-1 within each partition
+      val perPart = df.groupBy("partition")
+        .agg(count("*").as("n"), min("offset").as("lo"), max("offset").as("hi"))
+        .collect()
+      perPart.foreach { r =>
+        assert(r.getAs[Long]("lo") == 0L)
+        assert(r.getAs[Long]("hi") == r.getAs[Long]("n") - 1)
+      }
+      // a key's records all live in one partition (ordering guarantee)
+      val spread = df.select(col("key").cast("string").as("k"), col("partition"))
+        .distinct().groupBy("k").count().agg(max("count")).head().getLong(0)
+      assert(spread == 1L, "a key must map to exactly one partition")
+    } finally TopicLog.delete(t)
+  }
+
+  test("streaming read sees appended records exactly once across triggers") {
+    val t = "t_stream"
+    fill(t, 25)
+    try {
+      val q = spark.readStream.format("graft-topic").option("topic", t).load()
+        .select(col("value").cast("string").as("v"), col("partition"), col("offset"))
+        .writeStream.format("memory").queryName("topic_stream")
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        assert(spark.table("topic_stream").count() == 25)
+        fill(t, 10, from = 25) // topic exists; appends only
+        q.processAllAvailable()
+        val vs = spark.table("topic_stream").select("v").collect().map(_.getString(0))
+        assert(vs.length == 35 && vs.distinct.length == 35, "each record exactly once")
+      } finally q.stop()
+    } finally TopicLog.delete(t)
+  }
+
+  test("checkpoint restart resumes from committed offsets (no replay, no loss)") {
+    val t = "t_resume"
+    fill(t, 20)
+    val ckpt = Files.createTempDirectory("topic_ckpt").toString
+    val seen = mutable.ArrayBuffer.empty[String]
+    def run(): org.apache.spark.sql.streaming.StreamingQuery =
+      spark.readStream.format("graft-topic").option("topic", t).load()
+        .select(col("value").cast("string").as("v"))
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val vs = batch.collect().map(_.getString(0))
+          seen.synchronized { seen ++= vs }
+          ()
+        }.start()
+    try {
+      val q1 = run()
+      q1.processAllAvailable(); q1.stop()
+      assert(seen.synchronized(seen.length) == 20)
+      fill(t, 15, from = 20)
+      val q2 = run()
+      q2.processAllAvailable(); q2.stop()
+      val all = seen.synchronized(seen.toVector)
+      assert(all.length == 35 && all.distinct.length == 35,
+        s"restart must continue from the checkpoint: ${all.length} rows, " +
+          s"${all.distinct.length} distinct")
+    } finally TopicLog.delete(t)
+  }
+
+  test("startingOffsets=latest skips the backlog") {
+    val t = "t_latest"
+    fill(t, 30)
+    try {
+      val q = spark.readStream.format("graft-topic").option("topic", t)
+        .option("startingOffsets", "latest").load()
+        .select(col("value").cast("string").as("v"))
+        .writeStream.format("memory").queryName("topic_latest")
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        assert(spark.table("topic_latest").count() == 0, "backlog must be skipped")
+        fill(t, 5, from = 30)
+        q.processAllAvailable()
+        assert(spark.table("topic_latest").count() == 5)
+      } finally q.stop()
+    } finally TopicLog.delete(t)
+  }
+
+  test("end-to-end: topic stream decoded and enriched via http-full-cache lookup") {
+    // the reference pipeline's exact shape: keyed topic -> deserialize ->
+    // lookup-join the TTL-cached HTTP table
+    // (ref: FlinkHttpConnectorExample.scala:78-154)
+    graft.sources.http.SnapshotCache.invalidateAll()
+    val t = "t_pipeline"
+    TopicLog.create(t, 2)
+    (1 to 8).foreach { i =>
+      TopicLog.append(t, s"u$i", s"""{"userId":${i % 5 + 1},"amount":${i * 10}}""",
+        1700000000000L + i * 1000L)
+    }
+    val server = new graft.http.TestHttpServer
+    try {
+      server.payload = graft.http.Fixtures.usersJson(prefix = "Mock")
+      val users = spark.read.format("http-full-cache")
+        .schema(graft.http.Fixtures.usersSchema)
+        .option("url", server.url).load()
+      val orders = spark.readStream.format("graft-topic").option("topic", t).load()
+        .select(from_json(col("value").cast("string"),
+          org.apache.spark.sql.types.StructType.fromDDL("userId INT, amount INT")).as("o"))
+        .select(col("o.userId"), col("o.amount"))
+      val enriched = graft.enrich.Enrich
+        .lookupJoin(orders.toDF(), users, orders("userId") === users("id"), "inner")
+        .select(col("userId"), col("amount"), col("name"))
+      val q = enriched.writeStream.format("memory").queryName("topic_enriched")
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        val rows = spark.table("topic_enriched").collect()
+        assert(rows.length == 8, "every topic record enriches (all userIds exist)")
+        assert(rows.forall(_.getString(2).startsWith("Mock Name")))
+        assert(server.requestCount == 1, "one TTL-dedup'd fetch for the whole stream")
+      } finally q.stop()
+    } finally { server.stop(); TopicLog.delete(t) }
+  }
+
+  test("maxRecordsPerTrigger rations micro-batches across partitions") {
+    val t = "t_limit"
+    fill(t, 24, parts = 4)
+    try {
+      val q = spark.readStream.format("graft-topic").option("topic", t)
+        .option("maxRecordsPerTrigger", "5").load()
+        .writeStream.format("memory").queryName("topic_limited")
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        assert(spark.table("topic_limited").count() == 24, "backlog fully drains")
+        val batchSizes = q.recentProgress.map(_.numInputRows).filter(_ > 0)
+        assert(batchSizes.forall(_ <= 5),
+          s"every micro-batch must respect the cap: ${batchSizes.mkString(",")}")
+        assert(batchSizes.length >= 5, "the cap must actually split the backlog")
+      } finally q.stop()
+    } finally TopicLog.delete(t)
+  }
+}
