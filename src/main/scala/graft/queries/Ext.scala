@@ -336,6 +336,23 @@ object Ext {
         .orderBy("bucket")
     },
 
+    // Bloom-prefiltered join: the small side is a filtered subquery whose
+    // selectivity stats can't trigger Spark's InjectRuntimeFilter, so the
+    // operator builds the sketch explicitly. Exact result (the join
+    // discards bloom false positives) → full DuckDB oracle.
+    "x33_bloom_join" -> { (s, dir) =>
+      val cust = Tables.customer(s, dir)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey", "c_name")
+      graft.ops.BloomJoin.bloomPrefilteredJoin(
+          Tables.orders(s, dir), "o_custkey", cust, "c_custkey",
+          expectedItems = 10000L)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_cnt"),
+             Tables.dsum(col("o_totalprice")).as("revenue"))
+        .orderBy("o_orderpriority")
+    },
+
     // TF-IDF top terms per source: distinct-terms-per-doc explode, global
     // document frequency, per-source term frequency, ln-IDF score, top-5
     // per source with rounded-score + term tiebreak (both engines rank on
@@ -421,6 +438,13 @@ object Ext {
         |  MIN(len(string_split(text, ' '))) AS min_tokens,
         |  MAX(len(string_split(text, ' '))) AS max_tokens
         |FROM documents GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "x33_bloom_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_cnt,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "x01_dedup_exact" ->
       """SELECT md5(text) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS dup_cnt

@@ -330,4 +330,33 @@ class OpsSpec extends AnyFunSuite {
            sessions(0).getLong(2) == 2, s"merged session wrong: ${sessions(0)}")
     assert(sessions(1).getLong(2) == 1)
   }
+
+  test("bloom-prefiltered join: exact result, big side actually pruned") {
+    import graft.ops.BloomJoin
+    val cust = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey", "c_name")
+    val orders = Tables.orders(spark, dir)
+    val plain = orders.join(cust, orders("o_custkey") === cust("c_custkey"))
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    val bloomed = BloomJoin.bloomPrefilteredJoin(
+        orders, "o_custkey", cust, "c_custkey", expectedItems = 10000L)
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    assert(bloomed == plain, s"bloom join diverged: ${bloomed.size} vs ${plain.size}")
+
+    // the prefilter alone must pass every match and prune most non-matches
+    val bytes = BloomJoin.buildFilterBytes(cust, col("c_custkey"), 10000L, 0.01)
+    val pre = orders.filter(BloomJoin.mightContain(spark, bytes, col("o_custkey")))
+    val preCnt = pre.count()
+    val total = orders.count()
+    val matchCnt = orders.join(cust, orders("o_custkey") === cust("c_custkey")).count()
+    assert(preCnt >= matchCnt, "bloom filter dropped a true match")
+    assert(preCnt < total, s"bloom filter pruned nothing ($preCnt of $total)")
+    // fpp 1%: survivors beyond true matches should be a small fraction
+    assert(preCnt - matchCnt <= (total * 0.05).toLong,
+      s"false-positive survivors too high: ${preCnt - matchCnt} of $total")
+    // probe is Spark's codegen'd expression, visible in the plan
+    val planStr = pre.queryExecution.executedPlan.toString
+    assert(planStr.contains("might_contain"), s"no bloom probe in plan:\n$planStr")
+  }
 }
