@@ -19,6 +19,9 @@ import java.nio.file.{Files, Paths}
   *    later query's time) plus a defensive persistent-RDD sweep;
   *  - results keep deterministic sorted-name order all the way into the
   *    emitted JSON (Seq, not Map);
+  *  - each query is timed best-of-N (SPARK_GRAFT_BENCH_RUNS, default 2,
+  *    reported as `runs` in the JSON) — the host shows ±30% run noise on
+  *    identical code, which single runs misread as regressions;
   *  - the stdout JSON line is COMPACT (short query keys = the `qNN`/`xNN`
   *    prefix, 3-decimal seconds): the driver keeps only the last 2000
   *    chars of stdout and a full-width line gets truncated past parsing.
@@ -34,15 +37,21 @@ object Bench {
     // charged ~5 s of one-time startup
     spark.range(1000000).selectExpr("sum(id * 2)").collect()
     spark.read.parquet(s"$sfDir/nation.parquet").count()
+    // best-of-N per query: this ~2-core host shows ±30% run noise on
+    // identical code (BASELINE.md), which single runs read as regressions
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
     val results: Seq[(String, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        val sec = (System.nanoTime() - t0) / 1e9
-        graft.ops.Caches.releaseAll()
-        spark.catalog.clearCache()
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
-        name -> sec
+        val best = (1 to runs).map { _ =>
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          val sec = (System.nanoTime() - t0) / 1e9
+          graft.ops.Caches.releaseAll()
+          spark.catalog.clearCache()
+          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+          sec
+        }.min
+        name -> best
       }
     val total = results.map(_._2).sum
     def fmt(v: Double): String = f"$v%.3f"
@@ -50,10 +59,10 @@ object Bench {
       .map { case (k, v) => s""""${k.takeWhile(_ != '_')}":${fmt(v)}""" }
       .mkString("{", ",", "}")
     val shortJson =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$shortQs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"queries":$shortQs,"sf":"$sfDir"}"""
     val fullQs = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$fullQs,"sf":"$sfDir"}"""
     println(shortJson)
     Files.writeString(
       Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")),

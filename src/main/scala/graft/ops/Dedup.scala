@@ -169,6 +169,39 @@ object Dedup {
       .select("a_grp", "b_grp", "est_jac")
   }
 
+  /** Exact-Jaccard verification of CANDIDATE pairs — the verify step of
+    * the production near-dup pipeline (LSH emits candidates, this rescoring
+    * keeps only true near-dups). Unlike [[ngramJaccardPairs]] (all-pairs,
+    * quadratic in hot grams) this is linear in the candidate set: each
+    * pair picks up its two gram ARRAYS via id-keyed joins and intersects
+    * them per-row — no gram explode, no gram-keyed shuffle. Block parity
+    * with the exact path: pairs crossing `blockCol` are discarded, so with
+    * full-recall candidates the output EQUALS [[ngramJaccardPairs]] (same
+    * columns, same jac arithmetic — common/(na+nb-common) over the same
+    * integers). */
+  def verifyPairsJaccard(docs: DataFrame, idCol: String, textCol: String,
+                         blockCol: String, candidates: DataFrame,
+                         n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sets = docs
+      .withColumn("toks", split(col(textCol), " "))
+      .filter(size(col("toks")) >= n)
+      .select(col(idCol), col(blockCol), gramArray(col("toks"), n).as("grams"))
+    val a = sets.select(col(idCol).as("a_id"), col(blockCol).as("a_blk"),
+      col("grams").as("ga"))
+    val b = sets.select(col(idCol).as("b_id"), col(blockCol).as("b_blk"),
+      col("grams").as("gb"))
+    candidates.select("a_id", "b_id")
+      .join(a, "a_id").join(b, "b_id")
+      .filter(col("a_blk") === col("b_blk"))
+      .withColumn("common", size(array_intersect(col("ga"), col("gb"))).cast("long"))
+      .withColumn("na", size(col("ga")).cast("long"))
+      .withColumn("nb", size(col("gb")).cast("long"))
+      .withColumn("jac", col("common").cast("double") /
+        (col("na") + col("nb") - col("common")))
+      .filter(col("jac") >= threshold)
+      .select("a_id", "b_id", "common", "na", "nb", "jac")
+  }
+
   /** SimHash near-dup pairs: 8×8-bit chunk blocking (a pair within Hamming
     * distance ≤7 must share at least one of 8 chunks — pigeonhole), then
     * exact Hamming verification via bit_count(xor). At corpus scale, widen

@@ -27,7 +27,9 @@ object TextStats {
 
   def bpeishTokens(text: Column): Column = regexp_extract_all(text, lit(bpeishPattern), lit(0))
 
-  def bpeishTokenCount(text: Column): Column = size(bpeishTokens(text))
+  /** Counted with regexp_count — same number as size(bpeishTokens) without
+    * materializing the full match array per document. */
+  def bpeishTokenCount(text: Column): Column = regexp_count(text, lit(bpeishPattern))
 
   /** Canonical-form fingerprint: md5 of lowercased, whitespace-collapsed
     * text — the exact-dup key that survives formatting noise. */

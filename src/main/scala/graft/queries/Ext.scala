@@ -9,18 +9,29 @@ import org.apache.spark.sql.functions._
   * BASELINE.json north star): dedup (exact, n-gram Jaccard, MinHash+LSH,
   * SimHash), similarity search (exact + ANN), text analysis (tokens,
   * quality, fingerprint, language-ID), multimodal binary plumbing.
-  * SQL-expressible operators carry full DuckDB oracles; the approximate
-  * ones (MinHash/SimHash/ANN) are rows-only here and recall-tested against
-  * their exact counterparts in OpsSpec. */
+  * SQL-expressible operators carry full DuckDB oracles. Approximate
+  * operators are driver-verified wherever the math allows it: the LSH
+  * paths (x03/x34) rescore candidates exactly and so share the exact
+  * twins' oracles, and the sketch queries (q34/x28) emit their bounded-
+  * error claim as a boolean column the oracle pins to TRUE. Only the
+  * sketch-valued outputs (x04/x06/x15/x24/x25) remain rows-only, each
+  * recall/epsilon-tested against an exact counterpart in OpsSpec. */
 object Ext {
 
   type Q = (SparkSession, String) => DataFrame
 
-  /** Query embedding = vec_id 0's vector (driver-side single-row lookup). */
+  /** Query embedding = vec_id 0's vector (driver-side single-row lookup,
+    * a pushed single-row parquet read). Memoized per (session, dir) so the
+    * five similarity queries don't each re-scan the embeddings parquet for
+    * the same 64 doubles; entries are tiny, so the map never needs
+    * eviction. */
+  private val queryVecCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Seq[Double]]
   private def queryVec(s: SparkSession, dir: String): Seq[Double] =
-    Tables.embeddings(s, dir).filter(col("vec_id") === 0)
-      .select(col("embedding").cast("array<double>")).head()
-      .getSeq[Double](0)
+    queryVecCache.getOrElseUpdate((s, dir),
+      Tables.embeddings(s, dir).filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>")).head()
+        .getSeq[Double](0))
 
   val queries: Map[String, Q] = Map(
     "x01_dedup_exact" -> { (s, dir) =>
@@ -35,11 +46,19 @@ object Ext {
         .orderBy("a_id", "b_id")
     },
 
-    // Approximate near-dup (MinHash 64 hashes, 16 bands × 4 rows):
-    // rows-only check here; recall vs x02 asserted in OpsSpec.
+    // LSH-accelerated near-dup pairs, the production shape: MinHash+LSH
+    // banding emits candidates (bucketed — never all-pairs), exact-Jaccard
+    // rescoring keeps the true >=0.5 pairs. Output equals the quadratic
+    // x02 path (OpsSpec pins LSH full recall on >=0.5 pairs), so it
+    // carries x02's full DuckDB oracle — the LSH path is driver-verified,
+    // not just spec-verified. Raw signature estimates stay covered by
+    // OpsSpec's recall/epsilon tests.
     "x03_minhash_lsh_pairs" -> { (s, dir) =>
-      Dedup.minhashLshPairs(Tables.documents(s, dir),
+      val docs = Tables.documents(s, dir)
+      val cands = Dedup.minhashLshPairs(docs,
           idCol = "doc_id", textCol = "text", threshold = 0.35)
+      Dedup.verifyPairsJaccard(docs, "doc_id", "text", "lang", cands,
+          n = 3, threshold = 0.5)
         .orderBy("a_id", "b_id")
     },
 
@@ -179,18 +198,58 @@ object Ext {
         .orderBy("doc_id")
     },
 
+    // The 100 TB dedup pipeline END-TO-END, every stage the scale shape:
+    // MinHash+LSH candidates (bucketed) → exact-Jaccard verify (linear in
+    // candidates) → connected components (edge-sized rounds) → keep-one
+    // retention. With full-recall candidates (pinned in OpsSpec) the
+    // retention set equals the exact-path x27, so the whole chain carries
+    // x27's DuckDB oracle.
+    "x34_dedup_scale_path" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val cands = Dedup.minhashLshPairs(docs,
+          idCol = "doc_id", textCol = "text", threshold = 0.35)
+      val edges = Dedup.verifyPairsJaccard(docs, "doc_id", "text", "lang",
+          cands, n = 3, threshold = 0.5)
+      val comp = Dedup.connectedComponents(docs.select("doc_id"), "doc_id",
+          edges.select("a_id", "b_id"))
+      Dedup.keepClusterRepresentatives(docs, "doc_id", comp)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    },
+
+    // Salted two-phase aggregation (hot-key mitigation): exactly equal to
+    // the direct aggregate — decimal partial sums are associative — so the
+    // plain GROUP BY is its oracle.
+    "x35_salted_agg" -> { (s, dir) =>
+      graft.ops.Skew.saltedSum(Tables.orders(s, dir), "o_orderpriority",
+          col("o_totalprice").cast("decimal(28,6)"))
+        .select(col("o_orderpriority"), col("n"),
+          col("total").cast("double").as("total"))
+        .orderBy("o_orderpriority")
+    },
+
     // Re-aggregatable distinct-count sketches: per-language HLL sketches
     // merged with hll_union_agg — the two-level sketch workflow (build
-    // once per shard, merge cheaply). Approximate → rows-only; accuracy
-    // vs exact asserted in OpsSpec.
+    // once per shard, merge cheaply). The sketch estimate itself is not
+    // oracle-computable, so the output carries the exact counts plus the
+    // BOUNDED-ERROR CLAIM as a column: `approx_within_5pct` goes false (→
+    // driver hash red) if the union estimate ever drifts beyond 5% of
+    // exact, making the sketch's accuracy driver-visible.
     "x28_hll_union" -> { (s, dir) =>
       val docs = Tables.documents(s, dir)
       val perLang = docs.groupBy("lang")
         .agg(hll_sketch_agg(col("source")).as("sk"),
              countDistinct(col("source")).as("exact_lang"))
-      perLang.agg(
-          hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_total_sources"),
+      val merged = perLang.agg(
+          hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_total"),
           sum(col("exact_lang")).as("sum_per_lang_exact"))
+      val exactTot = docs.agg(
+          countDistinct(col("source")).as("exact_total_sources"))
+      merged.crossJoin(exactTot)
+        .select(col("exact_total_sources"), col("sum_per_lang_exact"),
+          (abs(col("approx_total") - col("exact_total_sources")) <=
+            greatest(lit(1L), (col("exact_total_sources") * 0.05).cast("long")))
+            .as("approx_within_5pct"))
     },
 
     // Token-window chunking with overlap (50-token chunks, 10 overlap).
@@ -242,15 +301,26 @@ object Ext {
         .orderBy("doc_id")
     },
 
-    // Exact pairwise source-level trigram Jaccard (the oracle-checked
-    // counterpart of the x24 sketch path).
+    // Pairwise source-level trigram Jaccard over RARE grams (the
+    // oracle-checked counterpart of the x24 sketch path). Grams present in
+    // more than `maxDf` sources are dropped BEFORE the self-join — a hot
+    // gram contributes df² join rows, so ubiquitous boilerplate shingles
+    // are the operator's scale-killer; capping df bounds per-gram fan-in
+    // at maxDf² no matter the corpus size. The hot set is tiny by
+    // definition → broadcast anti-join, no extra shuffle of the gram
+    // table. The oracle applies the identical cap (the uncapped exact
+    // values remain pinned against the x24 sketch in OpsSpec).
     "x23_source_similarity" -> { (s, dir) =>
+      val maxDf = 10
       val tri = graft.ops.Caches.persistTracked(Dedup.ngrams(
           Tables.documents(s, dir).select(col("source"), col("text")), "text", 3)
         .select(col("source"), col("g")).distinct())
-      val sizes = tri.groupBy("source").agg(count(lit(1)).as("n"))
-      val a = tri.select(col("source").as("a_src"), col("g"))
-      val b = tri.select(col("source").as("b_src"), col("g"))
+      val hot = tri.groupBy("g").agg(count(lit(1)).as("df"))
+        .filter(col("df") > maxDf).select("g")
+      val capped = tri.join(broadcast(hot), Seq("g"), "leftanti")
+      val sizes = capped.groupBy("source").agg(count(lit(1)).as("n"))
+      val a = capped.select(col("source").as("a_src"), col("g"))
+      val b = capped.select(col("source").as("b_src"), col("g"))
       val common = a.join(b, "g")
         .filter(col("a_src") < col("b_src"))
         .groupBy("a_src", "b_src").agg(count(lit(1)).as("common"))
@@ -686,15 +756,84 @@ object Ext {
         |    unnest(list_transform(generate_series(1, len(ts) - 2),
         |      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS g
         |  FROM tok),
-        |nt AS (SELECT source, COUNT(*) AS n FROM tri GROUP BY source),
+        |capped AS (
+        |  SELECT source, g FROM tri
+        |  WHERE g NOT IN (SELECT g FROM tri GROUP BY g HAVING COUNT(*) > 10)),
+        |nt AS (SELECT source, COUNT(*) AS n FROM capped GROUP BY source),
         |pairs AS (
         |  SELECT a.source AS a_src, b.source AS b_src, COUNT(*) AS common
-        |  FROM tri a JOIN tri b ON a.g = b.g AND a.source < b.source
+        |  FROM capped a JOIN capped b ON a.g = b.g AND a.source < b.source
         |  GROUP BY 1, 2)
         |SELECT a_src, b_src,
         |  round(common * 1.0 / (na.n + nb.n - common), 6) AS jac
         |FROM pairs JOIN nt na ON a_src = na.source JOIN nt nb ON b_src = nb.source
         |ORDER BY a_src, b_src""".stripMargin,
+
+    // x03 = the LSH-accelerated exact path; with full-recall candidates
+    // (OpsSpec-pinned) its output equals x02's, so it shares the oracle.
+    "x03_minhash_lsh_pairs" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS ts FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |tri AS (
+        |  SELECT DISTINCT doc_id, lang,
+        |    unnest(list_transform(generate_series(1, len(ts) - 2),
+        |      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS g
+        |  FROM tok),
+        |nt AS (SELECT doc_id, COUNT(*) AS n FROM tri GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS common
+        |  FROM tri a JOIN tri b ON a.g = b.g AND a.lang = b.lang AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT a_id, b_id, common, na.n AS na, nb.n AS nb,
+        |       common * 1.0 / (na.n + nb.n - common) AS jac
+        |FROM pairs JOIN nt na ON a_id = na.doc_id JOIN nt nb ON b_id = nb.doc_id
+        |WHERE common * 1.0 / (na.n + nb.n - common) >= 0.5
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    // x34 = the LSH-candidate scale pipeline; with full-recall candidates
+    // its retention set equals the exact path's, so it shares x27's oracle.
+    "x34_dedup_scale_path" ->
+      """WITH RECURSIVE tok AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS ts FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |tri AS (
+        |  SELECT DISTINCT doc_id, lang,
+        |    unnest(list_transform(generate_series(1, len(ts) - 2),
+        |      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS g
+        |  FROM tok),
+        |nt AS (SELECT doc_id, COUNT(*) AS n FROM tri GROUP BY doc_id),
+        |cand AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS common
+        |  FROM tri a JOIN tri b ON a.g = b.g AND a.lang = b.lang AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |p AS (
+        |  SELECT a_id, b_id FROM cand
+        |  JOIN nt na ON a_id = na.doc_id JOIN nt nb ON b_id = nb.doc_id
+        |  WHERE common * 1.0 / (na.n + nb.n - common) >= 0.5),
+        |edges AS (SELECT a_id AS u, b_id AS v FROM p UNION SELECT b_id, a_id FROM p),
+        |walk(id, reach) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT w.id, e.v FROM walk w JOIN edges e ON w.reach = e.u),
+        |comp AS (SELECT id AS doc_id, MIN(reach) AS cluster_id FROM walk GROUP BY id)
+        |SELECT d.doc_id, d.lang, d.source
+        |FROM documents d JOIN comp c ON d.doc_id = c.doc_id
+        |WHERE c.doc_id = c.cluster_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "x35_salted_agg" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "x28_hll_union" ->
+      """SELECT COUNT(DISTINCT source) AS exact_total_sources,
+        |  CAST((SELECT SUM(n) FROM (
+        |     SELECT COUNT(DISTINCT source) AS n FROM documents GROUP BY lang))
+        |   AS BIGINT) AS sum_per_lang_exact,
+        |  TRUE AS approx_within_5pct
+        |FROM documents""".stripMargin,
 
     "x22_tfidf_terms" ->
       """WITH terms AS (

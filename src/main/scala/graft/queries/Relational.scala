@@ -348,11 +348,19 @@ object Relational {
 
     // -- approx_count_distinct (HLL sketch): no oracle (sketch values are
     //    engine-specific); accuracy vs exact asserted in QueriesSmokeSpec.
+    // -- HLL++ approximate distinct next to the exact count. The sketch
+    //    value itself is engine-specific, so the output carries the exact
+    //    count plus the bounded-error CLAIM (rsd=0.02 sketch, 5% bound) as
+    //    a boolean — the driver hash goes red if the sketch ever drifts.
     "q34_approx_distinct" -> { (s, dir) =>
       Tables.orders(s, dir)
         .groupBy("o_orderpriority")
-        .agg(approx_count_distinct(col("o_custkey")).as("approx_custs"),
+        .agg(approx_count_distinct(col("o_custkey"), 0.02).as("approx_custs"),
              countDistinct(col("o_custkey")).as("exact_custs"))
+        .select(col("o_orderpriority"), col("exact_custs"),
+          (abs(col("approx_custs") - col("exact_custs")) <=
+            greatest(lit(1L), (col("exact_custs") * 0.05).cast("long")))
+            .as("approx_within_5pct"))
         .orderBy("o_orderpriority")
     },
 
@@ -785,10 +793,21 @@ object Relational {
         |                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
         |ORDER BY c_custkey""".stripMargin,
 
+    "q34_approx_distinct" ->
+      """SELECT o_orderpriority,
+        |  COUNT(DISTINCT o_custkey) AS exact_custs,
+        |  TRUE AS approx_within_5pct
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // arg_min/arg_max proved DuckDB-version-sensitive (r3's one red row);
+    // since the encode is total and injective and orderkeys < 2^24,
+    // arg_min(key, enc) == min(enc) % 2^24 — pure integer min/max is
+    // version-proof in any engine. Spark keeps min_by/max_by (the surface
+    // under test); by injectivity both sides compute identical values.
     "q43_arg_minmax" ->
       """SELECT o_orderpriority,
-        |  arg_min(o_orderkey, CAST(round(o_totalprice * 1000000) AS BIGINT) * 16777216 + o_orderkey) AS cheapest_order,
-        |  arg_max(o_orderkey, CAST(round(o_totalprice * 1000000) AS BIGINT) * 16777216 + o_orderkey) AS priciest_order,
+        |  min(CAST(round(o_totalprice * 1000000) AS BIGINT) * 16777216 + o_orderkey) % 16777216 AS cheapest_order,
+        |  max(CAST(round(o_totalprice * 1000000) AS BIGINT) * 16777216 + o_orderkey) % 16777216 AS priciest_order,
         |  count_if(o_totalprice > 200000) AS n_big,
         |  bool_or(o_orderstatus = 'F') AS any_f
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,

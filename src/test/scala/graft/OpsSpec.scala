@@ -24,6 +24,33 @@ class OpsSpec extends AnyFunSuite {
       s"missed pairs: ${exact -- approx} (approx found ${approx.size})")
   }
 
+  test("LSH scale path == exact path end-to-end: verify, clusters, retention") {
+    import spark.implicits._
+    // the production chain: LSH candidates → exact verify → CC → keep-one
+    val cands = Dedup.minhashLshPairs(docs, "doc_id", "text", threshold = 0.35)
+    val verified = Dedup.verifyPairsJaccard(docs, "doc_id", "text", "lang",
+      cands, n = 3, threshold = 0.5)
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", "lang", 3, 0.5)
+    // verified edges equal the exact quadratic path's edges, values included
+    val vRows = verified.orderBy("a_id", "b_id")
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+    val eRows = exact.orderBy("a_id", "b_id")
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(vRows == eRows, s"verify diverged from exact: $vRows vs $eRows")
+    // and the full retention set equals the exact path's retention set
+    val comp = Dedup.connectedComponents(docs.select("doc_id"), "doc_id",
+      verified.select("a_id", "b_id"))
+    val keptScale = Dedup.keepClusterRepresentatives(docs, "doc_id", comp)
+      .select("doc_id").as[Long].collect().toSet
+    val compExact = Dedup.connectedComponents(docs.select("doc_id"), "doc_id",
+      exact.select("a_id", "b_id"))
+    val keptExact = Dedup.keepClusterRepresentatives(docs, "doc_id", compExact)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptScale == keptExact,
+      s"retention diverged: only-scale=${keptScale -- keptExact} only-exact=${keptExact -- keptScale}")
+    assert(keptScale.size < docs.count(), "expected at least one dup removed")
+  }
+
   test("minhash signature estimates Jaccard within 0.25 of exact") {
     val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", "lang", 3, 0.5)
       .select(col("a_id"), col("b_id"), col("jac"))

@@ -30,12 +30,13 @@ class QueriesSmokeSpec extends AnyFunSuite {
     assert(r.nonEmpty && r.forall(_.getAs[Double]("sum_qty") > 0))
   }
 
-  test("q34 approx_count_distinct within 10% of exact") {
+  test("q34 emits exact counts with the sketch's 5% error claim all-true") {
     val rows = SparkEntry.queries("q34_approx_distinct")(spark, dir).collect()
+    assert(rows.nonEmpty)
     rows.foreach { r =>
-      val (approx, exact) = (r.getAs[Long]("approx_custs"), r.getAs[Long]("exact_custs"))
-      assert(math.abs(approx - exact) <= math.max(1L, (exact * 0.10).toLong),
-        s"approx=$approx exact=$exact")
+      assert(r.getAs[Long]("exact_custs") > 0)
+      assert(r.getAs[Boolean]("approx_within_5pct"),
+        s"sketch drifted beyond 5% for ${r.getAs[String]("o_orderpriority")}")
     }
   }
 
