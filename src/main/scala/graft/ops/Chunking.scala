@@ -49,6 +49,43 @@ object Chunking {
     substring(md5(id.cast("string")), 1, 1).isin(keep: _*)
   }
 
+  /** Deterministic keep-with-probability-`rate` predicate at 1/65536
+    * granularity: keep a row iff the first four hex digits of
+    * md5(id-as-decimal-string) sort below the rate's 4-hex cutoff.
+    * Lowercase-hex string comparison behaves identically in every engine,
+    * so a domain-mixing job reproduces the same document set anywhere.
+    * The finer granularity (vs [[hashSample]]'s 16ths) is what mixture
+    * weights like 0.37 need. */
+  def hashKeepFraction(id: Column, rate: Double): Column = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate=$rate out of [0,1]")
+    if (rate >= 1.0) lit(true)
+    else {
+      val cut = f"${math.round(rate * 65536).toInt}%04x"
+      substring(md5(id.cast("string")), 1, 4) < lit(cut)
+    }
+  }
+
+  /** Greedy stream packing of chunks into fixed-capacity training
+    * sequences, the step between chunking and batch assembly: within each
+    * `shardCol` stream (ordered by `orderCols`), chunk i joins pack
+    * floor(tokens-before-i / capacity) — a pack closes once the running
+    * total crosses the capacity boundary (chunks are never split, so a
+    * pack may overrun by at most one chunk). One window per shard; no
+    * global coordination, so shards pack in parallel at any scale. */
+  def packChunks(chunks: DataFrame, shardCol: String, tokenCol: String,
+                 capacity: Int, orderCols: Seq[String]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(shardCol))
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    chunks
+      .withColumn("__cum", sum(col(tokenCol)).over(w))
+      .withColumn("pack_id",
+        floor((col("__cum") - col(tokenCol)).cast("double") / capacity).cast("long"))
+      .drop("__cum")
+  }
+
   /** Exactly-k-per-stratum deterministic sample: rank rows inside each
     * stratum by (md5(id), id) and keep the first k. One shuffle on the
     * stratum key; the hash order is engine-reproducible. */

@@ -303,6 +303,28 @@ object Dedup {
         .select(col("id").as(idCol)),
       Seq(idCol), "leftsemi")
 
+  /** Benchmark decontamination: flag corpus documents sharing at least one
+    * word `n`-gram with a benchmark/eval set — the overlap check every
+    * training corpus runs before release (n=8..13 typical; exact match on
+    * normalized shingles). Returns (id, n_shared_grams) for contaminated
+    * docs only.
+    *
+    * Scale shape: the benchmark side is distinct-gram-reduced first and is
+    * orders of magnitude smaller than the corpus, so the join against it
+    * broadcasts (or at worst shuffles gram hashes, never texts); the
+    * corpus side streams through ngram explode → join → per-doc count,
+    * all keyed on uniform-ish gram values. */
+  def contaminatedDocs(corpus: DataFrame, benchmark: DataFrame,
+                       idCol: String, textCol: String, n: Int = 8): DataFrame = {
+    val benchGrams = ngrams(benchmark.select(col(textCol)), textCol, n)
+      .select(col("g")).distinct()
+    ngrams(corpus.select(col(idCol), col(textCol)), textCol, n)
+      .select(col(idCol), col("g"))
+      .join(benchGrams, "g")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shared_grams"))
+  }
+
   /** 63-bit SimHash fingerprint, packed big-endian (bit 62 first; 63 bits
     * so the packing never touches the sign bit — Spark 4 runs ANSI mode
     * and would throw on the final-shift overflow of a full 64-bit pack).

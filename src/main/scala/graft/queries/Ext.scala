@@ -274,6 +274,57 @@ object Ext {
         .orderBy("lang", "doc_id")
     },
 
+    // Sequence packing: chunks → fixed-capacity (256-token) training
+    // packs, greedily per source stream — the step between chunking and
+    // batch assembly. Window cumsum per shard; shards pack independently,
+    // so the operator parallelizes at any scale.
+    "x36_sequence_packing" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val chunks = Chunking.chunk(docs, "doc_id", "text",
+          chunkTokens = 50, overlap = 10)
+        .join(docs.select("doc_id", "source"), "doc_id")
+      Chunking.packChunks(chunks, "source", "n_chunk_tokens",
+          capacity = 256, orderCols = Seq("doc_id", "chunk_idx"))
+        .groupBy("source", "pack_id")
+        .agg(count(lit(1)).as("n_chunks"),
+             sum(col("n_chunk_tokens")).cast("long").as("pack_tokens"))
+        .orderBy("source", "pack_id")
+    },
+
+    // Domain mixing: deterministic per-language keep rates (en 0.75,
+    // zh 0.5, others 0.25) via the 1/65536-granular md5 predicate — the
+    // mixture-reweighting pass of corpus assembly, reproducible on any
+    // engine/partitioning. Emits per-language totals plus the kept set's
+    // envelope for a stronger oracle check.
+    "x37_domain_mix" -> { (s, dir) =>
+      val id = col("doc_id")
+      val keep = when(col("lang") === "en", Chunking.hashKeepFraction(id, 0.75))
+        .when(col("lang") === "zh", Chunking.hashKeepFraction(id, 0.5))
+        .otherwise(Chunking.hashKeepFraction(id, 0.25))
+      Tables.documents(s, dir)
+        .withColumn("keep", keep)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_total"),
+             count_if(col("keep")).as("n_kept"),
+             round(count_if(col("keep")).cast("double") / count(lit(1)), 6)
+               .as("kept_ratio"),
+             min(when(col("keep"), id)).as("min_kept"),
+             max(when(col("keep"), id)).as("max_kept"))
+        .orderBy("lang")
+    },
+
+    // Benchmark decontamination: corpus docs sharing any 8-gram with the
+    // held-out benchmark source (src0) — the eval-overlap scrub every
+    // training corpus runs before release.
+    "x38_decontamination" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      Dedup.contaminatedDocs(
+          corpus = docs.filter(col("source") =!= "src0"),
+          benchmark = docs.filter(col("source") === "src0"),
+          idCol = "doc_id", textCol = "text", n = 8)
+        .orderBy("doc_id")
+    },
+
     // PII-style scrub: emails + long digit runs → placeholders.
     "x20_pii_redaction" -> { (s, dir) =>
       Tables.documents(s, dir)
@@ -680,6 +731,60 @@ object Ext {
       """SELECT doc_id, lang, source FROM documents
         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1', '2')
         |ORDER BY doc_id""".stripMargin,
+
+    "x36_sequence_packing" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |n AS (SELECT doc_id, toks, len(toks) AS nt FROM t WHERE len(toks) > 0),
+        |c AS (
+        |  SELECT doc_id, toks,
+        |    unnest(generate_series(0, GREATEST(CAST(ceil((nt - 10) / 40.0) AS INT), 1) - 1)) AS ci
+        |  FROM n),
+        |ch AS (
+        |  SELECT doc_id, CAST(ci AS INT) AS chunk_idx,
+        |    CAST(len(toks[ci*40+1 : ci*40+50]) AS INT) AS n_chunk_tokens
+        |  FROM c),
+        |j AS (SELECT ch.doc_id, ch.chunk_idx, ch.n_chunk_tokens, d.source
+        |      FROM ch JOIN documents d ON ch.doc_id = d.doc_id),
+        |p AS (
+        |  SELECT source, n_chunk_tokens,
+        |    SUM(n_chunk_tokens) OVER (PARTITION BY source ORDER BY doc_id, chunk_idx
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM j)
+        |SELECT source, CAST(FLOOR((cum - n_chunk_tokens) / 256.0) AS BIGINT) AS pack_id,
+        |  COUNT(*) AS n_chunks, CAST(SUM(n_chunk_tokens) AS BIGINT) AS pack_tokens
+        |FROM p GROUP BY source, pack_id ORDER BY source, pack_id""".stripMargin,
+
+    "x37_domain_mix" ->
+      """WITH k AS (
+        |  SELECT lang, doc_id,
+        |    CASE lang
+        |      WHEN 'en' THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'c000'
+        |      WHEN 'zh' THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '8000'
+        |      ELSE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '4000'
+        |    END AS keep
+        |  FROM documents)
+        |SELECT lang, COUNT(*) AS n_total, count_if(keep) AS n_kept,
+        |  round(count_if(keep) * 1.0 / COUNT(*), 6) AS kept_ratio,
+        |  MIN(CASE WHEN keep THEN doc_id END) AS min_kept,
+        |  MAX(CASE WHEN keep THEN doc_id END) AS max_kept
+        |FROM k GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "x38_decontamination" ->
+      """WITH tok AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS ts FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 8),
+        |g AS (
+        |  SELECT DISTINCT doc_id, source,
+        |    unnest(list_transform(generate_series(1, len(ts) - 7),
+        |      i -> ts[i]||' '||ts[i+1]||' '||ts[i+2]||' '||ts[i+3]||' '||
+        |           ts[i+4]||' '||ts[i+5]||' '||ts[i+6]||' '||ts[i+7])) AS g
+        |  FROM tok),
+        |bench AS (SELECT DISTINCT g FROM g WHERE source = 'src0')
+        |SELECT doc_id, COUNT(*) AS n_shared_grams
+        |FROM g WHERE source <> 'src0' AND g IN (SELECT g FROM bench)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "x19_stratified_sample" ->
       """SELECT doc_id, lang FROM (

@@ -266,6 +266,67 @@ class OpsSpec extends AnyFunSuite {
     assert(!chunks.exists(_.getLong(0) == 3L))
   }
 
+  test("packChunks: packs fill to capacity, never split chunks, cover every chunk") {
+    import spark.implicits._
+    // 10 chunks of 100 tokens in one shard, capacity 256 → packs of
+    // [100,100,100]=300 (crosses 256 at chunk 3), [100,100,100], ...
+    val chunks = (0 until 10).map(i => ("s1", 1L, i, 100)).toDF(
+      "source", "doc_id", "chunk_idx", "n_chunk_tokens")
+    val packed = Chunking.packChunks(chunks, "source", "n_chunk_tokens",
+        capacity = 256, orderCols = Seq("doc_id", "chunk_idx"))
+      .orderBy("chunk_idx").collect()
+    val packOf = packed.map(r => r.getAs[Int]("chunk_idx") -> r.getAs[Long]("pack_id")).toMap
+    // chunk i joins pack floor(100*i/256): 0,0,0,1,1,1(@500..600?)...
+    (0 until 10).foreach { i =>
+      assert(packOf(i) == (100L * i) / 256,
+        s"chunk $i in pack ${packOf(i)}, want ${(100L * i) / 256}")
+    }
+    assert(packed.length == 10) // no chunk dropped or duplicated
+    // shards pack independently
+    val two = chunks.union(chunks.withColumn("source", lit("s2")))
+    val p2 = Chunking.packChunks(two, "source", "n_chunk_tokens", 256,
+      Seq("doc_id", "chunk_idx"))
+    assert(p2.groupBy("source", "pack_id").count()
+      .filter(col("source") === "s2").count() == 4)
+  }
+
+  test("hashKeepFraction approximates its rate and is deterministic") {
+    import spark.implicits._
+    val ids = (1L to 4000L).toDF("id")
+    Seq(0.25, 0.75).foreach { rate =>
+      val kept = ids.filter(Chunking.hashKeepFraction(col("id"), rate)).count()
+      val got = kept.toDouble / 4000
+      assert(math.abs(got - rate) < 0.05, s"rate=$rate kept=$got")
+    }
+    assert(ids.filter(Chunking.hashKeepFraction(col("id"), 1.0)).count() == 4000)
+    assert(ids.filter(Chunking.hashKeepFraction(col("id"), 0.0)).count() == 0)
+    val a = ids.filter(Chunking.hashKeepFraction(col("id"), 0.3))
+      .as[Long].collect().toSet
+    val b = ids.filter(Chunking.hashKeepFraction(col("id"), 0.3))
+      .as[Long].collect().toSet
+    assert(a == b && a.nonEmpty)
+    // monotone: raising the rate only adds rows, never swaps them
+    val c = ids.filter(Chunking.hashKeepFraction(col("id"), 0.6))
+      .as[Long].collect().toSet
+    assert(a.subsetOf(c))
+  }
+
+  test("contaminatedDocs flags exactly the docs sharing an n-gram with the benchmark") {
+    import spark.implicits._
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog tonight"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "intro text then the quick brown fox jumps over the lazy dog tonight and more"),
+      (2L, "the quick brown fox jumps over a sleepy cat instead right now"), // 8-gram broken
+      (3L, "completely unrelated words with no overlap at all whatsoever today")
+    ).toDF("doc_id", "text")
+    val got = Dedup.contaminatedDocs(corpus, bench, "doc_id", "text", n = 8)
+      .as[(Long, Long)].collect().toMap
+    assert(got.keySet == Set(1L), s"got $got")
+    // doc 1 contains the benchmark's full 10-token text → 3 shared 8-grams
+    assert(got(1L) == 3, s"got ${got(1L)} shared grams")
+  }
+
   test("hash sampling is deterministic and stratified sampling is exactly-k") {
     import spark.implicits._
     val s1 = docs.filter(Chunking.hashSample(col("doc_id"))).select("doc_id")
