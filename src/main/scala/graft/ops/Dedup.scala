@@ -182,10 +182,12 @@ object Dedup {
   def verifyPairsJaccard(docs: DataFrame, idCol: String, textCol: String,
                          blockCol: String, candidates: DataFrame,
                          n: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val sets = docs
+    // the gram arrays feed BOTH join sides — persist so the per-doc gram
+    // build runs once, not twice (registered with Caches, harness-released)
+    val sets = Caches.persistTracked(docs
       .withColumn("toks", split(col(textCol), " "))
       .filter(size(col("toks")) >= n)
-      .select(col(idCol), col(blockCol), gramArray(col("toks"), n).as("grams"))
+      .select(col(idCol), col(blockCol), gramArray(col("toks"), n).as("grams")))
     val a = sets.select(col(idCol).as("a_id"), col(blockCol).as("a_blk"),
       col("grams").as("ga"))
     val b = sets.select(col(idCol).as("b_id"), col(blockCol).as("b_blk"),
@@ -244,9 +246,13 @@ object Dedup {
   def connectedComponents(vertices: DataFrame, idCol: String, pairs: DataFrame,
                           aCol: String = "a_id", bCol: String = "b_id",
                           maxIter: Int = 25): DataFrame = {
-    val edges = pairs
-      .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
-      .union(pairs.select(col(bCol).cast("long").as("u"), col(aCol).cast("long").as("v")))
+    // Both union branches read `pairs`; persist the projection first so the
+    // (potentially expensive — e.g. a full LSH+verify pipeline) pair build
+    // runs once, not twice. Registered with Caches → harness-released.
+    val p0 = Caches.persistTracked(pairs
+      .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v")))
+    val edges = p0
+      .union(p0.select(col("v").as("u"), col("u").as("v")))
       .persist()
     // Iterate ONLY over pair-incident vertices: for near-dup graphs the
     // pair set is orders of magnitude smaller than the corpus, so the

@@ -62,6 +62,13 @@ object Ext {
         .orderBy("a_id", "b_id")
     },
 
+    // SimHash near-dup pairs — rows-only BY DESIGN: unlike MinHash-LSH
+    // (set-similarity estimator → full recall on >=0.5 Jaccard pairs,
+    // driver-verified as x03/x34), simhash hamming tracks token-vector
+    // angle, not trigram Jaccard, so a fixed hamming radius provably
+    // cannot guarantee Jaccard recall (measured: 74/79 of exact >=0.8
+    // pairs within hamming 7 at sf0.1). Recall/consistency pinned in
+    // OpsSpec instead.
     "x04_simhash_pairs" -> { (s, dir) =>
       Dedup.simhashPairs(Tables.documents(s, dir),
           idCol = "doc_id", textCol = "text", maxHamming = 3)
