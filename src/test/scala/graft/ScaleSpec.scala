@@ -106,6 +106,30 @@ class ScaleSpec extends AnyFunSuite {
     graft.ops.Caches.releaseAll()
   }
 
+  test("x36 packing windows are shard-partitioned, never global") {
+    val df = graft.queries.Ext.queries("x36_sequence_packing")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // packing must parallelize per source stream; a global (unpartitioned)
+    // window would funnel every chunk through one task
+    val specs = "windowspecdefinition\\(([^,)]*)".r
+      .findAllMatchIn(plan).map(_.group(1)).toList
+    assert(specs.nonEmpty && specs.forall(_.startsWith("source")),
+      s"non-shard-partitioned window specs $specs in x36 plan:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition, ENSURE_REQUIREMENTS"),
+      s"single-partition funnel in x36 plan:\n$plan")
+  }
+
+  test("x38 decontamination joins on grams — no cartesian, no nested loop") {
+    val docs = Tables.documents(spark, dir)
+    val df = graft.ops.Dedup.contaminatedDocs(
+      docs.filter(col("source") =!= "src0"),
+      docs.filter(col("source") === "src0"), "doc_id", "text", n = 8)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoop"),
+      s"pair explosion in decontamination plan:\n$plan")
+  }
+
   test("salted aggregation equals direct aggregation exactly") {
     val li = Tables.lineitem(spark, dir)
     val direct = li.groupBy("l_suppkey")
