@@ -492,6 +492,20 @@ object Relational {
         .orderBy("o_orderpriority")
     },
 
+    // -- Recursive CTE (Spark 4's UnionLoop): transitive closure over a
+    //    synthetic parent chain (parent key = key - 5), computing each
+    //    node's root and depth. Identical SQL runs on both engines.
+    "q44_recursive_cte" -> { (s, dir) =>
+      Tables.nation(s, dir).createOrReplaceTempView("graft_nation_q44")
+      s.sql(
+        """WITH RECURSIVE walk(key, root, depth) AS (
+          |  SELECT n_nationkey, n_nationkey, 0 FROM graft_nation_q44 WHERE n_nationkey < 5
+          |  UNION ALL
+          |  SELECT n.n_nationkey, w.root, w.depth + 1
+          |  FROM graft_nation_q44 n JOIN walk w ON n.n_nationkey - 5 = w.key)
+          |SELECT key, root, depth FROM walk ORDER BY key""".stripMargin)
+    },
+
     // -- Session windows (gap-based sessionization) in batch: the same
     //    session_window expression the streaming path uses; oracle =
     //    lag/cumulative-sum sessionization. Session = [min ts, max ts+gap).
@@ -792,6 +806,14 @@ object Relational {
         |  AND NOT EXISTS (SELECT 1 FROM orders o
         |                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
         |ORDER BY c_custkey""".stripMargin,
+
+    "q44_recursive_cte" ->
+      """WITH RECURSIVE walk(key, root, depth) AS (
+        |  SELECT n_nationkey, n_nationkey, 0 FROM nation WHERE n_nationkey < 5
+        |  UNION ALL
+        |  SELECT n.n_nationkey, w.root, w.depth + 1
+        |  FROM nation n JOIN walk w ON n.n_nationkey - 5 = w.key)
+        |SELECT key, root, depth FROM walk ORDER BY key""".stripMargin,
 
     "q34_approx_distinct" ->
       """SELECT o_orderpriority,
