@@ -24,6 +24,9 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Mu
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // full-cache joins broadcast by semantic guarantee, not by statistics
+    // (see the rule's scaladoc for the 100 TB rationale)
+    ext.injectOptimizerRule(graft.plans.BroadcastFullCacheJoins(_))
     ext.injectFunction((
       new FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProductExpr].getName, "dot_product"),

@@ -37,6 +37,36 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(sql == api, s"sql=$sql api=$api")
   }
 
+  test("full-cache joins broadcast even with auto-broadcast disabled (injected rule)") {
+    import spark.implicits._
+    val server = new graft.sources.http.testkit.EmbeddedJsonServer
+    try {
+      server.payload = """[{"id":1,"name":"a"},{"id":2,"name":"b"}]"""
+      val users = spark.read.format("http-full-cache")
+        .schema("id INT, name STRING").option("url", server.url).load()
+      val probe = (1 to 100).map(i => (i % 3, i.toDouble)).toDF("user_id", "amount")
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        // statistics can no longer trigger a broadcast; only the injected
+        // BroadcastFullCacheJoins rule can — the cache side must still
+        // broadcast, and the probe side must never shuffle
+        val joined = probe.join(users, probe("user_id") === users("id"))
+        val plan = joined.queryExecution.executedPlan.toString
+        assert(plan.contains("BroadcastHashJoin"), s"no broadcast in plan:\n$plan")
+        assert(!plan.contains("SortMergeJoin"), s"probe side shuffled:\n$plan")
+        assert(joined.count() == 67) // i%3 ∈ {1,2} matches ids 1,2
+        // control: a plain join must NOT broadcast under threshold -1,
+        // proving it's the rule (not stats) that forced the hint above
+        val a = Tables.nation(spark, "/root/testdata/sf0.001").select("n_nationkey")
+        val b = Tables.region(spark, "/root/testdata/sf0.001")
+          .select(col("r_regionkey").as("n_nationkey"))
+        val ctrl = a.join(b, "n_nationkey").queryExecution.executedPlan.toString
+        assert(!ctrl.contains("BroadcastHashJoin"), s"control broadcast leaked:\n$ctrl")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    } finally server.stop()
+  }
+
   test("null inputs propagate as null through the injected functions") {
     val r = spark.sql(
       "SELECT dot_product(CAST(NULL AS array<double>), array(1.0D)) AS d").head()
