@@ -18,9 +18,12 @@ object Chunking {
     * overlapping by `overlap` (stride = chunkTokens - overlap); the final
     * chunk may be short, and every non-empty document yields at least one
     * chunk. Output: one row per (doc, chunk_idx) with the chunk text and
-    * its token count. */
+    * its token count. `keepCols` are carried through unchanged — cheaper
+    * than joining metadata back onto the exploded chunk rows afterwards
+    * (that join would re-shuffle the whole chunk table at corpus scale). */
   def chunk(docs: DataFrame, idCol: String, textCol: String,
-            chunkTokens: Int = 50, overlap: Int = 10): DataFrame = {
+            chunkTokens: Int = 50, overlap: Int = 10,
+            keepCols: Seq[String] = Nil): DataFrame = {
     require(overlap >= 0 && overlap < chunkTokens,
       s"need 0 <= overlap=$overlap < chunkTokens=$chunkTokens")
     val stride = chunkTokens - overlap
@@ -34,9 +37,9 @@ object Chunking {
       .withColumn("chunk_idx", explode(sequence(lit(0), nChunks - 1)))
       .withColumn("chunk_toks",
         slice(col("toks"), col("chunk_idx") * stride + 1, lit(chunkTokens)))
-      .select(col(idCol), col("chunk_idx"),
-        concat_ws(" ", col("chunk_toks")).as("chunk"),
-        size(col("chunk_toks")).as("n_chunk_tokens"))
+      .select(col(idCol) +: keepCols.map(col) :+ col("chunk_idx") :+
+        concat_ws(" ", col("chunk_toks")).as("chunk") :+
+        size(col("chunk_toks")).as("n_chunk_tokens"): _*)
   }
 
   /** Deterministic ~`keepHexDigits`/16 sample predicate: keep a row iff

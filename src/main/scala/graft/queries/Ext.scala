@@ -288,8 +288,7 @@ object Ext {
     "x36_sequence_packing" -> { (s, dir) =>
       val docs = Tables.documents(s, dir)
       val chunks = Chunking.chunk(docs, "doc_id", "text",
-          chunkTokens = 50, overlap = 10)
-        .join(docs.select("doc_id", "source"), "doc_id")
+          chunkTokens = 50, overlap = 10, keepCols = Seq("source"))
       Chunking.packChunks(chunks, "source", "n_chunk_tokens",
           capacity = 256, orderCols = Seq("doc_id", "chunk_idx"))
         .groupBy("source", "pack_id")

@@ -114,9 +114,15 @@ object Relational {
 
     // -- Analytic window: running sum over a total order within partition.
     //    l_quantity is integral-valued → running double sum is exact.
+    // Window order must be TOTAL: the synthetic lineitem duplicates
+    // (l_orderkey, l_linenumber) pairs (118k at sf0.1), and tied rows'
+    // prefix sums are engine-order-dependent — l_quantity/l_extendedprice
+    // tiebreaks make the running sum well-defined (rows still tied after
+    // them have equal quantities, so their prefix-sum set is unambiguous).
     "q09_running_qty" -> { (s, dir) =>
       val w = Window.partitionBy("l_suppkey")
-        .orderBy(col("l_shipdate").asc, col("l_orderkey").asc, col("l_linenumber").asc)
+        .orderBy(col("l_shipdate").asc, col("l_orderkey").asc, col("l_linenumber").asc,
+          col("l_quantity").asc, col("l_extendedprice").asc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables.lineitem(s, dir)
         .withColumn("running_qty", sum(col("l_quantity")).over(w))
@@ -593,7 +599,8 @@ object Relational {
     "q09_running_qty" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
         |  SUM(l_quantity) OVER (PARTITION BY l_suppkey
-        |    ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC
+        |    ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC,
+        |             l_quantity ASC, l_extendedprice ASC
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
         |FROM lineitem
         |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,

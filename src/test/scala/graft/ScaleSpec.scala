@@ -117,6 +117,9 @@ class ScaleSpec extends AnyFunSuite {
       s"non-shard-partitioned window specs $specs in x36 plan:\n$plan")
     assert(!plan.contains("Exchange SinglePartition, ENSURE_REQUIREMENTS"),
       s"single-partition funnel in x36 plan:\n$plan")
+    // chunk() carries `source` through the explode, so no join may appear
+    // (a metadata join-back would re-shuffle the whole chunk table)
+    assert(!plan.contains("Join"), s"metadata join-back in x36 plan:\n$plan")
   }
 
   test("x38 decontamination joins on grams — no cartesian, no nested loop") {
