@@ -39,7 +39,7 @@ object Bench {
     spark.read.parquet(s"$sfDir/nation.parquet").count()
     // best-of-N per query: this ~2-core host shows ±30% run noise on
     // identical code (BASELINE.md), which single runs read as regressions
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
+    val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt)
     val results: Seq[(String, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val best = (1 to runs).map { _ =>

@@ -61,11 +61,11 @@ object Chunking {
     * weights like 0.37 need. */
   def hashKeepFraction(id: Column, rate: Double): Column = {
     require(rate >= 0.0 && rate <= 1.0, s"rate=$rate out of [0,1]")
-    if (rate >= 1.0) lit(true)
-    else {
-      val cut = f"${math.round(rate * 65536).toInt}%04x"
-      substring(md5(id.cast("string")), 1, 4) < lit(cut)
-    }
+    val cut = math.round(rate * 65536).toInt
+    // rates rounding to 65536 must short-circuit: f"$cut%04x" would be the
+    // 5-char "10000" and the 4-char lexicographic compare collapses to ~6%
+    if (cut >= 65536) lit(true)
+    else substring(md5(id.cast("string")), 1, 4) < lit(f"$cut%04x")
   }
 
   /** Greedy stream packing of chunks into fixed-capacity training

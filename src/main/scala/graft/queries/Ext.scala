@@ -26,9 +26,12 @@ object Ext {
     * the same 64 doubles; entries are tiny, so the map never needs
     * eviction. */
   private val queryVecCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Seq[Double]]
+    scala.collection.concurrent.TrieMap.empty[String, Seq[Double]]
   private def queryVec(s: SparkSession, dir: String): Seq[Double] =
-    queryVecCache.getOrElseUpdate((s, dir),
+    // keyed by dir alone — the vector is a pure function of the data
+    // directory, and a session-object key would strongly retain stopped
+    // sessions' whole object graphs for the JVM's lifetime
+    queryVecCache.getOrElseUpdate(dir,
       Tables.embeddings(s, dir).filter(col("vec_id") === 0)
         .select(col("embedding").cast("array<double>")).head()
         .getSeq[Double](0))

@@ -127,7 +127,9 @@ object Relational {
       Tables.lineitem(s, dir)
         .withColumn("running_qty", sum(col("l_quantity")).over(w))
         .select("l_suppkey", "l_orderkey", "l_linenumber", "running_qty")
-        .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+        // running_qty completes the total order: rows tied on the three
+        // keys (dup keys exist in the data) have distinct running sums
+        .orderBy("l_suppkey", "l_orderkey", "l_linenumber", "running_qty")
     },
 
     // -- lag/lead analytic functions over event time per user.
@@ -603,7 +605,7 @@ object Relational {
         |             l_quantity ASC, l_extendedprice ASC
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
         |FROM lineitem
-        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber, running_qty""".stripMargin,
 
     "q10_event_gaps" ->
       """SELECT user_id, event_id,
