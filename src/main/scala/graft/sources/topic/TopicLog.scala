@@ -51,6 +51,25 @@ object TopicLog {
     buf.synchronized { buf += rec }
   }
 
+  /** Producer-side raw append (the DSv2 write path). Partition routing
+    * matches [[append]] (UTF-8 key → stringHash mod partitions, so a key's
+    * records stay in one partition regardless of which producer API wrote
+    * them); records with a null key route to partition 0 — deterministic,
+    * unlike Kafka's sticky round-robin, because replay-identical logs are
+    * what the source's exactly-once story rests on. */
+  def produce(topic: String, partition: Option[Int], key: Array[Byte],
+              value: Array[Byte], tsMicros: Long): Unit = {
+    val parts = logOf(topic)
+    val p = partition.getOrElse {
+      if (key == null) 0
+      else math.floorMod(MurmurHash3.stringHash(new String(key, "UTF-8")), parts.length)
+    }
+    require(p >= 0 && p < parts.length,
+      s"partition $p out of range for topic '$topic' (${parts.length} partitions)")
+    val buf = parts(p)
+    buf.synchronized { buf += Record(key, value, tsMicros) }
+  }
+
   /** Current end offset (= record count) per partition. */
   def endOffsets(topic: String): Map[Int, Long] =
     logOf(topic).zipWithIndex.map { case (buf, p) =>

@@ -2,9 +2,10 @@ package graft.sources.topic
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
@@ -43,10 +44,11 @@ class TopicSourceProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-topic"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     TopicSource.schema
+  // Write-side schemas are caller-shaped (value + optional key/partition/
+  // timestamp, like the Kafka sink), so only assert the fixed envelope on
+  // the READ schema; TopicWrite validates the write shape itself.
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table = {
-    require(schema == TopicSource.schema,
-      s"graft-topic has a fixed Kafka-shaped schema; got $schema")
     val opts = new CaseInsensitiveStringMap(properties) // keys arrive original-case
     val topic = Option(opts.get("topic")).getOrElse(
       throw new IllegalArgumentException("graft-topic requires option 'topic'"))
@@ -71,13 +73,20 @@ object TopicSource {
 }
 
 final class TopicTable(topic: String, starting: String, maxPerTrigger: Option[Long])
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graft-topic($topic)"
   override def schema(): StructType = TopicSource.schema
+  // ACCEPT_ANY_SCHEMA: write frames are caller-shaped (value + optional
+  // key/partition/timestamp — the Kafka sink contract), not the read
+  // envelope; TopicWrite validates the shape itself.
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+        TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
+        TableCapability.ACCEPT_ANY_SCHEMA).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     () => new TopicScan(topic, starting, maxPerTrigger)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new TopicWriteBuilder(topic, info)
 }
 
 final class TopicScan(topic: String, starting: String, maxPerTrigger: Option[Long])

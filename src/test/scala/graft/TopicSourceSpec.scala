@@ -25,6 +25,98 @@ class TopicSourceSpec extends AnyFunSuite {
     assert(TopicOffset.parse(off.json()) == off)
   }
 
+  test("batch write: produce round-trips through the source with key affinity") {
+    import spark.implicits._
+    val t = "t_sink_batch"
+    TopicLog.create(t, 3)
+    try {
+      (1 to 30).map(i => (s"user${i % 5}", s"""{"i":$i}"""))
+        .toDF("key", "value")
+        .write.format("graft-topic").option("topic", t).mode("append").save()
+      val back = spark.read.format("graft-topic").option("topic", t).load()
+      assert(back.count() == 30)
+      // values survive byte-exact (collected BEFORE the helper append below
+      // — the read is lazy and re-scans the log per action)
+      val vals = back.select(col("value").cast("string")).as[String].collect().toSet
+      assert(vals == (1 to 30).map(i => s"""{"i":$i}""").toSet)
+      // producer key routing matches the consumer-side contract: one key →
+      // one partition, for BOTH write APIs on the same topic
+      TopicLog.append(t, "user1", """{"via":"helper"}""", 0L)
+      val spread = spark.read.format("graft-topic").option("topic", t).load()
+        .select(col("key").cast("string").as("k"), col("partition"))
+        .distinct().groupBy("k").count().agg(max("count")).head().getLong(0)
+      assert(spread == 1L, "sink and helper must route a key identically")
+    } finally TopicLog.delete(t)
+  }
+
+  test("batch write: explicit partition column wins; invalid partition fails the write") {
+    import spark.implicits._
+    val t = "t_sink_explicit"
+    TopicLog.create(t, 2)
+    try {
+      Seq(("a", "v0", 0), ("b", "v1", 1), ("c", "v1b", 1))
+        .toDF("key", "value", "partition")
+        .write.format("graft-topic").option("topic", t).mode("append").save()
+      val got = spark.read.format("graft-topic").option("topic", t).load()
+        .select(col("partition"), col("value").cast("string").as("v"))
+        .collect().map(r => r.getInt(0) -> r.getString(1)).toSet
+      assert(got == Set(0 -> "v0", 1 -> "v1", 1 -> "v1b"))
+      val err = intercept[Exception] {
+        Seq(("x", "boom", 7)).toDF("key", "value", "partition")
+          .write.format("graft-topic").option("topic", t).mode("append").save()
+      }
+      assert(err.getMessage != null)
+    } finally TopicLog.delete(t)
+  }
+
+  test("write validation: missing value column and bad types are rejected") {
+    import spark.implicits._
+    val t = "t_sink_invalid"
+    TopicLog.create(t, 1)
+    try {
+      val noValue = intercept[Exception] {
+        Seq("k").toDF("key").write.format("graft-topic")
+          .option("topic", t).mode("append").save()
+      }
+      assert(noValue.getMessage.contains("value"))
+      val badPart = intercept[Exception] {
+        Seq(("v", "not-an-int")).toDF("value", "partition")
+          .write.format("graft-topic").option("topic", t).mode("append").save()
+      }
+      assert(badPart.getMessage.contains("partition"))
+    } finally TopicLog.delete(t)
+  }
+
+  test("streaming write: a topic-to-topic pipeline moves records across micro-batches") {
+    import spark.implicits._
+    val src = "t_pipe_src"
+    val dst = "t_pipe_dst"
+    fill(src, 12, parts = 2)
+    TopicLog.create(dst, 2)
+    val ckpt = Files.createTempDirectory("graft_sink_ckpt")
+    ckpt.toFile.deleteOnExit()
+    try {
+      // consume the source topic, uppercase the payload, produce to dst —
+      // the canonical stream-transform-produce pipeline, all graft-topic
+      val q = spark.readStream.format("graft-topic")
+        .option("topic", src).load()
+        .select(col("key"), upper(col("value").cast("string")).as("value"))
+        .writeStream.format("graft-topic")
+        .option("topic", dst)
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val out = spark.read.format("graft-topic").option("topic", dst).load()
+      assert(out.count() == 12)
+      val vals = out.select(col("value").cast("string")).as[String].collect()
+      assert(vals.forall(v => v.contains("\"N\":") || v.toUpperCase == v))
+      // key affinity preserved through the pipeline
+      val spread = out.select(col("key").cast("string").as("k"), col("partition"))
+        .distinct().groupBy("k").count().agg(max("count")).head().getLong(0)
+      assert(spread == 1L)
+    } finally { TopicLog.delete(src); TopicLog.delete(dst) }
+  }
+
   test("batch read: full envelope, contiguous per-partition offsets, key affinity") {
     val t = "t_batch"
     fill(t, 40)
