@@ -9,7 +9,9 @@ import org.apache.spark.sql.functions._
   * the reference's example job (ref: example/src/main/scala/com/datanutshell/
   * examples/FlinkHttpConnectorExample.scala:78-154): a generated event
   * stream enriched against a user table served over HTTP by the
-  * `http-full-cache` source, printed to the console.
+  * `http-full-cache` source, printed to the console AND produced back
+  * onto a `graft-topic` partitioned log keyed by user (the reference
+  * job's Kafka-sink leg), which is read back and sampled at exit.
   *
   * Offline-safe: the "remote" endpoint is an embedded JDK HttpServer.
   * Mid-run the payload is swapped so the console output shows the TTL
@@ -51,10 +53,32 @@ object Main {
       .option("truncate", "false").option("numRows", "8")
       .outputMode("append").start()
 
+    // ... and the produce leg the reference job ends with (enriched
+    // records back onto a topic — its Kafka sink): same enrichment, keyed
+    // by user, appended to a graft-topic partitioned log
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_example_sink")
+    ckpt.toFile.deleteOnExit()
+    val qTopic = enriched
+      .select(col("user_id").cast("string").as("key"),
+        to_json(struct(col("ts"), col("user_id"), col("name"), col("value")))
+          .as("value"))
+      .writeStream.format("graft-topic")
+      .option("topic", "enriched-events").option("partitions", "3")
+      .option("checkpointLocation", ckpt.toString)
+      .start()
+
     Thread.sleep(6000)
     server.payload = users("Renamed") // visible after the PT3S TTL
     q.awaitTermination(6000)
     q.stop()
+    qTopic.stop()
+    val produced = spark.read.format("graft-topic")
+      .option("topic", "enriched-events").load()
+    println(s"[example] produced ${produced.count()} enriched records to " +
+      "graft-topic 'enriched-events'; sample:")
+    produced.select(col("key").cast("string"), col("value").cast("string"),
+        col("partition"), col("offset"))
+      .show(5, truncate = false)
     spark.stop()
     server.stop()
     sys.exit(0)

@@ -56,7 +56,10 @@ class TopicSourceProvider extends TableProvider with DataSourceRegister {
     require(starting == "earliest" || starting == "latest",
       s"startingOffsets must be earliest|latest, got '$starting'")
     val maxPerTrigger = Option(opts.get("maxrecordspertrigger")).map(_.toLong)
-    new TopicTable(topic, starting, maxPerTrigger)
+    // write-side auto-create (Kafka-style): .option("partitions", n) creates
+    // the topic if absent; no-op when it already exists
+    val partitions = Option(opts.get("partitions")).map(_.toInt)
+    new TopicTable(topic, starting, maxPerTrigger, partitions)
   }
 }
 
@@ -72,7 +75,8 @@ object TopicSource {
     StructField("timestamp", TimestampType, nullable = false)))
 }
 
-final class TopicTable(topic: String, starting: String, maxPerTrigger: Option[Long])
+final class TopicTable(topic: String, starting: String, maxPerTrigger: Option[Long],
+                       partitions: Option[Int] = None)
     extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graft-topic($topic)"
   override def schema(): StructType = TopicSource.schema
@@ -85,8 +89,10 @@ final class TopicTable(topic: String, starting: String, maxPerTrigger: Option[Lo
         TableCapability.ACCEPT_ANY_SCHEMA).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     () => new TopicScan(topic, starting, maxPerTrigger)
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    partitions.foreach(TopicLog.create(topic, _)) // driver-side, idempotent
     new TopicWriteBuilder(topic, info)
+  }
 }
 
 final class TopicScan(topic: String, starting: String, maxPerTrigger: Option[Long])

@@ -69,6 +69,23 @@ class TopicSourceSpec extends AnyFunSuite {
     } finally TopicLog.delete(t)
   }
 
+  test("write auto-creates the topic when 'partitions' is given") {
+    import spark.implicits._
+    val t = "t_sink_autocreate"
+    try {
+      Seq(("k1", "v1"), ("k2", "v2")).toDF("key", "value")
+        .write.format("graft-topic").option("topic", t)
+        .option("partitions", "4").mode("append").save()
+      assert(TopicLog.partitions(t) == 4)
+      assert(spark.read.format("graft-topic").option("topic", t).load().count() == 2)
+      // idempotent: a second write with the option appends, never resets
+      Seq(("k3", "v3")).toDF("key", "value")
+        .write.format("graft-topic").option("topic", t)
+        .option("partitions", "4").mode("append").save()
+      assert(spark.read.format("graft-topic").option("topic", t).load().count() == 3)
+    } finally TopicLog.delete(t)
+  }
+
   test("write validation: missing value column and bad types are rejected") {
     import spark.implicits._
     val t = "t_sink_invalid"
