@@ -334,6 +334,26 @@ object Ext {
         .orderBy("doc_id")
     },
 
+    // Corpus report ("dataset card" numbers): doc/lang/token totals, exact
+    // duplicate count, quality-gate pass count — ONE scan, all facets as
+    // composed Column expressions plus two distinct-aggregates; the
+    // summary every dataset release ships with.
+    "x39_corpus_report" -> { (s, dir) =>
+      val gate = TextStats.qualityColumns(col("text")).toMap
+      Tables.documents(s, dir)
+        .select(col("lang"),
+          TextStats.tokenCount(col("text")).as("ws"),
+          TextStats.bpeishTokenCount(col("text")).as("bp"),
+          TextStats.fingerprint(col("text")).as("fp"),
+          (gate("n_tokens") >= 5 && gate("alpha_ratio") >= 0.5).as("passes"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(col("ws")).cast("long").as("total_ws_tokens"),
+          sum(col("bp")).cast("long").as("total_bpeish_tokens"),
+          (count(lit(1)) - countDistinct(col("fp"))).as("n_exact_dups"),
+          count_if(col("passes")).as("n_quality_pass"))
+    },
+
     // PII-style scrub: emails + long digit runs → placeholders.
     "x20_pii_redaction" -> { (s, dir) =>
       Tables.documents(s, dir)
@@ -779,6 +799,24 @@ object Ext {
         |  MIN(CASE WHEN keep THEN doc_id END) AS min_kept,
         |  MAX(CASE WHEN keep THEN doc_id END) AS max_kept
         |FROM k GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "x39_corpus_report" ->
+      """WITH f AS (
+        |  SELECT lang,
+        |    len(list_filter(string_split(text, ' '), t -> t <> '')) AS ws,
+        |    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bp,
+        |    md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp,
+        |    (len(list_filter(string_split(text, ' '), t -> t <> '')) >= 5 AND
+        |     round(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+        |           / NULLIF(length(text), 0), 6) >= 0.5) AS passes
+        |  FROM documents)
+        |SELECT COUNT(*) AS n_docs,
+        |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  CAST(SUM(ws) AS BIGINT) AS total_ws_tokens,
+        |  CAST(SUM(bp) AS BIGINT) AS total_bpeish_tokens,
+        |  CAST(COUNT(*) - COUNT(DISTINCT fp) AS BIGINT) AS n_exact_dups,
+        |  count_if(passes) AS n_quality_pass
+        |FROM f""".stripMargin,
 
     "x38_decontamination" ->
       """WITH tok AS (
