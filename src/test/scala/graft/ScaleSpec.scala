@@ -133,6 +133,22 @@ class ScaleSpec extends AnyFunSuite {
       s"pair explosion in decontamination plan:\n$plan")
   }
 
+  test("x39 corpus report reads the documents parquet exactly once") {
+    val df = graft.queries.Ext.queries("x39_corpus_report")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"expected one documents scan, found $scans:\n$plan")
+  }
+
+  test("x34 scale pipeline plan has no cartesian product or nested-loop join") {
+    val df = graft.queries.Ext.queries("x34_dedup_scale_path")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoop"),
+      s"pair explosion in x34 plan:\n$plan")
+    graft.ops.Caches.releaseAll()
+  }
+
   test("salted aggregation equals direct aggregation exactly") {
     val li = Tables.lineitem(spark, dir)
     val direct = li.groupBy("l_suppkey")

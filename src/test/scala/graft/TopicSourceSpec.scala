@@ -86,6 +86,26 @@ class TopicSourceSpec extends AnyFunSuite {
     } finally TopicLog.delete(t)
   }
 
+  test("write: null key routes deterministically, null value is a tombstone") {
+    import spark.implicits._
+    val t = "t_sink_nulls"
+    TopicLog.create(t, 3)
+    try {
+      Seq((Some("k1"), Some("v1")), (None, Some("v-nullkey")), (Some("k2"), None))
+        .toDF("key", "value")
+        .write.format("graft-topic").option("topic", t).mode("append").save()
+      val rows = spark.read.format("graft-topic").option("topic", t).load()
+        .select(col("key").cast("string"), col("value").cast("string"), col("partition"))
+        .collect()
+      assert(rows.length == 3)
+      val nullKey = rows.find(_.isNullAt(0)).get
+      assert(nullKey.getInt(2) == 0, "null key must route to partition 0")
+      assert(nullKey.getString(1) == "v-nullkey")
+      val tomb = rows.find(r => !r.isNullAt(0) && r.getString(0) == "k2").get
+      assert(tomb.isNullAt(1), "null value must survive as a tombstone")
+    } finally TopicLog.delete(t)
+  }
+
   test("write validation: missing value column and bad types are rejected") {
     import spark.implicits._
     val t = "t_sink_invalid"
