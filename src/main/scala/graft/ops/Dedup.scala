@@ -299,6 +299,26 @@ object Dedup {
     finalLabels.union(singletons)
   }
 
+  /** The whole near-dup dedup pipeline as one call — what a corpus job
+    * actually runs: MinHash+LSH candidates (bucketed, never all-pairs) →
+    * exact-Jaccard verification (linear in candidates) → connected
+    * components (edge-sized rounds) → keep the min-id doc per component.
+    * Returns the retained rows of `docs` unchanged in schema. Harness
+    * query x34 is this function verified against the quadratic exact
+    * path's oracle. */
+  def nearDupDedup(docs: DataFrame, idCol: String, textCol: String,
+                   blockCol: String, n: Int = 3, threshold: Double = 0.5,
+                   nHashes: Int = 64, bands: Int = 16,
+                   candidateThreshold: Double = 0.35): DataFrame = {
+    val cands = minhashLshPairs(docs, idCol, textCol, n, nHashes, bands,
+      candidateThreshold)
+    val edges = verifyPairsJaccard(docs, idCol, textCol, blockCol, cands,
+      n, threshold)
+    val comp = connectedComponents(docs.select(col(idCol)), idCol,
+      edges.select("a_id", "b_id"))
+    keepClusterRepresentatives(docs, idCol, comp)
+  }
+
   /** Keep exactly the cluster representatives (id == cluster_id) of `df`,
     * i.e. the min-id document per near-dup component plus all singletons —
     * the retention step after [[connectedComponents]]. `components` must

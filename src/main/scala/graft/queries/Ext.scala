@@ -215,14 +215,8 @@ object Ext {
     // retention set equals the exact-path x27, so the whole chain carries
     // x27's DuckDB oracle.
     "x34_dedup_scale_path" -> { (s, dir) =>
-      val docs = Tables.documents(s, dir)
-      val cands = Dedup.minhashLshPairs(docs,
-          idCol = "doc_id", textCol = "text", threshold = 0.35)
-      val edges = Dedup.verifyPairsJaccard(docs, "doc_id", "text", "lang",
-          cands, n = 3, threshold = 0.5)
-      val comp = Dedup.connectedComponents(docs.select("doc_id"), "doc_id",
-          edges.select("a_id", "b_id"))
-      Dedup.keepClusterRepresentatives(docs, "doc_id", comp)
+      Dedup.nearDupDedup(Tables.documents(s, dir),
+          idCol = "doc_id", textCol = "text", blockCol = "lang")
         .select("doc_id", "lang", "source")
         .orderBy("doc_id")
     },
@@ -352,6 +346,21 @@ object Ext {
           sum(col("bp")).cast("long").as("total_bpeish_tokens"),
           (count(lit(1)) - countDistinct(col("fp"))).as("n_exact_dups"),
           count_if(col("passes")).as("n_quality_pass"))
+    },
+
+    // Frame sampling: every-2nd 64-byte slice of each media payload
+    // without any decode — the cheap keyframe pass. Slice identity is
+    // compared via md5-of-hex (DuckDB 1.0 has no BLOB substring, so the
+    // oracle slices the hex projection — 2 hex chars per byte, same
+    // uppercase alphabet in both engines).
+    "x40_frame_slices" -> { (s, dir) =>
+      Multimodal.sampleSlices(
+          Multimodal.fromDocuments(Tables.documents(s, dir)),
+          sliceLen = 64, everyK = 2)
+        .select(col("media_id"), col("modality"), col("slice_idx"),
+          octet_length(col("slice")).as("n_slice_bytes"),
+          md5(hex(col("slice"))).as("slice_md5"))
+        .orderBy("media_id", "slice_idx")
     },
 
     // PII-style scrub: emails + long digit runs → placeholders.
@@ -799,6 +808,21 @@ object Ext {
         |  MIN(CASE WHEN keep THEN doc_id END) AS min_kept,
         |  MAX(CASE WHEN keep THEN doc_id END) AS max_kept
         |FROM k GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "x40_frame_slices" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |    CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+        |    hex(encode(text)) AS ph, octet_length(encode(text)) AS nb
+        |  FROM documents),
+        |s AS (
+        |  SELECT media_id, modality, ph,
+        |    unnest(generate_series(0, CAST(ceil(nb / 64.0) AS INT) - 1, 2)) AS slice_idx
+        |  FROM m WHERE nb > 0)
+        |SELECT media_id, modality, CAST(slice_idx AS INT) AS slice_idx,
+        |  CAST(len(substr(ph, slice_idx * 128 + 1, 128)) / 2 AS INT) AS n_slice_bytes,
+        |  md5(substr(ph, slice_idx * 128 + 1, 128)) AS slice_md5
+        |FROM s ORDER BY media_id, slice_idx""".stripMargin,
 
     "x39_corpus_report" ->
       """WITH f AS (
