@@ -57,7 +57,6 @@ object Main {
     // records back onto a topic — its Kafka sink): same enrichment, keyed
     // by user, appended to a graft-topic partitioned log
     val ckpt = java.nio.file.Files.createTempDirectory("graft_example_sink")
-    ckpt.toFile.deleteOnExit()
     val qTopic = enriched
       .select(col("user_id").cast("string").as("key"),
         to_json(struct(col("ts"), col("user_id"), col("name"), col("value")))
@@ -81,6 +80,12 @@ object Main {
       .show(5, truncate = false)
     spark.stop()
     server.stop()
+    // deleteOnExit is a no-op for non-empty dirs — remove the checkpoint
+    // tree explicitly so repeated runs don't accumulate in /tmp
+    import java.nio.file.{Files => NFiles}
+    import scala.jdk.CollectionConverters._
+    NFiles.walk(ckpt).iterator().asScala.toSeq.reverse
+      .foreach(p => NFiles.deleteIfExists(p))
     sys.exit(0)
   }
 }

@@ -55,6 +55,15 @@ object TextStats {
       "digit_ratio" -> round(digit.cast("double") / nullif(len, lit(0)), 6))
   }
 
+  /** The corpus quality gate (≥5 tokens, ≥50% alphabetic) — ONE definition
+    * shared by the clean-corpus pipeline (x26) and the corpus report (x39)
+    * so the "quality pass" notion cannot drift between them. Evaluates the
+    * same rounded ratio [[qualityColumns]] emits. */
+  def qualityGate(text: Column): Column = {
+    val q = qualityColumns(text).toMap
+    q("n_tokens") >= 5 && q("alpha_ratio") >= 0.5
+  }
+
   /** Stopword vocabularies for the language-ID heuristic. Deliberately tiny
     * and fixed: the heuristic (and its SQL oracle) must be reproducible. */
   val stopwords: Map[String, Seq[String]] = Map(

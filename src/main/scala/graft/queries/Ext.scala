@@ -333,13 +333,12 @@ object Ext {
     // composed Column expressions plus two distinct-aggregates; the
     // summary every dataset release ships with.
     "x39_corpus_report" -> { (s, dir) =>
-      val gate = TextStats.qualityColumns(col("text")).toMap
       Tables.documents(s, dir)
         .select(col("lang"),
           TextStats.tokenCount(col("text")).as("ws"),
           TextStats.bpeishTokenCount(col("text")).as("bp"),
           TextStats.fingerprint(col("text")).as("fp"),
-          (gate("n_tokens") >= 5 && gate("alpha_ratio") >= 0.5).as("passes"))
+          TextStats.qualityGate(col("text")).as("passes"))
         .agg(count(lit(1)).as("n_docs"),
           countDistinct(col("lang")).as("n_langs"),
           sum(col("ws")).cast("long").as("total_ws_tokens"),
@@ -379,7 +378,7 @@ object Ext {
         case (df, (name, c)) => df.withColumn(name, c)
       }
       val gated = quality
-        .filter(col("n_tokens") >= 5 && col("alpha_ratio") >= 0.5)
+        .filter(TextStats.qualityGate(col("text")))
         .withColumn("fp", TextStats.fingerprint(col("text")))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("fp").orderBy("doc_id")

@@ -17,9 +17,9 @@ import org.apache.spark.sql.types._
   *    round-robins);
   *  - delivery is AT-LEAST-ONCE, like the real (non-transactional) Kafka
   *    sink: writers append as tasks run, `commit` is an ack and `abort`
-  *    cannot un-append — a retried task re-appends. Deduplicate downstream
-  *    (e.g. dropDuplicatesWithinWatermark on key+offset) when exactly-once
-  *    matters;
+  *    cannot un-append — a retried task re-appends, and each re-appended
+  *    copy gets a NEW offset, so dedup downstream must key on a business
+  *    id carried in the value (never on the broker-assigned offset);
   *  - an input `timestamp` column (timestamp type) is honored as the
   *    record timestamp; absent one, records carry epoch 0 rather than
   *    wall-clock, keeping replayed writes byte-identical.

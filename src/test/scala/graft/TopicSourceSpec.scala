@@ -131,7 +131,6 @@ class TopicSourceSpec extends AnyFunSuite {
     fill(src, 12, parts = 2)
     TopicLog.create(dst, 2)
     val ckpt = Files.createTempDirectory("graft_sink_ckpt")
-    ckpt.toFile.deleteOnExit()
     try {
       // consume the source topic, uppercase the payload, produce to dst —
       // the canonical stream-transform-produce pipeline, all graft-topic
@@ -151,7 +150,13 @@ class TopicSourceSpec extends AnyFunSuite {
       val spread = out.select(col("key").cast("string").as("k"), col("partition"))
         .distinct().groupBy("k").count().agg(max("count")).head().getLong(0)
       assert(spread == 1L)
-    } finally { TopicLog.delete(src); TopicLog.delete(dst) }
+    } finally {
+      TopicLog.delete(src); TopicLog.delete(dst)
+      // deleteOnExit can't remove non-empty dirs; clean the checkpoint tree
+      import scala.jdk.CollectionConverters._
+      Files.walk(ckpt).iterator().asScala.toSeq.reverse
+        .foreach(p => Files.deleteIfExists(p))
+    }
   }
 
   test("batch read: full envelope, contiguous per-partition offsets, key affinity") {
