@@ -67,6 +67,36 @@ class ExtensionsSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("broadcast rule guards: mixed sides not hinted, pinned strategies win") {
+    import spark.implicits._
+    val server = new graft.sources.http.testkit.EmbeddedJsonServer
+    try {
+      server.payload = """[{"id":1,"name":"a"},{"id":2,"name":"b"}]"""
+      val users = spark.read.format("http-full-cache")
+        .schema("id INT, name STRING").option("url", server.url).load()
+      val probe = (1 to 100).map(i => (i % 3, i.toDouble)).toDF("user_id", "amount")
+      val facts = (1 to 100).map(i => (i % 3, i)).toDF("id", "n")
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        // a side that merely CONTAINS a cache scan (joined below with a
+        // non-cache table) must not be broadcast by the rule
+        val mixed = users.join(facts, "id")
+        val plan = probe.join(mixed, probe("user_id") === mixed("id"))
+          .queryExecution.executedPlan.toString
+        assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+          s"outer join with mixed side should not broadcast:\n$plan")
+        // a user-pinned strategy on the cache side is respected
+        val pinned = probe.join(users.hint("merge"),
+          probe("user_id") === users("id"))
+        val pinnedPlan = pinned.queryExecution.executedPlan.toString
+        assert(pinnedPlan.contains("SortMergeJoin"),
+          s"user-pinned merge hint must win over the rule:\n$pinnedPlan")
+        assert(pinned.count() == 67)
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    } finally server.stop()
+  }
+
   test("null inputs propagate as null through the injected functions") {
     val r = spark.sql(
       "SELECT dot_product(CAST(NULL AS array<double>), array(1.0D)) AS d").head()
