@@ -40,8 +40,14 @@ object Bench {
     // best-of-N per query: this ~2-core host shows ±30% run noise on
     // identical code (BASELINE.md), which single runs read as regressions
     val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt)
+    // optional comma-separated name-prefix filter for local iteration
+    // (e.g. SPARK_GRAFT_BENCH_ONLY=x23,x26); the driver never sets it
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     val results: Seq[(String, Double)] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
+        .map { case (name, fn) =>
         val best = (1 to runs).map { _ =>
           val t0 = System.nanoTime()
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()

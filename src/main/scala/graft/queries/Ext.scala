@@ -373,13 +373,15 @@ object Ext {
     // dedup (keep lowest id) → deterministic hash sample. The composition
     // a training-data prep job actually runs, as ONE declarative plan.
     "x26_clean_corpus" -> { (s, dir) =>
-      val docs = Tables.documents(s, dir)
-      val quality = TextStats.qualityColumns(col("text")).foldLeft(docs) {
-        case (df, (name, c)) => df.withColumn(name, c)
-      }
-      val gated = quality
+      // qualityGate is the SINGLE quality evaluation; n_tokens is the only
+      // quality stat the output carries, computed once directly. Project
+      // down to the 5 surviving columns BEFORE the dedup window so `text`
+      // never travels through the fingerprint shuffle.
+      val gated = Tables.documents(s, dir)
         .filter(TextStats.qualityGate(col("text")))
-        .withColumn("fp", TextStats.fingerprint(col("text")))
+        .select(col("doc_id"), col("lang"), col("source"),
+          TextStats.tokenCount(col("text")).as("n_tokens"),
+          TextStats.fingerprint(col("text")).as("fp"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("fp").orderBy("doc_id")
       gated
@@ -400,17 +402,31 @@ object Ext {
     // values remain pinned against the x24 sketch in OpsSpec).
     "x23_source_similarity" -> { (s, dir) =>
       val maxDf = 10
-      val tri = graft.ops.Caches.persistTracked(Dedup.ngrams(
+      val tri = Dedup.ngrams(
           Tables.documents(s, dir).select(col("source"), col("text")), "text", 3)
-        .select(col("source"), col("g")).distinct())
-      val hot = tri.groupBy("g").agg(count(lit(1)).as("df"))
-        .filter(col("df") > maxDf).select("g")
-      val capped = tri.join(broadcast(hot), Seq("g"), "leftanti")
-      val sizes = capped.groupBy("source").agg(count(lit(1)).as("n"))
-      val a = capped.select(col("source").as("a_src"), col("g"))
-      val b = capped.select(col("source").as("b_src"), col("g"))
-      val common = a.join(b, "g")
-        .filter(col("a_src") < col("b_src"))
+        .select(col("source"), col("g"))
+      // ONE gram-keyed shuffle replaces r4's distinct + df-count + anti-join
+      // + persist: collect_set dedups (source,g) with map-side partial agg,
+      // and the df≤cap filter is just size(set). Pairs explode from each
+      // gram's sorted source list (df ≤ maxDf ⇒ ≤ maxDf² pairs per gram, so
+      // fan-out stays bounded no matter the corpus size). Note the set is
+      // bounded by the number of DISTINCT SOURCES, not documents — for a
+      // corpus with millions of sources the r4 two-pass anti-join bounds
+      // memory better; for the domain-sized cardinalities this operator
+      // targets, one shuffle wins.
+      val byGram = tri.groupBy("g")
+        .agg(array_sort(collect_set(col("source"))).as("ss"))
+        .filter(size(col("ss")) <= maxDf)
+      val sizes = byGram.select(explode(col("ss")).as("source"))
+        .groupBy("source").agg(count(lit(1)).as("n"))
+      // size ≥ 2 guard: sequence(1, 0) descends rather than emitting empty
+      val pairCol = flatten(transform(
+        sequence(lit(1), size(col("ss")) - 1),
+        i => transform(slice(col("ss"), i + 1, size(col("ss"))),
+          b => struct(element_at(col("ss"), i).as("a_src"), b.as("b_src")))))
+      val common = byGram.filter(size(col("ss")) >= 2)
+        .select(explode(pairCol).as("p"))
+        .select(col("p.a_src").as("a_src"), col("p.b_src").as("b_src"))
         .groupBy("a_src", "b_src").agg(count(lit(1)).as("common"))
       common
         .join(sizes.withColumnRenamed("n", "na"), common("a_src") === sizes("source")).drop("source")
@@ -802,7 +818,7 @@ object Ext {
         |      ELSE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '4000'
         |    END AS keep
         |  FROM documents)
-        |SELECT lang, COUNT(*) AS n_total, count_if(keep) AS n_kept,
+        |SELECT lang, COUNT(*) AS n_total, CAST(count_if(keep) AS BIGINT) AS n_kept,
         |  round(count_if(keep) * 1.0 / COUNT(*), 6) AS kept_ratio,
         |  MIN(CASE WHEN keep THEN doc_id END) AS min_kept,
         |  MAX(CASE WHEN keep THEN doc_id END) AS max_kept
@@ -838,7 +854,7 @@ object Ext {
         |  CAST(SUM(ws) AS BIGINT) AS total_ws_tokens,
         |  CAST(SUM(bp) AS BIGINT) AS total_bpeish_tokens,
         |  CAST(COUNT(*) - COUNT(DISTINCT fp) AS BIGINT) AS n_exact_dups,
-        |  count_if(passes) AS n_quality_pass
+        |  CAST(count_if(passes) AS BIGINT) AS n_quality_pass
         |FROM f""".stripMargin,
 
     "x38_decontamination" ->

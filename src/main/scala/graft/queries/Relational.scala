@@ -839,7 +839,7 @@ object Relational {
       """SELECT o_orderpriority,
         |  min(CAST(round(o_totalprice * 1000000) AS BIGINT) * 16777216 + o_orderkey) % 16777216 AS cheapest_order,
         |  max(CAST(round(o_totalprice * 1000000) AS BIGINT) * 16777216 + o_orderkey) % 16777216 AS priciest_order,
-        |  count_if(o_totalprice > 200000) AS n_big,
+        |  CAST(count_if(o_totalprice > 200000) AS BIGINT) AS n_big,
         |  bool_or(o_orderstatus = 'F') AS any_f
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 

@@ -26,6 +26,21 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     df = df.sort_values(by=list(df.columns), kind="mergesort", na_position="first")
     return df.reset_index(drop=True)
 
+def dtype_class(dt) -> str:
+    """Coarse dtype family matching the driver's type-sensitive hash: the
+    driver tolerates width differences within a family (int32 vs int64) but
+    not cross-family drift (int64 vs float64 — the count_if/HUGEINT trap)."""
+    s = str(dt)
+    if s.startswith(("int", "uint", "Int", "UInt")):
+        return "int"
+    if s.startswith(("float", "Float")):
+        return "float"
+    if s.startswith("bool"):
+        return "bool"
+    if s.startswith("datetime"):
+        return "datetime"
+    return "object"
+
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
@@ -50,6 +65,12 @@ def main(sf_dir, out_dir):
             n_fail += 1; continue
         if len(got) != len(exp):
             print(f"FAIL {name}: rows {len(got)} vs {len(exp)}"); n_fail += 1; continue
+        bad = [(c, str(got[c].dtype), str(exp[c].dtype)) for c in got.columns
+               if dtype_class(got[c].dtype) != dtype_class(exp[c].dtype)]
+        if bad:
+            print(f"FAIL {name}: dtype drift " +
+                  ", ".join(f"{c}: spark {g} vs oracle {e}" for c, g, e in bad))
+            n_fail += 1; continue
         try:
             pd.testing.assert_frame_equal(got, exp, check_dtype=False,
                                           check_exact=True)
