@@ -33,19 +33,41 @@ object VectorFunctions {
     aggregate(zip_with(a.cast("array<double>"), b.cast("array<double>"),
       (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
 
-  /** Random-hyperplane LSH signature: `nBits` sign bits packed into a long.
-    * Hyperplane components are derived from xxhash64(bit, dim) — fully
-    * deterministic, no driver-side RNG state to ship. */
-  def rhpSignature(vec: Column, nBits: Int): Column = {
+  /** Deterministic random-hyperplane matrix for [[rhpSignature]]: component
+    * (b, d) = (hex64(md5("rhp:b:d")[0,8)) mod 2000001)/1e6 − 1 ∈ [−1, 1.000001).
+    * md5 (unlike a Spark-internal hash) is computable bit-for-bit by any
+    * engine, so an external oracle can rebuild the exact matrix and replay
+    * the whole ANN computation (the x06 DuckDB oracle does). The planes are
+    * plan LITERALS: signature evaluation does zero per-row hashing — at
+    * corpus scale the matrix is the (tiny, constant) model artifact. */
+  def rhpPlanes(nBits: Int, dims: Int): IndexedSeq[Array[Double]] =
+    (0 until nBits).map { b =>
+      Array.tabulate(dims) { d =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest(s"rhp:$b:$d".getBytes("UTF-8"))
+          .take(4).map(x => f"${x & 0xff}%02x").mkString
+        (java.lang.Long.parseLong(hex, 16) % 2000001L).toDouble / 1000000.0 - 1.0
+      }
+    }
+
+  /** Random-hyperplane LSH signature: `nBits` sign bits packed big-endian
+    * into a long. `dims` must equal the embedding dimensionality (the
+    * hyperplanes are pre-materialized literals, not per-row hashes). */
+  def rhpSignature(vec: Column, nBits: Int, dims: Int = 64): Column = {
     val v = vec.cast("array<double>")
-    // projection onto plane b: sum_d v[d] * h(b,d), h in [-1,1)
-    def proj(b: Column): Column =
-      aggregate(zip_with(v, sequence(lit(0), size(v) - 1),
-        (x, d) => x * (pmod(xxhash64(b, d), lit(2000001L)).cast("double") / 1000000.0 - 1.0)),
-        lit(0.0), (acc, x) => acc + x)
-    // big-endian bit packing: acc*2 + bit (shiftleft's shift amount must be
-    // a literal, so it can't consume the lambda variable)
-    aggregate(sequence(lit(0), lit(nBits - 1)), lit(0L),
-      (acc, b) => acc * 2 + when(proj(b) > 0, lit(1L)).otherwise(lit(0L)))
+    rhpPlanes(nBits, dims).zipWithIndex.map { case (p, b) =>
+      when(dot(v, lit(p)) > 0, lit(1L << (nBits - 1 - b))).otherwise(lit(0L))
+    }.reduce(_ + _)
   }
+
+  /** Driver-side twin of [[rhpSignature]] for a constant query vector —
+    * the same sequential IEEE accumulation as [[dot]], so the resulting
+    * signature is bit-identical to what the column form would produce. */
+  def rhpSignatureLocal(vec: Seq[Double], nBits: Int): Long =
+    rhpPlanes(nBits, vec.length).zipWithIndex.map { case (p, b) =>
+      var s = 0.0
+      var i = 0
+      while (i < p.length) { s += vec(i) * p(i); i += 1 }
+      if (s > 0) 1L << (nBits - 1 - b) else 0L
+    }.sum
 }

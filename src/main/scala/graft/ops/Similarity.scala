@@ -35,9 +35,9 @@ object Similarity {
     * query time; the signature scan is then the only per-query cost.
     * Per-row, shuffle-free, codegen'd. */
   def annBuildSignatures(emb: DataFrame, vecCol: String, idCol: String,
-                         nBits: Int = 16): DataFrame =
+                         nBits: Int = 16, dims: Int = 64): DataFrame =
     emb.select(col(idCol), col(vecCol),
-      VectorFunctions.rhpSignature(col(vecCol), nBits).as("sig"))
+      VectorFunctions.rhpSignature(col(vecCol), nBits, dims).as("sig"))
 
   /** Phase 2: probe a signature table ([[annBuildSignatures]] output,
     * freshly built or read back from storage) — Hamming prefilter on the
@@ -46,7 +46,8 @@ object Similarity {
                queryVec: Seq[Double], k: Int,
                nBits: Int = 16, maxHammingBits: Int = 8): DataFrame = {
     val q = lit(queryVec.toArray)
-    val qSig = VectorFunctions.rhpSignature(q, nBits)
+    // driver-side: same IEEE fold as the column form, constant in the plan
+    val qSig = lit(VectorFunctions.rhpSignatureLocal(queryVec, nBits))
     sigs
       .withColumn("sig_dist", bit_count(col("sig").bitwiseXOR(qSig)))
       .filter(col("sig_dist") <= maxHammingBits)
@@ -62,7 +63,7 @@ object Similarity {
   def annTopKCosine(emb: DataFrame, vecCol: String, idCol: String,
                     queryVec: Seq[Double], k: Int,
                     nBits: Int = 16, maxHammingBits: Int = 8): DataFrame =
-    annProbe(annBuildSignatures(emb, vecCol, idCol, nBits),
+    annProbe(annBuildSignatures(emb, vecCol, idCol, nBits, queryVec.length),
       vecCol, idCol, queryVec, k, nBits, maxHammingBits)
 
   /** Phase 1 of the IVF (inverted-file) path: centroid table + per-row
@@ -104,9 +105,11 @@ object Similarity {
   def ivfBuild(emb: DataFrame, vecCol: String, idCol: String,
                nLists: Int = 16): (DataFrame, DataFrame) = {
     val v = col(vecCol).cast("array<double>")
+    // deterministic hash sample ordered by md5 of the id (NOT xxhash64:
+    // md5 is engine-portable, so the x15 oracle rebuilds the same sample)
     val centroids = emb
       .select(col(idCol).as("centroid_id"), v.as("cv"))
-      .orderBy(xxhash64(col("centroid_id")).asc, col("centroid_id").asc)
+      .orderBy(md5(col("centroid_id").cast("string")).asc, col("centroid_id").asc)
       .limit(nLists)
     (centroids, assignNearest(emb, vecCol, idCol, centroids))
   }
@@ -124,7 +127,7 @@ object Similarity {
     val v = col(vecCol).cast("array<double>")
     var cur = Caches.localCheckpointScoped(emb
       .select(col(idCol).as("centroid_id"), v.as("cv"))
-      .orderBy(xxhash64(col("centroid_id")).asc, col("centroid_id").asc)
+      .orderBy(md5(col("centroid_id").cast("string")).asc, col("centroid_id").asc)
       .limit(nLists))
     for (_ <- 1 to iters) {
       val next = Caches.localCheckpointScoped(
@@ -200,8 +203,9 @@ object Similarity {
     * LSH signature chunks (8-bit) to avoid the full cross join; exact
     * cosine verification on candidates. */
   def cosineNearDupPairs(emb: DataFrame, vecCol: String, idCol: String,
-                         threshold: Double, nBits: Int = 16): DataFrame = {
-    val sigs = emb.withColumn("sig", VectorFunctions.rhpSignature(col(vecCol), nBits))
+                         threshold: Double, nBits: Int = 16,
+                         dims: Int = 64): DataFrame = {
+    val sigs = emb.withColumn("sig", VectorFunctions.rhpSignature(col(vecCol), nBits, dims))
       .select(col(idCol), col("sig"), col(vecCol))
     val chunks = (0 until nBits / 8).map(j => struct(lit(j).as("j"),
       shiftrightunsigned(col("sig"), j * 8).bitwiseAND(lit(0xFFL)).as("v")))

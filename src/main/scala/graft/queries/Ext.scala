@@ -85,6 +85,11 @@ object Ext {
         queryVec = queryVec(s, dir), k = 20)
     },
 
+    // RHP-LSH ANN top-k — FULL oracle of the approximation itself: the
+    // hyperplanes are md5-derived (VectorFunctions.rhpPlanes), so the
+    // DuckDB oracle rebuilds the identical matrix, signatures, Hamming
+    // prefilter, and exact rescoring bit-for-bit. The recall-vs-exact
+    // relationship stays pinned in OpsSpec.
     "x06_ann_lsh_topk" -> { (s, dir) =>
       Similarity.annTopKCosine(
         Tables.embeddings(s, dir).filter(col("vec_id") =!= 0),
@@ -92,6 +97,10 @@ object Ext {
         queryVec = queryVec(s, dir), k = 20)
     },
 
+    // IVF ANN top-k — FULL oracle of the approximation: the centroid
+    // sample orders by md5(id) (engine-portable), assignment is an argmax
+    // whose result is order-independent given bit-identical scores, and
+    // the probe + rescoring replay exactly in SQL.
     "x15_ivf_topk" -> { (s, dir) =>
       Similarity.ivfTopKCosine(
         Tables.embeddings(s, dir).filter(col("vec_id") =!= 0),
@@ -100,7 +109,10 @@ object Ext {
     },
 
     // IVF with k-means-trained centroids (2 Lloyd rounds, mergeable
-    // vector-sum Aggregator); rows-only — recall vs exact in OpsSpec.
+    // vector-sum Aggregator); rows-only BY DESIGN: Lloyd means are
+    // partition-order-dependent double sums, so unlike x06/x15 the
+    // trained centroids cannot be replayed bit-for-bit by an external
+    // engine — recall vs exact is pinned in OpsSpec instead.
     "x25_ivf_kmeans_topk" -> { (s, dir) =>
       val (cents, assigned) = Similarity.ivfBuildKmeans(
         Tables.embeddings(s, dir).filter(col("vec_id") =!= 0),
@@ -654,6 +666,74 @@ object Ext {
         |     sqrt(list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * qv[i])))),
         |  6) AS cos_sim
         |FROM e, q
+        |ORDER BY cos_sim DESC, vec_id ASC LIMIT 20""".stripMargin,
+
+    // Full oracle of the ANN approximation itself: the hyperplane matrix is
+    // md5-derived (see VectorFunctions.rhpPlanes), integer-exact in both
+    // engines; projections/cosines are the same sequential IEEE folds as
+    // x05's (list_sum == the codegen'd dot's accumulation order); the
+    // signature pack is integer arithmetic, so no order sensitivity.
+    "x06_ann_lsh_topk" ->
+      """WITH h AS (
+        |  SELECT b, list_transform(generate_series(0, 63),
+        |    d -> (CAST('0x' || substr(md5('rhp:' || CAST(b AS VARCHAR) || ':' || CAST(d AS VARCHAR)), 1, 8) AS UBIGINT) % 2000001) / 1000000.0 - 1.0) AS hv
+        |  FROM generate_series(0, 15) t(b)),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id <> 0),
+        |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+        |sig AS (
+        |  SELECT vec_id, CAST(SUM(CASE WHEN
+        |      list_sum(list_transform(generate_series(1, len(v)), i -> v[i] * hv[i])) > 0
+        |    THEN 1 << (15 - b) ELSE 0 END) AS BIGINT) AS sig
+        |  FROM e, h GROUP BY vec_id),
+        |qsig AS (
+        |  SELECT CAST(SUM(CASE WHEN
+        |      list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * hv[i])) > 0
+        |    THEN 1 << (15 - b) ELSE 0 END) AS BIGINT) AS qs
+        |  FROM q, h)
+        |SELECT e.vec_id,
+        |  round(
+        |    list_sum(list_transform(generate_series(1, len(v)), i -> v[i] * qv[i])) /
+        |    (sqrt(list_sum(list_transform(generate_series(1, len(v)), i -> v[i] * v[i]))) *
+        |     sqrt(list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * qv[i])))),
+        |  6) AS cos_sim
+        |FROM e JOIN sig USING (vec_id), q, qsig
+        |WHERE bit_count(xor(sig.sig, qsig.qs)) <= 8
+        |ORDER BY cos_sim DESC, vec_id ASC LIMIT 20""".stripMargin,
+
+    // Full oracle of the IVF approximation: md5-ordered centroid sample,
+    // per-row argmax assignment (row_number == the Spark fold's strict->
+    // lower-id tiebreak given bit-identical scores), nProbe=4 probe, exact
+    // rescoring of candidate lists only.
+    "x15_ivf_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id <> 0),
+        |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM e
+        |      ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC LIMIT 16),
+        |scored AS (
+        |  SELECT e.vec_id, e.v, c.cid,
+        |    list_sum(list_transform(generate_series(1, len(e.v)), i -> e.v[i] * c.cv[i])) /
+        |      (sqrt(list_sum(list_transform(generate_series(1, len(e.v)), i -> e.v[i] * e.v[i]))) *
+        |       sqrt(list_sum(list_transform(generate_series(1, len(c.cv)), i -> c.cv[i] * c.cv[i])))) AS s
+        |  FROM e, c),
+        |assigned AS (
+        |  SELECT vec_id, v, cid FROM (
+        |    SELECT vec_id, v, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rk
+        |    FROM scored) WHERE rk = 1),
+        |probe AS (
+        |  SELECT cid FROM c, q
+        |  ORDER BY
+        |    list_sum(list_transform(generate_series(1, len(cv)), i -> cv[i] * qv[i])) /
+        |      (sqrt(list_sum(list_transform(generate_series(1, len(cv)), i -> cv[i] * cv[i]))) *
+        |       sqrt(list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * qv[i])))) DESC,
+        |    cid ASC LIMIT 4)
+        |SELECT a.vec_id,
+        |  round(
+        |    list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * qv[i])) /
+        |    (sqrt(list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * a.v[i]))) *
+        |     sqrt(list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * qv[i])))),
+        |  6) AS cos_sim
+        |FROM assigned a JOIN probe USING (cid), q
         |ORDER BY cos_sim DESC, vec_id ASC LIMIT 20""".stripMargin,
 
     "x07_embedding_near_dups" ->
