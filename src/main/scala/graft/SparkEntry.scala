@@ -21,12 +21,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
     graft.queries.HttpEnrichment.queries ++
-    graft.queries.Ext.queries
+    graft.queries.Ext.queries ++
+    graft.queries.StreamGate.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → weaker rows-only check. */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracle ++
     graft.queries.HttpEnrichment.oracle ++
-    graft.queries.Ext.oracle
+    graft.queries.Ext.oracle ++
+    graft.queries.StreamGate.oracle
 }

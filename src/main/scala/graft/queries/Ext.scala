@@ -492,18 +492,23 @@ object Ext {
     // prototypes): posexplode to (label, dim) cells, decimal-exact per-dim
     // sums (accumulation-order-proof), then the centroid norm and first
     // component. Shuffles one row per (label, dim) — 64·|labels| cells,
-    // never vectors.
+    // never vectors. Decimals stay ≤18 digits (long-backed, not
+    // BigDecimal): components are |v|<1 so a (18,6) per-dim sum has 1e12
+    // headroom and the (18,12) m² norm accumulator 1e6 — exactness is
+    // unchanged (both engines sum the same exact values; width only
+    // bounds overflow).
     "x31_label_centroids" -> { (s, dir) =>
       val pe = Tables.embeddings(s, dir)
         .select(col("label"), posexplode(col("embedding").cast("array<double>")))
         .toDF("label", "pos", "v")
       val dims = pe.groupBy("label", "pos")
-        .agg(Tables.dsum(col("v")).as("sdim"), count(lit(1)).as("n"))
+        .agg(sum(col("v").cast("decimal(18,6)")).cast("double").as("sdim"),
+          count(lit(1)).as("n"))
         .select(col("label"), col("pos"), col("n"),
           round(col("sdim") / col("n"), 6).as("m"))
       dims.groupBy("label")
         .agg(max(col("n")).as("n_vectors"),
-          round(sqrt(sum((col("m") * col("m")).cast("decimal(38,12)"))
+          round(sqrt(sum((col("m") * col("m")).cast("decimal(18,12)"))
             .cast("double")), 6).as("centroid_norm"),
           max(when(col("pos") === 0, col("m"))).as("centroid_d0"))
         .orderBy("label")

@@ -1,0 +1,118 @@
+package graft.queries
+
+import graft.Tables
+import graft.streaming.Streams
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Driver-gated STREAMING queries: each runs a real micro-batch pipeline
+  * (produce → `graft-topic` → readStream → stateful transform → sink) to a
+  * batch-readable result whose values a batch engine can recompute — so the
+  * streaming execution path itself sits under the DuckDB oracle, not just
+  * under specs. The reference's streaming leg is exactly this shape
+  * (Kafka topic → watermark window agg: FlinkHttpConnectorExample.scala:78-104).
+  */
+object StreamGate {
+
+  private def rmTree(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(p))
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // events → produced into a fresh 8-partition topic (key = user, value =
+    // JSON payload, record timestamp = event time) → consumed as a
+    // micro-batch stream → watermark + tumbling 1-day window counts →
+    // complete-mode memory sink. Trigger.AvailableNow drains the whole
+    // backlog and stops; the emitted table is the batch-equivalent result
+    // the oracle recomputes directly on the parquet. Deterministic because
+    // the window sum is decimal-accumulated (merge-order-proof) and the
+    // bounded replay admits no late drops (single uncapped batch from
+    // offset 0).
+    "s01_stream_window_counts" -> { (s, dir) =>
+      val run = java.util.UUID.randomUUID().toString.take(8)
+      val topic = s"s01_events_$run"
+      val mem = s"s01_result_$run"
+      Tables.events(s, dir)
+        .select(col("user_id").cast("string").as("key"),
+          to_json(struct(col("event_type"), col("value"))).as("value"),
+          col("ts").as("timestamp"))
+        .write.format("graft-topic").mode("append")
+        .option("topic", topic).option("partitions", "8").save()
+      val parsed = s.readStream.format("graft-topic")
+        .option("topic", topic).load()
+        .select(col("timestamp").as("ts"),
+          from_json(col("value").cast("string"), org.apache.spark.sql.types
+            .StructType.fromDDL("event_type STRING, value DOUBLE")).as("j"))
+        .select(col("ts"), col("j.event_type").as("event_type"),
+          col("j.value").as("value"))
+      val agg = Streams.windowedCounts(parsed, "ts",
+        watermark = "1 day", windowDuration = "1 day")
+      val ckpt = java.nio.file.Files.createTempDirectory("s01_ckpt_")
+      val q = agg.writeStream.format("memory").queryName(mem)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+      // memory sink rows are materialized; the broker log and checkpoint
+      // are no longer needed
+      graft.sources.topic.TopicLog.delete(topic)
+      rmTree(ckpt)
+      s.table(mem).orderBy("win_start", "event_type")
+    },
+
+    // Streaming exact dedup under the gate: events replayed through the
+    // topic → dropDuplicatesWithinWatermark(user_id) → append-mode memory
+    // sink. WHICH occurrence survives is arrival-order-dependent, so the
+    // query emits only the key column — the emitted key SET (exactly one
+    // row per distinct user) is deterministic and batch-recomputable as
+    // DISTINCT. The watermark bounds dedup state on an unbounded stream;
+    // on this bounded replay it evicts nothing.
+    "s02_stream_dedup" -> { (s, dir) =>
+      val run = java.util.UUID.randomUUID().toString.take(8)
+      val topic = s"s02_events_$run"
+      val mem = s"s02_result_$run"
+      Tables.events(s, dir)
+        .select(col("user_id").cast("string").as("key"),
+          col("user_id").cast("string").as("value"),
+          col("ts").as("timestamp"))
+        .write.format("graft-topic").mode("append")
+        .option("topic", topic).option("partitions", "8").save()
+      val docs = s.readStream.format("graft-topic")
+        .option("topic", topic).load()
+        .select(col("value").cast("string").cast("long").as("user_id"),
+          col("timestamp").as("ts"))
+      val deduped = Streams.dedupWithinWatermark(docs, "user_id", "ts", "1 day")
+        .select("user_id")
+      val ckpt = java.nio.file.Files.createTempDirectory("s02_ckpt_")
+      val q = deduped.writeStream.format("memory").queryName(mem)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+      graft.sources.topic.TopicLog.delete(topic)
+      rmTree(ckpt)
+      s.table(mem).orderBy("user_id")
+    },
+  )
+
+  val oracle: Map[String, String] = Map(
+    // Spark's window('1 day') buckets align to the epoch = UTC calendar
+    // days (UTC session both sides), so date_trunc is the same bucketing.
+    "s01_stream_window_counts" ->
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS win_start,
+        |  CAST(date_trunc('day', ts) AS TIMESTAMP) + INTERVAL 1 DAY AS win_end,
+        |  event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2, 3 ORDER BY win_start, event_type""".stripMargin,
+
+    "s02_stream_dedup" ->
+      "SELECT DISTINCT user_id FROM events ORDER BY user_id",
+  )
+}

@@ -29,7 +29,9 @@ object Streams {
     Enrich.lookupJoin(stream, lookup, condition, joinType)
 
   /** Event-time tumbling/sliding window aggregation with watermark
-    * (ref declares the same watermark shape: FlinkHttpConnectorExample.scala:85). */
+    * (ref declares the same watermark shape: FlinkHttpConnectorExample.scala:85).
+    * The value sum accumulates in decimal so partial-aggregate merge order
+    * (partitions × micro-batches) can't perturb the emitted double. */
   def windowedCounts(events: DataFrame, tsCol: String, watermark: String,
                      windowDuration: String, slide: Option[String] = None): DataFrame = {
     val w = slide.map(s => window(col(tsCol), windowDuration, s))
@@ -37,7 +39,8 @@ object Streams {
     events
       .withWatermark(tsCol, watermark)
       .groupBy(w.as("win"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(28,6)")).cast("double").as("sum_value"))
       .select(col("win.start").as("win_start"), col("win.end").as("win_end"),
         col("event_type"), col("n"), col("sum_value"))
   }
