@@ -82,6 +82,33 @@ object Dedup {
       (acc, h) => zip_with(acc, sequence(lit(0), lit(nHashes - 1)),
         (m, i) => least(m, xxhash64(h, i))))
 
+  private def md5u32(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    java.lang.Long.parseLong(
+      md.digest(s.getBytes("UTF-8")).take(4).map(b => f"${b & 0xff}%02x").mkString, 16)
+  }
+
+  /** Engine-portable MinHash signature: gram → low-32 md5, family member i
+    * = (aᵢ·m + bᵢ) mod 2³¹−1 with md5-derived affine constants (a 2-universal
+    * family — plan literals, like [[graft.functions.VectorFunctions.rhpPlanes]]).
+    * Every step is integer arithmetic any engine reproduces bit-for-bit, so
+    * a DuckDB oracle can rebuild identical signatures (the x24 oracle does).
+    * Per gram this is ONE string hash + nHashes multiply-adds, vs
+    * [[minhashSignature]]'s nHashes rehashes — cheaper per gram; xxhash64
+    * stays on the LSH hot path where portability isn't needed.
+    * No overflow under ANSI: a < 2³⁰, m < 2³², so a·m+b < 2⁶³. */
+  def portableMinhashSignature(gramsCol: Column, nHashes: Int): Column = {
+    val M = 2147483647L
+    val as = Array.tabulate(nHashes)(i => md5u32(s"mh:a:$i") % 268435456L * 2 + 1)
+    val bs = Array.tabulate(nHashes)(i => md5u32(s"mh:b:$i") % M)
+    aggregate(
+      transform(gramsCol, g => conv(substring(md5(g), 1, 8), 16, 10).cast("long")),
+      array_repeat(lit(Long.MaxValue), nHashes),
+      (acc, m) => zip_with(acc, sequence(lit(0), lit(nHashes - 1)),
+        (mn, i) => least(mn,
+          (element_at(lit(as), i + 1) * m + element_at(lit(bs), i + 1)) % M)))
+  }
+
   /** MinHash + LSH banding candidate pairs with signature-estimated
     * Jaccard. `bands` × `rowsPerBand` must equal `nHashes`; two docs
     * collide iff some band of their signatures is identical. */
@@ -141,13 +168,16 @@ object Dedup {
 
   /** One MinHash sketch per group estimating the group's n-gram-set UNION
     * (per-row signatures merged map-side by the [[graft.functions.MinHashUnion]]
-    * Aggregator — shuffles nHashes longs per group, never the gram sets). */
+    * Aggregator — shuffles nHashes longs per group, never the gram sets).
+    * Uses the [[portableMinhashSignature]] family so the sketch itself is
+    * externally replayable (x24's full oracle); min-union over per-row
+    * signatures equals the min over the group's distinct gram set. */
   def groupMinhashSketch(docs: DataFrame, groupCol: String, textCol: String,
                          n: Int = 3, nHashes: Int = 64): DataFrame =
     docs
       .withColumn("toks", split(col(textCol), " "))
       .filter(size(col("toks")) >= n)
-      .withColumn("sig", minhashSignature(gramArray(col("toks"), n), nHashes))
+      .withColumn("sig", portableMinhashSignature(gramArray(col("toks"), n), nHashes))
       .groupBy(col(groupCol))
       .agg(graft.functions.MinHashUnion(col("sig"), nHashes).as("sketch"))
 

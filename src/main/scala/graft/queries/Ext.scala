@@ -449,8 +449,11 @@ object Ext {
     },
 
     // Sketch path: one MinHash-union sketch per source (custom Aggregator,
-    // map-side merge), pairwise estimates from sketches only. Rows-only
-    // here; estimate-vs-exact epsilon asserted in OpsSpec.
+    // map-side merge), pairwise estimates from sketches only. FULL oracle
+    // of the approximation itself: the signature family is md5-derived
+    // integer arithmetic (Dedup.portableMinhashSignature), so DuckDB
+    // rebuilds identical sketches and estimates. Estimate-vs-exact epsilon
+    // stays asserted in OpsSpec.
     "x24_source_sketch" -> { (s, dir) =>
       Dedup.sketchJaccardPairs(
           Dedup.groupMinhashSketch(Tables.documents(s, dir), "source", "text"),
@@ -1044,6 +1047,39 @@ object Ext {
         |  round(common * 1.0 / (na.n + nb.n - common), 6) AS jac
         |FROM pairs JOIN nt na ON a_src = na.source JOIN nt nb ON b_src = nb.source
         |ORDER BY a_src, b_src""".stripMargin,
+
+    // Full oracle of the sketch approximation: rebuild the md5-affine
+    // MinHash family (Dedup.portableMinhashSignature — integer-exact in
+    // both engines), take per-(source, seed) minima over the distinct gram
+    // set (= the union sketch's min-merge), and estimate Jaccard as the
+    // matching-component fraction. est_jac = k/64 has ≤6 decimal digits,
+    // so round(·, 6) is a no-op in both engines.
+    "x24_source_sketch" ->
+      """WITH seeds AS (
+        |  SELECT i,
+        |    CAST((CAST('0x' || substr(md5('mh:a:' || CAST(i AS VARCHAR)), 1, 8) AS UBIGINT)
+        |      % 268435456) * 2 + 1 AS BIGINT) AS a,
+        |    CAST(CAST('0x' || substr(md5('mh:b:' || CAST(i AS VARCHAR)), 1, 8) AS UBIGINT)
+        |      % 2147483647 AS BIGINT) AS b
+        |  FROM generate_series(0, 63) t(i)),
+        |tok AS (
+        |  SELECT source, string_split(text, ' ') AS ts FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |tri AS (
+        |  SELECT DISTINCT source,
+        |    unnest(list_transform(generate_series(1, len(ts) - 2),
+        |      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS g
+        |  FROM tok),
+        |h AS (
+        |  SELECT source, CAST(CAST('0x' || substr(md5(g), 1, 8) AS UBIGINT) AS BIGINT) AS m
+        |  FROM tri),
+        |sig AS (
+        |  SELECT source, i, MIN((a * m + b) % 2147483647) AS mn
+        |  FROM h, seeds GROUP BY source, i)
+        |SELECT sa.source AS a_grp, sb.source AS b_grp,
+        |  round(SUM(CASE WHEN sa.mn = sb.mn THEN 1 ELSE 0 END) / 64.0, 6) AS est_jac
+        |FROM sig sa JOIN sig sb ON sa.i = sb.i AND sa.source < sb.source
+        |GROUP BY 1, 2 ORDER BY a_grp, b_grp""".stripMargin,
 
     // x03 = the LSH-accelerated exact path; with full-recall candidates
     // (OpsSpec-pinned) its output equals x02's, so it shares the oracle.
