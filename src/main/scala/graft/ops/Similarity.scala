@@ -121,7 +121,15 @@ object Similarity {
     * sums shuffle, never vectors. The driver loop carries no data, only
     * `iters` round trips; per-round frames are localCheckpoint'd flat.
     * Lists that lose every member drop out (k may shrink — standard
-    * Lloyd behavior). */
+    * Lloyd behavior).
+    *
+    * Means are fixed-point: components quantize to ×10⁶ longs (one IEEE
+    * multiply+add+floor per value, same ops in any engine), sum exactly,
+    * and the mean rounds to 6 dp. Trained centroids are therefore
+    * DETERMINISTIC (no partition-order drift run to run) and externally
+    * replayable — the x25 oracle replays both Lloyd rounds in SQL. The
+    * ~1e-6 per-component quantization is noise three orders below the
+    * clustering scale. */
   def ivfBuildKmeans(emb: DataFrame, vecCol: String, idCol: String,
                      nLists: Int = 16, iters: Int = 2): (DataFrame, DataFrame) = {
     val v = col(vecCol).cast("array<double>")
@@ -133,10 +141,13 @@ object Similarity {
       val next = Caches.localCheckpointScoped(
         assignNearest(emb, vecCol, idCol, cur.df)
           .groupBy("centroid_id")
-          .agg(graft.functions.VectorSum(col("vec")).as("vsum"),
-               count(lit(1)).as("n"))
+          .agg(graft.functions.VectorSum(
+              transform(col("vec"), x => floor(x * lit(1000000.0) + lit(0.5)).cast("long")))
+            .as("vsum"),
+            count(lit(1)).as("n"))
           .select(col("centroid_id"),
-            transform(col("vsum"), x => x / col("n").cast("double")).as("cv")))
+            transform(col("vsum"), s =>
+              round(s.cast("double") / col("n").cast("double") / lit(1000000.0), 6)).as("cv")))
       cur.release() // round N materialized → free round N-1's blocks
       cur = next
     }

@@ -109,10 +109,10 @@ object Ext {
     },
 
     // IVF with k-means-trained centroids (2 Lloyd rounds, mergeable
-    // vector-sum Aggregator); rows-only BY DESIGN: Lloyd means are
-    // partition-order-dependent double sums, so unlike x06/x15 the
-    // trained centroids cannot be replayed bit-for-bit by an external
-    // engine — recall vs exact is pinned in OpsSpec instead.
+    // vector-sum Aggregator). FULL oracle of the approximation: means are
+    // fixed-point (×10⁶ long sums, 6-dp rounding — order-proof AND
+    // engine-portable), so the oracle replays init sample → assign → mean
+    // → assign → mean → probe → rescore, stage for stage, in SQL.
     "x25_ivf_kmeans_topk" -> { (s, dir) =>
       val (cents, assigned) = Similarity.ivfBuildKmeans(
         Tables.embeddings(s, dir).filter(col("vec_id") =!= 0),
@@ -742,6 +742,74 @@ object Ext {
         |     sqrt(list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * qv[i])))),
         |  6) AS cos_sim
         |FROM assigned a JOIN probe USING (cid), q
+        |ORDER BY cos_sim DESC, vec_id ASC LIMIT 20""".stripMargin,
+
+    // Full oracle of the k-means IVF: replays both Lloyd rounds — md5
+    // init sample, argmax assignment, FIXED-POINT means (floor(v·1e6+0.5)
+    // long sums → /n → /1e6 → round 6, the exact expression the Spark side
+    // evaluates) — then the nProbe=4 probe and exact rescoring. Identical
+    // 6-dp centroid values → bit-identical cosine folds → same assignment,
+    // probe and top-k.
+    "x25_ivf_kmeans_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id <> 0),
+        |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+        |c0 AS (SELECT vec_id AS cid, v AS cv FROM e
+        |       ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC LIMIT 16),
+        |a1 AS (
+        |  SELECT vec_id, v, cid FROM (
+        |    SELECT e.vec_id, e.v, c0.cid,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_sum(list_transform(generate_series(1, len(e.v)), i -> e.v[i] * c0.cv[i])) /
+        |          (sqrt(list_sum(list_transform(generate_series(1, len(e.v)), i -> e.v[i] * e.v[i]))) *
+        |           sqrt(list_sum(list_transform(generate_series(1, len(c0.cv)), i -> c0.cv[i] * c0.cv[i])))) DESC,
+        |        c0.cid ASC) AS rk
+        |    FROM e, c0) WHERE rk = 1),
+        |c1 AS (
+        |  SELECT cid, list(m ORDER BY pos) AS cv FROM (
+        |    SELECT cid, pos,
+        |      round(CAST(SUM(CAST(floor(vv * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+        |        / COUNT(*) / 1000000.0, 6) AS m
+        |    FROM (SELECT cid, unnest(generate_series(1, len(v))) AS pos, unnest(v) AS vv FROM a1)
+        |    GROUP BY cid, pos) GROUP BY cid),
+        |a2 AS (
+        |  SELECT vec_id, v, cid FROM (
+        |    SELECT e.vec_id, e.v, c1.cid,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_sum(list_transform(generate_series(1, len(e.v)), i -> e.v[i] * c1.cv[i])) /
+        |          (sqrt(list_sum(list_transform(generate_series(1, len(e.v)), i -> e.v[i] * e.v[i]))) *
+        |           sqrt(list_sum(list_transform(generate_series(1, len(c1.cv)), i -> c1.cv[i] * c1.cv[i])))) DESC,
+        |        c1.cid ASC) AS rk
+        |    FROM e, c1) WHERE rk = 1),
+        |c2 AS (
+        |  SELECT cid, list(m ORDER BY pos) AS cv FROM (
+        |    SELECT cid, pos,
+        |      round(CAST(SUM(CAST(floor(vv * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+        |        / COUNT(*) / 1000000.0, 6) AS m
+        |    FROM (SELECT cid, unnest(generate_series(1, len(v))) AS pos, unnest(v) AS vv FROM a2)
+        |    GROUP BY cid, pos) GROUP BY cid),
+        |a3 AS (
+        |  SELECT vec_id, v, cid FROM (
+        |    SELECT e.vec_id, e.v, c2.cid,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_sum(list_transform(generate_series(1, len(e.v)), i -> e.v[i] * c2.cv[i])) /
+        |          (sqrt(list_sum(list_transform(generate_series(1, len(e.v)), i -> e.v[i] * e.v[i]))) *
+        |           sqrt(list_sum(list_transform(generate_series(1, len(c2.cv)), i -> c2.cv[i] * c2.cv[i])))) DESC,
+        |        c2.cid ASC) AS rk
+        |    FROM e, c2) WHERE rk = 1),
+        |probe AS (
+        |  SELECT cid FROM c2, q
+        |  ORDER BY
+        |    list_sum(list_transform(generate_series(1, len(cv)), i -> cv[i] * qv[i])) /
+        |      (sqrt(list_sum(list_transform(generate_series(1, len(cv)), i -> cv[i] * cv[i]))) *
+        |       sqrt(list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * qv[i])))) DESC,
+        |    cid ASC LIMIT 4)
+        |SELECT a.vec_id,
+        |  round(
+        |    list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * qv[i])) /
+        |    (sqrt(list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * a.v[i]))) *
+        |     sqrt(list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * qv[i])))),
+        |  6) AS cos_sim
+        |FROM a3 a JOIN probe USING (cid), q
         |ORDER BY cos_sim DESC, vec_id ASC LIMIT 20""".stripMargin,
 
     "x07_embedding_near_dups" ->
