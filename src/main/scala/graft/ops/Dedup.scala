@@ -385,20 +385,30 @@ object Dedup {
     * so the packing never touches the sign bit — Spark 4 runs ANSI mode
     * and would throw on the final-shift overflow of a full 64-bit pack).
     * Standard simhash: bit b's vote per token is bit b of ONE token hash —
-    * one xxhash64 per token, bits extracted with literal shifts (Spark's
+    * one string hash per token, bits extracted with literal shifts (Spark's
     * shift functions take constant shift amounts only, so the bit array is
     * unrolled over the already-hashed lambda variable rather than looped
-    * over a bit-index column). Per-row, codegen'd, shuffle-free. */
+    * over a bit-index column). Per-row, codegen'd, shuffle-free.
+    *
+    * The token hash is the two low-32 md5 halves (bits 0–31 from hex
+    * digits 9–16, bits 32–62 from digits 1–8) — engine-portable integer
+    * arithmetic, so the x04 oracle rebuilds identical fingerprints and the
+    * driver checks the simhash OUTPUT itself (pairs + hamming), not a
+    * Jaccard proxy it provably can't match. */
   def simhash63(tokensCol: Column): Column = {
     // One fold over the tokens (each string-hashed ONCE) accumulating the
     // 63 per-bit ±1 votes as an array; then pack votes into the long.
     // Big-endian: vote index 0 holds bit 62.
     val votes = aggregate(
-      transform(tokensCol, t => xxhash64(t)),
+      transform(tokensCol, t => array(
+        conv(substring(md5(t), 9, 8), 16, 10).cast("long"),
+        conv(substring(md5(t), 1, 8), 16, 10).cast("long"))),
       array_repeat(lit(0L), 63),
       (acc, h) => zip_with(acc,
-        array((62 to 0 by -1).map(b =>
-          shiftrightunsigned(h, b).bitwiseAND(lit(1L))): _*),
+        array((62 to 0 by -1).map { b =>
+          if (b < 32) shiftrightunsigned(element_at(h, 1), b).bitwiseAND(lit(1L))
+          else shiftrightunsigned(element_at(h, 2), b - 32).bitwiseAND(lit(1L))
+        }: _*),
         (v, bit) => v + when(bit === 1L, lit(1L)).otherwise(lit(-1L))))
     aggregate(votes, lit(0L), (acc, v) =>
       acc * 2 + when(v > 0, lit(1L)).otherwise(lit(0L)))

@@ -65,13 +65,14 @@ object Ext {
         .orderBy("a_id", "b_id")
     },
 
-    // SimHash near-dup pairs — rows-only BY DESIGN: unlike MinHash-LSH
-    // (set-similarity estimator → full recall on >=0.5 Jaccard pairs,
-    // driver-verified as x03/x34), simhash hamming tracks token-vector
-    // angle, not trigram Jaccard, so a fixed hamming radius provably
-    // cannot guarantee Jaccard recall (measured: 74/79 of exact >=0.8
-    // pairs within hamming 7 at sf0.1). Recall/consistency pinned in
-    // OpsSpec instead.
+    // SimHash near-dup pairs — FULL oracle of the simhash OUTPUT itself:
+    // the token hash is md5-derived (Dedup.simhash63), so DuckDB rebuilds
+    // identical fingerprints brute-force and checks the emitted pair set +
+    // hamming (8-chunk pigeonhole blocking is exact for hamming<=7, so
+    // blocked == all-pairs). A Jaccard-proxy oracle remains provably
+    // impossible (simhash tracks angle, not trigram Jaccard; measured
+    // 74/79 recall at hamming 7, sf0.1) — that analysis stands; the oracle
+    // checks what simhash computes, not what it can't promise.
     "x04_simhash_pairs" -> { (s, dir) =>
       Dedup.simhashPairs(Tables.documents(s, dir),
           idCol = "doc_id", textCol = "text", maxHamming = 3)
@@ -1169,6 +1170,38 @@ object Ext {
         |       common * 1.0 / (na.n + nb.n - common) AS jac
         |FROM pairs JOIN nt na ON a_id = na.doc_id JOIN nt nb ON b_id = nb.doc_id
         |WHERE common * 1.0 / (na.n + nb.n - common) >= 0.5
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    // Full oracle of the simhash output: rebuild every fingerprint from
+    // the md5 token hash (two 32-bit halves — Dedup.simhash63's exact bit
+    // layout: hex 9-16 → bits 0..31, hex 1-8 → bits 32..62), majority-vote
+    // per bit (token MULTIPLICITY counts — no DISTINCT), then brute-force
+    // all pairs at hamming<=3 (the 8-chunk blocking is exact for <=7, so
+    // blocked == all-pairs). Token-less docs keep fp=0 via the LEFT JOIN,
+    // matching the Spark fold over an empty array.
+    "x04_simhash_pairs" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS t
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    CAST(CAST('0x' || substr(md5(t), 9, 8) AS UBIGINT) AS BIGINT) AS lo,
+        |    CAST(CAST('0x' || substr(md5(t), 1, 8) AS UBIGINT) AS BIGINT) AS hi
+        |  FROM tok),
+        |votes AS (
+        |  SELECT doc_id, b,
+        |    SUM(CASE WHEN (CASE WHEN b < 32 THEN lo >> b ELSE hi >> (b - 32) END) & 1 = 1
+        |             THEN 1 ELSE -1 END) AS v
+        |  FROM h, generate_series(0, 62) s(b)
+        |  GROUP BY doc_id, b),
+        |fp AS (
+        |  SELECT d.doc_id,
+        |    COALESCE(SUM(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END), 0) AS fp
+        |  FROM documents d LEFT JOIN votes USING (doc_id) GROUP BY d.doc_id)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  bit_count(xor(a.fp, b.fp)) AS hamming
+        |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.fp, b.fp)) <= 3
         |ORDER BY a_id, b_id""".stripMargin,
 
     // x34 = the LSH-candidate scale pipeline; with full-recall candidates
