@@ -100,6 +100,49 @@ object StreamGate {
       rmTree(ckpt)
       s.table(mem).orderBy("user_id")
     },
+
+    // The reference's CORE use case, streaming form, under the gate:
+    // an unbounded keyed stream enriched against the TTL-cached
+    // http-full-cache table (stream-static LEFT lookup join — the static
+    // side re-plans each micro-batch, the source's TTL decides whether a
+    // re-plan re-fetches), then a running per-user aggregate in complete
+    // mode. Batch h01 shares the same arithmetic, so the oracle is the
+    // same reproduction of the lookup (a user exists iff 0 <= id < 100).
+    "s03_stream_enrich" -> { (s, dir) =>
+      val run = java.util.UUID.randomUUID().toString.take(8)
+      val topic = s"s03_events_$run"
+      val mem = s"s03_result_$run"
+      Tables.events(s, dir)
+        .select(col("user_id").cast("string").as("key"),
+          to_json(struct(col("user_id"), col("value"))).as("value"),
+          col("ts").as("timestamp"))
+        .write.format("graft-topic").mode("append")
+        .option("topic", topic).option("partitions", "8").save()
+      val stream = s.readStream.format("graft-topic")
+        .option("topic", topic).load()
+        .select(from_json(col("value").cast("string"), org.apache.spark.sql
+          .types.StructType.fromDDL("user_id BIGINT, value DOUBLE")).as("j"))
+        .select(col("j.user_id").as("user_id"), col("j.value").as("value"))
+      val users = s.read.format("http-full-cache")
+        .schema("id INT, name STRING, username STRING, email STRING")
+        .option("url", HttpEnrichment.usersServer.url)
+        .load()
+      val agg = Streams.enrich(stream, users,
+          stream("user_id") === users("id"), "left")
+        .groupBy("user_id", "name")
+        .agg(count(lit(1)).as("n_events"),
+          Tables.dsum(col("value")).as("sum_value"))
+      val ckpt = java.nio.file.Files.createTempDirectory("s03_ckpt_")
+      val q = agg.writeStream.format("memory").queryName(mem)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+      graft.sources.topic.TopicLog.delete(topic)
+      rmTree(ckpt)
+      s.table(mem).orderBy("user_id")
+    },
   )
 
   val oracle: Map[String, String] = Map(
@@ -114,5 +157,15 @@ object StreamGate {
 
     "s02_stream_dedup" ->
       "SELECT DISTINCT user_id FROM events ORDER BY user_id",
+
+    // Same arithmetic reproduction of the HTTP lookup as batch h01.
+    "s03_stream_enrich" ->
+      """SELECT user_id,
+        |  CASE WHEN user_id BETWEEN 0 AND 99 THEN concat('User ', CAST(user_id AS VARCHAR)) END AS name,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
   )
 }
