@@ -149,6 +149,36 @@ class ScaleSpec extends AnyFunSuite {
     graft.ops.Caches.releaseAll()
   }
 
+  test("x04 simhash pairs plan blocks on chunks — no cartesian, no nested loop") {
+    val df = graft.queries.Ext.queries("x04_simhash_pairs")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the pair source must be the (j, v) chunk equi-join (pigeonhole
+    // blocking), never an all-pairs product over fingerprints
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoop"),
+      s"pair explosion in x04 plan:\n$plan")
+    graft.ops.Caches.releaseAll()
+  }
+
+  test("quantized k-means centroids are identical under different partitionings") {
+    // the fixed-point mean (x25) must erase partition/merge order from the
+    // trained centroids — double accumulators would drift between layouts
+    val emb = Tables.embeddings(spark, dir).filter(col("vec_id") =!= 0)
+    def centroids(df: org.apache.spark.sql.DataFrame): Array[(Long, Seq[Double])] = {
+      val (c, _) = Similarity.ivfBuildKmeans(df, "embedding", "vec_id")
+      val out = c.collect().map(r =>
+        (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
+      graft.ops.Caches.releaseAll()
+      out
+    }
+    val a = centroids(emb.repartition(32))
+    val b = centroids(emb.repartition(3, col("label")))
+    assert(a.map(_._1).sameElements(b.map(_._1)), "centroid id sets differ")
+    a.zip(b).foreach { case ((ida, va), (idb, vb)) =>
+      assert(ida == idb && va == vb, s"centroid $ida drifted between layouts")
+    }
+  }
+
   test("salted aggregation equals direct aggregation exactly") {
     val li = Tables.lineitem(spark, dir)
     val direct = li.groupBy("l_suppkey")
