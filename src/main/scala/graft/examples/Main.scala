@@ -82,10 +82,7 @@ object Main {
     server.stop()
     // deleteOnExit is a no-op for non-empty dirs — remove the checkpoint
     // tree explicitly so repeated runs don't accumulate in /tmp
-    import java.nio.file.{Files => NFiles}
-    import scala.jdk.CollectionConverters._
-    NFiles.walk(ckpt).iterator().asScala.toSeq.reverse
-      .foreach(p => NFiles.deleteIfExists(p))
+    graft.util.Fs.deleteTree(ckpt)
     sys.exit(0)
   }
 }

@@ -43,21 +43,23 @@ object VectorFunctions {
   def rhpPlanes(nBits: Int, dims: Int): IndexedSeq[Array[Double]] =
     (0 until nBits).map { b =>
       Array.tabulate(dims) { d =>
-        val md = java.security.MessageDigest.getInstance("MD5")
-        val hex = md.digest(s"rhp:$b:$d".getBytes("UTF-8"))
-          .take(4).map(x => f"${x & 0xff}%02x").mkString
-        (java.lang.Long.parseLong(hex, 16) % 2000001L).toDouble / 1000000.0 - 1.0
+        (PortableHash.md5u32(s"rhp:$b:$d") % 2000001L).toDouble / 1000000.0 - 1.0
       }
     }
 
   /** Random-hyperplane LSH signature: `nBits` sign bits packed big-endian
-    * into a long. `dims` must equal the embedding dimensionality (the
-    * hyperplanes are pre-materialized literals, not per-row hashes). */
+    * into a long. `dims` must equal the embedding dimensionality — the
+    * hyperplanes are pre-materialized literals, not per-row hashes, so a
+    * mismatched vector can't adapt; it fails the per-row guard loudly
+    * instead of producing silently wrong signatures (which would
+    * desynchronize from the probe side's query signature). */
   def rhpSignature(vec: Column, nBits: Int, dims: Int = 64): Column = {
     val v = vec.cast("array<double>")
-    rhpPlanes(nBits, dims).zipWithIndex.map { case (p, b) =>
+    val sig = rhpPlanes(nBits, dims).zipWithIndex.map { case (p, b) =>
       when(dot(v, lit(p)) > 0, lit(1L << (nBits - 1 - b))).otherwise(lit(0L))
     }.reduce(_ + _)
+    when(size(v) === dims, sig).otherwise(raise_error(concat(
+      lit(s"rhpSignature: expected $dims-dim vector, got "), size(v).cast("string"))))
   }
 
   /** Driver-side twin of [[rhpSignature]] for a constant query vector —

@@ -82,11 +82,7 @@ object Dedup {
       (acc, h) => zip_with(acc, sequence(lit(0), lit(nHashes - 1)),
         (m, i) => least(m, xxhash64(h, i))))
 
-  private def md5u32(s: String): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    java.lang.Long.parseLong(
-      md.digest(s.getBytes("UTF-8")).take(4).map(b => f"${b & 0xff}%02x").mkString, 16)
-  }
+  import graft.functions.PortableHash.md5u32
 
   /** Engine-portable MinHash signature: gram → low-32 md5, family member i
     * = (aᵢ·m + bᵢ) mod 2³¹−1 with md5-derived affine constants (a 2-universal

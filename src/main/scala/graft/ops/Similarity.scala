@@ -125,11 +125,16 @@ object Similarity {
     *
     * Means are fixed-point: components quantize to ×10⁶ longs (one IEEE
     * multiply+add+floor per value, same ops in any engine), sum exactly,
-    * and the mean rounds to 6 dp. Trained centroids are therefore
-    * DETERMINISTIC (no partition-order drift run to run) and externally
-    * replayable — the x25 oracle replays both Lloyd rounds in SQL. The
-    * ~1e-6 per-component quantization is noise three orders below the
-    * clustering scale. */
+    * and the 6-dp mean is computed ENTIRELY in integer space:
+    * m₆ = floor((2s+n)/(2n)) via subtract-the-positive-remainder, so the
+    * numerator is exactly divisible and every engine's division semantics
+    * agree — double round(x, 6) must NOT appear here, because Spark
+    * (BigDecimal HALF_UP on the shortest repr) and DuckDB (scaled
+    * multiply) disagree on representable half-ties. Trained centroids are
+    * therefore DETERMINISTIC (no partition-order drift run to run) and
+    * externally replayable — the x25 oracle replays both Lloyd rounds in
+    * SQL. The ~1e-6 per-component quantization is noise three orders
+    * below the clustering scale. */
   def ivfBuildKmeans(emb: DataFrame, vecCol: String, idCol: String,
                      nLists: Int = 16, iters: Int = 2): (DataFrame, DataFrame) = {
     val v = col(vecCol).cast("array<double>")
@@ -146,8 +151,14 @@ object Similarity {
             .as("vsum"),
             count(lit(1)).as("n"))
           .select(col("centroid_id"),
-            transform(col("vsum"), s =>
-              round(s.cast("double") / col("n").cast("double") / lit(1000000.0), 6)).as("cv")))
+            transform(col("vsum"), s => {
+              // m6 = floor((2s+n)/(2n)): round-half-up of s/n in exact
+              // integer arithmetic; (u-r) is divisible by 2n, so the
+              // double division is exact (|values| << 2^53)
+              val u = s * lit(2L) + col("n")
+              val n2 = col("n") * lit(2L)
+              ((u - pmod(u, n2)) / n2) / lit(1000000.0)
+            }).as("cv")))
       cur.release() // round N materialized → free round N-1's blocks
       cur = next
     }

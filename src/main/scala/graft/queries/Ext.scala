@@ -9,13 +9,16 @@ import org.apache.spark.sql.functions._
   * BASELINE.json north star): dedup (exact, n-gram Jaccard, MinHash+LSH,
   * SimHash), similarity search (exact + ANN), text analysis (tokens,
   * quality, fingerprint, language-ID), multimodal binary plumbing.
-  * SQL-expressible operators carry full DuckDB oracles. Approximate
-  * operators are driver-verified wherever the math allows it: the LSH
-  * paths (x03/x34) rescore candidates exactly and so share the exact
-  * twins' oracles, and the sketch queries (q34/x28) emit their bounded-
-  * error claim as a boolean column the oracle pins to TRUE. Only the
-  * sketch-valued outputs (x04/x06/x15/x24/x25) remain rows-only, each
-  * recall/epsilon-tested against an exact counterpart in OpsSpec. */
+  * EVERY query carries a full DuckDB oracle. SQL-expressible operators
+  * verify directly; approximate operators one of three ways: the LSH
+  * paths (x03/x34) rescore candidates exactly and share the exact twins'
+  * oracles; the sketch queries (q34/x28) emit their bounded-error claim
+  * as a boolean column the oracle pins to TRUE; and the randomized paths
+  * (x04/x06/x15/x24/x25) derive ALL randomness from md5 — the one hash
+  * both engines share — so the oracle replays the approximation itself
+  * bit-for-bit (hyperplanes, affine MinHash seeds, simhash token bits,
+  * centroid samples, fixed-point Lloyd means). Recall/epsilon quality
+  * stays pinned against exact counterparts in OpsSpec. */
 object Ext {
 
   type Q = (SparkSession, String) => DataFrame
@@ -111,9 +114,10 @@ object Ext {
 
     // IVF with k-means-trained centroids (2 Lloyd rounds, mergeable
     // vector-sum Aggregator). FULL oracle of the approximation: means are
-    // fixed-point (×10⁶ long sums, 6-dp rounding — order-proof AND
-    // engine-portable), so the oracle replays init sample → assign → mean
-    // → assign → mean → probe → rescore, stage for stage, in SQL.
+    // fixed-point (×10⁶ long sums; the 6-dp mean is integer-space
+    // floor((2s+n)/(2n)) — order-proof AND engine-portable, no round()
+    // convention involved), so the oracle replays init sample → assign →
+    // mean → assign → mean → probe → rescore, stage for stage, in SQL.
     "x25_ivf_kmeans_topk" -> { (s, dir) =>
       val (cents, assigned) = Similarity.ivfBuildKmeans(
         Tables.embeddings(s, dir).filter(col("vec_id") =!= 0),
@@ -747,10 +751,11 @@ object Ext {
 
     // Full oracle of the k-means IVF: replays both Lloyd rounds — md5
     // init sample, argmax assignment, FIXED-POINT means (floor(v·1e6+0.5)
-    // long sums → /n → /1e6 → round 6, the exact expression the Spark side
-    // evaluates) — then the nProbe=4 probe and exact rescoring. Identical
-    // 6-dp centroid values → bit-identical cosine folds → same assignment,
-    // probe and top-k.
+    // long sums; 6-dp mean as floor((2s+n)/(2n)) in INTEGER space — the
+    // remainder subtraction makes the numerator exactly divisible, so no
+    // engine's round()/division convention enters) — then the nProbe=4
+    // probe and exact rescoring. Identical 6-dp centroid values →
+    // bit-identical cosine folds → same assignment, probe and top-k.
     "x25_ivf_kmeans_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id <> 0),
         |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
@@ -767,11 +772,12 @@ object Ext {
         |    FROM e, c0) WHERE rk = 1),
         |c1 AS (
         |  SELECT cid, list(m ORDER BY pos) AS cv FROM (
-        |    SELECT cid, pos,
-        |      round(CAST(SUM(CAST(floor(vv * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
-        |        / COUNT(*) / 1000000.0, 6) AS m
-        |    FROM (SELECT cid, unnest(generate_series(1, len(v))) AS pos, unnest(v) AS vv FROM a1)
-        |    GROUP BY cid, pos) GROUP BY cid),
+        |    SELECT cid, pos, ((u - ((u % n2) + n2) % n2) / n2) / 1000000.0 AS m FROM (
+        |      SELECT cid, pos,
+        |        2 * CAST(SUM(CAST(floor(vv * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) + COUNT(*) AS u,
+        |        2 * COUNT(*) AS n2
+        |      FROM (SELECT cid, unnest(generate_series(1, len(v))) AS pos, unnest(v) AS vv FROM a1)
+        |      GROUP BY cid, pos)) GROUP BY cid),
         |a2 AS (
         |  SELECT vec_id, v, cid FROM (
         |    SELECT e.vec_id, e.v, c1.cid,
@@ -783,11 +789,12 @@ object Ext {
         |    FROM e, c1) WHERE rk = 1),
         |c2 AS (
         |  SELECT cid, list(m ORDER BY pos) AS cv FROM (
-        |    SELECT cid, pos,
-        |      round(CAST(SUM(CAST(floor(vv * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
-        |        / COUNT(*) / 1000000.0, 6) AS m
-        |    FROM (SELECT cid, unnest(generate_series(1, len(v))) AS pos, unnest(v) AS vv FROM a2)
-        |    GROUP BY cid, pos) GROUP BY cid),
+        |    SELECT cid, pos, ((u - ((u % n2) + n2) % n2) / n2) / 1000000.0 AS m FROM (
+        |      SELECT cid, pos,
+        |        2 * CAST(SUM(CAST(floor(vv * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) + COUNT(*) AS u,
+        |        2 * COUNT(*) AS n2
+        |      FROM (SELECT cid, unnest(generate_series(1, len(v))) AS pos, unnest(v) AS vv FROM a2)
+        |      GROUP BY cid, pos)) GROUP BY cid),
         |a3 AS (
         |  SELECT vec_id, v, cid FROM (
         |    SELECT e.vec_id, e.v, c2.cid,

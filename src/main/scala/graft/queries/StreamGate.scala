@@ -15,12 +15,11 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object StreamGate {
 
-  private def rmTree(p: java.nio.file.Path): Unit = {
-    import scala.jdk.CollectionConverters._
-    if (java.nio.file.Files.exists(p))
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.deleteIfExists(_))
-  }
+  // Cleanup contract for every gate query: the broker log and checkpoint
+  // die in the stream's `finally` (success OR failure — a leaked topic is
+  // heap-resident for the session); the memory-sink TABLE intentionally
+  // survives, because the returned DataFrame reads it lazily. Names are
+  // UUID-fresh per invocation, so repeat runs never collide.
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -58,11 +57,11 @@ object StreamGate {
         .option("checkpointLocation", ckpt.toString)
         .trigger(Trigger.AvailableNow())
         .start()
-      try q.awaitTermination() finally q.stop()
-      // memory sink rows are materialized; the broker log and checkpoint
-      // are no longer needed
-      graft.sources.topic.TopicLog.delete(topic)
-      rmTree(ckpt)
+      try q.awaitTermination() finally {
+        q.stop()
+        graft.sources.topic.TopicLog.delete(topic)
+        graft.util.Fs.deleteTree(ckpt)
+      }
       s.table(mem).orderBy("win_start", "event_type")
     },
 
@@ -95,9 +94,11 @@ object StreamGate {
         .option("checkpointLocation", ckpt.toString)
         .trigger(Trigger.AvailableNow())
         .start()
-      try q.awaitTermination() finally q.stop()
-      graft.sources.topic.TopicLog.delete(topic)
-      rmTree(ckpt)
+      try q.awaitTermination() finally {
+        q.stop()
+        graft.sources.topic.TopicLog.delete(topic)
+        graft.util.Fs.deleteTree(ckpt)
+      }
       s.table(mem).orderBy("user_id")
     },
 
@@ -138,9 +139,11 @@ object StreamGate {
         .option("checkpointLocation", ckpt.toString)
         .trigger(Trigger.AvailableNow())
         .start()
-      try q.awaitTermination() finally q.stop()
-      graft.sources.topic.TopicLog.delete(topic)
-      rmTree(ckpt)
+      try q.awaitTermination() finally {
+        q.stop()
+        graft.sources.topic.TopicLog.delete(topic)
+        graft.util.Fs.deleteTree(ckpt)
+      }
       s.table(mem).orderBy("user_id")
     },
   )

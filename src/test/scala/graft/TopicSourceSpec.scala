@@ -153,9 +153,7 @@ class TopicSourceSpec extends AnyFunSuite {
     } finally {
       TopicLog.delete(src); TopicLog.delete(dst)
       // deleteOnExit can't remove non-empty dirs; clean the checkpoint tree
-      import scala.jdk.CollectionConverters._
-      Files.walk(ckpt).iterator().asScala.toSeq.reverse
-        .foreach(p => Files.deleteIfExists(p))
+      graft.util.Fs.deleteTree(ckpt)
     }
   }
 
