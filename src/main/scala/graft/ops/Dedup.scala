@@ -395,10 +395,12 @@ object Dedup {
     // One fold over the tokens (each string-hashed ONCE) accumulating the
     // 63 per-bit ±1 votes as an array; then pack votes into the long.
     // Big-endian: vote index 0 holds bit 62.
+    // nested transforms: md5 ONCE per token (no CSE inside HOF lambdas),
+    // then the two 32-bit halves parsed from the one hex string
     val votes = aggregate(
-      transform(tokensCol, t => array(
-        conv(substring(md5(t), 9, 8), 16, 10).cast("long"),
-        conv(substring(md5(t), 1, 8), 16, 10).cast("long"))),
+      transform(transform(tokensCol, t => md5(t)), h => array(
+        conv(substring(h, 9, 8), 16, 10).cast("long"),
+        conv(substring(h, 1, 8), 16, 10).cast("long"))),
       array_repeat(lit(0L), 63),
       (acc, h) => zip_with(acc,
         array((62 to 0 by -1).map { b =>
