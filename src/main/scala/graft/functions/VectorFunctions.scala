@@ -58,8 +58,10 @@ object VectorFunctions {
     val sig = rhpPlanes(nBits, dims).zipWithIndex.map { case (p, b) =>
       when(dot(v, lit(p)) > 0, lit(1L << (nBits - 1 - b))).otherwise(lit(0L))
     }.reduce(_ + _)
-    when(size(v) === dims, sig).otherwise(raise_error(concat(
-      lit(s"rhpSignature: expected $dims-dim vector, got "), size(v).cast("string"))))
+    when(v.isNull, raise_error(lit("rhpSignature: null vector")))
+      .when(size(v) === dims, sig)
+      .otherwise(raise_error(concat(
+        lit(s"rhpSignature: expected $dims-dim vector, got "), size(v).cast("string"))))
   }
 
   /** Driver-side twin of [[rhpSignature]] for a constant query vector —

@@ -41,17 +41,29 @@ object Similarity {
 
   /** Phase 2: probe a signature table ([[annBuildSignatures]] output,
     * freshly built or read back from storage) — Hamming prefilter on the
-    * packed signature, exact cosine rescoring of survivors only. */
+    * packed signature, exact cosine rescoring of survivors only.
+    *
+    * The query signature's hyperplanes are drawn for `queryVec.length`
+    * dims; the guard fails loudly on any stored vector of a different
+    * length (otherwise row and query signatures would come from different
+    * plane matrices and the prefilter would silently drop true
+    * neighbors). A stored table built with a different `nBits` is not
+    * detectable from the data — keep nBits with the stored index. */
   def annProbe(sigs: DataFrame, vecCol: String, idCol: String,
                queryVec: Seq[Double], k: Int,
                nBits: Int = 16, maxHammingBits: Int = 8): DataFrame = {
     val q = lit(queryVec.toArray)
     // driver-side: same IEEE fold as the column form, constant in the plan
     val qSig = lit(VectorFunctions.rhpSignatureLocal(queryVec, nBits))
+    val rescored = when(size(col(vecCol)) === queryVec.length,
+        round(VectorFunctions.cosine(col(vecCol), q), 6))
+      .otherwise(raise_error(concat(
+        lit(s"annProbe: ${queryVec.length}-dim query vs stored vector of "),
+        coalesce(size(col(vecCol)).cast("string"), lit("null")), lit(" dims"))))
     sigs
       .withColumn("sig_dist", bit_count(col("sig").bitwiseXOR(qSig)))
       .filter(col("sig_dist") <= maxHammingBits)
-      .withColumn("cos_sim", round(VectorFunctions.cosine(col(vecCol), q), 6))
+      .withColumn("cos_sim", rescored)
       .orderBy(col("cos_sim").desc, col(idCol).asc)
       .limit(k)
       .select(col(idCol), col("cos_sim"))

@@ -15,11 +15,23 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object StreamGate {
 
-  // Cleanup contract for every gate query: the broker log and checkpoint
-  // die in the stream's `finally` (success OR failure — a leaked topic is
-  // heap-resident for the session); the memory-sink TABLE intentionally
-  // survives, because the returned DataFrame reads it lazily. Names are
-  // UUID-fresh per invocation, so repeat runs never collide.
+  /** Cleanup contract for every gate query: drain the stream, then stop
+    * it and delete the broker log + checkpoint — each step isolated, so a
+    * failing stop() can't leak the heap-resident topic and no cleanup
+    * error ever masks the stream's own exception (it is reported to
+    * stderr instead). The memory-sink TABLE intentionally survives,
+    * because the returned DataFrame reads it lazily. Names are UUID-fresh
+    * per invocation, so repeat runs never collide. */
+  private def drainAndClean(q: org.apache.spark.sql.streaming.StreamingQuery,
+                            topic: String, ckpt: java.nio.file.Path): Unit =
+    try q.awaitTermination() finally {
+      def step(what: String)(f: => Unit): Unit =
+        try f catch { case e: Throwable =>
+          System.err.println(s"[stream-gate] $what failed: ${e.getMessage}") }
+      step("stop")(q.stop())
+      step("topic delete")(graft.sources.topic.TopicLog.delete(topic))
+      step("checkpoint delete")(graft.util.Fs.deleteTree(ckpt))
+    }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -57,11 +69,7 @@ object StreamGate {
         .option("checkpointLocation", ckpt.toString)
         .trigger(Trigger.AvailableNow())
         .start()
-      try q.awaitTermination() finally {
-        q.stop()
-        graft.sources.topic.TopicLog.delete(topic)
-        graft.util.Fs.deleteTree(ckpt)
-      }
+      drainAndClean(q, topic, ckpt)
       s.table(mem).orderBy("win_start", "event_type")
     },
 
@@ -94,11 +102,7 @@ object StreamGate {
         .option("checkpointLocation", ckpt.toString)
         .trigger(Trigger.AvailableNow())
         .start()
-      try q.awaitTermination() finally {
-        q.stop()
-        graft.sources.topic.TopicLog.delete(topic)
-        graft.util.Fs.deleteTree(ckpt)
-      }
+      drainAndClean(q, topic, ckpt)
       s.table(mem).orderBy("user_id")
     },
 
@@ -139,11 +143,7 @@ object StreamGate {
         .option("checkpointLocation", ckpt.toString)
         .trigger(Trigger.AvailableNow())
         .start()
-      try q.awaitTermination() finally {
-        q.stop()
-        graft.sources.topic.TopicLog.delete(topic)
-        graft.util.Fs.deleteTree(ckpt)
-      }
+      drainAndClean(q, topic, ckpt)
       s.table(mem).orderBy("user_id")
     },
   )
