@@ -106,6 +106,41 @@ object StreamGate {
       s.table(mem).orderBy("user_id")
     },
 
+    // Streaming SESSION windows under the gate: gap-based sessionization
+    // (session_window merge semantics) over the replayed topic, per
+    // event_type with a 1-hour gap. Complete-mode memory sink; the oracle
+    // sessionizes with the q35-proven lag/cumsum islands pattern
+    // (duplicate timestamps can't flip a break: a 0 gap never exceeds the
+    // threshold, so tie order is irrelevant).
+    "s04_stream_session_windows" -> { (s, dir) =>
+      val run = java.util.UUID.randomUUID().toString.take(8)
+      val topic = s"s04_events_$run"
+      val mem = s"s04_result_$run"
+      Tables.events(s, dir)
+        .select(col("user_id").cast("string").as("key"),
+          to_json(struct(col("event_type"), col("value"))).as("value"),
+          col("ts").as("timestamp"))
+        .write.format("graft-topic").mode("append")
+        .option("topic", topic).option("partitions", "8").save()
+      val parsed = s.readStream.format("graft-topic")
+        .option("topic", topic).load()
+        .select(col("timestamp").as("ts"),
+          from_json(col("value").cast("string"), org.apache.spark.sql.types
+            .StructType.fromDDL("event_type STRING, value DOUBLE")).as("j"))
+        .select(col("ts"), col("j.event_type").as("event_type"),
+          col("j.value").as("value"))
+      val agg = Streams.sessionCounts(parsed, "ts",
+        watermark = "1 day", gap = "1 hour")
+      val ckpt = java.nio.file.Files.createTempDirectory("s04_ckpt_")
+      val q = agg.writeStream.format("memory").queryName(mem)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      drainAndClean(q, topic, ckpt)
+      s.table(mem).orderBy("event_type", "win_start")
+    },
+
     // The reference's CORE use case, streaming form, under the gate:
     // an unbounded keyed stream enriched against the TTL-cached
     // http-full-cache table (stream-static LEFT lookup join — the static
@@ -160,6 +195,25 @@ object StreamGate {
 
     "s02_stream_dedup" ->
       "SELECT DISTINCT user_id FROM events ORDER BY user_id",
+
+    // q35's lag/cumsum sessionization per event_type. Session = [min ts,
+    // max ts + gap); Spark MERGES events exactly gap apart, so the break
+    // is strict `>` — same alignment q35 pins.
+    "s04_stream_session_windows" ->
+      """WITH s AS (
+        |  SELECT event_type, ts, value,
+        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY event_type ORDER BY ts) > INTERVAL 1 HOUR
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |g AS (
+        |  SELECT event_type, ts, value,
+        |    SUM(brk) OVER (PARTITION BY event_type ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM s)
+        |SELECT MIN(ts) AS win_start, MAX(ts) + INTERVAL 1 HOUR AS win_end, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+        |FROM g GROUP BY event_type, sess
+        |ORDER BY event_type, win_start""".stripMargin,
 
     // Same arithmetic reproduction of the HTTP lookup as batch h01.
     "s03_stream_enrich" ->

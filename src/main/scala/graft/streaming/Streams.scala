@@ -54,7 +54,8 @@ object Streams {
     events
       .withWatermark(tsCol, watermark)
       .groupBy(session_window(col(tsCol), gap).as("win"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(28,6)")).cast("double").as("sum_value"))
       .select(col("win.start").as("win_start"), col("win.end").as("win_end"),
         col("event_type"), col("n"), col("sum_value"))
 
