@@ -34,7 +34,8 @@ object VectorFunctions {
       (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
 
   /** Deterministic random-hyperplane matrix for [[rhpSignature]]: component
-    * (b, d) = (hex64(md5("rhp:b:d")[0,8)) mod 2000001)/1e6 − 1 ∈ [−1, 1.000001).
+    * (b, d) = (hex64(md5("rhp:b:d")[0,8)) mod 2000001)/1e6 − 1 ∈ [−1, 1.0]
+    * (max residue 2000000 → exactly 1.0; both endpoints inclusive).
     * md5 (unlike a Spark-internal hash) is computable bit-for-bit by any
     * engine, so an external oracle can rebuild the exact matrix and replay
     * the whole ANN computation (the x06 DuckDB oracle does). The planes are

@@ -165,17 +165,28 @@ object Dedup {
   /** One MinHash sketch per group estimating the group's n-gram-set UNION
     * (per-row signatures merged map-side by the [[graft.functions.MinHashUnion]]
     * Aggregator — shuffles nHashes longs per group, never the gram sets).
-    * Uses the [[portableMinhashSignature]] family so the sketch itself is
-    * externally replayable (x24's full oracle); min-union over per-row
-    * signatures equals the min over the group's distinct gram set. */
+    * min-union over per-row signatures equals the min over the group's
+    * distinct gram set.
+    *
+    * `portable` picks the hash family: true (default) = the md5-affine
+    * [[portableMinhashSignature]] family, externally replayable by any
+    * engine (x24's full oracle) at ~1.5× signature-build cost; false = the
+    * [[minhashSignature]] xxhash64 family — the fast choice for production
+    * runs that don't need an external audit (the two families' sketches
+    * are NOT comparable to each other; pick one per corpus). */
   def groupMinhashSketch(docs: DataFrame, groupCol: String, textCol: String,
-                         n: Int = 3, nHashes: Int = 64): DataFrame =
+                         n: Int = 3, nHashes: Int = 64,
+                         portable: Boolean = true): DataFrame = {
+    val sigOf: Column => Column =
+      if (portable) portableMinhashSignature(_, nHashes)
+      else minhashSignature(_, nHashes)
     docs
       .withColumn("toks", split(col(textCol), " "))
       .filter(size(col("toks")) >= n)
-      .withColumn("sig", portableMinhashSignature(gramArray(col("toks"), n), nHashes))
+      .withColumn("sig", sigOf(gramArray(col("toks"), n)))
       .groupBy(col(groupCol))
       .agg(graft.functions.MinHashUnion(col("sig"), nHashes).as("sketch"))
+  }
 
   /** Pairwise estimated Jaccard between group sketches (tiny frame —
     * one row per group pair). The sketch frame feeds BOTH cross-join

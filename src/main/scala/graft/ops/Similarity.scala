@@ -47,23 +47,27 @@ object Similarity {
     * dims; the guard fails loudly on any stored vector of a different
     * length (otherwise row and query signatures would come from different
     * plane matrices and the prefilter would silently drop true
-    * neighbors). A stored table built with a different `nBits` is not
-    * detectable from the data — keep nBits with the stored index. */
+    * neighbors). The guard lives in `sig_dist` — evaluated on EVERY row,
+    * before the Hamming prefilter — so a mismatched index fails even when
+    * all its rows happen to fail the prefilter (a guard on the rescored
+    * column alone would let that case return silently empty results). A
+    * stored table built with a different `nBits` is not detectable from
+    * the data — keep nBits with the stored index. */
   def annProbe(sigs: DataFrame, vecCol: String, idCol: String,
                queryVec: Seq[Double], k: Int,
                nBits: Int = 16, maxHammingBits: Int = 8): DataFrame = {
     val q = lit(queryVec.toArray)
     // driver-side: same IEEE fold as the column form, constant in the plan
     val qSig = lit(VectorFunctions.rhpSignatureLocal(queryVec, nBits))
-    val rescored = when(size(col(vecCol)) === queryVec.length,
-        round(VectorFunctions.cosine(col(vecCol), q), 6))
+    val guarded = when(size(col(vecCol)) === queryVec.length,
+        bit_count(col("sig").bitwiseXOR(qSig)))
       .otherwise(raise_error(concat(
         lit(s"annProbe: ${queryVec.length}-dim query vs stored vector of "),
         coalesce(size(col(vecCol)).cast("string"), lit("null")), lit(" dims"))))
     sigs
-      .withColumn("sig_dist", bit_count(col("sig").bitwiseXOR(qSig)))
+      .withColumn("sig_dist", guarded)
       .filter(col("sig_dist") <= maxHammingBits)
-      .withColumn("cos_sim", rescored)
+      .withColumn("cos_sim", round(VectorFunctions.cosine(col(vecCol), q), 6))
       .orderBy(col("cos_sim").desc, col(idCol).asc)
       .limit(k)
       .select(col(idCol), col("cos_sim"))

@@ -117,6 +117,23 @@ class OpsSpec extends AnyFunSuite {
     assert(probed.toSeq == oneShot.toSeq)
   }
 
+  test("annProbe fails loudly on a dims-mismatched index, even when every " +
+       "row would fail the Hamming prefilter") {
+    import spark.implicits._
+    // a stored index of 8-dim vectors probed with a 4-dim query: the guard
+    // must raise BEFORE the prefilter can silently drop the mismatched rows
+    val idx = Similarity.annBuildSignatures(
+      Seq((1L, Array.fill(8)(1.0)), (2L, Array.fill(8)(-1.0)))
+        .toDF("vec_id", "embedding"), "embedding", "vec_id", nBits = 16, dims = 8)
+    val e = intercept[Exception] {
+      Similarity.annProbe(idx, "embedding", "vec_id",
+        Seq(1.0, 2.0, 3.0, 4.0), k = 5).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("annProbe: 4-dim query")), msgs(e).mkString(" | "))
+  }
+
   test("k-means-trained IVF: recall bounded, scores exact on candidates") {
     val q = emb.filter(col("vec_id") === 0)
       .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
@@ -175,6 +192,24 @@ class OpsSpec extends AnyFunSuite {
     } yield math.abs(est((a, b)) - exact)
     assert(errs.nonEmpty && errs.forall(_ <= 0.2),
       s"sketch errors: ${errs.filter(_ > 0.2).mkString(",")}")
+  }
+
+  test("non-portable (xxhash64) sketch family: same groups, same estimator quality") {
+    import spark.implicits._
+    val fast = Dedup.groupMinhashSketch(docs, "source", "text", portable = false)
+    val portable = Dedup.groupMinhashSketch(docs, "source", "text")
+    // identical group sets — the toggle changes only the hash family
+    assert(fast.select("source").as[String].collect().sorted.toSeq ==
+      portable.select("source").as[String].collect().sorted.toSeq)
+    // the families are distinct (different sketches) yet both valid
+    // estimators: every pairwise estimate is a Jaccard in [0, 1]
+    val est = Dedup.sketchJaccardPairs(fast, "source")
+      .as[(String, String, Double)].collect()
+    assert(est.nonEmpty && est.forall { case (_, _, e) => e >= 0.0 && e <= 1.0 })
+    val fastSketch = fast.orderBy("source").as[(String, Seq[Long])].collect()
+    val portSketch = portable.orderBy("source").as[(String, Seq[Long])].collect()
+    assert(fastSketch.map(_._2).toSeq != portSketch.map(_._2).toSeq,
+      "families must differ (portable md5-affine vs xxhash64)")
   }
 
   test("as-of join picks the latest right version at-or-before each left row") {
