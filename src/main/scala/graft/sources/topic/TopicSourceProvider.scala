@@ -6,7 +6,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Tabl
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -134,7 +134,23 @@ object TopicOffset {
 
 final class TopicMicroBatchStream(topic: String, starting: String,
                                   maxPerTrigger: Option[Long])
-    extends MicroBatchStream with SupportsAdmissionControl {
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
+
+  /** Set by [[prepareForTriggerAvailableNow]]: the log end as of query
+    * start. Under Trigger.AvailableNow every batch's planning targets this
+    * SNAPSHOT (not the live end), so a capped drain runs exactly
+    * ceil(backlog/cap) batches and stops even if producers keep appending
+    * — the contract [[SupportsTriggerAvailableNow]] exists for (without
+    * it, Spark falls back to single-batch Trigger.Once semantics for
+    * third-party sources and an admission cap would silently truncate the
+    * drain). Same shape as the Kafka source's implementation. */
+  @volatile private var availableNowEnd: Option[Map[Int, Long]] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowEnd = Some(TopicLog.endOffsets(topic))
+
+  private def targetEnd: Map[Int, Long] =
+    availableNowEnd.getOrElse(TopicLog.endOffsets(topic))
 
   override def initialOffset(): Offset =
     if (starting == "latest") TopicOffset(TopicLog.endOffsets(topic))
@@ -145,13 +161,13 @@ final class TopicMicroBatchStream(topic: String, starting: String,
   override def getDefaultReadLimit: ReadLimit =
     maxPerTrigger.map(ReadLimit.maxRows).getOrElse(ReadLimit.allAvailable())
 
-  /** End of this micro-batch: the log end, or — under a row cap — the start
-    * advanced by at most `maxRows` records, rationed across partitions
-    * proportionally to backlog (every partition with lag makes progress, a
-    * single hot partition can't starve the rest). */
+  /** End of this micro-batch: the (snapshot-bounded) log end, or — under a
+    * row cap — the start advanced by at most `maxRows` records, rationed
+    * across partitions proportionally to backlog (every partition with lag
+    * makes progress, a single hot partition can't starve the rest). */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from = start.asInstanceOf[TopicOffset].ends
-    val end = TopicLog.endOffsets(topic)
+    val end = targetEnd
     limit match {
       case r: ReadMaxRows =>
         val lags = end.map { case (p, e) => p -> math.max(0L, e - from.getOrElse(p, 0L)) }

@@ -300,4 +300,46 @@ class TopicSourceSpec extends AnyFunSuite {
       } finally q.stop()
     } finally TopicLog.delete(t)
   }
+
+  test("Trigger.AvailableNow: capped drain runs multiple batches bounded by " +
+       "the offset snapshot at prepare time") {
+    val t = "t_avail_now"
+    fill(t, 10, parts = 2)
+    try {
+      // unit-level pin of the SupportsTriggerAvailableNow contract: after
+      // prepareForTriggerAvailableNow, planning targets the SNAPSHOT end —
+      // records appended later are not part of this drain
+      val stream = new graft.sources.topic.TopicMicroBatchStream(t, "earliest", Some(4L))
+      stream.prepareForTriggerAvailableNow()
+      (0 until 6).foreach(i => TopicLog.append(t, s"late$i", s"v$i", 1000L + i))
+      var cur = stream.initialOffset()
+      var batches = 0
+      var planned = 0L
+      var advanced = true
+      while (advanced) {
+        val next = stream.latestOffset(cur, stream.getDefaultReadLimit)
+        val rows = stream.planInputPartitions(cur, next).map {
+          case graft.sources.topic.TopicRange(_, _, from, until) => until - from
+        }.sum
+        advanced = rows > 0
+        if (advanced) { batches += 1; planned += rows; cur = next }
+      }
+      assert(planned == 10, s"drain must stop at the snapshot, planned $planned")
+      assert(batches == 3, s"ceil(10/4) = 3 capped batches, got $batches")
+      // end-to-end: the gate path (AvailableNow + cap) drains everything
+      // that existed at start across >= 2 real micro-batches
+      val q = spark.readStream.format("graft-topic").option("topic", t)
+        .option("maxRecordsPerTrigger", "4").load()
+        .writeStream.format("memory").queryName("topic_avail_now")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try {
+        q.awaitTermination()
+        assert(spark.table("topic_avail_now").count() == 16)
+        assert(q.recentProgress.count(_.numInputRows > 0) >= 2,
+          "AvailableNow must honor the admission cap across batches")
+      } finally q.stop()
+    } finally TopicLog.delete(t)
+  }
 }
