@@ -252,6 +252,36 @@ class HttpSourceSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(r.getString(3) == "b" && r.getInt(4) == 9)
   }
 
+  // NESTED projection pushdown (ref declares supportsNestedProjection =
+  // true, HttpLookupTableSource.scala:70): selecting nested leaves must
+  // prune the scan's ReadSchema down to those leaves — untouched top-level
+  // fields (name) AND untouched sibling leaves (geo.lng) both disappear,
+  // so only the requested subtree is deserialized from the payload.
+  test("nested projection prunes untouched leaves out of the scan schema") {
+    server.payload =
+      """[{"id": 1, "name": "N1",
+        |  "address": {"city": "Rome", "geo": {"lat": 41.9, "lng": 12.5}}},
+        | {"id": 2, "name": "N2",
+        |  "address": {"city": "Oslo", "geo": {"lat": 59.9, "lng": 10.7}}}]""".stripMargin
+    val df = spark.read.format("http-full-cache")
+      .schema("id INT, name STRING, " +
+        "address STRUCT<city: STRING, geo: STRUCT<lat: DOUBLE, lng: DOUBLE>>")
+      .option("url", server.url).load()
+    val sel = df.selectExpr("id", "address.city AS city", "address.geo.lat AS lat")
+    val scanSchemas = sel.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan.readSchema()
+    }
+    assert(scanSchemas.nonEmpty, sel.queryExecution.executedPlan.toString)
+    val rs = scanSchemas.head.catalogString
+    assert(rs.contains("city") && rs.contains("lat"), rs)
+    assert(!rs.contains("name") && !rs.contains("lng"),
+      s"expected nested-pruned ReadSchema, got: $rs")
+    val rows = sel.orderBy("id").collect()
+    assert(rows.map(r => (r.getInt(0), r.getString(1), r.getDouble(2))).toSeq ==
+      Seq((1, "Rome", 41.9), (2, "Oslo", 59.9)))
+  }
+
   test("schema is mandatory") {
     val e = intercept[Exception](
       spark.read.format("http-full-cache").option("url", server.url).load())
