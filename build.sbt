@@ -30,4 +30,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Heap floor = ceiling: Bench forces a GC between queries so no query
+  // is timed against its predecessor's garbage; without a pinned floor
+  // G1 uncommits after that full GC and the next heavy pipeline pays
+  // heap re-expansion inside its timed window (measured +2-3 s on x34).
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

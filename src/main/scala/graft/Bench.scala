@@ -55,6 +55,14 @@ object Bench {
           graft.ops.Caches.releaseAll()
           spark.catalog.clearCache()
           spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+          // pay the predecessor's GC debt OUTSIDE the next timed window: a
+          // heavy pipeline (e.g. x27's LSH build) leaves enough garbage
+          // that the next small query's timed run absorbs a collection it
+          // didn't cause — measured 2× on x28 when it follows x27 vs
+          // isolated (r5 verdict's "unexplained" x28 regression). Between
+          // queries this is hygiene, not distortion: each query is timed
+          // from a settled heap, like a fresh executor would be.
+          System.gc()
           sec
         }.min
         name -> best
