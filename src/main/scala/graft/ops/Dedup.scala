@@ -241,20 +241,31 @@ object Dedup {
       .select("a_id", "b_id", "common", "na", "nb", "jac")
   }
 
-  /** SimHash near-dup pairs: 8×8-bit chunk blocking (a pair within Hamming
-    * distance ≤7 must share at least one of 8 chunks — pigeonhole), then
-    * exact Hamming verification via bit_count(xor). At corpus scale, widen
-    * chunks (e.g. 4×16-bit, guarantee ≤3) to keep bucket fan-in down —
-    * blocking granularity is the recall/cost dial. */
+  /** SimHash near-dup pairs: chunk blocking (a pair within Hamming
+    * distance ≤ nChunks−1 must share at least one chunk — pigeonhole),
+    * then exact Hamming verification via bit_count(xor).
+    *
+    * `chunkBits` is the SCALE dial: with w-bit chunks, expected bucket
+    * fan-in is n²/2^w per chunk position, so candidates grow
+    * superlinearly in corpus size at fixed w (measured 4.4× on 3× docs at
+    * w=8 — BASELINE.md round-6 growth table). Widen to 16-bit chunks
+    * (4 blocks, guarantee ≤3) at corpus scale to divide fan-in by 256;
+    * the blocking granularity trades the Hamming radius it can guarantee
+    * against candidate volume. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 7): DataFrame = {
-    require(maxHamming <= 7, "8-chunk blocking only guarantees hamming <= 7")
+                   maxHamming: Int = 7, chunkBits: Int = 8): DataFrame = {
+    require(chunkBits == 8 || chunkBits == 16,
+      s"chunkBits must be 8 or 16, got $chunkBits")
+    val nChunks = 64 / chunkBits
+    require(maxHamming <= nChunks - 1,
+      s"$nChunks-chunk blocking only guarantees hamming <= ${nChunks - 1}")
+    val mask = (1L << chunkBits) - 1
     val prints = Caches.persistTracked(docs
       .withColumn("fp", simhash63(TextStats.tokens(col(textCol))))
       .select(col(idCol), col("fp"))) // reused by both sides of the chunk join
     val chunked = prints.withColumn("chunk", explode(array(
-      (0 until 8).map(j => struct(lit(j).as("j"),
-        shiftrightunsigned(col("fp"), j * 8).bitwiseAND(lit(0xFFL)).as("v"))): _*)))
+      (0 until nChunks).map(j => struct(lit(j).as("j"),
+        shiftrightunsigned(col("fp"), j * chunkBits).bitwiseAND(lit(mask)).as("v"))): _*)))
       .select(col(idCol), col("chunk.j"), col("chunk.v"), col("fp"))
     val l = chunked.select(col(idCol).as("a_id"), col("j"), col("v"), col("fp").as("fp_a"))
     val r = chunked.select(col(idCol).as("b_id"), col("j"), col("v"), col("fp").as("fp_b"))

@@ -74,6 +74,22 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs.collect().forall(_.getAs[Int]("hamming") <= 7))
   }
 
+  test("simhash wide chunks (4x16-bit): identical pairs within the guaranteed radius") {
+    import spark.implicits._
+    // at hamming <= 3 both 8x8 and 4x16 blocking are EXACT (pigeonhole
+    // holds for each), so the chunk width must not change the result —
+    // only the candidate fan-in (the corpus-scale dial)
+    def pairSet(bits: Int) =
+      Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3, chunkBits = bits)
+        .select("a_id", "b_id", "hamming").as[(Long, Long, Int)].collect().toSet
+    val narrow = pairSet(8)
+    val wide = pairSet(16)
+    assert(narrow == wide, s"diff: ${narrow.diff(wide)} / ${wide.diff(narrow)}")
+    assert(intercept[IllegalArgumentException](
+      Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 4, chunkBits = 16))
+      .getMessage.contains("4-chunk blocking"))
+  }
+
   test("ANN top-k recall >= 0.6 vs exact top-k, and never false-positives scores") {
     val q = emb.filter(col("vec_id") === 0)
       .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
