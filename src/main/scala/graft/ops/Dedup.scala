@@ -30,6 +30,48 @@ object Dedup {
     df.groupBy(col(keyCol))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_cnt"))
 
+  /** C4-style BLOCK-level corpus dedup with reassembly: split each doc
+    * into fixed `blockTokens`-token blocks, drop every block whose exact
+    * text occurs elsewhere in the corpus unless this is its FIRST
+    * occurrence (lexicographic min of (doc_id, block_idx)), and
+    * reassemble each doc's surviving blocks in order. The
+    * pretraining-corpus counterpart of row-level [[exact]]: boilerplate
+    * repeated ACROSS documents (headers, licenses, navigation) disappears
+    * while unique content survives. Docs whose every block was seen
+    * earlier drop out entirely.
+    *
+    * Scale shape: one posexplode (rows ≈ corpus tokens / blockTokens),
+    * ONE shuffle keyed by block text (uniform — identical blocks are the
+    * rare case by construction) whose first-occurrence pick is a
+    * map-side-combinable min(struct) aggregate (no window, no sort), and
+    * one per-doc regroup. Linear end to end; no self-join. */
+  def blockDedup(docs: DataFrame, idCol: String, textCol: String,
+                 blockTokens: Int = 20): DataFrame = {
+    require(blockTokens > 0, s"blockTokens must be positive, got $blockTokens")
+    val blocks = docs
+      .withColumn("toks", split(col(textCol), " "))
+      // ceil(n/b)-1 = floor((n-1)/b); split() yields >= 1 token, so the
+      // sequence upper bound is always >= 0
+      .select(col(idCol), posexplode(transform(
+        sequence(lit(0),
+          floor((size(col("toks")) - 1).cast("double") / blockTokens).cast("int")),
+        i => concat_ws(" ", slice(col("toks"), i * blockTokens + 1, lit(blockTokens))))))
+      .withColumnRenamed("pos", "block_idx")
+      .withColumnRenamed("col", "block_text")
+    val firsts = blocks
+      .groupBy(col("block_text"))
+      .agg(min(struct(col(idCol), col("block_idx"))).as("keep"))
+      .select(col(s"keep.$idCol").as(idCol),
+        col("keep.block_idx").as("block_idx"), col("block_text"))
+    firsts
+      .groupBy(col(idCol))
+      .agg(
+        array_join(transform(
+          sort_array(collect_list(struct(col("block_idx"), col("block_text")))),
+          s => s.getField("block_text")), " ").as("clean_text"),
+        count(lit(1)).as("n_blocks"))
+  }
+
   /** Distinct word n-grams per document, 1-based positions (matches the
     * DuckDB oracle's list semantics). Documents shorter than n words drop. */
   def ngrams(docs: DataFrame, textCol: String, n: Int): DataFrame = {

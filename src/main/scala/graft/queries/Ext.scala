@@ -379,6 +379,17 @@ object Ext {
         .orderBy("media_id", "slice_idx")
     },
 
+    // C4-style block-level corpus dedup: 20-token blocks deduped EXACTLY
+    // across the whole corpus (first occurrence by (doc_id, block_idx)
+    // survives), docs reassembled from their surviving blocks — the
+    // cross-document boilerplate-removal pass of a pretraining pipeline,
+    // as one linear plan (posexplode → min-struct agg → per-doc regroup).
+    "x41_block_dedup" -> { (s, dir) =>
+      Dedup.blockDedup(Tables.documents(s, dir), "doc_id", "text",
+          blockTokens = 20)
+        .orderBy("doc_id")
+    },
+
     // PII-style scrub: emails + long digit runs → placeholders.
     "x20_pii_redaction" -> { (s, dir) =>
       Tables.documents(s, dir)
@@ -1002,6 +1013,29 @@ object Ext {
         |  CAST(len(substr(ph, slice_idx * 128 + 1, 128)) / 2 AS INT) AS n_slice_bytes,
         |  md5(substr(ph, slice_idx * 128 + 1, 128)) AS slice_md5
         |FROM s ORDER BY media_id, slice_idx""".stripMargin,
+
+    // Same blocking, first-occurrence pick and ordered reassembly in SQL
+    // (QUALIFY row_number = Spark's min(struct) keeper; string_agg ORDER BY
+    // block_idx = the sort_array reassembly). DuckDB list slices are
+    // 1-based inclusive and truncate at the end like Spark's slice().
+    "x41_block_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |b AS (
+        |  SELECT doc_id, toks,
+        |    UNNEST(range(0, (len(toks) - 1) // 20 + 1)) AS block_idx
+        |  FROM t),
+        |bt AS (
+        |  SELECT doc_id, CAST(block_idx AS INT) AS block_idx,
+        |    array_to_string(toks[block_idx * 20 + 1 : block_idx * 20 + 20], ' ') AS block_text
+        |  FROM b),
+        |k AS (
+        |  SELECT doc_id, block_idx, block_text FROM bt
+        |  QUALIFY row_number() OVER (PARTITION BY block_text ORDER BY doc_id, block_idx) = 1)
+        |SELECT doc_id,
+        |  string_agg(block_text, ' ' ORDER BY block_idx) AS clean_text,
+        |  COUNT(*) AS n_blocks
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "x39_corpus_report" ->
       """WITH f AS (

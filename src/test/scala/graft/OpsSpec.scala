@@ -74,6 +74,26 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs.collect().forall(_.getAs[Int]("hamming") <= 7))
   }
 
+  test("block dedup: cross-doc boilerplate drops once, unique content survives in order") {
+    import spark.implicits._
+    val boiler = (1 to 8).map(i => s"b$i").mkString(" ") // one 8-token block at blockTokens=8
+    val planted = Seq(
+      (1L, s"$boiler u1 u2 u3 u4 u5 u6 u7 u8"),   // first occurrence: keeps both blocks
+      (2L, s"$boiler v1 v2 v3 v4 v5 v6 v7 v8"),   // boilerplate block drops, unique stays
+      (3L, boiler)                                  // ONLY the boilerplate: doc drops out
+    ).toDF("doc_id", "text")
+    val got = Dedup.blockDedup(planted, "doc_id", "text", blockTokens = 8)
+      .orderBy("doc_id").as[(Long, String, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, s"$boiler u1 u2 u3 u4 u5 u6 u7 u8", 2L),
+      (2L, "v1 v2 v3 v4 v5 v6 v7 v8", 1L)))
+    // reassembly order: a doc with 3 blocks keeps them in original order
+    val multi = Seq((7L, ((1 to 24).map(i => s"w$i")).mkString(" "))).toDF("doc_id", "text")
+    val back = Dedup.blockDedup(multi, "doc_id", "text", blockTokens = 8)
+      .as[(Long, String, Long)].collect().head
+    assert(back == ((7L, (1 to 24).map(i => s"w$i").mkString(" "), 3L)))
+  }
+
   test("simhash wide chunks (4x16-bit): identical pairs within the guaranteed radius") {
     import spark.implicits._
     // at hamming <= 3 both 8x8 and 4x16 blocking are EXACT (pigeonhole
