@@ -199,4 +199,16 @@ class ScaleSpec extends AnyFunSuite {
     assert(salted.exceptAll(plain).count() == 0)
     assert(plain.exceptAll(salted).count() == 0)
   }
+
+  test("x41 block dedup: linear plan — no self-join, no window sort, agg-based keeper pick") {
+    val plan = graft.ops.Dedup.blockDedup(
+        Tables.documents(spark, dir), "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      s"block dedup must not join at all:\n$plan")
+    assert(!plan.contains("Window"),
+      s"first-occurrence pick must be the min(struct) aggregate, not a window:\n$plan")
+  }
 }
