@@ -237,27 +237,61 @@ object Similarity {
       .select("a_id", "b_id", "cos_sim")
   }
 
-  /** All near-duplicate pairs by embedding cosine ≥ threshold, blocked by
-    * LSH signature chunks (8-bit) to avoid the full cross join; exact
-    * cosine verification on candidates. */
+  /** All near-duplicate pairs by embedding cosine ≥ threshold — BANDED
+    * random-hyperplane LSH blocking, then exact cosine verification of
+    * the deduplicated candidates (output ⊆ [[exactCosinePairs]] always).
+    *
+    * Banding math (the LSH S-curve): a pair at cosine s agrees per bit
+    * w.p. p = 1 − θ(s)/π; a `bandBits`-bit band collides w.p. p^bandBits
+    * and `nBands` bands catch the pair w.p. 1 − (1 − p^bandBits)^nBands.
+    * Defaults (16 bands × 8 bits = 128 md5-derived planes): s ≥ 0.95 →
+    * ≈ 0.9998 recall, 0.9 → ≈ 0.96, 0.7 → ≈ 0.8; a random pair collides
+    * somewhere w.p. ≈ 6%, cutting the quadratic verify term ~16×. (The
+    * previous 2×8-bit chunking of ONE 16-bit signature had single-digit
+    * recall at moderate thresholds — subset-valid, but not a useful
+    * candidate generator; OpsSpec now pins recall on planted near-dups.)
+    * Below s ≈ 0.7 the curve decays — that regime needs more/shorter
+    * bands and proportionally more candidates; tune (nBands, bandBits)
+    * by the formula. Candidates dedup on ids BEFORE vectors join back
+    * (the [[Dedup.minhashLshPairs]] pattern); verification reuses
+    * [[exactCosinePairs]]' precomputed-norm IEEE sequence. Planes are
+    * md5-derived plan literals, so an external engine can replay the
+    * whole blocking — the x42 oracle does, banding included. */
   def cosineNearDupPairs(emb: DataFrame, vecCol: String, idCol: String,
-                         threshold: Double, nBits: Int = 16,
-                         dims: Int = 64): DataFrame = {
-    val sigs = emb.withColumn("sig", VectorFunctions.rhpSignature(col(vecCol), nBits, dims))
-      .select(col(idCol), col("sig"), col(vecCol))
-    val chunks = (0 until nBits / 8).map(j => struct(lit(j).as("j"),
-      shiftrightunsigned(col("sig"), j * 8).bitwiseAND(lit(0xFFL)).as("v")))
-    val blocked = sigs.withColumn("chunk", explode(array(chunks: _*)))
-      .select(col(idCol), col("chunk.j"), col("chunk.v"), col(vecCol))
-    val l = blocked.select(col(idCol).as("a_id"), col("j"), col("v"),
-      col(vecCol).as("vec_a"))
-    val r = blocked.select(col(idCol).as("b_id"), col("j"), col("v"),
-      col(vecCol).as("vec_b"))
-    l.join(r, Seq("j", "v"))
+                         threshold: Double, nBands: Int = 16,
+                         bandBits: Int = 8, dims: Int = 64): DataFrame = {
+    val planes = VectorFunctions.rhpPlanes(nBands * bandBits, dims)
+    val v = col("v")
+    val bandCols = (0 until nBands).map { j =>
+      struct(lit(j).as("j"),
+        (0 until bandBits).map { b =>
+          when(VectorFunctions.dot(v, lit(planes(j * bandBits + b))) > 0,
+            lit(1L << (bandBits - 1 - b))).otherwise(lit(0L))
+        }.reduce(_ + _).as("bv"))
+    }
+    // signatures + norms persisted: the frame feeds the banding explode
+    // AND both verification join-backs — 128 dots/row must run once
+    val sigs = Caches.persistTracked(emb
+      .select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+      .filter(when(size(v) === dims, lit(true)).otherwise(raise_error(concat(
+        lit(s"cosineNearDupPairs: expected $dims-dim vector, got "),
+        coalesce(size(v).cast("string"), lit("null"))))))
+      .withColumn("nrm", VectorFunctions.norm(v))
+      .withColumn("bands", array(bandCols: _*)))
+    val banded = sigs.select(col(idCol), explode(col("bands")).as("band"))
+      .select(col(idCol), col("band.j"), col("band.bv"))
+    val l = banded.select(col(idCol).as("a_id"), col("j"), col("bv"))
+    val r = banded.select(col(idCol).as("b_id"), col("j"), col("bv"))
+    val cands = l.join(r, Seq("j", "bv"))
       .filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id", "vec_a", "vec_b").distinct()
-      .withColumn("cos_sim",
-        round(VectorFunctions.cosine(col("vec_a"), col("vec_b")), 6))
+      .select("a_id", "b_id").distinct()
+    cands
+      .join(sigs.select(col(idCol).as("a_id"), col("v").as("vec_a"),
+        col("nrm").as("na")), "a_id")
+      .join(sigs.select(col(idCol).as("b_id"), col("v").as("vec_b"),
+        col("nrm").as("nb")), "b_id")
+      .withColumn("cos_sim", round(
+        VectorFunctions.dot(col("vec_a"), col("vec_b")) / (col("na") * col("nb")), 6))
       .filter(col("cos_sim") >= threshold)
       .select("a_id", "b_id", "cos_sim")
   }

@@ -133,6 +133,24 @@ object Ext {
         .orderBy("a_id", "b_id")
     },
 
+    // SEMANTIC dedup end-to-end over embeddings: banded RHP-LSH candidate
+    // pairs (16×8-bit md5 planes) → exact cosine verify ≥ 0.45 → connected
+    // components → min-id representative per cluster. FULL oracle of the
+    // approximation: the planes are engine-portable, so DuckDB replays the
+    // banding (collisions AND misses — recall at this below-S-curve
+    // threshold is the algorithm's own, pinned separately in OpsSpec at
+    // the real near-dup regime), the exact verify, and the components.
+    "x42_semantic_dedup" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val pairs = Similarity.cosineNearDupPairs(emb,
+        vecCol = "embedding", idCol = "vec_id", threshold = 0.45)
+      Dedup.connectedComponents(emb.select(col("vec_id")), "vec_id",
+          pairs.select("a_id", "b_id"))
+        .select(col("id").as("vec_id"), col("cluster_id"),
+          (col("id") === col("cluster_id")).as("kept"))
+        .orderBy("vec_id")
+    },
+
     "x08_lang_stats" -> { (s, dir) =>
       Tables.documents(s, dir)
         .groupBy("lang")
@@ -1013,6 +1031,42 @@ object Ext {
         |  CAST(len(substr(ph, slice_idx * 128 + 1, 128)) / 2 AS INT) AS n_slice_bytes,
         |  md5(substr(ph, slice_idx * 128 + 1, 128)) AS slice_md5
         |FROM s ORDER BY media_id, slice_idx""".stripMargin,
+
+    // Banding replayed stage for stage (the x06 pattern at 128 planes):
+    // md5-rebuilt hyperplanes → 16×8-bit band bytes → band-equality
+    // candidates → precomputed-norm exact cosine ≥ 0.45 → x16's
+    // reachability-walk components → min-id representative. Collisions
+    // AND misses replay identically, so the gate is exact regardless of
+    // the S-curve's recall at this threshold.
+    "x42_semantic_dedup" ->
+      """WITH RECURSIVE h AS (
+        |  SELECT b, list_transform(generate_series(0, 63),
+        |    d -> (CAST('0x' || substr(md5('rhp:' || CAST(b AS VARCHAR) || ':' || CAST(d AS VARCHAR)), 1, 8) AS UBIGINT) % 2000001) / 1000000.0 - 1.0) AS hv
+        |  FROM generate_series(0, 127) t(b)),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |bits AS (
+        |  SELECT e.vec_id, CAST(h.b // 8 AS INT) AS j,
+        |    CASE WHEN list_sum(list_transform(generate_series(1, len(v)), i -> v[i] * hv[i])) > 0
+        |      THEN CAST(1 << (7 - (h.b % 8)) AS BIGINT) ELSE 0 END AS bit
+        |  FROM e, h),
+        |bands AS (SELECT vec_id, j, SUM(bit) AS bv FROM bits GROUP BY vec_id, j),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+        |  FROM bands a JOIN bands b ON a.j = b.j AND a.bv = b.bv AND a.vec_id < b.vec_id),
+        |n AS (SELECT vec_id, sqrt(list_sum(list_transform(generate_series(1, len(v)), i -> v[i]*v[i]))) AS nrm FROM e),
+        |p AS (
+        |  SELECT a_id, b_id
+        |  FROM cand
+        |  JOIN e ea ON ea.vec_id = a_id JOIN e eb ON eb.vec_id = b_id
+        |  JOIN n na ON na.vec_id = a_id JOIN n nb ON nb.vec_id = b_id
+        |  WHERE round(list_sum(list_transform(generate_series(1, len(ea.v)), i -> ea.v[i] * eb.v[i])) / (na.nrm * nb.nrm), 6) >= 0.45),
+        |edges AS (SELECT a_id AS u, b_id AS w FROM p UNION SELECT b_id, a_id FROM p),
+        |walk(id, reach) AS (
+        |  SELECT vec_id, vec_id FROM embeddings
+        |  UNION
+        |  SELECT wk.id, ed.w FROM walk wk JOIN edges ed ON wk.reach = ed.u)
+        |SELECT id AS vec_id, MIN(reach) AS cluster_id, (MIN(reach) = id) AS kept
+        |FROM walk GROUP BY id ORDER BY vec_id""".stripMargin,
 
     // Same blocking, first-occurrence pick and ordered reassembly in SQL
     // (QUALIFY row_number = Spark's min(struct) keeper; string_agg ORDER BY

@@ -211,6 +211,23 @@ class OpsSpec extends AnyFunSuite {
     assert(blocked.subsetOf(exact))
   }
 
+  test("banded LSH recall: planted near-identical vectors are ALL caught") {
+    import spark.implicits._
+    // copy of each original with one component nudged 1% → cos ≈ 0.9999;
+    // at that similarity a single band collides w.p. ≈ 0.96 and any of 16
+    // w.p. ≈ 1 − 1e-23 — deterministic planes, so this cannot flake
+    val base = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .as[(Long, Seq[Double])].collect()
+    val planted = base.flatMap { case (id, v) =>
+      Seq((id, v), (id + 1000000L, v.updated(0, v.head + 0.01 * (v.head.abs + 1e-3))))
+    }.toSeq.toDF("vec_id", "embedding")
+    val found = Similarity.cosineNearDupPairs(planted, "embedding", "vec_id", 0.99)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val missing = base.map { case (id, _) => (id, id + 1000000L) }
+      .filterNot(found.contains)
+    assert(missing.isEmpty, s"banded LSH missed planted near-dups: $missing")
+  }
+
   test("group MinHash-union sketch estimates source Jaccard within 0.2 of exact") {
     import spark.implicits._
     val sketches = Dedup.groupMinhashSketch(docs, "source", "text")
