@@ -260,26 +260,22 @@ object Similarity {
   def cosineNearDupPairs(emb: DataFrame, vecCol: String, idCol: String,
                          threshold: Double, nBands: Int = 16,
                          bandBits: Int = 8, dims: Int = 64): DataFrame = {
-    val planes = VectorFunctions.rhpPlanes(nBands * bandBits, dims)
     val v = col("v")
-    val bandCols = (0 until nBands).map { j =>
-      struct(lit(j).as("j"),
-        (0 until bandBits).map { b =>
-          when(VectorFunctions.dot(v, lit(planes(j * bandBits + b))) > 0,
-            lit(1L << (bandBits - 1 - b))).otherwise(lit(0L))
-        }.reduce(_ + _).as("bv"))
-    }
     // signatures + norms persisted: the frame feeds the banding explode
-    // AND both verification join-backs — 128 dots/row must run once
+    // AND both verification join-backs — the 128-dot band pass must run
+    // once. Banding is ONE native expression (RhpBandsExpr): the
+    // Column-composed form (nBands×bandBits separate dot exprs) paid
+    // seconds of pure expression overhead per small batch.
     val sigs = Caches.persistTracked(emb
       .select(col(idCol), col(vecCol).cast("array<double>").as("v"))
       .filter(when(size(v) === dims, lit(true)).otherwise(raise_error(concat(
         lit(s"cosineNearDupPairs: expected $dims-dim vector, got "),
         coalesce(size(v).cast("string"), lit("null"))))))
       .withColumn("nrm", VectorFunctions.norm(v))
-      .withColumn("bands", array(bandCols: _*)))
-    val banded = sigs.select(col(idCol), explode(col("bands")).as("band"))
-      .select(col(idCol), col("band.j"), col("band.bv"))
+      .withColumn("bands",
+        graft.functions.VectorExpressions.rhpBandsNative(v, nBands, bandBits, dims)))
+    val banded = sigs.select(col(idCol), posexplode(col("bands")))
+      .select(col(idCol), col("pos").as("j"), col("col").as("bv"))
     val l = banded.select(col(idCol).as("a_id"), col("j"), col("bv"))
     val r = banded.select(col(idCol).as("b_id"), col("j"), col("bv"))
     val cands = l.join(r, Seq("j", "bv"))

@@ -19,6 +19,29 @@ class VectorExprSpec extends AnyFunSuite {
     assert(both.filter(col("native") =!= col("hof")).count() == 0)
   }
 
+  test("native rhp_bands == per-plane dot composition bit-for-bit") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val planes = VectorFunctions.rhpPlanes(32, 64)
+    val v = col("embedding").cast("array<double>")
+    val composed = array((0 until 4).map { j =>
+      (0 until 8).map { b =>
+        when(VectorFunctions.dot(v, lit(planes(j * 8 + b))) > 0,
+          lit(1L << (7 - b))).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }: _*)
+    val both = emb.select(
+      VectorExpressions.rhpBandsNative(v, 4, 8, 64).as("native"),
+      composed.as("composed"))
+    assert(both.filter(col("native") =!= col("composed")).count() == 0)
+    // dims mismatch fails loudly from inside the expression
+    val e = intercept[Exception] {
+      emb.select(VectorExpressions.rhpBandsNative(v, 4, 8, 32)).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("rhp_bands")), msgs(e).mkString(" | "))
+  }
+
   test("native dot handles nulls and codegen + interpreted agree") {
     import spark.implicits._
     val df = Seq(
