@@ -56,9 +56,12 @@ object VectorFunctions {
     * desynchronize from the probe side's query signature). */
   def rhpSignature(vec: Column, nBits: Int, dims: Int = 64): Column = {
     val v = vec.cast("array<double>")
-    val sig = rhpPlanes(nBits, dims).zipWithIndex.map { case (p, b) =>
-      when(dot(v, lit(p)) > 0, lit(1L << (nBits - 1 - b))).otherwise(lit(0L))
-    }.reduce(_ + _)
+    // one 1-band × nBits-bit call of the native band expression = the
+    // packed signature (same planes, same 1L << (nBits-1-b) packing,
+    // same sequential IEEE dots) — ONE codegen'd loop instead of nBits
+    // composed dot expressions (2× on the index build; VectorExprSpec
+    // pins native == composed bit parity)
+    val sig = element_at(VectorExpressions.rhpBandsNative(v, 1, nBits, dims), 1)
     when(v.isNull, raise_error(lit("rhpSignature: null vector")))
       .when(size(v) === dims, sig)
       .otherwise(raise_error(concat(
