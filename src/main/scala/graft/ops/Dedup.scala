@@ -455,7 +455,15 @@ object Dedup {
     * arithmetic, so the x04 oracle rebuilds identical fingerprints and the
     * driver checks the simhash OUTPUT itself (pairs + hamming), not a
     * Jaccard proxy it provably can't match. */
-  def simhash63(tokensCol: Column): Column = {
+  /** 63-bit SimHash of a token array — delegates to the native
+    * [[graft.functions.Simhash63Expr]] (one pass per row; the HOF fold
+    * below evaluated 63 lambda steps per token, interpreted — ~2× of
+    * x04's cost). [[simhash63Composed]] is kept as the parity twin the
+    * spec checks bit-for-bit. */
+  def simhash63(tokensCol: Column): Column =
+    graft.functions.TextExpressions.simhash63Native(tokensCol)
+
+  private[graft] def simhash63Composed(tokensCol: Column): Column = {
     // One fold over the tokens (each string-hashed ONCE) accumulating the
     // 63 per-bit ±1 votes as an array; then pack votes into the long.
     // Big-endian: vote index 0 holds bit 62.

@@ -94,6 +94,21 @@ class OpsSpec extends AnyFunSuite {
     assert(back == ((7L, (1 to 24).map(i => s"w$i").mkString(" "), 3L)))
   }
 
+  test("native simhash63 == HOF-composed simhash63 bit-for-bit (incl. null tokens)") {
+    import spark.implicits._
+    val real = docs.select(
+      Dedup.simhash63(graft.ops.TextStats.tokens(col("text"))).as("native"),
+      Dedup.simhash63Composed(graft.ops.TextStats.tokens(col("text"))).as("composed"))
+    assert(real.filter(col("native") =!= col("composed")).count() == 0)
+    val edge = Seq(
+      (1L, Seq[String]("a", null, "b")), // null token votes -1 everywhere
+      (2L, Seq.empty[String])            // empty → sig 0
+    ).toDF("id", "toks")
+    val both = edge.select(Dedup.simhash63(col("toks")).as("n"),
+        Dedup.simhash63Composed(col("toks")).as("c")).collect()
+    assert(both.forall(r => r.getLong(0) == r.getLong(1)))
+  }
+
   test("simhash wide chunks (4x16-bit): identical pairs within the guaranteed radius") {
     import spark.implicits._
     // at hamming <= 3 both 8x8 and 4x16 blocking are EXACT (pigeonhole
