@@ -76,8 +76,95 @@ case class Simhash63Expr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Native MinHash signature of a gram array — one pass per row instead of
+  * the HOF fold (nHashes zip_with steps per gram, interpreted). Bit-for-bit
+  * parity with the composed forms in [[graft.ops.Dedup]]:
+  *
+  *  - fast family (portable = false): gram hash = Spark's xxhash64
+  *    (XXH64.hashUTF8String, seed 42); member i = xxhash64(h, i) =
+  *    hashInt(i, hashLong(h, 42)) — the exact two-argument fold Spark's
+  *    XxHash64 expression computes. A NULL gram hashes to the bare seed
+  *    (42), matching xxhash64(NULL).
+  *  - portable family (portable = true): gram → low-32 md5, member i =
+  *    (aᵢ·m + bᵢ) mod 2³¹−1 with [[PortableHash.md5u32]]-derived affine
+  *    constants (the x24 oracle's family). A NULL gram is SKIPPED,
+  *    matching `least(acc, NULL)`'s null-ignoring semantics.
+  */
+case class MinhashSigExpr(child: Expression, nHashes: Int, portable: Boolean)
+    extends UnaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"minhash_sig expects array<string>, got ${other.simpleString}")
+    }
+
+  private val M = 2147483647L
+  @transient private lazy val as: Array[Long] =
+    Array.tabulate(nHashes)(i => PortableHash.md5u32(s"mh:a:$i") % 268435456L * 2 + 1)
+  @transient private lazy val bs: Array[Long] =
+    Array.tabulate(nHashes)(i => PortableHash.md5u32(s"mh:b:$i") % M)
+
+  def compute(arr: ArrayData): Any = {
+    val acc = Array.fill(nHashes)(Long.MaxValue)
+    val n = arr.numElements()
+    var g = 0
+    while (g < n) {
+      if (portable) {
+        if (!arr.isNullAt(g)) { // null gram → least(acc, NULL) keeps acc
+          val d = org.apache.commons.codec.digest.DigestUtils.md5(
+            arr.getUTF8String(g).getBytes)
+          val m = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+                  ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+          var i = 0
+          while (i < nHashes) {
+            val h = (as(i) * m + bs(i)) % M
+            if (h < acc(i)) acc(i) = h
+            i += 1
+          }
+        }
+      } else {
+        // xxhash64(NULL) = the bare seed — the composed transform kept it
+        val base =
+          if (arr.isNullAt(g)) 42L
+          else org.apache.spark.sql.catalyst.expressions.XXH64
+            .hashUTF8String(arr.getUTF8String(g), 42L)
+        var i = 0
+        while (i < nHashes) {
+          val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashInt(i,
+            org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(base, 42L))
+          if (h < acc(i)) acc(i) = h
+          i += 1
+        }
+      }
+      g += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(acc)
+  }
+
+  override protected def nullSafeEval(a: Any): Any =
+    compute(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val self = ctx.addReferenceObj("minhashSig", this,
+        "graft.functions.MinhashSigExpr")
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $self.compute($a);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextExpressions {
   private val fnName = "graft_simhash63"
+  private val minhashFnName = "graft_minhash_sig"
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
@@ -85,11 +172,36 @@ object TextExpressions {
     if (!registry.functionExists(ident))
       registry.createOrReplaceTempFunction(
         fnName, exprs => Simhash63Expr(exprs(0)), "scala_udf")
+    val mhIdent = org.apache.spark.sql.catalyst.FunctionIdentifier(minhashFnName)
+    if (!registry.functionExists(mhIdent))
+      registry.createOrReplaceTempFunction(
+        minhashFnName, exprs => MinhashSigExpr(exprs(0),
+          litInt(exprs(1)), litBool(exprs(2))), "scala_udf")
+  }
+
+  private def litInt(e: Expression): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"minhash_sig nHashes must be an integer literal, got $other")
+  }
+  private def litBool(e: Expression): Boolean = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Boolean, _) => v
+    case other => throw new IllegalArgumentException(
+      s"minhash_sig portable must be a boolean literal, got $other")
   }
 
   /** Native 63-bit SimHash of an array<string> column. */
   def simhash63Native(tokens: Column): Column = {
     SparkSession.getActiveSession.foreach(register)
     call_function(fnName, tokens)
+  }
+
+  /** Native MinHash signature (array<long>, length nHashes) of an
+    * array<string> gram column — see [[MinhashSigExpr]]. */
+  def minhashSigNative(grams: Column, nHashes: Int, portable: Boolean): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function(minhashFnName, grams,
+      org.apache.spark.sql.functions.lit(nHashes),
+      org.apache.spark.sql.functions.lit(portable))
   }
 }

@@ -118,6 +118,12 @@ object Dedup {
     * re-string-hash every gram `nHashes` times (higher-order args are
     * re-evaluated per outer-lambda iteration). */
   def minhashSignature(gramsCol: Column, nHashes: Int): Column =
+    graft.functions.TextExpressions.minhashSigNative(gramsCol, nHashes,
+      portable = false)
+
+  /** HOF-composed twin of [[minhashSignature]], kept for the bit-parity
+    * spec (the native expression replays exactly this fold). */
+  private[graft] def minhashSignatureComposed(gramsCol: Column, nHashes: Int): Column =
     aggregate(
       transform(gramsCol, g => xxhash64(g)),
       array_repeat(lit(Long.MaxValue), nHashes),
@@ -135,7 +141,14 @@ object Dedup {
     * [[minhashSignature]]'s nHashes rehashes — cheaper per gram; xxhash64
     * stays on the LSH hot path where portability isn't needed.
     * No overflow under ANSI: a < 2³⁰, m < 2³², so a·m+b < 2⁶³. */
-  def portableMinhashSignature(gramsCol: Column, nHashes: Int): Column = {
+  def portableMinhashSignature(gramsCol: Column, nHashes: Int): Column =
+    graft.functions.TextExpressions.minhashSigNative(gramsCol, nHashes,
+      portable = true)
+
+  /** HOF-composed twin of [[portableMinhashSignature]] for the parity
+    * spec; also the shape the x24 oracle mirrors in SQL. */
+  private[graft] def portableMinhashSignatureComposed(gramsCol: Column,
+                                                      nHashes: Int): Column = {
     val M = 2147483647L
     val as = Array.tabulate(nHashes)(i => md5u32(s"mh:a:$i") % 268435456L * 2 + 1)
     val bs = Array.tabulate(nHashes)(i => md5u32(s"mh:b:$i") % M)

@@ -94,6 +94,32 @@ class OpsSpec extends AnyFunSuite {
     assert(back == ((7L, (1 to 24).map(i => s"w$i").mkString(" "), 3L)))
   }
 
+  test("native minhash signatures == HOF-composed, both families, incl. null grams") {
+    import spark.implicits._
+    val grams = docs.withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 3)
+      .select(array_distinct(transform(sequence(lit(1), size(col("toks")) - 2),
+        i => concat_ws(" ", element_at(col("toks"), i), element_at(col("toks"), i + 1),
+          element_at(col("toks"), i + 2)))).as("g"))
+    val real = grams.select(
+      Dedup.minhashSignature(col("g"), 64).as("nf"),
+      Dedup.minhashSignatureComposed(col("g"), 64).as("cf"),
+      Dedup.portableMinhashSignature(col("g"), 64).as("np"),
+      Dedup.portableMinhashSignatureComposed(col("g"), 64).as("cp"))
+    assert(real.filter(col("nf") =!= col("cf") || col("np") =!= col("cp")).count() == 0)
+    val edge = Seq((1L, Seq[String]("a b c", null)), (2L, Seq.empty[String]))
+      .toDF("id", "g")
+    val both = edge.select(
+      Dedup.minhashSignature(col("g"), 8).as("nf"),
+      Dedup.minhashSignatureComposed(col("g"), 8).as("cf"),
+      Dedup.portableMinhashSignature(col("g"), 8).as("np"),
+      Dedup.portableMinhashSignatureComposed(col("g"), 8).as("cp")).collect()
+    both.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1), s"fast family diverged: $r")
+      assert(r.getSeq[Long](2) == r.getSeq[Long](3), s"portable family diverged: $r")
+    }
+  }
+
   test("native simhash63 == HOF-composed simhash63 bit-for-bit (incl. null tokens)") {
     import spark.implicits._
     val real = docs.select(
