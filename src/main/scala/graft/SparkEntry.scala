@@ -22,7 +22,7 @@ object SparkEntry {
     graft.queries.Relational.queries ++
     graft.queries.HttpEnrichment.queries ++
     graft.queries.Ext.queries ++
-    graft.queries.StreamGate.queries
+    graft.queries.StreamGate.allQueries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → weaker rows-only check. */

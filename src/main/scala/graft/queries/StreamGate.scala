@@ -55,6 +55,25 @@ object StreamGate {
   private def topicSize(topic: String): Long =
     graft.sources.topic.TopicLog.endOffsets(topic).values.sum
 
+  /** Per-user metadata CHANGELOG topic for the stream-stream join (s06):
+    * one record per distinct events user, tier = pure function of the id
+    * so the oracle reproduces the join arithmetically. Memoized per
+    * (JVM, sf dir) like [[eventsTopic]]. */
+  private val metaTopics = TrieMap.empty[String, String]
+  private def userMetaTopic(s: SparkSession, dir: String): String = synchronized {
+    metaTopics.getOrElseUpdate(dir, {
+      val topic = s"gate_usermeta_${java.util.UUID.randomUUID().toString.take(8)}"
+      Tables.events(s, dir).select(col("user_id")).distinct()
+        .select(col("user_id").cast("string").as("key"),
+          to_json(struct(col("user_id").as("m_user_id"),
+            concat(lit("T"), (col("user_id") % 3).cast("string")).as("tier"))).as("value"),
+          to_timestamp(lit("2024-01-01 00:00:00")).as("timestamp"))
+        .write.format("graft-topic").mode("append")
+        .option("topic", topic).option("partitions", "4").save()
+      topic
+    })
+  }
+
   /** The replayed topic interleaves 30 days of event time across batches
     * in (partitioned) APPEND order, not time order — a multi-batch drain
     * can see near-max timestamps in batch 1 and day-1 rows in batch 4, so
@@ -317,7 +336,78 @@ object StreamGate {
     },
   )
 
+  private val streamStreamEntry: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    // STREAM-STREAM inner join under the gate: the capped events stream
+    // (~5 micro-batches) joins a user-metadata changelog stream on
+    // user_id — matches between meta seen in batch 1 and events arriving
+    // in batches 2..n can only come from the symmetric join STATE, so
+    // cross-batch join-state retention is what the oracle checks (≥2 data
+    // batches asserted). Inner equality join with both watermarks far
+    // below any event time: no state eviction before the drain, and the
+    // emitted SET is batch-equivalent regardless of batch boundaries. The
+    // joined rows land append-mode in the memory sink; the returned frame
+    // aggregates them batch-side (tier is a pure function of user_id, so
+    // DuckDB reproduces the join arithmetically).
+    "s06_stream_stream_join" -> { (s, dir) =>
+      val topic = eventsTopic(s, dir)
+      val mTopic = userMetaTopic(s, dir)
+      val run = java.util.UUID.randomUUID().toString.take(8)
+      val mem = s"s06_result_$run"
+      withGateConf(s) {
+        val ev = s.readStream.format("graft-topic")
+          .option("topic", topic)
+          .option("maxRecordsPerTrigger", math.max(1L, topicSize(topic) / 3).toString)
+          .load()
+          .select(col("timestamp").as("ts"),
+            from_json(col("value").cast("string"), org.apache.spark.sql.types
+              .StructType.fromDDL("user_id BIGINT, value DOUBLE")).as("j"))
+          .select(col("ts"), col("j.user_id").as("user_id"), col("j.value").as("value"))
+          // deterministic 1-in-5 user subset: the join-state machinery is
+          // what the gate exercises; 100k joined rows through the
+          // symmetric-hash join + memory sink would only buy volume
+          .filter(col("user_id") % 5 === 0)
+          .withWatermark("ts", replayWatermark)
+        val meta = s.readStream.format("graft-topic")
+          .option("topic", mTopic).load()
+          .select(col("timestamp").as("m_ts"),
+            from_json(col("value").cast("string"), org.apache.spark.sql.types
+              .StructType.fromDDL("m_user_id BIGINT, tier STRING")).as("j"))
+          .select(col("m_ts"), col("j.m_user_id").as("m_user_id"), col("j.tier").as("tier"))
+          .withWatermark("m_ts", replayWatermark)
+        val joined = ev.join(meta, ev("user_id") === meta("m_user_id"), "inner")
+          .select("user_id", "tier", "value")
+        val ckpt = java.nio.file.Files.createTempDirectory("s06_ckpt_")
+        val q = joined.writeStream.format("memory").queryName(mem)
+          .outputMode("append")
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        drain(q, ckpt)
+        require(dataBatches(q) >= 2,
+          s"s06 must exercise cross-batch join state; ran ${dataBatches(q)} data batches")
+        materialized(s, mem, s.table(mem)
+          .groupBy("user_id", "tier")
+          .agg(count(lit(1)).as("n"), Tables.dsum(col("value")).as("sum_value"))
+          .orderBy("user_id"))
+      }
+    },
+  )
+
+  /** s06 merged here (declared above so object init order is safe). */
+  lazy val allQueries: Map[String, (SparkSession, String) => DataFrame] =
+    queries ++ streamStreamEntry
+
   val oracle: Map[String, String] = Map(
+    // The meta side carries every distinct events user with tier a pure
+    // function of the id, so the inner join keeps all rows.
+    "s06_stream_stream_join" ->
+      """SELECT user_id, concat('T', CAST(user_id % 3 AS VARCHAR)) AS tier,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+        |FROM events
+        |WHERE user_id % 5 = 0
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
     // Spark's window('1 day') buckets align to the epoch = UTC calendar
     // days (UTC session both sides), so date_trunc is the same bucketing.
     "s01_stream_window_counts" ->
