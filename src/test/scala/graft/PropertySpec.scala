@@ -1,0 +1,94 @@
+package graft
+
+import graft.ops.Dedup
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-based checks (ScalaCheck generators, fixed seed → fully
+  * deterministic) of the ALGEBRAIC invariants the dedup/sketch operators
+  * rest on — the laws hold for arbitrary inputs, not just the fixture:
+  *
+  *  - MinHash is a min-semilattice homomorphism: sig(A ∪ B) =
+  *    elementwise-min(sig(A), sig(B)). This is exactly why the group
+  *    sketch (min-union of per-row signatures) equals the signature of
+  *    the group's distinct gram union — both hash families.
+  *  - SimHash is a multiset invariant: token order cannot change the
+  *    fingerprint (votes are a commutative sum).
+  *  - blockDedup conserves content: every distinct block survives exactly
+  *    once corpus-wide, only original blocks appear, and each doc keeps
+  *    its surviving blocks in original order.
+  */
+class PropertySpec extends AnyFunSuite {
+  lazy val spark = GraftSession.local("4")
+
+  private val alphabet = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps",
+    "zeta", "eta", "theta", "iota", "kappa")
+
+  private def sample[T](g: Gen[T], seed: Long): T =
+    g.apply(Gen.Parameters.default, Seed(seed)).get
+
+  test("minhash: sig(A union B) == elementwise min(sig(A), sig(B)), both families") {
+    import spark.implicits._
+    val setGen = Gen.listOfN(12, Gen.listOfN(3, alphabet).map(_.mkString(" ")))
+      .map(_.distinct)
+    val pairs = (1 to 30).map { i =>
+      (sample(setGen, i * 7L), sample(setGen, i * 13L + 1))
+    }
+    val df = pairs.toDF("a", "b")
+      .select(col("a"), col("b"),
+        array_distinct(concat(col("a"), col("b"))).as("u"))
+    val checked = df.select(
+      (Dedup.minhashSignature(col("u"), 32) ===
+        zip_with(Dedup.minhashSignature(col("a"), 32),
+          Dedup.minhashSignature(col("b"), 32), (x, y) => least(x, y))).as("fast_ok"),
+      (Dedup.portableMinhashSignature(col("u"), 32) ===
+        zip_with(Dedup.portableMinhashSignature(col("a"), 32),
+          Dedup.portableMinhashSignature(col("b"), 32), (x, y) => least(x, y))).as("port_ok"))
+      .collect()
+    assert(checked.forall(r => r.getBoolean(0) && r.getBoolean(1)))
+  }
+
+  test("simhash: token order never changes the fingerprint") {
+    import spark.implicits._
+    val toksGen = Gen.listOfN(20, alphabet)
+    val rows = (1 to 30).map { i =>
+      val toks = sample(toksGen, i * 31L)
+      (toks, new scala.util.Random(i).shuffle(toks))
+    }
+    val checked = rows.toDF("t", "s")
+      .select((Dedup.simhash63(col("t")) === Dedup.simhash63(col("s"))).as("ok"))
+      .collect()
+    assert(checked.forall(_.getBoolean(0)))
+  }
+
+  test("blockDedup: conservation — every distinct block survives exactly once, in doc order") {
+    import spark.implicits._
+    // tiny alphabet + short blocks force heavy cross-doc block collisions
+    val docGen = Gen.listOfN(12, alphabet).map(_.mkString(" "))
+    val docs = (1 to 40).map(i => (i.toLong, sample(docGen, i * 101L)))
+      .toDF("doc_id", "text")
+    val out = Dedup.blockDedup(docs, "doc_id", "text", blockTokens = 4)
+      .as[(Long, String, Long)].collect()
+    def blocksOf(text: String): Seq[String] =
+      text.split(" ").grouped(4).map(_.mkString(" ")).toSeq
+    val inputBlocks = (1 to 40).flatMap(i => blocksOf(sample(docGen, i * 101L)))
+    val outputBlocks = out.flatMap { case (_, t, _) => blocksOf(t) }
+    // exactly-once corpus-wide, nothing invented, nothing lost
+    assert(outputBlocks.distinct.length == outputBlocks.length,
+      "a block survived twice")
+    assert(outputBlocks.toSet == inputBlocks.toSet,
+      "survivor set must equal the distinct input block set")
+    // n_blocks bookkeeping matches the reassembled text, and each doc's
+    // survivors appear in their original relative order (subsequence)
+    out.foreach { case (id, t, n) =>
+      val got = blocksOf(t)
+      assert(got.length == n)
+      val orig = blocksOf(sample(docGen, id * 101L))
+      val it = orig.iterator
+      assert(got.forall(b => it.contains(b)),
+        s"doc $id: $got is not an in-order subsequence of $orig")
+    }
+  }
+}
