@@ -291,4 +291,20 @@ object Similarity {
       .filter(col("cos_sim") >= threshold)
       .select("a_id", "b_id", "cos_sim")
   }
+
+  /** Whole SEMANTIC-dedup pipeline over an embedding column, one call —
+    * the embedding analog of [[Dedup.nearDupDedup]]: banded-LSH candidate
+    * pairs → exact cosine verification → connected components → keep the
+    * min-id row per cluster. Returns the retained rows of `emb` unchanged
+    * in schema. Harness query x42 gates the same composition (label form)
+    * against a DuckDB oracle that replays the banding bit-for-bit. */
+  def semanticDedup(emb: DataFrame, vecCol: String, idCol: String,
+                    threshold: Double, nBands: Int = 16, bandBits: Int = 8,
+                    dims: Int = 64): DataFrame = {
+    val pairs = cosineNearDupPairs(emb, vecCol, idCol, threshold,
+      nBands, bandBits, dims)
+    val comp = Dedup.connectedComponents(emb.select(col(idCol)), idCol,
+      pairs.select("a_id", "b_id"))
+    Dedup.keepClusterRepresentatives(emb, idCol, comp)
+  }
 }

@@ -252,6 +252,19 @@ class OpsSpec extends AnyFunSuite {
     assert(blocked.subsetOf(exact))
   }
 
+  test("semanticDedup keeps exactly the cluster representatives + singletons") {
+    import spark.implicits._
+    val kept = Similarity.semanticDedup(emb, "embedding", "vec_id", 0.45)
+      .select("vec_id").as[Long].collect().toSet
+    val comp = Dedup.connectedComponents(emb.select(col("vec_id")), "vec_id",
+      Similarity.cosineNearDupPairs(emb, "embedding", "vec_id", 0.45)
+        .select("a_id", "b_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val reps = comp.filter { case (id, c) => id == c }.map(_._1).toSet
+    assert(kept == reps)
+    assert(kept.size == comp.length - comp.count { case (id, c) => id != c })
+  }
+
   test("banded LSH recall: planted near-identical vectors are ALL caught") {
     import spark.implicits._
     // copy of each original with one component nudged 1% → cos ≈ 0.9999;
