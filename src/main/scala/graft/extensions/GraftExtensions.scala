@@ -51,5 +51,43 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           Multiply(Sqrt(DotProductExpr(args.head, args.head)),
                    Sqrt(DotProductExpr(args(1), args(1)))))
       }))
+    // the signature/fingerprint layer, SQL-visible too: shape parameters
+    // must be literals (they select the deterministic md5 plane/seed
+    // family baked into the expression at plan time)
+    def intLit(e: Expression, what: String): Int = e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"$what must be an integer literal, got $other")
+    }
+    def boolLit(e: Expression, what: String): Boolean = e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Boolean, _) => v
+      case other => throw new IllegalArgumentException(
+        s"$what must be a boolean literal, got $other")
+    }
+    ext.injectFunction((
+      new FunctionIdentifier("rhp_bands"),
+      new ExpressionInfo(classOf[graft.functions.RhpBandsExpr].getName, "rhp_bands"),
+      (args: Seq[Expression]) => {
+        require(args.length == 4,
+          s"rhp_bands(vec, nBands, bandBits, dims) takes 4 arguments, got ${args.length}")
+        graft.functions.RhpBandsExpr(args.head, intLit(args(1), "nBands"),
+          intLit(args(2), "bandBits"), intLit(args(3), "dims"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash63"),
+      new ExpressionInfo(classOf[graft.functions.Simhash63Expr].getName, "simhash63"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, s"simhash63 takes 1 argument, got ${args.length}")
+        graft.functions.Simhash63Expr(args.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[graft.functions.MinhashSigExpr].getName, "minhash_sig"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          s"minhash_sig(grams, nHashes, portable) takes 3 arguments, got ${args.length}")
+        graft.functions.MinhashSigExpr(args.head, intLit(args(1), "nHashes"),
+          boolLit(args(2), "portable"))
+      }))
   }
 }

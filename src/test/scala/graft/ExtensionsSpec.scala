@@ -22,6 +22,32 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r.getDouble(2) == 1.0)
   }
 
+  test("rhp_bands / simhash63 / minhash_sig resolve in plain SQL, equal the Column API") {
+    val emb = Tables.embeddings(spark, dir)
+    emb.createOrReplaceTempView("emb_ext")
+    val sqlBands = spark.sql(
+      """SELECT vec_id, rhp_bands(CAST(embedding AS array<double>), 4, 8, 64) AS b
+        |FROM emb_ext ORDER BY vec_id LIMIT 5""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toSeq
+    val apiBands = emb
+      .select(col("vec_id"), graft.functions.VectorExpressions
+        .rhpBandsNative(col("embedding"), 4, 8, 64).as("b"))
+      .orderBy("vec_id").limit(5)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toSeq
+    assert(sqlBands == apiBands)
+    val r = spark.sql(
+      """SELECT simhash63(array('a', 'b')) AS s,
+        |       minhash_sig(array('x y z'), 8, true) AS mp,
+        |       minhash_sig(array('x y z'), 8, false) AS mf""".stripMargin).head()
+    val api = spark.range(1).select(
+      graft.ops.Dedup.simhash63(typedLit(Seq("a", "b"))).as("s"),
+      graft.ops.Dedup.portableMinhashSignature(typedLit(Seq("x y z")), 8).as("mp"),
+      graft.ops.Dedup.minhashSignature(typedLit(Seq("x y z")), 8).as("mf")).head()
+    assert(r.getLong(0) == api.getLong(0))
+    assert(r.getSeq[Long](1) == api.getSeq[Long](1))
+    assert(r.getSeq[Long](2) == api.getSeq[Long](2))
+  }
+
   test("SQL cosine top-k over embeddings equals the Column-API top-k bit-for-bit") {
     val emb = Tables.embeddings(spark, dir)
     val dim = emb.select(size(col("embedding"))).head().getInt(0)
