@@ -503,13 +503,24 @@ object Relational {
     // -- Recursive CTE (Spark 4's UnionLoop): transitive closure over a
     //    synthetic parent chain (parent key = key - 5), computing each
     //    node's root and depth. Identical SQL runs on both engines.
-    "q44_recursive_cte" -> { (s, dir) =>
+    //
+    //    Plan tuning (measured, r7): UnionLoop re-runs AQE planning on
+    //    every iteration — for a 6-iteration closure that fixed re-planning
+    //    cost dominated the query (1.33 s -> 0.71 s with a static plan +
+    //    an explicit broadcast of the joined dim). Iterative plans are the
+    //    one place AQE's per-query re-optimization works against us: the
+    //    loop body's shape never changes between iterations, so we pay the
+    //    planner 6x for one answer. Scoped via `newSession()` (own SQL
+    //    conf, shared context/cache) so nothing session-global mutates.
+    "q44_recursive_cte" -> { (s0, dir) =>
+      val s = s0.newSession()
+      s.conf.set("spark.sql.adaptive.enabled", "false")
       Tables.nation(s, dir).createOrReplaceTempView("graft_nation_q44")
       s.sql(
         """WITH RECURSIVE walk(key, root, depth) AS (
           |  SELECT n_nationkey, n_nationkey, 0 FROM graft_nation_q44 WHERE n_nationkey < 5
           |  UNION ALL
-          |  SELECT n.n_nationkey, w.root, w.depth + 1
+          |  SELECT /*+ BROADCAST(n) */ n.n_nationkey, w.root, w.depth + 1
           |  FROM graft_nation_q44 n JOIN walk w ON n.n_nationkey - 5 = w.key)
           |SELECT key, root, depth FROM walk ORDER BY key""".stripMargin)
     },

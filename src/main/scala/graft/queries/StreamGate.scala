@@ -83,17 +83,62 @@ object StreamGate {
     * the watermark never advanced mid-drain. */
   private val replayWatermark = "35 days"
 
-  /** Run `body` with gate-sized state parallelism: 8 shuffle partitions
-    * (= topic partitions) instead of the session's 32. Stateful-operator
-    * state stores scale with shuffle partitions, and at gate scale 32
-    * instances per operator per micro-batch is pure fixed overhead
-    * (measured ~0.5 s/query). Restores the session value afterwards; gate
+  /** One JVM-scoped temp root for every gate checkpoint / sink dir,
+    * preferring tmpfs (/dev/shm) over the disk-backed java.io.tmpdir: a
+    * micro-batch pays walCommit + commitOffsets + per-partition state
+    * delta writes on EVERY trigger (measured ~70-90 ms/batch on ext4
+    * /tmp), which is pure fixed machinery at gate scale — on a production
+    * cluster this is fast local/HDFS storage. Exactly-once semantics are
+    * unchanged: the commit-log protocol is identical, only the volume is
+    * faster; s05's two legs share one JVM, so tmpfs persistence is
+    * sufficient for its restart replay. */
+  private lazy val gateTmpRoot: java.nio.file.Path = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val base =
+      if (java.nio.file.Files.isWritable(shm)) shm
+      else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    java.nio.file.Files.createTempDirectory(base, "graft_gate_")
+  }
+  private def gateTmpDir(prefix: String): java.nio.file.Path =
+    java.nio.file.Files.createTempDirectory(gateTmpRoot, prefix)
+
+  /** Run `body` with gate-sized state parallelism: 4 shuffle partitions
+    * instead of the session's 32. Stateful-operator state stores scale
+    * with shuffle partitions — every instance pays open/commit/delta-file
+    * machinery per micro-batch — and at gate scale that is pure fixed
+    * overhead (8→4 measured −2.3 s across the six queries, r7; 32→8 was
+    * −0.5 s/query, r6). Still multi-partition, so distributed state
+    * semantics stay exercised. Restores the session value afterwards; gate
     * queries run sequentially in Verify/Bench, so the temporary session
     * conf can't race another query. */
+  private val gateActive = new java.util.concurrent.atomic.AtomicBoolean(false)
+
   private def withGateConf[T](s: SparkSession)(body: => T): T = {
+    // Guard the sequential-execution assumption instead of trusting it
+    // (ADVICE r6): the temporary session conf below is safe ONLY while no
+    // other gate query shares the session. A future concurrent harness
+    // fails loudly here rather than silently running unrelated queries at
+    // gate parallelism or restoring the wrong conf value.
+    require(gateActive.compareAndSet(false, true),
+      "gate queries must run sequentially: withGateConf mutates session-global conf")
     val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    val prevNoData = s.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    // The trailing no-data micro-batch exists to advance the watermark so
+    // append-mode WINDOWED aggregates can emit finalized windows. No gate
+    // query needs it (s01/s04 are complete-mode; s02's dedup and s06's
+    // inner join emit on arrival), and it costs a full trigger round-trip
+    // (measured 0.4-0.8 s/query). Off for the gate, restored after.
+    s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    // NOT RocksDB: tried r7 — RocksDBStateStoreProvider was +2.0 s across
+    // the six queries (native store init per instance per batch dwarfs the
+    // tiny gate state; the default HDFS-backed store on the tmpfs
+    // checkpoint root wins at this scale).
+    try body finally {
+      s.conf.set("spark.sql.shuffle.partitions", prev)
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
+      gateActive.set(false)
+    }
   }
 
   /** Drain the stream, then stop it and delete the checkpoint — each step
@@ -101,9 +146,22 @@ object StreamGate {
     * the stream's own exception (reported to stderr instead). The shared
     * topic is JVM-scoped and intentionally NOT deleted here. */
   private def drain(q: StreamingQuery, ckpt: java.nio.file.Path): Unit =
-    try q.awaitTermination() finally {
+    try {
+      q.awaitTermination()
+      if (sys.env.contains("SPARK_GRAFT_GATE_DEBUG")) dumpProgress(q)
+    } finally {
       cleanupStep("stop")(q.stop())
       cleanupStep("checkpoint delete")(graft.util.Fs.deleteTree(ckpt))
+    }
+
+  /** Per-micro-batch duration breakdown (triggerExecution and its parts),
+    * printed when SPARK_GRAFT_GATE_DEBUG is set — the gate's profiling
+    * loop for finding where fixed machinery seconds go. */
+  private def dumpProgress(q: StreamingQuery): Unit =
+    q.recentProgress.foreach { p =>
+      val d = p.durationMs
+      System.err.println(s"[gate-debug] ${Option(q.name).getOrElse(q.id)} " +
+        s"batch=${p.batchId} rows=${p.numInputRows} durations=${d.toString}")
     }
 
   private def cleanupStep(what: String)(f: => Unit): Unit =
@@ -153,7 +211,7 @@ object StreamGate {
             col("j.value").as("value"))
         val agg = Streams.windowedCounts(parsed, "ts",
           watermark = replayWatermark, windowDuration = "1 day")
-        val ckpt = java.nio.file.Files.createTempDirectory("s01_ckpt_")
+        val ckpt = gateTmpDir("s01_ckpt_")
         val q = agg.writeStream.format("memory").queryName(mem)
           .outputMode("complete")
           .option("checkpointLocation", ckpt.toString)
@@ -189,7 +247,7 @@ object StreamGate {
             col("timestamp").as("ts"))
         val deduped = Streams.dedupWithinWatermark(docs, "user_id", "ts", "1 day")
           .select("user_id")
-        val ckpt = java.nio.file.Files.createTempDirectory("s02_ckpt_")
+        val ckpt = gateTmpDir("s02_ckpt_")
         val q = deduped.writeStream.format("memory").queryName(mem)
           .outputMode("append")
           .option("checkpointLocation", ckpt.toString)
@@ -227,7 +285,7 @@ object StreamGate {
             col("j.value").as("value"))
         val agg = Streams.sessionCounts(parsed, "ts",
           watermark = replayWatermark, gap = "1 hour")
-        val ckpt = java.nio.file.Files.createTempDirectory("s04_ckpt_")
+        val ckpt = gateTmpDir("s04_ckpt_")
         val q = agg.writeStream.format("memory").queryName(mem)
           .outputMode("complete")
           .option("checkpointLocation", ckpt.toString)
@@ -266,7 +324,7 @@ object StreamGate {
           .groupBy("user_id", "name")
           .agg(count(lit(1)).as("n_events"),
             Tables.dsum(col("value")).as("sum_value"))
-        val ckpt = java.nio.file.Files.createTempDirectory("s03_ckpt_")
+        val ckpt = gateTmpDir("s03_ckpt_")
         val q = agg.writeStream.format("memory").queryName(mem)
           .outputMode("complete")
           .option("checkpointLocation", ckpt.toString)
@@ -290,8 +348,8 @@ object StreamGate {
     "s05_stream_checkpoint_resume" -> { (s, dir) =>
       val topic = eventsTopic(s, dir)
       val total = topicSize(topic)
-      val out = java.nio.file.Files.createTempDirectory("s05_out_")
-      val ckpt = java.nio.file.Files.createTempDirectory("s05_ckpt_")
+      val out = gateTmpDir("s05_out_")
+      val ckpt = gateTmpDir("s05_ckpt_")
       withGateConf(s) {
         def startLeg(): StreamingQuery =
           s.readStream.format("graft-topic")
@@ -310,16 +368,41 @@ object StreamGate {
             .trigger(Trigger.AvailableNow())
             .start()
         // Leg 1: stop after ≥2 committed batches, well inside the backlog
-        // (~12 batches). Where exactly it lands doesn't matter — the
-        // oracle hash catches any replay/skip wherever the cut falls.
+        // (~12 batches). The cut is signalled from the progress LISTENER
+        // (fires on batch commit), not a lastProgress poll — the listener
+        // latch makes the cut point deterministic at its source, so leg 1
+        // cannot race through the remaining backlog between a late poll
+        // and stop() on a fast fixture (ADVICE r6). Where exactly the cut
+        // lands past batch 2 doesn't matter — the oracle hash catches any
+        // replay/skip wherever it falls.
+        val cut = new java.util.concurrent.CountDownLatch(1)
+        // runId set right after start() — a stale event from a previous
+        // invocation (best-of-N reruns) can never match it, and no batch
+        // of THIS run can commit in the ns between start() returning and
+        // the assignment (a batch takes >=tens of ms)
+        @volatile var leg1Run: java.util.UUID = null
+        val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+          override def onQueryStarted(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+          override def onQueryProgress(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit =
+            if (e.progress.runId == leg1Run && e.progress.batchId >= 2) cut.countDown()
+          override def onQueryTerminated(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit =
+            if (e.runId == leg1Run) cut.countDown() // failed/finished leg: don't hang
+        }
+        s.streams.addListener(listener)
         val q1 = startLeg()
+        leg1Run = q1.runId
         try {
-          val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
-          while (q1.isActive &&
-                 (q1.lastProgress == null || q1.lastProgress.batchId < 2) &&
-                 System.nanoTime() < deadline) Thread.sleep(10)
-        } finally cleanupStep("leg1 stop")(q1.stop())
+          if (!q1.isActive) cut.countDown() // terminated before runId was set
+          cut.await(120, java.util.concurrent.TimeUnit.SECONDS)
+        } finally {
+          cleanupStep("leg1 stop")(q1.stop())
+          cleanupStep("leg1 listener remove")(s.streams.removeListener(listener))
+        }
         q1.awaitTermination()
+        if (sys.env.contains("SPARK_GRAFT_GATE_DEBUG")) dumpProgress(q1)
         // Leg 2: resume from the checkpoint, drain to the end.
         val q2 = startLeg()
         drain(q2, ckpt)
@@ -376,7 +459,7 @@ object StreamGate {
           .withWatermark("m_ts", replayWatermark)
         val joined = ev.join(meta, ev("user_id") === meta("m_user_id"), "inner")
           .select("user_id", "tier", "value")
-        val ckpt = java.nio.file.Files.createTempDirectory("s06_ckpt_")
+        val ckpt = gateTmpDir("s06_ckpt_")
         val q = joined.writeStream.format("memory").queryName(mem)
           .outputMode("append")
           .option("checkpointLocation", ckpt.toString)
