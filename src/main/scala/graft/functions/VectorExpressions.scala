@@ -97,6 +97,16 @@ case class RhpBandsExpr(child: Expression, nBands: Int, bandBits: Int, dims: Int
     val v = a.asInstanceOf[ArrayData]
     require(v.numElements() == dims,
       s"rhp_bands: expected $dims-dim vector, got ${v.numElements()}")
+    // Null COMPONENTS fail loudly (ADVICE r6): without this prepass a null
+    // element NPEs on GenericArrayData but silently reads 0.0 on
+    // UnsafeArrayData — two execution paths, two answers. One O(dims)
+    // check per row, outside the nBands*bandBits hot loops.
+    var nd = 0
+    while (nd < dims) {
+      if (v.isNullAt(nd)) throw new IllegalArgumentException(
+        s"rhp_bands: null vector component at index $nd")
+      nd += 1
+    }
     val out = new Array[Long](nBands)
     var j = 0
     while (j < nBands) {
@@ -126,6 +136,12 @@ case class RhpBandsExpr(child: Expression, nBands: Int, bandBits: Int, dims: Int
          |if ($a.numElements() != $dims) {
          |  throw new IllegalArgumentException(
          |    "rhp_bands: expected $dims-dim vector, got " + $a.numElements());
+         |}
+         |for (int $d = 0; $d < $dims; $d++) {
+         |  if ($a.isNullAt($d)) {
+         |    throw new IllegalArgumentException(
+         |      "rhp_bands: null vector component at index " + $d);
+         |  }
          |}
          |long[] $out = new long[$nBands];
          |for (int $j = 0; $j < $nBands; $j++) {

@@ -68,6 +68,30 @@ object VectorFunctions {
         lit(s"rhpSignature: expected $dims-dim vector, got "), size(v).cast("string"))))
   }
 
+  /** Driver-side twin of [[VectorExpressions.rhpBandsNative]] for a
+    * constant query vector: band j packs the sign bits of planes
+    * [j*bandBits, (j+1)*bandBits) big-endian — the identical plane order,
+    * packing and sequential IEEE accumulation as the column expression,
+    * so a query's band values land in exactly the buckets the index build
+    * produced. Feeds [[graft.ops.Similarity.annProbeBanded]]'s literal
+    * band keys. */
+  def rhpBandsLocal(vec: Seq[Double], nBands: Int, bandBits: Int): IndexedSeq[Long] = {
+    val planes = rhpPlanes(nBands * bandBits, vec.length)
+    (0 until nBands).map { j =>
+      var bv = 0L
+      var b = 0
+      while (b < bandBits) {
+        val p = planes(j * bandBits + b)
+        var s = 0.0
+        var i = 0
+        while (i < p.length) { s += vec(i) * p(i); i += 1 }
+        if (s > 0) bv |= 1L << (bandBits - 1 - b)
+        b += 1
+      }
+      bv
+    }
+  }
+
   /** Driver-side twin of [[rhpSignature]] for a constant query vector —
     * the same sequential IEEE accumulation as [[dot]], so the resulting
     * signature is bit-identical to what the column form would produce. */

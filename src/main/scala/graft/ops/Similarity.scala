@@ -82,6 +82,77 @@ object Similarity {
     annProbe(annBuildSignatures(emb, vecCol, idCol, nBits, queryVec.length),
       vecCol, idCol, queryVec, k, nBits, maxHammingBits)
 
+  /** Band-bucket index build — the QUERY-SERVING companion to [[annProbe]]
+    * (which Hamming-filters every stored signature per query: an index
+    * scan, fine for one-off queries, wrong for serving many queries over
+    * a 100 TB corpus). One row per (row, band):
+    * `band_key = bandIndex * 2^bandBits + bandValue` — a single integer
+    * key with nBands * 2^bandBits distinct values, so the write-once index
+    * can be PARTITIONED (or bucketed) by `band_key` on storage and a probe
+    * reads only its nBands matching partitions: an index SEEK. The banding
+    * is the same md5-derived-plane [[graft.functions.VectorExpressions
+    * .rhpBandsNative]] pass as [[cosineNearDupPairs]] (one codegen'd
+    * expression; wrong-dims vectors fail loudly at build time), so an
+    * external engine can rebuild the identical buckets — the x43 oracle
+    * does. */
+  def annBuildBandIndex(emb: DataFrame, vecCol: String, idCol: String,
+                        nBands: Int = 16, bandBits: Int = 8,
+                        dims: Int = 64): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    emb
+      .select(col(idCol), posexplode(
+        graft.functions.VectorExpressions.rhpBandsNative(v, nBands, bandBits, dims)))
+      .select(col(idCol),
+        (col("pos").cast("long") * (1L << bandBits) + col("col")).as("band_key"))
+  }
+
+  /** Banded ANN probe — an index SEEK, not a scan: the query's nBands band
+    * keys are computed DRIVER-side ([[graft.functions.VectorFunctions
+    * .rhpBandsLocal]], bit-identical to the build's expression) and pushed
+    * as a literal IN-filter on `band_key`, so against a band_key-partitioned
+    * stored index only the matching partitions are read (PushedFilters /
+    * partition pruning — ScaleSpec audits both). Candidates (ids sharing
+    * ≥1 band with the query, deduplicated id-only) then semi-join the
+    * vector table for exact cosine rescoring and top-k.
+    *
+    * Recall is the banding S-curve documented at [[cosineNearDupPairs]]:
+    * with 16×8-bit bands, a true neighbor at cosine ≥ 0.95 shares a band
+    * w.p. ≈ 0.9998 (OpsSpec pins this on planted neighbors). Guard
+    * semantics: dims mismatch fails loudly — stored vectors at build time
+    * (the expression's per-row check), the query vector here, before any
+    * job runs. */
+  def annProbeBanded(emb: DataFrame, index: DataFrame, vecCol: String,
+                     idCol: String, queryVec: Seq[Double], k: Int,
+                     nBands: Int = 16, bandBits: Int = 8,
+                     dims: Int = 64): DataFrame = {
+    require(queryVec.length == dims,
+      s"annProbeBanded: ${queryVec.length}-dim query vs $dims-dim index")
+    val keys = graft.functions.VectorFunctions
+      .rhpBandsLocal(queryVec, nBands, bandBits)
+      .zipWithIndex.map { case (bv, j) => j.toLong * (1L << bandBits) + bv }
+    val cands = index
+      .filter(col("band_key").isin(keys: _*))
+      .select(col(idCol))
+      .distinct()
+    val q = lit(queryVec.toArray)
+    emb
+      .join(cands, Seq(idCol), "leftsemi")
+      .withColumn("cos_sim", round(VectorFunctions.cosine(col(vecCol), q), 6))
+      .orderBy(col("cos_sim").desc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol), col("cos_sim"))
+  }
+
+  /** One-shot compose of [[annBuildBandIndex]] + [[annProbeBanded]] (the
+    * gate shape; a real deployment builds once, probes many). */
+  def annTopKCosineBanded(emb: DataFrame, vecCol: String, idCol: String,
+                          queryVec: Seq[Double], k: Int,
+                          nBands: Int = 16, bandBits: Int = 8,
+                          dims: Int = 64): DataFrame =
+    annProbeBanded(emb,
+      annBuildBandIndex(emb, vecCol, idCol, nBands, bandBits, dims),
+      vecCol, idCol, queryVec, k, nBands, bandBits, dims)
+
   /** Phase 1 of the IVF (inverted-file) path: centroid table + per-row
     * nearest-centroid assignment. Centroids are a deterministic shuffle-free
     * sample — the `nLists` rows with the smallest id-hash, i.e. one

@@ -101,6 +101,20 @@ object Ext {
         queryVec = queryVec(s, dir), k = 20)
     },
 
+    // Band-bucketed ANN top-k — the QUERY-SERVING path (VERDICT r6 #4):
+    // build the (id, band_key) bucket index once, seek the query's 16
+    // band keys as a pushed literal IN-filter, exact-rescore candidates.
+    // FULL oracle of the approximation: planes are md5-derived, so DuckDB
+    // rebuilds corpus + query bands and the same candidate set (hits AND
+    // misses replay identically).
+    "x43_ann_banded_topk" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir).filter(col("vec_id") =!= 0)
+      Similarity.annProbeBanded(emb,
+        Similarity.annBuildBandIndex(emb, "embedding", "vec_id"),
+        vecCol = "embedding", idCol = "vec_id",
+        queryVec = queryVec(s, dir), k = 20)
+    },
+
     // IVF ANN top-k — FULL oracle of the approximation: the centroid
     // sample orders by md5(id) (engine-portable), assignment is an argmax
     // whose result is order-independent given bit-identical scores, and
@@ -1031,6 +1045,39 @@ object Ext {
         |  CAST(len(substr(ph, slice_idx * 128 + 1, 128)) / 2 AS INT) AS n_slice_bytes,
         |  md5(substr(ph, slice_idx * 128 + 1, 128)) AS slice_md5
         |FROM s ORDER BY media_id, slice_idx""".stripMargin,
+
+    // The x42 banding CTE applied to ANN serving: corpus bands and query
+    // bands from the same md5-rebuilt 128-plane matrix, candidates =
+    // band-equality join (j, bv) — the same set as the engine's
+    // band_key = j*256+bv IN-filter — then x05's exact rescoring.
+    "x43_ann_banded_topk" ->
+      """WITH h AS (
+        |  SELECT b, list_transform(generate_series(0, 63),
+        |    d -> (CAST('0x' || substr(md5('rhp:' || CAST(b AS VARCHAR) || ':' || CAST(d AS VARCHAR)), 1, 8) AS UBIGINT) % 2000001) / 1000000.0 - 1.0) AS hv
+        |  FROM generate_series(0, 127) t(b)),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id <> 0),
+        |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+        |bits AS (
+        |  SELECT e.vec_id, CAST(h.b // 8 AS INT) AS j,
+        |    CASE WHEN list_sum(list_transform(generate_series(1, len(v)), i -> v[i] * hv[i])) > 0
+        |      THEN CAST(1 << (7 - (h.b % 8)) AS BIGINT) ELSE 0 END AS bit
+        |  FROM e, h),
+        |bands AS (SELECT vec_id, j, SUM(bit) AS bv FROM bits GROUP BY vec_id, j),
+        |qbits AS (
+        |  SELECT CAST(h.b // 8 AS INT) AS j,
+        |    CASE WHEN list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * hv[i])) > 0
+        |      THEN CAST(1 << (7 - (h.b % 8)) AS BIGINT) ELSE 0 END AS bit
+        |  FROM q, h),
+        |qbands AS (SELECT j, SUM(bit) AS bv FROM qbits GROUP BY j),
+        |cand AS (SELECT DISTINCT vec_id FROM bands JOIN qbands USING (j, bv))
+        |SELECT e.vec_id,
+        |  round(
+        |    list_sum(list_transform(generate_series(1, len(v)), i -> v[i] * qv[i])) /
+        |    (sqrt(list_sum(list_transform(generate_series(1, len(v)), i -> v[i] * v[i]))) *
+        |     sqrt(list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * qv[i])))),
+        |  6) AS cos_sim
+        |FROM e JOIN cand USING (vec_id), q
+        |ORDER BY cos_sim DESC, vec_id ASC LIMIT 20""".stripMargin,
 
     // Banding replayed stage for stage (the x06 pattern at 128 planes):
     // md5-rebuilt hyperplanes → 16×8-bit band bytes → band-equality

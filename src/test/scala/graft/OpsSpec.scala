@@ -165,6 +165,40 @@ class OpsSpec extends AnyFunSuite {
     ann.keySet.intersect(exact.keySet).foreach(id => assert(ann(id) == exact(id)))
   }
 
+  test("banded ANN probe: planted >=0.95-cosine neighbors all retrieved, scores exact") {
+    import spark.implicits._
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+    // five near-copies of the query (one component nudged 1% → cos ≈
+    // 0.9999): the S-curve puts a single 8-bit band collision at ≈ 0.96
+    // and any-of-16 at ≈ 1 − 1e-23 — deterministic planes, cannot flake
+    val planted = (1 to 5).map { i =>
+      (1000000L + i, q.updated(i, q(i) + 0.01 * (q(i).abs + 1e-3)))
+    }
+    val corpus = emb.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      .union(planted.toDF("vec_id", "embedding"))
+    val got = Similarity.annTopKCosineBanded(corpus, "embedding", "vec_id", q, k = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    planted.foreach { case (id, _) =>
+      assert(got.contains(id), s"banded probe missed planted neighbor $id; got ${got.keySet}")
+      assert(got(id) >= 0.999, s"planted neighbor $id rescored ${got(id)}")
+    }
+    // rescoring is exact: every returned score equals the brute-force score
+    val exact = Similarity.topKCosine(corpus, "embedding", "vec_id", q, 1000000)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    got.foreach { case (id, s) => assert(s == exact(id), s"score drift for $id") }
+  }
+
+  test("banded ANN probe: wrong-dims query fails loudly before any job") {
+    val e = intercept[IllegalArgumentException] {
+      Similarity.annProbeBanded(emb, Similarity.annBuildBandIndex(
+          emb.filter(col("vec_id") =!= 0), "embedding", "vec_id"),
+        "embedding", "vec_id", Seq(1.0, 2.0), k = 5)
+    }
+    assert(e.getMessage.contains("2-dim query"))
+  }
+
   test("IVF top-k: scores exact on candidates, recall bounded below") {
     val q = emb.filter(col("vec_id") === 0)
       .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)

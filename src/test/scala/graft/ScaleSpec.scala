@@ -200,6 +200,39 @@ class ScaleSpec extends AnyFunSuite {
     assert(plain.exceptAll(salted).count() == 0)
   }
 
+  test("x43 banded ANN probe is an index SEEK: partition pruning on band_key, no corpus-wide Hamming filter") {
+    val emb = Tables.embeddings(spark, dir).filter(col("vec_id") =!= 0)
+    val q = Tables.embeddings(spark, dir).filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+    // the 100 TB deployment shape: the band index is WRITTEN partitioned
+    // by band_key, so the probe's literal IN-filter becomes storage-level
+    // partition pruning — only the query's 16 buckets are read back
+    val idxDir = java.nio.file.Files.createTempDirectory("x43_idx_").toString
+    try {
+      graft.ops.Similarity.annBuildBandIndex(emb, "embedding", "vec_id")
+        .write.mode("overwrite").partitionBy("band_key").parquet(idxDir)
+      val probe = graft.ops.Similarity.annProbeBanded(
+        emb, spark.read.parquet(idxDir), "embedding", "vec_id", q, k = 20)
+      // AQE wraps the plan in a leaf AdaptiveSparkPlanExec — unwrap it, or
+      // collect() sees no scans
+      val root = probe.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val scans = root.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      val idxScan = scans.find(_.partitionFilters.nonEmpty)
+        .getOrElse(fail(s"no partition-pruned scan in:\n$root"))
+      assert(idxScan.partitionFilters.mkString.contains("band_key"))
+      assert(idxScan.selectedPartitions.partitionCount <= 16,
+        s"probe read ${idxScan.selectedPartitions.partitionCount} band partitions — a seek reads <= nBands")
+      val plan = root.toString
+      assert(!plan.contains("bit_count"),
+        s"banded probe must retrieve candidates by bucket join, not a corpus-wide Hamming filter:\n$plan")
+    } finally graft.util.Fs.deleteTree(java.nio.file.Paths.get(idxDir))
+  }
+
   test("x41 block dedup: linear plan — no self-join, no window sort, agg-based keeper pick") {
     val plan = graft.ops.Dedup.blockDedup(
         Tables.documents(spark, dir), "doc_id", "text")

@@ -42,6 +42,42 @@ class VectorExprSpec extends AnyFunSuite {
     assert(msgs(e).exists(_.contains("rhp_bands")), msgs(e).mkString(" | "))
   }
 
+  test("rhp_bands: null vector COMPONENT fails loudly on both execution paths") {
+    import spark.implicits._
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    val df = Seq(Seq[java.lang.Double](1.0, null, 3.0)).toDF("v")
+    // codegen path (whole-stage over a local relation)
+    val eCg = intercept[Exception] {
+      df.select(VectorExpressions.rhpBandsNative(col("v"), 2, 4, 3)).collect()
+    }
+    assert(msgs(eCg).exists(_.contains("null vector component")), msgs(eCg).mkString(" | "))
+    // interpreted path (codegen off → InterpretedUnsafeProjection / eval)
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val eIn = intercept[Exception] {
+        df.select(VectorExpressions.rhpBandsNative(col("v"), 2, 4, 3)).collect()
+      }
+      assert(msgs(eIn).exists(_.contains("null vector component")), msgs(eIn).mkString(" | "))
+    } finally {
+      spark.conf.unset("spark.sql.codegen.wholeStage")
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
+
+  test("driver-side rhpBandsLocal == column rhp_bands on a real vector") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+    val local = VectorFunctions.rhpBandsLocal(q, 16, 8)
+    val column = emb.filter(col("vec_id") === 0)
+      .select(VectorExpressions.rhpBandsNative(
+        col("embedding").cast("array<double>"), 16, 8, 64))
+      .head().getSeq[Long](0)
+    assert(local == column, s"driver/column band divergence: $local vs $column")
+  }
+
   test("native dot handles nulls and codegen + interpreted agree") {
     import spark.implicits._
     val df = Seq(
