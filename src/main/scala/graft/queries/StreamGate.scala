@@ -74,6 +74,52 @@ object StreamGate {
     })
   }
 
+  /** TIME-ORDERED events replay topic for the state-EVICTION gate (s07).
+    * Differences from [[eventsTopic]], both load-bearing:
+    *
+    *  - the produce is a SINGLE sorted task (`repartition(1)
+    *    .sortWithinPartitions(ts)`), so every topic partition receives its
+    *    records in event-time order — admission-capped batches then admit
+    *    monotonically later spans and the watermark ADVANCES mid-drain
+    *    (the append-order replay of [[eventsTopic]] scrambles time across
+    *    batches, which is why those gates pin a 35-day delay and never
+    *    evict);
+    *  - two SENTINEL records (user_id −5/−10 ≡ 0 mod 5, one per joined
+    *    event_type, ts = max real ts + 100 days) sort last, so they are
+    *    admitted in the final data batch and push BOTH sides' watermarks
+    *    past every real join window in the trailing no-data batch. That
+    *    makes the LEFT OUTER emitted set exactly the batch left join —
+    *    without the sentinels, which unmatched rows get their null
+    *    emission would depend on where batch boundaries fall. The
+    *    sentinels themselves are never emitted: their own windows close
+    *    only at sentinel ts + 7 days, which no watermark ever reaches
+    *    (and the batch-side aggregate filters user_id >= 0 regardless).
+    *
+    * On real Kafka this is a backfill producer writing in log order — the
+    * standard replay shape for watermarked reprocessing. */
+  private val orderedTopics = TrieMap.empty[String, String]
+  private def orderedEventsTopic(s: SparkSession, dir: String): String = synchronized {
+    orderedTopics.getOrElseUpdate(dir, {
+      val topic = s"gate_events_time_${java.util.UUID.randomUUID().toString.take(8)}"
+      val ev = Tables.events(s, dir).select("user_id", "event_type", "value", "ts")
+      val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+      val sentinelTs = new java.sql.Timestamp(maxTs.getTime + 100L * 24 * 3600 * 1000)
+      val sentinels = s.range(2).select(
+        ((col("id") + 1) * -5).as("user_id"),
+        when(col("id") === 0, "click").otherwise("purchase").as("event_type"),
+        lit(0.0).as("value"),
+        lit(sentinelTs).as("ts"))
+      ev.unionByName(sentinels)
+        .repartition(1).sortWithinPartitions("ts")
+        .select(col("user_id").cast("string").as("key"),
+          to_json(struct(col("user_id"), col("event_type"), col("value"))).as("value"),
+          col("ts").as("timestamp"))
+        .write.format("graft-topic").mode("append")
+        .option("topic", topic).option("partitions", "4").save()
+      topic
+    })
+  }
+
   /** The replayed topic interleaves 30 days of event time across batches
     * in (partitioned) APPEND order, not time order — a multi-batch drain
     * can see near-max timestamps in batch 1 and day-1 rows in batch 4, so
@@ -113,7 +159,7 @@ object StreamGate {
     * conf can't race another query. */
   private val gateActive = new java.util.concurrent.atomic.AtomicBoolean(false)
 
-  private def withGateConf[T](s: SparkSession)(body: => T): T = {
+  private def withGateConf[T](s: SparkSession, noData: Boolean = false)(body: => T): T = {
     // Guard the sequential-execution assumption instead of trusting it
     // (ADVICE r6): the temporary session conf below is safe ONLY while no
     // other gate query shares the session. A future concurrent harness
@@ -125,11 +171,14 @@ object StreamGate {
     val prevNoData = s.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
     s.conf.set("spark.sql.shuffle.partitions", "4")
     // The trailing no-data micro-batch exists to advance the watermark so
-    // append-mode WINDOWED aggregates can emit finalized windows. No gate
-    // query needs it (s01/s04 are complete-mode; s02's dedup and s06's
-    // inner join emit on arrival), and it costs a full trigger round-trip
-    // (measured 0.4-0.8 s/query). Off for the gate, restored after.
-    s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    // append-mode WINDOWED aggregates can emit finalized windows. Most gate
+    // queries don't need it (s01/s04 are complete-mode; s02's dedup and
+    // s06's inner join emit on arrival), and it costs a full trigger
+    // round-trip (measured 0.4-0.8 s/query). Off for the gate, restored
+    // after — EXCEPT s07, whose LEFT OUTER join needs exactly that trailing
+    // batch to emit the final null rows after the sentinel advances the
+    // watermark (noData = true).
+    s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", noData.toString)
     // NOT RocksDB: tried r7 — RocksDBStateStoreProvider was +2.0 s across
     // the six queries (native store init per instance per batch dwarfs the
     // tiny gate state; the default HDFS-backed store on the tmpfs
@@ -474,13 +523,98 @@ object StreamGate {
           .orderBy("user_id"))
       }
     },
+    // Stream-stream LEFT OUTER join with state EVICTION exercised
+    // mid-drain — the path s06 deliberately pins shut (watermarks below
+    // all event times: no null emission, no state cleanup). Attribution
+    // shape: every click joined to the same user's purchases within the
+    // following 7 days; clicks with no such purchase emit a null row once
+    // the watermark proves no match can still arrive. The time-ordered
+    // replay (see [[orderedEventsTopic]]) advances the watermark ~5 days
+    // per admission-capped batch, so the join evicts expired click /
+    // purchase state WHILE draining — asserted via stateOperators
+    // .numRowsRemoved — and the sentinel pair closes every real window in
+    // the trailing no-data batch, making the emitted set batch-equivalent:
+    // matches AND null rows are decided by event times alone. The 5-day
+    // delay covers cross-partition admission skew (partitions advance
+    // proportionally; per-batch spans differ by hours, not days).
+    // Reference analog: bounded state via TTL is the reference's whole
+    // cache-lifecycle story (HttpLookupTableSource.scala:49-52); here the
+    // bound comes from watermark + join-window instead of a clock.
+    "s07_stream_join_eviction" -> { (s, dir) =>
+      val topic = orderedEventsTopic(s, dir)
+      val run = java.util.UUID.randomUUID().toString.take(8)
+      val mem = s"s07_result_$run"
+      withGateConf(s, noData = true) {
+        def side(): DataFrame = s.readStream.format("graft-topic")
+          .option("topic", topic)
+          .option("maxRecordsPerTrigger", math.max(1L, topicSize(topic) / 6).toString)
+          .load()
+          .select(col("timestamp").as("ts"),
+            from_json(col("value").cast("string"), org.apache.spark.sql.types
+              .StructType.fromDDL("user_id BIGINT, event_type STRING, value DOUBLE")).as("j"))
+          .select(col("ts"), col("j.user_id").as("user_id"),
+            col("j.event_type").as("event_type"), col("j.value").as("value"))
+        // deterministic 1-in-5 user subset, same rationale as s06; the
+        // sentinels pass it (−5 % 5 == −10 % 5 == 0)
+        val clicks = side()
+          .filter(col("event_type") === "click" && col("user_id") % 5 === 0)
+          .select(col("user_id"), col("ts").as("c_ts"))
+          .withWatermark("c_ts", "5 days")
+        val purchases = side()
+          .filter(col("event_type") === "purchase" && col("user_id") % 5 === 0)
+          .select(col("user_id").as("p_user_id"), col("ts").as("p_ts"),
+            col("value").as("p_value"))
+          .withWatermark("p_ts", "5 days")
+        val joined = clicks.join(purchases,
+          expr("user_id = p_user_id AND p_ts >= c_ts AND p_ts <= c_ts + interval 7 days"),
+          "leftOuter")
+          .select(col("user_id"), col("c_ts"), col("p_ts"), col("p_value"))
+        val ckpt = gateTmpDir("s07_ckpt_")
+        val q = joined.writeStream.format("memory").queryName(mem)
+          .outputMode("append")
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        drain(q, ckpt)
+        require(dataBatches(q) >= 2,
+          s"s07 must drain multi-batch; ran ${dataBatches(q)} data batches")
+        val removed = q.recentProgress
+          .flatMap(_.stateOperators.map(_.numRowsRemoved)).sum
+        require(removed > 0,
+          "s07 must observe join-state eviction mid-drain; numRowsRemoved == 0 " +
+            "means the watermark never released state (time-ordered replay broken?)")
+        materialized(s, mem, s.table(mem)
+          .filter(col("user_id") >= 0)
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n"), count(col("p_ts")).as("n_matched"),
+            Tables.dsum(col("p_value")).as("sum_purchase"))
+          .orderBy("user_id"))
+      }
+    },
   )
 
-  /** s06 merged here (declared above so object init order is safe). */
+  /** s06/s07 merged here (declared above so object init order is safe). */
   lazy val allQueries: Map[String, (SparkSession, String) => DataFrame] =
     queries ++ streamStreamEntry
 
   val oracle: Map[String, String] = Map(
+    // The FULL batch left join: the sentinel-closed watermark guarantees
+    // every real click got its match rows or its null row — nothing is
+    // left pending in join state, so matches AND null emissions are pure
+    // functions of event times.
+    "s07_stream_join_eviction" ->
+      """WITH c AS (SELECT user_id, ts AS c_ts FROM events
+        |           WHERE event_type = 'click' AND user_id % 5 = 0),
+        |p AS (SELECT user_id AS p_user_id, ts AS p_ts, value AS p_value FROM events
+        |      WHERE event_type = 'purchase' AND user_id % 5 = 0)
+        |SELECT c.user_id, COUNT(*) AS n, COUNT(p.p_ts) AS n_matched,
+        |  CAST(SUM(CAST(p.p_value AS DECIMAL(28,6))) AS DOUBLE) AS sum_purchase
+        |FROM c LEFT JOIN p
+        |  ON c.user_id = p.p_user_id AND p.p_ts >= c.c_ts
+        | AND p.p_ts <= c.c_ts + INTERVAL 7 DAY
+        |GROUP BY c.user_id
+        |ORDER BY c.user_id""".stripMargin,
+
     // The meta side carries every distinct events user with tier a pure
     // function of the id, so the inner join keeps all rows.
     "s06_stream_stream_join" ->
