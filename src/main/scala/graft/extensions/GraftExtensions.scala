@@ -81,6 +81,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.Simhash63Expr(args.head)
       }))
     ext.injectFunction((
+      new FunctionIdentifier("bpe_token_count"),
+      new ExpressionInfo(classOf[graft.functions.BpeTokenCountExpr].getName, "bpe_token_count"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, s"bpe_token_count takes 1 argument, got ${args.length}")
+        graft.functions.BpeTokenCountExpr(args.head)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[graft.functions.MinhashSigExpr].getName, "minhash_sig"),
       (args: Seq[Expression]) => {

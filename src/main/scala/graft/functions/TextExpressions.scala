@@ -162,9 +162,47 @@ case class MinhashSigExpr(child: Expression, nHashes: Int, portable: Boolean)
     copy(child = newChild)
 }
 
+/** Native token count under the fixed BPE merge table
+  * ([[graft.ops.Bpe.merges]]) — real rank-ordered merge application per
+  * word (Sennrich et al. 2016), not x29's regex proxy. One JVM method
+  * call per row from codegen (the RegExpReplace pattern), so the
+  * surrounding stage stays whole-stage-compiled. The DuckDB oracle
+  * replays the application from the same merge table as a generated
+  * replace-chain ([[graft.ops.Bpe.oracleSqlExpr]]). */
+case class BpeTokenCountExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"bpe_token_count expects string, got ${other.simpleString}")
+    }
+
+  def compute(s: org.apache.spark.unsafe.types.UTF8String): Int =
+    graft.ops.Bpe.tokenCount(s.toString)
+
+  override protected def nullSafeEval(a: Any): Any =
+    compute(a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val self = ctx.addReferenceObj("bpeTokenCount", this,
+        "graft.functions.BpeTokenCountExpr")
+      s"${ev.value} = $self.compute($a);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextExpressions {
   private val fnName = "graft_simhash63"
   private val minhashFnName = "graft_minhash_sig"
+  private val bpeFnName = "graft_bpe_token_count"
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
@@ -177,6 +215,10 @@ object TextExpressions {
       registry.createOrReplaceTempFunction(
         minhashFnName, exprs => MinhashSigExpr(exprs(0),
           litInt(exprs(1)), litBool(exprs(2))), "scala_udf")
+    val bpeIdent = org.apache.spark.sql.catalyst.FunctionIdentifier(bpeFnName)
+    if (!registry.functionExists(bpeIdent))
+      registry.createOrReplaceTempFunction(
+        bpeFnName, exprs => BpeTokenCountExpr(exprs(0)), "scala_udf")
   }
 
   private def litInt(e: Expression): Int = e match {
@@ -203,5 +245,12 @@ object TextExpressions {
     call_function(minhashFnName, grams,
       org.apache.spark.sql.functions.lit(nHashes),
       org.apache.spark.sql.functions.lit(portable))
+  }
+
+  /** Real-BPE token count of a string column under the fixed merge table
+    * — see [[BpeTokenCountExpr]]. */
+  def bpeTokenCountNative(text: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function(bpeFnName, text)
   }
 }

@@ -1,0 +1,158 @@
+package graft.ops
+
+import scala.collection.mutable
+
+/** Real merge-table byte-pair encoding (the public BPE algorithm:
+  * Sennrich et al. 2016, "Neural Machine Translation of Rare Words with
+  * Subword Units") — the upgrade x44 makes over x29's regex proxy.
+  *
+  * Production tokenizers ship a FIXED merge table trained offline and
+  * apply it corpus-wide; that split is what makes the operator gateable
+  * here: the merge list is derived deterministically at object init from
+  * a seed text embedded below, so BOTH the Spark-side native expression
+  * ([[graft.functions.BpeTokenCountExpr]]) and the static DuckDB oracle
+  * (a generated chain of `replace()` calls over a brace-delimited symbol
+  * encoding, [[oracleSqlExpr]]) are built from the same merges and agree
+  * exactly. A CORPUS-derived merge table cannot sit under this driver's
+  * oracle contract — `oracleSql` is static SQL over the input tables,
+  * and replaying ~100 BPE TRAINING iterations in SQL is a recursive
+  * program, not a query — so training stays offline-deterministic, which
+  * is also the production shape (you don't retrain the tokenizer per
+  * batch at 100 TB; you version the vocab).
+  *
+  * Application semantics (both engines): words are maximal `[a-z0-9]+`
+  * runs of the lowercased text; each word starts as its character
+  * sequence; merges apply IN RANK ORDER, each as one left-to-right
+  * non-overlapping pass. Rank-order application is equivalent to the
+  * priority-queue formulation because a merged symbol can only appear in
+  * pairs of strictly later rank (it did not exist when earlier pairs were
+  * learned), and one pass per merge is exhaustive because merging (a,b)
+  * creates only (left,ab)/(ab,right) adjacencies, never a new (a,b).
+  */
+object Bpe {
+
+  /** Deterministic seed corpus for the fixed merge table. Plain prose
+    * written for this repo (not quoted from anywhere), with enough
+    * repeated stems that the learned merges look like a real subword
+    * vocabulary: common suffixes (-ing, -ed, -tion), doubled letters,
+    * frequent function words. */
+  val seedText: String =
+    """the streaming engine reads the records and the engine keeps reading
+      |records while the partitions keep streaming merged batches the
+      |tokenizer is learning merges and the learned merges are applied to
+      |every word in every partition the training pass counts repeated
+      |pairs and the counting pass merges the most repeated pair the
+      |deduplication stage is hashing shingles and the hashed shingles are
+      |bucketed the bucketing stage is joining buckets and the joined
+      |buckets are verified the verification stage is scoring candidates
+      |and the scored candidates are clustered the clustering stage keeps
+      |one representative document and the kept documents are chunked the
+      |chunking stage is packing sequences and the packed sequences are
+      |sampled the sampling stage is mixing domains and the mixed domains
+      |are written the writing stage commits partitions and the committed
+      |partitions are checkpointed the checkpointing stage resumes streams
+      |and the resumed streams are watermarked the watermarking stage
+      |evicts state and the evicted state is bounded""".stripMargin
+
+  /** One left-to-right non-overlapping merge pass (shared by training and
+    * application — the two must agree on overlap tie-breaking). */
+  def applyMergeOnce(syms: IndexedSeq[String], a: String, b: String): IndexedSeq[String] = {
+    val out = mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+        out += a + b; i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toIndexedSeq
+  }
+
+  /** Maximal [a-z0-9]+ runs of the lowercased text. */
+  def words(text: String): Seq[String] = {
+    val t = text.toLowerCase(java.util.Locale.ROOT)
+    val out = mutable.ArrayBuffer.empty[String]
+    val sb = new StringBuilder
+    var i = 0
+    while (i < t.length) {
+      val c = t.charAt(i)
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) sb.append(c)
+      else if (sb.nonEmpty) { out += sb.toString; sb.clear() }
+      i += 1
+    }
+    if (sb.nonEmpty) out += sb.toString
+    out.toSeq
+  }
+
+  /** Classic BPE training: count words, then repeatedly merge the most
+    * frequent adjacent symbol pair (ties broken lexicographically — the
+    * determinism the oracle depends on). Stops early once no pair occurs
+    * twice (merging count-1 pairs would just memorize the seed). */
+  def train(text: String, nMerges: Int): Seq[(String, String)] = {
+    var vocab: Map[IndexedSeq[String], Int] =
+      words(text).groupBy(identity).map { case (w, ws) =>
+        w.map(_.toString).toIndexedSeq -> ws.size
+      }
+    val merges = mutable.ArrayBuffer.empty[(String, String)]
+    var done = false
+    while (!done && merges.length < nMerges) {
+      val pairCounts = mutable.HashMap.empty[(String, String), Int].withDefaultValue(0)
+      for ((syms, f) <- vocab; i <- 0 until syms.length - 1)
+        pairCounts((syms(i), syms(i + 1))) += f
+      val candidates = pairCounts.filter(_._2 >= 2)
+      if (candidates.isEmpty) done = true
+      else {
+        val (a, b) = candidates.toSeq.minBy { case ((x, y), c) => (-c, x, y) }._1
+        merges += ((a, b))
+        vocab = vocab.toSeq
+          .map { case (syms, f) => applyMergeOnce(syms, a, b) -> f }
+          .groupBy(_._1).map { case (syms, fs) => syms -> fs.map(_._2).sum }
+      }
+    }
+    merges.toSeq
+  }
+
+  /** The fixed merge table (trained once per JVM; deterministic). */
+  lazy val merges: IndexedSeq[(String, String)] = train(seedText, 120).toIndexedSeq
+
+  /** Token count of one text under [[merges]] — the reference
+    * implementation backing [[graft.functions.BpeTokenCountExpr]] (which
+    * calls this per row) and the specs. */
+  def tokenCount(text: String, table: IndexedSeq[(String, String)] = merges): Int = {
+    var total = 0
+    for (w <- words(text)) {
+      var syms: IndexedSeq[String] = w.map(_.toString).toIndexedSeq
+      var m = 0
+      while (m < table.length && syms.length > 1) {
+        val (a, b) = table(m)
+        // cheap containment guard: scan for the pair before rebuilding
+        var i = 0
+        var found = false
+        while (!found && i + 1 < syms.length) {
+          if (syms(i) == a && syms(i + 1) == b) found = true else i += 1
+        }
+        if (found) syms = applyMergeOnce(syms, a, b)
+        m += 1
+      }
+      total += syms.length
+    }
+    total
+  }
+
+  /** DuckDB expression producing the MERGED symbol string for column
+    * `col`: every word becomes brace-delimited symbols ("{h} {i} "),
+    * words are joined with "/ " so merges cannot cross word boundaries,
+    * and each merge is one plain `replace` pass (left-to-right
+    * non-overlapping — the same tie-break as [[applyMergeOnce]]). Braces
+    * and '/' cannot collide with symbol text because the alphabet is
+    * [a-z0-9]. The caller counts tokens as the number of '{' characters
+    * (wrap in a subquery — the chain is ~100 nested calls and should be
+    * evaluated once per row). */
+  def oracleSqlExpr(col: String): String = {
+    val prepared =
+      s"array_to_string(list_transform(regexp_extract_all(lower($col), '[a-z0-9]+'), " +
+        "w -> regexp_replace(w, '(.)', '{\\1} ', 'g')), '/ ')"
+    merges.foldLeft(prepared) { case (s, (a, b)) =>
+      s"replace($s, '{$a} {$b}', '{$a$b}')"
+    }
+  }
+}

@@ -206,6 +206,23 @@ object Ext {
         .orderBy("doc_id")
     },
 
+    // REAL merge-table BPE token counts (x29's upgrade, VERDICT r6 #8):
+    // rank-ordered merge application per word under the fixed
+    // deterministic merge table (graft.ops.Bpe — trained at init from
+    // the seed text via the public Sennrich BPE algorithm). The oracle
+    // replays the application from the SAME merges as a generated
+    // replace-chain over brace-delimited symbols, so the subword counts
+    // are hash-gated, not proxied. Compression ratio vs whitespace
+    // tokens comes along as the corpus-level signal a cost model reads.
+    "x44_bpe_tokens" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextStats.tokenCount(col("text")).as("ws_tokens"),
+          graft.functions.TextExpressions.bpeTokenCountNative(col("text"))
+            .as("bpe_tokens"))
+        .orderBy("doc_id")
+    },
+
     "x12_lang_guess" -> { (s, dir) =>
       Tables.documents(s, dir)
         .withColumn("lang_guess", TextStats.langGuess(col("text")))
@@ -909,6 +926,17 @@ object Ext {
         |  CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS INT) AS ws_tokens,
         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS bpeish_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Generated from the same merge table the engine applies: the chain
+    // of replace() passes IS the BPE application, so hits and misses of
+    // every merge replay identically.
+    "x44_bpe_tokens" ->
+      s"""SELECT doc_id,
+         |  CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS INT) AS ws_tokens,
+         |  CAST(length(s) - length(replace(s, '{', '')) AS INT) AS bpe_tokens
+         |FROM (SELECT doc_id, text, ${graft.ops.Bpe.oracleSqlExpr("text")} AS s
+         |      FROM documents)
+         |ORDER BY doc_id""".stripMargin,
 
     "x12_lang_guess" ->
       s"""WITH scored AS (

@@ -1,0 +1,81 @@
+package graft
+
+import graft.functions.{BpeTokenCountExpr, TextExpressions}
+import graft.ops.Bpe
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class BpeSpec extends AnyFunSuite {
+  lazy val spark = GraftSession.local("4")
+
+  test("trainer learns the hand-computed merge sequence on a toy corpus") {
+    // words: aaab x2, aab x1. Pair counts: (a,a)=5, (a,b)=3 -> merge (a,a).
+    // Then (aa,a)=2 ties (a,b)=2 -> lexicographic min is (a,b). Then
+    // (aa,ab)=2 -> merged; remaining (aa,b)=1 < 2 -> stop.
+    val merges = Bpe.train("aaab aaab aab", 120)
+    assert(merges == Seq(("a", "a"), ("a", "b"), ("aa", "ab")))
+    // aaab -> [aaab] (1), aab -> [aa, b] (2)
+    assert(Bpe.tokenCount("aaab aab aaab", merges.toIndexedSeq) == 1 + 2 + 1)
+  }
+
+  test("fixed merge table is deterministic, non-trivial, and learns real subwords") {
+    assert(Bpe.merges == Bpe.train(Bpe.seedText, 120))
+    assert(Bpe.merges.length >= 50, s"only ${Bpe.merges.length} merges learned")
+    // the seed's repeated stems must produce multi-char subword symbols
+    val symbols = Bpe.merges.map { case (a, b) => a + b }
+    assert(symbols.exists(_.length >= 4), symbols.mkString(","))
+    // rank order: a merged symbol only ever appears in later-rank pairs
+    // (the property that makes rank-order application correct)
+    Bpe.merges.zipWithIndex.foreach { case ((a, b), r) =>
+      val born = symbols.indexOf(a).max(symbols.indexOf(b))
+      if (born >= 0) assert(born < r, s"pair ($a,$b) at rank $r uses symbol born at $born")
+    }
+  }
+
+  test("token counts: bounded by chars and words, merge-order exhaustive") {
+    val merges = Bpe.merges
+    for (text <- Seq("the streaming engine keeps streaming", "a", "", "zz qq xx")) {
+      val n = Bpe.tokenCount(text, merges)
+      val ws = Bpe.words(text)
+      assert(n >= ws.length, s"'$text': $n tokens < ${ws.length} words")
+      assert(n <= ws.map(_.length).sum, s"'$text': $n tokens > char count")
+    }
+    assert(Bpe.tokenCount("", merges) == 0)
+  }
+
+  test("native expression matches the reference implementation on real docs, both execution paths") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val got = docs
+      .select(col("doc_id"), col("text"),
+        TextExpressions.bpeTokenCountNative(col("text")).as("n"))
+      .collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(r.getInt(2) == Bpe.tokenCount(r.getString(1)),
+        s"doc ${r.getLong(0)}: codegen path diverges from reference")
+    }
+    // interpreted path
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val interp = docs
+        .select(col("doc_id"), TextExpressions.bpeTokenCountNative(col("text")).as("n"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      got.foreach { r =>
+        assert(interp(r.getLong(0)) == r.getInt(2), s"doc ${r.getLong(0)}: interpreted path diverges")
+      }
+    } finally {
+      spark.conf.unset("spark.sql.codegen.wholeStage")
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
+
+  test("null text yields null count; real BPE compresses below the x29 regex proxy's word-split") {
+    import spark.implicits._
+    val df = Seq(Some("the streaming engine"), None).toDF("text")
+    val rows = df.select(TextExpressions.bpeTokenCountNative(col("text"))).collect()
+    assert(!rows(0).isNullAt(0) && rows(1).isNullAt(0))
+    // seed-stem words should merge into few symbols: 'the' is one token
+    assert(Bpe.tokenCount("the the the") == 3)
+  }
+}

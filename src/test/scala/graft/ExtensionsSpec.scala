@@ -46,6 +46,10 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r.getLong(0) == api.getLong(0))
     assert(r.getSeq[Long](1) == api.getSeq[Long](1))
     assert(r.getSeq[Long](2) == api.getSeq[Long](2))
+    val bpe = spark.sql(
+      "SELECT bpe_token_count('the streaming engine keeps streaming') AS n").head()
+    assert(bpe.getInt(0) ==
+      graft.ops.Bpe.tokenCount("the streaming engine keeps streaming"))
   }
 
   test("SQL cosine top-k over embeddings equals the Column-API top-k bit-for-bit") {
