@@ -153,6 +153,41 @@ object Similarity {
       annBuildBandIndex(emb, vecCol, idCol, nBands, bandBits, dims),
       vecCol, idCol, queryVec, k, nBands, bandBits, dims)
 
+  /** BATCH ANN serving: top-k cosine neighbors for EVERY query in a query
+    * TABLE — the throughput companion to [[annProbeBanded]] (which serves
+    * one vector via a driver-side IN-filter; serving a query *table* that
+    * way would be a driver loop). Here both sides go through the same
+    * [[annBuildBandIndex]] banding and candidates come from a band_key
+    * EQUI-JOIN — one co-partitioned shuffle per side, candidates ∝ band
+    * collisions, never |queries| × |corpus| — then id-keyed joins bring
+    * the vectors back for exact rescoring and a per-query window top-k.
+    * Every stage is a standard shuffle over key columns: the plan scales
+    * with data and cluster width, no driver participation. Recall per
+    * query is the same S-curve as [[cosineNearDupPairs]] (≈ 0.9998 at
+    * cosine ≥ 0.95 with the 16×8 default). Ties broken by (cos_sim desc,
+    * id asc) so the result — and the x45 oracle hash — is deterministic. */
+  def annProbeBandedAll(corpus: DataFrame, queries: DataFrame,
+                        vecCol: String, idCol: String, qIdCol: String,
+                        k: Int, nBands: Int = 16, bandBits: Int = 8,
+                        dims: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cIdx = annBuildBandIndex(corpus, vecCol, idCol, nBands, bandBits, dims)
+    val qIdx = annBuildBandIndex(queries, vecCol, qIdCol, nBands, bandBits, dims)
+      .withColumnRenamed(qIdCol, "q_id")
+    val cands = qIdx.join(cIdx, "band_key")
+      .select(col("q_id"), col(idCol)).distinct()
+    val cVec = corpus.select(col(idCol), col(vecCol).cast("array<double>").as("cv"))
+    val qVec = queries.select(col(qIdCol).as("q_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+    cands
+      .join(cVec, idCol).join(qVec, "q_id")
+      .withColumn("cos_sim", round(VectorFunctions.cosine(col("cv"), col("qv")), 6))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col(idCol).asc)))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col(idCol), col("cos_sim"), col("rank"))
+  }
+
   /** Phase 1 of the IVF (inverted-file) path: centroid table + per-row
     * nearest-centroid assignment. Centroids are a deterministic shuffle-free
     * sample — the `nLists` rows with the smallest id-hash, i.e. one

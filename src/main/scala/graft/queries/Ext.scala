@@ -115,6 +115,20 @@ object Ext {
         queryVec = queryVec(s, dir), k = 20)
     },
 
+    // BATCH ANN serving: top-5 for every query in a query TABLE (1-in-50
+    // of the embeddings) against the rest of the corpus via the band_key
+    // EQUI-join — the many-queries throughput shape (a driver IN-filter
+    // per query would be a loop). Same md5 planes both sides, so the
+    // oracle replays candidates AND the per-query window top-k.
+    "x45_ann_banded_serve" -> { (s, dir) =>
+      val all = Tables.embeddings(s, dir)
+      val queries = all.filter(col("vec_id") % 50 === 0)
+      val corpus = all.filter(col("vec_id") % 50 =!= 0)
+      Similarity.annProbeBandedAll(corpus, queries,
+          vecCol = "embedding", idCol = "vec_id", qIdCol = "vec_id", k = 5)
+        .orderBy("q_id", "rank")
+    },
+
     // IVF ANN top-k — FULL oracle of the approximation: the centroid
     // sample orders by md5(id) (engine-portable), assignment is an argmax
     // whose result is order-independent given bit-identical scores, and
@@ -1106,6 +1120,41 @@ object Ext {
         |  6) AS cos_sim
         |FROM e JOIN cand USING (vec_id), q
         |ORDER BY cos_sim DESC, vec_id ASC LIMIT 20""".stripMargin,
+
+    // x43's banding CTE with BOTH sides banded and a (j, bv) self-join:
+    // the same candidate set as the engine's band_key equi-join, then
+    // per-query window top-k.
+    "x45_ann_banded_serve" ->
+      """WITH h AS (
+        |  SELECT b, list_transform(generate_series(0, 63),
+        |    d -> (CAST('0x' || substr(md5('rhp:' || CAST(b AS VARCHAR) || ':' || CAST(d AS VARCHAR)), 1, 8) AS UBIGINT) % 2000001) / 1000000.0 - 1.0) AS hv
+        |  FROM generate_series(0, 127) t(b)),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |bits AS (
+        |  SELECT e.vec_id, CAST(h.b // 8 AS INT) AS j,
+        |    CASE WHEN list_sum(list_transform(generate_series(1, len(v)), i -> v[i] * hv[i])) > 0
+        |      THEN CAST(1 << (7 - (h.b % 8)) AS BIGINT) ELSE 0 END AS bit
+        |  FROM e, h),
+        |bands AS (SELECT vec_id, j, SUM(bit) AS bv FROM bits GROUP BY vec_id, j),
+        |cand AS (
+        |  SELECT DISTINCT q.vec_id AS q_id, c.vec_id
+        |  FROM bands q JOIN bands c USING (j, bv)
+        |  WHERE q.vec_id % 50 = 0 AND c.vec_id % 50 <> 0),
+        |scored AS (
+        |  SELECT cand.q_id, cand.vec_id,
+        |    round(
+        |      list_sum(list_transform(generate_series(1, len(c.v)), i -> c.v[i] * q.v[i])) /
+        |      (sqrt(list_sum(list_transform(generate_series(1, len(c.v)), i -> c.v[i] * c.v[i]))) *
+        |       sqrt(list_sum(list_transform(generate_series(1, len(q.v)), i -> q.v[i] * q.v[i])))),
+        |    6) AS cos_sim
+        |  FROM cand
+        |  JOIN e c ON c.vec_id = cand.vec_id
+        |  JOIN e q ON q.vec_id = cand.q_id)
+        |SELECT q_id, vec_id, cos_sim,
+        |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id ASC) AS INT) AS rank
+        |FROM scored
+        |QUALIFY rank <= 5
+        |ORDER BY q_id, rank""".stripMargin,
 
     // Banding replayed stage for stage (the x06 pattern at 128 planes):
     // md5-rebuilt hyperplanes → 16×8-bit band bytes → band-equality

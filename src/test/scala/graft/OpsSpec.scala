@@ -190,6 +190,26 @@ class OpsSpec extends AnyFunSuite {
     got.foreach { case (id, s) => assert(s == exact(id), s"score drift for $id") }
   }
 
+  test("batch ANN serving equals the single-query banded probe for every query") {
+    val all = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val queries = all.filter(col("vec_id") % 50 === 0)
+    val corpus = all.filter(col("vec_id") % 50 =!= 0)
+    val batch = Similarity.annProbeBandedAll(corpus, queries,
+        "embedding", "vec_id", "vec_id", k = 5)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.sortBy(_.getInt(3)).map(r => (r.getLong(1), r.getDouble(2))).toSeq }
+    assert(batch.nonEmpty)
+    val idx = Similarity.annBuildBandIndex(corpus, "embedding", "vec_id")
+    queries.collect().foreach { qr =>
+      val qid = qr.getLong(0)
+      val single = Similarity.annProbeBanded(corpus, idx, "embedding", "vec_id",
+          qr.getSeq[Double](1), k = 5)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(batch.getOrElse(qid, Seq.empty) == single,
+        s"query $qid: batch path ${batch.get(qid)} != single-probe path $single")
+    }
+  }
+
   test("banded ANN probe: wrong-dims query fails loudly before any job") {
     val e = intercept[IllegalArgumentException] {
       Similarity.annProbeBanded(emb, Similarity.annBuildBandIndex(

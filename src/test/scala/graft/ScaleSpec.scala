@@ -233,6 +233,21 @@ class ScaleSpec extends AnyFunSuite {
     } finally graft.util.Fs.deleteTree(java.nio.file.Paths.get(idxDir))
   }
 
+  test("x45 batch ANN serving: band equi-join candidates, no cartesian/nested-loop, no driver loop") {
+    val all = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val plan = graft.ops.Similarity.annProbeBandedAll(
+        all.filter(col("vec_id") % 50 =!= 0), all.filter(col("vec_id") % 50 === 0),
+        "embedding", "vec_id", "vec_id", k = 5)
+      .queryExecution.executedPlan.toString
+    // candidates must come from a key-shuffled equi-join on band_key —
+    // |queries| x |corpus| pair enumeration would show up as a cartesian
+    // or broadcast nested loop
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("band_key"), plan)
+  }
+
   test("x41 block dedup: linear plan — no self-join, no window sort, agg-based keeper pick") {
     val plan = graft.ops.Dedup.blockDedup(
         Tables.documents(spark, dir), "doc_id", "text")
