@@ -72,6 +72,74 @@ object Dedup {
         count(lit(1)).as("n_blocks"))
   }
 
+  /** ExactSubstr-style SPAN dedup (the suffix-array substring dedup of
+    * the public "Deduplicating Training Data" line of work, re-expressed
+    * as a distributed fixed-window pass): slide a `windowWords`-word
+    * window over every document (stride 1), find windows whose exact text
+    * occurs anywhere else in the corpus, keep only the lexicographically
+    * FIRST occurrence of each window content — min of (doc_id, pos) —
+    * and delete every word covered by a non-first duplicate window.
+    * Overlapping duplicate spans union into one covered interval set per
+    * doc, so a long repeated passage disappears wholesale from later
+    * docs while its first appearance survives verbatim. Unlike
+    * [[blockDedup]]'s aligned blocks, the stride-1 windows catch
+    * repeats at ANY offset — the C4-vs-ExactSubstr distinction.
+    *
+    * Scale shape: window rows ≈ corpus words (stride 1), keyed by
+    * md5(window) — 16 bytes per key instead of the window text, the
+    * fixed-width key an engine would use at 100 TB. One shuffle for the
+    * first-occurrence min-struct aggregate (map-side combinable, no
+    * window function), the dup-filter join reuses the same key, then a
+    * per-(doc, word-pos) distinct + anti-join and one per-doc regroup —
+    * all linear in corpus words; no self-join anywhere.
+    *
+    * Returns one row per input doc: (idCol, clean_text, n_words,
+    * n_kept). Docs whose every word was covered keep n_kept = 0 and
+    * clean_text = "" (they'd be dropped by a corpus-prep caller). */
+  def exactSubstringDedup(docs: DataFrame, idCol: String, textCol: String,
+                          windowWords: Int = 8): DataFrame = {
+    require(windowWords > 1, s"windowWords must be > 1, got $windowWords")
+    val base = Caches.persistTracked(
+      docs.select(col(idCol), split(col(textCol), " ").as("toks")))
+    // (doc, 1-based start pos, md5 of the window text); docs shorter
+    // than the window contribute no windows (and so are never covered)
+    val grams = base
+      .filter(size(col("toks")) >= windowWords)
+      .select(col(idCol), posexplode(transform(
+        sequence(lit(1), size(col("toks")) - (windowWords - 1)),
+        i => md5(concat_ws(" ", slice(col("toks"), i, lit(windowWords)))))))
+      .select(col(idCol), (col("pos") + 1).as("pos"), col("col").as("g"))
+    val firsts = grams
+      .groupBy(col("g"))
+      .agg(min(struct(col(idCol), col("pos"))).as("keep"))
+    val dupOccurrences = grams
+      .join(firsts, "g")
+      .filter(struct(col(idCol), col("pos")) =!= col("keep"))
+      .select(col(idCol), col("pos"))
+    val covered = dupOccurrences
+      .select(col(idCol),
+        explode(sequence(col("pos"), col("pos") + (windowWords - 1))).as("wp"))
+      .distinct()
+    val words = base
+      .select(col(idCol), posexplode(col("toks")))
+      .select(col(idCol), (col("pos") + 1).as("wp"), col("col").as("w"))
+    val kept = words
+      .join(covered, Seq(idCol, "wp"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(
+        array_join(transform(
+          sort_array(collect_list(struct(col("wp"), col("w")))),
+          s => s.getField("w")), " ").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    base
+      .select(col(idCol), size(col("toks")).cast("long").as("n_words"))
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_words"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
   /** Distinct word n-grams per document, 1-based positions (matches the
     * DuckDB oracle's list semantics). Documents shorter than n words drop. */
   def ngrams(docs: DataFrame, textCol: String, n: Int): DataFrame = {

@@ -413,4 +413,90 @@ object Similarity {
       pairs.select("a_id", "b_id"))
     Dedup.keepClusterRepresentatives(emb, idCol, comp)
   }
+
+  // ----- int8 scalar quantization (compressed-scan ANN) ---------------
+
+  /** Per-vector symmetric int8 scalar quantization: each component maps
+    * to `floor(x * 127/amax + 0.5)` where `amax = max |x_i|` — an integer
+    * in [-127, 127] stored as a long-array column (the storage format
+    * would be 1 byte/component: a float32 corpus scans 4× smaller, which
+    * at 100 TB is the difference between a 100 TB and a 25 TB index
+    * sweep). The per-vector scale makes quantized COSINE scale-free:
+    * `cos_q = dot_int / sqrt(|a|²_int · |q|²_int)` — the `amax/127`
+    * factors cancel, so scores need no dequantization, and because the
+    * dot and norms are exact INTEGER sums (order-independent, no FP
+    * accumulation), the whole quantized scoring replays bit-for-bit in
+    * any engine with IEEE doubles — the x46 oracle does (`floor(x*s+0.5)`
+    * on IEEE doubles is deterministic; a `round()` call would hit
+    * half-even-vs-half-up convention differences).
+    *
+    * Returns (idCol, qvec: array<long>, qnorm: long = Σ q_i²). All-zero
+    * vectors quantize to all-zero (amax = 0 guard); wrong-dims rows fail
+    * loudly, the [[cosineNearDupPairs]] convention. */
+  def quantizeInt8(emb: DataFrame, vecCol: String, idCol: String,
+                   dims: Int = 64): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val amax = array_max(transform(v, x => abs(x)))
+    val sinv = lit(127.0) / amax
+    emb
+      .filter(when(size(v) === dims, lit(true)).otherwise(raise_error(concat(
+        lit(s"quantizeInt8: expected $dims-dim vector, got "),
+        coalesce(size(v).cast("string"), lit("null"))))))
+      .select(col(idCol),
+        when(amax === 0.0, transform(v, _ => lit(0L)))
+          .otherwise(transform(v, x => floor(x * sinv + lit(0.5)))).as("qvec"))
+      .withColumn("qnorm",
+        aggregate(col("qvec"), lit(0L), (acc, x) => acc + x * x))
+  }
+
+  /** Driver-side twin of [[quantizeInt8]] for the query vector — the
+    * identical IEEE sequence (`127.0/amax` once, then `floor(x*s+0.5)`),
+    * so query and corpus quantize under one convention. */
+  def quantizeInt8Local(v: Seq[Double]): (Array[Long], Long) = {
+    val amax = v.iterator.map(math.abs).foldLeft(0.0)(math.max)
+    val q =
+      if (amax == 0.0) Array.fill(v.length)(0L)
+      else {
+        val sinv = 127.0 / amax
+        v.iterator.map(x => math.floor(x * sinv + 0.5).toLong).toArray
+      }
+    (q, q.iterator.map(x => x * x).sum)
+  }
+
+  /** Two-stage compressed-scan top-k: rank the WHOLE corpus by the
+    * integer quantized cosine (the 4×-smaller scan — at scale the only
+    * pass that touches every row), keep the top `refine * k` candidates
+    * (TakeOrderedAndProject, no full sort), then exact-rescore only those
+    * against the float vectors and emit the float-ordered top k. The
+    * candidate cut is deterministic (total order: quantized score desc,
+    * id asc, both bit-exact), so an external engine replays the exact
+    * candidate set and the final ranking — the x46 oracle does.
+    *
+    * This is the third serving shape next to [[annProbe]] (signature
+    * prefilter) and [[annProbeBanded]] (bucket seek): no index at all,
+    * just a cheaper scan — the right tool when the corpus is re-embedded
+    * too often to amortize an index build. */
+  def quantizedTopKCosine(emb: DataFrame, vecCol: String, idCol: String,
+                          queryVec: Seq[Double], k: Int, refine: Int = 3,
+                          dims: Int = 64): DataFrame = {
+    require(refine >= 1, s"refine must be >= 1, got $refine")
+    val (qq, qn) = quantizeInt8Local(queryVec)
+    val scored = quantizeInt8(emb, vecCol, idCol, dims)
+      .withColumn("qdot", aggregate(
+        zip_with(col("qvec"), lit(qq), (a, b) => a * b),
+        lit(0L), (acc, x) => acc + x))
+      .withColumn("qcos_sim", round(col("qdot").cast("double") /
+        sqrt((col("qnorm") * lit(qn)).cast("double")), 6))
+    val cands = scored
+      .orderBy(col("qcos_sim").desc, col(idCol).asc)
+      .limit(refine * k)
+      .select(col(idCol), col("qcos_sim"))
+    cands
+      .join(emb.select(col(idCol), col(vecCol)), Seq(idCol))
+      .withColumn("cos_sim",
+        round(VectorFunctions.cosine(col(vecCol), lit(queryVec.toArray)), 6))
+      .orderBy(col("cos_sim").desc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol), col("qcos_sim"), col("cos_sim"))
+  }
 }

@@ -129,6 +129,22 @@ object Ext {
         .orderBy("q_id", "rank")
     },
 
+    // Int8 scalar-quantized ANN — the COMPRESSED-SCAN serving shape (no
+    // index at all; the scan itself is 4× smaller at storage): rank the
+    // whole corpus by the exact-integer quantized cosine, cut top-60
+    // deterministically, exact-rescore only those. FULL oracle of the
+    // approximation: quantization is floor(x*127/amax+0.5) on IEEE
+    // doubles and the quantized score is integer-dot / sqrt(integer
+    // norms) — no FP accumulation anywhere the engines could diverge —
+    // so DuckDB replays quantization, candidate cut, and final ranking
+    // bit-for-bit.
+    "x46_quantized_topk" -> { (s, dir) =>
+      Similarity.quantizedTopKCosine(
+        Tables.embeddings(s, dir).filter(col("vec_id") =!= 0),
+        vecCol = "embedding", idCol = "vec_id",
+        queryVec = queryVec(s, dir), k = 20)
+    },
+
     // IVF ANN top-k — FULL oracle of the approximation: the centroid
     // sample orders by md5(id) (engine-portable), assignment is an argmax
     // whose result is order-independent given bit-identical scores, and
@@ -450,6 +466,21 @@ object Ext {
     "x41_block_dedup" -> { (s, dir) =>
       Dedup.blockDedup(Tables.documents(s, dir), "doc_id", "text",
           blockTokens = 20)
+        .orderBy("doc_id")
+    },
+
+    // ExactSubstr-style SPAN dedup: stride-1 8-word windows, first
+    // occurrence (min (doc_id, pos)) kept, every word under a non-first
+    // duplicate window deleted, doc reassembled from the surviving
+    // words. Catches repeats at ANY offset — the thing x41's aligned
+    // blocks structurally miss. Full oracle (deterministic windowing +
+    // lexicographic first + interval union); clean text gated via md5 to
+    // keep the result rows small.
+    "x47_substring_dedup" -> { (s, dir) =>
+      Dedup.exactSubstringDedup(Tables.documents(s, dir), "doc_id", "text",
+          windowWords = 8)
+        .select(col("doc_id"), col("n_words"), col("n_kept"),
+          md5(col("clean_text")).as("clean_md5"))
         .orderBy("doc_id")
     },
 
@@ -1156,6 +1187,55 @@ object Ext {
         |QUALIFY rank <= 5
         |ORDER BY q_id, rank""".stripMargin,
 
+    // Int8 quantization replayed exactly: floor(x * (127/amax) + 0.5) on
+    // IEEE doubles (NOT round() — half-even vs half-up conventions
+    // differ between engines; floor(x+0.5) doesn't), integer dot/norms
+    // (order-independent sums), deterministic top-60 cut (quantized
+    // score desc, id asc), exact float rescoring of the candidates only.
+    "x46_quantized_topk" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id <> 0),
+        |q AS (
+        |  SELECT CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id = 0),
+        |qz AS (
+        |  SELECT vec_id, v,
+        |    CASE WHEN amax = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+        |      ELSE list_transform(v, x -> CAST(floor(x * (127.0 / amax) + 0.5) AS BIGINT))
+        |    END AS qv
+        |  FROM (SELECT vec_id, v,
+        |          list_max(list_transform(v, x -> abs(x))) AS amax FROM e)),
+        |qq AS (
+        |  SELECT v,
+        |    CASE WHEN amax = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+        |      ELSE list_transform(v, x -> CAST(floor(x * (127.0 / amax) + 0.5) AS BIGINT))
+        |    END AS qv
+        |  FROM (SELECT v,
+        |          list_max(list_transform(v, x -> abs(x))) AS amax FROM q)),
+        |scored AS (
+        |  SELECT qz.vec_id,
+        |    round(
+        |      CAST(list_sum(list_transform(generate_series(1, len(qz.qv)),
+        |        i -> qz.qv[i] * qq.qv[i])) AS DOUBLE) /
+        |      sqrt(CAST(
+        |        list_sum(list_transform(generate_series(1, len(qz.qv)), i -> qz.qv[i] * qz.qv[i])) *
+        |        list_sum(list_transform(generate_series(1, len(qq.qv)), i -> qq.qv[i] * qq.qv[i]))
+        |        AS DOUBLE)),
+        |    6) AS qcos_sim
+        |  FROM qz, qq),
+        |cand AS (
+        |  SELECT vec_id, qcos_sim FROM scored
+        |  QUALIFY row_number() OVER (ORDER BY qcos_sim DESC, vec_id ASC) <= 60)
+        |SELECT cand.vec_id, cand.qcos_sim,
+        |  round(
+        |    list_sum(list_transform(generate_series(1, len(e.v)), i -> e.v[i] * q.v[i])) /
+        |    (sqrt(list_sum(list_transform(generate_series(1, len(e.v)), i -> e.v[i] * e.v[i]))) *
+        |     sqrt(list_sum(list_transform(generate_series(1, len(q.v)), i -> q.v[i] * q.v[i])))),
+        |  6) AS cos_sim
+        |FROM cand JOIN e ON e.vec_id = cand.vec_id, q
+        |ORDER BY cos_sim DESC, cand.vec_id ASC LIMIT 20""".stripMargin,
+
     // Banding replayed stage for stage (the x06 pattern at 128 planes):
     // md5-rebuilt hyperplanes → 16×8-bit band bytes → band-equality
     // candidates → precomputed-norm exact cosine ≥ 0.45 → x16's
@@ -1214,6 +1294,42 @@ object Ext {
         |  string_agg(block_text, ' ' ORDER BY block_idx) AS clean_text,
         |  COUNT(*) AS n_blocks
         |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Stride-1 8-word windows keyed by md5(window text); row_number over
+    // (doc_id, pos) = Spark's min(struct) first-occurrence; covered word
+    // positions are the interval union of non-first windows; surviving
+    // words reassemble in position order. Fully-covered docs keep
+    // n_kept = 0 and md5('').
+    "x47_substring_dedup" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |g AS (
+        |  SELECT doc_id, CAST(i AS INT) AS pos,
+        |    md5(array_to_string(ws[i : i + 7], ' ')) AS g
+        |  FROM w, unnest(generate_series(1, len(ws) - 7)) t(i)
+        |  WHERE len(ws) >= 8),
+        |dups AS (
+        |  SELECT doc_id, pos FROM g
+        |  QUALIFY row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) > 1),
+        |cov AS (
+        |  SELECT DISTINCT doc_id, wp FROM (
+        |    SELECT doc_id, unnest(generate_series(pos, pos + 7)) AS wp FROM dups)),
+        |words AS (
+        |  SELECT doc_id, CAST(i AS INT) AS wp, ws[i] AS word
+        |  FROM w, unnest(generate_series(1, len(ws))) t(i)),
+        |kept AS (
+        |  SELECT words.doc_id,
+        |    string_agg(word, ' ' ORDER BY words.wp) AS clean_text,
+        |    COUNT(*) AS n_kept
+        |  FROM words LEFT JOIN cov
+        |    ON cov.doc_id = words.doc_id AND cov.wp = words.wp
+        |  WHERE cov.wp IS NULL
+        |  GROUP BY words.doc_id)
+        |SELECT w.doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+        |  CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
+        |  md5(coalesce(clean_text, '')) AS clean_md5
+        |FROM w LEFT JOIN kept USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "x39_corpus_report" ->
       """WITH f AS (

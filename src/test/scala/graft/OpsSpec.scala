@@ -643,4 +643,75 @@ class OpsSpec extends AnyFunSuite {
     val planStr = pre.queryExecution.executedPlan.toString
     assert(planStr.contains("might_contain"), s"no bloom probe in plan:\n$planStr")
   }
+
+  test("int8 quantization: column path bit-equals the driver-side twin") {
+    val rows = Similarity.quantizeInt8(emb, "embedding", "vec_id")
+      .orderBy("vec_id").limit(25)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toSeq, r.getLong(2)))
+    val floats = emb.orderBy("vec_id").limit(25)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(rows.length == 25)
+    rows.foreach { case (id, qvec, qnorm) =>
+      val (lq, ln) = Similarity.quantizeInt8Local(floats(id))
+      assert(qvec == lq.toSeq, s"qvec mismatch for $id")
+      assert(qnorm == ln, s"qnorm mismatch for $id: $qnorm vs $ln")
+      assert(qvec.forall(x => x >= -127 && x <= 127), s"out-of-range int8 for $id")
+      assert(qvec.exists(x => x == 127L || x == -127L),
+        s"amax component of $id should quantize to ±127")
+    }
+  }
+
+  test("quantized top-k: exact rescoring, high recall, small quantized error") {
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+    val rest = emb.filter(col("vec_id") =!= 0)
+    val exact = Similarity.topKCosine(rest, "embedding", "vec_id", q, 20)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val quant = Similarity.quantizedTopKCosine(rest, "embedding", "vec_id", q, 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(quant.length == 20)
+    // int8 on 64 dims distorts cosine by well under 2%: every returned
+    // quantized score must sit next to its exact float score
+    quant.foreach { case (id, qcos, cos) =>
+      assert(math.abs(qcos - cos) <= 0.02, s"quantized drift for $id: $qcos vs $cos")
+    }
+    val ids = quant.map(_._1).toSet
+    val recall = ids.intersect(exact.keySet).size.toDouble / exact.size
+    assert(recall >= 0.8, s"quantized recall $recall too low")
+    // final scores are the float scores — identical where ids overlap
+    quant.foreach { case (id, _, cos) =>
+      exact.get(id).foreach(e => assert(cos == e, s"rescore drift for $id")) }
+  }
+
+  test("substring dedup: later copies lose covered spans, first occurrence intact") {
+    import spark.implicits._
+    val fixture = Seq(
+      (1L, "a b c d e f g h i j"),            // first occurrence of a..h
+      (2L, "x y a b c d e f g h"),            // same 8-word run at offset 3
+      (3L, "a b c d e f g h i j"),            // exact copy → fully covered
+      (4L, "short doc only")                  // < window → untouched
+    ).toDF("doc_id", "text")
+    val out = Dedup.exactSubstringDedup(fixture, "doc_id", "text", windowWords = 8)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out(0) == ((1L, "a b c d e f g h i j", 10L, 10L)), s"got ${out(0)}")
+    assert(out(1) == ((2L, "x y", 10L, 2L)), s"got ${out(1)}")
+    assert(out(2) == ((3L, "", 10L, 0L)), s"got ${out(2)}")
+    assert(out(3) == ((4L, "short doc only", 3L, 3L)), s"got ${out(3)}")
+  }
+
+  test("substring dedup on the corpus: removal happens, monotone, reassembly honest") {
+    val out = Dedup.exactSubstringDedup(docs, "doc_id", "text", windowWords = 8)
+    val rows = out.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == docs.count())
+    // the corpus has planted near-dups: something must actually be removed
+    assert(rows.exists { case (_, _, nw, nk) => nk < nw }, "no spans removed")
+    rows.foreach { case (id, clean, nw, nk) =>
+      assert(nk <= nw, s"doc $id kept more words than it had")
+      val words = if (clean.isEmpty) 0L else clean.split(" ", -1).length.toLong
+      assert(words == nk, s"doc $id: clean_text has $words words, n_kept $nk")
+    }
+  }
 }
