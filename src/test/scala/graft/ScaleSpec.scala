@@ -259,4 +259,33 @@ class ScaleSpec extends AnyFunSuite {
     assert(!plan.contains("Window"),
       s"first-occurrence pick must be the min(struct) aggregate, not a window:\n$plan")
   }
+
+  test("x47 substring dedup: linear plan — equi-joins only, agg-based first-occurrence") {
+    val plan = graft.ops.Dedup.exactSubstringDedup(
+        Tables.documents(spark, dir), "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    // window rows ~ corpus words: everything must stay keyed equi-join /
+    // aggregate — a cartesian or nested loop would be quadratic in docs,
+    // a Window would force a global or per-gram sort
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("Window"),
+      s"first-occurrence pick must be the min(struct) aggregate, not a window:\n$plan")
+  }
+
+  test("x46 quantized top-k: candidate cut is TakeOrdered, rescore joins candidates only") {
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+    val plan = graft.ops.Similarity.quantizedTopKCosine(
+        emb.filter(col("vec_id") =!= 0), "embedding", "vec_id", q, k = 20)
+      .queryExecution.executedPlan.toString
+    // the corpus-wide pass must end in a TakeOrderedAndProject (heap of
+    // refine*k per partition), never a global Sort; the float vectors
+    // join back only against that candidate set
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"candidate cut must be TakeOrderedAndProject:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
 }
