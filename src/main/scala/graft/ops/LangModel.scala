@@ -1,0 +1,110 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Count-based bigram language model: train on a corpus, score documents
+  * by per-word negative log-likelihood — the CCNet/KenLM-style FLUENCY
+  * filter of public training-data pipelines (documents whose perplexity
+  * under an in-domain LM is extreme are dropped or re-bucketed). A full
+  * neural LM is out of scope for an analytics engine; the add-one-
+  * smoothed bigram model is the classic public formulation and exercises
+  * the same engine shape: a trained model TABLE joined against the
+  * corpus it scores.
+  *
+  * Scale design (100 TB): training is two map-side-combinable groupBy
+  * counts over the transition stream (bigram keys are near-uniform; no
+  * skew) plus one countDistinct for V. Scoring broadcasts the model —
+  * a pruned vocab LM is small by construction (the public pipelines cap
+  * vocab at 10⁴–10⁵ rows) — so the per-document pass is scan + two
+  * broadcast hash joins + one doc-keyed aggregate; remove the broadcast
+  * hints for an unpruned web-scale vocab and the joins degrade
+  * gracefully to shuffle equi-joins on the same keys.
+  *
+  * Determinism (the x48 oracle replays scoring bit-for-bit): the
+  * transition probability (cb+1)/(cu+V) is an exact-integer-derived IEEE
+  * division; `ln` is bit-identical between the JVM and DuckDB's libm on
+  * this domain (verified over every distinct corpus rational, JIT-hot);
+  * each transition's log-prob is pinned to a long via floor(ln(p)·10¹²)
+  * so the per-document SUM is exact integer arithmetic — order-
+  * independent, no FP accumulation. Only `exp` diverges at the ulp level
+  * between engines (measured 0.25% of values), so perplexity = exp(nll)
+  * is an API column pinned in OpsSpec, not part of the hash gate. */
+object LangModel {
+
+  /** A trained bigram LM: `bigrams` (prev, cur, cb), `unigrams`
+    * (prev, cu) counted over the TRANSITION stream (cu = times `prev`
+    * appears as a history, the conditional's denominator), and the
+    * corpus vocabulary size for add-one smoothing. */
+  case class BigramLm(bigrams: DataFrame, unigrams: DataFrame, vocabSize: Long)
+
+  /** (doc, prev-word, next-word) transition stream; docs shorter than
+    * two words contribute nothing. */
+  private def transitions(docs: DataFrame, idCol: String,
+                          textCol: String): DataFrame = {
+    val toks = split(col(textCol), " ")
+    docs
+      .select(col(idCol), toks.as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col(idCol), explode(transform(
+        sequence(lit(1), size(col("toks")) - 1),
+        i => struct(element_at(col("toks"), i).as("prev"),
+                    element_at(col("toks"), i + 1).as("cur")))).as("t"))
+      .select(col(idCol), col("t.prev").as("prev"), col("t.cur").as("cur"))
+  }
+
+  /** Train: two grouped counts over the transition stream + one
+    * countDistinct action for V (a scalar — collected eagerly, the one
+    * driver-side value a smoothed LM needs). */
+  def trainBigramLm(docs: DataFrame, idCol: String,
+                    textCol: String): BigramLm = {
+    val tr = transitions(docs, idCol, textCol)
+    val uni = tr.groupBy("prev").agg(count(lit(1)).as("cu"))
+    val bi = tr.groupBy("prev", "cur").agg(count(lit(1)).as("cb"))
+    val v = docs.select(explode(split(col(textCol), " ")).as("w"))
+      .agg(countDistinct(col("w"))).head().getLong(0)
+    BigramLm(bi, uni, v)
+  }
+
+  /** Score every document under a trained LM: one row per input doc with
+    * `n_transitions`, `nll_nats` (average negative log-likelihood per
+    * transition, natural log, add-one smoothed; the hash-gated column)
+    * and `ppl` (= exp(nll_nats), the conventional perplexity; ulp-level
+    * engine-dependent, see object doc). Unseen histories/bigrams fall
+    * back to the smoothing floor (cb=0 / cu=0), so the scorer works on
+    * held-out text too; docs with fewer than two words emit
+    * n_transitions = 0 and null scores. */
+  def perplexityScore(docs: DataFrame, idCol: String, textCol: String,
+                      lm: BigramLm): DataFrame = {
+    val tr = transitions(docs, idCol, textCol)
+    val p = (coalesce(col("cb"), lit(0L)) + lit(1.0)) /
+      (coalesce(col("cu"), lit(0L)) + lit(lm.vocabSize.toDouble))
+    val perDoc = tr
+      .join(broadcast(lm.unigrams), Seq("prev"), "left")
+      .join(broadcast(lm.bigrams), Seq("prev", "cur"), "left")
+      // ln(p) pinned to integer micro-micro-nats: the per-doc sum is
+      // exact and order-independent (no FP accumulation in an agg whose
+      // input order Spark does not define)
+      .withColumn("lp_fix", floor(log(p) * lit(1e12)).cast("long"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_transitions"), sum(col("lp_fix")).as("sfix"))
+    val avg = (-col("sfix")).cast("double") / lit(1e12) / col("n_transitions")
+    docs
+      .select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_transitions"), lit(0L)).as("n_transitions"),
+        round(avg, 6).as("nll_nats"),
+        round(exp(avg), 6).as("ppl"))
+  }
+
+  /** Self-scoring convenience: train on the corpus, score the same
+    * corpus — the in-domain-fluency ranking a corpus-prep job uses to
+    * drop the incoherent tail. Harness query x48 gates this composition
+    * (minus the exp column) against a DuckDB oracle that retrains the
+    * model and replays the fixed-point scoring bit-for-bit. */
+  def perplexityScoreSelf(docs: DataFrame, idCol: String,
+                          textCol: String): DataFrame =
+    perplexityScore(docs, idCol, textCol,
+      trainBigramLm(docs, idCol, textCol))
+}

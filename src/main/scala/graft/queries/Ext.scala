@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.{AsofJoin, Chunking, Dedup, Multimodal, Similarity, TextStats}
+import graft.ops.{AsofJoin, Chunking, Dedup, LangModel, Multimodal, Similarity, TextStats}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -598,6 +598,21 @@ object Ext {
         .withColumn("passes",
           col("n_words") >= 10 && col("mean_word_len") <= 12 &&
           col("digit_ratio") <= 0.2 && col("top_bigram_frac") <= 0.2)
+        .orderBy("doc_id")
+    },
+
+    // Bigram-LM perplexity scoring (CCNet-style fluency filter): train
+    // add-one-smoothed bigram counts on the corpus, score every doc by
+    // average negative log-likelihood. FULL oracle: probabilities are
+    // exact-integer-derived IEEE divisions, ln is bit-identical between
+    // the JVM and DuckDB on this domain (verified JIT-hot over every
+    // distinct corpus rational), and per-transition log-probs are pinned
+    // to longs (floor(ln·1e12)) so the per-doc sum is exact integer
+    // arithmetic. The exp-based ppl column stays OUT of the gate (exp
+    // diverges at the ulp level between engines); OpsSpec pins it.
+    "x48_lm_perplexity" -> { (s, dir) =>
+      LangModel.perplexityScoreSelf(Tables.documents(s, dir), "doc_id", "text")
+        .select(col("doc_id"), col("n_transitions"), col("nll_nats"))
         .orderBy("doc_id")
     },
 
@@ -1294,6 +1309,37 @@ object Ext {
         |  string_agg(block_text, ' ' ORDER BY block_idx) AS clean_text,
         |  COUNT(*) AS n_blocks
         |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // The LM retrained and the scoring replayed in SQL: transition
+    // stream → unigram/bigram counts + vocab size → per-transition
+    // floor(ln((cb+1)/(cu+V))·1e12) as BIGINT → exact per-doc integer
+    // sum → one identical double sequence for the average. Inner joins
+    // suffice (self-scoring: every transition was trained on).
+    "x48_lm_perplexity" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |tr AS (
+        |  SELECT doc_id, ts[i] AS prev, ts[i+1] AS cur
+        |  FROM tok, unnest(generate_series(1, len(ts) - 1)) u(i)
+        |  WHERE len(ts) >= 2),
+        |uni AS (SELECT prev, COUNT(*) AS cu FROM tr GROUP BY 1),
+        |bi AS (SELECT prev, cur, COUNT(*) AS cb FROM tr GROUP BY 1, 2),
+        |v AS (SELECT COUNT(DISTINCT w) AS vsz
+        |      FROM (SELECT unnest(ts) AS w FROM tok)),
+        |lp AS (
+        |  SELECT tr.doc_id,
+        |    CAST(floor(ln((bi.cb + 1.0) / (uni.cu + v.vsz)) * 1000000000000.0) AS BIGINT) AS lp_fix
+        |  FROM tr
+        |  JOIN uni ON uni.prev = tr.prev
+        |  JOIN bi ON bi.prev = tr.prev AND bi.cur = tr.cur, v),
+        |agg AS (
+        |  SELECT doc_id, COUNT(*) AS n_transitions, SUM(lp_fix) AS sfix
+        |  FROM lp GROUP BY 1)
+        |SELECT tok.doc_id,
+        |  CAST(coalesce(n_transitions, 0) AS BIGINT) AS n_transitions,
+        |  round(CAST(-sfix AS DOUBLE) / 1000000000000.0 / n_transitions, 6) AS nll_nats
+        |FROM tok LEFT JOIN agg USING (doc_id)
+        |ORDER BY tok.doc_id""".stripMargin,
 
     // Stride-1 8-word windows keyed by md5(window text); row_number over
     // (doc_id, pos) = Spark's min(struct) first-occurrence; covered word

@@ -684,6 +684,49 @@ class OpsSpec extends AnyFunSuite {
       exact.get(id).foreach(e => assert(cos == e, s"rescore drift for $id")) }
   }
 
+  test("bigram LM: repetitive doc scores more fluent, held-out falls to smoothing floor") {
+    import spark.implicits._
+    import graft.ops.LangModel
+    val fixture = Seq(
+      (1L, "a b a b a b a b a b"),  // one dominant transition → low NLL
+      (2L, "q w e r t y u i o p"),  // every transition unique → higher NLL
+      (3L, "solo")                  // < 2 words → no transitions
+    ).toDF("doc_id", "text")
+    val lm = LangModel.trainBigramLm(fixture, "doc_id", "text")
+    assert(lm.vocabSize == 13, s"vocab ${lm.vocabSize}")
+    val out = LangModel.perplexityScore(fixture, "doc_id", "text", lm)
+      .orderBy("doc_id").collect()
+    val nll = out.map(r => r.getLong(0) ->
+      (if (r.isNullAt(2)) Double.NaN else r.getDouble(2))).toMap
+    assert(out(0).getLong(1) == 9L && out(1).getLong(1) == 9L)
+    assert(nll(1L) < nll(2L),
+      s"repetitive doc must be more fluent: ${nll(1L)} vs ${nll(2L)}")
+    assert(out(2).getLong(1) == 0L && out(2).isNullAt(2) && out(2).isNullAt(3))
+    // held-out doc of entirely unseen words: every transition bottoms out
+    // at the smoothing floor p = 1/V → nll = ln(V) exactly
+    val held = LangModel.perplexityScore(
+      Seq((9L, "zz yy xx")).toDF("doc_id", "text"), "doc_id", "text", lm)
+      .collect().head
+    assert(held.getLong(1) == 2L)
+    assert(math.abs(held.getDouble(2) - math.log(13)) < 1e-5,
+      s"smoothing floor: ${held.getDouble(2)} vs ln(13)=${math.log(13)}")
+    // ppl is exp(nll) up to the two rounding points
+    assert(math.abs(held.getDouble(3) - math.exp(held.getDouble(2))) < 1e-4)
+  }
+
+  test("bigram LM self-scoring on the corpus: finite, ppl==exp(nll), ranking sane") {
+    import graft.ops.LangModel
+    val out = LangModel.perplexityScoreSelf(docs, "doc_id", "text").collect()
+    assert(out.length == docs.count())
+    out.filter(_.getLong(1) > 0).foreach { r =>
+      val (nll, ppl) = (r.getDouble(2), r.getDouble(3))
+      assert(nll > 0 && !nll.isNaN && ppl > 1,
+        s"doc ${r.getLong(0)}: nll=$nll ppl=$ppl")
+      assert(math.abs(ppl - math.exp(nll)) / ppl < 1e-4,
+        s"ppl/exp(nll) drift for doc ${r.getLong(0)}")
+    }
+  }
+
   test("substring dedup: later copies lose covered spans, first occurrence intact") {
     import spark.implicits._
     val fixture = Seq(
