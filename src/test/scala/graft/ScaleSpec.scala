@@ -273,6 +273,20 @@ class ScaleSpec extends AnyFunSuite {
       s"first-occurrence pick must be the min(struct) aggregate, not a window:\n$plan")
   }
 
+  test("x48 LM scoring: model joins broadcast, no cartesian, no window") {
+    val docs = Tables.documents(spark, dir)
+    val lm = graft.ops.LangModel.trainBigramLm(docs, "doc_id", "text")
+    val plan = graft.ops.LangModel.perplexityScore(docs, "doc_id", "text", lm)
+      .queryExecution.executedPlan.toString
+    // the scoring pass must be scan + broadcast model joins + one
+    // doc-keyed aggregate — a shuffled model join at this vocab size, a
+    // cartesian, or a window would not survive the 100 TB scoring sweep
+    assert(plan.contains("BroadcastHashJoin"), s"model joins must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
   test("x46 quantized top-k: candidate cut is TakeOrdered, rescore joins candidates only") {
     val emb = Tables.embeddings(spark, dir)
     val q = emb.filter(col("vec_id") === 0)
