@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.{AsofJoin, Chunking, Dedup, LangModel, Multimodal, Similarity, TextStats}
+import graft.ops.{AsofJoin, Chunking, Dedup, LangModel, LinearProbe, Multimodal, Similarity, TextStats}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -614,6 +614,18 @@ object Ext {
       LangModel.perplexityScoreSelf(Tables.documents(s, dir), "doc_id", "text")
         .select(col("doc_id"), col("n_transitions"), col("nll_nats"))
         .orderBy("doc_id")
+    },
+
+    // Closed-form ridge "linear probe": predict n_chars from (word
+    // count, alpha-char count) — ONE sufficient-statistics aggregation
+    // pass, a 3×3 Cramer solve over EXACT integers (BigInt here, HUGEINT
+    // in the oracle: determinant terms pass 10²³), a fixed-point
+    // residual pass for R². FULL oracle: integer sums are
+    // order-independent, the integer determinants are exact, and the
+    // only doubles are correctly-rounded int→double conversions plus
+    // identical IEEE divisions.
+    "x49_ridge_probe" -> { (s, dir) =>
+      LinearProbe.qualityProbe(Tables.documents(s, dir), "text", "n_chars")
     },
 
     // Per-label embedding centroids (the reduce step of k-means / class
@@ -1309,6 +1321,49 @@ object Ext {
         |  string_agg(block_text, ' ' ORDER BY block_idx) AS clean_text,
         |  COUNT(*) AS n_blocks
         |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // The ridge fit replayed exactly: integer sufficient statistics,
+    // HUGEINT Cramer determinants (same cofactor expansion order as the
+    // engine's BigInt solve), correctly-rounded HUGEINT→DOUBLE ratios,
+    // fixed-point residual sum, identical double sequence for SST/R².
+    "x49_ridge_probe" ->
+      """WITH f AS (
+        |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS f1,
+        |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS f2,
+        |    CAST(n_chars AS BIGINT) AS y
+        |  FROM documents),
+        |s AS (
+        |  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+        |    CAST(SUM(f1) AS HUGEINT) AS s1, CAST(SUM(f2) AS HUGEINT) AS s2,
+        |    CAST(SUM(f1*f1) AS HUGEINT) AS s11, CAST(SUM(f1*f2) AS HUGEINT) AS s12,
+        |    CAST(SUM(f2*f2) AS HUGEINT) AS s22,
+        |    CAST(SUM(y) AS HUGEINT) AS sy, CAST(SUM(f1*y) AS HUGEINT) AS sy1,
+        |    CAST(SUM(f2*y) AS HUGEINT) AS sy2, CAST(SUM(y*y) AS HUGEINT) AS syy
+        |  FROM f),
+        |det AS (
+        |  SELECT n, sy, syy,
+        |    n*((s11+1)*(s22+1) - s12*s12) - s1*(s1*(s22+1) - s12*s2) + s2*(s1*s12 - (s11+1)*s2) AS dA,
+        |    sy*((s11+1)*(s22+1) - s12*s12) - s1*(sy1*(s22+1) - s12*sy2) + s2*(sy1*s12 - (s11+1)*sy2) AS d0,
+        |    n*(sy1*(s22+1) - s12*sy2) - sy*(s1*(s22+1) - s12*s2) + s2*(s1*sy2 - sy1*s2) AS d1,
+        |    n*((s11+1)*sy2 - sy1*s12) - s1*(s1*sy2 - sy1*s2) + sy*(s1*s12 - (s11+1)*s2) AS d2
+        |  FROM s),
+        |beta AS (
+        |  SELECT n, sy, syy,
+        |    CAST(d0 AS DOUBLE) / CAST(dA AS DOUBLE) AS b0,
+        |    CAST(d1 AS DOUBLE) / CAST(dA AS DOUBLE) AS b1,
+        |    CAST(d2 AS DOUBLE) / CAST(dA AS DOUBLE) AS b2
+        |  FROM det),
+        |res AS (
+        |  SELECT SUM(CAST(floor(
+        |      (CAST(y AS DOUBLE) - (b0 + b1*f1 + b2*f2)) *
+        |      (CAST(y AS DOUBLE) - (b0 + b1*f1 + b2*f2)) * 1000000.0)
+        |    AS BIGINT)) AS sse_fix
+        |  FROM f, beta)
+        |SELECT CAST(beta.n AS BIGINT) AS n,
+        |  round(b0, 6) AS b0, round(b1, 6) AS b1, round(b2, 6) AS b2,
+        |  round(1.0 - (CAST(sse_fix AS DOUBLE) / 1000000.0) /
+        |    (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(beta.n AS DOUBLE)), 6) AS r2
+        |FROM beta, res""".stripMargin,
 
     // The LM retrained and the scoring replayed in SQL: transition
     // stream → unigram/bigram counts + vocab size → per-transition

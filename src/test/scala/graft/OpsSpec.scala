@@ -727,6 +727,32 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ridge probe: exact-linear data recovered exactly at lambda=0, shrunk under penalty") {
+    import spark.implicits._
+    import graft.ops.LinearProbe
+    val feats = Seq((3L, 7L), (10L, 2L), (25L, 40L), (8L, 8L), (50L, 1L), (2L, 30L))
+      .map { case (a, b) => (a, b, 3L + 2 * a + 5 * b) }
+      .toDF("f1", "f2", "y")
+    val m0 = LinearProbe.ridgeFit(feats, col("f1"), col("f2"), col("y"), lambda = 0L)
+    // consistent system + exact integer Cramer: d_i = beta_i * dA exactly,
+    // and all determinants sit under 2^53 — the doubles are EXACT
+    assert(m0.b0 == 3.0 && m0.b1 == 2.0 && m0.b2 == 5.0,
+      s"exact fit expected, got (${m0.b0}, ${m0.b1}, ${m0.b2})")
+    val mBig = LinearProbe.ridgeFit(feats, col("f1"), col("f2"), col("y"),
+      lambda = 1000000L)
+    assert(math.abs(mBig.b1) < 2.0 && math.abs(mBig.b2) < 5.0,
+      s"penalty must shrink weights: (${mBig.b1}, ${mBig.b2})")
+  }
+
+  test("ridge quality probe on the corpus: one summary row, near-perfect fit") {
+    import graft.ops.LinearProbe
+    val row = LinearProbe.qualityProbe(docs, "text", "n_chars").collect().head
+    assert(row.getLong(0) == docs.count())
+    // word-salad text: n_chars = alpha chars + (words-1) separators, so
+    // the 2-feature probe should explain essentially all variance
+    assert(row.getDouble(4) >= 0.99, s"r2 = ${row.getDouble(4)}")
+  }
+
   test("substring dedup: later copies lose covered spans, first occurrence intact") {
     import spark.implicits._
     val fixture = Seq(
