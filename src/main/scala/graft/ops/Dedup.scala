@@ -273,6 +273,68 @@ object Dedup {
       .select("a_id", "b_id", "est_jac")
   }
 
+  /** Incremental INGEST dedup — the daily-batch shape at corpus scale:
+    * a new batch of documents is screened against the EXISTING corpus
+    * (not against itself), so ingestion cost is proportional to the
+    * batch, never to a corpus-wide re-dedup. MinHash-band both sides,
+    * take candidates strictly ACROSS sides (the corpus side is exactly
+    * the write-once band index a production pipeline keeps next to the
+    * corpus — at 100 TB the banding of the corpus is precomputed and
+    * this join prunes to the incoming batch's buckets), estimate-filter
+    * on signature agreement, then exact n-gram-Jaccard verification
+    * (same-`blockCol` only, the [[verifyPairsJaccard]] semantics).
+    *
+    * Returns one row per incoming doc: (idCol, kept, match_id,
+    * n_matches) — `kept` = no verified corpus near-dup, `match_id` = the
+    * smallest matching corpus id. Batch-INTERNAL duplicates are out of
+    * scope by design (run [[nearDupDedup]] on the batch first); corpus
+    * ids and incoming ids must be disjoint. */
+  def incrementalNearDupFilter(corpus: DataFrame, incoming: DataFrame,
+                               idCol: String, textCol: String,
+                               blockCol: String, n: Int = 3,
+                               nHashes: Int = 64, bands: Int = 16,
+                               estThreshold: Double = 0.35,
+                               verifyThreshold: Double = 0.5): DataFrame = {
+    require(nHashes % bands == 0, s"bands=$bands must divide nHashes=$nHashes")
+    val r = nHashes / bands
+    def sigsOf(df: DataFrame): DataFrame = Caches.persistTracked(df
+      .withColumn("toks", split(col(textCol), " "))
+      .filter(size(col("toks")) >= n)
+      .withColumn("sig", minhashSignature(gramArray(col("toks"), n), nHashes))
+      .select(col(idCol), col("sig")))
+    def bandsOf(sigs: DataFrame, asId: String): DataFrame = sigs
+      .withColumn("band", explode(transform(sequence(lit(0), lit(bands - 1)),
+        b => struct(b.as("band_idx"),
+          xxhash64(slice(col("sig"), b * r + 1, lit(r)), b).as("band_hash")))))
+      .select(col(idCol).as(asId), col("band.band_idx"), col("band.band_hash"))
+    val cSigs = sigsOf(corpus)
+    val iSigs = sigsOf(incoming)
+    val cands = bandsOf(iSigs, "b_id")
+      .join(bandsOf(cSigs, "a_id"), Seq("band_idx", "band_hash"))
+      .select("a_id", "b_id").distinct()
+    val est = cands
+      .join(cSigs.select(col(idCol).as("a_id"), col("sig").as("sig_a")), "a_id")
+      .join(iSigs.select(col(idCol).as("b_id"), col("sig").as("sig_b")), "b_id")
+      .withColumn("est_jac", aggregate(zip_with(col("sig_a"), col("sig_b"),
+        (x, y) => when(x === y, 1).otherwise(0)), lit(0),
+        (acc, v) => acc + v).cast("double") / nHashes)
+      .filter(col("est_jac") >= estThreshold)
+      .select("a_id", "b_id")
+    val verified = verifyPairsJaccard(
+      corpus.select(col(idCol), col(blockCol), col(textCol))
+        .unionByName(incoming.select(col(idCol), col(blockCol), col(textCol))),
+      idCol, textCol, blockCol, est, n, verifyThreshold)
+    val matches = verified
+      .groupBy(col("b_id").as(idCol))
+      .agg(min(col("a_id")).as("match_id"), count(lit(1)).as("n_matches"))
+    incoming.select(col(idCol))
+      .join(matches, Seq(idCol), "left")
+      .select(col(idCol),
+        col("match_id").isNull.as("kept"),
+        col("match_id"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"))
+  }
+
   /** Word n-gram array from an ALREADY-MATERIALIZED token-array column
     * (distinct, order of first occurrence). The tokens must be a real
     * column, not an inline `split(...)` — expressions referenced inside

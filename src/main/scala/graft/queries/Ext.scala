@@ -484,6 +484,20 @@ object Ext {
         .orderBy("doc_id")
     },
 
+    // Incremental INGEST dedup: docs 400+ arrive as a new batch and are
+    // screened against the 0..399 corpus only — cross-side MinHash-band
+    // candidates, signature estimate filter, exact Jaccard verify. The
+    // oracle is the exact cross-set computation (the x02/x03 pattern:
+    // verification is exact, so gate equality == LSH missed nothing);
+    // corpus-internal and batch-internal dups must NOT be flagged.
+    "x50_incremental_dedup" -> { (s, dir) =>
+      val all = Tables.documents(s, dir)
+      Dedup.incrementalNearDupFilter(
+          all.filter(col("doc_id") < 400), all.filter(col("doc_id") >= 400),
+          "doc_id", "text", "lang")
+        .orderBy("doc_id")
+    },
+
     // PII-style scrub: emails + long digit runs → placeholders.
     "x20_pii_redaction" -> { (s, dir) =>
       Tables.documents(s, dir)
@@ -1395,6 +1409,36 @@ object Ext {
         |  round(CAST(-sfix AS DOUBLE) / 1000000000000.0 / n_transitions, 6) AS nll_nats
         |FROM tok LEFT JOIN agg USING (doc_id)
         |ORDER BY tok.doc_id""".stripMargin,
+
+    // Exact cross-set near-dup relation (corpus side < 400, batch side
+    // >= 400), x02's gram/Jaccard conventions, aggregated per batch doc.
+    "x50_incremental_dedup" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS ts FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |tri AS (
+        |  SELECT DISTINCT doc_id, lang,
+        |    unnest(list_transform(generate_series(1, len(ts) - 2),
+        |      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS g
+        |  FROM tok),
+        |nt AS (SELECT doc_id, COUNT(*) AS n FROM tri GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS common
+        |  FROM tri a JOIN tri b ON a.g = b.g AND a.lang = b.lang
+        |  WHERE a.doc_id < 400 AND b.doc_id >= 400
+        |  GROUP BY 1, 2),
+        |m AS (
+        |  SELECT a_id, b_id FROM pairs
+        |  JOIN nt na ON a_id = na.doc_id JOIN nt nb ON b_id = nb.doc_id
+        |  WHERE common * 1.0 / (na.n + nb.n - common) >= 0.5),
+        |agg AS (
+        |  SELECT b_id AS doc_id, MIN(a_id) AS match_id, COUNT(*) AS n_matches
+        |  FROM m GROUP BY 1)
+        |SELECT d.doc_id, match_id IS NULL AS kept, match_id,
+        |  CAST(coalesce(n_matches, 0) AS BIGINT) AS n_matches
+        |FROM (SELECT doc_id FROM documents WHERE doc_id >= 400) d
+        |LEFT JOIN agg USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     // Stride-1 8-word windows keyed by md5(window text); row_number over
     // (doc_id, pos) = Spark's min(struct) first-occurrence; covered word

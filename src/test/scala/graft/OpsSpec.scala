@@ -727,6 +727,21 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental dedup: cross-side matches flagged, internal dups out of scope") {
+    val out = Dedup.incrementalNearDupFilter(
+        docs.filter(col("doc_id") < 400), docs.filter(col("doc_id") >= 400),
+        "doc_id", "text", "lang")
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    assert(out.size == 100)
+    // the sf0.01 planted pairs crossing the 400 boundary: 92<->450, 267<->413
+    assert(out(450L) == ((false, 92L)), s"450 -> ${out(450L)}")
+    assert(out(413L) == ((false, 267L)), s"413 -> ${out(413L)}")
+    // 458<->462 are near-dups WITHIN the batch — not corpus matches
+    assert(out(458L)._1 && out(462L)._1, "batch-internal dup wrongly flagged")
+    assert(out.values.count(!_._1) == 2, "exactly two corpus matches expected")
+  }
+
   test("ridge probe: exact-linear data recovered exactly at lambda=0, shrunk under penalty") {
     import spark.implicits._
     import graft.ops.LinearProbe
