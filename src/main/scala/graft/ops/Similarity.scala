@@ -499,4 +499,115 @@ object Similarity {
       .limit(k)
       .select(col(idCol), col("qcos_sim"), col("cos_sim"))
   }
+
+  // ----- product quantization (PQ codes + ADC serving) ----------------
+
+  /** PQ codebook: `nCentroids` full vectors drawn by the deterministic
+    * md5-ordered corpus sample ([[ivfBuild]]'s engine-portable
+    * convention), collected driver-side — 16×64 doubles IS the model.
+    * Subspace `j` of centroid `k` is its dims [j·d, (j+1)·d). (The
+    * classic refinement — per-subspace k-means — would train each
+    * subspace independently; the sampled codebook keeps the whole model
+    * replayable by an external engine with two ORDER BY clauses, and the
+    * serving geometry — codes, ADC tables, candidate cut — is
+    * identical.) */
+  def pqBuildCodebook(emb: DataFrame, vecCol: String, idCol: String,
+                      nCentroids: Int = 16): Array[Array[Double]] =
+    emb.select(col(idCol).as("cid"), col(vecCol).cast("array<double>").as("cv"))
+      .orderBy(md5(col("cid").cast("string")).asc, col("cid").asc)
+      .limit(nCentroids)
+      .collect().map(_.getSeq[Double](1).toArray)
+
+  /** Encode every vector as `m` small codes — the 32× compression step
+    * (8 codes of 4 bits each vs 64 float32s; stored as ints here, bytes
+    * on disk). Per subspace, the code is the argmin-L2² centroid with
+    * ties to the smaller index — one codegen'd fold per row, shuffle-
+    * free. Keeps the float vector column alongside for candidate
+    * rescoring (at 100 TB the codes column is what the ADC scan reads;
+    * the full vectors stay in the primary store and only candidates
+    * fetch them). */
+  def pqEncode(emb: DataFrame, vecCol: String, idCol: String,
+               codebook: Array[Array[Double]], m: Int = 8,
+               dims: Int = 64): DataFrame = {
+    require(dims % m == 0, s"m=$m must divide dims=$dims")
+    val d = dims / m
+    val cb = typedLit(codebook.map(_.toSeq).toSeq)
+    val v = col(vecCol).cast("array<double>")
+    emb
+      .filter(when(size(v) === dims, lit(true)).otherwise(raise_error(concat(
+        lit(s"pqEncode: expected $dims-dim vector, got "),
+        coalesce(size(v).cast("string"), lit("null"))))))
+      .select(col(idCol), v.as("v"))
+      .withColumn("codes", transform(sequence(lit(0), lit(m - 1)), j =>
+        aggregate(sequence(lit(0), lit(codebook.length - 1)),
+          struct(lit(Double.MaxValue).as("bd"), lit(-1).as("bk")),
+          (acc, k) => {
+            val dist = aggregate(sequence(lit(1), lit(d)), lit(0.0),
+              (s, t) => {
+                val diff = element_at(col("v"), j * d + t) -
+                  element_at(element_at(cb, k + 1), j * d + t)
+                s + diff * diff
+              })
+            when(dist < acc.getField("bd"),
+              struct(dist.as("bd"), k.as("bk"))).otherwise(acc)
+          },
+          acc => acc.getField("bk"))))
+  }
+
+  /** ADC (asymmetric distance computation) probe over a PQ-encoded
+    * table: the query precomputes one m×K distance table driver-side
+    * (the same per-subspace L2² fold as encoding), the scan scores each
+    * row with `m` table lookups over its codes — no per-row vector
+    * arithmetic at all — and only the top `refine·k` candidates touch
+    * their float vectors for the exact-L2² reranking. Deterministic end
+    * to end (the candidate cut orders by bit-exact doubles, then id), so
+    * the x51 oracle replays codebook, codes, tables, cut, and reranking
+    * identically. */
+  def pqProbe(encoded: DataFrame, idCol: String, queryVec: Seq[Double],
+              codebook: Array[Array[Double]], k: Int, refine: Int = 3,
+              m: Int = 8): DataFrame = {
+    require(queryVec.length % m == 0,
+      s"m=$m must divide query dims=${queryVec.length}")
+    val d = queryVec.length / m
+    val table: Seq[Seq[Double]] = (0 until m).map { j =>
+      codebook.toSeq.map { c =>
+        var s = 0.0
+        var t = 1
+        while (t <= d) {
+          val diff = queryVec(j * d + t - 1) - c(j * d + t - 1)
+          s = s + diff * diff
+          t += 1
+        }
+        s
+      }
+    }
+    val tLit = typedLit(table)
+    val q = lit(queryVec.toArray)
+    val scored = encoded.withColumn("pq", aggregate(
+      sequence(lit(0), lit(m - 1)), lit(0.0), (acc, j) =>
+        acc + element_at(element_at(tLit, j + 1),
+          element_at(col("codes"), j + 1) + 1)))
+    val cands = scored
+      .orderBy(col("pq").asc, col(idCol).asc)
+      .limit(refine * k)
+    cands
+      .withColumn("l2", aggregate(
+        zip_with(col("v"), q, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x))
+      .orderBy(col("l2").asc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol), round(col("pq"), 6).as("pq_dist"),
+        round(col("l2"), 6).as("l2_dist"))
+  }
+
+  /** One-shot PQ top-k: build the sampled codebook, encode, ADC-probe.
+    * Harness query x51 gates this composition against a DuckDB oracle
+    * that replays every stage. */
+  def pqTopK(emb: DataFrame, vecCol: String, idCol: String,
+             queryVec: Seq[Double], k: Int, m: Int = 8,
+             nCentroids: Int = 16, refine: Int = 3): DataFrame = {
+    val cb = pqBuildCodebook(emb, vecCol, idCol, nCentroids)
+    pqProbe(pqEncode(emb, vecCol, idCol, cb, m, queryVec.length),
+      idCol, queryVec, cb, k, refine, m)
+  }
 }

@@ -145,6 +145,20 @@ object Ext {
         queryVec = queryVec(s, dir), k = 20)
     },
 
+    // Product-quantization ANN — the 32×-compression serving shape: md5-
+    // sampled 16×64 codebook, per-subspace argmin codes (8 ints/vector),
+    // ADC probe (one m×K query table, per-row scoring = 8 table lookups,
+    // zero per-row vector arithmetic), exact-L2² rerank of the top-60.
+    // FULL oracle: sample, codes (row_number tie-break = the engine's
+    // strict-less fold), tables, the ordered-by-j ADC sum, candidate cut
+    // and rerank all replay bit-for-bit in SQL.
+    "x51_pq_topk" -> { (s, dir) =>
+      Similarity.pqTopK(
+        Tables.embeddings(s, dir).filter(col("vec_id") =!= 0),
+        vecCol = "embedding", idCol = "vec_id",
+        queryVec = queryVec(s, dir), k = 20)
+    },
+
     // IVF ANN top-k — FULL oracle of the approximation: the centroid
     // sample orders by md5(id) (engine-portable), assignment is an argmax
     // whose result is order-independent given bit-identical scores, and
@@ -1227,6 +1241,54 @@ object Ext {
         |FROM scored
         |QUALIFY rank <= 5
         |ORDER BY q_id, rank""".stripMargin,
+
+    // PQ replayed stage for stage: md5-ordered 16-sample codebook,
+    // per-(vec, subspace, centroid) L2² over 8 dims, row_number argmin
+    // (ORDER BY dist, k == the engine's strict-less fold keeping the
+    // smaller index), the query's ADC table from the same arithmetic,
+    // ADC sums ordered by subspace (list(... ORDER BY j) = the engine's
+    // ascending-j fold), top-60 cut on (pq, id), exact-L2² rerank.
+    "x51_pq_topk" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id <> 0),
+        |q AS (
+        |  SELECT CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id = 0),
+        |cb AS (
+        |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS k, v AS cv
+        |  FROM e
+        |  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 16),
+        |jj AS (SELECT unnest(generate_series(0, 7)) AS j),
+        |dist AS (
+        |  SELECT e.vec_id, jj.j, cb.k,
+        |    list_sum(list_transform(generate_series(1, 8), t ->
+        |      (e.v[jj.j * 8 + t] - cb.cv[jj.j * 8 + t]) *
+        |      (e.v[jj.j * 8 + t] - cb.cv[jj.j * 8 + t]))) AS dist
+        |  FROM e, jj, cb),
+        |codes AS (
+        |  SELECT vec_id, j, k FROM dist
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, k) = 1),
+        |qtab AS (
+        |  SELECT jj.j, cb.k,
+        |    list_sum(list_transform(generate_series(1, 8), t ->
+        |      (q.qv[jj.j * 8 + t] - cb.cv[jj.j * 8 + t]) *
+        |      (q.qv[jj.j * 8 + t] - cb.cv[jj.j * 8 + t]))) AS dist
+        |  FROM q, jj, cb),
+        |approx AS (
+        |  SELECT c.vec_id, list_sum(list(qt.dist ORDER BY c.j)) AS pq
+        |  FROM codes c JOIN qtab qt ON qt.j = c.j AND qt.k = c.k
+        |  GROUP BY c.vec_id),
+        |cand AS (
+        |  SELECT vec_id, pq FROM approx
+        |  QUALIFY row_number() OVER (ORDER BY pq, vec_id) <= 60),
+        |scored AS (
+        |  SELECT cand.vec_id, cand.pq,
+        |    list_sum(list_transform(generate_series(1, len(e.v)), t ->
+        |      (e.v[t] - q.qv[t]) * (e.v[t] - q.qv[t]))) AS l2
+        |  FROM cand JOIN e ON e.vec_id = cand.vec_id, q)
+        |SELECT vec_id, round(pq, 6) AS pq_dist, round(l2, 6) AS l2_dist
+        |FROM scored ORDER BY l2 ASC, vec_id ASC LIMIT 20""".stripMargin,
 
     // Int8 quantization replayed exactly: floor(x * (127/amax) + 0.5) on
     // IEEE doubles (NOT round() — half-even vs half-up conventions

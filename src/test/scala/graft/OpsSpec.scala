@@ -727,6 +727,38 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("PQ: codes bounded, rerank distances exact, recall above the coarse-quantizer floor") {
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+    val rest = emb.filter(col("vec_id") =!= 0)
+    val cb = Similarity.pqBuildCodebook(rest, "embedding", "vec_id")
+    assert(cb.length == 16 && cb.forall(_.length == 64))
+    val codes = Similarity.pqEncode(rest, "embedding", "vec_id", cb)
+      .select(col("vec_id"), col("codes")).collect()
+    codes.foreach { r =>
+      val cs = r.getSeq[Int](1)
+      assert(cs.length == 8 && cs.forall(c => c >= 0 && c < 16),
+        s"bad codes for ${r.getLong(0)}: $cs")
+    }
+    val got = Similarity.pqTopK(rest, "embedding", "vec_id", q, k = 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(got.length == 20)
+    // the reranked l2 must equal the brute-force exact L2 for those ids
+    val exact = rest
+      .withColumn("l2", round(graft.functions.VectorFunctions.l2sq(
+        col("embedding"), lit(q.toArray)), 6))
+      .select(col("vec_id"), col("l2"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    got.foreach { case (id, l2) =>
+      assert(l2 == exact(id), s"rerank drift for $id: $l2 vs ${exact(id)}") }
+    // coarse 16-sample codebook on diffuse random data: recall is modest
+    // by nature (measured 0.4 at sf0.01); pin a floor well above chance
+    val exactTop = exact.toSeq.sortBy { case (id, l2) => (l2, id) }
+      .take(20).map(_._1).toSet
+    val recall = got.map(_._1).count(exactTop.contains) / 20.0
+    assert(recall >= 0.25, s"PQ recall $recall below floor")
+  }
+
   test("incremental dedup: cross-side matches flagged, internal dups out of scope") {
     val out = Dedup.incrementalNearDupFilter(
         docs.filter(col("doc_id") < 400), docs.filter(col("doc_id") >= 400),
