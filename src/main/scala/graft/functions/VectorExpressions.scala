@@ -164,9 +164,117 @@ case class RhpBandsExpr(child: Expression, nBands: Int, bandBits: Int, dims: Int
     copy(child = newChild)
 }
 
+/** PQ encoding of one vector in a single codegen'd pass: for each of the
+  * `m` subspaces, the argmin-L2² centroid index over `nCentroids`
+  * candidates (strict-less comparison — ties keep the smaller index, the
+  * same choice as the HOF fold and the oracle's ORDER BY dist, k). The
+  * flattened codebook (centroid k dim d at [k·dims + d]) is baked into
+  * the generated code as one double[]; the HOF twin
+  * ([[graft.ops.Similarity.pqEncodeHof]]) evaluates ~m·K·d lambda nodes
+  * per row. Identical sequential IEEE accumulation per (subspace,
+  * centroid), so codes — and the x51 oracle's SQL replay — are
+  * bit-for-bit unchanged. */
+case class PqCodesExpr(child: Expression, flatCodebook: Array[Double],
+                       nCentroids: Int, m: Int, dims: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(dims % m == 0, s"m=$m must divide dims=$dims")
+  require(flatCodebook.length == nCentroids * dims,
+    s"codebook length ${flatCodebook.length} != $nCentroids*$dims")
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"pq_codes expects array<double>, got ${other.simpleString}")
+    }
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    require(v.numElements() == dims,
+      s"pq_codes: expected $dims-dim vector, got ${v.numElements()}")
+    var nd = 0
+    while (nd < dims) {
+      if (v.isNullAt(nd)) throw new IllegalArgumentException(
+        s"pq_codes: null vector component at index $nd")
+      nd += 1
+    }
+    val d = dims / m
+    val out = new Array[Int](m)
+    var j = 0
+    while (j < m) {
+      var bestD = Double.MaxValue
+      var bestK = -1
+      var k = 0
+      while (k < nCentroids) {
+        val base = k * dims + j * d
+        var s = 0.0
+        var t = 0
+        while (t < d) {
+          val diff = v.getDouble(j * d + t) - flatCodebook(base + t)
+          s += diff * diff
+          t += 1
+        }
+        if (s < bestD) { bestD = s; bestK = k }
+        k += 1
+      }
+      out(j) = bestK
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val cb = ctx.addReferenceObj("pqCodebook", flatCodebook, "double[]")
+      val d = dims / m
+      val (out, j, k, t, s, diff, bestD, bestK, base) = (ctx.freshName("out"),
+        ctx.freshName("j"), ctx.freshName("k"), ctx.freshName("t"),
+        ctx.freshName("s"), ctx.freshName("diff"), ctx.freshName("bestD"),
+        ctx.freshName("bestK"), ctx.freshName("base"))
+      s"""
+         |if ($a.numElements() != $dims) {
+         |  throw new IllegalArgumentException(
+         |    "pq_codes: expected $dims-dim vector, got " + $a.numElements());
+         |}
+         |for (int $t = 0; $t < $dims; $t++) {
+         |  if ($a.isNullAt($t)) {
+         |    throw new IllegalArgumentException(
+         |      "pq_codes: null vector component at index " + $t);
+         |  }
+         |}
+         |int[] $out = new int[$m];
+         |for (int $j = 0; $j < $m; $j++) {
+         |  double $bestD = Double.MAX_VALUE;
+         |  int $bestK = -1;
+         |  for (int $k = 0; $k < $nCentroids; $k++) {
+         |    int $base = $k * $dims + $j * $d;
+         |    double $s = 0.0;
+         |    for (int $t = 0; $t < $d; $t++) {
+         |      double $diff = $a.getDouble($j * $d + $t) - $cb[$base + $t];
+         |      $s += $diff * $diff;
+         |    }
+         |    if ($s < $bestD) { $bestD = $s; $bestK = $k; }
+         |  }
+         |  $out[$j] = $bestK;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   private val fnName = "graft_dot_product"
   private val bandsFnName = "graft_rhp_bands"
+  private val pqFnName = "graft_pq_codes"
 
   /** Idempotently register the expression with a session's function
     * registry (the public extension point; Column(expr) constructors are
@@ -182,12 +290,24 @@ object VectorExpressions {
       registry.createOrReplaceTempFunction(
         bandsFnName, exprs => RhpBandsExpr(exprs(0),
           lit2int(exprs(1)), lit2int(exprs(2)), lit2int(exprs(3))), "scala_udf")
+    val pqIdent = org.apache.spark.sql.catalyst.FunctionIdentifier(pqFnName)
+    if (!registry.functionExists(pqIdent))
+      registry.createOrReplaceTempFunction(
+        pqFnName, exprs => PqCodesExpr(exprs(0), lit2doubles(exprs(1)),
+          lit2int(exprs(2)), lit2int(exprs(3)), lit2int(exprs(4))), "scala_udf")
   }
 
   private def lit2int(e: Expression): Int = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
     case other => throw new IllegalArgumentException(
       s"rhp_bands shape parameters must be integer literals, got $other")
+  }
+
+  private def lit2doubles(e: Expression): Array[Double] = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: ArrayData,
+        ArrayType(DoubleType, _)) => v.toDoubleArray()
+    case other => throw new IllegalArgumentException(
+      s"pq_codes codebook must be an array<double> literal, got $other")
   }
 
   /** Codegen'd dot product over two array<double> columns. Registers into
@@ -207,6 +327,18 @@ object VectorExpressions {
     call_function(bandsFnName, vec.cast("array<double>"),
       org.apache.spark.sql.functions.lit(nBands),
       org.apache.spark.sql.functions.lit(bandBits),
+      org.apache.spark.sql.functions.lit(dims))
+  }
+
+  /** All `m` PQ codes of `vec` (array<int>) in one codegen'd pass — see
+    * [[PqCodesExpr]]. `flatCodebook` is centroid-major: [k·dims + d]. */
+  def pqCodesNative(vec: Column, flatCodebook: Array[Double],
+                    nCentroids: Int, m: Int, dims: Int): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function(pqFnName, vec.cast("array<double>"),
+      org.apache.spark.sql.functions.lit(flatCodebook),
+      org.apache.spark.sql.functions.lit(nCentroids),
+      org.apache.spark.sql.functions.lit(m),
       org.apache.spark.sql.functions.lit(dims))
   }
 }

@@ -530,6 +530,21 @@ object Similarity {
                codebook: Array[Array[Double]], m: Int = 8,
                dims: Int = 64): DataFrame = {
     require(dims % m == 0, s"m=$m must divide dims=$dims")
+    val v = col(vecCol).cast("array<double>")
+    emb
+      .select(col(idCol), v.as("v"))
+      .withColumn("codes", graft.functions.VectorExpressions.pqCodesNative(
+        col("v"), codebook.flatten, codebook.length, m, dims))
+  }
+
+  /** The higher-order-function twin of [[pqEncode]] (kept for the
+    * bit-parity spec against [[graft.functions.PqCodesExpr]] — ~m·K·d
+    * lambda nodes per row vs the native expression's one tight loop). */
+  private[graft] def pqEncodeHof(emb: DataFrame, vecCol: String,
+                                 idCol: String,
+                                 codebook: Array[Array[Double]], m: Int = 8,
+                                 dims: Int = 64): DataFrame = {
+    require(dims % m == 0, s"m=$m must divide dims=$dims")
     val d = dims / m
     val cb = typedLit(codebook.map(_.toSeq).toSeq)
     val v = col(vecCol).cast("array<double>")

@@ -87,4 +87,36 @@ class VectorExprSpec extends AnyFunSuite {
     assert(out(0).getDouble(0) == 32.0)
     assert(out(1).isNullAt(0))
   }
+
+  test("native pq_codes == HOF argmin fold bit-for-bit on real embeddings") {
+    import graft.ops.Similarity
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .filter(col("vec_id") =!= 0)
+    val cb = Similarity.pqBuildCodebook(emb, "embedding", "vec_id")
+    val native = Similarity.pqEncode(emb, "embedding", "vec_id", cb)
+      .select(col("vec_id"), col("codes")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val hof = Similarity.pqEncodeHof(emb, "embedding", "vec_id", cb)
+      .select(col("vec_id"), col("codes")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(native.nonEmpty && native.keySet == hof.keySet)
+    native.foreach { case (id, cs) =>
+      assert(cs == hof(id), s"code divergence for $id: $cs vs ${hof(id)}") }
+  }
+
+  test("pq_codes: wrong dims and null components fail loudly") {
+    import spark.implicits._
+    val cb = Array.fill(16)(Array.fill(64)(0.5))
+    val short = Seq((1L, Array(1.0, 2.0))).toDF("vec_id", "embedding")
+    val e1 = intercept[Exception] {
+      graft.ops.Similarity.pqEncode(short, "embedding", "vec_id", cb).collect()
+    }
+    assert(e1.getMessage != null)
+    val withNull = Seq((1L, Array.fill(64)(Option(1.0)).updated(7, None)))
+      .toDF("vec_id", "embedding")
+    val e2 = intercept[Exception] {
+      graft.ops.Similarity.pqEncode(withNull, "embedding", "vec_id", cb).collect()
+    }
+    assert(e2.getMessage != null)
+  }
 }
