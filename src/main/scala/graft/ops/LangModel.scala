@@ -107,4 +107,38 @@ object LangModel {
                           textCol: String): DataFrame =
     perplexityScore(docs, idCol, textCol,
       trainBigramLm(docs, idCol, textCol))
+
+  /** Per-slice DISTRIBUTION DRIFT: KL(P_slice ‖ P_corpus) over the
+    * corpus vocabulary, add-one smoothed on both sides — the corpus-
+    * monitoring report that flags a source/day/domain whose word
+    * distribution is pulling away from the whole (0 = identical). One
+    * row per slice: (slice, n_tokens, kl_nats).
+    *
+    * Scale shape: three map-side-combinable counts over the token
+    * stream, then a (slices × vocab) grid — slices are few and the
+    * vocab an engine monitors is capped (top-K words) by construction,
+    * so the grid is small; the corpus-sized work is the counting. The
+    * KL terms pin to longs (floor(p·ln(p/q)·10¹²) — `ln` verified
+    * bit-identical JVM↔DuckDB over this query's full p/q domain,
+    * JIT-hot), so per-slice sums are exact and the x52 oracle replays
+    * the report bit-for-bit. */
+  def distributionDrift(docs: DataFrame, sliceCol: String,
+                        textCol: String): DataFrame = {
+    val words = Caches.persistTracked(docs.select(
+      col(sliceCol).as("slice"),
+      explode(split(col(textCol), " ")).as("w")))
+    val totRow = words.agg(count(lit(1)), countDistinct(col("w"))).head()
+    val (n, v) = (totRow.getLong(0), totRow.getLong(1))
+    val cw = words.groupBy("w").agg(count(lit(1)).as("cw"))
+    val ns = words.groupBy("slice").agg(count(lit(1)).as("nsrc"))
+    val csw = words.groupBy("slice", "w").agg(count(lit(1)).as("csw"))
+    val p = (coalesce(col("csw"), lit(0L)) + lit(1.0)) / (col("nsrc") + lit(v))
+    val q = (col("cw") + lit(1.0)) / lit((n + v).toDouble)
+    ns.crossJoin(cw)
+      .join(csw, Seq("slice", "w"), "left")
+      .withColumn("fix", floor(p * log(p / q) * lit(1e12)).cast("long"))
+      .groupBy(col("slice"))
+      .agg(max(col("nsrc")).as("n_tokens"),
+        round(sum(col("fix")).cast("double") / lit(1e12), 6).as("kl_nats"))
+  }
 }

@@ -656,6 +656,17 @@ object Ext {
       LinearProbe.qualityProbe(Tables.documents(s, dir), "text", "n_chars")
     },
 
+    // Per-source distribution drift: KL(P_source || P_corpus) over the
+    // corpus vocabulary, add-one smoothed — the corpus-monitoring
+    // report. FULL oracle: probabilities are exact-integer-derived IEEE
+    // divisions, ln is bit-identical JVM<->DuckDB over this query's full
+    // p/q domain (tested JIT-hot, 615 distinct ratios), and each KL term
+    // pins to a long so per-source sums are exact.
+    "x52_distribution_drift" -> { (s, dir) =>
+      LangModel.distributionDrift(Tables.documents(s, dir), "source", "text")
+        .orderBy("slice")
+    },
+
     // Per-label embedding centroids (the reduce step of k-means / class
     // prototypes): posexplode to (label, dim) cells, decimal-exact per-dim
     // sums (accumulation-order-proof), then the centroid norm and first
@@ -1440,6 +1451,33 @@ object Ext {
         |  round(1.0 - (CAST(sse_fix AS DOUBLE) / 1000000.0) /
         |    (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(beta.n AS DOUBLE)), 6) AS r2
         |FROM beta, res""".stripMargin,
+
+    // KL drift replayed exactly: token counts, the (source x vocab)
+    // smoothed grid, floor(p*ln(p/q)*1e12) longs, exact per-source sums,
+    // identical double sequence for the report.
+    "x52_distribution_drift" ->
+      """WITH w AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+        |tot AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(COUNT(DISTINCT w) AS BIGINT) AS vsz FROM w),
+        |cw AS (SELECT w, COUNT(*) AS cw FROM w GROUP BY 1),
+        |ns AS (SELECT source, COUNT(*) AS nsrc FROM w GROUP BY 1),
+        |csw AS (SELECT source, w, COUNT(*) AS csw FROM w GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT ns.source, ns.nsrc, cw.w, cw.cw, coalesce(csw.csw, 0) AS csw
+        |  FROM ns CROSS JOIN cw
+        |  LEFT JOIN csw ON csw.source = ns.source AND csw.w = cw.w),
+        |term AS (
+        |  SELECT source, nsrc,
+        |    CAST(floor(
+        |      ((csw + 1.0) / (nsrc + tot.vsz)) *
+        |      ln(((csw + 1.0) / (nsrc + tot.vsz)) / ((cw + 1.0) / (tot.n + tot.vsz))) *
+        |      1000000000000.0) AS BIGINT) AS fix
+        |  FROM grid, tot)
+        |SELECT source AS slice, MAX(nsrc) AS n_tokens,
+        |  round(CAST(SUM(fix) AS DOUBLE) / 1000000000000.0, 6) AS kl_nats
+        |FROM term GROUP BY source ORDER BY slice""".stripMargin,
 
     // The LM retrained and the scoring replayed in SQL: transition
     // stream → unigram/bigram counts + vocab size → per-transition

@@ -727,6 +727,26 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("distribution drift: KL >= 0, identical slices equal, planted drift ranks highest") {
+    import spark.implicits._
+    import graft.ops.LangModel
+    val fixture = Seq(
+      ("s1", "a b a b a b"), ("s1", "b a b a"),
+      ("s2", "a b a b a b"), ("s2", "b a b a"),   // same distribution as s1
+      ("s3", "z z z z z z z z z z")               // disjoint vocabulary
+    ).toDF("source", "text")
+    val out = LangModel.distributionDrift(fixture, "source", "text")
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    // smoothed slice/corpus distributions are proper, so KL >= 0 (Gibbs)
+    out.values.foreach(kl => assert(kl >= 0, s"negative KL in $out"))
+    assert(out("s1") == out("s2"), s"identical slices must tie: $out")
+    assert(out("s3") > out("s1") + 0.1, s"planted drift must dominate: $out")
+    // and on the real corpus: every source produces a finite non-negative row
+    val corpus = LangModel.distributionDrift(docs, "source", "text").collect()
+    assert(corpus.length == 20)
+    corpus.foreach(r => assert(r.getDouble(2) >= 0 && !r.getDouble(2).isNaN))
+  }
+
   test("PQ: codes bounded, rerank distances exact, recall above the coarse-quantizer floor") {
     val q = emb.filter(col("vec_id") === 0)
       .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
