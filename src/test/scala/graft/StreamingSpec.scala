@@ -231,6 +231,42 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming ingest dedup: foreachBatch screens each micro-batch against the corpus") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    val corpus = docs.filter(col("doc_id") < 400)
+    // batch-mode truth for the whole incoming set
+    val expected = graft.ops.Dedup.incrementalNearDupFilter(
+        corpus, docs.filter(col("doc_id") >= 400), "doc_id", "text", "lang")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    // stream the incoming docs in two micro-batches through foreachBatch,
+    // screening each batch against the same corpus — the ingest-pipeline
+    // deployment shape (corpus static, arrivals incremental)
+    val incoming = docs.filter(col("doc_id") >= 400)
+      .select("doc_id", "text", "lang").as[(Long, String, String)]
+      .collect().sortBy(_._1)
+    val (first, second) = incoming.splitAt(incoming.length / 2)
+    val seen = new java.util.concurrent.ConcurrentHashMap[Long, Boolean]()
+    val input = new MemoryStream[(Long, String, String)](9, spark)
+    val q = input.toDF.toDF("doc_id", "text", "lang").writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.ops.Dedup.incrementalNearDupFilter(
+            corpus, df, "doc_id", "text", "lang")
+          .collect().foreach(r => seen.put(r.getLong(0), r.getBoolean(1)))
+        ()
+      }
+      .start()
+    try {
+      input.addData(first.toSeq); q.processAllAvailable()
+      input.addData(second.toSeq); q.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      val got = seen.asScala.toMap
+      assert(got.size == expected.size, s"${got.size} vs ${expected.size}")
+      assert(got == expected,
+        s"streamed screening diverged on ${expected.collect { case (k, v) if got.get(k) != Some(v) => k }}")
+    } finally q.stop()
+  }
+
   test("streaming dedup within watermark emits each fingerprint once") {
     import spark.implicits._
     val input = new MemoryStream[(Timestamp, String)](6, spark)
