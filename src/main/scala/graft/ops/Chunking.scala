@@ -101,4 +101,36 @@ object Chunking {
       .filter(col("rk") <= k)
       .drop("rk")
   }
+
+  /** SQRT-TEMPERATURE rebalancing (the α = 0.5 of multilingual-mix
+    * practice): downsample each group to rate √(n_min/n_g), so the kept
+    * distribution flattens toward the α-tempered one while the smallest
+    * group keeps everything (downsample-only — filtering cannot
+    * upsample). Rates come from the data in-plan (no driver state):
+    * group counts → global min → `floor(√(n_min/n_g)·65536 + 0.5)`
+    * cutoff at [[hashKeepFraction]]'s 1/65536 granularity — and because
+    * `sqrt` is IEEE-CORRECTLY-ROUNDED (unlike ln/exp, bit-identical in
+    * every engine by spec), the whole computation replays externally:
+    * the x54 oracle rebuilds rates, cutoffs, and the per-doc md5 keep
+    * decisions bit-for-bit. Returns docs + (ng, cut, keep); the
+    * rate-1 group short-circuits the 4-hex compare exactly like
+    * [[hashKeepFraction]].
+    *
+    * Scale shape: one count aggregate, a broadcast of the tiny rate
+    * table, a per-row md5 predicate — linear, one shuffle. */
+  def temperatureMix(docs: DataFrame, groupCol: String,
+                     idCol: String): DataFrame = {
+    val counts = docs.groupBy(col(groupCol)).agg(count(lit(1)).as("ng"))
+    val nmin = counts.agg(min(col("ng")).as("nmin"))
+    val rates = counts.crossJoin(nmin)
+      .withColumn("cut", floor(
+        sqrt(col("nmin").cast("double") / col("ng")) * lit(65536.0) + lit(0.5))
+        .cast("int"))
+      .select(col(groupCol), col("ng"), col("cut"))
+    docs
+      .join(broadcast(rates), Seq(groupCol))
+      .withColumn("keep", col("cut") >= 65536 ||
+        substring(md5(col(idCol).cast("string")), 1, 4) <
+          lower(lpad(conv(col("cut"), 10, 16), 4, "0")))
+  }
 }

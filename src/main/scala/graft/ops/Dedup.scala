@@ -120,6 +120,15 @@ object Dedup {
       .select(col(idCol),
         explode(sequence(col("pos"), col("pos") + (windowWords - 1))).as("wp"))
       .distinct()
+    removeCoveredWords(base, covered, idCol)
+  }
+
+  /** Shared span-excision tail of [[exactSubstringDedup]] and
+    * [[decontaminateSpans]]: given `base` (idCol, toks) and the covered
+    * 1-based word positions, drop covered words and reassemble each doc
+    * in position order → (idCol, clean_text, n_words, n_kept). */
+  private def removeCoveredWords(base: DataFrame, covered: DataFrame,
+                                 idCol: String): DataFrame = {
     val words = base
       .select(col(idCol), posexplode(col("toks")))
       .select(col(idCol), (col("pos") + 1).as("wp"), col("col").as("w"))
@@ -138,6 +147,44 @@ object Dedup {
         coalesce(col("clean_text"), lit("")).as("clean_text"),
         col("n_words"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
+  /** SPAN-level benchmark decontamination: instead of dropping every doc
+    * that overlaps the held-out set ([[contaminatedDocs]] — the blunt
+    * instrument), EXCISE exactly the words covered by any `windowWords`-
+    * word window whose text occurs anywhere in the benchmark, and keep
+    * the rest of the doc. The [[exactSubstringDedup]] interval-union
+    * machinery pointed at an external reference set: same md5 window
+    * keys, same covered-position scrub, but membership comes from a
+    * leftsemi join against the benchmark's distinct window set (at
+    * 100 TB the benchmark side is tiny and broadcasts; the corpus-sized
+    * work stays linear in corpus words). Returns (idCol, clean_text,
+    * n_words, n_kept) for every corpus doc. */
+  def decontaminateSpans(corpus: DataFrame, benchmark: DataFrame,
+                         idCol: String, textCol: String,
+                         windowWords: Int = 8): DataFrame = {
+    require(windowWords > 1, s"windowWords must be > 1, got $windowWords")
+    val benchGrams = benchmark
+      .withColumn("toks", split(col(textCol), " "))
+      .filter(size(col("toks")) >= windowWords)
+      .select(explode(array_distinct(transform(
+        sequence(lit(1), size(col("toks")) - (windowWords - 1)),
+        i => md5(concat_ws(" ", slice(col("toks"), i, lit(windowWords))))))).as("g"))
+      .distinct()
+    val base = Caches.persistTracked(
+      corpus.select(col(idCol), split(col(textCol), " ").as("toks")))
+    val grams = base
+      .filter(size(col("toks")) >= windowWords)
+      .select(col(idCol), posexplode(transform(
+        sequence(lit(1), size(col("toks")) - (windowWords - 1)),
+        i => md5(concat_ws(" ", slice(col("toks"), i, lit(windowWords)))))))
+      .select(col(idCol), (col("pos") + 1).as("pos"), col("col").as("g"))
+    val covered = grams
+      .join(benchGrams, Seq("g"), "leftsemi")
+      .select(col(idCol),
+        explode(sequence(col("pos"), col("pos") + (windowWords - 1))).as("wp"))
+      .distinct()
+    removeCoveredWords(base, covered, idCol)
   }
 
   /** Distinct word n-grams per document, 1-based positions (matches the

@@ -438,6 +438,23 @@ object Ext {
         .orderBy("doc_id")
     },
 
+    // SPAN-level decontamination: x38 flags whole docs; this EXCISES
+    // exactly the words covered by any 8-word window occurring in the
+    // held-out set (source src0), keeping the rest — the x47 interval
+    // machinery pointed at an external reference set. Full oracle (md5
+    // window keys, semi-join membership, interval union, position-
+    // ordered reassembly gated by md5).
+    "x53_decontaminate_spans" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      Dedup.decontaminateSpans(
+          corpus = docs.filter(col("source") =!= "src0"),
+          benchmark = docs.filter(col("source") === "src0"),
+          idCol = "doc_id", textCol = "text", windowWords = 8)
+        .select(col("doc_id"), col("n_words"), col("n_kept"),
+          md5(col("clean_text")).as("clean_md5"))
+        .orderBy("doc_id")
+    },
+
     // Corpus report ("dataset card" numbers): doc/lang/token totals, exact
     // duplicate count, quality-gate pass count — ONE scan, all facets as
     // composed Column expressions plus two distinct-aggregates; the
@@ -665,6 +682,24 @@ object Ext {
     "x52_distribution_drift" -> { (s, dir) =>
       LangModel.distributionDrift(Tables.documents(s, dir), "source", "text")
         .orderBy("slice")
+    },
+
+    // Sqrt-temperature rebalancing (alpha = 0.5 multilingual-mix): each
+    // lang downsamples to rate sqrt(n_min/n_g), rates computed in-plan.
+    // FULL oracle: sqrt is IEEE-correctly-rounded (bit-identical in
+    // every engine, unlike ln/exp), so DuckDB rebuilds rates, 1/65536
+    // cutoffs, and every per-doc md5 keep decision.
+    "x54_temperature_mix" -> { (s, dir) =>
+      Chunking.temperatureMix(Tables.documents(s, dir), "lang", "doc_id")
+        .groupBy(col("lang"))
+        .agg(max(col("ng")).as("n_docs"),
+          max(col("cut")).cast("long").as("cut"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+          round(sum(when(col("keep"), 1L).otherwise(0L)) * lit(1.0) /
+            count(lit(1)), 6).as("kept_ratio"),
+          min(when(col("keep"), col("doc_id"))).as("min_kept"),
+          max(when(col("keep"), col("doc_id"))).as("max_kept"))
+        .orderBy("lang")
     },
 
     // Per-label embedding centroids (the reduce step of k-means / class
@@ -1451,6 +1486,68 @@ object Ext {
         |  round(1.0 - (CAST(sse_fix AS DOUBLE) / 1000000.0) /
         |    (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(beta.n AS DOUBLE)), 6) AS r2
         |FROM beta, res""".stripMargin,
+
+    // Rates, cutoffs, and keep decisions rebuilt: sqrt is correctly
+    // rounded by spec, floor/multiply identical, printf('%04x') matches
+    // the engine's lower(lpad(conv(...))) hex, and the rate-1 group
+    // short-circuits the 4-hex compare on both sides.
+    "x54_temperature_mix" ->
+      """WITH c AS (SELECT lang, COUNT(*) AS ng FROM documents GROUP BY 1),
+        |m AS (SELECT MIN(ng) AS nmin FROM c),
+        |r AS (
+        |  SELECT lang, ng,
+        |    CAST(floor(sqrt(CAST(nmin AS DOUBLE) / ng) * 65536.0 + 0.5) AS INT) AS cut
+        |  FROM c, m),
+        |k AS (
+        |  SELECT d.lang, d.doc_id, r.ng, r.cut,
+        |    (r.cut >= 65536 OR
+        |     substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < printf('%04x', r.cut)) AS keep
+        |  FROM documents d JOIN r USING (lang))
+        |SELECT lang, CAST(MAX(ng) AS BIGINT) AS n_docs, CAST(MAX(cut) AS BIGINT) AS cut,
+        |  CAST(count_if(keep) AS BIGINT) AS n_kept,
+        |  round(count_if(keep) * 1.0 / COUNT(*), 6) AS kept_ratio,
+        |  MIN(CASE WHEN keep THEN doc_id END) AS min_kept,
+        |  MAX(CASE WHEN keep THEN doc_id END) AS max_kept
+        |FROM k GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // x47's covered-interval scrub with membership from the benchmark's
+    // distinct window set instead of first-occurrence ranking.
+    "x53_decontaminate_spans" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |  WHERE source <> 'src0'),
+        |bw AS (
+        |  SELECT string_split(text, ' ') AS ws FROM documents
+        |  WHERE source = 'src0'),
+        |bg AS (
+        |  SELECT DISTINCT md5(array_to_string(ws[i : i + 7], ' ')) AS g
+        |  FROM bw, unnest(generate_series(1, len(ws) - 7)) t(i)
+        |  WHERE len(ws) >= 8),
+        |g AS (
+        |  SELECT doc_id, CAST(i AS INT) AS pos,
+        |    md5(array_to_string(ws[i : i + 7], ' ')) AS g
+        |  FROM w, unnest(generate_series(1, len(ws) - 7)) t(i)
+        |  WHERE len(ws) >= 8),
+        |hits AS (SELECT doc_id, pos FROM g SEMI JOIN bg USING (g)),
+        |cov AS (
+        |  SELECT DISTINCT doc_id, wp FROM (
+        |    SELECT doc_id, unnest(generate_series(pos, pos + 7)) AS wp FROM hits)),
+        |words AS (
+        |  SELECT doc_id, CAST(i AS INT) AS wp, ws[i] AS word
+        |  FROM w, unnest(generate_series(1, len(ws))) t(i)),
+        |kept AS (
+        |  SELECT words.doc_id,
+        |    string_agg(word, ' ' ORDER BY words.wp) AS clean_text,
+        |    COUNT(*) AS n_kept
+        |  FROM words LEFT JOIN cov
+        |    ON cov.doc_id = words.doc_id AND cov.wp = words.wp
+        |  WHERE cov.wp IS NULL
+        |  GROUP BY words.doc_id)
+        |SELECT w.doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+        |  CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
+        |  md5(coalesce(clean_text, '')) AS clean_md5
+        |FROM w LEFT JOIN kept USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     // KL drift replayed exactly: token counts, the (source x vocab)
     // smoothed grid, floor(p*ln(p/q)*1e12) longs, exact per-source sums,

@@ -727,6 +727,49 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("temperature mix: smallest group keeps all, kept shares flatten toward sqrt") {
+    val out = Chunking.temperatureMix(docs, "lang", "doc_id")
+      .groupBy("lang")
+      .agg(max(col("ng")).as("ng"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("nk"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.length == 5)
+    val nmin = out.map(_._2).min
+    out.foreach { case (lang, ng, nk) =>
+      if (ng == nmin) assert(nk == ng, s"$lang: smallest group must keep all")
+      else {
+        val expect = math.sqrt(nmin.toDouble / ng)
+        val got = nk.toDouble / ng
+        // md5 sampling at these group sizes: generous tolerance, but the
+        // rate must clearly track sqrt(nmin/ng), not 1 and not nmin/ng
+        assert(math.abs(got - expect) < 0.15,
+          s"$lang: kept ratio $got far from sqrt rate $expect")
+      }
+    }
+    // flattening: kept max/min share ratio must shrink vs the original
+    val origSkew = out.map(_._2).max.toDouble / nmin
+    val keptMin = out.map(_._3).min
+    val keptSkew = out.map(_._3).max.toDouble / math.max(keptMin, 1L)
+    assert(keptSkew < origSkew, s"no flattening: $keptSkew vs $origSkew")
+  }
+
+  test("span decontamination: benchmark overlap excised, clean text untouched") {
+    import spark.implicits._
+    val bench = Seq((0L, "q1 q2 q3 q4 q5 q6 q7 q8")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "intro words lead in q1 q2 q3 q4 q5 q6 q7 q8 outro words"),
+      (2L, "totally unrelated content with no benchmark overlap at all"),
+      (3L, "q1 q2 q3 q4 q5 q6 q7 q8")                  // pure benchmark copy
+    ).toDF("doc_id", "text")
+    val out = Dedup.decontaminateSpans(corpus, bench, "doc_id", "text", 8)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out(0) == ((1L, "intro words lead in outro words", 14L, 6L)), s"got ${out(0)}")
+    assert(out(1)._2 == "totally unrelated content with no benchmark overlap at all"
+      && out(1)._4 == 9L, s"got ${out(1)}")
+    assert(out(2) == ((3L, "", 8L, 0L)), s"got ${out(2)}")
+  }
+
   test("distribution drift: KL >= 0, identical slices equal, planted drift ranks highest") {
     import spark.implicits._
     import graft.ops.LangModel
