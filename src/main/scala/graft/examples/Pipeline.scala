@@ -1,7 +1,7 @@
 package graft.examples
 
 import graft.{GraftSession, Tables}
-import graft.ops.{Chunking, Dedup, Similarity, TextStats}
+import graft.ops.{Chunking, Dedup, LangModel, Similarity, TextStats}
 import org.apache.spark.sql.functions._
 
 /** Runnable end-to-end TRAINING-DATA pipeline over the test corpus — the
@@ -9,10 +9,12 @@ import org.apache.spark.sql.functions._
   * harness-verified operator, all of it one lazy DataFrame program until
   * the final actions:
   *
-  *   quality gate → block-level boilerplate removal → near-dup dedup
-  *   (MinHash-LSH → verify → components → keep-one) → benchmark
-  *   decontamination → PII redaction → chunking → sequence packing,
-  *   plus the embedding-side semantic dedup and a corpus report.
+  *   quality gate → block-level boilerplate removal → substring span
+  *   dedup → LM fluency filter → near-dup dedup (MinHash-LSH → verify →
+  *   components → keep-one) → span-level benchmark decontamination →
+  *   sqrt-temperature language rebalancing → PII redaction → chunking →
+  *   sequence packing, plus the embedding-side semantic dedup and a
+  *   drift report.
   *
   * Run: `sbt "runMain graft.examples.Pipeline"` (sf0.001 by default;
   * pass an sf dir to scale up). Prints per-stage survivor counts.
@@ -35,23 +37,50 @@ object Pipeline {
       .withColumnRenamed("clean_text", "text")
     stage("block dedup", deboiler.count())
 
-    // 3. near-dup dedup, the LSH scale path: candidates → exact verify →
+    // 3. any-offset repeated-passage removal (ExactSubstr-style spans)
+    val spanned = Dedup.exactSubstringDedup(deboiler, "doc_id", "text")
+      .filter(col("n_kept") > 0)
+      .select(col("doc_id"), col("clean_text").as("text"))
+    stage("substring dedup", spanned.count())
+
+    // 4. LM fluency filter: drop the least-fluent tail (worst 10% NLL)
+    val scoredLm = LangModel.perplexityScoreSelf(spanned, "doc_id", "text")
+    val nllCut = scoredLm.filter(col("n_transitions") > 0)
+      .stat.approxQuantile("nll_nats", Array(0.9), 0.01).head
+    val fluent = spanned.join(
+      scoredLm.filter(col("n_transitions") === 0 || col("nll_nats") <= nllCut)
+        .select("doc_id"), "doc_id")
+    stage("LM fluency filter", fluent.count())
+
+    // 5. near-dup dedup, the LSH scale path: candidates → exact verify →
     //    connected components → min-id representative per cluster
     val kept = Dedup.nearDupDedup(
-      deboiler.join(quality.select("doc_id", "lang"), "doc_id"),
+      fluent.join(quality.select("doc_id", "lang"), "doc_id"),
       "doc_id", "text", blockCol = "lang")
     stage("near-dup keep-one", kept.count())
 
-    // 4. benchmark decontamination: drop docs sharing an 8-gram with the
-    //    "benchmark" (here: a deterministic 1/16 hash-sample stand-in)
+    // 6. SPAN-level benchmark decontamination: excise overlapping 8-word
+    //    spans (benchmark: a deterministic 1/16 hash-sample stand-in),
+    //    dropping a doc only when nothing survives
     val bench = kept.filter(Chunking.hashSample(col("doc_id"), keepHexDigits = 1))
       .select(col("doc_id").as("b_id"), col("text"))
-    val contaminated = Dedup.contaminatedDocs(kept, bench, "doc_id", "text", n = 8)
-    val cleanDocs = kept.join(contaminated.select("doc_id"), Seq("doc_id"), "leftanti")
+    val cleanDocs = Dedup.decontaminateSpans(
+        kept.join(bench, kept("doc_id") === bench("b_id"), "leftanti"),
+        bench, "doc_id", "text")
+      .filter(col("n_kept") > 0)
+      .select(col("doc_id"), col("clean_text").as("text"))
     stage("decontaminated", cleanDocs.count())
 
-    // 5. PII scrub + chunking + fixed-capacity sequence packing
-    val scrubbed = cleanDocs.select(col("doc_id"),
+    // 7. sqrt-temperature language rebalancing (downsample-only α = 0.5)
+    val balanced = Chunking.temperatureMix(
+        cleanDocs.join(quality.select("doc_id", "lang"), "doc_id"),
+        "lang", "doc_id")
+      .filter(col("keep"))
+      .select("doc_id", "text")
+    stage("temperature mix", balanced.count())
+
+    // 8. PII scrub + chunking + fixed-capacity sequence packing
+    val scrubbed = balanced.select(col("doc_id"),
       TextStats.redactPii(col("text")).as("text"))
     val chunks = Chunking.chunk(scrubbed, "doc_id", "text",
       chunkTokens = 50, overlap = 10)
@@ -61,11 +90,20 @@ object Pipeline {
       "source", "n_chunk_tokens", capacity = 256, Seq("doc_id", "chunk_idx"))
     stage("training packs", packs.select("source", "pack_id").distinct().count())
 
-    // 6. embedding-side semantic dedup (banded LSH → verify → CC → keep-one)
+    // 9. embedding-side semantic dedup (banded LSH → verify → CC → keep-one)
     val emb = Tables.embeddings(spark, dir)
     val semKept = Similarity.semanticDedup(emb, "embedding", "vec_id",
       threshold = 0.9)
     stage("embeddings kept", semKept.count())
+
+    // 10. drift report over the surviving corpus (KL vs the whole)
+    LangModel.distributionDrift(
+        balanced.join(quality.select("doc_id", "lang"), "doc_id"),
+        "lang", "text")
+      .orderBy(col("kl_nats").desc)
+      .collect()
+      .foreach(r => println(f"[pipeline] drift ${r.getString(0)}%-6s " +
+        f"kl=${r.getDouble(2)}%.4f over ${r.getLong(1)}%d tokens"))
 
     graft.ops.Caches.releaseAll()
     spark.stop()
