@@ -287,6 +287,32 @@ class ScaleSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), plan)
   }
 
+  test("x53 span decontamination: equi/semi joins only, agg-based scrub, no window") {
+    val docs = Tables.documents(spark, dir)
+    val plan = graft.ops.Dedup.decontaminateSpans(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"), "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("x54 temperature mix: rate table broadcasts, per-row predicate, no window") {
+    val plan = graft.ops.Chunking.temperatureMix(
+        Tables.documents(spark, dir), "lang", "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"rates must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+    // exactly ONE nested-loop join is expected: the 1-row global-min
+    // scalar joined onto the tiny per-group count table (the documented
+    // one-row broadcast-scalar pattern); the docs-side join above must
+    // stay a broadcast hash join
+    assert(plan.sliding("BroadcastNestedLoopJoin".length)
+      .count(_ == "BroadcastNestedLoopJoin") <= 1, plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
   test("x46 quantized top-k: candidate cut is TakeOrdered, rescore joins candidates only") {
     val emb = Tables.embeddings(spark, dir)
     val q = emb.filter(col("vec_id") === 0)
