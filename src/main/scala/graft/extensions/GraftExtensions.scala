@@ -96,5 +96,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.MinhashSigExpr(args.head, intLit(args(1), "nHashes"),
           boolLit(args(2), "portable"))
       }))
+    // PQ codes: the codebook arrives as a constant SQL array — any
+    // FOLDABLE array<double> expression works (SQL `array(0.1, ...)`
+    // parses as decimals, so write CAST(array(...) AS ARRAY<DOUBLE>))
+    def doublesLit(e: Expression, what: String): Array[Double] = e match {
+      case f if f.foldable => (f.dataType match {
+        case org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType, _) =>
+          f.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        case other => throw new IllegalArgumentException(
+          s"$what must be ARRAY<DOUBLE>, got ${other.simpleString}")
+      }).toDoubleArray()
+      case other => throw new IllegalArgumentException(
+        s"$what must be a constant array, got $other")
+    }
+    ext.injectFunction((
+      new FunctionIdentifier("pq_codes"),
+      new ExpressionInfo(classOf[graft.functions.PqCodesExpr].getName, "pq_codes"),
+      (args: Seq[Expression]) => {
+        require(args.length == 5,
+          s"pq_codes(vec, flatCodebook, nCentroids, m, dims) takes 5 arguments, got ${args.length}")
+        graft.functions.PqCodesExpr(args.head,
+          doublesLit(args(1), "flatCodebook"),
+          intLit(args(2), "nCentroids"), intLit(args(3), "m"),
+          intLit(args(4), "dims"))
+      }))
   }
 }

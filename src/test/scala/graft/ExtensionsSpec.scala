@@ -52,6 +52,26 @@ class ExtensionsSpec extends AnyFunSuite {
       graft.ops.Bpe.tokenCount("the streaming engine keeps streaming"))
   }
 
+  test("pq_codes resolves in plain SQL and equals the Column API") {
+    val emb = Tables.embeddings(spark, dir).filter(col("vec_id") =!= 0)
+    emb.createOrReplaceTempView("emb_pq")
+    val cb = graft.ops.Similarity.pqBuildCodebook(emb, "embedding", "vec_id")
+    // 'D' suffix: parse each component directly as a DOUBLE literal
+    // (bare decimals would parse as DECIMAL first); Scala's shortest-
+    // roundtrip toString guarantees the parsed value is bit-identical
+    val flatSql = cb.flatten.map(d => s"${d}D").mkString("array(", ", ", ")")
+    val sqlCodes = spark.sql(
+      s"""SELECT vec_id, pq_codes(CAST(embedding AS array<double>),
+         |  CAST($flatSql AS array<double>), 16, 8, 64) AS c
+         |FROM emb_pq ORDER BY vec_id LIMIT 10""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1))).toSeq
+    val apiCodes = graft.ops.Similarity.pqEncode(emb, "embedding", "vec_id", cb)
+      .select(col("vec_id"), col("codes"))
+      .orderBy("vec_id").limit(10)
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1))).toSeq
+    assert(sqlCodes == apiCodes, s"SQL/API code divergence")
+  }
+
   test("SQL cosine top-k over embeddings equals the Column-API top-k bit-for-bit") {
     val emb = Tables.embeddings(spark, dir)
     val dim = emb.select(size(col("embedding"))).head().getInt(0)
