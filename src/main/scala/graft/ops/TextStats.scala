@@ -111,4 +111,30 @@ object TextStats {
       .withColumn("fp", fingerprint(col(textCol)))
       .withColumn("lang_guess", langGuess(col(textCol)))
   }
+
+  /** VOCABULARY COVERAGE curve — the tokenizer-design report: for each
+    * K, the fraction of all corpus tokens covered by the K most frequent
+    * words (ties broken by word, so the curve is deterministic and the
+    * x55 oracle replays it). One row per K: (k, n_vocab_words, coverage).
+    *
+    * Scale shape: ONE word-count aggregate over the corpus (map-side
+    * combinable), then per K a TakeOrderedAndProject over the VOCAB table
+    * (never a global window, never a corpus sort) and a two-long
+    * division — the vocab table is the small side by construction.
+    * Coverage ratios divide exact integer token counts, so the doubles
+    * are engine-identical. */
+  def vocabCoverage(docs: DataFrame, textCol: String,
+                    ks: Seq[Int] = Seq(10, 100, 1000)): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ > 0), s"ks must be positive: $ks")
+    val counts = Caches.persistTracked(
+      docs.select(explode(tokens(col(textCol))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c")))
+    val total = counts.agg(sum(col("c"))).head().getLong(0)
+    ks.map { k =>
+      counts.orderBy(col("c").desc, col("w").asc).limit(k)
+        .agg(sum(col("c")).as("ck"), count(lit(1)).as("nw"))
+        .select(lit(k).as("k"), col("nw").as("n_vocab_words"),
+          round(col("ck").cast("double") / lit(total.toDouble), 6).as("coverage"))
+    }.reduce(_ unionByName _)
+  }
 }

@@ -689,6 +689,15 @@ object Ext {
     // FULL oracle: sqrt is IEEE-correctly-rounded (bit-identical in
     // every engine, unlike ln/exp), so DuckDB rebuilds rates, 1/65536
     // cutoffs, and every per-doc md5 keep decision.
+    // Vocabulary coverage curve (tokenizer design): fraction of corpus
+    // tokens covered by the top-K words, K in {10, 100, 1000}. FULL
+    // oracle: deterministic top-K (count desc, word asc) replayed via
+    // QUALIFY; coverage divides exact integer token counts.
+    "x55_vocab_coverage" -> { (s, dir) =>
+      TextStats.vocabCoverage(Tables.documents(s, dir), "text")
+        .orderBy("k")
+    },
+
     "x54_temperature_mix" -> { (s, dir) =>
       Chunking.temperatureMix(Tables.documents(s, dir), "lang", "doc_id")
         .groupBy(col("lang"))
@@ -1486,6 +1495,22 @@ object Ext {
         |  round(1.0 - (CAST(sse_fix AS DOUBLE) / 1000000.0) /
         |    (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(beta.n AS DOUBLE)), 6) AS r2
         |FROM beta, res""".stripMargin,
+
+    // Deterministic top-K per k via QUALIFY (count desc, word asc = the
+    // engine's TakeOrderedAndProject ordering); exact integer ratios.
+    "x55_vocab_coverage" ->
+      """WITH w AS (
+        |  SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS w
+        |  FROM documents),
+        |c AS (SELECT w, COUNT(*) AS c FROM w GROUP BY 1),
+        |tot AS (SELECT SUM(c) AS total FROM c),
+        |ks AS (SELECT unnest([10, 100, 1000]) AS k),
+        |top AS (
+        |  SELECT ks.k, c.c FROM ks, c
+        |  QUALIFY row_number() OVER (PARTITION BY ks.k ORDER BY c.c DESC, c.w ASC) <= ks.k)
+        |SELECT k, CAST(COUNT(*) AS BIGINT) AS n_vocab_words,
+        |  round(CAST(SUM(c) AS DOUBLE) / CAST(total AS DOUBLE), 6) AS coverage
+        |FROM top, tot GROUP BY k, total ORDER BY k""".stripMargin,
 
     // Rates, cutoffs, and keep decisions rebuilt: sqrt is correctly
     // rounded by spec, floor/multiply identical, printf('%04x') matches

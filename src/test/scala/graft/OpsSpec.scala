@@ -727,6 +727,28 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("vocab coverage: exact on a planted distribution, monotone, window-free plan") {
+    import spark.implicits._
+    // 10 a's, 5 b's, 3 c's, 2 d's → top-1 = 0.5, top-2 = 0.75, top-4 = 1.0
+    val fixture = Seq((1L, ("a " * 10 + "b " * 5 + "c " * 3 + "d " * 2).trim))
+      .toDF("doc_id", "text")
+    val out = TextStats.vocabCoverage(fixture, "text", ks = Seq(1, 2, 4, 100))
+      .orderBy("k")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq((1, 1L, 0.5), (2, 2L, 0.75), (4, 4L, 1.0), (100, 4L, 1.0)),
+      s"got ${out.toSeq}")
+    // corpus curve: monotone non-decreasing, ends at 1.0 for k >= vocab
+    val corpus = TextStats.vocabCoverage(docs, "text").orderBy("k")
+      .collect().map(_.getDouble(2))
+    assert(corpus.sameElements(corpus.sorted), s"not monotone: ${corpus.toSeq}")
+    // the top-K cut must be a TakeOrderedAndProject over the vocab table,
+    // never a global window sort
+    val plan = TextStats.vocabCoverage(docs, "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
   test("temperature mix: smallest group keeps all, kept shares flatten toward sqrt") {
     val out = Chunking.temperatureMix(docs, "lang", "doc_id")
       .groupBy("lang")
