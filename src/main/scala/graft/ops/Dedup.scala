@@ -149,6 +149,44 @@ object Dedup {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"))
   }
 
+  /** Per-doc DUPLICATION score — the memorization-risk audit: the
+    * fraction of a doc's stride-1 `windowWords`-word windows whose exact
+    * text occurs MORE THAN ONCE in the corpus (anywhere — other docs or
+    * a repeat within the same doc). 0 = fully novel text; 1 = everything
+    * this doc says is said elsewhere. The read-only companion of
+    * [[exactSubstringDedup]] (same windows, same md5 keys): run the
+    * score to DECIDE, the scrub to ACT. One grouped count keyed by
+    * md5(window) + the same-key join back + a per-doc aggregate —
+    * linear in corpus words, no self-join. Returns one row per doc:
+    * (idCol, n_windows, n_dup_windows, dup_ratio); docs shorter than
+    * the window report 0 windows and a null ratio. */
+  def duplicationScore(docs: DataFrame, idCol: String, textCol: String,
+                       windowWords: Int = 8): DataFrame = {
+    require(windowWords > 1, s"windowWords must be > 1, got $windowWords")
+    val base = Caches.persistTracked(
+      docs.select(col(idCol), split(col(textCol), " ").as("toks")))
+    val grams = base
+      .filter(size(col("toks")) >= windowWords)
+      .select(col(idCol), explode(transform(
+        sequence(lit(1), size(col("toks")) - (windowWords - 1)),
+        i => md5(concat_ws(" ", slice(col("toks"), i, lit(windowWords)))))).as("g"))
+    val gramsP = Caches.persistTracked(grams)
+    val occ = gramsP.groupBy(col("g")).agg(count(lit(1)).as("n_occ"))
+    val perDoc = gramsP
+      .join(occ, "g")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("n_occ") > 1, 1L).otherwise(0L)).as("n_dup_windows"))
+    base
+      .select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        round(col("n_dup_windows").cast("double") / col("n_windows"), 6)
+          .as("dup_ratio"))
+  }
+
   /** SPAN-level benchmark decontamination: instead of dropping every doc
     * that overlaps the held-out set ([[contaminatedDocs]] — the blunt
     * instrument), EXCISE exactly the words covered by any `windowWords`-

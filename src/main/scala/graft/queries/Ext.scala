@@ -507,6 +507,15 @@ object Ext {
     // blocks structurally miss. Full oracle (deterministic windowing +
     // lexicographic first + interval union); clean text gated via md5 to
     // keep the result rows small.
+    // Memorization-risk audit: per-doc fraction of stride-1 8-word
+    // windows occurring more than once in the corpus (the read-only
+    // companion of x47 — score to decide, scrub to act). Full oracle:
+    // exact integer window counts, identical ratio arithmetic.
+    "x56_duplication_score" -> { (s, dir) =>
+      Dedup.duplicationScore(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
     "x47_substring_dedup" -> { (s, dir) =>
       Dedup.exactSubstringDedup(Tables.documents(s, dir), "doc_id", "text",
           windowWords = 8)
@@ -1631,6 +1640,26 @@ object Ext {
         |  round(CAST(-sfix AS DOUBLE) / 1000000000000.0 / n_transitions, 6) AS nll_nats
         |FROM tok LEFT JOIN agg USING (doc_id)
         |ORDER BY tok.doc_id""".stripMargin,
+
+    // x47's windows with a global occurrence count instead of a
+    // first-occurrence pick; ratios divide exact integers.
+    "x56_duplication_score" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |g AS (
+        |  SELECT doc_id, md5(array_to_string(ws[i : i + 7], ' ')) AS g
+        |  FROM w, unnest(generate_series(1, len(ws) - 7)) t(i)
+        |  WHERE len(ws) >= 8),
+        |occ AS (SELECT g, COUNT(*) AS n_occ FROM g GROUP BY 1),
+        |d AS (
+        |  SELECT g.doc_id, COUNT(*) AS n_windows,
+        |    CAST(count_if(occ.n_occ > 1) AS BIGINT) AS n_dup
+        |  FROM g JOIN occ USING (g) GROUP BY 1)
+        |SELECT w.doc_id, CAST(coalesce(n_windows, 0) AS BIGINT) AS n_windows,
+        |  CAST(coalesce(n_dup, 0) AS BIGINT) AS n_dup_windows,
+        |  round(CAST(n_dup AS DOUBLE) / n_windows, 6) AS dup_ratio
+        |FROM w LEFT JOIN d USING (doc_id)
+        |ORDER BY w.doc_id""".stripMargin,
 
     // Exact cross-set near-dup relation (corpus side < 400, batch side
     // >= 400), x02's gram/Jaccard conventions, aggregated per batch doc.

@@ -902,6 +902,26 @@ class OpsSpec extends AnyFunSuite {
     assert(out(3) == ((4L, "short doc only", 3L, 3L)), s"got ${out(3)}")
   }
 
+  test("duplication score: symmetric across copies, partial overlap fractional") {
+    import spark.implicits._
+    val fixture = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "x y a b c d e f g h"),   // 1 of 3 windows duplicated
+      (3L, "a b c d e f g h i j"),   // exact copy of 1
+      (4L, "short doc only")
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicationScore(fixture, "doc_id", "text", windowWords = 8)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) Double.NaN else r.getDouble(3)))
+    // unlike the scrub (which spares first occurrences), the SCORE is
+    // symmetric: doc 1 and its copy doc 3 are equally non-novel
+    assert(out(0) == ((1L, 3L, 3L, 1.0)), s"got ${out(0)}")
+    assert(out(1) == ((2L, 3L, 1L, 0.333333)), s"got ${out(1)}")
+    assert(out(2) == ((3L, 3L, 3L, 1.0)), s"got ${out(2)}")
+    assert(out(3)._2 == 0L && out(3)._3 == 0L && out(3)._4.isNaN, s"got ${out(3)}")
+  }
+
   test("substring dedup on the corpus: removal happens, monotone, reassembly honest") {
     val out = Dedup.exactSubstringDedup(docs, "doc_id", "text", windowWords = 8)
     val rows = out.collect().map(r =>
