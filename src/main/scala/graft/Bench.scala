@@ -111,13 +111,24 @@ object Bench {
     val totalCpuMs = results.map(_._2.cpuMs).sum
     val totalGcMs = results.map(_._2.gcMs).sum
     // self-adjudication: wall inflated >1.5x vs the committed previous run
-    // while process CPU stayed flat (<1.25x) = host contention, not code
+    // while process CPU stayed flat (<1.25x) — SUSPECTED host contention,
+    // not a verdict: a non-CPU regression (added I/O, lock waits, spill)
+    // has the same signature (ADVICE r7). The raw wall/cpu ratios are
+    // recorded per flagged query so a flag that RECURS across runs (true
+    // contention is transient) reads as a persistent regression instead
+    // of being silently excused.
     val hostNoise = results.collect {
       case (name, t) if prev.get(name).exists { case (pw, pc) =>
         pw > 0 && t.wallSec > 1.5 * pw &&
           pc.exists(p => p > 0 && t.cpuMs < 1.25 * p)
       } => name
     }
+    val ratios: Map[String, (Double, Double)] = results.flatMap { case (name, t) =>
+      prev.get(name).collect { case (pw, pc) if pw > 0 =>
+        name -> (t.wallSec / pw,
+          pc.filter(_ > 0).map(t.cpuMs.toDouble / _).getOrElse(-1.0))
+      }
+    }.toMap
     def fmt(v: Double): String = f"$v%.3f"
     val shortQs = results
       .map { case (k, t) => s""""${k.takeWhile(_ != '_')}":${fmt(t.wallSec)}""" }
@@ -131,7 +142,12 @@ object Bench {
     val shortJson =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"cpu_ms":$totalCpuMs,"gc_ms":$totalGcMs$noiseField,"queries":$shortQs,"sf":"$sfDir"}"""
     val fullQs = results.map { case (k, t) =>
-      val flagged = if (hostNoise.contains(k)) ""","host_noise":true""" else ""
+      val flagged =
+        if (!hostNoise.contains(k)) ""
+        else {
+          val (wr, cr) = ratios(k)
+          s""","host_noise_suspect":true,"wall_ratio":${fmt(wr)},"cpu_ratio":${fmt(cr)}"""
+        }
       s""""$k":{"wall":${t.wallSec},"cpu_ms":${t.cpuMs},"gc_ms":${t.gcMs}$flagged}"""
     }.mkString("{", ",", "}")
     val fullJson =

@@ -481,20 +481,31 @@ object Similarity {
                           dims: Int = 64): DataFrame = {
     require(refine >= 1, s"refine must be >= 1, got $refine")
     val (qq, qn) = quantizeInt8Local(queryVec)
+    // zero-norm rows score 0.0 (a zero vector is orthogonal-by-convention,
+    // not NULL/NaN): 0/0 is NULL in Spark's Divide but NaN in IEEE engines
+    // (which sorts FIRST under desc in DuckDB), so an unclamped score
+    // would make the deterministic candidate cut engine-dependent the
+    // moment a fixture contains a zero vector (ADVICE r7)
     val scored = quantizeInt8(emb, vecCol, idCol, dims)
       .withColumn("qdot", aggregate(
         zip_with(col("qvec"), lit(qq), (a, b) => a * b),
         lit(0L), (acc, x) => acc + x))
-      .withColumn("qcos_sim", round(col("qdot").cast("double") /
-        sqrt((col("qnorm") * lit(qn)).cast("double")), 6))
+      .withColumn("qcos_sim",
+        when(col("qnorm") * lit(qn) === 0L, lit(0.0))
+          .otherwise(round(col("qdot").cast("double") /
+            sqrt((col("qnorm") * lit(qn)).cast("double")), 6)))
     val cands = scored
       .orderBy(col("qcos_sim").desc, col(idCol).asc)
       .limit(refine * k)
       .select(col(idCol), col("qcos_sim"))
+    val vc = col(vecCol).cast("array<double>")
+    val qLit = lit(queryVec.toArray)
+    val normProd = VectorFunctions.norm(vc) * VectorFunctions.norm(qLit)
     cands
       .join(emb.select(col(idCol), col(vecCol)), Seq(idCol))
       .withColumn("cos_sim",
-        round(VectorFunctions.cosine(col(vecCol), lit(queryVec.toArray)), 6))
+        when(normProd === 0.0, lit(0.0))
+          .otherwise(round(VectorFunctions.dot(vc, qLit) / normProd, 6)))
       .orderBy(col("cos_sim").desc, col(idCol).asc)
       .limit(k)
       .select(col(idCol), col("qcos_sim"), col("cos_sim"))

@@ -500,13 +500,6 @@ object Ext {
         .orderBy("doc_id")
     },
 
-    // ExactSubstr-style SPAN dedup: stride-1 8-word windows, first
-    // occurrence (min (doc_id, pos)) kept, every word under a non-first
-    // duplicate window deleted, doc reassembled from the surviving
-    // words. Catches repeats at ANY offset — the thing x41's aligned
-    // blocks structurally miss. Full oracle (deterministic windowing +
-    // lexicographic first + interval union); clean text gated via md5 to
-    // keep the result rows small.
     // Memorization-risk audit: per-doc fraction of stride-1 8-word
     // windows occurring more than once in the corpus (the read-only
     // companion of x47 — score to decide, scrub to act). Full oracle:
@@ -516,6 +509,13 @@ object Ext {
         .orderBy("doc_id")
     },
 
+    // ExactSubstr-style SPAN dedup: stride-1 8-word windows, first
+    // occurrence (min (doc_id, pos)) kept, every word under a non-first
+    // duplicate window deleted, doc reassembled from the surviving
+    // words. Catches repeats at ANY offset — the thing x41's aligned
+    // blocks structurally miss. Full oracle (deterministic windowing +
+    // lexicographic first + interval union); clean text gated via md5 to
+    // keep the result rows small.
     "x47_substring_dedup" -> { (s, dir) =>
       Dedup.exactSubstringDedup(Tables.documents(s, dir), "doc_id", "text",
           windowWords = 8)
@@ -693,11 +693,6 @@ object Ext {
         .orderBy("slice")
     },
 
-    // Sqrt-temperature rebalancing (alpha = 0.5 multilingual-mix): each
-    // lang downsamples to rate sqrt(n_min/n_g), rates computed in-plan.
-    // FULL oracle: sqrt is IEEE-correctly-rounded (bit-identical in
-    // every engine, unlike ln/exp), so DuckDB rebuilds rates, 1/65536
-    // cutoffs, and every per-doc md5 keep decision.
     // Vocabulary coverage curve (tokenizer design): fraction of corpus
     // tokens covered by the top-K words, K in {10, 100, 1000}. FULL
     // oracle: deterministic top-K (count desc, word asc) replayed via
@@ -707,6 +702,11 @@ object Ext {
         .orderBy("k")
     },
 
+    // Sqrt-temperature rebalancing (alpha = 0.5 multilingual-mix): each
+    // lang downsamples to rate sqrt(n_min/n_g), rates computed in-plan.
+    // FULL oracle: sqrt is IEEE-correctly-rounded (bit-identical in
+    // every engine, unlike ln/exp), so DuckDB rebuilds rates, 1/65536
+    // cutoffs, and every per-doc md5 keep decision.
     "x54_temperature_mix" -> { (s, dir) =>
       Chunking.temperatureMix(Tables.documents(s, dir), "lang", "doc_id")
         .groupBy(col("lang"))
@@ -1382,24 +1382,28 @@ object Ext {
         |          list_max(list_transform(v, x -> abs(x))) AS amax FROM q)),
         |scored AS (
         |  SELECT qz.vec_id,
-        |    round(
+        |    CASE WHEN list_sum(list_transform(qz.qv, x -> x * x)) *
+        |              list_sum(list_transform(qq.qv, x -> x * x)) = 0 THEN 0.0
+        |    ELSE round(
         |      CAST(list_sum(list_transform(generate_series(1, len(qz.qv)),
         |        i -> qz.qv[i] * qq.qv[i])) AS DOUBLE) /
         |      sqrt(CAST(
         |        list_sum(list_transform(generate_series(1, len(qz.qv)), i -> qz.qv[i] * qz.qv[i])) *
         |        list_sum(list_transform(generate_series(1, len(qq.qv)), i -> qq.qv[i] * qq.qv[i]))
         |        AS DOUBLE)),
-        |    6) AS qcos_sim
+        |    6) END AS qcos_sim
         |  FROM qz, qq),
         |cand AS (
         |  SELECT vec_id, qcos_sim FROM scored
         |  QUALIFY row_number() OVER (ORDER BY qcos_sim DESC, vec_id ASC) <= 60)
         |SELECT cand.vec_id, cand.qcos_sim,
-        |  round(
+        |  CASE WHEN sqrt(list_sum(list_transform(e.v, x -> x * x))) *
+        |            sqrt(list_sum(list_transform(q.v, x -> x * x))) = 0 THEN 0.0
+        |  ELSE round(
         |    list_sum(list_transform(generate_series(1, len(e.v)), i -> e.v[i] * q.v[i])) /
         |    (sqrt(list_sum(list_transform(generate_series(1, len(e.v)), i -> e.v[i] * e.v[i]))) *
         |     sqrt(list_sum(list_transform(generate_series(1, len(q.v)), i -> q.v[i] * q.v[i])))),
-        |  6) AS cos_sim
+        |  6) END AS cos_sim
         |FROM cand JOIN e ON e.vec_id = cand.vec_id, q
         |ORDER BY cos_sim DESC, cand.vec_id ASC LIMIT 20""".stripMargin,
 

@@ -425,14 +425,18 @@ object StreamGate {
         // lands past batch 2 doesn't matter — the oracle hash catches any
         // replay/skip wherever it falls.
         val cut = new java.util.concurrent.CountDownLatch(1)
-        // runId set right after start() — a stale event from a previous
-        // invocation (best-of-N reruns) can never match it, and no batch
-        // of THIS run can commit in the ns between start() returning and
-        // the assignment (a batch takes >=tens of ms)
+        // runId captured in onQueryStarted — Spark posts that event
+        // SYNCHRONOUSLY before start() returns, so leg1Run is assigned
+        // before the first trigger can possibly commit (no window in
+        // which a batch>=2 progress event could be dropped, ADVICE r7).
+        // Only leg 1 starts while this listener is registered (removed
+        // before leg 2; withGateConf enforces sequential gates), so the
+        // first-started guard can't latch onto a foreign query.
         @volatile var leg1Run: java.util.UUID = null
         val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
           override def onQueryStarted(
-            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit =
+            if (leg1Run == null) leg1Run = e.runId
           override def onQueryProgress(
             e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit =
             if (e.progress.runId == leg1Run && e.progress.batchId >= 2) cut.countDown()
@@ -442,7 +446,10 @@ object StreamGate {
         }
         s.streams.addListener(listener)
         val q1 = startLeg()
-        leg1Run = q1.runId
+        // belt-and-braces: onQueryStarted has already run (synchronous),
+        // but assert the contract rather than silently depend on it
+        require(leg1Run == q1.runId,
+          s"s05 listener captured runId $leg1Run but leg 1 is ${q1.runId}")
         try {
           if (!q1.isActive) cut.countDown() // terminated before runId was set
           cut.await(120, java.util.concurrent.TimeUnit.SECONDS)
