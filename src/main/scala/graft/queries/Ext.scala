@@ -159,6 +159,20 @@ object Ext {
         queryVec = queryVec(s, dir), k = 20)
     },
 
+    // TRAINED product quantization — x51's serving geometry with the
+    // production-quality model: each subspace runs 2 Lloyd rounds over
+    // its own subvectors (one corpus pass per round; means shuffle only
+    // m·K fixed-point partials). FULL oracle of the TRAINING as well as
+    // the serving: the ×10⁶ integer-space means replay exactly (the x25
+    // convention), empty cells COALESCE to the previous round, and the
+    // codes/ADC/cut/rerank replay as in x51.
+    "x57_pq_trained_topk" -> { (s, dir) =>
+      Similarity.pqTopKTrained(
+        Tables.embeddings(s, dir).filter(col("vec_id") =!= 0),
+        vecCol = "embedding", idCol = "vec_id",
+        queryVec = queryVec(s, dir), k = 20)
+    },
+
     // IVF ANN top-k — FULL oracle of the approximation: the centroid
     // sample orders by md5(id) (engine-portable), assignment is an argmax
     // whose result is order-independent given bit-identical scores, and
@@ -1339,6 +1353,96 @@ object Ext {
         |      (q.qv[jj.j * 8 + t] - cb.cv[jj.j * 8 + t]) *
         |      (q.qv[jj.j * 8 + t] - cb.cv[jj.j * 8 + t]))) AS dist
         |  FROM q, jj, cb),
+        |approx AS (
+        |  SELECT c.vec_id, list_sum(list(qt.dist ORDER BY c.j)) AS pq
+        |  FROM codes c JOIN qtab qt ON qt.j = c.j AND qt.k = c.k
+        |  GROUP BY c.vec_id),
+        |cand AS (
+        |  SELECT vec_id, pq FROM approx
+        |  QUALIFY row_number() OVER (ORDER BY pq, vec_id) <= 60),
+        |scored AS (
+        |  SELECT cand.vec_id, cand.pq,
+        |    list_sum(list_transform(generate_series(1, len(e.v)), t ->
+        |      (e.v[t] - q.qv[t]) * (e.v[t] - q.qv[t]))) AS l2
+        |  FROM cand JOIN e ON e.vec_id = cand.vec_id, q)
+        |SELECT vec_id, round(pq, 6) AS pq_dist, round(l2, 6) AS l2_dist
+        |FROM scored ORDER BY l2 ASC, vec_id ASC LIMIT 20""".stripMargin,
+
+    // Trained-PQ replayed stage for stage: md5-sampled init codebook,
+    // then per (vec, subspace) argmin assignment (row_number dist ASC,
+    // k ASC = the engine's strict-less fold), per (subspace, code, pos)
+    // fixed-point integer mean (floor((2s+n)/(2n)) — the x25
+    // convention), COALESCE to the previous round's subvector for empty
+    // cells, twice; then x51's encode → ADC table → cut → rerank on the
+    // trained model.
+    "x57_pq_trained_topk" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id <> 0),
+        |q AS (
+        |  SELECT CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id = 0),
+        |jj AS (SELECT unnest(generate_series(0, 7)) AS j),
+        |pp AS (SELECT unnest(generate_series(1, 8)) AS pos),
+        |cb0 AS (
+        |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS k, v AS cv
+        |  FROM e
+        |  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 16),
+        |s0 AS (
+        |  SELECT jj.j, cb0.k,
+        |    list_transform(generate_series(1, 8), t -> cb0.cv[jj.j * 8 + t]) AS sub
+        |  FROM jj, cb0),
+        |a1 AS (
+        |  SELECT vec_id, j, k FROM (
+        |    SELECT e.vec_id, s0.j, s0.k,
+        |      row_number() OVER (PARTITION BY e.vec_id, s0.j ORDER BY
+        |        list_sum(list_transform(generate_series(1, 8), t ->
+        |          (e.v[s0.j * 8 + t] - s0.sub[t]) * (e.v[s0.j * 8 + t] - s0.sub[t]))) ASC,
+        |        s0.k ASC) AS rk
+        |    FROM e, s0) WHERE rk = 1),
+        |m1 AS (
+        |  SELECT j, k, list(mm ORDER BY pos) AS sub FROM (
+        |    SELECT j, k, pos, ((u - ((u % n2) + n2) % n2) / n2) / 1000000.0 AS mm FROM (
+        |      SELECT a1.j, a1.k, pp.pos,
+        |        2 * CAST(SUM(CAST(floor(e.v[a1.j * 8 + pp.pos] * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) + COUNT(*) AS u,
+        |        2 * COUNT(*) AS n2
+        |      FROM a1 JOIN e USING (vec_id), pp
+        |      GROUP BY a1.j, a1.k, pp.pos)) GROUP BY j, k),
+        |s1 AS (
+        |  SELECT s0.j, s0.k, COALESCE(m1.sub, s0.sub) AS sub
+        |  FROM s0 LEFT JOIN m1 ON m1.j = s0.j AND m1.k = s0.k),
+        |a2 AS (
+        |  SELECT vec_id, j, k FROM (
+        |    SELECT e.vec_id, s1.j, s1.k,
+        |      row_number() OVER (PARTITION BY e.vec_id, s1.j ORDER BY
+        |        list_sum(list_transform(generate_series(1, 8), t ->
+        |          (e.v[s1.j * 8 + t] - s1.sub[t]) * (e.v[s1.j * 8 + t] - s1.sub[t]))) ASC,
+        |        s1.k ASC) AS rk
+        |    FROM e, s1) WHERE rk = 1),
+        |m2 AS (
+        |  SELECT j, k, list(mm ORDER BY pos) AS sub FROM (
+        |    SELECT j, k, pos, ((u - ((u % n2) + n2) % n2) / n2) / 1000000.0 AS mm FROM (
+        |      SELECT a2.j, a2.k, pp.pos,
+        |        2 * CAST(SUM(CAST(floor(e.v[a2.j * 8 + pp.pos] * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) + COUNT(*) AS u,
+        |        2 * COUNT(*) AS n2
+        |      FROM a2 JOIN e USING (vec_id), pp
+        |      GROUP BY a2.j, a2.k, pp.pos)) GROUP BY j, k),
+        |s2 AS (
+        |  SELECT s1.j, s1.k, COALESCE(m2.sub, s1.sub) AS sub
+        |  FROM s1 LEFT JOIN m2 ON m2.j = s1.j AND m2.k = s1.k),
+        |codes AS (
+        |  SELECT vec_id, j, k FROM (
+        |    SELECT e.vec_id, s2.j, s2.k,
+        |      row_number() OVER (PARTITION BY e.vec_id, s2.j ORDER BY
+        |        list_sum(list_transform(generate_series(1, 8), t ->
+        |          (e.v[s2.j * 8 + t] - s2.sub[t]) * (e.v[s2.j * 8 + t] - s2.sub[t]))) ASC,
+        |        s2.k ASC) AS rk
+        |    FROM e, s2) WHERE rk = 1),
+        |qtab AS (
+        |  SELECT s2.j, s2.k,
+        |    list_sum(list_transform(generate_series(1, 8), t ->
+        |      (q.qv[s2.j * 8 + t] - s2.sub[t]) * (q.qv[s2.j * 8 + t] - s2.sub[t]))) AS dist
+        |  FROM q, s2),
         |approx AS (
         |  SELECT c.vec_id, list_sum(list(qt.dist ORDER BY c.j)) AS pq
         |  FROM codes c JOIN qtab qt ON qt.j = c.j AND qt.k = c.k

@@ -844,6 +844,57 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.25, s"PQ recall $recall below floor")
   }
 
+  test("trained PQ: recall >= 0.7 on planted cluster structure, rerank exact") {
+    import spark.implicits._
+    // 16 well-separated cluster centers, 20 members each + the query near
+    // center 3 — the regime PQ serves in production (embeddings cluster;
+    // the md5 sample's 16 arbitrary rows don't adapt to that, Lloyd does)
+    val rnd = new scala.util.Random(42)
+    val centers = Array.fill(16, 64)(rnd.nextDouble() * 4.0 - 2.0)
+    val rows = for (g <- 0 until 16; i <- 0 until 20) yield {
+      val id = (g * 20 + i + 1).toLong
+      (id, centers(g).map(c => c + rnd.nextDouble() * 0.1 - 0.05).toSeq)
+    }
+    val fixture = rows.toDF("vec_id", "embedding").repartition(4)
+    val q = centers(3).map(c => c + 0.01).toSeq
+    val exact = fixture
+      .withColumn("l2", round(graft.functions.VectorFunctions.l2sq(
+        col("embedding"), lit(q.toArray)), 6))
+      .select(col("vec_id"), col("l2"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val exactTop = exact.toSeq.sortBy { case (id, l2) => (l2, id) }
+      .take(20).map(_._1).toSet
+    val got = Similarity.pqTopKTrained(fixture, "embedding", "vec_id", q, k = 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    // reranked l2 stays brute-force exact (training changes candidates only)
+    got.foreach { case (id, l2) =>
+      assert(l2 == exact(id), s"rerank drift for $id: $l2 vs ${exact(id)}") }
+    val recall = got.map(_._1).count(exactTop.contains) / 20.0
+    assert(recall >= 0.7, s"trained-PQ recall $recall below floor")
+  }
+
+  test("trained PQ codebook: deterministic under repartitioning, empty cells keep init") {
+    import spark.implicits._
+    // determinism: the fixed-point means make the model independent of
+    // partitioning / aggregation order — bit-identical, not approximately
+    val base = emb.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("embedding"))
+    val cb1 = Similarity.pqTrainCodebook(base, "embedding", "vec_id")
+    val cb2 = Similarity.pqTrainCodebook(base.repartition(13), "embedding", "vec_id")
+    assert(cb1.length == 16 && cb1.forall(_.length == 64))
+    (cb1 zip cb2).zipWithIndex.foreach { case ((a, b), k) =>
+      assert(a.sameElements(b), s"codebook row $k differs across partitionings") }
+    // empty-cell rule: a corpus of one repeated 6-dp-representable vector
+    // assigns every subspace to one code; all other cells COALESCE to
+    // their init subvector, and the populated cell's fixed-point mean of
+    // identical 6-dp values is the value itself — so trained == init
+    val uni = (1L to 24L).map(id => (id, Seq.fill(64)(0.125))).toDF("vec_id", "embedding")
+    val init = Similarity.pqBuildCodebook(uni, "embedding", "vec_id")
+    val trained = Similarity.pqTrainCodebook(uni, "embedding", "vec_id")
+    (trained zip init).zipWithIndex.foreach { case ((t, i), k) =>
+      assert(t.sameElements(i), s"uniform-corpus codebook row $k drifted from init") }
+  }
+
   test("incremental dedup: cross-side matches flagged, internal dups out of scope") {
     val out = Dedup.incrementalNearDupFilter(
         docs.filter(col("doc_id") < 400), docs.filter(col("doc_id") >= 400),
