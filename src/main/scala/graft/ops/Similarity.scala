@@ -589,13 +589,17 @@ object Similarity {
     * to end (the candidate cut orders by bit-exact doubles, then id), so
     * the x51 oracle replays codebook, codes, tables, cut, and reranking
     * identically. */
-  def pqProbe(encoded: DataFrame, idCol: String, queryVec: Seq[Double],
-              codebook: Array[Array[Double]], k: Int, refine: Int = 3,
-              m: Int = 8): DataFrame = {
+  /** The per-query ADC distance table: entry (j, k) is the L2² between
+    * the query's subspace-j slice and centroid k's — one m×K driver-side
+    * fold (the same ascending-t accumulation as encoding, so its doubles
+    * replay in any engine). Shared by [[pqProbe]] and [[ivfPqProbe]]. */
+  private[graft] def adcTable(queryVec: Seq[Double],
+                              codebook: Array[Array[Double]],
+                              m: Int): Seq[Seq[Double]] = {
     require(queryVec.length % m == 0,
       s"m=$m must divide query dims=${queryVec.length}")
     val d = queryVec.length / m
-    val table: Seq[Seq[Double]] = (0 until m).map { j =>
+    (0 until m).map { j =>
       codebook.toSeq.map { c =>
         var s = 0.0
         var t = 1
@@ -607,7 +611,12 @@ object Similarity {
         s
       }
     }
-    val tLit = typedLit(table)
+  }
+
+  def pqProbe(encoded: DataFrame, idCol: String, queryVec: Seq[Double],
+              codebook: Array[Array[Double]], k: Int, refine: Int = 3,
+              m: Int = 8): DataFrame = {
+    val tLit = typedLit(adcTable(queryVec, codebook, m))
     val q = lit(queryVec.toArray)
     val scored = encoded.withColumn("pq", aggregate(
       sequence(lit(0), lit(m - 1)), lit(0.0), (acc, j) =>
@@ -721,5 +730,88 @@ object Similarity {
       queryVec.length, iters)
     pqProbe(pqEncode(emb, vecCol, idCol, cb, m, queryVec.length),
       idCol, queryVec, cb, k, refine, m)
+  }
+
+  // ----- IVF×PQ (the production 100 TB index) -------------------------
+
+  /** The write-once IVF×PQ index row set: each row carries its coarse
+    * cell ([[ivfBuild]]'s cosine-Voronoi `centroid_id`), its `m` PQ
+    * codes, and the float vector. At 100 TB this is WRITTEN
+    * `partitionBy("centroid_id")`: a probe's cell list becomes
+    * storage-level partition pruning, and because the ADC scan selects
+    * only (centroid_id, id, codes), parquet column pruning keeps the
+    * float vectors unread outside the candidate fetch — the scan touches
+    * nProbe/nLists of the rows and ~1/32 of the bytes. Per-row,
+    * shuffle-free, codegen'd. */
+  def ivfPqEncode(assigned: DataFrame, idCol: String,
+                  codebook: Array[Array[Double]], m: Int = 8,
+                  dims: Int = 64): DataFrame =
+    assigned.withColumn("codes",
+      graft.functions.VectorExpressions.pqCodesNative(
+        col("vec"), codebook.flatten, codebook.length, m, dims))
+
+  /** Probe an IVF×PQ index: the coarse stage ranks the driver-sized
+    * centroid model against the query and emits `nProbe` cell ids as a
+    * LITERAL filter (over a `centroid_id`-partitioned index that is
+    * partition pruning, ScaleSpec-asserted); the ADC stage scores only
+    * the probed cells' (id, codes) rows — no per-row vector arithmetic,
+    * no vector-column read; only the `refine·k` candidates join back to
+    * `vectors` for the exact-L2² rerank. Deterministic end to end (cell
+    * cut, candidate cut and rerank all order by bit-exact doubles, then
+    * id), so the x58 oracle replays every stage. */
+  def ivfPqProbe(centroids: DataFrame, index: DataFrame, vectors: DataFrame,
+                 vecCol: String, idCol: String, queryVec: Seq[Double],
+                 codebook: Array[Array[Double]], k: Int, nProbe: Int = 4,
+                 refine: Int = 3, m: Int = 8): DataFrame = {
+    require(refine >= 1, s"refine must be >= 1, got $refine")
+    val q = lit(queryVec.toArray)
+    val cells = centroids
+      .withColumn("qscore", VectorFunctions.dot(col("cv"), q) /
+        (VectorFunctions.norm(col("cv")) * VectorFunctions.norm(q)))
+      .orderBy(col("qscore").desc, col("centroid_id").asc)
+      .limit(nProbe)
+      .select(col("centroid_id").cast("long"))
+      .collect().map(_.getLong(0))
+    val tLit = typedLit(adcTable(queryVec, codebook, m))
+    val cands = index
+      .filter(col("centroid_id").isin(cells.map(Long.box): _*))
+      .select(col(idCol), col("codes"))
+      .withColumn("pq", aggregate(
+        sequence(lit(0), lit(m - 1)), lit(0.0), (acc, j) =>
+          acc + element_at(element_at(tLit, j + 1),
+            element_at(col("codes"), j + 1) + 1)))
+      .orderBy(col("pq").asc, col(idCol).asc)
+      .limit(refine * k)
+    cands
+      .join(vectors.select(col(idCol),
+        col(vecCol).cast("array<double>").as("__v")), Seq(idCol))
+      .withColumn("l2", aggregate(
+        zip_with(col("__v"), q, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x))
+      .orderBy(col("l2").asc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol), round(col("pq"), 6).as("pq_dist"),
+        round(col("l2"), 6).as("l2_dist"))
+  }
+
+  /** One-shot IVF×PQ top-k: coarse cells from [[ivfBuild]], codes from
+    * the sampled codebook (pass `trainIters > 0` to drop in the
+    * [[pqTrainCodebook]] model — the serving geometry is identical),
+    * probe = prune to nProbe cells → ADC over codes → exact rerank.
+    * Harness query x58 gates the composition against a DuckDB oracle
+    * replaying both stages. */
+  def ivfPqTopK(emb: DataFrame, vecCol: String, idCol: String,
+                queryVec: Seq[Double], k: Int, nLists: Int = 16,
+                nProbe: Int = 4, m: Int = 8, nCentroids: Int = 16,
+                refine: Int = 3, trainIters: Int = 0): DataFrame = {
+    val (cents, assigned) = ivfBuild(emb, vecCol, idCol, nLists)
+    val cb =
+      if (trainIters > 0)
+        pqTrainCodebook(emb, vecCol, idCol, nCentroids, m,
+          queryVec.length, trainIters)
+      else pqBuildCodebook(emb, vecCol, idCol, nCentroids)
+    val index = ivfPqEncode(assigned, idCol, cb, m, queryVec.length)
+    ivfPqProbe(cents, index, emb, vecCol, idCol, queryVec, cb, k,
+      nProbe, refine, m)
   }
 }

@@ -173,6 +173,20 @@ object Ext {
         queryVec = queryVec(s, dir), k = 20)
     },
 
+    // IVF×PQ — the production 100 TB serving index: coarse cosine-
+    // Voronoi cells prune the scan to nProbe/nLists of the corpus
+    // (storage-level partition pruning over the written index,
+    // ScaleSpec-asserted), ADC scores ONLY the probed cells' code rows
+    // (no vector reads), exact-L2² rerank fetches just refine·k float
+    // vectors. FULL oracle: cell assignment, probe cut, codes, ADC sum,
+    // candidate cut and rerank all replay bit-for-bit in SQL.
+    "x58_ivfpq_topk" -> { (s, dir) =>
+      Similarity.ivfPqTopK(
+        Tables.embeddings(s, dir).filter(col("vec_id") =!= 0),
+        vecCol = "embedding", idCol = "vec_id",
+        queryVec = queryVec(s, dir), k = 20)
+    },
+
     // IVF ANN top-k — FULL oracle of the approximation: the centroid
     // sample orders by md5(id) (engine-portable), assignment is an argmax
     // whose result is order-independent given bit-identical scores, and
@@ -1443,6 +1457,72 @@ object Ext {
         |    list_sum(list_transform(generate_series(1, 8), t ->
         |      (q.qv[s2.j * 8 + t] - s2.sub[t]) * (q.qv[s2.j * 8 + t] - s2.sub[t]))) AS dist
         |  FROM q, s2),
+        |approx AS (
+        |  SELECT c.vec_id, list_sum(list(qt.dist ORDER BY c.j)) AS pq
+        |  FROM codes c JOIN qtab qt ON qt.j = c.j AND qt.k = c.k
+        |  GROUP BY c.vec_id),
+        |cand AS (
+        |  SELECT vec_id, pq FROM approx
+        |  QUALIFY row_number() OVER (ORDER BY pq, vec_id) <= 60),
+        |scored AS (
+        |  SELECT cand.vec_id, cand.pq,
+        |    list_sum(list_transform(generate_series(1, len(e.v)), t ->
+        |      (e.v[t] - q.qv[t]) * (e.v[t] - q.qv[t]))) AS l2
+        |  FROM cand JOIN e ON e.vec_id = cand.vec_id, q)
+        |SELECT vec_id, round(pq, 6) AS pq_dist, round(l2, 6) AS l2_dist
+        |FROM scored ORDER BY l2 ASC, vec_id ASC LIMIT 20""".stripMargin,
+
+    // IVF×PQ replayed stage for stage: the md5 sample doubles as coarse
+    // centroids (cid = vec_id) and PQ codebook (k = rank-1); cell
+    // assignment is x25's cosine argmax (row_number DESC, cid ASC), the
+    // probe cut is the same ranking against the query, and only rows in
+    // probed cells enter x51's ADC sum → top-60 cut → exact-L2 rerank.
+    "x58_ivfpq_topk" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id <> 0),
+        |q AS (
+        |  SELECT CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id = 0),
+        |samp AS (
+        |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS k,
+        |    vec_id AS cid, v AS cv
+        |  FROM e
+        |  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 16),
+        |asg AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT e.vec_id, samp.cid,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_sum(list_transform(generate_series(1, len(e.v)), i -> e.v[i] * samp.cv[i])) /
+        |          (sqrt(list_sum(list_transform(generate_series(1, len(e.v)), i -> e.v[i] * e.v[i]))) *
+        |           sqrt(list_sum(list_transform(generate_series(1, len(samp.cv)), i -> samp.cv[i] * samp.cv[i])))) DESC,
+        |        samp.cid ASC) AS rk
+        |    FROM e, samp) WHERE rk = 1),
+        |probe AS (
+        |  SELECT cid FROM samp, q
+        |  ORDER BY
+        |    list_sum(list_transform(generate_series(1, len(cv)), i -> cv[i] * qv[i])) /
+        |      (sqrt(list_sum(list_transform(generate_series(1, len(cv)), i -> cv[i] * cv[i]))) *
+        |       sqrt(list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * qv[i])))) DESC,
+        |    cid ASC LIMIT 4),
+        |pruned AS (
+        |  SELECT vec_id FROM asg JOIN probe USING (cid)),
+        |jj AS (SELECT unnest(generate_series(0, 7)) AS j),
+        |dist AS (
+        |  SELECT e.vec_id, jj.j, samp.k,
+        |    list_sum(list_transform(generate_series(1, 8), t ->
+        |      (e.v[jj.j * 8 + t] - samp.cv[jj.j * 8 + t]) *
+        |      (e.v[jj.j * 8 + t] - samp.cv[jj.j * 8 + t]))) AS dist
+        |  FROM e JOIN pruned USING (vec_id), jj, samp),
+        |codes AS (
+        |  SELECT vec_id, j, k FROM dist
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, k) = 1),
+        |qtab AS (
+        |  SELECT jj.j, samp.k,
+        |    list_sum(list_transform(generate_series(1, 8), t ->
+        |      (q.qv[jj.j * 8 + t] - samp.cv[jj.j * 8 + t]) *
+        |      (q.qv[jj.j * 8 + t] - samp.cv[jj.j * 8 + t]))) AS dist
+        |  FROM q, jj, samp),
         |approx AS (
         |  SELECT c.vec_id, list_sum(list(qt.dist ORDER BY c.j)) AS pq
         |  FROM codes c JOIN qtab qt ON qt.j = c.j AND qt.k = c.k

@@ -233,6 +233,52 @@ class ScaleSpec extends AnyFunSuite {
     } finally graft.util.Fs.deleteTree(java.nio.file.Paths.get(idxDir))
   }
 
+  test("x58 IVFPQ probe: partition-pruned cell seek, ADC scan reads codes not vectors") {
+    val emb = Tables.embeddings(spark, dir).filter(col("vec_id") =!= 0)
+    val q = Tables.embeddings(spark, dir).filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+    val (cents, assigned) = Similarity.ivfBuild(emb, "embedding", "vec_id")
+    val cb = Similarity.pqBuildCodebook(emb, "embedding", "vec_id")
+    // the 100 TB deployment shape: the index is WRITTEN partitioned by
+    // centroid_id, so the probe's literal cell list prunes at storage
+    // level, and the ADC stage's (id, codes) projection keeps the float
+    // vectors unread outside the candidate fetch
+    val idxDir = Files.createTempDirectory("x58_idx_").toString
+    try {
+      Similarity.ivfPqEncode(assigned, "vec_id", cb)
+        .write.mode("overwrite").partitionBy("centroid_id").parquet(idxDir)
+      val probe = Similarity.ivfPqProbe(cents, spark.read.parquet(idxDir),
+        emb, "embedding", "vec_id", q, cb, k = 20)
+      val rows = probe.collect()
+      // the ADC scan lands inside a materialized BroadcastQueryStage —
+      // descend through AQE stage boundaries, not just plan children
+      def allScans(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          allScans(a.executedPlan)
+        case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          allScans(s.plan)
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+        case other => other.children.flatMap(allScans)
+      }
+      val scans = allScans(probe.queryExecution.executedPlan)
+      val idxScan = scans.find(_.partitionFilters.nonEmpty)
+        .getOrElse(fail(
+          s"no partition-pruned scan in:\n${probe.queryExecution.executedPlan}"))
+      assert(idxScan.partitionFilters.mkString.contains("centroid_id"))
+      assert(idxScan.selectedPartitions.partitionCount <= 4,
+        s"probe read ${idxScan.selectedPartitions.partitionCount} cells — a seek reads <= nProbe")
+      assert(!idxScan.requiredSchema.fieldNames.contains("vec"),
+        s"ADC scan must not read float vectors: ${idxScan.requiredSchema}")
+      // and the persisted-index probe returns exactly the in-memory result
+      val inMem = Similarity.ivfPqProbe(cents,
+        Similarity.ivfPqEncode(assigned, "vec_id", cb),
+        emb, "embedding", "vec_id", q, cb, k = 20).collect()
+      assert(rows.toSeq == inMem.toSeq,
+        s"persisted-index probe diverged: ${rows.toSeq} vs ${inMem.toSeq}")
+    } finally graft.util.Fs.deleteTree(java.nio.file.Paths.get(idxDir))
+  }
+
   test("x45 batch ANN serving: band equi-join candidates, no cartesian/nested-loop, no driver loop") {
     val all = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
