@@ -96,19 +96,59 @@ object Dedup {
     * Returns one row per input doc: (idCol, clean_text, n_words,
     * n_kept). Docs whose every word was covered keep n_kept = 0 and
     * clean_text = "" (they'd be dropped by a corpus-prep caller). */
-  def exactSubstringDedup(docs: DataFrame, idCol: String, textCol: String,
-                          windowWords: Int = 8): DataFrame = {
+  /** The stride-1 WINDOW INDEX shared by [[exactSubstringDedup]] (scrub),
+    * [[duplicationScore]] (score) and [[decontaminateSpans]]
+    * (decontaminate): one row per (doc, 1-based start pos) carrying the
+    * md5 of that `windowWords`-word window — docs shorter than the
+    * window contribute no rows. Per-row, shuffle-free, codegen'd; at
+    * 100 TB this is the write-once artifact (`.write.parquet(...)`) that
+    * all three operators then READ instead of re-tokenizing and
+    * re-hashing the corpus per pass — hand the read-back frame to their
+    * index-accepting overloads (ScaleSpec proves the persisted-index run
+    * is bit-equal to the inline build). */
+  def windowIndex(docs: DataFrame, idCol: String, textCol: String,
+                  windowWords: Int = 8): DataFrame = {
     require(windowWords > 1, s"windowWords must be > 1, got $windowWords")
-    val base = Caches.persistTracked(
-      docs.select(col(idCol), split(col(textCol), " ").as("toks")))
-    // (doc, 1-based start pos, md5 of the window text); docs shorter
-    // than the window contribute no windows (and so are never covered)
-    val grams = base
+    windowIndexFromBase(
+      docs.select(col(idCol), split(col(textCol), " ").as("toks")),
+      idCol, windowWords)
+  }
+
+  /** [[windowIndex]] over a pre-tokenized (idCol, toks) frame — the
+    * internal entry that lets the inline operator paths reuse their
+    * persisted tokenization for the gram build. */
+  private def windowIndexFromBase(base: DataFrame, idCol: String,
+                                  windowWords: Int): DataFrame =
+    base
       .filter(size(col("toks")) >= windowWords)
       .select(col(idCol), posexplode(transform(
         sequence(lit(1), size(col("toks")) - (windowWords - 1)),
         i => md5(concat_ws(" ", slice(col("toks"), i, lit(windowWords)))))))
       .select(col(idCol), (col("pos") + 1).as("pos"), col("col").as("g"))
+
+  def exactSubstringDedup(docs: DataFrame, idCol: String, textCol: String,
+                          windowWords: Int = 8): DataFrame = {
+    require(windowWords > 1, s"windowWords must be > 1, got $windowWords")
+    val base = Caches.persistTracked(
+      docs.select(col(idCol), split(col(textCol), " ").as("toks")))
+    exactSubstringDedupImpl(base,
+      windowIndexFromBase(base, idCol, windowWords), idCol, windowWords)
+  }
+
+  /** [[exactSubstringDedup]] over a prebuilt [[windowIndex]] (read back
+    * from its persisted form) — the corpus is still needed for the word
+    * scrub/reassembly, but the gram build is the index scan. */
+  def exactSubstringDedup(docs: DataFrame, index: DataFrame, idCol: String,
+                          textCol: String, windowWords: Int): DataFrame = {
+    require(windowWords > 1, s"windowWords must be > 1, got $windowWords")
+    val base = Caches.persistTracked(
+      docs.select(col(idCol), split(col(textCol), " ").as("toks")))
+    exactSubstringDedupImpl(base, index, idCol, windowWords)
+  }
+
+  private def exactSubstringDedupImpl(base: DataFrame, grams: DataFrame,
+                                      idCol: String,
+                                      windowWords: Int): DataFrame = {
     val firsts = grams
       .groupBy(col("g"))
       .agg(min(struct(col(idCol), col("pos"))).as("keep"))
@@ -165,20 +205,28 @@ object Dedup {
     require(windowWords > 1, s"windowWords must be > 1, got $windowWords")
     val base = Caches.persistTracked(
       docs.select(col(idCol), split(col(textCol), " ").as("toks")))
-    val grams = base
-      .filter(size(col("toks")) >= windowWords)
-      .select(col(idCol), explode(transform(
-        sequence(lit(1), size(col("toks")) - (windowWords - 1)),
-        i => md5(concat_ws(" ", slice(col("toks"), i, lit(windowWords)))))).as("g"))
-    val gramsP = Caches.persistTracked(grams)
+    duplicationScoreImpl(base.select(col(idCol)),
+      windowIndexFromBase(base, idCol, windowWords), idCol)
+  }
+
+  /** [[duplicationScore]] over a prebuilt [[windowIndex]] — read-only
+    * scoring needs nothing but the index and the doc-id universe. */
+  def duplicationScore(docs: DataFrame, index: DataFrame, idCol: String,
+                       textCol: String, windowWords: Int): DataFrame = {
+    require(windowWords > 1, s"windowWords must be > 1, got $windowWords")
+    duplicationScoreImpl(docs.select(col(idCol)), index, idCol)
+  }
+
+  private def duplicationScoreImpl(docIds: DataFrame, index: DataFrame,
+                                   idCol: String): DataFrame = {
+    val gramsP = Caches.persistTracked(index.select(col(idCol), col("g")))
     val occ = gramsP.groupBy(col("g")).agg(count(lit(1)).as("n_occ"))
     val perDoc = gramsP
       .join(occ, "g")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_windows"),
         sum(when(col("n_occ") > 1, 1L).otherwise(0L)).as("n_dup_windows"))
-    base
-      .select(col(idCol))
+    docIds
       .join(perDoc, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("n_windows"), lit(0L)).as("n_windows"),
@@ -202,6 +250,29 @@ object Dedup {
                          idCol: String, textCol: String,
                          windowWords: Int = 8): DataFrame = {
     require(windowWords > 1, s"windowWords must be > 1, got $windowWords")
+    val base = Caches.persistTracked(
+      corpus.select(col(idCol), split(col(textCol), " ").as("toks")))
+    decontaminateSpansImpl(base,
+      windowIndexFromBase(base, idCol, windowWords),
+      benchmark, idCol, textCol, windowWords)
+  }
+
+  /** [[decontaminateSpans]] over a prebuilt corpus [[windowIndex]] — the
+    * benchmark side is re-windowed inline (it is the tiny side and
+    * broadcasts; the corpus-sized gram build is the index scan). */
+  def decontaminateSpans(corpus: DataFrame, benchmark: DataFrame,
+                         index: DataFrame, idCol: String, textCol: String,
+                         windowWords: Int): DataFrame = {
+    require(windowWords > 1, s"windowWords must be > 1, got $windowWords")
+    val base = Caches.persistTracked(
+      corpus.select(col(idCol), split(col(textCol), " ").as("toks")))
+    decontaminateSpansImpl(base, index, benchmark, idCol, textCol, windowWords)
+  }
+
+  private def decontaminateSpansImpl(base: DataFrame, grams: DataFrame,
+                                     benchmark: DataFrame, idCol: String,
+                                     textCol: String,
+                                     windowWords: Int): DataFrame = {
     val benchGrams = benchmark
       .withColumn("toks", split(col(textCol), " "))
       .filter(size(col("toks")) >= windowWords)
@@ -209,14 +280,6 @@ object Dedup {
         sequence(lit(1), size(col("toks")) - (windowWords - 1)),
         i => md5(concat_ws(" ", slice(col("toks"), i, lit(windowWords))))))).as("g"))
       .distinct()
-    val base = Caches.persistTracked(
-      corpus.select(col(idCol), split(col(textCol), " ").as("toks")))
-    val grams = base
-      .filter(size(col("toks")) >= windowWords)
-      .select(col(idCol), posexplode(transform(
-        sequence(lit(1), size(col("toks")) - (windowWords - 1)),
-        i => md5(concat_ws(" ", slice(col("toks"), i, lit(windowWords)))))))
-      .select(col(idCol), (col("pos") + 1).as("pos"), col("col").as("g"))
     val covered = grams
       .join(benchGrams, Seq("g"), "leftsemi")
       .select(col(idCol),

@@ -279,6 +279,44 @@ class ScaleSpec extends AnyFunSuite {
     } finally graft.util.Fs.deleteTree(java.nio.file.Paths.get(idxDir))
   }
 
+  test("x47/x53/x56 reuse one persisted window index: read-back runs bit-equal to inline builds") {
+    val docs = Tables.documents(spark, dir)
+    // the 100 TB shape: the stride-1 (doc, pos, md5-window) frame is
+    // written ONCE and scrub/score/decontaminate all read it back instead
+    // of re-tokenizing and re-hashing the corpus per pass
+    val idxDir = Files.createTempDirectory("widx_").toString
+    try {
+      graft.ops.Dedup.windowIndex(docs, "doc_id", "text")
+        .write.mode("overwrite").parquet(idxDir)
+      val idx = spark.read.parquet(idxDir)
+      // the indexed scrub genuinely READS the persisted artifact
+      val scrubIdxDf = graft.ops.Dedup.exactSubstringDedup(docs, idx, "doc_id", "text", 8)
+      assert(scrubIdxDf.queryExecution.executedPlan.toString
+          .contains(java.nio.file.Paths.get(idxDir).getFileName.toString),
+        "indexed scrub does not scan the persisted window index")
+      val scrubIdx = scrubIdxDf.orderBy("doc_id").collect()
+      val scrubInline = graft.ops.Dedup.exactSubstringDedup(docs, "doc_id", "text")
+        .orderBy("doc_id").collect()
+      assert(scrubIdx.toSeq == scrubInline.toSeq, "x47 diverged on the persisted index")
+      val scoreIdx = graft.ops.Dedup.duplicationScore(docs, idx, "doc_id", "text", 8)
+        .orderBy("doc_id").collect()
+      val scoreInline = graft.ops.Dedup.duplicationScore(docs, "doc_id", "text")
+        .orderBy("doc_id").collect()
+      assert(scoreIdx.toSeq == scoreInline.toSeq, "x56 diverged on the persisted index")
+      // x53: the SAME artifact serves decontamination — windows are
+      // per-doc, so restricting the full index to corpus membership is
+      // exactly the corpus index
+      val corpus = docs.filter(col("source") =!= "src0")
+      val bench = docs.filter(col("source") === "src0")
+      val corpusIdx = idx.join(corpus.select("doc_id"), Seq("doc_id"), "leftsemi")
+      val deconIdx = graft.ops.Dedup.decontaminateSpans(
+        corpus, bench, corpusIdx, "doc_id", "text", 8).orderBy("doc_id").collect()
+      val deconInline = graft.ops.Dedup.decontaminateSpans(
+        corpus, bench, "doc_id", "text").orderBy("doc_id").collect()
+      assert(deconIdx.toSeq == deconInline.toSeq, "x53 diverged on the persisted index")
+    } finally graft.util.Fs.deleteTree(java.nio.file.Paths.get(idxDir))
+  }
+
   test("x45 batch ANN serving: band equi-join candidates, no cartesian/nested-loop, no driver loop") {
     val all = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
