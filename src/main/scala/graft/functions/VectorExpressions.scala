@@ -271,10 +271,118 @@ case class PqCodesExpr(child: Expression, flatCodebook: Array[Double],
     copy(child = newChild)
 }
 
+/** Packs int8 quantization codes (array<long>, every value in
+  * [-128, 127] — [[graft.ops.Similarity.quantizeInt8]] emits [-127, 127])
+  * into BinaryType at 1 byte/component: the real on-disk format behind
+  * the compressed-scan path's 4× claim (8 B/long → 1 B/byte before
+  * parquet encodings). Out-of-range values and null components fail
+  * loudly — silent truncation would corrupt scores. [[Int8UnpackExpr]]
+  * is the exact inverse (sign-extending), bit-parity-tested. */
+case class Int8PackExpr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(org.apache.spark.sql.types.LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"int8_pack expects array<bigint>, got ${other.simpleString}")
+    }
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    val out = new Array[Byte](n)
+    var i = 0
+    while (i < n) {
+      if (v.isNullAt(i)) throw new IllegalArgumentException(
+        s"int8_pack: null component at index $i")
+      val x = v.getLong(i)
+      if (x < -128L || x > 127L) throw new IllegalArgumentException(
+        s"int8_pack: value $x at index $i outside byte range")
+      out(i) = x.toByte
+      i += 1
+    }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val (n, i, x, out) = (ctx.freshName("n"), ctx.freshName("i"),
+        ctx.freshName("x"), ctx.freshName("out"))
+      s"""
+         |int $n = $a.numElements();
+         |byte[] $out = new byte[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i)) {
+         |    throw new IllegalArgumentException(
+         |      "int8_pack: null component at index " + $i);
+         |  }
+         |  long $x = $a.getLong($i);
+         |  if ($x < -128L || $x > 127L) {
+         |    throw new IllegalArgumentException(
+         |      "int8_pack: value " + $x + " at index " + $i + " outside byte range");
+         |  }
+         |  $out[$i] = (byte) $x;
+         |}
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Exact inverse of [[Int8PackExpr]]: BinaryType → array<long> by Java's
+  * sign-extending byte→long widening. */
+case class Int8UnpackExpr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.BinaryType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"int8_unpack expects binary, got ${other.simpleString}")
+    }
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val b = a.asInstanceOf[Array[Byte]]
+    val out = new Array[Long](b.length)
+    var i = 0
+    while (i < b.length) { out(i) = b(i).toLong; i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val (i, out) = (ctx.freshName("i"), ctx.freshName("out"))
+      s"""
+         |long[] $out = new long[$a.length];
+         |for (int $i = 0; $i < $a.length; $i++) {
+         |  $out[$i] = (long) $a[$i];
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   private val fnName = "graft_dot_product"
   private val bandsFnName = "graft_rhp_bands"
   private val pqFnName = "graft_pq_codes"
+  private val packFnName = "graft_int8_pack"
+  private val unpackFnName = "graft_int8_unpack"
 
   /** Idempotently register the expression with a session's function
     * registry (the public extension point; Column(expr) constructors are
@@ -295,6 +403,14 @@ object VectorExpressions {
       registry.createOrReplaceTempFunction(
         pqFnName, exprs => PqCodesExpr(exprs(0), lit2doubles(exprs(1)),
           lit2int(exprs(2)), lit2int(exprs(3)), lit2int(exprs(4))), "scala_udf")
+    val packIdent = org.apache.spark.sql.catalyst.FunctionIdentifier(packFnName)
+    if (!registry.functionExists(packIdent))
+      registry.createOrReplaceTempFunction(
+        packFnName, exprs => Int8PackExpr(exprs(0)), "scala_udf")
+    val unpackIdent = org.apache.spark.sql.catalyst.FunctionIdentifier(unpackFnName)
+    if (!registry.functionExists(unpackIdent))
+      registry.createOrReplaceTempFunction(
+        unpackFnName, exprs => Int8UnpackExpr(exprs(0)), "scala_udf")
   }
 
   private def lit2int(e: Expression): Int = e match {
@@ -328,6 +444,19 @@ object VectorExpressions {
       org.apache.spark.sql.functions.lit(nBands),
       org.apache.spark.sql.functions.lit(bandBits),
       org.apache.spark.sql.functions.lit(dims))
+  }
+
+  /** Pack int8 codes (array<long> in [-128, 127]) into BinaryType — see
+    * [[Int8PackExpr]]. */
+  def int8PackNative(codes: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function(packFnName, codes)
+  }
+
+  /** Sign-extending inverse of [[int8PackNative]]: binary → array<long>. */
+  def int8UnpackNative(packed: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function(unpackFnName, packed)
   }
 
   /** All `m` PQ codes of `vec` (array<int>) in one codegen'd pass — see

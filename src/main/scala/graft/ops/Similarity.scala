@@ -418,9 +418,10 @@ object Similarity {
 
   /** Per-vector symmetric int8 scalar quantization: each component maps
     * to `floor(x * 127/amax + 0.5)` where `amax = max |x_i|` — an integer
-    * in [-127, 127] stored as a long-array column (the storage format
-    * would be 1 byte/component: a float32 corpus scans 4× smaller, which
-    * at 100 TB is the difference between a 100 TB and a 25 TB index
+    * in [-127, 127] stored as a long-array column (the ARITHMETIC format;
+    * [[quantizeInt8Packed]] is the 1 byte/component STORAGE format: a
+    * float32 corpus scans 4× smaller, which at 100 TB is the difference
+    * between a 100 TB and a 25 TB index
     * sweep). The per-vector scale makes quantized COSINE scale-free:
     * `cos_q = dot_int / sqrt(|a|²_int · |q|²_int)` — the `amax/127`
     * factors cancel, so scores need no dequantization, and because the
@@ -480,13 +481,27 @@ object Similarity {
                           queryVec: Seq[Double], k: Int, refine: Int = 3,
                           dims: Int = 64): DataFrame = {
     require(refine >= 1, s"refine must be >= 1, got $refine")
+    int8RankRescore(quantizeInt8(emb, vecCol, idCol, dims), emb,
+      vecCol, idCol, queryVec, k, refine)
+  }
+
+  /** Shared tail of [[quantizedTopKCosine]] and
+    * [[quantizedTopKCosinePacked]]: integer-dot score over a (idCol,
+    * qvec, qnorm) frame, deterministic top `refine·k` cut, exact float
+    * rescore of the candidates only.
+    *
+    * Zero-norm rows score 0.0 (a zero vector is orthogonal-by-
+    * convention, not NULL/NaN): 0/0 is NULL in Spark's Divide but NaN in
+    * IEEE engines (which sorts FIRST under desc in DuckDB), so an
+    * unclamped score would make the deterministic candidate cut
+    * engine-dependent the moment a fixture contains a zero vector
+    * (ADVICE r7). */
+  private def int8RankRescore(quantized: DataFrame, vectors: DataFrame,
+                              vecCol: String, idCol: String,
+                              queryVec: Seq[Double], k: Int,
+                              refine: Int): DataFrame = {
     val (qq, qn) = quantizeInt8Local(queryVec)
-    // zero-norm rows score 0.0 (a zero vector is orthogonal-by-convention,
-    // not NULL/NaN): 0/0 is NULL in Spark's Divide but NaN in IEEE engines
-    // (which sorts FIRST under desc in DuckDB), so an unclamped score
-    // would make the deterministic candidate cut engine-dependent the
-    // moment a fixture contains a zero vector (ADVICE r7)
-    val scored = quantizeInt8(emb, vecCol, idCol, dims)
+    val scored = quantized
       .withColumn("qdot", aggregate(
         zip_with(col("qvec"), lit(qq), (a, b) => a * b),
         lit(0L), (acc, x) => acc + x))
@@ -502,13 +517,50 @@ object Similarity {
     val qLit = lit(queryVec.toArray)
     val normProd = VectorFunctions.norm(vc) * VectorFunctions.norm(qLit)
     cands
-      .join(emb.select(col(idCol), col(vecCol)), Seq(idCol))
+      .join(vectors.select(col(idCol), col(vecCol)), Seq(idCol))
       .withColumn("cos_sim",
         when(normProd === 0.0, lit(0.0))
           .otherwise(round(VectorFunctions.dot(vc, qLit) / normProd, 6)))
       .orderBy(col("cos_sim").desc, col(idCol).asc)
       .limit(k)
       .select(col(idCol), col("qcos_sim"), col("cos_sim"))
+  }
+
+  /** [[quantizeInt8]] with the codes PACKED into `BinaryType` — the real
+    * 1 B/component storage format behind the 4× compressed-scan claim
+    * (the long-array form is the arithmetic format). The measured win is
+    * in the FORMAT, spec-pinned under PLAIN parquet encoding (≥2× files;
+    * 8× raw) and in scan/shuffle memory (64 B vs 512 B per vector);
+    * dictionary-encoded parquet at rest already narrows small-range
+    * longs, so at-rest ratios with entropy coding measure the encoder,
+    * not the format. Pack/unpack are native codegen'd expressions
+    * ([[graft.functions.Int8PackExpr]]) with loud range/null failure and
+    * a bit-parity spec. Returns (idCol, qvec8: binary, qnorm: long) —
+    * write this next to the corpus and serve via
+    * [[quantizedTopKCosinePacked]]. */
+  def quantizeInt8Packed(emb: DataFrame, vecCol: String, idCol: String,
+                         dims: Int = 64): DataFrame =
+    quantizeInt8(emb, vecCol, idCol, dims)
+      .select(col(idCol),
+        graft.functions.VectorExpressions.int8PackNative(col("qvec")).as("qvec8"),
+        col("qnorm"))
+
+  /** [[quantizedTopKCosine]] served from a PERSISTED packed table
+    * (idCol, qvec8, qnorm): the scan unpacks in-plan (sign-extending
+    * native expression, bit-exact inverse of the packer) and the
+    * scoring, cut and exact rescore are [[int8RankRescore]] — so results
+    * are identical to the unpacked path on the same corpus, which the
+    * parity spec asserts. `vectors` supplies the float column for the
+    * candidate rescore (the corpus's primary store). */
+  def quantizedTopKCosinePacked(packed: DataFrame, vectors: DataFrame,
+                                vecCol: String, idCol: String,
+                                queryVec: Seq[Double], k: Int,
+                                refine: Int = 3): DataFrame = {
+    require(refine >= 1, s"refine must be >= 1, got $refine")
+    int8RankRescore(
+      packed.withColumn("qvec",
+        graft.functions.VectorExpressions.int8UnpackNative(col("qvec8"))),
+      vectors, vecCol, idCol, queryVec, k, refine)
   }
 
   // ----- product quantization (PQ codes + ADC serving) ----------------

@@ -104,6 +104,79 @@ class VectorExprSpec extends AnyFunSuite {
       assert(cs == hof(id), s"code divergence for $id: $cs vs ${hof(id)}") }
   }
 
+  test("int8 pack/unpack: bit-parity round trip, packed serving identical, loud range failure") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .filter(col("vec_id") =!= 0)
+    val q = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+    // unpack(pack(qvec)) == qvec exactly, negatives included
+    val quantized = graft.ops.Similarity.quantizeInt8(emb, "embedding", "vec_id")
+    val roundTrip = quantized.select(
+      col("qvec"),
+      VectorExpressions.int8UnpackNative(
+        VectorExpressions.int8PackNative(col("qvec"))).as("rt"))
+    assert(roundTrip.filter(not(col("qvec") === col("rt"))).count() == 0)
+    assert(quantized
+      .select(min(aggregate(col("qvec"), lit(0L), (a, x) => least(a, x))))
+      .head().getLong(0) < 0, "fixture has no negative codes — parity test is vacuous")
+    // the persisted packed table serves the identical result to the
+    // in-memory unpacked path (same scoring, cut and rescore)
+    val packedDir = java.nio.file.Files.createTempDirectory("int8_").toString
+    try {
+      graft.ops.Similarity.quantizeInt8Packed(emb, "embedding", "vec_id")
+        .write.mode("overwrite").parquet(packedDir)
+      val served = graft.ops.Similarity.quantizedTopKCosinePacked(
+        spark.read.parquet(packedDir), emb, "embedding", "vec_id", q, k = 20)
+        .collect()
+      val direct = graft.ops.Similarity.quantizedTopKCosine(
+        emb, "embedding", "vec_id", q, k = 20).collect()
+      assert(served.toSeq == direct.toSeq,
+        s"packed serving diverged: ${served.toSeq} vs ${direct.toSeq}")
+      // the compression claim, measured under PLAIN encoding (dictionary
+      // off, no codec): that isolates what the FORMAT achieves — 1 B vs
+      // 8 B per component — from parquet's entropy coding, which on a
+      // tiny fixture dictionary-packs the small-range longs to ~1 B
+      // itself and would make the file sizes measure the encoder, not
+      // the format
+      def bytes(dir: String): Long = {
+        val p = java.nio.file.Paths.get(dir)
+        java.nio.file.Files.walk(p).filter(_.toString.endsWith(".parquet"))
+          .mapToLong(f => java.nio.file.Files.size(f)).sum()
+      }
+      def writePlain(df: org.apache.spark.sql.DataFrame, dir: String): Unit =
+        df.write.mode("overwrite")
+          .option("parquet.enable.dictionary", "false")
+          .option("compression", "uncompressed")
+          .parquet(dir)
+      val plainPacked = java.nio.file.Files.createTempDirectory("int8_pp_").toString
+      val plainLong = java.nio.file.Files.createTempDirectory("int8_pl_").toString
+      try {
+        writePlain(graft.ops.Similarity.quantizeInt8Packed(emb, "embedding", "vec_id"),
+          plainPacked)
+        writePlain(quantized, plainLong)
+        val (pb, lb) = (bytes(plainPacked), bytes(plainLong))
+        assert(pb > 0 && pb * 2 <= lb,
+          s"packed $pb B not meaningfully smaller than long-array $lb B under PLAIN")
+      } finally {
+        graft.util.Fs.deleteTree(java.nio.file.Paths.get(plainPacked))
+        graft.util.Fs.deleteTree(java.nio.file.Paths.get(plainLong))
+      }
+      // and the packed column IS 1 B/component
+      assert(spark.read.parquet(packedDir)
+        .filter(length(col("qvec8")) =!= 64).count() == 0)
+    } finally graft.util.Fs.deleteTree(java.nio.file.Paths.get(packedDir))
+    // out-of-range packs fail loudly, never truncate
+    val bad = Seq((1L, Seq(1L, 300L))).toDF("vec_id", "qvec")
+    val e = intercept[Exception] {
+      bad.select(VectorExpressions.int8PackNative(col("qvec"))).collect()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("outside byte range"), s"unexpected failure: $msgs")
+  }
+
   test("pq_codes: wrong dims and null components fail loudly") {
     import spark.implicits._
     val cb = Array.fill(16)(Array.fill(64)(0.5))
