@@ -22,6 +22,7 @@ object SparkEntry {
     graft.queries.Relational.queries ++
     graft.queries.HttpEnrichment.queries ++
     graft.queries.Ext.queries ++
+    graft.queries.PipelineGate.queries ++
     graft.queries.StreamGate.allQueries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -30,5 +31,6 @@ object SparkEntry {
     graft.queries.Relational.oracle ++
     graft.queries.HttpEnrichment.oracle ++
     graft.queries.Ext.oracle ++
+    graft.queries.PipelineGate.oracle ++
     graft.queries.StreamGate.oracle
 }

@@ -43,13 +43,17 @@ object Pipeline {
       .select(col("doc_id"), col("clean_text").as("text"))
     stage("substring dedup", spanned.count())
 
-    // 4. LM fluency filter: drop the least-fluent tail (worst 10% NLL)
+    // 4. LM fluency filter: drop the least-fluent tail (worst 10% NLL).
+    //    The EXACT deterministic decile (LangModel.exactNllCut) keeps the
+    //    whole pipeline lazy and oracle-replayable — p01 gates this very
+    //    chain; swap in stat.approxQuantile at corpus sizes where a
+    //    global row_number sort is unaffordable
     val scoredLm = LangModel.perplexityScoreSelf(spanned, "doc_id", "text")
-    val nllCut = scoredLm.filter(col("n_transitions") > 0)
-      .stat.approxQuantile("nll_nats", Array(0.9), 0.01).head
-    val fluent = spanned.join(
-      scoredLm.filter(col("n_transitions") === 0 || col("nll_nats") <= nllCut)
-        .select("doc_id"), "doc_id")
+    val fluent = spanned
+      .join(scoredLm.select("doc_id", "n_transitions", "nll_nats"), "doc_id")
+      .crossJoin(broadcast(LangModel.exactNllCut(scoredLm, "doc_id")))
+      .filter(col("n_transitions") === 0 || col("nll_nats") <= col("nll_cut"))
+      .select(col("doc_id"), col("text"))
     stage("LM fluency filter", fluent.count())
 
     // 5. near-dup dedup, the LSH scale path: candidates → exact verify →

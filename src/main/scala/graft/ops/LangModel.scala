@@ -108,6 +108,36 @@ object LangModel {
     perplexityScore(docs, idCol, textCol,
       trainBigramLm(docs, idCol, textCol))
 
+  /** EXACT deterministic fluency cut over a [[perplexityScore]] frame:
+    * the `nll_nats` value at integer rank ceil(numer/denom · m) under
+    * (nll, id) total order, over the m docs with ≥1 transition — the
+    * replayable replacement for `approxQuantile` inside gated
+    * compositions (p01): the rank is pure integer arithmetic
+    * (ceil(n·m/d) = floor((n·m + n)/d) for the default 9/10... exactly
+    * floor((n·m + (d-1))/d) in general), the order ties on the id, and
+    * the cut value is one of the rounded nll doubles, so an external
+    * engine reproduces the identical cut. Returns a 1-row (nll_cut)
+    * frame — crossJoin(broadcast(...)) it; unlike approxQuantile this
+    * keeps the pipeline LAZY (no driver action mid-plan). Exact
+    * quantiles need a total order: one global row_number sort of doc-id
+    * sized rows — at extreme corpus sizes swap in approxQuantile or a
+    * two-pass histogram and give up replayability. */
+  def exactNllCut(scored: DataFrame, idCol: String,
+                  numer: Int = 9, denom: Int = 10): DataFrame = {
+    require(numer > 0 && denom > 0 && numer <= denom,
+      s"cut fraction must be in (0,1]: $numer/$denom")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("nll_nats").asc, col(idCol).asc)
+    val ranked = scored.filter(col("n_transitions") > 0)
+      .select(col("nll_nats"), col(idCol))
+      .withColumn("rn", row_number().over(w))
+    ranked
+      .crossJoin(ranked.agg(count(lit(1)).as("m")))
+      .filter(col("rn") <=
+        floor((col("m") * numer + lit(denom - 1)) / denom))
+      .agg(max(col("nll_nats")).as("nll_cut"))
+  }
+
   /** Per-slice DISTRIBUTION DRIFT: KL(P_slice ‖ P_corpus) over the
     * corpus vocabulary, add-one smoothed on both sides — the corpus-
     * monitoring report that flags a source/day/domain whose word

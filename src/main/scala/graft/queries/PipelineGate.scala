@@ -1,0 +1,203 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.{Chunking, Dedup, LangModel, TextStats}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The MULTI-STAGE pipeline composition gate (p01): six chained stages
+  * of [[graft.examples.Pipeline]] — quality gate → block-level
+  * boilerplate dedup → any-offset substring span dedup → self-trained
+  * bigram-LM fluency cut (EXACT deterministic decile, not
+  * approxQuantile) → near-dup keep-one (LSH scale path) → sqrt-
+  * temperature language rebalancing — verified as ONE query against ONE
+  * DuckDB oracle that replays every stage over the rewritten
+  * intermediate texts.
+  *
+  * Why a composition gate when each stage is already gated (x26 covers
+  * only 3 stages): the failure mode users hit composing operators is
+  * STAGE-INTERFACE drift — a stage changing its text-rewriting
+  * convention (separator, empty-doc handling, tie order) breaks the
+  * pipeline while every per-stage oracle stays green, because each
+  * per-stage gate feeds on pristine `documents`. Here stage N's oracle
+  * CTE consumes stage N-1's oracle CTE exactly as the Spark plan chains
+  * DataFrames, so any drift in an intermediate contract flips the final
+  * hash.
+  *
+  * Scale shape: every stage is its operator's production path (the
+  * linear window/block machinery, the LSH near-dup path, broadcast
+  * rates); the one addition, the exact decile cut, is a single global
+  * row_number over doc-sized rows ([[LangModel.exactNllCut]] — swap for
+  * approxQuantile beyond that, losing replayability).
+  */
+object PipelineGate {
+
+  /** The p01 chain. Returns the surviving mixed corpus as
+    * (doc_id, lang, text_md5), one row per retained doc. */
+  def cleanMix(docs: DataFrame): DataFrame = {
+    // 1. quality gate (the x26/x39 shared definition)
+    val quality = docs.filter(TextStats.qualityGate(col("text")))
+    // 2. cross-document 20-token block dedup (x41)
+    val deboiler = Dedup.blockDedup(quality, "doc_id", "text", blockTokens = 20)
+      .select(col("doc_id"), col("clean_text").as("text"))
+    // 3. stride-1 8-word substring span dedup (x47); fully-covered docs drop
+    val spanned = Dedup.exactSubstringDedup(deboiler, "doc_id", "text")
+      .filter(col("n_kept") > 0)
+      .select(col("doc_id"), col("clean_text").as("text"))
+    // 4. fluency: self-trained bigram NLL (x48) + exact decile cut —
+    //    keep the most-fluent ~90% (and transition-free docs, which the
+    //    LM cannot judge)
+    val scored = LangModel.perplexityScoreSelf(spanned, "doc_id", "text")
+      .select(col("doc_id"), col("n_transitions"), col("nll_nats"))
+    val fluent = spanned
+      .join(scored, "doc_id")
+      .crossJoin(broadcast(LangModel.exactNllCut(scored, "doc_id")))
+      .filter(col("n_transitions") === 0 || col("nll_nats") <= col("nll_cut"))
+      .select(col("doc_id"), col("text"))
+    // 5. near-dup keep-one over the rewritten texts (x34's scale path:
+    //    LSH candidates → exact verify → components → min-id keep)
+    val kept = Dedup.nearDupDedup(
+      fluent.join(docs.select(col("doc_id"), col("lang")), "doc_id"),
+      "doc_id", "text", blockCol = "lang")
+    // 6. sqrt-temperature language rebalancing (x54), downsample-only
+    Chunking.temperatureMix(kept, "lang", "doc_id")
+      .filter(col("keep"))
+      .select(col("doc_id"), col("lang"), md5(col("text")).as("text_md5"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p01_pipeline_clean_mix" -> { (s, dir) =>
+      cleanMix(Tables.documents(s, dir)).orderBy("doc_id")
+    },
+  )
+
+  /** One oracle, six chained stage blocks — each the proven per-stage
+    * SQL (x26 quality / x41 blocks / x47 spans / x48 LM / x34 near-dup /
+    * x54 mix) re-pointed at the previous stage's CTE instead of raw
+    * `documents`. */
+  val oracle: Map[String, String] = Map(
+    "p01_pipeline_clean_mix" ->
+      """WITH RECURSIVE q AS (
+        |  SELECT doc_id, text,
+        |    len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tokens,
+        |    CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+        |      / NULLIF(length(text), 0) AS ar
+        |  FROM documents),
+        |d1 AS (
+        |  SELECT doc_id, text FROM q
+        |  WHERE n_tokens >= 5 AND round(ar, 6) >= 0.5),
+        |t2 AS (SELECT doc_id, string_split(text, ' ') AS toks FROM d1),
+        |b2 AS (
+        |  SELECT doc_id, toks, UNNEST(range(0, (len(toks) - 1) // 20 + 1)) AS block_idx
+        |  FROM t2),
+        |bt2 AS (
+        |  SELECT doc_id, CAST(block_idx AS INT) AS block_idx,
+        |    array_to_string(toks[block_idx * 20 + 1 : block_idx * 20 + 20], ' ') AS block_text
+        |  FROM b2),
+        |k2 AS (
+        |  SELECT doc_id, block_idx, block_text FROM bt2
+        |  QUALIFY row_number() OVER (PARTITION BY block_text ORDER BY doc_id, block_idx) = 1),
+        |d2 AS (
+        |  SELECT doc_id, string_agg(block_text, ' ' ORDER BY block_idx) AS text
+        |  FROM k2 GROUP BY doc_id),
+        |w3 AS (SELECT doc_id, string_split(text, ' ') AS ws FROM d2),
+        |g3 AS (
+        |  SELECT doc_id, CAST(i AS INT) AS pos,
+        |    md5(array_to_string(ws[i : i + 7], ' ')) AS g
+        |  FROM w3, unnest(generate_series(1, len(ws) - 7)) t(i)
+        |  WHERE len(ws) >= 8),
+        |dup3 AS (
+        |  SELECT doc_id, pos FROM g3
+        |  QUALIFY row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) > 1),
+        |cov3 AS (
+        |  SELECT DISTINCT doc_id, wp FROM (
+        |    SELECT doc_id, unnest(generate_series(pos, pos + 7)) AS wp FROM dup3)),
+        |words3 AS (
+        |  SELECT doc_id, CAST(i AS INT) AS wp, ws[i] AS word
+        |  FROM w3, unnest(generate_series(1, len(ws))) t(i)),
+        |d3 AS (
+        |  SELECT words3.doc_id, string_agg(word, ' ' ORDER BY words3.wp) AS text
+        |  FROM words3 LEFT JOIN cov3
+        |    ON cov3.doc_id = words3.doc_id AND cov3.wp = words3.wp
+        |  WHERE cov3.wp IS NULL
+        |  GROUP BY words3.doc_id),
+        |tok4 AS (SELECT doc_id, string_split(text, ' ') AS ts FROM d3),
+        |tr4 AS (
+        |  SELECT doc_id, ts[i] AS prev, ts[i+1] AS cur
+        |  FROM tok4, unnest(generate_series(1, len(ts) - 1)) u(i)
+        |  WHERE len(ts) >= 2),
+        |uni4 AS (SELECT prev, COUNT(*) AS cu FROM tr4 GROUP BY 1),
+        |bi4 AS (SELECT prev, cur, COUNT(*) AS cb FROM tr4 GROUP BY 1, 2),
+        |v4 AS (SELECT COUNT(DISTINCT w) AS vsz
+        |       FROM (SELECT unnest(ts) AS w FROM tok4)),
+        |lp4 AS (
+        |  SELECT tr4.doc_id,
+        |    CAST(floor(ln((bi4.cb + 1.0) / (uni4.cu + v4.vsz)) * 1000000000000.0) AS BIGINT) AS lp_fix
+        |  FROM tr4
+        |  JOIN uni4 ON uni4.prev = tr4.prev
+        |  JOIN bi4 ON bi4.prev = tr4.prev AND bi4.cur = tr4.cur, v4),
+        |agg4 AS (
+        |  SELECT doc_id, COUNT(*) AS n_transitions, SUM(lp_fix) AS sfix
+        |  FROM lp4 GROUP BY 1),
+        |nll4 AS (
+        |  SELECT tok4.doc_id, coalesce(n_transitions, 0) AS n_transitions,
+        |    round(CAST(-sfix AS DOUBLE) / 1000000000000.0 / n_transitions, 6) AS nll_nats
+        |  FROM tok4 LEFT JOIN agg4 USING (doc_id)),
+        |rank4 AS (
+        |  SELECT doc_id, nll_nats,
+        |    row_number() OVER (ORDER BY nll_nats ASC, doc_id ASC) AS rn
+        |  FROM nll4 WHERE n_transitions > 0),
+        |m4 AS (SELECT COUNT(*) AS m FROM rank4),
+        |cut4 AS (
+        |  SELECT MAX(nll_nats) AS nll_cut FROM rank4, m4
+        |  WHERE rn <= floor((m * 9 + 9) / 10)),
+        |d4 AS (
+        |  SELECT d3.doc_id, d3.text FROM d3
+        |  JOIN nll4 USING (doc_id), cut4
+        |  WHERE n_transitions = 0 OR nll_nats <= nll_cut),
+        |tok5 AS (
+        |  SELECT d4.doc_id, d.lang, string_split(d4.text, ' ') AS ts
+        |  FROM d4 JOIN documents d USING (doc_id)
+        |  WHERE len(string_split(d4.text, ' ')) >= 3),
+        |tri5 AS (
+        |  SELECT DISTINCT doc_id, lang,
+        |    unnest(list_transform(generate_series(1, len(ts) - 2),
+        |      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS g
+        |  FROM tok5),
+        |nt5 AS (SELECT doc_id, COUNT(*) AS n FROM tri5 GROUP BY doc_id),
+        |cand5 AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS common
+        |  FROM tri5 a JOIN tri5 b
+        |    ON a.g = b.g AND a.lang = b.lang AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |p5 AS (
+        |  SELECT a_id, b_id FROM cand5
+        |  JOIN nt5 na ON a_id = na.doc_id JOIN nt5 nb ON b_id = nb.doc_id
+        |  WHERE common * 1.0 / (na.n + nb.n - common) >= 0.5),
+        |edges5 AS (SELECT a_id AS u, b_id AS v FROM p5 UNION SELECT b_id, a_id FROM p5),
+        |walk5(id, reach) AS (
+        |  SELECT doc_id, doc_id FROM d4
+        |  UNION
+        |  SELECT w.id, e.v FROM walk5 w JOIN edges5 e ON w.reach = e.u),
+        |comp5 AS (SELECT id AS doc_id, MIN(reach) AS cluster_id FROM walk5 GROUP BY id),
+        |d5 AS (
+        |  SELECT d4.doc_id, d4.text FROM d4
+        |  JOIN comp5 c ON c.doc_id = d4.doc_id
+        |  WHERE c.doc_id = c.cluster_id),
+        |c6 AS (
+        |  SELECT d.lang, COUNT(*) AS ng
+        |  FROM d5 JOIN documents d USING (doc_id) GROUP BY 1),
+        |mm6 AS (SELECT MIN(ng) AS nmin FROM c6),
+        |r6 AS (
+        |  SELECT lang, ng,
+        |    CAST(floor(sqrt(CAST(nmin AS DOUBLE) / ng) * 65536.0 + 0.5) AS INT) AS cut
+        |  FROM c6, mm6),
+        |k6 AS (
+        |  SELECT d5.doc_id, d.lang, d5.text
+        |  FROM d5 JOIN documents d USING (doc_id) JOIN r6 ON r6.lang = d.lang
+        |  WHERE r6.cut >= 65536 OR
+        |    substr(md5(CAST(d5.doc_id AS VARCHAR)), 1, 4) < printf('%04x', r6.cut))
+        |SELECT doc_id, lang, md5(text) AS text_md5
+        |FROM k6 ORDER BY doc_id""".stripMargin,
+  )
+}
