@@ -33,32 +33,46 @@ import org.apache.spark.sql.functions._
 object PipelineGate {
 
   /** The p01 chain. Returns the surviving mixed corpus as
-    * (doc_id, lang, text_md5), one row per retained doc. */
+    * (doc_id, lang, text_md5), one row per retained doc.
+    *
+    * Stage OUTPUTS are eagerly checkpointed (registry-tracked, released
+    * by `Caches.releaseAll`): every stage here has several downstream
+    * consumers (the LM trains AND scores over stage 3; near-dup scans
+    * its input for signatures, verification, components and retention;
+    * the mix reads its input twice), so an unbroken lazy DAG recomputes
+    * the whole upstream chain per consumer — measured 141 s at sf0.1 vs
+    * ~13 s checkpointed, pure recompute amplification. At 100 TB these
+    * boundaries are exactly where a pipeline writes intermediate tables
+    * anyway. */
   def cleanMix(docs: DataFrame): DataFrame = {
+    import graft.ops.Caches.localCheckpointTracked
     // 1. quality gate (the x26/x39 shared definition)
     val quality = docs.filter(TextStats.qualityGate(col("text")))
     // 2. cross-document 20-token block dedup (x41)
     val deboiler = Dedup.blockDedup(quality, "doc_id", "text", blockTokens = 20)
       .select(col("doc_id"), col("clean_text").as("text"))
     // 3. stride-1 8-word substring span dedup (x47); fully-covered docs drop
-    val spanned = Dedup.exactSubstringDedup(deboiler, "doc_id", "text")
-      .filter(col("n_kept") > 0)
-      .select(col("doc_id"), col("clean_text").as("text"))
+    val spanned = localCheckpointTracked(
+      Dedup.exactSubstringDedup(deboiler, "doc_id", "text")
+        .filter(col("n_kept") > 0)
+        .select(col("doc_id"), col("clean_text").as("text")))
     // 4. fluency: self-trained bigram NLL (x48) + exact decile cut —
     //    keep the most-fluent ~90% (and transition-free docs, which the
     //    LM cannot judge)
-    val scored = LangModel.perplexityScoreSelf(spanned, "doc_id", "text")
-      .select(col("doc_id"), col("n_transitions"), col("nll_nats"))
-    val fluent = spanned
-      .join(scored, "doc_id")
-      .crossJoin(broadcast(LangModel.exactNllCut(scored, "doc_id")))
-      .filter(col("n_transitions") === 0 || col("nll_nats") <= col("nll_cut"))
-      .select(col("doc_id"), col("text"))
+    val scored = localCheckpointTracked(
+      LangModel.perplexityScoreSelf(spanned, "doc_id", "text")
+        .select(col("doc_id"), col("n_transitions"), col("nll_nats")))
+    val fluent = localCheckpointTracked(
+      spanned
+        .join(scored, "doc_id")
+        .crossJoin(broadcast(LangModel.exactNllCut(scored, "doc_id")))
+        .filter(col("n_transitions") === 0 || col("nll_nats") <= col("nll_cut"))
+        .select(col("doc_id"), col("text"))
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id"))
     // 5. near-dup keep-one over the rewritten texts (x34's scale path:
     //    LSH candidates → exact verify → components → min-id keep)
-    val kept = Dedup.nearDupDedup(
-      fluent.join(docs.select(col("doc_id"), col("lang")), "doc_id"),
-      "doc_id", "text", blockCol = "lang")
+    val kept = localCheckpointTracked(
+      Dedup.nearDupDedup(fluent, "doc_id", "text", blockCol = "lang"))
     // 6. sqrt-temperature language rebalancing (x54), downsample-only
     Chunking.temperatureMix(kept, "lang", "doc_id")
       .filter(col("keep"))
