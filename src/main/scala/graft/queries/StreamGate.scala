@@ -159,7 +159,8 @@ object StreamGate {
     * conf can't race another query. */
   private val gateActive = new java.util.concurrent.atomic.AtomicBoolean(false)
 
-  private def withGateConf[T](s: SparkSession, noData: Boolean = false)(body: => T): T = {
+  private def withGateConf[T](s: SparkSession, noData: Boolean = false,
+                              partitions: Int = 4)(body: => T): T = {
     // Guard the sequential-execution assumption instead of trusting it
     // (ADVICE r6): the temporary session conf below is safe ONLY while no
     // other gate query shares the session. A future concurrent harness
@@ -169,7 +170,7 @@ object StreamGate {
       "gate queries must run sequentially: withGateConf mutates session-global conf")
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     val prevNoData = s.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
-    s.conf.set("spark.sql.shuffle.partitions", "4")
+    s.conf.set("spark.sql.shuffle.partitions", partitions.toString)
     // The trailing no-data micro-batch exists to advance the watermark so
     // append-mode WINDOWED aggregates can emit finalized windows. Most gate
     // queries don't need it (s01/s04 are complete-mode; s02's dedup and
@@ -551,10 +552,17 @@ object StreamGate {
       val topic = orderedEventsTopic(s, dir)
       val run = java.util.UUID.randomUUID().toString.take(8)
       val mem = s"s07_result_$run"
-      withGateConf(s, noData = true) {
+      // r8 trim: 3 data batches (was 6) — the watermark advances ~10
+      // days/trigger, so batch-1 join windows (c_ts+7d < day 15) still
+      // evict DURING data batch 3, mid-drain as asserted; and 2 state
+      // partitions (was 4) — the outer join keeps 4 state stores per
+      // partition, so this halves per-batch store open/commit machinery
+      // while staying multi-partition. Each saved batch saves a full
+      // admission pass over BOTH sides plus 4-store commits.
+      withGateConf(s, noData = true, partitions = 2) {
         def side(): DataFrame = s.readStream.format("graft-topic")
           .option("topic", topic)
-          .option("maxRecordsPerTrigger", math.max(1L, topicSize(topic) / 6).toString)
+          .option("maxRecordsPerTrigger", math.max(1L, topicSize(topic) / 3).toString)
           .load()
           .select(col("timestamp").as("ts"),
             from_json(col("value").cast("string"), org.apache.spark.sql.types
