@@ -398,6 +398,31 @@ object Similarity {
       .select("a_id", "b_id", "cos_sim")
   }
 
+  /** Multi-family OR-construction over [[cosineNearDupPairs]]: `families`
+    * INDEPENDENT `bandsPerFamily`×`bandBits` plane families, a pair
+    * kept when ANY family's any band collides. The plane matrix is
+    * md5-indexed per (band, dim), so family f's planes (band indices
+    * f·bandsPerFamily ..) are fresh deterministic draws — the union is
+    * literally the same banding machinery at `families · bandsPerFamily`
+    * bands, one extra native-expression pass cost and the identical
+    * equi-join (cartesian-free, OpsSpec-audited) plan.
+    *
+    * Why: an OR across independent families SQUARES the miss rate —
+    * 16×8 at cosine 0.9 has recall ≈ 0.96; two families ≈ 1−0.04² ≈
+    * 0.998 — while candidate volume only doubles (vs shortening bands,
+    * which explodes false positives exponentially). Verification stays
+    * exact, so the output is still ⊆ [[exactCosinePairs]]; only recall
+    * improves. Replayable in SQL exactly like the single family (the
+    * x42 oracle's plane rebuild, extended to 2·128 plane indices). */
+  def cosineNearDupPairsOr(emb: DataFrame, vecCol: String, idCol: String,
+                           threshold: Double, families: Int = 2,
+                           bandsPerFamily: Int = 16, bandBits: Int = 8,
+                           dims: Int = 64): DataFrame = {
+    require(families >= 1, s"families must be >= 1, got $families")
+    cosineNearDupPairs(emb, vecCol, idCol, threshold,
+      families * bandsPerFamily, bandBits, dims)
+  }
+
   /** Whole SEMANTIC-dedup pipeline over an embedding column, one call —
     * the embedding analog of [[Dedup.nearDupDedup]]: banded-LSH candidate
     * pairs → exact cosine verification → connected components → keep the

@@ -336,6 +336,46 @@ class OpsSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"banded LSH missed planted near-dups: $missing")
   }
 
+  test("two-family OR banding: squares the miss rate at moderate cosine, plan stays equi-join") {
+    import spark.implicits._
+    // 60 planted pairs at cosine ≈ 0.8 — the moderate-similarity regime
+    // where ONE 16×8 family's S-curve measurably misses (expected recall
+    // ≈ 0.94 ⇒ ~4 misses on 60) and the two-family OR should catch
+    // everything (miss rate squares to ~0.4%). Planes AND fixture are
+    // deterministic, so the observed sets cannot flake.
+    val rnd = new scala.util.Random(7)
+    def normed(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val rows = (0 until 60).flatMap { i =>
+      val v = normed(Array.fill(64)(rnd.nextGaussian()))
+      val u = Array.fill(64)(rnd.nextGaussian())
+      val proj = (u zip v).map { case (a, b) => a * b }.sum
+      val w = normed((u zip v).map { case (a, b) => a - proj * b })
+      val v2 = (v zip w).map { case (a, b) => 0.8 * a + 0.6 * b }
+      Seq((i + 1L, v.toSeq), (i + 1001L, v2.toSeq))
+    }
+    val df = rows.toDF("vec_id", "embedding").repartition(4)
+    val planted = (0 until 60).map(i => (i + 1L, i + 1001L)).toSet
+    def pairs(found: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      found.select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val one = pairs(Similarity.cosineNearDupPairs(df, "embedding", "vec_id", 0.75))
+    val union = pairs(Similarity.cosineNearDupPairsOr(df, "embedding", "vec_id", 0.75))
+    // OR-construction is a strict widening: every single-family pair survives
+    assert(one.subsetOf(union), s"union lost pairs: ${one -- union}")
+    val missedOne = planted -- one
+    val missedUnion = planted -- union
+    assert(missedOne.nonEmpty,
+      "fixture no longer exercises the single-family miss regime — lower the planted cosine")
+    assert(missedUnion.isEmpty,
+      s"two-family OR missed planted pairs: $missedUnion (one family missed ${missedOne.size})")
+    // still the banded equi-join plan — no cartesian anywhere
+    val plan = Similarity.cosineNearDupPairsOr(df, "embedding", "vec_id", 0.75)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"OR-construction plan regressed to cartesian:\n$plan")
+  }
+
   test("group MinHash-union sketch estimates source Jaccard within 0.2 of exact") {
     import spark.implicits._
     val sketches = Dedup.groupMinhashSketch(docs, "source", "text")
