@@ -871,6 +871,73 @@ object Similarity {
         round(col("l2"), 6).as("l2_dist"))
   }
 
+  /** RESIDUAL IVF×PQ top-k — classic IVFADC: PQ encodes the residual
+    * `v − centroid(cell)` instead of the raw vector, so the codebook
+    * spends its 16 cells on the (much tighter) within-cell displacement
+    * distribution rather than re-describing the coarse structure the
+    * IVF cells already capture — the standard accuracy refinement at
+    * identical serving cost. The query side becomes per-cell: each
+    * probed cell's ADC table is built from `q − c_cell` (nProbe small
+    * driver-side tables, shipped as one map literal keyed by cell id);
+    * the scan is still m lookups/row over (id, cell, codes), and the
+    * exact rerank is unchanged.
+    *
+    * Fully oracle-replayable (x59): residual subtraction is exact IEEE,
+    * the residual-sample codebook uses the same md5 ordering, and codes
+    * / per-cell tables / cut / rerank follow the proven x51/x58
+    * conventions. */
+  def ivfPqResidualTopK(emb: DataFrame, vecCol: String, idCol: String,
+                        queryVec: Seq[Double], k: Int, nLists: Int = 16,
+                        nProbe: Int = 4, m: Int = 8, nCentroids: Int = 16,
+                        refine: Int = 3): DataFrame = {
+    require(refine >= 1, s"refine must be >= 1, got $refine")
+    val dims = queryVec.length
+    val (cents, assigned) = ivfBuild(emb, vecCol, idCol, nLists)
+    val resid = assigned
+      .join(broadcast(cents), "centroid_id")
+      .select(col(idCol), col("centroid_id"),
+        zip_with(col("vec"), col("cv"), (a, b) => a - b).as("rvec"))
+    val cb = pqBuildCodebook(resid, "rvec", idCol, nCentroids)
+    val encoded = resid.withColumn("codes",
+      graft.functions.VectorExpressions.pqCodesNative(
+        col("rvec"), cb.flatten, nCentroids, m, dims))
+    // coarse probe (the x58 cut) — but keep each cell's centroid vector:
+    // the ADC table is per cell, built from the query RESIDUAL q - c
+    val q = lit(queryVec.toArray)
+    val probed = cents
+      .withColumn("qscore", VectorFunctions.dot(col("cv"), q) /
+        (VectorFunctions.norm(col("cv")) * VectorFunctions.norm(q)))
+      .orderBy(col("qscore").desc, col("centroid_id").asc)
+      .limit(nProbe)
+      .select(col("centroid_id").cast("long"), col("cv"))
+      .collect()
+    val cellIds = probed.map(_.getLong(0))
+    val tables: Map[Long, Seq[Seq[Double]]] = probed.map { r =>
+      val c = r.getSeq[Double](1)
+      r.getLong(0) -> adcTable(queryVec.indices.map(i => queryVec(i) - c(i)), cb, m)
+    }.toMap
+    val tMap = typedLit(tables)
+    val cands = encoded
+      .filter(col("centroid_id").isin(cellIds.map(Long.box): _*))
+      .select(col(idCol), col("centroid_id"), col("codes"))
+      .withColumn("pq", aggregate(
+        sequence(lit(0), lit(m - 1)), lit(0.0), (acc, j) =>
+          acc + element_at(element_at(element_at(tMap, col("centroid_id")), j + 1),
+            element_at(col("codes"), j + 1) + 1)))
+      .orderBy(col("pq").asc, col(idCol).asc)
+      .limit(refine * k)
+    cands
+      .join(emb.select(col(idCol),
+        col(vecCol).cast("array<double>").as("__v")), Seq(idCol))
+      .withColumn("l2", aggregate(
+        zip_with(col("__v"), q, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x))
+      .orderBy(col("l2").asc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol), round(col("pq"), 6).as("pq_dist"),
+        round(col("l2"), 6).as("l2_dist"))
+  }
+
   /** One-shot IVF×PQ top-k: coarse cells from [[ivfBuild]], codes from
     * the sampled codebook (pass `trainIters > 0` to drop in the
     * [[pqTrainCodebook]] model — the serving geometry is identical),

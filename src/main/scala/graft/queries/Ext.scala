@@ -187,6 +187,19 @@ object Ext {
         queryVec = queryVec(s, dir), k = 20)
     },
 
+    // RESIDUAL IVF×PQ (classic IVFADC) — x58 with PQ spent on the
+    // within-cell displacement v − centroid instead of the raw vector,
+    // and the ADC table built per probed cell from q − c_cell. FULL
+    // oracle: residual subtraction is exact IEEE, the residual-sample
+    // codebook reuses the md5 ordering, and codes / per-cell tables /
+    // cut / rerank replay stage for stage.
+    "x59_ivfpq_residual_topk" -> { (s, dir) =>
+      Similarity.ivfPqResidualTopK(
+        Tables.embeddings(s, dir).filter(col("vec_id") =!= 0),
+        vecCol = "embedding", idCol = "vec_id",
+        queryVec = queryVec(s, dir), k = 20)
+    },
+
     // IVF ANN top-k — FULL oracle of the approximation: the centroid
     // sample orders by md5(id) (engine-portable), assignment is an argmax
     // whose result is order-independent given bit-identical scores, and
@@ -1370,6 +1383,82 @@ object Ext {
         |approx AS (
         |  SELECT c.vec_id, list_sum(list(qt.dist ORDER BY c.j)) AS pq
         |  FROM codes c JOIN qtab qt ON qt.j = c.j AND qt.k = c.k
+        |  GROUP BY c.vec_id),
+        |cand AS (
+        |  SELECT vec_id, pq FROM approx
+        |  QUALIFY row_number() OVER (ORDER BY pq, vec_id) <= 60),
+        |scored AS (
+        |  SELECT cand.vec_id, cand.pq,
+        |    list_sum(list_transform(generate_series(1, len(e.v)), t ->
+        |      (e.v[t] - q.qv[t]) * (e.v[t] - q.qv[t]))) AS l2
+        |  FROM cand JOIN e ON e.vec_id = cand.vec_id, q)
+        |SELECT vec_id, round(pq, 6) AS pq_dist, round(l2, 6) AS l2_dist
+        |FROM scored ORDER BY l2 ASC, vec_id ASC LIMIT 20""".stripMargin,
+
+    // Residual IVFADC replayed stage for stage: x58's sample/assignment/
+    // probe, then residuals v−cv (exact IEEE subtraction), the residual-
+    // sample codebook (same md5 order over rv), residual argmin codes,
+    // PER-CELL query tables from (qv−cv_cell)−rcb, the cell-keyed ADC
+    // join, cut and rerank.
+    "x59_ivfpq_residual_topk" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id <> 0),
+        |q AS (
+        |  SELECT CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id = 0),
+        |samp AS (
+        |  SELECT vec_id AS cid, v AS cv
+        |  FROM e
+        |  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 16),
+        |asg AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT e.vec_id, samp.cid,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_sum(list_transform(generate_series(1, len(e.v)), i -> e.v[i] * samp.cv[i])) /
+        |          (sqrt(list_sum(list_transform(generate_series(1, len(e.v)), i -> e.v[i] * e.v[i]))) *
+        |           sqrt(list_sum(list_transform(generate_series(1, len(samp.cv)), i -> samp.cv[i] * samp.cv[i])))) DESC,
+        |        samp.cid ASC) AS rk
+        |    FROM e, samp) WHERE rk = 1),
+        |probe AS (
+        |  SELECT cid, cv FROM samp, q
+        |  ORDER BY
+        |    list_sum(list_transform(generate_series(1, len(cv)), i -> cv[i] * qv[i])) /
+        |      (sqrt(list_sum(list_transform(generate_series(1, len(cv)), i -> cv[i] * cv[i]))) *
+        |       sqrt(list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * qv[i])))) DESC,
+        |    cid ASC LIMIT 4),
+        |rv AS (
+        |  SELECT a.vec_id, a.cid,
+        |    list_transform(generate_series(1, len(e.v)), i -> e.v[i] - samp.cv[i]) AS r
+        |  FROM asg a JOIN e USING (vec_id) JOIN samp ON samp.cid = a.cid),
+        |rcb AS (
+        |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS k,
+        |    r AS cv
+        |  FROM rv
+        |  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 16),
+        |pruned AS (
+        |  SELECT vec_id FROM asg JOIN (SELECT cid FROM probe) p USING (cid)),
+        |jj AS (SELECT unnest(generate_series(0, 7)) AS j),
+        |dist AS (
+        |  SELECT rv.vec_id, jj.j, rcb.k,
+        |    list_sum(list_transform(generate_series(1, 8), t ->
+        |      (rv.r[jj.j * 8 + t] - rcb.cv[jj.j * 8 + t]) *
+        |      (rv.r[jj.j * 8 + t] - rcb.cv[jj.j * 8 + t]))) AS dist
+        |  FROM rv JOIN pruned USING (vec_id), jj, rcb),
+        |codes AS (
+        |  SELECT vec_id, j, k FROM dist
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, k) = 1),
+        |qtab AS (
+        |  SELECT probe.cid, jj.j, rcb.k,
+        |    list_sum(list_transform(generate_series(1, 8), t ->
+        |      ((q.qv[jj.j * 8 + t] - probe.cv[jj.j * 8 + t]) - rcb.cv[jj.j * 8 + t]) *
+        |      ((q.qv[jj.j * 8 + t] - probe.cv[jj.j * 8 + t]) - rcb.cv[jj.j * 8 + t]))) AS dist
+        |  FROM q, probe, jj, rcb),
+        |approx AS (
+        |  SELECT c.vec_id, list_sum(list(qt.dist ORDER BY c.j)) AS pq
+        |  FROM codes c
+        |  JOIN asg ON asg.vec_id = c.vec_id
+        |  JOIN qtab qt ON qt.cid = asg.cid AND qt.j = c.j AND qt.k = c.k
         |  GROUP BY c.vec_id),
         |cand AS (
         |  SELECT vec_id, pq FROM approx

@@ -935,6 +935,40 @@ class OpsSpec extends AnyFunSuite {
       assert(t.sameElements(i), s"uniform-corpus codebook row $k drifted from init") }
   }
 
+  test("IVFPQ family on planted clusters: residual encoding beats raw, rerank exact") {
+    import spark.implicits._
+    // same planted geometry as the trained-PQ test: 16 clusters the IVF
+    // cells should capture, so residuals are small displacements — the
+    // regime where residual PQ's accuracy advantage exists by design
+    val rnd = new scala.util.Random(43)
+    val centers = Array.fill(16, 64)(rnd.nextDouble() * 4.0 - 2.0)
+    val rows = for (g <- 0 until 16; i <- 0 until 20) yield {
+      val id = (g * 20 + i + 1).toLong
+      (id, centers(g).map(c => c + rnd.nextDouble() * 0.1 - 0.05).toSeq)
+    }
+    val fixture = rows.toDF("vec_id", "embedding").repartition(4)
+    val qv = centers(5).map(c => c + 0.01).toSeq
+    val exact = fixture
+      .withColumn("l2", round(graft.functions.VectorFunctions.l2sq(
+        col("embedding"), lit(qv.toArray)), 6))
+      .select(col("vec_id"), col("l2"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val exactTop = exact.toSeq.sortBy { case (id, l2) => (l2, id) }
+      .take(20).map(_._1).toSet
+    def run(df: org.apache.spark.sql.DataFrame): Seq[(Long, Double)] =
+      df.collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    val raw = run(Similarity.ivfPqTopK(fixture, "embedding", "vec_id", qv, k = 20))
+    val res = run(Similarity.ivfPqResidualTopK(fixture, "embedding", "vec_id", qv, k = 20))
+    // rerank distances stay brute-force exact on both paths
+    (raw ++ res).foreach { case (id, l2) =>
+      assert(l2 == exact(id), s"rerank drift for $id: $l2 vs ${exact(id)}") }
+    val rawRecall = raw.map(_._1).count(exactTop.contains) / 20.0
+    val resRecall = res.map(_._1).count(exactTop.contains) / 20.0
+    assert(resRecall >= 0.7, s"residual IVFPQ recall $resRecall below floor")
+    assert(resRecall >= rawRecall,
+      s"residual ($resRecall) should not trail raw-vector PQ ($rawRecall) on clustered data")
+  }
+
   test("incremental dedup: cross-side matches flagged, internal dups out of scope") {
     val out = Dedup.incrementalNearDupFilter(
         docs.filter(col("doc_id") < 400), docs.filter(col("doc_id") >= 400),
