@@ -74,6 +74,27 @@ object StreamGate {
     })
   }
 
+  /** Query-VECTOR topic for the streaming ANN serving gate (s08): the
+    * x45 query-side convention (every 50th embedding) serialized as
+    * JSON. Doubles survive the to_json/from_json round trip bit-exactly
+    * (shortest-roundtrip repr on write, correctly-rounded parse), so the
+    * streamed vectors equal the parquet vectors and the oracle can read
+    * `embeddings` directly. Memoized per (JVM, sf dir). */
+  private val queryTopics = TrieMap.empty[String, String]
+  private def queryVecTopic(s: SparkSession, dir: String): String = synchronized {
+    queryTopics.getOrElseUpdate(dir, {
+      val topic = s"gate_queryvec_${java.util.UUID.randomUUID().toString.take(8)}"
+      Tables.embeddings(s, dir).filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").cast("string").as("key"),
+          to_json(struct(col("vec_id").as("q_id"),
+            col("embedding").cast("array<double>").as("qv"))).as("value"),
+          to_timestamp(lit("2024-01-01 00:00:00")).as("timestamp"))
+        .write.format("graft-topic").mode("append")
+        .option("topic", topic).option("partitions", "4").save()
+      topic
+    })
+  }
+
   /** TIME-ORDERED events replay topic for the state-EVICTION gate (s07).
     * Differences from [[eventsTopic]], both load-bearing:
     *
@@ -271,6 +292,67 @@ object StreamGate {
         require(dataBatches(q) >= 2,
           s"s01 must exercise cross-batch state merge; ran ${dataBatches(q)} data batches")
         materialized(s, mem, s.table(mem).orderBy("win_start", "event_type"))
+      }
+    },
+
+    // Streaming ANN SERVING: a query-vector stream banded against the
+    // STATIC corpus index — the online form of x45's batch serving. Each
+    // arriving vector computes its 16 band keys in-plan (the native
+    // RhpBandsExpr on a streaming column), equi-joins the static band
+    // index (stream-static join: no state, no shuffle of the corpus —
+    // the 100 TB form reads only the matching band buckets per batch),
+    // exact-rescored candidates aggregate to a per-query top-5 via a
+    // streaming collect_list (array_distinct dedups multi-band hits on
+    // exact struct equality — no streaming dropDuplicates state needed;
+    // sort desc on struct(cos_sim, -id) = score desc, id asc).
+    // Deterministic: scores are the proven rounded-cosine doubles, ties
+    // id-broken, and the admission split only controls WHICH batch
+    // serves a query, never its result — the memory table equals x45's
+    // batch answer, which is the oracle.
+    "s08_stream_ann_serving" -> { (s, dir) =>
+      val topic = queryVecTopic(s, dir)
+      val run = java.util.UUID.randomUUID().toString.take(8)
+      val mem = s"s08_result_$run"
+      withGateConf(s) {
+        val corpus = Tables.embeddings(s, dir).filter(col("vec_id") % 50 =!= 0)
+        val cIdx = graft.ops.Similarity.annBuildBandIndex(corpus, "embedding", "vec_id")
+        val cVec = corpus.select(col("vec_id"),
+          col("embedding").cast("array<double>").as("cv"))
+        val qStream = s.readStream.format("graft-topic")
+          .option("topic", topic)
+          .option("maxRecordsPerTrigger", math.max(1L, topicSize(topic) / 3).toString)
+          .load()
+          .select(from_json(col("value").cast("string"), org.apache.spark.sql.types
+            .StructType.fromDDL("q_id BIGINT, qv ARRAY<DOUBLE>")).as("j"))
+          .select(col("j.q_id").as("q_id"), col("j.qv").as("qv"))
+        val qBands = qStream
+          .select(col("q_id"), col("qv"), posexplode(
+            graft.functions.VectorExpressions.rhpBandsNative(col("qv"), 16, 8, 64)))
+          .select(col("q_id"), col("qv"),
+            (col("pos").cast("long") * 256L + col("col")).as("band_key"))
+        val agg = qBands
+          .join(cIdx, "band_key")
+          .join(cVec, "vec_id")
+          .withColumn("cos_sim", round(
+            graft.functions.VectorFunctions.cosine(col("cv"), col("qv")), 6))
+          .groupBy(col("q_id"))
+          .agg(slice(sort_array(array_distinct(collect_list(
+            struct(col("cos_sim"), (-col("vec_id")).as("nid")))), asc = false),
+            1, 5).as("top"))
+        val ckpt = gateTmpDir("s08_ckpt_")
+        val q = agg.writeStream.format("memory").queryName(mem)
+          .outputMode("complete")
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        drain(q, ckpt)
+        require(dataBatches(q) >= 2,
+          s"s08 must serve queries across batches; ran ${dataBatches(q)} data batches")
+        materialized(s, mem, s.table(mem)
+          .select(col("q_id"), posexplode(col("top")))
+          .select(col("q_id"), (col("pos") + 1).cast("int").as("rank"),
+            (-col("col.nid")).as("vec_id"), col("col.cos_sim").as("cos_sim"))
+          .orderBy("q_id", "rank"))
       }
     },
 
@@ -613,6 +695,42 @@ object StreamGate {
     queries ++ streamStreamEntry
 
   val oracle: Map[String, String] = Map(
+    // The batch x45 computation IS the streaming answer: band keys are a
+    // pure function of the vector (md5-rebuilt planes), the stream-static
+    // join adds no state, and the per-query top-5 is deterministic
+    // (score desc, id asc) — so which batch served a query cannot show.
+    "s08_stream_ann_serving" ->
+      """WITH h AS (
+        |  SELECT b, list_transform(generate_series(0, 63),
+        |    d -> (CAST('0x' || substr(md5('rhp:' || CAST(b AS VARCHAR) || ':' || CAST(d AS VARCHAR)), 1, 8) AS UBIGINT) % 2000001) / 1000000.0 - 1.0) AS hv
+        |  FROM generate_series(0, 127) t(b)),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |bits AS (
+        |  SELECT e.vec_id, CAST(h.b // 8 AS INT) AS j,
+        |    CASE WHEN list_sum(list_transform(generate_series(1, len(v)), i -> v[i] * hv[i])) > 0
+        |      THEN CAST(1 << (7 - (h.b % 8)) AS BIGINT) ELSE 0 END AS bit
+        |  FROM e, h),
+        |bands AS (SELECT vec_id, j, SUM(bit) AS bv FROM bits GROUP BY vec_id, j),
+        |cand AS (
+        |  SELECT DISTINCT q.vec_id AS q_id, c.vec_id
+        |  FROM bands q JOIN bands c USING (j, bv)
+        |  WHERE q.vec_id % 50 = 0 AND c.vec_id % 50 <> 0),
+        |scored AS (
+        |  SELECT cand.q_id, cand.vec_id,
+        |    round(
+        |      list_sum(list_transform(generate_series(1, len(c.v)), i -> c.v[i] * q.v[i])) /
+        |      (sqrt(list_sum(list_transform(generate_series(1, len(c.v)), i -> c.v[i] * c.v[i]))) *
+        |       sqrt(list_sum(list_transform(generate_series(1, len(q.v)), i -> q.v[i] * q.v[i])))),
+        |    6) AS cos_sim
+        |  FROM cand
+        |  JOIN e c ON c.vec_id = cand.vec_id
+        |  JOIN e q ON q.vec_id = cand.q_id)
+        |SELECT q_id, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id ASC) AS INT) AS rank,
+        |  vec_id, cos_sim
+        |FROM scored
+        |QUALIFY rank <= 5
+        |ORDER BY q_id, rank""".stripMargin,
+
     // The FULL batch left join: the sentinel-closed watermark guarantees
     // every real click got its match rows or its null row — nothing is
     // left pending in join state, so matches AND null emissions are pure
