@@ -9,12 +9,12 @@ import org.apache.spark.sql.functions._
   * harness-verified operator, all of it one lazy DataFrame program until
   * the final actions:
   *
-  *   quality gate → block-level boilerplate removal → substring span
-  *   dedup → LM fluency filter → near-dup dedup (MinHash-LSH → verify →
-  *   components → keep-one) → span-level benchmark decontamination →
-  *   sqrt-temperature language rebalancing → PII redaction → chunking →
-  *   sequence packing, plus the embedding-side semantic dedup and a
-  *   drift report.
+  *   quality gate → repetition filter → block-level boilerplate removal
+  *   → substring span dedup → LM fluency filter → near-dup dedup
+  *   (MinHash-LSH → verify → components → keep-one) → span-level
+  *   benchmark decontamination → sqrt-temperature language rebalancing →
+  *   PII redaction → chunking → sequence packing, plus the
+  *   embedding-side semantic dedup and a drift report.
   *
   * Run: `sbt "runMain graft.examples.Pipeline"` (sf0.001 by default;
   * pass an sf dir to scale up). Prints per-stage survivor counts.
@@ -32,8 +32,15 @@ object Pipeline {
     val quality = docs.filter(TextStats.qualityGate(col("text")))
     stage("quality gate", quality.count())
 
+    // 1b. in-document repetition filter (Gopher/Dolma): drop pages whose
+    //     top-n-gram or duplicated-5-gram char mass crosses the thresholds
+    val unrepetitive = quality
+      .join(TextStats.repetitionSignals(quality, "doc_id", "text")
+        .filter(!col("repetitive")).select("doc_id"), "doc_id")
+    stage("repetition filter", unrepetitive.count())
+
     // 2. cross-document boilerplate removal (block-level exact dedup)
-    val deboiler = Dedup.blockDedup(quality, "doc_id", "text", blockTokens = 20)
+    val deboiler = Dedup.blockDedup(unrepetitive, "doc_id", "text", blockTokens = 20)
       .withColumnRenamed("clean_text", "text")
     stage("block dedup", deboiler.count())
 

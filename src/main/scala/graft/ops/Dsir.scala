@@ -1,0 +1,106 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** DSIR-style importance resampling: select raw-corpus documents whose
+  * hashed n-gram feature distribution looks like a TARGET corpus — the
+  * public "Data Selection for Language Models via Importance Resampling"
+  * recipe (Xie et al., 2023). Both distributions live over B hash
+  * buckets, so the model is two tiny count vectors however large the
+  * corpora are; a document's log importance weight is the sum over its
+  * tokens of ln(p_target(bucket)/p_raw(bucket)).
+  *
+  * Scale design (100 TB): the two distribution fits are each ONE
+  * map-side-combinable groupBy count over a token stream (B buckets —
+  * no skew, bucket keys are md5-uniform); the per-document pass is scan
+  * → bucket hash → broadcast join against the B-row log-ratio table →
+  * doc-keyed integer sum. Nothing shuffles at corpus width except the
+  * doc-keyed aggregate itself. Selection by exact rank is a global sort
+  * of doc-sized rows (one row per doc, not per token) — swap for a
+  * weight-threshold cut at extreme corpus sizes.
+  *
+  * Determinism (the x60 oracle replays everything): bucket =
+  * md5-derived 32-bit int mod B (portable across engines); smoothed
+  * probabilities (c+1)/(n+B) are exact-integer-derived IEEE divisions;
+  * each bucket's ln pins to a long via floor(ln(p)·10¹²) (the proven
+  * x48/x52 convention — `ln` is bit-identical JVM↔DuckDB on this
+  * rational family), so per-document sums are exact integer arithmetic,
+  * and the rank cut is pure integer comparison on (sum, id). */
+object Dsir {
+
+  /** Portable token→bucket hash: first 8 md5 hex digits as an unsigned
+    * 32-bit int, mod B (DuckDB: CAST('0x'||substr(md5(w),1,8) AS
+    * UBIGINT) % B). */
+  private def bucket(w: Column, buckets: Int): Column =
+    conv(substring(md5(w), 1, 8), 16, 10).cast("long") % buckets
+
+  /** (id, b) token-bucket stream of a corpus. */
+  private def tokenBuckets(docs: DataFrame, idCol: String, textCol: String,
+                           buckets: Int): DataFrame =
+    docs.select(col(idCol), explode(split(col(textCol), " ")).as("w"))
+      .select(col(idCol), bucket(col("w"), buckets).as("b"))
+
+  /** Add-one-smoothed bucket log-probabilities of a corpus, pinned to
+    * fixed-point longs: one row per bucket 0..B-1 (including unseen
+    * buckets — the smoothing floor), columns (b, lf_fix) with
+    * lf_fix = floor(ln((c_b+1)/(n+B))·10¹²). Lazy: the token total
+    * rides along as a broadcast scalar, no driver action. */
+  def bucketLogProbs(docs: DataFrame, textCol: String,
+                     buckets: Int = 64): DataFrame = {
+    val toks = docs
+      .select(explode(split(col(textCol), " ")).as("w"))
+      .select(bucket(col("w"), buckets).as("b"))
+    val counts = toks.groupBy("b").agg(count(lit(1)).as("c"))
+    val total = toks.agg(count(lit(1)).as("n"))
+    docs.sparkSession.range(buckets).select(col("id").as("b"))
+      .join(counts, Seq("b"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("b"),
+        floor(log((coalesce(col("c"), lit(0L)) + lit(1.0)) /
+          (col("n") + lit(buckets.toDouble))) * lit(1e12))
+          .cast("long").as("lf_fix"))
+  }
+
+  /** Per-document DSIR importance weights of `raw` against `target`:
+    * one row per raw doc, (id, n_tokens, wfix, logw_nats) where wfix =
+    * Σ_tokens [lf_target(b) − lf_raw(b)] (exact long; the ranking key)
+    * and logw_nats = wfix/10¹² rounded — positive means the document
+    * looks more like the target corpus than like the raw average. */
+  def importanceWeights(raw: DataFrame, target: DataFrame, idCol: String,
+                        textCol: String, buckets: Int = 64): DataFrame = {
+    val ratio = bucketLogProbs(target, textCol, buckets)
+      .withColumnRenamed("lf_fix", "lf_t")
+      .join(bucketLogProbs(raw, textCol, buckets)
+        .withColumnRenamed("lf_fix", "lf_r"), "b")
+      .select(col("b"), (col("lf_t") - col("lf_r")).as("lr_fix"))
+    tokenBuckets(raw, idCol, textCol, buckets)
+      .join(broadcast(ratio), "b")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("lr_fix")).as("wfix"))
+      .select(col(idCol), col("n_tokens"), col("wfix"),
+        round(col("wfix").cast("double") / lit(1e12), 6).as("logw_nats"))
+  }
+
+  /** Importance RESAMPLING: keep the top numer/denom fraction of raw
+    * docs by importance weight — `kept` = integer rank under the total
+    * order (wfix desc, id asc) within ceil(m·numer/denom). Exact and
+    * replayable: the rank is one global row_number over doc-sized rows
+    * (see object doc for the extreme-scale swap). */
+  def dsirSelect(raw: DataFrame, target: DataFrame, idCol: String,
+                 textCol: String, buckets: Int = 64, numer: Int = 1,
+                 denom: Int = 4): DataFrame = {
+    require(numer > 0 && denom > 0 && numer <= denom,
+      s"keep fraction must be in (0,1]: $numer/$denom")
+    val w = Window.orderBy(col("wfix").desc, col(idCol).asc)
+    importanceWeights(raw, target, idCol, textCol, buckets)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("m", count(lit(1)).over(
+        Window.partitionBy().orderBy().rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("kept",
+        col("rn") <= floor((col("m") * numer + lit(denom - 1)) / denom))
+      .select(col(idCol), col("n_tokens"), col("logw_nats"), col("kept"))
+  }
+}

@@ -712,6 +712,40 @@ object Similarity {
         round(col("l2"), 6).as("l2_dist"))
   }
 
+  /** SPLIT-STORE probe — the written-index deployment shape: `codes`
+    * carries (id, codes) ONLY (what a persisted PQ index contains), and
+    * the refine·k ADC candidates join the PRIMARY vector store for the
+    * exact rescore, so the corpus-wide scan reads 9 bytes/row of code
+    * payload and the float vectors are fetched for candidates alone.
+    * [[pqProbe]]'s single-frame form co-locates both columns (parquet
+    * column pruning already keeps its ADC scan codes-only; this variant
+    * makes the separation structural). Results are identical to
+    * [[pqProbe]] on the same encoded data (spec-pinned). */
+  def pqProbeSplit(codes: DataFrame, vectors: DataFrame, idCol: String,
+                   vecCol: String, queryVec: Seq[Double],
+                   codebook: Array[Array[Double]], k: Int, refine: Int = 3,
+                   m: Int = 8): DataFrame = {
+    val tLit = typedLit(adcTable(queryVec, codebook, m))
+    val q = lit(queryVec.toArray)
+    val cands = codes.select(col(idCol), col("codes"))
+      .withColumn("pq", aggregate(
+        sequence(lit(0), lit(m - 1)), lit(0.0), (acc, j) =>
+          acc + element_at(element_at(tLit, j + 1),
+            element_at(col("codes"), j + 1) + 1)))
+      .orderBy(col("pq").asc, col(idCol).asc)
+      .limit(refine * k)
+    cands
+      .join(vectors.select(col(idCol),
+        col(vecCol).cast("array<double>").as("__v")), Seq(idCol))
+      .withColumn("l2", aggregate(
+        zip_with(col("__v"), q, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x))
+      .orderBy(col("l2").asc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol), round(col("pq"), 6).as("pq_dist"),
+        round(col("l2"), 6).as("l2_dist"))
+  }
+
   /** One-shot PQ top-k: build the sampled codebook, encode, ADC-probe.
     * Harness query x51 gates this composition against a DuckDB oracle
     * that replays every stage. */

@@ -137,4 +137,61 @@ object TextStats {
           round(col("ck").cast("double") / lit(total.toDouble), 6).as("coverage"))
     }.reduce(_ unionByName _)
   }
+
+  /** In-document REPETITION signals — the Gopher/Dolma repetition
+    * filters that catch boilerplate, keyword-stuffed, and
+    * degenerate-generation pages the per-doc ratio gates
+    * ([[qualityGate]]) miss. One row per doc:
+    *
+    *  - `top2_char_frac` / `top3_char_frac`: occurrences of the MOST
+    *    frequent 2-/3-gram × its char length, over doc char length
+    *    (ties broken gram-ascending — deterministic);
+    *  - `dup5_char_frac`: Σ over distinct 5-grams seen more than once of
+    *    (occurrences − 1) × char length, over doc char length — chars in
+    *    repeats BEYOND the first occurrence; overlapping repeats can
+    *    push the numerator past the doc length (a faithful property of
+    *    n-gram repeat mass, not a bug);
+    *  - `repetitive`: any signal over its Gopher-flavored threshold
+    *    (0.20 / 0.18 / 0.15).
+    *
+    * Docs too short for an n-gram floor that signal at 0.0. All ratios
+    * divide exact integers (counts × char lengths), so both engines
+    * reproduce them bit-for-bit — the x61 oracle replays the whole
+    * report. Scale shape: per-n gram explode → (doc, gram) count →
+    * doc-keyed aggregate; linear in corpus words, shuffles key on
+    * (doc, gram) then doc — no self-join, no window over the corpus. */
+  def repetitionSignals(docs: DataFrame, idCol: String,
+                        textCol: String): DataFrame = {
+    val base = docs.select(col(idCol), length(col(textCol)).as("n_chars"),
+      split(col(textCol), " ").as("ts"))
+    def grams(n: Int) = base
+      .filter(size(col("ts")) >= n)
+      .select(col(idCol), explode(transform(
+        sequence(lit(1), size(col("ts")) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(j =>
+          element_at(col("ts"), i + j)): _*))).as("g"))
+      .groupBy(col(idCol), col("g")).agg(count(lit(1)).as("n"))
+    // top-gram pick via min-struct on (-count, gram): highest count,
+    // then lexicographically-first gram — order-independent
+    def topFrac(n: Int, name: String) = grams(n)
+      .groupBy(col(idCol))
+      .agg(min(struct((-col("n")).as("nn"), col("g").as("tg"))).as("t"))
+      .select(col(idCol), (-col("t.nn") * length(col("t.tg"))).as(name))
+    val dup5 = grams(5)
+      .groupBy(col(idCol))
+      .agg(sum(when(col("n") > 1, (col("n") - 1) * length(col("g")))
+        .otherwise(0L)).as("dup5_chars"))
+    def frac(c: Column) =
+      round(coalesce(c, lit(0L)).cast("double") / col("n_chars"), 6)
+    base.select(col(idCol), col("n_chars"))
+      .join(topFrac(2, "t2"), Seq(idCol), "left")
+      .join(topFrac(3, "t3"), Seq(idCol), "left")
+      .join(dup5, Seq(idCol), "left")
+      .select(col(idCol),
+        frac(col("t2")).as("top2_char_frac"),
+        frac(col("t3")).as("top3_char_frac"),
+        frac(col("dup5_chars")).as("dup5_char_frac"),
+        (frac(col("t2")) > 0.20 || frac(col("t3")) > 0.18 ||
+          frac(col("dup5_chars")) > 0.15).as("repetitive"))
+  }
 }

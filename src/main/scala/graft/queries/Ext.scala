@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.{AsofJoin, Chunking, Dedup, LangModel, LinearProbe, Multimodal, Similarity, TextStats}
+import graft.ops.{AsofJoin, Chunking, Cms, Dedup, Dsir, HistQuantile, LangModel, LinearProbe, Multimodal, Similarity, TextStats}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -708,6 +708,49 @@ object Ext {
     "x48_lm_perplexity" -> { (s, dir) =>
       LangModel.perplexityScoreSelf(Tables.documents(s, dir), "doc_id", "text")
         .select(col("doc_id"), col("n_transitions"), col("nll_nats"))
+        .orderBy("doc_id")
+    },
+
+    // DSIR importance resampling (hashed unigram buckets, B=64): raw =
+    // the whole corpus, target = the English slice; keep the top quarter
+    // by importance weight. FULL oracle: bucket = md5-derived 32-bit int
+    // mod 64 (portable), smoothed probabilities are exact-integer IEEE
+    // divisions, per-bucket ln pins to floor(ln(p)*1e12) longs (the
+    // x48/x52 convention), per-doc sums are exact integers, and the keep
+    // cut is pure integer rank arithmetic on (wfix desc, doc_id).
+    "x60_dsir_selection" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      Dsir.dsirSelect(docs, docs.filter(col("lang") === "en"),
+          "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    // Histogram-sketch quantiles: per-lang p50/p90 of n_chars estimated
+    // from a 64-bucket equi-width grid — the mergeable quantile sketch.
+    // FULL oracle: integer floor-division buckets, integer rank
+    // ceil(q·n), first-bucket-reaching-rank pick, exact-integer-derived
+    // IEEE interpolation.
+    "x63_hist_quantiles" -> { (s, dir) =>
+      HistQuantile.quantileReport(Tables.documents(s, dir), "lang", "n_chars",
+          lo = 0L, hi = 600L)
+        .orderBy("lang")
+    },
+
+    // Count-min sketch heavy hitters: exact top-20 tokens annotated with
+    // their estimate from a 4×256 CMS grid. FULL oracle: the grid, the
+    // md5-affine row hashes, the estimates, and the over-estimate
+    // guarantee bit all replay as exact integer arithmetic.
+    "x62_cms_heavy_hitters" -> { (s, dir) =>
+      Cms.cmsHeavyHitters(Tables.documents(s, dir), "text")
+    },
+
+    // In-document repetition signals (Gopher/Dolma repetition filters):
+    // most-frequent 2-/3-gram char mass + duplicated-5-gram char mass.
+    // FULL oracle: counts × char lengths are exact integers, the top
+    // gram is a deterministic (count desc, gram asc) pick, and the
+    // ratios are identical IEEE divisions.
+    "x61_repetition_signals" -> { (s, dir) =>
+      TextStats.repetitionSignals(Tables.documents(s, dir), "doc_id", "text")
         .orderBy("doc_id")
     },
 
@@ -1917,6 +1960,145 @@ object Ext {
         |  round(CAST(-sfix AS DOUBLE) / 1000000000000.0 / n_transitions, 6) AS nll_nats
         |FROM tok LEFT JOIN agg USING (doc_id)
         |ORDER BY tok.doc_id""".stripMargin,
+
+    // DSIR replay: both smoothed bucket distributions, the fixed-point
+    // log-ratio table, exact per-doc integer sums, integer rank cut.
+    "x60_dsir_selection" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |tb AS (
+        |  SELECT doc_id, lang,
+        |    CAST(CAST('0x' || substr(md5(w), 1, 8) AS UBIGINT) AS BIGINT) % 64 AS b
+        |  FROM tok),
+        |rawc AS (SELECT b, COUNT(*) AS c FROM tb GROUP BY 1),
+        |rawn AS (SELECT COUNT(*) AS n FROM tb),
+        |tgtc AS (SELECT b, COUNT(*) AS c FROM tb WHERE lang = 'en' GROUP BY 1),
+        |tgtn AS (SELECT COUNT(*) AS n FROM tb WHERE lang = 'en'),
+        |grid AS (
+        |  SELECT gs.b,
+        |    CAST(floor(ln((COALESCE(t.c, 0) + 1.0) / (tn.n + 64)) * 1000000000000.0) AS BIGINT)
+        |  - CAST(floor(ln((COALESCE(r.c, 0) + 1.0) / (rn.n + 64)) * 1000000000000.0) AS BIGINT) AS lr_fix
+        |  FROM generate_series(0, 63) gs(b)
+        |  LEFT JOIN tgtc t ON t.b = gs.b
+        |  LEFT JOIN rawc r ON r.b = gs.b, tgtn tn, rawn rn),
+        |perdoc AS (
+        |  SELECT tb.doc_id, COUNT(*) AS n_tokens, SUM(g.lr_fix) AS sfix
+        |  FROM tb JOIN grid g ON g.b = tb.b GROUP BY 1),
+        |ranked AS (
+        |  SELECT doc_id, n_tokens, sfix,
+        |    row_number() OVER (ORDER BY sfix DESC, doc_id) AS rn,
+        |    COUNT(*) OVER () AS m
+        |  FROM perdoc)
+        |SELECT doc_id, n_tokens,
+        |  round(CAST(sfix AS DOUBLE) / 1000000000000.0, 6) AS logw_nats,
+        |  rn <= floor((m * 1 + 3) / 4) AS kept
+        |FROM ranked ORDER BY doc_id""".stripMargin,
+
+    // Histogram replay: integer buckets, window cumsum, rank pick,
+    // identical interpolation arithmetic.
+    "x63_hist_quantiles" ->
+      """WITH h AS (
+        |  SELECT lang, LEAST(63, GREATEST(0, (n_chars - 0) * 64 // 600)) AS b,
+        |    COUNT(*) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT lang, b, c,
+        |    SUM(c) OVER (PARTITION BY lang ORDER BY b) AS cum,
+        |    SUM(c) OVER (PARTITION BY lang) AS n
+        |  FROM h),
+        |p50 AS (
+        |  SELECT lang, n,
+        |    0 + (600.0 / 64) * (b + (r - (cum - c)) * 1.0 / c) AS est
+        |  FROM (SELECT *, (n * 1 + 1) // 2 AS r FROM cum) t
+        |  WHERE cum >= r
+        |  QUALIFY row_number() OVER (PARTITION BY lang ORDER BY b) = 1),
+        |p90 AS (
+        |  SELECT lang,
+        |    0 + (600.0 / 64) * (b + (r - (cum - c)) * 1.0 / c) AS est
+        |  FROM (SELECT *, (n * 9 + 9) // 10 AS r FROM cum) t
+        |  WHERE cum >= r
+        |  QUALIFY row_number() OVER (PARTITION BY lang ORDER BY b) = 1)
+        |SELECT p50.lang, CAST(p50.n AS BIGINT) AS n_docs,
+        |  round(p50.est, 6) AS est_p50, round(p90.est, 6) AS est_p90
+        |FROM p50 JOIN p90 USING (lang) ORDER BY p50.lang""".stripMargin,
+
+    // CMS replay: md5-affine seeds, the 4×256 grid, integer minima.
+    "x62_cms_heavy_hitters" ->
+      """WITH tok AS (
+        |  SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS w
+        |  FROM documents),
+        |h AS (
+        |  SELECT w, CAST(CAST('0x' || substr(md5(w), 1, 8) AS UBIGINT) AS BIGINT) AS h
+        |  FROM tok),
+        |seeds AS (
+        |  SELECT i,
+        |    CAST(CAST('0x' || substr(md5('cms:a:' || i), 1, 8) AS UBIGINT) AS BIGINT)
+        |      % 268435456 * 2 + 1 AS a,
+        |    CAST(CAST('0x' || substr(md5('cms:b:' || i), 1, 8) AS UBIGINT) AS BIGINT)
+        |      % 2147483647 AS b
+        |  FROM generate_series(0, 3) s(i)),
+        |grid AS (
+        |  SELECT i AS r, (a * h + b) % 2147483647 % 256 AS cell, COUNT(*) AS c
+        |  FROM h, seeds GROUP BY 1, 2),
+        |counts AS (SELECT w, COUNT(*) AS true_count FROM tok GROUP BY 1),
+        |top AS (SELECT w, true_count FROM counts ORDER BY true_count DESC, w LIMIT 20),
+        |wcell AS (
+        |  SELECT t.w, s.i AS r,
+        |    (s.a * CAST(CAST('0x' || substr(md5(t.w), 1, 8) AS UBIGINT) AS BIGINT) + s.b)
+        |      % 2147483647 % 256 AS cell
+        |  FROM top t, seeds s),
+        |est AS (
+        |  SELECT w, MIN(COALESCE(c, 0)) AS est_count
+        |  FROM wcell LEFT JOIN grid ON grid.r = wcell.r AND grid.cell = wcell.cell
+        |  GROUP BY 1)
+        |SELECT t.w AS word, t.true_count, e.est_count,
+        |  e.est_count >= t.true_count AS overestimates
+        |FROM top t JOIN est e USING (w)
+        |ORDER BY t.true_count DESC, word""".stripMargin,
+
+    // Repetition replay: per-n gram counts, deterministic top pick via
+    // row_number, integer char-mass sums, identical IEEE ratios.
+    "x61_repetition_signals" ->
+      """WITH base AS (
+        |  SELECT doc_id, len(text) AS n_chars, string_split(text, ' ') AS ts
+        |  FROM documents),
+        |g2 AS (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(ts) - 1),
+        |    i -> ts[i] || ' ' || ts[i+1])) AS g
+        |  FROM base WHERE len(ts) >= 2),
+        |g3 AS (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(ts) - 2),
+        |    i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS g
+        |  FROM base WHERE len(ts) >= 3),
+        |g5 AS (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(ts) - 4),
+        |    i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' || ts[i+4])) AS g
+        |  FROM base WHERE len(ts) >= 5),
+        |t2 AS (
+        |  SELECT doc_id, n * len(g) AS chars2 FROM (
+        |    SELECT doc_id, g, COUNT(*) AS n FROM g2 GROUP BY 1, 2)
+        |  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, g ASC) = 1),
+        |t3 AS (
+        |  SELECT doc_id, n * len(g) AS chars3 FROM (
+        |    SELECT doc_id, g, COUNT(*) AS n FROM g3 GROUP BY 1, 2)
+        |  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, g ASC) = 1),
+        |d5 AS (
+        |  SELECT doc_id, SUM(CASE WHEN n > 1 THEN (n - 1) * len(g) ELSE 0 END) AS chars5
+        |  FROM (SELECT doc_id, g, COUNT(*) AS n FROM g5 GROUP BY 1, 2)
+        |  GROUP BY 1)
+        |SELECT b.doc_id,
+        |  round(COALESCE(chars2, 0) * 1.0 / n_chars, 6) AS top2_char_frac,
+        |  round(COALESCE(chars3, 0) * 1.0 / n_chars, 6) AS top3_char_frac,
+        |  round(COALESCE(chars5, 0) * 1.0 / n_chars, 6) AS dup5_char_frac,
+        |  (round(COALESCE(chars2, 0) * 1.0 / n_chars, 6) > 0.20
+        |   OR round(COALESCE(chars3, 0) * 1.0 / n_chars, 6) > 0.18
+        |   OR round(COALESCE(chars5, 0) * 1.0 / n_chars, 6) > 0.15) AS repetitive
+        |FROM base b
+        |LEFT JOIN t2 ON t2.doc_id = b.doc_id
+        |LEFT JOIN t3 ON t3.doc_id = b.doc_id
+        |LEFT JOIN d5 ON d5.doc_id = b.doc_id
+        |ORDER BY b.doc_id""".stripMargin,
 
     // x47's windows with a global occurrence count instead of a
     // first-occurrence pick; ratios divide exact integers.

@@ -95,6 +95,24 @@ object StreamGate {
     })
   }
 
+  /** Incoming-DOCUMENTS topic for the streaming ingest-screening gate
+    * (s09): the x50 batch side (doc_id ≥ 400) serialized as JSON — the
+    * arrival stream of an ingest pipeline whose corpus (doc_id < 400)
+    * is the static reference. Memoized per (JVM, sf dir). */
+  private val docTopics = TrieMap.empty[String, String]
+  private def incomingDocsTopic(s: SparkSession, dir: String): String = synchronized {
+    docTopics.getOrElseUpdate(dir, {
+      val topic = s"gate_docs_${java.util.UUID.randomUUID().toString.take(8)}"
+      Tables.documents(s, dir).filter(col("doc_id") >= 400)
+        .select(col("doc_id").cast("string").as("key"),
+          to_json(struct(col("doc_id"), col("text"), col("lang"))).as("value"),
+          to_timestamp(lit("2024-01-01 00:00:00")).as("timestamp"))
+        .write.format("graft-topic").mode("append")
+        .option("topic", topic).option("partitions", "4").save()
+      topic
+    })
+  }
+
   /** TIME-ORDERED events replay topic for the state-EVICTION gate (s07).
     * Differences from [[eventsTopic]], both load-bearing:
     *
@@ -315,9 +333,16 @@ object StreamGate {
       val mem = s"s08_result_$run"
       withGateConf(s) {
         val corpus = Tables.embeddings(s, dir).filter(col("vec_id") % 50 =!= 0)
-        val cIdx = graft.ops.Similarity.annBuildBandIndex(corpus, "embedding", "vec_id")
-        val cVec = corpus.select(col("vec_id"),
-          col("embedding").cast("array<double>").as("cv"))
+        // persist both static sides: a stream-static join re-evaluates the
+        // static plan EVERY micro-batch, so without this the corpus is
+        // re-banded (128 hyperplane dots/vector) once per batch — at scale
+        // the band index is a written partitioned table, and the persist
+        // is the in-gate stand-in for reading it (measured 11.9 s → ~4 s
+        // best-of-2 at sf0.1)
+        val cIdx = graft.ops.Caches.persistTracked(
+          graft.ops.Similarity.annBuildBandIndex(corpus, "embedding", "vec_id"))
+        val cVec = graft.ops.Caches.persistTracked(corpus.select(col("vec_id"),
+          col("embedding").cast("array<double>").as("cv")))
         val qStream = s.readStream.format("graft-topic")
           .option("topic", topic)
           .option("maxRecordsPerTrigger", math.max(1L, topicSize(topic) / 3).toString)
@@ -353,6 +378,57 @@ object StreamGate {
           .select(col("q_id"), (col("pos") + 1).cast("int").as("rank"),
             (-col("col.nid")).as("vec_id"), col("col.cos_sim").as("cos_sim"))
           .orderBy("q_id", "rank"))
+      }
+    },
+
+    // Streaming INGEST SCREENING: each arriving micro-batch of documents
+    // is near-dup-screened against the static corpus via foreachBatch —
+    // the deployment form of x50's incremental dedup (corpus static,
+    // arrivals incremental), with verdicts landing in an append-mode
+    // parquet table as batches commit (the production shape). Candidates
+    // are cross-side-only, so a doc's verdict depends only on (doc,
+    // corpus) — never on which batch carried it or on its batch-mates —
+    // and the streamed union equals the batch x50 computation, which is
+    // the oracle. ≥2 data batches asserted.
+    "s09_stream_ingest_screening" -> { (s, dir) =>
+      val topic = incomingDocsTopic(s, dir)
+      withGateConf(s) {
+        val corpus = Tables.documents(s, dir).filter(col("doc_id") < 400)
+        val sink = gateTmpDir("s09_sink_")
+        val ckpt = gateTmpDir("s09_ckpt_")
+        val stream = s.readStream.format("graft-topic")
+          .option("topic", topic)
+          .option("maxRecordsPerTrigger", math.max(1L, topicSize(topic) / 2).toString)
+          .load()
+          .select(from_json(col("value").cast("string"), org.apache.spark.sql.types
+            .StructType.fromDDL("doc_id BIGINT, text STRING, lang STRING")).as("j"))
+          .select(col("j.doc_id").as("doc_id"), col("j.text").as("text"),
+            col("j.lang").as("lang"))
+        val q = stream.writeStream
+          .foreachBatch { (df: DataFrame, _: Long) =>
+            // the micro-batch df belongs to a CLONED session whose temp
+            // function registry starts empty, and the screening plan mixes
+            // that df with outer-session frames — register the native
+            // expressions on both registries so either analyzer resolves
+            // them (the batch-query path registers lazily on first use and
+            // never hits this)
+            graft.functions.TextExpressions.register(s)
+            graft.functions.TextExpressions.register(df.sparkSession)
+            graft.ops.Dedup.incrementalNearDupFilter(
+                corpus, df, "doc_id", "text", "lang")
+              .write.mode("append").parquet(sink.toString)
+            ()
+          }
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        drain(q, ckpt)
+        require(dataBatches(q) >= 2,
+          s"s09 must screen across batches; ran ${dataBatches(q)} data batches")
+        val out = graft.ops.Caches.localCheckpointTracked(
+          s.read.parquet(sink.toString).orderBy("doc_id"))
+        cleanupStep("sink delete")(graft.util.Fs.deleteTree(sink))
+        out
       }
     },
 
@@ -695,6 +771,11 @@ object StreamGate {
     queries ++ streamStreamEntry
 
   val oracle: Map[String, String] = Map(
+    // The batch x50 computation IS the streaming answer: screening is
+    // cross-side-only (doc vs corpus), so micro-batch boundaries cannot
+    // show in any per-doc verdict — share x50's oracle SQL verbatim.
+    "s09_stream_ingest_screening" -> Ext.oracle("x50_incremental_dedup"),
+
     // The batch x45 computation IS the streaming answer: band keys are a
     // pure function of the vector (md5-rebuilt planes), the stream-static
     // join adds no state, and the per-query top-5 is deterministic

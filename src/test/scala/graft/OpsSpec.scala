@@ -852,6 +852,23 @@ class OpsSpec extends AnyFunSuite {
     corpus.foreach(r => assert(r.getDouble(2) >= 0 && !r.getDouble(2).isNaN))
   }
 
+  test("PQ split-store probe == single-frame probe (written-index shape)") {
+    import spark.implicits._
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+    val rest = emb.filter(col("vec_id") =!= 0)
+    val cb = Similarity.pqBuildCodebook(rest, "embedding", "vec_id")
+    val encoded = Similarity.pqEncode(rest, "embedding", "vec_id", cb)
+    val single = Similarity.pqProbe(encoded, "vec_id", q, cb, k = 20)
+      .as[(Long, Double, Double)].collect().toSeq
+    // split form: the codes frame carries (id, codes) ONLY; vectors come
+    // from the primary store at rescore time
+    val split = Similarity.pqProbeSplit(encoded.select("vec_id", "codes"),
+        rest, "vec_id", "embedding", q, cb, k = 20)
+      .as[(Long, Double, Double)].collect().toSeq
+    assert(split == single, s"split probe diverged: $split vs $single")
+  }
+
   test("PQ: codes bounded, rerank distances exact, recall above the coarse-quantizer floor") {
     val q = emb.filter(col("vec_id") === 0)
       .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
@@ -1059,5 +1076,128 @@ class OpsSpec extends AnyFunSuite {
       val words = if (clean.isEmpty) 0L else clean.split(" ", -1).length.toLong
       assert(words == nk, s"doc $id: clean_text has $words words, n_kept $nk")
     }
+  }
+
+  test("DSIR: target-vocabulary docs win the selection exactly (planted)") {
+    import graft.ops.Dsir
+    import spark.implicits._
+    // 10 docs speaking the target vocabulary, 30 speaking a disjoint one;
+    // keep fraction 1/4 of 40 = 10 — selection must be exactly the
+    // target-like docs
+    val tgtVocab = (0 until 20).map(i => s"tgt$i")
+    val rawDocs = ((0L until 10L).map(i =>
+      (i, (0 until 12).map(j => tgtVocab((i.toInt + j) % 20)).mkString(" "))) ++
+      (10L until 40L).map(i =>
+        (i, (0 until 12).map(j => s"noise${(i + j) % 25}").mkString(" ")))).toDF("id", "text")
+    val target = (100L until 110L).map(i =>
+      (i, (0 until 15).map(j => tgtVocab((i.toInt + j) % 20)).mkString(" "))).toDF("id", "text")
+    val kept = Dsir.dsirSelect(rawDocs, target, "id", "text")
+      .filter(col("kept")).select("id").as[Long].collect().toSet
+    assert(kept == (0L until 10L).toSet, s"selected $kept")
+  }
+
+  test("DSIR: weights deterministic under repartitioning, keep count exact") {
+    import graft.ops.Dsir
+    val a = Dsir.dsirSelect(docs, docs.filter(col("lang") === "en"),
+      "doc_id", "text").orderBy("doc_id").collect().toSeq
+    val b = Dsir.dsirSelect(docs.repartition(7), docs.filter(col("lang") === "en")
+      .repartition(3), "doc_id", "text").orderBy("doc_id").collect().toSeq
+    assert(a == b, "DSIR output depends on partitioning")
+    val m = docs.count()
+    val keptN = a.count(_.getBoolean(3))
+    assert(keptN == (m * 1 + 3) / 4, s"kept $keptN of $m")
+  }
+
+  test("repetition signals: planted repeats, tie-break, overlap mass, floors") {
+    import spark.implicits._
+    val fixture = Seq(
+      (1L, "x y x y x y"),       // top2 "x y"x3: 9/11; top3 tie -> "x y x": 10/11
+      (2L, "one"),               // too short for every n-gram: all zeros
+      (3L, "w w w w w w w w"),   // degenerate repeat: overlap mass pushes >1
+      (4L, (0 until 20).map(i => f"w$i%02d").mkString(" "))  // unique: clean
+    ).toDF("doc_id", "text")
+    val out = graft.ops.TextStats.repetitionSignals(fixture, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3),
+        r.getBoolean(4)))
+    assert(out(0) == ((1L, 0.818182, 0.909091, 0.0, true)), s"got ${out(0)}")
+    assert(out(1) == ((2L, 0.0, 0.0, 0.0, false)), s"got ${out(1)}")
+    assert(out(2) == ((3L, 1.4, 2.0, 1.8, true)), s"got ${out(2)}")
+    assert(out(3)._5 == false && out(3)._4 == 0.0, s"got ${out(3)}")
+  }
+
+  test("CMS: shard grids merge to the whole-corpus grid; estimates never undercount") {
+    import graft.ops.Cms
+    import spark.implicits._
+    val grid = Cms.cmsBuild(docs, "text")
+    // bounded state: at most depth x width touched cells
+    assert(grid.count() <= 4 * 256)
+    // re-aggregation law: grids built per shard, merged by cell-wise
+    // addition, equal the whole-corpus grid exactly
+    val merged = Cms.cmsBuild(docs.filter(col("doc_id") % 2 === 0), "text")
+      .unionByName(Cms.cmsBuild(docs.filter(col("doc_id") % 2 =!= 0), "text"))
+      .groupBy("r", "cell").agg(sum(col("c")).as("c"))
+    val diff = grid.join(merged, Seq("r", "cell"), "full")
+      .filter(grid("c") =!= merged("c") || grid("c").isNull || merged("c").isNull)
+    assert(diff.count() == 0, "sharded grids did not merge to the whole grid")
+    // over-estimate guarantee over the ENTIRE vocabulary, not just top-k
+    val vocab = docs.select(explode(graft.ops.TextStats.tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("true_c"))
+    val under = Cms.cmsEstimate(grid, vocab.select("w"), "w")
+      .join(vocab, "w").filter(col("est_count") < col("true_c"))
+    assert(under.count() == 0, "CMS under-counted a word")
+  }
+
+  test("histogram quantiles: shard merge law, error < bucket width, clamping") {
+    import graft.ops.HistQuantile
+    import spark.implicits._
+    val (lo, hi, bk) = (0L, 600L, 64)
+    val whole = HistQuantile.histBuild(docs, "lang", "n_chars", lo, hi, bk)
+    val merged = HistQuantile.histBuild(
+        docs.filter(col("doc_id") % 2 === 0), "lang", "n_chars", lo, hi, bk)
+      .unionByName(HistQuantile.histBuild(
+        docs.filter(col("doc_id") % 2 =!= 0), "lang", "n_chars", lo, hi, bk))
+      .groupBy("grp", "b").agg(sum(col("c")).as("c"))
+    val diff = whole.as("w").join(merged.as("m"), Seq("grp", "b"), "full")
+      .filter(col("w.c") =!= col("m.c") || col("w.c").isNull || col("m.c").isNull)
+    assert(diff.count() == 0, "sharded histograms did not merge to the whole")
+    // estimate within one bucket width of the exact rank-based quantile
+    val width = (hi - lo).toDouble / bk
+    val est = HistQuantile.quantileReport(docs, "lang", "n_chars", lo, hi, bk)
+      .collect().map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    val w50 = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy("n_chars")
+    val ranked = docs.select(col("lang"), col("n_chars"))
+      .withColumn("rn", row_number().over(w50))
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("lang")))
+    def exactAt(numer: Int, denom: Int) = ranked
+      .filter(col("rn") === floor((col("n") * numer + lit(denom - 1)) / denom))
+      .select("lang", "n_chars").as[(String, Long)].collect().toMap
+    val (e50, e90) = (exactAt(1, 2), exactAt(9, 10))
+    est.foreach { case (lang, (p50, p90)) =>
+      assert(math.abs(p50 - e50(lang)) <= width,
+        s"$lang p50 est $p50 vs exact ${e50(lang)}")
+      assert(math.abs(p90 - e90(lang)) <= width,
+        s"$lang p90 est $p90 vs exact ${e90(lang)}")
+    }
+    // out-of-range values clamp to edge bins rather than crash or vanish
+    val edgy = Seq(("a", -50L), ("a", 0L), ("a", 999L)).toDF("g", "v")
+    val eb = HistQuantile.histBuild(edgy, "g", "v", lo, hi, bk)
+      .orderBy("b").collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(eb.toSeq == Seq((0L, 2L), (63L, 1L)), s"got ${eb.toSeq}")
+  }
+
+  test("DSIR: bucket table is complete and smoothed (unseen buckets floored)") {
+    import graft.ops.Dsir
+    import spark.implicits._
+    // 3 tokens can hit at most 3 of 64 buckets; the other 61 rows must
+    // still exist at the smoothing floor floor(ln(1/(n+64))*1e12)
+    val tiny = Seq((1L, "a b c")).toDF("id", "text")
+    val lp = Dsir.bucketLogProbs(tiny, "text").collect()
+    assert(lp.length == 64, s"expected 64 bucket rows, got ${lp.length}")
+    val floorFix = math.floor(math.log(1.0 / (3 + 64)) * 1e12).toLong
+    val unseen = lp.count(_.getLong(1) == floorFix)
+    assert(unseen >= 61, s"expected >=61 floor buckets, got $unseen")
   }
 }
