@@ -27,14 +27,22 @@ object Tables {
   def part(s: SparkSession, dir: String): DataFrame     = apply(s, dir, "part")
   def nation(s: SparkSession, dir: String): DataFrame   = apply(s, dir, "nation")
   def region(s: SparkSession, dir: String): DataFrame   = apply(s, dir, "region")
-  /** events.ts is parquet TIMESTAMP(NANOS); with nanosAsLong=true it reads
-    * as long — convert via integer division (a double division would lose
-    * precision above 2^53 ns) to a regular µs timestamp. */
+  /** events.ts has shipped as parquet TIMESTAMP(NANOS) (reads as long
+    * under nanosAsLong — convert via integer division; a double division
+    * would lose precision above 2^53 ns) and as un-annotated
+    * timestamp[us] (reads as TIMESTAMP_NTZ under Spark 4's
+    * inferTimestampNTZ) — normalize both to a regular µs TIMESTAMP.
+    * Session timezone is pinned UTC, so the NTZ→LTZ cast preserves the
+    * wall-clock values the oracle sees. */
   def events(s: SparkSession, dir: String): DataFrame = {
     val raw = apply(s, dir, "events")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, dir: String): DataFrame  = apply(s, dir, "documents")
   def embeddings(s: SparkSession, dir: String): DataFrame = apply(s, dir, "embeddings")
