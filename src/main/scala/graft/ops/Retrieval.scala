@@ -1,0 +1,117 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text retrieval over the corpus: BM25 term scoring and hybrid
+  * (text ⊕ vector) fusion by reciprocal rank — the serving-side
+  * counterpart of the ANN family in [[Similarity]]. A training-data
+  * platform needs both directions: ANN answers "what looks like this
+  * embedding", BM25 answers "what mentions these terms", and production
+  * retrieval fuses the two rank lists (hybrid search; RRF is the
+  * standard score-free fusion rule, Cormack et al. 2009).
+  *
+  * Scale shape (100 TB): the corpus pass is scan → tokenize → filter to
+  * the query's terms (the match set, tiny) → (doc, term) count; document
+  * length comes from the same scan's projection. Everything the scoring
+  * needs beyond that is model-sized — a |terms|-row df table and a
+  * 1-row corpus-stats frame, both broadcast. One shuffle keyed on
+  * (doc, term), one on doc; the top-k is TakeOrderedAndProject. At index
+  * time the (doc, term, tf) frame is the write-once inverted index —
+  * serve queries by reading only the matching term rows (the x43
+  * banded-seek discipline applied to text).
+  *
+  * Determinism (the x64/x65 oracles replay everything): tf, df, dl, N
+  * and total-token counts are exact integers; idf = ln((2N−2df+1)/
+  * (2df+1)) — the argument is one IEEE division of exact-integer-derived
+  * doubles and ln is bit-identical JVM↔DuckDB on this family (the
+  * proven x48/x52 convention); the per-term score is a fixed sequence of
+  * IEEE ops written identically in both engines; per-term scores pin to
+  * floor(s·10⁹) longs so per-doc sums are order-free exact integer
+  * arithmetic; ranks and RRF contributions (10¹² div (60+rank)) are
+  * pure integer. */
+object Retrieval {
+
+  /** Internal: per-doc BM25 fixed-point scores for `terms` —
+    * (id, n_terms, score_fix) for every doc matching ≥1 term.
+    * k1 = 1.2, b = 0.75 (the canonical Robertson constants; 0.75 and
+    * 0.25 are exact binary, 1.2/2.2 parse identically in both engines). */
+  private def bm25Scored(docs: DataFrame, idCol: String, textCol: String,
+                         terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "BM25 needs at least one query term")
+    val base = docs.select(col(idCol),
+      TextStats.tokens(col(textCol)).as("__ts"))
+      .select(col(idCol), col("__ts"), size(col("__ts")).as("dl"))
+    // 1-row corpus stats (docs, total tokens) — broadcast scalar
+    val stats = base.agg(count(lit(1)).as("nd"), sum(col("dl")).as("ntok"))
+    val tf = base
+      .select(col(idCol), col("dl"), explode(col("__ts")).as("w"))
+      .filter(col("w").isin(terms: _*))
+      .groupBy(col(idCol), col("dl"), col("w"))
+      .agg(count(lit(1)).as("tf"))
+    // |terms|-row document frequencies — broadcast model
+    val dfT = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val norm = (col("dl") * col("nd")).cast("double") / col("ntok").cast("double")
+    val idf = log((lit(2L) * col("nd") - lit(2L) * col("df") + lit(1L))
+      .cast("double") / (lit(2L) * col("df") + lit(1L)).cast("double"))
+    val score = (idf * (col("tf").cast("double") * lit(2.2))) /
+      (col("tf").cast("double") + lit(1.2) * (lit(0.25) + lit(0.75) * norm))
+    tf.join(broadcast(dfT), "w")
+      .crossJoin(broadcast(stats))
+      .withColumn("sfix", floor(score * lit(1e9)).cast("long"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_terms"), sum(col("sfix")).as("score_fix"))
+  }
+
+  /** BM25 top-k for a fixed term query: (id, n_terms, bm25) ordered by
+    * score desc, id asc. Harness query x64 gates this against a DuckDB
+    * oracle replaying tf/df/idf/normalization bit-for-bit. */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               terms: Seq[String], k: Int = 20): DataFrame =
+    bm25Scored(docs, idCol, textCol, terms)
+      .orderBy(col("score_fix").desc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol), col("n_terms"),
+        round(col("score_fix").cast("double") / lit(1e9), 6).as("bm25"))
+
+  /** RRF contribution of a 1-based rank as a long: floor(10¹²/(60+r)).
+    * The division is one correctly-rounded IEEE op whose result is ≥
+    * 1/160 away from any wrong integer boundary (divisor ≤ 160 at any
+    * plausible kCand, error ~10⁻⁶), so the explicit floor is exact and
+    * identical in both engines — the oracle writes the same
+    * floor-of-double, never a round-to-nearest cast. */
+  private def rrfFix(rank: Column): Column =
+    floor(lit(1e12) / (rank.cast("double") + lit(60.0))).cast("long")
+
+  /** HYBRID retrieval: BM25 candidate ranks ⊕ exact-cosine candidate
+    * ranks, fused by reciprocal rank (k=60), top `k` overall. A doc
+    * missing from one list contributes only the other list's term —
+    * the standard RRF treatment. Returns (id, text_rank, vec_rank,
+    * rrf) with null ranks where a side didn't surface the doc; order
+    * rrf desc, id asc. Harness query x65 gates the full fusion. */
+  def hybridTopK(docs: DataFrame, emb: DataFrame, idCol: String,
+                 textCol: String, vecCol: String, embIdCol: String,
+                 terms: Seq[String], queryVec: Seq[Double],
+                 kCand: Int = 100, k: Int = 10): DataFrame = {
+    val tRanks = bm25Scored(docs, idCol, textCol, terms)
+      .withColumn("text_rank", row_number().over(
+        Window.orderBy(col("score_fix").desc, col(idCol).asc)))
+      .filter(col("text_rank") <= kCand)
+      .select(col(idCol).as("id"), col("text_rank"))
+    // cosine rounded to 6 before ranking (the x05 display convention) —
+    // ties broken by id, so ranks replay exactly
+    val vRanks = Similarity.topKCosine(emb, vecCol, embIdCol, queryVec, kCand)
+      .withColumn("vec_rank", row_number().over(
+        Window.orderBy(col("cos_sim").desc, col(embIdCol).asc)))
+      .select(col(embIdCol).as("id"), col("vec_rank"))
+    tRanks.join(vRanks, Seq("id"), "full_outer")
+      .withColumn("rrf_fix",
+        coalesce(rrfFix(col("text_rank")), lit(0L)) +
+          coalesce(rrfFix(col("vec_rank")), lit(0L)))
+      .orderBy(col("rrf_fix").desc, col("id").asc)
+      .limit(k)
+      .select(col("id").as(idCol), col("text_rank"), col("vec_rank"),
+        round(col("rrf_fix").cast("double") / lit(1e12), 6).as("rrf"))
+  }
+}

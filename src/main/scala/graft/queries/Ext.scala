@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.{AsofJoin, Chunking, Cms, Dedup, Dsir, HistQuantile, LangModel, LinearProbe, Multimodal, Similarity, TextStats}
+import graft.ops.{AsofJoin, Chunking, Cms, Dedup, Dsir, HistQuantile, LangModel, LinearProbe, Multimodal, Retrieval, Similarity, TextStats}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -894,6 +894,33 @@ object Ext {
       AsofJoin.asofLeft(clicks, errors, "user_id", "ts", "err_ts",
           rightCols = Seq("err_ts", "err_value"))
         .orderBy("event_id")
+    },
+
+    // BM25 top-20 for a fixed 4-term query — the text-retrieval serving
+    // shape (scan → match-set filter → (doc,term) tf → broadcast df/stats
+    // → fixed-point score sum → TakeOrdered). FULL oracle: tf/df/dl/N are
+    // exact integers, idf = ln((2N−2df+1)/(2df+1)) is the proven ln-on-
+    // rationals convention, the score chain is the identical IEEE op
+    // sequence in both engines, and per-doc sums are floor(s·10⁹) longs.
+    "x64_bm25_topk" -> { (s, dir) =>
+      Retrieval.bm25TopK(Tables.documents(s, dir), "doc_id", "text",
+          Seq("hash", "join", "spark", "vector"))
+        .orderBy(col("bm25").desc, col("doc_id").asc)
+    },
+
+    // HYBRID retrieval: BM25 top-100 ranks ⊕ exact-cosine top-100 ranks,
+    // reciprocal-rank fusion (k=60), top-10 overall — production hybrid
+    // search over one id space (doc_id ≡ vec_id; row 0 is the query on
+    // both sides). FULL oracle: both rank lists replay (integer BM25
+    // fixed-point ranks; x05's rounded-cosine ranks) and each RRF term is
+    // pure integer 10¹² div (60+rank).
+    "x65_hybrid_rrf_topk" -> { (s, dir) =>
+      Retrieval.hybridTopK(
+          Tables.documents(s, dir).filter(col("doc_id") =!= 0),
+          Tables.embeddings(s, dir).filter(col("vec_id") =!= 0),
+          "doc_id", "text", "embedding", "vec_id",
+          Seq("hash", "join", "spark", "vector"), queryVec(s, dir))
+        .orderBy(col("rrf").desc, col("doc_id").asc)
     },
   )
 
@@ -2467,5 +2494,94 @@ object Ext {
         |FROM clicks c ASOF LEFT JOIN errors e
         |  ON c.user_id = e.user_id AND c.ts >= e.err_ts
         |ORDER BY c.event_id""".stripMargin,
+
+    // BM25 replay: tf/df/dl/N exact integers; idf's ln argument is one
+    // IEEE division of integer-derived doubles; the score chain mirrors
+    // the Spark expression op-for-op; per-term floor(s*1e9) longs sum
+    // order-free; the top-20 cut is on the integer score.
+    "x64_bm25_topk" ->
+      """WITH b2 AS (
+        |  SELECT doc_id, len(ts) AS dl, ts FROM (
+        |    SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+        |    FROM documents)),
+        |stats AS (SELECT COUNT(*) AS nd, SUM(dl) AS ntok FROM b2),
+        |tf AS (
+        |  SELECT doc_id, dl, w, COUNT(*) AS tf
+        |  FROM (SELECT doc_id, dl, unnest(ts) AS w FROM b2)
+        |  WHERE w IN ('hash', 'join', 'spark', 'vector')
+        |  GROUP BY 1, 2, 3),
+        |dfq AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY 1),
+        |scored AS (
+        |  SELECT t.doc_id,
+        |    CAST(floor(
+        |      ((ln(CAST(2 * s.nd - 2 * d.df + 1 AS DOUBLE) / CAST(2 * d.df + 1 AS DOUBLE))
+        |        * (CAST(t.tf AS DOUBLE) * CAST(2.2 AS DOUBLE)))
+        |       / (CAST(t.tf AS DOUBLE) + CAST(1.2 AS DOUBLE) *
+        |          (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) *
+        |           (CAST(t.dl * s.nd AS DOUBLE) / CAST(s.ntok AS DOUBLE)))))
+        |      * 1000000000.0) AS BIGINT) AS sfix
+        |  FROM tf t JOIN dfq d USING (w) CROSS JOIN stats s),
+        |agg AS (
+        |  SELECT doc_id, COUNT(*) AS n_terms, SUM(sfix) AS score_fix
+        |  FROM scored GROUP BY 1)
+        |SELECT doc_id, n_terms,
+        |  round(CAST(score_fix AS DOUBLE) / 1000000000.0, 6) AS bm25
+        |FROM agg ORDER BY score_fix DESC, doc_id ASC LIMIT 20""".stripMargin,
+
+    // Hybrid RRF replay: the BM25 rank list re-derives x64's integer
+    // scores over doc_id <> 0, the cosine rank list re-derives x05's
+    // rounded cosines over vec_id <> 0, and each fusion term is
+    // floor-of-one-IEEE-division — identical arithmetic both engines.
+    "x65_hybrid_rrf_topk" ->
+      """WITH b2 AS (
+        |  SELECT doc_id, len(ts) AS dl, ts FROM (
+        |    SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+        |    FROM documents WHERE doc_id <> 0)),
+        |stats AS (SELECT COUNT(*) AS nd, SUM(dl) AS ntok FROM b2),
+        |tf AS (
+        |  SELECT doc_id, dl, w, COUNT(*) AS tf
+        |  FROM (SELECT doc_id, dl, unnest(ts) AS w FROM b2)
+        |  WHERE w IN ('hash', 'join', 'spark', 'vector')
+        |  GROUP BY 1, 2, 3),
+        |dfq AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY 1),
+        |scored AS (
+        |  SELECT t.doc_id,
+        |    CAST(floor(
+        |      ((ln(CAST(2 * s.nd - 2 * d.df + 1 AS DOUBLE) / CAST(2 * d.df + 1 AS DOUBLE))
+        |        * (CAST(t.tf AS DOUBLE) * CAST(2.2 AS DOUBLE)))
+        |       / (CAST(t.tf AS DOUBLE) + CAST(1.2 AS DOUBLE) *
+        |          (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) *
+        |           (CAST(t.dl * s.nd AS DOUBLE) / CAST(s.ntok AS DOUBLE)))))
+        |      * 1000000000.0) AS BIGINT) AS sfix
+        |  FROM tf t JOIN dfq d USING (w) CROSS JOIN stats s),
+        |agg AS (
+        |  SELECT doc_id, SUM(sfix) AS score_fix FROM scored GROUP BY 1),
+        |tr AS (
+        |  SELECT doc_id AS id,
+        |    row_number() OVER (ORDER BY score_fix DESC, doc_id ASC) AS text_rank
+        |  FROM agg QUALIFY text_rank <= 100),
+        |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |      FROM embeddings WHERE vec_id <> 0),
+        |cs AS (
+        |  SELECT vec_id,
+        |    round(
+        |      list_sum(list_transform(generate_series(1, len(v)), i -> v[i] * qv[i])) /
+        |      (sqrt(list_sum(list_transform(generate_series(1, len(v)), i -> v[i] * v[i]))) *
+        |       sqrt(list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * qv[i])))),
+        |    6) AS cos_sim
+        |  FROM e, q ORDER BY cos_sim DESC, vec_id ASC LIMIT 100),
+        |vr AS (
+        |  SELECT vec_id AS id,
+        |    row_number() OVER (ORDER BY cos_sim DESC, vec_id ASC) AS vec_rank
+        |  FROM cs),
+        |fused AS (
+        |  SELECT COALESCE(tr.id, vr.id) AS id, tr.text_rank, vr.vec_rank,
+        |    COALESCE(CAST(floor(1000000000000.0 / (CAST(tr.text_rank AS DOUBLE) + 60.0)) AS BIGINT), 0)
+        |  + COALESCE(CAST(floor(1000000000000.0 / (CAST(vr.vec_rank AS DOUBLE) + 60.0)) AS BIGINT), 0) AS rrf_fix
+        |  FROM tr FULL OUTER JOIN vr ON tr.id = vr.id)
+        |SELECT id AS doc_id, text_rank, vec_rank,
+        |  round(CAST(rrf_fix AS DOUBLE) / 1000000000000.0, 6) AS rrf
+        |FROM fused ORDER BY rrf_fix DESC, id ASC LIMIT 10""".stripMargin,
   )
 }

@@ -1200,4 +1200,63 @@ class OpsSpec extends AnyFunSuite {
     val unseen = lp.count(_.getLong(1) == floorFix)
     assert(unseen >= 61, s"expected >=61 floor buckets, got $unseen")
   }
+
+  test("BM25: tf monotone, rare-term dominance, length normalization, match-only") {
+    import graft.ops.Retrieval
+    import spark.implicits._
+    // fillers carry neither term, so df(common)=6 < N/2 and df(rare)=2 —
+    // both idfs positive (df > N/2 flips Robertson idf negative, the
+    // faithful BM25 quirk, which would invert every monotonicity below)
+    val fixture = (Seq(
+      (1L, "common rare pad pad pad pad"),        // both terms, short
+      (2L, "common rare pad pad pad pad pad pad pad pad pad pad"), // both, long
+      (3L, "common common common pad pad pad"),   // tf=3 of common only
+      (4L, "common pad pad pad pad pad"),         // tf=1 of common only
+      (5L, "nothing here matches at all ever"),   // no query term
+      (6L, "common pad pad pad pad pad"),
+      (7L, "common pad pad pad pad pad")
+    ) ++ (10L until 28L).map(i => (i, "filler filler filler filler filler filler")))
+      .toDF("id", "text")
+    val out = Retrieval.bm25TopK(fixture, "id", "text",
+        Seq("common", "rare"), k = 30)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(!out.contains(5L), "doc with no query term must not surface")
+    assert(out(1L)._1 == 2 && out(4L)._1 == 1, "n_terms miscounted")
+    // rare term dominates: doc 1 (common+rare) far above doc 4 (common)
+    assert(out(1L)._2 > out(4L)._2, s"rare-term doc should win: $out")
+    // tf monotone at same length: doc 3 (tf=3) > doc 4 (tf=1)
+    assert(out(3L)._2 > out(4L)._2, s"higher tf should score higher: $out")
+    // length normalization: doc 1 (6 tokens) > doc 2 (12 tokens), same terms
+    assert(out(1L)._2 > out(2L)._2, s"shorter doc should score higher: $out")
+  }
+
+  test("hybrid RRF: both-list docs beat one-list docs; ranks surface; deterministic") {
+    import graft.ops.Retrieval
+    val terms = Seq("hash", "join", "spark", "vector")
+    val d = docs.filter(col("doc_id") =!= 0)
+    val e = emb.filter(col("vec_id") =!= 0)
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+    val out = Retrieval.hybridTopK(d, e, "doc_id", "text", "embedding",
+      "vec_id", terms, q, kCand = 100, k = 10).collect()
+    assert(out.length == 10)
+    // fused score must equal the two ranks' RRF terms exactly
+    out.foreach { r =>
+      val t = Option(r.get(1)).map(_.asInstanceOf[Int])
+      val v = Option(r.get(2)).map(_.asInstanceOf[Int])
+      assert(t.isDefined || v.isDefined, s"row with neither rank: $r")
+      val fix = t.map(x => math.floor(1e12 / (x + 60.0)).toLong).getOrElse(0L) +
+        v.map(x => math.floor(1e12 / (x + 60.0)).toLong).getOrElse(0L)
+      assert(math.abs(r.getDouble(3) - fix / 1e12) < 1e-6,
+        s"rrf drifted from ranks: $r")
+    }
+    // a doc on both lists at rank r beats any doc on one list at rank >= r
+    val both = out.filter(r => !r.isNullAt(1) && !r.isNullAt(2))
+    assert(both.nonEmpty, "expected at least one doc surfaced by both lists")
+    // determinism under repartitioning
+    val out2 = Retrieval.hybridTopK(d.repartition(7), e.repartition(5),
+      "doc_id", "text", "embedding", "vec_id", terms, q, 100, 10).collect()
+    assert(out.map(_.toString).toSeq == out2.map(_.toString).toSeq,
+      "hybrid output depends on partitioning")
+  }
 }
