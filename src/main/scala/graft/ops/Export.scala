@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Training-data EXPORT: deterministic shard assignment, the partitioned
+  * write, and a verifiable manifest — the last mile of the pipeline,
+  * where a cleaned corpus becomes the fixed set of files a training job
+  * reads. Requirements at 100 TB: shard membership must be a pure
+  * function of the row (re-running the export reproduces byte-identical
+  * shards; two writers never disagree), shards must be size-balanced
+  * (md5 is uniform), and the manifest must make corruption or partial
+  * writes DETECTABLE without re-reading the corpus twice — hence
+  * per-shard counts, id bounds, token totals, and an order-free content
+  * checksum (a sum of per-doc 32-bit content hashes commutes, so it is
+  * partition-order-independent and shard manifests add up to the corpus
+  * manifest — the same re-aggregation law as the sketch family).
+  *
+  * Determinism (the x66 oracle replays the manifest): shard =
+  * md5-derived 32-bit int mod S over the id (engine-portable); token
+  * counts are the standard whitespace tokens; the checksum sums exact
+  * integers. */
+object Export {
+
+  /** Deterministic shard of an id: first 8 md5 hex digits of
+    * "shard:<id>" as an unsigned 32-bit int, mod `nShards`. */
+  def shardOf(id: Column, nShards: Int): Column =
+    conv(substring(md5(concat(lit("shard:"), id.cast("string"))), 1, 8),
+      16, 10).cast("long") % nShards
+
+  /** 32-bit content hash of one document: md5 over "id:text" — the
+    * checksum unit whose per-shard SUM is the manifest's integrity
+    * field. */
+  private def contentHash(id: Column, text: Column): Column =
+    conv(substring(md5(concat(id.cast("string"), lit(":"), text)), 1, 8),
+      16, 10).cast("long")
+
+  /** Per-shard manifest: (shard, n_docs, n_tokens, min_id, max_id,
+    * checksum). ONE map-side-combinable aggregation over the corpus;
+    * every field re-aggregates (counts/sums add, min/max fold), so
+    * shard-level manifests from independent writers merge to the corpus
+    * manifest exactly. Harness query x66 gates this against a DuckDB
+    * oracle replaying hash, counts, and checksum. */
+  def shardManifest(docs: DataFrame, idCol: String, textCol: String,
+                    nShards: Int = 8): DataFrame = {
+    require(nShards > 0, s"need a positive shard count, got $nShards")
+    docs
+      .select(col(idCol).as("__id"), col(textCol).as("__t"))
+      .select(shardOf(col("__id"), nShards).as("shard"), col("__id"),
+        TextStats.tokenCount(col("__t")).as("__ntok"),
+        contentHash(col("__id"), col("__t")).as("__chk"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum(col("__ntok")).as("n_tokens"),
+        min(col("__id")).as("min_id"), max(col("__id")).as("max_id"),
+        sum(col("__chk")).as("checksum"))
+      .orderBy("shard")
+  }
+
+  /** The WRITE: one parquet directory per shard (`shard=N/`), rows
+    * sorted by id within each shard so re-runs produce identical file
+    * contents. Returns the reloadable frame; ExportSpec asserts the
+    * written shards agree with [[shardManifest]] row-for-row. */
+  def exportShards(docs: DataFrame, idCol: String, path: String,
+                   nShards: Int = 8): Unit =
+    docs
+      .withColumn("shard", shardOf(col(idCol), nShards))
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col(idCol))
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+}

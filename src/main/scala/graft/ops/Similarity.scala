@@ -439,6 +439,53 @@ object Similarity {
     Dedup.keepClusterRepresentatives(emb, idCol, comp)
   }
 
+  /** SemDeDup (Abbas et al., 2023): k-means the embeddings, find
+    * near-dup pairs ONLY within each cluster, connected-components them,
+    * and keep per component the member LEAST similar to its centroid —
+    * the paper's rule (keeping the outlier preserves diversity; the
+    * near-centroid members are the redundant ones). The k-means cells
+    * make the pairwise step n²/k instead of n² — the scale dial — and
+    * the clusters come from [[ivfBuildKmeans]]'s fixed-point Lloyd
+    * training, so the whole pipeline is deterministic and the x67 oracle
+    * replays it end-to-end (training, assignment, within-cell cosines,
+    * recursive-CTE components, the min-(cent_cos, id) keeper pick).
+    *
+    * Returns one row per vector: (idCol, cluster_id, cent_cos, kept) —
+    * cluster_id is the min member id of the near-dup component
+    * (singletons map to themselves and are always kept). */
+  def semDeDupKmeans(emb: DataFrame, vecCol: String, idCol: String,
+                     tau: Double, nLists: Int = 16, iters: Int = 2): DataFrame = {
+    val (cents, assigned) = ivfBuildKmeans(emb, vecCol, idCol, nLists, iters)
+    val asg = Caches.persistTracked(assigned)
+    // within-cell candidate pairs: equi-join on the cell key — never a
+    // corpus cross join; cell sizes bound the quadratic term (n²/k)
+    val a = asg.select(col("centroid_id"), col(idCol).as("a_id"),
+      col("vec").as("__va"))
+    val b = asg.select(col("centroid_id"), col(idCol).as("b_id"),
+      col("vec").as("__vb"))
+    val edges = a.join(b, "centroid_id")
+      .filter(col("a_id") < col("b_id"))
+      .filter(round(VectorFunctions.cosine(col("__va"), col("__vb")), 6)
+        >= tau)
+      .select("a_id", "b_id")
+    val comps = Dedup.connectedComponents(asg.select(col(idCol)), idCol,
+      edges)
+    val withCos = asg
+      .join(broadcast(cents), "centroid_id")
+      .select(col(idCol),
+        round(VectorFunctions.cosine(col("vec"), col("cv")), 6).as("cent_cos"))
+    val labeled = comps
+      .select(col("id").as(idCol), col("cluster_id"))
+      .join(withCos, idCol)
+    val keeper = labeled
+      .groupBy("cluster_id")
+      .agg(min(struct(col("cent_cos"), col(idCol).as("kid"))).as("k"))
+      .select(col("cluster_id"), col("k.kid").as("__keep_id"))
+    labeled.join(keeper, "cluster_id")
+      .select(col(idCol), col("cluster_id"), col("cent_cos"),
+        (col(idCol) === col("__keep_id")).as("kept"))
+  }
+
   // ----- int8 scalar quantization (compressed-scan ANN) ---------------
 
   /** Per-vector symmetric int8 scalar quantization: each component maps

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.{AsofJoin, Chunking, Cms, Dedup, Dsir, HistQuantile, LangModel, LinearProbe, Multimodal, Retrieval, Similarity, TextStats}
+import graft.ops.{AsofJoin, Chunking, Cms, Dedup, Dsir, Export, HistQuantile, LangModel, LinearProbe, Multimodal, Retrieval, Similarity, TextStats}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -921,6 +921,26 @@ object Ext {
           "doc_id", "text", "embedding", "vec_id",
           Seq("hash", "join", "spark", "vector"), queryVec(s, dir))
         .orderBy(col("rrf").desc, col("doc_id").asc)
+    },
+
+    // Deterministic shard-export manifest (8 shards): per-shard doc and
+    // token counts, id bounds, and an order-free content checksum — the
+    // verifiable last mile of a training-data export. FULL oracle:
+    // md5-derived shard hash, whitespace token counts, and a commuting
+    // sum of per-doc 32-bit content hashes, all exact integers.
+    "x66_shard_manifest" -> { (s, dir) =>
+      Export.shardManifest(Tables.documents(s, dir), "doc_id", "text",
+        nShards = 8)
+    },
+
+    // SemDeDup: fixed-point-k-means cells → within-cell cosine pairs →
+    // connected components → keep the member LEAST similar to its
+    // centroid. FULL oracle: x25's Lloyd replay, within-cell rounded
+    // cosines, recursive-CTE components, min-(cent_cos, id) keeper.
+    "x67_semdedup" -> { (s, dir) =>
+      Similarity.semDeDupKmeans(Tables.embeddings(s, dir), "embedding",
+          "vec_id", tau = 0.45)
+        .orderBy("vec_id")
     },
   )
 
@@ -2583,5 +2603,104 @@ object Ext {
         |SELECT id AS doc_id, text_rank, vec_rank,
         |  round(CAST(rrf_fix AS DOUBLE) / 1000000000000.0, 6) AS rrf
         |FROM fused ORDER BY rrf_fix DESC, id ASC LIMIT 10""".stripMargin,
+
+    // Shard-manifest replay: md5 shard hash, token counts, and the
+    // commuting content-hash sum are all exact integer arithmetic.
+    "x66_shard_manifest" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(CAST('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 8) AS UBIGINT) AS BIGINT) % 8 AS shard,
+        |    len(list_filter(string_split(text, ' '), t -> t <> '')) AS ntok,
+        |    CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 8) AS UBIGINT) AS BIGINT) AS chk
+        |  FROM documents)
+        |SELECT shard, COUNT(*) AS n_docs, CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+        |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id,
+        |  CAST(SUM(chk) AS BIGINT) AS checksum
+        |FROM d GROUP BY shard ORDER BY shard""".stripMargin,
+
+    // SemDeDup replay: the two fixed-point Lloyd rounds are x25's CTE
+    // chain verbatim (over the whole corpus — no query row here); the
+    // within-cell pair step, the recursive component walk, and the
+    // least-similar-to-centroid keeper pick are all over rounded
+    // cosines and integer ids.
+    "x67_semdedup" ->
+      """WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c0 AS (SELECT vec_id AS cid, v AS cv FROM e
+        |       ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC LIMIT 16),
+        |a1 AS (
+        |  SELECT vec_id, v, cid FROM (
+        |    SELECT e.vec_id, e.v, c0.cid,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_sum(list_transform(generate_series(1, len(e.v)), i -> e.v[i] * c0.cv[i])) /
+        |          (sqrt(list_sum(list_transform(generate_series(1, len(e.v)), i -> e.v[i] * e.v[i]))) *
+        |           sqrt(list_sum(list_transform(generate_series(1, len(c0.cv)), i -> c0.cv[i] * c0.cv[i])))) DESC,
+        |        c0.cid ASC) AS rk
+        |    FROM e, c0) WHERE rk = 1),
+        |c1 AS (
+        |  SELECT cid, list(m ORDER BY pos) AS cv FROM (
+        |    SELECT cid, pos, ((u - ((u % n2) + n2) % n2) / n2) / 1000000.0 AS m FROM (
+        |      SELECT cid, pos,
+        |        2 * CAST(SUM(CAST(floor(vv * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) + COUNT(*) AS u,
+        |        2 * COUNT(*) AS n2
+        |      FROM (SELECT cid, unnest(generate_series(1, len(v))) AS pos, unnest(v) AS vv FROM a1)
+        |      GROUP BY cid, pos)) GROUP BY cid),
+        |a2 AS (
+        |  SELECT vec_id, v, cid FROM (
+        |    SELECT e.vec_id, e.v, c1.cid,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_sum(list_transform(generate_series(1, len(e.v)), i -> e.v[i] * c1.cv[i])) /
+        |          (sqrt(list_sum(list_transform(generate_series(1, len(e.v)), i -> e.v[i] * e.v[i]))) *
+        |           sqrt(list_sum(list_transform(generate_series(1, len(c1.cv)), i -> c1.cv[i] * c1.cv[i])))) DESC,
+        |        c1.cid ASC) AS rk
+        |    FROM e, c1) WHERE rk = 1),
+        |c2 AS (
+        |  SELECT cid, list(m ORDER BY pos) AS cv FROM (
+        |    SELECT cid, pos, ((u - ((u % n2) + n2) % n2) / n2) / 1000000.0 AS m FROM (
+        |      SELECT cid, pos,
+        |        2 * CAST(SUM(CAST(floor(vv * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) + COUNT(*) AS u,
+        |        2 * COUNT(*) AS n2
+        |      FROM (SELECT cid, unnest(generate_series(1, len(v))) AS pos, unnest(v) AS vv FROM a2)
+        |      GROUP BY cid, pos)) GROUP BY cid),
+        |a3 AS (
+        |  SELECT vec_id, v, cid FROM (
+        |    SELECT e.vec_id, e.v, c2.cid,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_sum(list_transform(generate_series(1, len(e.v)), i -> e.v[i] * c2.cv[i])) /
+        |          (sqrt(list_sum(list_transform(generate_series(1, len(e.v)), i -> e.v[i] * e.v[i]))) *
+        |           sqrt(list_sum(list_transform(generate_series(1, len(c2.cv)), i -> c2.cv[i] * c2.cv[i])))) DESC,
+        |        c2.cid ASC) AS rk
+        |    FROM e, c2) WHERE rk = 1),
+        |p AS (
+        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        |  FROM a3 a JOIN a3 b ON a.cid = b.cid AND a.vec_id < b.vec_id
+        |  WHERE round(
+        |      list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i])) /
+        |      (sqrt(list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * a.v[i]))) *
+        |       sqrt(list_sum(list_transform(generate_series(1, len(b.v)), i -> b.v[i] * b.v[i])))),
+        |    6) >= 0.45),
+        |edges AS (SELECT a_id AS u, b_id AS w FROM p UNION SELECT b_id, a_id FROM p),
+        |walk(id, reach) AS (
+        |  SELECT vec_id, vec_id FROM e
+        |  UNION
+        |  SELECT wk.id, ed.w FROM walk wk JOIN edges ed ON wk.reach = ed.u),
+        |comps AS (SELECT id, MIN(reach) AS cluster_id FROM walk GROUP BY id),
+        |cc AS (
+        |  SELECT a.vec_id, round(
+        |      list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * c2.cv[i])) /
+        |      (sqrt(list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * a.v[i]))) *
+        |       sqrt(list_sum(list_transform(generate_series(1, len(c2.cv)), i -> c2.cv[i] * c2.cv[i])))),
+        |    6) AS cent_cos
+        |  FROM a3 a JOIN c2 ON a.cid = c2.cid),
+        |keeper AS (
+        |  SELECT cluster_id, id AS keep_id FROM (
+        |    SELECT comps.cluster_id, comps.id,
+        |      row_number() OVER (PARTITION BY comps.cluster_id
+        |        ORDER BY cc.cent_cos ASC, comps.id ASC) AS rk
+        |    FROM comps JOIN cc ON comps.id = cc.vec_id) WHERE rk = 1)
+        |SELECT comps.id AS vec_id, comps.cluster_id, cc.cent_cos,
+        |  comps.id = keeper.keep_id AS kept
+        |FROM comps JOIN cc ON comps.id = cc.vec_id
+        |JOIN keeper USING (cluster_id)
+        |ORDER BY vec_id""".stripMargin,
   )
 }

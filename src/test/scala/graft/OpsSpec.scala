@@ -1259,4 +1259,62 @@ class OpsSpec extends AnyFunSuite {
     assert(out.map(_.toString).toSeq == out2.map(_.toString).toSeq,
       "hybrid output depends on partitioning")
   }
+
+  test("shard export: written shards agree with the manifest; re-aggregation law") {
+    import graft.ops.Export
+    val tmp = java.nio.file.Files.createTempDirectory("graft_export_").toString
+    try {
+      Export.exportShards(docs, "doc_id", tmp, nShards = 8)
+      val manifest = Export.shardManifest(docs, "doc_id", "text", 8)
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+      assert(manifest.values.map(_._1).sum == docs.count(), "manifest loses docs")
+      // the written tree reloads to exactly the manifest's per-shard counts
+      // and id bounds (partition pruning reads one directory per shard)
+      // the directory-derived partition column reads back as int
+      val back = spark.read.parquet(tmp)
+        .withColumn("shard", col("shard").cast("long"))
+      val reread = back.groupBy("shard")
+        .agg(count(lit(1)).as("n"), min("doc_id").as("lo"), max("doc_id").as("hi"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      manifest.foreach { case (s, (n, _, lo, hi, _)) =>
+        assert(reread(s) == ((n, lo, hi)), s"shard $s drifted: ${reread(s)}")
+      }
+      // manifests of disjoint halves ADD to the whole-corpus manifest
+      val merged = Export.shardManifest(docs.filter(col("doc_id") % 2 === 0),
+          "doc_id", "text", 8)
+        .unionByName(Export.shardManifest(docs.filter(col("doc_id") % 2 =!= 0),
+          "doc_id", "text", 8))
+        .groupBy("shard")
+        .agg(sum("n_docs").as("n"), sum("n_tokens").as("t"), sum("checksum").as("c"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      manifest.foreach { case (s, (n, t, _, _, c)) =>
+        assert(merged(s) == ((n, t, c)), s"shard $s manifests did not add: ${merged(s)}")
+      }
+    } finally graft.util.Fs.deleteTree(java.nio.file.Paths.get(tmp))
+  }
+
+  test("SemDeDup: one keeper per cluster, keeper least-similar-to-centroid, deterministic") {
+    val out = Similarity.semDeDupKmeans(emb, "embedding", "vec_id", tau = 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    assert(out.length == emb.count(), "SemDeDup must emit one row per vector")
+    val byCluster = out.groupBy(_._2)
+    // exactly one kept member per component, and it is the min-(cent_cos, id)
+    byCluster.foreach { case (cid, members) =>
+      val kept = members.filter(_._4)
+      assert(kept.length == 1, s"cluster $cid kept ${kept.length} members")
+      val expect = members.minBy(m => (m._3, m._1))
+      assert(kept.head._1 == expect._1,
+        s"cluster $cid kept ${kept.head._1}, expected outlier ${expect._1}")
+    }
+    // the planted near-dup structure actually dedups something
+    assert(byCluster.exists(_._2.length > 1), "expected at least one real cluster")
+    assert(out.count(_._4) < out.length, "SemDeDup dropped nothing")
+    // partitioning cannot move a single verdict
+    val out2 = Similarity.semDeDupKmeans(emb.repartition(7), "embedding",
+      "vec_id", tau = 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    assert(out.sortBy(_._1).toSeq == out2.sortBy(_._1).toSeq,
+      "SemDeDup depends on partitioning")
+  }
 }
