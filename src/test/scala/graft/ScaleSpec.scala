@@ -412,4 +412,57 @@ class ScaleSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") &&
            !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("x64 BM25: df/stats model joins broadcast; corpus never sort-merge-joined") {
+    val docs = Tables.documents(spark, dir)
+    val plan = graft.ops.Retrieval.bm25TopK(docs, "doc_id", "text",
+      Seq("hash", "join", "spark", "vector")).queryExecution.executedPlan.toString
+    // the corpus-sized side may shuffle only for its own aggregations;
+    // every JOIN input is model-sized (df table, 1-row stats) → broadcast
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"BM25 scoring must join the model by broadcast, not shuffle the corpus:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k cut must be TakeOrderedAndProject:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the only nested-loop is the 1-row broadcast stats scalar (the
+    // repo-wide crossJoin(broadcast(1-row)) convention)
+    assert(plan.sliding("BroadcastNestedLoopJoin".length)
+      .count(_ == "BroadcastNestedLoopJoin") <= 1, plan)
+  }
+
+  test("x66 export: reading one shard prunes storage partitions to exactly that shard") {
+    val docs = Tables.documents(spark, dir)
+    val tmp = Files.createTempDirectory("x66_export_").toString
+    try {
+      graft.ops.Export.exportShards(docs, "doc_id", tmp, nShards = 8)
+      val one = spark.read.parquet(tmp).filter(col("shard") === 3)
+      val root = one.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val scan = root.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.headOption.getOrElse(fail(s"no file scan in:\n$root"))
+      assert(scan.partitionFilters.mkString.contains("shard"),
+        s"shard predicate must become a partition filter:\n$root")
+      assert(scan.selectedPartitions.partitionCount == 1,
+        s"read ${scan.selectedPartitions.partitionCount} shard dirs for one shard")
+    } finally graft.util.Fs.deleteTree(java.nio.file.Paths.get(tmp))
+  }
+
+  test("x67 SemDeDup: pair step equi-joins on the cell key — no corpus cross join") {
+    val emb = Tables.embeddings(spark, dir)
+    val plan = Similarity.semDeDupKmeans(emb, "embedding", "vec_id", tau = 0.45)
+      .queryExecution.executedPlan.toString
+    // assignNearest's 1-row collect_list(centroids) broadcast compiles to
+    // BroadcastNestedLoopJoin(BuildRight, Cross) — the repo-wide scalar
+    // convention; the quadratic pair step must be the cell-key HASH join
+    assert(!plan.contains("CartesianProduct"),
+      s"within-cell pairs must come from the centroid_id equi-join:\n$plan")
+    assert(plan.contains("Join [centroid_id") || plan.contains("[centroid_id"),
+      s"expected an equi-join keyed on centroid_id:\n$plan")
+    plan.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).foreach { l =>
+      assert(l.contains("Cross"), s"non-scalar nested loop join:\n$l")
+    }
+  }
 }
