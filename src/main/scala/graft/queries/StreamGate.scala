@@ -432,6 +432,50 @@ object StreamGate {
       }
     },
 
+    // Streaming SHARD EXPORT: each arriving micro-batch appends into the
+    // md5-sharded partitioned tree — the deployment form of x66's export
+    // (a training-data landing zone filled by a stream), with the
+    // manifest computed over the WRITTEN tree after the drain. Shard
+    // membership is a pure function of the row and every manifest field
+    // commutes (counts/sums add, min/max fold), so batch boundaries
+    // cannot show in the result: the streamed tree's manifest equals the
+    // batch manifest over the same arrival set — the oracle (x66's SQL
+    // restricted to the arrival ids). ≥2 data batches asserted, and the
+    // manifest is computed from what the files actually contain, so a
+    // lost or duplicated batch commit would hash-fail loudly.
+    "s10_stream_shard_export" -> { (s, dir) =>
+      val topic = incomingDocsTopic(s, dir)
+      withGateConf(s) {
+        val sink = gateTmpDir("s10_sink_")
+        val ckpt = gateTmpDir("s10_ckpt_")
+        val stream = s.readStream.format("graft-topic")
+          .option("topic", topic)
+          .option("maxRecordsPerTrigger", math.max(1L, topicSize(topic) / 2).toString)
+          .load()
+          .select(from_json(col("value").cast("string"), org.apache.spark.sql.types
+            .StructType.fromDDL("doc_id BIGINT, text STRING, lang STRING")).as("j"))
+          .select(col("j.doc_id").as("doc_id"), col("j.text").as("text"))
+        val q = stream.writeStream
+          .foreachBatch { (df: DataFrame, _: Long) =>
+            df.withColumn("shard", graft.ops.Export.shardOf(col("doc_id"), 8))
+              .write.mode("append").partitionBy("shard").parquet(sink.toString)
+            ()
+          }
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        drain(q, ckpt)
+        require(dataBatches(q) >= 2,
+          s"s10 must export across batches; ran ${dataBatches(q)} data batches")
+        val out = graft.ops.Caches.localCheckpointTracked(
+          graft.ops.Export.shardManifest(
+            s.read.parquet(sink.toString).select(col("doc_id"), col("text")),
+            "doc_id", "text", nShards = 8))
+        cleanupStep("sink delete")(graft.util.Fs.deleteTree(sink))
+        out
+      }
+    },
+
     // Streaming exact dedup under the gate: events replayed through the
     // topic → dropDuplicatesWithinWatermark(user_id) → append-mode memory
     // sink. WHICH occurrence survives is arrival-order-dependent, so the
@@ -775,6 +819,22 @@ object StreamGate {
     // cross-side-only (doc vs corpus), so micro-batch boundaries cannot
     // show in any per-doc verdict — share x50's oracle SQL verbatim.
     "s09_stream_ingest_screening" -> Ext.oracle("x50_incremental_dedup"),
+
+    // Shard membership is a pure function of the row and every manifest
+    // field commutes, so the streamed partitioned tree's manifest equals
+    // the batch manifest over the same arrival set (doc_id >= 400 — the
+    // ingest topic's slice): x66's replay with that filter.
+    "s10_stream_shard_export" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(CAST('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 8) AS UBIGINT) AS BIGINT) % 8 AS shard,
+        |    len(list_filter(string_split(text, ' '), t -> t <> '')) AS ntok,
+        |    CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 8) AS UBIGINT) AS BIGINT) AS chk
+        |  FROM documents WHERE doc_id >= 400)
+        |SELECT shard, COUNT(*) AS n_docs, CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+        |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id,
+        |  CAST(SUM(chk) AS BIGINT) AS checksum
+        |FROM d GROUP BY shard ORDER BY shard""".stripMargin,
 
     // The batch x45 computation IS the streaming answer: band keys are a
     // pure function of the vector (md5-rebuilt planes), the stream-static
