@@ -942,6 +942,19 @@ object Ext {
           "vec_id", tau = 0.45)
         .orderBy("vec_id")
     },
+
+    // k-NN graph: every vector's top-5 neighbors from its banded-LSH
+    // candidate set (band collisions only — never all-pairs). 16×4-bit
+    // bands — the SHORT-band dial, because a graph build must recall
+    // MID-similarity neighbors (this corpus's true top-5 sit at cos
+    // 0.24–0.51, where 8-bit bands collide <25% of the time and 4-bit
+    // bands ~90%). FULL oracle: md5-rebuilt hyperplanes, band keys, the
+    // candidate join, rounded cosines, per-source row_number ranks.
+    "x68_knn_graph" -> { (s, dir) =>
+      Similarity.knnGraphBanded(Tables.embeddings(s, dir), "embedding",
+          "vec_id", k = 5, nBands = 16, bandBits = 4)
+        .orderBy("src_id", "rank")
+    },
   )
 
   private val enList = TextStats.stopwords("en").map(w => s"'$w'").mkString("[", ",", "]")
@@ -2702,5 +2715,41 @@ object Ext {
         |FROM comps JOIN cc ON comps.id = cc.vec_id
         |JOIN keeper USING (cluster_id)
         |ORDER BY vec_id""".stripMargin,
+
+    // k-NN graph replay: x45's band arithmetic at the 16×4-bit dial
+    // (planes 0..63, j = b div 4, bit 1 << (3 − b mod 4)) with the
+    // corpus on both sides of the candidate join (a ≠ b), then exact
+    // rounded cosines and per-source ranks.
+    "x68_knn_graph" ->
+      """WITH h AS (
+        |  SELECT b, list_transform(generate_series(0, 63),
+        |    d -> (CAST('0x' || substr(md5('rhp:' || CAST(b AS VARCHAR) || ':' || CAST(d AS VARCHAR)), 1, 8) AS UBIGINT) % 2000001) / 1000000.0 - 1.0) AS hv
+        |  FROM generate_series(0, 63) t(b)),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |bits AS (
+        |  SELECT e.vec_id, CAST(h.b // 4 AS INT) AS j,
+        |    CASE WHEN list_sum(list_transform(generate_series(1, len(v)), i -> v[i] * hv[i])) > 0
+        |      THEN CAST(1 << (3 - (h.b % 4)) AS BIGINT) ELSE 0 END AS bit
+        |  FROM e, h),
+        |bands AS (SELECT vec_id, j, SUM(bit) AS bv FROM bits GROUP BY vec_id, j),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS src_id, b.vec_id AS nbr_id
+        |  FROM bands a JOIN bands b USING (j, bv)
+        |  WHERE a.vec_id <> b.vec_id),
+        |scored AS (
+        |  SELECT cand.src_id, cand.nbr_id,
+        |    round(
+        |      list_sum(list_transform(generate_series(1, len(sv.v)), i -> sv.v[i] * nv.v[i])) /
+        |      (sqrt(list_sum(list_transform(generate_series(1, len(sv.v)), i -> sv.v[i] * sv.v[i]))) *
+        |       sqrt(list_sum(list_transform(generate_series(1, len(nv.v)), i -> nv.v[i] * nv.v[i])))),
+        |    6) AS cos_sim
+        |  FROM cand
+        |  JOIN e sv ON sv.vec_id = cand.src_id
+        |  JOIN e nv ON nv.vec_id = cand.nbr_id)
+        |SELECT src_id, nbr_id, cos_sim,
+        |  CAST(row_number() OVER (PARTITION BY src_id ORDER BY cos_sim DESC, nbr_id ASC) AS INT) AS rank
+        |FROM scored
+        |QUALIFY rank <= 5
+        |ORDER BY src_id, rank""".stripMargin,
   )
 }

@@ -1294,6 +1294,38 @@ class OpsSpec extends AnyFunSuite {
     } finally graft.util.Fs.deleteTree(java.nio.file.Paths.get(tmp))
   }
 
+  test("kNN graph: shape invariants and recall@5 vs the exact quadratic twin") {
+    import org.apache.spark.sql.expressions.Window
+    val banded = Similarity.knnGraphBanded(emb, "embedding", "vec_id", k = 5,
+        nBands = 16, bandBits = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    // per-source: ranks consecutive from 1, cosines non-increasing
+    banded.groupBy(_._1).foreach { case (src, rows) =>
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq == (1 to sorted.length).toSeq,
+        s"src $src ranks not consecutive: ${sorted.toSeq}")
+      assert(sorted.sliding(2).forall(w => w.length < 2 || w(0)._3 >= w(1)._3),
+        s"src $src cosines not ranked: ${sorted.toSeq}")
+      assert(!rows.exists(_._2 == src), s"src $src lists itself as neighbor")
+    }
+    // exact twin: brute-force top-5 per source (test-scale only)
+    val v = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val exact = v.withColumnsRenamed(Map("vec_id" -> "src_id", "v" -> "sv"))
+      .crossJoin(v.withColumnsRenamed(Map("vec_id" -> "nbr_id", "v" -> "nv")))
+      .filter(col("src_id") =!= col("nbr_id"))
+      .withColumn("cos_sim",
+        round(graft.functions.VectorFunctions.cosine(col("sv"), col("nv")), 6))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("src_id").orderBy(col("cos_sim").desc, col("nbr_id").asc)))
+      .filter(col("rank") <= 5)
+      .select("src_id", "nbr_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bandedSet = banded.map(r => (r._1, r._2)).toSet
+    val recall = (exact & bandedSet).size.toDouble / exact.size
+    assert(recall >= 0.75,
+      f"banded kNN recall@5 $recall%.3f below floor (|exact|=${exact.size})")
+  }
+
   test("SemDeDup: one keeper per cluster, keeper least-similar-to-centroid, deterministic") {
     val out = Similarity.semDeDupKmeans(emb, "embedding", "vec_id", tau = 0.45)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
