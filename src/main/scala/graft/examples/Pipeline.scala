@@ -1,7 +1,7 @@
 package graft.examples
 
 import graft.{GraftSession, Tables}
-import graft.ops.{Chunking, Dedup, LangModel, Similarity, TextStats}
+import graft.ops.{Chunking, Dedup, Export, LangModel, Similarity, TextStats}
 import org.apache.spark.sql.functions._
 
 /** Runnable end-to-end TRAINING-DATA pipeline over the test corpus — the
@@ -75,11 +75,17 @@ object Pipeline {
     //    dropping a doc only when nothing survives
     val bench = kept.filter(Chunking.hashSample(col("doc_id"), keepHexDigits = 1))
       .select(col("doc_id").as("b_id"), col("text"))
-    val cleanDocs = Dedup.decontaminateSpans(
-        kept.join(bench, kept("doc_id") === bench("b_id"), "leftanti"),
-        bench, "doc_id", "text")
-      .filter(col("n_kept") > 0)
-      .select(col("doc_id"), col("clean_text").as("text"))
+    // Materialize: the span-decontamination plan on top of the five
+    // stages above is the chain's heaviest subtree; without the break,
+    // stage 7's window re-derives it and the accumulated AQE plan alone
+    // exhausts an 8 GiB driver (p01's gate measured the same recompute
+    // amplification at 14×)
+    val cleanDocs = graft.ops.Caches.localCheckpointTracked(
+      Dedup.decontaminateSpans(
+          kept.join(bench, kept("doc_id") === bench("b_id"), "leftanti"),
+          bench, "doc_id", "text")
+        .filter(col("n_kept") > 0)
+        .select(col("doc_id"), col("clean_text").as("text")))
     stage("decontaminated", cleanDocs.count())
 
     // 7. sqrt-temperature language rebalancing (downsample-only α = 0.5)
@@ -90,9 +96,15 @@ object Pipeline {
       .select("doc_id", "text")
     stage("temperature mix", balanced.count())
 
-    // 8. PII scrub + chunking + fixed-capacity sequence packing
-    val scrubbed = balanced.select(col("doc_id"),
-      TextStats.redactPii(col("text")).as("text"))
+    // 8. PII scrub + chunking + fixed-capacity sequence packing.
+    // Materialize here: three downstream consumers (chunking, the shard
+    // export write, the manifest) would otherwise each re-derive the
+    // whole 7-stage chain — the same recompute amplification p01's gate
+    // measured at 14× (and enough transient plans to OOM an 8 GiB
+    // driver at sf0.001)
+    val scrubbed = graft.ops.Caches.localCheckpointTracked(
+      balanced.select(col("doc_id"),
+        TextStats.redactPii(col("text")).as("text")))
     val chunks = Chunking.chunk(scrubbed, "doc_id", "text",
       chunkTokens = 50, overlap = 10)
     stage("chunks", chunks.count())
@@ -100,6 +112,17 @@ object Pipeline {
       chunks.withColumn("source", lit("corpus")),
       "source", "n_chunk_tokens", capacity = 256, Seq("doc_id", "chunk_idx"))
     stage("training packs", packs.select("source", "pack_id").distinct().count())
+
+    // 8b. the LAST MILE: deterministic md5-sharded export of the packed
+    //     corpus + the verifiable manifest (counts, id bounds, commuting
+    //     checksum) a training job validates before reading
+    val exportDir = java.nio.file.Files.createTempDirectory("pipeline_export_")
+    Export.exportShards(scrubbed, "doc_id", exportDir.toString, nShards = 8)
+    Export.shardManifest(scrubbed, "doc_id", "text", nShards = 8)
+      .collect()
+      .foreach(r => println(f"[pipeline] shard ${r.getLong(0)}%d: " +
+        f"${r.getLong(1)}%d docs, ${r.getLong(2)}%d tokens, checksum ${r.getLong(5)}%d"))
+    graft.util.Fs.deleteTree(exportDir)
 
     // 9. embedding-side semantic dedup (banded LSH → verify → CC → keep-one)
     val emb = Tables.embeddings(spark, dir)
