@@ -56,6 +56,37 @@ object Export {
       .orderBy("shard")
   }
 
+  /** CURRICULUM manifest: rank documents easiest-first by bigram-LM
+    * fluency ([[LangModel.perplexityScoreSelf]]'s nll — low = fluent)
+    * and cut the ranking into `nBuckets` integer-rank buckets — the
+    * difficulty-ordered export a curriculum-training job consumes
+    * (bucket 0 first). Docs with zero transitions (< 2 tokens) carry no
+    * signal and are excluded. Per bucket: doc count, transition mass,
+    * and the nll bounds the bucket spans.
+    *
+    * Determinism (the x69 oracle replays it): nll is x48's fixed-point
+    * convention; the rank is a total order on (nll, id); the bucket is
+    * pure integer arithmetic floor((rn−1)·B/m). The ranking is one
+    * global sort of doc-sized rows — the same extreme-scale swap note
+    * as [[graft.ops.Dsir.dsirSelect]]. */
+  def curriculumManifest(docs: DataFrame, idCol: String, textCol: String,
+                         nBuckets: Int = 10): DataFrame = {
+    require(nBuckets > 0, s"need a positive bucket count, got $nBuckets")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("nll_nats").asc, col(idCol).asc)
+    LangModel.perplexityScoreSelf(docs, idCol, textCol)
+      .filter(col("n_transitions") > 0)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("m", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .withColumn("bucket", expr(s"((rn - 1) * $nBuckets) div m"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_transitions")).as("n_transitions"),
+        min(col("nll_nats")).as("nll_lo"), max(col("nll_nats")).as("nll_hi"))
+      .orderBy("bucket")
+  }
+
   /** The WRITE: one parquet directory per shard (`shard=N/`), rows
     * sorted by id within each shard so re-runs produce identical file
     * contents. Returns the reloadable frame; ExportSpec asserts the

@@ -943,6 +943,15 @@ object Ext {
         .orderBy("vec_id")
     },
 
+    // Curriculum manifest: docs ranked easiest-first by x48's bigram-LM
+    // nll, cut into 10 integer-rank buckets, per-bucket doc/transition
+    // mass and nll bounds — the difficulty-ordered export a curriculum
+    // job consumes. FULL oracle: x48's fixed-point nll, (nll, id) total
+    // order, floor((rn−1)·10/m) integer buckets.
+    "x69_curriculum_manifest" -> { (s, dir) =>
+      Export.curriculumManifest(Tables.documents(s, dir), "doc_id", "text")
+    },
+
     // k-NN graph: every vector's top-5 neighbors from its banded-LSH
     // candidate set (band collisions only — never all-pairs). 16×4-bit
     // bands — the SHORT-band dial, because a graph build must recall
@@ -2715,6 +2724,42 @@ object Ext {
         |FROM comps JOIN cc ON comps.id = cc.vec_id
         |JOIN keeper USING (cluster_id)
         |ORDER BY vec_id""".stripMargin,
+
+    // Curriculum replay: x48's nll CTEs, then the total-order rank, the
+    // integer bucket cut, and the per-bucket aggregates.
+    "x69_curriculum_manifest" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |tr AS (
+        |  SELECT doc_id, ts[i] AS prev, ts[i+1] AS cur
+        |  FROM tok, unnest(generate_series(1, len(ts) - 1)) u(i)
+        |  WHERE len(ts) >= 2),
+        |uni AS (SELECT prev, COUNT(*) AS cu FROM tr GROUP BY 1),
+        |bi AS (SELECT prev, cur, COUNT(*) AS cb FROM tr GROUP BY 1, 2),
+        |v AS (SELECT COUNT(DISTINCT w) AS vsz
+        |      FROM (SELECT unnest(ts) AS w FROM tok)),
+        |lp AS (
+        |  SELECT tr.doc_id,
+        |    CAST(floor(ln((bi.cb + 1.0) / (uni.cu + v.vsz)) * 1000000000000.0) AS BIGINT) AS lp_fix
+        |  FROM tr
+        |  JOIN uni ON uni.prev = tr.prev
+        |  JOIN bi ON bi.prev = tr.prev AND bi.cur = tr.cur, v),
+        |agg AS (
+        |  SELECT doc_id, COUNT(*) AS n_transitions, SUM(lp_fix) AS sfix
+        |  FROM lp GROUP BY 1),
+        |scored AS (
+        |  SELECT doc_id, n_transitions,
+        |    round(CAST(-sfix AS DOUBLE) / 1000000000000.0 / n_transitions, 6) AS nll_nats
+        |  FROM agg WHERE n_transitions > 0),
+        |ranked AS (
+        |  SELECT doc_id, n_transitions, nll_nats,
+        |    row_number() OVER (ORDER BY nll_nats ASC, doc_id ASC) AS rn,
+        |    COUNT(*) OVER () AS m
+        |  FROM scored)
+        |SELECT ((rn - 1) * 10) // m AS bucket, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_transitions) AS BIGINT) AS n_transitions,
+        |  MIN(nll_nats) AS nll_lo, MAX(nll_nats) AS nll_hi
+        |FROM ranked GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     // k-NN graph replay: x45's band arithmetic at the 16×4-bit dial
     // (planes 0..63, j = b div 4, bit 1 << (3 − b mod 4)) with the

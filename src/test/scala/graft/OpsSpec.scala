@@ -1294,6 +1294,29 @@ class OpsSpec extends AnyFunSuite {
     } finally graft.util.Fs.deleteTree(java.nio.file.Paths.get(tmp))
   }
 
+  test("curriculum manifest: buckets partition the ranking in nll order, deterministic") {
+    import graft.ops.Export
+    val out = Export.curriculumManifest(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    val m = graft.ops.LangModel.perplexityScoreSelf(docs, "doc_id", "text")
+      .filter(col("n_transitions") > 0).count()
+    assert(out.map(_._1).toSeq == (0L until 10L).toSeq, s"buckets: ${out.toSeq}")
+    assert(out.map(_._2).sum == m, "buckets must partition the scored docs")
+    // integer-rank cut: bucket sizes differ by at most 1
+    assert(out.map(_._2).max - out.map(_._2).min <= 1, s"sizes: ${out.map(_._2).toSeq}")
+    // difficulty-ordered: each bucket's nll range sits at or above the last
+    out.sliding(2).foreach { w =>
+      if (w.length == 2) assert(w(0)._5 <= w(1)._4,
+        s"bucket ${w(0)._1} hi ${w(0)._5} > bucket ${w(1)._1} lo ${w(1)._4}")
+    }
+    assert(out.forall(b => b._4 <= b._5))
+    val out2 = Export.curriculumManifest(docs.repartition(7), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(out.toSeq == out2.toSeq, "manifest depends on partitioning")
+  }
+
   test("kNN graph: shape invariants and recall@5 vs the exact quadratic twin") {
     import org.apache.spark.sql.expressions.Window
     val banded = Similarity.knnGraphBanded(emb, "embedding", "vec_id", k = 5,
