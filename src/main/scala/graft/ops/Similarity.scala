@@ -153,6 +153,29 @@ object Similarity {
       annBuildBandIndex(emb, vecCol, idCol, nBands, bandBits, dims),
       vecCol, idCol, queryVec, k, nBands, bandBits, dims)
 
+  /** DELTA-index probe — the index MAINTENANCE story: the corpus is a
+    * big STATIC banded index (written once, partition-pruned per query,
+    * x43's shape) plus a small DELTA of vectors that arrived since the
+    * last rebuild. The delta is banded inline (its band build costs
+    * ∝ |delta|, never the corpus) and unioned with the static index
+    * BEFORE the key filter, so the probe semantics are exactly "probe
+    * the rebuilt full index": band keys are a pure per-row function, so
+    * union-then-probe ≡ rebuild-then-probe (OpsSpec pins the equality;
+    * harness query x70's oracle IS x43's whole-corpus SQL). Rebuild
+    * cadence becomes a pure cost knob — results never depend on it. */
+  def annProbeBandedDelta(staticEmb: DataFrame, staticIndex: DataFrame,
+                          delta: DataFrame, vecCol: String, idCol: String,
+                          queryVec: Seq[Double], k: Int,
+                          nBands: Int = 16, bandBits: Int = 8,
+                          dims: Int = 64): DataFrame = {
+    val deltaIdx = annBuildBandIndex(delta, vecCol, idCol, nBands, bandBits, dims)
+    annProbeBanded(
+      staticEmb.select(col(idCol), col(vecCol))
+        .unionByName(delta.select(col(idCol), col(vecCol))),
+      staticIndex.unionByName(deltaIdx),
+      vecCol, idCol, queryVec, k, nBands, bandBits, dims)
+  }
+
   /** BATCH ANN serving: top-k cosine neighbors for EVERY query in a query
     * TABLE — the throughput companion to [[annProbeBanded]] (which serves
     * one vector via a driver-side IN-filter; serving a query *table* that

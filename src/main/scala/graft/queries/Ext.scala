@@ -115,6 +115,21 @@ object Ext {
         queryVec = queryVec(s, dir), k = 20)
     },
 
+    // DELTA-index probe: 6/7 of the corpus is the static banded index,
+    // 1/7 is the freshly-arrived delta banded inline — union-then-probe
+    // ≡ rebuild-then-probe because band keys are pure per-row functions,
+    // so the oracle is x43's whole-corpus SQL verbatim and the rebuild
+    // cadence is a pure cost knob.
+    "x70_ann_banded_delta" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir).filter(col("vec_id") =!= 0)
+      val static0 = emb.filter(col("vec_id") % 7 =!= 0)
+      val delta = emb.filter(col("vec_id") % 7 === 0)
+      Similarity.annProbeBandedDelta(static0,
+        Similarity.annBuildBandIndex(static0, "embedding", "vec_id"),
+        delta, vecCol = "embedding", idCol = "vec_id",
+        queryVec = queryVec(s, dir), k = 20)
+    },
+
     // BATCH ANN serving: top-5 for every query in a query TABLE (1-in-50
     // of the embeddings) against the rest of the corpus via the band_key
     // EQUI-join — the many-queries throughput shape (a driver IN-filter
@@ -966,6 +981,38 @@ object Ext {
     },
   )
 
+  /** x43's banded-probe replay, shared verbatim by x70 (delta-index
+    * probe): band keys are pure per-row functions, so probing static ∪
+    * delta equals probing the rebuilt whole-corpus index. */
+  private val x43BandedSql: String =
+    """WITH h AS (
+      |  SELECT b, list_transform(generate_series(0, 63),
+      |    d -> (CAST('0x' || substr(md5('rhp:' || CAST(b AS VARCHAR) || ':' || CAST(d AS VARCHAR)), 1, 8) AS UBIGINT) % 2000001) / 1000000.0 - 1.0) AS hv
+      |  FROM generate_series(0, 127) t(b)),
+      |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id <> 0),
+      |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+      |bits AS (
+      |  SELECT e.vec_id, CAST(h.b // 8 AS INT) AS j,
+      |    CASE WHEN list_sum(list_transform(generate_series(1, len(v)), i -> v[i] * hv[i])) > 0
+      |      THEN CAST(1 << (7 - (h.b % 8)) AS BIGINT) ELSE 0 END AS bit
+      |  FROM e, h),
+      |bands AS (SELECT vec_id, j, SUM(bit) AS bv FROM bits GROUP BY vec_id, j),
+      |qbits AS (
+      |  SELECT CAST(h.b // 8 AS INT) AS j,
+      |    CASE WHEN list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * hv[i])) > 0
+      |      THEN CAST(1 << (7 - (h.b % 8)) AS BIGINT) ELSE 0 END AS bit
+      |  FROM q, h),
+      |qbands AS (SELECT j, SUM(bit) AS bv FROM qbits GROUP BY j),
+      |cand AS (SELECT DISTINCT vec_id FROM bands JOIN qbands USING (j, bv))
+      |SELECT e.vec_id,
+      |  round(
+      |    list_sum(list_transform(generate_series(1, len(v)), i -> v[i] * qv[i])) /
+      |    (sqrt(list_sum(list_transform(generate_series(1, len(v)), i -> v[i] * v[i]))) *
+      |     sqrt(list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * qv[i])))),
+      |  6) AS cos_sim
+      |FROM e JOIN cand USING (vec_id), q
+      |ORDER BY cos_sim DESC, vec_id ASC LIMIT 20""".stripMargin
+
   private val enList = TextStats.stopwords("en").map(w => s"'$w'").mkString("[", ",", "]")
   private val esList = TextStats.stopwords("es").map(w => s"'$w'").mkString("[", ",", "]")
   private val deList = TextStats.stopwords("de").map(w => s"'$w'").mkString("[", ",", "]")
@@ -1395,34 +1442,12 @@ object Ext {
     // bands from the same md5-rebuilt 128-plane matrix, candidates =
     // band-equality join (j, bv) — the same set as the engine's
     // band_key = j*256+bv IN-filter — then x05's exact rescoring.
-    "x43_ann_banded_topk" ->
-      """WITH h AS (
-        |  SELECT b, list_transform(generate_series(0, 63),
-        |    d -> (CAST('0x' || substr(md5('rhp:' || CAST(b AS VARCHAR) || ':' || CAST(d AS VARCHAR)), 1, 8) AS UBIGINT) % 2000001) / 1000000.0 - 1.0) AS hv
-        |  FROM generate_series(0, 127) t(b)),
-        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id <> 0),
-        |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
-        |bits AS (
-        |  SELECT e.vec_id, CAST(h.b // 8 AS INT) AS j,
-        |    CASE WHEN list_sum(list_transform(generate_series(1, len(v)), i -> v[i] * hv[i])) > 0
-        |      THEN CAST(1 << (7 - (h.b % 8)) AS BIGINT) ELSE 0 END AS bit
-        |  FROM e, h),
-        |bands AS (SELECT vec_id, j, SUM(bit) AS bv FROM bits GROUP BY vec_id, j),
-        |qbits AS (
-        |  SELECT CAST(h.b // 8 AS INT) AS j,
-        |    CASE WHEN list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * hv[i])) > 0
-        |      THEN CAST(1 << (7 - (h.b % 8)) AS BIGINT) ELSE 0 END AS bit
-        |  FROM q, h),
-        |qbands AS (SELECT j, SUM(bit) AS bv FROM qbits GROUP BY j),
-        |cand AS (SELECT DISTINCT vec_id FROM bands JOIN qbands USING (j, bv))
-        |SELECT e.vec_id,
-        |  round(
-        |    list_sum(list_transform(generate_series(1, len(v)), i -> v[i] * qv[i])) /
-        |    (sqrt(list_sum(list_transform(generate_series(1, len(v)), i -> v[i] * v[i]))) *
-        |     sqrt(list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * qv[i])))),
-        |  6) AS cos_sim
-        |FROM e JOIN cand USING (vec_id), q
-        |ORDER BY cos_sim DESC, vec_id ASC LIMIT 20""".stripMargin,
+    "x43_ann_banded_topk" -> x43BandedSql,
+
+    // Delta-index probe: union-then-probe ≡ rebuild-then-probe (band
+    // keys are pure per-row functions), so the whole-corpus x43 replay
+    // IS the oracle — the split point cannot appear in the result.
+    "x70_ann_banded_delta" -> x43BandedSql,
 
     // x43's banding CTE with BOTH sides banded and a (j, bv) self-join:
     // the same candidate set as the engine's band_key equi-join, then

@@ -1294,6 +1294,24 @@ class OpsSpec extends AnyFunSuite {
     } finally graft.util.Fs.deleteTree(java.nio.file.Paths.get(tmp))
   }
 
+  test("delta-index probe == rebuilt-index probe at any split point") {
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    val full = Similarity.annTopKCosineBanded(corpus, "embedding", "vec_id",
+      q, k = 20).collect().map(_.toString).toSeq
+    // three different rebuild cadences — none may show in the result
+    for (mod <- Seq(2L, 7L, 13L)) {
+      val static0 = corpus.filter(col("vec_id") % mod =!= 0)
+      val delta = corpus.filter(col("vec_id") % mod === 0)
+      val got = Similarity.annProbeBandedDelta(static0,
+        Similarity.annBuildBandIndex(static0, "embedding", "vec_id"),
+        delta, "embedding", "vec_id", q, k = 20)
+        .collect().map(_.toString).toSeq
+      assert(got == full, s"split mod $mod changed the probe result")
+    }
+  }
+
   test("curriculum manifest: buckets partition the ranking in nll order, deterministic") {
     import graft.ops.Export
     val out = Export.curriculumManifest(docs, "doc_id", "text")
