@@ -1105,4 +1105,29 @@ object Similarity {
     ivfPqProbe(cents, index, emb, vecCol, idCol, queryVec, cb, k,
       nProbe, refine, m)
   }
+
+  /** FULLY-TRAINED IVF×PQ — the quality-complete 100 TB index: k-means
+    * coarse cells ([[ivfBuildKmeans]]'s fixed-point Lloyd, the x25
+    * convention) AND a per-subspace-k-means PQ codebook
+    * ([[pqTrainCodebook]], the x57 convention), composed through the
+    * same encode/probe machinery as [[ivfPqTopK]] (whose sampled
+    * centroids trade recall for a cheaper build). Training cost: two
+    * codegen'd corpus passes per Lloyd round on each side; the shuffled
+    * state is model-sized partials in both trainings. Serving cost is
+    * IDENTICAL to x58's (nProbe-pruned ADC scan, m lookups/row, exact
+    * rerank of refine·k). Deterministic end to end — harness query x71's
+    * oracle replays BOTH trainings and every probe stage. */
+  def ivfPqTopKTrained(emb: DataFrame, vecCol: String, idCol: String,
+                       queryVec: Seq[Double], k: Int, nLists: Int = 16,
+                       nProbe: Int = 4, m: Int = 8, nCentroids: Int = 16,
+                       refine: Int = 3, coarseIters: Int = 2,
+                       pqIters: Int = 2): DataFrame = {
+    val (cents, assigned) = ivfBuildKmeans(emb, vecCol, idCol, nLists,
+      coarseIters)
+    val cb = pqTrainCodebook(emb, vecCol, idCol, nCentroids, m,
+      queryVec.length, pqIters)
+    val index = ivfPqEncode(assigned, idCol, cb, m, queryVec.length)
+    ivfPqProbe(cents, index, emb, vecCol, idCol, queryVec, cb, k,
+      nProbe, refine, m)
+  }
 }

@@ -202,6 +202,17 @@ object Ext {
         queryVec = queryVec(s, dir), k = 20)
     },
 
+    // FULLY-TRAINED IVF×PQ: k-means coarse cells (x25's fixed-point
+    // Lloyd) + per-subspace-k-means PQ codebook (x57's training) through
+    // x58's encode/probe — the quality-complete composition. FULL
+    // oracle: both training chains and every probe stage replay.
+    "x71_ivfpq_trained_topk" -> { (s, dir) =>
+      Similarity.ivfPqTopKTrained(
+        Tables.embeddings(s, dir).filter(col("vec_id") =!= 0),
+        vecCol = "embedding", idCol = "vec_id",
+        queryVec = queryVec(s, dir), k = 20)
+    },
+
     // RESIDUAL IVF×PQ (classic IVFADC) — x58 with PQ spent on the
     // within-cell displacement v − centroid instead of the raw vector,
     // and the ADC table built per probed cell from q − c_cell. FULL
@@ -1448,6 +1459,146 @@ object Ext {
     // keys are pure per-row functions), so the whole-corpus x43 replay
     // IS the oracle — the split point cannot appear in the result.
     "x70_ann_banded_delta" -> x43BandedSql,
+
+    // Fully-trained IVF×PQ: x25's coarse Lloyd chain (renamed ka*/kc*),
+    // the trained-cell assignment and cosine probe cut, then x57's PQ
+    // training chain verbatim, codes over the probed cells only, ADC,
+    // and the exact-L2² rerank.
+    "x71_ivfpq_trained_topk" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id <> 0),
+        |q AS (
+        |  SELECT CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id = 0),
+        |c0 AS (SELECT vec_id AS cid, v AS cv FROM e
+        |       ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC LIMIT 16),
+        |ka1 AS (
+        |  SELECT vec_id, v, cid FROM (
+        |    SELECT e.vec_id, e.v, c0.cid,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_sum(list_transform(generate_series(1, len(e.v)), i -> e.v[i] * c0.cv[i])) /
+        |          (sqrt(list_sum(list_transform(generate_series(1, len(e.v)), i -> e.v[i] * e.v[i]))) *
+        |           sqrt(list_sum(list_transform(generate_series(1, len(c0.cv)), i -> c0.cv[i] * c0.cv[i])))) DESC,
+        |        c0.cid ASC) AS rk
+        |    FROM e, c0) WHERE rk = 1),
+        |kc1 AS (
+        |  SELECT cid, list(m ORDER BY pos) AS cv FROM (
+        |    SELECT cid, pos, ((u - ((u % n2) + n2) % n2) / n2) / 1000000.0 AS m FROM (
+        |      SELECT cid, pos,
+        |        2 * CAST(SUM(CAST(floor(vv * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) + COUNT(*) AS u,
+        |        2 * COUNT(*) AS n2
+        |      FROM (SELECT cid, unnest(generate_series(1, len(v))) AS pos, unnest(v) AS vv FROM ka1)
+        |      GROUP BY cid, pos)) GROUP BY cid),
+        |ka2 AS (
+        |  SELECT vec_id, v, cid FROM (
+        |    SELECT e.vec_id, e.v, kc1.cid,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_sum(list_transform(generate_series(1, len(e.v)), i -> e.v[i] * kc1.cv[i])) /
+        |          (sqrt(list_sum(list_transform(generate_series(1, len(e.v)), i -> e.v[i] * e.v[i]))) *
+        |           sqrt(list_sum(list_transform(generate_series(1, len(kc1.cv)), i -> kc1.cv[i] * kc1.cv[i])))) DESC,
+        |        kc1.cid ASC) AS rk
+        |    FROM e, kc1) WHERE rk = 1),
+        |kc2 AS (
+        |  SELECT cid, list(m ORDER BY pos) AS cv FROM (
+        |    SELECT cid, pos, ((u - ((u % n2) + n2) % n2) / n2) / 1000000.0 AS m FROM (
+        |      SELECT cid, pos,
+        |        2 * CAST(SUM(CAST(floor(vv * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) + COUNT(*) AS u,
+        |        2 * COUNT(*) AS n2
+        |      FROM (SELECT cid, unnest(generate_series(1, len(v))) AS pos, unnest(v) AS vv FROM ka2)
+        |      GROUP BY cid, pos)) GROUP BY cid),
+        |casg AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT e.vec_id, kc2.cid,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_sum(list_transform(generate_series(1, len(e.v)), i -> e.v[i] * kc2.cv[i])) /
+        |          (sqrt(list_sum(list_transform(generate_series(1, len(e.v)), i -> e.v[i] * e.v[i]))) *
+        |           sqrt(list_sum(list_transform(generate_series(1, len(kc2.cv)), i -> kc2.cv[i] * kc2.cv[i])))) DESC,
+        |        kc2.cid ASC) AS rk
+        |    FROM e, kc2) WHERE rk = 1),
+        |probe AS (
+        |  SELECT cid FROM kc2, q
+        |  ORDER BY
+        |    list_sum(list_transform(generate_series(1, len(cv)), i -> cv[i] * qv[i])) /
+        |      (sqrt(list_sum(list_transform(generate_series(1, len(cv)), i -> cv[i] * cv[i]))) *
+        |       sqrt(list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * qv[i])))) DESC,
+        |    cid ASC LIMIT 4),
+        |pruned AS (SELECT vec_id FROM casg JOIN probe USING (cid)),
+        |jj AS (SELECT unnest(generate_series(0, 7)) AS j),
+        |pp AS (SELECT unnest(generate_series(1, 8)) AS pos),
+        |cb0 AS (
+        |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS k, v AS cv
+        |  FROM e
+        |  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 16),
+        |s0 AS (
+        |  SELECT jj.j, cb0.k,
+        |    list_transform(generate_series(1, 8), t -> cb0.cv[jj.j * 8 + t]) AS sub
+        |  FROM jj, cb0),
+        |a1 AS (
+        |  SELECT vec_id, j, k FROM (
+        |    SELECT e.vec_id, s0.j, s0.k,
+        |      row_number() OVER (PARTITION BY e.vec_id, s0.j ORDER BY
+        |        list_sum(list_transform(generate_series(1, 8), t ->
+        |          (e.v[s0.j * 8 + t] - s0.sub[t]) * (e.v[s0.j * 8 + t] - s0.sub[t]))) ASC,
+        |        s0.k ASC) AS rk
+        |    FROM e, s0) WHERE rk = 1),
+        |m1 AS (
+        |  SELECT j, k, list(mm ORDER BY pos) AS sub FROM (
+        |    SELECT j, k, pos, ((u - ((u % n2) + n2) % n2) / n2) / 1000000.0 AS mm FROM (
+        |      SELECT a1.j, a1.k, pp.pos,
+        |        2 * CAST(SUM(CAST(floor(e.v[a1.j * 8 + pp.pos] * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) + COUNT(*) AS u,
+        |        2 * COUNT(*) AS n2
+        |      FROM a1 JOIN e USING (vec_id), pp
+        |      GROUP BY a1.j, a1.k, pp.pos)) GROUP BY j, k),
+        |s1 AS (
+        |  SELECT s0.j, s0.k, COALESCE(m1.sub, s0.sub) AS sub
+        |  FROM s0 LEFT JOIN m1 ON m1.j = s0.j AND m1.k = s0.k),
+        |a2 AS (
+        |  SELECT vec_id, j, k FROM (
+        |    SELECT e.vec_id, s1.j, s1.k,
+        |      row_number() OVER (PARTITION BY e.vec_id, s1.j ORDER BY
+        |        list_sum(list_transform(generate_series(1, 8), t ->
+        |          (e.v[s1.j * 8 + t] - s1.sub[t]) * (e.v[s1.j * 8 + t] - s1.sub[t]))) ASC,
+        |        s1.k ASC) AS rk
+        |    FROM e, s1) WHERE rk = 1),
+        |m2 AS (
+        |  SELECT j, k, list(mm ORDER BY pos) AS sub FROM (
+        |    SELECT j, k, pos, ((u - ((u % n2) + n2) % n2) / n2) / 1000000.0 AS mm FROM (
+        |      SELECT a2.j, a2.k, pp.pos,
+        |        2 * CAST(SUM(CAST(floor(e.v[a2.j * 8 + pp.pos] * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) + COUNT(*) AS u,
+        |        2 * COUNT(*) AS n2
+        |      FROM a2 JOIN e USING (vec_id), pp
+        |      GROUP BY a2.j, a2.k, pp.pos)) GROUP BY j, k),
+        |s2 AS (
+        |  SELECT s1.j, s1.k, COALESCE(m2.sub, s1.sub) AS sub
+        |  FROM s1 LEFT JOIN m2 ON m2.j = s1.j AND m2.k = s1.k),
+        |codes AS (
+        |  SELECT vec_id, j, k FROM (
+        |    SELECT e.vec_id, s2.j, s2.k,
+        |      row_number() OVER (PARTITION BY e.vec_id, s2.j ORDER BY
+        |        list_sum(list_transform(generate_series(1, 8), t ->
+        |          (e.v[s2.j * 8 + t] - s2.sub[t]) * (e.v[s2.j * 8 + t] - s2.sub[t]))) ASC,
+        |        s2.k ASC) AS rk
+        |    FROM e JOIN pruned USING (vec_id), s2) WHERE rk = 1),
+        |qtab AS (
+        |  SELECT s2.j, s2.k,
+        |    list_sum(list_transform(generate_series(1, 8), t ->
+        |      (q.qv[s2.j * 8 + t] - s2.sub[t]) * (q.qv[s2.j * 8 + t] - s2.sub[t]))) AS dist
+        |  FROM q, s2),
+        |approx AS (
+        |  SELECT c.vec_id, list_sum(list(qt.dist ORDER BY c.j)) AS pq
+        |  FROM codes c JOIN qtab qt ON qt.j = c.j AND qt.k = c.k
+        |  GROUP BY c.vec_id),
+        |cand AS (
+        |  SELECT vec_id, pq FROM approx
+        |  QUALIFY row_number() OVER (ORDER BY pq, vec_id) <= 60),
+        |scored AS (
+        |  SELECT cand.vec_id, cand.pq,
+        |    list_sum(list_transform(generate_series(1, len(e.v)), t ->
+        |      (e.v[t] - q.qv[t]) * (e.v[t] - q.qv[t]))) AS l2
+        |  FROM cand JOIN e ON e.vec_id = cand.vec_id, q)
+        |SELECT vec_id, round(pq, 6) AS pq_dist, round(l2, 6) AS l2_dist
+        |FROM scored ORDER BY l2 ASC, vec_id ASC LIMIT 20""".stripMargin,
 
     // x43's banding CTE with BOTH sides banded and a (j, bv) self-join:
     // the same candidate set as the engine's band_key equi-join, then

@@ -984,6 +984,16 @@ class OpsSpec extends AnyFunSuite {
     assert(resRecall >= 0.7, s"residual IVFPQ recall $resRecall below floor")
     assert(resRecall >= rawRecall,
       s"residual ($resRecall) should not trail raw-vector PQ ($rawRecall) on clustered data")
+    // fully-trained composition (x71): k-means cells + trained codebook —
+    // must clear the same floor and not trail the sampled composition
+    val trained = run(Similarity.ivfPqTopKTrained(fixture, "embedding",
+      "vec_id", qv, k = 20))
+    trained.foreach { case (id, l2) =>
+      assert(l2 == exact(id), s"rerank drift for $id: $l2 vs ${exact(id)}") }
+    val trainedRecall = trained.map(_._1).count(exactTop.contains) / 20.0
+    assert(trainedRecall >= 0.7, s"trained IVFPQ recall $trainedRecall below floor")
+    assert(trainedRecall >= rawRecall,
+      s"trained ($trainedRecall) should not trail sampled ($rawRecall) on clustered data")
   }
 
   test("incremental dedup: cross-side matches flagged, internal dups out of scope") {
