@@ -113,8 +113,9 @@ object Pipeline {
       "source", "n_chunk_tokens", capacity = 256, Seq("doc_id", "chunk_idx"))
     stage("training packs", packs.select("source", "pack_id").distinct().count())
 
-    // 8b. the LAST MILE: deterministic md5-sharded export of the packed
-    //     corpus + the verifiable manifest (counts, id bounds, commuting
+    // 8b. the LAST MILE: deterministic md5-sharded export of the scrubbed
+    //     document corpus (packs stay keyed by chunk for 8a's consumers)
+    //     + the verifiable manifest (counts, id bounds, commuting
     //     checksum) a training job validates before reading
     val exportDir = java.nio.file.Files.createTempDirectory("pipeline_export_")
     Export.exportShards(scrubbed, "doc_id", exportDir.toString, nShards = 8)

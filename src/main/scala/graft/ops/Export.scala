@@ -89,8 +89,9 @@ object Export {
 
   /** The WRITE: one parquet directory per shard (`shard=N/`), rows
     * sorted by id within each shard so re-runs produce identical file
-    * contents. Returns the reloadable frame; ExportSpec asserts the
-    * written shards agree with [[shardManifest]] row-for-row. */
+    * contents. Returns Unit — reload with `spark.read.parquet(path)`;
+    * OpsSpec's "shard export" test asserts the written shards agree
+    * with [[shardManifest]] row-for-row. */
   def exportShards(docs: DataFrame, idCol: String, path: String,
                    nShards: Int = 8): Unit =
     docs

@@ -64,16 +64,22 @@ object Retrieval {
       .agg(count(lit(1)).as("n_terms"), sum(col("sfix")).as("score_fix"))
   }
 
-  /** BM25 top-k for a fixed term query: (id, n_terms, bm25) ordered by
-    * score desc, id asc. Harness query x64 gates this against a DuckDB
-    * oracle replaying tf/df/idf/normalization bit-for-bit. */
+  /** BM25 top-k for a fixed term query: (id, n_terms, bm25, score_fix)
+    * ordered by score desc, id asc. `score_fix` (the exact integer
+    * score) is kept in the output so downstream consumers can re-order
+    * on the true key — the rounded `bm25` display value can tie where
+    * the fixed scores differ, and a sort on the display value would
+    * diverge from an engine sorting the raw key (ADVICE r8). Harness
+    * query x64 gates this against a DuckDB oracle replaying
+    * tf/df/idf/normalization bit-for-bit. */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
                terms: Seq[String], k: Int = 20): DataFrame =
     bm25Scored(docs, idCol, textCol, terms)
       .orderBy(col("score_fix").desc, col(idCol).asc)
       .limit(k)
       .select(col(idCol), col("n_terms"),
-        round(col("score_fix").cast("double") / lit(1e9), 6).as("bm25"))
+        round(col("score_fix").cast("double") / lit(1e9), 6).as("bm25"),
+        col("score_fix"))
 
   /** RRF contribution of a 1-based rank as a long: floor(10¹²/(60+r)).
     * The division is one correctly-rounded IEEE op whose result is ≥
@@ -88,8 +94,10 @@ object Retrieval {
     * ranks, fused by reciprocal rank (k=60), top `k` overall. A doc
     * missing from one list contributes only the other list's term —
     * the standard RRF treatment. Returns (id, text_rank, vec_rank,
-    * rrf) with null ranks where a side didn't surface the doc; order
-    * rrf desc, id asc. Harness query x65 gates the full fusion. */
+    * rrf, rrf_fix) with null ranks where a side didn't surface the doc;
+    * order rrf_fix desc, id asc — `rrf_fix` is the exact integer fusion
+    * key, kept so consumers never sort on the rounded display value
+    * (ADVICE r8). Harness query x65 gates the full fusion. */
   def hybridTopK(docs: DataFrame, emb: DataFrame, idCol: String,
                  textCol: String, vecCol: String, embIdCol: String,
                  terms: Seq[String], queryVec: Seq[Double],
@@ -112,6 +120,7 @@ object Retrieval {
       .orderBy(col("rrf_fix").desc, col("id").asc)
       .limit(k)
       .select(col("id").as(idCol), col("text_rank"), col("vec_rank"),
-        round(col("rrf_fix").cast("double") / lit(1e12), 6).as("rrf"))
+        round(col("rrf_fix").cast("double") / lit(1e12), 6).as("rrf"),
+        col("rrf_fix"))
   }
 }

@@ -929,9 +929,12 @@ object Ext {
     // rationals convention, the score chain is the identical IEEE op
     // sequence in both engines, and per-doc sums are floor(s·10⁹) longs.
     "x64_bm25_topk" -> { (s, dir) =>
+      // ordered on the exact integer score_fix (carried in the output),
+      // never the rounded display value — matches the oracle's sort key
+      // bit-for-bit even when two fixed scores round equal (ADVICE r8)
       Retrieval.bm25TopK(Tables.documents(s, dir), "doc_id", "text",
           Seq("hash", "join", "spark", "vector"))
-        .orderBy(col("bm25").desc, col("doc_id").asc)
+        .orderBy(col("score_fix").desc, col("doc_id").asc)
     },
 
     // HYBRID retrieval: BM25 top-100 ranks ⊕ exact-cosine top-100 ranks,
@@ -946,7 +949,7 @@ object Ext {
           Tables.embeddings(s, dir).filter(col("vec_id") =!= 0),
           "doc_id", "text", "embedding", "vec_id",
           Seq("hash", "join", "spark", "vector"), queryVec(s, dir))
-        .orderBy(col("rrf").desc, col("doc_id").asc)
+        .orderBy(col("rrf_fix").desc, col("doc_id").asc)
     },
 
     // Deterministic shard-export manifest (8 shards): per-shard doc and
@@ -2743,7 +2746,8 @@ object Ext {
         |  SELECT doc_id, COUNT(*) AS n_terms, SUM(sfix) AS score_fix
         |  FROM scored GROUP BY 1)
         |SELECT doc_id, n_terms,
-        |  round(CAST(score_fix AS DOUBLE) / 1000000000.0, 6) AS bm25
+        |  round(CAST(score_fix AS DOUBLE) / 1000000000.0, 6) AS bm25,
+        |  CAST(score_fix AS BIGINT) AS score_fix
         |FROM agg ORDER BY score_fix DESC, doc_id ASC LIMIT 20""".stripMargin,
 
     // Hybrid RRF replay: the BM25 rank list re-derives x64's integer
@@ -2799,7 +2803,7 @@ object Ext {
         |  + COALESCE(CAST(floor(1000000000000.0 / (CAST(vr.vec_rank AS DOUBLE) + 60.0)) AS BIGINT), 0) AS rrf_fix
         |  FROM tr FULL OUTER JOIN vr ON tr.id = vr.id)
         |SELECT id AS doc_id, text_rank, vec_rank,
-        |  round(CAST(rrf_fix AS DOUBLE) / 1000000000000.0, 6) AS rrf
+        |  round(CAST(rrf_fix AS DOUBLE) / 1000000000000.0, 6) AS rrf, rrf_fix
         |FROM fused ORDER BY rrf_fix DESC, id ASC LIMIT 10""".stripMargin,
 
     // Shard-manifest replay: md5 shard hash, token counts, and the

@@ -467,6 +467,15 @@ object StreamGate {
         drain(q, ckpt)
         require(dataBatches(q) >= 2,
           s"s10 must export across batches; ran ${dataBatches(q)} data batches")
+        // placement audit (ADVICE r8): the manifest recomputes shard from
+        // doc_id, so a row landed in the WRONG shard=N/ directory would
+        // still hash-pass — assert the directory-derived partition column
+        // agrees with shardOf(doc_id) for every written row first
+        val misplaced = s.read.parquet(sink.toString)
+          .filter(col("shard") =!= graft.ops.Export.shardOf(col("doc_id"), 8))
+          .count()
+        require(misplaced == 0,
+          s"s10 wrote $misplaced rows into the wrong shard directory")
         val out = graft.ops.Caches.localCheckpointTracked(
           graft.ops.Export.shardManifest(
             s.read.parquet(sink.toString).select(col("doc_id"), col("text")),

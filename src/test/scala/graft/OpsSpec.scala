@@ -1229,6 +1229,7 @@ class OpsSpec extends AnyFunSuite {
       .toDF("id", "text")
     val out = Retrieval.bm25TopK(fixture, "id", "text",
         Seq("common", "rare"), k = 30)
+      .select("id", "n_terms", "bm25")
       .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
     assert(!out.contains(5L), "doc with no query term must not surface")
     assert(out(1L)._1 == 2 && out(4L)._1 == 1, "n_terms miscounted")
