@@ -226,6 +226,24 @@ object Ext {
         queryVec = queryVec(s, dir), k = 20)
     },
 
+    // DELTA-maintained IVF×PQ (x70's union-≡-rebuild discipline over
+    // x58's written index): 6/7 of the corpus is the static encoded
+    // index, 1/7 arrives as a raw delta and is assigned + encoded
+    // INLINE against the frozen model (cost ∝ |delta|), unioned before
+    // the cell filter. Cell ids and codes are pure per-row functions of
+    // (model, vector), so the split point cannot appear in the result —
+    // the oracle is x58's whole-corpus SQL verbatim.
+    "x73_ivfpq_delta" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir).filter(col("vec_id") =!= 0)
+      val (cents, assigned) = Similarity.ivfBuild(emb, "embedding", "vec_id")
+      val cb = Similarity.pqBuildCodebook(emb, "embedding", "vec_id")
+      val staticIdx = Similarity.ivfPqEncode(
+        assigned.filter(col("vec_id") % 7 =!= 0), "vec_id", cb)
+      val delta = emb.filter(col("vec_id") % 7 === 0)
+      Similarity.ivfPqProbeDelta(cents, staticIdx, delta, emb,
+        "embedding", "vec_id", queryVec(s, dir), cb, k = 20)
+    },
+
     // IVF ANN top-k — FULL oracle of the approximation: the centroid
     // sample orders by md5(id) (engine-portable), assignment is an argmax
     // whose result is order-independent given bit-identical scores, and
@@ -993,11 +1011,90 @@ object Ext {
           "vec_id", k = 5, nBands = 16, bandBits = 4)
         .orderBy("src_id", "rank")
     },
+
+    // SUB-QUADRATIC k-NN graph — the x68 successor its scaladoc promised:
+    // √n k-means cells (auto-dial, the x67 formula) × asymmetric
+    // multi-probe (each vector indexed under its home cell, probing its
+    // 5 nearest) × 16×4-bit bands within cells. Candidates ∝ n^1.5 at
+    // the auto dial (measured fraction 0.58 → 0.34 → 0.13 at n=500/2k/
+    // 20k) vs x68's n²; recall@5 vs exact 0.89 at sf0.01 (OpsSpec floor
+    // 0.75). FULL oracle: fixed-point Lloyd cells, probe ranks, md5
+    // bands, the symmetric candidate union, rounded cosines, ranks.
+    "x72_knn_graph_cells" -> { (s, dir) =>
+      Similarity.knnGraphCells(Tables.embeddings(s, dir), "embedding",
+          "vec_id", k = 5)
+        .orderBy("src_id", "rank")
+    },
   )
 
   /** x43's banded-probe replay, shared verbatim by x70 (delta-index
     * probe): band keys are pure per-row functions, so probing static ∪
     * delta equals probing the rebuilt whole-corpus index. */
+  /** x58's IVF×PQ replay, shared verbatim by x73 (delta-maintained
+    * index): cell assignment and PQ codes are pure per-row functions
+    * of the frozen model, so probing static ∪ inline-encoded delta
+    * equals probing the whole corpus encoded at once. */
+  private val x58IvfPqSql: String =
+    """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id <> 0),
+        |q AS (
+        |  SELECT CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id = 0),
+        |samp AS (
+        |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS k,
+        |    vec_id AS cid, v AS cv
+        |  FROM e
+        |  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 16),
+        |asg AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT e.vec_id, samp.cid,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_sum(list_transform(generate_series(1, len(e.v)), i -> e.v[i] * samp.cv[i])) /
+        |          (sqrt(list_sum(list_transform(generate_series(1, len(e.v)), i -> e.v[i] * e.v[i]))) *
+        |           sqrt(list_sum(list_transform(generate_series(1, len(samp.cv)), i -> samp.cv[i] * samp.cv[i])))) DESC,
+        |        samp.cid ASC) AS rk
+        |    FROM e, samp) WHERE rk = 1),
+        |probe AS (
+        |  SELECT cid FROM samp, q
+        |  ORDER BY
+        |    list_sum(list_transform(generate_series(1, len(cv)), i -> cv[i] * qv[i])) /
+        |      (sqrt(list_sum(list_transform(generate_series(1, len(cv)), i -> cv[i] * cv[i]))) *
+        |       sqrt(list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * qv[i])))) DESC,
+        |    cid ASC LIMIT 4),
+        |pruned AS (
+        |  SELECT vec_id FROM asg JOIN probe USING (cid)),
+        |jj AS (SELECT unnest(generate_series(0, 7)) AS j),
+        |dist AS (
+        |  SELECT e.vec_id, jj.j, samp.k,
+        |    list_sum(list_transform(generate_series(1, 8), t ->
+        |      (e.v[jj.j * 8 + t] - samp.cv[jj.j * 8 + t]) *
+        |      (e.v[jj.j * 8 + t] - samp.cv[jj.j * 8 + t]))) AS dist
+        |  FROM e JOIN pruned USING (vec_id), jj, samp),
+        |codes AS (
+        |  SELECT vec_id, j, k FROM dist
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, k) = 1),
+        |qtab AS (
+        |  SELECT jj.j, samp.k,
+        |    list_sum(list_transform(generate_series(1, 8), t ->
+        |      (q.qv[jj.j * 8 + t] - samp.cv[jj.j * 8 + t]) *
+        |      (q.qv[jj.j * 8 + t] - samp.cv[jj.j * 8 + t]))) AS dist
+        |  FROM q, jj, samp),
+        |approx AS (
+        |  SELECT c.vec_id, list_sum(list(qt.dist ORDER BY c.j)) AS pq
+        |  FROM codes c JOIN qtab qt ON qt.j = c.j AND qt.k = c.k
+        |  GROUP BY c.vec_id),
+        |cand AS (
+        |  SELECT vec_id, pq FROM approx
+        |  QUALIFY row_number() OVER (ORDER BY pq, vec_id) <= 60),
+        |scored AS (
+        |  SELECT cand.vec_id, cand.pq,
+        |    list_sum(list_transform(generate_series(1, len(e.v)), t ->
+        |      (e.v[t] - q.qv[t]) * (e.v[t] - q.qv[t]))) AS l2
+        |  FROM cand JOIN e ON e.vec_id = cand.vec_id, q)
+        |SELECT vec_id, round(pq, 6) AS pq_dist, round(l2, 6) AS l2_dist
+        |FROM scored ORDER BY l2 ASC, vec_id ASC LIMIT 20""".stripMargin
+
   private val x43BandedSql: String =
     """WITH h AS (
       |  SELECT b, list_transform(generate_series(0, 63),
@@ -1857,66 +1954,12 @@ object Ext {
     // assignment is x25's cosine argmax (row_number DESC, cid ASC), the
     // probe cut is the same ranking against the query, and only rows in
     // probed cells enter x51's ADC sum → top-60 cut → exact-L2 rerank.
-    "x58_ivfpq_topk" ->
-      """WITH e AS (
-        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-        |  FROM embeddings WHERE vec_id <> 0),
-        |q AS (
-        |  SELECT CAST(embedding AS DOUBLE[]) AS qv
-        |  FROM embeddings WHERE vec_id = 0),
-        |samp AS (
-        |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS k,
-        |    vec_id AS cid, v AS cv
-        |  FROM e
-        |  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 16),
-        |asg AS (
-        |  SELECT vec_id, cid FROM (
-        |    SELECT e.vec_id, samp.cid,
-        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-        |        list_sum(list_transform(generate_series(1, len(e.v)), i -> e.v[i] * samp.cv[i])) /
-        |          (sqrt(list_sum(list_transform(generate_series(1, len(e.v)), i -> e.v[i] * e.v[i]))) *
-        |           sqrt(list_sum(list_transform(generate_series(1, len(samp.cv)), i -> samp.cv[i] * samp.cv[i])))) DESC,
-        |        samp.cid ASC) AS rk
-        |    FROM e, samp) WHERE rk = 1),
-        |probe AS (
-        |  SELECT cid FROM samp, q
-        |  ORDER BY
-        |    list_sum(list_transform(generate_series(1, len(cv)), i -> cv[i] * qv[i])) /
-        |      (sqrt(list_sum(list_transform(generate_series(1, len(cv)), i -> cv[i] * cv[i]))) *
-        |       sqrt(list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * qv[i])))) DESC,
-        |    cid ASC LIMIT 4),
-        |pruned AS (
-        |  SELECT vec_id FROM asg JOIN probe USING (cid)),
-        |jj AS (SELECT unnest(generate_series(0, 7)) AS j),
-        |dist AS (
-        |  SELECT e.vec_id, jj.j, samp.k,
-        |    list_sum(list_transform(generate_series(1, 8), t ->
-        |      (e.v[jj.j * 8 + t] - samp.cv[jj.j * 8 + t]) *
-        |      (e.v[jj.j * 8 + t] - samp.cv[jj.j * 8 + t]))) AS dist
-        |  FROM e JOIN pruned USING (vec_id), jj, samp),
-        |codes AS (
-        |  SELECT vec_id, j, k FROM dist
-        |  QUALIFY row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, k) = 1),
-        |qtab AS (
-        |  SELECT jj.j, samp.k,
-        |    list_sum(list_transform(generate_series(1, 8), t ->
-        |      (q.qv[jj.j * 8 + t] - samp.cv[jj.j * 8 + t]) *
-        |      (q.qv[jj.j * 8 + t] - samp.cv[jj.j * 8 + t]))) AS dist
-        |  FROM q, jj, samp),
-        |approx AS (
-        |  SELECT c.vec_id, list_sum(list(qt.dist ORDER BY c.j)) AS pq
-        |  FROM codes c JOIN qtab qt ON qt.j = c.j AND qt.k = c.k
-        |  GROUP BY c.vec_id),
-        |cand AS (
-        |  SELECT vec_id, pq FROM approx
-        |  QUALIFY row_number() OVER (ORDER BY pq, vec_id) <= 60),
-        |scored AS (
-        |  SELECT cand.vec_id, cand.pq,
-        |    list_sum(list_transform(generate_series(1, len(e.v)), t ->
-        |      (e.v[t] - q.qv[t]) * (e.v[t] - q.qv[t]))) AS l2
-        |  FROM cand JOIN e ON e.vec_id = cand.vec_id, q)
-        |SELECT vec_id, round(pq, 6) AS pq_dist, round(l2, 6) AS l2_dist
-        |FROM scored ORDER BY l2 ASC, vec_id ASC LIMIT 20""".stripMargin,
+    "x58_ivfpq_topk" -> x58IvfPqSql,
+
+    // x73 delta-maintained IVF×PQ: same model, same cells, same codes —
+    // union-then-probe ≡ rebuild-then-probe, so the whole-corpus replay
+    // IS the oracle (the x70 pattern).
+    "x73_ivfpq_delta" -> x58IvfPqSql,
 
     // Int8 quantization replayed exactly: floor(x * (127/amax) + 0.5) on
     // IEEE doubles (NOT round() — half-even vs half-up conventions
@@ -2828,7 +2871,8 @@ object Ext {
     "x67_semdedup" ->
       """WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |c0 AS (SELECT vec_id AS cid, v AS cv FROM e
-        |       ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC LIMIT 16),
+        |       ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC
+        |       LIMIT (SELECT GREATEST(4, CAST(floor(0.35 * sqrt(CAST(COUNT(*) AS DOUBLE))) AS BIGINT)) FROM e)),
         |a1 AS (
         |  SELECT vec_id, v, cid FROM (
         |    SELECT e.vec_id, e.v, c0.cid,
@@ -2961,6 +3005,91 @@ object Ext {
         |  SELECT DISTINCT a.vec_id AS src_id, b.vec_id AS nbr_id
         |  FROM bands a JOIN bands b USING (j, bv)
         |  WHERE a.vec_id <> b.vec_id),
+        |scored AS (
+        |  SELECT cand.src_id, cand.nbr_id,
+        |    round(
+        |      list_sum(list_transform(generate_series(1, len(sv.v)), i -> sv.v[i] * nv.v[i])) /
+        |      (sqrt(list_sum(list_transform(generate_series(1, len(sv.v)), i -> sv.v[i] * sv.v[i]))) *
+        |       sqrt(list_sum(list_transform(generate_series(1, len(nv.v)), i -> nv.v[i] * nv.v[i])))),
+        |    6) AS cos_sim
+        |  FROM cand
+        |  JOIN e sv ON sv.vec_id = cand.src_id
+        |  JOIN e nv ON nv.vec_id = cand.nbr_id)
+        |SELECT src_id, nbr_id, cos_sim,
+        |  CAST(row_number() OVER (PARTITION BY src_id ORDER BY cos_sim DESC, nbr_id ASC) AS INT) AS rank
+        |FROM scored
+        |QUALIFY rank <= 5
+        |ORDER BY src_id, rank""".stripMargin,
+
+    // Cell-composed k-NN graph replay: x67's fixed-point Lloyd chain
+    // (auto-dial LIMIT included), top-5 probe-cell ranks, x68's 16×4
+    // band arithmetic, the asymmetric probe-home candidate join (both
+    // directions, UNION-deduplicated), exact rounded cosines, ranks.
+    "x72_knn_graph_cells" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c0 AS (SELECT vec_id AS cid, v AS cv FROM e
+        |       ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC
+        |       LIMIT (SELECT GREATEST(4, CAST(floor(0.35 * sqrt(CAST(COUNT(*) AS DOUBLE))) AS BIGINT)) FROM e)),
+        |a1 AS (
+        |  SELECT vec_id, v, cid FROM (
+        |    SELECT e.vec_id, e.v, c0.cid,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_sum(list_transform(generate_series(1, len(e.v)), i -> e.v[i] * c0.cv[i])) /
+        |          (sqrt(list_sum(list_transform(generate_series(1, len(e.v)), i -> e.v[i] * e.v[i]))) *
+        |           sqrt(list_sum(list_transform(generate_series(1, len(c0.cv)), i -> c0.cv[i] * c0.cv[i])))) DESC,
+        |        c0.cid ASC) AS rk
+        |    FROM e, c0) WHERE rk = 1),
+        |c1 AS (
+        |  SELECT cid, list(m ORDER BY pos) AS cv FROM (
+        |    SELECT cid, pos, ((u - ((u % n2) + n2) % n2) / n2) / 1000000.0 AS m FROM (
+        |      SELECT cid, pos,
+        |        2 * CAST(SUM(CAST(floor(vv * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) + COUNT(*) AS u,
+        |        2 * COUNT(*) AS n2
+        |      FROM (SELECT cid, unnest(generate_series(1, len(v))) AS pos, unnest(v) AS vv FROM a1)
+        |      GROUP BY cid, pos)) GROUP BY cid),
+        |a2 AS (
+        |  SELECT vec_id, v, cid FROM (
+        |    SELECT e.vec_id, e.v, c1.cid,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_sum(list_transform(generate_series(1, len(e.v)), i -> e.v[i] * c1.cv[i])) /
+        |          (sqrt(list_sum(list_transform(generate_series(1, len(e.v)), i -> e.v[i] * e.v[i]))) *
+        |           sqrt(list_sum(list_transform(generate_series(1, len(c1.cv)), i -> c1.cv[i] * c1.cv[i])))) DESC,
+        |        c1.cid ASC) AS rk
+        |    FROM e, c1) WHERE rk = 1),
+        |c2 AS (
+        |  SELECT cid, list(m ORDER BY pos) AS cv FROM (
+        |    SELECT cid, pos, ((u - ((u % n2) + n2) % n2) / n2) / 1000000.0 AS m FROM (
+        |      SELECT cid, pos,
+        |        2 * CAST(SUM(CAST(floor(vv * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) + COUNT(*) AS u,
+        |        2 * COUNT(*) AS n2
+        |      FROM (SELECT cid, unnest(generate_series(1, len(v))) AS pos, unnest(v) AS vv FROM a2)
+        |      GROUP BY cid, pos)) GROUP BY cid),
+        |pc AS (
+        |  SELECT vec_id, cid, rk FROM (
+        |    SELECT e.vec_id, c2.cid,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_sum(list_transform(generate_series(1, len(e.v)), i -> e.v[i] * c2.cv[i])) /
+        |          (sqrt(list_sum(list_transform(generate_series(1, len(e.v)), i -> e.v[i] * e.v[i]))) *
+        |           sqrt(list_sum(list_transform(generate_series(1, len(c2.cv)), i -> c2.cv[i] * c2.cv[i])))) DESC,
+        |        c2.cid ASC) AS rk
+        |    FROM e, c2) WHERE rk <= 5),
+        |h AS (
+        |  SELECT b, list_transform(generate_series(0, 63),
+        |    d -> (CAST('0x' || substr(md5('rhp:' || CAST(b AS VARCHAR) || ':' || CAST(d AS VARCHAR)), 1, 8) AS UBIGINT) % 2000001) / 1000000.0 - 1.0) AS hv
+        |  FROM generate_series(0, 63) t(b)),
+        |bits AS (
+        |  SELECT e.vec_id, CAST(h.b // 4 AS INT) AS j,
+        |    CASE WHEN list_sum(list_transform(generate_series(1, len(v)), i -> v[i] * hv[i])) > 0
+        |      THEN CAST(1 << (3 - (h.b % 4)) AS BIGINT) ELSE 0 END AS bit
+        |  FROM e, h),
+        |bands AS (SELECT vec_id, j, SUM(bit) AS bv FROM bits GROUP BY vec_id, j),
+        |pb AS (SELECT p.vec_id, p.cid, b.j, b.bv FROM pc p JOIN bands b USING (vec_id)),
+        |hb AS (SELECT p.vec_id, p.cid, b.j, b.bv FROM pc p JOIN bands b USING (vec_id) WHERE p.rk = 1),
+        |dir AS (
+        |  SELECT DISTINCT pb.vec_id AS a, hb.vec_id AS b
+        |  FROM pb JOIN hb ON pb.cid = hb.cid AND pb.j = hb.j AND pb.bv = hb.bv
+        |  WHERE pb.vec_id <> hb.vec_id),
+        |cand AS (SELECT a AS src_id, b AS nbr_id FROM dir UNION SELECT b, a FROM dir),
         |scored AS (
         |  SELECT cand.src_id, cand.nbr_id,
         |    round(

@@ -257,6 +257,13 @@ object StreamGate {
     try f catch { case e: Throwable =>
       System.err.println(s"[stream-gate] $what failed: ${e.getMessage}") }
 
+  // Scoped silencing of the expected stop-interrupt abort cascade lives
+  // in [[graft.util.QuietLogs]] (shared with the streaming specs'
+  // intentional end-of-test stops).
+  private def withQuietLoggers[T](names: Seq[String])(body: => T): T =
+    graft.util.QuietLogs.withQuiet(names)(body)
+  private val interruptNoiseLoggers = graft.util.QuietLogs.interruptNoise
+
   /** Batches that actually carried data (AvailableNow plans a trailing
     * empty batch; don't count it). */
   private def dataBatches(q: StreamingQuery): Int =
@@ -662,14 +669,24 @@ object StreamGate {
         // but assert the contract rather than silently depend on it
         require(leg1Run == q1.runId,
           s"s05 listener captured runId $leg1Run but leg 1 is ${q1.runId}")
+        // The stop window's expected abort cascade (task aborted /
+        // failedToCommitStateFileError from the interrupted in-flight
+        // batch) is silenced — scoped to exactly this stop+drain, so a
+        // real state-store failure anywhere else still logs.
         try {
           if (!q1.isActive) cut.countDown() // terminated before runId was set
           cut.await(120, java.util.concurrent.TimeUnit.SECONDS)
         } finally {
-          cleanupStep("leg1 stop")(q1.stop())
-          cleanupStep("leg1 listener remove")(s.streams.removeListener(listener))
+          try withQuietLoggers(interruptNoiseLoggers) {
+            cleanupStep("leg1 stop")(q1.stop())
+            // drain to full termination INSIDE the quiet window so the
+            // async abort cascade on executor threads is covered too; a
+            // stopped query returns normally, a genuinely failed one
+            // still throws out of here
+            q1.awaitTermination()
+          } finally cleanupStep("leg1 listener remove")(
+            s.streams.removeListener(listener))
         }
-        q1.awaitTermination()
         if (sys.env.contains("SPARK_GRAFT_GATE_DEBUG")) dumpProgress(q1)
         // Leg 2: resume from the checkpoint, drain to the end.
         val q2 = startLeg()

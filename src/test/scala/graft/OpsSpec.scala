@@ -952,6 +952,27 @@ class OpsSpec extends AnyFunSuite {
       assert(t.sameElements(i), s"uniform-corpus codebook row $k drifted from init") }
   }
 
+  test("delta-maintained IVFPQ: probe ≡ rebuilt-index probe at three split points") {
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+    val rest = emb.filter(col("vec_id") =!= 0)
+    val (cents, assigned) = Similarity.ivfBuild(rest, "embedding", "vec_id")
+    val cb = Similarity.pqBuildCodebook(rest, "embedding", "vec_id")
+    val rebuilt = Similarity.ivfPqProbe(cents,
+      Similarity.ivfPqEncode(assigned, "vec_id", cb),
+      rest, "embedding", "vec_id", q, cb, k = 20).collect().toSeq
+    // cell ids and codes are pure per-row functions of the frozen model,
+    // so where the arrival boundary falls cannot appear in the result
+    for (m <- Seq(3, 7, 13)) {
+      val staticIdx = Similarity.ivfPqEncode(
+        assigned.filter(col("vec_id") % m =!= 0), "vec_id", cb)
+      val delta = rest.filter(col("vec_id") % m === 0)
+      val got = Similarity.ivfPqProbeDelta(cents, staticIdx, delta, rest,
+        "embedding", "vec_id", q, cb, k = 20).collect().toSeq
+      assert(got == rebuilt, s"delta probe at split mod $m diverged from rebuild")
+    }
+  }
+
   test("IVFPQ family on planted clusters: residual encoding beats raw, rerank exact") {
     import spark.implicits._
     // same planted geometry as the trained-PQ test: 16 clusters the IVF
@@ -1376,6 +1397,44 @@ class OpsSpec extends AnyFunSuite {
     val recall = (exact & bandedSet).size.toDouble / exact.size
     assert(recall >= 0.75,
       f"banded kNN recall@5 $recall%.3f below floor (|exact|=${exact.size})")
+  }
+
+  test("cell-composed kNN graph: invariants, recall@5 >= 0.75 vs exact, deterministic") {
+    import org.apache.spark.sql.expressions.Window
+    val cellGraph = Similarity.knnGraphCells(emb, "embedding", "vec_id", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    cellGraph.groupBy(_._1).foreach { case (src, rows) =>
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq == (1 to sorted.length).toSeq,
+        s"src $src ranks not consecutive: ${sorted.toSeq}")
+      assert(sorted.sliding(2).forall(w => w.length < 2 || w(0)._3 >= w(1)._3),
+        s"src $src cosines not ranked: ${sorted.toSeq}")
+      assert(!rows.exists(_._2 == src), s"src $src lists itself as neighbor")
+    }
+    // exact twin: brute-force top-5 per source (test-scale only)
+    val v = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val exact = v.withColumnsRenamed(Map("vec_id" -> "src_id", "v" -> "sv"))
+      .crossJoin(v.withColumnsRenamed(Map("vec_id" -> "nbr_id", "v" -> "nv")))
+      .filter(col("src_id") =!= col("nbr_id"))
+      .withColumn("cos_sim",
+        round(graft.functions.VectorFunctions.cosine(col("sv"), col("nv")), 6))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("src_id").orderBy(col("cos_sim").desc, col("nbr_id").asc)))
+      .filter(col("rank") <= 5)
+      .select("src_id", "nbr_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val gotSet = cellGraph.map(r => (r._1, r._2)).toSet
+    val recall = (exact & gotSet).size.toDouble / exact.size
+    assert(recall >= 0.75,
+      f"cell-composed kNN recall@5 $recall%.3f below floor (|exact|=${exact.size})")
+    // partitioning cannot move a single edge (fixed-point Lloyd + md5
+    // bands + total-order ranks)
+    val again = Similarity.knnGraphCells(emb.repartition(7), "embedding",
+        "vec_id", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(cellGraph.sortBy(r => (r._1, r._4)).toSeq ==
+           again.sortBy(r => (r._1, r._4)).toSeq,
+      "cell-composed kNN graph depends on partitioning")
   }
 
   test("SemDeDup: one keeper per cluster, keeper least-similar-to-centroid, deterministic") {

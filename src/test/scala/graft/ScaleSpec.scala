@@ -279,6 +279,44 @@ class ScaleSpec extends AnyFunSuite {
     } finally graft.util.Fs.deleteTree(java.nio.file.Paths.get(idxDir))
   }
 
+  test("x73 delta IVFPQ probe: static index keeps its cell pruning with the delta unioned inline") {
+    val emb = Tables.embeddings(spark, dir).filter(col("vec_id") =!= 0)
+    val q = Tables.embeddings(spark, dir).filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+    val (cents, assigned) = Similarity.ivfBuild(emb, "embedding", "vec_id")
+    val cb = Similarity.pqBuildCodebook(emb, "embedding", "vec_id")
+    val idxDir = Files.createTempDirectory("x73_idx_").toString
+    try {
+      // the deployment shape: the static 6/7 is the WRITTEN
+      // centroid_id-partitioned index; the 1/7 delta arrives raw
+      Similarity.ivfPqEncode(assigned.filter(col("vec_id") % 7 =!= 0), "vec_id", cb)
+        .write.mode("overwrite").partitionBy("centroid_id").parquet(idxDir)
+      val probe = Similarity.ivfPqProbeDelta(cents, spark.read.parquet(idxDir),
+        emb.filter(col("vec_id") % 7 === 0), emb, "embedding", "vec_id",
+        q, cb, k = 20)
+      val rows = probe.collect()
+      assert(rows.length == 20)
+      def allScans(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          allScans(a.executedPlan)
+        case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          allScans(s.plan)
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+        case other => other.children.flatMap(allScans)
+      }
+      val scans = allScans(probe.queryExecution.executedPlan)
+      val idxScan = scans.find(_.partitionFilters.nonEmpty)
+        .getOrElse(fail(
+          s"no partition-pruned static scan in:\n${probe.queryExecution.executedPlan}"))
+      assert(idxScan.partitionFilters.mkString.contains("centroid_id"))
+      assert(idxScan.selectedPartitions.partitionCount <= 4,
+        s"static side read ${idxScan.selectedPartitions.partitionCount} cells — the union must not defeat the ≤ nProbe seek")
+      assert(!idxScan.requiredSchema.fieldNames.contains("vec"),
+        s"static ADC scan must not read float vectors: ${idxScan.requiredSchema}")
+    } finally graft.util.Fs.deleteTree(java.nio.file.Paths.get(idxDir))
+  }
+
   test("x47/x53/x56 reuse one persisted window index: read-back runs bit-equal to inline builds") {
     val docs = Tables.documents(spark, dir)
     // the 100 TB shape: the stride-1 (doc, pos, md5-window) frame is
@@ -448,6 +486,37 @@ class ScaleSpec extends AnyFunSuite {
       assert(scan.selectedPartitions.partitionCount == 1,
         s"read ${scan.selectedPartitions.partitionCount} shard dirs for one shard")
     } finally graft.util.Fs.deleteTree(java.nio.file.Paths.get(tmp))
+  }
+
+  test("x72 cell kNN graph: candidates ≪ n² and ≪ x68's banded volume; equi-join plan") {
+    val emb = Tables.embeddings(spark, dir)
+    val n = emb.count()
+    val cands = Similarity.knnGraphCellCandidates(emb, "embedding", "vec_id",
+      nProbeCells = 5, nBands = 16, bandBits = 4, dims = 64, nLists = 0,
+      iters = 2)
+    // volume: the DIRECTED candidate set must stay well under the n(n-1)
+    // all-pairs ceiling AND under x68's 16×4 banded volume (β ≈ 0.64 of
+    // all pairs on this corpus) — the whole point of the cell composition;
+    // the fraction shrinks further as n grows under the √n auto dial
+    // (2·p/k·β with k ∝ √n — measured 0.58 → 0.34 → 0.13 at ×1/×4/×40)
+    val cCount = cands.count().toDouble
+    val allDirected = n.toDouble * (n - 1)
+    assert(cCount < 0.70 * allDirected,
+      f"candidate volume $cCount%.0f is ${cCount / allDirected}%.2f of n(n-1) — not pruning")
+    // analytic bound with slack: ≤ 3·(2·p/k)·β·n²/2 directed pairs
+    val k = Similarity.autoCellCount(emb)
+    val bound = 3.0 * 2 * 5 / k * 0.64 * n * n / 2
+    assert(cCount <= bound,
+      f"candidate volume $cCount%.0f exceeds the dial bound $bound%.0f (k=$k)")
+    // plan: candidates from the (cell, band) equi-join — no cartesian;
+    // the only nested loops are the 1-row broadcast scalar convention
+    val plan = cands.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    plan.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).foreach { l =>
+      assert(l.contains("Cross"), s"non-scalar nested loop join:\n$l")
+    }
+    assert(plan.contains("centroid_id"), s"expected the cell key in the join:\n$plan")
+    graft.ops.Caches.releaseAll()
   }
 
   test("x67 SemDeDup: pair step equi-joins on the cell key — no corpus cross join") {

@@ -50,7 +50,7 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
         // ...but within the TTL all batches share ONE fetch
         assert(server.requestCount == 1,
           s"expected exactly one TTL-dedup'd fetch, got ${server.requestCount}")
-      } finally q.stop()
+      } finally graft.util.QuietLogs.quietStop(q)
     } finally server.stop()
   }
 
@@ -80,7 +80,7 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
         val batches = Option(q.lastProgress).map(_.batchId).getOrElse(0L) + 1
         assert(server.requestCount >= 2 && server.requestCount < batches + 1,
           s"fetches=${server.requestCount} batches=$batches")
-      } finally q.stop()
+      } finally graft.util.QuietLogs.quietStop(q)
     } finally server.stop()
   }
 
@@ -117,7 +117,7 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
         assert(all(3).startsWith("Updated") && all(4).startsWith("Updated"),
           s"micro-batch after TTL must see the new snapshot: $all")
         assert(server.requestCount >= 2)
-      } finally q.stop()
+      } finally graft.util.QuietLogs.quietStop(q)
     } finally server.stop()
   }
 
@@ -141,7 +141,7 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
         assert(spark.table("one_fetch").count() == 3)
         assert(server.requestCount == 1,
           s"expected exactly one fetch across micro-batches, got ${server.requestCount}")
-      } finally q.stop()
+      } finally graft.util.QuietLogs.quietStop(q)
     } finally server.stop()
   }
 
@@ -164,7 +164,7 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(clicks.getAs[Long]("n") == 2 && clicks.getAs[Double]("sum_value") == 3.0)
       val views = rows.find(r => r.getAs[String]("event_type") == "view").get
       assert(views.getAs[Timestamp]("win_start") == t("2024-01-01 00:01:00"))
-    } finally q.stop()
+    } finally graft.util.QuietLogs.quietStop(q)
   }
 
   test("session windows merge gap-adjacent events and close on watermark") {
@@ -193,7 +193,7 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
         (t("2024-01-01 00:00:10"), t("2024-01-01 00:00:50"), 2L, 3.0),
         (t("2024-01-01 00:02:00"), t("2024-01-01 00:02:30"), 1L, 5.0)),
         s"got ${sessions.toSeq}")
-    } finally q.stop()
+    } finally graft.util.QuietLogs.quietStop(q)
   }
 
   test("streaming parquet file sink with checkpoint persists appended batches") {
@@ -211,7 +211,7 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       input.addData(4, 5); q.processAllAvailable()
       val got = spark.read.parquet(s"$dir/out").as[Int].collect().sorted
       assert(got.toSeq == (1 to 5))
-    } finally q.stop()
+    } finally graft.util.QuietLogs.quietStop(q)
   }
 
   test("foreachBatch sink runs arbitrary batch logic per micro-batch") {
@@ -228,7 +228,7 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       input.addData(4); q.processAllAvailable()
       val batches = seen.toArray(Array.empty[(Long, Long)]).toMap
       assert(batches.values.sum == 4 && batches.size >= 2, s"got $batches")
-    } finally q.stop()
+    } finally graft.util.QuietLogs.quietStop(q)
   }
 
   test("streaming ingest dedup: foreachBatch screens each micro-batch against the corpus") {
@@ -264,7 +264,7 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(got.size == expected.size, s"${got.size} vs ${expected.size}")
       assert(got == expected,
         s"streamed screening diverged on ${expected.collect { case (k, v) if got.get(k) != Some(v) => k }}")
-    } finally q.stop()
+    } finally graft.util.QuietLogs.quietStop(q)
   }
 
   test("streaming dedup within watermark emits each fingerprint once") {
@@ -284,7 +284,7 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       q.processAllAvailable()
       val fps = spark.table("sdedup").select("fp").collect().map(_.getString(0))
       assert(fps.sorted.toSeq == Seq("a", "b", "c"), s"got ${fps.toSeq}")
-    } finally q.stop()
+    } finally graft.util.QuietLogs.quietStop(q)
   }
 
   test("transformWithState (v2 state API, RocksDB) accumulates per-key stats") {
@@ -305,7 +305,7 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
           .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).maxBy(_._1) }
         assert(last(1L) == (3L, 7.0))
         assert(last(2L) == (1L, 5.0))
-      } finally q.stop()
+      } finally graft.util.QuietLogs.quietStop(q)
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
@@ -329,7 +329,7 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
                System.currentTimeMillis() < deadline) Thread.sleep(200)
         assert(closed().contains((7L, 2L, 3.0)),
           s"idle timer should close the session: got ${closed().toSeq}")
-      } finally q.stop()
+      } finally graft.util.QuietLogs.quietStop(q)
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
@@ -360,7 +360,7 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
         // expired state → the post-TTL batch starts over, NOT (5,3,7.0)
         assert(rows().contains((5L, 1L, 4.0)) && !rows().contains((5L, 3L, 7.0)),
           s"state survived past its TTL: ${rows()}")
-      } finally q.stop()
+      } finally graft.util.QuietLogs.quietStop(q)
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
@@ -388,7 +388,7 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
           s"watermark passage should close key 7's session: ${closed()}")
         // key 8's own session is still open (no watermark past 10:06)
         assert(!closed().exists(_._1 == 8L), s"got ${closed()}")
-      } finally q.stop()
+      } finally graft.util.QuietLogs.quietStop(q)
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
@@ -407,6 +407,6 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
         .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).maxBy(_._1) }
       assert(last(1L) == (3L, 7.0))
       assert(last(2L) == (1L, 5.0))
-    } finally q.stop()
+    } finally graft.util.QuietLogs.quietStop(q)
   }
 }

@@ -141,7 +141,7 @@ class TopicSourceSpec extends AnyFunSuite {
         .option("topic", dst)
         .option("checkpointLocation", ckpt.toString)
         .start()
-      try q.processAllAvailable() finally q.stop()
+      try q.processAllAvailable() finally graft.util.QuietLogs.quietStop(q)
       val out = spark.read.format("graft-topic").option("topic", dst).load()
       assert(out.count() == 12)
       val vals = out.select(col("value").cast("string")).as[String].collect()
@@ -195,7 +195,7 @@ class TopicSourceSpec extends AnyFunSuite {
         q.processAllAvailable()
         val vs = spark.table("topic_stream").select("v").collect().map(_.getString(0))
         assert(vs.length == 35 && vs.distinct.length == 35, "each record exactly once")
-      } finally q.stop()
+      } finally graft.util.QuietLogs.quietStop(q)
     } finally TopicLog.delete(t)
   }
 
@@ -242,7 +242,7 @@ class TopicSourceSpec extends AnyFunSuite {
         fill(t, 5, from = 30)
         q.processAllAvailable()
         assert(spark.table("topic_latest").count() == 5)
-      } finally q.stop()
+      } finally graft.util.QuietLogs.quietStop(q)
     } finally TopicLog.delete(t)
   }
 
@@ -278,7 +278,7 @@ class TopicSourceSpec extends AnyFunSuite {
         assert(rows.length == 8, "every topic record enriches (all userIds exist)")
         assert(rows.forall(_.getString(2).startsWith("Mock Name")))
         assert(server.requestCount == 1, "one TTL-dedup'd fetch for the whole stream")
-      } finally q.stop()
+      } finally graft.util.QuietLogs.quietStop(q)
     } finally { server.stop(); TopicLog.delete(t) }
   }
 
@@ -297,7 +297,7 @@ class TopicSourceSpec extends AnyFunSuite {
         assert(batchSizes.forall(_ <= 5),
           s"every micro-batch must respect the cap: ${batchSizes.mkString(",")}")
         assert(batchSizes.length >= 5, "the cap must actually split the backlog")
-      } finally q.stop()
+      } finally graft.util.QuietLogs.quietStop(q)
     } finally TopicLog.delete(t)
   }
 
@@ -339,7 +339,7 @@ class TopicSourceSpec extends AnyFunSuite {
         assert(spark.table("topic_avail_now").count() == 16)
         assert(q.recentProgress.count(_.numInputRows > 0) >= 2,
           "AvailableNow must honor the admission cap across batches")
-      } finally q.stop()
+      } finally graft.util.QuietLogs.quietStop(q)
     } finally TopicLog.delete(t)
   }
 }
