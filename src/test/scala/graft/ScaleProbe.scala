@@ -16,6 +16,32 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     args.lift(1).getOrElse("simhash") match {
+      case "x71recall" =>
+        // serving-quality ledger: trained IVF×PQ recall@20 vs exact-L2
+        // top-20 on the real corpus, across the quality dials (nProbe /
+        // refine / K) — the measurements behind BASELINE.md's recall rows
+        import org.apache.spark.sql.functions._
+        val emb = spark.read.parquet(args(0) + "/embeddings.parquet")
+        val rest = emb.filter(col("vec_id") =!= 0)
+        val q = emb.filter(col("vec_id") === 0)
+          .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+        val exact = rest.select(col("vec_id"),
+            aggregate(zip_with(col("embedding").cast("array<double>"),
+              lit(q.toArray), (x, y) => (x - y) * (x - y)),
+              lit(0.0), (a, x) => a + x).as("l2"))
+          .orderBy(col("l2").asc, col("vec_id").asc).limit(20)
+          .collect().map(_.getLong(0)).toSet
+        for ((np_, rf, kC) <- Seq((4, 3, 16), (4, 8, 16), (6, 8, 16),
+                                  (6, 8, 256), (8, 8, 256))) {
+          val t0 = System.nanoTime()
+          val got = graft.ops.Similarity.ivfPqTopKTrained(rest, "embedding",
+              "vec_id", q, 20, nLists = 16, nProbe = np_, m = 8,
+              nCentroids = kC, refine = rf)
+            .collect().map(_.getLong(0)).toSet
+          graft.ops.Caches.releaseAll()
+          println(f"nProbe=$np_ refine=$rf K=$kC: recall@20=${(got & exact).size / 20.0}%.2f wall=${(System.nanoTime() - t0) / 1e9}%.2f s")
+          System.gc()
+        }
       case "semdedup" =>
         val emb = spark.read.parquet(args(0) + "/embeddings.parquet")
         for (bandBits <- Seq(8, 16); _ <- 1 to 2) {
