@@ -44,7 +44,15 @@ object PipelineGate {
     * ~13 s checkpointed, pure recompute amplification. At 100 TB these
     * boundaries are exactly where a pipeline writes intermediate tables
     * anyway. */
-  def cleanMix(docs: DataFrame): DataFrame = {
+  def cleanMix(docs: DataFrame): DataFrame =
+    cleanMixDocs(docs)
+      .select(col("doc_id"), col("lang"), md5(col("text")).as("text_md5"))
+
+  /** Stages 1–6 with the surviving docs' final REWRITTEN texts —
+    * (doc_id, lang, text). [[cleanMix]] (p01) hashes the text;
+    * [[queries]]' p02 manifests it ([[graft.ops.Export.shardManifest]]
+    * as the export last mile over the same chain). */
+  def cleanMixDocs(docs: DataFrame): DataFrame = {
     import graft.ops.Caches.localCheckpointTracked
     // 1. quality gate (the x26/x39 shared definition)
     val quality = docs.filter(TextStats.qualityGate(col("text")))
@@ -76,22 +84,33 @@ object PipelineGate {
     // 6. sqrt-temperature language rebalancing (x54), downsample-only
     Chunking.temperatureMix(kept, "lang", "doc_id")
       .filter(col("keep"))
-      .select(col("doc_id"), col("lang"), md5(col("text")).as("text_md5"))
+      .select(col("doc_id"), col("lang"), col("text"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_pipeline_clean_mix" -> { (s, dir) =>
       cleanMix(Tables.documents(s, dir)).orderBy("doc_id")
     },
+
+    // The EXPORT LAST MILE composed onto the same chain (VERDICT r8 #5):
+    // the x66 shard manifest computed over the stage-6 survivors' final
+    // rewritten texts — the batch pipeline's clean→dedup→mix→export
+    // contract as ONE oracle. Any stage-interface drift (or a manifest
+    // drifting from the texts the pipeline actually emits) flips the
+    // shard checksums.
+    "p02_pipeline_export_manifest" -> { (s, dir) =>
+      graft.ops.Export.shardManifest(
+        cleanMixDocs(Tables.documents(s, dir)), "doc_id", "text",
+        nShards = 8)
+    },
   )
 
-  /** One oracle, six chained stage blocks — each the proven per-stage
-    * SQL (x26 quality / x41 blocks / x47 spans / x48 LM / x34 near-dup /
-    * x54 mix) re-pointed at the previous stage's CTE instead of raw
-    * `documents`. */
-  val oracle: Map[String, String] = Map(
-    "p01_pipeline_clean_mix" ->
-      """WITH RECURSIVE q AS (
+  /** The six-stage CTE chain (q → … → k6), shared by p01 and p02 — each
+    * stage the proven per-stage SQL (x26 quality / x41 blocks / x47
+    * spans / x48 LM / x34 near-dup / x54 mix) re-pointed at the previous
+    * stage's CTE exactly as the Spark plan chains DataFrames. */
+  private val pipelineCtes: String =
+    """WITH RECURSIVE q AS (
         |  SELECT doc_id, text,
         |    len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tokens,
         |    CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
@@ -211,7 +230,27 @@ object PipelineGate {
         |  FROM d5 JOIN documents d USING (doc_id) JOIN r6 ON r6.lang = d.lang
         |  WHERE r6.cut >= 65536 OR
         |    substr(md5(CAST(d5.doc_id AS VARCHAR)), 1, 4) < printf('%04x', r6.cut))
-        |SELECT doc_id, lang, md5(text) AS text_md5
-        |FROM k6 ORDER BY doc_id""".stripMargin,
+        |""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "p01_pipeline_clean_mix" ->
+      (pipelineCtes +
+        """SELECT doc_id, lang, md5(text) AS text_md5
+          |FROM k6 ORDER BY doc_id""".stripMargin),
+
+    // x66's manifest arithmetic over the stage-6 survivors (k6) instead
+    // of raw documents — the export last mile in the same replay.
+    "p02_pipeline_export_manifest" ->
+      (pipelineCtes +
+        """SELECT shard, COUNT(*) AS n_docs, CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+          |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id,
+          |  CAST(SUM(chk) AS BIGINT) AS checksum
+          |FROM (
+          |  SELECT doc_id,
+          |    CAST(CAST('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 8) AS UBIGINT) AS BIGINT) % 8 AS shard,
+          |    len(list_filter(string_split(text, ' '), t -> t <> '')) AS ntok,
+          |    CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 8) AS UBIGINT) AS BIGINT) AS chk
+          |  FROM k6)
+          |GROUP BY shard ORDER BY shard""".stripMargin),
   )
 }

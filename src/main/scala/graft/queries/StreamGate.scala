@@ -95,6 +95,26 @@ object StreamGate {
     })
   }
 
+  /** Arriving-VECTORS topic for the streaming delta-index ANN serving
+    * gate (s11): x70's delta convention (every 7th corpus vector,
+    * query rows excluded) serialized as JSON — the vectors that arrived
+    * since the static index was written. Memoized per (JVM, sf dir). */
+  private val arrivalTopics = TrieMap.empty[String, String]
+  private def arrivalVecTopic(s: SparkSession, dir: String): String = synchronized {
+    arrivalTopics.getOrElseUpdate(dir, {
+      val topic = s"gate_arrvec_${java.util.UUID.randomUUID().toString.take(8)}"
+      Tables.embeddings(s, dir)
+        .filter(col("vec_id") % 50 =!= 0 && col("vec_id") % 7 === 0)
+        .select(col("vec_id").cast("string").as("key"),
+          to_json(struct(col("vec_id"),
+            col("embedding").cast("array<double>").as("v"))).as("value"),
+          to_timestamp(lit("2024-01-01 00:00:00")).as("timestamp"))
+        .write.format("graft-topic").mode("append")
+        .option("topic", topic).option("partitions", "4").save()
+      topic
+    })
+  }
+
   /** Incoming-DOCUMENTS topic for the streaming ingest-screening gate
     * (s09): the x50 batch side (doc_id ≥ 400) serialized as JSON — the
     * arrival stream of an ingest pipeline whose corpus (doc_id < 400)
@@ -492,6 +512,82 @@ object StreamGate {
       }
     },
 
+    // Streaming DELTA-INDEX ANN serving — s08 composed with x70 (the r8
+    // stretch): the corpus DELTA is the stream. The static 6/7 of the
+    // corpus is the written band index (persisted stand-in); arrivals
+    // band themselves in-plan (pure per-row band keys), join the STATIC
+    // query-band index, and accumulate per-query arrival top-5s in
+    // complete mode across ≥2 batches. Serving then MERGES the static-
+    // index probe with the streamed delta top-5 — exactly how production
+    // ANN serves an immutable index plus an in-memory delta — and
+    // because top-5(static) ∪ top-5(delta) ⊇ top-5(static ∪ delta) under
+    // one total order (cos desc, id asc), the merged re-rank equals the
+    // batch probe of the WHOLE corpus: the oracle is s08's SQL verbatim,
+    // and which batch carried an arrival cannot show (the s09 argument).
+    "s11_stream_delta_ann_serving" -> { (s, dir) =>
+      val topic = arrivalVecTopic(s, dir)
+      val run = java.util.UUID.randomUUID().toString.take(8)
+      val mem = s"s11_result_$run"
+      withGateConf(s) {
+        import org.apache.spark.sql.expressions.Window
+        val all = Tables.embeddings(s, dir)
+        val queries = all.filter(col("vec_id") % 50 === 0)
+        val corpusStatic = all.filter(
+          col("vec_id") % 50 =!= 0 && col("vec_id") % 7 =!= 0)
+        // static artifacts persisted once (the written-index stand-ins):
+        // the query-band index the arrivals join, and the query vectors
+        val qBands = graft.ops.Caches.persistTracked(
+          graft.ops.Similarity.annBuildBandIndex(queries, "embedding", "vec_id")
+            .withColumnRenamed("vec_id", "q_id"))
+        val qVec = graft.ops.Caches.persistTracked(queries.select(
+          col("vec_id").as("q_id"),
+          col("embedding").cast("array<double>").as("qv")))
+        val aStream = s.readStream.format("graft-topic")
+          .option("topic", topic)
+          .option("maxRecordsPerTrigger", math.max(1L, topicSize(topic) / 3).toString)
+          .load()
+          .select(from_json(col("value").cast("string"), org.apache.spark.sql.types
+            .StructType.fromDDL("vec_id BIGINT, v ARRAY<DOUBLE>")).as("j"))
+          .select(col("j.vec_id").as("vec_id"), col("j.v").as("av"))
+        val aBands = aStream
+          .select(col("vec_id"), col("av"), posexplode(
+            graft.functions.VectorExpressions.rhpBandsNative(col("av"), 16, 8, 64)))
+          .select(col("vec_id"), col("av"),
+            (col("pos").cast("long") * 256L + col("col")).as("band_key"))
+        val agg = aBands
+          .join(qBands, "band_key")
+          .join(qVec, "q_id")
+          .withColumn("cos_sim", round(
+            graft.functions.VectorFunctions.cosine(col("av"), col("qv")), 6))
+          .groupBy(col("q_id"))
+          .agg(slice(sort_array(array_distinct(collect_list(
+            struct(col("cos_sim"), (-col("vec_id")).as("nid")))), asc = false),
+            1, 5).as("top"))
+        val ckpt = gateTmpDir("s11_ckpt_")
+        val q = agg.writeStream.format("memory").queryName(mem)
+          .outputMode("complete")
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        drain(q, ckpt)
+        require(dataBatches(q) >= 2,
+          s"s11 must index arrivals across batches; ran ${dataBatches(q)} data batches")
+        val deltaTop = s.table(mem)
+          .select(col("q_id"), posexplode(col("top")))
+          .select(col("q_id"), (-col("col.nid")).as("vec_id"),
+            col("col.cos_sim").as("cos_sim"))
+        val staticTop = graft.ops.Similarity.annProbeBandedAll(
+            corpusStatic, queries, "embedding", "vec_id", "vec_id", k = 5)
+          .select(col("q_id"), col("vec_id"), col("cos_sim"))
+        materialized(s, mem, deltaTop.unionByName(staticTop)
+          .withColumn("rank", row_number().over(Window.partitionBy("q_id")
+            .orderBy(col("cos_sim").desc, col("vec_id").asc)))
+          .filter(col("rank") <= 5)
+          .select(col("q_id"), col("rank"), col("vec_id"), col("cos_sim"))
+          .orderBy("q_id", "rank"))
+      }
+    },
+
     // Streaming exact dedup under the gate: events replayed through the
     // topic → dropDuplicatesWithinWatermark(user_id) → append-mode memory
     // sink. WHICH occurrence survives is arrival-order-dependent, so the
@@ -840,34 +936,11 @@ object StreamGate {
   lazy val allQueries: Map[String, (SparkSession, String) => DataFrame] =
     queries ++ streamStreamEntry
 
-  val oracle: Map[String, String] = Map(
-    // The batch x50 computation IS the streaming answer: screening is
-    // cross-side-only (doc vs corpus), so micro-batch boundaries cannot
-    // show in any per-doc verdict — share x50's oracle SQL verbatim.
-    "s09_stream_ingest_screening" -> Ext.oracle("x50_incremental_dedup"),
-
-    // Shard membership is a pure function of the row and every manifest
-    // field commutes, so the streamed partitioned tree's manifest equals
-    // the batch manifest over the same arrival set (doc_id >= 400 — the
-    // ingest topic's slice): x66's replay with that filter.
-    "s10_stream_shard_export" ->
-      """WITH d AS (
-        |  SELECT doc_id,
-        |    CAST(CAST('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 8) AS UBIGINT) AS BIGINT) % 8 AS shard,
-        |    len(list_filter(string_split(text, ' '), t -> t <> '')) AS ntok,
-        |    CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 8) AS UBIGINT) AS BIGINT) AS chk
-        |  FROM documents WHERE doc_id >= 400)
-        |SELECT shard, COUNT(*) AS n_docs, CAST(SUM(ntok) AS BIGINT) AS n_tokens,
-        |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id,
-        |  CAST(SUM(chk) AS BIGINT) AS checksum
-        |FROM d GROUP BY shard ORDER BY shard""".stripMargin,
-
-    // The batch x45 computation IS the streaming answer: band keys are a
-    // pure function of the vector (md5-rebuilt planes), the stream-static
-    // join adds no state, and the per-query top-5 is deterministic
-    // (score desc, id asc) — so which batch served a query cannot show.
-    "s08_stream_ann_serving" ->
-      """WITH h AS (
+  /** s08's whole-corpus ANN-serving replay, shared verbatim by s11
+    * (delta-index serving): which batch carried a query or an arrival
+    * cannot appear in the result. */
+  private val s08AnnServeSql: String =
+    """WITH h AS (
         |  SELECT b, list_transform(generate_series(0, 63),
         |    d -> (CAST('0x' || substr(md5('rhp:' || CAST(b AS VARCHAR) || ':' || CAST(d AS VARCHAR)), 1, 8) AS UBIGINT) % 2000001) / 1000000.0 - 1.0) AS hv
         |  FROM generate_series(0, 127) t(b)),
@@ -896,7 +969,41 @@ object StreamGate {
         |  vec_id, cos_sim
         |FROM scored
         |QUALIFY rank <= 5
-        |ORDER BY q_id, rank""".stripMargin,
+        |ORDER BY q_id, rank""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    // The batch x50 computation IS the streaming answer: screening is
+    // cross-side-only (doc vs corpus), so micro-batch boundaries cannot
+    // show in any per-doc verdict — share x50's oracle SQL verbatim.
+    "s09_stream_ingest_screening" -> Ext.oracle("x50_incremental_dedup"),
+
+    // Shard membership is a pure function of the row and every manifest
+    // field commutes, so the streamed partitioned tree's manifest equals
+    // the batch manifest over the same arrival set (doc_id >= 400 — the
+    // ingest topic's slice): x66's replay with that filter.
+    "s10_stream_shard_export" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(CAST('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 8) AS UBIGINT) AS BIGINT) % 8 AS shard,
+        |    len(list_filter(string_split(text, ' '), t -> t <> '')) AS ntok,
+        |    CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 8) AS UBIGINT) AS BIGINT) AS chk
+        |  FROM documents WHERE doc_id >= 400)
+        |SELECT shard, COUNT(*) AS n_docs, CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+        |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id,
+        |  CAST(SUM(chk) AS BIGINT) AS checksum
+        |FROM d GROUP BY shard ORDER BY shard""".stripMargin,
+
+    // The batch x45 computation IS the streaming answer: band keys are a
+    // pure function of the vector (md5-rebuilt planes), the stream-static
+    // join adds no state, and the per-query top-5 is deterministic
+    // (score desc, id asc) — so which batch served a query cannot show.
+    "s08_stream_ann_serving" -> s08AnnServeSql,
+
+    // s11: static ∪ arrivals = the whole %50≠0 corpus, and band keys /
+    // scores / tie-breaks are pure functions of the vectors — the
+    // merged delta serving equals the batch probe of the full corpus,
+    // s08's replay verbatim.
+    "s11_stream_delta_ann_serving" -> s08AnnServeSql,
 
     // The FULL batch left join: the sentinel-closed watermark guarantees
     // every real click got its match rows or its null row — nothing is

@@ -35,7 +35,16 @@ object QuietLogs {
 
   /** Stop a streaming query with the expected abort cascade silenced —
     * the drop-in for `q.stop()` at intentional end-of-test / mid-stream
-    * cut points. */
+    * cut points. The interrupted TASK threads abort asynchronously
+    * (their ERROR lines can land after stop() returns), so the quiet
+    * window holds until the query reports inactive plus a short grace
+    * period for the executor pool's own logging. */
   def quietStop(q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
-    withQuiet()(q.stop())
+    withQuiet() {
+      q.stop()
+      val deadline = System.currentTimeMillis() + 5000
+      while (q.isActive && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      Thread.sleep(200)
+    }
 }

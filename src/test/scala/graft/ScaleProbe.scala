@@ -42,6 +42,17 @@ object ScaleProbe {
           println(f"nProbe=$np_ refine=$rf K=$kC: recall@20=${(got & exact).size / 20.0}%.2f wall=${(System.nanoTime() - t0) / 1e9}%.2f s")
           System.gc()
         }
+      case "x72cands" =>
+        // candidate-volume trajectory for the cell-composed kNN graph:
+        // the fraction must SHRINK as n grows under the √n auto dial —
+        // the sub-quadratic claim, measured (BASELINE.md r9)
+        val emb = spark.read.parquet(args(0) + "/embeddings.parquet")
+        val n = emb.count()
+        val t0 = System.nanoTime()
+        val c = graft.ops.Similarity.knnGraphCellCandidates(emb, "embedding",
+          "vec_id", 5, 16, 4, 64, 0, 2).count()
+        graft.ops.Caches.releaseAll()
+        println(f"n=$n k=${graft.ops.Similarity.autoCellCount(emb)} directed_candidates=$c fraction=${c.toDouble / (n.toDouble * (n - 1))}%.4f wall=${(System.nanoTime() - t0) / 1e9}%.2f s")
       case "semdedup" =>
         val emb = spark.read.parquet(args(0) + "/embeddings.parquet")
         for (bandBits <- Seq(8, 16); _ <- 1 to 2) {
