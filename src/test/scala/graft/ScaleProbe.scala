@@ -53,6 +53,62 @@ object ScaleProbe {
           "vec_id", 5, 16, 4, 64, 0, 2).count()
         graft.ops.Caches.releaseAll()
         println(f"n=$n k=${graft.ops.Similarity.autoCellCount(emb)} directed_candidates=$c fraction=${c.toDouble / (n.toDouble * (n - 1))}%.4f wall=${(System.nanoTime() - t0) / 1e9}%.2f s")
+      case "x72" =>
+        // full cell-composed kNN graph build, bench protocol (best-of-2,
+        // noop sink, process-CPU recorded)
+        val emb = spark.read.parquet(args(0) + "/embeddings.parquet")
+        val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+          .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+        val runs = (1 to 2).map { _ =>
+          val c0 = os.getProcessCpuTime
+          val t0 = System.nanoTime()
+          graft.ops.Similarity.knnGraphCells(emb, "embedding", "vec_id", k = 5)
+            .write.format("noop").mode("overwrite").save()
+          val r = ((System.nanoTime() - t0) / 1e9, (os.getProcessCpuTime - c0) / 1e9)
+          graft.ops.Caches.releaseAll()
+          System.gc()
+          r
+        }
+        val best = runs.minBy(_._1)
+        println(f"x72 best-of-2: wall=${best._1}%.2f s cpu=${best._2}%.1f s")
+      case "x72recall" =>
+        // recall@5 of the cell-composed graph vs the exact quadratic twin
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.functions._
+        val emb = spark.read.parquet(args(0) + "/embeddings.parquet")
+        val got = graft.ops.Similarity.knnGraphCells(emb, "embedding", "vec_id", k = 5)
+          .select("src_id", "nbr_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val v = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        val exact = v.withColumnsRenamed(Map("vec_id" -> "src_id", "v" -> "sv"))
+          .crossJoin(v.withColumnsRenamed(Map("vec_id" -> "nbr_id", "v" -> "nv")))
+          .filter(col("src_id") =!= col("nbr_id"))
+          .withColumn("cos_sim",
+            round(graft.functions.VectorFunctions.cosine(col("sv"), col("nv")), 6))
+          .withColumn("rank", row_number().over(
+            Window.partitionBy("src_id").orderBy(col("cos_sim").desc, col("nbr_id").asc)))
+          .filter(col("rank") <= 5)
+          .select("src_id", "nbr_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        graft.ops.Caches.releaseAll()
+        println(f"x72 recall@5 vs exact: ${(exact & got).size.toDouble / exact.size}%.3f (|exact|=${exact.size})")
+      case "x67" =>
+        // SemDeDup at the auto dial, bench protocol
+        val emb = spark.read.parquet(args(0) + "/embeddings.parquet")
+        val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+          .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+        val runs = (1 to 2).map { _ =>
+          val c0 = os.getProcessCpuTime
+          val t0 = System.nanoTime()
+          graft.ops.Similarity.semDeDupKmeans(emb, "embedding", "vec_id", tau = 0.45)
+            .write.format("noop").mode("overwrite").save()
+          val r = ((System.nanoTime() - t0) / 1e9, (os.getProcessCpuTime - c0) / 1e9)
+          graft.ops.Caches.releaseAll()
+          System.gc()
+          r
+        }
+        val best = runs.minBy(_._1)
+        println(f"x67 best-of-2 (auto k=${graft.ops.Similarity.autoCellCount(emb)}): wall=${best._1}%.2f s cpu=${best._2}%.1f s")
       case "semdedup" =>
         val emb = spark.read.parquet(args(0) + "/embeddings.parquet")
         for (bandBits <- Seq(8, 16); _ <- 1 to 2) {
