@@ -419,6 +419,93 @@ object Similarity {
       .select(col(idCol), col("vec"), col("centroid_id"))
   }
 
+  /** TWO-LEVEL (hierarchical) nearest-centroid assignment — the
+    * 100 TB form of [[assignNearest]], whose flat broadcast argmax costs
+    * k dots per row: at production cell counts (k = 2¹⁶ on a 100 TB
+    * corpus) that is 65 536 dots for every row of the corpus. Here the
+    * centroid TABLE gets a routing level: `nSuper` super-centroids
+    * (md5-deterministic sample of the centroids) with every centroid
+    * grouped under its nearest super — both MODEL-side operations over k
+    * rows, never the corpus. Per corpus row: argmax over the nSuper
+    * supers, then argmax over only the chosen super's children — the dot
+    * work drops from k to nSuper + k/nSuper per row (≈ 2√k at
+    * nSuper = √k, 512× less at k = 2¹⁶), because the second fold's score
+    * expression sits under a `when(child-of-chosen-super)` branch that
+    * codegen evaluates conditionally. Still zero corpus shuffle: two
+    * 1-row broadcasts (the repo's scalar convention).
+    *
+    * The approximation (a boundary row can route to a super whose best
+    * child is not the global best) is itself DETERMINISTIC and
+    * engine-replayable — md5 sample, cosine argmax with ties to the
+    * lower id at every level — so the x74 oracle replays routing,
+    * grouping, and both argmax levels exactly. Law pinned in OpsSpec:
+    * nSuper = 1 ⇒ identical to [[assignNearest]]. */
+  private[graft] def assignNearestHier(emb: DataFrame, vecCol: String,
+                                       idCol: String, centroids: DataFrame,
+                                       nSuper: Int): DataFrame = {
+    require(nSuper >= 1, s"need at least one super-cell, got $nSuper")
+    val supers = centroids
+      .orderBy(md5(col("centroid_id").cast("string")).asc, col("centroid_id").asc)
+      .limit(nSuper)
+      .select(col("centroid_id").as("super_id"), col("cv").as("sv"))
+    val supArr = supers
+      .agg(collect_list(struct(col("super_id"), col("sv"))).as("ss"))
+    // model-side: group each centroid under its nearest super (cosine,
+    // ties to the lower super_id) — k rows against nSuper supers
+    def argmaxSuper(vec: Column): Column = aggregate(
+      col("ss"),
+      struct(lit(Double.NegativeInfinity).as("s"), lit(Long.MaxValue).as("sid")),
+      (acc, c) => {
+        val score = VectorFunctions.dot(vec, c.getField("sv")) /
+          (VectorFunctions.norm(vec) * VectorFunctions.norm(c.getField("sv")))
+        when(score > acc.getField("s") ||
+             (score === acc.getField("s") &&
+              c.getField("super_id") < acc.getField("sid")),
+          struct(score.as("s"), c.getField("super_id").cast("long").as("sid")))
+          .otherwise(acc)
+      },
+      acc => acc.getField("sid"))
+    val grouped = centroids
+      .crossJoin(broadcast(supArr))
+      .withColumn("super_id", argmaxSuper(col("cv")))
+      .select(col("centroid_id"), col("cv"), col("super_id"))
+    val centArr = grouped
+      .agg(collect_list(struct(col("centroid_id"), col("cv"), col("super_id")))
+        .as("cents"))
+    // per-row: route to the best super, then argmax over ONLY its
+    // children — the score dot sits under the when branch
+    val bestChild = aggregate(
+      col("cents"),
+      struct(lit(Double.NegativeInfinity).as("s"), lit(Long.MaxValue).as("cid")),
+      (acc, c) => when(c.getField("super_id") === col("__sup"), {
+        val score = VectorFunctions.dot(col("vec"), c.getField("cv")) /
+          (VectorFunctions.norm(col("vec")) * VectorFunctions.norm(c.getField("cv")))
+        when(score > acc.getField("s") ||
+             (score === acc.getField("s") &&
+              c.getField("centroid_id") < acc.getField("cid")),
+          struct(score.as("s"), c.getField("centroid_id").cast("long").as("cid")))
+          .otherwise(acc)
+      }).otherwise(acc),
+      acc => acc.getField("cid"))
+    emb.select(col(idCol), col(vecCol).cast("array<double>").as("vec"))
+      .crossJoin(broadcast(supArr))
+      .crossJoin(broadcast(centArr))
+      .withColumn("__sup", argmaxSuper(col("vec")))
+      .withColumn("centroid_id", bestChild)
+      .select(col(idCol), col("vec"), col("centroid_id"))
+  }
+
+  /** Hierarchical IVF top-k: [[ivfBuild]]'s centroids, two-level
+    * per-row assignment ([[assignNearestHier]]), [[ivfProbe]]'s serving.
+    * Harness query x74 replays the whole chain. */
+  def ivfTopKCosineHier(emb: DataFrame, vecCol: String, idCol: String,
+                        queryVec: Seq[Double], k: Int, nLists: Int = 16,
+                        nSuper: Int = 4, nProbe: Int = 4): DataFrame = {
+    val (cents, _) = ivfBuild(emb, vecCol, idCol, nLists)
+    ivfProbe(cents, assignNearestHier(emb, vecCol, idCol, cents, nSuper),
+      idCol, queryVec, k, nProbe)
+  }
+
   def ivfBuild(emb: DataFrame, vecCol: String, idCol: String,
                nLists: Int = 16): (DataFrame, DataFrame) = {
     val v = col(vecCol).cast("array<double>")

@@ -274,6 +274,19 @@ object Ext {
       Similarity.ivfProbe(cents, assigned, "vec_id", queryVec(s, dir), k = 20)
     },
 
+    // HIERARCHICAL (two-level) coarse assignment — the 100 TB form of
+    // the IVF build: per-row dot work drops from k to nSuper + k/nSuper
+    // (≈ 2√k; 512× at k = 2¹⁶) by routing through nSuper super-cells,
+    // both levels md5-deterministic cosine argmaxes. FULL oracle: super
+    // sample, centroid grouping, both per-row argmax levels, probe and
+    // rescore all replay. Law pinned in OpsSpec: nSuper=1 ≡ flat.
+    "x74_ivf_hier_topk" -> { (s, dir) =>
+      Similarity.ivfTopKCosineHier(
+        Tables.embeddings(s, dir).filter(col("vec_id") =!= 0),
+        vecCol = "embedding", idCol = "vec_id",
+        queryVec = queryVec(s, dir), k = 20)
+    },
+
     // Exact all-pairs cosine (oracle-checked verification path; the
     // LSH-blocked variant is the 100 TB path, recall-tested in OpsSpec).
     "x07_embedding_near_dups" -> { (s, dir) =>
@@ -1274,6 +1287,61 @@ object Ext {
         |    SELECT vec_id, v, cid,
         |      row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rk
         |    FROM scored) WHERE rk = 1),
+        |probe AS (
+        |  SELECT cid FROM c, q
+        |  ORDER BY
+        |    list_sum(list_transform(generate_series(1, len(cv)), i -> cv[i] * qv[i])) /
+        |      (sqrt(list_sum(list_transform(generate_series(1, len(cv)), i -> cv[i] * cv[i]))) *
+        |       sqrt(list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * qv[i])))) DESC,
+        |    cid ASC LIMIT 4)
+        |SELECT a.vec_id,
+        |  round(
+        |    list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * qv[i])) /
+        |    (sqrt(list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * a.v[i]))) *
+        |     sqrt(list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * qv[i])))),
+        |  6) AS cos_sim
+        |FROM assigned a JOIN probe USING (cid), q
+        |ORDER BY cos_sim DESC, vec_id ASC LIMIT 20""".stripMargin,
+
+    // Hierarchical IVF replay: x15's sample + probe + rescore with the
+    // assignment split into the two routed argmax levels — super sample
+    // (md5 over the centroid ids), nearest-super grouping of centroids,
+    // per-row best super then best child within it, every level ties to
+    // the lower id.
+    "x74_ivf_hier_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id <> 0),
+        |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM e
+        |      ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC LIMIT 16),
+        |ss AS (SELECT cid AS super_id, cv AS sv FROM c
+        |       ORDER BY md5(CAST(cid AS VARCHAR)) ASC, cid ASC LIMIT 4),
+        |grp AS (
+        |  SELECT cid, cv, super_id FROM (
+        |    SELECT c.cid, c.cv, ss.super_id,
+        |      row_number() OVER (PARTITION BY c.cid ORDER BY
+        |        list_sum(list_transform(generate_series(1, len(c.cv)), i -> c.cv[i] * ss.sv[i])) /
+        |          (sqrt(list_sum(list_transform(generate_series(1, len(c.cv)), i -> c.cv[i] * c.cv[i]))) *
+        |           sqrt(list_sum(list_transform(generate_series(1, len(ss.sv)), i -> ss.sv[i] * ss.sv[i])))) DESC,
+        |        ss.super_id ASC) AS rk
+        |    FROM c, ss) WHERE rk = 1),
+        |rs AS (
+        |  SELECT vec_id, v, super_id FROM (
+        |    SELECT e.vec_id, e.v, ss.super_id,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_sum(list_transform(generate_series(1, len(e.v)), i -> e.v[i] * ss.sv[i])) /
+        |          (sqrt(list_sum(list_transform(generate_series(1, len(e.v)), i -> e.v[i] * e.v[i]))) *
+        |           sqrt(list_sum(list_transform(generate_series(1, len(ss.sv)), i -> ss.sv[i] * ss.sv[i])))) DESC,
+        |        ss.super_id ASC) AS rk
+        |    FROM e, ss) WHERE rk = 1),
+        |assigned AS (
+        |  SELECT vec_id, v, cid FROM (
+        |    SELECT rs.vec_id, rs.v, g.cid,
+        |      row_number() OVER (PARTITION BY rs.vec_id ORDER BY
+        |        list_sum(list_transform(generate_series(1, len(rs.v)), i -> rs.v[i] * g.cv[i])) /
+        |          (sqrt(list_sum(list_transform(generate_series(1, len(rs.v)), i -> rs.v[i] * rs.v[i]))) *
+        |           sqrt(list_sum(list_transform(generate_series(1, len(g.cv)), i -> g.cv[i] * g.cv[i])))) DESC,
+        |        g.cid ASC) AS rk
+        |    FROM rs JOIN grp g ON g.super_id = rs.super_id) WHERE rk = 1),
         |probe AS (
         |  SELECT cid FROM c, q
         |  ORDER BY

@@ -952,6 +952,33 @@ class OpsSpec extends AnyFunSuite {
       assert(t.sameElements(i), s"uniform-corpus codebook row $k drifted from init") }
   }
 
+  test("hierarchical IVF assignment: nSuper=1 ≡ flat; routed agreement bounded; deterministic") {
+    val rest = emb.filter(col("vec_id") =!= 0)
+    val (cents, flatAssigned) = Similarity.ivfBuild(rest, "embedding", "vec_id")
+    val flat = flatAssigned.select("vec_id", "centroid_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // LAW: one super-cell contains every centroid, so the second-level
+    // argmax ranges over all of them — identical to the flat fold
+    val one = Similarity.assignNearestHier(rest, "embedding", "vec_id", cents, 1)
+      .select("vec_id", "centroid_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(one == flat, "nSuper=1 must reproduce the flat assignment exactly")
+    // routed (nSuper=4): boundary rows may re-route — most must agree
+    val hier = Similarity.assignNearestHier(rest, "embedding", "vec_id", cents, 4)
+      .select("vec_id", "centroid_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hier.keySet == flat.keySet, "hier assignment must cover every row")
+    val agree = flat.count { case (id, c) => hier(id) == c }.toDouble / flat.size
+    assert(agree >= 0.5,
+      f"routed assignment agrees on $agree%.2f of rows — routing is broken, not approximate")
+    // determinism: partitioning cannot move a single assignment
+    val again = Similarity.assignNearestHier(rest.repartition(7), "embedding",
+        "vec_id", cents, 4)
+      .select("vec_id", "centroid_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == hier, "hier assignment depends on partitioning")
+  }
+
   test("delta-maintained IVFPQ: probe ≡ rebuilt-index probe at three split points") {
     val q = emb.filter(col("vec_id") === 0)
       .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
