@@ -1195,6 +1195,47 @@ object Similarity {
       graft.functions.VectorExpressions.pqCodesNative(
         col("vec"), codebook.flatten, codebook.length, m, dims))
 
+  /** BYTE-PACKED PQ code storage — with [[pqTrainCodebook]]'s K = 256
+    * codebooks the codes are exactly bytes: bias 0..255 → [-128, 127]
+    * and reuse the [[quantizeInt8Packed]] packer — a fixed m-byte binary
+    * per vector. (On disk parquet's dictionary/bit-pack encodings already
+    * compress the array<int> form, so the packed win is the SCAN
+    * representation: 8 contiguous bytes vs a 32 B array with offsets and
+    * per-element access.) The bias is exact integer arithmetic, so
+    * pack∘unpack is the identity on any K ≤ 256 code array — OpsSpec
+    * pins probe-over-packed ≡ probe-over-plain and the m-byte wire
+    * contract. */
+  def pqPackCodes(codes: Column): Column =
+    graft.functions.VectorExpressions.int8PackNative(
+      transform(codes, c => c.cast("long") - lit(128L)))
+
+  /** Inverse of [[pqPackCodes]]: binary → array<int> codes 0..255. */
+  def pqUnpackCodes(packed: Column): Column =
+    transform(graft.functions.VectorExpressions.int8UnpackNative(packed),
+      b => (b + lit(128L)).cast("int"))
+
+  /** [[ivfPqEncode]] with the codes byte-packed for storage: one row per
+    * vector, (idCol, centroid_id, codes8: binary). Write this
+    * `partitionBy("centroid_id")`; probe via [[ivfPqProbePacked]]. */
+  def ivfPqEncodePacked(assigned: DataFrame, idCol: String,
+                        codebook: Array[Array[Double]], m: Int = 8,
+                        dims: Int = 64): DataFrame =
+    ivfPqEncode(assigned, idCol, codebook, m, dims)
+      .select(col(idCol), col("centroid_id"),
+        pqPackCodes(col("codes")).as("codes8"))
+
+  /** Probe a byte-packed IVF×PQ index: unpack in-plan (exact integer
+    * inverse), then [[ivfPqProbe]] unchanged — results are identical to
+    * the unpacked path on the same corpus. */
+  def ivfPqProbePacked(centroids: DataFrame, packedIndex: DataFrame,
+                       vectors: DataFrame, vecCol: String, idCol: String,
+                       queryVec: Seq[Double], codebook: Array[Array[Double]],
+                       k: Int, nProbe: Int = 4, refine: Int = 3,
+                       m: Int = 8): DataFrame =
+    ivfPqProbe(centroids,
+      packedIndex.withColumn("codes", pqUnpackCodes(col("codes8"))),
+      vectors, vecCol, idCol, queryVec, codebook, k, nProbe, refine, m)
+
   /** Probe an IVF×PQ index: the coarse stage ranks the driver-sized
     * centroid model against the query and emits `nProbe` cell ids as a
     * LITERAL filter (over a `centroid_id`-partitioned index that is
