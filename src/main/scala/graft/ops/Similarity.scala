@@ -1317,6 +1317,79 @@ object Similarity {
       codebook, k, nProbe, refine, m)
   }
 
+  /** BATCH IVF×PQ serving — top-k for EVERY query in a query TABLE over
+    * a written IVF×PQ index: the throughput companion to [[ivfPqProbe]]
+    * (whose per-query driver-side ADC literal would be a driver LOOP
+    * over a query table — the [[annProbeBandedAll]] argument at the
+    * IVF×PQ tier). Everything distributes:
+    *
+    *  - per-query probe cells come from [[assignProbeCells]]'s broadcast
+    *    fold (top-nProbe cells, zero shuffle of either side);
+    *  - each query computes its OWN m×K ADC table as one array column —
+    *    a `transform` over the broadcast codebook literal, m·K·d work
+    *    once per QUERY, preserving the ADC economics (per candidate row
+    *    the scan stays m lookups);
+    *  - candidates = the (query-cell, index-cell) EQUI-join — each query
+    *    scores only its nProbe cells' (id, codes) rows, vectors unread;
+    *  - per-query cut (refine·k by ADC, ties id) and exact-L2² rerank
+    *    run as windows over each query's candidate set.
+    *
+    * Deterministic end to end — harness query x75's oracle replays the
+    * per-query probe ranks, codes, tables, cuts and reranks in SQL. */
+  def ivfPqServeAll(centroids: DataFrame, index: DataFrame,
+                    vectors: DataFrame, vecCol: String, idCol: String,
+                    queries: DataFrame, qIdCol: String,
+                    codebook: Array[Array[Double]], k: Int,
+                    nProbe: Int = 4, refine: Int = 3, m: Int = 8,
+                    dims: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(refine >= 1, s"refine must be >= 1, got $refine")
+    require(dims % m == 0, s"m=$m must divide dims=$dims")
+    val d = dims / m
+    val nK = codebook.length
+    val cbLit = typedLit(codebook.map(_.toSeq).toSeq)
+    val qcells = assignProbeCells(queries, vecCol, qIdCol, centroids, nProbe)
+      .select(col(qIdCol).as("q_id"), col("centroid_id"))
+    // one ADC table per query: tab[j*K + kk] = ||q_sub_j − cb[kk]_sub_j||²
+    val qtab = queries
+      .select(col(qIdCol).as("q_id"),
+        col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("tab", transform(sequence(lit(0), lit(m * nK - 1)), idx => {
+        val j = (idx / nK).cast("int")
+        val kk = pmod(idx, lit(nK)).cast("int")
+        aggregate(sequence(lit(1), lit(d)), lit(0.0), (acc, t) => {
+          val diff = element_at(col("qv"), j * d + t) -
+            element_at(element_at(cbLit, kk + 1), j * d + t)
+          acc + diff * diff
+        })
+      }))
+      .select(col("q_id"), col("tab"))
+    val cands = qcells
+      .join(index.select(col(idCol), col("centroid_id"), col("codes")),
+        "centroid_id")
+      .join(qtab, "q_id")
+      .withColumn("pq", aggregate(
+        sequence(lit(0), lit(m - 1)), lit(0.0), (acc, j) =>
+          acc + element_at(col("tab"),
+            j * nK + element_at(col("codes"), j + 1) + 1)))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("pq").asc, col(idCol).asc)))
+      .filter(col("crk") <= refine * k)
+    cands
+      .join(queries.select(col(qIdCol).as("q_id"),
+        col(vecCol).cast("array<double>").as("__qv")), "q_id")
+      .join(vectors.select(col(idCol),
+        col(vecCol).cast("array<double>").as("__v")), Seq(idCol))
+      .withColumn("l2", aggregate(
+        zip_with(col("__v"), col("__qv"), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("l2").asc, col(idCol).asc)))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col(idCol),
+        round(col("pq"), 6).as("pq_dist"), round(col("l2"), 6).as("l2_dist"))
+  }
+
   /** RESIDUAL IVF×PQ top-k — classic IVFADC: PQ encodes the residual
     * `v − centroid(cell)` instead of the raw vector, so the codebook
     * spends its 16 cells on the (much tighter) within-cell displacement

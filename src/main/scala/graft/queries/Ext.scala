@@ -250,6 +250,25 @@ object Ext {
         "embedding", "vec_id", queryVec(s, dir), cb, k = 20)
     },
 
+    // BATCH IVF×PQ serving: top-5 for every query in a query TABLE over
+    // the encoded index — x45's throughput shape at the IVF×PQ tier
+    // (x58's per-query driver ADC literal would be a driver loop here).
+    // Each query's probe cells come from the broadcast fold, its ADC
+    // table is computed in-plan from the broadcast codebook, candidates
+    // are the (query-cell, index-cell) equi-join. FULL oracle: per-query
+    // probe ranks, codes, tables, cuts and reranks all replay.
+    "x75_ivfpq_serve" -> { (s, dir) =>
+      val all = Tables.embeddings(s, dir)
+      val corpus = all.filter(col("vec_id") % 50 =!= 0)
+      val qtab = all.filter(col("vec_id") % 50 === 0)
+      val (cents, assigned) = Similarity.ivfBuild(corpus, "embedding", "vec_id")
+      val cb = Similarity.pqBuildCodebook(corpus, "embedding", "vec_id")
+      Similarity.ivfPqServeAll(cents,
+          Similarity.ivfPqEncode(assigned, "vec_id", cb), corpus,
+          "embedding", "vec_id", qtab, "vec_id", cb, k = 5)
+        .orderBy("q_id", "rank")
+    },
+
     // IVF ANN top-k — FULL oracle of the approximation: the centroid
     // sample orders by md5(id) (engine-portable), assignment is an argmax
     // whose result is order-independent given bit-identical scores, and
@@ -1302,6 +1321,78 @@ object Ext {
         |  6) AS cos_sim
         |FROM assigned a JOIN probe USING (cid), q
         |ORDER BY cos_sim DESC, vec_id ASC LIMIT 20""".stripMargin,
+
+    // Batch IVF×PQ serving replay: x58's chain generalized over the
+    // query TABLE — per-query probe ranks (row_number over q × samp),
+    // codes over the UNION of probed cells, per-(query, j, k) ADC
+    // tables, the ordered-by-j group sum, per-query cut and rerank.
+    "x75_ivfpq_serve" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id % 50 <> 0),
+        |qs AS (
+        |  SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id % 50 = 0),
+        |samp AS (
+        |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS k,
+        |    vec_id AS cid, v AS cv
+        |  FROM e
+        |  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 16),
+        |asg AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT e.vec_id, samp.cid,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_sum(list_transform(generate_series(1, len(e.v)), i -> e.v[i] * samp.cv[i])) /
+        |          (sqrt(list_sum(list_transform(generate_series(1, len(e.v)), i -> e.v[i] * e.v[i]))) *
+        |           sqrt(list_sum(list_transform(generate_series(1, len(samp.cv)), i -> samp.cv[i] * samp.cv[i])))) DESC,
+        |        samp.cid ASC) AS rk
+        |    FROM e, samp) WHERE rk = 1),
+        |qprobe AS (
+        |  SELECT q_id, cid FROM (
+        |    SELECT qs.q_id, samp.cid,
+        |      row_number() OVER (PARTITION BY qs.q_id ORDER BY
+        |        list_sum(list_transform(generate_series(1, len(qs.qv)), i -> qs.qv[i] * samp.cv[i])) /
+        |          (sqrt(list_sum(list_transform(generate_series(1, len(qs.qv)), i -> qs.qv[i] * qs.qv[i]))) *
+        |           sqrt(list_sum(list_transform(generate_series(1, len(samp.cv)), i -> samp.cv[i] * samp.cv[i])))) DESC,
+        |        samp.cid ASC) AS rk
+        |    FROM qs, samp) WHERE rk <= 4),
+        |pruned AS (SELECT DISTINCT vec_id FROM asg JOIN qprobe USING (cid)),
+        |jj AS (SELECT unnest(generate_series(0, 7)) AS j),
+        |dist AS (
+        |  SELECT e.vec_id, jj.j, samp.k,
+        |    list_sum(list_transform(generate_series(1, 8), t ->
+        |      (e.v[jj.j * 8 + t] - samp.cv[jj.j * 8 + t]) *
+        |      (e.v[jj.j * 8 + t] - samp.cv[jj.j * 8 + t]))) AS dist
+        |  FROM e JOIN pruned USING (vec_id), jj, samp),
+        |codes AS (
+        |  SELECT vec_id, j, k FROM dist
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, k) = 1),
+        |qtab AS (
+        |  SELECT qs.q_id, jj.j, samp.k,
+        |    list_sum(list_transform(generate_series(1, 8), t ->
+        |      (qs.qv[jj.j * 8 + t] - samp.cv[jj.j * 8 + t]) *
+        |      (qs.qv[jj.j * 8 + t] - samp.cv[jj.j * 8 + t]))) AS dist
+        |  FROM qs, jj, samp),
+        |approx AS (
+        |  SELECT qp.q_id, c.vec_id, list_sum(list(qt.dist ORDER BY c.j)) AS pq
+        |  FROM qprobe qp
+        |  JOIN asg ON asg.cid = qp.cid
+        |  JOIN codes c ON c.vec_id = asg.vec_id
+        |  JOIN qtab qt ON qt.q_id = qp.q_id AND qt.j = c.j AND qt.k = c.k
+        |  GROUP BY qp.q_id, c.vec_id),
+        |cand AS (
+        |  SELECT q_id, vec_id, pq FROM approx
+        |  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY pq, vec_id) <= 15),
+        |scored AS (
+        |  SELECT cand.q_id, cand.vec_id, cand.pq,
+        |    list_sum(list_transform(generate_series(1, len(e.v)), t ->
+        |      (e.v[t] - qs.qv[t]) * (e.v[t] - qs.qv[t]))) AS l2
+        |  FROM cand JOIN e USING (vec_id) JOIN qs USING (q_id))
+        |SELECT q_id, CAST(row_number() OVER (PARTITION BY q_id ORDER BY l2 ASC, vec_id ASC) AS INT) AS rank,
+        |  vec_id, round(pq, 6) AS pq_dist, round(l2, 6) AS l2_dist
+        |FROM scored
+        |QUALIFY rank <= 5
+        |ORDER BY q_id, rank""".stripMargin,
 
     // Hierarchical IVF replay: x15's sample + probe + rescore with the
     // assignment split into the two routed argmax levels — super sample

@@ -317,6 +317,49 @@ class ScaleSpec extends AnyFunSuite {
     } finally graft.util.Fs.deleteTree(java.nio.file.Paths.get(idxDir))
   }
 
+  test("x75 batch IVFPQ serving: cell equi-join candidates, no cartesian, ADC reads codes not vectors") {
+    val all = Tables.embeddings(spark, dir)
+    val corpus = all.filter(col("vec_id") % 50 =!= 0)
+    val queries = all.filter(col("vec_id") % 50 === 0)
+    val (cents, assigned) = Similarity.ivfBuild(corpus, "embedding", "vec_id")
+    val cb = Similarity.pqBuildCodebook(corpus, "embedding", "vec_id")
+    val idxDir = Files.createTempDirectory("x75_idx_").toString
+    try {
+      Similarity.ivfPqEncode(assigned, "vec_id", cb)
+        .select("vec_id", "centroid_id", "codes")
+        .write.mode("overwrite").partitionBy("centroid_id").parquet(idxDir)
+      val serve = Similarity.ivfPqServeAll(cents, spark.read.parquet(idxDir),
+        corpus, "embedding", "vec_id", queries, "vec_id", cb, k = 5)
+      assert(serve.count() > 0)
+      val plan = serve.queryExecution.executedPlan.toString
+      // candidates must come from the centroid_id equi-join — a
+      // |queries| × |corpus| enumeration would be a cartesian; the only
+      // nested loops are the 1-row broadcast scalar convention
+      assert(!plan.contains("CartesianProduct"), plan)
+      plan.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).foreach { l =>
+        assert(l.contains("Cross"), s"non-scalar nested loop join:\n$l")
+      }
+      assert(plan.contains("centroid_id"), s"expected the cell key in the join:\n$plan")
+      // the index scan feeding the ADC stage must not read float vectors
+      def allScans(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          allScans(a.executedPlan)
+        case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          allScans(s.plan)
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+        case other => other.children.flatMap(allScans)
+      }
+      val idxScans = allScans(serve.queryExecution.executedPlan)
+        .filter(_.relation.location.rootPaths.mkString.contains(
+          java.nio.file.Paths.get(idxDir).getFileName.toString))
+      assert(idxScans.nonEmpty, "no scan over the written index found")
+      idxScans.foreach(sc =>
+        assert(!sc.requiredSchema.fieldNames.contains("vec"),
+          s"ADC scan must not read float vectors: ${sc.requiredSchema}"))
+    } finally graft.util.Fs.deleteTree(java.nio.file.Paths.get(idxDir))
+  }
+
   test("x47/x53/x56 reuse one persisted window index: read-back runs bit-equal to inline builds") {
     val docs = Tables.documents(spark, dir)
     // the 100 TB shape: the stride-1 (doc, pos, md5-window) frame is
