@@ -131,6 +131,18 @@ object Pipeline {
       threshold = 0.9)
     stage("embeddings kept", semKept.count())
 
+    // 9b. the SERVING last mile on the embedding side: encode the
+    //     surviving vectors into the IVF×PQ index (the x58/x73 written
+    //     shape) and batch-serve a query sample over it (x75) — the
+    //     retrieval surface a data-curation loop queries
+    val (cents, assigned) = Similarity.ivfBuild(semKept, "embedding", "vec_id")
+    val cb = Similarity.pqBuildCodebook(semKept, "embedding", "vec_id")
+    val served = Similarity.ivfPqServeAll(cents,
+      Similarity.ivfPqEncode(assigned, "vec_id", cb), semKept,
+      "embedding", "vec_id",
+      semKept.filter(col("vec_id") % 50 === 0), "vec_id", cb, k = 5)
+    stage("ANN results served", served.count())
+
     // 10. drift report over the surviving corpus (KL vs the whole)
     LangModel.distributionDrift(
         balanced.join(quality.select("doc_id", "lang"), "doc_id"),

@@ -29,6 +29,33 @@ class PropertySpec extends AnyFunSuite {
   private def sample[T](g: Gen[T], seed: Long): T =
     g.apply(Gen.Parameters.default, Seed(seed)).get
 
+  test("pq code pack/unpack is the identity on arbitrary K<=256 code arrays") {
+    import spark.implicits._
+    val codesGen = Gen.listOfN(8, Gen.choose(0, 255))
+    val rows = (1 to 60).map(i => sample(codesGen, i * 31L))
+    val df = rows.toDF("codes")
+      .select(col("codes"),
+        graft.ops.Similarity.pqUnpackCodes(
+          graft.ops.Similarity.pqPackCodes(col("codes"))).as("back"))
+    assert(df.filter(col("codes") =!= col("back")).count() == 0,
+      "pack then unpack must reproduce every code array exactly")
+    // and the packed form is exactly one byte per code
+    assert(df.select(length(graft.ops.Similarity.pqPackCodes(col("codes"))))
+      .distinct().collect().map(_.getInt(0)).toSeq == Seq(8))
+  }
+
+  test("autoCellCount: deterministic, floored at 4, monotone in corpus size") {
+    import spark.implicits._
+    def k(n: Int): Int = graft.ops.Similarity.autoCellCount(
+      (1 to n).toDF("vec_id"))
+    assert(k(1) == 4 && k(50) == 4, "small corpora must floor at 4 cells")
+    val sizes = Seq(100, 500, 2000, 20000)
+    val ks = sizes.map(k)
+    assert(ks == ks.sorted, s"k must be monotone in n: $ks")
+    assert(k(20000) == 49, "the measured x10 optimum (k=49 at n=20000) moved")
+    assert(k(500) == k(500), "count-derived dial must be deterministic")
+  }
+
   test("minhash: sig(A union B) == elementwise min(sig(A), sig(B)), both families") {
     import spark.implicits._
     val setGen = Gen.listOfN(12, Gen.listOfN(3, alphabet).map(_.mkString(" ")))
