@@ -269,6 +269,26 @@ object Ext {
         .orderBy("q_id", "rank")
     },
 
+    // EMBEDDING-side pipeline composition gate: semantic dedup (x42's
+    // chain) → IVF×PQ index build over the SURVIVORS → batch serving of
+    // the surviving query sample (x75's chain) — the curate→index→serve
+    // contract as ONE oracle, the embedding analog of p01/p02's text
+    // chain (the model sample, cells and codes all shift when the
+    // survivor set drifts, so any dedup-stage change flips the hash).
+    "p03_pipeline_embed_serve" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val kept = Similarity.semanticDedup(emb, "embedding", "vec_id",
+        threshold = 0.45)
+      val corpus = kept.filter(col("vec_id") % 50 =!= 0)
+      val qs = kept.filter(col("vec_id") % 50 === 0)
+      val (cents, assigned) = Similarity.ivfBuild(corpus, "embedding", "vec_id")
+      val cb = Similarity.pqBuildCodebook(corpus, "embedding", "vec_id")
+      Similarity.ivfPqServeAll(cents,
+          Similarity.ivfPqEncode(assigned, "vec_id", cb), corpus,
+          "embedding", "vec_id", qs, "vec_id", cb, k = 5)
+        .orderBy("q_id", "rank")
+    },
+
     // IVF ANN top-k — FULL oracle of the approximation: the centroid
     // sample orders by md5(id) (engine-portable), assignment is an argmax
     // whose result is order-independent given bit-identical scores, and
@@ -1321,6 +1341,106 @@ object Ext {
         |  6) AS cos_sim
         |FROM assigned a JOIN probe USING (cid), q
         |ORDER BY cos_sim DESC, vec_id ASC LIMIT 20""".stripMargin,
+
+    // Embedding-pipeline replay: x42's banding → verify → components
+    // chain picks the min-id survivors, then x75's serve chain runs with
+    // corpus, queries, centroid sample AND codebook all drawn from the
+    // survivor set — stage N's CTEs consume stage N−1's exactly as the
+    // Spark plan chains.
+    "p03_pipeline_embed_serve" ->
+      """WITH RECURSIVE h AS (
+        |  SELECT b, list_transform(generate_series(0, 63),
+        |    d -> (CAST('0x' || substr(md5('rhp:' || CAST(b AS VARCHAR) || ':' || CAST(d AS VARCHAR)), 1, 8) AS UBIGINT) % 2000001) / 1000000.0 - 1.0) AS hv
+        |  FROM generate_series(0, 127) t(b)),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |bits AS (
+        |  SELECT e.vec_id, CAST(h.b // 8 AS INT) AS j,
+        |    CASE WHEN list_sum(list_transform(generate_series(1, len(v)), i -> v[i] * hv[i])) > 0
+        |      THEN CAST(1 << (7 - (h.b % 8)) AS BIGINT) ELSE 0 END AS bit
+        |  FROM e, h),
+        |bands AS (SELECT vec_id, j, SUM(bit) AS bv FROM bits GROUP BY vec_id, j),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+        |  FROM bands a JOIN bands b ON a.j = b.j AND a.bv = b.bv AND a.vec_id < b.vec_id),
+        |n AS (SELECT vec_id, sqrt(list_sum(list_transform(generate_series(1, len(v)), i -> v[i]*v[i]))) AS nrm FROM e),
+        |p AS (
+        |  SELECT a_id, b_id
+        |  FROM cand
+        |  JOIN e ea ON ea.vec_id = a_id JOIN e eb ON eb.vec_id = b_id
+        |  JOIN n na ON na.vec_id = a_id JOIN n nb ON nb.vec_id = b_id
+        |  WHERE round(list_sum(list_transform(generate_series(1, len(ea.v)), i -> ea.v[i] * eb.v[i])) / (na.nrm * nb.nrm), 6) >= 0.45),
+        |edges AS (SELECT a_id AS u, b_id AS w FROM p UNION SELECT b_id, a_id FROM p),
+        |walk(id, reach) AS (
+        |  SELECT vec_id, vec_id FROM embeddings
+        |  UNION
+        |  SELECT wk.id, ed.w FROM walk wk JOIN edges ed ON wk.reach = ed.u),
+        |keptset AS (
+        |  SELECT id AS vec_id FROM (
+        |    SELECT id, MIN(reach) AS mr FROM walk GROUP BY id) WHERE mr = id),
+        |e2 AS (SELECT e.vec_id, e.v FROM e JOIN keptset USING (vec_id)
+        |       WHERE vec_id % 50 <> 0),
+        |qs AS (SELECT e.vec_id AS q_id, e.v AS qv FROM e JOIN keptset USING (vec_id)
+        |       WHERE vec_id % 50 = 0),
+        |samp AS (
+        |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS k,
+        |    vec_id AS cid, v AS cv
+        |  FROM e2
+        |  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 16),
+        |asg AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT e2.vec_id, samp.cid,
+        |      row_number() OVER (PARTITION BY e2.vec_id ORDER BY
+        |        list_sum(list_transform(generate_series(1, len(e2.v)), i -> e2.v[i] * samp.cv[i])) /
+        |          (sqrt(list_sum(list_transform(generate_series(1, len(e2.v)), i -> e2.v[i] * e2.v[i]))) *
+        |           sqrt(list_sum(list_transform(generate_series(1, len(samp.cv)), i -> samp.cv[i] * samp.cv[i])))) DESC,
+        |        samp.cid ASC) AS rk
+        |    FROM e2, samp) WHERE rk = 1),
+        |qprobe AS (
+        |  SELECT q_id, cid FROM (
+        |    SELECT qs.q_id, samp.cid,
+        |      row_number() OVER (PARTITION BY qs.q_id ORDER BY
+        |        list_sum(list_transform(generate_series(1, len(qs.qv)), i -> qs.qv[i] * samp.cv[i])) /
+        |          (sqrt(list_sum(list_transform(generate_series(1, len(qs.qv)), i -> qs.qv[i] * qs.qv[i]))) *
+        |           sqrt(list_sum(list_transform(generate_series(1, len(samp.cv)), i -> samp.cv[i] * samp.cv[i])))) DESC,
+        |        samp.cid ASC) AS rk
+        |    FROM qs, samp) WHERE rk <= 4),
+        |pruned AS (SELECT DISTINCT vec_id FROM asg JOIN qprobe USING (cid)),
+        |jj AS (SELECT unnest(generate_series(0, 7)) AS j),
+        |dist AS (
+        |  SELECT e2.vec_id, jj.j, samp.k,
+        |    list_sum(list_transform(generate_series(1, 8), t ->
+        |      (e2.v[jj.j * 8 + t] - samp.cv[jj.j * 8 + t]) *
+        |      (e2.v[jj.j * 8 + t] - samp.cv[jj.j * 8 + t]))) AS dist
+        |  FROM e2 JOIN pruned USING (vec_id), jj, samp),
+        |codes AS (
+        |  SELECT vec_id, j, k FROM dist
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, k) = 1),
+        |qtab AS (
+        |  SELECT qs.q_id, jj.j, samp.k,
+        |    list_sum(list_transform(generate_series(1, 8), t ->
+        |      (qs.qv[jj.j * 8 + t] - samp.cv[jj.j * 8 + t]) *
+        |      (qs.qv[jj.j * 8 + t] - samp.cv[jj.j * 8 + t]))) AS dist
+        |  FROM qs, jj, samp),
+        |approx AS (
+        |  SELECT qp.q_id, c.vec_id, list_sum(list(qt.dist ORDER BY c.j)) AS pq
+        |  FROM qprobe qp
+        |  JOIN asg ON asg.cid = qp.cid
+        |  JOIN codes c ON c.vec_id = asg.vec_id
+        |  JOIN qtab qt ON qt.q_id = qp.q_id AND qt.j = c.j AND qt.k = c.k
+        |  GROUP BY qp.q_id, c.vec_id),
+        |cand2 AS (
+        |  SELECT q_id, vec_id, pq FROM approx
+        |  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY pq, vec_id) <= 15),
+        |scored AS (
+        |  SELECT cand2.q_id, cand2.vec_id, cand2.pq,
+        |    list_sum(list_transform(generate_series(1, len(e2.v)), t ->
+        |      (e2.v[t] - qs.qv[t]) * (e2.v[t] - qs.qv[t]))) AS l2
+        |  FROM cand2 JOIN e2 USING (vec_id) JOIN qs USING (q_id))
+        |SELECT q_id, CAST(row_number() OVER (PARTITION BY q_id ORDER BY l2 ASC, vec_id ASC) AS INT) AS rank,
+        |  vec_id, round(pq, 6) AS pq_dist, round(l2, 6) AS l2_dist
+        |FROM scored
+        |QUALIFY rank <= 5
+        |ORDER BY q_id, rank""".stripMargin,
 
     // Batch IVF×PQ serving replay: x58's chain generalized over the
     // query TABLE — per-query probe ranks (row_number over q × samp),
