@@ -81,6 +81,56 @@ object Retrieval {
         round(col("score_fix").cast("double") / lit(1e9), 6).as("bm25"),
         col("score_fix"))
 
+  /** BATCH BM25 serving — top-k for EVERY query in a query TABLE of
+    * (qIdCol, termsCol: array<string>): the throughput companion to
+    * [[bm25TopK]], whose driver-side term list would be a driver LOOP
+    * over a query table (the [[Similarity.ivfPqServeAll]] argument on
+    * the text side). The per-(doc, term) fixed-point score depends only
+    * on corpus statistics, so it is computed ONCE over the union of all
+    * queries' terms — one corpus pass, match-set filtered — and each
+    * query then aggregates ITS terms' rows by a (q_id, term) equi-join:
+    * per-query results are EXACTLY [[bm25TopK]]'s (OpsSpec pins the
+    * slice-equality law). Per-query top-k is a window over that query's
+    * matched docs. Returns (q_id, rank, idCol, n_terms, bm25,
+    * score_fix) ordered on the exact integer key. Harness query x76
+    * replays tf/df/stats/score/sum/rank per query. */
+  def bm25ServeAll(docs: DataFrame, idCol: String, textCol: String,
+                   queries: DataFrame, qIdCol: String, termsCol: String,
+                   k: Int = 10): DataFrame = {
+    val base = docs.select(col(idCol),
+      TextStats.tokens(col(textCol)).as("__ts"))
+      .select(col(idCol), col("__ts"), size(col("__ts")).as("dl"))
+    val stats = base.agg(count(lit(1)).as("nd"), sum(col("dl")).as("ntok"))
+    val qterms = Caches.persistTracked(queries
+      .select(col(qIdCol).as("q_id"), explode(col(termsCol)).as("w"))
+      .distinct())
+    val termSet = qterms.select("w").distinct()
+    val tf = base
+      .select(col(idCol), col("dl"), explode(col("__ts")).as("w"))
+      .join(broadcast(termSet), "w")
+      .groupBy(col(idCol), col("dl"), col("w"))
+      .agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val norm = (col("dl") * col("nd")).cast("double") / col("ntok").cast("double")
+    val idf = log((lit(2L) * col("nd") - lit(2L) * col("df") + lit(1L))
+      .cast("double") / (lit(2L) * col("df") + lit(1L)).cast("double"))
+    val score = (idf * (col("tf").cast("double") * lit(2.2))) /
+      (col("tf").cast("double") + lit(1.2) * (lit(0.25) + lit(0.75) * norm))
+    val sfix = tf.join(broadcast(dfT), "w")
+      .crossJoin(broadcast(stats))
+      .withColumn("sfix", floor(score * lit(1e9)).cast("long"))
+      .select(col(idCol), col("w"), col("sfix"))
+    qterms.join(sfix, "w")
+      .groupBy(col("q_id"), col(idCol))
+      .agg(count(lit(1)).as("n_terms"), sum(col("sfix")).as("score_fix"))
+      .withColumn("rank", row_number().over(Window.partitionBy("q_id")
+        .orderBy(col("score_fix").desc, col(idCol).asc)))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col(idCol), col("n_terms"),
+        round(col("score_fix").cast("double") / lit(1e9), 6).as("bm25"),
+        col("score_fix"))
+  }
+
   /** RRF contribution of a 1-based rank as a long: floor(10¹²/(60+r)).
     * The division is one correctly-rounded IEEE op whose result is ≥
     * 1/160 away from any wrong integer boundary (divisor ≤ 160 at any

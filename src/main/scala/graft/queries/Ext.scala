@@ -269,6 +269,24 @@ object Ext {
         .orderBy("q_id", "rank")
     },
 
+    // BATCH BM25 serving: top-10 for every query in a 4-query TABLE
+    // (incl. one query whose first term matches nothing — the
+    // missing-term path) — x75's throughput argument on the text side:
+    // the per-(doc, term) fixed-point score is computed once over the
+    // union of terms, each query aggregates its own rows by equi-join.
+    // FULL oracle: tf/df/stats/score/sum/rank replay per query.
+    "x76_bm25_serve" -> { (s, dir) =>
+      import s.implicits._
+      val qs = Seq(
+        (1L, Seq("hash", "join")),
+        (2L, Seq("spark", "vector")),
+        (3L, Seq("data", "filter", "stream")),
+        (4L, Seq("cache", "data"))).toDF("q_id", "terms")
+      Retrieval.bm25ServeAll(Tables.documents(s, dir), "doc_id", "text",
+          qs, "q_id", "terms", k = 10)
+        .orderBy("q_id", "rank")
+    },
+
     // EMBEDDING-side pipeline composition gate: semantic dedup (x42's
     // chain) → IVF×PQ index build over the SURVIVORS → batch serving of
     // the surviving query sample (x75's chain) — the curate→index→serve
@@ -1341,6 +1359,50 @@ object Ext {
         |  6) AS cos_sim
         |FROM assigned a JOIN probe USING (cid), q
         |ORDER BY cos_sim DESC, vec_id ASC LIMIT 20""".stripMargin,
+
+    // Batch BM25 replay: x64's tf/df/stats/score arithmetic over the
+    // UNION of the four queries' terms, then each query sums its own
+    // terms' fixed scores (the per-(doc, term) score is query-
+    // independent) and ranks within itself.
+    "x76_bm25_serve" ->
+      """WITH qdef(q_id, w) AS (VALUES
+        |  (1, 'hash'), (1, 'join'),
+        |  (2, 'spark'), (2, 'vector'),
+        |  (3, 'data'), (3, 'filter'), (3, 'stream'),
+        |  (4, 'cache'), (4, 'data')),
+        |b2 AS (
+        |  SELECT doc_id, len(ts) AS dl, ts FROM (
+        |    SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+        |    FROM documents)),
+        |stats AS (SELECT COUNT(*) AS nd, SUM(dl) AS ntok FROM b2),
+        |tf AS (
+        |  SELECT doc_id, dl, w, COUNT(*) AS tf
+        |  FROM (SELECT doc_id, dl, unnest(ts) AS w FROM b2)
+        |  WHERE w IN (SELECT DISTINCT w FROM qdef)
+        |  GROUP BY 1, 2, 3),
+        |dfq AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY 1),
+        |scored AS (
+        |  SELECT t.doc_id, t.w,
+        |    CAST(floor(
+        |      ((ln(CAST(2 * s.nd - 2 * d.df + 1 AS DOUBLE) / CAST(2 * d.df + 1 AS DOUBLE))
+        |        * (CAST(t.tf AS DOUBLE) * CAST(2.2 AS DOUBLE)))
+        |       / (CAST(t.tf AS DOUBLE) + CAST(1.2 AS DOUBLE) *
+        |          (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) *
+        |           (CAST(t.dl * s.nd AS DOUBLE) / CAST(s.ntok AS DOUBLE)))))
+        |      * 1000000000.0) AS BIGINT) AS sfix
+        |  FROM tf t JOIN dfq d USING (w) CROSS JOIN stats s),
+        |agg AS (
+        |  SELECT q.q_id, sc.doc_id, COUNT(*) AS n_terms, SUM(sc.sfix) AS score_fix
+        |  FROM qdef q JOIN scored sc USING (w)
+        |  GROUP BY 1, 2)
+        |SELECT CAST(q_id AS BIGINT) AS q_id,
+        |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY score_fix DESC, doc_id ASC) AS INT) AS rank,
+        |  doc_id, n_terms,
+        |  round(CAST(score_fix AS DOUBLE) / 1000000000.0, 6) AS bm25,
+        |  CAST(score_fix AS BIGINT) AS score_fix
+        |FROM agg
+        |QUALIFY rank <= 10
+        |ORDER BY q_id, rank""".stripMargin,
 
     // Embedding-pipeline replay: x42's banding → verify → components
     // chain picks the min-id survivors, then x75's serve chain runs with

@@ -952,6 +952,38 @@ class OpsSpec extends AnyFunSuite {
       assert(t.sameElements(i), s"uniform-corpus codebook row $k drifted from init") }
   }
 
+  test("batch BM25 serving: every per-query slice equals the single-query bm25TopK") {
+    import spark.implicits._
+    val qs = Seq(
+      (1L, Seq("hash", "join")),
+      (2L, Seq("spark", "vector")),
+      (3L, Seq("data", "filter", "stream")),
+      (4L, Seq("cache", "data"))).toDF("q_id", "terms")
+    val served = graft.ops.Retrieval.bm25ServeAll(docs, "doc_id", "text",
+        qs, "q_id", "terms", k = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getLong(5)))
+      .groupBy(_._1)
+    // the per-(doc, term) score is query-independent, so each query's
+    // slice must reproduce the single-query path bit for bit
+    for ((qid, terms) <- Seq(1L -> Seq("hash", "join"),
+                             2L -> Seq("spark", "vector"),
+                             3L -> Seq("data", "filter", "stream"),
+                             4L -> Seq("cache", "data"))) {
+      val single = graft.ops.Retrieval.bm25TopK(docs, "doc_id", "text", terms, k = 10)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+        .toSeq
+      val slice = served(qid).sortBy(_._2)
+        .map(r => (r._3, r._4, r._5, r._6)).toSeq
+      assert(slice == single, s"query $qid slice diverged from bm25TopK")
+    }
+    // the dead term contributes nothing: q4 must score on 'data' alone
+    assert(served(4L).forall(_._4 == 1L), "q4 rows must match exactly one term")
+    graft.ops.Caches.releaseAll()
+  }
+
   test("hierarchical IVF assignment: nSuper=1 ≡ flat; routed agreement bounded; deterministic") {
     val rest = emb.filter(col("vec_id") =!= 0)
     val (cents, flatAssigned) = Similarity.ivfBuild(rest, "embedding", "vec_id")
