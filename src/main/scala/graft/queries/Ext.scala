@@ -295,8 +295,13 @@ object Ext {
     // survivor set drifts, so any dedup-stage change flips the hash).
     "p03_pipeline_embed_serve" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
-      val kept = Similarity.semanticDedup(emb, "embedding", "vec_id",
-        threshold = 0.45)
+      // survivor set checkpointed (the p01 stage-boundary discipline):
+      // the codebook collect, centroid sample, assignment, encode and
+      // both serve joins all consume it — unbroken laziness re-derives
+      // the LSH+verify+CC chain per consumer
+      val kept = graft.ops.Caches.localCheckpointTracked(
+        Similarity.semanticDedup(emb, "embedding", "vec_id",
+          threshold = 0.45))
       val corpus = kept.filter(col("vec_id") % 50 =!= 0)
       val qs = kept.filter(col("vec_id") % 50 === 0)
       val (cents, assigned) = Similarity.ivfBuild(corpus, "embedding", "vec_id")
