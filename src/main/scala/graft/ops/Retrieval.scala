@@ -140,6 +140,54 @@ object Retrieval {
   private def rrfFix(rank: Column): Column =
     floor(lit(1e12) / (rank.cast("double") + lit(60.0))).cast("long")
 
+  /** BATCH hybrid retrieval — [[hybridTopK]] for a query TABLE of
+    * (qIdCol, termsCol: array<string>, vecCol: array<double>): the text
+    * ranks come from [[bm25ServeAll]]'s shared-scan machinery, the
+    * vector ranks from ONE corpus scan against the broadcast query-
+    * vector table (per-query rank windows — at larger query tables swap
+    * the exact side for [[Similarity.ivfPqServeAll]]; RRF only needs
+    * ranks), and the fusion is the same floor(10¹²/(60+r)) integer
+    * arithmetic per query. Returns (q_id, idCol, text_rank, vec_rank,
+    * rrf, rrf_fix, rank ≤ k) — each query's slice equals [[hybridTopK]]
+    * on its own terms+vector (OpsSpec pins the law). Harness query x77
+    * replays both rank lists and the fusion per query. */
+  def hybridServeAll(docs: DataFrame, emb: DataFrame, idCol: String,
+                     textCol: String, vecCol: String, embIdCol: String,
+                     queries: DataFrame, qIdCol: String, termsCol: String,
+                     qVecCol: String, kCand: Int = 100,
+                     k: Int = 10): DataFrame = {
+    val tRanks = bm25ServeAll(docs, idCol, textCol, queries, qIdCol,
+        termsCol, k = kCand)
+      .select(col("q_id"), col(idCol).as("id"),
+        col("rank").as("text_rank"))
+    val qv = queries.select(col(qIdCol).as("q_id"),
+      col(qVecCol).cast("array<double>").as("qv"))
+    val qvArr = qv.agg(collect_list(struct(col("q_id"), col("qv"))).as("qs"))
+    // ONE corpus scan serves every query's cosine list: explode the
+    // broadcast query array per corpus row, rank within each query
+    val vRanks = emb
+      .select(col(embIdCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .crossJoin(broadcast(qvArr))
+      .select(col("id"), col("v"), explode(col("qs")).as("q"))
+      .withColumn("cos_sim", round(graft.functions.VectorFunctions
+        .cosine(col("v"), col("q.qv")), 6))
+      .withColumn("vec_rank", row_number().over(Window.partitionBy("q.q_id")
+        .orderBy(col("cos_sim").desc, col("id").asc)))
+      .filter(col("vec_rank") <= kCand)
+      .select(col("q.q_id").as("q_id"), col("id"), col("vec_rank"))
+    tRanks.join(vRanks, Seq("q_id", "id"), "full_outer")
+      .withColumn("rrf_fix",
+        coalesce(rrfFix(col("text_rank")), lit(0L)) +
+          coalesce(rrfFix(col("vec_rank")), lit(0L)))
+      .withColumn("rank", row_number().over(Window.partitionBy("q_id")
+        .orderBy(col("rrf_fix").desc, col("id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("id").as(idCol),
+        col("text_rank"), col("vec_rank"),
+        round(col("rrf_fix").cast("double") / lit(1e12), 6).as("rrf"),
+        col("rrf_fix"))
+  }
+
   /** HYBRID retrieval: BM25 candidate ranks ⊕ exact-cosine candidate
     * ranks, fused by reciprocal rank (k=60), top `k` overall. A doc
     * missing from one list contributes only the other list's term —

@@ -287,6 +287,27 @@ object Ext {
         .orderBy("q_id", "rank")
     },
 
+    // BATCH hybrid retrieval: per-query BM25 ranks (x76's shared scan)
+    // ⊕ per-query cosine ranks (ONE corpus scan against the broadcast
+    // query-vector table) fused by RRF — x65's contract for a query
+    // TABLE carrying terms AND a vector. FULL oracle: both rank lists
+    // and the integer fusion replay per query.
+    "x77_hybrid_serve" -> { (s, dir) =>
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      val qdef = Seq(
+        (1L, Seq("hash", "join"), 0L),
+        (2L, Seq("spark", "vector"), 50L),
+        (3L, Seq("data", "filter", "stream"), 100L),
+        (4L, Seq("cache", "data"), 150L)).toDF("q_id", "terms", "src_vec")
+      val qs = qdef.join(emb.select(col("vec_id").as("src_vec"),
+        col("embedding").cast("array<double>").as("qv")), "src_vec")
+      Retrieval.hybridServeAll(Tables.documents(s, dir), emb, "doc_id",
+          "text", "embedding", "vec_id", qs, "q_id", "terms", "qv",
+          kCand = 100, k = 10)
+        .orderBy("q_id", "rank")
+    },
+
     // EMBEDDING-side pipeline composition gate: semantic dedup (x42's
     // chain) → IVF×PQ index build over the SURVIVORS → batch serving of
     // the surviving query sample (x75's chain) — the curate→index→serve
@@ -1406,6 +1427,71 @@ object Ext {
         |  round(CAST(score_fix AS DOUBLE) / 1000000000.0, 6) AS bm25,
         |  CAST(score_fix AS BIGINT) AS score_fix
         |FROM agg
+        |QUALIFY rank <= 10
+        |ORDER BY q_id, rank""".stripMargin,
+
+    // Batch hybrid replay: x76's text chain + per-query rounded-cosine
+    // ranks over one corpus pass + x65's floor-of-one-IEEE-division
+    // fusion, all partitioned by query.
+    "x77_hybrid_serve" ->
+      """WITH qdef(q_id, w, src_vec) AS (VALUES
+        |  (1, 'hash', 0), (1, 'join', 0),
+        |  (2, 'spark', 50), (2, 'vector', 50),
+        |  (3, 'data', 100), (3, 'filter', 100), (3, 'stream', 100),
+        |  (4, 'cache', 150), (4, 'data', 150)),
+        |b2 AS (
+        |  SELECT doc_id, len(ts) AS dl, ts FROM (
+        |    SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+        |    FROM documents)),
+        |stats AS (SELECT COUNT(*) AS nd, SUM(dl) AS ntok FROM b2),
+        |tf AS (
+        |  SELECT doc_id, dl, w, COUNT(*) AS tf
+        |  FROM (SELECT doc_id, dl, unnest(ts) AS w FROM b2)
+        |  WHERE w IN (SELECT DISTINCT w FROM qdef)
+        |  GROUP BY 1, 2, 3),
+        |dfq AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY 1),
+        |bscored AS (
+        |  SELECT t.doc_id, t.w,
+        |    CAST(floor(
+        |      ((ln(CAST(2 * s.nd - 2 * d.df + 1 AS DOUBLE) / CAST(2 * d.df + 1 AS DOUBLE))
+        |        * (CAST(t.tf AS DOUBLE) * CAST(2.2 AS DOUBLE)))
+        |       / (CAST(t.tf AS DOUBLE) + CAST(1.2 AS DOUBLE) *
+        |          (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) *
+        |           (CAST(t.dl * s.nd AS DOUBLE) / CAST(s.ntok AS DOUBLE)))))
+        |      * 1000000000.0) AS BIGINT) AS sfix
+        |  FROM tf t JOIN dfq d USING (w) CROSS JOIN stats s),
+        |bagg AS (
+        |  SELECT q.q_id, sc.doc_id, SUM(sc.sfix) AS score_fix
+        |  FROM qdef q JOIN bscored sc USING (w)
+        |  GROUP BY 1, 2),
+        |tr AS (
+        |  SELECT q_id, doc_id AS id,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY score_fix DESC, doc_id ASC) AS text_rank
+        |  FROM bagg QUALIFY text_rank <= 100),
+        |qv AS (SELECT DISTINCT d.q_id, CAST(e.embedding AS DOUBLE[]) AS qv
+        |       FROM qdef d JOIN embeddings e ON e.vec_id = d.src_vec),
+        |ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |vr AS (
+        |  SELECT q_id, vec_id AS id, vec_rank FROM (
+        |    SELECT qv.q_id, ev.vec_id,
+        |      row_number() OVER (PARTITION BY qv.q_id ORDER BY
+        |        round(
+        |          list_sum(list_transform(generate_series(1, len(ev.v)), i -> ev.v[i] * qv.qv[i])) /
+        |          (sqrt(list_sum(list_transform(generate_series(1, len(ev.v)), i -> ev.v[i] * ev.v[i]))) *
+        |           sqrt(list_sum(list_transform(generate_series(1, len(qv.qv)), i -> qv.qv[i] * qv.qv[i])))),
+        |        6) DESC, ev.vec_id ASC) AS vec_rank
+        |    FROM ev, qv) WHERE vec_rank <= 100),
+        |fused AS (
+        |  SELECT COALESCE(tr.q_id, vr.q_id) AS q_id, COALESCE(tr.id, vr.id) AS id,
+        |    tr.text_rank, vr.vec_rank,
+        |    COALESCE(CAST(floor(1000000000000.0 / (CAST(tr.text_rank AS DOUBLE) + 60.0)) AS BIGINT), 0)
+        |  + COALESCE(CAST(floor(1000000000000.0 / (CAST(vr.vec_rank AS DOUBLE) + 60.0)) AS BIGINT), 0) AS rrf_fix
+        |  FROM tr FULL OUTER JOIN vr ON tr.q_id = vr.q_id AND tr.id = vr.id)
+        |SELECT CAST(q_id AS BIGINT) AS q_id,
+        |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY rrf_fix DESC, id ASC) AS INT) AS rank,
+        |  id AS doc_id, text_rank, vec_rank,
+        |  round(CAST(rrf_fix AS DOUBLE) / 1000000000000.0, 6) AS rrf, rrf_fix
+        |FROM fused
         |QUALIFY rank <= 10
         |ORDER BY q_id, rank""".stripMargin,
 

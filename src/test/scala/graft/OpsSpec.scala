@@ -984,6 +984,40 @@ class OpsSpec extends AnyFunSuite {
     graft.ops.Caches.releaseAll()
   }
 
+  test("batch hybrid serving: every per-query slice equals the single-query hybridTopK") {
+    import spark.implicits._
+    val qdef = Seq(
+      (1L, Seq("hash", "join"), 0L),
+      (2L, Seq("spark", "vector"), 50L),
+      (4L, Seq("cache", "data"), 150L)).toDF("q_id", "terms", "src_vec")
+    val qs = qdef.join(emb.select(col("vec_id").as("src_vec"),
+      col("embedding").cast("array<double>").as("qv")), "src_vec")
+    val served = graft.ops.Retrieval.hybridServeAll(docs, emb, "doc_id",
+        "text", "embedding", "vec_id", qs, "q_id", "terms", "qv",
+        kCand = 100, k = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Int]),
+        Option(r.get(4)).map(_.asInstanceOf[Int]), r.getLong(6)))
+      .groupBy(_._1)
+    for ((qid, terms, src) <- Seq((1L, Seq("hash", "join"), 0L),
+                                  (2L, Seq("spark", "vector"), 50L),
+                                  (4L, Seq("cache", "data"), 150L))) {
+      val qv = emb.filter(col("vec_id") === src)
+        .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+      val single = graft.ops.Retrieval.hybridTopK(docs, emb, "doc_id",
+          "text", "embedding", "vec_id", terms, qv, kCand = 100, k = 10)
+        .collect()
+        .map(r => (r.getLong(0),
+          Option(r.get(1)).map(_.asInstanceOf[Int]),
+          Option(r.get(2)).map(_.asInstanceOf[Int]), r.getLong(4)))
+        .toSeq
+      val slice = served(qid).sortBy(_._2).map(r => (r._3, r._4, r._5, r._6)).toSeq
+      assert(slice == single, s"query $qid slice diverged from hybridTopK")
+    }
+    graft.ops.Caches.releaseAll()
+  }
+
   test("hierarchical IVF assignment: nSuper=1 ≡ flat; routed agreement bounded; deterministic") {
     val rest = emb.filter(col("vec_id") =!= 0)
     val (cents, flatAssigned) = Similarity.ivfBuild(rest, "embedding", "vec_id")
