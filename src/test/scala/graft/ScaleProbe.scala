@@ -92,6 +92,54 @@ object ScaleProbe {
           .map(r => (r.getLong(0), r.getLong(1))).toSet
         graft.ops.Caches.releaseAll()
         println(f"x72 recall@5 vs exact: ${(exact & got).size.toDouble / exact.size}%.3f (|exact|=${exact.size})")
+      case "x75" =>
+        // batch IVF×PQ serving (n/50 queries over the encoded corpus),
+        // bench protocol
+        import org.apache.spark.sql.functions.col
+        val emb = spark.read.parquet(args(0) + "/embeddings.parquet")
+        val corpus = emb.filter(col("vec_id") % 50 =!= 0)
+        val queries = emb.filter(col("vec_id") % 50 === 0)
+        val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+          .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+        val runs = (1 to 2).map { _ =>
+          val c0 = os.getProcessCpuTime
+          val t0 = System.nanoTime()
+          val (cents, assigned) = graft.ops.Similarity.ivfBuild(corpus, "embedding", "vec_id")
+          val cb = graft.ops.Similarity.pqBuildCodebook(corpus, "embedding", "vec_id")
+          graft.ops.Similarity.ivfPqServeAll(cents,
+              graft.ops.Similarity.ivfPqEncode(assigned, "vec_id", cb),
+              corpus, "embedding", "vec_id", queries, "vec_id", cb, k = 5)
+            .write.format("noop").mode("overwrite").save()
+          val r = ((System.nanoTime() - t0) / 1e9, (os.getProcessCpuTime - c0) / 1e9)
+          graft.ops.Caches.releaseAll()
+          System.gc()
+          r
+        }
+        val best = runs.minBy(_._1)
+        println(f"x75 best-of-2 (${queries.count()} queries): wall=${best._1}%.2f s cpu=${best._2}%.1f s")
+      case "x76" =>
+        // batch BM25 serving, bench protocol
+        import spark.implicits._
+        val docs = spark.read.parquet(args(0) + "/documents.parquet")
+        val qs = Seq(
+          (1L, Seq("hash", "join")), (2L, Seq("spark", "vector")),
+          (3L, Seq("data", "filter", "stream")), (4L, Seq("cache", "data")))
+          .toDF("q_id", "terms")
+        val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+          .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+        val runs = (1 to 2).map { _ =>
+          val c0 = os.getProcessCpuTime
+          val t0 = System.nanoTime()
+          graft.ops.Retrieval.bm25ServeAll(docs, "doc_id", "text", qs,
+              "q_id", "terms", k = 10)
+            .write.format("noop").mode("overwrite").save()
+          val r = ((System.nanoTime() - t0) / 1e9, (os.getProcessCpuTime - c0) / 1e9)
+          graft.ops.Caches.releaseAll()
+          System.gc()
+          r
+        }
+        val best = runs.minBy(_._1)
+        println(f"x76 best-of-2: wall=${best._1}%.2f s cpu=${best._2}%.1f s")
       case "x67" =>
         // SemDeDup at the auto dial, bench protocol
         val emb = spark.read.parquet(args(0) + "/embeddings.parquet")
