@@ -511,6 +511,37 @@ class ScaleSpec extends AnyFunSuite {
       .count(_ == "BroadcastNestedLoopJoin") <= 1, plan)
   }
 
+  test("x76/x77 batch retrieval: model joins broadcast, corpus never sort-merge-joined") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val emb = Tables.embeddings(spark, dir)
+    val qdef = Seq(
+      (1L, Seq("hash", "join"), 0L),
+      (2L, Seq("spark", "vector"), 50L)).toDF("q_id", "terms", "src_vec")
+    val bPlan = graft.ops.Retrieval.bm25ServeAll(docs, "doc_id", "text",
+        qdef.select("q_id", "terms"), "q_id", "terms", k = 10)
+      .queryExecution.executedPlan.toString
+    // the corpus-sized side may shuffle only for its own aggregations;
+    // the term set / df / stats joins are model-sized → broadcast
+    assert(!bPlan.contains("SortMergeJoin") && !bPlan.contains("ShuffledHashJoin"),
+      s"batch BM25 must join the model by broadcast, not shuffle the corpus:\n$bPlan")
+    assert(!bPlan.contains("CartesianProduct"), bPlan)
+    graft.ops.Caches.releaseAll()
+    val qs = qdef.join(emb.select(col("vec_id").as("src_vec"),
+      col("embedding").cast("array<double>").as("qv")), "src_vec")
+    val hPlan = graft.ops.Retrieval.hybridServeAll(docs, emb, "doc_id",
+        "text", "embedding", "vec_id", qs, "q_id", "terms", "qv",
+        kCand = 100, k = 10)
+      .queryExecution.executedPlan.toString
+    assert(!hPlan.contains("CartesianProduct"), hPlan)
+    // the cosine side's query table collapses into 1-row broadcasts (the
+    // repo scalar convention); every non-scalar nested loop is a bug
+    hPlan.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).foreach { l =>
+      assert(l.contains("Cross"), s"non-scalar nested loop join:\n$l")
+    }
+    graft.ops.Caches.releaseAll()
+  }
+
   test("x66 export: reading one shard prunes storage partitions to exactly that shard") {
     val docs = Tables.documents(spark, dir)
     val tmp = Files.createTempDirectory("x66_export_").toString
