@@ -134,11 +134,14 @@ object Pipeline {
     // 9b. the SERVING last mile on the embedding side: encode the
     //     surviving vectors into the IVF×PQ index (the x58/x73 written
     //     shape) and batch-serve a query sample over it (x75) — the
-    //     retrieval surface a data-curation loop queries
-    val (cents, assigned) = Similarity.ivfBuild(semKept, "embedding", "vec_id")
-    val cb = Similarity.pqBuildCodebook(semKept, "embedding", "vec_id")
+    //     retrieval surface a data-curation loop queries. Corpus and
+    //     query sample are DISJOINT (the x75/p03 split): indexing the
+    //     queries too would make every top-1 the query itself.
+    val servCorpus = semKept.filter(col("vec_id") % 50 =!= 0)
+    val (cents, assigned) = Similarity.ivfBuild(servCorpus, "embedding", "vec_id")
+    val cb = Similarity.pqBuildCodebook(servCorpus, "embedding", "vec_id")
     val served = Similarity.ivfPqServeAll(cents,
-      Similarity.ivfPqEncode(assigned, "vec_id", cb), semKept,
+      Similarity.ivfPqEncode(assigned, "vec_id", cb), servCorpus,
       "embedding", "vec_id",
       semKept.filter(col("vec_id") % 50 === 0), "vec_id", cb, k = 5)
     stage("ANN results served", served.count())

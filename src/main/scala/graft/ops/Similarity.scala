@@ -306,34 +306,6 @@ object Similarity {
         col("col.cid").as("centroid_id"))
   }
 
-  /** SUB-QUADRATIC k-NN graph build — the [[knnGraphBanded]] successor
-    * the x68 scaladoc promised ("at 100 TB a mid-sim graph composes
-    * this with IVF cells"): k-means cells bound the candidate geometry,
-    * banded RHP-LSH prunes within it.
-    *
-    * Geometry (classic IVF asymmetric multi-probe): every vector is
-    * INDEXED once under its home cell (rk=1) and PROBES its
-    * `nProbeCells` nearest cells; (a,b) is a candidate when a probes
-    * b's home cell (or vice versa — the union keeps the relation
-    * symmetric) AND they collide on ≥1 of the `nBands` `bandBits`-bit
-    * RHP bands. Candidates ≈ 2·nProbeCells/kCells · β · n²/2 where β is
-    * the band collision rate (≈0.64 at 16×4 on random pairs) — with the
-    * [[autoCellCount]] √n dial the fraction decays as 1/√n, i.e. the
-    * build is O(n^1.5), not O(n²): measured candidate fractions 0.58 →
-    * 0.34 → ~0.13 at n = 500 / 2 000 / 20 000 (BASELINE.md r9).
-    * Recall@5 vs the exact twin: 0.89 at sf0.01, 0.76 at sf0.1
-    * (OpsSpec floor 0.75 at sf0.01) — mid-similarity neighbors on an
-    * unstructured corpus, the regime where pure short-band LSH (x68)
-    * needs Ω(n²) candidates for the same recall.
-    *
-    * Everything is deterministic and engine-replayable: fixed-point
-    * Lloyd cells ([[ivfBuildKmeans]], the x25 convention), md5-derived
-    * planes, row_number tie-breaks — harness query x72 replays cells,
-    * probe ranks, bands, the candidate union and the per-source top-k
-    * in SQL. Cells and bands are each computed ONCE and persisted (the
-    * x24 evaluated-once discipline); at 100 TB both are write-once
-    * artifacts partitioned by (centroid_id) / (band_key), and the
-    * probe-home join is a plain equi-shuffle on (cell, band) keys. */
   /** The candidate stage of [[knnGraphCells]], exposed so ScaleSpec can
     * audit the candidate VOLUME (≪ n² at the auto dial) as well as the
     * plan shape. Returns the deduplicated directed (src_id, nbr_id)
@@ -365,6 +337,34 @@ object Similarity {
       .distinct()
   }
 
+  /** SUB-QUADRATIC k-NN graph build — the [[knnGraphBanded]] successor
+    * the x68 scaladoc promised ("at 100 TB a mid-sim graph composes
+    * this with IVF cells"): k-means cells bound the candidate geometry,
+    * banded RHP-LSH prunes within it.
+    *
+    * Geometry (classic IVF asymmetric multi-probe): every vector is
+    * INDEXED once under its home cell (rk=1) and PROBES its
+    * `nProbeCells` nearest cells; (a,b) is a candidate when a probes
+    * b's home cell (or vice versa — the union keeps the relation
+    * symmetric) AND they collide on ≥1 of the `nBands` `bandBits`-bit
+    * RHP bands. Candidates ≈ 2·nProbeCells/kCells · β · n²/2 where β is
+    * the band collision rate (≈0.64 at 16×4 on random pairs) — with the
+    * [[autoCellCount]] √n dial the fraction decays as 1/√n, i.e. the
+    * build is O(n^1.5), not O(n²): measured candidate fractions 0.58 →
+    * 0.34 → ~0.13 at n = 500 / 2 000 / 20 000 (BASELINE.md r9).
+    * Recall@5 vs the exact twin: 0.89 at sf0.01, 0.76 at sf0.1
+    * (OpsSpec floor 0.75 at sf0.01) — mid-similarity neighbors on an
+    * unstructured corpus, the regime where pure short-band LSH (x68)
+    * needs Ω(n²) candidates for the same recall.
+    *
+    * Everything is deterministic and engine-replayable: fixed-point
+    * Lloyd cells ([[ivfBuildKmeans]], the x25 convention), md5-derived
+    * planes, row_number tie-breaks — harness query x72 replays cells,
+    * probe ranks, bands, the candidate union and the per-source top-k
+    * in SQL. Cells and bands are each computed ONCE and persisted (the
+    * x24 evaluated-once discipline); at 100 TB both are write-once
+    * artifacts partitioned by (centroid_id) / (band_key), and the
+    * probe-home join is a plain equi-shuffle on (cell, band) keys. */
   def knnGraphCells(emb: DataFrame, vecCol: String, idCol: String,
                     k: Int = 5, nProbeCells: Int = 5, nBands: Int = 16,
                     bandBits: Int = 4, dims: Int = 64, nLists: Int = 0,
@@ -427,12 +427,16 @@ object Similarity {
     * (md5-deterministic sample of the centroids) with every centroid
     * grouped under its nearest super — both MODEL-side operations over k
     * rows, never the corpus. Per corpus row: argmax over the nSuper
-    * supers, then argmax over only the chosen super's children — the dot
-    * work drops from k to nSuper + k/nSuper per row (≈ 2√k at
-    * nSuper = √k, 512× less at k = 2¹⁶), because the second fold's score
-    * expression sits under a `when(child-of-chosen-super)` branch that
-    * codegen evaluates conditionally. Still zero corpus shuffle: two
-    * 1-row broadcasts (the repo's scalar convention).
+    * supers, then argmax over ONLY the chosen super's children — the
+    * children live in a broadcast `map<super_id, array<struct(cid,cv)>>`
+    * and the second fold iterates `element_at(cmap, __sup)`, so the
+    * per-row element count (branches AND dots) is nSuper + |children|
+    * ≈ 2√k at nSuper = √k — 512× less than the flat k at k = 2¹⁶.
+    * (The r9 form folded the FULL k-element array with the dot gated
+    * under a `when`: dot work dropped but the fold still evaluated k
+    * branch conditions per row — VERDICT r9 What's-wrong #1.) Still
+    * zero corpus shuffle: two 1-row broadcasts (the repo's scalar
+    * convention).
     *
     * The approximation (a boundary row can route to a super whose best
     * child is not the global best) is itself DETERMINISTIC and
@@ -469,15 +473,21 @@ object Similarity {
       .crossJoin(broadcast(supArr))
       .withColumn("super_id", argmaxSuper(col("cv")))
       .select(col("centroid_id"), col("cv"), col("super_id"))
-    val centArr = grouped
-      .agg(collect_list(struct(col("centroid_id"), col("cv"), col("super_id")))
-        .as("cents"))
+    // model-side: children grouped per super into ONE map row, so the
+    // per-row fold below touches only the routed super's array — the
+    // argmax (ties to lower cid) is order-independent, so the
+    // collect_list order inside each group cannot move a result
+    val centMap = grouped
+      .groupBy(col("super_id"))
+      .agg(collect_list(struct(col("centroid_id"), col("cv"))).as("kids"))
+      .agg(map_from_entries(collect_list(struct(col("super_id"), col("kids"))))
+        .as("cmap"))
     // per-row: route to the best super, then argmax over ONLY its
-    // children — the score dot sits under the when branch
+    // children — the fold's element count IS the child count
     val bestChild = aggregate(
-      col("cents"),
+      element_at(col("cmap"), col("__sup")),
       struct(lit(Double.NegativeInfinity).as("s"), lit(Long.MaxValue).as("cid")),
-      (acc, c) => when(c.getField("super_id") === col("__sup"), {
+      (acc, c) => {
         val score = VectorFunctions.dot(col("vec"), c.getField("cv")) /
           (VectorFunctions.norm(col("vec")) * VectorFunctions.norm(c.getField("cv")))
         when(score > acc.getField("s") ||
@@ -485,11 +495,11 @@ object Similarity {
               c.getField("centroid_id") < acc.getField("cid")),
           struct(score.as("s"), c.getField("centroid_id").cast("long").as("cid")))
           .otherwise(acc)
-      }).otherwise(acc),
+      },
       acc => acc.getField("cid"))
     emb.select(col(idCol), col(vecCol).cast("array<double>").as("vec"))
       .crossJoin(broadcast(supArr))
-      .crossJoin(broadcast(centArr))
+      .crossJoin(broadcast(centMap))
       .withColumn("__sup", argmaxSuper(col("vec")))
       .withColumn("centroid_id", bestChild)
       .select(col(idCol), col("vec"), col("centroid_id"))
@@ -1219,10 +1229,18 @@ object Similarity {
     * `partitionBy("centroid_id")`; probe via [[ivfPqProbePacked]]. */
   def ivfPqEncodePacked(assigned: DataFrame, idCol: String,
                         codebook: Array[Array[Double]], m: Int = 8,
-                        dims: Int = 64): DataFrame =
+                        dims: Int = 64): DataFrame = {
+    // byte codes require K ≤ 256 — fail at call time with the real
+    // precondition rather than mid-job in the packer's range check
+    // (Int8PackExpr throws on any value outside [-128, 127], so a
+    // larger codebook could never corrupt silently; this names why)
+    require(codebook.length <= 256,
+      s"ivfPqEncodePacked: byte-packed codes need K <= 256 centroids, " +
+        s"got ${codebook.length}")
     ivfPqEncode(assigned, idCol, codebook, m, dims)
       .select(col(idCol), col("centroid_id"),
         pqPackCodes(col("codes")).as("codes8"))
+  }
 
   /** Probe a byte-packed IVF×PQ index: unpack in-plan (exact integer
     * inverse), then [[ivfPqProbe]] unchanged — results are identical to

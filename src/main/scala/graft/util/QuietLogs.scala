@@ -23,15 +23,36 @@ object QuietLogs {
     "org.apache.spark.sql.execution.streaming",
     "org.apache.spark.sql.execution.datasources")
 
+  /** Serializes quiet windows: log4j levels are JVM-global state, so two
+    * overlapping windows could restore each other's OFF level (ADVICE
+    * r9). One lock makes windows strictly nested in time; the silencing
+    * itself still applies to ALL threads while a window is open — that
+    * is inherent to mutating global levels, and acceptable because the
+    * windows are sub-second stop grace periods. */
+  private val windowLock = new Object
+
   /** Run `body` with the named loggers OFF, restoring their previous
-    * effective levels afterwards. */
-  def withQuiet[T](names: Seq[String] = interruptNoise)(body: => T): T = {
-    import org.apache.logging.log4j.{Level, LogManager}
-    import org.apache.logging.log4j.core.config.Configurator
-    val prev = names.map(n => n -> LogManager.getLogger(n).getLevel)
-    names.foreach(n => Configurator.setLevel(n, Level.OFF))
-    try body finally prev.foreach { case (n, l) => Configurator.setLevel(n, l) }
-  }
+    * state afterwards. A logger that had NO explicit config before the
+    * window gets its created LoggerConfig removed again (back to
+    * inherit), not pinned to its previously-inherited effective level. */
+  def withQuiet[T](names: Seq[String] = interruptNoise)(body: => T): T =
+    windowLock.synchronized {
+      import org.apache.logging.log4j.{Level, LogManager}
+      import org.apache.logging.log4j.core.LoggerContext
+      import org.apache.logging.log4j.core.config.Configurator
+      val ctx = LogManager.getContext(false).asInstanceOf[LoggerContext]
+      val cfg = ctx.getConfiguration
+      val prev = names.map { n =>
+        (n, cfg.getLoggers.containsKey(n), LogManager.getLogger(n).getLevel)
+      }
+      names.foreach(n => Configurator.setLevel(n, Level.OFF))
+      try body finally {
+        prev.foreach { case (n, hadExplicit, l) =>
+          if (hadExplicit) Configurator.setLevel(n, l)
+          else { ctx.getConfiguration.removeLogger(n); ctx.updateLoggers() }
+        }
+      }
+    }
 
   /** Stop a streaming query with the expected abort cascade silenced —
     * the drop-in for `q.stop()` at intentional end-of-test / mid-stream

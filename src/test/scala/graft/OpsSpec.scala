@@ -1045,6 +1045,61 @@ class OpsSpec extends AnyFunSuite {
     assert(again == hier, "hier assignment depends on partitioning")
   }
 
+  test("hier assignment map-fold ≡ r9 full-fold reference (bit equality)") {
+    // VERDICT r9 What's-wrong #1: the production fold iterates ONLY the
+    // routed super's children via element_at(map, __sup). This reference
+    // rebuilds the r9 form — the full k-element array with the score
+    // gated under when(child-of-chosen-super) — inline; identical argmax
+    // + tie rules mean the two must agree on every row (so the x74
+    // oracle is untouched by the rewrite).
+    import graft.functions.VectorFunctions
+    val rest = emb.filter(col("vec_id") =!= 0)
+    val (cents, _) = Similarity.ivfBuild(rest, "embedding", "vec_id")
+    val nSuper = 4
+    def cos(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      VectorFunctions.dot(a, b) / (VectorFunctions.norm(a) * VectorFunctions.norm(b))
+    val supArr = cents
+      .orderBy(md5(col("centroid_id").cast("string")).asc, col("centroid_id").asc)
+      .limit(nSuper)
+      .select(col("centroid_id").as("super_id"), col("cv").as("sv"))
+      .agg(collect_list(struct(col("super_id"), col("sv"))).as("ss"))
+    def argmaxSuper(vec: org.apache.spark.sql.Column) = aggregate(col("ss"),
+      struct(lit(Double.NegativeInfinity).as("s"), lit(Long.MaxValue).as("sid")),
+      (acc, c) => {
+        val sc = cos(vec, c.getField("sv"))
+        when(sc > acc.getField("s") ||
+             (sc === acc.getField("s") && c.getField("super_id") < acc.getField("sid")),
+          struct(sc.as("s"), c.getField("super_id").cast("long").as("sid")))
+          .otherwise(acc)
+      },
+      acc => acc.getField("sid"))
+    val centArr = cents.crossJoin(broadcast(supArr))
+      .withColumn("super_id", argmaxSuper(col("cv")))
+      .agg(collect_list(struct(col("centroid_id"), col("cv"), col("super_id")))
+        .as("cents"))
+    val bestChildRef = aggregate(col("cents"),
+      struct(lit(Double.NegativeInfinity).as("s"), lit(Long.MaxValue).as("cid")),
+      (acc, c) => when(c.getField("super_id") === col("__sup"), {
+        val sc = cos(col("vec"), c.getField("cv"))
+        when(sc > acc.getField("s") ||
+             (sc === acc.getField("s") && c.getField("centroid_id") < acc.getField("cid")),
+          struct(sc.as("s"), c.getField("centroid_id").cast("long").as("cid")))
+          .otherwise(acc)
+      }).otherwise(acc),
+      acc => acc.getField("cid"))
+    val ref = rest
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+      .crossJoin(broadcast(supArr)).crossJoin(broadcast(centArr))
+      .withColumn("__sup", argmaxSuper(col("vec")))
+      .withColumn("centroid_id", bestChildRef)
+      .select("vec_id", "centroid_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = Similarity.assignNearestHier(rest, "embedding", "vec_id", cents, nSuper)
+      .select("vec_id", "centroid_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == ref, "map-based fold diverged from the full-fold reference")
+  }
+
   test("delta-maintained IVFPQ: probe ≡ rebuilt-index probe at three split points") {
     val q = emb.filter(col("vec_id") === 0)
       .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
