@@ -232,6 +232,20 @@ object Ext {
         queryVec = queryVec(s, dir), k = 20)
     },
 
+    // TRAINED RESIDUAL IVFADC (VERDICT r9 missing #4): x59's residual
+    // geometry with x57's per-subspace Lloyd training run ON the
+    // residuals — the codebook adapts to the within-cell displacement
+    // distribution, the standard top quality rung, at identical serving
+    // cost. FULL oracle: the residual training rounds (fixed-point
+    // integer means, COALESCE empty cells), codes, per-cell ADC tables,
+    // cut and rerank all replay stage for stage.
+    "x80_ivfpq_residual_trained" -> { (s, dir) =>
+      Similarity.ivfPqResidualTopK(
+        Tables.embeddings(s, dir).filter(col("vec_id") =!= 0),
+        vecCol = "embedding", idCol = "vec_id",
+        queryVec = queryVec(s, dir), k = 20, trainIters = 2)
+    },
+
     // DELTA-maintained IVF×PQ (x70's union-≡-rebuild discipline over
     // x58's written index): 6/7 of the corpus is the static encoded
     // index, 1/7 arrives as a raw delta and is assigned + encoded
@@ -247,6 +261,31 @@ object Ext {
         assigned.filter(col("vec_id") % 7 =!= 0), "vec_id", cb)
       val delta = emb.filter(col("vec_id") % 7 === 0)
       Similarity.ivfPqProbeDelta(cents, staticIdx, delta, emb,
+        "embedding", "vec_id", queryVec(s, dir), cb, k = 20)
+    },
+
+    // INDEX COMPACTION (VERDICT r9 #4): the static 6/7 of the corpus is
+    // WRITTEN as the partitionBy(centroid_id) tree, the 1/7 delta is
+    // folded in by ivfPqCompact — assigned + encoded against the frozen
+    // model, ONLY the touched cells rewritten under dynamic partition
+    // overwrite — and the probe then runs over the compacted TREE with
+    // no inline delta union left. Cell ids and codes are pure per-row
+    // functions of the frozen model, so probe-after-compaction ≡
+    // rebuild: the oracle is x58's whole-corpus SQL verbatim (the
+    // x70/x73 law). The temp tree lives until JVM exit (the result
+    // frame lazily reads it).
+    "x79_ivfpq_compact" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir).filter(col("vec_id") =!= 0)
+      val (cents, assigned) = Similarity.ivfBuild(emb, "embedding", "vec_id")
+      val cb = Similarity.pqBuildCodebook(emb, "embedding", "vec_id")
+      val tree = java.nio.file.Files.createTempDirectory("x79_idx_").toString
+      Similarity.ivfPqEncode(assigned.filter(col("vec_id") % 7 =!= 0),
+          "vec_id", cb)
+        .select("vec_id", "centroid_id", "codes")
+        .write.mode("overwrite").partitionBy("centroid_id").parquet(tree)
+      Similarity.ivfPqCompact(tree, cents,
+        emb.filter(col("vec_id") % 7 === 0), "embedding", "vec_id", cb)
+      Similarity.ivfPqProbe(cents, s.read.parquet(tree), emb,
         "embedding", "vec_id", queryVec(s, dir), cb, k = 20)
     },
 
@@ -287,6 +326,31 @@ object Ext {
         .orderBy("q_id", "rank")
     },
 
+    // INCREMENTAL BM25 model (VERDICT r9 missing #3): 6/7 of the corpus
+    // builds the static model (postings + df + stats — the write-once
+    // inverted index and its re-aggregatable counts), the 1/7 delta
+    // builds ITS OWN model (cost ∝ |delta|), and serving runs from the
+    // MERGED model — no rescan of the old corpus. Every model field is
+    // an exact integer count, so merged-serve ≡ rebuilt-serve
+    // bit-for-bit: the oracle is x76's whole-corpus SQL verbatim.
+    "x81_bm25_incremental" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val qs = Seq(
+        (1L, Seq("hash", "join")),
+        (2L, Seq("spark", "vector")),
+        (3L, Seq("data", "filter", "stream")),
+        (4L, Seq("cache", "data"))).toDF("q_id", "terms")
+      val staticM = Retrieval.bm25BuildModel(
+        docs.filter(col("doc_id") % 7 =!= 0), "doc_id", "text")
+      val deltaM = Retrieval.bm25BuildModel(
+        docs.filter(col("doc_id") % 7 === 0), "doc_id", "text")
+      Retrieval.bm25ServeAllIndexed(
+          Retrieval.bm25MergeModels(staticM, deltaM), "doc_id",
+          qs, "q_id", "terms", k = 10)
+        .orderBy("q_id", "rank")
+    },
+
     // BATCH hybrid retrieval: per-query BM25 ranks (x76's shared scan)
     // ⊕ per-query cosine ranks (ONE corpus scan against the broadcast
     // query-vector table) fused by RRF — x65's contract for a query
@@ -304,6 +368,33 @@ object Ext {
         col("embedding").cast("array<double>").as("qv")), "src_vec")
       Retrieval.hybridServeAll(Tables.documents(s, dir), emb, "doc_id",
           "text", "embedding", "vec_id", qs, "q_id", "terms", "qv",
+          kCand = 100, k = 10)
+        .orderBy("q_id", "rank")
+    },
+
+    // ANN-COMPOSED batch hybrid retrieval — the PRODUCTION hybrid shape
+    // (VERDICT r9 #1): x76's BM25 rank chain ⊕ x75's IVF×PQ serving
+    // ranks (cell-pruned codes-only ADC + exact rerank — never a
+    // per-query corpus scan), fused by the same integer RRF. q3/q4
+    // carry 'data' — the corpus's hot common term — so the salted
+    // two-phase text cut is exercised on a genuinely skewed match set.
+    // FULL oracle: both rank chains and the fusion replay per query.
+    "x78_hybrid_serve_ann" -> { (s, dir) =>
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      val qdef = Seq(
+        (1L, Seq("hash", "join"), 0L),
+        (2L, Seq("spark", "vector"), 50L),
+        (3L, Seq("data", "filter", "stream"), 100L),
+        (4L, Seq("cache", "data"), 150L)).toDF("q_id", "terms", "src_vec")
+      val qs = qdef.join(emb.select(col("vec_id").as("src_vec"),
+        col("embedding")), "src_vec")
+      val corpus = emb.filter(col("vec_id") % 50 =!= 0)
+      val (cents, assigned) = Similarity.ivfBuild(corpus, "embedding", "vec_id")
+      val cb = Similarity.pqBuildCodebook(corpus, "embedding", "vec_id")
+      Retrieval.hybridServeAllAnn(Tables.documents(s, dir), "doc_id",
+          "text", cents, Similarity.ivfPqEncode(assigned, "vec_id", cb),
+          corpus, "embedding", "vec_id", qs, "q_id", "terms", cb,
           kCand = 100, k = 10)
         .orderBy("q_id", "rank")
     },
@@ -1197,6 +1288,50 @@ object Ext {
         |SELECT vec_id, round(pq, 6) AS pq_dist, round(l2, 6) AS l2_dist
         |FROM scored ORDER BY l2 ASC, vec_id ASC LIMIT 20""".stripMargin
 
+  /** x76's batch-BM25 replay, shared verbatim by x81 (incremental
+    * model): postings/df/stats are re-aggregatable exact counts, so
+    * serving the merged static⊕delta model equals serving the rebuilt
+    * whole-corpus model. */
+  private val x76Bm25ServeSql: String =
+    """WITH qdef(q_id, w) AS (VALUES
+      |  (1, 'hash'), (1, 'join'),
+      |  (2, 'spark'), (2, 'vector'),
+      |  (3, 'data'), (3, 'filter'), (3, 'stream'),
+      |  (4, 'cache'), (4, 'data')),
+      |b2 AS (
+      |  SELECT doc_id, len(ts) AS dl, ts FROM (
+      |    SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+      |    FROM documents)),
+      |stats AS (SELECT COUNT(*) AS nd, SUM(dl) AS ntok FROM b2),
+      |tf AS (
+      |  SELECT doc_id, dl, w, COUNT(*) AS tf
+      |  FROM (SELECT doc_id, dl, unnest(ts) AS w FROM b2)
+      |  WHERE w IN (SELECT DISTINCT w FROM qdef)
+      |  GROUP BY 1, 2, 3),
+      |dfq AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY 1),
+      |scored AS (
+      |  SELECT t.doc_id, t.w,
+      |    CAST(floor(
+      |      ((ln(CAST(2 * s.nd - 2 * d.df + 1 AS DOUBLE) / CAST(2 * d.df + 1 AS DOUBLE))
+      |        * (CAST(t.tf AS DOUBLE) * CAST(2.2 AS DOUBLE)))
+      |       / (CAST(t.tf AS DOUBLE) + CAST(1.2 AS DOUBLE) *
+      |          (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) *
+      |           (CAST(t.dl * s.nd AS DOUBLE) / CAST(s.ntok AS DOUBLE)))))
+      |      * 1000000000.0) AS BIGINT) AS sfix
+      |  FROM tf t JOIN dfq d USING (w) CROSS JOIN stats s),
+      |agg AS (
+      |  SELECT q.q_id, sc.doc_id, COUNT(*) AS n_terms, SUM(sc.sfix) AS score_fix
+      |  FROM qdef q JOIN scored sc USING (w)
+      |  GROUP BY 1, 2)
+      |SELECT CAST(q_id AS BIGINT) AS q_id,
+      |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY score_fix DESC, doc_id ASC) AS INT) AS rank,
+      |  doc_id, n_terms,
+      |  round(CAST(score_fix AS DOUBLE) / 1000000000.0, 6) AS bm25,
+      |  CAST(score_fix AS BIGINT) AS score_fix
+      |FROM agg
+      |QUALIFY rank <= 10
+      |ORDER BY q_id, rank""".stripMargin
+
   private val x43BandedSql: String =
     """WITH h AS (
       |  SELECT b, list_transform(generate_series(0, 63),
@@ -1390,45 +1525,14 @@ object Ext {
     // UNION of the four queries' terms, then each query sums its own
     // terms' fixed scores (the per-(doc, term) score is query-
     // independent) and ranks within itself.
-    "x76_bm25_serve" ->
-      """WITH qdef(q_id, w) AS (VALUES
-        |  (1, 'hash'), (1, 'join'),
-        |  (2, 'spark'), (2, 'vector'),
-        |  (3, 'data'), (3, 'filter'), (3, 'stream'),
-        |  (4, 'cache'), (4, 'data')),
-        |b2 AS (
-        |  SELECT doc_id, len(ts) AS dl, ts FROM (
-        |    SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
-        |    FROM documents)),
-        |stats AS (SELECT COUNT(*) AS nd, SUM(dl) AS ntok FROM b2),
-        |tf AS (
-        |  SELECT doc_id, dl, w, COUNT(*) AS tf
-        |  FROM (SELECT doc_id, dl, unnest(ts) AS w FROM b2)
-        |  WHERE w IN (SELECT DISTINCT w FROM qdef)
-        |  GROUP BY 1, 2, 3),
-        |dfq AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY 1),
-        |scored AS (
-        |  SELECT t.doc_id, t.w,
-        |    CAST(floor(
-        |      ((ln(CAST(2 * s.nd - 2 * d.df + 1 AS DOUBLE) / CAST(2 * d.df + 1 AS DOUBLE))
-        |        * (CAST(t.tf AS DOUBLE) * CAST(2.2 AS DOUBLE)))
-        |       / (CAST(t.tf AS DOUBLE) + CAST(1.2 AS DOUBLE) *
-        |          (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) *
-        |           (CAST(t.dl * s.nd AS DOUBLE) / CAST(s.ntok AS DOUBLE)))))
-        |      * 1000000000.0) AS BIGINT) AS sfix
-        |  FROM tf t JOIN dfq d USING (w) CROSS JOIN stats s),
-        |agg AS (
-        |  SELECT q.q_id, sc.doc_id, COUNT(*) AS n_terms, SUM(sc.sfix) AS score_fix
-        |  FROM qdef q JOIN scored sc USING (w)
-        |  GROUP BY 1, 2)
-        |SELECT CAST(q_id AS BIGINT) AS q_id,
-        |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY score_fix DESC, doc_id ASC) AS INT) AS rank,
-        |  doc_id, n_terms,
-        |  round(CAST(score_fix AS DOUBLE) / 1000000000.0, 6) AS bm25,
-        |  CAST(score_fix AS BIGINT) AS score_fix
-        |FROM agg
-        |QUALIFY rank <= 10
-        |ORDER BY q_id, rank""".stripMargin,
+    "x76_bm25_serve" -> x76Bm25ServeSql,
+
+    // x81 incremental BM25 model: postings/df/stats are exact
+    // re-aggregatable counts and the score is a pure function of them,
+    // so serving the MERGED (static ⊕ appended) model ≡ serving the
+    // rebuilt whole-corpus model — x76's SQL IS the oracle (the
+    // x70/x73/x79 law applied to text).
+    "x81_bm25_incremental" -> x76Bm25ServeSql,
 
     // Batch hybrid replay: x76's text chain + per-query rounded-cosine
     // ranks over one corpus pass + x65's floor-of-one-IEEE-division
@@ -1481,6 +1585,124 @@ object Ext {
         |           sqrt(list_sum(list_transform(generate_series(1, len(qv.qv)), i -> qv.qv[i] * qv.qv[i])))),
         |        6) DESC, ev.vec_id ASC) AS vec_rank
         |    FROM ev, qv) WHERE vec_rank <= 100),
+        |fused AS (
+        |  SELECT COALESCE(tr.q_id, vr.q_id) AS q_id, COALESCE(tr.id, vr.id) AS id,
+        |    tr.text_rank, vr.vec_rank,
+        |    COALESCE(CAST(floor(1000000000000.0 / (CAST(tr.text_rank AS DOUBLE) + 60.0)) AS BIGINT), 0)
+        |  + COALESCE(CAST(floor(1000000000000.0 / (CAST(vr.vec_rank AS DOUBLE) + 60.0)) AS BIGINT), 0) AS rrf_fix
+        |  FROM tr FULL OUTER JOIN vr ON tr.q_id = vr.q_id AND tr.id = vr.id)
+        |SELECT CAST(q_id AS BIGINT) AS q_id,
+        |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY rrf_fix DESC, id ASC) AS INT) AS rank,
+        |  id AS doc_id, text_rank, vec_rank,
+        |  round(CAST(rrf_fix AS DOUBLE) / 1000000000000.0, 6) AS rrf, rrf_fix
+        |FROM fused
+        |QUALIFY rank <= 10
+        |ORDER BY q_id, rank""".stripMargin,
+
+    // ANN-composed hybrid replay: x76's text chain (QUALIFY ≤ kCand) ⊕
+    // x75's IVF×PQ serving chain (corpus = vec_id % 50 <> 0, queries
+    // from qdef's source vectors, ADC cut ≤ refine·kCand, l2-rerank
+    // ranks ≤ kCand) + x65's floor-of-one-IEEE-division fusion.
+    "x78_hybrid_serve_ann" ->
+      """WITH qdef(q_id, w, src_vec) AS (VALUES
+        |  (1, 'hash', 0), (1, 'join', 0),
+        |  (2, 'spark', 50), (2, 'vector', 50),
+        |  (3, 'data', 100), (3, 'filter', 100), (3, 'stream', 100),
+        |  (4, 'cache', 150), (4, 'data', 150)),
+        |b2 AS (
+        |  SELECT doc_id, len(ts) AS dl, ts FROM (
+        |    SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+        |    FROM documents)),
+        |stats AS (SELECT COUNT(*) AS nd, SUM(dl) AS ntok FROM b2),
+        |tf AS (
+        |  SELECT doc_id, dl, w, COUNT(*) AS tf
+        |  FROM (SELECT doc_id, dl, unnest(ts) AS w FROM b2)
+        |  WHERE w IN (SELECT DISTINCT w FROM qdef)
+        |  GROUP BY 1, 2, 3),
+        |dfq AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY 1),
+        |bscored AS (
+        |  SELECT t.doc_id, t.w,
+        |    CAST(floor(
+        |      ((ln(CAST(2 * s.nd - 2 * d.df + 1 AS DOUBLE) / CAST(2 * d.df + 1 AS DOUBLE))
+        |        * (CAST(t.tf AS DOUBLE) * CAST(2.2 AS DOUBLE)))
+        |       / (CAST(t.tf AS DOUBLE) + CAST(1.2 AS DOUBLE) *
+        |          (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) *
+        |           (CAST(t.dl * s.nd AS DOUBLE) / CAST(s.ntok AS DOUBLE)))))
+        |      * 1000000000.0) AS BIGINT) AS sfix
+        |  FROM tf t JOIN dfq d USING (w) CROSS JOIN stats s),
+        |bagg AS (
+        |  SELECT q.q_id, sc.doc_id, SUM(sc.sfix) AS score_fix
+        |  FROM qdef q JOIN bscored sc USING (w)
+        |  GROUP BY 1, 2),
+        |tr AS (
+        |  SELECT q_id, doc_id AS id,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY score_fix DESC, doc_id ASC) AS text_rank
+        |  FROM bagg QUALIFY text_rank <= 100),
+        |e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id % 50 <> 0),
+        |qs AS (
+        |  SELECT DISTINCT d.q_id, CAST(e2.embedding AS DOUBLE[]) AS qv
+        |  FROM qdef d JOIN embeddings e2 ON e2.vec_id = d.src_vec),
+        |samp AS (
+        |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS k,
+        |    vec_id AS cid, v AS cv
+        |  FROM e
+        |  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 16),
+        |asg AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT e.vec_id, samp.cid,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_sum(list_transform(generate_series(1, len(e.v)), i -> e.v[i] * samp.cv[i])) /
+        |          (sqrt(list_sum(list_transform(generate_series(1, len(e.v)), i -> e.v[i] * e.v[i]))) *
+        |           sqrt(list_sum(list_transform(generate_series(1, len(samp.cv)), i -> samp.cv[i] * samp.cv[i])))) DESC,
+        |        samp.cid ASC) AS rk
+        |    FROM e, samp) WHERE rk = 1),
+        |qprobe AS (
+        |  SELECT q_id, cid FROM (
+        |    SELECT qs.q_id, samp.cid,
+        |      row_number() OVER (PARTITION BY qs.q_id ORDER BY
+        |        list_sum(list_transform(generate_series(1, len(qs.qv)), i -> qs.qv[i] * samp.cv[i])) /
+        |          (sqrt(list_sum(list_transform(generate_series(1, len(qs.qv)), i -> qs.qv[i] * qs.qv[i]))) *
+        |           sqrt(list_sum(list_transform(generate_series(1, len(samp.cv)), i -> samp.cv[i] * samp.cv[i])))) DESC,
+        |        samp.cid ASC) AS rk
+        |    FROM qs, samp) WHERE rk <= 4),
+        |pruned AS (SELECT DISTINCT vec_id FROM asg JOIN qprobe USING (cid)),
+        |jj AS (SELECT unnest(generate_series(0, 7)) AS j),
+        |dist AS (
+        |  SELECT e.vec_id, jj.j, samp.k,
+        |    list_sum(list_transform(generate_series(1, 8), t ->
+        |      (e.v[jj.j * 8 + t] - samp.cv[jj.j * 8 + t]) *
+        |      (e.v[jj.j * 8 + t] - samp.cv[jj.j * 8 + t]))) AS dist
+        |  FROM e JOIN pruned USING (vec_id), jj, samp),
+        |codes AS (
+        |  SELECT vec_id, j, k FROM dist
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, k) = 1),
+        |qtab AS (
+        |  SELECT qs.q_id, jj.j, samp.k,
+        |    list_sum(list_transform(generate_series(1, 8), t ->
+        |      (qs.qv[jj.j * 8 + t] - samp.cv[jj.j * 8 + t]) *
+        |      (qs.qv[jj.j * 8 + t] - samp.cv[jj.j * 8 + t]))) AS dist
+        |  FROM qs, jj, samp),
+        |approx AS (
+        |  SELECT qp.q_id, c.vec_id, list_sum(list(qt.dist ORDER BY c.j)) AS pq
+        |  FROM qprobe qp
+        |  JOIN asg ON asg.cid = qp.cid
+        |  JOIN codes c ON c.vec_id = asg.vec_id
+        |  JOIN qtab qt ON qt.q_id = qp.q_id AND qt.j = c.j AND qt.k = c.k
+        |  GROUP BY qp.q_id, c.vec_id),
+        |cand AS (
+        |  SELECT q_id, vec_id, pq FROM approx
+        |  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY pq, vec_id) <= 300),
+        |scored AS (
+        |  SELECT cand.q_id, cand.vec_id, cand.pq,
+        |    list_sum(list_transform(generate_series(1, len(e.v)), t ->
+        |      (e.v[t] - qs.qv[t]) * (e.v[t] - qs.qv[t]))) AS l2
+        |  FROM cand JOIN e USING (vec_id) JOIN qs USING (q_id)),
+        |vr AS (
+        |  SELECT q_id, vec_id AS id,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY l2 ASC, vec_id ASC) AS vec_rank
+        |  FROM scored QUALIFY vec_rank <= 100),
         |fused AS (
         |  SELECT COALESCE(tr.q_id, vr.q_id) AS q_id, COALESCE(tr.id, vr.id) AS id,
         |    tr.text_rank, vr.vec_rank,
@@ -2297,6 +2519,124 @@ object Ext {
         |SELECT vec_id, round(pq, 6) AS pq_dist, round(l2, 6) AS l2_dist
         |FROM scored ORDER BY l2 ASC, vec_id ASC LIMIT 20""".stripMargin,
 
+    // Trained residual IVFADC replayed stage for stage: x59's coarse
+    // cells / residuals / per-cell query tables with x57's two
+    // fixed-point Lloyd rounds (argmin per subspace, integer means,
+    // COALESCE empty cells) run ON the residual frame rv instead of the
+    // raw vectors.
+    "x80_ivfpq_residual_trained" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id <> 0),
+        |q AS (
+        |  SELECT CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id = 0),
+        |samp AS (
+        |  SELECT vec_id AS cid, v AS cv
+        |  FROM e
+        |  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 16),
+        |asg AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT e.vec_id, samp.cid,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_sum(list_transform(generate_series(1, len(e.v)), i -> e.v[i] * samp.cv[i])) /
+        |          (sqrt(list_sum(list_transform(generate_series(1, len(e.v)), i -> e.v[i] * e.v[i]))) *
+        |           sqrt(list_sum(list_transform(generate_series(1, len(samp.cv)), i -> samp.cv[i] * samp.cv[i])))) DESC,
+        |        samp.cid ASC) AS rk
+        |    FROM e, samp) WHERE rk = 1),
+        |probe AS (
+        |  SELECT cid, cv FROM samp, q
+        |  ORDER BY
+        |    list_sum(list_transform(generate_series(1, len(cv)), i -> cv[i] * qv[i])) /
+        |      (sqrt(list_sum(list_transform(generate_series(1, len(cv)), i -> cv[i] * cv[i]))) *
+        |       sqrt(list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * qv[i])))) DESC,
+        |    cid ASC LIMIT 4),
+        |rv AS (
+        |  SELECT a.vec_id, a.cid,
+        |    list_transform(generate_series(1, len(e.v)), i -> e.v[i] - samp.cv[i]) AS r
+        |  FROM asg a JOIN e USING (vec_id) JOIN samp ON samp.cid = a.cid),
+        |jj AS (SELECT unnest(generate_series(0, 7)) AS j),
+        |pp AS (SELECT unnest(generate_series(1, 8)) AS pos),
+        |rcb0 AS (
+        |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS k,
+        |    r AS cv
+        |  FROM rv
+        |  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 16),
+        |s0 AS (
+        |  SELECT jj.j, rcb0.k,
+        |    list_transform(generate_series(1, 8), t -> rcb0.cv[jj.j * 8 + t]) AS sub
+        |  FROM jj, rcb0),
+        |a1 AS (
+        |  SELECT vec_id, j, k FROM (
+        |    SELECT rv.vec_id, s0.j, s0.k,
+        |      row_number() OVER (PARTITION BY rv.vec_id, s0.j ORDER BY
+        |        list_sum(list_transform(generate_series(1, 8), t ->
+        |          (rv.r[s0.j * 8 + t] - s0.sub[t]) * (rv.r[s0.j * 8 + t] - s0.sub[t]))) ASC,
+        |        s0.k ASC) AS rk
+        |    FROM rv, s0) WHERE rk = 1),
+        |m1 AS (
+        |  SELECT j, k, list(mm ORDER BY pos) AS sub FROM (
+        |    SELECT j, k, pos, ((u - ((u % n2) + n2) % n2) / n2) / 1000000.0 AS mm FROM (
+        |      SELECT a1.j, a1.k, pp.pos,
+        |        2 * CAST(SUM(CAST(floor(rv.r[a1.j * 8 + pp.pos] * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) + COUNT(*) AS u,
+        |        2 * COUNT(*) AS n2
+        |      FROM a1 JOIN rv USING (vec_id), pp
+        |      GROUP BY a1.j, a1.k, pp.pos)) GROUP BY j, k),
+        |s1 AS (
+        |  SELECT s0.j, s0.k, COALESCE(m1.sub, s0.sub) AS sub
+        |  FROM s0 LEFT JOIN m1 ON m1.j = s0.j AND m1.k = s0.k),
+        |a2 AS (
+        |  SELECT vec_id, j, k FROM (
+        |    SELECT rv.vec_id, s1.j, s1.k,
+        |      row_number() OVER (PARTITION BY rv.vec_id, s1.j ORDER BY
+        |        list_sum(list_transform(generate_series(1, 8), t ->
+        |          (rv.r[s1.j * 8 + t] - s1.sub[t]) * (rv.r[s1.j * 8 + t] - s1.sub[t]))) ASC,
+        |        s1.k ASC) AS rk
+        |    FROM rv, s1) WHERE rk = 1),
+        |m2 AS (
+        |  SELECT j, k, list(mm ORDER BY pos) AS sub FROM (
+        |    SELECT j, k, pos, ((u - ((u % n2) + n2) % n2) / n2) / 1000000.0 AS mm FROM (
+        |      SELECT a2.j, a2.k, pp.pos,
+        |        2 * CAST(SUM(CAST(floor(rv.r[a2.j * 8 + pp.pos] * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) + COUNT(*) AS u,
+        |        2 * COUNT(*) AS n2
+        |      FROM a2 JOIN rv USING (vec_id), pp
+        |      GROUP BY a2.j, a2.k, pp.pos)) GROUP BY j, k),
+        |s2 AS (
+        |  SELECT s1.j, s1.k, COALESCE(m2.sub, s1.sub) AS sub
+        |  FROM s1 LEFT JOIN m2 ON m2.j = s1.j AND m2.k = s1.k),
+        |pruned AS (
+        |  SELECT vec_id FROM asg JOIN (SELECT cid FROM probe) p USING (cid)),
+        |codes AS (
+        |  SELECT vec_id, j, k FROM (
+        |    SELECT rv.vec_id, s2.j, s2.k,
+        |      row_number() OVER (PARTITION BY rv.vec_id, s2.j ORDER BY
+        |        list_sum(list_transform(generate_series(1, 8), t ->
+        |          (rv.r[s2.j * 8 + t] - s2.sub[t]) * (rv.r[s2.j * 8 + t] - s2.sub[t]))) ASC,
+        |        s2.k ASC) AS rk
+        |    FROM rv JOIN pruned USING (vec_id), s2) WHERE rk = 1),
+        |qtab AS (
+        |  SELECT probe.cid, s2.j, s2.k,
+        |    list_sum(list_transform(generate_series(1, 8), t ->
+        |      ((q.qv[s2.j * 8 + t] - probe.cv[s2.j * 8 + t]) - s2.sub[t]) *
+        |      ((q.qv[s2.j * 8 + t] - probe.cv[s2.j * 8 + t]) - s2.sub[t]))) AS dist
+        |  FROM q, probe, s2),
+        |approx AS (
+        |  SELECT c.vec_id, list_sum(list(qt.dist ORDER BY c.j)) AS pq
+        |  FROM codes c
+        |  JOIN asg ON asg.vec_id = c.vec_id
+        |  JOIN qtab qt ON qt.cid = asg.cid AND qt.j = c.j AND qt.k = c.k
+        |  GROUP BY c.vec_id),
+        |cand AS (
+        |  SELECT vec_id, pq FROM approx
+        |  QUALIFY row_number() OVER (ORDER BY pq, vec_id) <= 60),
+        |scored AS (
+        |  SELECT cand.vec_id, cand.pq,
+        |    list_sum(list_transform(generate_series(1, len(e.v)), t ->
+        |      (e.v[t] - q.qv[t]) * (e.v[t] - q.qv[t]))) AS l2
+        |  FROM cand JOIN e ON e.vec_id = cand.vec_id, q)
+        |SELECT vec_id, round(pq, 6) AS pq_dist, round(l2, 6) AS l2_dist
+        |FROM scored ORDER BY l2 ASC, vec_id ASC LIMIT 20""".stripMargin,
+
     // Trained-PQ replayed stage for stage: md5-sampled init codebook,
     // then per (vec, subspace) argmin assignment (row_number dist ASC,
     // k ASC = the engine's strict-less fold), per (subspace, code, pos)
@@ -2398,6 +2738,11 @@ object Ext {
     // union-then-probe ≡ rebuild-then-probe, so the whole-corpus replay
     // IS the oracle (the x70 pattern).
     "x73_ivfpq_delta" -> x58IvfPqSql,
+
+    // x79 index compaction: frozen model, pure per-row cells and codes —
+    // probing the compacted tree ≡ probing the rebuilt whole-corpus
+    // index, so x58's SQL IS the oracle (the x70/x73 law).
+    "x79_ivfpq_compact" -> x58IvfPqSql,
 
     // Int8 quantization replayed exactly: floor(x * (127/amax) + 0.5) on
     // IEEE doubles (NOT round() — half-even vs half-up conventions

@@ -984,6 +984,45 @@ class OpsSpec extends AnyFunSuite {
     graft.ops.Caches.releaseAll()
   }
 
+  test("BM25 model: merge(build(a), build(b)) ≡ build(a∪b) component-wise; indexed serve ≡ scan serve") {
+    import spark.implicits._
+    import graft.ops.Retrieval
+    val a = docs.filter(col("doc_id") % 7 =!= 0)
+    val b = docs.filter(col("doc_id") % 7 === 0)
+    val merged = Retrieval.bm25MergeModels(
+      Retrieval.bm25BuildModel(a, "doc_id", "text"),
+      Retrieval.bm25BuildModel(b, "doc_id", "text"))
+    val full = Retrieval.bm25BuildModel(docs, "doc_id", "text")
+    // ADDITION LAW, component by component (exact integers everywhere)
+    def postingsSet(m: Retrieval.Bm25Model) = m.postings.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3))).toSet
+    assert(postingsSet(merged) == postingsSet(full), "postings diverged")
+    def dfMap(m: Retrieval.Bm25Model) = m.df.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dfMap(merged) == dfMap(full), "df diverged")
+    def statsRow(m: Retrieval.Bm25Model) = m.stats.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(statsRow(merged) == statsRow(full), "stats diverged")
+    // SERVE LAW: the merged model serves exactly what the corpus-scan
+    // path serves (x81's oracle proves the same vs DuckDB; this pins the
+    // in-engine equivalence including rank tie-breaks)
+    val qs = Seq((1L, Seq("hash", "join")), (3L, Seq("data", "filter", "stream")))
+      .toDF("q_id", "terms")
+    val served = Retrieval.bm25ServeAllIndexed(merged, "doc_id", qs,
+        "q_id", "terms", k = 10)
+      .orderBy("q_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getLong(5))).toSeq
+    graft.ops.Caches.releaseAll()
+    val direct = Retrieval.bm25ServeAll(docs, "doc_id", "text", qs,
+        "q_id", "terms", k = 10)
+      .orderBy("q_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getLong(5))).toSeq
+    assert(served == direct, "indexed serve diverged from the scan serve")
+    graft.ops.Caches.releaseAll()
+  }
+
   test("batch hybrid serving: every per-query slice equals the single-query hybridTopK") {
     import spark.implicits._
     val qdef = Seq(
@@ -1043,6 +1082,76 @@ class OpsSpec extends AnyFunSuite {
       .select("vec_id", "centroid_id")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(again == hier, "hier assignment depends on partitioning")
+  }
+
+  test("IVFPQ compaction: manifest addition law; compacted tree ≡ rebuilt index; untouched cells' files untouched") {
+    val rest = emb.filter(col("vec_id") =!= 0)
+    val (cents, assigned) = Similarity.ivfBuild(rest, "embedding", "vec_id")
+    val cb = Similarity.pqBuildCodebook(rest, "embedding", "vec_id")
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+    val staticIdx = Similarity.ivfPqEncode(
+      assigned.filter(col("vec_id") % 7 =!= 0), "vec_id", cb)
+      .select("vec_id", "centroid_id", "codes")
+    val deltaIdx = Similarity.ivfPqEncode(
+      assigned.filter(col("vec_id") % 7 === 0), "vec_id", cb)
+      .select("vec_id", "centroid_id", "codes")
+    val fullIdx = Similarity.ivfPqEncode(assigned, "vec_id", cb)
+      .select("vec_id", "centroid_id", "codes")
+    type Man = Map[Long, (Long, Long, Long, Long)]
+    def man(df: org.apache.spark.sql.DataFrame): Man =
+      Similarity.ivfPqManifest(df, "vec_id").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).toMap
+    // ADDITION LAW: per-cell counts/checksums add, id bounds fold —
+    // independent writers' manifests merge to the whole tree's
+    val (sM, dM, fM) = (man(staticIdx), man(deltaIdx), man(fullIdx))
+    val merged: Man = (sM.keySet ++ dM.keySet).map { c =>
+      (sM.get(c), dM.get(c)) match {
+        case (Some((n1, lo1, hi1, k1)), Some((n2, lo2, hi2, k2))) =>
+          c -> (n1 + n2, math.min(lo1, lo2), math.max(hi1, hi2), k1 + k2)
+        case (Some(m1), None) => c -> m1
+        case (None, Some(m2)) => c -> m2
+        case _ => fail("unreachable")
+      }
+    }.toMap
+    assert(merged == fM, "static ⊕ delta manifests must merge to the full manifest")
+    val idxDir = java.nio.file.Files.createTempDirectory("compact_").toString
+    try {
+      staticIdx.write.mode("overwrite").partitionBy("centroid_id").parquet(idxDir)
+      // single-row delta first: only ITS cell may be rewritten
+      def cellFiles(): Map[String, Set[String]] = {
+        val root = new java.io.File(idxDir)
+        root.listFiles().filter(_.isDirectory).map(d =>
+          d.getName -> d.listFiles().map(_.getName).filter(_.endsWith(".parquet")).toSet).toMap
+      }
+      val before = cellFiles()
+      val one = rest.filter(col("vec_id") === 7) // 7 % 7 == 0: not in static
+      assert(one.count() == 1)
+      Similarity.ivfPqCompact(idxDir, cents, one, "embedding", "vec_id", cb)
+      val after = cellFiles()
+      val changed = before.keySet.filter(c => before(c) != after.getOrElse(c, Set.empty))
+      assert(changed.size <= 1,
+        s"single-row delta rewrote ${changed.size} cells: $changed")
+      // rest of the delta (compaction merges DISJOINT deltas — vec 7 is
+      // already in the tree): compacted manifest == the rebuilt
+      // index's, and probing the tree == probing the rebuilt index
+      val manAfter = Similarity.ivfPqCompact(idxDir, cents,
+        rest.filter(col("vec_id") % 7 === 0 && col("vec_id") =!= 7),
+        "embedding", "vec_id", cb)
+      assert(manAfter.collect().map(r => r.getLong(0) -> (r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4))).toMap == fM,
+        "compacted manifest must equal the rebuilt index's")
+      val probeTree = Similarity.ivfPqProbe(cents,
+          spark.read.parquet(idxDir), rest, "embedding", "vec_id", q, cb,
+          k = 10).collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq
+      val probeRebuilt = Similarity.ivfPqProbe(cents, fullIdx, rest,
+          "embedding", "vec_id", q, cb, k = 10).collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq
+      assert(probeTree == probeRebuilt,
+        "probe over the compacted tree diverged from the rebuilt index")
+    } finally graft.util.Fs.deleteTree(java.nio.file.Paths.get(idxDir))
   }
 
   test("hier assignment map-fold ≡ r9 full-fold reference (bit equality)") {
@@ -1450,6 +1559,100 @@ class OpsSpec extends AnyFunSuite {
     assert(out(3L)._2 > out(4L)._2, s"higher tf should score higher: $out")
     // length normalization: doc 1 (6 tokens) > doc 2 (12 tokens), same terms
     assert(out(1L)._2 > out(2L)._2, s"shorter doc should score higher: $out")
+  }
+
+  test("two-phase top-k ≡ single-window rank, hot keys and ties included") {
+    import spark.implicits._
+    // key 1: hot (600 rows, heavy score ties); key 2: all-tie scores;
+    // key 3: fewer rows than k — every edge the salted cut must preserve
+    val rows = (1 to 600).map(i => (1L, i.toLong, (i % 7).toLong)) ++
+      (1 to 30).map(i => (2L, i.toLong, 5L)) ++
+      (1 to 4).map(i => (3L, i.toLong, i.toLong))
+    val df = rows.toDF("q_id", "id", "score").repartition(13)
+    val order = Seq(col("score").desc, col("id").asc)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(order: _*)
+    val single = df.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select("q_id", "rank", "id", "score")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    for (nSalt <- Seq(1, 3, 8)) {
+      val two = graft.ops.TopK.rankTopK(df, "q_id", col("id"), order, 10,
+          "rank", nSalt)
+        .select("q_id", "rank", "id", "score")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+        .sortBy(t => (t._1, t._2)).toSeq
+      assert(two == single, s"two-phase (nSalt=$nSalt) diverged from the window")
+    }
+  }
+
+  test("hybridTopK text pre-cut: top-kCand ranks equal the uncut window's") {
+    // the pre-cut limits on the SAME total order the window ranks by, so
+    // the surviving rows and their ranks must be identical to ranking
+    // the full match set first — checked on COMMON terms (big match set)
+    val terms = Seq("data", "cache")
+    val scored = graft.ops.Retrieval.bm25Scored(docs, "doc_id", "text", terms)
+    val order = Seq(col("score_fix").desc, col("doc_id").asc)
+    val w = org.apache.spark.sql.expressions.Window.orderBy(order: _*)
+    val uncut = scored.withColumn("text_rank", row_number().over(w))
+      .filter(col("text_rank") <= 100)
+      .select("doc_id", "text_rank")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sortBy(_._2).toSeq
+    val cut = scored.orderBy(order: _*).limit(100)
+      .withColumn("text_rank", row_number().over(w))
+      .select("doc_id", "text_rank")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sortBy(_._2).toSeq
+    assert(uncut.nonEmpty && cut == uncut,
+      s"pre-cut ranking diverged (${cut.size} vs ${uncut.size} rows)")
+  }
+
+  test("ANN-composed hybrid: fusion ≡ driver-side RRF of its two component rank lists") {
+    import spark.implicits._
+    val qdef = Seq(
+      (1L, Seq("hash", "join"), 0L),
+      (4L, Seq("cache", "data"), 150L)).toDF("q_id", "terms", "src_vec")
+    val qs = qdef.join(emb.select(col("vec_id").as("src_vec"),
+      col("embedding")), "src_vec")
+    val corpus = emb.filter(col("vec_id") % 50 =!= 0)
+    val (cents, assigned) = Similarity.ivfBuild(corpus, "embedding", "vec_id")
+    val cb = Similarity.pqBuildCodebook(corpus, "embedding", "vec_id")
+    val index = Similarity.ivfPqEncode(assigned, "vec_id", cb)
+    val kCand = 30
+    val got = graft.ops.Retrieval.hybridServeAllAnn(docs, "doc_id", "text",
+        cents, index, corpus, "embedding", "vec_id", qs, "q_id", "terms",
+        cb, kCand = kCand, k = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Int]),
+        Option(r.get(4)).map(_.asInstanceOf[Int]), r.getLong(6)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    graft.ops.Caches.releaseAll()
+    // independent reference: fuse the two COMPONENT operators' rank
+    // lists driver-side with the exact integer RRF
+    val tr = graft.ops.Retrieval.bm25ServeAll(docs, "doc_id", "text",
+        qdef.select("q_id", "terms"), "q_id", "terms", k = kCand)
+      .select("q_id", "doc_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    graft.ops.Caches.releaseAll()
+    val vr = Similarity.ivfPqServeAll(cents, index, corpus, "embedding",
+        "vec_id", qs, "q_id", cb, k = kCand)
+      .select("q_id", "vec_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    def fix(r: Option[Int]): Long =
+      r.map(x => math.floor(1e12 / (x.toDouble + 60.0)).toLong).getOrElse(0L)
+    val expected = (tr.keySet ++ vr.keySet).toSeq
+      .map { case (q, id) =>
+        val (t, v) = (tr.get((q, id)), vr.get((q, id)))
+        (q, id, t, v, fix(t) + fix(v))
+      }
+      .groupBy(_._1).toSeq.flatMap { case (q, rows) =>
+        rows.sortBy(r => (-r._5, r._2)).take(10).zipWithIndex
+          .map { case ((_, id, t, v, f), i) => (q, i + 1, id, t, v, f) }
+      }
+      .sortBy(t => (t._1, t._2))
+    assert(got == expected, "composed fusion diverged from component RRF")
+    graft.ops.Caches.releaseAll()
   }
 
   test("hybrid RRF: both-list docs beat one-list docs; ranks surface; deterministic") {

@@ -42,6 +42,23 @@ object ScaleProbe {
           println(f"nProbe=$np_ refine=$rf K=$kC: recall@20=${(got & exact).size / 20.0}%.2f wall=${(System.nanoTime() - t0) / 1e9}%.2f s")
           System.gc()
         }
+        // residual IVFADC rows under the SAME protocol: sampled codebook
+        // (x59) vs residual-trained codebook (x80) at the cheap and the
+        // x71 quality dials — the BASELINE.md residual-quality rows
+        for ((np_, rf, kC, ti, ci) <- Seq((4, 3, 16, 0, 0), (4, 3, 16, 2, 0),
+                                          (6, 8, 256, 0, 0), (6, 8, 256, 2, 0),
+                                          (6, 8, 256, 0, 2), (6, 8, 256, 2, 2))) {
+          val t0 = System.nanoTime()
+          val got = graft.ops.Similarity.ivfPqResidualTopK(rest, "embedding",
+              "vec_id", q, 20, nLists = 16, nProbe = np_, m = 8,
+              nCentroids = kC, refine = rf, trainIters = ti, coarseIters = ci)
+            .collect().map(_.getLong(0)).toSet
+          graft.ops.Caches.releaseAll()
+          val label = (if (ci > 0) "kmeans-coarse " else "") +
+            (if (ti > 0) "residual-trained" else "residual-sampled")
+          println(f"$label nProbe=$np_ refine=$rf K=$kC: recall@20=${(got & exact).size / 20.0}%.2f wall=${(System.nanoTime() - t0) / 1e9}%.2f s")
+          System.gc()
+        }
       case "x72cands" =>
         // candidate-volume trajectory for the cell-composed kNN graph:
         // the fraction must SHRINK as n grows under the √n auto dial —

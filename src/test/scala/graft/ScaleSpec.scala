@@ -360,6 +360,67 @@ class ScaleSpec extends AnyFunSuite {
     } finally graft.util.Fs.deleteTree(java.nio.file.Paths.get(idxDir))
   }
 
+  test("x78 ANN-composed hybrid: written-index scan is codes-only; every per-query window pre-cut; no cartesian") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.window.WindowExec
+    val docs = Tables.documents(spark, dir)
+    val emb = Tables.embeddings(spark, dir)
+    val qdef = Seq(
+      (1L, Seq("data", "cache"), 0L),
+      (2L, Seq("spark", "vector"), 50L)).toDF("q_id", "terms", "src_vec")
+    val qs = qdef.join(emb.select(col("vec_id").as("src_vec"),
+      col("embedding")), "src_vec")
+    val corpus = emb.filter(col("vec_id") % 50 =!= 0)
+    val (cents, assigned) = Similarity.ivfBuild(corpus, "embedding", "vec_id")
+    val cb = Similarity.pqBuildCodebook(corpus, "embedding", "vec_id")
+    val idxDir = Files.createTempDirectory("x78_idx_").toString
+    try {
+      Similarity.ivfPqEncode(assigned, "vec_id", cb)
+        .select("vec_id", "centroid_id", "codes")
+        .write.mode("overwrite").partitionBy("centroid_id").parquet(idxDir)
+      def build() = graft.ops.Retrieval.hybridServeAllAnn(docs, "doc_id",
+        "text", cents, spark.read.parquet(idxDir), corpus, "embedding",
+        "vec_id", qs, "q_id", "terms", cb, kCand = 20, k = 10)
+      assert(build().count() > 0)
+      graft.ops.Caches.releaseAll()
+      val out = build()
+      val plan = out.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), plan)
+      // the vector side must read the written index's CODES, never a
+      // float vector column, at the ADC stage
+      def allScans(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          allScans(a.executedPlan)
+        case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          allScans(s.plan)
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+        case other => other.children.flatMap(allScans)
+      }
+      val idxScans = allScans(out.queryExecution.executedPlan)
+        .filter(_.relation.location.rootPaths.mkString.contains(
+          java.nio.file.Paths.get(idxDir).getFileName.toString))
+      assert(idxScans.nonEmpty, "no scan over the written index found")
+      idxScans.foreach(sc =>
+        assert(!sc.requiredSchema.fieldNames.contains("vec"),
+          s"ADC scan must not read float vectors: ${sc.requiredSchema}"))
+      // no per-query corpus window remains (the x77 weak item this
+      // operator replaces): every per-query window sits above either the
+      // salted 2-key local cut or a bounded candidate join
+      val perKey = out.queryExecution.sparkPlan.collect {
+        case w: WindowExec if w.partitionSpec.size == 1 => w }
+      assert(perKey.nonEmpty, "expected per-query windows")
+      perKey.foreach { w =>
+        assert(w.collectFirst {
+          case c: WindowExec if c.partitionSpec.size == 2 => c }.isDefined,
+          s"per-query window with no salted pre-cut beneath it:\n$w")
+      }
+    } finally {
+      graft.ops.Caches.releaseAll()
+      graft.util.Fs.deleteTree(java.nio.file.Paths.get(idxDir))
+    }
+  }
+
   test("x47/x53/x56 reuse one persisted window index: read-back runs bit-equal to inline builds") {
     val docs = Tables.documents(spark, dir)
     // the 100 TB shape: the stride-1 (doc, pos, md5-window) frame is
@@ -539,6 +600,57 @@ class ScaleSpec extends AnyFunSuite {
     hPlan.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).foreach { l =>
       assert(l.contains("Cross"), s"non-scalar nested loop join:\n$l")
     }
+    graft.ops.Caches.releaseAll()
+  }
+
+  test("x64/x65/x75/x76 rank windows: pre-cut or salted — no corpus-sized window partition") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.TakeOrderedAndProjectExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val docs = Tables.documents(spark, dir)
+    val emb = Tables.embeddings(spark, dir)
+    val qv = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+    // hybridTopK: every UNPARTITIONED window (global rank) must rank a
+    // TakeOrderedAndProject pre-cut, never the raw match set (the r9
+    // watch item: a common term made that window a corpus-sized
+    // single-partition sort)
+    val hPlan = graft.ops.Retrieval.hybridTopK(docs, emb, "doc_id", "text",
+        "embedding", "vec_id", Seq("data", "cache"), qv, kCand = 100, k = 10)
+      .queryExecution.sparkPlan
+    val globalWins = hPlan.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => w }
+    assert(globalWins.nonEmpty, s"expected global rank windows in:\n$hPlan")
+    globalWins.foreach { w =>
+      assert(w.collectFirst { case t: TakeOrderedAndProjectExec => t }.isDefined,
+        s"unpartitioned window ranks an un-cut input:\n$w")
+    }
+    // batch serving: every per-query (1-key) window must sit above the
+    // salted (2-key) local cut, so no window partition is ever a full
+    // candidate set of a hot term / hot cell
+    def assertSalted(plan: SparkPlan, what: String): Unit = {
+      val perKey = plan.collect {
+        case w: WindowExec if w.partitionSpec.size == 1 => w }
+      assert(perKey.nonEmpty, s"$what: expected per-query windows in:\n$plan")
+      perKey.foreach { w =>
+        assert(w.collectFirst {
+          case c: WindowExec if c.partitionSpec.size == 2 => c }.isDefined,
+          s"$what: per-query window with no salted pre-cut beneath it:\n$w")
+      }
+    }
+    val qs = Seq((1L, Seq("data", "cache"))).toDF("q_id", "terms")
+    assertSalted(graft.ops.Retrieval.bm25ServeAll(docs, "doc_id", "text",
+      qs, "q_id", "terms", k = 10).queryExecution.sparkPlan, "bm25ServeAll")
+    graft.ops.Caches.releaseAll()
+    val corpus = emb.filter(col("vec_id") % 50 =!= 0)
+    val qtab = emb.filter(col("vec_id") % 50 === 0)
+    val (cents, assigned) = Similarity.ivfBuild(corpus, "embedding", "vec_id")
+    val cb = Similarity.pqBuildCodebook(corpus, "embedding", "vec_id")
+    assertSalted(Similarity.ivfPqServeAll(cents,
+        Similarity.ivfPqEncode(assigned, "vec_id", cb), corpus,
+        "embedding", "vec_id", qtab, "vec_id", cb, k = 5)
+      .queryExecution.sparkPlan, "ivfPqServeAll")
     graft.ops.Caches.releaseAll()
   }
 
