@@ -183,6 +183,69 @@ object Retrieval {
     a.stats.unionByName(b.stats)
       .agg(sum(col("nd")).as("nd"), sum(col("ntok")).as("ntok")))
 
+  /** Engine-side term bucket: first 8 md5 hex digits of the term as an
+    * unsigned 32-bit int, mod `nBuckets` — md5 (not xxhash64) so the
+    * driver twin [[termBucketLocal]] and any external engine reproduce
+    * the same buckets (the [[Export.shardOf]] convention). */
+  private def termBucket(w: Column, nBuckets: Int): Column =
+    conv(substring(md5(w), 1, 8), 16, 10).cast("long") % nBuckets
+
+  /** Driver twin of [[termBucket]] — the identical md5-prefix
+    * arithmetic, so query terms' buckets can be pushed as a LITERAL
+    * partition filter (the x43 banded-seek discipline). */
+  private[graft] def termBucketLocal(w: String, nBuckets: Int): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(w.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16) %
+      nBuckets
+  }
+
+  /** WRITE the [[Bm25Model]] as the term-bucketed index tree — the
+    * storage shape behind the "index SEEK" serving claim: postings and
+    * df are `partitionBy(wb)` where wb = [[termBucket]], so a query
+    * batch reads only its terms' buckets (storage-level partition
+    * pruning, ScaleSpec-audited); stats is one tiny file. Rows sort by
+    * (wb, w) within partitions so re-runs produce identical files. */
+  def bm25WriteModel(model: Bm25Model, path: String,
+                     nBuckets: Int = 64): Unit = {
+    require(nBuckets > 0, s"need a positive bucket count, got $nBuckets")
+    model.postings.withColumn("wb", termBucket(col("w"), nBuckets))
+      .repartition(col("wb")).sortWithinPartitions(col("wb"), col("w"))
+      .write.mode("overwrite").partitionBy("wb").parquet(s"$path/postings")
+    model.df.withColumn("wb", termBucket(col("w"), nBuckets))
+      .repartition(col("wb")).sortWithinPartitions(col("wb"), col("w"))
+      .write.mode("overwrite").partitionBy("wb").parquet(s"$path/df")
+    model.stats.coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** SERVE a query batch from a WRITTEN [[bm25WriteModel]] tree — the
+    * true index SEEK: the batch's terms are collected (query-batch-
+    * sized, the [[Similarity.ivfPqProbe]] model-collect convention),
+    * their buckets pushed as a literal IN-filter on the partition
+    * column, so the postings/df scans read ONLY the matching bucket
+    * directories; the exact term match happens in the broadcast
+    * semi-join as in [[bm25ServeAllIndexed]]. Results are identical to
+    * the unwritten model's (bucket pruning keeps every matching-term
+    * row) — harness query x82's oracle is x76's SQL verbatim. */
+  def bm25ServeAllSeek(spark: org.apache.spark.sql.SparkSession,
+                       path: String, idCol: String, queries: DataFrame,
+                       qIdCol: String, termsCol: String, k: Int = 10,
+                       nBuckets: Int = 64): DataFrame = {
+    val terms = queries.select(explode(col(termsCol)).as("w"))
+      .distinct().collect().map(_.getString(0))
+    val buckets = terms.map(termBucketLocal(_, nBuckets))
+      .distinct.toSeq.map(Long.box)
+    val postings = spark.read.parquet(s"$path/postings")
+      .filter(col("wb").isin(buckets: _*))
+      .select(col(idCol), col("dl"), col("w"), col("tf"))
+    val dfT = spark.read.parquet(s"$path/df")
+      .filter(col("wb").isin(buckets: _*))
+      .select(col("w"), col("df"))
+    val stats = spark.read.parquet(s"$path/stats")
+    bm25ServeAllIndexed(Bm25Model(postings, dfT, stats), idCol, queries,
+      qIdCol, termsCol, k)
+  }
+
   /** [[bm25ServeAll]] FROM a maintained model — no corpus tokenize at
     * serve time: the query terms' postings rows come from a broadcast
     * semi-join on `w` (an index seek against term-bucketed storage), df
@@ -231,9 +294,10 @@ object Retrieval {
     * (qIdCol, termsCol: array<string>, vecCol: array<double>): the text
     * ranks come from [[bm25ServeAll]]'s shared-scan machinery, the
     * vector ranks from ONE corpus scan against the broadcast query-
-    * vector table (per-query rank windows — at larger query tables swap
-    * the exact side for [[Similarity.ivfPqServeAll]]; RRF only needs
-    * ranks), and the fusion is the same floor(10¹²/(60+r)) integer
+    * vector table (exact cosine — the verification-grade form; the
+    * PRODUCTION form is [[hybridServeAllAnn]], which serves the vector
+    * side from the written IVF×PQ index instead of rescanning), and the
+    * fusion is the same floor(10¹²/(60+r)) integer
     * arithmetic per query. Returns (q_id, idCol, text_rank, vec_rank,
     * rrf, rrf_fix, rank ≤ k) — each query's slice equals [[hybridTopK]]
     * on its own terms+vector (OpsSpec pins the law). Harness query x77

@@ -1484,6 +1484,23 @@ object Similarity {
         round(col("pq"), 6).as("pq_dist"), round(col("l2"), 6).as("l2_dist"))
   }
 
+  /** [[ivfPqServeAll]] over a BYTE-PACKED index (idCol, centroid_id,
+    * codes8: binary — [[ivfPqEncodePacked]]'s written shape): unpack
+    * in-plan (exact integer inverse) and serve unchanged — results are
+    * identical to the unpacked path on the same corpus (spec-pinned),
+    * and the batch ADC scan reads the m-byte binary column instead of a
+    * 32 B int array. */
+  def ivfPqServeAllPacked(centroids: DataFrame, packedIndex: DataFrame,
+                          vectors: DataFrame, vecCol: String, idCol: String,
+                          queries: DataFrame, qIdCol: String,
+                          codebook: Array[Array[Double]], k: Int,
+                          nProbe: Int = 4, refine: Int = 3, m: Int = 8,
+                          dims: Int = 64): DataFrame =
+    ivfPqServeAll(centroids,
+      packedIndex.withColumn("codes", pqUnpackCodes(col("codes8"))),
+      vectors, vecCol, idCol, queries, qIdCol, codebook, k, nProbe,
+      refine, m, dims)
+
   /** RESIDUAL IVF×PQ top-k — classic IVFADC: PQ encodes the residual
     * `v − centroid(cell)` instead of the raw vector, so the codebook
     * spends its 16 cells on the (much tighter) within-cell displacement

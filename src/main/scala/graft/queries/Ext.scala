@@ -351,6 +351,29 @@ object Ext {
         .orderBy("q_id", "rank")
     },
 
+    // BM25 INDEX-SEEK serving: the model is WRITTEN as the term-bucketed
+    // tree (postings/df partitionBy(wb), wb = md5-bucket of the term)
+    // and the query batch's buckets are pushed as a literal partition
+    // filter — the scan reads ONLY the matching bucket dirs
+    // (ScaleSpec-audited), the text analog of x43's banded seek /
+    // x58's cell pruning. Bucket pruning keeps every matching-term row,
+    // so the oracle is x76's whole-corpus SQL verbatim.
+    "x82_bm25_seek" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val qs = Seq(
+        (1L, Seq("hash", "join")),
+        (2L, Seq("spark", "vector")),
+        (3L, Seq("data", "filter", "stream")),
+        (4L, Seq("cache", "data"))).toDF("q_id", "terms")
+      val tree = java.nio.file.Files.createTempDirectory("x82_bm25_").toString
+      Retrieval.bm25WriteModel(
+        Retrieval.bm25BuildModel(docs, "doc_id", "text"), tree)
+      Retrieval.bm25ServeAllSeek(s, tree, "doc_id", qs, "q_id", "terms",
+          k = 10)
+        .orderBy("q_id", "rank")
+    },
+
     // BATCH hybrid retrieval: per-query BM25 ranks (x76's shared scan)
     // ⊕ per-query cosine ranks (ONE corpus scan against the broadcast
     // query-vector table) fused by RRF — x65's contract for a query
@@ -1533,6 +1556,11 @@ object Ext {
     // rebuilt whole-corpus model — x76's SQL IS the oracle (the
     // x70/x73/x79 law applied to text).
     "x81_bm25_incremental" -> x76Bm25ServeSql,
+
+    // x82 index-seek serving: bucket pruning keeps every matching-term
+    // row, so serving from the written bucketed tree ≡ the whole-corpus
+    // scan serve — x76's SQL verbatim again.
+    "x82_bm25_seek" -> x76Bm25ServeSql,
 
     // Batch hybrid replay: x76's text chain + per-query rounded-cosine
     // ranks over one corpus pass + x65's floor-of-one-IEEE-division

@@ -588,6 +588,64 @@ object StreamGate {
       }
     },
 
+    // STREAMING INDEX COMPACTION — s10's foreachBatch discipline composed
+    // with x79: each micro-batch of raw vector arrivals is COMPACTED into
+    // the written partitionBy(centroid_id) IVF×PQ tree against the frozen
+    // model (assigned + encoded inline, ONLY touched cells rewritten
+    // under dynamic partition overwrite), and serving probes the TREE
+    // after the drain — the streaming form of index maintenance: ingest
+    // compacts, the probe never sees a delta union (s11 serves
+    // static ∪ delta; this gate retires the delta entirely). Cell ids
+    // and codes are pure per-row functions of the frozen model and
+    // micro-batches deliver disjoint arrival sets, so the final tree ≡
+    // the whole-corpus encode and the oracle is x58's SQL verbatim
+    // (the x70/x73/x79 law, now under the streaming engine).
+    "s12_stream_index_compaction" -> { (s, dir) =>
+      val topic = arrivalVecTopic(s, dir)
+      withGateConf(s) {
+        val emb = Tables.embeddings(s, dir).filter(col("vec_id") =!= 0)
+        val (cents, assigned) = graft.ops.Similarity.ivfBuild(emb, "embedding", "vec_id")
+        val cb = graft.ops.Similarity.pqBuildCodebook(emb, "embedding", "vec_id")
+        val tree = gateTmpDir("s12_tree_")
+        // static tree: everything the arrival topic does NOT carry
+        graft.ops.Similarity.ivfPqEncode(assigned.filter(
+            !(col("vec_id") % 50 =!= 0 && col("vec_id") % 7 === 0)),
+            "vec_id", cb)
+          .select("vec_id", "centroid_id", "codes")
+          .write.mode("overwrite").partitionBy("centroid_id")
+          .parquet(tree.toString)
+        val ckpt = gateTmpDir("s12_ckpt_")
+        val stream = s.readStream.format("graft-topic")
+          .option("topic", topic)
+          .option("maxRecordsPerTrigger", math.max(1L, topicSize(topic) / 3).toString)
+          .load()
+          .select(from_json(col("value").cast("string"), org.apache.spark.sql.types
+            .StructType.fromDDL("vec_id BIGINT, v ARRAY<DOUBLE>")).as("j"))
+          .select(col("j.vec_id").as("vec_id"), col("j.v").as("embedding"))
+        val q = stream.writeStream
+          .foreachBatch { (df: DataFrame, _: Long) =>
+            if (!df.isEmpty)
+              graft.ops.Similarity.ivfPqCompact(tree.toString, cents, df,
+                "embedding", "vec_id", cb)
+            ()
+          }
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        drain(q, ckpt)
+        require(dataBatches(q) >= 2,
+          s"s12 must compact across batches; ran ${dataBatches(q)} data batches")
+        val qv = Tables.embeddings(s, dir).filter(col("vec_id") === 0)
+          .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+        val out = graft.ops.Caches.localCheckpointTracked(
+          graft.ops.Similarity.ivfPqProbe(cents,
+            s.read.parquet(tree.toString), emb, "embedding", "vec_id",
+            qv, cb, k = 20))
+        cleanupStep("tree delete")(graft.util.Fs.deleteTree(tree))
+        out
+      }
+    },
+
     // Streaming exact dedup under the gate: events replayed through the
     // topic → dropDuplicatesWithinWatermark(user_id) → append-mode memory
     // sink. WHICH occurrence survives is arrival-order-dependent, so the
@@ -1004,6 +1062,12 @@ object StreamGate {
     // merged delta serving equals the batch probe of the full corpus,
     // s08's replay verbatim.
     "s11_stream_delta_ann_serving" -> s08AnnServeSql,
+
+    // s12: static tree ∪ streamed arrivals = the whole vec_id<>0 corpus,
+    // cells/codes pure per-row functions of the frozen model — the
+    // compacted tree's probe equals the whole-corpus x58 probe, its SQL
+    // verbatim (the x70/x73/x79 law under the streaming engine).
+    "s12_stream_index_compaction" -> Ext.oracle("x58_ivfpq_topk"),
 
     // The FULL batch left join: the sentinel-closed watermark guarantees
     // every real click got its match rows or its null row — nothing is

@@ -1252,6 +1252,18 @@ class OpsSpec extends AnyFunSuite {
       val packed = Similarity.ivfPqProbePacked(cents, spark.read.parquet(packedDir),
         rest, "embedding", "vec_id", q, cb, k = 20).collect().toSeq
       assert(packed == plain, "packed probe diverged from the plain index")
+      // batch serving parity over the same two written indexes
+      val queries = rest.filter(col("vec_id") % 50 === 0)
+      val servePlain = Similarity.ivfPqServeAll(cents,
+          spark.read.parquet(plainDir), rest, "embedding", "vec_id",
+          queries, "vec_id", cb, k = 5)
+        .orderBy("q_id", "rank").collect().toSeq
+      val servePacked = Similarity.ivfPqServeAllPacked(cents,
+          spark.read.parquet(packedDir), rest, "embedding", "vec_id",
+          queries, "vec_id", cb, k = 5)
+        .orderBy("q_id", "rank").collect().toSeq
+      assert(servePacked == servePlain,
+        "packed batch serving diverged from the plain index")
       // and pack∘unpack is the identity on the codes themselves
       val roundTrip = Similarity.ivfPqEncodePacked(assigned, "vec_id", cb)
         .withColumn("back", Similarity.pqUnpackCodes(col("codes8")))

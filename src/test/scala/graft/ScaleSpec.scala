@@ -654,6 +654,42 @@ class ScaleSpec extends AnyFunSuite {
     graft.ops.Caches.releaseAll()
   }
 
+  test("x82 BM25 seek: postings scan prunes to exactly the query terms' buckets") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val tree = Files.createTempDirectory("bm25_tree_").toString
+    try {
+      graft.ops.Retrieval.bm25WriteModel(
+        graft.ops.Retrieval.bm25BuildModel(docs, "doc_id", "text"), tree)
+      val qs = Seq((1L, Seq("data", "cache")), (2L, Seq("spark"))).toDF("q_id", "terms")
+      val served = graft.ops.Retrieval.bm25ServeAllSeek(spark, tree,
+        "doc_id", qs, "q_id", "terms", k = 10)
+      assert(served.count() > 0)
+      val expectBuckets = Seq("data", "cache", "spark")
+        .map(graft.ops.Retrieval.termBucketLocal(_, 64)).distinct.size
+      def allScans(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          allScans(a.executedPlan)
+        case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          allScans(s.plan)
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+        case other => other.children.flatMap(allScans)
+      }
+      val postingScans = allScans(served.queryExecution.executedPlan)
+        .filter(_.relation.location.rootPaths.mkString.contains("postings"))
+      assert(postingScans.nonEmpty, "no scan over the written postings found")
+      postingScans.foreach { sc =>
+        assert(sc.partitionFilters.mkString.contains("wb"),
+          s"bucket predicate must become a partition filter:\n${sc.partitionFilters}")
+        assert(sc.selectedPartitions.partitionCount <= expectBuckets,
+          s"read ${sc.selectedPartitions.partitionCount} bucket dirs for " +
+            s"$expectBuckets query-term buckets")
+      }
+      graft.ops.Caches.releaseAll()
+    } finally graft.util.Fs.deleteTree(java.nio.file.Paths.get(tree))
+  }
+
   test("x66 export: reading one shard prunes storage partitions to exactly that shard") {
     val docs = Tables.documents(spark, dir)
     val tmp = Files.createTempDirectory("x66_export_").toString
