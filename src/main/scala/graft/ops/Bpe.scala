@@ -111,6 +111,84 @@ object Bpe {
     merges.toSeq
   }
 
+  /** DISTRIBUTED corpus BPE training — [[train]]'s algorithm run over a
+    * documents TABLE instead of a driver-side string: word counts are
+    * ONE corpus pass/shuffle (the only corpus-sized work — classic BPE
+    * trains on the word-frequency table), and each merge round then
+    * operates on the VOCABULARY-sized (word, cnt, symbol-state) frame:
+    * pair counts weighted by word frequency, argmax with the total
+    * order (count desc, a asc, b asc), one `replace` pass applying the
+    * merge. The driver carries only `nMerges` round trips and the
+    * (a, b) pairs — never data; per-round frames are
+    * localCheckpointScoped and released (the [[Similarity
+    * .ivfBuildKmeans]] Lloyd discipline). At 100 TB the vocab frame is
+    * millions of rows, so rounds stay distributed rather than
+    * collapsing the vocabulary to the driver.
+    *
+    * The symbol state is the brace-delimited string of
+    * [[oracleSqlExpr]]'s convention ("{h} {i} "), so one `replace(s,
+    * "{a} {b}", "{ab}")` IS the left-to-right non-overlapping merge
+    * pass ([[applyMergeOnce]]'s semantics) in Spark and DuckDB alike —
+    * everything is exact integer counts and string rewriting, zero
+    * floats, so harness query x83 replays the whole training (unrolled
+    * rounds, the x57 Lloyd-unrolling pattern) and the application in
+    * SQL. Ties: (count desc, a asc, b asc) — OpsSpec pins distributed ≡
+    * the sequential reference [[train]] on the same corpus. */
+  def trainCorpus(docs: org.apache.spark.sql.DataFrame, textCol: String,
+                  nMerges: Int): Seq[(String, String)] = {
+    import org.apache.spark.sql.functions._
+    var cur = Caches.localCheckpointScoped(docs
+      .select(explode(expr(
+        s"regexp_extract_all(lower($textCol), '[a-z0-9]+', 0)")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .withColumn("s", regexp_replace(col("w"), "(.)", "\\{$1\\} ")))
+    val found = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    for (_ <- 1 to nMerges) {
+      val best = cur.df
+        .select(col("cnt"),
+          expr("regexp_extract_all(s, '\\\\{([^}]*)\\\\}', 1)").as("sy"))
+        .filter(size(col("sy")) > 1)
+        .select(col("cnt"), explode(expr(
+          "transform(sequence(1, size(sy) - 1), " +
+            "i -> struct(element_at(sy, i) AS a, element_at(sy, i + 1) AS b))"))
+          .as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("cnt")).as("n"))
+        .filter(col("n") >= 2) // the [[train]] rule: never memorize a count-1 pair
+        .orderBy(col("n").desc, col("a").asc, col("b").asc)
+        .limit(1).collect()
+      require(best.nonEmpty,
+        s"corpus exhausted after ${found.size} of $nMerges merges " +
+          "(no pair occurs twice); lower nMerges")
+      val (a, b) = (best(0).getString(0), best(0).getString(1))
+      found += ((a, b))
+      val next = Caches.localCheckpointScoped(cur.df.withColumn("s",
+        replace(col("s"), lit(s"{$a} {$b}"), lit(s"{$a$b}"))))
+      cur.release()
+      cur = next
+    }
+    cur.release()
+    found.toSeq
+  }
+
+  /** Spark Column: BPE token count of `textCol` under an arbitrary
+    * merge `table` — the brace-string prep (words joined "/ " so merges
+    * cannot cross word boundaries) folded through one codegen'd
+    * `replace` per merge, then '{' counted. Bit-identical to
+    * [[tokenCount]] with the same table (OpsSpec pins it) and to the
+    * oracle's replace-chain. */
+  def tokenCountUnder(textCol: org.apache.spark.sql.Column,
+                      table: Seq[(String, String)]): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val prep = array_join(transform(
+      regexp_extract_all(lower(textCol), lit("[a-z0-9]+"), lit(0)),
+      w => regexp_replace(w, "(.)", "\\{$1\\} ")), "/ ")
+    val merged = table.foldLeft(prep) { case (c, (a, b)) =>
+      replace(c, lit(s"{$a} {$b}"), lit(s"{$a$b}"))
+    }
+    (length(merged) - length(replace(merged, lit("{"), lit("")))).cast("int")
+  }
+
   /** The fixed merge table (trained once per JVM; deterministic). */
   lazy val merges: IndexedSeq[(String, String)] = train(seedText, 120).toIndexedSeq
 

@@ -218,6 +218,70 @@ object Retrieval {
     model.stats.coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
   }
 
+  /** COMPACTION of a written [[bm25WriteModel]] tree (the text analog of
+    * [[Similarity.ivfPqCompact]]): fold an appended-docs delta into the
+    * term-bucketed index. The delta builds ITS OWN model (cost ∝
+    * |delta|); ONLY the buckets its terms touch are rewritten —
+    * postings union, df re-aggregated per (bucket, term), both under
+    * dynamic partition overwrite — and the 1-row stats file adds. Every
+    * model field is an exact re-aggregatable count, so
+    * serve-after-compaction ≡ serve-from-rebuilt bit-for-bit (the
+    * x70/x73/x79/x81 law; harness query x84's oracle is x76's SQL
+    * verbatim, and s13 runs the same fold per micro-batch under the
+    * streaming engine). Doc sets must be disjoint (appends are new
+    * docs). Merged frames are materialized (localCheckpoint) before the
+    * overwrite starts — Spark cannot safely overwrite storage it is
+    * still lazily reading. */
+  def bm25Compact(spark: org.apache.spark.sql.SparkSession, path: String,
+                  deltaDocs: DataFrame, idCol: String, textCol: String,
+                  nBuckets: Int = 64): Unit = {
+    val deltaM = bm25BuildModel(deltaDocs, idCol, textCol)
+    val dp = deltaM.postings.withColumn("wb", termBucket(col("w"), nBuckets))
+    val touched = dp.select("wb").distinct()
+    def withDynamicOverwrite(body: => Unit): Unit = {
+      val key = "spark.sql.sources.partitionOverwriteMode"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "dynamic")
+      try body finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+    val mergedP = Caches.localCheckpointScoped(
+      spark.read.parquet(s"$path/postings")
+        .withColumn("wb", col("wb").cast("long"))
+        .join(broadcast(touched), "wb")
+        .select(col(idCol), col("dl"), col("w"), col("tf"), col("wb"))
+        .unionByName(dp.select(col(idCol), col("dl"), col("w"), col("tf"),
+          col("wb")))
+        .repartition(col("wb")).sortWithinPartitions(col("wb"), col("w")))
+    val mergedDf = Caches.localCheckpointScoped(
+      spark.read.parquet(s"$path/df")
+        .withColumn("wb", col("wb").cast("long"))
+        .join(broadcast(touched), "wb")
+        .select(col("w"), col("df"), col("wb"))
+        .unionByName(deltaM.df
+          .withColumn("wb", termBucket(col("w"), nBuckets))
+          .select(col("w"), col("df"), col("wb")))
+        .groupBy("wb", "w").agg(sum(col("df")).as("df"))
+        .repartition(col("wb")).sortWithinPartitions(col("wb"), col("w")))
+    val mergedStats = Caches.localCheckpointScoped(
+      spark.read.parquet(s"$path/stats").unionByName(deltaM.stats)
+        .agg(sum(col("nd")).as("nd"), sum(col("ntok")).as("ntok")))
+    try {
+      withDynamicOverwrite {
+        mergedP.df.write.mode("overwrite").partitionBy("wb")
+          .parquet(s"$path/postings")
+        mergedDf.df.select(col("w"), col("df"), col("wb"))
+          .write.mode("overwrite").partitionBy("wb").parquet(s"$path/df")
+      }
+      mergedStats.df.coalesce(1).write.mode("overwrite")
+        .parquet(s"$path/stats")
+    } finally {
+      mergedP.release(); mergedDf.release(); mergedStats.release()
+    }
+  }
+
   /** SERVE a query batch from a WRITTEN [[bm25WriteModel]] tree — the
     * true index SEEK: the batch's terms are collected (query-batch-
     * sized, the [[Similarity.ivfPqProbe]] model-collect convention),
@@ -378,6 +442,66 @@ object Retrieval {
         k = kCand)
       .select(col("q_id"), col(idCol).as("id"),
         col("rank").as("text_rank"))
+    val vRanks = Similarity.ivfPqServeAll(centroids, index, vectors,
+        vecCol, embIdCol, queries, qIdCol, codebook, k = kCand,
+        nProbe = nProbe, refine = refine, m = m, dims = dims)
+      .select(col("q_id"), col(embIdCol).as("id"),
+        col("rank").as("vec_rank"))
+    tRanks.join(vRanks, Seq("q_id", "id"), "full_outer")
+      .withColumn("rrf_fix",
+        coalesce(rrfFix(col("text_rank")), lit(0L)) +
+          coalesce(rrfFix(col("vec_rank")), lit(0L)))
+      .withColumn("rank", row_number().over(Window.partitionBy("q_id")
+        .orderBy(col("rrf_fix").desc, col("id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("id").as(idCol),
+        col("text_rank"), col("vec_rank"),
+        round(col("rrf_fix").cast("double") / lit(1e12), 6).as("rrf"),
+        col("rrf_fix"))
+  }
+
+  /** [[hybridServeAllAnn]] with BOTH sides served from WRITTEN index
+    * trees — the fully-deployed hybrid shape: the text ranks come from
+    * [[bm25ServeAllSeek]] (term-bucket partition dirs pruned by the
+    * query batch's literal bucket set) and the vector ranks from
+    * [[Similarity.ivfPqServeAll]] over the written
+    * `partitionBy(centroid_id)` IVF×PQ tree with the batch's probed
+    * cells pushed as a literal partition filter (the same x43/x58/x82
+    * seek discipline on both sides) — so serving reads ONLY the bucket
+    * and cell directories this query batch touches, never either
+    * corpus. Both reads are exact (bucket pruning keeps every
+    * matching-term row; the probed-cell set is the union of every
+    * query's `assignProbeCells`, so each query's equi-join still sees
+    * all its cells), hence results ≡ [[hybridServeAllAnn]] on the same
+    * model — harness query x85's oracle is x78's SQL verbatim, and s14
+    * runs this after per-micro-batch [[bm25Compact]] /
+    * [[Similarity.ivfPqCompact]] folds maintain the two trees under
+    * the streaming engine. */
+  def hybridServeAllSeek(spark: org.apache.spark.sql.SparkSession,
+                         bm25Path: String, annPath: String, idCol: String,
+                         centroids: DataFrame, vectors: DataFrame,
+                         vecCol: String, embIdCol: String,
+                         queries: DataFrame, qIdCol: String,
+                         termsCol: String, codebook: Array[Array[Double]],
+                         kCand: Int = 100, k: Int = 10, nProbe: Int = 4,
+                         refine: Int = 3, m: Int = 8, dims: Int = 64,
+                         nBuckets: Int = 64): DataFrame = {
+    val tRanks = bm25ServeAllSeek(spark, bm25Path, idCol,
+        queries.select(col(qIdCol), col(termsCol)), qIdCol, termsCol,
+        k = kCand, nBuckets = nBuckets)
+      .select(col("q_id"), col(idCol).as("id"),
+        col("rank").as("text_rank"))
+    // union of every query's probe cells (model-sized: nProbe × |batch|),
+    // pushed as a literal partition filter → the tree scan reads only
+    // those cell dirs; ivfPqServeAll re-derives each query's own cells
+    // and equi-joins, so the pre-filter is a pure superset cut
+    val cells = Similarity.assignProbeCells(queries, vecCol, qIdCol,
+        centroids, nProbe)
+      .select(col("centroid_id").cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq.map(Long.box)
+    val index = spark.read.parquet(annPath)
+      .filter(col("centroid_id").isin(cells: _*))
+      .withColumn("centroid_id", col("centroid_id").cast("long"))
     val vRanks = Similarity.ivfPqServeAll(centroids, index, vectors,
         vecCol, embIdCol, queries, qIdCol, codebook, k = kCand,
         nProbe = nProbe, refine = refine, m = m, dims = dims)

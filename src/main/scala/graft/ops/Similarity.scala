@@ -18,6 +18,43 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** JOHNSON–LINDENSTRAUSS random projection: `outDims` dot products per
+    * row against the SAME md5-derived uniform[−1,1] hyperplane matrix the
+    * RHP-LSH family uses ([[VectorFunctions.rhpPlanes]] — the projected
+    * coordinate IS the pre-sign dot the signature would threshold). The
+    * 100 TB shape: one shuffle-free codegen'd pass, NO stored or trained
+    * model — the matrix re-derives from md5 anywhere, identically, so
+    * projecting 64 → 16 dims quarters every downstream dot (ANN scans,
+    * semantic-dedup verification, kNN graph builds) for a bounded,
+    * measured recall cost (OpsSpec pins the recall floor; the JL lemma
+    * bounds the distortion in expectation). Deterministic end to end —
+    * harness query x86 replays the matrix, the projection folds and the
+    * projected-space cosine top-k in SQL. */
+  def randomProject(emb: DataFrame, vecCol: String, idCol: String,
+                    outDims: Int, dims: Int = 64): DataFrame = {
+    val pl = typedLit(VectorFunctions.rhpPlanes(outDims, dims).map(_.toSeq))
+    val v = col(vecCol).cast("array<double>")
+    emb.select(col(idCol),
+      transform(sequence(lit(0), lit(outDims - 1)), j =>
+        aggregate(sequence(lit(1), lit(dims)), lit(0.0), (acc, i) =>
+          acc + element_at(v, i) * element_at(element_at(pl, j + 1), i)))
+        .as("proj"))
+  }
+
+  /** Driver-side twin of [[randomProject]] for a constant query vector:
+    * identical plane order and sequential IEEE accumulation, so a
+    * projected query lands bit-for-bit where the column fold would put
+    * it (the [[VectorFunctions.rhpBandsLocal]] convention). */
+  def randomProjectLocal(vec: Seq[Double], outDims: Int): IndexedSeq[Double] = {
+    val planes = VectorFunctions.rhpPlanes(outDims, vec.length)
+    (0 until outDims).map { j =>
+      var acc = 0.0
+      var i = 0
+      while (i < vec.length) { acc += vec(i) * planes(j)(i); i += 1 }
+      acc
+    }
+  }
+
   /** Exact top-k by cosine against a constant query vector. */
   def topKCosine(emb: DataFrame, vecCol: String, idCol: String,
                  queryVec: Seq[Double], k: Int): DataFrame = {

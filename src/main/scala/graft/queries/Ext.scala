@@ -89,6 +89,23 @@ object Ext {
         queryVec = queryVec(s, dir), k = 20)
     },
 
+    // JL RANDOM-PROJECTION top-k (the dimensionality-reduction scale
+    // path): corpus and query projected 64 → 16 dims through the
+    // md5-derived uniform[−1,1] plane matrix (the RHP family's — a
+    // projected coordinate is the pre-sign dot the signature would
+    // threshold), then exact cosine top-20 IN THE PROJECTED SPACE. One
+    // shuffle-free pass, no stored model — the matrix re-derives from
+    // md5 identically anywhere. FULL oracle of the whole reduction: the
+    // matrix, both projection folds and the projected cosine replay in
+    // SQL (the x06 plane derivation + x05 dot arithmetic).
+    "x86_random_projection_topk" -> { (s, dir) =>
+      val corpus = Tables.embeddings(s, dir).filter(col("vec_id") =!= 0)
+      val qp = Similarity.randomProjectLocal(queryVec(s, dir), 16)
+      Similarity.topKCosine(
+        Similarity.randomProject(corpus, "embedding", "vec_id", 16),
+        vecCol = "proj", idCol = "vec_id", queryVec = qp, k = 20)
+    },
+
     // RHP-LSH ANN top-k — FULL oracle of the approximation itself: the
     // hyperplanes are md5-derived (VectorFunctions.rhpPlanes), so the
     // DuckDB oracle rebuilds the identical matrix, signatures, Hamming
@@ -374,6 +391,37 @@ object Ext {
         .orderBy("q_id", "rank")
     },
 
+    // BM25 INDEX COMPACTION (x79's discipline on the text side): the
+    // static 6/7 model is WRITTEN as the term-bucketed tree, the 1/7
+    // delta builds its own model (cost ∝ |delta|) and bm25Compact folds
+    // it in — only the delta terms' buckets rewritten (dynamic partition
+    // overwrite), stats add — then serving seeks the compacted TREE.
+    // Every field is an exact re-aggregatable count, so
+    // serve-after-compaction ≡ rebuilt-serve: x76's SQL verbatim.
+    "x84_bm25_compact" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val qs = Seq(
+        (1L, Seq("hash", "join")),
+        (2L, Seq("spark", "vector")),
+        (3L, Seq("data", "filter", "stream")),
+        (4L, Seq("cache", "data"))).toDF("q_id", "terms")
+      val tree = java.nio.file.Files.createTempDirectory("x84_bm25_").toString
+      // 16-bucket GATE dial (results are bucket-count-invariant — the
+      // oracle is bucketless; 64 stays the documented production default,
+      // exercised by x82 and its ScaleSpec audit): at sf0.1 every delta
+      // touches nearly all dirs, so fewer dirs = less gate-scale write
+      // machinery without changing what is proven
+      Retrieval.bm25WriteModel(Retrieval.bm25BuildModel(
+        docs.filter(col("doc_id") % 7 =!= 0), "doc_id", "text"), tree,
+        nBuckets = 16)
+      Retrieval.bm25Compact(s, tree, docs.filter(col("doc_id") % 7 === 0),
+        "doc_id", "text", nBuckets = 16)
+      Retrieval.bm25ServeAllSeek(s, tree, "doc_id", qs, "q_id", "terms",
+          k = 10, nBuckets = 16)
+        .orderBy("q_id", "rank")
+    },
+
     // BATCH hybrid retrieval: per-query BM25 ranks (x76's shared scan)
     // ⊕ per-query cosine ranks (ONE corpus scan against the broadcast
     // query-vector table) fused by RRF — x65's contract for a query
@@ -419,6 +467,43 @@ object Ext {
           "text", cents, Similarity.ivfPqEncode(assigned, "vec_id", cb),
           corpus, "embedding", "vec_id", qs, "q_id", "terms", cb,
           kCand = 100, k = 10)
+        .orderBy("q_id", "rank")
+    },
+
+    // FULLY-DEPLOYED hybrid serving — x78's composition with BOTH sides
+    // read from WRITTEN trees: the BM25 model written term-bucketed
+    // (x82's tree), the IVF×PQ index written partitionBy(centroid_id)
+    // (x79/s12's tree), and hybridServeAllSeek seeks both — term-bucket
+    // dirs and probed-cell dirs pruned by literal partition filters,
+    // neither corpus rescanned. Same model, same dials, exact reads ⇒
+    // x78's SQL verbatim (the x82 law on the text side, the superset-cut
+    // argument on the vector side).
+    "x85_hybrid_seek" -> { (s, dir) =>
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      val qdef = Seq(
+        (1L, Seq("hash", "join"), 0L),
+        (2L, Seq("spark", "vector"), 50L),
+        (3L, Seq("data", "filter", "stream"), 100L),
+        (4L, Seq("cache", "data"), 150L)).toDF("q_id", "terms", "src_vec")
+      val qs = qdef.join(emb.select(col("vec_id").as("src_vec"),
+        col("embedding")), "src_vec")
+      val corpus = emb.filter(col("vec_id") % 50 =!= 0)
+      val (cents, assigned) = Similarity.ivfBuild(corpus, "embedding", "vec_id")
+      val cb = Similarity.pqBuildCodebook(corpus, "embedding", "vec_id")
+      val bm25Tree = java.nio.file.Files.createTempDirectory("x85_bm25_").toString
+      val annTree = java.nio.file.Files.createTempDirectory("x85_ann_").toString
+      // x84's 16-bucket gate dial; 64 stays the production default
+      // (exercised by x82 and both ScaleSpec seek audits)
+      Retrieval.bm25WriteModel(Retrieval.bm25BuildModel(
+        Tables.documents(s, dir), "doc_id", "text"), bm25Tree,
+        nBuckets = 16)
+      Similarity.ivfPqEncode(assigned, "vec_id", cb)
+        .select("vec_id", "centroid_id", "codes")
+        .write.mode("overwrite").partitionBy("centroid_id").parquet(annTree)
+      Retrieval.hybridServeAllSeek(s, bm25Tree, annTree, "doc_id", cents,
+          corpus, "embedding", "vec_id", qs, "q_id", "terms", cb,
+          kCand = 100, k = 10, nBuckets = 16)
         .orderBy("q_id", "rank")
     },
 
@@ -565,6 +650,24 @@ object Ext {
           TextStats.tokenCount(col("text")).as("ws_tokens"),
           graft.functions.TextExpressions.bpeTokenCountNative(col("text"))
             .as("bpe_tokens"))
+        .orderBy("doc_id")
+    },
+
+    // CORPUS-TRAINED BPE (x44's application with a DATA-derived model):
+    // graft.ops.Bpe.trainCorpus learns 6 merges from the documents table
+    // itself — word counts are one corpus pass, each round's pair argmax
+    // and merge apply run on the vocabulary-sized frame — then every doc
+    // is tokenized under the learned table. FULL oracle of the TRAINING:
+    // the rounds unroll as CTEs (the x57 Lloyd-unrolling pattern), each
+    // replaying pair counts (exact integers), the (count desc, a, b)
+    // argmax, and the brace-string replace pass; application is the
+    // replace chain over the learned pairs. Any drift in any round
+    // flips the per-doc counts.
+    "x83_bpe_corpus_trained" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val table = graft.ops.Bpe.trainCorpus(docs, "text", nMerges = 6)
+      docs.select(col("doc_id"),
+          graft.ops.Bpe.tokenCountUnder(col("text"), table).as("bpe_tokens"))
         .orderBy("doc_id")
     },
 
@@ -1384,254 +1487,64 @@ object Ext {
       |FROM e JOIN cand USING (vec_id), q
       |ORDER BY cos_sim DESC, vec_id ASC LIMIT 20""".stripMargin
 
+  /** x83's oracle: corpus BPE training REPLAYED in SQL — nMerges=6
+    * rounds unrolled as CTE chains (the x57 Lloyd-unrolling pattern).
+    * Round r: pair counts over the vocab frame's brace strings (exact
+    * integers, overlapping adjacent pairs, never across words), the
+    * (count desc, a, b) argmax with the ≥2 rule, one replace pass; the
+    * application chain then folds the six learned pairs over each
+    * doc's brace string and counts '{'. Zero floats anywhere. */
+  private val x83BpeSql: String = {
+    val rounds = (1 to 6).map { r =>
+      val prev = s"s${r - 1}"
+      s"""|p$r AS (
+          |  SELECT string_split(pr, ' ')[1] AS a, string_split(pr, ' ')[2] AS b,
+          |    SUM(cnt) AS n
+          |  FROM (
+          |    SELECT cnt, unnest(list_transform(generate_series(1, len(sy) - 1),
+          |      i -> sy[i] || ' ' || sy[i + 1])) AS pr
+          |    FROM (SELECT cnt, regexp_extract_all(s, '\\{([^}]*)\\}', 1) AS sy FROM $prev)
+          |    WHERE len(sy) > 1)
+          |  GROUP BY 1, 2),
+          |b$r AS (SELECT a, b FROM p$r WHERE n >= 2 ORDER BY n DESC, a, b LIMIT 1),
+          |s$r AS (
+          |  SELECT cnt, replace(s, '{' || b$r.a || '} {' || b$r.b || '}',
+          |    '{' || b$r.a || b$r.b || '}') AS s
+          |  FROM $prev, b$r),""".stripMargin
+    }.mkString("\n")
+    val apps = (1 to 6).map { r =>
+      s"""|app$r AS (
+          |  SELECT doc_id, replace(s, '{' || b$r.a || '} {' || b$r.b || '}',
+          |    '{' || b$r.a || b$r.b || '}') AS s
+          |  FROM app${r - 1}, b$r),""".stripMargin
+    }.mkString("\n")
+    s"""|WITH w0 AS (
+        |  SELECT w, COUNT(*) AS cnt FROM (
+        |    SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+        |    FROM documents)
+        |  GROUP BY w),
+        |s0 AS (SELECT cnt, regexp_replace(w, '(.)', '{\\1} ', 'g') AS s FROM w0),
+        |$rounds
+        |app0 AS (
+        |  SELECT doc_id, array_to_string(list_transform(
+        |    regexp_extract_all(lower(text), '[a-z0-9]+'),
+        |    w -> regexp_replace(w, '(.)', '{\\1} ', 'g')), '/ ') AS s
+        |  FROM documents),
+        |$apps
+        |final AS (SELECT doc_id, s FROM app6)
+        |SELECT doc_id,
+        |  CAST(length(s) - length(replace(s, '{', '')) AS INT) AS bpe_tokens
+        |FROM final ORDER BY doc_id""".stripMargin
+  }
+
   private val enList = TextStats.stopwords("en").map(w => s"'$w'").mkString("[", ",", "]")
   private val esList = TextStats.stopwords("es").map(w => s"'$w'").mkString("[", ",", "]")
   private val deList = TextStats.stopwords("de").map(w => s"'$w'").mkString("[", ",", "]")
 
-  val oracle: Map[String, String] = Map(
-    "x30_gopher_quality" ->
-      """WITH tok AS (
-        |  SELECT doc_id, text, string_split(text, ' ') AS ts FROM documents
-        |  WHERE len(string_split(text, ' ')) >= 2),
-        |bi AS (
-        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(ts) - 1),
-        |    i -> ts[i] || ' ' || ts[i+1])) AS g
-        |  FROM tok),
-        |bc AS (SELECT doc_id, g, COUNT(*) AS n FROM bi GROUP BY 1, 2),
-        |frac AS (
-        |  SELECT doc_id, round(MAX(n) * 1.0 / SUM(n), 6) AS top_bigram_frac
-        |  FROM bc GROUP BY doc_id),
-        |stats AS (
-        |  SELECT doc_id, len(ts) AS n_words,
-        |    round(len(replace(text, ' ', '')) * 1.0 / len(ts), 6) AS mean_word_len,
-        |    round(len(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / len(text), 6) AS digit_ratio
-        |  FROM tok)
-        |SELECT s.doc_id, s.n_words, s.mean_word_len, s.digit_ratio, f.top_bigram_frac,
-        |  (s.n_words >= 10 AND s.mean_word_len <= 12 AND s.digit_ratio <= 0.2
-        |   AND f.top_bigram_frac <= 0.2) AS passes
-        |FROM stats s JOIN frac f ON s.doc_id = f.doc_id
-        |ORDER BY s.doc_id""".stripMargin,
-
-    "x31_label_centroids" ->
-      """WITH pe AS (
-        |  SELECT label, unnest(generate_series(0, len(embedding) - 1)) AS pos,
-        |         CAST(unnest(embedding) AS DOUBLE) AS v
-        |  FROM embeddings),
-        |dims AS (
-        |  SELECT label, pos, COUNT(*) AS n,
-        |    round(CAST(SUM(CAST(v AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6) AS m
-        |  FROM pe GROUP BY label, pos)
-        |SELECT label, MAX(n) AS n_vectors,
-        |  round(sqrt(CAST(SUM(CAST(m * m AS DECIMAL(38,12))) AS DOUBLE)), 6) AS centroid_norm,
-        |  MAX(CASE WHEN pos = 0 THEN m END) AS centroid_d0
-        |FROM dims GROUP BY label ORDER BY label""".stripMargin,
-
-    "x32_token_histogram" ->
-      """SELECT CAST(LEAST(FLOOR(len(string_split(text, ' ')) / 50), 19) AS BIGINT) AS bucket,
-        |  COUNT(*) AS n_docs,
-        |  MIN(len(string_split(text, ' '))) AS min_tokens,
-        |  MAX(len(string_split(text, ' '))) AS max_tokens
-        |FROM documents GROUP BY 1 ORDER BY bucket""".stripMargin,
-
-    "x33_bloom_join" ->
-      """SELECT o_orderpriority, COUNT(*) AS order_cnt,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS revenue
-        |FROM orders JOIN customer ON o_custkey = c_custkey
-        |WHERE c_mktsegment = 'BUILDING'
-        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
-
-    "x01_dedup_exact" ->
-      """SELECT md5(text) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS dup_cnt
-        |FROM documents GROUP BY text ORDER BY fp""".stripMargin,
-
-    "x02_ngram_jaccard_pairs" ->
-      """WITH tok AS (
-        |  SELECT doc_id, lang, string_split(text, ' ') AS ts FROM documents
-        |  WHERE len(string_split(text, ' ')) >= 3),
-        |tri AS (
-        |  SELECT DISTINCT doc_id, lang,
-        |    unnest(list_transform(generate_series(1, len(ts) - 2),
-        |      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS g
-        |  FROM tok),
-        |nt AS (SELECT doc_id, COUNT(*) AS n FROM tri GROUP BY doc_id),
-        |pairs AS (
-        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS common
-        |  FROM tri a JOIN tri b ON a.g = b.g AND a.lang = b.lang AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2)
-        |SELECT a_id, b_id, common, na.n AS na, nb.n AS nb,
-        |       common * 1.0 / (na.n + nb.n - common) AS jac
-        |FROM pairs JOIN nt na ON a_id = na.doc_id JOIN nt nb ON b_id = nb.doc_id
-        |WHERE common * 1.0 / (na.n + nb.n - common) >= 0.5
-        |ORDER BY a_id, b_id""".stripMargin,
-
-    "x05_cosine_topk" ->
-      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
-        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id <> 0)
-        |SELECT vec_id,
-        |  round(
-        |    list_sum(list_transform(generate_series(1, len(v)), i -> v[i] * qv[i])) /
-        |    (sqrt(list_sum(list_transform(generate_series(1, len(v)), i -> v[i] * v[i]))) *
-        |     sqrt(list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * qv[i])))),
-        |  6) AS cos_sim
-        |FROM e, q
-        |ORDER BY cos_sim DESC, vec_id ASC LIMIT 20""".stripMargin,
-
-    // Full oracle of the ANN approximation itself: the hyperplane matrix is
-    // md5-derived (see VectorFunctions.rhpPlanes), integer-exact in both
-    // engines; projections/cosines are the same sequential IEEE folds as
-    // x05's (list_sum == the codegen'd dot's accumulation order); the
-    // signature pack is integer arithmetic, so no order sensitivity.
-    "x06_ann_lsh_topk" ->
-      """WITH h AS (
-        |  SELECT b, list_transform(generate_series(0, 63),
-        |    d -> (CAST('0x' || substr(md5('rhp:' || CAST(b AS VARCHAR) || ':' || CAST(d AS VARCHAR)), 1, 8) AS UBIGINT) % 2000001) / 1000000.0 - 1.0) AS hv
-        |  FROM generate_series(0, 15) t(b)),
-        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id <> 0),
-        |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
-        |sig AS (
-        |  SELECT vec_id, CAST(SUM(CASE WHEN
-        |      list_sum(list_transform(generate_series(1, len(v)), i -> v[i] * hv[i])) > 0
-        |    THEN 1 << (15 - b) ELSE 0 END) AS BIGINT) AS sig
-        |  FROM e, h GROUP BY vec_id),
-        |qsig AS (
-        |  SELECT CAST(SUM(CASE WHEN
-        |      list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * hv[i])) > 0
-        |    THEN 1 << (15 - b) ELSE 0 END) AS BIGINT) AS qs
-        |  FROM q, h)
-        |SELECT e.vec_id,
-        |  round(
-        |    list_sum(list_transform(generate_series(1, len(v)), i -> v[i] * qv[i])) /
-        |    (sqrt(list_sum(list_transform(generate_series(1, len(v)), i -> v[i] * v[i]))) *
-        |     sqrt(list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * qv[i])))),
-        |  6) AS cos_sim
-        |FROM e JOIN sig USING (vec_id), q, qsig
-        |WHERE bit_count(xor(sig.sig, qsig.qs)) <= 8
-        |ORDER BY cos_sim DESC, vec_id ASC LIMIT 20""".stripMargin,
-
-    // Full oracle of the IVF approximation: md5-ordered centroid sample,
-    // per-row argmax assignment (row_number == the Spark fold's strict->
-    // lower-id tiebreak given bit-identical scores), nProbe=4 probe, exact
-    // rescoring of candidate lists only.
-    "x15_ivf_topk" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id <> 0),
-        |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
-        |c AS (SELECT vec_id AS cid, v AS cv FROM e
-        |      ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC LIMIT 16),
-        |scored AS (
-        |  SELECT e.vec_id, e.v, c.cid,
-        |    list_sum(list_transform(generate_series(1, len(e.v)), i -> e.v[i] * c.cv[i])) /
-        |      (sqrt(list_sum(list_transform(generate_series(1, len(e.v)), i -> e.v[i] * e.v[i]))) *
-        |       sqrt(list_sum(list_transform(generate_series(1, len(c.cv)), i -> c.cv[i] * c.cv[i])))) AS s
-        |  FROM e, c),
-        |assigned AS (
-        |  SELECT vec_id, v, cid FROM (
-        |    SELECT vec_id, v, cid,
-        |      row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rk
-        |    FROM scored) WHERE rk = 1),
-        |probe AS (
-        |  SELECT cid FROM c, q
-        |  ORDER BY
-        |    list_sum(list_transform(generate_series(1, len(cv)), i -> cv[i] * qv[i])) /
-        |      (sqrt(list_sum(list_transform(generate_series(1, len(cv)), i -> cv[i] * cv[i]))) *
-        |       sqrt(list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * qv[i])))) DESC,
-        |    cid ASC LIMIT 4)
-        |SELECT a.vec_id,
-        |  round(
-        |    list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * qv[i])) /
-        |    (sqrt(list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * a.v[i]))) *
-        |     sqrt(list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * qv[i])))),
-        |  6) AS cos_sim
-        |FROM assigned a JOIN probe USING (cid), q
-        |ORDER BY cos_sim DESC, vec_id ASC LIMIT 20""".stripMargin,
-
-    // Batch BM25 replay: x64's tf/df/stats/score arithmetic over the
-    // UNION of the four queries' terms, then each query sums its own
-    // terms' fixed scores (the per-(doc, term) score is query-
-    // independent) and ranks within itself.
-    "x76_bm25_serve" -> x76Bm25ServeSql,
-
-    // x81 incremental BM25 model: postings/df/stats are exact
-    // re-aggregatable counts and the score is a pure function of them,
-    // so serving the MERGED (static ⊕ appended) model ≡ serving the
-    // rebuilt whole-corpus model — x76's SQL IS the oracle (the
-    // x70/x73/x79 law applied to text).
-    "x81_bm25_incremental" -> x76Bm25ServeSql,
-
-    // x82 index-seek serving: bucket pruning keeps every matching-term
-    // row, so serving from the written bucketed tree ≡ the whole-corpus
-    // scan serve — x76's SQL verbatim again.
-    "x82_bm25_seek" -> x76Bm25ServeSql,
-
-    // Batch hybrid replay: x76's text chain + per-query rounded-cosine
-    // ranks over one corpus pass + x65's floor-of-one-IEEE-division
-    // fusion, all partitioned by query.
-    "x77_hybrid_serve" ->
-      """WITH qdef(q_id, w, src_vec) AS (VALUES
-        |  (1, 'hash', 0), (1, 'join', 0),
-        |  (2, 'spark', 50), (2, 'vector', 50),
-        |  (3, 'data', 100), (3, 'filter', 100), (3, 'stream', 100),
-        |  (4, 'cache', 150), (4, 'data', 150)),
-        |b2 AS (
-        |  SELECT doc_id, len(ts) AS dl, ts FROM (
-        |    SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
-        |    FROM documents)),
-        |stats AS (SELECT COUNT(*) AS nd, SUM(dl) AS ntok FROM b2),
-        |tf AS (
-        |  SELECT doc_id, dl, w, COUNT(*) AS tf
-        |  FROM (SELECT doc_id, dl, unnest(ts) AS w FROM b2)
-        |  WHERE w IN (SELECT DISTINCT w FROM qdef)
-        |  GROUP BY 1, 2, 3),
-        |dfq AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY 1),
-        |bscored AS (
-        |  SELECT t.doc_id, t.w,
-        |    CAST(floor(
-        |      ((ln(CAST(2 * s.nd - 2 * d.df + 1 AS DOUBLE) / CAST(2 * d.df + 1 AS DOUBLE))
-        |        * (CAST(t.tf AS DOUBLE) * CAST(2.2 AS DOUBLE)))
-        |       / (CAST(t.tf AS DOUBLE) + CAST(1.2 AS DOUBLE) *
-        |          (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) *
-        |           (CAST(t.dl * s.nd AS DOUBLE) / CAST(s.ntok AS DOUBLE)))))
-        |      * 1000000000.0) AS BIGINT) AS sfix
-        |  FROM tf t JOIN dfq d USING (w) CROSS JOIN stats s),
-        |bagg AS (
-        |  SELECT q.q_id, sc.doc_id, SUM(sc.sfix) AS score_fix
-        |  FROM qdef q JOIN bscored sc USING (w)
-        |  GROUP BY 1, 2),
-        |tr AS (
-        |  SELECT q_id, doc_id AS id,
-        |    row_number() OVER (PARTITION BY q_id ORDER BY score_fix DESC, doc_id ASC) AS text_rank
-        |  FROM bagg QUALIFY text_rank <= 100),
-        |qv AS (SELECT DISTINCT d.q_id, CAST(e.embedding AS DOUBLE[]) AS qv
-        |       FROM qdef d JOIN embeddings e ON e.vec_id = d.src_vec),
-        |ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |vr AS (
-        |  SELECT q_id, vec_id AS id, vec_rank FROM (
-        |    SELECT qv.q_id, ev.vec_id,
-        |      row_number() OVER (PARTITION BY qv.q_id ORDER BY
-        |        round(
-        |          list_sum(list_transform(generate_series(1, len(ev.v)), i -> ev.v[i] * qv.qv[i])) /
-        |          (sqrt(list_sum(list_transform(generate_series(1, len(ev.v)), i -> ev.v[i] * ev.v[i]))) *
-        |           sqrt(list_sum(list_transform(generate_series(1, len(qv.qv)), i -> qv.qv[i] * qv.qv[i])))),
-        |        6) DESC, ev.vec_id ASC) AS vec_rank
-        |    FROM ev, qv) WHERE vec_rank <= 100),
-        |fused AS (
-        |  SELECT COALESCE(tr.q_id, vr.q_id) AS q_id, COALESCE(tr.id, vr.id) AS id,
-        |    tr.text_rank, vr.vec_rank,
-        |    COALESCE(CAST(floor(1000000000000.0 / (CAST(tr.text_rank AS DOUBLE) + 60.0)) AS BIGINT), 0)
-        |  + COALESCE(CAST(floor(1000000000000.0 / (CAST(vr.vec_rank AS DOUBLE) + 60.0)) AS BIGINT), 0) AS rrf_fix
-        |  FROM tr FULL OUTER JOIN vr ON tr.q_id = vr.q_id AND tr.id = vr.id)
-        |SELECT CAST(q_id AS BIGINT) AS q_id,
-        |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY rrf_fix DESC, id ASC) AS INT) AS rank,
-        |  id AS doc_id, text_rank, vec_rank,
-        |  round(CAST(rrf_fix AS DOUBLE) / 1000000000000.0, 6) AS rrf, rrf_fix
-        |FROM fused
-        |QUALIFY rank <= 10
-        |ORDER BY q_id, rank""".stripMargin,
-
-    // ANN-composed hybrid replay: x76's text chain (QUALIFY ≤ kCand) ⊕
-    // x75's IVF×PQ serving chain (corpus = vec_id % 50 <> 0, queries
-    // from qdef's source vectors, ADC cut ≤ refine·kCand, l2-rerank
-    // ranks ≤ kCand) + x65's floor-of-one-IEEE-division fusion.
-    "x78_hybrid_serve_ann" ->
+  /** x78's oracle, shared VERBATIM by x85 (both-trees seek serving)
+    * and s14 (streaming dual-tree maintenance): written-tree reads are
+    * exact, so the served hybrid is the same composition. */
+  private val x78HybridAnnSql: String =
       """WITH qdef(q_id, w, src_vec) AS (VALUES
         |  (1, 'hash', 0), (1, 'join', 0),
         |  (2, 'spark', 50), (2, 'vector', 50),
@@ -1743,7 +1656,291 @@ object Ext {
         |  round(CAST(rrf_fix AS DOUBLE) / 1000000000000.0, 6) AS rrf, rrf_fix
         |FROM fused
         |QUALIFY rank <= 10
+        |ORDER BY q_id, rank""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "x30_gopher_quality" ->
+      """WITH tok AS (
+        |  SELECT doc_id, text, string_split(text, ' ') AS ts FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |bi AS (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(ts) - 1),
+        |    i -> ts[i] || ' ' || ts[i+1])) AS g
+        |  FROM tok),
+        |bc AS (SELECT doc_id, g, COUNT(*) AS n FROM bi GROUP BY 1, 2),
+        |frac AS (
+        |  SELECT doc_id, round(MAX(n) * 1.0 / SUM(n), 6) AS top_bigram_frac
+        |  FROM bc GROUP BY doc_id),
+        |stats AS (
+        |  SELECT doc_id, len(ts) AS n_words,
+        |    round(len(replace(text, ' ', '')) * 1.0 / len(ts), 6) AS mean_word_len,
+        |    round(len(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / len(text), 6) AS digit_ratio
+        |  FROM tok)
+        |SELECT s.doc_id, s.n_words, s.mean_word_len, s.digit_ratio, f.top_bigram_frac,
+        |  (s.n_words >= 10 AND s.mean_word_len <= 12 AND s.digit_ratio <= 0.2
+        |   AND f.top_bigram_frac <= 0.2) AS passes
+        |FROM stats s JOIN frac f ON s.doc_id = f.doc_id
+        |ORDER BY s.doc_id""".stripMargin,
+
+    "x31_label_centroids" ->
+      """WITH pe AS (
+        |  SELECT label, unnest(generate_series(0, len(embedding) - 1)) AS pos,
+        |         CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings),
+        |dims AS (
+        |  SELECT label, pos, COUNT(*) AS n,
+        |    round(CAST(SUM(CAST(v AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6) AS m
+        |  FROM pe GROUP BY label, pos)
+        |SELECT label, MAX(n) AS n_vectors,
+        |  round(sqrt(CAST(SUM(CAST(m * m AS DECIMAL(38,12))) AS DOUBLE)), 6) AS centroid_norm,
+        |  MAX(CASE WHEN pos = 0 THEN m END) AS centroid_d0
+        |FROM dims GROUP BY label ORDER BY label""".stripMargin,
+
+    "x32_token_histogram" ->
+      """SELECT CAST(LEAST(FLOOR(len(string_split(text, ' ')) / 50), 19) AS BIGINT) AS bucket,
+        |  COUNT(*) AS n_docs,
+        |  MIN(len(string_split(text, ' '))) AS min_tokens,
+        |  MAX(len(string_split(text, ' '))) AS max_tokens
+        |FROM documents GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "x33_bloom_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_cnt,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "x01_dedup_exact" ->
+      """SELECT md5(text) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS dup_cnt
+        |FROM documents GROUP BY text ORDER BY fp""".stripMargin,
+
+    "x02_ngram_jaccard_pairs" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS ts FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |tri AS (
+        |  SELECT DISTINCT doc_id, lang,
+        |    unnest(list_transform(generate_series(1, len(ts) - 2),
+        |      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS g
+        |  FROM tok),
+        |nt AS (SELECT doc_id, COUNT(*) AS n FROM tri GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS common
+        |  FROM tri a JOIN tri b ON a.g = b.g AND a.lang = b.lang AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT a_id, b_id, common, na.n AS na, nb.n AS nb,
+        |       common * 1.0 / (na.n + nb.n - common) AS jac
+        |FROM pairs JOIN nt na ON a_id = na.doc_id JOIN nt nb ON b_id = nb.doc_id
+        |WHERE common * 1.0 / (na.n + nb.n - common) >= 0.5
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    "x05_cosine_topk" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id <> 0)
+        |SELECT vec_id,
+        |  round(
+        |    list_sum(list_transform(generate_series(1, len(v)), i -> v[i] * qv[i])) /
+        |    (sqrt(list_sum(list_transform(generate_series(1, len(v)), i -> v[i] * v[i]))) *
+        |     sqrt(list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * qv[i])))),
+        |  6) AS cos_sim
+        |FROM e, q
+        |ORDER BY cos_sim DESC, vec_id ASC LIMIT 20""".stripMargin,
+
+    // JL projection replay: the 16×64 plane matrix re-derives from md5
+    // (integer-exact), each projected coordinate is the same sequential
+    // IEEE fold as the signature dots (list_sum ≡ the codegen'd
+    // aggregate's order), and the projected-space cosine is x05's
+    // arithmetic over the 16-dim lists.
+    "x86_random_projection_topk" ->
+      """WITH h AS (
+        |  SELECT b, list_transform(generate_series(0, 63),
+        |    d -> (CAST('0x' || substr(md5('rhp:' || CAST(b AS VARCHAR) || ':' || CAST(d AS VARCHAR)), 1, 8) AS UBIGINT) % 2000001) / 1000000.0 - 1.0) AS hv
+        |  FROM generate_series(0, 15) t(b)),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id <> 0),
+        |q AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 0),
+        |ep AS (
+        |  SELECT e.vec_id,
+        |    list(list_sum(list_transform(generate_series(1, 64), i -> e.v[i] * h.hv[i])) ORDER BY h.b) AS p
+        |  FROM e, h GROUP BY e.vec_id),
+        |qp AS (
+        |  SELECT list(list_sum(list_transform(generate_series(1, 64), i -> q.v[i] * h.hv[i])) ORDER BY h.b) AS p
+        |  FROM q, h)
+        |SELECT ep.vec_id,
+        |  round(
+        |    list_sum(list_transform(generate_series(1, 16), i -> ep.p[i] * qp.p[i])) /
+        |    (sqrt(list_sum(list_transform(generate_series(1, 16), i -> ep.p[i] * ep.p[i]))) *
+        |     sqrt(list_sum(list_transform(generate_series(1, 16), i -> qp.p[i] * qp.p[i])))),
+        |  6) AS cos_sim
+        |FROM ep, qp
+        |ORDER BY cos_sim DESC, vec_id ASC LIMIT 20""".stripMargin,
+
+    // Full oracle of the ANN approximation itself: the hyperplane matrix is
+    // md5-derived (see VectorFunctions.rhpPlanes), integer-exact in both
+    // engines; projections/cosines are the same sequential IEEE folds as
+    // x05's (list_sum == the codegen'd dot's accumulation order); the
+    // signature pack is integer arithmetic, so no order sensitivity.
+    "x06_ann_lsh_topk" ->
+      """WITH h AS (
+        |  SELECT b, list_transform(generate_series(0, 63),
+        |    d -> (CAST('0x' || substr(md5('rhp:' || CAST(b AS VARCHAR) || ':' || CAST(d AS VARCHAR)), 1, 8) AS UBIGINT) % 2000001) / 1000000.0 - 1.0) AS hv
+        |  FROM generate_series(0, 15) t(b)),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id <> 0),
+        |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+        |sig AS (
+        |  SELECT vec_id, CAST(SUM(CASE WHEN
+        |      list_sum(list_transform(generate_series(1, len(v)), i -> v[i] * hv[i])) > 0
+        |    THEN 1 << (15 - b) ELSE 0 END) AS BIGINT) AS sig
+        |  FROM e, h GROUP BY vec_id),
+        |qsig AS (
+        |  SELECT CAST(SUM(CASE WHEN
+        |      list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * hv[i])) > 0
+        |    THEN 1 << (15 - b) ELSE 0 END) AS BIGINT) AS qs
+        |  FROM q, h)
+        |SELECT e.vec_id,
+        |  round(
+        |    list_sum(list_transform(generate_series(1, len(v)), i -> v[i] * qv[i])) /
+        |    (sqrt(list_sum(list_transform(generate_series(1, len(v)), i -> v[i] * v[i]))) *
+        |     sqrt(list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * qv[i])))),
+        |  6) AS cos_sim
+        |FROM e JOIN sig USING (vec_id), q, qsig
+        |WHERE bit_count(xor(sig.sig, qsig.qs)) <= 8
+        |ORDER BY cos_sim DESC, vec_id ASC LIMIT 20""".stripMargin,
+
+    // Full oracle of the IVF approximation: md5-ordered centroid sample,
+    // per-row argmax assignment (row_number == the Spark fold's strict->
+    // lower-id tiebreak given bit-identical scores), nProbe=4 probe, exact
+    // rescoring of candidate lists only.
+    "x15_ivf_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id <> 0),
+        |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM e
+        |      ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC LIMIT 16),
+        |scored AS (
+        |  SELECT e.vec_id, e.v, c.cid,
+        |    list_sum(list_transform(generate_series(1, len(e.v)), i -> e.v[i] * c.cv[i])) /
+        |      (sqrt(list_sum(list_transform(generate_series(1, len(e.v)), i -> e.v[i] * e.v[i]))) *
+        |       sqrt(list_sum(list_transform(generate_series(1, len(c.cv)), i -> c.cv[i] * c.cv[i])))) AS s
+        |  FROM e, c),
+        |assigned AS (
+        |  SELECT vec_id, v, cid FROM (
+        |    SELECT vec_id, v, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rk
+        |    FROM scored) WHERE rk = 1),
+        |probe AS (
+        |  SELECT cid FROM c, q
+        |  ORDER BY
+        |    list_sum(list_transform(generate_series(1, len(cv)), i -> cv[i] * qv[i])) /
+        |      (sqrt(list_sum(list_transform(generate_series(1, len(cv)), i -> cv[i] * cv[i]))) *
+        |       sqrt(list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * qv[i])))) DESC,
+        |    cid ASC LIMIT 4)
+        |SELECT a.vec_id,
+        |  round(
+        |    list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * qv[i])) /
+        |    (sqrt(list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * a.v[i]))) *
+        |     sqrt(list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * qv[i])))),
+        |  6) AS cos_sim
+        |FROM assigned a JOIN probe USING (cid), q
+        |ORDER BY cos_sim DESC, vec_id ASC LIMIT 20""".stripMargin,
+
+    // Batch BM25 replay: x64's tf/df/stats/score arithmetic over the
+    // UNION of the four queries' terms, then each query sums its own
+    // terms' fixed scores (the per-(doc, term) score is query-
+    // independent) and ranks within itself.
+    "x76_bm25_serve" -> x76Bm25ServeSql,
+
+    // x81 incremental BM25 model: postings/df/stats are exact
+    // re-aggregatable counts and the score is a pure function of them,
+    // so serving the MERGED (static ⊕ appended) model ≡ serving the
+    // rebuilt whole-corpus model — x76's SQL IS the oracle (the
+    // x70/x73/x79 law applied to text).
+    "x81_bm25_incremental" -> x76Bm25ServeSql,
+
+    // x82 index-seek serving: bucket pruning keeps every matching-term
+    // row, so serving from the written bucketed tree ≡ the whole-corpus
+    // scan serve — x76's SQL verbatim again.
+    "x82_bm25_seek" -> x76Bm25ServeSql,
+
+    // x84 compaction: exact counts fold, so the compacted tree serves
+    // exactly what the rebuilt whole-corpus model serves — x76's SQL
+    // verbatim (the x79 law on the text side).
+    "x84_bm25_compact" -> x76Bm25ServeSql,
+
+    // x85 fully-deployed hybrid: both written trees serve exactly what
+    // the in-memory model serves (bucket pruning keeps every
+    // matching-term row; the probed-cell filter is a superset of every
+    // query's cells) — x78's SQL verbatim.
+    "x85_hybrid_seek" -> x78HybridAnnSql,
+
+    // Batch hybrid replay: x76's text chain + per-query rounded-cosine
+    // ranks over one corpus pass + x65's floor-of-one-IEEE-division
+    // fusion, all partitioned by query.
+    "x77_hybrid_serve" ->
+      """WITH qdef(q_id, w, src_vec) AS (VALUES
+        |  (1, 'hash', 0), (1, 'join', 0),
+        |  (2, 'spark', 50), (2, 'vector', 50),
+        |  (3, 'data', 100), (3, 'filter', 100), (3, 'stream', 100),
+        |  (4, 'cache', 150), (4, 'data', 150)),
+        |b2 AS (
+        |  SELECT doc_id, len(ts) AS dl, ts FROM (
+        |    SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+        |    FROM documents)),
+        |stats AS (SELECT COUNT(*) AS nd, SUM(dl) AS ntok FROM b2),
+        |tf AS (
+        |  SELECT doc_id, dl, w, COUNT(*) AS tf
+        |  FROM (SELECT doc_id, dl, unnest(ts) AS w FROM b2)
+        |  WHERE w IN (SELECT DISTINCT w FROM qdef)
+        |  GROUP BY 1, 2, 3),
+        |dfq AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY 1),
+        |bscored AS (
+        |  SELECT t.doc_id, t.w,
+        |    CAST(floor(
+        |      ((ln(CAST(2 * s.nd - 2 * d.df + 1 AS DOUBLE) / CAST(2 * d.df + 1 AS DOUBLE))
+        |        * (CAST(t.tf AS DOUBLE) * CAST(2.2 AS DOUBLE)))
+        |       / (CAST(t.tf AS DOUBLE) + CAST(1.2 AS DOUBLE) *
+        |          (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) *
+        |           (CAST(t.dl * s.nd AS DOUBLE) / CAST(s.ntok AS DOUBLE)))))
+        |      * 1000000000.0) AS BIGINT) AS sfix
+        |  FROM tf t JOIN dfq d USING (w) CROSS JOIN stats s),
+        |bagg AS (
+        |  SELECT q.q_id, sc.doc_id, SUM(sc.sfix) AS score_fix
+        |  FROM qdef q JOIN bscored sc USING (w)
+        |  GROUP BY 1, 2),
+        |tr AS (
+        |  SELECT q_id, doc_id AS id,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY score_fix DESC, doc_id ASC) AS text_rank
+        |  FROM bagg QUALIFY text_rank <= 100),
+        |qv AS (SELECT DISTINCT d.q_id, CAST(e.embedding AS DOUBLE[]) AS qv
+        |       FROM qdef d JOIN embeddings e ON e.vec_id = d.src_vec),
+        |ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |vr AS (
+        |  SELECT q_id, vec_id AS id, vec_rank FROM (
+        |    SELECT qv.q_id, ev.vec_id,
+        |      row_number() OVER (PARTITION BY qv.q_id ORDER BY
+        |        round(
+        |          list_sum(list_transform(generate_series(1, len(ev.v)), i -> ev.v[i] * qv.qv[i])) /
+        |          (sqrt(list_sum(list_transform(generate_series(1, len(ev.v)), i -> ev.v[i] * ev.v[i]))) *
+        |           sqrt(list_sum(list_transform(generate_series(1, len(qv.qv)), i -> qv.qv[i] * qv.qv[i])))),
+        |        6) DESC, ev.vec_id ASC) AS vec_rank
+        |    FROM ev, qv) WHERE vec_rank <= 100),
+        |fused AS (
+        |  SELECT COALESCE(tr.q_id, vr.q_id) AS q_id, COALESCE(tr.id, vr.id) AS id,
+        |    tr.text_rank, vr.vec_rank,
+        |    COALESCE(CAST(floor(1000000000000.0 / (CAST(tr.text_rank AS DOUBLE) + 60.0)) AS BIGINT), 0)
+        |  + COALESCE(CAST(floor(1000000000000.0 / (CAST(vr.vec_rank AS DOUBLE) + 60.0)) AS BIGINT), 0) AS rrf_fix
+        |  FROM tr FULL OUTER JOIN vr ON tr.q_id = vr.q_id AND tr.id = vr.id)
+        |SELECT CAST(q_id AS BIGINT) AS q_id,
+        |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY rrf_fix DESC, id ASC) AS INT) AS rank,
+        |  id AS doc_id, text_rank, vec_rank,
+        |  round(CAST(rrf_fix AS DOUBLE) / 1000000000000.0, 6) AS rrf, rrf_fix
+        |FROM fused
+        |QUALIFY rank <= 10
         |ORDER BY q_id, rank""".stripMargin,
+
+    // ANN-composed hybrid replay: x76's text chain (QUALIFY ≤ kCand) ⊕
+    // x75's IVF×PQ serving chain (corpus = vec_id % 50 <> 0, queries
+    // from qdef's source vectors, ADC cut ≤ refine·kCand, l2-rerank
+    // ranks ≤ kCand) + x65's floor-of-one-IEEE-division fusion.
+    "x78_hybrid_serve_ann" -> x78HybridAnnSql,
 
     // Embedding-pipeline replay: x42's banding → verify → components
     // chain picks the min-id survivors, then x75's serve chain runs with
@@ -2089,6 +2286,11 @@ object Ext {
         |  CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS INT) AS ws_tokens,
         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS bpeish_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Corpus-trained BPE: training rounds unrolled (pair counts, argmax,
+    // replace pass — all exact integers and string rewrites), then the
+    // application chain under the learned pairs.
+    "x83_bpe_corpus_trained" -> x83BpeSql,
 
     // Generated from the same merge table the engine applies: the chain
     // of replace() passes IS the BPE application, so hits and misses of

@@ -646,6 +646,149 @@ object StreamGate {
       }
     },
 
+    // STREAMING BM25 MODEL MAINTENANCE — s12's per-batch-compaction
+    // discipline on the text side: the static (doc_id < 400) corpus is
+    // the written term-bucketed BM25 tree; each micro-batch of arriving
+    // documents builds its own model and bm25Compact folds it in (delta
+    // terms' buckets only, stats add), and serving SEEKS the compacted
+    // tree after the drain. Every model field is an exact
+    // re-aggregatable count and batches are disjoint doc sets, so the
+    // final tree ≡ the whole-corpus model and the oracle is x76's SQL
+    // verbatim (the x81/x84 law under the streaming engine).
+    "s13_stream_bm25_maintenance" -> { (s, dir) =>
+      import s.implicits._
+      val topic = incomingDocsTopic(s, dir)
+      withGateConf(s) {
+        val docs = Tables.documents(s, dir)
+        val tree = gateTmpDir("s13_tree_")
+        // 16-bucket gate dial + 2 batches (≥2 asserted below): at sf0.1
+        // every micro-batch touches nearly all term buckets, so the fold
+        // cost at gate scale is pure write machinery — fewer dirs and one
+        // fewer fold prove the same law (x84's comment; 64 = production
+        // default stays exercised by x82)
+        graft.ops.Retrieval.bm25WriteModel(graft.ops.Retrieval
+          .bm25BuildModel(docs.filter(col("doc_id") < 400), "doc_id",
+            "text"), tree.toString, nBuckets = 16)
+        val ckpt = gateTmpDir("s13_ckpt_")
+        val stream = s.readStream.format("graft-topic")
+          .option("topic", topic)
+          .option("maxRecordsPerTrigger", math.max(1L, (topicSize(topic) + 1) / 2).toString)
+          .load()
+          .select(from_json(col("value").cast("string"), org.apache.spark.sql.types
+            .StructType.fromDDL("doc_id BIGINT, text STRING, lang STRING")).as("j"))
+          .select(col("j.doc_id").as("doc_id"), col("j.text").as("text"))
+        val q = stream.writeStream
+          .foreachBatch { (df: DataFrame, _: Long) =>
+            if (!df.isEmpty)
+              graft.ops.Retrieval.bm25Compact(s, tree.toString, df,
+                "doc_id", "text", nBuckets = 16)
+            ()
+          }
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        drain(q, ckpt)
+        require(dataBatches(q) >= 2,
+          s"s13 must compact across batches; ran ${dataBatches(q)} data batches")
+        val qs = Seq(
+          (1L, Seq("hash", "join")),
+          (2L, Seq("spark", "vector")),
+          (3L, Seq("data", "filter", "stream")),
+          (4L, Seq("cache", "data"))).toDF("q_id", "terms")
+        val out = graft.ops.Caches.localCheckpointTracked(
+          graft.ops.Retrieval.bm25ServeAllSeek(s, tree.toString, "doc_id",
+              qs, "q_id", "terms", k = 10, nBuckets = 16)
+            .orderBy("q_id", "rank"))
+        cleanupStep("tree delete")(graft.util.Fs.deleteTree(tree))
+        out
+      }
+    },
+
+    // STREAMING DUAL-TREE HYBRID MAINTENANCE — the production capstone:
+    // BOTH serving indexes are maintained under the streaming engine
+    // (the BM25 term-bucketed tree by per-batch bm25Compact as in s13,
+    // the IVF×PQ centroid tree by per-batch ivfPqCompact as in s12 —
+    // two AvailableNow drains, ≥2 data batches each), then ONE
+    // hybridServeAllSeek serves the x78 query batch from the two
+    // compacted trees. Static splits: docs < 400 (s13's), corpus vectors
+    // with vec_id % 7 ≠ 0 (s12's arrival topic carries the complement);
+    // the frozen cents/codebook span the WHOLE corpus, so compaction
+    // lands each batch exactly where the whole-corpus build would.
+    // Final trees ≡ whole-corpus models (the x84/x79 laws) and seek
+    // reads are exact ⇒ the served hybrid is x78's SQL verbatim.
+    "s14_stream_hybrid_maintenance" -> { (s, dir) =>
+      import s.implicits._
+      val vTopic = arrivalVecTopic(s, dir)
+      val dTopic = incomingDocsTopic(s, dir)
+      withGateConf(s) {
+        val docs = Tables.documents(s, dir)
+        val emb = Tables.embeddings(s, dir)
+        val corpus = emb.filter(col("vec_id") % 50 =!= 0)
+        val (cents, assigned) = graft.ops.Similarity.ivfBuild(corpus,
+          "embedding", "vec_id")
+        val cb = graft.ops.Similarity.pqBuildCodebook(corpus, "embedding",
+          "vec_id")
+        val bm25Tree = gateTmpDir("s14_bm25_")
+        val annTree = gateTmpDir("s14_ann_")
+        // s13's 16-bucket / 2-batch gate dial on the text tree
+        graft.ops.Retrieval.bm25WriteModel(graft.ops.Retrieval
+          .bm25BuildModel(docs.filter(col("doc_id") < 400), "doc_id",
+            "text"), bm25Tree.toString, nBuckets = 16)
+        graft.ops.Similarity.ivfPqEncode(
+            assigned.filter(col("vec_id") % 7 =!= 0), "vec_id", cb)
+          .select("vec_id", "centroid_id", "codes")
+          .write.mode("overwrite").partitionBy("centroid_id")
+          .parquet(annTree.toString)
+        def maintain(topic: String, ddl: String, prep: DataFrame => DataFrame,
+                     fold: DataFrame => Unit, what: String): Unit = {
+          val ckpt = gateTmpDir(s"s14_ckpt_${what}_")
+          val q = s.readStream.format("graft-topic")
+            .option("topic", topic)
+            .option("maxRecordsPerTrigger",
+              math.max(1L, (topicSize(topic) + 1) / 2).toString)
+            .load()
+            .select(from_json(col("value").cast("string"),
+              org.apache.spark.sql.types.StructType.fromDDL(ddl)).as("j"))
+            .transform(prep)
+            .writeStream
+            .foreachBatch { (df: DataFrame, _: Long) =>
+              if (!df.isEmpty) fold(df)
+              ()
+            }
+            .option("checkpointLocation", ckpt.toString)
+            .trigger(Trigger.AvailableNow())
+            .start()
+          drain(q, ckpt)
+          require(dataBatches(q) >= 2,
+            s"s14 must compact $what across batches; ran ${dataBatches(q)}")
+        }
+        maintain(dTopic, "doc_id BIGINT, text STRING, lang STRING",
+          _.select(col("j.doc_id").as("doc_id"), col("j.text").as("text")),
+          df => graft.ops.Retrieval.bm25Compact(s, bm25Tree.toString, df,
+            "doc_id", "text", nBuckets = 16), "bm25")
+        maintain(vTopic, "vec_id BIGINT, v ARRAY<DOUBLE>",
+          _.select(col("j.vec_id").as("vec_id"), col("j.v").as("embedding")),
+          df => { graft.ops.Similarity.ivfPqCompact(annTree.toString, cents,
+            df, "embedding", "vec_id", cb); () }, "ann")
+        val qdef = Seq(
+          (1L, Seq("hash", "join"), 0L),
+          (2L, Seq("spark", "vector"), 50L),
+          (3L, Seq("data", "filter", "stream"), 100L),
+          (4L, Seq("cache", "data"), 150L)).toDF("q_id", "terms", "src_vec")
+        val qs = qdef.join(emb.select(col("vec_id").as("src_vec"),
+          col("embedding")), "src_vec")
+        val out = graft.ops.Caches.localCheckpointTracked(
+          graft.ops.Retrieval.hybridServeAllSeek(s, bm25Tree.toString,
+              annTree.toString, "doc_id", cents, corpus, "embedding",
+              "vec_id", qs, "q_id", "terms", cb, kCand = 100, k = 10,
+              nBuckets = 16)
+            .orderBy("q_id", "rank"))
+        cleanupStep("bm25 tree delete")(graft.util.Fs.deleteTree(bm25Tree))
+        cleanupStep("ann tree delete")(graft.util.Fs.deleteTree(annTree))
+        out
+      }
+    },
+
     // Streaming exact dedup under the gate: events replayed through the
     // topic → dropDuplicatesWithinWatermark(user_id) → append-mode memory
     // sink. WHICH occurrence survives is arrival-order-dependent, so the
@@ -1068,6 +1211,18 @@ object StreamGate {
     // compacted tree's probe equals the whole-corpus x58 probe, its SQL
     // verbatim (the x70/x73/x79 law under the streaming engine).
     "s12_stream_index_compaction" -> Ext.oracle("x58_ivfpq_topk"),
+
+    // s13: static (<400) ∪ streamed arrivals (≥400) = all documents, and
+    // every BM25 model field is an exact re-aggregatable count — the
+    // compacted tree serves exactly the whole-corpus model: x76's SQL
+    // verbatim (the x81/x84 law under the streaming engine).
+    "s13_stream_bm25_maintenance" -> Ext.oracle("x76_bm25_serve"),
+
+    // s14: both maintained trees end ≡ their whole-corpus models (the
+    // x84 count fold on the text side, the x79 frozen-model encode on
+    // the vector side; static ∪ streamed = whole in both), and seek
+    // reads are exact — the served hybrid is x78's SQL verbatim.
+    "s14_stream_hybrid_maintenance" -> Ext.oracle("x78_hybrid_serve_ann"),
 
     // The FULL batch left join: the sentinel-closed watermark guarantees
     // every real click got its match rows or its null row — nothing is

@@ -18,6 +18,31 @@ class BpeSpec extends AnyFunSuite {
     assert(Bpe.tokenCount("aaab aab aaab", merges.toIndexedSeq) == 1 + 2 + 1)
   }
 
+  test("distributed corpus training ≡ sequential reference train; tokenCountUnder ≡ tokenCount") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    // the same word multiset sequentially: concatenate the corpus text
+    val all = docs.select(col("text")).collect().map(_.getString(0)).mkString(" ")
+    val seqTable = Bpe.train(all, 6)
+    val distTable = Bpe.trainCorpus(docs, "text", 6)
+    assert(distTable == seqTable,
+      s"distributed merges $distTable diverged from sequential $seqTable")
+    // partitioning cannot move a merge (exact counts, total-order argmax)
+    assert(Bpe.trainCorpus(docs.repartition(7), "text", 6) == seqTable)
+    // application parity: the Column fold equals the driver tokenCount
+    val got = docs.select(col("doc_id"),
+        Bpe.tokenCountUnder(col("text"), distTable).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    docs.select(col("doc_id"), col("text")).collect().foreach { r =>
+      val expect = Bpe.tokenCount(r.getString(1), distTable.toIndexedSeq)
+      assert(got(r.getLong(0)) == expect,
+        s"doc ${r.getLong(0)}: column fold ${got(r.getLong(0))} vs reference $expect")
+    }
+    // toy-corpus law: same hand-computed sequence as the sequential test
+    val toy = Seq((1L, "aaab aaab aab")).toDF("doc_id", "text")
+    assert(Bpe.trainCorpus(toy, "text", 3) == Seq(("a", "a"), ("a", "b"), ("aa", "ab")))
+  }
+
   test("fixed merge table is deterministic, non-trivial, and learns real subwords") {
     assert(Bpe.merges == Bpe.train(Bpe.seedText, 120))
     assert(Bpe.merges.length >= 50, s"only ${Bpe.merges.length} merges learned")

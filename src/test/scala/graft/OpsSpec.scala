@@ -1023,6 +1023,57 @@ class OpsSpec extends AnyFunSuite {
     graft.ops.Caches.releaseAll()
   }
 
+  test("BM25 compaction: compacted tree ≡ rebuilt model; single-term delta rewrites ≤ 1 bucket per store") {
+    import spark.implicits._
+    import graft.ops.Retrieval
+    val treeA = java.nio.file.Files.createTempDirectory("bm25_cA_").toString
+    val treeB = java.nio.file.Files.createTempDirectory("bm25_cB_").toString
+    try {
+      // equivalence: static 6/7 written, 1/7 compacted in → read-back
+      // components equal the rebuilt whole-corpus model exactly
+      Retrieval.bm25WriteModel(Retrieval.bm25BuildModel(
+        docs.filter(col("doc_id") % 7 =!= 0), "doc_id", "text"), treeA)
+      Retrieval.bm25Compact(spark, treeA,
+        docs.filter(col("doc_id") % 7 === 0), "doc_id", "text")
+      val full = Retrieval.bm25BuildModel(docs, "doc_id", "text")
+      val gotP = spark.read.parquet(s"$treeA/postings")
+        .select("doc_id", "dl", "w", "tf").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3))).toSet
+      val expP = full.postings.collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3))).toSet
+      assert(gotP == expP, "compacted postings diverged from the rebuilt model")
+      val gotDf = spark.read.parquet(s"$treeA/df").select("w", "df").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val expDf = full.df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(gotDf == expDf, "compacted df diverged")
+      val gotS = spark.read.parquet(s"$treeA/stats").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val expS = full.stats.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(gotS == expS, "compacted stats diverged")
+      // locality: a single-NEW-term delta doc touches exactly one bucket
+      // in postings and df; untouched bucket dirs keep their files
+      Retrieval.bm25WriteModel(Retrieval.bm25BuildModel(docs, "doc_id",
+        "text"), treeB)
+      def cellFiles(sub: String): Map[String, Set[String]] = {
+        val root = new java.io.File(s"$treeB/$sub")
+        root.listFiles().filter(_.isDirectory).map(d =>
+          d.getName -> d.listFiles().map(_.getName)
+            .filter(_.endsWith(".parquet")).toSet).toMap
+      }
+      val (beforeP, beforeDf) = (cellFiles("postings"), cellFiles("df"))
+      Retrieval.bm25Compact(spark, treeB,
+        Seq((999999L, "zzzqx")).toDF("doc_id", "text"), "doc_id", "text")
+      val (afterP, afterDf) = (cellFiles("postings"), cellFiles("df"))
+      val changedP = beforeP.keySet.filter(c => beforeP(c) != afterP.getOrElse(c, Set.empty))
+      val changedDf = beforeDf.keySet.filter(c => beforeDf(c) != afterDf.getOrElse(c, Set.empty))
+      assert(changedP.size <= 1, s"one-term delta rewrote postings buckets: $changedP")
+      assert(changedDf.size <= 1, s"one-term delta rewrote df buckets: $changedDf")
+    } finally {
+      graft.util.Fs.deleteTree(java.nio.file.Paths.get(treeA))
+      graft.util.Fs.deleteTree(java.nio.file.Paths.get(treeB))
+    }
+  }
+
   test("batch hybrid serving: every per-query slice equals the single-query hybridTopK") {
     import spark.implicits._
     val qdef = Seq(
@@ -1054,6 +1105,84 @@ class OpsSpec extends AnyFunSuite {
       val slice = served(qid).sortBy(_._2).map(r => (r._3, r._4, r._5, r._6)).toSeq
       assert(slice == single, s"query $qid slice diverged from hybridTopK")
     }
+    graft.ops.Caches.releaseAll()
+  }
+
+  test("hybrid seek serving ≡ in-memory ANN-composed hybrid (written trees are exact)") {
+    import spark.implicits._
+    import graft.ops.{Retrieval, Similarity => Sim}
+    val qdef = Seq(
+      (1L, Seq("hash", "join"), 0L),
+      (3L, Seq("data", "filter", "stream"), 100L),
+      (4L, Seq("cache", "data"), 150L)).toDF("q_id", "terms", "src_vec")
+    val qs = qdef.join(emb.select(col("vec_id").as("src_vec"),
+      col("embedding")), "src_vec")
+    val corpus = emb.filter(col("vec_id") % 50 =!= 0)
+    val (cents, assigned) = Sim.ivfBuild(corpus, "embedding", "vec_id")
+    val cb = Sim.pqBuildCodebook(corpus, "embedding", "vec_id")
+    val encoded = Sim.ivfPqEncode(assigned, "vec_id", cb)
+    val bm25Tree = java.nio.file.Files.createTempDirectory("hyb_bm25_").toString
+    val annTree = java.nio.file.Files.createTempDirectory("hyb_ann_").toString
+    try {
+      Retrieval.bm25WriteModel(Retrieval.bm25BuildModel(docs, "doc_id",
+        "text"), bm25Tree)
+      encoded.select("vec_id", "centroid_id", "codes")
+        .write.mode("overwrite").partitionBy("centroid_id").parquet(annTree)
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("q_id", "rank").collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+            Option(r.get(3)), Option(r.get(4)), r.getLong(6))).toSeq
+      val inMem = rows(Retrieval.hybridServeAllAnn(docs, "doc_id", "text",
+        cents, encoded, corpus, "embedding", "vec_id", qs, "q_id", "terms",
+        cb, kCand = 100, k = 10))
+      val seek = rows(Retrieval.hybridServeAllSeek(spark, bm25Tree, annTree,
+        "doc_id", cents, corpus, "embedding", "vec_id", qs, "q_id", "terms",
+        cb, kCand = 100, k = 10))
+      assert(seek == inMem, "seek serving diverged from the in-memory hybrid")
+      graft.ops.Caches.releaseAll()
+    } finally {
+      graft.util.Fs.deleteTree(java.nio.file.Paths.get(bm25Tree))
+      graft.util.Fs.deleteTree(java.nio.file.Paths.get(annTree))
+    }
+  }
+
+  test("random projection: local-twin bit parity, repartition invariance, recall ladder") {
+    import graft.ops.Similarity
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    val proj = Similarity.randomProject(corpus, "embedding", "vec_id", 16)
+    val inPlan = proj.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    // the driver twin reproduces the column fold bit-for-bit on every row
+    corpus.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().foreach { r =>
+        val expect = Similarity.randomProjectLocal(r.getSeq[Double](1), 16)
+        assert(inPlan(r.getLong(0)) == expect,
+          s"row ${r.getLong(0)}: twin diverged from the column fold")
+      }
+    // partitioning cannot move a coordinate (per-row, plan-literal matrix)
+    val rp = Similarity.randomProject(corpus.repartition(7), "embedding",
+        "vec_id", 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(rp == inPlan, "projection must be partitioning-invariant")
+    // recall ladder vs the original-space exact top-20 — this corpus is
+    // near-uniform (no cluster contrast), the JL worst case for neighbor
+    // recall; measured 0.15 / 0.25 / 0.35 at 8 / 16 / 32 dims. Pin a
+    // conservative floor + monotonicity so a broken matrix or fold shows
+    // up as recall collapse, not noise.
+    val qv = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+    val exact = Similarity.topKCosine(corpus, "embedding", "vec_id", qv, 20)
+      .collect().map(_.getLong(0)).toSet
+    val recalls = Seq(8, 16, 32).map { d =>
+      val got = Similarity.topKCosine(
+          Similarity.randomProject(corpus, "embedding", "vec_id", d),
+          "proj", "vec_id", Similarity.randomProjectLocal(qv, d), 20)
+        .collect().map(_.getLong(0)).toSet
+      (got & exact).size / 20.0
+    }
+    assert(recalls(1) >= 0.15, s"recall@20 at 16 dims collapsed: $recalls")
+    assert(recalls(2) >= recalls(0),
+      s"recall must not degrade with more dims: $recalls")
     graft.ops.Caches.releaseAll()
   }
 

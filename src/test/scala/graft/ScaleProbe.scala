@@ -285,6 +285,60 @@ object ScaleProbe {
         }.minBy(_._1)
         graft.util.Fs.deleteTree(java.nio.file.Paths.get(tree))
         println(f"x82 seek-serve best-of-2: wall=${seek._1}%.2f s cpu=${seek._2}%.1f s; corpus-scan serve: wall=${scan._1}%.2f s cpu=${scan._2}%.1f s")
+      case "x85" =>
+        // fully-deployed hybrid (both trees written, seek-served) vs the
+        // in-memory ANN-composed hybrid — trees and model built once
+        // (untimed: the maintained artifacts), each serve best-of-2
+        import spark.implicits._
+        import org.apache.spark.sql.functions.col
+        val docs = spark.read.parquet(args(0) + "/documents.parquet")
+        val emb = spark.read.parquet(args(0) + "/embeddings.parquet")
+        val qdef = Seq(
+          (1L, Seq("hash", "join"), 0L),
+          (2L, Seq("spark", "vector"), 50L),
+          (3L, Seq("data", "filter", "stream"), 100L),
+          (4L, Seq("cache", "data"), 150L)).toDF("q_id", "terms", "src_vec")
+        val qs = qdef.join(emb.select(col("vec_id").as("src_vec"),
+          col("embedding")), "src_vec")
+        val corpus = emb.filter(col("vec_id") % 50 =!= 0)
+        val (cents, assigned) = graft.ops.Similarity.ivfBuild(corpus,
+          "embedding", "vec_id")
+        val cb = graft.ops.Similarity.pqBuildCodebook(corpus, "embedding",
+          "vec_id")
+        val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+          .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+        val bm25Tree = java.nio.file.Files.createTempDirectory("x85p_bm25_").toString
+        val annTree = java.nio.file.Files.createTempDirectory("x85p_ann_").toString
+        graft.ops.Retrieval.bm25WriteModel(
+          graft.ops.Retrieval.bm25BuildModel(docs, "doc_id", "text"), bm25Tree)
+        graft.ops.Similarity.ivfPqEncode(assigned, "vec_id", cb)
+          .select("vec_id", "centroid_id", "codes")
+          .write.mode("overwrite").partitionBy("centroid_id").parquet(annTree)
+        // the in-memory variant reads the SAME tree unpruned, so the
+        // comparison isolates the seek benefit (partition pruning + bm25
+        // bucket seek) from index storage cost
+        val encoded = spark.read.parquet(annTree)
+        def timed(f: => org.apache.spark.sql.DataFrame): (Double, Double) =
+          (1 to 2).map { _ =>
+            val c0 = os.getProcessCpuTime
+            val t0 = System.nanoTime()
+            f.write.format("noop").mode("overwrite").save()
+            val r = ((System.nanoTime() - t0) / 1e9,
+              (os.getProcessCpuTime - c0) / 1e9)
+            graft.ops.Caches.releaseAll()
+            System.gc()
+            r
+          }.minBy(_._1)
+        val seek = timed(graft.ops.Retrieval.hybridServeAllSeek(spark,
+          bm25Tree, annTree, "doc_id", cents, corpus, "embedding", "vec_id",
+          qs, "q_id", "terms", cb, kCand = 100, k = 10))
+        val mem = timed(graft.ops.Retrieval.hybridServeAllAnn(docs, "doc_id",
+          "text", cents, encoded, corpus, "embedding", "vec_id", qs, "q_id",
+          "terms", cb, kCand = 100, k = 10))
+        graft.ops.Caches.releaseAll()
+        graft.util.Fs.deleteTree(java.nio.file.Paths.get(bm25Tree))
+        graft.util.Fs.deleteTree(java.nio.file.Paths.get(annTree))
+        println(f"x85 seek-hybrid best-of-2: wall=${seek._1}%.2f s cpu=${seek._2}%.1f s; in-memory hybrid: wall=${mem._1}%.2f s cpu=${mem._2}%.1f s")
       case "x76" =>
         // batch BM25 serving, bench protocol
         import spark.implicits._

@@ -690,6 +690,67 @@ class ScaleSpec extends AnyFunSuite {
     } finally graft.util.Fs.deleteTree(java.nio.file.Paths.get(tree))
   }
 
+  test("x85 hybrid seek: ANN tree scan prunes to the probed cells, postings to the term buckets") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val emb = Tables.embeddings(spark, dir)
+    val qdef = Seq((1L, Seq("hash", "join"), 0L),
+      (2L, Seq("spark", "vector"), 50L)).toDF("q_id", "terms", "src_vec")
+    val qs = qdef.join(emb.select(col("vec_id").as("src_vec"),
+      col("embedding")), "src_vec")
+    val corpus = emb.filter(col("vec_id") % 50 =!= 0)
+    val (cents, assigned) = Similarity.ivfBuild(corpus, "embedding", "vec_id")
+    val cb = Similarity.pqBuildCodebook(corpus, "embedding", "vec_id")
+    val bm25Tree = Files.createTempDirectory("x85_bm25_").toString
+    val annTree = Files.createTempDirectory("x85_ann_").toString
+    try {
+      graft.ops.Retrieval.bm25WriteModel(
+        graft.ops.Retrieval.bm25BuildModel(docs, "doc_id", "text"), bm25Tree)
+      Similarity.ivfPqEncode(assigned, "vec_id", cb)
+        .select("vec_id", "centroid_id", "codes")
+        .write.mode("overwrite").partitionBy("centroid_id").parquet(annTree)
+      val served = graft.ops.Retrieval.hybridServeAllSeek(spark, bm25Tree,
+        annTree, "doc_id", cents, corpus, "embedding", "vec_id", qs, "q_id",
+        "terms", cb, kCand = 100, k = 10)
+      assert(served.count() > 0)
+      def allScans(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          allScans(a.executedPlan)
+        case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          allScans(s.plan)
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+        case other => other.children.flatMap(allScans)
+      }
+      val scans = allScans(served.queryExecution.executedPlan)
+      val annScans = scans.filter(_.relation.location.rootPaths.mkString
+        .contains(new java.io.File(annTree).getName))
+      assert(annScans.nonEmpty, "no scan over the written ANN tree found")
+      // the pre-filter is the union of both queries' probe cells: ≤ 2·nProbe
+      annScans.foreach { sc =>
+        assert(sc.partitionFilters.mkString.contains("centroid_id"),
+          s"cell predicate must become a partition filter:\n${sc.partitionFilters}")
+        assert(sc.selectedPartitions.partitionCount <= 2 * 4,
+          s"read ${sc.selectedPartitions.partitionCount} cell dirs for ≤ 8 probed cells")
+        // codes-only read: the tree's vectors never existed, but assert the
+        // schema stays (id, codes) — no accidental wide read creeps in
+        assert(sc.requiredSchema.fieldNames.toSet.subsetOf(Set("vec_id", "codes")),
+          s"ANN tree scan must read codes only, got ${sc.requiredSchema.fieldNames.toSeq}")
+      }
+      val postingScans = scans.filter(
+        _.relation.location.rootPaths.mkString.contains("postings"))
+      assert(postingScans.nonEmpty, "no scan over the written postings found")
+      postingScans.foreach { sc =>
+        assert(sc.partitionFilters.mkString.contains("wb"),
+          s"bucket predicate must become a partition filter:\n${sc.partitionFilters}")
+      }
+      graft.ops.Caches.releaseAll()
+    } finally {
+      graft.util.Fs.deleteTree(java.nio.file.Paths.get(bm25Tree))
+      graft.util.Fs.deleteTree(java.nio.file.Paths.get(annTree))
+    }
+  }
+
   test("x66 export: reading one shard prunes storage partitions to exactly that shard") {
     val docs = Tables.documents(spark, dir)
     val tmp = Files.createTempDirectory("x66_export_").toString
