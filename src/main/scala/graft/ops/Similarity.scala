@@ -619,6 +619,115 @@ object Similarity {
     (cents, assignNearest(emb, vecCol, idCol, cents))
   }
 
+  /** k-means|| INITIALIZED IVF build (Bahmani et al., VLDB 2012) — the
+    * 100 TB replacement for both seeding strategies above: the md5
+    * sample ([[ivfBuild]]) can be arbitrarily bad, and k-means++ needs k
+    * SEQUENTIAL corpus passes; k-means|| oversamples ~l points per round
+    * for `rounds` rounds (each ONE corpus pass), weights the ~l·rounds
+    * candidates by their attraction counts (one more pass), and runs the
+    * weighted fixed-point Lloyd of [[ivfBuildKmeans]] on the MODEL-SIZED
+    * candidate set. Total rounds+1 corpus passes for any k.
+    *
+    * Every stochastic choice is md5-derandomized so the whole training
+    * replays externally (harness query x87 unrolls it in SQL):
+    *  - the seed is the md5-min corpus point (the [[ivfBuild]] sample
+    *    rule at n=1);
+    *  - round r keeps x iff u·φ < l·2³²·d², with u = md5u32("kpp:r:id")
+    *    ∈ [0,2³²), d² = floor((1−maxcos(x,C))·10⁹) an exact long, and
+    *    φ = Σd² an exact long — the comparison is exact decimal(38,0)
+    *    integer arithmetic, no float thresholds anywhere (E[kept] = l
+    *    since E[u/2³²] is uniform; a point already in C has d² = 0 and
+    *    can never re-select);
+    *  - candidate weights are attraction counts under the
+    *    [[assignNearest]] argmax (ties to lowest id);
+    *  - the final reduction seeds with the md5-min k candidates and runs
+    *    `lloydIters` WEIGHTED fixed-point Lloyd rounds (s = Σ w·fix(v),
+    *    n = Σ w, the same round-half-up exact integer mean).
+    *
+    * Cells that attract no candidate drop out (the [[ivfBuildKmeans]]
+    * behavior). Requires ≥ k surviving candidates — raise `l`/`rounds`
+    * if the corpus is tiny. Returns (centroids, assignment) like
+    * [[ivfBuildKmeans]]. */
+  def ivfBuildKmeansParallel(emb: DataFrame, vecCol: String, idCol: String,
+                             nLists: Int = 16, l: Int = 16,
+                             rounds: Int = 2,
+                             lloydIters: Int = 2): (DataFrame, DataFrame) = {
+    val v = col(vecCol).cast("array<double>")
+    var cands = Caches.localCheckpointScoped(emb
+      .select(col(idCol).as("cand_id"), v.as("cv"))
+      .orderBy(md5(col("cand_id").cast("string")).asc, col("cand_id").asc)
+      .limit(1))
+    for (r <- 1 to rounds) {
+      val centArr = cands.df
+        .agg(collect_list(struct(col("cand_id"), col("cv"))).as("cents"))
+      val scored = Caches.localCheckpointScoped(emb
+        .select(col(idCol), v.as("vec"))
+        .crossJoin(broadcast(centArr))
+        .withColumn("maxcos", aggregate(col("cents"),
+          lit(Double.NegativeInfinity), (acc, c) =>
+            greatest(acc, VectorFunctions.dot(col("vec"), c.getField("cv")) /
+              (VectorFunctions.norm(col("vec")) *
+               VectorFunctions.norm(c.getField("cv"))))))
+        .withColumn("d2fix",
+          floor((lit(1.0) - col("maxcos")) * lit(1e9)).cast("long"))
+        .select(col(idCol), col("vec"), col("d2fix")))
+      // φ is ONE exact long — the only driver value a round carries
+      val phi = scored.df.agg(sum(col("d2fix"))).head().getLong(0)
+      val sel = scored.df
+        .withColumn("u", conv(substring(md5(concat(lit(s"kpp:$r:"),
+          col(idCol).cast("string"))), 1, 8), 16, 10).cast("long"))
+        .filter(col("u").cast("decimal(38,0)") *
+                  lit(phi).cast("decimal(38,0)") <
+                lit(l.toLong * 4294967296L).cast("decimal(38,0)") *
+                  col("d2fix").cast("decimal(38,0)"))
+        .select(col(idCol).as("cand_id"), col("vec").as("cv"))
+      val next = Caches.localCheckpointScoped(cands.df.unionByName(sel))
+      scored.release(); cands.release()
+      cands = next
+    }
+    // attraction weights: one corpus pass against the candidate set
+    val weighted = Caches.localCheckpointScoped(
+      assignNearest(emb, vecCol, idCol,
+          cands.df.select(col("cand_id").as("centroid_id"), col("cv")))
+        .groupBy("centroid_id").agg(count(lit(1)).as("w"))
+        .join(cands.df.select(col("cand_id").as("centroid_id"), col("cv")),
+          "centroid_id"))
+    cands.release()
+    require(weighted.df.count() >= nLists,
+      s"k-means|| produced fewer than $nLists weighted candidates; " +
+        "raise l or rounds")
+    // weighted fixed-point Lloyd over the model-sized candidate frame
+    var cur = Caches.localCheckpointScoped(weighted.df
+      .orderBy(md5(col("centroid_id").cast("string")).asc,
+        col("centroid_id").asc)
+      .limit(nLists).select(col("centroid_id"), col("cv")))
+    for (_ <- 1 to lloydIters) {
+      val asg = assignNearest(
+          weighted.df.select(col("centroid_id").as("cand_id"), col("cv")),
+          "cv", "cand_id", cur.df)
+        .join(weighted.df.select(col("centroid_id").as("cand_id"),
+          col("w")), "cand_id")
+      val next = Caches.localCheckpointScoped(asg
+        .groupBy("centroid_id")
+        .agg(graft.functions.VectorSum(
+            transform(col("vec"), x =>
+              floor(x * lit(1000000.0) + lit(0.5)).cast("long") * col("w")))
+          .as("vsum"),
+          sum(col("w")).as("n"))
+        .select(col("centroid_id"),
+          transform(col("vsum"), s => {
+            val u = s * lit(2L) + col("n")
+            val n2 = col("n") * lit(2L)
+            ((u - pmod(u, n2)) / n2) / lit(1000000.0)
+          }).as("cv")))
+      cur.release()
+      cur = next
+    }
+    weighted.release()
+    val cents = Caches.adopt(cur)
+    (cents, assignNearest(emb, vecCol, idCol, cents))
+  }
+
   /** Phase 2: probe an IVF index — score the `nProbe` centroids nearest
     * the query (tiny frame), broadcast-semi-join their lists out of the
     * assignment, exact-score only those candidates. Prunes the scan to

@@ -556,6 +556,24 @@ object Ext {
       Similarity.ivfProbe(cents, assigned, "vec_id", queryVec(s, dir), k = 20)
     },
 
+    // k-means|| INITIALIZED IVF (Bahmani et al., VLDB 2012) — the
+    // scalable seeding: 2 oversampling rounds (ONE corpus pass each,
+    // E[l]=16 kept per round by the exact-integer u·φ < l·2³²·d² rule,
+    // u md5-derived), attraction weights (one pass), then 2 WEIGHTED
+    // fixed-point Lloyd rounds on the model-sized candidate set — vs
+    // k-means++'s k sequential passes. FULL oracle of the entire
+    // training: seed, both oversampling rounds (HUGEINT threshold
+    // arithmetic), weights, both weighted means and the probe replay in
+    // SQL — every stochastic choice md5-derandomized, zero float
+    // thresholds.
+    "x87_ivf_kmeanspar_topk" -> { (s, dir) =>
+      val (cents, assigned) = Similarity.ivfBuildKmeansParallel(
+        Tables.embeddings(s, dir).filter(col("vec_id") =!= 0),
+        vecCol = "embedding", idCol = "vec_id",
+        nLists = 16, l = 16, rounds = 2, lloydIters = 2)
+      Similarity.ivfProbe(cents, assigned, "vec_id", queryVec(s, dir), k = 20)
+    },
+
     // HIERARCHICAL (two-level) coarse assignment — the 100 TB form of
     // the IVF build: per-row dot work drops from k to nSuper + k/nSuper
     // (≈ 2√k; 512× at k = 2¹⁶) by routing through nSuper super-cells,
@@ -1544,6 +1562,71 @@ object Ext {
   /** x78's oracle, shared VERBATIM by x85 (both-trees seek serving)
     * and s14 (streaming dual-tree maintenance): written-tree reads are
     * exact, so the served hybrid is the same composition. */
+  /** x87's oracle: the ENTIRE k-means|| training unrolled — md5-min
+    * seed, two oversampling rounds (exact-integer HUGEINT threshold:
+    * u·φ < l·2³²·d², l = 16 so l·2³² = 68719476736), attraction
+    * weights, md5-min-16 Lloyd seed, two WEIGHTED fixed-point mean
+    * rounds (the x25 integer-space convention with w-multiplied sums),
+    * then the ivfProbe replay. Generated with a cosine helper — every
+    * instance is the same sequential IEEE fold as x05/x25. */
+  private val x87KmeansParSql: String = {
+    def cos(a: String, b: String): String =
+      s"list_sum(list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i])) / " +
+        s"(sqrt(list_sum(list_transform(generate_series(1, len($a)), i -> $a[i] * $a[i]))) * " +
+        s"sqrt(list_sum(list_transform(generate_series(1, len($b)), i -> $b[i] * $b[i]))))"
+    def round_(r: Int): String = {
+      val prev = s"k${r - 1}"
+      s"""|m$r AS (SELECT e.vec_id, MAX(${cos("e.v", s"$prev.cv")}) AS mc FROM e, $prev GROUP BY e.vec_id),
+          |d$r AS (SELECT vec_id, CAST(floor((1.0 - mc) * 1000000000.0) AS BIGINT) AS d2 FROM m$r),
+          |p$r AS (SELECT CAST(SUM(d2) AS BIGINT) AS phi FROM d$r),
+          |s$r AS (SELECT e.vec_id AS cand_id, e.v AS cv
+          |  FROM d$r JOIN e USING (vec_id), p$r
+          |  WHERE CAST(CAST('0x' || substr(md5('kpp:$r:' || CAST(d$r.vec_id AS VARCHAR)), 1, 8) AS UBIGINT) AS HUGEINT) * CAST(p$r.phi AS HUGEINT)
+          |      < CAST(68719476736 AS HUGEINT) * CAST(d$r.d2 AS HUGEINT)),
+          |k$r AS (SELECT cand_id, cv FROM $prev UNION ALL SELECT cand_id, cv FROM s$r),""".stripMargin
+    }
+    def lloyd(r: Int): String = {
+      val prev = s"g${r - 1}"
+      s"""|ga$r AS (SELECT cand_id, cid FROM (
+          |    SELECT wc.cand_id, $prev.cid,
+          |      row_number() OVER (PARTITION BY wc.cand_id ORDER BY ${cos("wc.cv", s"$prev.cv")} DESC, $prev.cid ASC) AS rk
+          |    FROM wc, $prev) WHERE rk = 1),
+          |g$r AS (SELECT cid, list(m ORDER BY pos) AS cv FROM (
+          |    SELECT cid, pos, ((u - ((u % n2) + n2) % n2) / n2) / 1000000.0 AS m FROM (
+          |      SELECT ga$r.cid, x.pos,
+          |        2 * CAST(SUM(x.w * CAST(floor(x.vv * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) + CAST(SUM(x.w) AS BIGINT) AS u,
+          |        2 * CAST(SUM(x.w) AS BIGINT) AS n2
+          |      FROM (SELECT cand_id, w, unnest(generate_series(1, len(cv))) AS pos, unnest(cv) AS vv FROM wc) x
+          |      JOIN ga$r USING (cand_id)
+          |      GROUP BY ga$r.cid, x.pos)) GROUP BY cid),""".stripMargin
+    }
+    s"""|WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id <> 0),
+        |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+        |k0 AS (SELECT vec_id AS cand_id, v AS cv FROM e
+        |       ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC LIMIT 1),
+        |${round_(1)}
+        |${round_(2)}
+        |wa AS (SELECT vec_id, cand_id FROM (
+        |    SELECT e.vec_id, k2.cand_id,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cos("e.v", "k2.cv")} DESC, k2.cand_id ASC) AS rk
+        |    FROM e, k2) WHERE rk = 1),
+        |wt AS (SELECT cand_id, CAST(COUNT(*) AS BIGINT) AS w FROM wa GROUP BY cand_id),
+        |wc AS (SELECT k2.cand_id, k2.cv, wt.w FROM k2 JOIN wt USING (cand_id)),
+        |g0 AS (SELECT cand_id AS cid, cv FROM wc
+        |       ORDER BY md5(CAST(cand_id AS VARCHAR)) ASC, cand_id ASC LIMIT 16),
+        |${lloyd(1)}
+        |${lloyd(2)}
+        |a AS (SELECT vec_id, v, cid FROM (
+        |    SELECT e.vec_id, e.v, g2.cid,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cos("e.v", "g2.cv")} DESC, g2.cid ASC) AS rk
+        |    FROM e, g2) WHERE rk = 1),
+        |probe AS (SELECT cid FROM g2, q
+        |  ORDER BY ${cos("g2.cv", "qv")} DESC, cid ASC LIMIT 4)
+        |SELECT a.vec_id, round(${cos("a.v", "qv")}, 6) AS cos_sim
+        |FROM a JOIN probe USING (cid), q
+        |ORDER BY cos_sim DESC, vec_id ASC LIMIT 20""".stripMargin
+  }
+
   private val x78HybridAnnSql: String =
       """WITH qdef(q_id, w, src_vec) AS (VALUES
         |  (1, 'hash', 0), (1, 'join', 0),
@@ -2239,6 +2322,11 @@ object Ext {
         |  6) AS cos_sim
         |FROM a3 a JOIN probe USING (cid), q
         |ORDER BY cos_sim DESC, vec_id ASC LIMIT 20""".stripMargin,
+
+    // k-means|| replay: the whole derandomized training chain (see the
+    // x87KmeansParSql scaladoc) — any drift in any round, weight or
+    // mean moves centroids and flips the served top-20.
+    "x87_ivf_kmeanspar_topk" -> x87KmeansParSql,
 
     "x07_embedding_near_dups" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
