@@ -485,7 +485,8 @@ object Retrieval {
                          termsCol: String, codebook: Array[Array[Double]],
                          kCand: Int = 100, k: Int = 10, nProbe: Int = 4,
                          refine: Int = 3, m: Int = 8, dims: Int = 64,
-                         nBuckets: Int = 64): DataFrame = {
+                         nBuckets: Int = 64,
+                         packed: Boolean = false): DataFrame = {
     val tRanks = bm25ServeAllSeek(spark, bm25Path, idCol,
         queries.select(col(qIdCol), col(termsCol)), qIdCol, termsCol,
         k = kCand, nBuckets = nBuckets)
@@ -499,9 +500,16 @@ object Retrieval {
         centroids, nProbe)
       .select(col("centroid_id").cast("long")).distinct()
       .collect().map(_.getLong(0)).sorted.toSeq.map(Long.box)
-    val index = spark.read.parquet(annPath)
+    val raw = spark.read.parquet(annPath)
       .filter(col("centroid_id").isin(cells: _*))
       .withColumn("centroid_id", col("centroid_id").cast("long"))
+    // packed = the tree stores m-byte codes8 binaries
+    // ([[Similarity.ivfPqEncodePacked]]'s shape — 8 B/vector at m = 8
+    // instead of a 32 B int array); unpack in-plan, exact integer inverse
+    val index =
+      if (packed) raw.withColumn("codes",
+        Similarity.pqUnpackCodes(col("codes8")))
+      else raw
     val vRanks = Similarity.ivfPqServeAll(centroids, index, vectors,
         vecCol, embIdCol, queries, qIdCol, codebook, k = kCand,
         nProbe = nProbe, refine = refine, m = m, dims = dims)

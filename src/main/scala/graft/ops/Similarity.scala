@@ -55,6 +55,43 @@ object Similarity {
     }
   }
 
+  /** PROJECTED-space IVF ANN — the classic reduce-then-index pipeline:
+    * [[randomProject]] the corpus 64 → `outDims` dims (one shuffle-free
+    * pass, no model), build the IVF over the PROJECTED vectors (md5
+    * centroid sample + argmax assignment — every per-row dot now costs
+    * `outDims`, not 64), probe the projected query's nProbe cells, and
+    * exact-rerank the candidates with the ORIGINAL vectors (cosine,
+    * rounded 6, ties by id). At 100 TB the index build and every probe
+    * run in the reduced space — a 4× dot-cost cut at outDims = 16 —
+    * while served scores stay exact-original-space. Deterministic end
+    * to end; harness query x89 replays projection, sample, assignment,
+    * probe and rerank in SQL. */
+  def projectedIvfTopK(emb: DataFrame, vecCol: String, idCol: String,
+                       queryVec: Seq[Double], k: Int, outDims: Int = 16,
+                       nLists: Int = 16, nProbe: Int = 4,
+                       dims: Int = 64): DataFrame = {
+    val proj = randomProject(emb, vecCol, idCol, outDims, dims)
+    val (cents, assigned) = ivfBuild(proj, "proj", idCol, nLists)
+    val qp = lit(randomProjectLocal(queryVec, outDims).toArray)
+    val probeLists = cents
+      .withColumn("qscore", VectorFunctions.dot(col("cv"), qp) /
+        (VectorFunctions.norm(col("cv")) * VectorFunctions.norm(qp)))
+      .orderBy(col("qscore").desc, col("centroid_id").asc)
+      .limit(nProbe)
+      .select("centroid_id")
+    val q = lit(queryVec.toArray)
+    assigned
+      .join(broadcast(probeLists), "centroid_id")
+      .select(col(idCol))
+      .join(emb.select(col(idCol),
+        col(vecCol).cast("array<double>").as("__v")), Seq(idCol))
+      .withColumn("cos_sim", round(VectorFunctions.dot(col("__v"), q) /
+        (VectorFunctions.norm(col("__v")) * VectorFunctions.norm(q)), 6))
+      .orderBy(col("cos_sim").desc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol), col("cos_sim"))
+  }
+
   /** Exact top-k by cosine against a constant query vector. */
   def topKCosine(emb: DataFrame, vecCol: String, idCol: String,
                  queryVec: Seq[Double], k: Int): DataFrame = {

@@ -106,6 +106,20 @@ object Ext {
         vecCol = "proj", idCol = "vec_id", queryVec = qp, k = 20)
     },
 
+    // REDUCE-THEN-INDEX ANN (x86 ∘ x15): the IVF is built and probed
+    // entirely in the 16-dim PROJECTED space (4× cheaper dots at build
+    // and probe), candidates exact-rerank with the ORIGINAL vectors.
+    // FULL oracle of the whole composition: projection matrix + folds
+    // (x86's CTEs), md5 centroid sample + argmax assignment + probe in
+    // projected space (x15's chain over the projected lists), original-
+    // space rerank (x05's arithmetic).
+    "x89_projected_ivf_topk" -> { (s, dir) =>
+      Similarity.projectedIvfTopK(
+        Tables.embeddings(s, dir).filter(col("vec_id") =!= 0),
+        vecCol = "embedding", idCol = "vec_id",
+        queryVec = queryVec(s, dir), k = 20)
+    },
+
     // RHP-LSH ANN top-k — FULL oracle of the approximation itself: the
     // hyperplanes are md5-derived (VectorFunctions.rhpPlanes), so the
     // DuckDB oracle rebuilds the identical matrix, signatures, Hamming
@@ -504,6 +518,38 @@ object Ext {
       Retrieval.hybridServeAllSeek(s, bm25Tree, annTree, "doc_id", cents,
           corpus, "embedding", "vec_id", qs, "q_id", "terms", cb,
           kCand = 100, k = 10, nBuckets = 16)
+        .orderBy("q_id", "rank")
+    },
+
+    // x85 over the BYTE-PACKED tree — the real storage shape (m-byte
+    // codes8 binaries, 8 B/vector at m=8 instead of a 32 B int array):
+    // ivfPqEncodePacked writes the ANN tree, the seek unpacks in-plan
+    // (exact integer inverse, spec-pinned), everything else is x85
+    // verbatim — so the oracle is x78's SQL verbatim too.
+    "x88_hybrid_seek_packed" -> { (s, dir) =>
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      val qdef = Seq(
+        (1L, Seq("hash", "join"), 0L),
+        (2L, Seq("spark", "vector"), 50L),
+        (3L, Seq("data", "filter", "stream"), 100L),
+        (4L, Seq("cache", "data"), 150L)).toDF("q_id", "terms", "src_vec")
+      val qs = qdef.join(emb.select(col("vec_id").as("src_vec"),
+        col("embedding")), "src_vec")
+      val corpus = emb.filter(col("vec_id") % 50 =!= 0)
+      val (cents, assigned) = Similarity.ivfBuild(corpus, "embedding", "vec_id")
+      val cb = Similarity.pqBuildCodebook(corpus, "embedding", "vec_id")
+      val bm25Tree = java.nio.file.Files.createTempDirectory("x88_bm25_").toString
+      val annTree = java.nio.file.Files.createTempDirectory("x88_ann_").toString
+      Retrieval.bm25WriteModel(Retrieval.bm25BuildModel(
+        Tables.documents(s, dir), "doc_id", "text"), bm25Tree,
+        nBuckets = 16)
+      Similarity.ivfPqEncodePacked(assigned, "vec_id", cb)
+        .select("vec_id", "centroid_id", "codes8")
+        .write.mode("overwrite").partitionBy("centroid_id").parquet(annTree)
+      Retrieval.hybridServeAllSeek(s, bm25Tree, annTree, "doc_id", cents,
+          corpus, "embedding", "vec_id", qs, "q_id", "terms", cb,
+          kCand = 100, k = 10, nBuckets = 16, packed = true)
         .orderBy("q_id", "rank")
     },
 
@@ -1857,6 +1903,51 @@ object Ext {
         |FROM ep, qp
         |ORDER BY cos_sim DESC, vec_id ASC LIMIT 20""".stripMargin,
 
+    // Reduce-then-index replay: x86's projection CTEs, then x15's IVF
+    // chain run over the PROJECTED lists (sample, argmax assignment,
+    // probe), then the rerank joins back the ORIGINAL vectors with
+    // x05's cosine arithmetic.
+    "x89_projected_ivf_topk" ->
+      """WITH h AS (
+        |  SELECT b, list_transform(generate_series(0, 63),
+        |    d -> (CAST('0x' || substr(md5('rhp:' || CAST(b AS VARCHAR) || ':' || CAST(d AS VARCHAR)), 1, 8) AS UBIGINT) % 2000001) / 1000000.0 - 1.0) AS hv
+        |  FROM generate_series(0, 15) t(b)),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id <> 0),
+        |q AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 0),
+        |ep AS (
+        |  SELECT e.vec_id,
+        |    list(list_sum(list_transform(generate_series(1, 64), i -> e.v[i] * h.hv[i])) ORDER BY h.b) AS p
+        |  FROM e, h GROUP BY e.vec_id),
+        |qp AS (
+        |  SELECT list(list_sum(list_transform(generate_series(1, 64), i -> q.v[i] * h.hv[i])) ORDER BY h.b) AS p
+        |  FROM q, h),
+        |c0 AS (SELECT vec_id AS cid, p AS cv FROM ep
+        |       ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC LIMIT 16),
+        |asg AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT ep.vec_id, c0.cid,
+        |      row_number() OVER (PARTITION BY ep.vec_id ORDER BY
+        |        list_sum(list_transform(generate_series(1, 16), i -> ep.p[i] * c0.cv[i])) /
+        |          (sqrt(list_sum(list_transform(generate_series(1, 16), i -> ep.p[i] * ep.p[i]))) *
+        |           sqrt(list_sum(list_transform(generate_series(1, 16), i -> c0.cv[i] * c0.cv[i])))) DESC,
+        |        c0.cid ASC) AS rk
+        |    FROM ep, c0) WHERE rk = 1),
+        |probe AS (
+        |  SELECT cid FROM c0, qp
+        |  ORDER BY
+        |    list_sum(list_transform(generate_series(1, 16), i -> c0.cv[i] * qp.p[i])) /
+        |      (sqrt(list_sum(list_transform(generate_series(1, 16), i -> c0.cv[i] * c0.cv[i]))) *
+        |       sqrt(list_sum(list_transform(generate_series(1, 16), i -> qp.p[i] * qp.p[i])))) DESC,
+        |    cid ASC LIMIT 4)
+        |SELECT e.vec_id,
+        |  round(
+        |    list_sum(list_transform(generate_series(1, 64), i -> e.v[i] * q.v[i])) /
+        |    (sqrt(list_sum(list_transform(generate_series(1, 64), i -> e.v[i] * e.v[i]))) *
+        |     sqrt(list_sum(list_transform(generate_series(1, 64), i -> q.v[i] * q.v[i])))),
+        |  6) AS cos_sim
+        |FROM asg JOIN probe USING (cid) JOIN e USING (vec_id), q
+        |ORDER BY cos_sim DESC, vec_id ASC LIMIT 20""".stripMargin,
+
     // Full oracle of the ANN approximation itself: the hyperplane matrix is
     // md5-derived (see VectorFunctions.rhpPlanes), integer-exact in both
     // engines; projections/cosines are the same sequential IEEE folds as
@@ -1953,6 +2044,11 @@ object Ext {
     // matching-term row; the probed-cell filter is a superset of every
     // query's cells) — x78's SQL verbatim.
     "x85_hybrid_seek" -> x78HybridAnnSql,
+
+    // x88 packed tree: the byte pack/unpack is an exact integer
+    // bijection (spec-pinned), so the packed tree serves exactly what
+    // the unpacked tree serves — x78's SQL verbatim again.
+    "x88_hybrid_seek_packed" -> x78HybridAnnSql,
 
     // Batch hybrid replay: x76's text chain + per-query rounded-cosine
     // ranks over one corpus pass + x65's floor-of-one-IEEE-division

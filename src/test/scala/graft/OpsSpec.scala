@@ -1139,6 +1139,18 @@ class OpsSpec extends AnyFunSuite {
         "doc_id", cents, corpus, "embedding", "vec_id", qs, "q_id", "terms",
         cb, kCand = 100, k = 10))
       assert(seek == inMem, "seek serving diverged from the in-memory hybrid")
+      // the BYTE-PACKED tree serves identically (x88's law: pack/unpack
+      // is an exact integer bijection)
+      val annPacked = java.nio.file.Files.createTempDirectory("hyb_annp_").toString
+      try {
+        Sim.ivfPqEncodePacked(assigned, "vec_id", cb)
+          .select("vec_id", "centroid_id", "codes8")
+          .write.mode("overwrite").partitionBy("centroid_id").parquet(annPacked)
+        val packed = rows(Retrieval.hybridServeAllSeek(spark, bm25Tree,
+          annPacked, "doc_id", cents, corpus, "embedding", "vec_id", qs,
+          "q_id", "terms", cb, kCand = 100, k = 10, packed = true))
+        assert(packed == inMem, "packed tree diverged from the unpacked serve")
+      } finally graft.util.Fs.deleteTree(java.nio.file.Paths.get(annPacked))
       graft.ops.Caches.releaseAll()
     } finally {
       graft.util.Fs.deleteTree(java.nio.file.Paths.get(bm25Tree))
@@ -1183,6 +1195,32 @@ class OpsSpec extends AnyFunSuite {
     assert(recalls(1) >= 0.15, s"recall@20 at 16 dims collapsed: $recalls")
     assert(recalls(2) >= recalls(0),
       s"recall must not degrade with more dims: $recalls")
+    graft.ops.Caches.releaseAll()
+  }
+
+  test("projected IVF: results subset-of-corpus with exact original scores; recall vs full-dim IVF") {
+    import graft.ops.Similarity
+    val rest = emb.filter(col("vec_id") =!= 0)
+    val qv = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+    val got = Similarity.projectedIvfTopK(rest, "embedding", "vec_id", qv,
+        k = 20).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.size == 20)
+    // served scores are EXACT original-space cosines (the rerank
+    // contract): every (id, score) matches the brute-force scan's value
+    val brute = Similarity.topKCosine(rest, "embedding", "vec_id", qv,
+        rest.count().toInt)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    got.foreach { case (id, s) =>
+      assert(brute(id) == s, s"id $id served $s, exact is ${brute(id)}")
+    }
+    // recall floor vs the exact top-20 — the projected cells cost 4×
+    // less per dot; on this near-uniform corpus (the JL worst case)
+    // recall tracks the full-dim IVF's ballpark rather than collapsing
+    val exact = Similarity.topKCosine(rest, "embedding", "vec_id", qv, 20)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (got.keySet & exact).size / 20.0
+    assert(recall >= 0.10, s"projected-IVF recall collapsed: $recall")
     graft.ops.Caches.releaseAll()
   }
 
