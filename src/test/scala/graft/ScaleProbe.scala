@@ -362,6 +362,63 @@ object ScaleProbe {
         }
         val best = runs.minBy(_._1)
         println(f"x76 best-of-2: wall=${best._1}%.2f s cpu=${best._2}%.1f s")
+      case "x87" =>
+        // IVF seeding quality + build cost: md5 sample (x15) vs 2-round
+        // full-corpus Lloyd (x25) vs k-means|| (x87) — recall@20 of the
+        // ivfProbe serve at nProbe=4, and build wall, at small and large k.
+        // k-means||'s pass count is k-independent; Lloyd's per-pass dot
+        // cost is k per row.
+        import org.apache.spark.sql.functions.col
+        val emb = spark.read.parquet(args(0) + "/embeddings.parquet")
+        val rest = emb.filter(col("vec_id") =!= 0)
+        val qv = emb.filter(col("vec_id") === 0)
+          .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+        val exact = graft.ops.Similarity.topKCosine(rest, "embedding",
+            "vec_id", qv, 20)
+          .collect().map(_.getLong(0)).toSet
+        for (k <- Seq(16, 64, 256)) {
+          for ((name, build) <- Seq[(String, () => (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame))](
+            ("sample", () => graft.ops.Similarity.ivfBuild(rest, "embedding", "vec_id", k)),
+            ("lloyd2", () => graft.ops.Similarity.ivfBuildKmeans(rest, "embedding", "vec_id", k)),
+            ("kmpar", () => graft.ops.Similarity.ivfBuildKmeansParallel(
+              rest, "embedding", "vec_id", k, l = 2 * k, rounds = 2)))) {
+            val t0 = System.nanoTime()
+            val (cents, assigned) = build()
+            val got = graft.ops.Similarity.ivfProbe(cents, assigned,
+                "vec_id", qv, 20, nProbe = math.max(4, k / 4))
+              .collect().map(_.getLong(0)).toSet
+            val wall = (System.nanoTime() - t0) / 1e9
+            graft.ops.Caches.releaseAll()
+            System.gc()
+            println(f"x87 k=$k%3d $name%-6s recall@20=${(got & exact).size / 20.0}%.2f build+serve=${wall}%.2f s")
+          }
+        }
+      case "x89" =>
+        // reduce-then-index vs full-dim IVF: build+probe wall best-of-2
+        import org.apache.spark.sql.functions.col
+        val emb = spark.read.parquet(args(0) + "/embeddings.parquet")
+        val rest = emb.filter(col("vec_id") =!= 0)
+        val qv = emb.filter(col("vec_id") === 0)
+          .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+        val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+          .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+        def timed(f: => org.apache.spark.sql.DataFrame): (Double, Double) =
+          (1 to 2).map { _ =>
+            val c0 = os.getProcessCpuTime
+            val t0 = System.nanoTime()
+            f.write.format("noop").mode("overwrite").save()
+            val r = ((System.nanoTime() - t0) / 1e9,
+              (os.getProcessCpuTime - c0) / 1e9)
+            graft.ops.Caches.releaseAll()
+            System.gc()
+            r
+          }.minBy(_._1)
+        val proj = timed(graft.ops.Similarity.projectedIvfTopK(rest,
+          "embedding", "vec_id", qv, 20, outDims = 16, nLists = 64,
+          nProbe = 16))
+        val full = timed(graft.ops.Similarity.ivfTopKCosine(rest,
+          "embedding", "vec_id", qv, 20, nLists = 64, nProbe = 16))
+        println(f"x89 projected(16d) best-of-2: wall=${proj._1}%.2f s cpu=${proj._2}%.1f s; full-dim IVF: wall=${full._1}%.2f s cpu=${full._2}%.1f s")
       case "x67" =>
         // SemDeDup at the auto dial, bench protocol
         val emb = spark.read.parquet(args(0) + "/embeddings.parquet")
