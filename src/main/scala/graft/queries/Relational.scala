@@ -525,6 +525,38 @@ object Relational {
           |SELECT key, root, depth FROM walk ORDER BY key""".stripMargin)
     },
 
+    // -- LATERAL correlated subquery (top-N per outer row): each nation
+    //    pulls its top-2 customers by balance — the per-row dependent
+    //    join Spark plans as a window under the hood. Deterministic:
+    //    ties broken by name inside and outside the lateral.
+    "q45_lateral_join" -> { (s, dir) =>
+      Tables.nation(s, dir).createOrReplaceTempView("graft_nation_q45")
+      Tables.customer(s, dir).createOrReplaceTempView("graft_customer_q45")
+      s.sql(
+        """SELECT n.n_name, t.c_name, t.c_acctbal
+          |FROM graft_nation_q45 n,
+          |LATERAL (SELECT c_name, c_acctbal FROM graft_customer_q45 c
+          |         WHERE c.c_nationkey = n.n_nationkey
+          |         ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+          |ORDER BY n.n_name, t.c_acctbal DESC, t.c_name""".stripMargin)
+    },
+
+    // -- IGNORE NULLS window (gap-filling carry-forward): per customer,
+    //    running last urgent-order date over the date-ordered history —
+    //    the standard last-observation-carried-forward form. The
+    //    window's order is totalized by the unique order key.
+    "q46_ignore_nulls_window" -> { (s, dir) =>
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, dir)
+        .withColumn("urgent_date",
+          when(col("o_orderpriority") === "1-URGENT", col("o_orderdate")))
+        .withColumn("last_urgent", last(col("urgent_date"), ignoreNulls = true).over(w))
+        .select(col("o_custkey"), col("o_orderkey"), col("last_urgent"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
     // -- Session windows (gap-based sessionization) in batch: the same
     //    session_window expression the streaming path uses; oracle =
     //    lag/cumulative-sum sessionization. Session = [min ts, max ts+gap).
@@ -853,6 +885,22 @@ object Relational {
         |  CAST(count_if(o_totalprice > 200000) AS BIGINT) AS n_big,
         |  bool_or(o_orderstatus = 'F') AS any_f
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q45_lateral_join" ->
+      """SELECT n.n_name, t.c_name, t.c_acctbal
+        |FROM nation n,
+        |LATERAL (SELECT c_name, c_acctbal FROM customer c
+        |         WHERE c.c_nationkey = n.n_nationkey
+        |         ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+        |ORDER BY n.n_name, t.c_acctbal DESC, t.c_name""".stripMargin,
+
+    "q46_ignore_nulls_window" ->
+      """SELECT o_custkey, o_orderkey,
+        |  last_value(CASE WHEN o_orderpriority = '1-URGENT' THEN o_orderdate END IGNORE NULLS)
+        |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_urgent
+        |FROM orders
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "q35_session_windows" ->
       """WITH s AS (
