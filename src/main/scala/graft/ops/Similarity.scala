@@ -100,6 +100,21 @@ object Similarity {
       .select(col(idCol), col("cos_sim"))
   }
 
+  /** Projected-space cell assignment for a batch of raw vectors:
+    * [[randomProject]] then nearest-centroid argmax against the frozen
+    * projected-centroid frame (centroid_id, cv). The returned (idCol,
+    * centroid_id) row is a PURE PER-ROW function of the frozen model —
+    * the property behind s15's APPEND-ONLY index maintenance: arriving
+    * vectors can be assigned and appended to the
+    * `partitionBy(centroid_id)` tree with zero rewrites, because
+    * nothing in the row aggregates over the corpus. */
+  def assignProjected(emb: DataFrame, vecCol: String, idCol: String,
+                      centroids: DataFrame, outDims: Int,
+                      dims: Int = 64): DataFrame =
+    assignNearest(randomProject(emb, vecCol, idCol, outDims, dims),
+        "proj", idCol, centroids)
+      .select(col(idCol), col("centroid_id"))
+
   /** Exact top-k by cosine against a constant query vector. */
   def topKCosine(emb: DataFrame, vecCol: String, idCol: String,
                  queryVec: Seq[Double], k: Int): DataFrame = {

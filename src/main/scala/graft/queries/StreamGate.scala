@@ -115,6 +115,26 @@ object StreamGate {
     })
   }
 
+  /** Arrival topic for the APPEND-ONLY index gate (s15): x89's corpus is
+    * vec_id ≠ 0 and the streamed split is its % 7 = 0 slice (distinct
+    * from [[arrivalVecTopic]], whose corpus excludes % 50 = 0 query
+    * rows). Memoized per (JVM, sf dir). */
+  private val arrival7Topics = TrieMap.empty[String, String]
+  private def arrivalVec7Topic(s: SparkSession, dir: String): String = synchronized {
+    arrival7Topics.getOrElseUpdate(dir, {
+      val topic = s"gate_arrvec7_${java.util.UUID.randomUUID().toString.take(8)}"
+      Tables.embeddings(s, dir)
+        .filter(col("vec_id") =!= 0 && col("vec_id") % 7 === 0)
+        .select(col("vec_id").cast("string").as("key"),
+          to_json(struct(col("vec_id"),
+            col("embedding").cast("array<double>").as("v"))).as("value"),
+          to_timestamp(lit("2024-01-01 00:00:00")).as("timestamp"))
+        .write.format("graft-topic").mode("append")
+        .option("topic", topic).option("partitions", "4").save()
+      topic
+    })
+  }
+
   /** Incoming-DOCUMENTS topic for the streaming ingest-screening gate
     * (s09): the x50 batch side (doc_id ≥ 400) serialized as JSON — the
     * arrival stream of an ingest pipeline whose corpus (doc_id < 400)
@@ -789,6 +809,88 @@ object StreamGate {
       }
     },
 
+    // STREAMING APPEND-ONLY INDEX MAINTENANCE — the cheapest rung of the
+    // maintenance ladder: the projected-IVF assignment row (vec_id,
+    // centroid_id) is a PURE PER-ROW function of the frozen model
+    // (projection matrix + centroid sample), so arriving vectors don't
+    // need compaction at all — each micro-batch projects, assigns and
+    // APPENDS to the partitionBy(centroid_id) tree (new files in the
+    // touched cell dirs only; zero rewrites, vs s12/s13's
+    // dynamic-overwrite folds whose rows aggregate). Serving probes the
+    // projected query's cells against the tree and exact-reranks with
+    // ORIGINAL vectors from the static table. Static (vec_id % 7 ≠ 0) ∪
+    // streamed arrivals (% 7 = 0) = the x89 corpus, the model is frozen
+    // over the WHOLE corpus, and append order can't affect a keyed read
+    // — so the final tree reads exactly like the batch build and the
+    // oracle is x89's SQL verbatim.
+    "s15_stream_append_index" -> { (s, dir) =>
+      val topic = arrivalVec7Topic(s, dir)
+      withGateConf(s) {
+        val emb = Tables.embeddings(s, dir)
+        val corpus = emb.filter(col("vec_id") =!= 0)
+        val proj = graft.ops.Caches.localCheckpointTracked(
+          graft.ops.Similarity.randomProject(corpus, "embedding", "vec_id", 16))
+        val cents = graft.ops.Caches.localCheckpointTracked(proj
+          .select(col("vec_id").as("centroid_id"), col("proj").as("cv"))
+          .orderBy(md5(col("centroid_id").cast("string")).asc,
+            col("centroid_id").asc)
+          .limit(16))
+        val tree = gateTmpDir("s15_tree_")
+        graft.ops.Similarity.assignProjected(
+            corpus.filter(col("vec_id") % 7 =!= 0), "embedding", "vec_id",
+            cents, outDims = 16)
+          .write.mode("overwrite").partitionBy("centroid_id")
+          .parquet(tree.toString)
+        val ckpt = gateTmpDir("s15_ckpt_")
+        val q = s.readStream.format("graft-topic")
+          .option("topic", topic)
+          .option("maxRecordsPerTrigger",
+            math.max(1L, (topicSize(topic) + 1) / 2).toString)
+          .load()
+          .select(from_json(col("value").cast("string"), org.apache.spark.sql.types
+            .StructType.fromDDL("vec_id BIGINT, v ARRAY<DOUBLE>")).as("j"))
+          .select(col("j.vec_id").as("vec_id"), col("j.v").as("embedding"))
+          .writeStream
+          .foreachBatch { (df: DataFrame, _: Long) =>
+            if (!df.isEmpty)
+              graft.ops.Similarity.assignProjected(df, "embedding",
+                  "vec_id", cents, outDims = 16)
+                .write.mode("append").partitionBy("centroid_id")
+                .parquet(tree.toString)
+            ()
+          }
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        drain(q, ckpt)
+        require(dataBatches(q) >= 2,
+          s"s15 must append across batches; ran ${dataBatches(q)} data batches")
+        val qv = emb.filter(col("vec_id") === 0)
+          .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+        val qp = graft.ops.Similarity.randomProjectLocal(qv, 16)
+        val probeCells = cents
+          .withColumn("qs", graft.functions.VectorFunctions.cosine(col("cv"),
+            lit(qp.toArray)))
+          .orderBy(col("qs").desc, col("centroid_id").asc)
+          .limit(4).select(col("centroid_id").cast("long"))
+          .collect().map(_.getLong(0)).toSeq
+        val out = graft.ops.Caches.localCheckpointTracked(
+          s.read.parquet(tree.toString)
+            .filter(col("centroid_id").isin(probeCells.map(Long.box): _*))
+            .select(col("vec_id"))
+            .join(corpus.select(col("vec_id"),
+              col("embedding").cast("array<double>").as("__v")), "vec_id")
+            .withColumn("cos_sim", round(
+              graft.functions.VectorFunctions.cosine(col("__v"),
+                lit(qv.toArray)), 6))
+            .orderBy(col("cos_sim").desc, col("vec_id").asc)
+            .limit(20)
+            .select(col("vec_id"), col("cos_sim")))
+        cleanupStep("tree delete")(graft.util.Fs.deleteTree(tree))
+        out
+      }
+    },
+
     // Streaming exact dedup under the gate: events replayed through the
     // topic → dropDuplicatesWithinWatermark(user_id) → append-mode memory
     // sink. WHICH occurrence survives is arrival-order-dependent, so the
@@ -1223,6 +1325,12 @@ object StreamGate {
     // the vector side; static ∪ streamed = whole in both), and seek
     // reads are exact — the served hybrid is x78's SQL verbatim.
     "s14_stream_hybrid_maintenance" -> Ext.oracle("x78_hybrid_serve_ann"),
+
+    // s15: the assignment row is a pure per-row function of the frozen
+    // model, appends land new files in their cell dirs (no rewrites),
+    // and a keyed read is order-blind — static ∪ appended = the batch
+    // build's tree: x89's SQL verbatim.
+    "s15_stream_append_index" -> Ext.oracle("x89_projected_ivf_topk"),
 
     // The FULL batch left join: the sentinel-closed watermark guarantees
     // every real click got its match rows or its null row — nothing is

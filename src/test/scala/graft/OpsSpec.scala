@@ -1224,6 +1224,35 @@ class OpsSpec extends AnyFunSuite {
     graft.ops.Caches.releaseAll()
   }
 
+  test("assignProjected append law: assignment distributes over union under a frozen model") {
+    import graft.ops.Similarity
+    import spark.implicits._
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    val proj = graft.ops.Caches.localCheckpointTracked(
+      Similarity.randomProject(corpus, "embedding", "vec_id", 16))
+    val cents = proj
+      .select(col("vec_id").as("centroid_id"), col("proj").as("cv"))
+      .orderBy(md5(col("centroid_id").cast("string")).asc, col("centroid_id").asc)
+      .limit(16)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the s15 law: the row is a pure per-row function of the frozen
+    // model, so assigning the parts and unioning equals assigning the
+    // whole — append-only maintenance needs no compaction
+    val whole = rows(Similarity.assignProjected(corpus, "embedding",
+      "vec_id", cents, outDims = 16))
+    val partA = rows(Similarity.assignProjected(
+      corpus.filter(col("vec_id") % 7 =!= 0), "embedding", "vec_id",
+      cents, outDims = 16))
+    val partB = rows(Similarity.assignProjected(
+      corpus.filter(col("vec_id") % 7 === 0), "embedding", "vec_id",
+      cents, outDims = 16))
+    assert(partA.keySet.intersect(partB.keySet).isEmpty)
+    assert(partA ++ partB == whole,
+      "split assignment diverged from the whole-corpus assignment")
+    graft.ops.Caches.releaseAll()
+  }
+
   test("k-means|| init: partition-invariant, candidate budget, full coverage") {
     import graft.ops.Similarity
     val rest = emb.filter(col("vec_id") =!= 0)
