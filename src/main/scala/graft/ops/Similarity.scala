@@ -413,6 +413,18 @@ object Similarity {
       iters: Int): DataFrame = {
     val kCells = if (nLists > 0) nLists else autoCellCount(emb)
     val (cents, _) = ivfBuildKmeans(emb, vecCol, idCol, kCells, iters)
+    knnGraphCandidatesWithCents(emb, vecCol, idCol, cents, nProbeCells,
+      nBands, bandBits, dims)
+  }
+
+  /** [[knnGraphCellCandidates]] under a PRE-BUILT (frozen) centroid
+    * frame — the candidate geometry as a pure function of the model,
+    * so delta maintenance ([[knnGraphCellsDelta]]) can generate the
+    * same relation over static ∪ arrivals that the batch build would. */
+  private[graft] def knnGraphCandidatesWithCents(
+      emb: DataFrame, vecCol: String, idCol: String, cents: DataFrame,
+      nProbeCells: Int, nBands: Int, bandBits: Int,
+      dims: Int): DataFrame = {
     val cells = Caches.persistTracked(
       assignProbeCells(emb, vecCol, idCol, cents, nProbeCells)
         .select(col(idCol), col("rk"), col("centroid_id")))
@@ -471,6 +483,94 @@ object Similarity {
       nBands, bandBits, dims, nLists, iters)
     val vecs = emb.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
     cands
+      .join(vecs.withColumnsRenamed(Map(idCol -> "src_id", "__v" -> "__sv")), "src_id")
+      .join(vecs.withColumnsRenamed(Map(idCol -> "nbr_id", "__v" -> "__nv")), "nbr_id")
+      .withColumn("cos_sim", round(VectorFunctions.cosine(col("__sv"), col("__nv")), 6))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("src_id").orderBy(col("cos_sim").desc, col("nbr_id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("src_id"), col("nbr_id"), col("cos_sim"), col("rank"))
+  }
+
+  /** DELTA-MAINTAINED k-NN graph — [[knnGraphCells]]'s x73 analog: the
+    * model (k-means cells trained on the STATIC corpus, md5 bands) is
+    * FROZEN, so the candidate relation is a pure pairwise function of
+    * per-row attributes and distributes over corpus growth:
+    *
+    *   candidates(static ∪ Δ) = candidates(static) ∪ Δ-touching pairs.
+    *
+    * The Δ-touching pairs cost ∝ |Δ| (each candidate join has one
+    * Δ-sized side), and the per-source top-k MERGES exactly: a new
+    * arrival can only displace old neighbors downward, never promote an
+    * old below-top-k candidate, so top-k(union candidates) ⊆
+    * old-top-k ∪ Δ-touching — re-ranking the merged pair set therefore
+    * equals the batch rebuild over static ∪ Δ under the same frozen
+    * model. Harness query x90's oracle is x72's SQL with ONLY the model
+    * CTEs retrained on the static split (the cells/bands/candidates/
+    * rank chain verbatim); OpsSpec pins delta ≡ rebuild row-for-row.
+    *
+    * Total delta cost: one per-row pass over the union for cells+bands
+    * (frozen-model arithmetic, no training) + Δ-bounded joins + a
+    * rescoring of n·k merged pairs — never the O(n^1.5) static
+    * candidate volume again. */
+  def knnGraphCellsDelta(staticEmb: DataFrame, delta: DataFrame,
+                         vecCol: String, idCol: String, k: Int = 5,
+                         nProbeCells: Int = 5, nBands: Int = 16,
+                         bandBits: Int = 4, dims: Int = 64,
+                         nLists: Int = 0, iters: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val kCells = if (nLists > 0) nLists else autoCellCount(staticEmb)
+    val (cents, _) = ivfBuildKmeans(staticEmb, vecCol, idCol, kCells, iters)
+    // the maintained artifact: the static graph's TOP-K pair set (in
+    // production this is the stored graph; here derived once under the
+    // same frozen model). Using only n·k stored pairs is exact by the
+    // displacement argument in the scaladoc — any batch-top-k entry from
+    // the static side already ranked top-k before the arrivals.
+    val sVecs = staticEmb.select(col(idCol),
+      col(vecCol).cast("array<double>").as("__v"))
+    val oldPairs = Caches.persistTracked(
+      knnGraphCandidatesWithCents(staticEmb, vecCol, idCol, cents,
+          nProbeCells, nBands, bandBits, dims)
+        .join(sVecs.withColumnsRenamed(Map(idCol -> "src_id", "__v" -> "__sv")), "src_id")
+        .join(sVecs.withColumnsRenamed(Map(idCol -> "nbr_id", "__v" -> "__nv")), "nbr_id")
+        .withColumn("cos_sim", round(VectorFunctions.cosine(col("__sv"), col("__nv")), 6))
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("src_id")
+            .orderBy(col("cos_sim").desc, col("nbr_id").asc)))
+        .filter(col("rank") <= k)
+        .select(col("src_id"), col("nbr_id")))
+    val union = staticEmb.select(col(idCol), col(vecCol))
+      .unionByName(delta.select(col(idCol), col(vecCol)))
+    val cells = Caches.persistTracked(
+      assignProbeCells(union, vecCol, idCol, cents, nProbeCells)
+        .select(col(idCol), col("rk"), col("centroid_id")))
+    val bandsF = Caches.persistTracked(
+      union.select(col(idCol), posexplode(
+          graft.functions.VectorExpressions.rhpBandsNative(
+            col(vecCol).cast("array<double>"), nBands, bandBits, dims)))
+        .select(col(idCol), col("pos").as("j"), col("col").as("bv")))
+    val deltaIds = delta.select(col(idCol).as("__d"))
+    val home = cells.filter(col("rk") === 1)
+      .select(col(idCol).as("h_id"), col("centroid_id"))
+      .join(bandsF.withColumnRenamed(idCol, "h_id"), "h_id")
+    val probe = cells.select(col(idCol).as("p_id"), col("centroid_id"))
+      .join(bandsF.withColumnRenamed(idCol, "p_id"), "p_id")
+    // Δ-touching only: each join keeps one side Δ-sized
+    val probeD = probe.join(deltaIds, probe("p_id") === deltaIds("__d"),
+      "left_semi")
+    val homeD = home.join(deltaIds, home("h_id") === deltaIds("__d"),
+      "left_semi")
+    val dir = probeD.join(home, Seq("centroid_id", "j", "bv"))
+      .select(col("p_id"), col("h_id"))
+      .unionAll(probe.join(homeD, Seq("centroid_id", "j", "bv"))
+        .select(col("p_id"), col("h_id")))
+      .filter(col("p_id") =!= col("h_id"))
+    val deltaPairs = dir
+      .select(col("p_id").as("src_id"), col("h_id").as("nbr_id"))
+      .unionAll(dir.select(col("h_id").as("src_id"), col("p_id").as("nbr_id")))
+      .distinct()
+    val vecs = union.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+    oldPairs.unionByName(deltaPairs).distinct()
       .join(vecs.withColumnsRenamed(Map(idCol -> "src_id", "__v" -> "__sv")), "src_id")
       .join(vecs.withColumnsRenamed(Map(idCol -> "nbr_id", "__v" -> "__nv")), "nbr_id")
       .withColumn("cos_sim", round(VectorFunctions.cosine(col("__sv"), col("__nv")), 6))

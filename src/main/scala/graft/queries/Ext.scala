@@ -1408,7 +1408,114 @@ object Ext {
           "vec_id", k = 5)
         .orderBy("src_id", "rank")
     },
+
+    // DELTA-MAINTAINED k-NN graph (x73's law on the graph artifact):
+    // the frozen static-trained model makes the candidate relation a
+    // pure pairwise function, so arrivals add only Δ-touching pairs
+    // (every join Δ-bounded) and the stored n·k top-k lists merge
+    // EXACTLY (a new arrival can only displace old neighbors downward —
+    // the OpsSpec-pinned displacement argument). FULL oracle: x72's
+    // chain with ONLY the Lloyd-training CTEs scanning the static
+    // split — cells, bands, the symmetric candidate union, cosines and
+    // ranks replay over the whole union verbatim.
+    "x90_knn_graph_delta" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Similarity.knnGraphCellsDelta(emb.filter(col("vec_id") % 7 =!= 0),
+          emb.filter(col("vec_id") % 7 === 0), "embedding", "vec_id",
+          k = 5)
+        .orderBy("src_id", "rank")
+    },
   )
+
+  /** x72's full replay, parameterized by the Lloyd-TRAINING source
+    * ($m): x72 trains on the whole corpus (e); x90 trains on the
+    * static split (es) — the frozen maintained model — while cells,
+    * bands, candidates and ranks still run over the whole union. */
+  private def knnGraphSql(m: String, extraCte: String): String = {
+    val tmpl =
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c0 AS (SELECT vec_id AS cid, v AS cv FROM $m
+        |       ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC
+        |       LIMIT (SELECT GREATEST(4, CAST(floor(0.35 * sqrt(CAST(COUNT(*) AS DOUBLE))) AS BIGINT)) FROM $m)),
+        |a1 AS (
+        |  SELECT vec_id, v, cid FROM (
+        |    SELECT $m.vec_id, $m.v, c0.cid,
+        |      row_number() OVER (PARTITION BY $m.vec_id ORDER BY
+        |        list_sum(list_transform(generate_series(1, len($m.v)), i -> $m.v[i] * c0.cv[i])) /
+        |          (sqrt(list_sum(list_transform(generate_series(1, len($m.v)), i -> $m.v[i] * $m.v[i]))) *
+        |           sqrt(list_sum(list_transform(generate_series(1, len(c0.cv)), i -> c0.cv[i] * c0.cv[i])))) DESC,
+        |        c0.cid ASC) AS rk
+        |    FROM $m, c0) WHERE rk = 1),
+        |c1 AS (
+        |  SELECT cid, list(m ORDER BY pos) AS cv FROM (
+        |    SELECT cid, pos, ((u - ((u % n2) + n2) % n2) / n2) / 1000000.0 AS m FROM (
+        |      SELECT cid, pos,
+        |        2 * CAST(SUM(CAST(floor(vv * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) + COUNT(*) AS u,
+        |        2 * COUNT(*) AS n2
+        |      FROM (SELECT cid, unnest(generate_series(1, len(v))) AS pos, unnest(v) AS vv FROM a1)
+        |      GROUP BY cid, pos)) GROUP BY cid),
+        |a2 AS (
+        |  SELECT vec_id, v, cid FROM (
+        |    SELECT $m.vec_id, $m.v, c1.cid,
+        |      row_number() OVER (PARTITION BY $m.vec_id ORDER BY
+        |        list_sum(list_transform(generate_series(1, len($m.v)), i -> $m.v[i] * c1.cv[i])) /
+        |          (sqrt(list_sum(list_transform(generate_series(1, len($m.v)), i -> $m.v[i] * $m.v[i]))) *
+        |           sqrt(list_sum(list_transform(generate_series(1, len(c1.cv)), i -> c1.cv[i] * c1.cv[i])))) DESC,
+        |        c1.cid ASC) AS rk
+        |    FROM $m, c1) WHERE rk = 1),
+        |c2 AS (
+        |  SELECT cid, list(m ORDER BY pos) AS cv FROM (
+        |    SELECT cid, pos, ((u - ((u % n2) + n2) % n2) / n2) / 1000000.0 AS m FROM (
+        |      SELECT cid, pos,
+        |        2 * CAST(SUM(CAST(floor(vv * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) + COUNT(*) AS u,
+        |        2 * COUNT(*) AS n2
+        |      FROM (SELECT cid, unnest(generate_series(1, len(v))) AS pos, unnest(v) AS vv FROM a2)
+        |      GROUP BY cid, pos)) GROUP BY cid),
+        |pc AS (
+        |  SELECT vec_id, cid, rk FROM (
+        |    SELECT e.vec_id, c2.cid,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_sum(list_transform(generate_series(1, len(e.v)), i -> e.v[i] * c2.cv[i])) /
+        |          (sqrt(list_sum(list_transform(generate_series(1, len(e.v)), i -> e.v[i] * e.v[i]))) *
+        |           sqrt(list_sum(list_transform(generate_series(1, len(c2.cv)), i -> c2.cv[i] * c2.cv[i])))) DESC,
+        |        c2.cid ASC) AS rk
+        |    FROM e, c2) WHERE rk <= 5),
+        |h AS (
+        |  SELECT b, list_transform(generate_series(0, 63),
+        |    d -> (CAST('0x' || substr(md5('rhp:' || CAST(b AS VARCHAR) || ':' || CAST(d AS VARCHAR)), 1, 8) AS UBIGINT) % 2000001) / 1000000.0 - 1.0) AS hv
+        |  FROM generate_series(0, 63) t(b)),
+        |bits AS (
+        |  SELECT e.vec_id, CAST(h.b // 4 AS INT) AS j,
+        |    CASE WHEN list_sum(list_transform(generate_series(1, len(v)), i -> v[i] * hv[i])) > 0
+        |      THEN CAST(1 << (3 - (h.b % 4)) AS BIGINT) ELSE 0 END AS bit
+        |  FROM e, h),
+        |bands AS (SELECT vec_id, j, SUM(bit) AS bv FROM bits GROUP BY vec_id, j),
+        |pb AS (SELECT p.vec_id, p.cid, b.j, b.bv FROM pc p JOIN bands b USING (vec_id)),
+        |hb AS (SELECT p.vec_id, p.cid, b.j, b.bv FROM pc p JOIN bands b USING (vec_id) WHERE p.rk = 1),
+        |dir AS (
+        |  SELECT DISTINCT pb.vec_id AS a, hb.vec_id AS b
+        |  FROM pb JOIN hb ON pb.cid = hb.cid AND pb.j = hb.j AND pb.bv = hb.bv
+        |  WHERE pb.vec_id <> hb.vec_id),
+        |cand AS (SELECT a AS src_id, b AS nbr_id FROM dir UNION SELECT b, a FROM dir),
+        |scored AS (
+        |  SELECT cand.src_id, cand.nbr_id,
+        |    round(
+        |      list_sum(list_transform(generate_series(1, len(sv.v)), i -> sv.v[i] * nv.v[i])) /
+        |      (sqrt(list_sum(list_transform(generate_series(1, len(sv.v)), i -> sv.v[i] * sv.v[i]))) *
+        |       sqrt(list_sum(list_transform(generate_series(1, len(nv.v)), i -> nv.v[i] * nv.v[i])))),
+        |    6) AS cos_sim
+        |  FROM cand
+        |  JOIN e sv ON sv.vec_id = cand.src_id
+        |  JOIN e nv ON nv.vec_id = cand.nbr_id)
+        |SELECT src_id, nbr_id, cos_sim,
+        |  CAST(row_number() OVER (PARTITION BY src_id ORDER BY cos_sim DESC, nbr_id ASC) AS INT) AS rank
+        |FROM scored
+        |QUALIFY rank <= 5
+        |ORDER BY src_id, rank""".stripMargin
+    tmpl.replace("$m", m)
+      .replace("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),",
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)," + extraCte)
+  }
 
   /** x43's banded-probe replay, shared verbatim by x70 (delta-index
     * probe): band keys are pure per-row functions, so probing static ∪
@@ -4222,85 +4329,10 @@ object Ext {
     // (auto-dial LIMIT included), top-5 probe-cell ranks, x68's 16×4
     // band arithmetic, the asymmetric probe-home candidate join (both
     // directions, UNION-deduplicated), exact rounded cosines, ranks.
-    "x72_knn_graph_cells" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |c0 AS (SELECT vec_id AS cid, v AS cv FROM e
-        |       ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC
-        |       LIMIT (SELECT GREATEST(4, CAST(floor(0.35 * sqrt(CAST(COUNT(*) AS DOUBLE))) AS BIGINT)) FROM e)),
-        |a1 AS (
-        |  SELECT vec_id, v, cid FROM (
-        |    SELECT e.vec_id, e.v, c0.cid,
-        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-        |        list_sum(list_transform(generate_series(1, len(e.v)), i -> e.v[i] * c0.cv[i])) /
-        |          (sqrt(list_sum(list_transform(generate_series(1, len(e.v)), i -> e.v[i] * e.v[i]))) *
-        |           sqrt(list_sum(list_transform(generate_series(1, len(c0.cv)), i -> c0.cv[i] * c0.cv[i])))) DESC,
-        |        c0.cid ASC) AS rk
-        |    FROM e, c0) WHERE rk = 1),
-        |c1 AS (
-        |  SELECT cid, list(m ORDER BY pos) AS cv FROM (
-        |    SELECT cid, pos, ((u - ((u % n2) + n2) % n2) / n2) / 1000000.0 AS m FROM (
-        |      SELECT cid, pos,
-        |        2 * CAST(SUM(CAST(floor(vv * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) + COUNT(*) AS u,
-        |        2 * COUNT(*) AS n2
-        |      FROM (SELECT cid, unnest(generate_series(1, len(v))) AS pos, unnest(v) AS vv FROM a1)
-        |      GROUP BY cid, pos)) GROUP BY cid),
-        |a2 AS (
-        |  SELECT vec_id, v, cid FROM (
-        |    SELECT e.vec_id, e.v, c1.cid,
-        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-        |        list_sum(list_transform(generate_series(1, len(e.v)), i -> e.v[i] * c1.cv[i])) /
-        |          (sqrt(list_sum(list_transform(generate_series(1, len(e.v)), i -> e.v[i] * e.v[i]))) *
-        |           sqrt(list_sum(list_transform(generate_series(1, len(c1.cv)), i -> c1.cv[i] * c1.cv[i])))) DESC,
-        |        c1.cid ASC) AS rk
-        |    FROM e, c1) WHERE rk = 1),
-        |c2 AS (
-        |  SELECT cid, list(m ORDER BY pos) AS cv FROM (
-        |    SELECT cid, pos, ((u - ((u % n2) + n2) % n2) / n2) / 1000000.0 AS m FROM (
-        |      SELECT cid, pos,
-        |        2 * CAST(SUM(CAST(floor(vv * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) + COUNT(*) AS u,
-        |        2 * COUNT(*) AS n2
-        |      FROM (SELECT cid, unnest(generate_series(1, len(v))) AS pos, unnest(v) AS vv FROM a2)
-        |      GROUP BY cid, pos)) GROUP BY cid),
-        |pc AS (
-        |  SELECT vec_id, cid, rk FROM (
-        |    SELECT e.vec_id, c2.cid,
-        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-        |        list_sum(list_transform(generate_series(1, len(e.v)), i -> e.v[i] * c2.cv[i])) /
-        |          (sqrt(list_sum(list_transform(generate_series(1, len(e.v)), i -> e.v[i] * e.v[i]))) *
-        |           sqrt(list_sum(list_transform(generate_series(1, len(c2.cv)), i -> c2.cv[i] * c2.cv[i])))) DESC,
-        |        c2.cid ASC) AS rk
-        |    FROM e, c2) WHERE rk <= 5),
-        |h AS (
-        |  SELECT b, list_transform(generate_series(0, 63),
-        |    d -> (CAST('0x' || substr(md5('rhp:' || CAST(b AS VARCHAR) || ':' || CAST(d AS VARCHAR)), 1, 8) AS UBIGINT) % 2000001) / 1000000.0 - 1.0) AS hv
-        |  FROM generate_series(0, 63) t(b)),
-        |bits AS (
-        |  SELECT e.vec_id, CAST(h.b // 4 AS INT) AS j,
-        |    CASE WHEN list_sum(list_transform(generate_series(1, len(v)), i -> v[i] * hv[i])) > 0
-        |      THEN CAST(1 << (3 - (h.b % 4)) AS BIGINT) ELSE 0 END AS bit
-        |  FROM e, h),
-        |bands AS (SELECT vec_id, j, SUM(bit) AS bv FROM bits GROUP BY vec_id, j),
-        |pb AS (SELECT p.vec_id, p.cid, b.j, b.bv FROM pc p JOIN bands b USING (vec_id)),
-        |hb AS (SELECT p.vec_id, p.cid, b.j, b.bv FROM pc p JOIN bands b USING (vec_id) WHERE p.rk = 1),
-        |dir AS (
-        |  SELECT DISTINCT pb.vec_id AS a, hb.vec_id AS b
-        |  FROM pb JOIN hb ON pb.cid = hb.cid AND pb.j = hb.j AND pb.bv = hb.bv
-        |  WHERE pb.vec_id <> hb.vec_id),
-        |cand AS (SELECT a AS src_id, b AS nbr_id FROM dir UNION SELECT b, a FROM dir),
-        |scored AS (
-        |  SELECT cand.src_id, cand.nbr_id,
-        |    round(
-        |      list_sum(list_transform(generate_series(1, len(sv.v)), i -> sv.v[i] * nv.v[i])) /
-        |      (sqrt(list_sum(list_transform(generate_series(1, len(sv.v)), i -> sv.v[i] * sv.v[i]))) *
-        |       sqrt(list_sum(list_transform(generate_series(1, len(nv.v)), i -> nv.v[i] * nv.v[i])))),
-        |    6) AS cos_sim
-        |  FROM cand
-        |  JOIN e sv ON sv.vec_id = cand.src_id
-        |  JOIN e nv ON nv.vec_id = cand.nbr_id)
-        |SELECT src_id, nbr_id, cos_sim,
-        |  CAST(row_number() OVER (PARTITION BY src_id ORDER BY cos_sim DESC, nbr_id ASC) AS INT) AS rank
-        |FROM scored
-        |QUALIFY rank <= 5
-        |ORDER BY src_id, rank""".stripMargin,
+    "x72_knn_graph_cells" -> knnGraphSql("e", ""),
+
+    // x90: x72's chain with the model trained on the static split only
+    "x90_knn_graph_delta" -> knnGraphSql("es",
+      "\nes AS (SELECT vec_id, v FROM e WHERE vec_id % 7 <> 0),"),
   )
 }

@@ -1224,6 +1224,40 @@ class OpsSpec extends AnyFunSuite {
     graft.ops.Caches.releaseAll()
   }
 
+  test("delta kNN graph ≡ frozen-model rebuild over the union, row for row") {
+    import graft.ops.Similarity
+    val static0 = emb.filter(col("vec_id") % 7 =!= 0)
+    val delta0 = emb.filter(col("vec_id") % 7 === 0)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("src_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    val got = rows(Similarity.knnGraphCellsDelta(static0, delta0,
+      "embedding", "vec_id", k = 5))
+    graft.ops.Caches.releaseAll()
+    // the rebuild twin: the SAME frozen model (cells trained on the
+    // static split), candidates and ranks over the whole union — what a
+    // batch build would produce if it kept the maintained model
+    val (cents, _) = Similarity.ivfBuildKmeans(static0, "embedding",
+      "vec_id", Similarity.autoCellCount(static0), 2)
+    val vecs = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("__v"))
+    val rebuilt = rows(Similarity.knnGraphCandidatesWithCents(emb,
+        "embedding", "vec_id", cents, 5, 16, 4, 64)
+      .join(vecs.withColumnsRenamed(Map("vec_id" -> "src_id", "__v" -> "__sv")), "src_id")
+      .join(vecs.withColumnsRenamed(Map("vec_id" -> "nbr_id", "__v" -> "__nv")), "nbr_id")
+      .withColumn("cos_sim", round(graft.functions.VectorFunctions.cosine(
+        col("__sv"), col("__nv")), 6))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("src_id")
+          .orderBy(col("cos_sim").desc, col("nbr_id").asc)))
+      .filter(col("rank") <= 5)
+      .select(col("src_id"), col("nbr_id"), col("cos_sim"), col("rank")))
+    assert(got == rebuilt,
+      s"delta graph diverged from the frozen-model rebuild " +
+        s"(got ${got.size} rows, rebuild ${rebuilt.size})")
+    graft.ops.Caches.releaseAll()
+  }
+
   test("assignProjected append law: assignment distributes over union under a frozen model") {
     import graft.ops.Similarity
     import spark.implicits._
