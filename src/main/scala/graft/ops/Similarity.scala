@@ -580,6 +580,100 @@ object Similarity {
       .select(col("src_id"), col("nbr_id"), col("cos_sim"), col("rank"))
   }
 
+  /** COMPACTION of a WRITTEN k-NN graph tree — the x79 discipline on
+    * the graph artifact, closing the family (build x72 → delta x90 →
+    * compaction x91): the stored graph lives `partitionBy("sb")` (sb =
+    * pmod(src_id, nBuckets) — a storage shard key only, never part of
+    * the result), and folding an arrival batch in rewrites only the
+    * buckets holding AFFECTED sources (a source is affected iff it
+    * gains ≥1 Δ-touching candidate — including every new vertex).
+    * Unlike the cell/bucket-keyed indexes (x79/x84), a k-NN arrival
+    * legitimately collides with ~β of its probed cells' members, so
+    * affected sources SPAN buckets — the saving is the recompute
+    * VOLUME, not the bucket count: affected sources re-rank their
+    * stored top-k ∪ Δ-touching pairs (exact by
+    * [[knnGraphCellsDelta]]'s displacement argument), ∝ |Δ-touching|,
+    * never the O(n^1.5) static candidate volume; unaffected sources'
+    * rows are carried over untouched. Read-after-compaction ≡ the
+    * frozen-model rebuild over static ∪ Δ (harness query x91's oracle
+    * is x90's SQL verbatim; OpsSpec pins read-back ≡ the delta
+    * operator for 1-vector and full deltas). */
+  def knnGraphCompact(spark: org.apache.spark.sql.SparkSession,
+                      path: String, staticEmb: DataFrame, delta: DataFrame,
+                      vecCol: String, idCol: String, k: Int = 5,
+                      nProbeCells: Int = 5, nBands: Int = 16,
+                      bandBits: Int = 4, dims: Int = 64, nLists: Int = 0,
+                      iters: Int = 2, nBuckets: Int = 16): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val kCells = if (nLists > 0) nLists else autoCellCount(staticEmb)
+    val (cents, _) = ivfBuildKmeans(staticEmb, vecCol, idCol, kCells, iters)
+    val union = staticEmb.select(col(idCol), col(vecCol))
+      .unionByName(delta.select(col(idCol), col(vecCol)))
+    val cells = Caches.persistTracked(
+      assignProbeCells(union, vecCol, idCol, cents, nProbeCells)
+        .select(col(idCol), col("rk"), col("centroid_id")))
+    val bandsF = Caches.persistTracked(
+      union.select(col(idCol), posexplode(
+          graft.functions.VectorExpressions.rhpBandsNative(
+            col(vecCol).cast("array<double>"), nBands, bandBits, dims)))
+        .select(col(idCol), col("pos").as("j"), col("col").as("bv")))
+    val deltaIds = delta.select(col(idCol).as("__d"))
+    val home = cells.filter(col("rk") === 1)
+      .select(col(idCol).as("h_id"), col("centroid_id"))
+      .join(bandsF.withColumnRenamed(idCol, "h_id"), "h_id")
+    val probe = cells.select(col(idCol).as("p_id"), col("centroid_id"))
+      .join(bandsF.withColumnRenamed(idCol, "p_id"), "p_id")
+    val probeD = probe.join(deltaIds, probe("p_id") === deltaIds("__d"),
+      "left_semi")
+    val homeD = home.join(deltaIds, home("h_id") === deltaIds("__d"),
+      "left_semi")
+    val dir = probeD.join(home, Seq("centroid_id", "j", "bv"))
+      .select(col("p_id"), col("h_id"))
+      .unionAll(probe.join(homeD, Seq("centroid_id", "j", "bv"))
+        .select(col("p_id"), col("h_id")))
+      .filter(col("p_id") =!= col("h_id"))
+    val deltaPairs = Caches.localCheckpointScoped(dir
+      .select(col("p_id").as("src_id"), col("h_id").as("nbr_id"))
+      .unionAll(dir.select(col("h_id").as("src_id"), col("p_id").as("nbr_id")))
+      .distinct())
+    val affected = deltaPairs.df.select(col("src_id")).distinct()
+    val buckets = affected.select(pmod(col("src_id"), lit(nBuckets.toLong)))
+      .distinct().collect().map(_.getLong(0)).sorted.toSeq
+    val stored = spark.read.parquet(path)
+      .filter(col("sb").isin(buckets.map(Long.box): _*))
+      .select(col("src_id"), col("nbr_id"), col("cos_sim"), col("rank"))
+    val storedAffected = stored
+      .join(affected, Seq("src_id"), "left_semi")
+      .select(col("src_id"), col("nbr_id"))
+    val vecs = union.select(col(idCol),
+      col(vecCol).cast("array<double>").as("__v"))
+    val recomputed = storedAffected.unionByName(deltaPairs.df).distinct()
+      .join(vecs.withColumnsRenamed(Map(idCol -> "src_id", "__v" -> "__sv")), "src_id")
+      .join(vecs.withColumnsRenamed(Map(idCol -> "nbr_id", "__v" -> "__nv")), "nbr_id")
+      .withColumn("cos_sim", round(VectorFunctions.cosine(col("__sv"), col("__nv")), 6))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("src_id").orderBy(col("cos_sim").desc, col("nbr_id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("src_id"), col("nbr_id"), col("cos_sim"), col("rank"))
+    val carried = stored.join(affected, Seq("src_id"), "left_anti")
+    val merged = Caches.localCheckpointScoped(
+      recomputed.unionByName(carried)
+        .withColumn("sb", pmod(col("src_id"), lit(nBuckets.toLong)))
+        .repartition(col("sb"))
+        .sortWithinPartitions(col("sb"), col("src_id"), col("rank")))
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try merged.df.write.mode("overwrite").partitionBy("sb").parquet(path)
+    finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+      merged.release(); deltaPairs.release()
+    }
+  }
+
   /** Phase 1 of the IVF (inverted-file) path: centroid table + per-row
     * nearest-centroid assignment. Centroids are a deterministic shuffle-free
     * sample — the `nLists` rows with the smallest id-hash, i.e. one

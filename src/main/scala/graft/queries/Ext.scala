@@ -1425,6 +1425,30 @@ object Ext {
           k = 5)
         .orderBy("src_id", "rank")
     },
+
+    // k-NN graph COMPACTION (x79's discipline on the graph artifact,
+    // closing the family build → delta → compaction): the static graph
+    // is WRITTEN partitionBy(sb = src_id mod 16), knnGraphCompact folds
+    // the arrivals in — affected sources re-rank stored-k ∪ Δ-touching
+    // pairs (the recompute-volume saving; unaffected sources carried
+    // over untouched under dynamic partition overwrite) — and the gate
+    // reads the TREE back. Read-after-compaction ≡ the frozen-model
+    // rebuild: x90's SQL verbatim.
+    "x91_knn_graph_compact" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val static0 = emb.filter(col("vec_id") % 7 =!= 0)
+      val tree = java.nio.file.Files.createTempDirectory("x91_graph_").toString
+      Similarity.knnGraphCells(static0, "embedding", "vec_id", k = 5)
+        .withColumn("sb", pmod(col("src_id"), lit(16L)))
+        .repartition(col("sb"))
+        .sortWithinPartitions(col("sb"), col("src_id"), col("rank"))
+        .write.mode("overwrite").partitionBy("sb").parquet(tree)
+      Similarity.knnGraphCompact(s, tree, static0,
+        emb.filter(col("vec_id") % 7 === 0), "embedding", "vec_id", k = 5)
+      s.read.parquet(tree)
+        .select(col("src_id"), col("nbr_id"), col("cos_sim"), col("rank"))
+        .orderBy("src_id", "rank")
+    },
   )
 
   /** x72's full replay, parameterized by the Lloyd-TRAINING source
@@ -4333,6 +4357,11 @@ object Ext {
 
     // x90: x72's chain with the model trained on the static split only
     "x90_knn_graph_delta" -> knnGraphSql("es",
+      "\nes AS (SELECT vec_id, v FROM e WHERE vec_id % 7 <> 0),"),
+
+    // x91 compaction: read-after-compaction ≡ the frozen-model rebuild
+    // (the x79/x84 law on the graph artifact) — x90's SQL verbatim.
+    "x91_knn_graph_compact" -> knnGraphSql("es",
       "\nes AS (SELECT vec_id, v FROM e WHERE vec_id % 7 <> 0),"),
   )
 }

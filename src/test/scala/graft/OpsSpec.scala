@@ -1258,6 +1258,69 @@ class OpsSpec extends AnyFunSuite {
     graft.ops.Caches.releaseAll()
   }
 
+  test("kNN graph compaction: tree read-back ≡ delta operator (1-vector and full delta)") {
+    import graft.ops.Similarity
+    val static0 = emb.filter(col("vec_id") % 7 =!= 0)
+    val delta0 = emb.filter(col("vec_id") % 7 === 0)
+    val tree = java.nio.file.Files.createTempDirectory("knn_compact_").toString
+    try {
+      Similarity.knnGraphCells(static0, "embedding", "vec_id", k = 5)
+        .withColumn("sb", pmod(col("src_id"), lit(16L)))
+        .repartition(col("sb"))
+        .sortWithinPartitions(col("sb"), col("src_id"), col("rank"))
+        .write.mode("overwrite").partitionBy("sb").parquet(tree)
+      graft.ops.Caches.releaseAll()
+      def bucketFiles(): Map[String, Set[String]] = {
+        val root = new java.io.File(tree)
+        root.listFiles().filter(_.isDirectory).map(d =>
+          d.getName -> d.listFiles().map(_.getName)
+            .filter(_.endsWith(".parquet")).toSet).toMap
+      }
+      val before = bucketFiles()
+      assert(before.nonEmpty)
+      // a SINGLE-vector delta: the read-back equals the delta operator
+      // on the same 1-vector arrival (bucket-count locality is NOT the
+      // claim — one arrival legitimately band-collides with ~β of its
+      // probed cells' members, so affected sources span many buckets;
+      // the saving is recompute VOLUME: stored-k ∪ Δ-touching pairs,
+      // never the static candidate set)
+      val one = delta0.orderBy("vec_id").limit(1)
+      Similarity.knnGraphCompact(spark, tree, static0, one,
+        "embedding", "vec_id", k = 5)
+      graft.ops.Caches.releaseAll()
+      def rows0(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("src_id", "rank").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+      assert(rows0(spark.read.parquet(tree)
+          .select(col("src_id"), col("nbr_id"), col("cos_sim"), col("rank"))) ==
+        rows0(Similarity.knnGraphCellsDelta(static0, one, "embedding",
+          "vec_id", k = 5)),
+        "1-vector compaction diverged from the delta operator")
+      graft.ops.Caches.releaseAll()
+      // full-delta compaction: read-back ≡ the delta operator's output
+      graft.util.Fs.deleteTree(java.nio.file.Paths.get(tree))
+      Similarity.knnGraphCells(static0, "embedding", "vec_id", k = 5)
+        .withColumn("sb", pmod(col("src_id"), lit(16L)))
+        .repartition(col("sb"))
+        .sortWithinPartitions(col("sb"), col("src_id"), col("rank"))
+        .write.mode("overwrite").partitionBy("sb").parquet(tree)
+      graft.ops.Caches.releaseAll()
+      Similarity.knnGraphCompact(spark, tree, static0, delta0,
+        "embedding", "vec_id", k = 5)
+      graft.ops.Caches.releaseAll()
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("src_id", "rank").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+      val readBack = rows(spark.read.parquet(tree)
+        .select(col("src_id"), col("nbr_id"), col("cos_sim"), col("rank")))
+      val viaDelta = rows(Similarity.knnGraphCellsDelta(static0, delta0,
+        "embedding", "vec_id", k = 5))
+      assert(readBack == viaDelta,
+        "compacted tree diverged from the delta operator")
+      graft.ops.Caches.releaseAll()
+    } finally graft.util.Fs.deleteTree(java.nio.file.Paths.get(tree))
+  }
+
   test("assignProjected append law: assignment distributes over union under a frozen model") {
     import graft.ops.Similarity
     import spark.implicits._
