@@ -557,6 +557,57 @@ object Relational {
         .orderBy("o_custkey", "o_orderkey")
     },
 
+    // -- Gap-fill RESAMPLE (dense time grid + carry-forward): the
+    //    time-series completion q46's carry-forward alone can't do —
+    //    MISSING rows are generated. Per user, an hourly grid spanning
+    //    the corpus [min, max] hour (sequence + explode; the grid's
+    //    user×hour shape shuffles once on user), left-joined to the
+    //    hourly aggregates, counts zero-filled and sums carried forward
+    //    (q46's IGNORE NULLS form). Leading hours before a user's first
+    //    event stay NULL — the fill never invents history. At 100 TB
+    //    the grid is |users|·|hours| rows — generated, never scanned —
+    //    and the single shuffle key is user_id.
+    "q47_gap_fill_resample" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val bounds = ev.agg(
+        date_trunc("hour", min(col("ts"))).as("h_lo"),
+        date_trunc("hour", max(col("ts"))).as("h_hi"))
+      val hours = bounds.select(explode(sequence(col("h_lo"), col("h_hi"),
+        expr("interval 1 hour"))).as("h"))
+      val hourly = ev
+        .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("n"), Tables.dsum(col("value")).as("sv"))
+      val w = Window.partitionBy("user_id").orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.select("user_id").distinct()
+        .crossJoin(broadcast(hours))
+        .join(hourly, Seq("user_id", "h"), "left")
+        .withColumn("n_events", coalesce(col("n"), lit(0L)))
+        .withColumn("filled_sum", last(col("sv"), ignoreNulls = true).over(w))
+        .select(col("user_id"), col("h"), col("n_events"), col("filled_sum"))
+        .orderBy("user_id", "h")
+    },
+
+    // -- NULL-safe equi-join (`<=>` / IS NOT DISTINCT FROM): nulls match
+    //    nulls — the join form dedup-on-nullable-business-keys needs.
+    //    Nullable keys derived by CASE from both sides; aggregated to a
+    //    per-key pair count so the null bucket's cross product is
+    //    visible as one row. n_nationkey % 5 = 0 nulls 5 of 25 nations,
+    //    o_orderkey % 3 = 0 nulls a third of orders.
+    "q48_nullsafe_join" -> { (s, dir) =>
+      val o = Tables.orders(s, dir)
+        .withColumn("ok", when(col("o_orderkey") % 3 =!= 0,
+          col("o_orderkey") % 7))
+      val n = Tables.nation(s, dir)
+        .withColumn("nk", when(col("n_nationkey") % 5 =!= 0,
+          col("n_nationkey") % 7))
+      o.join(broadcast(n), o("ok") <=> n("nk"), "inner")
+        .groupBy(coalesce(col("ok").cast("string"), lit("NULL")).as("k_repr"))
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("n_nationkey")).as("n_nations"))
+        .orderBy("k_repr")
+    },
+
     // -- Session windows (gap-based sessionization) in batch: the same
     //    session_window expression the streaming path uses; oracle =
     //    lag/cumulative-sum sessionization. Session = [min ts, max ts+gap).
@@ -917,5 +968,40 @@ object Relational {
         |  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
         |FROM g GROUP BY user_id, sess
         |ORDER BY user_id, win_start""".stripMargin,
+
+    "q47_gap_fill_resample" ->
+      """WITH b AS (
+        |  SELECT date_trunc('hour', min(ts)) AS h_lo,
+        |         date_trunc('hour', max(ts)) AS h_hi FROM events),
+        |hours AS (
+        |  SELECT unnest(generate_series(h_lo, h_hi, INTERVAL 1 HOUR)) AS h FROM b),
+        |hourly AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS h, COUNT(*) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sv
+        |  FROM events GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT u.user_id, hours.h
+        |  FROM (SELECT DISTINCT user_id FROM events) u, hours)
+        |SELECT grid.user_id, grid.h, COALESCE(hourly.n, 0) AS n_events,
+        |  last_value(hourly.sv IGNORE NULLS) OVER (
+        |    PARTITION BY grid.user_id ORDER BY grid.h
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_sum
+        |FROM grid LEFT JOIN hourly
+        |  ON grid.user_id = hourly.user_id AND grid.h = hourly.h
+        |ORDER BY grid.user_id, grid.h""".stripMargin,
+
+    "q48_nullsafe_join" ->
+      """WITH o AS (
+        |  SELECT CASE WHEN o_orderkey % 3 <> 0 THEN o_orderkey % 7 END AS ok
+        |  FROM orders),
+        |n AS (
+        |  SELECT n_nationkey,
+        |    CASE WHEN n_nationkey % 5 <> 0 THEN n_nationkey % 7 END AS nk
+        |  FROM nation)
+        |SELECT COALESCE(CAST(o.ok AS VARCHAR), 'NULL') AS k_repr,
+        |  COUNT(*) AS n_pairs,
+        |  COUNT(DISTINCT n.n_nationkey) AS n_nations
+        |FROM o JOIN n ON o.ok IS NOT DISTINCT FROM n.nk
+        |GROUP BY 1 ORDER BY k_repr""".stripMargin,
   )
 }
