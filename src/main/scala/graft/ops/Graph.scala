@@ -1,0 +1,160 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over the corpus k-NN graph — the consumption side of
+  * the [[Similarity.knnGraphCells]] / [[Similarity.knnGraphBanded]]
+  * builders. A training-data platform builds the neighbor graph once
+  * (write-once artifact, x91's compacted tree) and then asks graph
+  * questions of it: which near-dup pairs are MUTUALLY nearest (the
+  * high-precision dedup signal), which documents are central to the
+  * corpus (PageRank over similarity edges — a standard quality /
+  * representativeness prior), and what label does the neighborhood
+  * imply for the 80% of rows no classifier has seen (label
+  * propagation from a small seeded subset — semi-supervised domain /
+  * quality tagging).
+  *
+  * Every operator here consumes a PLAIN EDGE FRAME — (src_id, nbr_id[,
+  * cos_sim, rank]) — so they run unchanged over the banded graph, the
+  * cell-composed graph, or the compacted stored tree read back from
+  * parquet. Iterative operators are the classic Spark join–aggregate
+  * loop: per iteration one equi-shuffle of the edge frame keyed on the
+  * join id and one node-sized aggregate; at 100 TB the edge frame is
+  * pre-partitioned by `src_id` (the stored tree's layout) so the
+  * per-iteration join reuses one partitioning, messages combine
+  * map-side (exact integer sums), and no step ever materializes more
+  * than |E| + |V| rows.
+  *
+  * Determinism (full-oracle discipline): PageRank runs in 10⁻¹²
+  * fixed-point — init/teleport/damping/out-degree splits are BIGINT
+  * floor divisions on non-negative values, so per-node sums are
+  * order-free exact integer arithmetic replayed verbatim by the x93
+  * oracle's unrolled iteration CTEs. Label propagation is integer
+  * counts with (count DESC, label ASC) majority tie-breaks. Mutual-kNN
+  * needs no arithmetic at all — `cos_sim` is the builder's already
+  * rounded symmetric value (a·b and ‖a‖‖b‖ are commutative IEEE
+  * products, so both directions carry the identical score).
+  */
+object Graph {
+
+  /** MUTUAL k-NN pairs: (a, b) kept iff b is in a's top-k AND a is in
+    * b's top-k — reciprocal nearest neighbors, the classic
+    * high-precision near-dup/link signal (one-sided kNN membership is
+    * asymmetric: a hub lands in everyone's list without being close to
+    * any of them). One self-equi-join of the graph on the reversed key
+    * pair, `a < b` canonicalization; emits (a_id, b_id, cos_sim) with
+    * the a→b direction's score (bit-identical to b→a, scaladoc above).
+    */
+  def mutualKnnPairs(graph: DataFrame): DataFrame = {
+    val fwd = graph.select(col("src_id"), col("nbr_id"), col("cos_sim"))
+    val rev = graph.select(col("src_id").as("r_src"), col("nbr_id").as("r_nbr"))
+    fwd.join(rev, fwd("src_id") === rev("r_nbr") && fwd("nbr_id") === rev("r_src"))
+      .filter(col("src_id") < col("nbr_id"))
+      .select(col("src_id").as("a_id"), col("nbr_id").as("b_id"),
+        col("cos_sim"))
+  }
+
+  /** Fixed-point PageRank over a directed edge frame — centrality over
+    * the similarity graph as a representativeness prior (a document
+    * many near-neighbors point at is corpus-typical; an isolated one
+    * is an outlier — both ends are curation signals).
+    *
+    * Integer semantics (SCALE = 10¹², damping 0.85, all divisions
+    * BIGINT floor on non-negative operands, so Spark's `div` and
+    * DuckDB's `//` agree):
+    *
+    *   init      = SCALE div n
+    *   base      = (SCALE·15 div 100) div n
+    *   contrib_e = (pr[src]·85 div 100) div outdeg[src]
+    *   pr'[v]    = base + Σ contrib over in-edges of v
+    *
+    * Dangling nodes (no out-edges) DROP their damped mass — the
+    * simplest of the standard conventions, stated here because the
+    * oracle replays it; ranks are insensitive to the uniform
+    * redistribution alternative. The loop is `iters` rounds of
+    * edge-join + node-sized sum; each round's node frame is persisted
+    * so lineage stays flat. At 100 TB: edges pre-partitioned by
+    * src_id, pr/outdeg join on that same key, message sums combine
+    * map-side (longs), and the node frame is |V|-sized.
+    *
+    * Returns (idCol, pr_fix, pr = round(pr_fix/SCALE, 6)) for every
+    * node. Harness query x93 replays `iters` unrolled CTEs over the
+    * x68 banded graph. */
+  def pageRank(edges: DataFrame, nodes: DataFrame, idCol: String,
+               srcCol: String = "src_id", dstCol: String = "nbr_id",
+               iters: Int = 5): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val SCALE = 1000000000000L
+    val n = nodes.count()
+    require(n > 0, "pageRank needs a non-empty node frame")
+    val base = (SCALE * 15L / 100L) / n
+    val ge = Caches.persistTracked(
+      edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst")))
+    val od = ge.groupBy("__src").agg(count(lit(1)).as("__od"))
+    var pr = nodes.select(col(idCol).as("__nid"))
+      .withColumn("pr_fix", lit(SCALE / n))
+    for (_ <- 1 to iters) {
+      val msgs = ge
+        .join(pr.select(col("__nid").as("__src"), col("pr_fix")), "__src")
+        .join(od, "__src")
+        .select(col("__dst").as("__nid"),
+          expr("((pr_fix * 85) div 100) div __od").as("__c"))
+        .groupBy("__nid").agg(sum("__c").as("__s"))
+      pr = Caches.persistTracked(
+        nodes.select(col(idCol).as("__nid"))
+          .join(msgs, Seq("__nid"), "left")
+          .select(col("__nid"),
+            (lit(base) + coalesce(col("__s"), lit(0L))).as("pr_fix")))
+    }
+    pr.select(col("__nid").as(idCol), col("pr_fix"),
+      round(col("pr_fix").cast("double") / lit(1e12), 6).as("pr"))
+  }
+
+  /** Synchronous label propagation from a CLAMPED seed set — the
+    * semi-supervised tagging move: a small labeled subset (human
+    * audit, an expensive classifier run) spreads through the k-NN
+    * graph so every document inherits its neighborhood's majority
+    * label. Seeds never change; an unlabeled node takes the majority
+    * label of its labeled out-neighbors (count DESC, label ASC
+    * tie-break — integer-deterministic), keeps its previous label when
+    * no neighbor is labeled this round, and stays NULL until label
+    * mass reaches it.
+    *
+    * `seeds` is a node frame (idCol, labelCol) where non-seeds carry
+    * NULL. Per iteration: one edge-join against the current |V|-sized
+    * label frame, one (node, label) count, one majority window —
+    * counts combine map-side; the majority window partitions by node
+    * (≤ k rows each). Returns (idCol, labelCol, origin ∈ {'seed',
+    * 'prop', NULL}). Harness query x94 replays `iters` unrolled
+    * majority CTEs over the x68 banded graph. */
+  def labelPropagate(edges: DataFrame, seeds: DataFrame, idCol: String,
+                     labelCol: String, srcCol: String = "src_id",
+                     dstCol: String = "nbr_id", iters: Int = 3): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val ge = Caches.persistTracked(
+      edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst")))
+    var st = seeds.select(col(idCol).as("__nid"),
+      col(labelCol).as("__seed"), col(labelCol).as("__cur"))
+    for (_ <- 1 to iters) {
+      val best = ge
+        .join(st.select(col("__nid").as("__dst"), col("__cur").as("__nlbl")),
+          "__dst")
+        .filter(col("__nlbl").isNotNull)
+        .groupBy(col("__src"), col("__nlbl"))
+        .agg(count(lit(1)).as("__cnt"))
+        .withColumn("__rk", row_number().over(Window.partitionBy("__src")
+          .orderBy(col("__cnt").desc, col("__nlbl").asc)))
+        .filter(col("__rk") === 1)
+        .select(col("__src").as("__nid"), col("__nlbl").as("__maj"))
+      st = Caches.persistTracked(
+        st.join(best, Seq("__nid"), "left")
+          .select(col("__nid"), col("__seed"),
+            coalesce(col("__seed"), col("__maj"), col("__cur")).as("__cur")))
+    }
+    st.select(col("__nid").as(idCol), col("__cur").as(labelCol),
+      when(col("__seed").isNotNull, lit("seed"))
+        .when(col("__cur").isNotNull, lit("prop")).as("origin"))
+  }
+}

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.{AsofJoin, Chunking, Cms, Dedup, Dsir, Export, HistQuantile, LangModel, LinearProbe, Multimodal, Retrieval, Similarity, TextStats}
+import graft.ops.{AsofJoin, Chunking, Cms, Dedup, Dsir, Export, Graph, HistQuantile, LangModel, LinearProbe, Multimodal, Retrieval, Similarity, TextStats}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -1449,12 +1449,91 @@ object Ext {
         .select(col("src_id"), col("nbr_id"), col("cos_sim"), col("rank"))
         .orderBy("src_id", "rank")
     },
+
+    // MUTUAL k-NN pairs (reciprocal nearest neighbors): the
+    // high-precision near-dup signal over the x68 banded graph — (a, b)
+    // kept only when each is in the other's top-5. One self-equi-join
+    // of the graph artifact on the reversed key pair; at 100 TB both
+    // sides are the same stored tree partitioned by src_id.
+    "x92_knn_mutual_pairs" -> { (s, dir) =>
+      Graph.mutualKnnPairs(
+          Similarity.knnGraphBanded(Tables.embeddings(s, dir), "embedding",
+            "vec_id", k = 5, nBands = 16, bandBits = 4))
+        .orderBy("a_id", "b_id")
+    },
+
+    // Fixed-point PageRank over the k-NN graph: similarity centrality
+    // as a representativeness prior. 5 unrolled join–sum iterations in
+    // exact 10⁻¹² integer arithmetic (oracle replays every round).
+    "x93_pagerank_knn" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Graph.pageRank(
+          Similarity.knnGraphBanded(emb, "embedding", "vec_id", k = 5,
+            nBands = 16, bandBits = 4),
+          emb.select("vec_id"), "vec_id", iters = 5)
+        .orderBy("vec_id")
+    },
+
+    // Label propagation from a 20% clamped seed set (vec_id % 5 == 0
+    // keeps its real `label`; the rest start NULL): 3 synchronous
+    // majority rounds over the k-NN graph — semi-supervised tagging of
+    // the unlabeled corpus, integer counts with (count DESC, label ASC)
+    // ties all the way down.
+    "x94_label_prop_knn" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val seeds = emb.select(col("vec_id"),
+        when(col("vec_id") % 5 === 0, col("label")).as("label"))
+      Graph.labelPropagate(
+          Similarity.knnGraphBanded(emb, "embedding", "vec_id", k = 5,
+            nBands = 16, bandBits = 4),
+          seeds, "vec_id", "label", iters = 3)
+        .orderBy("vec_id")
+    },
   )
 
   /** x72's full replay, parameterized by the Lloyd-TRAINING source
     * ($m): x72 trains on the whole corpus (e); x90 trains on the
     * static split (es) — the frozen maintained model — while cells,
     * bands, candidates and ranks still run over the whole union. */
+  /** x68's banded-graph replay up to a `graph` CTE — (src_id, nbr_id,
+    * cos_sim, rank ≤ 5) over the 16×4 RHP bands — shared by the
+    * graph-analytics consumers (x92 mutual pairs, x93 PageRank, x94
+    * label propagation): the graph is the stored artifact; each
+    * consumer appends its own relational tail (starting `SELECT …` or
+    * `, cte AS …`). `e` (vec_id, v) stays visible to tails. */
+  private def bandedGraphSql(tail: String): String =
+    """WITH h AS (
+      |  SELECT b, list_transform(generate_series(0, 63),
+      |    d -> (CAST('0x' || substr(md5('rhp:' || CAST(b AS VARCHAR) || ':' || CAST(d AS VARCHAR)), 1, 8) AS UBIGINT) % 2000001) / 1000000.0 - 1.0) AS hv
+      |  FROM generate_series(0, 63) t(b)),
+      |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |bits AS (
+      |  SELECT e.vec_id, CAST(h.b // 4 AS INT) AS j,
+      |    CASE WHEN list_sum(list_transform(generate_series(1, len(v)), i -> v[i] * hv[i])) > 0
+      |      THEN CAST(1 << (3 - (h.b % 4)) AS BIGINT) ELSE 0 END AS bit
+      |  FROM e, h),
+      |bands AS (SELECT vec_id, j, SUM(bit) AS bv FROM bits GROUP BY vec_id, j),
+      |cand AS (
+      |  SELECT DISTINCT a.vec_id AS src_id, b.vec_id AS nbr_id
+      |  FROM bands a JOIN bands b USING (j, bv)
+      |  WHERE a.vec_id <> b.vec_id),
+      |scored AS (
+      |  SELECT cand.src_id, cand.nbr_id,
+      |    round(
+      |      list_sum(list_transform(generate_series(1, len(sv.v)), i -> sv.v[i] * nv.v[i])) /
+      |      (sqrt(list_sum(list_transform(generate_series(1, len(sv.v)), i -> sv.v[i] * sv.v[i]))) *
+      |       sqrt(list_sum(list_transform(generate_series(1, len(nv.v)), i -> nv.v[i] * nv.v[i])))),
+      |    6) AS cos_sim
+      |  FROM cand
+      |  JOIN e sv ON sv.vec_id = cand.src_id
+      |  JOIN e nv ON nv.vec_id = cand.nbr_id),
+      |graph AS (
+      |  SELECT src_id, nbr_id, cos_sim,
+      |    CAST(row_number() OVER (PARTITION BY src_id ORDER BY cos_sim DESC, nbr_id ASC) AS INT) AS rank
+      |  FROM scored
+      |  QUALIFY rank <= 5)
+      |""".stripMargin + tail
+
   private def knnGraphSql(m: String, extraCte: String): String = {
     val tmpl =
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -4317,37 +4396,77 @@ object Ext {
     // (planes 0..63, j = b div 4, bit 1 << (3 − b mod 4)) with the
     // corpus on both sides of the candidate join (a ≠ b), then exact
     // rounded cosines and per-source ranks.
-    "x68_knn_graph" ->
-      """WITH h AS (
-        |  SELECT b, list_transform(generate_series(0, 63),
-        |    d -> (CAST('0x' || substr(md5('rhp:' || CAST(b AS VARCHAR) || ':' || CAST(d AS VARCHAR)), 1, 8) AS UBIGINT) % 2000001) / 1000000.0 - 1.0) AS hv
-        |  FROM generate_series(0, 63) t(b)),
-        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |bits AS (
-        |  SELECT e.vec_id, CAST(h.b // 4 AS INT) AS j,
-        |    CASE WHEN list_sum(list_transform(generate_series(1, len(v)), i -> v[i] * hv[i])) > 0
-        |      THEN CAST(1 << (3 - (h.b % 4)) AS BIGINT) ELSE 0 END AS bit
-        |  FROM e, h),
-        |bands AS (SELECT vec_id, j, SUM(bit) AS bv FROM bits GROUP BY vec_id, j),
-        |cand AS (
-        |  SELECT DISTINCT a.vec_id AS src_id, b.vec_id AS nbr_id
-        |  FROM bands a JOIN bands b USING (j, bv)
-        |  WHERE a.vec_id <> b.vec_id),
-        |scored AS (
-        |  SELECT cand.src_id, cand.nbr_id,
-        |    round(
-        |      list_sum(list_transform(generate_series(1, len(sv.v)), i -> sv.v[i] * nv.v[i])) /
-        |      (sqrt(list_sum(list_transform(generate_series(1, len(sv.v)), i -> sv.v[i] * sv.v[i]))) *
-        |       sqrt(list_sum(list_transform(generate_series(1, len(nv.v)), i -> nv.v[i] * nv.v[i])))),
-        |    6) AS cos_sim
-        |  FROM cand
-        |  JOIN e sv ON sv.vec_id = cand.src_id
-        |  JOIN e nv ON nv.vec_id = cand.nbr_id)
-        |SELECT src_id, nbr_id, cos_sim,
-        |  CAST(row_number() OVER (PARTITION BY src_id ORDER BY cos_sim DESC, nbr_id ASC) AS INT) AS rank
-        |FROM scored
-        |QUALIFY rank <= 5
-        |ORDER BY src_id, rank""".stripMargin,
+    "x68_knn_graph" -> bandedGraphSql(
+      """SELECT src_id, nbr_id, cos_sim, rank FROM graph
+        |ORDER BY src_id, rank""".stripMargin),
+
+    // Mutual-kNN pairs: the x68 graph CTE self-joined on the reversed
+    // key pair, a < b canonical direction.
+    "x92_knn_mutual_pairs" -> bandedGraphSql(
+      """SELECT g1.src_id AS a_id, g1.nbr_id AS b_id, g1.cos_sim
+        |FROM graph g1
+        |JOIN graph g2 ON g1.src_id = g2.nbr_id AND g1.nbr_id = g2.src_id
+        |WHERE g1.src_id < g1.nbr_id
+        |ORDER BY a_id, b_id""".stripMargin),
+
+    // PageRank replay: the x68 graph CTE as the edge set, then 5
+    // unrolled fixed-point iterations — init/base/contributions are
+    // BIGINT floor divisions on non-negative values (Graph.pageRank
+    // scaladoc), so every CTE is exact integer arithmetic; SUMs cast
+    // back from HUGEINT.
+    "x93_pagerank_knn" -> bandedGraphSql(
+      (1 to 5).map(t =>
+        s"""m$t AS (
+           |  SELECT ge.d AS nid,
+           |    CAST(SUM(((p.pr_fix * 85) // 100) // od.od) AS BIGINT) AS s
+           |  FROM ge JOIN pr${t - 1} p ON ge.s = p.nid JOIN od ON ge.s = od.s
+           |  GROUP BY ge.d),
+           |pr$t AS (
+           |  SELECT i.nid, (SELECT base FROM c) + COALESCE(m$t.s, 0) AS pr_fix
+           |  FROM ids i LEFT JOIN m$t USING (nid))""".stripMargin)
+        .mkString(
+          """, ids AS (SELECT vec_id AS nid FROM e),
+            |c AS (
+            |  SELECT 1000000000000 // cnt AS init,
+            |    ((1000000000000 * 15) // 100) // cnt AS base
+            |  FROM (SELECT COUNT(*) AS cnt FROM ids)),
+            |ge AS (SELECT src_id AS s, nbr_id AS d FROM graph),
+            |od AS (SELECT s, COUNT(*) AS od FROM ge GROUP BY 1),
+            |pr0 AS (SELECT nid, (SELECT init FROM c) AS pr_fix FROM ids),
+            |""".stripMargin, ",\n", """
+            |SELECT nid AS vec_id, pr_fix,
+            |  round(CAST(pr_fix AS DOUBLE) / 1000000000000.0, 6) AS pr
+            |FROM pr5 ORDER BY vec_id""".stripMargin)),
+
+    // Label-propagation replay: 3 unrolled majority rounds — integer
+    // counts, (count DESC, label ASC) ties, clamped seeds.
+    "x94_label_prop_knn" -> bandedGraphSql(
+      (1 to 3).map(t =>
+        s"""m$t AS (
+           |  SELECT ge.s AS nid, p.cur AS lbl, COUNT(*) AS cnt
+           |  FROM ge JOIN l${t - 1} p ON ge.d = p.nid
+           |  WHERE p.cur IS NOT NULL GROUP BY 1, 2),
+           |b$t AS (
+           |  SELECT nid, lbl FROM (
+           |    SELECT nid, lbl, row_number() OVER (
+           |      PARTITION BY nid ORDER BY cnt DESC, lbl ASC) AS rk
+           |    FROM m$t) WHERE rk = 1),
+           |l$t AS (
+           |  SELECT l${t - 1}.nid, l${t - 1}.seed,
+           |    COALESCE(l${t - 1}.seed, b$t.lbl, l${t - 1}.cur) AS cur
+           |  FROM l${t - 1} LEFT JOIN b$t USING (nid))""".stripMargin)
+        .mkString(
+          """, seeds AS (
+            |  SELECT vec_id AS nid,
+            |    CASE WHEN vec_id % 5 = 0 THEN label END AS seed
+            |  FROM embeddings),
+            |ge AS (SELECT src_id AS s, nbr_id AS d FROM graph),
+            |l0 AS (SELECT nid, seed, seed AS cur FROM seeds),
+            |""".stripMargin, ",\n", """
+            |SELECT nid AS vec_id, cur AS label,
+            |  CASE WHEN seed IS NOT NULL THEN 'seed'
+            |       WHEN cur IS NOT NULL THEN 'prop' END AS origin
+            |FROM l3 ORDER BY vec_id""".stripMargin)),
 
     // Cell-composed k-NN graph replay: x67's fixed-point Lloyd chain
     // (auto-dial LIMIT included), top-5 probe-cell ranks, x68's 16×4

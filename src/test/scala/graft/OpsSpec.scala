@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{AsofJoin, Chunking, Dedup, Multimodal, Similarity, TextStats}
+import graft.ops.{AsofJoin, Chunking, Dedup, Graph, Multimodal, Similarity, TextStats}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -2188,5 +2188,70 @@ class OpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
     assert(out.sortBy(_._1).toSeq == out2.sortBy(_._1).toSeq,
       "SemDeDup depends on partitioning")
+  }
+
+  test("graph: mutual-kNN pairs are exactly the reciprocal top-k edges") {
+    val g = Similarity.knnGraphBanded(emb, "embedding", "vec_id", k = 5,
+      nBands = 16, bandBits = 4)
+    val edges = g.select("src_id", "nbr_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mut = Graph.mutualKnnPairs(g).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mut.nonEmpty, "expected reciprocal pairs on the sf0.01 corpus")
+    val expect = edges.filter { case (a, b) => a < b && edges((b, a)) }
+    assert(mut == expect,
+      s"mutual set diverged: extra=${mut -- expect} missing=${expect -- mut}")
+    graft.ops.Caches.releaseAll()
+  }
+
+  test("graph: fixed-point pagerank — star center dominates, mass bounded") {
+    import spark.implicits._
+    // star 1..6 → 0 plus 0 → 1: node 0 collects six contributions, node 1
+    // inherits 0's damped mass, 2..6 receive only the teleport base
+    val edges = Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 0L), (5L, 0L),
+      (6L, 0L), (0L, 1L)).toDF("src_id", "nbr_id")
+    val nodes = (0L to 6L).toDF("vec_id")
+    val pr = Graph.pageRank(edges, nodes, "vec_id").orderBy("vec_id").collect()
+    val m = pr.map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(m(0L) > m(1L) && m(1L) > m(2L),
+      s"expected pr(0) > pr(1) > pr(leaf), got $m")
+    assert(m(2L) == m(3L) && m(3L) == m(6L), s"leaves must tie, got $m")
+    // no dangling nodes here: total mass ≤ SCALE, short only floor losses
+    val total = pr.map(_.getLong(1)).sum
+    assert(total <= 1000000000000L && total > 999999990000L,
+      s"mass off: $total")
+    val pr2 = Graph.pageRank(edges, nodes, "vec_id").orderBy("vec_id")
+      .collect()
+    assert(pr.map(_.toSeq).toSeq == pr2.map(_.toSeq).toSeq,
+      "pageRank must be deterministic")
+    graft.ops.Caches.releaseAll()
+  }
+
+  test("graph: label propagation — clamped seeds, smallest-label ties, reach") {
+    import spark.implicits._
+    // bidirectional chain 0–1–2–3, one seed: the label walks one hop per
+    // round and reaches the far end exactly at iters = 3
+    val chain = Seq((0L, 1L), (1L, 0L), (1L, 2L), (2L, 1L), (2L, 3L),
+      (3L, 2L)).toDF("src_id", "nbr_id")
+    val seeds = Seq((0L, Some(7)), (1L, None), (2L, None), (3L, None))
+      .toDF("vec_id", "label")
+    val out = Graph.labelPropagate(chain, seeds, "vec_id", "label", iters = 3)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1 else r.getInt(1),
+        r.getString(2))).toSeq
+    assert(out == Seq((0L, 7, "seed"), (1L, 7, "prop"), (2L, 7, "prop"),
+      (3L, 7, "prop")), s"chain propagation diverged: $out")
+    // 2 rounds must NOT reach node 3 (synchronous rounds, no shortcut)
+    val short = Graph.labelPropagate(chain, seeds, "vec_id", "label",
+        iters = 2).filter(col("vec_id") === 3L).collect()
+    assert(short.head.isNullAt(1), "label must take 3 rounds to reach node 3")
+    // equal-count tie between neighbor labels 5 and 3 → smallest label wins
+    val e2 = Seq((9L, 10L), (9L, 11L)).toDF("src_id", "nbr_id")
+    val s2 = Seq((9L, None), (10L, Some(5)), (11L, Some(3)))
+      .toDF("vec_id", "label")
+    val o2 = Graph.labelPropagate(e2, s2, "vec_id", "label", iters = 1)
+      .filter(col("vec_id") === 9L).collect()
+    assert(o2.head.getInt(1) == 3, s"tie must pick smallest label")
+    graft.ops.Caches.releaseAll()
   }
 }
