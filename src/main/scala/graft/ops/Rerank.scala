@@ -1,0 +1,83 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
+
+/** Diversified re-ranking of retrieval candidates — Maximal Marginal
+  * Relevance (Carbonell & Goldstein 1998), the standard fix for the
+  * failure mode every pure top-k serve in this repo shares: the k most
+  * relevant results are often near-duplicates of each other (by
+  * construction, on a corpus the dedup family exists to clean). MMR
+  * greedily picks the candidate maximizing
+  *
+  *   λ·rel(c) − (1−λ)·max_{s ∈ selected} sim(c, s)
+  *
+  * at λ = ½, which this implementation runs entirely in 5·10⁸
+  * fixed-point: rel_half = ⌊cos(q,c)·5·10⁸⌋ and pen(c,s) =
+  * ⌊cos(c,s)·5·10⁸⌋ are exact longs, so every argmax is an integer
+  * comparison with (score DESC, id ASC) tie-breaks — greedy selection
+  * is deterministic and the x95 oracle replays each round as an
+  * unrolled CTE (anti-join the selected set, MAX-penalty join, argmax
+  * window).
+  *
+  * Scale shape: MMR is a RE-rank — it runs on the ≤ nCand candidates a
+  * bucketed server already cut (x75's `ivfPqServeAll`, x45's banded
+  * serve), never the corpus. Each of the kSel rounds is one
+  * (q_id)-keyed join of the ≤ nCand-row pool against the ≤ round-sized
+  * selected set plus one ≤ nCand-row window per query — work is
+  * queries·kSel·nCand², all model-sized per query, shuffles keyed on
+  * q_id throughout. */
+object Rerank {
+
+  /** Fixed-point half-scale cosine: ⌊cos(a,b)·5·10⁸⌋ as a long — the
+    * λ = ½ weight folded into the scale so relevance and penalty share
+    * one exact integer unit. */
+  private def cosHalfFix(a: org.apache.spark.sql.Column,
+                         b: org.apache.spark.sql.Column) =
+    floor(VectorFunctions.cosine(a, b) * lit(5e8)).cast("long")
+
+  /** Greedy MMR over a candidate frame `cands` of (qIdCol, idCol,
+    * relCol: long fixed-point relevance, vecCol: array<double>).
+    * Selects `kSel` rows per query; returns (qIdCol, sel_rank, idCol,
+    * relCol, mmr_fix, mmr) where mmr_fix = rel − max-penalty at
+    * selection time (round 1 has no penalty: mmr_fix = rel). Queries
+    * with fewer than kSel candidates return them all. */
+  def mmrRerank(cands: DataFrame, qIdCol: String, idCol: String,
+                relCol: String, vecCol: String, kSel: Int): DataFrame = {
+    require(kSel >= 1, s"kSel must be >= 1, got $kSel")
+    val pool0 = Caches.persistTracked(cands.select(col(qIdCol), col(idCol),
+      col(relCol), col(vecCol).cast("array<double>").as("__v")))
+    // round 1: pure relevance argmax (MMR's empty-penalty case)
+    var sel = Caches.persistTracked(pool0
+      .withColumn("__rk", row_number().over(Window.partitionBy(qIdCol)
+        .orderBy(col(relCol).desc, col(idCol).asc)))
+      .filter(col("__rk") === 1)
+      .select(col(qIdCol), lit(1).as("sel_rank"), col(idCol), col(relCol),
+        col(relCol).as("mmr_fix"), col("__v")))
+    for (t <- 2 to kSel) {
+      val selV = sel.select(col(qIdCol), col(idCol).as("__sid"),
+        col("__v").as("__sv"))
+      val pool = pool0
+        .join(selV.select(col(qIdCol), col("__sid").as(idCol)),
+          Seq(qIdCol, idCol), "left_anti")
+      val scored = pool
+        .join(selV, qIdCol)
+        .groupBy(col(qIdCol), col(idCol))
+        .agg(first(col(relCol)).as(relCol), first(col("__v")).as("__v"),
+          max(cosHalfFix(col("__v"), col("__sv"))).as("__pen"))
+        .withColumn("mmr_fix", col(relCol) - col("__pen"))
+      val picked = scored
+        .withColumn("__rk", row_number().over(Window.partitionBy(qIdCol)
+          .orderBy(col("mmr_fix").desc, col(idCol).asc)))
+        .filter(col("__rk") === 1)
+        .select(col(qIdCol), lit(t).as("sel_rank"), col(idCol), col(relCol),
+          col("mmr_fix"), col("__v"))
+      sel = Caches.persistTracked(sel.unionByName(picked))
+    }
+    sel.select(col(qIdCol), col("sel_rank"), col(idCol), col(relCol),
+      col("mmr_fix"),
+      round(col("mmr_fix").cast("double") / lit(5e8), 6).as("mmr"))
+  }
+}

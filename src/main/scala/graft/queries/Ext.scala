@@ -1,7 +1,8 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.{AsofJoin, Chunking, Cms, Dedup, Dsir, Export, Graph, HistQuantile, LangModel, LinearProbe, Multimodal, Retrieval, Similarity, TextStats}
+import graft.ops.{AsofJoin, Chunking, Cms, Dedup, Dsir, Export, Graph, HistQuantile, LangModel, LinearProbe, Multimodal, Rerank, Retrieval, Similarity, TextStats, TopK}
+import graft.functions.VectorFunctions
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -1488,6 +1489,30 @@ object Ext {
             nBands = 16, bandBits = 4),
           seeds, "vec_id", "label", iters = 3)
         .orderBy("vec_id")
+    },
+
+    // MMR diversified rerank (λ = ½, 5·10⁸ fixed-point): top-10 exact
+    // cosine candidates per query (the gate's candidate generator —
+    // production feeds ivfPqServeAll's cut instead), then 5 greedy
+    // marginal-relevance rounds. The brute-force relevance pass here is
+    // queries×corpus by construction; the rerank itself touches only
+    // the 10-candidate pools.
+    "x95_mmr_rerank" -> { (s, dir) =>
+      val e = Tables.embeddings(s, dir).select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      val qs = e.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      val rel = e.filter(col("vec_id") % 100 =!= 0)
+        .crossJoin(broadcast(qs))
+        .withColumn("rel_half",
+          floor(VectorFunctions.cosine(col("qv"), col("v")) * lit(5e8))
+            .cast("long"))
+        .select(col("q_id"), col("vec_id"), col("rel_half"), col("v"))
+      val cands = TopK.rankTopK(rel, "q_id", col("vec_id"),
+        Seq(col("rel_half").desc, col("vec_id").asc), 10, "__crk")
+        .drop("__crk")
+      Rerank.mmrRerank(cands, "q_id", "vec_id", "rel_half", "v", kSel = 5)
+        .orderBy("q_id", "sel_rank")
     },
   )
 
@@ -4467,6 +4492,57 @@ object Ext {
             |  CASE WHEN seed IS NOT NULL THEN 'seed'
             |       WHEN cur IS NOT NULL THEN 'prop' END AS origin
             |FROM l3 ORDER BY vec_id""".stripMargin)),
+
+    // MMR replay: exact cosine candidates (top-10 per query), then the
+    // greedy rounds unrolled — each round anti-joins the selected set,
+    // takes the MAX fixed-point penalty against it, and argmaxes
+    // rel − pen with (DESC, vec_id ASC) ties. All longs.
+    "x95_mmr_rerank" -> {
+      def cosFix(a: String, b: String): String =
+        s"CAST(floor(list_sum(list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i])) / " +
+          s"(sqrt(list_sum(list_transform(generate_series(1, len($a)), i -> $a[i] * $a[i]))) * " +
+          s"sqrt(list_sum(list_transform(generate_series(1, len($b)), i -> $b[i] * $b[i])))) * 500000000.0) AS BIGINT)"
+      val rounds = (2 to 5).map { t =>
+        s"""pool$t AS (
+           |  SELECT c2.q_id, c2.vec_id, ANY_VALUE(c2.v) AS v,
+           |    ANY_VALUE(c2.rel_half) AS rel_half,
+           |    MAX(${cosFix("c2.v", "u.v")}) AS pen
+           |  FROM cand c2 JOIN u${t - 1} u USING (q_id)
+           |  WHERE NOT EXISTS (SELECT 1 FROM u${t - 1} x
+           |    WHERE x.q_id = c2.q_id AND x.vec_id = c2.vec_id)
+           |  GROUP BY c2.q_id, c2.vec_id),
+           |s$t AS (
+           |  SELECT q_id, $t AS sel_rank, vec_id, rel_half,
+           |    rel_half - pen AS mmr_fix, v
+           |  FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+           |      ORDER BY rel_half - pen DESC, vec_id ASC) AS rk FROM pool$t)
+           |  WHERE rk = 1),
+           |u$t AS (SELECT * FROM u${t - 1} UNION ALL SELECT * FROM s$t)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 100 = 0),
+         |c AS (SELECT vec_id, v FROM e WHERE vec_id % 100 <> 0),
+         |rel AS (
+         |  SELECT q.q_id, c.vec_id, c.v,
+         |    ${cosFix("q.qv", "c.v")} AS rel_half
+         |  FROM q, c),
+         |cand AS (
+         |  SELECT q_id, vec_id, v, rel_half
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY rel_half DESC, vec_id ASC) AS rk FROM rel)
+         |  WHERE rk <= 10),
+         |s1 AS (
+         |  SELECT q_id, 1 AS sel_rank, vec_id, rel_half,
+         |    rel_half AS mmr_fix, v
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY rel_half DESC, vec_id ASC) AS rk FROM cand)
+         |  WHERE rk = 1),
+         |u1 AS (SELECT * FROM s1),
+         |$rounds
+         |SELECT q_id, sel_rank, vec_id, rel_half, mmr_fix,
+         |  round(CAST(mmr_fix AS DOUBLE) / 500000000.0, 6) AS mmr
+         |FROM u5 ORDER BY q_id, sel_rank""".stripMargin
+    },
 
     // Cell-composed k-NN graph replay: x67's fixed-point Lloyd chain
     // (auto-dial LIMIT included), top-5 probe-cell ranks, x68's 16×4

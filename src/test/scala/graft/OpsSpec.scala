@@ -2254,4 +2254,55 @@ class OpsSpec extends AnyFunSuite {
     assert(o2.head.getInt(1) == 3, s"tie must pick smallest label")
     graft.ops.Caches.releaseAll()
   }
+
+  test("mmr rerank: picks relevance first, then trades it for diversity") {
+    import spark.implicits._
+    // q = (1,0); candidate 1 most relevant, candidate 2 its near-dup
+    // (huge penalty), candidate 3 less relevant but orthogonal-ish —
+    // plain top-2 = {1, 2}; MMR must select {1, 3}
+    val cands = Seq(
+      (100L, 1L, Seq(0.95, 0.3124)),
+      (100L, 2L, Seq(0.94, 0.34)),
+      (100L, 3L, Seq(0.6, -0.8))).toDF("q_id", "vec_id", "v")
+      .withColumn("rel_half", floor(
+        graft.functions.VectorFunctions.cosine(typedlit(Seq(1.0, 0.0)),
+          col("v")) * lit(5e8)).cast("long"))
+    val out = graft.ops.Rerank.mmrRerank(cands, "q_id", "vec_id",
+        "rel_half", "v", kSel = 2)
+      .orderBy("sel_rank").select("vec_id").as[Long].collect().toSeq
+    assert(out == Seq(1L, 3L), s"expected diverse pick {1,3}, got $out")
+    graft.ops.Caches.releaseAll()
+  }
+
+  test("mmr rerank: corpus gate shape — full selection, monotone marginals") {
+    import spark.implicits._
+    val e = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val qs = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val rel = e.filter(col("vec_id") % 100 =!= 0).crossJoin(broadcast(qs))
+      .withColumn("rel_half", floor(
+        graft.functions.VectorFunctions.cosine(col("qv"), col("v")) *
+          lit(5e8)).cast("long"))
+      .select(col("q_id"), col("vec_id"), col("rel_half"), col("v"))
+    val cands = graft.ops.TopK.rankTopK(rel, "q_id", col("vec_id"),
+      Seq(col("rel_half").desc, col("vec_id").asc), 10, "__crk").drop("__crk")
+    val sel = graft.ops.Rerank.mmrRerank(cands, "q_id", "vec_id",
+        "rel_half", "v", kSel = 5)
+      .select("q_id", "sel_rank", "vec_id", "mmr_fix")
+      .as[(Long, Int, Long, Long)].collect()
+    val perQ = sel.groupBy(_._1)
+    assert(perQ.values.forall(_.length == 5), "each query selects kSel rows")
+    perQ.foreach { case (q, rows) =>
+      val byRank = rows.sortBy(_._2)
+      assert(byRank.map(_._3).distinct.length == 5, s"q=$q ids must be distinct")
+      // from round 2 on the best available marginal can only decay: pools
+      // shrink and the max-penalty grows with the selected set. Round 1
+      // is excluded — it carries NO penalty, and a negative cos(c, s1)
+      // can push round 2's marginal ABOVE the pure-relevance pick.
+      assert(byRank.map(_._4).drop(1).sliding(2).forall(p => p(0) >= p(1)),
+        s"q=$q mmr_fix must be non-increasing after round 1: ${byRank.map(_._4).toSeq}")
+    }
+    graft.ops.Caches.releaseAll()
+  }
 }
