@@ -345,6 +345,80 @@ object Retrieval {
         col("score_fix"))
   }
 
+  /** RM3-style pseudo-relevance-feedback BM25 (Lavrenko & Croft 2001 /
+    * the Indri RM3 recipe, deterministically simplified): retrieve with
+    * the seed `terms`, mine the top `fbDocs` documents for the
+    * `fbTerms` most frequent non-seed terms (Σtf DESC, term ASC ties),
+    * then rescore the corpus with seed terms at full weight and
+    * expansion terms at half weight — the standard recall lever when
+    * the seed query under-describes the topic.
+    *
+    * Everything runs off the [[Bm25Model]] postings frame (built here;
+    * production serves from the written term-bucketed tree — the
+    * feedback pass reads fbDocs·|doc| postings rows, the expansion
+    * rescore reads only the expansion terms' buckets). Determinism /
+    * oracle: per-term scores pin to ⌊s·10⁹⌋ (seed) and ⌊s·5·10⁸⌋
+    * (expansion, the ½ weight folded into the scale — one IEEE multiply
+    * before the floor, identical in both engines); feedback-doc and
+    * expansion-term cuts are (exact-integer DESC, id/term ASC) limits;
+    * harness query x96 replays the whole chain — postings, df, seed
+    * scores, feedback top-5, expansion mining, half-weight rescore,
+    * full-outer combine.
+    *
+    * Returns top-k of (idCol, n_terms = matched seed+expansion terms,
+    * bm25, score_fix, exp_terms = the chosen expansion terms in
+    * selection order) — docs matching ONLY expansion terms are eligible
+    * (the full-outer combine; that is RM3's point). */
+  def bm25Rm3TopK(docs: DataFrame, idCol: String, textCol: String,
+                  terms: Seq[String], k: Int = 20, fbDocs: Int = 5,
+                  fbTerms: Int = 3): DataFrame = {
+    require(terms.nonEmpty, "RM3 needs at least one seed term")
+    require(fbDocs >= 1, s"fbDocs must be >= 1, got $fbDocs")
+    require(fbTerms >= 1, s"fbTerms must be >= 1, got $fbTerms")
+    import docs.sparkSession.implicits._
+    val model = bm25BuildModel(docs, idCol, textCol)
+    val post = Caches.persistTracked(model.postings)
+    val norm = (col("dl") * col("nd")).cast("double") / col("ntok").cast("double")
+    val idf = log((lit(2L) * col("nd") - lit(2L) * col("df") + lit(1L))
+      .cast("double") / (lit(2L) * col("df") + lit(1L)).cast("double"))
+    val score = (idf * (col("tf").cast("double") * lit(2.2))) /
+      (col("tf").cast("double") + lit(1.2) * (lit(0.25) + lit(0.75) * norm))
+    // per-doc fixed-point score over a term frame, at the given scale
+    def scoredAgg(ts: DataFrame, scale: Double, n: String, fix: String) = {
+      val dfT = model.df.join(broadcast(ts), "w")
+      post.join(broadcast(ts), "w")
+        .join(broadcast(dfT), "w")
+        .crossJoin(broadcast(model.stats))
+        .withColumn("__fix", floor(score * lit(scale)).cast("long"))
+        .groupBy(col(idCol))
+        .agg(count(lit(1)).as(n), sum(col("__fix")).as(fix))
+    }
+    val orig = scoredAgg(terms.toDF("w"), 1e9, "n_orig", "orig_fix")
+    val fb = orig.orderBy(col("orig_fix").desc, col(idCol).asc)
+      .limit(fbDocs).select(col(idCol))
+    val expSel = Caches.persistTracked(
+      post.join(broadcast(fb), idCol)
+        .filter(!col("w").isin(terms: _*))
+        .groupBy("w").agg(sum(col("tf")).as("fb_tf"))
+        .orderBy(col("fb_tf").desc, col("w").asc).limit(fbTerms))
+    val exp = scoredAgg(expSel.select("w"), 5e8, "n_exp", "exp_fix")
+    val expStr = expSel.agg(concat_ws(",", transform(
+      array_sort(collect_list(struct((col("fb_tf") * lit(-1L)).as("s"),
+        col("w").as("w")))), x => x.getField("w"))).as("exp_terms"))
+    orig.join(exp, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        (coalesce(col("n_orig"), lit(0L)) +
+          coalesce(col("n_exp"), lit(0L))).as("n_terms"),
+        (coalesce(col("orig_fix"), lit(0L)) +
+          coalesce(col("exp_fix"), lit(0L))).as("score_fix"))
+      .orderBy(col("score_fix").desc, col(idCol).asc).limit(k)
+      .crossJoin(broadcast(expStr))
+      .select(col(idCol), col("n_terms"),
+        round(col("score_fix").cast("double") / lit(1e9), 6).as("bm25"),
+        col("score_fix"), col("exp_terms"))
+      .orderBy(col("score_fix").desc, col(idCol).asc)
+  }
+
   /** RRF contribution of a 1-based rank as a long: floor(10¹²/(60+r)).
     * The division is one correctly-rounded IEEE op whose result is ≥
     * 1/160 away from any wrong integer boundary (divisor ≤ 160 at any

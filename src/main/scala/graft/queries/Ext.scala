@@ -1514,6 +1514,16 @@ object Ext {
       Rerank.mmrRerank(cands, "q_id", "vec_id", "rel_half", "v", kSel = 5)
         .orderBy("q_id", "sel_rank")
     },
+
+    // RM3 pseudo-relevance feedback: seed terms at full weight, the
+    // top-3 non-seed terms of the feedback top-5 docs at half weight
+    // (⌊s·5·10⁸⌋), full-outer combine so expansion-only matches can
+    // enter the top-20. Ordered on the exact integer key.
+    "x96_bm25_rm3" -> { (s, dir) =>
+      Retrieval.bm25Rm3TopK(Tables.documents(s, dir), "doc_id", "text",
+          Seq("hash", "join"))
+        .orderBy(col("score_fix").desc, col("doc_id").asc)
+    },
   )
 
   /** x72's full replay, parameterized by the Lloyd-TRAINING source
@@ -4542,6 +4552,58 @@ object Ext {
          |SELECT q_id, sel_rank, vec_id, rel_half, mmr_fix,
          |  round(CAST(mmr_fix AS DOUBLE) / 500000000.0, 6) AS mmr
          |FROM u5 ORDER BY q_id, sel_rank""".stripMargin
+    },
+
+    // RM3 replay: x64's tf/df/score arithmetic over the full postings,
+    // feedback top-5 cut, expansion mining (Σtf DESC, w ASC), the
+    // half-weight rescore (⌊s·5·10⁸⌋ — the ½ folded into the floor
+    // scale), and the full-outer combine.
+    "x96_bm25_rm3" -> {
+      def sc(scale: String): String =
+        s"""CAST(floor(
+           |      ((ln(CAST(2 * s.nd - 2 * d.df + 1 AS DOUBLE) / CAST(2 * d.df + 1 AS DOUBLE))
+           |        * (CAST(t.tf AS DOUBLE) * CAST(2.2 AS DOUBLE)))
+           |       / (CAST(t.tf AS DOUBLE) + CAST(1.2 AS DOUBLE) *
+           |          (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) *
+           |           (CAST(t.dl * s.nd AS DOUBLE) / CAST(s.ntok AS DOUBLE)))))
+           |      * $scale) AS BIGINT)""".stripMargin
+      s"""WITH b2 AS (
+         |  SELECT doc_id, len(ts) AS dl, ts FROM (
+         |    SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+         |    FROM documents)),
+         |stats AS (SELECT COUNT(*) AS nd, SUM(dl) AS ntok FROM b2),
+         |post AS (
+         |  SELECT doc_id, dl, w, COUNT(*) AS tf
+         |  FROM (SELECT doc_id, dl, unnest(ts) AS w FROM b2)
+         |  GROUP BY 1, 2, 3),
+         |dfall AS (SELECT w, COUNT(*) AS df FROM post GROUP BY 1),
+         |orig AS (
+         |  SELECT doc_id, COUNT(*) AS n_orig, SUM(sfix) AS orig_fix FROM (
+         |    SELECT t.doc_id, ${sc("1000000000.0")} AS sfix
+         |    FROM post t JOIN dfall d USING (w) CROSS JOIN stats s
+         |    WHERE t.w IN ('hash', 'join')) GROUP BY 1),
+         |fb AS (SELECT doc_id FROM orig ORDER BY orig_fix DESC, doc_id ASC LIMIT 5),
+         |expsel AS (
+         |  SELECT w, fb_tf FROM (
+         |    SELECT p.w, SUM(p.tf) AS fb_tf
+         |    FROM post p JOIN fb USING (doc_id)
+         |    WHERE p.w NOT IN ('hash', 'join') GROUP BY 1)
+         |  ORDER BY fb_tf DESC, w ASC LIMIT 3),
+         |expstr AS (SELECT string_agg(w, ',' ORDER BY fb_tf DESC, w ASC) AS exp_terms FROM expsel),
+         |expsc AS (
+         |  SELECT doc_id, COUNT(*) AS n_exp, SUM(efix) AS exp_fix FROM (
+         |    SELECT t.doc_id, ${sc("500000000.0")} AS efix
+         |    FROM post t JOIN expsel e ON t.w = e.w
+         |    JOIN dfall d ON t.w = d.w CROSS JOIN stats s) GROUP BY 1),
+         |comb AS (
+         |  SELECT COALESCE(o.doc_id, x.doc_id) AS doc_id,
+         |    CAST(COALESCE(o.n_orig, 0) + COALESCE(x.n_exp, 0) AS BIGINT) AS n_terms,
+         |    CAST(COALESCE(o.orig_fix, 0) + COALESCE(x.exp_fix, 0) AS BIGINT) AS score_fix
+         |  FROM orig o FULL JOIN expsc x ON o.doc_id = x.doc_id)
+         |SELECT doc_id, n_terms,
+         |  round(CAST(score_fix AS DOUBLE) / 1000000000.0, 6) AS bm25,
+         |  score_fix, (SELECT exp_terms FROM expstr) AS exp_terms
+         |FROM comb ORDER BY score_fix DESC, doc_id ASC LIMIT 20""".stripMargin
     },
 
     // Cell-composed k-NN graph replay: x67's fixed-point Lloyd chain

@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{AsofJoin, Chunking, Dedup, Graph, Multimodal, Similarity, TextStats}
+import graft.ops.{AsofJoin, Chunking, Dedup, Graph, Multimodal, Retrieval, Similarity, TextStats}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -2303,6 +2303,24 @@ class OpsSpec extends AnyFunSuite {
       assert(byRank.map(_._4).drop(1).sliding(2).forall(p => p(0) >= p(1)),
         s"q=$q mmr_fix must be non-increasing after round 1: ${byRank.map(_._4).toSeq}")
     }
+    graft.ops.Caches.releaseAll()
+  }
+
+  test("rm3: expansion mined from feedback docs pulls in expansion-only matches") {
+    import spark.implicits._
+    // seed 'apple' matches d1, d2; their most frequent non-seed term is
+    // 'banana' (Σtf = 2 beats 'cherry' = 1), which alone matches d3 —
+    // RM3 must retrieve d3 (expansion-only), never d4 (no match at all)
+    val docs = Seq((1L, "apple banana cherry"), (2L, "apple banana"),
+      (3L, "banana date"), (4L, "cherry date")).toDF("doc_id", "text")
+    val out = Retrieval.bm25Rm3TopK(docs, "doc_id", "text", Seq("apple"),
+      k = 10, fbDocs = 2, fbTerms = 1).collect()
+    assert(out.forall(_.getString(4) == "banana"),
+      s"expected expansion 'banana', got ${out.map(_.getString(4)).toSeq}")
+    assert(out.map(_.getLong(0)).toSet == Set(1L, 2L, 3L),
+      s"RM3 result set diverged: ${out.map(_.getLong(0)).toSeq}")
+    val d3 = out.find(_.getLong(0) == 3L).get
+    assert(d3.getLong(1) == 1L, "d3 must match exactly one (expansion) term")
     graft.ops.Caches.releaseAll()
   }
 }
