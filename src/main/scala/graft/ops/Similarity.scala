@@ -603,10 +603,17 @@ object Similarity {
                       vecCol: String, idCol: String, k: Int = 5,
                       nProbeCells: Int = 5, nBands: Int = 16,
                       bandBits: Int = 4, dims: Int = 64, nLists: Int = 0,
-                      iters: Int = 2, nBuckets: Int = 16): Unit = {
+                      iters: Int = 2, nBuckets: Int = 16,
+                      centsOpt: Option[DataFrame] = None): Unit = {
     import org.apache.spark.sql.expressions.Window
-    val kCells = if (nLists > 0) nLists else autoCellCount(staticEmb)
-    val (cents, _) = ivfBuildKmeans(staticEmb, vecCol, idCol, kCells, iters)
+    // `centsOpt` injects a PRE-TRAINED frozen model: a multi-batch fold
+    // (streaming gate s16) must keep the cells trained on the ORIGINAL
+    // static corpus while `staticEmb` grows to static ∪ prior deltas —
+    // retraining per fold would silently change the candidate geometry.
+    val cents = centsOpt.getOrElse {
+      val kCells = if (nLists > 0) nLists else autoCellCount(staticEmb)
+      ivfBuildKmeans(staticEmb, vecCol, idCol, kCells, iters)._1
+    }
     val union = staticEmb.select(col(idCol), col(vecCol))
       .unionByName(delta.select(col(idCol), col(vecCol)))
     val cells = Caches.persistTracked(

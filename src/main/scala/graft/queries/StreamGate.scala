@@ -135,6 +135,26 @@ object StreamGate {
     })
   }
 
+  /** Arrival topic for the streaming GRAPH-maintenance gate (s16):
+    * x90/x91's delta split — vec_id % 7 = 0, INCLUDING vec 0 (unlike
+    * [[arrivalVec7Topic]]) — so the folded graph replays x90's oracle
+    * verbatim. Memoized per (JVM, sf dir). */
+  private val arrivalGraphTopics = TrieMap.empty[String, String]
+  private def arrivalGraphTopic(s: SparkSession, dir: String): String = synchronized {
+    arrivalGraphTopics.getOrElseUpdate(dir, {
+      val topic = s"gate_arrg_${java.util.UUID.randomUUID().toString.take(8)}"
+      Tables.embeddings(s, dir)
+        .filter(col("vec_id") % 7 === 0)
+        .select(col("vec_id").cast("string").as("key"),
+          to_json(struct(col("vec_id"),
+            col("embedding").cast("array<double>").as("v"))).as("value"),
+          to_timestamp(lit("2024-01-01 00:00:00")).as("timestamp"))
+        .write.format("graft-topic").mode("append")
+        .option("topic", topic).option("partitions", "4").save()
+      topic
+    })
+  }
+
   /** Incoming-DOCUMENTS topic for the streaming ingest-screening gate
     * (s09): the x50 batch side (doc_id ≥ 400) serialized as JSON — the
     * arrival stream of an ingest pipeline whose corpus (doc_id < 400)
@@ -891,6 +911,71 @@ object StreamGate {
       }
     },
 
+    // STREAMING k-NN graph maintenance: the x90/x91 fold run per
+    // micro-batch under the streaming engine — the stored
+    // partitionBy(sb) graph tree is the maintained artifact; each
+    // arrival batch re-ranks only affected sources (stored-k ∪
+    // Δ-touching) under the FROZEN static-corpus model (centsOpt — a
+    // per-fold retrain would change the candidate geometry), the
+    // running corpus accumulates batch by batch, and
+    // read-after-streaming ≡ the frozen-model rebuild over the whole
+    // corpus: x90's SQL verbatim.
+    "s16_stream_graph_maintenance" -> { (s, dir) =>
+      val topic = arrivalGraphTopic(s, dir)
+      withGateConf(s) {
+        val emb = Tables.embeddings(s, dir)
+        val static0 = graft.ops.Caches.localCheckpointTracked(
+          emb.filter(col("vec_id") % 7 =!= 0)
+            .select(col("vec_id"),
+              col("embedding").cast("array<double>").as("embedding")))
+        val cents = graft.ops.Caches.localCheckpointTracked(
+          graft.ops.Similarity.ivfBuildKmeans(static0, "embedding",
+            "vec_id", graft.ops.Similarity.autoCellCount(static0), 2)._1)
+        val tree = gateTmpDir("s16_tree_")
+        graft.ops.Similarity.knnGraphCells(static0, "embedding", "vec_id",
+            k = 5)
+          .withColumn("sb", pmod(col("src_id"), lit(16L)))
+          .repartition(col("sb"))
+          .sortWithinPartitions(col("sb"), col("src_id"), col("rank"))
+          .write.mode("overwrite").partitionBy("sb").parquet(tree.toString)
+        var sofar = static0
+        val ckpt = gateTmpDir("s16_ckpt_")
+        val q = s.readStream.format("graft-topic")
+          .option("topic", topic)
+          .option("maxRecordsPerTrigger",
+            math.max(1L, (topicSize(topic) + 1) / 2).toString)
+          .load()
+          .select(from_json(col("value").cast("string"),
+            org.apache.spark.sql.types.StructType
+              .fromDDL("vec_id BIGINT, v ARRAY<DOUBLE>")).as("j"))
+          .select(col("j.vec_id").as("vec_id"), col("j.v").as("embedding"))
+          .writeStream
+          .foreachBatch { (df: DataFrame, _: Long) =>
+            if (!df.isEmpty) {
+              val d = graft.ops.Caches.localCheckpointTracked(
+                df.select(col("vec_id"), col("embedding")))
+              graft.ops.Similarity.knnGraphCompact(s, tree.toString, sofar,
+                d, "embedding", "vec_id", k = 5, centsOpt = Some(cents))
+              sofar = graft.ops.Caches.localCheckpointTracked(
+                sofar.unionByName(d))
+            }
+            ()
+          }
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        drain(q, ckpt)
+        require(dataBatches(q) >= 2,
+          s"s16 must fold across batches; ran ${dataBatches(q)} data batches")
+        val out = graft.ops.Caches.localCheckpointTracked(
+          s.read.parquet(tree.toString)
+            .select(col("src_id"), col("nbr_id"), col("cos_sim"), col("rank"))
+            .orderBy("src_id", "rank"))
+        cleanupStep("tree delete")(graft.util.Fs.deleteTree(tree))
+        out
+      }
+    },
+
     // Streaming exact dedup under the gate: events replayed through the
     // topic → dropDuplicatesWithinWatermark(user_id) → append-mode memory
     // sink. WHICH occurrence survives is arrival-order-dependent, so the
@@ -1331,6 +1416,14 @@ object StreamGate {
     // and a keyed read is order-blind — static ∪ appended = the batch
     // build's tree: x89's SQL verbatim.
     "s15_stream_append_index" -> Ext.oracle("x89_projected_ivf_topk"),
+
+    // s16: candidate cells/bands are pure per-row functions of the
+    // FROZEN static-split model, the affected-source re-rank is exact
+    // by the displacement argument, and each fold leaves unaffected
+    // sources untouched — so static ∪ streamed folds = the frozen-model
+    // rebuild over the whole corpus: x90's SQL verbatim (the x91 law
+    // under the streaming engine).
+    "s16_stream_graph_maintenance" -> Ext.oracle("x90_knn_graph_delta"),
 
     // The FULL batch left join: the sentinel-closed watermark guarantees
     // every real click got its match rows or its null row — nothing is
