@@ -112,6 +112,60 @@ object Graph {
       round(col("pr_fix").cast("double") / lit(1e12), 6).as("pr"))
   }
 
+  /** PERSONALIZED PageRank — the graph-walk relatedness primitive:
+    * teleport mass returns only to the `seeds` set, so the stationary
+    * scores measure proximity TO THE SEEDS through the similarity
+    * graph (related-document expansion, graph-based recommendation,
+    * "more like these" curation). Same exact integer semantics as
+    * [[pageRank]] with the init/teleport redistributed:
+    *
+    *   init[v]   = SCALE div |S|   if v ∈ S else 0
+    *   base[v]   = (SCALE·15 div 100) div |S|   if v ∈ S else 0
+    *   contrib_e = (pr[src]·85 div 100) div outdeg[src]
+    *
+    * Non-seed nodes accumulate only walked-in mass; dangling mass
+    * drops (the [[pageRank]] convention). Returns every node —
+    * untouched nodes score 0. Harness query x97 replays the unrolled
+    * iterations with the seed-gated base term. */
+  def personalizedPageRank(edges: DataFrame, nodes: DataFrame,
+                           seeds: DataFrame, idCol: String,
+                           srcCol: String = "src_id",
+                           dstCol: String = "nbr_id",
+                           iters: Int = 5): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val SCALE = 1000000000000L
+    val seedF = Caches.persistTracked(
+      seeds.select(col(idCol).as("__nid")).distinct())
+    val nS = seedF.count()
+    require(nS > 0, "personalizedPageRank needs a non-empty seed set")
+    val base = (SCALE * 15L / 100L) / nS
+    val ge = Caches.persistTracked(
+      edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst")))
+    val od = ge.groupBy("__src").agg(count(lit(1)).as("__od"))
+    val nodeF = nodes.select(col(idCol).as("__nid"))
+    val isSeed = seedF.withColumn("__s", lit(1))
+    var pr = nodeF.join(isSeed, Seq("__nid"), "left")
+      .withColumn("pr_fix",
+        when(col("__s").isNotNull, lit(SCALE / nS)).otherwise(lit(0L)))
+      .select("__nid", "pr_fix")
+    for (_ <- 1 to iters) {
+      val msgs = ge
+        .join(pr.select(col("__nid").as("__src"), col("pr_fix")), "__src")
+        .join(od, "__src")
+        .select(col("__dst").as("__nid"),
+          expr("((pr_fix * 85) div 100) div __od").as("__c"))
+        .groupBy("__nid").agg(sum("__c").as("__m"))
+      pr = Caches.persistTracked(
+        nodeF.join(isSeed, Seq("__nid"), "left")
+          .join(msgs, Seq("__nid"), "left")
+          .select(col("__nid"),
+            (when(col("__s").isNotNull, lit(base)).otherwise(lit(0L)) +
+              coalesce(col("__m"), lit(0L))).as("pr_fix")))
+    }
+    pr.select(col("__nid").as(idCol), col("pr_fix"),
+      round(col("pr_fix").cast("double") / lit(1e12), 6).as("pr"))
+  }
+
   /** Synchronous label propagation from a CLAMPED seed set — the
     * semi-supervised tagging move: a small labeled subset (human
     * audit, an expensive classifier run) spreads through the k-NN

@@ -80,4 +80,54 @@ object Rerank {
       col("mmr_fix"),
       round(col("mmr_fix").cast("double") / lit(5e8), 6).as("mmr"))
   }
+
+  /** k-CENTER GREEDY coreset sampling (farthest-point traversal, the
+    * 2-approximation of Gonzalez 1985) — the diversity-SELECTION
+    * sibling of [[mmrRerank]]: pick `kSel` corpus rows that COVER the
+    * embedding space (each round takes the point FARTHEST from every
+    * already-picked center, i.e. argmin of its max cosine to the
+    * selected set). The standard coreset/data-pruning move: a kSel-row
+    * sample whose coverage radius is within 2× of the optimal
+    * k-center's, used to seed curricula, pick annotation batches, or
+    * prune redundant corpus mass.
+    *
+    * Determinism: the seed is the SMALLEST id (documented convention —
+    * any fixed seed gives the same 2-approximation bound); every round
+    * is an exact-integer argmin over ⌊cos·10⁹⌋ longs with id ASC ties.
+    * Each round is one anti-join + one broadcast pass against the ≤
+    * kSel selected vectors + one TakeOrderedAndProject argmin — never
+    * a global window, never a corpus×corpus product; work is
+    * kSel·n·d. Harness query x98 unrolls the rounds as CTEs.
+    *
+    * Returns (sel_rank, idCol, cov_fix, cov) where cov_fix is the max
+    * fixed-point cosine to the previously selected centers at
+    * selection time (NULL for the seed) — monotonically non-decreasing
+    * in sel_rank from round 2 on (the classic shrinking-radius law:
+    * pools shrink and max-cos grows with the center set; pinned in
+    * OpsSpec). */
+  def kCenterSample(emb: DataFrame, vecCol: String, idCol: String,
+                    kSel: Int): DataFrame = {
+    require(kSel >= 1, s"kSel must be >= 1, got $kSel")
+    val pool0 = Caches.persistTracked(emb.select(col(idCol),
+      col(vecCol).cast("array<double>").as("__v")))
+    var sel = Caches.persistTracked(pool0.orderBy(col(idCol).asc).limit(1)
+      .select(lit(1).as("sel_rank"), col(idCol),
+        lit(null).cast("long").as("cov_fix"), col("__v")))
+    for (t <- 2 to kSel) {
+      val selV = sel.select(col(idCol).as("__sid"), col("__v").as("__sv"))
+      val picked = pool0
+        .join(sel.select(col(idCol)), Seq(idCol), "left_anti")
+        .crossJoin(broadcast(selV))
+        .groupBy(col(idCol))
+        .agg(first(col("__v")).as("__v"),
+          max(floor(VectorFunctions.cosine(col("__v"), col("__sv")) *
+            lit(1e9)).cast("long")).as("cov_fix"))
+        .orderBy(col("cov_fix").asc, col(idCol).asc).limit(1)
+        .select(lit(t).as("sel_rank"), col(idCol), col("cov_fix"),
+          col("__v"))
+      sel = Caches.persistTracked(sel.unionByName(picked))
+    }
+    sel.select(col("sel_rank"), col(idCol), col("cov_fix"),
+      round(col("cov_fix").cast("double") / lit(1e9), 6).as("cov"))
+  }
 }

@@ -1524,6 +1524,30 @@ object Ext {
           Seq("hash", "join"))
         .orderBy(col("score_fix").desc, col("doc_id").asc)
     },
+
+    // PERSONALIZED PageRank: teleport mass pinned to the vec_id % 25
+    // seed set — graph-walk relatedness to the seeds ("more like
+    // these"), exact 10⁻¹² integer arithmetic, non-seed nodes score
+    // only walked-in mass.
+    "x97_ppr_knn" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Graph.personalizedPageRank(
+          Similarity.knnGraphBanded(emb, "embedding", "vec_id", k = 5,
+            nBands = 16, bandBits = 4),
+          emb.select("vec_id"),
+          emb.filter(col("vec_id") % 25 === 0).select("vec_id"),
+          "vec_id", iters = 5)
+        .orderBy("vec_id")
+    },
+
+    // k-CENTER GREEDY coreset (farthest-point traversal): 8 centers
+    // covering the embedding space, smallest-id seed, each round an
+    // exact-integer argmin of max-cos-to-selected with id ties.
+    "x98_kcenter_coreset" -> { (s, dir) =>
+      Rerank.kCenterSample(Tables.embeddings(s, dir), "embedding",
+          "vec_id", kSel = 8)
+        .orderBy("sel_rank")
+    },
   )
 
   /** x72's full replay, parameterized by the Lloyd-TRAINING source
@@ -4604,6 +4628,72 @@ object Ext {
          |  round(CAST(score_fix AS DOUBLE) / 1000000000.0, 6) AS bm25,
          |  score_fix, (SELECT exp_terms FROM expstr) AS exp_terms
          |FROM comb ORDER BY score_fix DESC, doc_id ASC LIMIT 20""".stripMargin
+    },
+
+    // Personalized-PageRank replay: x93's unrolled fixed-point
+    // iterations with init and teleport gated to the seed set.
+    "x97_ppr_knn" -> bandedGraphSql(
+      (1 to 5).map(t =>
+        s"""m$t AS (
+           |  SELECT ge.d AS nid,
+           |    CAST(SUM(((p.pr_fix * 85) // 100) // od.od) AS BIGINT) AS s
+           |  FROM ge JOIN pr${t - 1} p ON ge.s = p.nid JOIN od ON ge.s = od.s
+           |  GROUP BY ge.d),
+           |pr$t AS (
+           |  SELECT i.nid,
+           |    CASE WHEN sd.nid IS NOT NULL THEN (SELECT base FROM c)
+           |         ELSE 0 END + COALESCE(m$t.s, 0) AS pr_fix
+           |  FROM ids i LEFT JOIN sd USING (nid)
+           |  LEFT JOIN m$t USING (nid))""".stripMargin)
+        .mkString(
+          """, ids AS (SELECT vec_id AS nid FROM e),
+            |sd AS (SELECT nid FROM ids WHERE nid % 25 = 0),
+            |c AS (
+            |  SELECT 1000000000000 // cnt AS init,
+            |    ((1000000000000 * 15) // 100) // cnt AS base
+            |  FROM (SELECT COUNT(*) AS cnt FROM sd)),
+            |ge AS (SELECT src_id AS s, nbr_id AS d FROM graph),
+            |od AS (SELECT s, COUNT(*) AS od FROM ge GROUP BY 1),
+            |pr0 AS (
+            |  SELECT i.nid,
+            |    CASE WHEN sd.nid IS NOT NULL THEN (SELECT init FROM c)
+            |         ELSE 0 END AS pr_fix
+            |  FROM ids i LEFT JOIN sd USING (nid)),
+            |""".stripMargin, ",\n", """
+            |SELECT nid AS vec_id, pr_fix,
+            |  round(CAST(pr_fix AS DOUBLE) / 1000000000000.0, 6) AS pr
+            |FROM pr5 ORDER BY vec_id""".stripMargin)),
+
+    // k-center replay: smallest-id seed, then each farthest-point
+    // round unrolled — anti-join the selected set, MAX fixed-point
+    // cosine against it, argmin (cov ASC, vec_id ASC) via LIMIT 1.
+    "x98_kcenter_coreset" -> {
+      def cosFix(a: String, b: String): String =
+        s"CAST(floor(list_sum(list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i])) / " +
+          s"(sqrt(list_sum(list_transform(generate_series(1, len($a)), i -> $a[i] * $a[i]))) * " +
+          s"sqrt(list_sum(list_transform(generate_series(1, len($b)), i -> $b[i] * $b[i])))) * 1000000000.0) AS BIGINT)"
+      val rounds = (2 to 8).map { t =>
+        s"""pool$t AS (
+           |  SELECT c2.vec_id, ANY_VALUE(c2.v) AS v,
+           |    MAX(${cosFix("c2.v", "u.v")}) AS cov
+           |  FROM e c2 JOIN u${t - 1} u ON TRUE
+           |  WHERE NOT EXISTS (SELECT 1 FROM u${t - 1} x
+           |    WHERE x.vec_id = c2.vec_id)
+           |  GROUP BY c2.vec_id),
+           |s$t AS (
+           |  SELECT $t AS sel_rank, vec_id, cov AS cov_fix, v
+           |  FROM pool$t ORDER BY cov ASC, vec_id ASC LIMIT 1),
+           |u$t AS (SELECT * FROM u${t - 1} UNION ALL SELECT * FROM s$t)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |s1 AS (
+         |  SELECT 1 AS sel_rank, vec_id, CAST(NULL AS BIGINT) AS cov_fix, v
+         |  FROM e ORDER BY vec_id ASC LIMIT 1),
+         |u1 AS (SELECT * FROM s1),
+         |$rounds
+         |SELECT sel_rank, vec_id, cov_fix,
+         |  round(CAST(cov_fix AS DOUBLE) / 1000000000.0, 6) AS cov
+         |FROM u8 ORDER BY sel_rank""".stripMargin
     },
 
     // Cell-composed k-NN graph replay: x67's fixed-point Lloyd chain

@@ -2323,4 +2323,49 @@ class OpsSpec extends AnyFunSuite {
     assert(d3.getLong(1) == 1L, "d3 must match exactly one (expansion) term")
     graft.ops.Caches.releaseAll()
   }
+
+  test("personalized pagerank: all-nodes seeds ≡ global pagerank; mass stays near seeds") {
+    import spark.implicits._
+    val edges = Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 0L), (5L, 0L),
+      (6L, 0L), (0L, 1L)).toDF("src_id", "nbr_id")
+    val nodes = (0L to 6L).toDF("vec_id")
+    // law: teleporting to EVERY node is exactly the global walk
+    val ppr = Graph.personalizedPageRank(edges, nodes, nodes, "vec_id")
+      .orderBy("vec_id").collect().map(_.toSeq).toSeq
+    val pr = Graph.pageRank(edges, nodes, "vec_id")
+      .orderBy("vec_id").collect().map(_.toSeq).toSeq
+    assert(ppr == pr, "seeds = all nodes must reduce to global pagerank")
+    // seed {0}: mass reaches only 0's out-neighborhood; 2..6 score 0
+    val m = Graph.personalizedPageRank(edges, nodes,
+        Seq(0L).toDF("vec_id"), "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // 0's whole damped mass flows to its single out-neighbor 1 (and 1's
+    // back to 0), so BOTH carry mass — no ordering claim between them
+    assert(m(0L) > 0L && m(1L) > 0L, s"seed and its neighbor carry mass: $m")
+    assert((2L to 6L).forall(m(_) == 0L), s"unreachable nodes must score 0: $m")
+    assert(m.values.sum <= 1000000000000L, s"personalized mass bounded: $m")
+    graft.ops.Caches.releaseAll()
+  }
+
+  test("k-center greedy: covers clusters, radius law, exact selection on a plant") {
+    import spark.implicits._
+    // two tight clusters: seed = smallest id (1); the farthest point
+    // from cluster A is in cluster B → round 2 must jump clusters
+    val pts = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.99, 0.05)),
+      (3L, Seq(0.98, 0.1)), (10L, Seq(0.0, 1.0)), (11L, Seq(0.05, 0.99)))
+      .toDF("vec_id", "embedding")
+    val sel = graft.ops.Rerank.kCenterSample(pts, "embedding", "vec_id", 2)
+      .orderBy("sel_rank").select("vec_id").as[Long].collect().toSeq
+    assert(sel == Seq(1L, 10L), s"expected cluster jump {1,10}, got $sel")
+    // corpus shape: distinct picks, NULL seed coverage, non-decreasing
+    // cov from round 2 (the shrinking-radius law)
+    val out = graft.ops.Rerank.kCenterSample(emb, "embedding", "vec_id", 8)
+      .orderBy("sel_rank").collect()
+    assert(out.length == 8 && out.map(_.getLong(1)).distinct.length == 8)
+    assert(out.head.isNullAt(2), "seed carries no coverage value")
+    val covs = out.drop(1).map(_.getLong(2)).toSeq
+    assert(covs.sliding(2).forall(p => p(0) <= p(1)),
+      s"coverage cosine must be non-decreasing: $covs")
+    graft.ops.Caches.releaseAll()
+  }
 }
