@@ -1548,6 +1548,35 @@ object Ext {
           "vec_id", kSel = 8)
         .orderBy("sel_rank")
     },
+
+    // GRAPH-CURATED dedup (the graph-family capstone): mutual-kNN pairs
+    // at cos ≥ 0.4 → connected components → keep the MOST CENTRAL
+    // member per cluster by PageRank (the representativeness keeper —
+    // vs x27's min-id and x67's outlier rules). One graph build feeds
+    // both the pair filter and the centrality prior.
+    "x99_graph_dedup_keeper" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val g = graft.ops.Caches.persistTracked(
+        Similarity.knnGraphBanded(emb, "embedding", "vec_id", k = 5,
+          nBands = 16, bandBits = 4))
+      val strong = Graph.mutualKnnPairs(g).filter(col("cos_sim") >= 0.4)
+      val comps = Dedup.connectedComponents(emb.select("vec_id"), "vec_id",
+        strong.select("a_id", "b_id"))
+      val pr = Graph.pageRank(g.select("src_id", "nbr_id"),
+        emb.select("vec_id"), "vec_id", iters = 5)
+      val scored = comps.join(pr.select(col("vec_id").as("id"),
+        col("pr_fix")), "id")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("cluster_id")
+        .orderBy(col("pr_fix").desc, col("id").asc)
+      val keeper = scored.withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") === 1)
+        .select(col("cluster_id"), col("id").as("keep_id"))
+      scored.join(keeper, "cluster_id")
+        .select(col("id").as("vec_id"), col("cluster_id"), col("pr_fix"),
+          (col("id") === col("keep_id")).as("kept"))
+        .orderBy("vec_id")
+    },
   )
 
   /** x72's full replay, parameterized by the Lloyd-TRAINING source
@@ -4695,6 +4724,56 @@ object Ext {
          |  round(CAST(cov_fix AS DOUBLE) / 1000000000.0, 6) AS cov
          |FROM u8 ORDER BY sel_rank""".stripMargin
     },
+
+    // Graph-curated dedup replay: the graph CTE feeds the ≥0.4 mutual
+    // pairs, the x16-convention recursive min-label components, AND
+    // x93's fixed-point PageRank chain; the keeper is the per-cluster
+    // (pr_fix DESC, id ASC) argmax. WITH → WITH RECURSIVE for the walk.
+    "x99_graph_dedup_keeper" -> bandedGraphSql(
+      (1 to 5).map(t =>
+        s"""m$t AS (
+           |  SELECT ge.d AS nid,
+           |    CAST(SUM(((p.pr_fix * 85) // 100) // od.od) AS BIGINT) AS s
+           |  FROM ge JOIN pr${t - 1} p ON ge.s = p.nid JOIN od ON ge.s = od.s
+           |  GROUP BY ge.d),
+           |pr$t AS (
+           |  SELECT i.nid, (SELECT base FROM c) + COALESCE(m$t.s, 0) AS pr_fix
+           |  FROM ids i LEFT JOIN m$t USING (nid))""".stripMargin)
+        .mkString(
+          """, mp AS (
+            |  SELECT g1.src_id AS a_id, g1.nbr_id AS b_id
+            |  FROM graph g1
+            |  JOIN graph g2 ON g1.src_id = g2.nbr_id AND g1.nbr_id = g2.src_id
+            |  WHERE g1.src_id < g1.nbr_id AND g1.cos_sim >= 0.4),
+            |edges2 AS (SELECT a_id AS u, b_id AS v FROM mp
+            |           UNION SELECT b_id, a_id FROM mp),
+            |walk(id, reach) AS (
+            |  SELECT vec_id, vec_id FROM e
+            |  UNION
+            |  SELECT w.id, e2.v FROM walk w JOIN edges2 e2 ON w.reach = e2.u),
+            |comps AS (SELECT id, MIN(reach) AS cluster_id FROM walk GROUP BY id),
+            |ids AS (SELECT vec_id AS nid FROM e),
+            |c AS (
+            |  SELECT 1000000000000 // cnt AS init,
+            |    ((1000000000000 * 15) // 100) // cnt AS base
+            |  FROM (SELECT COUNT(*) AS cnt FROM ids)),
+            |ge AS (SELECT src_id AS s, nbr_id AS d FROM graph),
+            |od AS (SELECT s, COUNT(*) AS od FROM ge GROUP BY 1),
+            |pr0 AS (SELECT nid, (SELECT init FROM c) AS pr_fix FROM ids),
+            |""".stripMargin, ",\n", """,
+            |prsc AS (
+            |  SELECT comps.id, comps.cluster_id, pr5.pr_fix
+            |  FROM comps JOIN pr5 ON comps.id = pr5.nid),
+            |keeper AS (
+            |  SELECT cluster_id, id AS keep_id FROM (
+            |    SELECT *, row_number() OVER (PARTITION BY cluster_id
+            |      ORDER BY pr_fix DESC, id ASC) AS rk FROM prsc)
+            |  WHERE rk = 1)
+            |SELECT s2.id AS vec_id, s2.cluster_id, s2.pr_fix,
+            |  s2.id = k.keep_id AS kept
+            |FROM prsc s2 JOIN keeper k USING (cluster_id)
+            |ORDER BY vec_id""".stripMargin))
+      .replaceFirst("WITH h AS", "WITH RECURSIVE h AS"),
 
     // Cell-composed k-NN graph replay: x67's fixed-point Lloyd chain
     // (auto-dial LIMIT included), top-5 probe-cell ranks, x68's 16×4

@@ -817,4 +817,48 @@ class ScaleSpec extends AnyFunSuite {
       assert(l.contains("Cross"), s"non-scalar nested loop join:\n$l")
     }
   }
+
+  test("graph analytics: iteration plans are equi-join + agg — no cartesian, no corpus window") {
+    val emb = Tables.embeddings(spark, dir)
+    val g = graft.ops.Caches.localCheckpointTracked(
+      Similarity.knnGraphBanded(emb, "embedding", "vec_id", k = 5,
+        nBands = 16, bandBits = 4).select("src_id", "nbr_id"))
+    val pr = graft.ops.Graph.pageRank(g, emb.select("vec_id"), "vec_id",
+      iters = 2)
+    val prPlan = pr.queryExecution.executedPlan.toString
+    // the walk is join–sum only: any nested-loop/cartesian or ANY window
+    // here would serialize a corpus-sized partition at scale
+    assert(!prPlan.contains("CartesianProduct") &&
+      !prPlan.contains("BroadcastNestedLoopJoin"),
+      s"non-equi join in pagerank plan:\n$prPlan")
+    assert(!prPlan.contains("Window"), s"window in pagerank plan:\n$prPlan")
+    val lp = graft.ops.Graph.labelPropagate(g,
+      emb.select(col("vec_id"), col("label")), "vec_id", "label", iters = 2)
+    val lpPlan = lp.queryExecution.executedPlan.toString
+    assert(!lpPlan.contains("CartesianProduct") &&
+      !lpPlan.contains("BroadcastNestedLoopJoin"),
+      s"non-equi join in label-prop plan:\n$lpPlan")
+    val mut = graft.ops.Graph.mutualKnnPairs(
+      Similarity.knnGraphBanded(emb, "embedding", "vec_id", k = 5,
+        nBands = 16, bandBits = 4))
+    val mutPlan = mut.queryExecution.executedPlan.toString
+    assert(!mutPlan.contains("CartesianProduct") &&
+      !mutPlan.contains("BroadcastNestedLoopJoin"),
+      s"non-equi join in mutual-pairs plan:\n$mutPlan")
+    graft.ops.Caches.releaseAll()
+  }
+
+  test("diversity selection: argmins are TakeOrdered, not corpus windows; joins keyed or kSel-broadcast") {
+    val emb = Tables.embeddings(spark, dir)
+    val sel = graft.ops.Rerank.kCenterSample(emb, "embedding", "vec_id", 3)
+    val plan = sel.queryExecution.executedPlan.toString
+    // every round's argmin must be a TakeOrderedAndProject (per-partition
+    // top-1 + driver merge) — a Window/global Sort here would serialize
+    // the corpus on one task at scale
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"k-center argmin should be TakeOrdered:\n$plan")
+    assert(!plan.contains("Window"), s"window in k-center plan:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian (non-broadcast) in k-center plan:\n$plan")
+    graft.ops.Caches.releaseAll()
+  }
 }
