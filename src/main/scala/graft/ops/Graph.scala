@@ -166,6 +166,52 @@ object Graph {
       round(col("pr_fix").cast("double") / lit(1e12), 6).as("pr"))
   }
 
+  /** GRAPH-BOOSTED retrieval — text search re-ranked by a graph walk:
+    * BM25 retrieves seed documents for the term query, personalized
+    * PageRank diffuses relevance from those seeds through the
+    * similarity graph (surfacing docs that never MATCH the terms but
+    * sit in the seeds' neighborhood — the classic vocabulary-mismatch
+    * fix, sibling of x96's term-side expansion), and reciprocal-rank
+    * fusion combines the two lists ([[Retrieval.rrfFix]]'s exact
+    * integer convention, x65). Requires docs and the graph to share
+    * one id space (the x65 doc_id ≡ vec_id convention).
+    *
+    * Determinism: BM25 ranks on the exact ⌊s·10⁹⌋ key; the walk is
+    * [[personalizedPageRank]]'s pure integer arithmetic (zero-mass
+    * nodes are EXCLUDED before ranking — a sea of zeros would rank by
+    * bare id); both rank windows run over pre-cut ≤ kCand rows (the
+    * x65 rank-preserving pre-cut). Harness query x100 replays the
+    * full composition: restricted-corpus BM25, seeds, the seed-gated
+    * fixed-point walk, both rank lists, the floor-of-one-IEEE-division
+    * fusion. */
+  def graphBoostedTopK(docs: DataFrame, graph: DataFrame, nodes: DataFrame,
+                       docIdCol: String, textCol: String, idCol: String,
+                       terms: Seq[String], k: Int = 10, kCand: Int = 20,
+                       fbDocs: Int = 5, iters: Int = 5): DataFrame = {
+    val bagg = Retrieval.bm25Scored(docs, docIdCol, textCol, terms)
+    val trank = Caches.persistTracked(bagg
+      .orderBy(col("score_fix").desc, col(docIdCol).asc).limit(kCand)
+      .withColumn("t_rank", row_number().over(Window
+        .orderBy(col("score_fix").desc, col(docIdCol).asc)))
+      .select(col(docIdCol).as(idCol), col("t_rank")))
+    val seeds = trank.filter(col("t_rank") <= fbDocs).select(col(idCol))
+    val vrank = personalizedPageRank(graph, nodes, seeds, idCol,
+        iters = iters)
+      .filter(col("pr_fix") > 0)
+      .orderBy(col("pr_fix").desc, col(idCol).asc).limit(kCand)
+      .withColumn("v_rank", row_number().over(Window
+        .orderBy(col("pr_fix").desc, col(idCol).asc)))
+      .select(col(idCol), col("v_rank"))
+    trank.join(vrank, Seq(idCol), "full_outer")
+      .withColumn("rrf_fix",
+        coalesce(Retrieval.rrfFix(col("t_rank")), lit(0L)) +
+          coalesce(Retrieval.rrfFix(col("v_rank")), lit(0L)))
+      .orderBy(col("rrf_fix").desc, col(idCol).asc).limit(k)
+      .select(col(idCol), col("t_rank"), col("v_rank"), col("rrf_fix"),
+        round(col("rrf_fix").cast("double") / lit(1e12), 6).as("rrf"))
+      .orderBy(col("rrf_fix").desc, col(idCol).asc)
+  }
+
   /** Synchronous label propagation from a CLAMPED seed set — the
     * semi-supervised tagging move: a small labeled subset (human
     * audit, an expensive classifier run) spreads through the k-NN

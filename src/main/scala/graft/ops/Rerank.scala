@@ -110,22 +110,40 @@ object Rerank {
     require(kSel >= 1, s"kSel must be >= 1, got $kSel")
     val pool0 = Caches.persistTracked(emb.select(col(idCol),
       col(vecCol).cast("array<double>").as("__v")))
-    var sel = Caches.persistTracked(pool0.orderBy(col(idCol).asc).limit(1)
-      .select(lit(1).as("sel_rank"), col(idCol),
-        lit(null).cast("long").as("cov_fix"), col("__v")))
+    val seed = Caches.localCheckpointTracked(
+      pool0.orderBy(col(idCol).asc).limit(1)
+        .select(lit(1).as("sel_rank"), col(idCol),
+          lit(null).cast("long").as("cov_fix"), col("__v")))
+    // the pool carries a RUNNING max-cos-to-selected (__pen): each round
+    // folds only the 1-row new center in with `greatest` — exact longs,
+    // so the fold equals the fresh per-round MAX the oracle computes —
+    // and each frame is EAGERLY checkpointed so round t+1's single-row
+    // broadcast never re-derives the round-t chain (the lazy-persist
+    // form re-entered its own union through every broadcast: measured
+    // 26.6 s → the incremental fold is one n-row map per round)
+    var sel = seed
+    var pool = Caches.localCheckpointTracked(
+      pool0.join(broadcast(seed.select(col(idCol))), Seq(idCol), "left_anti")
+        .crossJoin(broadcast(seed.select(col("__v").as("__pv"))))
+        .withColumn("__pen", floor(VectorFunctions.cosine(col("__v"),
+          col("__pv")) * lit(1e9)).cast("long"))
+        .drop("__pv"))
     for (t <- 2 to kSel) {
-      val selV = sel.select(col(idCol).as("__sid"), col("__v").as("__sv"))
-      val picked = pool0
-        .join(sel.select(col(idCol)), Seq(idCol), "left_anti")
-        .crossJoin(broadcast(selV))
-        .groupBy(col(idCol))
-        .agg(first(col("__v")).as("__v"),
-          max(floor(VectorFunctions.cosine(col("__v"), col("__sv")) *
-            lit(1e9)).cast("long")).as("cov_fix"))
-        .orderBy(col("cov_fix").asc, col(idCol).asc).limit(1)
-        .select(lit(t).as("sel_rank"), col(idCol), col("cov_fix"),
-          col("__v"))
-      sel = Caches.persistTracked(sel.unionByName(picked))
+      val picked = Caches.localCheckpointTracked(
+        pool.orderBy(col("__pen").asc, col(idCol).asc).limit(1)
+          .select(lit(t).as("sel_rank"), col(idCol),
+            col("__pen").as("cov_fix"), col("__v")))
+      sel = sel.unionByName(picked)
+      if (t < kSel) {
+        pool = Caches.localCheckpointTracked(
+          pool.join(broadcast(picked.select(col(idCol))), Seq(idCol),
+              "left_anti")
+            .crossJoin(broadcast(picked.select(col("__v").as("__pv"))))
+            .withColumn("__pen", greatest(col("__pen"),
+              floor(VectorFunctions.cosine(col("__v"), col("__pv")) *
+                lit(1e9)).cast("long")))
+            .drop("__pv"))
+      }
     }
     sel.select(col("sel_rank"), col(idCol), col("cov_fix"),
       round(col("cov_fix").cast("double") / lit(1e9), 6).as("cov"))

@@ -425,7 +425,7 @@ object Retrieval {
     * plausible kCand, error ~10⁻⁶), so the explicit floor is exact and
     * identical in both engines — the oracle writes the same
     * floor-of-double, never a round-to-nearest cast. */
-  private def rrfFix(rank: Column): Column =
+  private[graft] def rrfFix(rank: Column): Column =
     floor(lit(1e12) / (rank.cast("double") + lit(60.0))).cast("long")
 
   /** BATCH hybrid retrieval — [[hybridTopK]] for a query TABLE of

