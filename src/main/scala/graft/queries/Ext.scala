@@ -1595,6 +1595,34 @@ object Ext {
           Seq("hash", "join", "spark", "vector"))
         .orderBy(col("rrf_fix").desc, col("vec_id").asc)
     },
+
+    // INTERVAL-OVERLAP join via bucket decomposition: which users were
+    // active CONCURRENTLY — q35's sessionization feeding the bucketed
+    // overlap join (day buckets, exact residual, multi-bucket dedup),
+    // aggregated to per-user concurrency stats. The oracle replays the
+    // SEMANTICS with a plain quadratic overlap join; the Spark plan is
+    // the equi-keyed scale form (ScaleSpec-audited, OpsSpec pins
+    // bucketed ≡ naive theta-join).
+    "x101_session_overlap" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts")
+      val sess = Tables.events(s, dir)
+        .withColumn("brk", when(col("ts") >
+          lag(col("ts"), 1).over(w) + expr("interval 6 hours"), 1)
+          .otherwise(0))
+        .withColumn("sess", sum("brk").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "sess")
+        .agg(min("ts").as("smin"), max("ts").as("smax"))
+      graft.ops.IntervalJoin.selfOverlapPairs(
+          sess.select("user_id", "sess", "smin", "smax"),
+          Seq("user_id", "sess"), "smin", "smax")
+        .filter(col("a_user_id") =!= col("b_user_id"))
+        .groupBy(col("a_user_id").as("user_id"))
+        .agg(countDistinct(col("b_user_id")).as("n_partners"),
+          count(lit(1)).as("n_overlaps"))
+        .orderBy("user_id")
+    },
   )
 
   /** x72's full replay, parameterized by the Lloyd-TRAINING source
@@ -4870,6 +4898,34 @@ object Ext {
            |  round(CAST(rrf_fix AS DOUBLE) / 1000000000000.0, 6) AS rrf
            |FROM fused ORDER BY rrf_fix DESC, vec_id ASC LIMIT 10""".stripMargin)
     },
+
+    // Session-overlap replay: q35's sessionization convention, then a
+    // PLAIN quadratic strict-overlap join (semantics only — the Spark
+    // side's bucket decomposition is a plan choice the oracle need not
+    // mirror), per-user partner/overlap counts.
+    "x101_session_overlap" ->
+      """WITH s AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN ts > lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |                + INTERVAL 6 HOUR
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |g AS (
+        |  SELECT user_id, ts,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                   ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM s),
+        |sess AS (
+        |  SELECT user_id, sess, MIN(ts) AS smin, MAX(ts) AS smax
+        |  FROM g GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT a.user_id AS ua, b.user_id AS ub
+        |  FROM sess a JOIN sess b
+        |    ON a.user_id <> b.user_id
+        |   AND a.smin < b.smax AND b.smin < a.smax)
+        |SELECT ua AS user_id, COUNT(DISTINCT ub) AS n_partners,
+        |  COUNT(*) AS n_overlaps
+        |FROM pairs GROUP BY 1 ORDER BY user_id""".stripMargin,
 
     // Cell-composed k-NN graph replay: x67's fixed-point Lloyd chain
     // (auto-dial LIMIT included), top-5 probe-cell ranks, x68's 16×4

@@ -2347,6 +2347,57 @@ class OpsSpec extends AnyFunSuite {
     graft.ops.Caches.releaseAll()
   }
 
+  test("interval overlap: bucketed ≡ naive theta join; strict endpoint semantics") {
+    import spark.implicits._
+    val iv = Seq(
+      (1L, "2024-01-01 00:00:00", "2024-01-01 10:00:00"),
+      (2L, "2024-01-01 09:00:00", "2024-01-02 05:00:00"), // crosses midnight
+      (3L, "2024-01-01 10:00:00", "2024-01-01 12:00:00"), // TOUCHES 1 → no
+      (4L, "2024-01-03 00:00:00", "2024-01-03 00:00:00"), // zero-length point
+      (5L, "2024-01-01 23:00:00", "2024-01-04 01:00:00")) // long, spans 4
+      .toDF("id", "s0", "e0")
+      .select(col("id"), col("s0").cast("timestamp").as("s"),
+        col("e0").cast("timestamp").as("e"))
+    val bucketed = graft.ops.IntervalJoin
+      .selfOverlapPairs(iv, Seq("id"), "s", "e")
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val naive = iv.as("a").join(iv.as("b"),
+        col("a.id") =!= col("b.id") && col("a.s") < col("b.e") &&
+          col("b.s") < col("a.e"))
+      .select(col("a.id"), col("b.id")).as[(Long, Long)].collect().toSet
+    assert(bucketed == naive,
+      s"bucketed diverged from naive: only-b=${bucketed -- naive} only-n=${naive -- bucketed}")
+    assert(bucketed((1L, 2L)) && bucketed((2L, 5L)), s"expected overlaps: $bucketed")
+    assert(!bucketed((1L, 3L)), "touching endpoints must NOT overlap")
+    // a POINT interval overlaps a longer one strictly containing it…
+    assert(bucketed((4L, 5L)) && bucketed((5L, 4L)), s"point-in-interval: $bucketed")
+    // …and the multi-day interval 5 must appear exactly once per partner
+    assert(bucketed.count(_._1 == 5L) == 2, "multi-bucket hits must dedup")
+    // corpus-level: real sf0.01 sessions, bucketed ≡ naive
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts")
+    val sess = Tables.events(spark, dir)
+      .withColumn("brk", when(col("ts") >
+        lag(col("ts"), 1).over(w) + expr("interval 6 hours"), 1).otherwise(0))
+      .withColumn("sess", sum("brk").over(w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)))
+      .groupBy("user_id", "sess")
+      .agg(min("ts").as("smin"), max("ts").as("smax"))
+    val bk = graft.ops.IntervalJoin.selfOverlapPairs(
+        sess, Seq("user_id", "sess"), "smin", "smax")
+      .filter(col("a_user_id") =!= col("b_user_id"))
+      .select("a_user_id", "a_sess", "b_user_id", "b_sess")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val nv = sess.as("a").join(sess.as("b"),
+        (col("a.user_id") =!= col("b.user_id")) &&
+          col("a.smin") < col("b.smax") && col("b.smin") < col("a.smax"))
+      .select(col("a.user_id"), col("a.sess"), col("b.user_id"), col("b.sess"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(bk == nv, s"corpus bucketed ≠ naive: ${(bk -- nv).take(3)} / ${(nv -- bk).take(3)}")
+    graft.ops.Caches.releaseAll()
+  }
+
   test("k-center greedy: covers clusters, radius law, exact selection on a plant") {
     import spark.implicits._
     // two tight clusters: seed = smallest id (1); the farthest point

@@ -848,6 +848,24 @@ class ScaleSpec extends AnyFunSuite {
     graft.ops.Caches.releaseAll()
   }
 
+  test("interval overlap join: bucket-keyed equi join, never a nested-loop pair product") {
+    import spark.implicits._
+    val iv = (1L to 50L).map(i =>
+        (i, s"2024-01-0${1 + (i % 5)} 00:00:00", s"2024-01-0${1 + (i % 5)} 12:00:00"))
+      .toDF("id", "s0", "e0")
+      .select(col("id"), col("s0").cast("timestamp").as("s"),
+        col("e0").cast("timestamp").as("e"))
+    val plan = graft.ops.IntervalJoin.selfOverlapPairs(iv, Seq("id"), "s", "e")
+      .queryExecution.executedPlan.toString
+    // the whole point of the bucket decomposition: the pair step is an
+    // equi-join on the bucket — the naive theta-join's nested-loop
+    // product must not appear
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"nested-loop pair product in interval-join plan:\n$plan")
+    graft.ops.Caches.releaseAll()
+  }
+
   test("diversity selection: argmins are TakeOrdered, not corpus windows; joins keyed or kSel-broadcast") {
     val emb = Tables.embeddings(spark, dir)
     // k-center's rounds are EAGERLY checkpointed (Rerank scaladoc), so the
