@@ -1623,6 +1623,35 @@ object Ext {
           count(lit(1)).as("n_overlaps"))
         .orderBy("user_id")
     },
+
+    // p04: GRAPH-side curate → export composition — the x99 keeper
+    // set's documents manifested by x66's arithmetic (p02 is the
+    // text-side twin): any drift in the graph, the component labels,
+    // the PageRank keeper, or the manifest arithmetic flips the shard
+    // checksums. Singleton components keep themselves, so the kept set
+    // is the deduplicated corpus.
+    "p04_graph_curate_export" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val g = graft.ops.Caches.persistTracked(
+        Similarity.knnGraphBanded(emb, "embedding", "vec_id", k = 5,
+          nBands = 16, bandBits = 4))
+      val comps = Dedup.connectedComponents(emb.select("vec_id"), "vec_id",
+        Graph.mutualKnnPairs(g).filter(col("cos_sim") >= 0.4)
+          .select("a_id", "b_id"))
+      val pr = Graph.pageRank(g.select("src_id", "nbr_id"),
+        emb.select("vec_id"), "vec_id", iters = 5)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("cluster_id")
+        .orderBy(col("pr_fix").desc, col("id").asc)
+      val kept = comps
+        .join(pr.select(col("vec_id").as("id"), col("pr_fix")), "id")
+        .withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") === 1)
+        .select(col("id").as("doc_id"))
+      Export.shardManifest(
+        Tables.documents(s, dir).join(kept, Seq("doc_id"), "left_semi"),
+        "doc_id", "text", nShards = 8)
+    },
   )
 
   /** x72's full replay, parameterized by the Lloyd-TRAINING source
@@ -1667,6 +1696,47 @@ object Ext {
       |  FROM scored
       |  QUALIFY rank <= 5)
       |""".stripMargin + tail
+
+  /** The x99 graph-curation replay up to `comps` (recursive min-label
+    * components of the >=0.4 mutual pairs) and `pr5` (the x93
+    * fixed-point PageRank frame) — shared by x99 (per-row keeper
+    * output) and p04 (manifest over the kept docs). `tail` starts with
+    * a comma and appends the consumer CTEs + final SELECT; the leading
+    * WITH is patched to WITH RECURSIVE for the walk. */
+  private def graphKeeperSql(tail: String): String =
+    bandedGraphSql(
+      (1 to 5).map(t =>
+        s"""m$t AS (
+           |  SELECT ge.d AS nid,
+           |    CAST(SUM(((p.pr_fix * 85) // 100) // od.od) AS BIGINT) AS s
+           |  FROM ge JOIN pr${t - 1} p ON ge.s = p.nid JOIN od ON ge.s = od.s
+           |  GROUP BY ge.d),
+           |pr$t AS (
+           |  SELECT i.nid, (SELECT base FROM c) + COALESCE(m$t.s, 0) AS pr_fix
+           |  FROM ids i LEFT JOIN m$t USING (nid))""".stripMargin)
+        .mkString(
+          """, mp AS (
+            |  SELECT g1.src_id AS a_id, g1.nbr_id AS b_id
+            |  FROM graph g1
+            |  JOIN graph g2 ON g1.src_id = g2.nbr_id AND g1.nbr_id = g2.src_id
+            |  WHERE g1.src_id < g1.nbr_id AND g1.cos_sim >= 0.4),
+            |edges2 AS (SELECT a_id AS u, b_id AS v FROM mp
+            |           UNION SELECT b_id, a_id FROM mp),
+            |walk(id, reach) AS (
+            |  SELECT vec_id, vec_id FROM e
+            |  UNION
+            |  SELECT w.id, e2.v FROM walk w JOIN edges2 e2 ON w.reach = e2.u),
+            |comps AS (SELECT id, MIN(reach) AS cluster_id FROM walk GROUP BY id),
+            |ids AS (SELECT vec_id AS nid FROM e),
+            |c AS (
+            |  SELECT 1000000000000 // cnt AS init,
+            |    ((1000000000000 * 15) // 100) // cnt AS base
+            |  FROM (SELECT COUNT(*) AS cnt FROM ids)),
+            |ge AS (SELECT src_id AS s, nbr_id AS d FROM graph),
+            |od AS (SELECT s, COUNT(*) AS od FROM ge GROUP BY 1),
+            |pr0 AS (SELECT nid, (SELECT init FROM c) AS pr_fix FROM ids),
+            |""".stripMargin, ",\n", "") + tail)
+      .replaceFirst("WITH h AS", "WITH RECURSIVE h AS")
 
   private def knnGraphSql(m: String, extraCte: String): String = {
     val tmpl =
@@ -4775,51 +4845,45 @@ object Ext {
     // pairs, the x16-convention recursive min-label components, AND
     // x93's fixed-point PageRank chain; the keeper is the per-cluster
     // (pr_fix DESC, id ASC) argmax. WITH → WITH RECURSIVE for the walk.
-    "x99_graph_dedup_keeper" -> bandedGraphSql(
-      (1 to 5).map(t =>
-        s"""m$t AS (
-           |  SELECT ge.d AS nid,
-           |    CAST(SUM(((p.pr_fix * 85) // 100) // od.od) AS BIGINT) AS s
-           |  FROM ge JOIN pr${t - 1} p ON ge.s = p.nid JOIN od ON ge.s = od.s
-           |  GROUP BY ge.d),
-           |pr$t AS (
-           |  SELECT i.nid, (SELECT base FROM c) + COALESCE(m$t.s, 0) AS pr_fix
-           |  FROM ids i LEFT JOIN m$t USING (nid))""".stripMargin)
-        .mkString(
-          """, mp AS (
-            |  SELECT g1.src_id AS a_id, g1.nbr_id AS b_id
-            |  FROM graph g1
-            |  JOIN graph g2 ON g1.src_id = g2.nbr_id AND g1.nbr_id = g2.src_id
-            |  WHERE g1.src_id < g1.nbr_id AND g1.cos_sim >= 0.4),
-            |edges2 AS (SELECT a_id AS u, b_id AS v FROM mp
-            |           UNION SELECT b_id, a_id FROM mp),
-            |walk(id, reach) AS (
-            |  SELECT vec_id, vec_id FROM e
-            |  UNION
-            |  SELECT w.id, e2.v FROM walk w JOIN edges2 e2 ON w.reach = e2.u),
-            |comps AS (SELECT id, MIN(reach) AS cluster_id FROM walk GROUP BY id),
-            |ids AS (SELECT vec_id AS nid FROM e),
-            |c AS (
-            |  SELECT 1000000000000 // cnt AS init,
-            |    ((1000000000000 * 15) // 100) // cnt AS base
-            |  FROM (SELECT COUNT(*) AS cnt FROM ids)),
-            |ge AS (SELECT src_id AS s, nbr_id AS d FROM graph),
-            |od AS (SELECT s, COUNT(*) AS od FROM ge GROUP BY 1),
-            |pr0 AS (SELECT nid, (SELECT init FROM c) AS pr_fix FROM ids),
-            |""".stripMargin, ",\n", """,
-            |prsc AS (
-            |  SELECT comps.id, comps.cluster_id, pr5.pr_fix
-            |  FROM comps JOIN pr5 ON comps.id = pr5.nid),
-            |keeper AS (
-            |  SELECT cluster_id, id AS keep_id FROM (
-            |    SELECT *, row_number() OVER (PARTITION BY cluster_id
-            |      ORDER BY pr_fix DESC, id ASC) AS rk FROM prsc)
-            |  WHERE rk = 1)
-            |SELECT s2.id AS vec_id, s2.cluster_id, s2.pr_fix,
-            |  s2.id = k.keep_id AS kept
-            |FROM prsc s2 JOIN keeper k USING (cluster_id)
-            |ORDER BY vec_id""".stripMargin))
-      .replaceFirst("WITH h AS", "WITH RECURSIVE h AS"),
+    "x99_graph_dedup_keeper" -> graphKeeperSql(
+      """,
+        |prsc AS (
+        |  SELECT comps.id, comps.cluster_id, pr5.pr_fix
+        |  FROM comps JOIN pr5 ON comps.id = pr5.nid),
+        |keeper AS (
+        |  SELECT cluster_id, id AS keep_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY cluster_id
+        |      ORDER BY pr_fix DESC, id ASC) AS rk FROM prsc)
+        |  WHERE rk = 1)
+        |SELECT s2.id AS vec_id, s2.cluster_id, s2.pr_fix,
+        |  s2.id = k.keep_id AS kept
+        |FROM prsc s2 JOIN keeper k USING (cluster_id)
+        |ORDER BY vec_id""".stripMargin),
+
+    // p04: the graph-curation chain's KEPT set feeding x66's manifest
+    // arithmetic over the kept documents' raw texts — the graph-side
+    // curate→export contract as one replay (p02 is the text-side twin).
+    "p04_graph_curate_export" -> graphKeeperSql(
+      """,
+        |prsc AS (
+        |  SELECT comps.id, comps.cluster_id, pr5.pr_fix
+        |  FROM comps JOIN pr5 ON comps.id = pr5.nid),
+        |keeper AS (
+        |  SELECT cluster_id, id AS keep_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY cluster_id
+        |      ORDER BY pr_fix DESC, id ASC) AS rk FROM prsc)
+        |  WHERE rk = 1)
+        |SELECT shard, COUNT(*) AS n_docs, CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+        |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id,
+        |  CAST(SUM(chk) AS BIGINT) AS checksum
+        |FROM (
+        |  SELECT d.doc_id,
+        |    CAST(CAST('0x' || substr(md5('shard:' || CAST(d.doc_id AS VARCHAR)), 1, 8) AS UBIGINT) AS BIGINT) % 8 AS shard,
+        |    len(list_filter(string_split(d.text, ' '), t -> t <> '')) AS ntok,
+        |    CAST(CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':' || d.text), 1, 8) AS UBIGINT) AS BIGINT) AS chk
+        |  FROM documents d JOIN keeper k2 ON d.doc_id = k2.keep_id)
+        |GROUP BY shard ORDER BY shard""".stripMargin),
+
 
     // Graph-boosted retrieval replay: restricted-corpus x64 BM25,
     // top-20 text ranks + top-5 seeds, x97's seed-gated fixed-point
