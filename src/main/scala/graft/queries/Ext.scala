@@ -1602,11 +1602,17 @@ object Ext {
     // aggregated to per-user concurrency stats. The oracle replays the
     // SEMANTICS with a plain quadratic overlap join; the Spark plan is
     // the equi-keyed scale form (ScaleSpec-audited, OpsSpec pins
-    // bucketed ≡ naive theta-join).
+    // bucketed ≡ naive theta-join on the UNRESTRICTED session set).
+    // Gate dial: first week + positive-duration sessions — this corpus
+    // keeps every user active all month, so unrestricted candidates are
+    // Σ n_b² over 30 uniformly-hot buckets (measured 63 s at sf0.1);
+    // the week of multi-event sessions bounds the gate while the
+    // operator stays fully general.
     "x101_session_overlap" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("user_id").orderBy("ts")
       val sess = Tables.events(s, dir)
+        .filter(col("ts") < lit("2024-01-08").cast("timestamp"))
         .withColumn("brk", when(col("ts") >
           lag(col("ts"), 1).over(w) + expr("interval 6 hours"), 1)
           .otherwise(0))
@@ -1614,6 +1620,7 @@ object Ext {
           w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .groupBy("user_id", "sess")
         .agg(min("ts").as("smin"), max("ts").as("smax"))
+        .filter(col("smin") < col("smax"))
       graft.ops.IntervalJoin.selfOverlapPairs(
           sess.select("user_id", "sess", "smin", "smax"),
           Seq("user_id", "sess"), "smin", "smax")
@@ -4963,7 +4970,8 @@ object Ext {
            |FROM fused ORDER BY rrf_fix DESC, vec_id ASC LIMIT 10""".stripMargin)
     },
 
-    // Session-overlap replay: q35's sessionization convention, then a
+    // Session-overlap replay: q35's sessionization convention over the
+    // gate's week of events, positive-duration sessions only, then a
     // PLAIN quadratic strict-overlap join (semantics only — the Spark
     // side's bucket decomposition is a plan choice the oracle need not
     // mirror), per-user partner/overlap counts.
@@ -4973,7 +4981,7 @@ object Ext {
         |    CASE WHEN ts > lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
         |                + INTERVAL 6 HOUR
         |         THEN 1 ELSE 0 END AS brk
-        |  FROM events),
+        |  FROM events WHERE ts < TIMESTAMP '2024-01-08 00:00:00'),
         |g AS (
         |  SELECT user_id, ts,
         |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
@@ -4981,7 +4989,8 @@ object Ext {
         |  FROM s),
         |sess AS (
         |  SELECT user_id, sess, MIN(ts) AS smin, MAX(ts) AS smax
-        |  FROM g GROUP BY 1, 2),
+        |  FROM g GROUP BY 1, 2
+        |  HAVING MIN(ts) < MAX(ts)),
         |pairs AS (
         |  SELECT a.user_id AS ua, b.user_id AS ub
         |  FROM sess a JOIN sess b
