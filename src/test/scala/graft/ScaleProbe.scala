@@ -59,6 +59,45 @@ object ScaleProbe {
           println(f"$label nProbe=$np_ refine=$rf K=$kC: recall@20=${(got & exact).size / 20.0}%.2f wall=${(System.nanoTime() - t0) / 1e9}%.2f s")
           System.gc()
         }
+      case "graph" =>
+        // growth probe for the graph-analytics family (x92-x99): one
+        // knnGraphCells build, then each consumer timed over the SAME
+        // checkpointed edge frame — the measurements behind BASELINE.md's
+        // graph-family growth rows. Consumers are |E|-linear per
+        // iteration; only the build carries the O(n^1.5) candidate term.
+        import org.apache.spark.sql.functions._
+        val emb = spark.read.parquet(args(0) + "/embeddings.parquet")
+        val n = emb.count()
+        def time[T](label: String)(f: => T): T = {
+          val t0 = System.nanoTime()
+          val r = f
+          println(f"$label: wall=${(System.nanoTime() - t0) / 1e9}%.2f s (n=$n)")
+          System.gc()
+          r
+        }
+        val g = time("graph build (knnGraphCells k=5)") {
+          val gg = graft.ops.Caches.localCheckpointTracked(
+            graft.ops.Similarity.knnGraphCells(emb, "embedding", "vec_id",
+              k = 5).select("src_id", "nbr_id", "cos_sim", "rank"))
+          println(s"  edges=${gg.count()}")
+          gg
+        }
+        time("pageRank 5 iters")(
+          graft.ops.Graph.pageRank(g, emb.select("vec_id"), "vec_id")
+            .write.format("noop").mode("overwrite").save())
+        time("labelPropagate 3 iters") {
+          val seeds = emb.select(col("vec_id"),
+            when(col("vec_id") % 5 === 0, col("label")).as("label"))
+          graft.ops.Graph.labelPropagate(g, seeds, "vec_id", "label")
+            .write.format("noop").mode("overwrite").save()
+        }
+        time("mutualKnnPairs")(
+          graft.ops.Graph.mutualKnnPairs(g)
+            .write.format("noop").mode("overwrite").save())
+        time("kCenterSample kSel=8")(
+          graft.ops.Rerank.kCenterSample(emb, "embedding", "vec_id", 8)
+            .write.format("noop").mode("overwrite").save())
+        graft.ops.Caches.releaseAll()
       case "x72cands" =>
         // candidate-volume trajectory for the cell-composed kNN graph:
         // the fraction must SHRINK as n grows under the √n auto dial —
