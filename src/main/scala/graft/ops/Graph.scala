@@ -166,6 +166,45 @@ object Graph {
       round(col("pr_fix").cast("double") / lit(1e12), 6).as("pr"))
   }
 
+  /** Per-node TRIANGLE counts + local clustering coefficient over an
+    * UNDIRECTED canonical edge frame (a_id < b_id, unique rows — the
+    * [[mutualKnnPairs]] output shape): the standard community-density
+    * signal — a near-dup neighborhood whose members are also mutual
+    * neighbors of EACH OTHER is a tight duplicate community; a hub
+    * with zero triangles is a lexical/semantic crossroads. The classic
+    * distributed formulation: enumerate wedges x−y−z with x < y < z
+    * (each edge pair joins once because edges are canonical), close
+    * them with a semi-join back to the edge frame — every triangle
+    * counted exactly once — then explode the three corners into
+    * per-node counts. Two equi-joins + one count; candidates =
+    * Σ_y deg²(y), the wedge volume, never n².
+    *
+    * Returns (idCol, degree, n_tri, clustering) for every node with ≥1
+    * edge; clustering = round(2·n_tri / (deg·(deg−1)), 6) — exact
+    * integer operands into one IEEE division — NULL for degree-1 nodes
+    * (undefined, not 0). Harness query x102 replays wedges, closure,
+    * corner counts and the coefficient in SQL. */
+  def triangleCounts(pairs: DataFrame, idCol: String = "vec_id"): DataFrame = {
+    val e = Caches.persistTracked(pairs.select(col("a_id"), col("b_id")))
+    val wedges = e.select(col("a_id").as("__x"), col("b_id").as("__y"))
+      .join(e.select(col("a_id").as("__y"), col("b_id").as("__z")), "__y")
+    val tris = wedges
+      .join(e.select(col("a_id").as("__x"), col("b_id").as("__z")),
+        Seq("__x", "__z"), "left_semi")
+    val cnt = tris
+      .select(explode(array(col("__x"), col("__y"), col("__z"))).as("__id"))
+      .groupBy("__id").agg(count(lit(1)).as("n_tri"))
+    val deg = e.select(col("a_id").as("__id"))
+      .unionAll(e.select(col("b_id").as("__id")))
+      .groupBy("__id").agg(count(lit(1)).as("degree"))
+    deg.join(cnt, Seq("__id"), "left")
+      .select(col("__id").as(idCol), col("degree"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        when(col("degree") >= 2, round(lit(2.0) *
+          coalesce(col("n_tri"), lit(0L)) /
+          (col("degree") * (col("degree") - lit(1L))), 6)).as("clustering"))
+  }
+
   /** GRAPH-BOOSTED retrieval — text search re-ranked by a graph walk:
     * BM25 retrieves seed documents for the term query, personalized
     * PageRank diffuses relevance from those seeds through the

@@ -1631,6 +1631,20 @@ object Ext {
         .orderBy("user_id")
     },
 
+    // TRIANGLE counts + clustering coefficient over the ≥0.3 mutual
+    // graph: tight duplicate communities close their wedges; hubs
+    // without triangles are crossroads. Wedge-join formulation — two
+    // equi-joins, triangle counted once at x<y<z.
+    "x102_triangle_counts" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Graph.triangleCounts(
+          Graph.mutualKnnPairs(
+            Similarity.knnGraphBanded(emb, "embedding", "vec_id", k = 5,
+              nBands = 16, bandBits = 4))
+            .filter(col("cos_sim") >= 0.3))
+        .orderBy("vec_id")
+    },
+
     // p04: GRAPH-side curate → export composition — the x99 keeper
     // set's documents manifested by x66's arithmetic (p02 is the
     // text-side twin): any drift in the graph, the component labels,
@@ -4891,6 +4905,36 @@ object Ext {
         |  FROM documents d JOIN keeper k2 ON d.doc_id = k2.keep_id)
         |GROUP BY shard ORDER BY shard""".stripMargin),
 
+
+    // Triangle replay: the ≥0.3 mutual pairs, the canonical wedge
+    // join (x<y<z by construction), EXISTS closure, corner explode,
+    // degree counts, one IEEE division for the coefficient.
+    "x102_triangle_counts" -> bandedGraphSql(
+      """, mp AS (
+        |  SELECT g1.src_id AS a_id, g1.nbr_id AS b_id
+        |  FROM graph g1
+        |  JOIN graph g2 ON g1.src_id = g2.nbr_id AND g1.nbr_id = g2.src_id
+        |  WHERE g1.src_id < g1.nbr_id AND g1.cos_sim >= 0.3),
+        |w2 AS (
+        |  SELECT e1.a_id AS x, e1.b_id AS y, e2.b_id AS z
+        |  FROM mp e1 JOIN mp e2 ON e1.b_id = e2.a_id),
+        |tris AS (
+        |  SELECT x, y, z FROM w2
+        |  WHERE EXISTS (SELECT 1 FROM mp e3
+        |                WHERE e3.a_id = w2.x AND e3.b_id = w2.z)),
+        |cnt AS (
+        |  SELECT id, COUNT(*) AS n_tri
+        |  FROM (SELECT unnest([x, y, z]) AS id FROM tris) GROUP BY 1),
+        |deg AS (
+        |  SELECT id, COUNT(*) AS degree
+        |  FROM (SELECT a_id AS id FROM mp UNION ALL SELECT b_id FROM mp)
+        |  GROUP BY 1)
+        |SELECT deg.id AS vec_id, deg.degree,
+        |  COALESCE(cnt.n_tri, 0) AS n_tri,
+        |  CASE WHEN deg.degree >= 2
+        |       THEN round(2.0 * COALESCE(cnt.n_tri, 0) /
+        |                  (deg.degree * (deg.degree - 1)), 6) END AS clustering
+        |FROM deg LEFT JOIN cnt USING (id) ORDER BY vec_id""".stripMargin),
 
     // Graph-boosted retrieval replay: restricted-corpus x64 BM25,
     // top-20 text ranks + top-5 seeds, x97's seed-gated fixed-point

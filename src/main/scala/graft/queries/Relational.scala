@@ -608,6 +608,23 @@ object Relational {
         .orderBy("k_repr")
     },
 
+    // -- Rank-distribution window functions (percent_rank / cume_dist /
+    //    ntile): each order's price standing within its priority class.
+    //    The window order is totalized by the unique order key, so the
+    //    ranks — and the single IEEE divisions behind the two ratios —
+    //    are engine-exact; ntile follows the SQL-standard first-buckets-
+    //    get-the-remainder rule in both engines.
+    "q49_rank_distributions" -> { (s, dir) =>
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          round(percent_rank().over(w), 6).as("pctl"),
+          round(cume_dist().over(w), 6).as("cumd"),
+          ntile(4).over(w).as("quartile"))
+        .orderBy("o_orderkey")
+    },
+
     // -- Session windows (gap-based sessionization) in batch: the same
     //    session_window expression the streaming path uses; oracle =
     //    lag/cumulative-sum sessionization. Session = [min ts, max ts+gap).
@@ -989,6 +1006,16 @@ object Relational {
         |FROM grid LEFT JOIN hourly
         |  ON grid.user_id = hourly.user_id AND grid.h = hourly.h
         |ORDER BY grid.user_id, grid.h""".stripMargin,
+
+    "q49_rank_distributions" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  round(percent_rank() OVER w, 6) AS pctl,
+        |  round(cume_dist() OVER w, 6) AS cumd,
+        |  CAST(ntile(4) OVER w AS INT) AS quartile
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q48_nullsafe_join" ->
       """WITH o AS (

@@ -2347,6 +2347,20 @@ class OpsSpec extends AnyFunSuite {
     graft.ops.Caches.releaseAll()
   }
 
+  test("triangle counts: closed wedge, coefficients, degree-1 null") {
+    import spark.implicits._
+    // K3 on {1,2,3} plus the pendant edge 3–4: one triangle, node 3 has
+    // an open wedge (cc = 1/3), node 4's coefficient is undefined
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("a_id", "b_id")
+    val out = Graph.triangleCounts(e).orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1.0 else r.getDouble(3))).toSeq
+    assert(out == Seq((1L, 2L, 1L, 1.0), (2L, 2L, 1L, 1.0),
+      (3L, 3L, 1L, 0.333333), (4L, 1L, 0L, -1.0)),
+      s"triangle fixture diverged: $out")
+    graft.ops.Caches.releaseAll()
+  }
+
   test("interval overlap: bucketed ≡ naive theta join; strict endpoint semantics") {
     import spark.implicits._
     val iv = Seq(
