@@ -166,6 +166,52 @@ object Graph {
       round(col("pr_fix").cast("double") / lit(1e12), 6).as("pr"))
   }
 
+  /** EIGENVECTOR centrality by fixed-point power iteration — the other
+    * classic centrality next to [[pageRank]]: no teleport, no
+    * out-degree split — a node is central in proportion to the
+    * centrality MASS of the nodes pointing at it, so tight mutual
+    * communities light up while PageRank's teleport floor hides them.
+    * Integer semantics, exactly replayable:
+    *
+    *   x₀[v]  = 10⁶
+    *   y[v]   = Σ_{(u→v) ∈ E} x[u]          (exact long sums)
+    *   x'[v]  = (y[v]·10⁶) div max_w y[w]    (max-norm, BIGINT floor div)
+    *
+    * Max-norm instead of L2 keeps every step in integers (no sqrt);
+    * all values are non-negative so Spark's `div` and DuckDB's `//`
+    * agree; y ≤ n·10⁶ and y·10⁶ ≤ n·10¹² stay far under 2⁶³. Nodes
+    * with no in-edges decay to exactly 0. Per iteration: one edge
+    * equi-join + node-sized sum + a 1-row max broadcast — the
+    * [[pageRank]] scale shape. Returns (idCol, eig_fix, eig) after
+    * `iters` rounds; harness query x103 replays each round. */
+  def eigenCentrality(edges: DataFrame, nodes: DataFrame, idCol: String,
+                      srcCol: String = "src_id", dstCol: String = "nbr_id",
+                      iters: Int = 8): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val ge = Caches.persistTracked(
+      edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst")))
+    val nodeF = nodes.select(col(idCol).as("__nid"))
+    // each round is EAGERLY checkpointed (the x98 lesson — a lazy
+    // persist loop re-enters its whole history through every round's
+    // aggregate and blows the heap at 8 levels); the max is a 1-row
+    // driver scalar (the nProbe-cells convention)
+    var x = Caches.localCheckpointTracked(
+      nodeF.withColumn("xv", lit(1000000L)))
+    for (_ <- 1 to iters) {
+      val y = Caches.localCheckpointTracked(ge
+        .join(x.select(col("__nid").as("__src"), col("xv")), "__src")
+        .groupBy(col("__dst").as("__nid"))
+        .agg(sum("xv").as("yv")))
+      val mv = y.agg(max("yv")).head().getLong(0)
+      x = Caches.localCheckpointTracked(
+        nodeF.join(y, Seq("__nid"), "left")
+          .select(col("__nid"),
+            coalesce(expr(s"(yv * 1000000) div ${mv}L"), lit(0L)).as("xv")))
+    }
+    x.select(col("__nid").as(idCol), col("xv").as("eig_fix"),
+      round(col("xv").cast("double") / lit(1e6), 6).as("eig"))
+  }
+
   /** Per-node TRIANGLE counts + local clustering coefficient over an
     * UNDIRECTED canonical edge frame (a_id < b_id, unique rows — the
     * [[mutualKnnPairs]] output shape): the standard community-density

@@ -1631,6 +1631,36 @@ object Ext {
         .orderBy("user_id")
     },
 
+    // EIGENVECTOR centrality (fixed-point power iteration, max-norm):
+    // the no-teleport centrality — mutual communities concentrate mass,
+    // in-edge-free nodes decay to exactly 0. 8 exact integer rounds.
+    "x103_eigen_centrality" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Graph.eigenCentrality(
+          Similarity.knnGraphBanded(emb, "embedding", "vec_id", k = 5,
+            nBands = 16, bandBits = 4),
+          emb.select("vec_id"), "vec_id", iters = 8)
+        .orderBy("vec_id")
+    },
+
+    // DUP-STRUCTURE report: component-size histogram of the ≥0.4
+    // strong mutual graph — n_components / n_nodes / n_removable per
+    // size, the dataset-card dup-mass summary (x39's graph edition).
+    "x104_dup_structure_report" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val comps = Dedup.connectedComponents(emb.select("vec_id"), "vec_id",
+        Graph.mutualKnnPairs(
+          Similarity.knnGraphBanded(emb, "embedding", "vec_id", k = 5,
+            nBands = 16, bandBits = 4))
+          .filter(col("cos_sim") >= 0.4).select("a_id", "b_id"))
+      comps.groupBy("cluster_id").agg(count(lit(1)).as("csize"))
+        .groupBy("csize")
+        .agg(count(lit(1)).as("n_components"),
+          (col("csize") * count(lit(1))).as("n_nodes"),
+          ((col("csize") - 1) * count(lit(1))).as("n_removable"))
+        .orderBy("csize")
+    },
+
     // TRIANGLE counts + clustering coefficient over the ≥0.3 mutual
     // graph: tight duplicate communities close their wedges; hubs
     // without triangles are crossroads. Wedge-join formulation — two
@@ -4905,6 +4935,39 @@ object Ext {
         |  FROM documents d JOIN keeper k2 ON d.doc_id = k2.keep_id)
         |GROUP BY shard ORDER BY shard""".stripMargin),
 
+
+    // Eigenvector-centrality replay: 8 unrolled power-iteration rounds
+    // — exact long sums and the max-norm BIGINT floor division
+    // (non-negative operands, so // ≡ div). The max is a window MAX
+    // over the joined frame (NULL-skipping ≡ the max over y) so each
+    // CTE is referenced ONCE — a second reference per level makes the
+    // inlined chain exponential in DuckDB.
+    "x103_eigen_centrality" -> bandedGraphSql(
+      (1 to 8).map(t =>
+        s"""y$t AS (
+           |  SELECT ge.d AS nid, CAST(SUM(p.xv) AS BIGINT) AS yv
+           |  FROM ge JOIN x${t - 1} p ON ge.s = p.nid GROUP BY 1),
+           |x$t AS (
+           |  SELECT nid, COALESCE((yv * 1000000) // MAX(yv) OVER (), 0) AS xv
+           |  FROM (SELECT i.nid, y$t.yv FROM ids i LEFT JOIN y$t USING (nid)))""".stripMargin)
+        .mkString(
+          """, ids AS (SELECT vec_id AS nid FROM e),
+            |ge AS (SELECT src_id AS s, nbr_id AS d FROM graph),
+            |x0 AS (SELECT nid, CAST(1000000 AS BIGINT) AS xv FROM ids),
+            |""".stripMargin, ",\n", """
+            |SELECT nid AS vec_id, xv AS eig_fix,
+            |  round(CAST(xv AS DOUBLE) / 1000000.0, 6) AS eig
+            |FROM x8 ORDER BY vec_id""".stripMargin)),
+
+    // Dup-structure replay: the graphKeeperSql chain's components (the
+    // unreferenced PageRank CTEs prune away), size histogram on top.
+    "x104_dup_structure_report" -> graphKeeperSql(
+      """,
+        |sizes AS (SELECT cluster_id, COUNT(*) AS csize FROM comps GROUP BY 1)
+        |SELECT csize, COUNT(*) AS n_components,
+        |  CAST(csize * COUNT(*) AS BIGINT) AS n_nodes,
+        |  CAST((csize - 1) * COUNT(*) AS BIGINT) AS n_removable
+        |FROM sizes GROUP BY 1 ORDER BY csize""".stripMargin),
 
     // Triangle replay: the ≥0.3 mutual pairs, the canonical wedge
     // join (x<y<z by construction), EXISTS closure, corner explode,

@@ -2347,6 +2347,23 @@ class OpsSpec extends AnyFunSuite {
     graft.ops.Caches.releaseAll()
   }
 
+  test("eigenvector centrality: mass stays on the cycle, unreached nodes zero") {
+    import spark.implicits._
+    val edges = Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 0L), (5L, 0L),
+      (6L, 0L), (0L, 1L)).toDF("src_id", "nbr_id")
+    val nodes = (0L to 6L).toDF("vec_id")
+    val m = Graph.eigenCentrality(edges, nodes, "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // the 0⇄1 cycle keeps all mass; leaves have no in-edges → exactly 0
+    assert(m(0L) > 0L && m(1L) > 0L, s"cycle must carry mass: $m")
+    assert((2L to 6L).forall(m(_) == 0L), s"in-edge-free nodes must be 0: $m")
+    assert(m.values.max == 1000000L, s"max-norm pins the top node at 1e6: $m")
+    val m2 = Graph.eigenCentrality(edges, nodes, "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(m == m2, "eigenCentrality must be deterministic")
+    graft.ops.Caches.releaseAll()
+  }
+
   test("triangle counts: closed wedge, coefficients, degree-1 null") {
     import spark.implicits._
     // K3 on {1,2,3} plus the pendant edge 3–4: one triangle, node 3 has
