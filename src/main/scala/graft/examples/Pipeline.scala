@@ -1,7 +1,7 @@
 package graft.examples
 
 import graft.{GraftSession, Tables}
-import graft.ops.{Chunking, Dedup, Export, LangModel, Similarity, TextStats}
+import graft.ops.{Chunking, Dedup, Export, Graph, LangModel, Similarity, TextStats}
 import org.apache.spark.sql.functions._
 
 /** Runnable end-to-end TRAINING-DATA pipeline over the test corpus — the
@@ -145,6 +145,33 @@ object Pipeline {
       "embedding", "vec_id",
       semKept.filter(col("vec_id") % 50 === 0), "vec_id", cb, k = 5)
     stage("ANN results served", served.count())
+
+    // 9c. GRAPH curation pass over the survivors: the k-NN graph is the
+    //     maintained artifact (x72 build / x90 delta / x91 compaction /
+    //     s16 streaming); reciprocal pairs at cos ≥ 0.4 give the
+    //     high-precision residual-dup communities, PageRank the
+    //     representativeness prior, and the keeper rule retains the most
+    //     CENTRAL member per community (x99 — vs keep-one's min-id and
+    //     SemDeDup's outlier rules); the size histogram is the
+    //     dataset-card dup-mass summary (x104)
+    val g = graft.ops.Caches.localCheckpointTracked(
+      Similarity.knnGraphCells(semKept, "embedding", "vec_id", k = 5)
+        .select("src_id", "nbr_id", "cos_sim", "rank"))
+    val comps = Dedup.connectedComponents(semKept.select("vec_id"), "vec_id",
+      Graph.mutualKnnPairs(g).filter(col("cos_sim") >= 0.4)
+        .select("a_id", "b_id"))
+    val pr = Graph.pageRank(g.select("src_id", "nbr_id"),
+      semKept.select("vec_id"), "vec_id")
+    val w9 = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id").orderBy(col("pr_fix").desc, col("id").asc)
+    val keepers = comps
+      .join(pr.select(col("vec_id").as("id"), col("pr_fix")), "id")
+      .withColumn("rk", row_number().over(w9)).filter(col("rk") === 1)
+    stage("graph-curated keepers", keepers.count())
+    comps.groupBy("cluster_id").agg(count(lit(1)).as("csize"))
+      .groupBy("csize").agg(count(lit(1)).as("n_components"))
+      .orderBy("csize").collect()
+      .foreach(r => println(f"[pipeline] dup communities of size ${r.getLong(0)}%d: ${r.getLong(1)}%d"))
 
     // 10. drift report over the surviving corpus (KL vs the whole)
     LangModel.distributionDrift(
