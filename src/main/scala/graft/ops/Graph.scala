@@ -166,6 +166,59 @@ object Graph {
       round(col("pr_fix").cast("double") / lit(1e12), 6).as("pr"))
   }
 
+  /** LINK-PREDICTION scores for candidate pairs — the dup-CONFIDENCE
+    * features (Liben-Nowell & Kleinberg 2003): two documents whose
+    * NEIGHBORHOODS agree are near-dups with structural corroboration
+    * beyond their own cosine. For each (a, b) in `pairs` (the
+    * [[mutualKnnPairs]] canonical shape) over the directed top-k edge
+    * frame:
+    *
+    *  - `cn`      = |N(a) ∩ N(b) \ {a,b}| — common third parties;
+    *  - `jaccard` = cn / (|N(a)\{b}| + |N(b)\{a}| − cn); mutual pairs
+    *    always contain each other, so the sizes are out-degree − 1;
+    *    NULL when the union is empty;
+    *  - `aa_fix`  = Σ_z ⌊10⁹ / ln(1 + deg_in(z))⌋ — the SMOOTHED
+    *    Adamic–Adar (1 + deg avoids the ln(1) pole): hubs corroborate
+    *    less. Floors sum order-free; ln on integer-derived doubles is
+    *    the proven bit-identical x48/x52 convention.
+    *
+    * One (pair × neighborhood) equi-join chain — candidates = Σ over
+    * pairs of deg(a), never n² — plus two degree frames. Harness query
+    * x105 replays every count, the ln floors, and both divisions. */
+  def linkScores(pairs: DataFrame, edges: DataFrame,
+                 srcCol: String = "src_id",
+                 dstCol: String = "nbr_id"): DataFrame = {
+    val e = Caches.persistTracked(
+      edges.select(col(srcCol).as("__s"), col(dstCol).as("__d")))
+    val dout = e.groupBy(col("__s")).agg(count(lit(1)).as("__dout"))
+    val din = e.groupBy(col("__d")).agg(count(lit(1)).as("__din"))
+    val p = pairs.select(col("a_id"), col("b_id"))
+    val com = p
+      .join(e.select(col("__s").as("a_id"), col("__d").as("__z")), "a_id")
+      .join(e.select(col("__s").as("b_id"), col("__d").as("__z")),
+        Seq("b_id", "__z"))
+      .filter(col("__z") =!= col("a_id") && col("__z") =!= col("b_id"))
+    val agg = com
+      .join(din.select(col("__d").as("__z"), col("__din")), "__z")
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("cn"),
+        sum(floor(lit(1e9) / log((col("__din") + lit(1L)).cast("double")))
+          .cast("long")).as("aa_fix"))
+    p.join(agg, Seq("a_id", "b_id"), "left")
+      .join(dout.select(col("__s").as("a_id"), col("__dout").as("__da")), "a_id")
+      .join(dout.select(col("__s").as("b_id"), col("__dout").as("__db")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        coalesce(col("cn"), lit(0L)).as("cn"),
+        when(col("__da") - 1 + col("__db") - 1 -
+            coalesce(col("cn"), lit(0L)) > 0,
+          round(coalesce(col("cn"), lit(0L)).cast("double") /
+            (col("__da") - 1 + col("__db") - 1 -
+              coalesce(col("cn"), lit(0L))), 6)).as("jaccard"),
+        coalesce(col("aa_fix"), lit(0L)).as("aa_fix"),
+        round(coalesce(col("aa_fix"), lit(0L)).cast("double") / lit(1e9), 6)
+          .as("aa"))
+  }
+
   /** EIGENVECTOR centrality by fixed-point power iteration — the other
     * classic centrality next to [[pageRank]]: no teleport, no
     * out-degree split — a node is central in proportion to the

@@ -1631,6 +1631,18 @@ object Ext {
         .orderBy("user_id")
     },
 
+    // LINK-PREDICTION scores over the mutual pairs: common neighbors,
+    // neighborhood Jaccard, smoothed Adamic–Adar — the structural
+    // dup-confidence features beyond the pair's own cosine.
+    "x105_link_scores" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val g = graft.ops.Caches.persistTracked(
+        Similarity.knnGraphBanded(emb, "embedding", "vec_id", k = 5,
+          nBands = 16, bandBits = 4))
+      Graph.linkScores(Graph.mutualKnnPairs(g), g)
+        .orderBy("a_id", "b_id")
+    },
+
     // EIGENVECTOR centrality (fixed-point power iteration, max-norm):
     // the no-teleport centrality — mutual communities concentrate mass,
     // in-edge-free nodes decay to exactly 0. 8 exact integer rounds.
@@ -4935,6 +4947,42 @@ object Ext {
         |  FROM documents d JOIN keeper k2 ON d.doc_id = k2.keep_id)
         |GROUP BY shard ORDER BY shard""".stripMargin),
 
+
+    // Link-score replay: mutual pairs, the pair × neighborhood chain,
+    // degree frames, ⌊10⁹/ln(1+deg_in)⌋ floors (the proven ln-on-
+    // rationals convention), both guarded divisions.
+    "x105_link_scores" -> bandedGraphSql(
+      """, mp AS (
+        |  SELECT g1.src_id AS a_id, g1.nbr_id AS b_id
+        |  FROM graph g1
+        |  JOIN graph g2 ON g1.src_id = g2.nbr_id AND g1.nbr_id = g2.src_id
+        |  WHERE g1.src_id < g1.nbr_id),
+        |ge AS (SELECT src_id AS s, nbr_id AS d FROM graph),
+        |dout AS (SELECT s, COUNT(*) AS dout FROM ge GROUP BY 1),
+        |din AS (SELECT d, COUNT(*) AS din FROM ge GROUP BY 1),
+        |com AS (
+        |  SELECT mp.a_id, mp.b_id, ea.d AS z
+        |  FROM mp
+        |  JOIN ge ea ON ea.s = mp.a_id
+        |  JOIN ge eb ON eb.s = mp.b_id AND eb.d = ea.d
+        |  WHERE ea.d <> mp.a_id AND ea.d <> mp.b_id),
+        |agg AS (
+        |  SELECT a_id, b_id, COUNT(*) AS cn,
+        |    CAST(SUM(CAST(floor(1000000000.0 /
+        |      ln(CAST(1 + din.din AS DOUBLE))) AS BIGINT)) AS BIGINT) AS aa_fix
+        |  FROM com JOIN din ON din.d = com.z GROUP BY 1, 2),
+        |fin AS (
+        |  SELECT mp.a_id, mp.b_id,
+        |    COALESCE(agg.cn, 0) AS cn, COALESCE(agg.aa_fix, 0) AS aa_fix,
+        |    da.dout - 1 AS na, db.dout - 1 AS nb
+        |  FROM mp LEFT JOIN agg USING (a_id, b_id)
+        |  JOIN dout da ON da.s = mp.a_id
+        |  JOIN dout db ON db.s = mp.b_id)
+        |SELECT a_id, b_id, cn,
+        |  CASE WHEN na + nb - cn > 0
+        |       THEN round(CAST(cn AS DOUBLE) / (na + nb - cn), 6) END AS jaccard,
+        |  aa_fix, round(CAST(aa_fix AS DOUBLE) / 1000000000.0, 6) AS aa
+        |FROM fin ORDER BY a_id, b_id""".stripMargin),
 
     // Eigenvector-centrality replay: 8 unrolled power-iteration rounds
     // — exact long sums and the max-norm BIGINT floor division

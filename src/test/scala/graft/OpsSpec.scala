@@ -2347,6 +2347,22 @@ class OpsSpec extends AnyFunSuite {
     graft.ops.Caches.releaseAll()
   }
 
+  test("link scores: common neighbor, jaccard, smoothed adamic-adar on a plant") {
+    import spark.implicits._
+    // N(1)={2,3,4}, N(2)={1,3,5}: common third party {3} only,
+    // |N(1)\{2}|=|N(2)\{1}|=2 → jaccard 1/3; deg_in(3)=2 →
+    // aa = floor(1e9/ln(3))
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L), (1L, 4L), (2L, 3L),
+      (2L, 5L)).toDF("src_id", "nbr_id")
+    val pairs = Seq((1L, 2L)).toDF("a_id", "b_id")
+    val out = Graph.linkScores(pairs, edges).collect().head
+    assert(out.getLong(2) == 1L, s"cn: $out")
+    assert(out.getDouble(3) == 0.333333, s"jaccard: $out")
+    assert(out.getLong(4) == math.floor(1e9 / math.log(3.0)).toLong,
+      s"aa_fix: $out")
+    graft.ops.Caches.releaseAll()
+  }
+
   test("eigenvector centrality: mass stays on the cycle, unreached nodes zero") {
     import spark.implicits._
     val edges = Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 0L), (5L, 0L),
