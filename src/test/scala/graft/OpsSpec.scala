@@ -2255,6 +2255,48 @@ class OpsSpec extends AnyFunSuite {
     graft.ops.Caches.releaseAll()
   }
 
+  test("label propagation: recovers planted cluster labels from 20% seeds") {
+    import spark.implicits._
+    // QUALITY floor on a plant (the PQ-recall convention): the real
+    // corpus's `label` column is INDEPENDENT of its embedding geometry
+    // (measured exact 1-NN label agreement 0.096 ≈ the 0.10 class
+    // prior), so no neighborhood method can beat chance there — x94's
+    // corpus gate pins the MECHANICS; quality pins here. Five tight
+    // one-hot clusters in 8-dim, 20 members each, deterministic small
+    // offsets; within-cluster cosine ≈ 1, cross ≈ 0 — the banded graph
+    // stays within clusters and 3 rounds must label every member.
+    val pts = (0 until 100).map { i =>
+      val c = i / 20
+      // per-member noise from a 97-cycle so no two members share a
+      // pattern (a coarse k-cycle partitions each cluster into
+      // disconnected sub-communities LPA correctly cannot bridge)
+      val v = Array.tabulate(8)(d =>
+        (if (d == c) 1.0 else 0.0) +
+          0.01 * (((i * 31 + d * 17) % 97) - 48) / 48.0)
+      (i.toLong, v.toSeq, c)
+    }.toDF("vec_id", "embedding", "truth")
+    val g = Similarity.knnGraphBanded(pts, "embedding", "vec_id", k = 5,
+      nBands = 16, bandBits = 4, dims = 8)
+    // standard LPA runs on the SYMMETRIZED kNN neighborhood (labels flow
+    // both ways along an edge); the operator takes any edge frame
+    val sym = g.select("src_id", "nbr_id")
+      .unionAll(g.select(col("nbr_id").as("src_id"),
+        col("src_id").as("nbr_id")))
+      .distinct()
+    val seeds = pts.select(col("vec_id"),
+      when(col("vec_id") % 5 === 0, col("truth")).as("label"))
+    val out = graft.ops.Graph.labelPropagate(sym, seeds, "vec_id", "label",
+        iters = 3)
+      .join(pts.select("vec_id", "truth"), "vec_id")
+    val prop = out.filter(col("origin") === "prop")
+    val n = prop.count().toDouble
+    val hits = prop.filter(col("label") === col("truth")).count().toDouble
+    assert(n >= 60, s"most non-seeds must receive a label, got $n")
+    assert(hits / n >= 0.9,
+      f"planted-cluster propagation accuracy ${hits / n}%.3f < 0.9")
+    graft.ops.Caches.releaseAll()
+  }
+
   test("mmr rerank: picks relevance first, then trades it for diversity") {
     import spark.implicits._
     // q = (1,0); candidate 1 most relevant, candidate 2 its near-dup
