@@ -112,6 +112,91 @@ object Graph {
       round(col("pr_fix").cast("double") / lit(1e12), 6).as("pr"))
   }
 
+  /** WEIGHTED PageRank — transitions proportional to a POSITIVE integer
+    * edge weight instead of the uniform out-degree split: on a
+    * similarity graph the walk should prefer STRONG edges (the x93
+    * uniform split treats a 0.9-cosine neighbor like a 0.2 one).
+    * Exact integer semantics extending [[pageRank]]:
+    *
+    *   contrib_e = (((pr[src]·85) div 100) · w_e) div Σ_{e' from src} w_e'
+    *
+    * All operands non-negative; with pr ≤ SCALE = 10¹² and w ≤ ~10⁶
+    * the product stays under 2⁶³ (callers deriving weights from
+    * cosines should clamp to the 10⁶ fixed-point scale — the x106 gate
+    * uses GREATEST(0, ⌊cos·10⁶⌋) + 1, strictly positive so every edge
+    * keeps a floor probability). Per-source weight sums replace the
+    * out-degree frame; everything else — teleport base, dangling drop,
+    * per-round persist — is [[pageRank]] verbatim. Harness query x106
+    * replays the weighted rounds. */
+  def pageRankWeighted(edges: DataFrame, nodes: DataFrame, idCol: String,
+                       srcCol: String = "src_id",
+                       dstCol: String = "nbr_id",
+                       weightCol: String = "weight",
+                       iters: Int = 5): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val SCALE = 1000000000000L
+    val n = nodes.count()
+    require(n > 0, "pageRankWeighted needs a non-empty node frame")
+    val base = (SCALE * 15L / 100L) / n
+    val ge = Caches.persistTracked(edges.select(col(srcCol).as("__src"),
+      col(dstCol).as("__dst"), col(weightCol).cast("long").as("__w")))
+    val ws = ge.groupBy("__src").agg(sum("__w").as("__ws"))
+    var pr = nodes.select(col(idCol).as("__nid"))
+      .withColumn("pr_fix", lit(SCALE / n))
+    for (_ <- 1 to iters) {
+      val msgs = ge
+        .join(pr.select(col("__nid").as("__src"), col("pr_fix")), "__src")
+        .join(ws, "__src")
+        .select(col("__dst").as("__nid"),
+          expr("(((pr_fix * 85) div 100) * __w) div __ws").as("__c"))
+        .groupBy("__nid").agg(sum("__c").as("__s"))
+      pr = Caches.persistTracked(
+        nodes.select(col(idCol).as("__nid"))
+          .join(msgs, Seq("__nid"), "left")
+          .select(col("__nid"),
+            (lit(base) + coalesce(col("__s"), lit(0L))).as("pr_fix")))
+    }
+    pr.select(col("__nid").as(idCol), col("pr_fix"),
+      round(col("pr_fix").cast("double") / lit(1e12), 6).as("pr"))
+  }
+
+  /** Degree ASSORTATIVITY of the mutual graph — Newman's one-number
+    * hub-structure diagnostic: r > 0 means high-degree nodes link to
+    * each other (dup communities are degree-stratified), r < 0 means
+    * hubs link to leaves (star-like near-dup fans). Pearson
+    * correlation over the endpoint-degree pairs of every DIRECTED
+    * realization of the undirected edges (both orientations, the
+    * standard symmetric convention): all six sufficient statistics
+    * (m, Σx, Σy, Σxy, Σx², Σy²) are exact integer sums — the x49
+    * one-pass map-side-combinable discipline — and the final
+    *
+    *   r = (m·Σxy − Σx·Σy) / (√(m·Σx² − (Σx)²) · √(m·Σy² − (Σy)²))
+    *
+    * is a fixed expression of exact-integer-derived doubles (sqrt is
+    * IEEE-correctly-rounded, the proven x54 convention). Returns one
+    * row (n_edges = m, assortativity rounded to 6); NULL when a
+    * variance is zero (regular graph). Harness query x107 replays the
+    * sums and the expression. */
+  def assortativity(pairs: DataFrame): DataFrame = {
+    val und = pairs.select(col("a_id").as("__u"), col("b_id").as("__v"))
+      .unionAll(pairs.select(col("b_id").as("__u"), col("a_id").as("__v")))
+    val deg = und.groupBy("__u").agg(count(lit(1)).as("__deg"))
+    val xy = und
+      .join(deg.select(col("__u"), col("__deg").as("__dx")), "__u")
+      .join(deg.select(col("__u").as("__v"), col("__deg").as("__dy")), "__v")
+    xy.agg(count(lit(1)).as("m"), sum("__dx").as("sx"), sum("__dy").as("sy"),
+        sum(col("__dx") * col("__dy")).as("sxy"),
+        sum(col("__dx") * col("__dx")).as("sxx"),
+        sum(col("__dy") * col("__dy")).as("syy"))
+      .select(col("m").as("n_edges"),
+        when(col("m") * col("sxx") - col("sx") * col("sx") > 0 &&
+            col("m") * col("syy") - col("sy") * col("sy") > 0,
+          round((col("m") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (sqrt((col("m") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+             sqrt((col("m") * col("syy") - col("sy") * col("sy")).cast("double"))),
+            6)).as("assortativity"))
+  }
+
   /** PERSONALIZED PageRank — the graph-walk relatedness primitive:
     * teleport mass returns only to the `seeds` set, so the stationary
     * scores measure proximity TO THE SEEDS through the similarity

@@ -1631,6 +1631,30 @@ object Ext {
         .orderBy("user_id")
     },
 
+    // WEIGHTED PageRank: transitions ∝ GREATEST(0, ⌊cos·10⁶⌋)+1 — the
+    // walk prefers strong edges; exact integer rounds like x93.
+    "x106_weighted_pagerank" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val g = Similarity.knnGraphBanded(emb, "embedding", "vec_id", k = 5,
+        nBands = 16, bandBits = 4)
+      val weighted = g.select(col("src_id"), col("nbr_id"),
+        (greatest(lit(0L), floor(col("cos_sim") * lit(1e6)).cast("long")) +
+          lit(1L)).as("weight"))
+      Graph.pageRankWeighted(weighted, emb.select("vec_id"), "vec_id",
+          iters = 5)
+        .orderBy("vec_id")
+    },
+
+    // Degree ASSORTATIVITY of the mutual graph: Newman's one-number
+    // hub-structure diagnostic from six exact integer sums + two
+    // IEEE-exact sqrts.
+    "x107_assortativity" -> { (s, dir) =>
+      Graph.assortativity(
+        Graph.mutualKnnPairs(
+          Similarity.knnGraphBanded(Tables.embeddings(s, dir), "embedding",
+            "vec_id", k = 5, nBands = 16, bandBits = 4)))
+    },
+
     // LINK-PREDICTION scores over the mutual pairs: common neighbors,
     // neighborhood Jaccard, smoothed Adamic–Adar — the structural
     // dup-confidence features beyond the pair's own cosine.
@@ -4947,6 +4971,64 @@ object Ext {
         |  FROM documents d JOIN keeper k2 ON d.doc_id = k2.keep_id)
         |GROUP BY shard ORDER BY shard""".stripMargin),
 
+
+    // Weighted-PageRank replay: x93's rounds with the per-source
+    // weight-sum split — all operands non-negative longs.
+    "x106_weighted_pagerank" -> bandedGraphSql(
+      (1 to 5).map(t =>
+        s"""m$t AS (
+           |  SELECT ge.d AS nid,
+           |    CAST(SUM((((p.pr_fix * 85) // 100) * ge.w) // ws.ws) AS BIGINT) AS s
+           |  FROM ge JOIN pr${t - 1} p ON ge.s = p.nid JOIN ws ON ge.s = ws.s
+           |  GROUP BY ge.d),
+           |pr$t AS (
+           |  SELECT i.nid, (SELECT base FROM c) + COALESCE(m$t.s, 0) AS pr_fix
+           |  FROM ids i LEFT JOIN m$t USING (nid))""".stripMargin)
+        .mkString(
+          """, ids AS (SELECT vec_id AS nid FROM e),
+            |c AS (
+            |  SELECT 1000000000000 // cnt AS init,
+            |    ((1000000000000 * 15) // 100) // cnt AS base
+            |  FROM (SELECT COUNT(*) AS cnt FROM ids)),
+            |ge AS (
+            |  SELECT src_id AS s, nbr_id AS d,
+            |    GREATEST(0, CAST(floor(cos_sim * 1000000) AS BIGINT)) + 1 AS w
+            |  FROM graph),
+            |ws AS (SELECT s, CAST(SUM(w) AS BIGINT) AS ws FROM ge GROUP BY 1),
+            |pr0 AS (SELECT nid, (SELECT init FROM c) AS pr_fix FROM ids),
+            |""".stripMargin, ",\n", """
+            |SELECT nid AS vec_id, pr_fix,
+            |  round(CAST(pr_fix AS DOUBLE) / 1000000000000.0, 6) AS pr
+            |FROM pr5 ORDER BY vec_id""".stripMargin)),
+
+    // Assortativity replay: both edge orientations, endpoint degrees,
+    // six exact integer sums, the guarded Pearson expression.
+    "x107_assortativity" -> bandedGraphSql(
+      """, mp AS (
+        |  SELECT g1.src_id AS a_id, g1.nbr_id AS b_id
+        |  FROM graph g1
+        |  JOIN graph g2 ON g1.src_id = g2.nbr_id AND g1.nbr_id = g2.src_id
+        |  WHERE g1.src_id < g1.nbr_id),
+        |und AS (SELECT a_id AS u, b_id AS v FROM mp
+        |        UNION ALL SELECT b_id, a_id FROM mp),
+        |deg AS (SELECT u, COUNT(*) AS dg FROM und GROUP BY 1),
+        |xy AS (
+        |  SELECT da.dg AS dx, db.dg AS dy
+        |  FROM und JOIN deg da ON da.u = und.u JOIN deg db ON db.u = und.v),
+        |st AS (
+        |  SELECT COUNT(*) AS m, CAST(SUM(dx) AS BIGINT) AS sx,
+        |    CAST(SUM(dy) AS BIGINT) AS sy,
+        |    CAST(SUM(dx * dy) AS BIGINT) AS sxy,
+        |    CAST(SUM(dx * dx) AS BIGINT) AS sxx,
+        |    CAST(SUM(dy * dy) AS BIGINT) AS syy
+        |  FROM xy)
+        |SELECT m AS n_edges,
+        |  CASE WHEN m * sxx - sx * sx > 0 AND m * syy - sy * sy > 0
+        |       THEN round(CAST(m * sxy - sx * sy AS DOUBLE) /
+        |                  (sqrt(CAST(m * sxx - sx * sx AS DOUBLE)) *
+        |                   sqrt(CAST(m * syy - sy * sy AS DOUBLE))), 6)
+        |  END AS assortativity
+        |FROM st""".stripMargin),
 
     // Link-score replay: mutual pairs, the pair × neighborhood chain,
     // degree frames, ⌊10⁹/ln(1+deg_in)⌋ floors (the proven ln-on-

@@ -2389,6 +2389,47 @@ class OpsSpec extends AnyFunSuite {
     graft.ops.Caches.releaseAll()
   }
 
+  test("weighted pagerank: uniform weights reduce to the unweighted walk; strong edges win") {
+    import spark.implicits._
+    val edges = Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 0L), (5L, 0L),
+      (6L, 0L), (0L, 1L)).toDF("src_id", "nbr_id")
+    val nodes = (0L to 6L).toDF("vec_id")
+    // law: constant weight w cancels exactly — floor((A·w)/(k·w)) =
+    // floor(A/k) for any positive integer w
+    val wpr = Graph.pageRankWeighted(edges.withColumn("weight", lit(7L)),
+      nodes, "vec_id").orderBy("vec_id").collect().map(_.toSeq).toSeq
+    val pr = Graph.pageRank(edges, nodes, "vec_id")
+      .orderBy("vec_id").collect().map(_.toSeq).toSeq
+    assert(wpr == pr, "uniform weights must reduce to unweighted pagerank")
+    // 0 splits 1000:1 between 1 and 2 — node 1 must dominate node 2
+    val e2 = Seq((0L, 1L, 1000L), (0L, 2L, 1L), (1L, 0L, 1L), (2L, 0L, 1L))
+      .toDF("src_id", "nbr_id", "weight")
+    val m = Graph.pageRankWeighted(e2, (0L to 2L).toDF("vec_id"), "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // compare the WALKED-IN mass above the uniform teleport base
+    // ((10¹²·15/100)/3) — the base floor itself is weight-independent
+    val base = 1000000000000L * 15 / 100 / 3
+    assert(m(1L) - base > (m(2L) - base) * 100,
+      s"the 1000:1 weight split must dominate the walked-in mass: $m")
+    graft.ops.Caches.releaseAll()
+  }
+
+  test("assortativity: path graph is -1, regular graph undefined") {
+    import spark.implicits._
+    // path 1–2–3: every edge joins a degree-1 leaf to the degree-2
+    // middle — perfect disassortativity, r = −1 exactly
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("a_id", "b_id")
+    val r1 = Graph.assortativity(path).collect().head
+    assert(r1.getLong(0) == 4L && r1.getDouble(1) == -1.0,
+      s"path graph must score -1: $r1")
+    // triangle: all degrees equal → zero variance → NULL, not NaN
+    val tri = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("a_id", "b_id")
+    val r2 = Graph.assortativity(tri).collect().head
+    assert(r2.getLong(0) == 6L && r2.isNullAt(1),
+      s"regular graph must be NULL: $r2")
+    graft.ops.Caches.releaseAll()
+  }
+
   test("link scores: common neighbor, jaccard, smoothed adamic-adar on a plant") {
     import spark.implicits._
     // N(1)={2,3,4}, N(2)={1,3,5}: common third party {3} only,
