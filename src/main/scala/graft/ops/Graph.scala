@@ -178,8 +178,13 @@ object Graph {
     * variance is zero (regular graph). Harness query x107 replays the
     * sums and the expression. */
   def assortativity(pairs: DataFrame): DataFrame = {
-    val und = pairs.select(col("a_id").as("__u"), col("b_id").as("__v"))
-      .unionAll(pairs.select(col("b_id").as("__u"), col("a_id").as("__v")))
+    // pairs feeds both orientations and und feeds both the degree frame
+    // and the endpoint join — persist each so the (possibly expensive)
+    // pair build runs once, not four times
+    val p = Caches.persistTracked(pairs.select(col("a_id"), col("b_id")))
+    val und = Caches.persistTracked(
+      p.select(col("a_id").as("__u"), col("b_id").as("__v"))
+        .unionAll(p.select(col("b_id").as("__u"), col("a_id").as("__v"))))
     val deg = und.groupBy("__u").agg(count(lit(1)).as("__deg"))
     val xy = und
       .join(deg.select(col("__u"), col("__deg").as("__dx")), "__u")

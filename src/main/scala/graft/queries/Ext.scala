@@ -1651,8 +1651,9 @@ object Ext {
     "x107_assortativity" -> { (s, dir) =>
       Graph.assortativity(
         Graph.mutualKnnPairs(
-          Similarity.knnGraphBanded(Tables.embeddings(s, dir), "embedding",
-            "vec_id", k = 5, nBands = 16, bandBits = 4)))
+          graft.ops.Caches.persistTracked(
+            Similarity.knnGraphBanded(Tables.embeddings(s, dir), "embedding",
+              "vec_id", k = 5, nBands = 16, bandBits = 4))))
     },
 
     // LINK-PREDICTION scores over the mutual pairs: common neighbors,
