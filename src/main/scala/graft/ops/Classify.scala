@@ -1,0 +1,112 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Multinomial Naive-Bayes text classifier: the model-based quality /
+  * language / domain filter of public training-data pipelines (the role
+  * fastText plays in CCNet/RedPajama-style curation — a cheap linear
+  * classifier over token counts, trained on a labeled slice, applied to
+  * the whole corpus). A neural classifier is out of scope for an
+  * analytics engine; add-one-smoothed multinomial NB is the classic
+  * count-based formulation and exercises the same engine shape as
+  * [[LangModel]]: a trained model TABLE broadcast against the corpus it
+  * scores.
+  *
+  * Scale design (100 TB): training is two map-side-combinable groupBy
+  * counts over the token stream (per-class token counts and per-class
+  * doc counts — token keys are near-uniform, no skew) plus one
+  * countDistinct action for V. Scoring broadcasts the model — a real
+  * deployment caps the vocabulary (top-K by frequency), so the
+  * (class × vocab) likelihood table is small by construction — and the
+  * per-document pass is explode + two broadcast hash joins + ONE
+  * combinable per-doc aggregate. The argmax over classes is a
+  * min(struct(...)) aggregate, NOT a window: no per-doc sort partition,
+  * fully map-side combinable. Remove the broadcast hints for an
+  * uncapped web-scale vocab and the joins degrade gracefully to shuffle
+  * equi-joins on the same keys.
+  *
+  * Determinism (the x108 oracle replays training AND scoring exactly):
+  * every probability is an exact-integer-derived rational —
+  * prior = n_c/N, likelihood = (c_wc+1)/(T_c+V) — and `ln` over that
+  * domain is bit-identical between the JVM and DuckDB's libm (the
+  * proven x48/x52/x60 convention). Each term pins to a long via
+  * floor(ln(p)·10¹²), so per-document class scores are exact integer
+  * sums — order-independent — and the argmax (score DESC, label ASC)
+  * is a total order. */
+object Classify {
+
+  /** A trained NB model: `classStats` one row per class
+    * (label, prior_fix = ⌊ln(n_c/N)·10¹²⌋, n_tok = T_c), `wordCounts`
+    * (label, w, cwc), and the training vocabulary size for add-one
+    * smoothing. */
+  case class NbModel(classStats: DataFrame, wordCounts: DataFrame,
+                     vocabSize: Long)
+
+  /** Train on a labeled corpus: per-class doc counts (the prior), the
+    * per-class token totals and (class, word) counts (the likelihood),
+    * V by one countDistinct action. */
+  def trainNaiveBayes(train: DataFrame, labelCol: String,
+                      textCol: String): NbModel = {
+    val tok = train.select(col(labelCol).as("label"),
+      explode(split(col(textCol), " ")).as("w"))
+    val wc = tok.groupBy("label", "w").agg(count(lit(1)).as("cwc"))
+    val ctok = tok.groupBy("label").agg(count(lit(1)).as("n_tok"))
+    val cls = train.groupBy(col(labelCol).as("label"))
+      .agg(count(lit(1)).as("n_docs"))
+    val row = train.agg(count(lit(1))).head()
+    val n = row.getLong(0)
+    val v = tok.agg(countDistinct(col("w"))).head().getLong(0)
+    val classStats = cls.join(ctok, Seq("label"))
+      .select(col("label"),
+        floor(log(col("n_docs").cast("double") / lit(n.toDouble)) * lit(1e12))
+          .cast("long").as("prior_fix"),
+        col("n_tok"))
+    NbModel(classStats, wc, v)
+  }
+
+  /** Score every document against every class and keep the argmax. One
+    * row per input doc: (id, pred_label, score_nats). Unseen words fall
+    * back to the smoothing floor (cwc = 0), so held-out text scores
+    * under every class; ties break on the smaller label. Scoring is a
+    * pure per-document function of the frozen model — the property the
+    * s17 streaming gate leans on (batch boundaries cannot change any
+    * document's scores). */
+  def nbScore(docs: DataFrame, idCol: String, textCol: String,
+              m: NbModel): DataFrame = {
+    val stok = docs.select(col(idCol), explode(split(col(textCol), " ")).as("w"))
+    val perClass = stok
+      .crossJoin(broadcast(m.classStats))
+      .join(broadcast(m.wordCounts), Seq("label", "w"), "left")
+      .withColumn("lw_fix",
+        floor(log((coalesce(col("cwc"), lit(0L)) + lit(1.0)) /
+          (col("n_tok") + lit(m.vocabSize)).cast("double")) * lit(1e12))
+          .cast("long"))
+      .groupBy(col(idCol), col("label"), col("prior_fix"))
+      .agg(sum(col("lw_fix")).as("s_fix"))
+      .select(col(idCol), col("label"),
+        (col("s_fix") + col("prior_fix")).as("score_fix"))
+    // argmax by combinable aggregate: min over (−score, label) = highest
+    // score, smallest label on ties — no per-doc window partition
+    perClass
+      .groupBy(col(idCol))
+      .agg(min(struct((-col("score_fix")).as("neg"),
+        col("label").as("pred_label"),
+        col("score_fix").as("score_fix"))).as("b"))
+      .select(col(idCol), col("b.pred_label").as("pred_label"),
+        round(col("b.score_fix").cast("double") / lit(1e12), 6).as("score_nats"))
+  }
+
+  /** The classifier evaluation a pipeline runs before trusting a filter:
+    * train on one split, score the held-out split, emit per-doc
+    * prediction + correctness. */
+  def nbEvaluate(train: DataFrame, test: DataFrame, idCol: String,
+                 labelCol: String, textCol: String): DataFrame = {
+    val m = trainNaiveBayes(train, labelCol, textCol)
+    nbScore(test, idCol, textCol, m)
+      .join(test.select(col(idCol), col(labelCol).as("actual_label")), Seq(idCol))
+      .select(col(idCol), col("actual_label"), col("pred_label"),
+        col("score_nats"),
+        (col("actual_label") === col("pred_label")).as("is_correct"))
+  }
+}

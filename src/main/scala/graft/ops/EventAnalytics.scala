@@ -1,0 +1,144 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream product analytics over an (id, ts, user, type, value)
+  * event log: funnel conversion, retention cohorts, Markov transition
+  * matrices, and per-slice z-score anomaly reports — the classic
+  * warehouse analyses an analytics engine is expected to answer next to
+  * its relational surface (and, for a training-data pipeline, the usage
+  * telemetry that decides what to collect more of).
+  *
+  * Scale design (100 TB of events): every operator is built from
+  * user-keyed or type-keyed aggregations — the only shuffles are on
+  * those keys, all counts combine map-side, and nothing is ever
+  * user × user or event × event. The per-user window in
+  * [[transitionMatrix]] partitions by user (bounded per-user event
+  * counts; a pathological single-user log would need the x35 salting
+  * treatment). Determinism: timestamps are exact µs values (MIN/MAX
+  * are order-free), counts are integers, and every emitted ratio is an
+  * exact-integer-derived IEEE division — so the x109–x113 oracles
+  * replay each analysis bit-for-bit. */
+object EventAnalytics {
+
+  /** Multi-stage FUNNEL: for each user, the earliest time of stage 1,
+    * then for each later stage the earliest event of that type AT OR
+    * AFTER the previous reached stage (strictly sequential semantics —
+    * an out-of-order conversion does not count). One row per user who
+    * reached stage 1: the per-stage timestamps `t1..tk` (null once the
+    * funnel is abandoned), `n_stages`, and `converted` = reached the
+    * last stage within `withinHours` of stage 1 (the conversion-window
+    * business rule; 0 disables the window).
+    *
+    * Shape: one conditional-min aggregate per stage, each keyed on the
+    * user column — k small hash aggregates + k−1 user-keyed joins, no
+    * self-join of the event log against itself. */
+  def funnel(events: DataFrame, userCol: String, tsCol: String,
+             typeCol: String, stages: Seq[String],
+             withinHours: Int = 0): DataFrame = {
+    require(stages.size >= 2, s"funnel needs >= 2 stages: $stages")
+    val ev = events.select(col(userCol), col(tsCol).as("__ts"),
+      col(typeCol).as("__t"))
+    val s1 = ev.filter(col("__t") === stages.head)
+      .groupBy(col(userCol)).agg(min(col("__ts")).as("t1"))
+    val all = stages.zipWithIndex.tail.foldLeft(s1) {
+      case (acc, (stage, i)) =>
+        val prev = s"t$i"
+        val cur = s"t${i + 1}"
+        val nxt = ev.filter(col("__t") === stage)
+          .join(acc.select(col(userCol), col(prev)), Seq(userCol))
+          .filter(col("__ts") >= col(prev))
+          .groupBy(col(userCol)).agg(min(col("__ts")).as(cur))
+        acc.join(nxt, Seq(userCol), "left")
+    }
+    val stageCols = (1 to stages.size).map(i => col(s"t$i"))
+    val reached = stageCols.map(c => when(c.isNotNull, 1).otherwise(0))
+      .reduce(_ + _)
+    val lastOk =
+      if (withinHours <= 0) stageCols.last.isNotNull
+      else stageCols.last.isNotNull &&
+        stageCols.last <= col("t1") + expr(s"interval $withinHours hours")
+    all.select(col(userCol) +: stageCols :+
+      reached.as("n_stages") :+ coalesce(lastOk, lit(false)).as("converted"): _*)
+  }
+
+  /** RETENTION cohort matrix: cohort = the day of a user's first event;
+    * one row per (cohort_day, offset_days) with the number of cohort
+    * users active that day. The product-health triangle chart.
+    *
+    * Shape: one user-keyed min (cohort), one distinct over (user, day)
+    * — both combinable — then a user-keyed join and a (cohort, offset)
+    * count. Offsets are exact DATE differences. */
+  def retentionMatrix(events: DataFrame, userCol: String,
+                      tsCol: String): DataFrame = {
+    val act = events
+      .select(col(userCol), date_trunc("day", col(tsCol)).as("day"))
+      .distinct()
+    val cohort = act.groupBy(col(userCol)).agg(min(col("day")).as("cohort_day"))
+    act.join(cohort, Seq(userCol))
+      .withColumn("offset_days",
+        datediff(col("day").cast("date"), col("cohort_day").cast("date")))
+      .groupBy(col("cohort_day"), col("offset_days"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  /** Per-user event-type TRANSITION matrix (first-order Markov): order
+    * each user's events by (ts, id) — the id breaks equal-timestamp
+    * ties so the sequence is total — take consecutive type pairs, count
+    * per (src, dst), and emit the row-normalized transition probability
+    * as an exact rational rounded to 6 places.
+    *
+    * Shape: ONE user-partitioned window (per-user sequences are
+    * bounded), one (src, dst) count, one src-keyed total join — never
+    * event × event. */
+  def transitionMatrix(events: DataFrame, userCol: String, tsCol: String,
+                       typeCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val pairs = events
+      .select(col(userCol), col(tsCol), col(idCol), col(typeCol).as("src_type"))
+      .withColumn("dst_type", lead(col("src_type"), 1).over(w))
+      .filter(col("dst_type").isNotNull)
+    val cnt = pairs.groupBy(col("src_type"), col("dst_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+    val tot = cnt.groupBy(col("src_type"))
+      .agg(sum(col("n_transitions")).as("n_src"))
+    cnt.join(tot, Seq("src_type"))
+      .select(col("src_type"), col("dst_type"), col("n_transitions"),
+        round(col("n_transitions").cast("double") / col("n_src"), 6).as("p"))
+  }
+
+  /** Per-slice Z-SCORE anomaly report: values are pinned to integer
+    * cents (⌊v·100⌉ — the measure is 2-decimal by construction), the
+    * per-slice sufficient statistics (n, Σv, Σv²) are exact combinable
+    * longs, and each event's z-score is the exact-integer rational
+    * (v·n − Σv)/√(n·Σv² − (Σv)²) evaluated in IEEE doubles — identical
+    * in any engine, so both the score and the |z| > zCut flag replay.
+    * One row per event: (id, slice, value, z, is_anomaly).
+    *
+    * Shape: one slice-keyed aggregate (slices are few → broadcast back)
+    * + one codegen'd scan — two passes, no window. Exactness bound: the
+    * long products need n·Σv² and (Σv)² < 2⁶³ — at 2-decimal values
+    * ≤ 500 that holds to ~10⁷ rows per slice; beyond that switch the
+    * sufficient stats to DECIMAL(38) sums (same shape, wider lanes). */
+  def anomalyScores(events: DataFrame, sliceCol: String, valueCol: String,
+                    idCol: String, zCut: Double = 2.0): DataFrame = {
+    val vc = round(col(valueCol) * 100).cast("long")
+    val stats = events
+      .groupBy(col(sliceCol))
+      .agg(count(lit(1)).as("__n"), sum(vc).as("__s1"),
+        sum(vc * vc).as("__s2"))
+    val num = (vc * col("__n") - col("__s1")).cast("double")
+    val varN2 = col("__n") * col("__s2") - col("__s1") * col("__s1")
+    val z = num / sqrt(varN2.cast("double"))
+    // zero-variance slices (varN2 = 0) have no meaningful z: null score,
+    // never anomalous (the guard also keeps ±Inf/NaN out of the output)
+    val defined = col("__n") > 1 && varN2 > 0
+    events.join(broadcast(stats), Seq(sliceCol))
+      .select(col(idCol), col(sliceCol), col(valueCol),
+        when(defined, round(z, 6)).as("z"),
+        coalesce(when(defined, abs(z) > zCut), lit(false))
+          .as("is_anomaly"))
+  }
+}

@@ -489,4 +489,46 @@ object Graph {
       when(col("__seed").isNotNull, lit("seed"))
         .when(col("__cur").isNotNull, lit("prop")).as("origin"))
   }
+
+  /** k-CORE decomposition by bounded peeling (the x93 fixed-round
+    * discipline): starting from the undirected pair set, repeatedly
+    * drop every node whose remaining degree is < k together with its
+    * incident edges — after `rounds` rounds the survivors approximate
+    * the k-core (exact once a round removes nothing; peeling is
+    * monotone, so extra rounds never oscillate). The k-core is the
+    * graph-curation notion of a DENSE duplicate/community region —
+    * stricter than connected components (x16), looser than triangles
+    * (x102).
+    *
+    * Per round: one node-keyed degree count over the remaining edges +
+    * two semi-joins to keep edges with both endpoints alive — all
+    * shuffles on node ids, counts combine map-side, never node × node.
+    * Each round's edge frame LOCAL-CHECKPOINTS (not merely persists):
+    * round r's plan references round r−1 twice (degree + the edge
+    * filter), so an un-truncated lineage doubles per round — the x103
+    * exponential-plan lesson, Catalyst edition. Returns one
+    * row per endpoint of the surviving edge set: (idCol, core_deg —
+    * the node's degree inside the surviving subgraph; before
+    * convergence a node freshly dropped below k can still appear — the
+    * next round would peel it). Harness query x112 replays `rounds`
+    * unrolled peel CTEs over the mutual graph. */
+  def kCore(pairs: DataFrame, k: Int, rounds: Int,
+            idCol: String = "vec_id"): DataFrame = {
+    require(k >= 1 && rounds >= 1, s"need k >= 1, rounds >= 1: k=$k rounds=$rounds")
+    var e = Caches.localCheckpointTracked(
+      pairs.select(col("a_id").as("__a"), col("b_id").as("__b")))
+    for (_ <- 1 to rounds) {
+      val deg = e.select(col("__a").as("__id"))
+        .unionAll(e.select(col("__b").as("__id")))
+        .groupBy("__id").agg(count(lit(1)).as("__deg"))
+      val alive = deg.filter(col("__deg") >= k).select("__id")
+      e = Caches.localCheckpointTracked(e
+        .join(alive.withColumnRenamed("__id", "__a"), Seq("__a"), "left_semi")
+        .join(alive.withColumnRenamed("__id", "__b"), Seq("__b"), "left_semi"))
+    }
+    e.select(col("__a").as("__id"))
+      .unionAll(e.select(col("__b").as("__id")))
+      .groupBy("__id").agg(count(lit(1)).as("core_deg"))
+      .select(col("__id").as(idCol), col("core_deg"))
+  }
 }

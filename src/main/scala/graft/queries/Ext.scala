@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.{AsofJoin, Chunking, Cms, Dedup, Dsir, Export, Graph, HistQuantile, LangModel, LinearProbe, Multimodal, Rerank, Retrieval, Similarity, TextStats, TopK}
+import graft.ops.{AsofJoin, Chunking, Classify, Cms, Dedup, Dsir, EventAnalytics, Export, Graph, HistQuantile, LangModel, LinearProbe, Multimodal, Rerank, Retrieval, Similarity, TextStats, TopK}
 import graft.functions.VectorFunctions
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -1739,6 +1739,66 @@ object Ext {
       Export.shardManifest(
         Tables.documents(s, dir).join(kept, Seq("doc_id"), "left_semi"),
         "doc_id", "text", nShards = 8)
+    },
+
+    // MULTINOMIAL NAIVE-BAYES classifier (x108): the fastText-role
+    // count classifier of public curation pipelines — train on the
+    // doc_id%5≠0 slice (label = lang), score the held-out %5=0 slice.
+    // Class scores are exact fixed-point integer sums (the x48 ln
+    // convention); per-doc prediction + correctness.
+    "x108_nb_classifier" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      Classify.nbEvaluate(
+          docs.filter(col("doc_id") % 5 =!= 0),
+          docs.filter(col("doc_id") % 5 === 0),
+          "doc_id", "lang", "text")
+        .orderBy("doc_id")
+    },
+
+    // FUNNEL conversion (x109): signup → click → purchase, strictly
+    // sequential per user, conversion window 48 h from the first
+    // signup. One row per signed-up user with per-stage timestamps.
+    "x109_funnel" -> { (s, dir) =>
+      EventAnalytics.funnel(Tables.events(s, dir), "user_id", "ts",
+          "event_type", Seq("signup", "click", "purchase"), withinHours = 48)
+        .orderBy("user_id")
+    },
+
+    // RETENTION cohort matrix (x110): cohort = day of first event;
+    // (cohort_day, offset_days, active users) — the triangle chart.
+    "x110_retention" -> { (s, dir) =>
+      EventAnalytics.retentionMatrix(Tables.events(s, dir), "user_id", "ts")
+        .orderBy("cohort_day", "offset_days")
+    },
+
+    // First-order Markov TRANSITION matrix (x111): per-user (ts, id)-
+    // ordered consecutive event-type pairs, counts + exact-rational
+    // row-normalized probabilities.
+    "x111_transition_matrix" -> { (s, dir) =>
+      EventAnalytics.transitionMatrix(Tables.events(s, dir), "user_id",
+          "ts", "event_type", "event_id")
+        .orderBy("src_type", "dst_type")
+    },
+
+    // k-CORE decomposition (x112): bounded peeling (k=3, 4 rounds) of
+    // the mutual-kNN graph — the dense-community curation signal
+    // between components (x16) and triangles (x102).
+    "x112_kcore" -> { (s, dir) =>
+      Graph.kCore(
+          Graph.mutualKnnPairs(
+            graft.ops.Caches.persistTracked(
+              Similarity.knnGraphBanded(Tables.embeddings(s, dir), "embedding",
+                "vec_id", k = 5, nBands = 16, bandBits = 4))),
+          k = 3, rounds = 4)
+        .orderBy("vec_id")
+    },
+
+    // Per-type Z-SCORE anomaly report (x113): exact integer sufficient
+    // stats in cents, IEEE-identical z, |z| > 2 flag per event.
+    "x113_anomaly_zscores" -> { (s, dir) =>
+      EventAnalytics.anomalyScores(Tables.events(s, dir), "event_type",
+          "value", "event_id")
+        .orderBy("event_id")
     },
   )
 
@@ -5252,5 +5312,152 @@ object Ext {
     // (the x79/x84 law on the graph artifact) — x90's SQL verbatim.
     "x91_knn_graph_compact" -> knnGraphSql("es",
       "\nes AS (SELECT vec_id, v FROM e WHERE vec_id % 7 <> 0),"),
+
+    // NB replay: the full training (per-class doc/token counts, V, N),
+    // the smoothed fixed-point likelihood grid, exact per-(doc, class)
+    // integer sums, argmax on (score DESC, label ASC).
+    "x108_nb_classifier" ->
+      """WITH train AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 5 <> 0),
+        |test AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 5 = 0),
+        |ttok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM train),
+        |cls AS (SELECT lang, COUNT(*) AS n_docs FROM train GROUP BY 1),
+        |ctok AS (SELECT lang, COUNT(*) AS n_tok FROM ttok GROUP BY 1),
+        |wc AS (SELECT lang, w, COUNT(*) AS cwc FROM ttok GROUP BY 1, 2),
+        |v AS (SELECT COUNT(DISTINCT w) AS vsz FROM ttok),
+        |n AS (SELECT COUNT(*) AS ntr FROM train),
+        |pri AS (
+        |  SELECT cls.lang,
+        |    CAST(floor(ln(CAST(cls.n_docs AS DOUBLE) / n.ntr) * 1000000000000.0) AS BIGINT) AS prior_fix,
+        |    ctok.n_tok
+        |  FROM cls JOIN ctok USING (lang), n),
+        |stok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM test),
+        |term AS (
+        |  SELECT s.doc_id, p.lang, p.prior_fix,
+        |    CAST(floor(ln((COALESCE(wc.cwc, 0) + 1.0) /
+        |      CAST(p.n_tok + v.vsz AS DOUBLE)) * 1000000000000.0) AS BIGINT) AS lw_fix
+        |  FROM stok s CROSS JOIN pri p
+        |  LEFT JOIN wc ON wc.lang = p.lang AND wc.w = s.w, v),
+        |tot AS (
+        |  SELECT doc_id, lang, prior_fix + CAST(SUM(lw_fix) AS BIGINT) AS score_fix
+        |  FROM term GROUP BY doc_id, lang, prior_fix),
+        |best AS (
+        |  SELECT doc_id, lang AS pred_label, score_fix,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score_fix DESC, lang ASC) AS rn
+        |  FROM tot)
+        |SELECT b.doc_id, te.lang AS actual_label, b.pred_label,
+        |  round(CAST(b.score_fix AS DOUBLE) / 1000000000000.0, 6) AS score_nats,
+        |  te.lang = b.pred_label AS is_correct
+        |FROM best b JOIN test te USING (doc_id)
+        |WHERE b.rn = 1
+        |ORDER BY b.doc_id""".stripMargin,
+
+    // Funnel replay: three sequential conditional-min CTEs, the stage
+    // count, the 48 h conversion-window rule.
+    "x109_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, MIN(ts) AS t1 FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t2
+        |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND e.ts >= s1.t1 GROUP BY 1),
+        |s3 AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t3
+        |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts >= s2.t2 GROUP BY 1)
+        |SELECT s1.user_id, s1.t1, s2.t2, s3.t3,
+        |  CASE WHEN s1.t1 IS NOT NULL THEN 1 ELSE 0 END
+        |  + CASE WHEN s2.t2 IS NOT NULL THEN 1 ELSE 0 END
+        |  + CASE WHEN s3.t3 IS NOT NULL THEN 1 ELSE 0 END AS n_stages,
+        |  COALESCE(s3.t3 IS NOT NULL AND s3.t3 <= s1.t1 + INTERVAL 48 HOUR,
+        |    FALSE) AS converted
+        |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+        |ORDER BY s1.user_id""".stripMargin,
+
+    // Retention replay: distinct (user, day) activity, min-day cohort,
+    // exact DATE offsets.
+    "x110_retention" ->
+      """WITH act AS (
+        |  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+        |coh AS (SELECT user_id, MIN(day) AS cohort_day FROM act GROUP BY 1)
+        |SELECT c.cohort_day,
+        |  date_diff('day', CAST(c.cohort_day AS DATE), CAST(a.day AS DATE)) AS offset_days,
+        |  COUNT(*) AS n_users
+        |FROM act a JOIN coh c USING (user_id)
+        |GROUP BY 1, 2
+        |ORDER BY cohort_day, offset_days""".stripMargin,
+
+    // Transition replay: the same (ts, event_id)-ordered lead window,
+    // pair counts, exact-rational row normalization.
+    "x111_transition_matrix" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type AS src_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS dst_type
+        |  FROM events),
+        |cnt AS (
+        |  SELECT src_type, dst_type, COUNT(*) AS n_transitions
+        |  FROM seq WHERE dst_type IS NOT NULL GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT src_type, CAST(SUM(n_transitions) AS BIGINT) AS n_src
+        |  FROM cnt GROUP BY 1)
+        |SELECT c.src_type, c.dst_type, c.n_transitions,
+        |  round(CAST(c.n_transitions AS DOUBLE) / t.n_src, 6) AS p
+        |FROM cnt c JOIN tot t USING (src_type)
+        |ORDER BY src_type, dst_type""".stripMargin,
+
+    // k-core replay: mutual pairs off the banded graph doubled into
+    // both orientations, then 4 unrolled peel rounds. Each round is ONE
+    // reference to the previous round — endpoint degrees come from two
+    // COUNT windows on the symmetric list, not a self-join — because a
+    // round that referenced its predecessor twice would inline the whole
+    // banded-graph chain exponentially in DuckDB (the x103 lesson).
+    "x112_kcore" -> bandedGraphSql(
+      """, mp AS (
+        |  SELECT g1.src_id AS a_id, g1.nbr_id AS b_id
+        |  FROM graph g1
+        |  JOIN graph g2 ON g1.src_id = g2.nbr_id AND g1.nbr_id = g2.src_id
+        |  WHERE g1.src_id < g1.nbr_id),
+        |u0 AS (SELECT a_id AS u, b_id AS v FROM mp
+        |       UNION ALL SELECT b_id, a_id FROM mp)""".stripMargin +
+      (1 to 4).map(r =>
+        s"""u$r AS (
+           |  SELECT u, v FROM (
+           |    SELECT u, v, COUNT(*) OVER (PARTITION BY u) AS du,
+           |                 COUNT(*) OVER (PARTITION BY v) AS dv
+           |    FROM u${r - 1})
+           |  WHERE du >= 3 AND dv >= 3)""".stripMargin)
+        .mkString(",\n", ",\n", "\n") +
+      """SELECT u AS vec_id, COUNT(*) AS core_deg
+        |FROM u4
+        |GROUP BY 1
+        |ORDER BY vec_id""".stripMargin),
+
+    // z-score replay: integer-cent sufficient stats, the exact-integer
+    // rational z evaluated in IEEE doubles, the guarded |z| > 2 flag.
+    "x113_anomaly_zscores" ->
+      """WITH v AS (
+        |  SELECT event_id, event_type, value,
+        |    CAST(round(value * 100) AS BIGINT) AS vc
+        |  FROM events),
+        |st AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |    CAST(SUM(vc) AS BIGINT) AS s1,
+        |    CAST(SUM(vc * vc) AS BIGINT) AS s2
+        |  FROM v GROUP BY 1),
+        |zc AS (
+        |  SELECT v.event_id, v.event_type, v.value, st.n,
+        |    CAST(v.vc * st.n - st.s1 AS DOUBLE) AS num,
+        |    st.n * st.s2 - st.s1 * st.s1 AS varn2
+        |  FROM v JOIN st USING (event_type))
+        |SELECT event_id, event_type, value,
+        |  CASE WHEN n > 1 AND varn2 > 0
+        |    THEN round(num / sqrt(CAST(varn2 AS DOUBLE)), 6) END AS z,
+        |  COALESCE(CASE WHEN n > 1 AND varn2 > 0
+        |    THEN abs(num / sqrt(CAST(varn2 AS DOUBLE))) > 2.0 END,
+        |    FALSE) AS is_anomaly
+        |FROM zc
+        |ORDER BY event_id""".stripMargin,
   )
 }

@@ -2549,4 +2549,162 @@ class OpsSpec extends AnyFunSuite {
       s"coverage cosine must be non-decreasing: $covs")
     graft.ops.Caches.releaseAll()
   }
+
+  test("naive bayes: separable plant, tie determinism, partition invariance") {
+    import spark.implicits._
+    // two classes with disjoint vocab: held-out docs of pure class
+    // vocabulary must classify correctly
+    val train = Seq(
+      (1L, "apple banana cherry", "fruit"), (2L, "banana apple apple", "fruit"),
+      (3L, "iron copper zinc", "metal"), (4L, "zinc iron iron copper", "metal"))
+      .toDF("doc_id", "text", "label")
+    val m = graft.ops.Classify.trainNaiveBayes(train, "label", "text")
+    val test0 = Seq((10L, "apple banana"), (11L, "copper zinc zinc"))
+      .toDF("doc_id", "text")
+    val pred = graft.ops.Classify.nbScore(test0, "doc_id", "text", m)
+      .orderBy("doc_id").select("pred_label").as[String].collect().toSeq
+    assert(pred == Seq("fruit", "metal"), s"separable plant misclassified: $pred")
+    // tie: a word unseen in ANY class with symmetric classes (same doc
+    // counts, same token totals, same smoothing floor) scores equal →
+    // smallest label wins deterministically
+    val sym = Seq((1L, "aa bb", "c1"), (2L, "cc dd", "c2"))
+      .toDF("doc_id", "text", "label")
+    val ms = graft.ops.Classify.trainNaiveBayes(sym, "label", "text")
+    val tied = graft.ops.Classify.nbScore(
+        Seq((5L, "zz")).toDF("doc_id", "text"), "doc_id", "text", ms)
+      .select("pred_label").as[String].head()
+    assert(tied == "c1", s"tie must break on the smaller label: $tied")
+    // partition invariance on the real corpus: 1-partition == 13-partition
+    val tr = docs.filter(col("doc_id") % 5 =!= 0)
+    val te = docs.filter(col("doc_id") % 5 === 0)
+    val a = graft.ops.Classify.nbEvaluate(tr.coalesce(1), te.coalesce(1),
+        "doc_id", "lang", "text")
+      .orderBy("doc_id").collect().toSeq
+    val b = graft.ops.Classify.nbEvaluate(tr.repartition(13), te.repartition(13),
+        "doc_id", "lang", "text")
+      .orderBy("doc_id").collect().toSeq
+    assert(a == b, "NB result must be partition-invariant")
+    // the classifier must beat the 'always-majority-class' floor on the
+    // real held-out split (lang is learnable from token distributions)
+    val n = a.size
+    val nCorrect = a.count(_.getBoolean(4))
+    val majority = te.groupBy("lang").count()
+      .agg(max("count")).head().getLong(0)
+    assert(nCorrect > majority,
+      s"NB accuracy $nCorrect/$n must beat the majority floor $majority/$n")
+  }
+
+  test("funnel: sequential semantics, window rule, abandonment") {
+    import spark.implicits._
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val ev = Seq(
+      // user 1: full in-order funnel within the window
+      (1L, 1L, ts(1), "signup"), (2L, 1L, ts(2), "click"),
+      (3L, 1L, ts(3), "purchase"),
+      // user 2: purchase BEFORE click → sequential rule rejects it
+      (4L, 2L, ts(1), "signup"), (5L, 2L, ts(2), "purchase"),
+      (6L, 2L, ts(3), "click"),
+      // user 3: abandons after click
+      (7L, 3L, ts(1), "signup"), (8L, 3L, ts(2), "click"),
+      // user 4: no signup → not in the funnel at all
+      (9L, 4L, ts(1), "click"), (10L, 4L, ts(2), "purchase"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val out = graft.ops.EventAnalytics.funnel(ev, "user_id", "ts",
+        "event_type", Seq("signup", "click", "purchase"), withinHours = 1)
+      .orderBy("user_id")
+      .select("user_id", "n_stages", "converted")
+      .as[(Long, Int, Boolean)].collect().toSeq
+    assert(out == Seq((1L, 3, true), (2L, 2, false), (3L, 2, false)),
+      s"funnel semantics: $out")
+    // window rule: purchase outside the 1 h window reaches stage 3 but
+    // does not convert
+    val late = Seq((1L, 1L, ts(1), "signup"), (2L, 1L, ts(2), "click"),
+      (3L, 1L, java.sql.Timestamp.valueOf("2024-01-01 02:00:00"), "purchase"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val lr = graft.ops.EventAnalytics.funnel(late, "user_id", "ts",
+        "event_type", Seq("signup", "click", "purchase"), withinHours = 1)
+      .select("n_stages", "converted").as[(Int, Boolean)].head()
+    assert(lr == ((3, false)), s"late conversion must not count: $lr")
+  }
+
+  test("retention matrix and transition matrix on a planted log") {
+    import spark.implicits._
+    def d(day: Int, h: Int = 0) =
+      java.sql.Timestamp.valueOf(f"2024-01-$day%02d $h%02d:00:00")
+    val ev = Seq(
+      // user 1 cohort Jan 1, active day 0 and day 2 (two events on day 2
+      // count once)
+      (1L, 1L, d(1), "view"), (2L, 1L, d(3), "view"), (3L, 1L, d(3, 5), "click"),
+      // user 2 cohort Jan 3, active day 0 only
+      (4L, 2L, d(3), "view"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val ret = graft.ops.EventAnalytics.retentionMatrix(ev, "user_id", "ts")
+      .orderBy("cohort_day", "offset_days")
+      .select(col("cohort_day").cast("string"), col("offset_days"), col("n_users"))
+      .as[(String, Int, Long)].collect().toSeq
+    assert(ret == Seq(("2024-01-01 00:00:00", 0, 1L), ("2024-01-01 00:00:00", 2, 1L),
+      ("2024-01-03 00:00:00", 0, 1L)), s"retention matrix: $ret")
+    // transitions for user 1: view->view (d1->d3), view->click (same day,
+    // ordered by ts); user 2 contributes none
+    val tm = graft.ops.EventAnalytics.transitionMatrix(ev, "user_id", "ts",
+        "event_type", "event_id")
+      .orderBy("src_type", "dst_type")
+      .select("src_type", "dst_type", "n_transitions", "p")
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(tm == Seq(("view", "click", 1L, 0.5), ("view", "view", 1L, 0.5)),
+      s"transition matrix: $tm")
+    // equal-timestamp tie breaks on event_id: two simultaneous events
+    // order by id
+    val tie = Seq((1L, 1L, d(1), "a"), (3L, 1L, d(2), "c"), (2L, 1L, d(2), "b"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val tt = graft.ops.EventAnalytics.transitionMatrix(tie, "user_id", "ts",
+        "event_type", "event_id")
+      .orderBy("src_type").select("src_type", "dst_type")
+      .as[(String, String)].collect().toSeq
+    assert(tt == Seq(("a", "b"), ("b", "c")), s"tie order must be by id: $tt")
+  }
+
+  test("k-core peeling: K4 survives k=3, triangle and pendants peel off") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} (degree 3 each) + triangle {10,11,12} (degree 2)
+    // + pendant 20-1
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (10L, 11L), (10L, 12L), (11L, 12L), (1L, 20L))
+      .toDF("a_id", "b_id")
+    val core = graft.ops.Graph.kCore(pairs, k = 3, rounds = 3)
+      .orderBy("vec_id").as[(Long, Long)].collect().toSeq
+    assert(core == Seq((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L)),
+      s"k=3 core must be exactly K4: $core")
+    // k=2: triangle survives too, pendant still peels
+    val core2 = graft.ops.Graph.kCore(pairs, k = 2, rounds = 3)
+      .select("vec_id").as[Long].collect().toSet
+    assert(core2 == Set(1L, 2L, 3L, 4L, 10L, 11L, 12L), s"k=2 core: $core2")
+    // convergence: extra rounds change nothing once a round removes nothing
+    val a = graft.ops.Graph.kCore(pairs, k = 3, rounds = 3)
+      .orderBy("vec_id").collect().toSeq
+    val b = graft.ops.Graph.kCore(pairs, k = 3, rounds = 6)
+      .orderBy("vec_id").collect().toSeq
+    assert(a == b, "peeling is monotone: converged result must be stable")
+    graft.ops.Caches.releaseAll()
+  }
+
+  test("z-score anomaly: planted outlier flags, zero-variance guard") {
+    import spark.implicits._
+    // slice A: nine 10.00s and one 110.00 → the outlier's z is large
+    val ev = ((1 to 9).map(i => (i.toLong, "A", 10.0)) :+ (10L, "A", 110.0))
+      .toDF("event_id", "event_type", "value")
+    val out = graft.ops.EventAnalytics.anomalyScores(ev, "event_type",
+        "value", "event_id")
+      .orderBy("event_id").collect()
+    assert(out.count(_.getBoolean(4)) == 1 && out.last.getBoolean(4),
+      "exactly the planted outlier must flag")
+    assert(out.last.getDouble(3) > 2.8, s"outlier z: ${out.last.getDouble(3)}")
+    // zero-variance slice: null z, never anomalous
+    val flat = Seq((1L, "B", 5.0), (2L, "B", 5.0))
+      .toDF("event_id", "event_type", "value")
+    val fo = graft.ops.EventAnalytics.anomalyScores(flat, "event_type",
+        "value", "event_id").collect()
+    assert(fo.forall(r => r.isNullAt(3) && !r.getBoolean(4)),
+      "zero-variance slice must emit null z and false flags")
+  }
 }
