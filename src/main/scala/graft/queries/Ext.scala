@@ -1812,6 +1812,49 @@ object Ext {
     * label propagation): the graph is the stored artifact; each
     * consumer appends its own relational tail (starting `SELECT …` or
     * `, cte AS …`). `e` (vec_id, v) stays visible to tails. */
+  /** The full Naive-Bayes replay, parameterized by the train/test split
+    * predicates on `documents` — shared by x108 (the %5 evaluation
+    * split) and s17 (the streaming ingest screen's static/arrival
+    * split): per-class doc/token counts, V, N, the smoothed fixed-point
+    * likelihood grid, exact per-(doc, class) integer sums, argmax on
+    * (score DESC, label ASC). */
+  private[queries] def nbEvalSql(trainWhere: String, testWhere: String): String =
+    s"""WITH train AS (SELECT doc_id, lang, text FROM documents WHERE $trainWhere),
+       |test AS (SELECT doc_id, lang, text FROM documents WHERE $testWhere),""".stripMargin +
+    """
+      |ttok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM train),
+      |cls AS (SELECT lang, COUNT(*) AS n_docs FROM train GROUP BY 1),
+      |ctok AS (SELECT lang, COUNT(*) AS n_tok FROM ttok GROUP BY 1),
+      |wc AS (SELECT lang, w, COUNT(*) AS cwc FROM ttok GROUP BY 1, 2),
+      |v AS (SELECT COUNT(DISTINCT w) AS vsz FROM ttok),
+      |n AS (SELECT COUNT(*) AS ntr FROM train),
+      |pri AS (
+      |  SELECT cls.lang,
+      |    CAST(floor(ln(CAST(cls.n_docs AS DOUBLE) / n.ntr) * 1000000000000.0) AS BIGINT) AS prior_fix,
+      |    ctok.n_tok
+      |  FROM cls JOIN ctok USING (lang), n),
+      |stok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM test),
+      |term AS (
+      |  SELECT s.doc_id, p.lang, p.prior_fix,
+      |    CAST(floor(ln((COALESCE(wc.cwc, 0) + 1.0) /
+      |      CAST(p.n_tok + v.vsz AS DOUBLE)) * 1000000000000.0) AS BIGINT) AS lw_fix
+      |  FROM stok s CROSS JOIN pri p
+      |  LEFT JOIN wc ON wc.lang = p.lang AND wc.w = s.w, v),
+      |tot AS (
+      |  SELECT doc_id, lang, prior_fix + CAST(SUM(lw_fix) AS BIGINT) AS score_fix
+      |  FROM term GROUP BY doc_id, lang, prior_fix),
+      |best AS (
+      |  SELECT doc_id, lang AS pred_label, score_fix,
+      |    row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY score_fix DESC, lang ASC) AS rn
+      |  FROM tot)
+      |SELECT b.doc_id, te.lang AS actual_label, b.pred_label,
+      |  round(CAST(b.score_fix AS DOUBLE) / 1000000000000.0, 6) AS score_nats,
+      |  te.lang = b.pred_label AS is_correct
+      |FROM best b JOIN test te USING (doc_id)
+      |WHERE b.rn = 1
+      |ORDER BY b.doc_id""".stripMargin
+
   private def bandedGraphSql(tail: String): String =
     """WITH h AS (
       |  SELECT b, list_transform(generate_series(0, 63),
@@ -5316,41 +5359,7 @@ object Ext {
     // NB replay: the full training (per-class doc/token counts, V, N),
     // the smoothed fixed-point likelihood grid, exact per-(doc, class)
     // integer sums, argmax on (score DESC, label ASC).
-    "x108_nb_classifier" ->
-      """WITH train AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 5 <> 0),
-        |test AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 5 = 0),
-        |ttok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM train),
-        |cls AS (SELECT lang, COUNT(*) AS n_docs FROM train GROUP BY 1),
-        |ctok AS (SELECT lang, COUNT(*) AS n_tok FROM ttok GROUP BY 1),
-        |wc AS (SELECT lang, w, COUNT(*) AS cwc FROM ttok GROUP BY 1, 2),
-        |v AS (SELECT COUNT(DISTINCT w) AS vsz FROM ttok),
-        |n AS (SELECT COUNT(*) AS ntr FROM train),
-        |pri AS (
-        |  SELECT cls.lang,
-        |    CAST(floor(ln(CAST(cls.n_docs AS DOUBLE) / n.ntr) * 1000000000000.0) AS BIGINT) AS prior_fix,
-        |    ctok.n_tok
-        |  FROM cls JOIN ctok USING (lang), n),
-        |stok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM test),
-        |term AS (
-        |  SELECT s.doc_id, p.lang, p.prior_fix,
-        |    CAST(floor(ln((COALESCE(wc.cwc, 0) + 1.0) /
-        |      CAST(p.n_tok + v.vsz AS DOUBLE)) * 1000000000000.0) AS BIGINT) AS lw_fix
-        |  FROM stok s CROSS JOIN pri p
-        |  LEFT JOIN wc ON wc.lang = p.lang AND wc.w = s.w, v),
-        |tot AS (
-        |  SELECT doc_id, lang, prior_fix + CAST(SUM(lw_fix) AS BIGINT) AS score_fix
-        |  FROM term GROUP BY doc_id, lang, prior_fix),
-        |best AS (
-        |  SELECT doc_id, lang AS pred_label, score_fix,
-        |    row_number() OVER (PARTITION BY doc_id
-        |      ORDER BY score_fix DESC, lang ASC) AS rn
-        |  FROM tot)
-        |SELECT b.doc_id, te.lang AS actual_label, b.pred_label,
-        |  round(CAST(b.score_fix AS DOUBLE) / 1000000000000.0, 6) AS score_nats,
-        |  te.lang = b.pred_label AS is_correct
-        |FROM best b JOIN test te USING (doc_id)
-        |WHERE b.rn = 1
-        |ORDER BY b.doc_id""".stripMargin,
+    "x108_nb_classifier" -> nbEvalSql("doc_id % 5 <> 0", "doc_id % 5 = 0"),
 
     // Funnel replay: three sequential conditional-min CTEs, the stage
     // count, the 48 h conversion-window rule.

@@ -976,6 +976,67 @@ object StreamGate {
       }
     },
 
+    // Streaming CLASSIFIER-SCREENED ingest (s17): each arriving
+    // micro-batch of documents is scored by the FROZEN Naive-Bayes model
+    // trained on the static corpus (doc_id < 400, label = lang) — the
+    // deployment form of x108, i.e. model-based language/quality
+    // screening at the ingest edge (the role fastText plays in
+    // CCNet-style pipelines). Scoring is a pure per-document function of
+    // the frozen model (explode + broadcast model joins + one per-doc
+    // argmax aggregate), so a doc's verdict cannot depend on its
+    // batch-mates or on which batch carried it — the streamed union
+    // equals the batch evaluation on the same split, which is the
+    // oracle (the x108 SQL on the <400/≥400 split). ≥2 data batches
+    // asserted; verdicts land in an append-mode parquet table as
+    // batches commit.
+    "s17_stream_classify_screening" -> { (s, dir) =>
+      val topic = incomingDocsTopic(s, dir)
+      withGateConf(s) {
+        val m = {
+          val m0 = graft.ops.Classify.trainNaiveBayes(
+            Tables.documents(s, dir).filter(col("doc_id") < 400),
+            "lang", "text")
+          // freeze the model frames: every micro-batch joins them, and an
+          // unmaterialized lineage would re-run training per batch
+          graft.ops.Classify.NbModel(
+            graft.ops.Caches.localCheckpointTracked(m0.classStats),
+            graft.ops.Caches.localCheckpointTracked(m0.wordCounts),
+            m0.vocabSize)
+        }
+        val sink = gateTmpDir("s17_sink_")
+        val ckpt = gateTmpDir("s17_ckpt_")
+        val stream = s.readStream.format("graft-topic")
+          .option("topic", topic)
+          .option("maxRecordsPerTrigger", math.max(1L, topicSize(topic) / 2).toString)
+          .load()
+          .select(from_json(col("value").cast("string"), org.apache.spark.sql.types
+            .StructType.fromDDL("doc_id BIGINT, text STRING, lang STRING")).as("j"))
+          .select(col("j.doc_id").as("doc_id"), col("j.text").as("text"),
+            col("j.lang").as("lang"))
+        val q = stream.writeStream
+          .foreachBatch { (df: DataFrame, _: Long) =>
+            graft.ops.Classify.nbScore(df, "doc_id", "text", m)
+              .join(df.select(col("doc_id"), col("lang").as("actual_label")),
+                Seq("doc_id"))
+              .select(col("doc_id"), col("actual_label"), col("pred_label"),
+                col("score_nats"),
+                (col("actual_label") === col("pred_label")).as("is_correct"))
+              .write.mode("append").parquet(sink.toString)
+            ()
+          }
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        drain(q, ckpt)
+        require(dataBatches(q) >= 2,
+          s"s17 must screen across batches; ran ${dataBatches(q)} data batches")
+        val out = graft.ops.Caches.localCheckpointTracked(
+          s.read.parquet(sink.toString).orderBy("doc_id"))
+        cleanupStep("sink delete")(graft.util.Fs.deleteTree(sink))
+        out
+      }
+    },
+
     // Streaming exact dedup under the gate: events replayed through the
     // topic → dropDuplicatesWithinWatermark(user_id) → append-mode memory
     // sink. WHICH occurrence survives is arrival-order-dependent, so the
@@ -1364,6 +1425,12 @@ object StreamGate {
     // cross-side-only (doc vs corpus), so micro-batch boundaries cannot
     // show in any per-doc verdict — share x50's oracle SQL verbatim.
     "s09_stream_ingest_screening" -> Ext.oracle("x50_incremental_dedup"),
+
+    // NB scoring under a frozen model is a pure per-document function,
+    // so the streamed verdicts equal the batch evaluation on the same
+    // static/arrival split: the x108 replay on <400 / >=400.
+    "s17_stream_classify_screening" ->
+      Ext.nbEvalSql("doc_id < 400", "doc_id >= 400"),
 
     // Shard membership is a pure function of the row and every manifest
     // field commutes, so the streamed partitioned tree's manifest equals
