@@ -101,12 +101,53 @@ object Classify {
     * train on one split, score the held-out split, emit per-doc
     * prediction + correctness. */
   def nbEvaluate(train: DataFrame, test: DataFrame, idCol: String,
-                 labelCol: String, textCol: String): DataFrame = {
-    val m = trainNaiveBayes(train, labelCol, textCol)
+                 labelCol: String, textCol: String): DataFrame =
+    nbEvaluate(trainNaiveBayes(train, labelCol, textCol), test,
+      idCol, labelCol, textCol)
+
+  /** Evaluation under an already-trained model (shared by x114's report
+    * so train runs once for scoring AND reporting). */
+  def nbEvaluate(m: NbModel, test: DataFrame, idCol: String,
+                 labelCol: String, textCol: String): DataFrame =
     nbScore(test, idCol, textCol, m)
       .join(test.select(col(idCol), col(labelCol).as("actual_label")), Seq(idCol))
       .select(col(idCol), col("actual_label"), col("pred_label"),
         col("score_nats"),
         (col("actual_label") === col("pred_label")).as("is_correct"))
+
+  /** Per-class quality report over an [[nbEvaluate]] frame — the
+    * precision/recall/F1 table a pipeline reads before trusting the
+    * filter. One row per MODEL class (classes absent from the held-out
+    * actuals still report their precision): n_actual, n_pred,
+    * n_correct, precision = correct/pred, recall = correct/actual, and
+    * F1 via the integer-friendly identity 2·correct/(actual + pred)
+    * (≡ 2PR/(P+R) — one exact-rational division, so the x114 oracle
+    * replays it without FP-ordering concerns). Three class-keyed
+    * counts over the doc-sized eval frame; the report is
+    * classes-sized. */
+  def nbClassReport(m: NbModel, evaluated: DataFrame): DataFrame = {
+    val na = evaluated.groupBy(col("actual_label").as("label"))
+      .agg(count(lit(1)).as("n_actual"))
+    val np = evaluated.groupBy(col("pred_label").as("label"))
+      .agg(count(lit(1)).as("n_pred"))
+    val nc = evaluated.filter(col("actual_label") === col("pred_label"))
+      .groupBy(col("actual_label").as("label"))
+      .agg(count(lit(1)).as("n_correct"))
+    val base = m.classStats.select("label")
+      .join(na, Seq("label"), "left")
+      .join(np, Seq("label"), "left")
+      .join(nc, Seq("label"), "left")
+      .select(col("label"),
+        coalesce(col("n_actual"), lit(0L)).as("n_actual"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        coalesce(col("n_correct"), lit(0L)).as("n_correct"))
+    base.select(col("label"), col("n_actual"), col("n_pred"), col("n_correct"),
+      when(col("n_pred") > 0,
+        round(col("n_correct").cast("double") / col("n_pred"), 6)).as("precision"),
+      when(col("n_actual") > 0,
+        round(col("n_correct").cast("double") / col("n_actual"), 6)).as("recall"),
+      when(col("n_actual") + col("n_pred") > 0,
+        round(lit(2.0) * col("n_correct") /
+          (col("n_actual") + col("n_pred")), 6)).as("f1"))
   }
 }

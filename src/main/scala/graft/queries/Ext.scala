@@ -1800,6 +1800,36 @@ object Ext {
           "value", "event_id")
         .orderBy("event_id")
     },
+
+    // CLASSIFIER quality report (x114): per-class precision/recall/F1
+    // over the x108 held-out evaluation — the table a pipeline reads
+    // before trusting the filter. The model trains ONCE for scoring and
+    // reporting; F1 uses the exact-rational 2·correct/(actual + pred).
+    "x114_classifier_report" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val m = Classify.trainNaiveBayes(
+        docs.filter(col("doc_id") % 5 =!= 0), "lang", "text")
+      Classify.nbClassReport(m,
+          Classify.nbEvaluate(m, docs.filter(col("doc_id") % 5 === 0),
+            "doc_id", "lang", "text"))
+        .orderBy("label")
+    },
+
+    // p05: CLASSIFIER-screened export — the model-based sibling of p02
+    // (quality-gate keeper) and p04 (graph keeper): train NB on the
+    // labeled slice, screen the WHOLE corpus, export the docs predicted
+    // 'en' through x66's shard manifest. Any drift in training, scoring,
+    // the argmax, or the manifest arithmetic flips the shard checksums.
+    "p05_classify_screen_export" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val m = Classify.trainNaiveBayes(
+        docs.filter(col("doc_id") % 5 =!= 0), "lang", "text")
+      val kept = Classify.nbScore(docs, "doc_id", "text", m)
+        .filter(col("pred_label") === "en")
+        .select("doc_id")
+      Export.shardManifest(docs.join(kept, Seq("doc_id"), "left_semi"),
+        "doc_id", "text", nShards = 8)
+    },
   )
 
   /** x72's full replay, parameterized by the Lloyd-TRAINING source
@@ -1819,6 +1849,20 @@ object Ext {
     * likelihood grid, exact per-(doc, class) integer sums, argmax on
     * (score DESC, label ASC). */
   private[queries] def nbEvalSql(trainWhere: String, testWhere: String): String =
+    nbChainSql(trainWhere, testWhere) +
+    """
+      |SELECT b.doc_id, te.lang AS actual_label, b.pred_label,
+      |  round(CAST(b.score_fix AS DOUBLE) / 1000000000000.0, 6) AS score_nats,
+      |  te.lang = b.pred_label AS is_correct
+      |FROM best b JOIN test te USING (doc_id)
+      |WHERE b.rn = 1
+      |ORDER BY b.doc_id""".stripMargin
+
+  /** The NB chain up to `best` (per-doc argmax rank 1) with `train`,
+    * `test`, `cls` in scope — consumers append their own tail (x108/s17
+    * emit per-doc verdicts; x114 aggregates the per-class report; p05
+    * composes the screened export). */
+  private[queries] def nbChainSql(trainWhere: String, testWhere: String): String =
     s"""WITH train AS (SELECT doc_id, lang, text FROM documents WHERE $trainWhere),
        |test AS (SELECT doc_id, lang, text FROM documents WHERE $testWhere),""".stripMargin +
     """
@@ -1847,13 +1891,7 @@ object Ext {
       |  SELECT doc_id, lang AS pred_label, score_fix,
       |    row_number() OVER (PARTITION BY doc_id
       |      ORDER BY score_fix DESC, lang ASC) AS rn
-      |  FROM tot)
-      |SELECT b.doc_id, te.lang AS actual_label, b.pred_label,
-      |  round(CAST(b.score_fix AS DOUBLE) / 1000000000000.0, 6) AS score_nats,
-      |  te.lang = b.pred_label AS is_correct
-      |FROM best b JOIN test te USING (doc_id)
-      |WHERE b.rn = 1
-      |ORDER BY b.doc_id""".stripMargin
+      |  FROM tot)""".stripMargin
 
   private def bandedGraphSql(tail: String): String =
     """WITH h AS (
@@ -5360,6 +5398,58 @@ object Ext {
     // the smoothed fixed-point likelihood grid, exact per-(doc, class)
     // integer sums, argmax on (score DESC, label ASC).
     "x108_nb_classifier" -> nbEvalSql("doc_id % 5 <> 0", "doc_id % 5 = 0"),
+
+    // Report replay: the x108 chain, per-doc argmax verdicts, three
+    // class-keyed counts, the model-class axis, guarded exact-rational
+    // precision/recall and the 2·correct/(actual+pred) F1 identity.
+    "x114_classifier_report" ->
+      (nbChainSql("doc_id % 5 <> 0", "doc_id % 5 = 0") +
+        """,
+          |eval AS (
+          |  SELECT b.doc_id, te.lang AS actual_label, b.pred_label
+          |  FROM best b JOIN test te USING (doc_id) WHERE b.rn = 1),
+          |na AS (SELECT actual_label AS label, COUNT(*) AS n_actual
+          |       FROM eval GROUP BY 1),
+          |np AS (SELECT pred_label AS label, COUNT(*) AS n_pred
+          |       FROM eval GROUP BY 1),
+          |nc AS (SELECT actual_label AS label, COUNT(*) AS n_correct
+          |       FROM eval WHERE actual_label = pred_label GROUP BY 1),
+          |rep AS (
+          |  SELECT cls.lang AS label,
+          |    COALESCE(na.n_actual, 0) AS n_actual,
+          |    COALESCE(np.n_pred, 0) AS n_pred,
+          |    COALESCE(nc.n_correct, 0) AS n_correct
+          |  FROM cls
+          |  LEFT JOIN na ON na.label = cls.lang
+          |  LEFT JOIN np ON np.label = cls.lang
+          |  LEFT JOIN nc ON nc.label = cls.lang)
+          |SELECT label, n_actual, n_pred, n_correct,
+          |  CASE WHEN n_pred > 0
+          |    THEN round(CAST(n_correct AS DOUBLE) / n_pred, 6) END AS precision,
+          |  CASE WHEN n_actual > 0
+          |    THEN round(CAST(n_correct AS DOUBLE) / n_actual, 6) END AS recall,
+          |  CASE WHEN n_actual + n_pred > 0
+          |    THEN round(2.0 * n_correct / (n_actual + n_pred), 6) END AS f1
+          |FROM rep ORDER BY label""".stripMargin),
+
+    // p05 replay: the NB chain screening the WHOLE corpus (test = all
+    // docs), the pred='en' keeper set, and x66's manifest arithmetic
+    // over the kept documents.
+    "p05_classify_screen_export" ->
+      (nbChainSql("doc_id % 5 <> 0", "1 = 1") +
+        """,
+          |kept AS (
+          |  SELECT doc_id FROM best WHERE rn = 1 AND pred_label = 'en'),
+          |d AS (
+          |  SELECT d0.doc_id,
+          |    CAST(CAST('0x' || substr(md5('shard:' || CAST(d0.doc_id AS VARCHAR)), 1, 8) AS UBIGINT) AS BIGINT) % 8 AS shard,
+          |    len(list_filter(string_split(d0.text, ' '), t -> t <> '')) AS ntok,
+          |    CAST(CAST('0x' || substr(md5(CAST(d0.doc_id AS VARCHAR) || ':' || d0.text), 1, 8) AS UBIGINT) AS BIGINT) AS chk
+          |  FROM documents d0 JOIN kept USING (doc_id))
+          |SELECT shard, COUNT(*) AS n_docs, CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+          |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id,
+          |  CAST(SUM(chk) AS BIGINT) AS checksum
+          |FROM d GROUP BY shard ORDER BY shard""".stripMargin),
 
     // Funnel replay: three sequential conditional-min CTEs, the stage
     // count, the 48 h conversion-window rule.

@@ -2688,6 +2688,32 @@ class OpsSpec extends AnyFunSuite {
     graft.ops.Caches.releaseAll()
   }
 
+  test("nb class report: count conservation, F1 identity, model-class axis") {
+    import spark.implicits._
+    val tr = docs.filter(col("doc_id") % 5 =!= 0)
+    val te = docs.filter(col("doc_id") % 5 === 0)
+    val m = graft.ops.Classify.trainNaiveBayes(tr, "lang", "text")
+    val ev = graft.ops.Classify.nbEvaluate(m, te, "doc_id", "lang", "text")
+    val rep = graft.ops.Classify.nbClassReport(m, ev).orderBy("label").collect()
+    val nTest = te.count()
+    // one row per model class; actual and predicted masses both
+    // conserve the held-out doc count
+    assert(rep.length == m.classStats.count().toInt)
+    assert(rep.map(_.getLong(1)).sum == nTest, "sum(n_actual) = |held-out|")
+    assert(rep.map(_.getLong(2)).sum == nTest, "sum(n_pred) = |held-out|")
+    val correct = ev.filter(col("is_correct")).count()
+    assert(rep.map(_.getLong(3)).sum == correct, "sum(n_correct) conserves")
+    // F1 = 2·correct/(actual+pred) equals the harmonic 2PR/(P+R) on
+    // every class with nonzero precision and recall
+    rep.filter(r => r.getLong(2) > 0 && r.getLong(1) > 0 && r.getLong(3) > 0)
+      .foreach { r =>
+        val p = r.getLong(3).toDouble / r.getLong(2)
+        val q = r.getLong(3).toDouble / r.getLong(1)
+        assert(math.abs(r.getDouble(6) - 2 * p * q / (p + q)) < 1e-6,
+          s"F1 identity broke for ${r.getString(0)}")
+      }
+  }
+
   test("z-score anomaly: planted outlier flags, zero-variance guard") {
     import spark.implicits._
     // slice A: nine 10.00s and one 110.00 → the outlier's z is large

@@ -903,4 +903,45 @@ class ScaleSpec extends AnyFunSuite {
       s"cartesian in mmr plan:\n$mPlan")
     graft.ops.Caches.releaseAll()
   }
+
+  test("x108 NB scoring: word-count model broadcasts, argmax is an aggregate, no window") {
+    val docs = Tables.documents(spark, dir)
+    val m = graft.ops.Classify.trainNaiveBayes(
+      docs.filter(col("doc_id") % 5 =!= 0), "lang", "text")
+    val plan = graft.ops.Classify.nbScore(
+        docs.filter(col("doc_id") % 5 === 0), "doc_id", "text", m)
+      .queryExecution.executedPlan.toString
+    // scoring must be scan + class-table broadcast (the one intended
+    // model-sized nested loop) + broadcast hash join on (label, w) +
+    // two combinable aggregates — a shuffled model join or a per-doc
+    // rank window would not survive the 100 TB scoring sweep
+    assert(plan.contains("BroadcastHashJoin"),
+      s"word-count model join must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus must never sort-merge-join the model:\n$plan")
+    assert(!plan.contains("Window"),
+      s"per-doc argmax must be an aggregate, not a window:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("event analytics: user/type-keyed joins only — no cartesian; stats broadcast") {
+    val ev = Tables.events(spark, dir)
+    val fPlan = graft.ops.EventAnalytics.funnel(ev, "user_id", "ts",
+        "event_type", Seq("signup", "click", "purchase"), 48)
+      .queryExecution.executedPlan.toString
+    assert(!fPlan.contains("CartesianProduct") &&
+           !fPlan.contains("BroadcastNestedLoopJoin") &&
+           !fPlan.contains("Window"),
+      s"funnel must be keyed joins + conditional-min aggs:\n$fPlan")
+    val aPlan = graft.ops.EventAnalytics.anomalyScores(ev, "event_type",
+        "value", "event_id").queryExecution.executedPlan.toString
+    assert(aPlan.contains("BroadcastHashJoin"),
+      s"slice sufficient-stats join must broadcast:\n$aPlan")
+    assert(!aPlan.contains("Window") && !aPlan.contains("CartesianProduct"),
+      aPlan)
+    val tPlan = graft.ops.EventAnalytics.transitionMatrix(ev, "user_id",
+        "ts", "event_type", "event_id").queryExecution.executedPlan.toString
+    assert(!tPlan.contains("CartesianProduct") &&
+           !tPlan.contains("BroadcastNestedLoopJoin"), tPlan)
+  }
 }
