@@ -475,6 +475,29 @@ object ScaleProbe {
         }
         val best = runs.minBy(_._1)
         println(f"x67 best-of-2 (auto k=${graft.ops.Similarity.autoCellCount(emb)}): wall=${best._1}%.2f s cpu=${best._2}%.1f s")
+      case "classify" =>
+        // NB classifier growth, bench protocol: train on the %5≠0 slice
+        // + score the held-out slice, best-of-2 — the x108 shape minus
+        // the final orderBy (the measurement targets the model passes,
+        // not the output sort)
+        val docs = spark.read.parquet(args(0) + "/documents.parquet")
+        val tr = docs.filter(col("doc_id") % 5 =!= 0)
+        val te = docs.filter(col("doc_id") % 5 === 0)
+        val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+          .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+        val runs = (1 to 2).map { _ =>
+          val c0 = os.getProcessCpuTime
+          val t0 = System.nanoTime()
+          val m = graft.ops.Classify.trainNaiveBayes(tr, "lang", "text")
+          graft.ops.Classify.nbScore(te, "doc_id", "text", m)
+            .write.format("noop").mode("overwrite").save()
+          val r = ((System.nanoTime() - t0) / 1e9, (os.getProcessCpuTime - c0) / 1e9)
+          graft.ops.Caches.releaseAll()
+          System.gc()
+          r
+        }
+        val best = runs.minBy(_._1)
+        println(f"classify best-of-2: train=${tr.count()} test=${te.count()} wall=${best._1}%.2f s cpu=${best._2}%.1f s")
       case "semdedup" =>
         val emb = spark.read.parquet(args(0) + "/embeddings.parquet")
         for (bandBits <- Seq(8, 16); _ <- 1 to 2) {
