@@ -99,4 +99,29 @@ object Export {
       .repartition(nShards, col("shard"))
       .sortWithinPartitions(col("shard"), col(idCol))
       .write.mode("overwrite").partitionBy("shard").parquet(path)
+
+  /** SNAPSHOT DIFF — the change-data report between two versions of a
+    * corpus (the dataset-ops view a curation pipeline publishes next to
+    * each refresh): one row per id in either snapshot with
+    * status ∈ {added, removed, changed, unchanged} and both payload
+    * fingerprints. Content equality is md5-of-payload, so the verdict
+    * is insensitive to row order, file layout, or storage encoding —
+    * and the x115 oracle replays it verbatim.
+    *
+    * Shape: two codegen'd fingerprint scans + ONE id-keyed full-outer
+    * join — never payload × payload; at 100 TB both sides shuffle once
+    * on the id (or co-locate for free if the snapshots share an
+    * id-bucketed layout). */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
+                   payloadCol: String): DataFrame = {
+    val o = oldDf.select(col(idCol), md5(col(payloadCol)).as("old_fp"))
+    val n = newDf.select(col(idCol), md5(col(payloadCol)).as("new_fp"))
+    o.join(n, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("old_fp").isNull, "added")
+          .when(col("new_fp").isNull, "removed")
+          .when(col("old_fp") === col("new_fp"), "unchanged")
+          .otherwise("changed").as("status"),
+        col("old_fp"), col("new_fp"))
+  }
 }

@@ -1815,6 +1815,20 @@ object Ext {
         .orderBy("label")
     },
 
+    // SNAPSHOT DIFF (x115): change-data report between two corpus
+    // versions — old = doc_id < 450, new = doc_id ≥ 50 with every
+    // %9 doc's text rewritten — added/removed/changed/unchanged per id
+    // by payload fingerprint, one id-keyed full-outer join.
+    "x115_snapshot_diff" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val oldV = docs.filter(col("doc_id") < 450).select(col("doc_id"), col("text"))
+      val newV = docs.filter(col("doc_id") >= 50)
+        .select(col("doc_id"),
+          when(col("doc_id") % 9 === 0, upper(col("text")))
+            .otherwise(col("text")).as("text"))
+      Export.snapshotDiff(oldV, newV, "doc_id", "text").orderBy("doc_id")
+    },
+
     // p05: CLASSIFIER-screened export — the model-based sibling of p02
     // (quality-gate keeper) and p04 (graph keeper): train NB on the
     // labeled slice, screen the WHOLE corpus, export the docs predicted
@@ -5532,6 +5546,24 @@ object Ext {
         |FROM u4
         |GROUP BY 1
         |ORDER BY vec_id""".stripMargin),
+
+    // Diff replay: both fingerprint scans (the %9 rewrite included),
+    // one full-outer join, the 4-way status CASE.
+    "x115_snapshot_diff" ->
+      """WITH o AS (
+        |  SELECT doc_id, md5(text) AS old_fp FROM documents WHERE doc_id < 450),
+        |nw AS (
+        |  SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 9 = 0 THEN upper(text) ELSE text END) AS new_fp
+        |  FROM documents WHERE doc_id >= 50)
+        |SELECT COALESCE(o.doc_id, nw.doc_id) AS doc_id,
+        |  CASE WHEN o.old_fp IS NULL THEN 'added'
+        |       WHEN nw.new_fp IS NULL THEN 'removed'
+        |       WHEN o.old_fp = nw.new_fp THEN 'unchanged'
+        |       ELSE 'changed' END AS status,
+        |  o.old_fp, nw.new_fp
+        |FROM o FULL OUTER JOIN nw ON o.doc_id = nw.doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     // z-score replay: integer-cent sufficient stats, the exact-integer
     // rational z evaluated in IEEE doubles, the guarded |z| > 2 flag.

@@ -625,6 +625,18 @@ object Relational {
         .orderBy("o_orderkey")
     },
 
+    // -- Ordered string aggregation (LISTAGG/string_agg): the collect →
+    //    sort → join form is deterministic regardless of Spark's
+    //    undefined collect_set order because the sort happens AFTER
+    //    collection — the only safe way to hash-gate list aggregation.
+    "q50_ordered_listagg" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy("lang")
+        .agg(array_join(array_sort(collect_set(col("source"))), ",").as("sources"),
+          countDistinct(col("source")).as("n_sources"))
+        .orderBy("lang")
+    },
+
     // -- Session windows (gap-based sessionization) in batch: the same
     //    session_window expression the streaming path uses; oracle =
     //    lag/cumulative-sum sessionization. Session = [min ts, max ts+gap).
@@ -1006,6 +1018,12 @@ object Relational {
         |FROM grid LEFT JOIN hourly
         |  ON grid.user_id = hourly.user_id AND grid.h = hourly.h
         |ORDER BY grid.user_id, grid.h""".stripMargin,
+
+    "q50_ordered_listagg" ->
+      """SELECT lang,
+        |  string_agg(DISTINCT source, ',' ORDER BY source) AS sources,
+        |  COUNT(DISTINCT source) AS n_sources
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q49_rank_distributions" ->
       """SELECT o_orderkey, o_orderpriority,

@@ -2714,6 +2714,20 @@ class OpsSpec extends AnyFunSuite {
       }
   }
 
+  test("snapshot diff: all four statuses on a planted pair of versions") {
+    import spark.implicits._
+    val oldV = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "text")
+    val newV = Seq((2L, "b"), (3L, "C"), (4L, "d")).toDF("id", "text")
+    val out = graft.ops.Export.snapshotDiff(oldV, newV, "id", "text")
+      .orderBy("id").select("id", "status").as[(Long, String)].collect().toSeq
+    assert(out == Seq((1L, "removed"), (2L, "unchanged"), (3L, "changed"),
+      (4L, "added")), s"diff statuses: $out")
+    // identical snapshots diff to all-unchanged (the refresh no-op law)
+    val same = graft.ops.Export.snapshotDiff(oldV, oldV, "id", "text")
+      .select("status").as[String].collect().toSet
+    assert(same == Set("unchanged"))
+  }
+
   test("z-score anomaly: planted outlier flags, zero-variance guard") {
     import spark.implicits._
     // slice A: nine 10.00s and one 110.00 → the outlier's z is large
