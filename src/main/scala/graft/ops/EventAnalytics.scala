@@ -109,6 +109,42 @@ object EventAnalytics {
         round(col("n_transitions").cast("double") / col("n_src"), 6).as("p"))
   }
 
+  /** ROLLING ACTIVE USERS: per calendar day in the log's span, the
+    * distinct users active that day (DAU) and over the trailing
+    * `windowDays` days (the WAU/MAU family). The scale form inverts the
+    * range join: each (user, day) activity row EXPLODES into the
+    * `windowDays` grid days it contributes to, turning the trailing
+    * window into a plain day-keyed equi-join + distinct count — never a
+    * theta join of the grid against the activity table. Day grid rows
+    * are span-sized (tiny); the corpus-sized work is the distinct and
+    * the ×windowDays explode.
+    *
+    * Distinct counts are exact (COUNT DISTINCT, combinable via Spark's
+    * two-phase plan); swap in HLL sketches (x28) when user cardinality
+    * per day stops fitting the agg — same shape, bounded error. */
+  def rollingActiveUsers(events: DataFrame, userCol: String, tsCol: String,
+                         windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1: $windowDays")
+    val act = events
+      .select(col(userCol).as("__u"), date_trunc("day", col(tsCol)).as("day"))
+      .distinct()
+    val days = events
+      .agg(date_trunc("day", min(col(tsCol))).as("lo"),
+        date_trunc("day", max(col(tsCol))).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"),
+        expr("interval 1 day"))).as("day"))
+    val dau = act.groupBy("day").agg(countDistinct(col("__u")).as("dau"))
+    val contrib = act.select(col("__u"), explode(sequence(col("day"),
+      col("day") + expr(s"interval ${windowDays - 1} days"),
+      expr("interval 1 day"))).as("day"))
+    val wau = contrib.groupBy("day").agg(countDistinct(col("__u")).as("wau"))
+    days
+      .join(dau, Seq("day"), "left")
+      .join(wau, Seq("day"), "left")
+      .select(col("day"), coalesce(col("dau"), lit(0L)).as("dau"),
+        coalesce(col("wau"), lit(0L)).as("wau"))
+  }
+
   /** Per-slice Z-SCORE anomaly report: values are pinned to integer
     * cents (⌊v·100⌉ — the measure is 2-decimal by construction), the
     * per-slice sufficient statistics (n, Σv, Σv²) are exact combinable

@@ -1815,6 +1815,28 @@ object Ext {
         .orderBy("label")
     },
 
+    // ROLLING ACTIVE USERS (x116): per-day DAU + trailing-7-day WAU —
+    // the trailing window as an explode + equi-join, never a theta join.
+    "x116_rolling_active" -> { (s, dir) =>
+      EventAnalytics.rollingActiveUsers(Tables.events(s, dir), "user_id",
+          "ts", windowDays = 7)
+        .orderBy("day")
+    },
+
+    // FUZZY RECORD LINKAGE (x117): every part name (with the %7 keys'
+    // third character dropped — the dirty table) linked to its best
+    // canonical part by blocked levenshtein argmin on (dist, id).
+    "x117_fuzzy_link" -> { (s, dir) =>
+      val part = Tables.part(s, dir)
+      val dirty = part.select(col("p_partkey"),
+        when(col("p_partkey") % 7 === 0,
+          concat(substring(col("p_name"), 1, 2), expr("substring(p_name, 4)")))
+          .otherwise(col("p_name")).as("p_name"))
+      graft.ops.Linkage.fuzzyLink(dirty, part, "p_partkey", "p_name",
+          blockLen = 2, maxDist = 2)
+        .orderBy("d_id")
+    },
+
     // SNAPSHOT DIFF (x115): change-data report between two corpus
     // versions — old = doc_id < 450, new = doc_id ≥ 50 with every
     // %9 doc's text rewritten — added/removed/changed/unchanged per id
@@ -5546,6 +5568,52 @@ object Ext {
         |FROM u4
         |GROUP BY 1
         |ORDER BY vec_id""".stripMargin),
+
+    // Rolling-active replay: distinct (user, day), the day grid, the
+    // same ×7 contribution explode, exact distinct counts.
+    "x116_rolling_active" ->
+      """WITH act AS (
+        |  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+        |b AS (
+        |  SELECT date_trunc('day', min(ts)) AS lo,
+        |         date_trunc('day', max(ts)) AS hi FROM events),
+        |days AS (
+        |  SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM b),
+        |dau AS (
+        |  SELECT day, COUNT(DISTINCT user_id) AS dau FROM act GROUP BY 1),
+        |contrib AS (
+        |  SELECT user_id,
+        |    unnest(generate_series(day, day + INTERVAL 6 DAY, INTERVAL 1 DAY)) AS day
+        |  FROM act),
+        |wau AS (
+        |  SELECT day, COUNT(DISTINCT user_id) AS wau FROM contrib GROUP BY 1)
+        |SELECT days.day, COALESCE(dau.dau, 0) AS dau, COALESCE(wau.wau, 0) AS wau
+        |FROM days LEFT JOIN dau USING (day) LEFT JOIN wau USING (day)
+        |ORDER BY days.day""".stripMargin,
+
+    // Linkage replay: the %7 third-char drop, the 2-char block equi
+    // join, integer levenshtein, argmin on (dist, id), left join back.
+    "x117_fuzzy_link" ->
+      """WITH canon AS (SELECT p_partkey AS c_id, p_name AS c_name FROM part),
+        |dirty AS (
+        |  SELECT p_partkey AS d_id,
+        |    CASE WHEN p_partkey % 7 = 0
+        |         THEN substr(p_name, 1, 2) || substr(p_name, 4)
+        |         ELSE p_name END AS d_name
+        |  FROM part),
+        |cand AS (
+        |  SELECT d.d_id, c.c_id, c.c_name,
+        |    levenshtein(d.d_name, c.c_name) AS dist
+        |  FROM dirty d JOIN canon c
+        |    ON substr(d.d_name, 1, 2) = substr(c.c_name, 1, 2)
+        |  WHERE levenshtein(d.d_name, c.c_name) <= 2),
+        |best AS (
+        |  SELECT d_id, c_id AS matched_id, c_name AS matched_name, dist,
+        |    row_number() OVER (PARTITION BY d_id ORDER BY dist, c_id) AS rn
+        |  FROM cand)
+        |SELECT d.d_id, d.d_name, b.matched_id, b.matched_name, b.dist
+        |FROM dirty d LEFT JOIN best b ON b.d_id = d.d_id AND b.rn = 1
+        |ORDER BY d.d_id""".stripMargin,
 
     // Diff replay: both fingerprint scans (the %9 rewrite included),
     // one full-outer join, the 4-way status CASE.

@@ -2714,6 +2714,45 @@ class OpsSpec extends AnyFunSuite {
       }
   }
 
+  test("fuzzy linkage: in-block typo links, first-char typo escapes, id tiebreak") {
+    import spark.implicits._
+    val canon = Seq((1L, "blue bolt"), (2L, "blue belt"), (10L, "red gear"))
+      .toDF("id", "name")
+    val dirty = Seq(
+      (101L, "blue bol"),   // dist 1 of #1, dist 2 of #2 → links to 1
+      (102L, "xed gear"),   // first-char typo: block 'xe' ≠ 're' → no match
+      (103L, "red gear"))   // exact → dist 0
+      .toDF("id", "name")
+    val out = graft.ops.Linkage.fuzzyLink(dirty, canon, "id", "name")
+      .orderBy("d_id")
+      .select(col("d_id"), col("matched_id"), col("dist")).collect()
+    assert(out(0).getLong(1) == 1L && out(0).getInt(2) == 1, s"${out(0)}")
+    assert(out(1).isNullAt(1), s"blocked-out typo must not match: ${out(1)}")
+    assert(out(2).getLong(1) == 10L && out(2).getInt(2) == 0, s"${out(2)}")
+    // tie at equal distance breaks to the smaller canonical id
+    val tie = graft.ops.Linkage.fuzzyLink(
+        Seq((5L, "blue bslt")).toDF("id", "name"), canon, "id", "name")
+      .select("matched_id").head().getLong(0)
+    assert(tie == 1L, s"equal-distance tie must pick the smaller id: $tie")
+  }
+
+  test("rolling active users: planted window counts; 1-day window equals DAU") {
+    import spark.implicits._
+    def d(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-$day%02d 10:00:00")
+    // u1 active days 1 and 3 (twice on day 3); u2 active day 2 only
+    val ev = Seq((1L, d(1)), (1L, d(3)), (1L, d(3)), (2L, d(2)))
+      .toDF("user_id", "ts")
+    val out = graft.ops.EventAnalytics.rollingActiveUsers(ev, "user_id", "ts", 3)
+      .orderBy("day").select("dau", "wau").as[(Long, Long)].collect().toSeq
+    // day1: dau {u1}; wau(trailing 3d) {u1}
+    // day2: dau {u2}; wau {u1,u2}
+    // day3: dau {u1}; wau {u1,u2}
+    assert(out == Seq((1L, 1L), (1L, 2L), (1L, 2L)), s"rolling counts: $out")
+    val w1 = graft.ops.EventAnalytics.rollingActiveUsers(ev, "user_id", "ts", 1)
+      .orderBy("day").select("dau", "wau").as[(Long, Long)].collect().toSeq
+    assert(w1.forall(p => p._1 == p._2), "windowDays=1 must equal DAU")
+  }
+
   test("snapshot diff: all four statuses on a planted pair of versions") {
     import spark.implicits._
     val oldV = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "text")
