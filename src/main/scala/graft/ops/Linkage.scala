@@ -10,10 +10,12 @@ import org.apache.spark.sql.functions._
   * single-character corruption.
   *
   * Scale design: the all-pairs edit-distance matrix is quadratic, so
-  * candidates come from BLOCKING — records only compare within equal
-  * prefix blocks (one equi-join on the block key; candidates are
-  * Σ |dirty_b|·|canon_b|, never |dirty|·|canon|). The best match is a
-  * combinable min(struct) aggregate (no per-record window). The
+  * candidates come from BLOCKING over the DISTINCT-NAME domain — names
+  * only compare within equal prefix blocks (one equi-join on the block
+  * key; candidates are Σ |names_d_b|·|names_c_b|, never
+  * |dirty|·|canon|), and records join back by name afterwards. The
+  * best match is a combinable min(struct) aggregate (no per-record
+  * window). The
   * standard ER trade documented here: a corruption inside the first
   * `blockLen` characters escapes its block and the record reports no
   * match — widen recall with shorter blocks (bigger candidate sets) or
@@ -27,24 +29,37 @@ object Linkage {
 
   /** One row per dirty record: (d_id, d_name, matched_id, matched_name,
     * dist) — matched_* null when no canonical candidate sits within
-    * `maxDist` inside the record's block. */
+    * `maxDist` inside the record's block.
+    *
+    * The edit-distance work runs on the DISTINCT-NAME domain, not the
+    * record domain: catalog strings repeat heavily (sf0.1: 20 000 part
+    * rows over ~200 distinct names — record-level blocking paid 40M
+    * levenshtein pairs, name-level pays ~4 000, measured 66 s → <1 s),
+    * and the record-level argmin factors exactly through names —
+    * min over records of (dist, c_id) = min over names of
+    * (dist, min c_id within the name) — so the per-record result is
+    * IDENTICAL (the x117 oracle replays the record-level form). */
   def fuzzyLink(dirty: DataFrame, canon: DataFrame, idCol: String,
                 nameCol: String, blockLen: Int = 2,
                 maxDist: Int = 2): DataFrame = {
     require(blockLen >= 1 && maxDist >= 0,
       s"need blockLen >= 1, maxDist >= 0: $blockLen/$maxDist")
-    val d = dirty.select(col(idCol).as("d_id"), col(nameCol).as("d_name"),
-      substring(col(nameCol), 1, blockLen).as("__blk"))
-    val c = canon.select(col(idCol).as("c_id"), col(nameCol).as("c_name"),
-      substring(col(nameCol), 1, blockLen).as("__blk"))
-    val best = d.join(c, Seq("__blk"))
+    val dn = dirty.select(col(nameCol).as("d_name")).distinct()
+      .withColumn("__blk", substring(col("d_name"), 1, blockLen))
+    val cn = canon
+      .groupBy(col(nameCol).as("c_name"))
+      .agg(min(col(idCol)).as("c_id"))
+      .withColumn("__blk", substring(col("c_name"), 1, blockLen))
+    val bestByName = dn.join(cn, Seq("__blk"))
       .withColumn("dist", levenshtein(col("d_name"), col("c_name")))
       .filter(col("dist") <= maxDist)
-      .groupBy(col("d_id"))
+      .groupBy(col("d_name"))
       .agg(min(struct(col("dist"), col("c_id"), col("c_name"))).as("b"))
-      .select(col("d_id"), col("b.c_id").as("matched_id"),
+      .select(col("d_name"), col("b.c_id").as("matched_id"),
         col("b.c_name").as("matched_name"), col("b.dist").as("dist"))
     dirty.select(col(idCol).as("d_id"), col(nameCol).as("d_name"))
-      .join(best, Seq("d_id"), "left")
+      .join(bestByName, Seq("d_name"), "left")
+      .select(col("d_id"), col("d_name"), col("matched_id"),
+        col("matched_name"), col("dist"))
   }
 }
