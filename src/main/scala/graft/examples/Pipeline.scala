@@ -1,7 +1,7 @@
 package graft.examples
 
 import graft.{GraftSession, Tables}
-import graft.ops.{Chunking, Dedup, Export, Graph, LangModel, Similarity, TextStats}
+import graft.ops.{Chunking, Classify, Dedup, Export, Graph, LangModel, Similarity, TextStats}
 import org.apache.spark.sql.functions._
 
 /** Runnable end-to-end TRAINING-DATA pipeline over the test corpus — the
@@ -12,9 +12,10 @@ import org.apache.spark.sql.functions._
   *   quality gate → repetition filter → block-level boilerplate removal
   *   → substring span dedup → LM fluency filter → near-dup dedup
   *   (MinHash-LSH → verify → components → keep-one) → span-level
-  *   benchmark decontamination → sqrt-temperature language rebalancing →
-  *   PII redaction → chunking → sequence packing, plus the
-  *   embedding-side semantic dedup and a drift report.
+  *   benchmark decontamination → NB classifier labeling →
+  *   sqrt-temperature language rebalancing → PII redaction → chunking →
+  *   sequence packing, plus the embedding-side semantic dedup and a
+  *   drift report.
   *
   * Run: `sbt "runMain graft.examples.Pipeline"` (sf0.001 by default;
   * pass an sf dir to scale up). Prints per-stage survivor counts.
@@ -88,10 +89,23 @@ object Pipeline {
         .select(col("doc_id"), col("clean_text").as("text")))
     stage("decontaminated", cleanDocs.count())
 
+    // 6b. model-based language assignment (the fastText role, x108):
+    //     train the NB classifier on the labeled 80% slice, predict a
+    //     label for EVERY surviving doc — downstream mixing keys on the
+    //     model's label, so unlabeled or mislabeled arrivals still land
+    //     in the right bucket (s17 runs this same frozen-model scoring
+    //     at the streaming ingest edge)
+    val labeled = docs.join(cleanDocs.select("doc_id"), "doc_id")
+    val nbModel = Classify.trainNaiveBayes(
+      labeled.filter(col("doc_id") % 5 =!= 0), "lang", "text")
+    val predLang = Classify.nbScore(cleanDocs, "doc_id", "text", nbModel)
+      .select(col("doc_id"), col("pred_label").as("lang"))
+    stage("classifier-labeled", predLang.count())
+
     // 7. sqrt-temperature language rebalancing (downsample-only α = 0.5)
+    //    over the MODEL's labels
     val balanced = Chunking.temperatureMix(
-        cleanDocs.join(quality.select("doc_id", "lang"), "doc_id"),
-        "lang", "doc_id")
+        cleanDocs.join(predLang, "doc_id"), "lang", "doc_id")
       .filter(col("keep"))
       .select("doc_id", "text")
     stage("temperature mix", balanced.count())

@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Column profiling — the per-column data-quality report (row count,
+  * null count, exact distinct count, native min/max, rendered-length
+  * stats) a pipeline publishes before trusting a new corpus drop. The
+  * tabular cousin of the x07 corpus report: x07 summarizes the TEXT of
+  * one column, this summarizes the SHAPE of every column.
+  *
+  * Scale design (100 TB): ONE aggregation pass over the table — all
+  * per-column aggregates (null/distinct/min/max/length-sum) evaluate in
+  * a single `agg`, so the scan happens once and every aggregate
+  * combines map-side. The exact per-column distinct counts expand the
+  * aggregate input k+1 ways (Catalyst's Expand for multi-distinct) —
+  * the exactness tax the oracle needs; the 100 TB dial is
+  * `approx_count_distinct`, which drops the Expand entirely and keeps
+  * one combinable sketch per column (the x28 HLL convention). The
+  * result is k rows (k = columns profiled) — driver-sized by
+  * construction, assembled by a single explode of one struct array.
+  *
+  * Determinism: counts are exact integers; min/max are the NATIVE
+  * column extrema rendered to strings after aggregation (so integer
+  * columns order numerically, not lexically); `avg_len` is the house
+  * exact-integer IEEE division rounded to 6 places (x113 convention). */
+object Profile {
+
+  /** One row per profiled column:
+    * (col_name, n_rows, n_null, n_distinct, min_val, max_val, sum_len,
+    * avg_len) — `sum_len`/`avg_len` measure the string RENDERING of
+    * non-null values (a storage-agnostic width proxy), `min_val`/
+    * `max_val` are native extrema cast to string, null for all-null
+    * columns, `avg_len` null when every value is null. */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs >= 1 column")
+    val aggs = cols.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__null_$c"),
+        countDistinct(col(c)).as(s"__nd_$c"),
+        min(col(c)).cast("string").as(s"__min_$c"),
+        max(col(c)).cast("string").as(s"__max_$c"),
+        sum(length(col(c).cast("string"))).as(s"__len_$c"))
+    }
+    val g = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    val rows = cols.map { c =>
+      struct(
+        lit(c).as("col_name"),
+        col("__n").as("n_rows"),
+        col(s"__null_$c").as("n_null"),
+        col(s"__nd_$c").as("n_distinct"),
+        col(s"__min_$c").as("min_val"),
+        col(s"__max_$c").as("max_val"),
+        col(s"__len_$c").as("sum_len"))
+    }
+    g.select(explode(array(rows: _*)).as("p")).select("p.*")
+      .withColumn("avg_len",
+        when(col("n_rows") > col("n_null"),
+          round(col("sum_len").cast("double") /
+            (col("n_rows") - col("n_null")).cast("double"), 6)))
+  }
+}

@@ -1866,6 +1866,37 @@ object Ext {
       Export.shardManifest(docs.join(kept, Seq("doc_id"), "left_semi"),
         "doc_id", "text", nShards = 8)
     },
+
+    // SCD2 HISTORY BUILD (x118): four synthetic corpus snapshots —
+    // each doc revises every (1 + doc_id % 3) versions by appending
+    // '!' marks — collapsed into validity intervals [valid_from,
+    // valid_to) by fingerprint change-point detection. The provenance
+    // ledger behind x115's two-version diff.
+    "x118_scd2_history" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val snaps = (0 to 3).map { v =>
+        docs.select(col("doc_id"), lit(v).as("version"),
+          concat(col("text"),
+            expr(s"repeat('!', $v div (1 + doc_id % 3))")).as("text"))
+      }.reduce(_ unionByName _)
+      graft.ops.Scd.buildScd2(snaps, "doc_id", "version", Seq("text"))
+        .orderBy("doc_id", "valid_from")
+    },
+
+    // COLUMN PROFILING (x119): the per-column shape report over the
+    // corpus catalog columns — row/null/exact-distinct counts, native
+    // min/max rendered to strings, rendered-length stats — with a
+    // planted null pattern (every %7 doc's lang) exercising the
+    // null-accounting path. One aggregation pass for all columns.
+    "x119_column_profile" -> { (s, dir) =>
+      val d = Tables.documents(s, dir).select(
+        col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        when(col("doc_id") % 7 === 0, lit(null).cast("string"))
+          .otherwise(col("lang")).as("lang_dirty"))
+      graft.ops.Profile.profile(d,
+          Seq("doc_id", "lang", "source", "n_chars", "lang_dirty"))
+        .orderBy("col_name")
+    },
   )
 
   /** x72's full replay, parameterized by the Lloyd-TRAINING source
@@ -5658,5 +5689,69 @@ object Ext {
         |    FALSE) AS is_anomaly
         |FROM zc
         |ORDER BY event_id""".stripMargin,
+
+    // SCD2 replay: the same four synthetic snapshots, the md5
+    // change-point lag, run starts, lead-closed intervals. The
+    // faithful fingerprint is concat_ws(chr(1), coalesce(text,
+    // chr(0))) — identity on a single non-null column but replayed
+    // verbatim.
+    "x118_scd2_history" ->
+      """WITH snaps AS (
+        |  SELECT doc_id, v.v AS version,
+        |    text || repeat('!', v.v // (1 + doc_id % 3)) AS text
+        |  FROM documents, (SELECT unnest([0, 1, 2, 3]) AS v) v),
+        |fp AS (
+        |  SELECT doc_id, version, text,
+        |    md5(concat_ws(chr(1), COALESCE(text, chr(0)))) AS fpv
+        |  FROM snaps),
+        |ch AS (
+        |  SELECT doc_id, version, text, fpv,
+        |    lag(fpv) OVER (PARTITION BY doc_id ORDER BY version) AS prev
+        |  FROM fp),
+        |st AS (
+        |  SELECT doc_id, version, text FROM ch
+        |  WHERE prev IS NULL OR fpv <> prev),
+        |iv AS (
+        |  SELECT doc_id, version AS valid_from,
+        |    lead(version) OVER (PARTITION BY doc_id ORDER BY version)
+        |      AS valid_to,
+        |    text
+        |  FROM st)
+        |SELECT doc_id, valid_from, valid_to,
+        |  valid_to IS NULL AS is_current, text
+        |FROM iv
+        |ORDER BY doc_id, valid_from""".stripMargin,
+
+    // Profile replay: the same planted-null frame, one per-column
+    // aggregate block per profiled column (the UNION ALL is the
+    // relational spelling of the single-pass struct-array explode),
+    // exact counts, native-extrema-then-cast, the house round-6
+    // division for avg_len.
+    "x119_column_profile" -> {
+      val d =
+        """WITH d AS (
+          |  SELECT doc_id, lang, source, n_chars,
+          |    CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END AS lang_dirty
+          |  FROM documents),
+          |""".stripMargin
+      def block(c: String) =
+        s"""  SELECT '$c' AS col_name, COUNT(*) AS n_rows,
+           |    CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS n_null,
+           |    COUNT(DISTINCT $c) AS n_distinct,
+           |    CAST(min($c) AS VARCHAR) AS min_val,
+           |    CAST(max($c) AS VARCHAR) AS max_val,
+           |    CAST(SUM(length(CAST($c AS VARCHAR))) AS BIGINT) AS sum_len
+           |  FROM d""".stripMargin
+      d + Seq("doc_id", "lang", "source", "n_chars", "lang_dirty")
+        .map(block).mkString("p AS (\n", "\n  UNION ALL\n", ")\n") +
+      """SELECT col_name, n_rows, n_null, n_distinct, min_val, max_val,
+        |  sum_len,
+        |  CASE WHEN n_rows > n_null THEN
+        |    round(CAST(sum_len AS DOUBLE) / (n_rows - n_null), 6) END
+        |    AS avg_len
+        |FROM p
+        |ORDER BY col_name""".stripMargin
+    },
   )
 }

@@ -2767,6 +2767,69 @@ class OpsSpec extends AnyFunSuite {
     assert(same == Set("unchanged"))
   }
 
+  test("scd2 build: planted change points, current flags, diff consistency") {
+    import spark.implicits._
+    // id 1: same payload in all 3 snapshots → one open interval
+    // id 2: changes at v2 → [0,2) then [2,null)
+    // id 3: appears at v1, changes every snapshot → [1,2), [2,null)
+    // id 4: appears at v0, gone after v0 → still one current run
+    val snaps = Seq(
+      (1L, 0, "a"), (1L, 1, "a"), (1L, 2, "a"),
+      (2L, 0, "b"), (2L, 1, "b"), (2L, 2, "B"),
+      (3L, 1, "c"), (3L, 2, "C"),
+      (4L, 0, "d")).toDF("id", "version", "text")
+    val out = graft.ops.Scd.buildScd2(snaps, "id", "version", Seq("text"))
+      .orderBy("id", "valid_from")
+      .select("id", "valid_from", "valid_to", "is_current", "text")
+      .as[(Long, Int, Option[Int], Boolean, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, 0, None, true, "a"),
+      (2L, 0, Some(2), false, "b"), (2L, 2, None, true, "B"),
+      (3L, 1, Some(2), false, "c"), (3L, 2, None, true, "C"),
+      (4L, 0, None, true, "d")), s"scd2 intervals: $out")
+    // law: exactly one current run per id, and interval chains abut —
+    // each non-current run's valid_to equals the next run's valid_from
+    val perId = out.groupBy(_._1).values
+    assert(perId.forall(_.count(_._4) == 1), "one current run per id")
+    assert(perId.forall(rs => rs.sliding(2).forall {
+      case Seq(a, b) => a._3.contains(b._2)
+      case _         => true
+    }), "interval chains must abut")
+    // null payloads fingerprint distinctly from empty strings
+    val nulls = Seq((5L, 0, null: String), (5L, 1, ""), (5L, 2, null: String))
+      .toDF("id", "version", "text")
+    val nOut = graft.ops.Scd.buildScd2(nulls, "id", "version", Seq("text"))
+    assert(nOut.count() == 3L, "null vs empty must be three distinct runs")
+  }
+
+  test("column profile: counts, native extrema, null accounting") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Option("a"), Option(10)), (2L, Option("bb"), Option(2)),
+      (3L, None: Option[String], Option(10)), (4L, Option("a"), None))
+      .toDF("id", "s", "v")
+    val out = graft.ops.Profile.profile(df, Seq("id", "s", "v"))
+      .orderBy("col_name").collect()
+    val byName = out.map(r => r.getString(0) -> r).toMap
+    val id = byName("id")
+    assert(id.getLong(1) == 4 && id.getLong(2) == 0 && id.getLong(3) == 4)
+    // native extrema: v's min is 2, NOT lexical "10" < "2"
+    val v = byName("v")
+    assert(v.getString(4) == "2" && v.getString(5) == "10",
+      s"native extrema: ${v.getString(4)}..${v.getString(5)}")
+    assert(v.getLong(2) == 1 && v.getLong(3) == 2, "v nulls/distinct")
+    val s = byName("s")
+    assert(s.getLong(2) == 1 && s.getLong(3) == 2, "s nulls/distinct")
+    // avg_len of s: ("a","bb","a") -> 4/3 rounded to 6 places
+    assert(s.getDouble(7) == 1.333333, s"s avg_len ${s.getDouble(7)}")
+    // all-null column: null extrema, null avg_len
+    val an = graft.ops.Profile.profile(
+      Seq((1L, null: String), (2L, null: String)).toDF("id", "x"), Seq("x"))
+      .collect().head
+    assert(an.getLong(2) == 2 && an.getLong(3) == 0 && an.isNullAt(4) &&
+      an.isNullAt(5) && an.isNullAt(7), s"all-null profile: $an")
+  }
+
   test("z-score anomaly: planted outlier flags, zero-variance guard") {
     import spark.implicits._
     // slice A: nine 10.00s and one 110.00 → the outlier's z is large
