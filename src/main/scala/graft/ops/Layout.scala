@@ -1,0 +1,86 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multi-dimensional data layout — Z-order (Morton) clustering and the
+  * file-skipping audit that justifies it. Sorting a table by the bit
+  * interleave of two normalized key columns places rows that are close
+  * in BOTH dimensions into the same storage cell, so per-file min/max
+  * statistics (parquet footers, the engine-independent zone-map idea)
+  * prune multi-dimensional box predicates — the layout trick behind
+  * Delta/Iceberg `ZORDER BY`, expressed here as plain deterministic
+  * Spark expressions.
+  *
+  * Scale design (100 TB): normalization bounds come from ONE tiny
+  * aggregate (broadcast back as a 1-row frame), the grid/interleave
+  * math is pure codegen'd per-row arithmetic, and the audit is a single
+  * cell-keyed aggregation — no shuffle anywhere except that keyed
+  * count. The physical write path is
+  * `withZOrder(df,…).repartitionByRange(nFiles, col("z"))
+  * .sortWithinPartitions("z").write.parquet(…)` — range partitioning
+  * by z IS the cluster assignment, and each file's footer then carries
+  * the tight per-dimension min/max this audit computes per cell.
+  *
+  * Determinism: grid coordinates are exact integer arithmetic
+  * (`(c-lo)*(2^bits-1) div (hi-lo)`, floor on non-negatives), the
+  * interleave is an unrolled shift/mask sum — the x121 oracle replays
+  * every bit. */
+object Layout {
+
+  /** Bit interleave (Morton code) of two grid coordinates in
+    * [0, 2^bits): x occupies even bit positions, y odd. */
+  def interleave(xi: Column, yi: Column, bits: Int): Column =
+    (0 until bits).flatMap { i =>
+      Seq(shiftleft(shiftright(xi, i).bitwiseAND(lit(1L)), 2 * i),
+          shiftleft(shiftright(yi, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ + _)
+
+  private def grid(cn: String, lo: String, hi: String, bits: Int): Column =
+    expr(s"CASE WHEN $hi > $lo THEN ((`$cn` - $lo) * ${(1 << bits) - 1})" +
+      s" div ($hi - $lo) ELSE CAST(0 AS BIGINT) END")
+
+  /** Adds `xg`, `yg` (grid coordinates) and `z` (Morton code) for the
+    * two integer key columns, normalizing each to [0, 2^bits) by the
+    * column's global min/max. Constant columns grid to 0. */
+  def withZOrder(df: DataFrame, xCol: String, yCol: String,
+                 bits: Int = 8): DataFrame = {
+    require(bits >= 1 && bits <= 31, s"bits out of range: $bits")
+    val b = df.agg(
+      min(col(xCol)).as("__xlo"), max(col(xCol)).as("__xhi"),
+      min(col(yCol)).as("__ylo"), max(col(yCol)).as("__yhi"))
+    df.crossJoin(broadcast(b))
+      .withColumn("xg", grid(xCol, "__xlo", "__xhi", bits))
+      .withColumn("yg", grid(yCol, "__ylo", "__yhi", bits))
+      .withColumn("z", interleave(col("xg"), col("yg"), bits))
+      .drop("__xlo", "__xhi", "__ylo", "__yhi")
+  }
+
+  /** The zone-map audit for a Z-ordered layout: rows group into
+    * 4^cellBits storage cells (the top `2*cellBits` bits of z — i.e.
+    * files of a range-partitioned write), each reporting its row count
+    * and per-dimension grid min/max, plus whether the cell is
+    * SKIPPABLE for the box predicate
+    * `xg ∈ [qxLo,qxHi] ∧ yg ∈ [qyLo,qyHi]` — the pruning decision an
+    * engine makes from footer stats alone. By construction each cell
+    * spans < 2^(bits-cellBits) grid units per dimension (the top
+    * cellBits bits of each coordinate are fixed inside a cell), which
+    * is exactly why the skip rate is high: see the OpsSpec locality
+    * law. */
+  def zOrderAudit(df: DataFrame, xCol: String, yCol: String,
+                  bits: Int = 8, cellBits: Int = 4,
+                  qxLo: Int = 0, qxHi: Int = 0,
+                  qyLo: Int = 0, qyHi: Int = 0): DataFrame = {
+    require(cellBits >= 1 && cellBits <= bits,
+      s"cellBits out of range: $cellBits vs bits=$bits")
+    withZOrder(df, xCol, yCol, bits)
+      .withColumn("cell", shiftright(col("z"), 2 * (bits - cellBits)))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"),
+        min(col("xg")).as("min_xg"), max(col("xg")).as("max_xg"),
+        min(col("yg")).as("min_yg"), max(col("yg")).as("max_yg"))
+      .withColumn("skippable",
+        col("max_xg") < qxLo || col("min_xg") > qxHi ||
+        col("max_yg") < qyLo || col("min_yg") > qyHi)
+  }
+}

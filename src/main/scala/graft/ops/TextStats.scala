@@ -194,4 +194,46 @@ object TextStats {
         (frac(col("t2")) > 0.20 || frac(col("t3")) > 0.18 ||
           frac(col("dup5_chars")) > 0.15).as("repetitive"))
   }
+
+  /** PMI COLLOCATIONS — corpus-wide pointwise mutual information over
+    * adjacent whitespace-token pairs: pmi(w1,w2) = ln(p(w1w2) /
+    * (p(w1)·p(w2))) with bigram probability c12/n_bi and unigram
+    * probabilities c/n_uni. The classic collocation-extraction measure
+    * (Church & Hanks 1990); for a training-data pipeline it surfaces
+    * the multi-word units (named entities, boilerplate idioms) that
+    * tokenizer-vocabulary and dedup decisions should treat as atoms.
+    *
+    * Shape (100 TB): one explode → two token-keyed counts (unigrams,
+    * bigrams — both combine map-side), two token-keyed equi-joins to
+    * attach c1/c2 to each surviving bigram, and the two grand totals
+    * cross-joined as a broadcast 1-row frame. Nothing is ever
+    * token × token: the bigram domain comes from ADJACENCY (linear in
+    * corpus size), the `minCount` support cut prunes the tail before
+    * the joins, and every shuffle is on a token/bigram key.
+    *
+    * Determinism: all counts are exact integers; pmi is a fixed
+    * left-to-right IEEE expression over them, rounded to 6 (the x113
+    * convention) — so the x120 oracle replays the extraction verbatim
+    * and the (pmi DESC, w1, w2) output order is total. */
+  def pmiCollocations(docs: DataFrame, textCol: String,
+                      minCount: Int = 3): DataFrame = {
+    val toks = docs.select(tokens(col(textCol)).as("ts"))
+    val uni = toks.select(explode(col("ts")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val big = toks.select(explode(expr(
+        "transform(slice(ts, 1, size(ts) - 1), " +
+        "(x, i) -> struct(x AS w1, element_at(ts, i + 2) AS w2))")).as("b"))
+      .select(col("b.w1"), col("b.w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val totals = uni.agg(sum(col("c")).as("n_uni"))
+      .crossJoin(big.agg(sum(col("c12")).as("n_bi")))
+    big.filter(col("c12") >= minCount)
+      .join(uni.select(col("w").as("w1"), col("c").as("c1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), Seq("w2"))
+      .crossJoin(broadcast(totals))
+      .select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2"),
+        round(log(col("c12").cast("double") * col("n_uni") * col("n_uni") /
+          (col("n_bi").cast("double") * col("c1") * col("c2"))), 6)
+          .as("pmi"))
+  }
 }

@@ -1897,6 +1897,27 @@ object Ext {
           Seq("doc_id", "lang", "source", "n_chars", "lang_dirty"))
         .orderBy("col_name")
     },
+
+    // PMI COLLOCATIONS (x120): corpus-wide pointwise mutual information
+    // over adjacent whitespace-token pairs at support >= 3 — the
+    // collocation units a tokenizer/dedup pass should treat as atoms.
+    "x120_pmi_collocations" -> { (s, dir) =>
+      TextStats.pmiCollocations(Tables.documents(s, dir), "text",
+          minCount = 3)
+        .orderBy(col("pmi").desc, col("w1"), col("w2"))
+    },
+
+    // Z-ORDER LAYOUT AUDIT (x121): lineitem gridded on
+    // (l_partkey, l_suppkey) at 8 bits, Morton-interleaved, grouped
+    // into the 256 top-byte storage cells — per-cell zone-map min/max
+    // plus the skip verdict for the box xg∈[64,127] × yg∈[0,63]. The
+    // footer-stats pruning math of a ZORDER BY write.
+    "x121_zorder_audit" -> { (s, dir) =>
+      graft.ops.Layout.zOrderAudit(Tables.lineitem(s, dir),
+          "l_partkey", "l_suppkey", bits = 8, cellBits = 4,
+          qxLo = 64, qxHi = 127, qyLo = 0, qyHi = 63)
+        .orderBy("cell")
+    },
   )
 
   /** x72's full replay, parameterized by the Lloyd-TRAINING source
@@ -5752,6 +5773,65 @@ object Ext {
         |    AS avg_len
         |FROM p
         |ORDER BY col_name""".stripMargin
+    },
+
+    // PMI replay: the same whitespace split, adjacency bigrams by list
+    // index, exact unigram/bigram counts, the identical left-to-right
+    // IEEE pmi expression rounded to 6.
+    "x120_pmi_collocations" ->
+      """WITH t AS (
+        |  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS ts
+        |  FROM documents),
+        |uni AS (
+        |  SELECT w, COUNT(*) AS c
+        |  FROM (SELECT unnest(ts) AS w FROM t) GROUP BY 1),
+        |bg AS (
+        |  SELECT ts[i] AS w1, ts[i + 1] AS w2
+        |  FROM t, LATERAL (
+        |    SELECT unnest(generate_series(1, len(ts) - 1)) AS i) g),
+        |big AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2),
+        |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_uni FROM uni),
+        |tb AS (SELECT CAST(SUM(c12) AS BIGINT) AS n_bi FROM big)
+        |SELECT b.w1, b.w2, b.c12, u1.c AS c1, u2.c AS c2,
+        |  round(ln(CAST(b.c12 AS DOUBLE) * n_uni * n_uni /
+        |    (CAST(n_bi AS DOUBLE) * u1.c * u2.c)), 6) AS pmi
+        |FROM big b
+        |JOIN uni u1 ON b.w1 = u1.w
+        |JOIN uni u2 ON b.w2 = u2.w, tot, tb
+        |WHERE b.c12 >= 3
+        |ORDER BY pmi DESC, w1, w2""".stripMargin,
+
+    // Z-order replay: the same exact-integer grid normalization, the
+    // unrolled 8-bit shift/mask interleave, top-byte cells, zone-map
+    // aggregates, the identical box-skip verdict.
+    "x121_zorder_audit" -> {
+      val zExpr = (0 until 8).flatMap { i =>
+        Seq(s"(((xg >> $i) & 1) << ${2 * i})",
+            s"(((yg >> $i) & 1) << ${2 * i + 1})")
+      }.mkString(" + ")
+      s"""WITH b AS (
+         |  SELECT min(l_partkey) AS xlo, max(l_partkey) AS xhi,
+         |         min(l_suppkey) AS ylo, max(l_suppkey) AS yhi
+         |  FROM lineitem),
+         |g AS (
+         |  SELECT
+         |    CASE WHEN xhi > xlo
+         |      THEN ((l_partkey - xlo) * 255) // (xhi - xlo)
+         |      ELSE 0 END AS xg,
+         |    CASE WHEN yhi > ylo
+         |      THEN ((l_suppkey - ylo) * 255) // (yhi - ylo)
+         |      ELSE 0 END AS yg
+         |  FROM lineitem, b),
+         |z AS (SELECT xg, yg, $zExpr AS z FROM g),
+         |c AS (SELECT xg, yg, z >> 8 AS cell FROM z)
+         |SELECT cell, COUNT(*) AS n,
+         |  min(xg) AS min_xg, max(xg) AS max_xg,
+         |  min(yg) AS min_yg, max(yg) AS max_yg,
+         |  (max(xg) < 64 OR min(xg) > 127 OR
+         |   max(yg) < 0 OR min(yg) > 63) AS skippable
+         |FROM c
+         |GROUP BY cell
+         |ORDER BY cell""".stripMargin
     },
   )
 }

@@ -2830,6 +2830,59 @@ class OpsSpec extends AnyFunSuite {
       an.isNullAt(5) && an.isNullAt(7), s"all-null profile: $an")
   }
 
+  test("pmi collocations: planted sticky pair scores high, counts exact") {
+    import spark.implicits._
+    // "new york" always co-occurs; "the" pairs with everything
+    val docs = Seq(
+      "new york is the city", "new york has the park",
+      "new york and the sea", "the dog saw the cat").toDF("text")
+    val out = graft.ops.TextStats.pmiCollocations(docs, "text", minCount = 2)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toSeq
+    val ny = out.find(p => p._1 == "new" && p._2 == "york").get
+    assert(ny._3 == 3 && ny._4 == 3 && ny._5 == 3, s"new-york counts: $ny")
+    // pmi(new, york) = ln(3 * 20^2 / (16 * 3 * 3)) — n_uni=20, n_bi=16
+    val expected = math.log(3.0 * 20 * 20 / (16.0 * 3 * 3))
+    assert(math.abs(ny._6 - expected) < 1e-6, s"pmi ${ny._6} vs $expected")
+    // support cut: every emitted pair has c12 >= 2
+    assert(out.forall(_._3 >= 2), "support cut must hold")
+    // a perfectly sticky pair outranks a promiscuous one
+    val theCity = out.find(p => p._1 == "the" && p._2 == "city")
+    assert(theCity.isEmpty, "c12=1 pairs must be cut")
+  }
+
+  test("z-order layout: interleave bits, cell locality law, skip verdicts") {
+    import spark.implicits._
+    // identity grid: coords already span [0, 255] in both dims
+    val pts = (Seq((0L, 0L), (255L, 255L), (1L, 0L), (0L, 1L), (3L, 5L)) ++
+      (0 until 200).map(i => ((i * 37L) % 256, (i * 91L) % 256)))
+      .toDF("x", "y")
+    val z = graft.ops.Layout.withZOrder(pts, "x", "y", bits = 8)
+    val byPt = z.select("x", "y", "xg", "yg", "z")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    // identity normalization at full-span inputs
+    assert(byPt.forall { case ((x, y), r) => r._3 == x && r._4 == y },
+      "full-span grid must be the identity")
+    // hand-checked Morton codes: (1,0)->1, (0,1)->2, (3,5)->39
+    assert(byPt((1L, 0L))._5 == 1L && byPt((0L, 1L))._5 == 2L &&
+      byPt((3L, 5L))._5 == 39L && byPt((255L, 255L))._5 == 65535L,
+      "Morton interleave bit pattern")
+    // locality law: every 4^4-cell spans < 16 grid units per dimension
+    val audit = graft.ops.Layout.zOrderAudit(pts, "x", "y", bits = 8,
+      cellBits = 4, qxLo = 64, qxHi = 127, qyLo = 0, qyHi = 63).collect()
+    assert(audit.forall(r => r.getLong(3) - r.getLong(2) < 16 &&
+      r.getLong(5) - r.getLong(4) < 16), "cell locality bound 2^(bits-cellBits)")
+    // skip verdict: a cell fully outside the box skips, one inside doesn't
+    audit.foreach { r =>
+      val outside = r.getLong(3) < 64 || r.getLong(2) > 127 ||
+        r.getLong(5) < 0 || r.getLong(4) > 63
+      assert(r.getBoolean(6) == outside, s"skip verdict mismatch: $r")
+    }
+    assert(audit.exists(_.getBoolean(6)) && audit.exists(!_.getBoolean(6)),
+      "the planted grid must exercise both skip outcomes")
+  }
+
   test("z-score anomaly: planted outlier flags, zero-variance guard") {
     import spark.implicits._
     // slice A: nine 10.00s and one 110.00 → the outlier's z is large
