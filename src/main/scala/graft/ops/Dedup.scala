@@ -774,4 +774,74 @@ object Dedup {
     aggregate(votes, lit(0L), (acc, v) =>
       acc * 2 + when(v > 0, lit(1L)).otherwise(lit(0L)))
   }
+
+  /** EXACT set-similarity self-join by PREFIX FILTERING (the
+    * PPJoin/AllPairs candidate rule, Xiao et al. 2008 / Bayardo et al.
+    * 2007): every pair of docs whose distinct-token Jaccard is >=
+    * tauNum/tauDen, found WITHOUT hashing and WITHOUT all-pairs — the
+    * deterministic-completeness sibling of MinHash-LSH ([[lshKeepOne]]
+    * trades recall for speed; this trades a larger-but-bounded
+    * candidate set for EXACT recall 1.0).
+    *
+    * Candidate rule: order each doc's tokens by ascending document
+    * frequency (rarest first, ties by token); a doc of n tokens keeps
+    * the first n - ceil(tau*n) + 1 as its PREFIX. Any pair with
+    * J >= tau must share >= 1 prefix token (pigeonhole on the
+    * rarity-sorted overlap), so the equi-join of prefixes on the token
+    * is a complete candidate generator; the size filter
+    * tau <= |B|/|A| <= 1/tau prunes further. Verification is exact:
+    * intersection by token equi-join over candidates only, the
+    * threshold test as integer cross-multiplication (no float
+    * threshold), jaccard reported as the round-6 IEEE division of the
+    * exact counts.
+    *
+    * Scale (100 TB): df counts and per-doc rarity ranks are
+    * token/doc-keyed (the per-doc sort window is bounded by doc token
+    * counts); prefixes hold the RAREST tokens, so prefix join buckets
+    * are small by construction — the hot-token problem of a naive
+    * token join is excluded by the prefix cut, and every remaining
+    * shuffle keys on token or pair. */
+  def prefixJaccardJoin(docs: DataFrame, idCol: String, textCol: String,
+                        tauNum: Int = 1, tauDen: Int = 2,
+                        ngramN: Int = 1): DataFrame = {
+    require(tauNum > 0 && tauNum < tauDen,
+      s"threshold must be in (0,1): $tauNum/$tauDen")
+    import org.apache.spark.sql.expressions.Window
+    val tok =
+      if (ngramN <= 1)
+        docs.select(col(idCol).as("id"),
+          explode(array_distinct(TextStats.tokens(col(textCol)))).as("t"))
+      else
+        ngrams(docs.select(col(idCol), col(textCol)), textCol, ngramN)
+          .select(col(idCol).as("id"), col("g").as("t"))
+    val tokP = Caches.persistTracked(tok) // df counts, ranks, both
+    // intersection sides all read the same element table
+    val dfreq = tokP.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    val sz = tokP.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val prefix = tokP.join(dfreq, "t")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("df"), col("t"))))
+      .join(sz, "id")
+      .filter(col("rk") <=
+        col("n") - expr(s"($tauNum * n + ${tauDen - 1}) div $tauDen") + 1)
+      .select(col("id"), col("t"), col("n"))
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.t") === col("b.t") && col("a.id") < col("b.id") &&
+        col("a.n") * tauNum <= col("b.n") * tauDen &&
+        col("b.n") * tauNum <= col("a.n") * tauDen)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val inter = cand
+      .join(tokP.select(col("id").as("id_a"), col("t")), Seq("id_a"))
+      .join(tokP.select(col("id").as("id_b"), col("t")), Seq("id_b", "t"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sz.select(col("id").as("id_a"), col("n").as("n_a")), Seq("id_a"))
+      .join(sz.select(col("id").as("id_b"), col("n").as("n_b")), Seq("id_b"))
+      .withColumn("uni", col("n_a") + col("n_b") - col("inter"))
+      .filter(col("inter") * tauDen >= col("uni") * tauNum)
+      .select(col("id_a"), col("id_b"), col("n_a"), col("n_b"),
+        col("inter"), col("uni"),
+        round(col("inter").cast("double") / col("uni"), 6).as("jaccard"))
+  }
 }

@@ -1918,6 +1918,21 @@ object Ext {
           qxLo = 64, qxHi = 127, qyLo = 0, qyHi = 63)
         .orderBy("cell")
     },
+
+    // EXACT SET-SIMILARITY JOIN (x122): PPJoin-style prefix-filtered
+    // Jaccard self-join over 3-gram shingle sets (the x02 element
+    // convention) at tau = 1/2, corpus plus planted %10
+    // one-token-appended near-copies — recall 1.0 WITHOUT hashing (the
+    // deterministic-completeness sibling of the x02/x03 LSH path).
+    "x122_prefix_jaccard" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val dirty = docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(col("text"), lit(" xtradup")).as("text"))
+      graft.ops.Dedup.prefixJaccardJoin(docs.unionByName(dirty),
+          "doc_id", "text", tauNum = 1, tauDen = 2, ngramN = 3)
+        .orderBy("id_a", "id_b")
+    },
   )
 
   /** x72's full replay, parameterized by the Lloyd-TRAINING source
@@ -5833,5 +5848,54 @@ object Ext {
          |GROUP BY cell
          |ORDER BY cell""".stripMargin
     },
+
+    // Prefix-join replay: same planted corpus, distinct token sets,
+    // df-rarity ranks, the ceil prefix cut, both-prefix candidate
+    // join with the size filter, exact intersection counts, integer
+    // cross-multiplied threshold.
+    "x122_prefix_jaccard" ->
+      """WITH corpus AS (
+        |  SELECT doc_id AS id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text || ' xtradup'
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |base AS (
+        |  SELECT id, string_split(text, ' ') AS ts FROM corpus
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |tok AS (
+        |  SELECT DISTINCT id,
+        |    unnest(list_transform(generate_series(1, len(ts) - 2),
+        |      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS t
+        |  FROM base),
+        |dfreq AS (SELECT t, COUNT(*) AS df FROM tok GROUP BY 1),
+        |sz AS (SELECT id, COUNT(*) AS n FROM tok GROUP BY 1),
+        |rk AS (
+        |  SELECT tok.id, tok.t,
+        |    row_number() OVER (PARTITION BY tok.id
+        |      ORDER BY dfreq.df, tok.t) AS rk
+        |  FROM tok JOIN dfreq USING (t)),
+        |pre AS (
+        |  SELECT rk.id, rk.t, sz.n
+        |  FROM rk JOIN sz USING (id)
+        |  WHERE rk.rk <= sz.n - ((sz.n + 1) // 2) + 1),
+        |cand AS (
+        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        |  FROM pre a JOIN pre b ON a.t = b.t AND a.id < b.id
+        |    AND a.n <= b.n * 2 AND b.n <= a.n * 2),
+        |ins AS (
+        |  SELECT c.id_a, c.id_b, COUNT(*) AS inter
+        |  FROM cand c
+        |  JOIN tok ta ON ta.id = c.id_a
+        |  JOIN tok tb ON tb.id = c.id_b AND tb.t = ta.t
+        |  GROUP BY 1, 2)
+        |SELECT i.id_a, i.id_b, sa.n AS n_a, sb.n AS n_b, i.inter,
+        |  sa.n + sb.n - i.inter AS uni,
+        |  round(CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter), 6)
+        |    AS jaccard
+        |FROM ins i
+        |JOIN sz sa ON sa.id = i.id_a
+        |JOIN sz sb ON sb.id = i.id_b
+        |WHERE i.inter * 2 >= sa.n + sb.n - i.inter
+        |ORDER BY id_a, id_b""".stripMargin,
   )
 }

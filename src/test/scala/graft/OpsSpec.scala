@@ -2883,6 +2883,50 @@ class OpsSpec extends AnyFunSuite {
       "the planted grid must exercise both skip outcomes")
   }
 
+  test("prefix jaccard join: exact pairs match brute force, recall 1.0") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e"), (2L, "a b c d f"),          // J = 4/6
+      (3L, "a b x y z"),                             // J(1,3) = 2/8
+      (4L, "p q r"), (5L, "p q r"),                  // J = 1
+      (6L, "lone token set here"), (7L, "")).toDF("id", "text")
+    val out = graft.ops.Dedup.prefixJaccardJoin(docs, "id", "text",
+        tauNum = 3, tauDen = 5)
+      .select("id_a", "id_b", "inter", "uni", "jaccard")
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    // brute force over all pairs at tau = 3/5
+    val sets = docs.as[(Long, String)].collect()
+      .map(p => p._1 -> p._2.split(" ").filter(_.nonEmpty).toSet).toMap
+    val brute = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      inter = (sets(a) & sets(b)).size
+      uni = (sets(a) | sets(b)).size
+      if uni > 0 && inter * 5 >= uni * 3
+    } yield (a, b, inter.toLong, uni.toLong,
+      math.round(inter.toDouble / uni * 1e6) / 1e6)).toSet
+    assert(out == brute, s"prefix join vs brute force:\n$out\n$brute")
+    assert(out.exists(p => p._1 == 1L && p._2 == 2L),
+      "the J=2/3 pair must survive at tau=3/5")
+    assert(out.exists(p => p._1 == 4L && p._2 == 5L && p._5 == 1.0),
+      "identical sets must emit J=1")
+    // shingle mode: same law over 3-gram sets (docs < 3 tokens drop)
+    val out3 = graft.ops.Dedup.prefixJaccardJoin(docs, "id", "text",
+        tauNum = 1, tauDen = 2, ngramN = 3)
+      .select("id_a", "id_b", "inter", "uni")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val sets3 = docs.as[(Long, String)].collect().map { p =>
+      val ts = p._2.split(" ")
+      p._1 -> ts.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    }.toMap.filter(_._2.nonEmpty)
+    val brute3 = (for {
+      a <- sets3.keys; b <- sets3.keys if a < b
+      inter = (sets3(a) & sets3(b)).size
+      uni = (sets3(a) | sets3(b)).size
+      if inter * 2 >= uni
+    } yield (a, b, inter.toLong, uni.toLong)).toSet
+    assert(out3 == brute3, s"3-gram prefix join vs brute force:\n$out3\n$brute3")
+  }
+
   test("z-score anomaly: planted outlier flags, zero-variance guard") {
     import spark.implicits._
     // slice A: nine 10.00s and one 110.00 → the outlier's z is large
