@@ -807,13 +807,17 @@ object Dedup {
     require(tauNum > 0 && tauNum < tauDen,
       s"threshold must be in (0,1): $tauNum/$tauDen")
     import org.apache.spark.sql.expressions.Window
+    // elements are keyed by md5(element) — fixed-width join/shuffle
+    // keys instead of shingle text (the [[windowIndex]] discipline);
+    // ranks, counts and the intersection all operate on the digest
     val tok =
       if (ngramN <= 1)
         docs.select(col(idCol).as("id"),
-          explode(array_distinct(TextStats.tokens(col(textCol)))).as("t"))
+          explode(array_distinct(transform(
+            TextStats.tokens(col(textCol)), t => md5(t)))).as("t"))
       else
         ngrams(docs.select(col(idCol), col(textCol)), textCol, ngramN)
-          .select(col(idCol).as("id"), col("g").as("t"))
+          .select(col(idCol).as("id"), md5(col("g")).as("t"))
     val tokP = Caches.persistTracked(tok) // df counts, ranks, both
     // intersection sides all read the same element table
     val dfreq = tokP.groupBy(col("t")).agg(count(lit(1)).as("df"))

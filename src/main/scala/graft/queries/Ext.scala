@@ -5863,10 +5863,11 @@ object Ext {
         |  SELECT id, string_split(text, ' ') AS ts FROM corpus
         |  WHERE len(string_split(text, ' ')) >= 3),
         |tok AS (
-        |  SELECT DISTINCT id,
-        |    unnest(list_transform(generate_series(1, len(ts) - 2),
-        |      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS t
-        |  FROM base),
+        |  SELECT DISTINCT id, md5(g) AS t FROM (
+        |    SELECT id,
+        |      unnest(list_transform(generate_series(1, len(ts) - 2),
+        |        i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS g
+        |    FROM base)),
         |dfreq AS (SELECT t, COUNT(*) AS df FROM tok GROUP BY 1),
         |sz AS (SELECT id, COUNT(*) AS n FROM tok GROUP BY 1),
         |rk AS (
