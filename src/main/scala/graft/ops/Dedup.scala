@@ -789,21 +789,70 @@ object Dedup {
     * J >= tau must share >= 1 prefix token (pigeonhole on the
     * rarity-sorted overlap), so the equi-join of prefixes on the token
     * is a complete candidate generator; the size filter
-    * tau <= |B|/|A| <= 1/tau prunes further. Verification is exact:
-    * intersection by token equi-join over candidates only, the
-    * threshold test as integer cross-multiplication (no float
-    * threshold), jaccard reported as the round-6 IEEE division of the
-    * exact counts.
+    * tau <= |B|/|A| <= 1/tau prunes further, and the POSITIONAL filter
+    * (PPJoin proper, Xiao et al. §3.2) prunes each shared prefix token
+    * by its rarity RANK: a pair at position (rk_a, rk_b) can still
+    * reach overlap at most 1 + min(n_a − rk_a, n_b − rk_b) (this match
+    * plus everything after each prefix position), so the pair is a
+    * candidate only if that bound reaches the overlap threshold
+    * alpha = ceil(tau/(1+tau) · (n_a+n_b)) — as the integer
+    * cross-multiplication (1 + min(..)) · (tauNum+tauDen) >=
+    * (n_a+n_b) · tauNum. Completeness is preserved: for a true pair
+    * the FIRST common token in the global rarity order sits in both
+    * prefixes (the prefix-filter pigeonhole) and every one of the
+    * >= alpha common tokens sorts at-or-after it on both sides, so at
+    * that position the bound >= alpha holds and the pair survives.
+    * Verification is exact: intersection by token equi-join over
+    * candidates only, the threshold test as integer
+    * cross-multiplication (no float threshold), jaccard reported as
+    * the round-6 IEEE division of the exact counts.
+    *
+    * THE tau DIAL (like simhash's `chunkBits`): prefix length is
+    * n − ceil(tau·n) + 1 ≈ (1−tau)·n, so LOW thresholds keep long
+    * prefixes — at tau = 1/2 half of every document enters the
+    * candidate join and only the positional filter keeps
+    * moderately-common shingles from going quadratic on
+    * boilerplate-heavy corpora. Production callers should run
+    * tau >= 0.8 (prefix O(1) per doc) and reserve low tau for
+    * deliberate deep sweeps.
     *
     * Scale (100 TB): df counts and per-doc rarity ranks are
     * token/doc-keyed (the per-doc sort window is bounded by doc token
     * counts); prefixes hold the RAREST tokens, so prefix join buckets
     * are small by construction — the hot-token problem of a naive
-    * token join is excluded by the prefix cut, and every remaining
+    * token join is excluded by the prefix cut, the positional filter
+    * bounds the damage of the tokens that remain, and every remaining
     * shuffle keys on token or pair. */
   def prefixJaccardJoin(docs: DataFrame, idCol: String, textCol: String,
                         tauNum: Int = 1, tauDen: Int = 2,
                         ngramN: Int = 1): DataFrame = {
+    val (tokP, sz, cand) =
+      prefixJaccardParts(docs, idCol, textCol, tauNum, tauDen, ngramN,
+        positional = true)
+    val inter = cand
+      .join(tokP.select(col("id").as("id_a"), col("t")), Seq("id_a"))
+      .join(tokP.select(col("id").as("id_b"), col("t")), Seq("id_b", "t"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sz.select(col("id").as("id_a"), col("n").as("n_a")), Seq("id_a"))
+      .join(sz.select(col("id").as("id_b"), col("n").as("n_b")), Seq("id_b"))
+      .withColumn("uni", col("n_a") + col("n_b") - col("inter"))
+      .filter(col("inter") * tauDen >= col("uni") * tauNum)
+      .select(col("id_a"), col("id_b"), col("n_a"), col("n_b"),
+        col("inter"), col("uni"),
+        round(col("inter").cast("double") / col("uni"), 6).as("jaccard"))
+  }
+
+  /** Candidate machinery behind [[prefixJaccardJoin]], split out so the
+    * spec can measure the positional filter's pruning directly:
+    * returns (persisted element table (id, t), sizes (id, n), candidate
+    * pairs (id_a, id_b)). `positional = false` degrades to the
+    * prefix + length filters alone (the AllPairs rule) — same final
+    * output after verification, strictly more candidates. */
+  private[graft] def prefixJaccardParts(
+      docs: DataFrame, idCol: String, textCol: String,
+      tauNum: Int, tauDen: Int, ngramN: Int,
+      positional: Boolean): (DataFrame, DataFrame, DataFrame) = {
     require(tauNum > 0 && tauNum < tauDen,
       s"threshold must be in (0,1): $tauNum/$tauDen")
     import org.apache.spark.sql.expressions.Window
@@ -828,24 +877,20 @@ object Dedup {
       .join(sz, "id")
       .filter(col("rk") <=
         col("n") - expr(s"($tauNum * n + ${tauDen - 1}) div $tauDen") + 1)
-      .select(col("id"), col("t"), col("n"))
+      .select(col("id"), col("t"), col("n"), col("rk"))
+    // positional filter: reachable overlap from this shared prefix
+    // position must meet alpha = ceil(tau/(1+tau)·(n_a+n_b)); integer
+    // cross-multiplied, so no ceil/float anywhere
+    val reachable = (lit(1L) +
+      least(col("a.n") - col("a.rk"), col("b.n") - col("b.rk"))) *
+      (tauNum + tauDen) >= (col("a.n") + col("b.n")) * tauNum
+    val base = col("a.t") === col("b.t") && col("a.id") < col("b.id") &&
+      col("a.n") * tauNum <= col("b.n") * tauDen &&
+      col("b.n") * tauNum <= col("a.n") * tauDen
     val cand = prefix.as("a").join(prefix.as("b"),
-        col("a.t") === col("b.t") && col("a.id") < col("b.id") &&
-        col("a.n") * tauNum <= col("b.n") * tauDen &&
-        col("b.n") * tauNum <= col("a.n") * tauDen)
+        if (positional) base && reachable else base)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    val inter = cand
-      .join(tokP.select(col("id").as("id_a"), col("t")), Seq("id_a"))
-      .join(tokP.select(col("id").as("id_b"), col("t")), Seq("id_b", "t"))
-      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
-    inter
-      .join(sz.select(col("id").as("id_a"), col("n").as("n_a")), Seq("id_a"))
-      .join(sz.select(col("id").as("id_b"), col("n").as("n_b")), Seq("id_b"))
-      .withColumn("uni", col("n_a") + col("n_b") - col("inter"))
-      .filter(col("inter") * tauDen >= col("uni") * tauNum)
-      .select(col("id_a"), col("id_b"), col("n_a"), col("n_b"),
-        col("inter"), col("uni"),
-        round(col("inter").cast("double") / col("uni"), 6).as("jaccard"))
+    (tokP, sz, cand)
   }
 }

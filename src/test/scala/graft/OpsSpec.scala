@@ -2927,6 +2927,34 @@ class OpsSpec extends AnyFunSuite {
     assert(out3 == brute3, s"3-gram prefix join vs brute force:\n$out3\n$brute3")
   }
 
+  test("prefix jaccard positional filter: prunes boilerplate candidates, recall 1.0") {
+    import spark.implicits._
+    // 20 docs sharing 4 boilerplate tokens + 4 unique each (J = 1/3 for
+    // every base pair — below tau = 1/2), plus one planted near-copy of
+    // doc 1 (J = 7/9). Prefix-only (AllPairs) candidates: EVERY pair,
+    // via the first boilerplate token that lands in all prefixes.
+    // Positional: the boilerplate token sits at rank 5 of 8, so the
+    // reachable-overlap bound 1 + min(3,3) = 4 < alpha = 6 prunes every
+    // boilerplate-only pair; the true pair survives via its rank-2
+    // shared unique token (bound 7 >= 6).
+    val base = (1 to 20).map(i =>
+      (i.toLong, s"c1 c2 c3 c4 u${i}a u${i}b u${i}c u${i}d"))
+    val docs = (base :+ (100L, "c1 c2 c3 c4 u1a u1b u1c zz"))
+      .toDF("id", "text")
+    val (_, _, candPos) = Dedup.prefixJaccardParts(docs, "id", "text",
+      tauNum = 1, tauDen = 2, ngramN = 1, positional = true)
+    val (_, _, candAll) = Dedup.prefixJaccardParts(docs, "id", "text",
+      tauNum = 1, tauDen = 2, ngramN = 1, positional = false)
+    val (nPos, nAll) = (candPos.count(), candAll.count())
+    assert(nAll == 210L, s"prefix-only must candidate all C(21,2) pairs: $nAll")
+    assert(nPos == 1L, s"positional must keep exactly the true pair: $nPos")
+    val out = Dedup.prefixJaccardJoin(docs, "id", "text", 1, 2, 1)
+      .select("id_a", "id_b", "inter", "uni")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(out == Set((1L, 100L, 7L, 9L)),
+      s"positional filter must not cost recall: $out")
+  }
+
   test("z-score anomaly: planted outlier flags, zero-variance guard") {
     import spark.implicits._
     // slice A: nine 10.00s and one 110.00 → the outlier's z is large
