@@ -117,9 +117,12 @@ object Classify {
 
   /** Per-class quality report over an [[nbEvaluate]] frame — the
     * precision/recall/F1 table a pipeline reads before trusting the
-    * filter. One row per MODEL class (classes absent from the held-out
-    * actuals still report their precision): n_actual, n_pred,
-    * n_correct, precision = correct/pred, recall = correct/actual, and
+    * filter. One row per class on the MODEL ∪ ACTUAL axis: model
+    * classes absent from the held-out actuals still report their
+    * precision, and held-out classes the model never saw still appear
+    * (n_pred = 0, recall 0) — so sum(n_actual) always equals the
+    * evaluated row count, no silent undercount. Columns: n_actual,
+    * n_pred, n_correct, precision = correct/pred, recall = correct/actual, and
     * F1 via the integer-friendly identity 2·correct/(actual + pred)
     * (≡ 2PR/(P+R) — one exact-rational division, so the x114 oracle
     * replays it without FP-ordering concerns). Three class-keyed
@@ -134,6 +137,8 @@ object Classify {
       .groupBy(col("actual_label").as("label"))
       .agg(count(lit(1)).as("n_correct"))
     val base = m.classStats.select("label")
+      .unionByName(evaluated.select(col("actual_label").as("label")))
+      .distinct()
       .join(na, Seq("label"), "left")
       .join(np, Seq("label"), "left")
       .join(nc, Seq("label"), "left")

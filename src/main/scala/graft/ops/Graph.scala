@@ -515,17 +515,24 @@ object Graph {
   def kCore(pairs: DataFrame, k: Int, rounds: Int,
             idCol: String = "vec_id"): DataFrame = {
     require(k >= 1 && rounds >= 1, s"need k >= 1, rounds >= 1: k=$k rounds=$rounds")
-    var e = Caches.localCheckpointTracked(
+    // scoped checkpoints: round N's blocks free as soon as round N+1
+    // materializes, so the loop holds ONE edge copy, not rounds+1; the
+    // final round outlives the loop inside the returned plan → adopt
+    var h = Caches.localCheckpointScoped(
       pairs.select(col("a_id").as("__a"), col("b_id").as("__b")))
     for (_ <- 1 to rounds) {
+      val e = h.df
       val deg = e.select(col("__a").as("__id"))
         .unionAll(e.select(col("__b").as("__id")))
         .groupBy("__id").agg(count(lit(1)).as("__deg"))
       val alive = deg.filter(col("__deg") >= k).select("__id")
-      e = Caches.localCheckpointTracked(e
+      val next = Caches.localCheckpointScoped(e
         .join(alive.withColumnRenamed("__id", "__a"), Seq("__a"), "left_semi")
         .join(alive.withColumnRenamed("__id", "__b"), Seq("__b"), "left_semi"))
+      h.release()
+      h = next
     }
+    val e = Caches.adopt(h)
     e.select(col("__a").as("__id"))
       .unionAll(e.select(col("__b").as("__id")))
       .groupBy("__id").agg(count(lit(1)).as("core_deg"))

@@ -23,9 +23,10 @@ import org.apache.spark.sql.functions._
   * the tight per-dimension min/max this audit computes per cell.
   *
   * Determinism: grid coordinates are exact integer arithmetic
-  * (`(c-lo)*(2^bits-1) div (hi-lo)`, floor on non-negatives), the
-  * interleave is an unrolled shift/mask sum — the x121 oracle replays
-  * every bit. */
+  * (`(c-lo)*(2^bits-1) div (hi-lo)`, floor on non-negatives, with the
+  * product in DECIMAL(38,0) lanes so full-range int64 keys at high
+  * `bits` cannot overflow), the interleave is an unrolled shift/mask
+  * sum — the x121 oracle replays every bit. */
 object Layout {
 
   /** Bit interleave (Morton code) of two grid coordinates in
@@ -36,8 +37,14 @@ object Layout {
           shiftleft(shiftright(yi, i).bitwiseAND(lit(1L)), 2 * i + 1))
     }.reduce(_ + _)
 
+  // the (c - lo) * (2^bits - 1) product runs in DECIMAL(38,0) lanes: a
+  // full-span long column at bits=31 reaches ~2^94, which overflows the
+  // int64 product but sits far inside decimal38 (~2^126); `div` is
+  // Spark's integral divide, so the floor semantics (non-negative
+  // operands) and the BIGINT result are unchanged on in-range inputs
   private def grid(cn: String, lo: String, hi: String, bits: Int): Column =
-    expr(s"CASE WHEN $hi > $lo THEN ((`$cn` - $lo) * ${(1 << bits) - 1})" +
+    expr(s"CASE WHEN $hi > $lo THEN " +
+      s"((CAST(`$cn` AS DECIMAL(38,0)) - $lo) * ${(1L << bits) - 1})" +
       s" div ($hi - $lo) ELSE CAST(0 AS BIGINT) END")
 
   /** Adds `xg`, `yg` (grid coordinates) and `z` (Morton code) for the

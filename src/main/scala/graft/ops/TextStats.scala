@@ -220,8 +220,11 @@ object TextStats {
     val toks = docs.select(tokens(col(textCol)).as("ts"))
     val uni = toks.select(explode(col("ts")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    // greatest(.., 0): a zero/one-token document has no adjacency pairs —
+    // slice with a negative length would throw, the oracle's
+    // generate_series(1, len-1) is just empty
     val big = toks.select(explode(expr(
-        "transform(slice(ts, 1, size(ts) - 1), " +
+        "transform(slice(ts, 1, greatest(size(ts) - 1, 0)), " +
         "(x, i) -> struct(x AS w1, element_at(ts, i + 2) AS w2))")).as("b"))
       .select(col("b.w1"), col("b.w2"))
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))

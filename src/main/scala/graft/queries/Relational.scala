@@ -630,10 +630,16 @@ object Relational {
     //    undefined collect_set order because the sort happens AFTER
     //    collection — the only safe way to hash-gate list aggregation.
     "q50_ordered_listagg" -> { (s, dir) =>
+      // when(size > 0, ...): a group whose values are all NULL collects
+      // an empty set — string_agg yields NULL there, array_join ''
       Tables.documents(s, dir)
         .groupBy("lang")
-        .agg(array_join(array_sort(collect_set(col("source"))), ",").as("sources"),
+        .agg(array_sort(collect_set(col("source"))).as("__srcs"),
           countDistinct(col("source")).as("n_sources"))
+        .select(col("lang"),
+          when(size(col("__srcs")) > 0, array_join(col("__srcs"), ","))
+            .as("sources"),
+          col("n_sources"))
         .orderBy("lang")
     },
 

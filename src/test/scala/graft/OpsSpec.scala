@@ -2712,6 +2712,22 @@ class OpsSpec extends AnyFunSuite {
         assert(math.abs(r.getDouble(6) - 2 * p * q / (p + q)) < 1e-6,
           s"F1 identity broke for ${r.getString(0)}")
       }
+    // held-out class the model never saw: still a report row (n_pred=0,
+    // recall 0, precision null) — conservation holds even off-model
+    val tr2 = Seq((1L, "en", "hello world city"), (2L, "fr", "bonjour le monde"))
+      .toDF("doc_id", "lang", "text")
+    val te2 = Seq((3L, "en", "hello city"), (4L, "zz", "qqq zzz www"))
+      .toDF("doc_id", "lang", "text")
+    val m2 = graft.ops.Classify.trainNaiveBayes(tr2, "lang", "text")
+    val rep2 = graft.ops.Classify.nbClassReport(m2,
+        graft.ops.Classify.nbEvaluate(m2, te2, "doc_id", "lang", "text"))
+      .orderBy("label").collect()
+    assert(rep2.map(_.getString(0)).toSeq == Seq("en", "fr", "zz"),
+      s"axis must be model ∪ actual: ${rep2.map(_.getString(0)).toSeq}")
+    val zz = rep2.find(_.getString(0) == "zz").get
+    assert(zz.getLong(1) == 1 && zz.getLong(2) == 0 && zz.getLong(3) == 0 &&
+      zz.isNullAt(4) && zz.getDouble(5) == 0.0, s"unseen class row: $zz")
+    assert(rep2.map(_.getLong(1)).sum == 2, "sum(n_actual) = |held-out| incl. unseen")
   }
 
   test("fuzzy linkage: in-block typo links, first-char typo escapes, id tiebreak") {
@@ -2832,10 +2848,12 @@ class OpsSpec extends AnyFunSuite {
 
   test("pmi collocations: planted sticky pair scores high, counts exact") {
     import spark.implicits._
-    // "new york" always co-occurs; "the" pairs with everything
+    // "new york" always co-occurs; "the" pairs with everything; the
+    // empty/whitespace docs contribute zero tokens — no bigrams, no
+    // crash (the slice-length guard), totals untouched
     val docs = Seq(
       "new york is the city", "new york has the park",
-      "new york and the sea", "the dog saw the cat").toDF("text")
+      "new york and the sea", "the dog saw the cat", "", "   ").toDF("text")
     val out = graft.ops.TextStats.pmiCollocations(docs, "text", minCount = 2)
       .collect().map(r => (r.getString(0), r.getString(1),
         r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toSeq
@@ -2881,6 +2899,16 @@ class OpsSpec extends AnyFunSuite {
     }
     assert(audit.exists(_.getBoolean(6)) && audit.exists(!_.getBoolean(6)),
       "the planted grid must exercise both skip outcomes")
+    // overflow lane: a 2^40-span key at bits=31 — the (c-lo)*(2^31-1)
+    // product is ~2^70, int64-impossible; the DECIMAL(38) lanes keep
+    // the grid exact (hi → 2^31-1, midpoint → 2^30-1)
+    val wide = Seq((0L, 0L), (1L << 39, 0L), (1L << 40, 1L << 40))
+      .toDF("x", "y")
+    val wg = graft.ops.Layout.withZOrder(wide, "x", "y", bits = 31)
+      .select("x", "xg").as[(Long, Long)].collect().toMap
+    assert(wg(0L) == 0L && wg(1L << 40) == (1L << 31) - 1 &&
+      wg(1L << 39) == (1L << 30) - 1,
+      s"wide-range grid must not overflow: $wg")
   }
 
   test("prefix jaccard join: exact pairs match brute force, recall 1.0") {
