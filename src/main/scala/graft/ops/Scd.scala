@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -25,6 +25,13 @@ import org.apache.spark.sql.functions._
   * whole build verbatim with the same two window functions. */
 object Scd {
 
+  /** Order- and layout-insensitive payload fingerprint (the x115/x118
+    * convention): md5 over unit-separator-joined string renderings,
+    * NULs standing in for NULLs. */
+  private def payloadFp(payloadCols: Seq[String]): Column =
+    md5(concat_ws("\u0001",
+      payloadCols.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*))
+
   /** Collapse (id, version, payload…) snapshot rows into SCD2 intervals:
     * one output row per maximal run of consecutive snapshots with
     * identical payload — `valid_from` = first version of the run,
@@ -41,8 +48,7 @@ object Scd {
   def buildScd2(snapshots: DataFrame, idCol: String, versionCol: String,
                 payloadCols: Seq[String]): DataFrame = {
     require(payloadCols.nonEmpty, "buildScd2 needs >= 1 payload column")
-    val fp = md5(concat_ws("\u0001",
-      payloadCols.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*))
+    val fp = payloadFp(payloadCols)
     val byVersion = Window.partitionBy(col(idCol)).orderBy(col(versionCol))
     val starts = snapshots
       .withColumn("__fp", fp)
@@ -53,5 +59,68 @@ object Scd {
       .select(col(idCol) +: col(versionCol).as("valid_from") +:
         col("valid_to") +: col("valid_to").isNull.as("is_current") +:
         payloadCols.map(col): _*)
+  }
+
+  /** INCREMENTAL SCD2 maintenance: fold ONE arriving full snapshot into
+    * an existing [[buildScd2]] history without rebuilding from the
+    * snapshot stack — the daily dimension load (the x73/x81 delta
+    * discipline applied to the dimension side; reference analog: the
+    * periodic-reload semantics of HttpLookupTableSource.scala:49-52 —
+    * refresh without rebuilding the world).
+    *
+    * Law (the x123 gate + OpsSpec replay): for any split point,
+    * `scd2Apply(buildScd2(snapshots < v), snapshot at v)` equals
+    * `buildScd2(snapshots <= v)` row-for-row, and folding snapshots one
+    * at a time from `buildScd2(first)` reproduces the full build.
+    * Preconditions, both the warehouse-load invariants: `snapshot`
+    * holds at most one row per id, and its version is strictly greater
+    * than every `valid_from` already in `current`.
+    *
+    * Per id there are four cases, all decided by one fingerprint
+    * comparison on the OPEN interval: unchanged (snapshot fp equals the
+    * open run's) → pass through; changed → close the open interval at
+    * the snapshot version and open a new one; new id → open its first
+    * interval; id absent from the snapshot → pass through (absence is
+    * not a change record, matching the build).
+    *
+    * Scale (100 TB of history): closed intervals stream through
+    * untouched (no shuffle — they cannot change, by the half-open
+    * interval invariant); the only keyed work is ONE id-keyed
+    * full-outer join of the OPEN intervals (≤ one per id) against the
+    * snapshot, and the ≤2 output rows per id come from a codegen'd
+    * explode — nothing is ever history × snapshot. */
+  def scd2Apply(current: DataFrame, snapshot: DataFrame, idCol: String,
+                versionCol: String, payloadCols: Seq[String]): DataFrame = {
+    require(payloadCols.nonEmpty, "scd2Apply needs >= 1 payload column")
+    val vType = snapshot.schema(versionCol).dataType
+    val closed = current.filter(!col("is_current"))
+    val open = current.filter(col("is_current"))
+      .withColumn("__cur_fp", payloadFp(payloadCols))
+    val snap = snapshot
+      .withColumn("__new_fp", payloadFp(payloadCols))
+      .select(col(idCol) +: col(versionCol).as("__v") +: col("__new_fp") +:
+        payloadCols.map(c => col(c).as(s"__new_$c")): _*)
+    val j = open.join(snap, Seq(idCol), "full_outer")
+    val hasOld = col("valid_from").isNotNull
+    val changed = hasOld && col("__v").isNotNull &&
+      col("__cur_fp") =!= col("__new_fp")
+    val oldRow = struct(
+      col("valid_from") +:
+      when(changed, col("__v")).otherwise(col("valid_to")).as("valid_to") +:
+      payloadCols.map(col): _*)
+    val newRow = struct(
+      col("__v").as("valid_from") +:
+      lit(null).cast(vType).as("valid_to") +:
+      payloadCols.map(c => col(s"__new_$c").as(c)): _*)
+    j.select(col(idCol),
+        explode(
+          when(changed, array(oldRow, newRow))
+            .when(hasOld, array(oldRow))
+            .otherwise(array(newRow))).as("__r"))
+      .select(col(idCol) +: col("__r.valid_from").as("valid_from") +:
+        col("__r.valid_to").as("valid_to") +:
+        col("__r.valid_to").isNull.as("is_current") +:
+        payloadCols.map(c => col(s"__r.$c").as(c)): _*)
+      .unionByName(closed)
   }
 }

@@ -1933,6 +1933,24 @@ object Ext {
           "doc_id", "text", tauNum = 1, tauDen = 2, ngramN = 3)
         .orderBy("id_a", "id_b")
     },
+
+    // INCREMENTAL SCD2 APPLY (x123): fold the v3 snapshot into the
+    // history built from v0-v2 — one id-keyed pass over the OPEN
+    // intervals, closed history untouched. Oracle = the x118 full
+    // four-snapshot build, verbatim: the apply law made hash-checkable.
+    "x123_scd2_apply" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      def snapAt(v: Int) =
+        docs.select(col("doc_id"), lit(v).as("version"),
+          concat(col("text"),
+            expr(s"repeat('!', $v div (1 + doc_id % 3))")).as("text"))
+      val hist = graft.ops.Scd.buildScd2(
+        (0 to 2).map(snapAt).reduce(_ unionByName _),
+        "doc_id", "version", Seq("text"))
+      graft.ops.Scd.scd2Apply(hist, snapAt(3), "doc_id", "version",
+          Seq("text"))
+        .orderBy("doc_id", "valid_from")
+    },
   )
 
   /** x72's full replay, parameterized by the Lloyd-TRAINING source
@@ -2532,6 +2550,36 @@ object Ext {
         |FROM fused
         |QUALIFY rank <= 10
         |ORDER BY q_id, rank""".stripMargin
+
+  /** x118's full four-snapshot SCD2 build replay — shared verbatim by
+    * x123 (incremental apply): the apply law says the folded history
+    * IS the full build. */
+  private val scd2HistorySql: String =
+      """WITH snaps AS (
+        |  SELECT doc_id, v.v AS version,
+        |    text || repeat('!', v.v // (1 + doc_id % 3)) AS text
+        |  FROM documents, (SELECT unnest([0, 1, 2, 3]) AS v) v),
+        |fp AS (
+        |  SELECT doc_id, version, text,
+        |    md5(concat_ws(chr(1), COALESCE(text, chr(0)))) AS fpv
+        |  FROM snaps),
+        |ch AS (
+        |  SELECT doc_id, version, text, fpv,
+        |    lag(fpv) OVER (PARTITION BY doc_id ORDER BY version) AS prev
+        |  FROM fp),
+        |st AS (
+        |  SELECT doc_id, version, text FROM ch
+        |  WHERE prev IS NULL OR fpv <> prev),
+        |iv AS (
+        |  SELECT doc_id, version AS valid_from,
+        |    lead(version) OVER (PARTITION BY doc_id ORDER BY version)
+        |      AS valid_to,
+        |    text
+        |  FROM st)
+        |SELECT doc_id, valid_from, valid_to,
+        |  valid_to IS NULL AS is_current, text
+        |FROM iv
+        |ORDER BY doc_id, valid_from""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "x30_gopher_quality" ->
@@ -5731,32 +5779,13 @@ object Ext {
     // faithful fingerprint is concat_ws(chr(1), coalesce(text,
     // chr(0))) — identity on a single non-null column but replayed
     // verbatim.
-    "x118_scd2_history" ->
-      """WITH snaps AS (
-        |  SELECT doc_id, v.v AS version,
-        |    text || repeat('!', v.v // (1 + doc_id % 3)) AS text
-        |  FROM documents, (SELECT unnest([0, 1, 2, 3]) AS v) v),
-        |fp AS (
-        |  SELECT doc_id, version, text,
-        |    md5(concat_ws(chr(1), COALESCE(text, chr(0)))) AS fpv
-        |  FROM snaps),
-        |ch AS (
-        |  SELECT doc_id, version, text, fpv,
-        |    lag(fpv) OVER (PARTITION BY doc_id ORDER BY version) AS prev
-        |  FROM fp),
-        |st AS (
-        |  SELECT doc_id, version, text FROM ch
-        |  WHERE prev IS NULL OR fpv <> prev),
-        |iv AS (
-        |  SELECT doc_id, version AS valid_from,
-        |    lead(version) OVER (PARTITION BY doc_id ORDER BY version)
-        |      AS valid_to,
-        |    text
-        |  FROM st)
-        |SELECT doc_id, valid_from, valid_to,
-        |  valid_to IS NULL AS is_current, text
-        |FROM iv
-        |ORDER BY doc_id, valid_from""".stripMargin,
+    "x118_scd2_history" -> scd2HistorySql,
+
+    // Incremental apply replay: the LAW is the oracle — folding the v3
+    // snapshot into the v0-v2 build must equal the full four-snapshot
+    // build, so x123 shares x118's SQL verbatim.
+    "x123_scd2_apply" -> scd2HistorySql,
+
 
     // Profile replay: the same planted-null frame, one per-column
     // aggregate block per profiled column (the UNION ALL is the

@@ -2955,6 +2955,35 @@ class OpsSpec extends AnyFunSuite {
     assert(out3 == brute3, s"3-gram prefix join vs brute force:\n$out3\n$brute3")
   }
 
+  test("scd2 apply law: fold of any snapshot split equals the full build") {
+    import spark.implicits._
+    // adds, changes, churn, disappear-then-change, gap-then-same
+    val snaps = Seq(
+      (1L, 0, "A"), (1L, 1, "A"), (1L, 2, "B"), (1L, 3, "B"), // one change
+      (2L, 0, "A"),                                           // vanishes
+      (3L, 2, "C"), (3L, 3, "D"),                             // late add
+      (4L, 0, "A"), (4L, 1, "B"), (4L, 2, "A"), (4L, 3, "B"), // churn
+      (5L, 1, "E"), (5L, 3, "E"),                             // gap, same
+      (6L, 0, "X"), (6L, 2, "Y")                              // gap, changed
+    ).toDF("id", "version", "payload")
+    def build(maxV: Int) = graft.ops.Scd.buildScd2(
+      snaps.filter(col("version") <= maxV), "id", "version", Seq("payload"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getLong(0), r.getInt(1),
+        if (r.isNullAt(2)) -1 else r.getInt(2),
+        r.getBoolean(3), r.getString(4))).toSet
+    for (v <- 1 to 3) {
+      val applied = graft.ops.Scd.scd2Apply(build(v - 1),
+        snaps.filter(col("version") === v), "id", "version", Seq("payload"))
+      assert(rows(applied) == rows(build(v)), s"apply law broke at v=$v")
+    }
+    val folded = (1 to 3).foldLeft(build(0)) { (h, v) =>
+      graft.ops.Scd.scd2Apply(h, snaps.filter(col("version") === v),
+        "id", "version", Seq("payload"))
+    }
+    assert(rows(folded) == rows(build(3)), "apply ∘ apply ∘ apply = build")
+  }
+
   test("prefix jaccard positional filter: prunes boilerplate candidates, recall 1.0") {
     import spark.implicits._
     // 20 docs sharing 4 boilerplate tokens + 4 unique each (J = 1/3 for
