@@ -119,12 +119,19 @@ object EventAnalytics {
     * are span-sized (tiny); the corpus-sized work is the distinct and
     * the ×windowDays explode.
     *
-    * Distinct counts are exact (COUNT DISTINCT, combinable via Spark's
-    * two-phase plan); swap in HLL sketches (x28) when user cardinality
-    * per day stops fitting the agg — same shape, bounded error. */
+    * With `exact = true` the distinct counts are exact (COUNT
+    * DISTINCT, combinable via Spark's two-phase plan); `exact = false`
+    * is the callable HLL twin (x28 convention): both counts become
+    * `approx_count_distinct(rsd)` — same shape and day grid, ±rsd
+    * counts, one combinable sketch per day instead of the exact
+    * distinct's shuffle of every (day, user) pair — the MAU-window
+    * dial once per-day user cardinality stops fitting the agg. */
   def rollingActiveUsers(events: DataFrame, userCol: String, tsCol: String,
-                         windowDays: Int = 7): DataFrame = {
+                         windowDays: Int = 7, exact: Boolean = true,
+                         rsd: Double = 0.05): DataFrame = {
     require(windowDays >= 1, s"windowDays must be >= 1: $windowDays")
+    def cntD(c: Column) =
+      if (exact) countDistinct(c) else approx_count_distinct(c, rsd)
     val act = events
       .select(col(userCol).as("__u"), date_trunc("day", col(tsCol)).as("day"))
       .distinct()
@@ -133,11 +140,11 @@ object EventAnalytics {
         date_trunc("day", max(col(tsCol))).as("hi"))
       .select(explode(sequence(col("lo"), col("hi"),
         expr("interval 1 day"))).as("day"))
-    val dau = act.groupBy("day").agg(countDistinct(col("__u")).as("dau"))
+    val dau = act.groupBy("day").agg(cntD(col("__u")).as("dau"))
     val contrib = act.select(col("__u"), explode(sequence(col("day"),
       col("day") + expr(s"interval ${windowDays - 1} days"),
       expr("interval 1 day"))).as("day"))
-    val wau = contrib.groupBy("day").agg(countDistinct(col("__u")).as("wau"))
+    val wau = contrib.groupBy("day").agg(cntD(col("__u")).as("wau"))
     days
       .join(dau, Seq("day"), "left")
       .join(wau, Seq("day"), "left")

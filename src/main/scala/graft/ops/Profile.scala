@@ -12,11 +12,12 @@ import org.apache.spark.sql.functions._
   * Scale design (100 TB): ONE aggregation pass over the table — all
   * per-column aggregates (null/distinct/min/max/length-sum) evaluate in
   * a single `agg`, so the scan happens once and every aggregate
-  * combines map-side. The exact per-column distinct counts expand the
-  * aggregate input k+1 ways (Catalyst's Expand for multi-distinct) —
-  * the exactness tax the oracle needs; the 100 TB dial is
-  * `approx_count_distinct`, which drops the Expand entirely and keeps
-  * one combinable sketch per column (the x28 HLL convention). The
+  * combines map-side. With `exact = true` the per-column distinct
+  * counts expand the aggregate input k+1 ways (Catalyst's Expand for
+  * multi-distinct) — the exactness tax the oracle needs; `exact =
+  * false` IS the 100 TB dial: `approx_count_distinct` at `rsd` drops
+  * the Expand entirely and keeps one combinable HLL sketch per column
+  * (the x28 convention), leaving a single un-multiplied scan. The
   * result is k rows (k = columns profiled) — driver-sized by
   * construction, assembled by a single explode of one struct array.
   *
@@ -31,13 +32,17 @@ object Profile {
     * avg_len) — `sum_len`/`avg_len` measure the string RENDERING of
     * non-null values (a storage-agnostic width proxy), `min_val`/
     * `max_val` are native extrema cast to string, null for all-null
-    * columns, `avg_len` null when every value is null. */
-  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    * columns, `avg_len` null when every value is null. `exact = false`
+    * swaps the distinct counts for `approx_count_distinct(rsd)` —
+    * same report shape, ±rsd `n_distinct`, no Expand in the plan. */
+  def profile(df: DataFrame, cols: Seq[String], exact: Boolean = true,
+              rsd: Double = 0.05): DataFrame = {
     require(cols.nonEmpty, "profile needs >= 1 column")
     val aggs = cols.flatMap { c =>
       Seq(
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__null_$c"),
-        countDistinct(col(c)).as(s"__nd_$c"),
+        (if (exact) countDistinct(col(c))
+         else approx_count_distinct(col(c), rsd)).as(s"__nd_$c"),
         min(col(c)).cast("string").as(s"__min_$c"),
         max(col(c)).cast("string").as(s"__max_$c"),
         sum(length(col(c).cast("string"))).as(s"__len_$c"))

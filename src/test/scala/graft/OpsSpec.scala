@@ -2844,6 +2844,39 @@ class OpsSpec extends AnyFunSuite {
       .collect().head
     assert(an.getLong(2) == 2 && an.getLong(3) == 0 && an.isNullAt(4) &&
       an.isNullAt(5) && an.isNullAt(7), s"all-null profile: $an")
+    // approx dial: identical report shape, every non-distinct field
+    // bit-equal, n_distinct within 3·rsd of exact (rsd = 0.05)
+    val cols = Seq("doc_id", "lang", "source", "n_chars")
+    def asMap(p: org.apache.spark.sql.DataFrame) = p.collect()
+      .map(r => r.getString(0) -> r).toMap
+    val exP = asMap(graft.ops.Profile.profile(docs, cols))
+    val apP = asMap(graft.ops.Profile.profile(docs, cols, exact = false))
+    cols.foreach { c =>
+      val (e, a) = (exP(c), apP(c))
+      assert(math.abs(a.getLong(3) - e.getLong(3)) <=
+        math.max(2L, math.round(0.15 * e.getLong(3))),
+        s"$c approx n_distinct ${a.getLong(3)} vs exact ${e.getLong(3)}")
+      Seq(1, 2, 4, 5, 6).foreach(i =>
+        assert(a.get(i) == e.get(i), s"$c field $i must be exact-equal"))
+    }
+  }
+
+  test("rolling active users HLL twin: same grid, counts within rsd bound") {
+    val ev = Tables.events(spark, dir)
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.get(0).toString -> (r.getLong(1), r.getLong(2))).toMap
+    val ex = asMap(graft.ops.EventAnalytics.rollingActiveUsers(
+      ev, "user_id", "ts", windowDays = 7))
+    val ap = asMap(graft.ops.EventAnalytics.rollingActiveUsers(
+      ev, "user_id", "ts", windowDays = 7, exact = false))
+    assert(ex.keySet == ap.keySet, "day grid must not depend on the dial")
+    ex.foreach { case (d, (dau, wau)) =>
+      val (ad, aw) = ap(d)
+      assert(math.abs(ad - dau) <= math.max(2L, math.round(0.15 * dau)),
+        s"$d dau approx $ad vs exact $dau")
+      assert(math.abs(aw - wau) <= math.max(2L, math.round(0.15 * wau)),
+        s"$d wau approx $aw vs exact $wau")
+    }
   }
 
   test("pmi collocations: planted sticky pair scores high, counts exact") {

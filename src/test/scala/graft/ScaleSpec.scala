@@ -924,6 +924,21 @@ class ScaleSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("x119 profile approx dial: HLL plan drops the multi-distinct Expand") {
+    val d = Tables.documents(spark, dir)
+    val cols = Seq("doc_id", "lang", "source", "n_chars")
+    // control: the exact form pays the documented k+1-way Expand tax
+    val exactPlan = graft.ops.Profile.profile(d, cols)
+      .queryExecution.executedPlan.toString
+    assert(exactPlan.contains("Expand"),
+      s"exact multi-distinct should Expand (control):\n$exactPlan")
+    // the dial: one un-multiplied scan, combinable HLL sketches
+    val approxPlan = graft.ops.Profile.profile(d, cols, exact = false)
+      .queryExecution.executedPlan.toString
+    assert(!approxPlan.contains("Expand"),
+      s"approx profile must not Expand the input:\n$approxPlan")
+  }
+
   test("event analytics: user/type-keyed joins only — no cartesian; stats broadcast") {
     val ev = Tables.events(spark, dir)
     val fPlan = graft.ops.EventAnalytics.funnel(ev, "user_id", "ts",
