@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multi-dimensional data layout — Z-order (Morton) clustering and the
@@ -16,11 +16,10 @@ import org.apache.spark.sql.functions._
   * aggregate (broadcast back as a 1-row frame), the grid/interleave
   * math is pure codegen'd per-row arithmetic, and the audit is a single
   * cell-keyed aggregation — no shuffle anywhere except that keyed
-  * count. The physical write path is
-  * `withZOrder(df,…).repartitionByRange(nFiles, col("z"))
-  * .sortWithinPartitions("z").write.parquet(…)` — range partitioning
-  * by z IS the cluster assignment, and each file's footer then carries
-  * the tight per-dimension min/max this audit computes per cell.
+  * count. The physical write path is [[zOrderWrite]] — one file per
+  * storage cell, z-sorted within — and [[writtenZoneMap]] reads the
+  * written tree back and proves each file's footer-equivalent min/max
+  * equals the analytic cell audit.
   *
   * Determinism: grid coordinates are exact integer arithmetic
   * (`(c-lo)*(2^bits-1) div (hi-lo)`, floor on non-negatives, with the
@@ -90,4 +89,43 @@ object Layout {
         col("max_xg") < qxLo || col("min_xg") > qxHi ||
         col("max_yg") < qyLo || col("min_yg") > qyHi)
   }
+
+  /** PHYSICAL Z-order write — the layout [[zOrderAudit]] reasons about,
+    * materialized: rows hash-route to their storage cell (the top
+    * `2*cellBits` Morton bits), sort by z inside each task, and write
+    * one parquet tree partitioned by `cell`. Hash partitioning sends
+    * every row of a cell to exactly ONE task, so each cell directory
+    * holds exactly one file and the file's footer min/max ARE the
+    * cell's zone-map stats — the written-tree discipline of the
+    * x66/x79/x82 index family applied to layout. The grid columns
+    * (`xg`, `yg`, `z`) are persisted alongside the data so the footer
+    * stats an engine would prune on are first-class columns. */
+  def zOrderWrite(df: DataFrame, xCol: String, yCol: String, path: String,
+                  bits: Int = 8, cellBits: Int = 4): Unit =
+    withZOrder(df, xCol, yCol, bits)
+      .withColumn("cell", shiftright(col("z"), 2 * (bits - cellBits)))
+      .repartition(col("cell"))
+      .sortWithinPartitions(col("z"))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  /** Read-back audit of a [[zOrderWrite]] tree: one row per written
+    * FILE with its row count, per-dimension grid min/max (column
+    * min/max over the file's rows — by definition what the parquet
+    * footer records for `xg`/`yg`) and the same box-skip verdict as
+    * [[zOrderAudit]]. Because the write placed one file per cell, this
+    * frame must equal the analytic cell audit row-for-row — the
+    * ScaleSpec law — and `sum(skippable)` IS the number of files an
+    * engine's footer pruning skips for the box query. */
+  def writtenZoneMap(spark: SparkSession, path: String,
+                     qxLo: Int = 0, qxHi: Int = 0,
+                     qyLo: Int = 0, qyHi: Int = 0): DataFrame =
+    spark.read.parquet(path)
+      .groupBy(col("cell").cast("long").as("cell"),
+        input_file_name().as("file"))
+      .agg(count(lit(1)).as("n"),
+        min(col("xg")).as("min_xg"), max(col("xg")).as("max_xg"),
+        min(col("yg")).as("min_yg"), max(col("yg")).as("max_yg"))
+      .withColumn("skippable",
+        col("max_xg") < qxLo || col("min_xg") > qxHi ||
+        col("max_yg") < qyLo || col("min_yg") > qyHi)
 }

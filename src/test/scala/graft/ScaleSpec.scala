@@ -924,6 +924,43 @@ class ScaleSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("x121 z-order physical write: file zone maps equal the cell audit, skip counts match") {
+    val li = Tables.lineitem(spark, dir)
+    val out = java.nio.file.Files.createTempDirectory("zorder_").toString
+    try {
+      graft.ops.Layout.zOrderWrite(li, "l_partkey", "l_suppkey", out,
+        bits = 8, cellBits = 4)
+      val files = graft.ops.Layout.writtenZoneMap(spark, out,
+          qxLo = 64, qxHi = 127, qyLo = 0, qyHi = 63)
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+           r.getLong(6), r.getBoolean(7))).toMap
+      val cells = graft.ops.Layout.zOrderAudit(li, "l_partkey", "l_suppkey",
+          bits = 8, cellBits = 4, qxLo = 64, qxHi = 127, qyLo = 0, qyHi = 63)
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+           r.getLong(5), r.getBoolean(6))).toMap
+      // one file per cell, and each file's footer-equivalent stats ARE
+      // the analytic cell audit — row counts, both min/max pairs, verdict
+      assert(files.keySet == cells.keySet,
+        s"files per cell: ${files.keySet.size} vs cells ${cells.keySet.size}")
+      files.foreach { case (cell, f) =>
+        assert(f == cells(cell), s"cell $cell: file $f vs audit ${cells(cell)}")
+      }
+      // the deployment claim: skipped-file count equals skippable cells,
+      // and no row matching the box predicate lives in a skipped file
+      val skippedFiles = files.count(_._2._6)
+      assert(skippedFiles == cells.count(_._2._6) && skippedFiles > 0)
+      val hitsInSkipped = graft.ops.Layout.writtenZoneMap(spark, out,
+          64, 127, 0, 63).filter(col("skippable"))
+        .join(spark.read.parquet(out)
+          .filter(col("xg").between(64, 127) && col("yg").between(0, 63))
+          .groupBy(input_file_name().as("file")).count(), Seq("file"))
+        .count()
+      assert(hitsInSkipped == 0, "box rows must never sit in a skipped file")
+    } finally graft.util.Fs.deleteTree(java.nio.file.Paths.get(out))
+  }
+
   test("x119 profile approx dial: HLL plan drops the multi-distinct Expand") {
     val d = Tables.documents(spark, dir)
     val cols = Seq("doc_id", "lang", "source", "n_chars")
