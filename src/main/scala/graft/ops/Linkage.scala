@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Blocked fuzzy RECORD LINKAGE (entity resolution): link each record of
@@ -16,11 +16,13 @@ import org.apache.spark.sql.functions._
   * |dirty|·|canon|), and records join back by name afterwards. The
   * best match is a combinable min(struct) aggregate (no per-record
   * window). The
-  * standard ER trade documented here: a corruption inside the first
-  * `blockLen` characters escapes its block and the record reports no
-  * match — widen recall with shorter blocks (bigger candidate sets) or
-  * multiple block passes (prefix + suffix + phonetic), cost ∝ the
-  * block-size product either way.
+  * standard ER trade dialed here: a corruption inside the first
+  * `blockLen` characters escapes the prefix block, and
+  * `suffixPass = true` runs the second block pass on the LAST
+  * `blockLen` characters — a single-typo name agrees with its
+  * canonical form on the prefix or the suffix (or both), so the
+  * two-pass union links every one-edit corruption that is not at
+  * both ends at once; cost ∝ the per-pass block-size products.
   *
   * Determinism: levenshtein is an exact integer in both engines; the
   * argmin orders on (dist, canonical id), so the x117 oracle replays
@@ -41,16 +43,29 @@ object Linkage {
     * IDENTICAL (the x117 oracle replays the record-level form). */
   def fuzzyLink(dirty: DataFrame, canon: DataFrame, idCol: String,
                 nameCol: String, blockLen: Int = 2,
-                maxDist: Int = 2): DataFrame = {
+                maxDist: Int = 2, suffixPass: Boolean = false): DataFrame = {
     require(blockLen >= 1 && maxDist >= 0,
       s"need blockLen >= 1, maxDist >= 0: $blockLen/$maxDist")
     val dn = dirty.select(col(nameCol).as("d_name")).distinct()
-      .withColumn("__blk", substring(col("d_name"), 1, blockLen))
     val cn = canon
       .groupBy(col(nameCol).as("c_name"))
       .agg(min(col(idCol)).as("c_id"))
-      .withColumn("__blk", substring(col("c_name"), 1, blockLen))
-    val bestByName = dn.join(cn, Seq("__blk"))
+    // each pass is one equi-join on its block key over the distinct-name
+    // domain; the suffix pass recovers names whose corruption sits in
+    // the first blockLen chars (they still agree on the tail), at the
+    // cost of a second name-domain join — candidates stay
+    // sum-of-block-products, never |dirty| x |canon|
+    def pass(key: String => Column) =
+      dn.withColumn("__blk", key("d_name"))
+        .join(cn.withColumn("__blk", key("c_name")), Seq("__blk"))
+        .select(col("d_name"), col("c_name"), col("c_id"))
+    val prefixCand = pass(c => substring(col(c), 1, blockLen))
+    val cand =
+      if (suffixPass)
+        prefixCand.unionByName(pass(c => expr(s"right($c, $blockLen)")))
+          .distinct()
+      else prefixCand
+    val bestByName = cand
       .withColumn("dist", levenshtein(col("d_name"), col("c_name")))
       .filter(col("dist") <= maxDist)
       .groupBy(col("d_name"))

@@ -1825,7 +1825,9 @@ object Ext {
 
     // FUZZY RECORD LINKAGE (x117): every part name (with the %7 keys'
     // third character dropped — the dirty table) linked to its best
-    // canonical part by blocked levenshtein argmin on (dist, id).
+    // canonical part by blocked levenshtein argmin on (dist, id) —
+    // TWO block passes (prefix + suffix), so a corruption in either
+    // end's blockLen chars still reaches its canonical block.
     "x117_fuzzy_link" -> { (s, dir) =>
       val part = Tables.part(s, dir)
       val dirty = part.select(col("p_partkey"),
@@ -1833,7 +1835,7 @@ object Ext {
           concat(substring(col("p_name"), 1, 2), expr("substring(p_name, 4)")))
           .otherwise(col("p_name")).as("p_name"))
       graft.ops.Linkage.fuzzyLink(dirty, part, "p_partkey", "p_name",
-          blockLen = 2, maxDist = 2)
+          blockLen = 2, maxDist = 2, suffixPass = true)
         .orderBy("d_id")
     },
 
@@ -5721,6 +5723,7 @@ object Ext {
         |    levenshtein(d.d_name, c.c_name) AS dist
         |  FROM dirty d JOIN canon c
         |    ON substr(d.d_name, 1, 2) = substr(c.c_name, 1, 2)
+        |    OR right(d.d_name, 2) = right(c.c_name, 2)
         |  WHERE levenshtein(d.d_name, c.c_name) <= 2),
         |best AS (
         |  SELECT d_id, c_id AS matched_id, c_name AS matched_name, dist,

@@ -2744,6 +2744,17 @@ class OpsSpec extends AnyFunSuite {
       .select(col("d_id"), col("matched_id"), col("dist")).collect()
     assert(out(0).getLong(1) == 1L && out(0).getInt(2) == 1, s"${out(0)}")
     assert(out(1).isNullAt(1), s"blocked-out typo must not match: ${out(1)}")
+    // two-pass blocking: the first-char typo agrees on the SUFFIX block,
+    // so suffixPass recovers exactly that link and changes nothing else
+    val out2 = graft.ops.Linkage.fuzzyLink(dirty, canon, "id", "name",
+        suffixPass = true)
+      .orderBy("d_id")
+      .select(col("d_id"), col("matched_id"), col("dist")).collect()
+    assert(out2(1).getLong(1) == 10L && out2(1).getInt(2) == 1,
+      s"suffix pass must link the first-char typo: ${out2(1)}")
+    assert(out2(0).getLong(1) == out(0).getLong(1) &&
+      out2(2).getLong(1) == out(2).getLong(1),
+      "suffix pass must not disturb prefix-pass links")
     assert(out(2).getLong(1) == 10L && out(2).getInt(2) == 0, s"${out(2)}")
     // tie at equal distance breaks to the smaller canonical id
     val tie = graft.ops.Linkage.fuzzyLink(
