@@ -39,29 +39,101 @@ object EventAnalytics {
              typeCol: String, stages: Seq[String],
              withinHours: Int = 0): DataFrame = {
     require(stages.size >= 2, s"funnel needs >= 2 stages: $stages")
-    val ev = events.select(col(userCol), col(tsCol).as("__ts"),
-      col(typeCol).as("__t"))
-    val s1 = ev.filter(col("__t") === stages.head)
-      .groupBy(col(userCol)).agg(min(col("__ts")).as("t1"))
-    val all = stages.zipWithIndex.tail.foldLeft(s1) {
-      case (acc, (stage, i)) =>
-        val prev = s"t$i"
-        val cur = s"t${i + 1}"
-        val nxt = ev.filter(col("__t") === stage)
-          .join(acc.select(col(userCol), col(prev)), Seq(userCol))
-          .filter(col("__ts") >= col(prev))
-          .groupBy(col(userCol)).agg(min(col("__ts")).as(cur))
-        acc.join(nxt, Seq(userCol), "left")
+    funnelReport(
+      stageTimes(toStaged(events, userCol, tsCol, typeCol, stages),
+        userCol, stages.size),
+      userCol, stages.size, withinHours)
+  }
+
+  /** Stage-typed event projection: (userCol, __stage ∈ 1..k, __ts) —
+    * rows of non-stage types drop here, so everything downstream is
+    * linear in the FUNNEL-RELEVANT event count. */
+  private def toStaged(events: DataFrame, userCol: String, tsCol: String,
+                       typeCol: String, stages: Seq[String]): DataFrame = {
+    val idx = stages.zipWithIndex.foldLeft(lit(null).cast("int")) {
+      case (acc, (st, i)) => when(col(typeCol) === st, lit(i + 1)).otherwise(acc)
     }
-    val stageCols = (1 to stages.size).map(i => col(s"t$i"))
+    events.select(col(userCol), idx.as("__stage"), col(tsCol).as("__ts"))
+      .filter(col("__stage").isNotNull)
+  }
+
+  /** The strictly-sequential conditional mins t1..tk per user — k small
+    * user-keyed hash aggregates + k−1 user-keyed joins. */
+  private def stageTimes(staged: DataFrame, userCol: String,
+                         k: Int): DataFrame = {
+    val s1 = staged.filter(col("__stage") === 1)
+      .groupBy(col(userCol)).agg(min(col("__ts")).as("t1"))
+    (2 to k).foldLeft(s1) { (acc, i) =>
+      val nxt = staged.filter(col("__stage") === i)
+        .join(acc.select(col(userCol), col(s"t${i - 1}")), Seq(userCol))
+        .filter(col("__ts") >= col(s"t${i - 1}"))
+        .groupBy(col(userCol)).agg(min(col("__ts")).as(s"t$i"))
+      acc.join(nxt, Seq(userCol), "left")
+    }
+  }
+
+  private def funnelReport(times: DataFrame, userCol: String, k: Int,
+                           withinHours: Int): DataFrame = {
+    val stageCols = (1 to k).map(i => col(s"t$i"))
     val reached = stageCols.map(c => when(c.isNotNull, 1).otherwise(0))
       .reduce(_ + _)
     val lastOk =
       if (withinHours <= 0) stageCols.last.isNotNull
       else stageCols.last.isNotNull &&
         stageCols.last <= col("t1") + expr(s"interval $withinHours hours")
-    all.select(col(userCol) +: stageCols :+
+    times.select(col(userCol) +: stageCols :+
       reached.as("n_stages") :+ coalesce(lastOk, lit(false)).as("converted"): _*)
+  }
+
+  /** INCREMENTAL funnel state — the deployment form (the s16/s17
+    * frozen-definition fold discipline applied to x109): state is the
+    * PRUNED per-(user, stage) candidate-timestamp log, folded one
+    * micro-batch at a time; [[funnelFromState]] renders the exact
+    * batch-funnel answer at any point. Exactness under ARBITRARY
+    * arrival order (batches scramble event time): for stage j the
+    * state keeps every seen timestamp ≤ the current conditional min
+    * t_j (all of t_j's possible successors as earlier-stage minima
+    * keep arriving and t_{j−1} keeps DECREASING — the admitted set
+    * {ts ≥ t_{j−1}} only ever grows downward), and drops timestamps
+    * > t_j, which can never again be a conditional min because t_j
+    * itself stays admitted forever. So fold(prune) ∘ fold(prune) ≡
+    * one batch computation — the s18 gate hashes that law against
+    * x109's SQL on the full log. State size: the per-user pending
+    * frontier (≤ a handful of rows per (user, stage) in steady state —
+    * exactly one once a user's funnel is complete), NOT the event log;
+    * per-batch cost is one distinct + the k conditional-min aggregates
+    * over state ∪ batch, all user-keyed. */
+  def funnelState(events: DataFrame, userCol: String, tsCol: String,
+                  typeCol: String, stages: Seq[String]): DataFrame = {
+    require(stages.size >= 2, s"funnel needs >= 2 stages: $stages")
+    pruneState(toStaged(events, userCol, tsCol, typeCol, stages),
+      userCol, stages.size)
+  }
+
+  /** Fold one batch of events into a [[funnelState]] frame. */
+  def funnelFold(state: DataFrame, events: DataFrame, userCol: String,
+                 tsCol: String, typeCol: String,
+                 stages: Seq[String]): DataFrame =
+    pruneState(
+      state.unionByName(toStaged(events, userCol, tsCol, typeCol, stages)),
+      userCol, stages.size)
+
+  /** Render the batch-funnel report (x109's exact columns) from a
+    * [[funnelState]] frame. */
+  def funnelFromState(state: DataFrame, userCol: String, nStages: Int,
+                      withinHours: Int = 0): DataFrame =
+    funnelReport(stageTimes(state, userCol, nStages), userCol, nStages,
+      withinHours)
+
+  private def pruneState(staged: DataFrame, userCol: String,
+                         k: Int): DataFrame = {
+    val distinctSt = staged.distinct()
+    val times = stageTimes(distinctSt, userCol, k)
+    val keep = (1 to k).map(j => col("__stage") === j &&
+        (col(s"t$j").isNull || col("__ts") <= col(s"t$j")))
+      .reduce(_ || _)
+    distinctSt.join(times, Seq(userCol), "left").filter(keep)
+      .select(col(userCol), col("__stage"), col("__ts"))
   }
 
   /** RETENTION cohort matrix: cohort = the day of a user's first event;

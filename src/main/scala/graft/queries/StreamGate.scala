@@ -1037,6 +1037,65 @@ object StreamGate {
       }
     },
 
+    // Streaming FUNNEL maintenance (s18): the x109 signup→click→purchase
+    // funnel kept incrementally as micro-batches of the event log arrive
+    // in APPEND order (event time scrambled across batches — the hard
+    // case for sequential-funnel semantics). Each batch folds into the
+    // pruned per-(user, stage) candidate-timestamp state
+    // ([[graft.ops.EventAnalytics.funnelFold]]): conditional-min merges
+    // under the FROZEN stage definitions, the s16/s17 discipline. The
+    // fold law (prune keeps every timestamp that could still become a
+    // conditional min as earlier-stage minima keep dropping) makes the
+    // folded state's report equal the batch funnel over the whole log —
+    // which is the oracle, x109's SQL verbatim. ≥2 data batches
+    // asserted; per-round state localCheckpoints with scoped release
+    // (one live copy, the kCore discipline).
+    "s18_stream_funnel_maintenance" -> { (s, dir) =>
+      val topic = eventsTopic(s, dir)
+      withGateConf(s) {
+        val stages = Seq("signup", "click", "purchase")
+        var h: graft.ops.Checkpointed = null
+        val ckpt = gateTmpDir("s18_ckpt_")
+        val q = s.readStream.format("graft-topic")
+          .option("topic", topic)
+          .option("maxRecordsPerTrigger",
+            math.max(1L, (topicSize(topic) + 2) / 3).toString)
+          .load()
+          .select(col("timestamp").as("ts"),
+            from_json(col("value").cast("string"),
+              org.apache.spark.sql.types.StructType.fromDDL(
+                "user_id BIGINT, event_type STRING, value DOUBLE")).as("j"))
+          .select(col("j.user_id").as("user_id"), col("ts"),
+            col("j.event_type").as("event_type"))
+          .writeStream
+          .foreachBatch { (df: DataFrame, _: Long) =>
+            if (!df.isEmpty) {
+              val next = graft.ops.Caches.localCheckpointScoped(
+                if (h == null)
+                  graft.ops.EventAnalytics.funnelState(df, "user_id", "ts",
+                    "event_type", stages)
+                else
+                  graft.ops.EventAnalytics.funnelFold(h.df, df, "user_id",
+                    "ts", "event_type", stages))
+              if (h != null) h.release()
+              h = next
+            }
+            ()
+          }
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        drain(q, ckpt)
+        require(dataBatches(q) >= 2,
+          s"s18 must fold across batches; ran ${dataBatches(q)} data batches")
+        graft.ops.Caches.localCheckpointTracked(
+          graft.ops.EventAnalytics.funnelFromState(
+              graft.ops.Caches.adopt(h), "user_id", stages.size,
+              withinHours = 48)
+            .orderBy("user_id"))
+      }
+    },
+
     // Streaming exact dedup under the gate: events replayed through the
     // topic → dropDuplicatesWithinWatermark(user_id) → append-mode memory
     // sink. WHICH occurrence survives is arrival-order-dependent, so the
@@ -1431,6 +1490,11 @@ object StreamGate {
     // static/arrival split: the x108 replay on <400 / >=400.
     "s17_stream_classify_screening" ->
       Ext.nbEvalSql("doc_id < 400", "doc_id >= 400"),
+
+    // The funnel fold law: pruned conditional-min state folded per
+    // batch renders exactly the batch funnel over the whole event log —
+    // x109's SQL verbatim.
+    "s18_stream_funnel_maintenance" -> Ext.oracle("x109_funnel"),
 
     // Shard membership is a pure function of the row and every manifest
     // field commutes, so the streamed partitioned tree's manifest equals

@@ -2872,6 +2872,33 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("funnel fold law: scrambled batch splits reproduce the batch funnel") {
+    val ev = Tables.events(spark, dir)
+    val stages = Seq("signup", "click", "purchase")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val batch = rows(graft.ops.EventAnalytics.funnel(ev, "user_id", "ts",
+      "event_type", stages, withinHours = 48))
+    // %3 splits interleave event time across "batches" — the
+    // out-of-order arrival case where a later batch lowers t1 and an
+    // already-seen click must re-qualify from the pruned state
+    val parts = (0 to 2).map(i => ev.filter(col("event_id") % 3 === i))
+    val folded = parts.tail.foldLeft(
+      graft.ops.EventAnalytics.funnelState(parts.head, "user_id", "ts",
+        "event_type", stages)) { (st, p) =>
+      graft.ops.EventAnalytics.funnelFold(st, p, "user_id", "ts",
+        "event_type", stages)
+    }
+    assert(rows(graft.ops.EventAnalytics.funnelFromState(folded, "user_id",
+      stages.size, withinHours = 48)) == batch,
+      "folded state must render the batch funnel exactly")
+    // the state is a pruned frontier, not the staged event log
+    val stagedCount = ev.filter(col("event_type").isin(stages: _*)).count()
+    val stateCount = folded.count()
+    assert(stateCount < stagedCount / 2,
+      s"pruning must bite: state $stateCount vs staged $stagedCount")
+  }
+
   test("rolling active users HLL twin: same grid, counts within rsd bound") {
     val ev = Tables.events(spark, dir)
     def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
