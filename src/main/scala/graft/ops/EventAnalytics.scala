@@ -144,12 +144,32 @@ object EventAnalytics {
     * — both combinable — then a user-keyed join and a (cohort, offset)
     * count. Offsets are exact DATE differences. */
   def retentionMatrix(events: DataFrame, userCol: String,
-                      tsCol: String): DataFrame = {
-    val act = events
-      .select(col(userCol), date_trunc("day", col(tsCol)).as("day"))
+                      tsCol: String): DataFrame =
+    retentionFromState(retentionState(events, userCol, tsCol), userCol)
+
+  /** INCREMENTAL retention state: the distinct (user, activity-day)
+    * pair set — retention's exact sufficient statistic, linear in
+    * active pairs (not events) and folded by plain set union, so
+    * per-batch maintenance is trivially associative-commutative (the
+    * s19 gate law; unlike the funnel there is no conditional to
+    * re-qualify — min-cohort and offsets are pure functions of the
+    * set). */
+  def retentionState(events: DataFrame, userCol: String,
+                     tsCol: String): DataFrame =
+    events.select(col(userCol), date_trunc("day", col(tsCol)).as("day"))
       .distinct()
-    val cohort = act.groupBy(col(userCol)).agg(min(col("day")).as("cohort_day"))
-    act.join(cohort, Seq(userCol))
+
+  /** Fold one batch into a [[retentionState]] frame (distinct union —
+    * one user/day-keyed shuffle over state ∪ batch). */
+  def retentionFold(state: DataFrame, events: DataFrame, userCol: String,
+                    tsCol: String): DataFrame =
+    state.unionByName(retentionState(events, userCol, tsCol)).distinct()
+
+  /** Render the cohort matrix (x110's exact columns) from a
+    * [[retentionState]] frame. */
+  def retentionFromState(state: DataFrame, userCol: String): DataFrame = {
+    val cohort = state.groupBy(col(userCol)).agg(min(col("day")).as("cohort_day"))
+    state.join(cohort, Seq(userCol))
       .withColumn("offset_days",
         datediff(col("day").cast("date"), col("cohort_day").cast("date")))
       .groupBy(col("cohort_day"), col("offset_days"))

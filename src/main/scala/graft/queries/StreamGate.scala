@@ -1096,6 +1096,56 @@ object StreamGate {
       }
     },
 
+    // Streaming RETENTION maintenance (s19): x110's cohort matrix kept
+    // incrementally — state is the distinct (user, activity-day) pair
+    // set, retention's exact sufficient statistic, folded per batch by
+    // plain set union (associative-commutative, so arrival order and
+    // batch boundaries provably cannot show); the matrix renders from
+    // the state after the drain. Oracle = x110's SQL verbatim over the
+    // whole log. ≥2 data batches asserted; scoped per-batch
+    // localCheckpoints (one live state copy).
+    "s19_stream_retention_maintenance" -> { (s, dir) =>
+      val topic = eventsTopic(s, dir)
+      withGateConf(s) {
+        var h: graft.ops.Checkpointed = null
+        val ckpt = gateTmpDir("s19_ckpt_")
+        val q = s.readStream.format("graft-topic")
+          .option("topic", topic)
+          .option("maxRecordsPerTrigger",
+            math.max(1L, (topicSize(topic) + 2) / 3).toString)
+          .load()
+          .select(col("timestamp").as("ts"),
+            from_json(col("value").cast("string"),
+              org.apache.spark.sql.types.StructType.fromDDL(
+                "user_id BIGINT, event_type STRING, value DOUBLE")).as("j"))
+          .select(col("j.user_id").as("user_id"), col("ts"))
+          .writeStream
+          .foreachBatch { (df: DataFrame, _: Long) =>
+            if (!df.isEmpty) {
+              val next = graft.ops.Caches.localCheckpointScoped(
+                if (h == null)
+                  graft.ops.EventAnalytics.retentionState(df, "user_id", "ts")
+                else
+                  graft.ops.EventAnalytics.retentionFold(h.df, df, "user_id",
+                    "ts"))
+              if (h != null) h.release()
+              h = next
+            }
+            ()
+          }
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        drain(q, ckpt)
+        require(dataBatches(q) >= 2,
+          s"s19 must fold across batches; ran ${dataBatches(q)} data batches")
+        graft.ops.Caches.localCheckpointTracked(
+          graft.ops.EventAnalytics.retentionFromState(
+              graft.ops.Caches.adopt(h), "user_id")
+            .orderBy("cohort_day", "offset_days"))
+      }
+    },
+
     // Streaming exact dedup under the gate: events replayed through the
     // topic → dropDuplicatesWithinWatermark(user_id) → append-mode memory
     // sink. WHICH occurrence survives is arrival-order-dependent, so the
@@ -1495,6 +1545,11 @@ object StreamGate {
     // batch renders exactly the batch funnel over the whole event log —
     // x109's SQL verbatim.
     "s18_stream_funnel_maintenance" -> Ext.oracle("x109_funnel"),
+
+    // Retention state is the distinct (user, day) set — set union is
+    // associative-commutative, so the folded matrix is the batch
+    // matrix: x110's SQL verbatim.
+    "s19_stream_retention_maintenance" -> Ext.oracle("x110_retention"),
 
     // Shard membership is a pure function of the row and every manifest
     // field commutes, so the streamed partitioned tree's manifest equals
