@@ -36,15 +36,21 @@ object Layout {
           shiftleft(shiftright(yi, i).bitwiseAND(lit(1L)), 2 * i + 1))
     }.reduce(_ + _)
 
-  // the (c - lo) * (2^bits - 1) product runs in DECIMAL(38,0) lanes: a
-  // full-span long column at bits=31 reaches ~2^94, which overflows the
-  // int64 product but sits far inside decimal38 (~2^126); `div` is
-  // Spark's integral divide, so the floor semantics (non-negative
-  // operands) and the BIGINT result are unchanged on in-range inputs
-  private def grid(cn: String, lo: String, hi: String, bits: Int): Column =
-    expr(s"CASE WHEN $hi > $lo THEN " +
-      s"((CAST(`$cn` AS DECIMAL(38,0)) - $lo) * ${(1L << bits) - 1})" +
-      s" div ($hi - $lo) ELSE CAST(0 AS BIGINT) END")
+  // overflow-safe grid: the (c - lo) * (2^bits - 1) product stays in
+  // int64 lanes while the column span provably fits ((hi - lo) <=
+  // Long.Max / mask — every realistic key column), and falls back to
+  // DECIMAL(38,0) lanes only for spans where the product would
+  // overflow (full-range int64 keys at high bits reach ~2^94; decimal38
+  // holds ~2^126). `div` is integral divide in both branches, so the
+  // floor semantics and the BIGINT result are identical
+  private def grid(cn: String, lo: String, hi: String, bits: Int): Column = {
+    val mask = (1L << bits) - 1
+    expr(s"CASE WHEN $hi <= $lo THEN CAST(0 AS BIGINT) " +
+      s"WHEN $hi - $lo <= ${Long.MaxValue / mask}L " +
+      s"THEN ((`$cn` - $lo) * ${mask}L) div ($hi - $lo) " +
+      s"ELSE CAST(((CAST(`$cn` AS DECIMAL(38,0)) - $lo) * $mask)" +
+      s" div ($hi - $lo) AS BIGINT) END")
+  }
 
   /** Adds `xg`, `yg` (grid coordinates) and `z` (Morton code) for the
     * two integer key columns, normalizing each to [0, 2^bits) by the

@@ -123,4 +123,33 @@ object Scd {
         payloadCols.map(c => col(s"__r.$c").as(c)): _*)
       .unionByName(closed)
   }
+
+  /** POINT-IN-TIME dimension lookup through an SCD2 history — the join
+    * that makes training data temporally correct: each fact row joins
+    * the payload version that was LIVE at its `asOfCol` value
+    * (valid_from <= as_of < valid_to, half-open; the open interval
+    * matches everything from its valid_from on). Facts dated before an
+    * entity's first version — or naming an unknown id — keep their row
+    * with null payload (left join), so lookup misses are visible, not
+    * dropped.
+    *
+    * Scale (100 TB of facts): the join is an id-keyed EQUI join (hash,
+    * shuffle on the id) with the interval test as a residual — per id
+    * the intervals PARTITION the version axis from first appearance,
+    * so each fact matches at most one row and the output is
+    * facts-sized. Never facts × history: the only shuffle key is the
+    * id. */
+  def scd2Lookup(facts: DataFrame, history: DataFrame, idCol: String,
+                 asOfCol: String, payloadCols: Seq[String]): DataFrame = {
+    require(payloadCols.nonEmpty, "scd2Lookup needs >= 1 payload column")
+    val f = facts.as("f")
+    val h = history.as("h")
+    f.join(h,
+        col(s"f.$idCol") === col(s"h.$idCol") &&
+        col(s"f.$asOfCol") >= col("h.valid_from") &&
+        (col("h.valid_to").isNull || col(s"f.$asOfCol") < col("h.valid_to")),
+        "left")
+      .select(facts.columns.map(c => col(s"f.$c")) ++
+        (col("h.valid_from") +: payloadCols.map(c => col(s"h.$c"))): _*)
+  }
 }

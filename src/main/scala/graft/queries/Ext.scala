@@ -1953,6 +1953,27 @@ object Ext {
           Seq("text"))
         .orderBy("doc_id", "valid_from")
     },
+
+    // SCD2 POINT-IN-TIME lookup (x124): each fact row (doc_id, as_of =
+    // doc_id % 6 − 1 ∈ [−1, 4]) joins the text version LIVE at its
+    // as_of — before-first-version facts (−1) keep a null payload, 4
+    // hits the open interval. The temporally-correct training-data
+    // join over the x118 history; one id-keyed equi join, facts-sized
+    // output.
+    "x124_scd2_lookup" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val snaps = (0 to 3).map { v =>
+        docs.select(col("doc_id"), lit(v).as("version"),
+          concat(col("text"),
+            expr(s"repeat('!', $v div (1 + doc_id % 3))")).as("text"))
+      }.reduce(_ unionByName _)
+      val hist = graft.ops.Scd.buildScd2(snaps, "doc_id", "version",
+        Seq("text"))
+      val facts = Tables.documents(s, dir)
+        .select(col("doc_id"), (col("doc_id") % 6 - 1).cast("int").as("as_of"))
+      graft.ops.Scd.scd2Lookup(facts, hist, "doc_id", "as_of", Seq("text"))
+        .orderBy("doc_id")
+    },
   )
 
   /** x72's full replay, parameterized by the Lloyd-TRAINING source
@@ -2556,7 +2577,10 @@ object Ext {
   /** x118's full four-snapshot SCD2 build replay — shared verbatim by
     * x123 (incremental apply): the apply law says the folded history
     * IS the full build. */
-  private val scd2HistorySql: String =
+  /** The x118 CTE chain up to `iv` (doc_id, valid_from, valid_to,
+    * text) — shared by x118/x123 (the full build) and x124 (the
+    * point-in-time lookup joins against it). */
+  private val scd2ChainSql: String =
       """WITH snaps AS (
         |  SELECT doc_id, v.v AS version,
         |    text || repeat('!', v.v // (1 + doc_id % 3)) AS text
@@ -2577,7 +2601,10 @@ object Ext {
         |    lead(version) OVER (PARTITION BY doc_id ORDER BY version)
         |      AS valid_to,
         |    text
-        |  FROM st)
+        |  FROM st)""".stripMargin
+
+  private val scd2HistorySql: String = scd2ChainSql +
+      """
         |SELECT doc_id, valid_from, valid_to,
         |  valid_to IS NULL AS is_current, text
         |FROM iv
@@ -5788,6 +5815,20 @@ object Ext {
     // snapshot into the v0-v2 build must equal the full four-snapshot
     // build, so x123 shares x118's SQL verbatim.
     "x123_scd2_apply" -> scd2HistorySql,
+
+    // Point-in-time lookup replay: the x118 chain's iv frame, a facts
+    // CTE, the half-open interval left join (open interval = null
+    // valid_to matches everything from its valid_from on).
+    "x124_scd2_lookup" -> (scd2ChainSql +
+      """,
+        |facts AS (
+        |  SELECT doc_id, CAST(doc_id % 6 - 1 AS INT) AS as_of
+        |  FROM documents)
+        |SELECT f.doc_id, f.as_of, h.valid_from, h.text
+        |FROM facts f LEFT JOIN iv h ON h.doc_id = f.doc_id
+        |  AND f.as_of >= h.valid_from
+        |  AND (h.valid_to IS NULL OR f.as_of < h.valid_to)
+        |ORDER BY f.doc_id""".stripMargin),
 
 
     // Profile replay: the same planted-null frame, one per-column

@@ -173,6 +173,34 @@ object StreamGate {
     })
   }
 
+  /** DIMENSION-SNAPSHOT topic for the streaming SCD2 gate (s20): the
+    * x118 four-snapshot stack serialized as JSON, produced by ONE
+    * sorted task ordered (version, doc_id) — the daily-dimension-load
+    * replay shape: a backfill producer writes snapshots in version
+    * order, and key-hash routing preserves each id's version order per
+    * partition (all of an id's rows share a partition). Admission caps
+    * then split versions MID-batch, exercising the partial-snapshot
+    * decomposability of scd2Apply. Memoized per (JVM, sf dir). */
+  private val scdTopics = TrieMap.empty[String, String]
+  private def docSnapshotsTopic(s: SparkSession, dir: String): String = synchronized {
+    scdTopics.getOrElseUpdate(dir, {
+      val topic = s"gate_scd_${java.util.UUID.randomUUID().toString.take(8)}"
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      (0 to 3).map { v =>
+        docs.select(col("doc_id"), lit(v).as("version"),
+          concat(col("text"),
+            expr(s"repeat('!', $v div (1 + doc_id % 3))")).as("text"))
+      }.reduce(_ unionByName _)
+        .repartition(1).sortWithinPartitions("version", "doc_id")
+        .select(col("doc_id").cast("string").as("key"),
+          to_json(struct(col("doc_id"), col("version"), col("text"))).as("value"),
+          to_timestamp(lit("2024-01-01 00:00:00")).as("timestamp"))
+        .write.format("graft-topic").mode("append")
+        .option("topic", topic).option("partitions", "4").save()
+      topic
+    })
+  }
+
   /** TIME-ORDERED events replay topic for the state-EVICTION gate (s07).
     * Differences from [[eventsTopic]], both load-bearing:
     *
@@ -1146,6 +1174,67 @@ object StreamGate {
       }
     },
 
+    // Streaming SCD2 maintenance (s20): the x118 dimension history kept
+    // incrementally as snapshot rows arrive in version order — each
+    // micro-batch folds its version slices ASCENDING through
+    // scd2Apply (partial snapshots are sound: apply is id-decomposable
+    // within a version — each id's open interval is touched exactly
+    // once whichever batch carries its row — and per-id version order
+    // is preserved by the ordered produce + key-hash routing). Oracle =
+    // x118's full-build SQL verbatim: the x123 fold law under the
+    // streaming engine. ≥2 data batches asserted; scoped per-fold
+    // checkpoints (one live history copy).
+    "s20_stream_scd2_maintenance" -> { (s, dir) =>
+      val topic = docSnapshotsTopic(s, dir)
+      withGateConf(s) {
+        var h: graft.ops.Checkpointed = null
+        val ckpt = gateTmpDir("s20_ckpt_")
+        val q = s.readStream.format("graft-topic")
+          .option("topic", topic)
+          .option("maxRecordsPerTrigger",
+            math.max(1L, (topicSize(topic) + 2) / 3).toString)
+          .load()
+          .select(from_json(col("value").cast("string"),
+            org.apache.spark.sql.types.StructType.fromDDL(
+              "doc_id BIGINT, version INT, text STRING")).as("j"))
+          .select(col("j.doc_id").as("doc_id"), col("j.version").as("version"),
+            col("j.text").as("text"))
+          .writeStream
+          .foreachBatch { (df: DataFrame, _: Long) =>
+            if (!df.isEmpty) {
+              val batch = graft.ops.Caches.localCheckpointTracked(df)
+              // the version list is model-sized gate plumbing (≤4
+              // values): snapshot slices must fold in ascending order
+              val versions = batch.select("version").distinct()
+                .collect().map(_.getInt(0)).sorted
+              versions.foreach { v =>
+                val slice = batch.filter(col("version") === v)
+                val cur =
+                  if (h != null) h.df
+                  else slice.select(col("doc_id"),
+                    col("version").as("valid_from"),
+                    col("version").as("valid_to"),
+                    lit(true).as("is_current"), col("text")).limit(0)
+                val next = graft.ops.Caches.localCheckpointScoped(
+                  graft.ops.Scd.scd2Apply(cur, slice, "doc_id", "version",
+                    Seq("text")))
+                if (h != null) h.release()
+                h = next
+              }
+            }
+            ()
+          }
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        drain(q, ckpt)
+        require(dataBatches(q) >= 2,
+          s"s20 must fold across batches; ran ${dataBatches(q)} data batches")
+        graft.ops.Caches.localCheckpointTracked(
+          graft.ops.Caches.adopt(h).orderBy("doc_id", "valid_from"))
+      }
+    },
+
     // Streaming exact dedup under the gate: events replayed through the
     // topic → dropDuplicatesWithinWatermark(user_id) → append-mode memory
     // sink. WHICH occurrence survives is arrival-order-dependent, so the
@@ -1550,6 +1639,11 @@ object StreamGate {
     // associative-commutative, so the folded matrix is the batch
     // matrix: x110's SQL verbatim.
     "s19_stream_retention_maintenance" -> Ext.oracle("x110_retention"),
+
+    // The SCD2 fold law under the streaming engine: version-ordered
+    // partial-snapshot applies reproduce the full four-snapshot build —
+    // x118's SQL verbatim.
+    "s20_stream_scd2_maintenance" -> Ext.oracle("x118_scd2_history"),
 
     // Shard membership is a pure function of the row and every manifest
     // field commutes, so the streamed partitioned tree's manifest equals

@@ -3053,6 +3053,34 @@ class OpsSpec extends AnyFunSuite {
         "id", "version", Seq("payload"))
     }
     assert(rows(folded) == rows(build(3)), "apply ∘ apply ∘ apply = build")
+    // partial-snapshot decomposability (the s20 streaming premise):
+    // disjoint id-slices of ONE version applied sequentially equal the
+    // whole-snapshot apply — each id's open interval is touched once
+    val s2 = snaps.filter(col("version") === 2)
+    val viaParts = graft.ops.Scd.scd2Apply(
+      graft.ops.Scd.scd2Apply(build(1), s2.filter(col("id") % 2 === 0),
+        "id", "version", Seq("payload")),
+      s2.filter(col("id") % 2 =!= 0), "id", "version", Seq("payload"))
+    assert(rows(viaParts) == rows(build(2)),
+      "apply must be id-decomposable within a version")
+  }
+
+  test("scd2 point-in-time lookup: live version per as-of, misses stay visible") {
+    import spark.implicits._
+    val hist = graft.ops.Scd.buildScd2(
+      Seq((1L, 0, "A"), (1L, 1, "A"), (1L, 2, "B")).toDF("id", "version", "payload"),
+      "id", "version", Seq("payload"))
+    val facts = Seq((1L, -1), (1L, 0), (1L, 1), (1L, 2), (1L, 9), (99L, 1))
+      .toDF("id", "as_of")
+    val out = graft.ops.Scd.scd2Lookup(facts, hist, "id", "as_of", Seq("payload"))
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        if (r.isNullAt(3)) null else r.getString(3))).toSet
+    assert(out == Set(
+      (1L, -1, null),   // dated before the first version: visible miss
+      (1L, 0, "A"), (1L, 1, "A"),  // closed interval [0, 2)
+      (1L, 2, "B"), (1L, 9, "B"),  // open interval [2, null)
+      (99L, 1, null)),  // unknown id: visible miss
+      s"lookup rows: $out")
   }
 
   test("prefix jaccard positional filter: prunes boilerplate candidates, recall 1.0") {
