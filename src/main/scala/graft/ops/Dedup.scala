@@ -843,6 +843,49 @@ object Dedup {
         round(col("inter").cast("double") / col("uni"), 6).as("jaccard"))
   }
 
+  /** CROSS-CORPUS DECONTAMINATION: the train-vs-benchmark n-gram
+    * overlap report (the GPT-3/Pile discipline — drop or flag training
+    * documents that share long n-grams with an evaluation set, so
+    * benchmark answers don't leak into the training corpus). One row
+    * per (corpus doc, benchmark doc) pair sharing >= `minShared`
+    * distinct `ngramN`-gram shingles: the shared count, the doc's
+    * total distinct shingles, and `contamination` = shared / total
+    * (1.0 = the doc is entirely contained in the benchmark doc's
+    * shingle set).
+    *
+    * Scale (100 TB corpus): the corpus side is shingled once
+    * (token-keyed, distinct per doc); the BENCHMARK side is small by
+    * nature (eval sets are 10³–10⁵ docs), so its shingle table
+    * broadcasts and the overlap join is map-side — the corpus is never
+    * shuffled on shingle keys and nothing is corpus × corpus. For a
+    * benchmark too large to broadcast, drop the hint and the same plan
+    * shuffles both sides on the digest — shape unchanged. Shingles are
+    * md5 digests (fixed-width keys, the x122 convention). */
+  def contaminationReport(corpus: DataFrame, bench: DataFrame,
+                          idCol: String, textCol: String,
+                          benchIdCol: String, benchTextCol: String,
+                          ngramN: Int = 8, minShared: Int = 1): DataFrame = {
+    require(ngramN >= 1 && minShared >= 1,
+      s"need ngramN >= 1, minShared >= 1: $ngramN/$minShared")
+    val cs = Caches.persistTracked(
+      ngrams(corpus.select(col(idCol).as("__did"), col(textCol).as("__txt")),
+          "__txt", ngramN)
+        .select(col("__did"), md5(col("g")).as("t")))
+    val bs = ngrams(
+        bench.select(col(benchIdCol).as("__bid"), col(benchTextCol).as("__txt")),
+        "__txt", ngramN)
+      .select(col("__bid"), md5(col("g")).as("t"))
+    val nDoc = cs.groupBy(col("__did")).agg(count(lit(1)).as("n_doc_shingles"))
+    val shared = cs.join(broadcast(bs), Seq("t"))
+      .groupBy(col("__did"), col("__bid")).agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+    shared.join(nDoc, Seq("__did"))
+      .select(col("__did").as("doc_id"), col("__bid").as("bench_id"),
+        col("n_shared"), col("n_doc_shingles"),
+        round(col("n_shared").cast("double") / col("n_doc_shingles"), 6)
+          .as("contamination"))
+  }
+
   /** Candidate machinery behind [[prefixJaccardJoin]], split out so the
     * spec can measure the positional filter's pruning directly:
     * returns (persisted element table (id, t), sizes (id, n), candidate

@@ -258,12 +258,37 @@ object EventAnalytics {
     * ≤ 500 that holds to ~10⁷ rows per slice; beyond that switch the
     * sufficient stats to DECIMAL(38) sums (same shape, wider lanes). */
   def anomalyScores(events: DataFrame, sliceCol: String, valueCol: String,
-                    idCol: String, zCut: Double = 2.0): DataFrame = {
+                    idCol: String, zCut: Double = 2.0): DataFrame =
+    anomalyScoresFromStats(events, anomalyStats(events, sliceCol, valueCol),
+      sliceCol, valueCol, idCol, zCut)
+
+  /** The per-slice sufficient statistics (slice, __n, Σv, Σv²) as exact
+    * combinable longs — anomaly detection's maintained artifact: two
+    * stats frames MERGE by plain addition ([[anomalyStatsMerge]]), so
+    * per-batch maintenance is trivially associative-commutative (the
+    * s21 gate law; the x28/x81 sketch-family discipline — here the
+    * "sketch" is three exact integers per slice). */
+  def anomalyStats(events: DataFrame, sliceCol: String,
+                   valueCol: String): DataFrame = {
     val vc = round(col(valueCol) * 100).cast("long")
-    val stats = events
-      .groupBy(col(sliceCol))
+    events.groupBy(col(sliceCol))
       .agg(count(lit(1)).as("__n"), sum(vc).as("__s1"),
         sum(vc * vc).as("__s2"))
+  }
+
+  /** Fold two stats frames: pure integer addition per slice. */
+  def anomalyStatsMerge(a: DataFrame, b: DataFrame,
+                        sliceCol: String): DataFrame =
+    a.unionByName(b).groupBy(col(sliceCol))
+      .agg(sum(col("__n")).as("__n"), sum(col("__s1")).as("__s1"),
+        sum(col("__s2")).as("__s2"))
+
+  /** Score an event frame against an (externally maintained) stats
+    * frame — x113's exact columns. */
+  def anomalyScoresFromStats(events: DataFrame, stats: DataFrame,
+                             sliceCol: String, valueCol: String,
+                             idCol: String, zCut: Double = 2.0): DataFrame = {
+    val vc = round(col(valueCol) * 100).cast("long")
     val num = (vc * col("__n") - col("__s1")).cast("double")
     val varN2 = col("__n") * col("__s2") - col("__s1") * col("__s1")
     val z = num / sqrt(varN2.cast("double"))

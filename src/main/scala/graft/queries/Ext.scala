@@ -1974,6 +1974,20 @@ object Ext {
       graft.ops.Scd.scd2Lookup(facts, hist, "doc_id", "as_of", Seq("text"))
         .orderBy("doc_id")
     },
+
+    // CROSS-CORPUS DECONTAMINATION (x125): the corpus checked against a
+    // planted benchmark (every %13 doc re-badged as an eval doc) for
+    // shared 5-gram shingles at support >= 2 — the train/test-leak
+    // report a pipeline runs before training. Benchmark side
+    // broadcasts; the corpus is shingled once.
+    "x125_decontamination" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val bench = docs.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 300000).as("bench_id"), col("text"))
+      graft.ops.Dedup.contaminationReport(docs, bench, "doc_id", "text",
+          "bench_id", "text", ngramN = 5, minShared = 2)
+        .orderBy("doc_id", "bench_id")
+    },
   )
 
   /** x72's full replay, parameterized by the Lloyd-TRAINING source
@@ -5815,6 +5829,42 @@ object Ext {
     // snapshot into the v0-v2 build must equal the full four-snapshot
     // build, so x123 shares x118's SQL verbatim.
     "x123_scd2_apply" -> scd2HistorySql,
+
+    // Decontamination replay: the same 5-gram shingling (x122's split
+    // convention, md5 digests, per-doc DISTINCT), the overlap join,
+    // the support cut, the round-6 containment fraction.
+    "x125_decontamination" ->
+      """WITH cb AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 5),
+        |cs AS (
+        |  SELECT DISTINCT doc_id, md5(g) AS t FROM (
+        |    SELECT doc_id,
+        |      unnest(list_transform(generate_series(1, len(ts) - 4),
+        |        i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' ||
+        |             ts[i+3] || ' ' || ts[i+4])) AS g
+        |    FROM cb)),
+        |bb AS (
+        |  SELECT doc_id + 300000 AS bench_id, string_split(text, ' ') AS ts
+        |  FROM documents
+        |  WHERE doc_id % 13 = 0 AND len(string_split(text, ' ')) >= 5),
+        |bs AS (
+        |  SELECT DISTINCT bench_id, md5(g) AS t FROM (
+        |    SELECT bench_id,
+        |      unnest(list_transform(generate_series(1, len(ts) - 4),
+        |        i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' ||
+        |             ts[i+3] || ' ' || ts[i+4])) AS g
+        |    FROM bb)),
+        |nd AS (SELECT doc_id, COUNT(*) AS n_doc_shingles FROM cs GROUP BY 1),
+        |sh AS (
+        |  SELECT cs.doc_id, bs.bench_id, COUNT(*) AS n_shared
+        |  FROM cs JOIN bs USING (t) GROUP BY 1, 2)
+        |SELECT s.doc_id, s.bench_id, s.n_shared, n.n_doc_shingles,
+        |  round(CAST(s.n_shared AS DOUBLE) / n.n_doc_shingles, 6)
+        |    AS contamination
+        |FROM sh s JOIN nd n USING (doc_id)
+        |WHERE s.n_shared >= 2
+        |ORDER BY doc_id, bench_id""".stripMargin,
 
     // Point-in-time lookup replay: the x118 chain's iv frame, a facts
     // CTE, the half-open interval left join (open interval = null

@@ -173,6 +173,24 @@ object StreamGate {
     })
   }
 
+  /** Typed-measurement topic for the streaming anomaly gate (s21):
+    * events re-serialized WITH their event_id (the shared
+    * [[eventsTopic]] carries only user/type/value — the z-score report
+    * is per event id). Memoized per (JVM, sf dir). */
+  private val measureTopics = TrieMap.empty[String, String]
+  private def measurementsTopic(s: SparkSession, dir: String): String = synchronized {
+    measureTopics.getOrElseUpdate(dir, {
+      val topic = s"gate_meas_${java.util.UUID.randomUUID().toString.take(8)}"
+      Tables.events(s, dir)
+        .select(col("event_id").cast("string").as("key"),
+          to_json(struct(col("event_id"), col("event_type"), col("value"))).as("value"),
+          col("ts").as("timestamp"))
+        .write.format("graft-topic").mode("append")
+        .option("topic", topic).option("partitions", "4").save()
+      topic
+    })
+  }
+
   /** DIMENSION-SNAPSHOT topic for the streaming SCD2 gate (s20): the
     * x118 four-snapshot stack serialized as JSON, produced by ONE
     * sorted task ordered (version, doc_id) — the daily-dimension-load
@@ -1235,6 +1253,63 @@ object StreamGate {
       }
     },
 
+    // Streaming ANOMALY-STATS maintenance (s21): x113's per-slice
+    // sufficient statistics (n, Σv, Σv²) — three exact combinable longs
+    // per slice — folded per micro-batch by pure integer addition
+    // (associative-commutative, so batch boundaries provably cannot
+    // show in the final stats), then ONE serving pass scores the
+    // arrived events against the final stats. The maintained artifact
+    // is the stats frame (slice-count-sized); the event accumulation
+    // here stands in for the stored event table a production scorer
+    // reads. Oracle = x113's SQL verbatim. ≥2 data batches asserted.
+    "s21_stream_anomaly_stats" -> { (s, dir) =>
+      val topic = measurementsTopic(s, dir)
+      withGateConf(s) {
+        var stats: graft.ops.Checkpointed = null
+        var seen: graft.ops.Checkpointed = null
+        val ckpt = gateTmpDir("s21_ckpt_")
+        val q = s.readStream.format("graft-topic")
+          .option("topic", topic)
+          .option("maxRecordsPerTrigger",
+            math.max(1L, (topicSize(topic) + 2) / 3).toString)
+          .load()
+          .select(from_json(col("value").cast("string"),
+            org.apache.spark.sql.types.StructType.fromDDL(
+              "event_id BIGINT, event_type STRING, value DOUBLE")).as("j"))
+          .select(col("j.event_id").as("event_id"),
+            col("j.event_type").as("event_type"), col("j.value").as("value"))
+          .writeStream
+          .foreachBatch { (df: DataFrame, _: Long) =>
+            if (!df.isEmpty) {
+              val bStats = graft.ops.EventAnalytics.anomalyStats(df,
+                "event_type", "value")
+              val nextStats = graft.ops.Caches.localCheckpointScoped(
+                if (stats == null) bStats
+                else graft.ops.EventAnalytics.anomalyStatsMerge(stats.df,
+                  bStats, "event_type"))
+              if (stats != null) stats.release()
+              stats = nextStats
+              val nextSeen = graft.ops.Caches.localCheckpointScoped(
+                if (seen == null) df else seen.df.unionByName(df))
+              if (seen != null) seen.release()
+              seen = nextSeen
+            }
+            ()
+          }
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        drain(q, ckpt)
+        require(dataBatches(q) >= 2,
+          s"s21 must fold across batches; ran ${dataBatches(q)} data batches")
+        graft.ops.Caches.localCheckpointTracked(
+          graft.ops.EventAnalytics.anomalyScoresFromStats(
+              graft.ops.Caches.adopt(seen), graft.ops.Caches.adopt(stats),
+              "event_type", "value", "event_id")
+            .orderBy("event_id"))
+      }
+    },
+
     // Streaming exact dedup under the gate: events replayed through the
     // topic → dropDuplicatesWithinWatermark(user_id) → append-mode memory
     // sink. WHICH occurrence survives is arrival-order-dependent, so the
@@ -1644,6 +1719,11 @@ object StreamGate {
     // partial-snapshot applies reproduce the full four-snapshot build —
     // x118's SQL verbatim.
     "s20_stream_scd2_maintenance" -> Ext.oracle("x118_scd2_history"),
+
+    // Sufficient statistics fold by integer addition: the final stats
+    // equal the batch aggregate, so scoring the arrived set against
+    // them is x113's SQL verbatim.
+    "s21_stream_anomaly_stats" -> Ext.oracle("x113_anomaly_zscores"),
 
     // Shard membership is a pure function of the row and every manifest
     // field commutes, so the streamed partitioned tree's manifest equals

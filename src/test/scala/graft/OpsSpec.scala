@@ -3083,6 +3083,25 @@ class OpsSpec extends AnyFunSuite {
       s"lookup rows: $out")
   }
 
+  test("decontamination: planted benchmark copies flag, containment exact") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "a b c d e f g h"),      // identical to the bench doc
+      (2L, "z1 z2 z3 z4 z5 z6"),    // clean
+      (3L, "a b c d e x y z w"),    // shares exactly one 5-gram
+      (4L, "too short")).toDF("id", "text")
+    val bench = Seq((100L, "a b c d e f g h")).toDF("bid", "text")
+    val out = graft.ops.Dedup.contaminationReport(corpus, bench,
+        "id", "text", "bid", "text", ngramN = 5, minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    assert(out == Set(
+      (1L, 100L, 4L, 4L, 1.0),   // full containment
+      (3L, 100L, 1L, 5L, 0.2)),  // one shared shingle of five
+      s"contamination report: $out")
+    graft.ops.Caches.releaseAll()
+  }
+
   test("prefix jaccard positional filter: prunes boilerplate candidates, recall 1.0") {
     import spark.implicits._
     // 20 docs sharing 4 boilerplate tokens + 4 unique each (J = 1/3 for
