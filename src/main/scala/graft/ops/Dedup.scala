@@ -843,10 +843,12 @@ object Dedup {
         round(col("inter").cast("double") / col("uni"), 6).as("jaccard"))
   }
 
-  /** CROSS-CORPUS DECONTAMINATION: the train-vs-benchmark n-gram
-    * overlap report (the GPT-3/Pile discipline — drop or flag training
-    * documents that share long n-grams with an evaluation set, so
-    * benchmark answers don't leak into the training corpus). One row
+  /** CROSS-CORPUS DECONTAMINATION, attributed: the train-vs-benchmark
+    * n-gram overlap report (the GPT-3/Pile discipline — drop or flag
+    * training documents that share long n-grams with an evaluation
+    * set, so benchmark answers don't leak into the training corpus).
+    * [[contaminatedDocs]] is the boolean doc-level sibling (flag and
+    * drop); this is the AUDIT form — one row
     * per (corpus doc, benchmark doc) pair sharing >= `minShared`
     * distinct `ngramN`-gram shingles: the shared count, the doc's
     * total distinct shingles, and `contamination` = shared / total

@@ -1975,11 +1975,12 @@ object Ext {
         .orderBy("doc_id")
     },
 
-    // CROSS-CORPUS DECONTAMINATION (x125): the corpus checked against a
+    // ATTRIBUTED DECONTAMINATION (x125): the corpus checked against a
     // planted benchmark (every %13 doc re-badged as an eval doc) for
-    // shared 5-gram shingles at support >= 2 — the train/test-leak
-    // report a pipeline runs before training. Benchmark side
-    // broadcasts; the corpus is shingled once.
+    // shared 5-gram shingles at support >= 2 — x38 flags WHICH docs
+    // leak, x53 excises the spans; this is the audit form: WHICH
+    // benchmark doc, how many shingles, what containment fraction.
+    // Benchmark side broadcasts; the corpus is shingled once.
     "x125_decontamination" -> { (s, dir) =>
       val docs = Tables.documents(s, dir).select("doc_id", "text")
       val bench = docs.filter(col("doc_id") % 13 === 0)
