@@ -961,6 +961,42 @@ class ScaleSpec extends AnyFunSuite {
     } finally graft.util.Fs.deleteTree(java.nio.file.Paths.get(out))
   }
 
+  test("scd2 apply/lookup + decontamination plans: id-keyed joins, bench broadcast") {
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val snaps = (0 to 1).map { v =>
+      docs.select(col("doc_id"), lit(v).as("version"), col("text"))
+    }.reduce(_ unionByName _)
+    val hist = graft.ops.Scd.buildScd2(snaps, "doc_id", "version", Seq("text"))
+    // apply: one id-keyed full-outer of OPEN intervals vs snapshot —
+    // never a nested loop, never history × snapshot
+    val aPlan = graft.ops.Scd.scd2Apply(hist,
+        docs.select(col("doc_id"), lit(2).as("version"), col("text")),
+        "doc_id", "version", Seq("text"))
+      .queryExecution.executedPlan.toString
+    assert(!aPlan.contains("CartesianProduct") &&
+           !aPlan.contains("BroadcastNestedLoopJoin"),
+      s"scd2Apply must stay id-keyed:\n$aPlan")
+    // lookup: the interval test must ride an id EQUI join as residual
+    val facts = docs.select(col("doc_id"), lit(1).as("as_of"))
+    val lPlan = graft.ops.Scd.scd2Lookup(facts, hist, "doc_id", "as_of",
+        Seq("text"))
+      .queryExecution.executedPlan.toString
+    assert(!lPlan.contains("CartesianProduct") &&
+           !lPlan.contains("BroadcastNestedLoopJoin"),
+      s"scd2Lookup must be an id-equi join with interval residual:\n$lPlan")
+    // decontamination: the benchmark shingle side must broadcast — the
+    // 100 TB corpus is never shuffled on shingle keys
+    val bench = docs.filter(col("doc_id") % 13 === 0)
+      .select((col("doc_id") + 300000).as("bench_id"), col("text"))
+    val cPlan = graft.ops.Dedup.contaminationReport(docs, bench,
+        "doc_id", "text", "bench_id", "text", ngramN = 5, minShared = 2)
+      .queryExecution.executedPlan.toString
+    assert(cPlan.contains("BroadcastHashJoin"),
+      s"benchmark shingles must broadcast:\n$cPlan")
+    assert(!cPlan.contains("CartesianProduct"), cPlan)
+    graft.ops.Caches.releaseAll()
+  }
+
   test("x119 profile approx dial: HLL plan drops the multi-distinct Expand") {
     val d = Tables.documents(spark, dir)
     val cols = Seq("doc_id", "lang", "source", "n_chars")
