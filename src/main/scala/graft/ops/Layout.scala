@@ -105,14 +105,91 @@ object Layout {
     * cell's zone-map stats — the written-tree discipline of the
     * x66/x79/x82 index family applied to layout. The grid columns
     * (`xg`, `yg`, `z`) are persisted alongside the data so the footer
-    * stats an engine would prune on are first-class columns. */
+    * stats an engine would prune on are first-class columns. Returns
+    * the normalization bounds — the tree's MODEL, which
+    * [[zOrderCompact]] needs to assign later arrivals to the same
+    * cells. */
   def zOrderWrite(df: DataFrame, xCol: String, yCol: String, path: String,
-                  bits: Int = 8, cellBits: Int = 4): Unit =
-    withZOrder(df, xCol, yCol, bits)
+                  bits: Int = 8, cellBits: Int = 4): ZBounds = {
+    require(cellBits >= 1 && cellBits <= bits,
+      s"cellBits out of range: $cellBits vs bits=$bits")
+    val r = df.agg(
+      min(col(xCol).cast("long")), max(col(xCol).cast("long")),
+      min(col(yCol).cast("long")), max(col(yCol).cast("long"))).head()
+    require(!r.isNullAt(0) && !r.isNullAt(2),
+      "zOrderWrite needs a non-empty frame with non-null keys")
+    val b = ZBounds(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    withZOrderFrozen(df, xCol, yCol, b, bits)
       .withColumn("cell", shiftright(col("z"), 2 * (bits - cellBits)))
       .repartition(col("cell"))
       .sortWithinPartitions(col("z"))
       .write.mode("overwrite").partitionBy("cell").parquet(path)
+    b
+  }
+
+  /** FROZEN-bounds twin of [[withZOrder]]: the grid normalizes by the
+    * MODEL bounds `b` (from the original [[zOrderWrite]]) instead of
+    * the frame's own extrema, so later arrivals land in the SAME cell
+    * geometry as the written tree; values outside the trained range
+    * CLAMP into the edge cells (the zone-map convention for post-write
+    * drift — and the clamp also absorbs the truncate-vs-floor
+    * divergence of negative integral division across engines, keeping
+    * the grid engine-exact on all inputs). Pure per-row codegen: no
+    * aggregate, no crossJoin. */
+  def withZOrderFrozen(df: DataFrame, xCol: String, yCol: String,
+                       b: ZBounds, bits: Int = 8): DataFrame = {
+    require(bits >= 1 && bits <= 31, s"bits out of range: $bits")
+    val mask = (1L << bits) - 1
+    def g(cn: String, lo: Long, hi: Long): Column = {
+      val raw =
+        if (hi <= lo) lit(0L)
+        else if (hi - lo <= Long.MaxValue / mask)
+          expr(s"((`$cn` - ${lo}L) * ${mask}L) div ${hi - lo}L")
+        else
+          expr(s"CAST(((CAST(`$cn` AS DECIMAL(38,0)) - $lo) * $mask)" +
+            s" div (${hi} - ${lo}) AS BIGINT)")
+      greatest(lit(0L), least(lit(mask), raw))
+    }
+    df.withColumn("xg", g(xCol, b.xLo, b.xHi))
+      .withColumn("yg", g(yCol, b.yLo, b.yHi))
+      .withColumn("z", interleave(col("xg"), col("yg"), bits))
+  }
+
+  /** Fold an append delta into a written Z-order tree — the x79/x84/x91
+    * compaction discipline applied to layout: delta rows grid under the
+    * FROZEN bounds (a pure per-row function, cost ∝ |delta|), only the
+    * TOUCHED cell directories are rewritten (union of their existing
+    * rows + the delta's, under dynamic partition overwrite), every
+    * other cell's files are untouched bytes. After compaction the tree
+    * reads back exactly as a full rebuild over static ∪ delta with the
+    * static bounds — the x126 oracle law. */
+  def zOrderCompact(spark: SparkSession, path: String, delta: DataFrame,
+                    xCol: String, yCol: String, b: ZBounds,
+                    bits: Int = 8, cellBits: Int = 4): Unit = {
+    require(cellBits >= 1 && cellBits <= bits,
+      s"cellBits out of range: $cellBits vs bits=$bits")
+    val dz = withZOrderFrozen(delta, xCol, yCol, b, bits)
+      .withColumn("cell", shiftright(col("z"), 2 * (bits - cellBits)))
+    val touched = dz.select(col("cell")).distinct()
+    val staticTouched = spark.read.parquet(path)
+      .withColumn("cell", col("cell").cast("long"))
+      .join(broadcast(touched), "cell")
+    val merged = Caches.localCheckpointScoped(staticTouched
+      .unionByName(dz.select(staticTouched.columns.map(col): _*))
+      .repartition(col("cell"))
+      .sortWithinPartitions(col("z")))
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prevMode = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try merged.df.write.mode("overwrite").partitionBy("cell").parquet(path)
+    finally {
+      prevMode match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+      merged.release()
+    }
+  }
 
   /** Read-back audit of a [[zOrderWrite]] tree: one row per written
     * FILE with its row count, per-dimension grid min/max (column
@@ -135,3 +212,8 @@ object Layout {
         col("max_xg") < qxLo || col("min_xg") > qxHi ||
         col("max_yg") < qyLo || col("min_yg") > qyHi)
 }
+
+/** Normalization bounds of a written Z-order tree — the tree's MODEL:
+  * [[Layout.zOrderCompact]] grids arrivals under these so they land in
+  * the written cell geometry. */
+final case class ZBounds(xLo: Long, xHi: Long, yLo: Long, yHi: Long)

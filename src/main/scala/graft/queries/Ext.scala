@@ -1989,6 +1989,32 @@ object Ext {
           "bench_id", "text", ngramN = 5, minShared = 2)
         .orderBy("doc_id", "bench_id")
     },
+
+    // Z-ORDER TREE COMPACTION (x126): write the clustered tree from the
+    // static split (l_orderkey % 5 ≠ 0), fold the delta in under the
+    // FROZEN bounds — only touched cell dirs rewrite — then read the
+    // tree back per cell. Oracle: the x121 audit arithmetic over the
+    // FULL table with static-split bounds and edge-cell clamping — the
+    // compaction law (compacted tree ≡ rebuild) made hash-checkable.
+    "x126_zorder_compact" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+      val tree = java.nio.file.Files.createTempDirectory("x126_ztree_").toString
+      val b = graft.ops.Layout.zOrderWrite(
+        li.filter(col("l_orderkey") % 5 =!= 0), "l_partkey", "l_suppkey",
+        tree, bits = 8, cellBits = 4)
+      graft.ops.Layout.zOrderCompact(s, tree,
+        li.filter(col("l_orderkey") % 5 === 0), "l_partkey", "l_suppkey",
+        b, bits = 8, cellBits = 4)
+      s.read.parquet(tree)
+        .groupBy(col("cell").cast("long").as("cell"))
+        .agg(count(lit(1)).as("n"),
+          min(col("xg")).as("min_xg"), max(col("xg")).as("max_xg"),
+          min(col("yg")).as("min_yg"), max(col("yg")).as("max_yg"))
+        .withColumn("skippable",
+          col("max_xg") < 64 || col("min_xg") > 127 ||
+          col("max_yg") < 0 || col("min_yg") > 63)
+        .orderBy("cell")
+    },
   )
 
   /** x72's full replay, parameterized by the Lloyd-TRAINING source
@@ -5866,6 +5892,40 @@ object Ext {
         |FROM sh s JOIN nd n USING (doc_id)
         |WHERE s.n_shared >= 2
         |ORDER BY doc_id, bench_id""".stripMargin,
+
+    // Compaction replay: the x121 grid/interleave arithmetic over the
+    // FULL table, bounds from the STATIC split only, greatest/least
+    // edge-cell clamping (which also absorbs the truncate-vs-floor
+    // divergence of negative integer division between engines).
+    "x126_zorder_compact" -> {
+      val zExpr = (0 until 8).flatMap { i =>
+        Seq(s"(((xg >> $i) & 1) << ${2 * i})",
+            s"(((yg >> $i) & 1) << ${2 * i + 1})")
+      }.mkString(" + ")
+      s"""WITH b AS (
+         |  SELECT min(l_partkey) AS xlo, max(l_partkey) AS xhi,
+         |         min(l_suppkey) AS ylo, max(l_suppkey) AS yhi
+         |  FROM lineitem WHERE l_orderkey % 5 <> 0),
+         |g AS (
+         |  SELECT
+         |    greatest(0, least(255, CASE WHEN xhi > xlo
+         |      THEN ((l_partkey - xlo) * 255) // (xhi - xlo)
+         |      ELSE 0 END)) AS xg,
+         |    greatest(0, least(255, CASE WHEN yhi > ylo
+         |      THEN ((l_suppkey - ylo) * 255) // (yhi - ylo)
+         |      ELSE 0 END)) AS yg
+         |  FROM lineitem, b),
+         |z AS (SELECT xg, yg, $zExpr AS z FROM g),
+         |c AS (SELECT xg, yg, z >> 8 AS cell FROM z)
+         |SELECT cell, COUNT(*) AS n,
+         |  min(xg) AS min_xg, max(xg) AS max_xg,
+         |  min(yg) AS min_yg, max(yg) AS max_yg,
+         |  (max(xg) < 64 OR min(xg) > 127 OR
+         |   max(yg) < 0 OR min(yg) > 63) AS skippable
+         |FROM c
+         |GROUP BY cell
+         |ORDER BY cell""".stripMargin
+    },
 
     // Point-in-time lookup replay: the x118 chain's iv frame, a facts
     // CTE, the half-open interval left join (open interval = null

@@ -3130,6 +3130,57 @@ class OpsSpec extends AnyFunSuite {
       s"positional filter must not cost recall: $out")
   }
 
+  test("z-order compaction: compacted ≡ rebuild, untouched cells byte-stable, drift clamps") {
+    import spark.implicits._
+    val pts = (0 until 400).map(i => ((i * 37L) % 256, (i * 91L) % 256))
+      .toDF("x", "y")
+    val static0 = pts.filter(col("x") % 5 =!= 0)
+    val delta = pts.filter(col("x") % 5 === 0)
+      .unionByName(Seq((999L, -7L)).toDF("x", "y")) // outside trained range
+    val tree = java.nio.file.Files.createTempDirectory("zcompact_")
+    try {
+      val b = graft.ops.Layout.zOrderWrite(static0, "x", "y",
+        tree.toString, bits = 8, cellBits = 4)
+      def dirFiles(): Map[String, Set[String]] = {
+        val root = tree.toFile
+        root.listFiles().filter(_.isDirectory).map { d =>
+          d.getName -> d.listFiles().map(f => f.getName + ":" + f.length).toSet
+        }.toMap
+      }
+      val before = dirFiles()
+      graft.ops.Layout.zOrderCompact(spark, tree.toString, delta, "x", "y",
+        b, bits = 8, cellBits = 4)
+      val after = dirFiles()
+      val touchedCells = graft.ops.Layout.withZOrderFrozen(delta, "x", "y", b)
+        .select((col("z") / lit(256L)).cast("long").as("cell")).distinct()
+        .collect().map(r => s"cell=${r.getLong(0)}").toSet
+      before.keySet.diff(touchedCells).foreach { d =>
+        assert(after(d) == before(d), s"untouched cell dir $d must be byte-stable")
+      }
+      // law: compacted read-back per cell == frozen-grid analytic over the union
+      val got = spark.read.parquet(tree.toString)
+        .groupBy(col("cell").cast("long").as("cell"))
+        .agg(count(lit(1)).as("n"), min("xg").as("a"), max("xg").as("b"),
+          min("yg").as("c"), max("yg").as("d"))
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+      val want = graft.ops.Layout.withZOrderFrozen(
+          static0.unionByName(delta), "x", "y", b)
+        .withColumn("cell", shiftright(col("z"), 8))
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n"), min("xg").as("a"), max("xg").as("b"),
+          min("yg").as("c"), max("yg").as("d"))
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+      assert(got == want, s"compacted tree must equal the rebuild:\n$got\n$want")
+      // drift clamps into edge cells: (999, -7) -> xg = 255, yg = 0
+      val drift = spark.read.parquet(tree.toString)
+        .filter(col("x") === 999L).select("xg", "yg")
+        .as[(Long, Long)].collect().toSeq
+      assert(drift == Seq((255L, 0L)), s"out-of-range delta must clamp: $drift")
+    } finally graft.util.Fs.deleteTree(tree)
+  }
+
   test("z-score anomaly: planted outlier flags, zero-variance guard") {
     import spark.implicits._
     // slice A: nine 10.00s and one 110.00 → the outlier's z is large
