@@ -118,4 +118,58 @@ class PropertySpec extends AnyFunSuite {
         s"doc $id: $got is not an in-order subsequence of $orig")
     }
   }
+
+  test("prefix jaccard join == brute force on arbitrary corpora, any threshold") {
+    import spark.implicits._
+    // tiny alphabet + short docs force shared tokens, near-threshold
+    // pairs and empty/degenerate docs — the full PPJoin candidate rule
+    // (prefix + length + positional) must stay EXACT on all of them
+    val docGen = Gen.chooseNum(0, 8)
+      .flatMap(n => Gen.listOfN(n, alphabet)).map(_.mkString(" "))
+    for (seed <- 1 to 2; (tn, td) <- Seq((1, 2), (3, 5), (4, 5))) {
+      val corpus = (1 to 25).map(i => (i.toLong, sample(docGen, seed * 7919L + i)))
+      val out = Dedup.prefixJaccardJoin(corpus.toDF("id", "text"),
+          "id", "text", tauNum = tn, tauDen = td)
+        .select("id_a", "id_b", "inter", "uni")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val sets = corpus.map(p => p._1 -> p._2.split(" ").filter(_.nonEmpty).toSet).toMap
+      val brute = (for {
+        a <- sets.keys; b <- sets.keys if a < b
+        inter = (sets(a) & sets(b)).size
+        uni = (sets(a) | sets(b)).size
+        if uni > 0 && inter * td >= uni * tn
+      } yield (a, b, inter.toLong, uni.toLong)).toSet
+      assert(out == brute,
+        s"seed=$seed tau=$tn/$td: ${out.diff(brute)} vs missing ${brute.diff(out)}")
+    }
+    graft.ops.Caches.releaseAll()
+  }
+
+  test("scd2 fold law holds on arbitrary snapshot stacks") {
+    import spark.implicits._
+    // random presence (gaps, late adds, disappearances) and random
+    // payload churn over 5 versions: folding one version at a time
+    // through scd2Apply must equal the full build — the incremental
+    // load is exact on ANY history, not just the fixture
+    for (seed <- 1 to 3) {
+      val rows = for {
+        id <- 1L to 8L
+        v <- 0 to 4
+        if sample(Gen.chooseNum(0, 9), seed * 10007L + id * 31 + v) < 7
+      } yield (id, v, sample(alphabet, seed * 104729L + id * 17 + v * 3))
+      val snaps = rows.toDF("id", "version", "payload")
+      def rowsOf(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+        (r.getLong(0), r.getInt(1),
+          if (r.isNullAt(2)) -1 else r.getInt(2),
+          r.getBoolean(3), r.getString(4))).toSet
+      val full = graft.ops.Scd.buildScd2(snaps, "id", "version", Seq("payload"))
+      val folded = (1 to 4).foldLeft(
+        graft.ops.Scd.buildScd2(snaps.filter(col("version") === 0),
+          "id", "version", Seq("payload"))) { (h, v) =>
+        graft.ops.Scd.scd2Apply(h, snaps.filter(col("version") === v),
+          "id", "version", Seq("payload"))
+      }
+      assert(rowsOf(folded) == rowsOf(full), s"seed=$seed fold law broke")
+    }
+  }
 }
