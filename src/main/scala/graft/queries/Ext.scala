@@ -1991,20 +1991,24 @@ object Ext {
     },
 
     // Z-ORDER TREE COMPACTION (x126): write the clustered tree from the
-    // static split (l_orderkey % 5 ≠ 0), fold the delta in under the
-    // FROZEN bounds — only touched cell dirs rewrite — then read the
-    // tree back per cell. Oracle: the x121 audit arithmetic over the
-    // FULL table with static-split bounds and edge-cell clamping — the
-    // compaction law (compacted tree ≡ rebuild) made hash-checkable.
+    // static split (l_orderkey % 5 ≠ 0), fold in a SPATIALLY CLUSTERED
+    // delta — the %5 arrivals in the bottom 1/16 of the partkey span,
+    // the hot-region-append shape compaction exists for — under the
+    // FROZEN bounds: only the ~16 low-xg cell dirs rewrite, the other
+    // ~240 cells' files are untouched bytes. Then read the tree back
+    // per cell. Oracle: the x121 audit arithmetic over static ∪ delta
+    // with static-split bounds and edge-cell clamping — the compaction
+    // law (compacted tree ≡ rebuild) made hash-checkable.
     "x126_zorder_compact" -> { (s, dir) =>
       val li = Tables.lineitem(s, dir)
       val tree = java.nio.file.Files.createTempDirectory("x126_ztree_").toString
       val b = graft.ops.Layout.zOrderWrite(
         li.filter(col("l_orderkey") % 5 =!= 0), "l_partkey", "l_suppkey",
         tree, bits = 8, cellBits = 4)
+      val cut = b.xLo + (b.xHi - b.xLo) / 16
       graft.ops.Layout.zOrderCompact(s, tree,
-        li.filter(col("l_orderkey") % 5 === 0), "l_partkey", "l_suppkey",
-        b, bits = 8, cellBits = 4)
+        li.filter(col("l_orderkey") % 5 === 0 && col("l_partkey") <= cut),
+        "l_partkey", "l_suppkey", b, bits = 8, cellBits = 4)
       s.read.parquet(tree)
         .groupBy(col("cell").cast("long").as("cell"))
         .agg(count(lit(1)).as("n"),
@@ -5906,6 +5910,10 @@ object Ext {
          |  SELECT min(l_partkey) AS xlo, max(l_partkey) AS xhi,
          |         min(l_suppkey) AS ylo, max(l_suppkey) AS yhi
          |  FROM lineitem WHERE l_orderkey % 5 <> 0),
+         |u AS (
+         |  SELECT l_partkey, l_suppkey FROM lineitem, b
+         |  WHERE l_orderkey % 5 <> 0
+         |     OR l_partkey <= xlo + (xhi - xlo) // 16),
          |g AS (
          |  SELECT
          |    greatest(0, least(255, CASE WHEN xhi > xlo
@@ -5914,7 +5922,7 @@ object Ext {
          |    greatest(0, least(255, CASE WHEN yhi > ylo
          |      THEN ((l_suppkey - ylo) * 255) // (yhi - ylo)
          |      ELSE 0 END)) AS yg
-         |  FROM lineitem, b),
+         |  FROM u, b),
          |z AS (SELECT xg, yg, $zExpr AS z FROM g),
          |c AS (SELECT xg, yg, z >> 8 AS cell FROM z)
          |SELECT cell, COUNT(*) AS n,
