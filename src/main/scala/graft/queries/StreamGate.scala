@@ -191,6 +191,30 @@ object StreamGate {
     })
   }
 
+  /** HOT-REGION arrivals topic for the streaming Z-order compaction
+    * gate (s22): x126's spatially-clustered delta — the %5 lineitem
+    * rows whose partkey sits in the bottom 1/16 of the STATIC split's
+    * span — serialized as JSON. The static-split bounds are computed at
+    * produce time (they are the written tree's model in the gate too).
+    * Memoized per (JVM, sf dir). */
+  private val zdeltaTopics = TrieMap.empty[String, String]
+  private def zorderDeltaTopic(s: SparkSession, dir: String): String = synchronized {
+    zdeltaTopics.getOrElseUpdate(dir, {
+      val topic = s"gate_zdelta_${java.util.UUID.randomUUID().toString.take(8)}"
+      val li = Tables.lineitem(s, dir)
+      val r = li.filter(col("l_orderkey") % 5 =!= 0)
+        .agg(min(col("l_partkey").cast("long")), max(col("l_partkey").cast("long"))).head()
+      val cut = r.getLong(0) + (r.getLong(1) - r.getLong(0)) / 16
+      li.filter(col("l_orderkey") % 5 === 0 && col("l_partkey") <= cut)
+        .select(col("l_orderkey").cast("string").as("key"),
+          to_json(struct(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))).as("value"),
+          to_timestamp(lit("2024-01-01 00:00:00")).as("timestamp"))
+        .write.format("graft-topic").mode("append")
+        .option("topic", topic).option("partitions", "4").save()
+      topic
+    })
+  }
+
   /** DIMENSION-SNAPSHOT topic for the streaming SCD2 gate (s20): the
     * x118 four-snapshot stack serialized as JSON, produced by ONE
     * sorted task ordered (version, doc_id) — the daily-dimension-load
@@ -1310,6 +1334,64 @@ object StreamGate {
       }
     },
 
+    // Streaming Z-ORDER COMPACTION (s22): x126's layout maintenance as
+    // arrivals stream — the static tree writes once, each micro-batch
+    // of hot-region rows folds in through zOrderCompact under the
+    // FROZEN bounds (cell assignment is a pure per-row function of the
+    // model, and compaction preserves rows, so compact ∘ compact over
+    // any batch split ≡ one compact over the union — the s12 law on
+    // the layout side). Only the delta's cell dirs rewrite per batch.
+    // Oracle = x126's SQL verbatim (static ∪ all arrivals = the same
+    // union). ≥2 data batches asserted.
+    "s22_stream_zorder_compaction" -> { (s, dir) =>
+      val topic = zorderDeltaTopic(s, dir)
+      withGateConf(s) {
+        val li = Tables.lineitem(s, dir)
+          .select("l_orderkey", "l_partkey", "l_suppkey")
+        val tree = gateTmpDir("s22_tree_")
+        val b = graft.ops.Layout.zOrderWrite(
+          li.filter(col("l_orderkey") % 5 =!= 0), "l_partkey", "l_suppkey",
+          tree.toString, bits = 8, cellBits = 4)
+        val ckpt = gateTmpDir("s22_ckpt_")
+        val q = s.readStream.format("graft-topic")
+          .option("topic", topic)
+          .option("maxRecordsPerTrigger",
+            math.max(1L, (topicSize(topic) + 2) / 3).toString)
+          .load()
+          .select(from_json(col("value").cast("string"),
+            org.apache.spark.sql.types.StructType.fromDDL(
+              "l_orderkey BIGINT, l_partkey BIGINT, l_suppkey BIGINT")).as("j"))
+          .select(col("j.l_orderkey").as("l_orderkey"),
+            col("j.l_partkey").as("l_partkey"),
+            col("j.l_suppkey").as("l_suppkey"))
+          .writeStream
+          .foreachBatch { (df: DataFrame, _: Long) =>
+            if (!df.isEmpty)
+              graft.ops.Layout.zOrderCompact(s, tree.toString, df,
+                "l_partkey", "l_suppkey", b, bits = 8, cellBits = 4)
+            ()
+          }
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        drain(q, ckpt)
+        require(dataBatches(q) >= 2,
+          s"s22 must compact across batches; ran ${dataBatches(q)} data batches")
+        val out = graft.ops.Caches.localCheckpointTracked(
+          s.read.parquet(tree.toString)
+            .groupBy(col("cell").cast("long").as("cell"))
+            .agg(count(lit(1)).as("n"),
+              min(col("xg")).as("min_xg"), max(col("xg")).as("max_xg"),
+              min(col("yg")).as("min_yg"), max(col("yg")).as("max_yg"))
+            .withColumn("skippable",
+              col("max_xg") < 64 || col("min_xg") > 127 ||
+              col("max_yg") < 0 || col("min_yg") > 63)
+            .orderBy("cell"))
+        cleanupStep("tree delete")(graft.util.Fs.deleteTree(tree))
+        out
+      }
+    },
+
     // Streaming exact dedup under the gate: events replayed through the
     // topic → dropDuplicatesWithinWatermark(user_id) → append-mode memory
     // sink. WHICH occurrence survives is arrival-order-dependent, so the
@@ -1724,6 +1806,11 @@ object StreamGate {
     // equal the batch aggregate, so scoring the arrived set against
     // them is x113's SQL verbatim.
     "s21_stream_anomaly_stats" -> Ext.oracle("x113_anomaly_zscores"),
+
+    // Cell assignment is a pure function of the frozen bounds and
+    // compaction preserves rows, so compact-per-batch over any split
+    // equals one compact over the union: x126's SQL verbatim.
+    "s22_stream_zorder_compaction" -> Ext.oracle("x126_zorder_compact"),
 
     // Shard membership is a pure function of the row and every manifest
     // field commutes, so the streamed partitioned tree's manifest equals
