@@ -92,6 +92,41 @@ object Chunking {
   /** Exactly-k-per-stratum deterministic sample: rank rows inside each
     * stratum by (md5(id), id) and keep the first k. One shuffle on the
     * stratum key; the hash order is engine-reproducible. */
+  /** WEIGHTED sampling WITHOUT replacement (Efraimidis–Spirakis A-ES,
+    * 2006): keep the k rows with the largest u^(1/w) — equivalently
+    * the largest ln(u)/w — where u is a deterministic per-row uniform
+    * and w the row's weight. Inclusion probability is ∝ weight
+    * (heavier rows win more keys), which is the DATA-MIXING primitive:
+    * sample documents ∝ token count (or quality score) when assembling
+    * a training mix, reproducibly.
+    *
+    * Determinism: u derives from the first 8 md5 hex digits of
+    * `salt:id` — (v + 0.5)/2³² ∈ (0, 1), the x66 md5-affine
+    * convention — and the key is the fixed left-to-right IEEE
+    * expression ln(u)/w pinned to integer ⌊·10¹²⌋ fixed point (the x48
+    * ln convention), ties broken by id: the x127 oracle replays every
+    * key bit-for-bit. Rows with weight <= 0 are excluded (they can
+    * never be sampled; the guard also keeps ±Inf out of the ANSI
+    * cast).
+    *
+    * Scale (100 TB): the key is one codegen'd per-row expression, the
+    * global top-k is orderBy + limit — Spark's TakeOrderedAndProject,
+    * a per-partition heap + driver merge of k·parts rows, no full
+    * sort, no shuffle of the corpus. */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     k: Int, salt: String = "ws"): DataFrame = {
+    require(k > 0, s"need a positive sample size, got $k")
+    val v = conv(substring(md5(concat(lit(salt), lit(":"),
+      col(idCol).cast("string"))), 1, 8), 16, 10).cast("double")
+    val u = (v + lit(0.5)) / lit(4294967296.0)
+    val key = floor(log(u) / col(weightCol).cast("double") * 1e12)
+      .cast("long")
+    df.filter(col(weightCol) > 0)
+      .withColumn("es_key", key)
+      .orderBy(col("es_key").desc, col(idCol))
+      .limit(k)
+  }
+
   def stratifiedFixedSample(df: DataFrame, strataCol: String, idCol: String,
                             k: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window

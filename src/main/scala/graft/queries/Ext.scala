@@ -1990,6 +1990,18 @@ object Ext {
         .orderBy("doc_id", "bench_id")
     },
 
+    // WEIGHTED SAMPLING WITHOUT REPLACEMENT (x127): the top-100 docs by
+    // Efraimidis–Spirakis key ln(u)/w with w = n_chars — the
+    // reproducible data-mixing draw (sample ∝ length/quality when
+    // assembling a training mix). u is md5-affine, the key is the
+    // fixed-point ln convention — both engines replay every key.
+    "x127_weighted_sample" -> { (s, dir) =>
+      graft.ops.Chunking.weightedSample(
+          Tables.documents(s, dir).select("doc_id", "n_chars"),
+          "doc_id", "n_chars", k = 100, salt = "mix")
+        .orderBy(col("es_key").desc, col("doc_id"))
+    },
+
     // Z-ORDER TREE COMPACTION (x126): write the clustered tree from the
     // static split (l_orderkey % 5 ≠ 0), fold in a SPATIALLY CLUSTERED
     // delta — the %5 arrivals in the bottom 1/16 of the partkey span,
@@ -5860,6 +5872,22 @@ object Ext {
     // snapshot into the v0-v2 build must equal the full four-snapshot
     // build, so x123 shares x118's SQL verbatim.
     "x123_scd2_apply" -> scd2HistorySql,
+
+    // A-ES replay: the md5-affine uniform, the left-to-right IEEE
+    // ln(u)/w, the ⌊·10¹²⌋ fixed point, (key DESC, id) top-100.
+    "x127_weighted_sample" ->
+      """WITH w AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST(floor(
+        |      ln((CAST(CAST('0x' || substr(md5('mix:' ||
+        |            CAST(doc_id AS VARCHAR)), 1, 8) AS UBIGINT) AS DOUBLE)
+        |          + 0.5) / 4294967296.0)
+        |      / CAST(n_chars AS DOUBLE) * 1e12) AS BIGINT) AS es_key
+        |  FROM documents WHERE n_chars > 0)
+        |SELECT doc_id, n_chars, es_key
+        |FROM w
+        |ORDER BY es_key DESC, doc_id
+        |LIMIT 100""".stripMargin,
 
     // Decontamination replay: the same 5-gram shingling (x122's split
     // convention, md5 digests, per-doc DISTINCT), the overlap join,

@@ -3083,6 +3083,39 @@ class OpsSpec extends AnyFunSuite {
       s"lookup rows: $out")
   }
 
+  test("weighted sample: matches the A-ES reference, weight drives inclusion") {
+    import spark.implicits._
+    // exactness: the operator's top-50 equals a driver-side replay of
+    // the same md5-affine uniform + ln(u)/w fixed-point key
+    def refKey(salt: String, id: Long, w: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$salt:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      val u = (java.lang.Long.parseLong(hex, 16).toDouble + 0.5) / 4294967296.0
+      math.floor(math.log(u) / w.toDouble * 1e12).toLong
+    }
+    val rows = docs.select(col("doc_id"), col("n_chars").cast("long"))
+      .as[(Long, Long)].collect()
+    val want = rows.filter(_._2 > 0)
+      .map { case (id, w) => (id, refKey("mix", id, w)) }
+      .sortBy { case (id, k) => (-k, id) }.take(50).toSeq
+    val got = graft.ops.Chunking.weightedSample(
+        docs.select(col("doc_id"), col("n_chars").cast("long").as("n_chars")),
+        "doc_id", "n_chars", k = 50, salt = "mix")
+      .select("doc_id", "es_key").as[(Long, Long)].collect().toSeq
+      .sortBy { case (id, k) => (-k, id) }
+    assert(got == want, s"A-ES keys diverged from the reference")
+    // inclusion ∝ weight: one heavy row among 40 light ones wins a
+    // k=4 draw in most of 30 salts; any fixed light row almost never
+    val pool = ((1L to 40L).map(i => (i, 1L)) :+ (99L, 400L)).toDF("id", "w")
+    val salts = (1 to 30).map(s => s"s$s")
+    val heavyWins = salts.count { s =>
+      graft.ops.Chunking.weightedSample(pool, "id", "w", k = 4, salt = s)
+        .select("id").as[Long].collect().contains(99L)
+    }
+    assert(heavyWins >= 25, s"heavy row must dominate inclusion: $heavyWins/30")
+  }
+
   test("decontamination: planted benchmark copies flag, containment exact") {
     import spark.implicits._
     val corpus = Seq(
