@@ -1353,10 +1353,13 @@ object StreamGate {
           li.filter(col("l_orderkey") % 5 =!= 0), "l_partkey", "l_suppkey",
           tree.toString, bits = 8, cellBits = 4)
         val ckpt = gateTmpDir("s22_ckpt_")
+        // two data batches: each compact pays a read+rewrite of its
+        // touched cell dirs, so the admission cap sizes the gate at the
+        // minimum multi-batch evidence (≥2 asserted below)
         val q = s.readStream.format("graft-topic")
           .option("topic", topic)
           .option("maxRecordsPerTrigger",
-            math.max(1L, (topicSize(topic) + 2) / 3).toString)
+            math.max(1L, (topicSize(topic) + 1) / 2).toString)
           .load()
           .select(from_json(col("value").cast("string"),
             org.apache.spark.sql.types.StructType.fromDDL(
