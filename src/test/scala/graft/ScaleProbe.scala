@@ -498,6 +498,38 @@ object ScaleProbe {
         }
         val best = runs.minBy(_._1)
         println(f"classify best-of-2: train=${tr.count()} test=${te.count()} wall=${best._1}%.2f s cpu=${best._2}%.1f s")
+      case "ppjoin" =>
+        // the x122 tau dial, measured: candidate counts (prefix-only vs
+        // + positional) and end-to-end wall across thresholds on the
+        // x122 fixture corpus — the numbers behind the "run tau >= 0.8
+        // in production" scaladoc line
+        val docs0 = spark.read.parquet(args(0) + "/documents.parquet")
+          .select(col("doc_id"), col("text"))
+        val dirty = docs0.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"),
+            org.apache.spark.sql.functions.concat(col("text"),
+              org.apache.spark.sql.functions.lit(" xtradup")).as("text"))
+        val corpus = docs0.unionByName(dirty)
+        for ((tn, td) <- Seq((1, 2), (3, 5), (4, 5))) {
+          val nAll = {
+            val (_, _, c) = graft.ops.Dedup.prefixJaccardParts(corpus,
+              "doc_id", "text", tn, td, 3, positional = false)
+            val n = c.count(); graft.ops.Caches.releaseAll(); n
+          }
+          val (nPos, wall) = {
+            val (_, _, c) = graft.ops.Dedup.prefixJaccardParts(corpus,
+              "doc_id", "text", tn, td, 3, positional = true)
+            val n = c.count(); graft.ops.Caches.releaseAll()
+            val t0 = System.nanoTime()
+            graft.ops.Dedup.prefixJaccardJoin(corpus, "doc_id", "text",
+                tn, td, 3)
+              .write.format("noop").mode("overwrite").save()
+            graft.ops.Caches.releaseAll()
+            (n, (System.nanoTime() - t0) / 1e9)
+          }
+          println(f"tau=$tn/$td: cand prefix-only=$nAll%,d +positional=$nPos%,d wall=$wall%.2f s")
+          System.gc()
+        }
       case "semdedup" =>
         val emb = spark.read.parquet(args(0) + "/embeddings.parquet")
         for (bandBits <- Seq(8, 16); _ <- 1 to 2) {
