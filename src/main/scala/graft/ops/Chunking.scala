@@ -107,7 +107,11 @@ object Chunking {
     * ln convention), ties broken by id: the x127 oracle replays every
     * key bit-for-bit. Rows with weight <= 0 are excluded (they can
     * never be sampled; the guard also keeps ±Inf out of the ANSI
-    * cast).
+    * cast). Weight scale: the fixed-point lane holds |ln(u)/w| up to
+    * ~9·10⁶, i.e. weights down to ~3·10⁻⁶ — token counts, char counts
+    * and [0,1] quality scores all sit far inside it; rescale weights
+    * into that range rather than feeding, say, probabilities in
+    * 10⁻⁹ units (the ANSI long cast would fail loudly, not corrupt).
     *
     * Scale (100 TB): the key is one codegen'd per-row expression, the
     * global top-k is orderBy + limit — Spark's TakeOrderedAndProject,

@@ -50,6 +50,11 @@ object EventAnalytics {
     * linear in the FUNNEL-RELEVANT event count. */
   private def toStaged(events: DataFrame, userCol: String, tsCol: String,
                        typeCol: String, stages: Seq[String]): DataFrame = {
+    // one stage index per event type: a repeated stage name would make
+    // the mapping ambiguous (the old per-stage filters silently let one
+    // event satisfy two stages) — reject loudly instead
+    require(stages.distinct.size == stages.size,
+      s"funnel stages must be distinct event types: $stages")
     val idx = stages.zipWithIndex.foldLeft(lit(null).cast("int")) {
       case (acc, (st, i)) => when(col(typeCol) === st, lit(i + 1)).otherwise(acc)
     }
@@ -98,11 +103,16 @@ object EventAnalytics {
     * > t_j, which can never again be a conditional min because t_j
     * itself stays admitted forever. So fold(prune) ∘ fold(prune) ≡
     * one batch computation — the s18 gate hashes that law against
-    * x109's SQL on the full log. State size: the per-user pending
-    * frontier (≤ a handful of rows per (user, stage) in steady state —
-    * exactly one once a user's funnel is complete), NOT the event log;
-    * per-batch cost is one distinct + the k conditional-min aggregates
-    * over state ∪ batch, all user-keyed. */
+    * x109's SQL on the full log. State size: once a user's stage j−1
+    * min exists, stage j collapses toward one retained row; the
+    * unbounded tail is users who hold stage-j events but NEVER start
+    * the funnel (t_{j−1} null keeps all their staged rows pending —
+    * exactness demands it, since any late stage-1 arrival could admit
+    * them). A production deployment bounds that tail with an
+    * event-time retention cut on the state (drop staged rows older
+    * than the conversion horizon) — a business rule, deliberately not
+    * defaulted here. Per-batch cost is one distinct + the k
+    * conditional-min aggregates over state ∪ batch, all user-keyed. */
   def funnelState(events: DataFrame, userCol: String, tsCol: String,
                   typeCol: String, stages: Seq[String]): DataFrame = {
     require(stages.size >= 2, s"funnel needs >= 2 stages: $stages")

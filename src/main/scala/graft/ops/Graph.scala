@@ -520,17 +520,23 @@ object Graph {
     // final round outlives the loop inside the returned plan → adopt
     var h = Caches.localCheckpointScoped(
       pairs.select(col("a_id").as("__a"), col("b_id").as("__b")))
-    for (_ <- 1 to rounds) {
-      val e = h.df
-      val deg = e.select(col("__a").as("__id"))
-        .unionAll(e.select(col("__b").as("__id")))
-        .groupBy("__id").agg(count(lit(1)).as("__deg"))
-      val alive = deg.filter(col("__deg") >= k).select("__id")
-      val next = Caches.localCheckpointScoped(e
-        .join(alive.withColumnRenamed("__id", "__a"), Seq("__a"), "left_semi")
-        .join(alive.withColumnRenamed("__id", "__b"), Seq("__b"), "left_semi"))
-      h.release()
-      h = next
+    try {
+      for (_ <- 1 to rounds) {
+        val e = h.df
+        val deg = e.select(col("__a").as("__id"))
+          .unionAll(e.select(col("__b").as("__id")))
+          .groupBy("__id").agg(count(lit(1)).as("__deg"))
+        val alive = deg.filter(col("__deg") >= k).select("__id")
+        val next = Caches.localCheckpointScoped(e
+          .join(alive.withColumnRenamed("__id", "__a"), Seq("__a"), "left_semi")
+          .join(alive.withColumnRenamed("__id", "__b"), Seq("__b"), "left_semi"))
+        h.release()
+        h = next
+      }
+    } catch {
+      // a mid-loop job failure must not strand the live round's blocks:
+      // scoped checkpoints are registered nowhere until adopt()
+      case t: Throwable => h.release(); throw t
     }
     val e = Caches.adopt(h)
     e.select(col("__a").as("__id"))

@@ -43,13 +43,18 @@ object Layout {
   // overflow (full-range int64 keys at high bits reach ~2^94; decimal38
   // holds ~2^126). `div` is integral divide in both branches, so the
   // floor semantics and the BIGINT result are identical
+  // the span (hi - lo) and the guard both evaluate in DECIMAL(38,0)
+  // lanes, so a span past 2^63 (full-range int64 keys) routes to the
+  // decimal branch instead of wrapping — only the provably-safe branch
+  // does int64 arithmetic
   private def grid(cn: String, lo: String, hi: String, bits: Int): Column = {
     val mask = (1L << bits) - 1
+    val span = s"(CAST($hi AS DECIMAL(38,0)) - $lo)"
     expr(s"CASE WHEN $hi <= $lo THEN CAST(0 AS BIGINT) " +
-      s"WHEN $hi - $lo <= ${Long.MaxValue / mask}L " +
+      s"WHEN $span <= ${Long.MaxValue / mask}L " +
       s"THEN ((`$cn` - $lo) * ${mask}L) div ($hi - $lo) " +
       s"ELSE CAST(((CAST(`$cn` AS DECIMAL(38,0)) - $lo) * $mask)" +
-      s" div ($hi - $lo) AS BIGINT) END")
+      s" div $span AS BIGINT) END")
   }
 
   /** Adds `xg`, `yg` (grid coordinates) and `z` (Morton code) for the
@@ -108,18 +113,27 @@ object Layout {
     * stats an engine would prune on are first-class columns. Returns
     * the normalization bounds — the tree's MODEL, which
     * [[zOrderCompact]] needs to assign later arrivals to the same
-    * cells. */
+    * cells.
+    *
+    * NULL-key contract: rows with a null key in either dimension are
+    * EXCLUDED from the tree (a zone map cannot place them; route them
+    * to a separate store upstream). Write and compact apply the same
+    * rule, so the compaction law quantifies over non-null-keyed rows —
+    * without the filter, a null key would land in the Hive default
+    * partition, where compaction's cell equi-join could never match it
+    * and a later rewrite would silently drop the stored rows. */
   def zOrderWrite(df: DataFrame, xCol: String, yCol: String, path: String,
                   bits: Int = 8, cellBits: Int = 4): ZBounds = {
     require(cellBits >= 1 && cellBits <= bits,
       s"cellBits out of range: $cellBits vs bits=$bits")
-    val r = df.agg(
+    val in = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+    val r = in.agg(
       min(col(xCol).cast("long")), max(col(xCol).cast("long")),
       min(col(yCol).cast("long")), max(col(yCol).cast("long"))).head()
     require(!r.isNullAt(0) && !r.isNullAt(2),
       "zOrderWrite needs a non-empty frame with non-null keys")
     val b = ZBounds(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
-    withZOrderFrozen(df, xCol, yCol, b, bits)
+    withZOrderFrozen(in, xCol, yCol, b, bits)
       .withColumn("cell", shiftright(col("z"), 2 * (bits - cellBits)))
       .repartition(col("cell"))
       .sortWithinPartitions(col("z"))
@@ -141,13 +155,17 @@ object Layout {
     require(bits >= 1 && bits <= 31, s"bits out of range: $bits")
     val mask = (1L << bits) - 1
     def g(cn: String, lo: Long, hi: Long): Column = {
+      // span in BigInt: a full-range int64 bound pair wraps `hi - lo`,
+      // which would silently pick the int64 branch AND divide by the
+      // wrapped span — both the guard and the decimal divisor stay wide
+      val span = BigInt(hi) - BigInt(lo)
       val raw =
-        if (hi <= lo) lit(0L)
-        else if (hi - lo <= Long.MaxValue / mask)
-          expr(s"((`$cn` - ${lo}L) * ${mask}L) div ${hi - lo}L")
+        if (span <= 0) lit(0L)
+        else if (span <= BigInt(Long.MaxValue / mask))
+          expr(s"((`$cn` - ${lo}L) * ${mask}L) div ${span.toLong}L")
         else
           expr(s"CAST(((CAST(`$cn` AS DECIMAL(38,0)) - $lo) * $mask)" +
-            s" div (${hi} - ${lo}) AS BIGINT)")
+            s" div CAST($span AS DECIMAL(38,0)) AS BIGINT)")
       greatest(lit(0L), least(lit(mask), raw))
     }
     df.withColumn("xg", g(xCol, b.xLo, b.xHi))
@@ -168,7 +186,10 @@ object Layout {
                     bits: Int = 8, cellBits: Int = 4): Unit = {
     require(cellBits >= 1 && cellBits <= bits,
       s"cellBits out of range: $cellBits vs bits=$bits")
-    val dz = withZOrderFrozen(delta, xCol, yCol, b, bits)
+    // same null-key contract as the write (see zOrderWrite's scaladoc)
+    val dz = withZOrderFrozen(
+        delta.filter(col(xCol).isNotNull && col(yCol).isNotNull),
+        xCol, yCol, b, bits)
       .withColumn("cell", shiftright(col("z"), 2 * (bits - cellBits)))
     val touched = dz.select(col("cell")).distinct()
     val staticTouched = spark.read.parquet(path)

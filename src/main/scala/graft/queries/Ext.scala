@@ -2631,12 +2631,10 @@ object Ext {
         |QUALIFY rank <= 10
         |ORDER BY q_id, rank""".stripMargin
 
-  /** x118's full four-snapshot SCD2 build replay — shared verbatim by
-    * x123 (incremental apply): the apply law says the folded history
-    * IS the full build. */
   /** The x118 CTE chain up to `iv` (doc_id, valid_from, valid_to,
-    * text) — shared by x118/x123 (the full build) and x124 (the
-    * point-in-time lookup joins against it). */
+    * text) — shared by x118/x123 (the full build; the apply law says
+    * the folded history IS the full build) and x124 (the point-in-time
+    * lookup joins against it). */
   private val scd2ChainSql: String =
       """WITH snaps AS (
         |  SELECT doc_id, v.v AS version,
@@ -5637,7 +5635,7 @@ object Ext {
     "x108_nb_classifier" -> nbEvalSql("doc_id % 5 <> 0", "doc_id % 5 = 0"),
 
     // Report replay: the x108 chain, per-doc argmax verdicts, three
-    // class-keyed counts, the model-class axis, guarded exact-rational
+    // class-keyed counts, the model-UNION-actual axis, guarded exact-rational
     // precision/recall and the 2·correct/(actual+pred) F1 identity.
     "x114_classifier_report" ->
       (nbChainSql("doc_id % 5 <> 0", "doc_id % 5 = 0") +
@@ -5651,15 +5649,18 @@ object Ext {
           |       FROM eval GROUP BY 1),
           |nc AS (SELECT actual_label AS label, COUNT(*) AS n_correct
           |       FROM eval WHERE actual_label = pred_label GROUP BY 1),
+          |axis AS (
+          |  SELECT lang AS label FROM cls
+          |  UNION SELECT actual_label FROM eval),
           |rep AS (
-          |  SELECT cls.lang AS label,
+          |  SELECT axis.label,
           |    COALESCE(na.n_actual, 0) AS n_actual,
           |    COALESCE(np.n_pred, 0) AS n_pred,
           |    COALESCE(nc.n_correct, 0) AS n_correct
-          |  FROM cls
-          |  LEFT JOIN na ON na.label = cls.lang
-          |  LEFT JOIN np ON np.label = cls.lang
-          |  LEFT JOIN nc ON nc.label = cls.lang)
+          |  FROM axis
+          |  LEFT JOIN na ON na.label = axis.label
+          |  LEFT JOIN np ON np.label = axis.label
+          |  LEFT JOIN nc ON nc.label = axis.label)
           |SELECT label, n_actual, n_pred, n_correct,
           |  CASE WHEN n_pred > 0
           |    THEN round(CAST(n_correct AS DOUBLE) / n_pred, 6) END AS precision,

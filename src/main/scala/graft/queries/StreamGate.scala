@@ -1126,43 +1126,48 @@ object StreamGate {
         val stages = Seq("signup", "click", "purchase")
         var h: graft.ops.Checkpointed = null
         val ckpt = gateTmpDir("s18_ckpt_")
-        val q = s.readStream.format("graft-topic")
-          .option("topic", topic)
-          .option("maxRecordsPerTrigger",
-            math.max(1L, (topicSize(topic) + 2) / 3).toString)
-          .load()
-          .select(col("timestamp").as("ts"),
-            from_json(col("value").cast("string"),
-              org.apache.spark.sql.types.StructType.fromDDL(
-                "user_id BIGINT, event_type STRING, value DOUBLE")).as("j"))
-          .select(col("j.user_id").as("user_id"), col("ts"),
-            col("j.event_type").as("event_type"))
-          .writeStream
-          .foreachBatch { (df: DataFrame, _: Long) =>
-            if (!df.isEmpty) {
-              val next = graft.ops.Caches.localCheckpointScoped(
-                if (h == null)
-                  graft.ops.EventAnalytics.funnelState(df, "user_id", "ts",
-                    "event_type", stages)
-                else
-                  graft.ops.EventAnalytics.funnelFold(h.df, df, "user_id",
-                    "ts", "event_type", stages))
-              if (h != null) h.release()
-              h = next
+        try {
+  val q = s.readStream.format("graft-topic")
+            .option("topic", topic)
+            .option("maxRecordsPerTrigger",
+              math.max(1L, (topicSize(topic) + 2) / 3).toString)
+            .load()
+            .select(col("timestamp").as("ts"),
+              from_json(col("value").cast("string"),
+                org.apache.spark.sql.types.StructType.fromDDL(
+                  "user_id BIGINT, event_type STRING, value DOUBLE")).as("j"))
+            .select(col("j.user_id").as("user_id"), col("ts"),
+              col("j.event_type").as("event_type"))
+            .writeStream
+            .foreachBatch { (df: DataFrame, _: Long) =>
+              if (!df.isEmpty) {
+                val next = graft.ops.Caches.localCheckpointScoped(
+                  if (h == null)
+                    graft.ops.EventAnalytics.funnelState(df, "user_id", "ts",
+                      "event_type", stages)
+                  else
+                    graft.ops.EventAnalytics.funnelFold(h.df, df, "user_id",
+                      "ts", "event_type", stages))
+                if (h != null) h.release()
+                h = next
+              }
+              ()
             }
-            ()
-          }
-          .option("checkpointLocation", ckpt.toString)
-          .trigger(Trigger.AvailableNow())
-          .start()
-        drain(q, ckpt)
-        require(dataBatches(q) >= 2,
-          s"s18 must fold across batches; ran ${dataBatches(q)} data batches")
-        graft.ops.Caches.localCheckpointTracked(
-          graft.ops.EventAnalytics.funnelFromState(
-              graft.ops.Caches.adopt(h), "user_id", stages.size,
-              withinHours = 48)
-            .orderBy("user_id"))
+            .option("checkpointLocation", ckpt.toString)
+            .trigger(Trigger.AvailableNow())
+            .start()
+          drain(q, ckpt)
+          require(dataBatches(q) >= 2,
+            s"s18 must fold across batches; ran ${dataBatches(q)} data batches")
+          graft.ops.Caches.localCheckpointTracked(
+            graft.ops.EventAnalytics.funnelFromState(
+                graft.ops.Caches.adopt(h), "user_id", stages.size,
+                withinHours = 48)
+              .orderBy("user_id"))
+        } catch {
+          // a failed drain/fold must not strand scoped blocks
+          case t: Throwable => if (h != null) h.release(); throw t
+        }
       }
     },
 
@@ -1179,40 +1184,45 @@ object StreamGate {
       withGateConf(s) {
         var h: graft.ops.Checkpointed = null
         val ckpt = gateTmpDir("s19_ckpt_")
-        val q = s.readStream.format("graft-topic")
-          .option("topic", topic)
-          .option("maxRecordsPerTrigger",
-            math.max(1L, (topicSize(topic) + 2) / 3).toString)
-          .load()
-          .select(col("timestamp").as("ts"),
-            from_json(col("value").cast("string"),
-              org.apache.spark.sql.types.StructType.fromDDL(
-                "user_id BIGINT, event_type STRING, value DOUBLE")).as("j"))
-          .select(col("j.user_id").as("user_id"), col("ts"))
-          .writeStream
-          .foreachBatch { (df: DataFrame, _: Long) =>
-            if (!df.isEmpty) {
-              val next = graft.ops.Caches.localCheckpointScoped(
-                if (h == null)
-                  graft.ops.EventAnalytics.retentionState(df, "user_id", "ts")
-                else
-                  graft.ops.EventAnalytics.retentionFold(h.df, df, "user_id",
-                    "ts"))
-              if (h != null) h.release()
-              h = next
+        try {
+  val q = s.readStream.format("graft-topic")
+            .option("topic", topic)
+            .option("maxRecordsPerTrigger",
+              math.max(1L, (topicSize(topic) + 2) / 3).toString)
+            .load()
+            .select(col("timestamp").as("ts"),
+              from_json(col("value").cast("string"),
+                org.apache.spark.sql.types.StructType.fromDDL(
+                  "user_id BIGINT, event_type STRING, value DOUBLE")).as("j"))
+            .select(col("j.user_id").as("user_id"), col("ts"))
+            .writeStream
+            .foreachBatch { (df: DataFrame, _: Long) =>
+              if (!df.isEmpty) {
+                val next = graft.ops.Caches.localCheckpointScoped(
+                  if (h == null)
+                    graft.ops.EventAnalytics.retentionState(df, "user_id", "ts")
+                  else
+                    graft.ops.EventAnalytics.retentionFold(h.df, df, "user_id",
+                      "ts"))
+                if (h != null) h.release()
+                h = next
+              }
+              ()
             }
-            ()
-          }
-          .option("checkpointLocation", ckpt.toString)
-          .trigger(Trigger.AvailableNow())
-          .start()
-        drain(q, ckpt)
-        require(dataBatches(q) >= 2,
-          s"s19 must fold across batches; ran ${dataBatches(q)} data batches")
-        graft.ops.Caches.localCheckpointTracked(
-          graft.ops.EventAnalytics.retentionFromState(
-              graft.ops.Caches.adopt(h), "user_id")
-            .orderBy("cohort_day", "offset_days"))
+            .option("checkpointLocation", ckpt.toString)
+            .trigger(Trigger.AvailableNow())
+            .start()
+          drain(q, ckpt)
+          require(dataBatches(q) >= 2,
+            s"s19 must fold across batches; ran ${dataBatches(q)} data batches")
+          graft.ops.Caches.localCheckpointTracked(
+            graft.ops.EventAnalytics.retentionFromState(
+                graft.ops.Caches.adopt(h), "user_id")
+              .orderBy("cohort_day", "offset_days"))
+        } catch {
+          // a failed drain/fold must not strand scoped blocks
+          case t: Throwable => if (h != null) h.release(); throw t
+        }
       }
     },
 
@@ -1231,49 +1241,54 @@ object StreamGate {
       withGateConf(s) {
         var h: graft.ops.Checkpointed = null
         val ckpt = gateTmpDir("s20_ckpt_")
-        val q = s.readStream.format("graft-topic")
-          .option("topic", topic)
-          .option("maxRecordsPerTrigger",
-            math.max(1L, (topicSize(topic) + 2) / 3).toString)
-          .load()
-          .select(from_json(col("value").cast("string"),
-            org.apache.spark.sql.types.StructType.fromDDL(
-              "doc_id BIGINT, version INT, text STRING")).as("j"))
-          .select(col("j.doc_id").as("doc_id"), col("j.version").as("version"),
-            col("j.text").as("text"))
-          .writeStream
-          .foreachBatch { (df: DataFrame, _: Long) =>
-            if (!df.isEmpty) {
-              val batch = graft.ops.Caches.localCheckpointTracked(df)
-              // the version list is model-sized gate plumbing (≤4
-              // values): snapshot slices must fold in ascending order
-              val versions = batch.select("version").distinct()
-                .collect().map(_.getInt(0)).sorted
-              versions.foreach { v =>
-                val slice = batch.filter(col("version") === v)
-                val cur =
-                  if (h != null) h.df
-                  else slice.select(col("doc_id"),
-                    col("version").as("valid_from"),
-                    col("version").as("valid_to"),
-                    lit(true).as("is_current"), col("text")).limit(0)
-                val next = graft.ops.Caches.localCheckpointScoped(
-                  graft.ops.Scd.scd2Apply(cur, slice, "doc_id", "version",
-                    Seq("text")))
-                if (h != null) h.release()
-                h = next
+        try {
+  val q = s.readStream.format("graft-topic")
+            .option("topic", topic)
+            .option("maxRecordsPerTrigger",
+              math.max(1L, (topicSize(topic) + 2) / 3).toString)
+            .load()
+            .select(from_json(col("value").cast("string"),
+              org.apache.spark.sql.types.StructType.fromDDL(
+                "doc_id BIGINT, version INT, text STRING")).as("j"))
+            .select(col("j.doc_id").as("doc_id"), col("j.version").as("version"),
+              col("j.text").as("text"))
+            .writeStream
+            .foreachBatch { (df: DataFrame, _: Long) =>
+              if (!df.isEmpty) {
+                val batch = graft.ops.Caches.localCheckpointTracked(df)
+                // the version list is model-sized gate plumbing (≤4
+                // values): snapshot slices must fold in ascending order
+                val versions = batch.select("version").distinct()
+                  .collect().map(_.getInt(0)).sorted
+                versions.foreach { v =>
+                  val slice = batch.filter(col("version") === v)
+                  val cur =
+                    if (h != null) h.df
+                    else slice.select(col("doc_id"),
+                      col("version").as("valid_from"),
+                      col("version").as("valid_to"),
+                      lit(true).as("is_current"), col("text")).limit(0)
+                  val next = graft.ops.Caches.localCheckpointScoped(
+                    graft.ops.Scd.scd2Apply(cur, slice, "doc_id", "version",
+                      Seq("text")))
+                  if (h != null) h.release()
+                  h = next
+                }
               }
+              ()
             }
-            ()
-          }
-          .option("checkpointLocation", ckpt.toString)
-          .trigger(Trigger.AvailableNow())
-          .start()
-        drain(q, ckpt)
-        require(dataBatches(q) >= 2,
-          s"s20 must fold across batches; ran ${dataBatches(q)} data batches")
-        graft.ops.Caches.localCheckpointTracked(
-          graft.ops.Caches.adopt(h).orderBy("doc_id", "valid_from"))
+            .option("checkpointLocation", ckpt.toString)
+            .trigger(Trigger.AvailableNow())
+            .start()
+          drain(q, ckpt)
+          require(dataBatches(q) >= 2,
+            s"s20 must fold across batches; ran ${dataBatches(q)} data batches")
+          graft.ops.Caches.localCheckpointTracked(
+            graft.ops.Caches.adopt(h).orderBy("doc_id", "valid_from"))
+        } catch {
+          // a failed drain/fold must not strand scoped blocks
+          case t: Throwable => if (h != null) h.release(); throw t
+        }
       }
     },
 
@@ -1292,45 +1307,50 @@ object StreamGate {
         var stats: graft.ops.Checkpointed = null
         var seen: graft.ops.Checkpointed = null
         val ckpt = gateTmpDir("s21_ckpt_")
-        val q = s.readStream.format("graft-topic")
-          .option("topic", topic)
-          .option("maxRecordsPerTrigger",
-            math.max(1L, (topicSize(topic) + 2) / 3).toString)
-          .load()
-          .select(from_json(col("value").cast("string"),
-            org.apache.spark.sql.types.StructType.fromDDL(
-              "event_id BIGINT, event_type STRING, value DOUBLE")).as("j"))
-          .select(col("j.event_id").as("event_id"),
-            col("j.event_type").as("event_type"), col("j.value").as("value"))
-          .writeStream
-          .foreachBatch { (df: DataFrame, _: Long) =>
-            if (!df.isEmpty) {
-              val bStats = graft.ops.EventAnalytics.anomalyStats(df,
-                "event_type", "value")
-              val nextStats = graft.ops.Caches.localCheckpointScoped(
-                if (stats == null) bStats
-                else graft.ops.EventAnalytics.anomalyStatsMerge(stats.df,
-                  bStats, "event_type"))
-              if (stats != null) stats.release()
-              stats = nextStats
-              val nextSeen = graft.ops.Caches.localCheckpointScoped(
-                if (seen == null) df else seen.df.unionByName(df))
-              if (seen != null) seen.release()
-              seen = nextSeen
+        try {
+  val q = s.readStream.format("graft-topic")
+            .option("topic", topic)
+            .option("maxRecordsPerTrigger",
+              math.max(1L, (topicSize(topic) + 2) / 3).toString)
+            .load()
+            .select(from_json(col("value").cast("string"),
+              org.apache.spark.sql.types.StructType.fromDDL(
+                "event_id BIGINT, event_type STRING, value DOUBLE")).as("j"))
+            .select(col("j.event_id").as("event_id"),
+              col("j.event_type").as("event_type"), col("j.value").as("value"))
+            .writeStream
+            .foreachBatch { (df: DataFrame, _: Long) =>
+              if (!df.isEmpty) {
+                val bStats = graft.ops.EventAnalytics.anomalyStats(df,
+                  "event_type", "value")
+                val nextStats = graft.ops.Caches.localCheckpointScoped(
+                  if (stats == null) bStats
+                  else graft.ops.EventAnalytics.anomalyStatsMerge(stats.df,
+                    bStats, "event_type"))
+                if (stats != null) stats.release()
+                stats = nextStats
+                val nextSeen = graft.ops.Caches.localCheckpointScoped(
+                  if (seen == null) df else seen.df.unionByName(df))
+                if (seen != null) seen.release()
+                seen = nextSeen
+              }
+              ()
             }
-            ()
-          }
-          .option("checkpointLocation", ckpt.toString)
-          .trigger(Trigger.AvailableNow())
-          .start()
-        drain(q, ckpt)
-        require(dataBatches(q) >= 2,
-          s"s21 must fold across batches; ran ${dataBatches(q)} data batches")
-        graft.ops.Caches.localCheckpointTracked(
-          graft.ops.EventAnalytics.anomalyScoresFromStats(
-              graft.ops.Caches.adopt(seen), graft.ops.Caches.adopt(stats),
-              "event_type", "value", "event_id")
-            .orderBy("event_id"))
+            .option("checkpointLocation", ckpt.toString)
+            .trigger(Trigger.AvailableNow())
+            .start()
+          drain(q, ckpt)
+          require(dataBatches(q) >= 2,
+            s"s21 must fold across batches; ran ${dataBatches(q)} data batches")
+          graft.ops.Caches.localCheckpointTracked(
+            graft.ops.EventAnalytics.anomalyScoresFromStats(
+                graft.ops.Caches.adopt(seen), graft.ops.Caches.adopt(stats),
+                "event_type", "value", "event_id")
+              .orderBy("event_id"))
+        } catch {
+          // a failed drain/fold must not strand scoped blocks
+          case t: Throwable => if (stats != null) stats.release(); if (seen != null) seen.release(); throw t
+        }
       }
     },
 
