@@ -89,9 +89,6 @@ object Chunking {
       .drop("__cum")
   }
 
-  /** Exactly-k-per-stratum deterministic sample: rank rows inside each
-    * stratum by (md5(id), id) and keep the first k. One shuffle on the
-    * stratum key; the hash order is engine-reproducible. */
   /** WEIGHTED sampling WITHOUT replacement (Efraimidis–Spirakis A-ES,
     * 2006): keep the k rows with the largest u^(1/w) — equivalently
     * the largest ln(u)/w — where u is a deterministic per-row uniform
@@ -131,6 +128,9 @@ object Chunking {
       .limit(k)
   }
 
+  /** Exactly-k-per-stratum deterministic sample: rank rows inside each
+    * stratum by (md5(id), id) and keep the first k. One shuffle on the
+    * stratum key; the hash order is engine-reproducible. */
   def stratifiedFixedSample(df: DataFrame, strataCol: String, idCol: String,
                             k: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window

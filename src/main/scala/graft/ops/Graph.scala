@@ -494,8 +494,15 @@ object Graph {
     * discipline): starting from the undirected pair set, repeatedly
     * drop every node whose remaining degree is < k together with its
     * incident edges — after `rounds` rounds the survivors approximate
-    * the k-core (exact once a round removes nothing; peeling is
-    * monotone, so extra rounds never oscillate). The k-core is the
+    * the k-core. A FIXED round count is a bounded peel, NOT the
+    * fixpoint in general: a deep peeling chain (each round unlocking
+    * the next removal) needs up to |V| rounds, so on such graphs the
+    * result is a superset of the true k-core (exact once a round
+    * removes nothing — peeling is monotone, so extra rounds never
+    * oscillate; on the x112 fixture 4 rounds do converge). `rounds` IS
+    * the dial: raise it, or loop until a round's edge count stops
+    * changing, when the exact core matters more than a bounded round
+    * budget. The k-core is the
     * graph-curation notion of a DENSE duplicate/community region —
     * stricter than connected components (x16), looser than triangles
     * (x102).

@@ -36,17 +36,15 @@ object Layout {
           shiftleft(shiftright(yi, i).bitwiseAND(lit(1L)), 2 * i + 1))
     }.reduce(_ + _)
 
-  // overflow-safe grid: the (c - lo) * (2^bits - 1) product stays in
-  // int64 lanes while the column span provably fits ((hi - lo) <=
-  // Long.Max / mask — every realistic key column), and falls back to
-  // DECIMAL(38,0) lanes only for spans where the product would
-  // overflow (full-range int64 keys at high bits reach ~2^94; decimal38
-  // holds ~2^126). `div` is integral divide in both branches, so the
-  // floor semantics and the BIGINT result are identical
-  // the span (hi - lo) and the guard both evaluate in DECIMAL(38,0)
-  // lanes, so a span past 2^63 (full-range int64 keys) routes to the
-  // decimal branch instead of wrapping — only the provably-safe branch
-  // does int64 arithmetic
+  // overflow-safe grid: the span (hi - lo) and its guard evaluate in
+  // DECIMAL(38,0) lanes, and the (c - lo) * (2^bits - 1) product runs
+  // in int64 lanes only when that span provably fits (span <=
+  // Long.Max / mask — every realistic key column); otherwise the whole
+  // product/divide falls back to DECIMAL(38,0) (full-range int64 keys
+  // at high bits reach ~2^94; decimal38 holds ~2^126), so neither the
+  // guard nor the arithmetic can wrap. `div` is integral divide in
+  // both branches, so the floor semantics and the BIGINT result are
+  // identical.
   private def grid(cn: String, lo: String, hi: String, bits: Int): Column = {
     val mask = (1L << bits) - 1
     val span = s"(CAST($hi AS DECIMAL(38,0)) - $lo)"
@@ -146,10 +144,13 @@ object Layout {
     * the frame's own extrema, so later arrivals land in the SAME cell
     * geometry as the written tree; values outside the trained range
     * CLAMP into the edge cells (the zone-map convention for post-write
-    * drift — and the clamp also absorbs the truncate-vs-floor
-    * divergence of negative integral division across engines, keeping
-    * the grid engine-exact on all inputs). Pure per-row codegen: no
-    * aggregate, no crossJoin. */
+    * drift). The clamp applies to the INPUT, before any arithmetic:
+    * the dividend (clamped − lo) then sits in [0, span], so the int64
+    * branch's span guard is sufficient for ALL inputs (an un-clamped
+    * far-out arrival could overflow (c − lo)·mask and land in an
+    * arbitrary cell, not the edge), and the non-negative dividend
+    * makes integral `div` floor-exact across engines. Pure per-row
+    * codegen: no aggregate, no crossJoin. */
   def withZOrderFrozen(df: DataFrame, xCol: String, yCol: String,
                        b: ZBounds, bits: Int = 8): DataFrame = {
     require(bits >= 1 && bits <= 31, s"bits out of range: $bits")
@@ -159,14 +160,15 @@ object Layout {
       // which would silently pick the int64 branch AND divide by the
       // wrapped span — both the guard and the decimal divisor stay wide
       val span = BigInt(hi) - BigInt(lo)
-      val raw =
-        if (span <= 0) lit(0L)
-        else if (span <= BigInt(Long.MaxValue / mask))
-          expr(s"((`$cn` - ${lo}L) * ${mask}L) div ${span.toLong}L")
+      if (span <= 0) lit(0L)
+      else {
+        val cc = s"greatest(${lo}L, least(${hi}L, `$cn`))"
+        if (span <= BigInt(Long.MaxValue / mask))
+          expr(s"(($cc - ${lo}L) * ${mask}L) div ${span.toLong}L")
         else
-          expr(s"CAST(((CAST(`$cn` AS DECIMAL(38,0)) - $lo) * $mask)" +
+          expr(s"CAST(((CAST($cc AS DECIMAL(38,0)) - $lo) * $mask)" +
             s" div CAST($span AS DECIMAL(38,0)) AS BIGINT)")
-      greatest(lit(0L), least(lit(mask), raw))
+      }
     }
     df.withColumn("xg", g(xCol, b.xLo, b.xHi))
       .withColumn("yg", g(yCol, b.yLo, b.yHi))

@@ -3214,6 +3214,23 @@ class OpsSpec extends AnyFunSuite {
     } finally graft.util.Fs.deleteTree(tree)
   }
 
+  test("frozen-bounds grid: far-out arrivals clamp to edge cells (no int64 wrap)") {
+    import spark.implicits._
+    // span 1000 routes to the int64 lane; an arrival 4e16 past the hi
+    // bound makes the un-clamped (c − lo)·255 product wrap int64 — the
+    // input clamp must place it in the edge cell, bit-exactly
+    val b = graft.ops.ZBounds(0L, 1000L, 0L, 1000L)
+    val far = Seq((40000000000000000L, -40000000000000000L),
+      (1000L, 0L), (500L, 500L)).toDF("x", "y")
+    val g = graft.ops.Layout.withZOrderFrozen(far, "x", "y", b, bits = 8)
+      .select("x", "xg", "yg").as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(g(40000000000000000L) == (255L, 0L),
+      s"far-out arrival must clamp to the edge cell: $g")
+    assert(g(1000L) == (255L, 0L) && g(500L) == (127L, 127L),
+      s"in-range grid unchanged by the input clamp: $g")
+  }
+
   test("z-score anomaly: planted outlier flags, zero-variance guard") {
     import spark.implicits._
     // slice A: nine 10.00s and one 110.00 → the outlier's z is large
