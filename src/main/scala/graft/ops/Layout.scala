@@ -101,17 +101,31 @@ object Layout {
 
   /** PHYSICAL Z-order write — the layout [[zOrderAudit]] reasons about,
     * materialized: rows hash-route to their storage cell (the top
-    * `2*cellBits` Morton bits), sort by z inside each task, and write
-    * one parquet tree partitioned by `cell`. Hash partitioning sends
-    * every row of a cell to exactly ONE task, so each cell directory
-    * holds exactly one file and the file's footer min/max ARE the
-    * cell's zone-map stats — the written-tree discipline of the
-    * x66/x79/x82 index family applied to layout. The grid columns
+    * `2*cellBits` Morton bits), sort by (cell, z) inside each task, and
+    * write one parquet tree partitioned by `cell`. The grid columns
     * (`xg`, `yg`, `z`) are persisted alongside the data so the footer
     * stats an engine would prune on are first-class columns. Returns
     * the normalization bounds — the tree's MODEL, which
     * [[zOrderCompact]] needs to assign later arrivals to the same
     * cells.
+    *
+    * `filesPerCell` is the WRITE-PARALLELISM dial (power of two). At 1
+    * (the audit-exact default) every row of a cell routes to one task
+    * and one file, so the file's footer min/max ARE the cell's
+    * zone-map stats — but write parallelism and file size are then
+    * capped at 4^cellBits tasks however large the data (at 100 TB and
+    * cellBits = 4 that is ~400 GB written by a single task into a
+    * single file). At filesPerCell = 2^s the rows of a cell split by
+    * the next `s` Morton bits BELOW the cell prefix into up to
+    * filesPerCell salt groups — each a CONTIGUOUS z sub-range, i.e. a
+    * finer cell — and route on (cell, salt) across
+    * 4^cellBits · filesPerCell tasks, so tasks stay
+    * data-size-independent and every file still nests inside its
+    * cell's zone-map bounds (per-file stats are tighter, never wider:
+    * footer pruning only improves). Hash collisions may merge salt
+    * groups of a cell into one task (fewer, larger files — never
+    * wrong); [[writtenZoneMap]] reports per FILE either way, and the
+    * ScaleSpec law quantifies over both shapes.
     *
     * NULL-key contract: rows with a null key in either dimension are
     * EXCLUDED from the tree (a zone map cannot place them; route them
@@ -121,7 +135,8 @@ object Layout {
     * partition, where compaction's cell equi-join could never match it
     * and a later rewrite would silently drop the stored rows. */
   def zOrderWrite(df: DataFrame, xCol: String, yCol: String, path: String,
-                  bits: Int = 8, cellBits: Int = 4): ZBounds = {
+                  bits: Int = 8, cellBits: Int = 4,
+                  filesPerCell: Int = 1): ZBounds = {
     require(cellBits >= 1 && cellBits <= bits,
       s"cellBits out of range: $cellBits vs bits=$bits")
     val in = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
@@ -131,12 +146,43 @@ object Layout {
     require(!r.isNullAt(0) && !r.isNullAt(2),
       "zOrderWrite needs a non-empty frame with non-null keys")
     val b = ZBounds(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
-    withZOrderFrozen(in, xCol, yCol, b, bits)
-      .withColumn("cell", shiftright(col("z"), 2 * (bits - cellBits)))
-      .repartition(col("cell"))
-      .sortWithinPartitions(col("z"))
+    routeCells(withZOrderFrozen(in, xCol, yCol, b, bits), bits, cellBits,
+        filesPerCell)
       .write.mode("overwrite").partitionBy("cell").parquet(path)
     b
+  }
+
+  /** Shared cell routing of the write/compact paths: add `cell`, route
+    * on (cell[, salt]) and sort (cell, z) within each task — the sort's
+    * `cell` prefix satisfies the file writer's required ordering, so no
+    * second sort is inserted and the z order inside each written file
+    * survives. See [[zOrderWrite]] for the `filesPerCell` contract. */
+  private def routeCells(zdf: DataFrame, bits: Int, cellBits: Int,
+                         filesPerCell: Int): DataFrame = {
+    require(filesPerCell >= 1 && Integer.bitCount(filesPerCell) == 1,
+      s"filesPerCell must be a power of two: $filesPerCell")
+    val saltBits = 31 - Integer.numberOfLeadingZeros(filesPerCell)
+    require(saltBits <= 2 * (bits - cellBits),
+      s"filesPerCell=$filesPerCell needs $saltBits sub-cell z bits; " +
+        s"only ${2 * (bits - cellBits)} below cellBits=$cellBits at bits=$bits")
+    val cells = zdf.withColumn("cell",
+      shiftright(col("z"), 2 * (bits - cellBits)))
+    if (filesPerCell == 1)
+      cells.repartition(col("cell")).sortWithinPartitions(col("cell"), col("z"))
+    else {
+      // salt = the saltBits Morton bits just below the cell prefix: a
+      // contiguous z sub-range per salt value. Task count is sized to
+      // the (cell, salt) universe here; a cluster deployment would cap
+      // it at the executor-core budget instead.
+      val nParts = math.min(1 << (2 * cellBits + saltBits), 1 << 16)
+      cells
+        .withColumn("__salt", shiftright(col("z"),
+            2 * (bits - cellBits) - saltBits)
+          .bitwiseAND(lit(filesPerCell - 1L)))
+        .repartition(nParts, col("cell"), col("__salt"))
+        .sortWithinPartitions(col("cell"), col("z"))
+        .drop("__salt")
+    }
   }
 
   /** FROZEN-bounds twin of [[withZOrder]]: the grid normalizes by the
@@ -182,10 +228,13 @@ object Layout {
     * rows + the delta's, under dynamic partition overwrite), every
     * other cell's files are untouched bytes. After compaction the tree
     * reads back exactly as a full rebuild over static ∪ delta with the
-    * static bounds — the x126 oracle law. */
+    * static bounds — the x126 oracle law. `filesPerCell` applies to the
+    * rewritten cell dirs exactly as in [[zOrderWrite]] (a touched cell's
+    * rewrite is a small full write of that cell). */
   def zOrderCompact(spark: SparkSession, path: String, delta: DataFrame,
                     xCol: String, yCol: String, b: ZBounds,
-                    bits: Int = 8, cellBits: Int = 4): Unit = {
+                    bits: Int = 8, cellBits: Int = 4,
+                    filesPerCell: Int = 1): Unit = {
     require(cellBits >= 1 && cellBits <= bits,
       s"cellBits out of range: $cellBits vs bits=$bits")
     // same null-key contract as the write (see zOrderWrite's scaladoc)
@@ -197,10 +246,9 @@ object Layout {
     val staticTouched = spark.read.parquet(path)
       .withColumn("cell", col("cell").cast("long"))
       .join(broadcast(touched), "cell")
-    val merged = Caches.localCheckpointScoped(staticTouched
+    val merged = Caches.localCheckpointScoped(routeCells(staticTouched
       .unionByName(dz.select(staticTouched.columns.map(col): _*))
-      .repartition(col("cell"))
-      .sortWithinPartitions(col("z")))
+      .drop("cell"), bits, cellBits, filesPerCell))
     val key = "spark.sql.sources.partitionOverwriteMode"
     val prevMode = spark.conf.getOption(key)
     spark.conf.set(key, "dynamic")

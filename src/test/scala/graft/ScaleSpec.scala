@@ -940,8 +940,9 @@ class ScaleSpec extends AnyFunSuite {
         .collect().map(r => r.getLong(0) ->
           (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
            r.getLong(5), r.getBoolean(6))).toMap
-      // one file per cell, and each file's footer-equivalent stats ARE
-      // the analytic cell audit — row counts, both min/max pairs, verdict
+      // at filesPerCell = 1: one file per cell, and each file's
+      // footer-equivalent stats ARE the analytic cell audit — row
+      // counts, both min/max pairs, verdict
       assert(files.keySet == cells.keySet,
         s"files per cell: ${files.keySet.size} vs cells ${cells.keySet.size}")
       files.foreach { case (cell, f) =>
@@ -958,6 +959,94 @@ class ScaleSpec extends AnyFunSuite {
           .groupBy(input_file_name().as("file")).count(), Seq("file"))
         .count()
       assert(hitsInSkipped == 0, "box rows must never sit in a skipped file")
+    } finally graft.util.Fs.deleteTree(java.nio.file.Paths.get(out))
+  }
+
+  test("zOrderWrite filesPerCell: per-file stats nest in cell bounds, write parallelism uncapped") {
+    val li = Tables.lineitem(spark, dir)
+    val out = java.nio.file.Files.createTempDirectory("zorder_fpc_").toString
+    try {
+      graft.ops.Layout.zOrderWrite(li, "l_partkey", "l_suppkey", out,
+        bits = 8, cellBits = 4, filesPerCell = 4)
+      // per-FILE zone maps, grouped back to their cells
+      val files = graft.ops.Layout.writtenZoneMap(spark, out,
+          qxLo = 64, qxHi = 127, qyLo = 0, qyHi = 63).collect()
+        .map(r => (r.getLong(0), (r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6), r.getBoolean(7))))
+      val cells = graft.ops.Layout.zOrderAudit(li, "l_partkey", "l_suppkey",
+          bits = 8, cellBits = 4, qxLo = 64, qxHi = 127, qyLo = 0, qyHi = 63)
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+           r.getLong(5), r.getBoolean(6))).toMap
+      // generalized zone-map law: every file's stats NEST inside its
+      // cell's audit bounds, and per cell the file rows sum to the
+      // audit count with min-of-mins / max-of-maxes equal to the audit
+      files.foreach { case (cell, (n, xlo, xhi, ylo, yhi, _)) =>
+        val c = cells(cell)
+        assert(n <= c._1 && xlo >= c._2 && xhi <= c._3 &&
+          ylo >= c._4 && yhi <= c._5,
+          s"file stats must nest in cell $cell: ($n,$xlo,$xhi,$ylo,$yhi) vs $c")
+      }
+      val byCell = files.groupBy(_._1)
+      assert(byCell.keySet == cells.keySet, "every audited cell is written")
+      byCell.foreach { case (cell, fs) =>
+        val c = cells(cell)
+        assert(fs.map(_._2._1).sum == c._1 &&
+          fs.map(_._2._2).min == c._2 && fs.map(_._2._3).max == c._3 &&
+          fs.map(_._2._4).min == c._4 && fs.map(_._2._5).max == c._5,
+          s"cell $cell file aggregate must equal the audit")
+      }
+      // the scale point: hot cells split into >1 file (write
+      // parallelism and file size no longer capped at one task/cell)
+      assert(byCell.values.map(_.size).max > 1,
+        s"filesPerCell=4 must split at least one hot cell; " +
+          s"got ${byCell.values.map(_.size).max} max files/cell")
+      assert(byCell.values.forall(_.size <= 4),
+        "a cell never splits past filesPerCell files")
+      // pruning only improves: every file of a skippable cell is
+      // skippable (file bounds nest), so skipped FILES >= skippable cells
+      val skippableCells = cells.count(_._2._6)
+      val skippedFiles = files.count(_._2._6)
+      assert(skippedFiles >= skippableCells && skippableCells > 0,
+        s"$skippedFiles skipped files vs $skippableCells skippable cells")
+      byCell.foreach { case (cell, fs) =>
+        if (cells(cell)._6)
+          assert(fs.forall(_._2._6), s"files of skippable cell $cell must skip")
+      }
+      // and the box rows still never sit in a skipped file
+      val hitsInSkipped = graft.ops.Layout.writtenZoneMap(spark, out,
+          64, 127, 0, 63).filter(col("skippable"))
+        .join(spark.read.parquet(out)
+          .filter(col("xg").between(64, 127) && col("yg").between(0, 63))
+          .groupBy(input_file_name().as("file")).count(), Seq("file"))
+        .count()
+      assert(hitsInSkipped == 0, "box rows must never sit in a skipped file")
+    } finally graft.util.Fs.deleteTree(java.nio.file.Paths.get(out))
+  }
+
+  test("zOrderCompact at filesPerCell>1: compacted tree still equals the rebuild") {
+    val li = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_partkey", "l_suppkey")
+    val out = java.nio.file.Files.createTempDirectory("zcompact_fpc_").toString
+    try {
+      val static0 = li.filter(col("l_orderkey") % 5 =!= 0)
+      val delta = li.filter(col("l_orderkey") % 5 === 0)
+      val b = graft.ops.Layout.zOrderWrite(static0, "l_partkey", "l_suppkey",
+        out, bits = 8, cellBits = 4, filesPerCell = 4)
+      graft.ops.Layout.zOrderCompact(spark, out, delta,
+        "l_partkey", "l_suppkey", b, bits = 8, cellBits = 4, filesPerCell = 4)
+      def cellAgg(df: org.apache.spark.sql.DataFrame) = df
+        .groupBy(col("cell").cast("long").as("cell"))
+        .agg(count(lit(1)).as("n"), min("xg").as("a"), max("xg").as("b"),
+          min("yg").as("c"), max("yg").as("d"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+      val got = cellAgg(spark.read.parquet(out))
+      val want = cellAgg(graft.ops.Layout.withZOrderFrozen(
+          static0.unionByName(delta), "l_partkey", "l_suppkey", b)
+        .withColumn("cell", shiftright(col("z"), 8)))
+      assert(got == want,
+        "filesPerCell>1 compaction must still read back as the rebuild")
     } finally graft.util.Fs.deleteTree(java.nio.file.Paths.get(out))
   }
 
