@@ -108,25 +108,41 @@ object EventAnalytics {
     * unbounded tail is users who hold stage-j events but NEVER start
     * the funnel (t_{j−1} null keeps all their staged rows pending —
     * exactness demands it, since any late stage-1 arrival could admit
-    * them). A production deployment bounds that tail with an
-    * event-time retention cut on the state (drop staged rows older
-    * than the conversion horizon) — a business rule, deliberately not
-    * defaulted here. Per-batch cost is one distinct + the k
-    * conditional-min aggregates over state ∪ batch, all user-keyed. */
+    * them).
+    *
+    * `retainHours` is the production RETENTION dial that bounds that
+    * tail: a PENDING staged row — stage j > 1 whose admission gate
+    * t_{j−1} is null or still above its timestamp — is dropped once it
+    * falls more than `retainHours` behind the state's event-time
+    * frontier (max ts seen). Soundness: a pending row at ts can only
+    * ever be admitted by t_{j−1} decreasing to ≤ ts, every decrease of
+    * any t_i is rooted in a NEW arrival (induction down to t₁, the
+    * unconditional min), and under an arrival-lateness bound of
+    * `retainHours` behind the frontier every new arrival has
+    * ts' ≥ frontier − retainHours — so a pending row older than that
+    * can never again be admitted and cutting it provably changes NO
+    * report column (the OpsSpec cut-invariance law; conditional mins
+    * themselves are never pending, so started users keep their rows).
+    * Set it to the pipeline's allowed lateness (watermark) bound; 0
+    * disables the cut (exact under arbitrarily late arrival, unbounded
+    * tail). Per-batch cost is one distinct + the k conditional-min
+    * aggregates over state ∪ batch, all user-keyed, plus one max. */
   def funnelState(events: DataFrame, userCol: String, tsCol: String,
-                  typeCol: String, stages: Seq[String]): DataFrame = {
+                  typeCol: String, stages: Seq[String],
+                  retainHours: Int = 0): DataFrame = {
     require(stages.size >= 2, s"funnel needs >= 2 stages: $stages")
     pruneState(toStaged(events, userCol, tsCol, typeCol, stages),
-      userCol, stages.size)
+      userCol, stages.size, retainHours)
   }
 
-  /** Fold one batch of events into a [[funnelState]] frame. */
+  /** Fold one batch of events into a [[funnelState]] frame (see
+    * [[funnelState]] for the `retainHours` pending-state cut). */
   def funnelFold(state: DataFrame, events: DataFrame, userCol: String,
-                 tsCol: String, typeCol: String,
-                 stages: Seq[String]): DataFrame =
+                 tsCol: String, typeCol: String, stages: Seq[String],
+                 retainHours: Int = 0): DataFrame =
     pruneState(
       state.unionByName(toStaged(events, userCol, tsCol, typeCol, stages)),
-      userCol, stages.size)
+      userCol, stages.size, retainHours)
 
   /** Render the batch-funnel report (x109's exact columns) from a
     * [[funnelState]] frame. */
@@ -135,15 +151,30 @@ object EventAnalytics {
     funnelReport(stageTimes(state, userCol, nStages), userCol, nStages,
       withinHours)
 
-  private def pruneState(staged: DataFrame, userCol: String,
-                         k: Int): DataFrame = {
+  private def pruneState(staged: DataFrame, userCol: String, k: Int,
+                         retainHours: Int): DataFrame = {
     val distinctSt = staged.distinct()
     val times = stageTimes(distinctSt, userCol, k)
     val keep = (1 to k).map(j => col("__stage") === j &&
         (col(s"t$j").isNull || col("__ts") <= col(s"t$j")))
       .reduce(_ || _)
-    distinctSt.join(times, Seq(userCol), "left").filter(keep)
-      .select(col(userCol), col("__stage"), col("__ts"))
+    val kept = distinctSt.join(times, Seq(userCol), "left").filter(keep)
+    val cut =
+      if (retainHours <= 0) kept
+      else {
+        // t_{j-1} for this row's stage: the admission gate the pending
+        // test reads (stage 1 has none — never pending)
+        val prevT = (2 to k).foldLeft(lit(null).cast("timestamp")) {
+          (acc, j) => when(col("__stage") === j, col(s"t${j - 1}")).otherwise(acc)
+        }
+        val pending = col("__stage") > 1 &&
+          (prevT.isNull || col("__ts") < prevT)
+        val frontier = staged.agg(max(col("__ts")).as("__frontier"))
+        kept.crossJoin(broadcast(frontier))
+          .filter(!(pending &&
+            col("__ts") < col("__frontier") - expr(s"interval $retainHours hours")))
+      }
+    cut.select(col(userCol), col("__stage"), col("__ts"))
   }
 
   /** RETENTION cohort matrix: cohort = the day of a user's first event;

@@ -1119,11 +1119,17 @@ object StreamGate {
     // folded state's report equal the batch funnel over the whole log —
     // which is the oracle, x109's SQL verbatim. ≥2 data batches
     // asserted; per-round state localCheckpoints with scoped release
-    // (one live copy, the kCore discipline).
+    // (one live copy, the kCore discipline). The pending-state cut runs
+    // with retainHours = the gate's arrival-disorder bound: this replay
+    // scrambles the FULL 30-day log across batches (see
+    // [[replayWatermark]]), so the sound horizon is the log span (31
+    // days) — at which the cut provably drops nothing here, exactly as
+    // a production deployment would size it to its lateness bound.
     "s18_stream_funnel_maintenance" -> { (s, dir) =>
       val topic = eventsTopic(s, dir)
       withGateConf(s) {
         val stages = Seq("signup", "click", "purchase")
+        val retainHours = 31 * 24
         var h: graft.ops.Checkpointed = null
         val ckpt = gateTmpDir("s18_ckpt_")
         try {
@@ -1144,10 +1150,10 @@ object StreamGate {
                 val next = graft.ops.Caches.localCheckpointScoped(
                   if (h == null)
                     graft.ops.EventAnalytics.funnelState(df, "user_id", "ts",
-                      "event_type", stages)
+                      "event_type", stages, retainHours)
                   else
                     graft.ops.EventAnalytics.funnelFold(h.df, df, "user_id",
-                      "ts", "event_type", stages))
+                      "ts", "event_type", stages, retainHours))
                 if (h != null) h.release()
                 h = next
               }

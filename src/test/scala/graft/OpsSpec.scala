@@ -2899,6 +2899,58 @@ class OpsSpec extends AnyFunSuite {
       s"pruning must bite: state $stateCount vs staged $stagedCount")
   }
 
+  test("funnel retention cut: report-invariant under bounded lateness, pending tail bounded") {
+    import spark.implicits._
+    // day-offset fixture: u1 converts in-order; u2 never starts (the
+    // unbounded pending tail the cut exists for); u3's stage-1 event is
+    // PLANTED LATE — delivered a batch after its stage-2 event, 24h
+    // behind the then-current frontier (inside the 48h bound), so the
+    // cut must keep the pending stage-2 row alive for it; u4 converts
+    // late in the log
+    def ts(d: Double) = new java.sql.Timestamp(
+      java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime +
+        math.round(d * 24 * 3600 * 1000))
+    val stages = Seq("A", "B")
+    // (batch, user, type, day)
+    val arr = Seq(
+      (1, 1L, "A", 1.0), (1, 2L, "B", 0.5), (1, 1L, "B", 1.5),
+      (2, 2L, "B", 1.0), (2, 3L, "B", 2.6), (2, 2L, "B", 2.0),
+      (3, 3L, "A", 2.5), (3, 4L, "A", 3.5), (3, 2L, "B", 3.0),
+      (4, 4L, "B", 4.2), (4, 2L, "B", 9.5), (4, 2L, "B", 9.0))
+    val ev = arr.map(e => (e._1, e._2, e._3, ts(e._4)))
+      .toDF("batch", "user_id", "event_type", "ts")
+    def fold(retainHours: Int) = (2 to 4).foldLeft(
+      graft.ops.EventAnalytics.funnelState(ev.filter(col("batch") === 1),
+        "user_id", "ts", "event_type", stages, retainHours)) { (st, b) =>
+      graft.ops.EventAnalytics.funnelFold(st, ev.filter(col("batch") === b),
+        "user_id", "ts", "event_type", stages, retainHours)
+    }
+    val cutState = fold(48).collect().map(_.toSeq)
+    val fullState = fold(0).collect().map(_.toSeq)
+    def report(st: Seq[Seq[Any]]) = graft.ops.EventAnalytics
+      .funnelFromState(st.map(r => (r(0).asInstanceOf[Long],
+          r(1).asInstanceOf[Int], r(2).asInstanceOf[java.sql.Timestamp]))
+        .toDF("user_id", "__stage", "__ts"), "user_id", 2, withinHours = 24)
+      .collect().map(_.toSeq).toSet
+    val got = report(cutState.toSeq)
+    assert(got == report(fullState.toSeq),
+      "the cut must not change any report column under bounded lateness")
+    // the late-planted stage-1 admits u3's pending stage-2: converted
+    val u3 = got.find(_.head == 3L).get
+    assert(u3(1) == ts(2.5) && u3(2) == ts(2.6) && u3(4) == true,
+      s"late stage-1 must still convert u3 through the cut state: $u3")
+    // state bound: u2's pending rows older than frontier − 48h are gone
+    val u2cut = cutState.count(_.head == 2L)
+    val u2full = fullState.count(_.head == 2L)
+    assert(u2full == 6 && u2cut == 2,
+      s"pending tail must be cut to the horizon: $u2cut vs $u2full")
+    // and NO pending row sits behind the horizon in the cut state
+    val horizon = ts(9.5 - 2.0)
+    assert(!cutState.exists(r => r(2).asInstanceOf[java.sql.Timestamp]
+        .before(horizon) && r.head == 2L),
+      "no never-started pending row may survive behind the horizon")
+  }
+
   test("rolling active users HLL twin: same grid, counts within rsd bound") {
     val ev = Tables.events(spark, dir)
     def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
