@@ -802,6 +802,17 @@ object Dedup {
     * prefixes (the prefix-filter pigeonhole) and every one of the
     * >= alpha common tokens sorts at-or-after it on both sides, so at
     * that position the bound >= alpha holds and the pair survives.
+    * `suffix = true` adds the depth-1 SUFFIX filter (PPJoin+): it caps
+    * the overlap reachable from the two suffixes by where each
+    * suffix's MEDIAN element falls in the global order (see
+    * [[prefixJaccardParts]]). MEASURED OFF by default: on the x122
+    * fixture the positional survivors are almost all TRUE near-pairs
+    * (which no sound filter can prune), so the median rule removes
+    * <0.5% of candidates at every tau while paying a wider prefix
+    * self-join — net ~2x slower end-to-end (BASELINE.md tau ladder).
+    * Turn it on for boilerplate-heavy low-tau sweeps where the
+    * positional bound leaves moderately-common-shingle FALSE
+    * candidates — the regime the rule was designed for.
     * Verification is exact: intersection by token equi-join over
     * candidates only, the threshold test as integer
     * cross-multiplication (no float threshold), jaccard reported as
@@ -825,10 +836,10 @@ object Dedup {
     * shuffle keys on token or pair. */
   def prefixJaccardJoin(docs: DataFrame, idCol: String, textCol: String,
                         tauNum: Int = 1, tauDen: Int = 2,
-                        ngramN: Int = 1): DataFrame = {
+                        ngramN: Int = 1, suffix: Boolean = false): DataFrame = {
     val (tokP, sz, cand) =
       prefixJaccardParts(docs, idCol, textCol, tauNum, tauDen, ngramN,
-        positional = true)
+        positional = true, suffix = suffix)
     val inter = cand
       .join(tokP.select(col("id").as("id_a"), col("t")), Seq("id_a"))
       .join(tokP.select(col("id").as("id_b"), col("t")), Seq("id_b", "t"))
@@ -889,17 +900,22 @@ object Dedup {
   }
 
   /** Candidate machinery behind [[prefixJaccardJoin]], split out so the
-    * spec can measure the positional filter's pruning directly:
+    * spec can measure each filter's pruning directly:
     * returns (persisted element table (id, t), sizes (id, n), candidate
     * pairs (id_a, id_b)). `positional = false` degrades to the
-    * prefix + length filters alone (the AllPairs rule) — same final
-    * output after verification, strictly more candidates. */
+    * prefix + length filters alone (the AllPairs rule); `suffix = true`
+    * adds the depth-1 SUFFIX filter on top — same final output after
+    * verification in every configuration, strictly fewer candidates
+    * left to right. */
   private[graft] def prefixJaccardParts(
       docs: DataFrame, idCol: String, textCol: String,
       tauNum: Int, tauDen: Int, ngramN: Int,
-      positional: Boolean): (DataFrame, DataFrame, DataFrame) = {
+      positional: Boolean,
+      suffix: Boolean = false): (DataFrame, DataFrame, DataFrame) = {
     require(tauNum > 0 && tauNum < tauDen,
       s"threshold must be in (0,1): $tauNum/$tauDen")
+    require(!suffix || positional,
+      "the suffix filter composes on top of the positional rule")
     import org.apache.spark.sql.expressions.Window
     // elements are keyed by md5(element) — fixed-width join/shuffle
     // keys instead of shingle text (the [[windowIndex]] discipline);
@@ -916,13 +932,36 @@ object Dedup {
     // intersection sides all read the same element table
     val dfreq = tokP.groupBy(col("t")).agg(count(lit(1)).as("df"))
     val sz = tokP.groupBy(col("id")).agg(count(lit(1)).as("n"))
-    val prefix = tokP.join(dfreq, "t")
+    val ranked0 = tokP.join(dfreq, "t")
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("id")).orderBy(col("df"), col("t"))))
       .join(sz, "id")
+    // the suffix path reads the ranked table twice (prefix rows + the
+    // median position lookup); persist so the df-join + per-doc rank
+    // window runs once
+    val ranked = if (suffix) Caches.persistTracked(ranked0) else ranked0
+    val prefixBase = ranked
       .filter(col("rk") <=
         col("n") - expr(s"($tauNum * n + ${tauDen - 1}) div $tauDen") + 1)
       .select(col("id"), col("t"), col("n"), col("rk"))
+    // depth-1 SUFFIX filter (PPJoin+, Xiao et al. §4): each prefix row
+    // carries the MEDIAN element of its suffix (positions rk+1..n in
+    // the same global (df, digest) order — the token at position
+    // rk + 1 + ⌊(s−1)/2⌋, s = n − rk) plus the left/right partition
+    // sizes l = ⌊(s−1)/2⌋, r = s−1−l. One extra id-keyed position
+    // join; l/r are per-row arithmetic.
+    val prefix =
+      if (!suffix) prefixBase
+      else {
+        val mids = ranked.select(col("id").as("__mid"), col("rk").as("__mrk"),
+          col("df").as("mdf"), col("t").as("mt"))
+        prefixBase
+          .withColumn("l", expr("(n - rk - 1) div 2"))
+          .join(mids, col("id") === col("__mid") &&
+            col("__mrk") === col("rk") + lit(1) + col("l"), "left")
+          .drop("__mid", "__mrk")
+          .withColumn("r", col("n") - col("rk") - lit(1) - col("l"))
+      }
     // positional filter: reachable overlap from this shared prefix
     // position must meet alpha = ceil(tau/(1+tau)·(n_a+n_b)); integer
     // cross-multiplied, so no ceil/float anywhere
@@ -932,8 +971,33 @@ object Dedup {
     val base = col("a.t") === col("b.t") && col("a.id") < col("b.id") &&
       col("a.n") * tauNum <= col("b.n") * tauDen &&
       col("b.n") * tauNum <= col("a.n") * tauDen
-    val cand = prefix.as("a").join(prefix.as("b"),
-        if (positional) base && reachable else base)
+    val posCond = if (positional) base && reachable else base
+    // suffix bound: partition each suffix by its median in the global
+    // order; set algebra caps |S_a ∩ S_b| by where the medians fall
+    // (m_a = m_b: common < m in A1∩B1, the match, common > m in A2∩B2;
+    // m_a < m_b: common < m_b sits in B1, common ≥ m_b sits in A2 and
+    // {m_b}∪B2; symmetric above). The cap is an overlap UPPER bound, so
+    // pruning bound < alpha keeps every true pair (at the first common
+    // prefix element all ≥ alpha−1 remaining common elements are in
+    // both suffixes, and the cap dominates their count).
+    val cond =
+      if (!suffix) posCond
+      else {
+        val (sA, sB) = (col("a.n") - col("a.rk"), col("b.n") - col("b.rk"))
+        val mEq = col("a.mdf") === col("b.mdf") && col("a.mt") === col("b.mt")
+        val aLt = col("a.mdf") < col("b.mdf") ||
+          (col("a.mdf") === col("b.mdf") && col("a.mt") < col("b.mt"))
+        val ub = when(mEq,
+            least(col("a.l"), col("b.l")) + lit(1) +
+              least(col("a.r"), col("b.r")))
+          .when(aLt, least(sA, col("b.l")) + least(col("a.r"), col("b.r") + 1))
+          .otherwise(least(sB, col("a.l")) + least(col("b.r"), col("a.r") + 1))
+        val suffixOk = col("a.mt").isNull || col("b.mt").isNull ||
+          (lit(1L) + ub) * (tauNum + tauDen) >=
+            (col("a.n") + col("b.n")) * tauNum
+        posCond && suffixOk
+      }
+    val cand = prefix.as("a").join(prefix.as("b"), cond)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     (tokP, sz, cand)

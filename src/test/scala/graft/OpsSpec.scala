@@ -3213,6 +3213,64 @@ class OpsSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Long)].collect().toSet
     assert(out == Set((1L, 100L, 7L, 9L)),
       s"positional filter must not cost recall: $out")
+    // the suffix filter composes monotonically: never more candidates,
+    // and the true pair still survives
+    val (_, _, candSuf) = Dedup.prefixJaccardParts(docs, "id", "text",
+      tauNum = 1, tauDen = 2, ngramN = 1, positional = true, suffix = true)
+    assert(candSuf.count() == 1L, "suffix filter must keep the true pair")
+  }
+
+  test("prefix jaccard suffix filter: median-disjoint pair prunes, verified output unchanged") {
+    import spark.implicits._
+    // Two 6-token docs sharing ONLY one rare token w (df 2, so w ranks
+    // first — every filler is planted in two dummy docs, df 3). At
+    // tau = 3/4 the prefix is the 2 rarest tokens, so (a, b) meet at
+    // (w, rk 1, rk 1): positional bound 1 + min(5, 5) = 6 = alpha —
+    // passes. The suffixes are fully median-disjoint (every a-filler
+    // digest sorts above every b-filler digest, picked from an
+    // md5-sorted pool), so the depth-1 cap is
+    // min(s_b, l_a) + min(r_b, r_a + 1) = 2 + 2 = 4 → bound 5 < 6 —
+    // the suffix rule prunes what the positional rule cannot.
+    def hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val pool = (1 to 10).map(i => s"f$i").sortBy(hex)
+    val (low, high) = (pool.take(5), pool.drop(5))
+    val a = (1L, ("w" +: high).mkString(" "))
+    val b = (2L, ("w" +: low).mkString(" "))
+    val dummies = (low ++ high).zipWithIndex.flatMap { case (f, i) =>
+      Seq((100L + 2 * i, f), (101L + 2 * i, f)) }
+    val docs = (Seq(a, b) ++ dummies).toDF("id", "text")
+    def cand(suffix: Boolean) = {
+      val (_, _, c) = Dedup.prefixJaccardParts(docs, "id", "text",
+        tauNum = 3, tauDen = 4, ngramN = 1, positional = true,
+        suffix = suffix)
+      c.as[(Long, Long)].collect().toSet
+    }
+    val (pos, suf) = (cand(false), cand(true))
+    assert(pos.contains((1L, 2L)),
+      s"positional alone must keep the median-disjoint pair: $pos")
+    assert(!suf.contains((1L, 2L)),
+      s"the suffix rule must prune the median-disjoint pair: $suf")
+    assert(suf.subsetOf(pos), "suffix candidates are a subset of positional")
+    // completeness: the exact-verified join output is identical
+    def verified(suffix: Boolean) = {
+      val (tokP, sz, c) = Dedup.prefixJaccardParts(docs, "id", "text",
+        tauNum = 3, tauDen = 4, ngramN = 1, positional = true,
+        suffix = suffix)
+      val inter = c
+        .join(tokP.select(col("id").as("id_a"), col("t")), Seq("id_a"))
+        .join(tokP.select(col("id").as("id_b"), col("t")), Seq("id_b", "t"))
+        .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
+      inter
+        .join(sz.select(col("id").as("id_a"), col("n").as("n_a")), Seq("id_a"))
+        .join(sz.select(col("id").as("id_b"), col("n").as("n_b")), Seq("id_b"))
+        .filter(col("inter") * 4 >=
+          (col("n_a") + col("n_b") - col("inter")) * 3)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    }
+    assert(verified(true) == verified(false),
+      "suffix pruning must not change the verified pair set")
+    graft.ops.Caches.releaseAll()
   }
 
   test("z-order compaction: compacted ≡ rebuild, untouched cells byte-stable, drift clamps") {

@@ -516,18 +516,26 @@ object ScaleProbe {
               "doc_id", "text", tn, td, 3, positional = false)
             val n = c.count(); graft.ops.Caches.releaseAll(); n
           }
-          val (nPos, wall) = {
+          val nPos = {
             val (_, _, c) = graft.ops.Dedup.prefixJaccardParts(corpus,
               "doc_id", "text", tn, td, 3, positional = true)
-            val n = c.count(); graft.ops.Caches.releaseAll()
+            val n = c.count(); graft.ops.Caches.releaseAll(); n
+          }
+          val nSuf = {
+            val (_, _, c) = graft.ops.Dedup.prefixJaccardParts(corpus,
+              "doc_id", "text", tn, td, 3, positional = true, suffix = true)
+            val n = c.count(); graft.ops.Caches.releaseAll(); n
+          }
+          def e2e(suffix: Boolean): Double = {
             val t0 = System.nanoTime()
             graft.ops.Dedup.prefixJaccardJoin(corpus, "doc_id", "text",
-                tn, td, 3)
+                tn, td, 3, suffix = suffix)
               .write.format("noop").mode("overwrite").save()
             graft.ops.Caches.releaseAll()
-            (n, (System.nanoTime() - t0) / 1e9)
+            (System.nanoTime() - t0) / 1e9
           }
-          println(f"tau=$tn/$td: cand prefix-only=$nAll%,d +positional=$nPos%,d wall=$wall%.2f s")
+          val (wall, wallSuf) = (e2e(false), e2e(true))
+          println(f"tau=$tn/$td: cand prefix-only=$nAll%,d +positional=$nPos%,d +suffix=$nSuf%,d wall=$wall%.2f s wall+suffix=$wallSuf%.2f s")
           System.gc()
         }
       case "semdedup" =>
