@@ -233,8 +233,67 @@ object EventAnalytics {
       .select(col(userCol), col(tsCol), col(idCol), col(typeCol).as("src_type"))
       .withColumn("dst_type", lead(col("src_type"), 1).over(w))
       .filter(col("dst_type").isNotNull)
-    val cnt = pairs.groupBy(col("src_type"), col("dst_type"))
+    transitionFromPairs(pairs.groupBy(col("src_type"), col("dst_type"))
+      .agg(count(lit(1)).as("n_transitions")))
+  }
+
+  /** INCREMENTAL Markov maintenance — [[transitionMatrix]] kept as
+    * batches arrive: state is the (src_type, dst_type, n_transitions)
+    * PAIR-COUNT table (type² rows — tiny) plus a per-user FRONTIER (the
+    * user's last seen (ts, id, type), one row per user), folded one
+    * batch at a time. Each batch contributes its internal consecutive
+    * pairs plus the boundary pair from each user's frontier to their
+    * first batch event — computed by ONE lead window over frontier ∪
+    * batch ([[transitionBatchPairs]]); counts then add
+    * (associative-commutative, [[transitionPairsMerge]]) and the
+    * frontier advances to the per-user max ([[transitionNewFrontier]]).
+    *
+    * ORDERING PREREQUISITE (the s20 discipline): exactness requires
+    * per-user in-order arrival by (ts, id) — an ordered produce with
+    * key-hash routing delivers it (each user's records sit in one
+    * partition in produced order, and offset-ranged admission preserves
+    * partition order across batches). Out-of-order delivery would need
+    * the full event log as state — there is no smaller exact sufficient
+    * statistic for sequence pairs under arbitrary arrival.
+    *
+    * Scale: per-batch cost is one user-keyed window over frontier ∪
+    * batch (frontier is user-count-sized, batch is batch-sized) + one
+    * type-keyed count — never a corpus-sized recompute. */
+  def transitionBatchPairs(frontier: DataFrame, batch: DataFrame,
+                           userCol: String, tsCol: String, typeCol: String,
+                           idCol: String): DataFrame = {
+    val b = batch.select(col(userCol), col(tsCol).as("__ts"),
+      col(idCol).as("__id"), col(typeCol).as("__type"))
+    val u = if (frontier == null) b else frontier.unionByName(b)
+    val w = Window.partitionBy(col(userCol)).orderBy(col("__ts"), col("__id"))
+    u.withColumn("dst_type", lead(col("__type"), 1).over(w))
+      .filter(col("dst_type").isNotNull)
+      .groupBy(col("__type").as("src_type"), col("dst_type"))
       .agg(count(lit(1)).as("n_transitions"))
+  }
+
+  /** Advance the per-user frontier to the (ts, id)-max of frontier ∪
+    * batch — one user-keyed max_by aggregate. */
+  def transitionNewFrontier(frontier: DataFrame, batch: DataFrame,
+                            userCol: String, tsCol: String, typeCol: String,
+                            idCol: String): DataFrame = {
+    val b = batch.select(col(userCol), col(tsCol).as("__ts"),
+      col(idCol).as("__id"), col(typeCol).as("__type"))
+    val u = if (frontier == null) b else frontier.unionByName(b)
+    u.groupBy(col(userCol))
+      .agg(max_by(struct(col("__ts"), col("__id"), col("__type")),
+        struct(col("__ts"), col("__id"))).as("__m"))
+      .select(col(userCol), col("__m.__ts").as("__ts"),
+        col("__m.__id").as("__id"), col("__m.__type").as("__type"))
+  }
+
+  /** Fold two pair-count frames: pure integer addition per (src, dst). */
+  def transitionPairsMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("src_type"), col("dst_type"))
+      .agg(sum(col("n_transitions")).as("n_transitions"))
+
+  /** Render x111's exact columns from a pair-count frame. */
+  def transitionFromPairs(cnt: DataFrame): DataFrame = {
     val tot = cnt.groupBy(col("src_type"))
       .agg(sum(col("n_transitions")).as("n_src"))
     cnt.join(tot, Seq("src_type"))
@@ -261,16 +320,26 @@ object EventAnalytics {
     * dial once per-day user cardinality stops fitting the agg. */
   def rollingActiveUsers(events: DataFrame, userCol: String, tsCol: String,
                          windowDays: Int = 7, exact: Boolean = true,
-                         rsd: Double = 0.05): DataFrame = {
+                         rsd: Double = 0.05): DataFrame =
+    rollingActiveFromState(retentionState(events, userCol, tsCol), userCol,
+      windowDays, exact, rsd)
+
+  /** Render the [[rollingActiveUsers]] report from a maintained
+    * activity-pair state — the SAME distinct (user, day) set
+    * [[retentionState]]/[[retentionFold]] keep for retention (one state,
+    * two reports: the day grid, DAU and the trailing window all derive
+    * from the pair set alone, so the rolling-active report is
+    * incrementally maintainable by the identical set-union fold — the
+    * s19 law reused verbatim by the s24 gate). */
+  def rollingActiveFromState(state: DataFrame, userCol: String,
+                             windowDays: Int = 7, exact: Boolean = true,
+                             rsd: Double = 0.05): DataFrame = {
     require(windowDays >= 1, s"windowDays must be >= 1: $windowDays")
     def cntD(c: Column) =
       if (exact) countDistinct(c) else approx_count_distinct(c, rsd)
-    val act = events
-      .select(col(userCol).as("__u"), date_trunc("day", col(tsCol)).as("day"))
-      .distinct()
-    val days = events
-      .agg(date_trunc("day", min(col(tsCol))).as("lo"),
-        date_trunc("day", max(col(tsCol))).as("hi"))
+    val act = state.select(col(userCol).as("__u"), col("day"))
+    val days = act
+      .agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
       .select(explode(sequence(col("lo"), col("hi"),
         expr("interval 1 day"))).as("day"))
     val dau = act.groupBy("day").agg(cntD(col("__u")).as("dau"))

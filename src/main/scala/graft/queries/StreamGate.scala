@@ -191,6 +191,50 @@ object StreamGate {
     })
   }
 
+  /** TIME-ORDERED typed-event topic for the streaming Markov gate
+    * (s23): events WITH their event_id (the transition tie-break),
+    * produced by ONE task sorted (ts, event_id) with key = user_id —
+    * so each user's records sit in one partition in (ts, id) order and
+    * offset-ranged admission preserves that order across batches: the
+    * per-user in-order prerequisite of
+    * [[graft.ops.EventAnalytics.transitionBatchPairs]] (the s07/s20
+    * backfill-producer shape). Memoized per (JVM, sf dir). */
+  private val seqTopics = TrieMap.empty[String, String]
+  private def orderedTypedEventsTopic(s: SparkSession, dir: String): String = synchronized {
+    seqTopics.getOrElseUpdate(dir, {
+      val topic = s"gate_evseq_${java.util.UUID.randomUUID().toString.take(8)}"
+      Tables.events(s, dir)
+        .repartition(1).sortWithinPartitions("ts", "event_id")
+        .select(col("user_id").cast("string").as("key"),
+          to_json(struct(col("user_id"), col("event_id"),
+            col("event_type"))).as("value"),
+          col("ts").as("timestamp"))
+        .write.format("graft-topic").mode("append")
+        .option("topic", topic).option("partitions", "4").save()
+      topic
+    })
+  }
+
+  /** CATALOG-ROW topic for the streaming profile gate (s26): x119's
+    * profiled projection of `documents` (id, lang, source, n_chars)
+    * serialized as JSON; the planted lang_dirty null pattern is a pure
+    * function of doc_id, recomputed after parse. Memoized per
+    * (JVM, sf dir). */
+  private val catalogTopics = TrieMap.empty[String, String]
+  private def docsCatalogTopic(s: SparkSession, dir: String): String = synchronized {
+    catalogTopics.getOrElseUpdate(dir, {
+      val topic = s"gate_cat_${java.util.UUID.randomUUID().toString.take(8)}"
+      Tables.documents(s, dir)
+        .select(col("doc_id").cast("string").as("key"),
+          to_json(struct(col("doc_id"), col("lang"), col("source"),
+            col("n_chars"))).as("value"),
+          to_timestamp(lit("2024-01-01 00:00:00")).as("timestamp"))
+        .write.format("graft-topic").mode("append")
+        .option("topic", topic).option("partitions", "4").save()
+      topic
+    })
+  }
+
   /** HOT-REGION arrivals topic for the streaming Z-order compaction
     * gate (s22): x126's spatially-clustered delta — the %5 lineitem
     * rows whose partkey sits in the bottom 1/16 of the STATIC split's
@@ -1421,6 +1465,214 @@ object StreamGate {
       }
     },
 
+    // Streaming MARKOV-TRANSITION maintenance (s23): x111's transition
+    // matrix kept incrementally — state is the (src, dst) pair-count
+    // table (type²-sized) plus the per-user frontier (last event), and
+    // each micro-batch contributes its internal consecutive pairs plus
+    // the frontier-boundary pairs via one lead window over frontier ∪
+    // batch. Exact because the topic replays in per-user (ts, id) order
+    // (ordered produce + key-hash routing — the prerequisite named in
+    // the op's scaladoc). Oracle = x111's SQL verbatim over the whole
+    // log. ≥2 data batches asserted; scoped per-batch checkpoints.
+    "s23_stream_markov_maintenance" -> { (s, dir) =>
+      val topic = orderedTypedEventsTopic(s, dir)
+      withGateConf(s) {
+        var pairs: graft.ops.Checkpointed = null
+        var frontier: graft.ops.Checkpointed = null
+        val ckpt = gateTmpDir("s23_ckpt_")
+        try {
+  val q = s.readStream.format("graft-topic")
+            .option("topic", topic)
+            .option("maxRecordsPerTrigger",
+              math.max(1L, (topicSize(topic) + 2) / 3).toString)
+            .load()
+            .select(col("timestamp").as("ts"),
+              from_json(col("value").cast("string"),
+                org.apache.spark.sql.types.StructType.fromDDL(
+                  "user_id BIGINT, event_id BIGINT, event_type STRING")).as("j"))
+            .select(col("j.user_id").as("user_id"), col("ts"),
+              col("j.event_id").as("event_id"),
+              col("j.event_type").as("event_type"))
+            .writeStream
+            .foreachBatch { (df: DataFrame, _: Long) =>
+              if (!df.isEmpty) {
+                val batch = graft.ops.Caches.localCheckpointScoped(df)
+                try {
+                  val fdf = if (frontier == null) null else frontier.df
+                  val bp = graft.ops.EventAnalytics.transitionBatchPairs(
+                    fdf, batch.df, "user_id", "ts", "event_type", "event_id")
+                  val nextPairs = graft.ops.Caches.localCheckpointScoped(
+                    if (pairs == null) bp
+                    else graft.ops.EventAnalytics.transitionPairsMerge(
+                      pairs.df, bp))
+                  if (pairs != null) pairs.release()
+                  pairs = nextPairs
+                  val nextFrontier = graft.ops.Caches.localCheckpointScoped(
+                    graft.ops.EventAnalytics.transitionNewFrontier(
+                      fdf, batch.df, "user_id", "ts", "event_type", "event_id"))
+                  if (frontier != null) frontier.release()
+                  frontier = nextFrontier
+                } finally batch.release()
+              }
+              ()
+            }
+            .option("checkpointLocation", ckpt.toString)
+            .trigger(Trigger.AvailableNow())
+            .start()
+          drain(q, ckpt)
+          require(dataBatches(q) >= 2,
+            s"s23 must fold across batches; ran ${dataBatches(q)} data batches")
+          if (frontier != null) frontier.release(); frontier = null
+          graft.ops.Caches.localCheckpointTracked(
+            graft.ops.EventAnalytics.transitionFromPairs(
+                graft.ops.Caches.adopt(pairs))
+              .orderBy("src_type", "dst_type"))
+        } catch {
+          // a failed drain/fold must not strand scoped blocks
+          case t: Throwable =>
+            if (pairs != null) pairs.release()
+            if (frontier != null) frontier.release()
+            throw t
+        }
+      }
+    },
+
+    // Streaming ROLLING-ACTIVE maintenance (s24): x116's DAU/WAU report
+    // kept incrementally from the SAME state s19 maintains for
+    // retention — the distinct (user, day) pair set, folded by plain
+    // set union (associative-commutative: arrival order and batch
+    // boundaries provably cannot show). One state, two reports: the
+    // gate renders the rolling-active table from the folded pair set.
+    // Oracle = x116's SQL verbatim. ≥2 data batches asserted.
+    "s24_stream_rolling_active" -> { (s, dir) =>
+      val topic = eventsTopic(s, dir)
+      withGateConf(s) {
+        var h: graft.ops.Checkpointed = null
+        val ckpt = gateTmpDir("s24_ckpt_")
+        try {
+  val q = s.readStream.format("graft-topic")
+            .option("topic", topic)
+            .option("maxRecordsPerTrigger",
+              math.max(1L, (topicSize(topic) + 2) / 3).toString)
+            .load()
+            .select(col("timestamp").as("ts"),
+              from_json(col("value").cast("string"),
+                org.apache.spark.sql.types.StructType.fromDDL(
+                  "user_id BIGINT, event_type STRING, value DOUBLE")).as("j"))
+            .select(col("j.user_id").as("user_id"), col("ts"))
+            .writeStream
+            .foreachBatch { (df: DataFrame, _: Long) =>
+              if (!df.isEmpty) {
+                val next = graft.ops.Caches.localCheckpointScoped(
+                  if (h == null)
+                    graft.ops.EventAnalytics.retentionState(df, "user_id", "ts")
+                  else
+                    graft.ops.EventAnalytics.retentionFold(h.df, df, "user_id",
+                      "ts"))
+                if (h != null) h.release()
+                h = next
+              }
+              ()
+            }
+            .option("checkpointLocation", ckpt.toString)
+            .trigger(Trigger.AvailableNow())
+            .start()
+          drain(q, ckpt)
+          require(dataBatches(q) >= 2,
+            s"s24 must fold across batches; ran ${dataBatches(q)} data batches")
+          graft.ops.Caches.localCheckpointTracked(
+            graft.ops.EventAnalytics.rollingActiveFromState(
+                graft.ops.Caches.adopt(h), "user_id", windowDays = 7)
+              .orderBy("day"))
+        } catch {
+          // a failed drain/fold must not strand scoped blocks
+          case t: Throwable => if (h != null) h.release(); throw t
+        }
+      }
+    },
+
+    // Streaming COLUMN-PROFILE maintenance (s26): x119's per-column
+    // report kept incrementally as catalog rows arrive — the maintained
+    // artifact is the ONE-ROW mergeable profile state (exact counts /
+    // nulls / native extrema / length sums + an HLL sketch per column),
+    // folded per batch by profileMerge. The gate ALSO accumulates the
+    // arrived rows as the EXACT control: the emitted report is the
+    // exact profile over the accumulated set (= x119's SQL verbatim),
+    // and the maintained HLL state is asserted against it in-gate
+    // (every exact field equal; n_distinct within the lgK=12 sketch
+    // bound) — the x28 convention: the approximate artifact is
+    // value-pinned, the oracle hashes the exact twin. ≥2 data batches
+    // asserted; scoped per-batch checkpoints (one live copy each).
+    "s26_stream_profile_maintenance" -> { (s, dir) =>
+      val topic = docsCatalogTopic(s, dir)
+      val cols = Seq("doc_id", "lang", "source", "n_chars", "lang_dirty")
+      withGateConf(s) {
+        var st: graft.ops.Checkpointed = null
+        var seen: graft.ops.Checkpointed = null
+        val ckpt = gateTmpDir("s26_ckpt_")
+        try {
+  val q = s.readStream.format("graft-topic")
+            .option("topic", topic)
+            .option("maxRecordsPerTrigger",
+              math.max(1L, (topicSize(topic) + 2) / 3).toString)
+            .load()
+            .select(from_json(col("value").cast("string"),
+              org.apache.spark.sql.types.StructType.fromDDL(
+                "doc_id BIGINT, lang STRING, source STRING, n_chars BIGINT")).as("j"))
+            .select(col("j.doc_id").as("doc_id"), col("j.lang").as("lang"),
+              col("j.source").as("source"), col("j.n_chars").as("n_chars"),
+              when(col("j.doc_id") % 7 === 0, lit(null).cast("string"))
+                .otherwise(col("j.lang")).as("lang_dirty"))
+            .writeStream
+            .foreachBatch { (df: DataFrame, _: Long) =>
+              if (!df.isEmpty) {
+                val bState = graft.ops.Profile.profileState(df, cols)
+                val nextSt = graft.ops.Caches.localCheckpointScoped(
+                  if (st == null) bState
+                  else graft.ops.Profile.profileMerge(st.df, bState, cols))
+                if (st != null) st.release()
+                st = nextSt
+                val nextSeen = graft.ops.Caches.localCheckpointScoped(
+                  if (seen == null) df else seen.df.unionByName(df))
+                if (seen != null) seen.release()
+                seen = nextSeen
+              }
+              ()
+            }
+            .option("checkpointLocation", ckpt.toString)
+            .trigger(Trigger.AvailableNow())
+            .start()
+          drain(q, ckpt)
+          require(dataBatches(q) >= 2,
+            s"s26 must fold across batches; ran ${dataBatches(q)} data batches")
+          val exact = graft.ops.Caches.localCheckpointTracked(
+            graft.ops.Profile.profile(graft.ops.Caches.adopt(seen), cols)
+              .orderBy("col_name"))
+          // value-pin the maintained HLL state against the exact twin
+          val approx = graft.ops.Profile.profileFromState(
+              graft.ops.Caches.adopt(st), cols)
+            .collect().map(r => r.getString(0) -> r).toMap
+          exact.collect().foreach { e =>
+            val a = approx(e.getString(0))
+            require(a.getLong(1) == e.getLong(1) && a.getLong(2) == e.getLong(2)
+              && a.getString(4) == e.getString(4)
+              && a.getString(5) == e.getString(5) && a.get(6) == e.get(6),
+              s"s26 maintained state drifted on an exact field: $a vs $e")
+            require(math.abs(a.getLong(3) - e.getLong(3)) <=
+              math.max(2L, math.round(0.05 * e.getLong(3))),
+              s"s26 HLL distinct outside bound: $a vs $e")
+          }
+          exact
+        } catch {
+          // a failed drain/fold must not strand scoped blocks
+          case t: Throwable =>
+            if (st != null) st.release()
+            if (seen != null) seen.release()
+            throw t
+        }
+      }
+    },
+
     // Streaming exact dedup under the gate: events replayed through the
     // topic → dropDuplicatesWithinWatermark(user_id) → append-mode memory
     // sink. WHICH occurrence survives is arrival-order-dependent, so the
@@ -1840,6 +2092,21 @@ object StreamGate {
     // compaction preserves rows, so compact-per-batch over any split
     // equals one compact over the union: x126's SQL verbatim.
     "s22_stream_zorder_compaction" -> Ext.oracle("x126_zorder_compact"),
+
+    // Per-user (ts, id)-ordered replay + frontier-boundary lead pairs
+    // make the folded pair counts the batch pair counts, and counts add
+    // — the rendered matrix is x111's SQL verbatim.
+    "s23_stream_markov_maintenance" -> Ext.oracle("x111_transition_matrix"),
+
+    // The rolling-active report is a pure function of the distinct
+    // (user, day) pair set, and set union folds order-free — x116's
+    // SQL verbatim over the whole log.
+    "s24_stream_rolling_active" -> Ext.oracle("x116_rolling_active"),
+
+    // The gate emits the exact profile over the accumulated arrivals
+    // (the maintained HLL state is value-pinned against it in-gate) —
+    // x119's SQL verbatim.
+    "s26_stream_profile_maintenance" -> Ext.oracle("x119_column_profile"),
 
     // Shard membership is a pure function of the row and every manifest
     // field commutes, so the streamed partitioned tree's manifest equals

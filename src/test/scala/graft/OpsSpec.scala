@@ -2951,6 +2951,51 @@ class OpsSpec extends AnyFunSuite {
       "no never-started pending row may survive behind the horizon")
   }
 
+  test("transition fold law: ordered batch chunks reproduce the batch matrix") {
+    val ev = Tables.events(spark, dir)
+    val whole = graft.ops.EventAnalytics.transitionMatrix(ev, "user_id",
+      "ts", "event_type", "event_id").collect().map(_.toSeq).toSet
+    // in-order arrival: global (ts, id) order chunked into 3 contiguous
+    // slices — the ordered-produce shape the fold's prerequisite names
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("ts"), col("event_id"))
+    val ranked = ev.withColumn("__rn", row_number().over(w))
+    val n = ev.count()
+    val slices = (0 to 2).map(i => ranked.filter(
+      col("__rn") > i * n / 3 && col("__rn") <= (i + 1) * n / 3))
+    var pairs: org.apache.spark.sql.DataFrame = null
+    var frontier: org.apache.spark.sql.DataFrame = null
+    slices.foreach { b =>
+      val bp = graft.ops.EventAnalytics.transitionBatchPairs(frontier, b,
+        "user_id", "ts", "event_type", "event_id")
+      pairs = if (pairs == null) bp
+        else graft.ops.EventAnalytics.transitionPairsMerge(pairs, bp)
+      frontier = graft.ops.EventAnalytics.transitionNewFrontier(frontier, b,
+        "user_id", "ts", "event_type", "event_id")
+      frontier.persist().count()
+    }
+    val folded = graft.ops.EventAnalytics.transitionFromPairs(pairs)
+      .collect().map(_.toSeq).toSet
+    assert(folded == whole,
+      "folded pair counts must render the exact batch transition matrix")
+    spark.catalog.clearCache()
+  }
+
+  test("rolling-active fold law: retention state renders the batch report") {
+    val ev = Tables.events(spark, dir)
+    val whole = graft.ops.EventAnalytics.rollingActiveUsers(ev, "user_id",
+      "ts", windowDays = 7).collect().map(_.toSeq).toSet
+    // arbitrary-order splits: the pair-set fold is order-free (s19 law)
+    val parts = (0 to 2).map(i => ev.filter(col("event_id") % 3 === i))
+    val folded = parts.tail.foldLeft(
+      graft.ops.EventAnalytics.retentionState(parts.head, "user_id", "ts")) {
+      (st, p) => graft.ops.EventAnalytics.retentionFold(st, p, "user_id", "ts")
+    }
+    assert(graft.ops.EventAnalytics.rollingActiveFromState(folded, "user_id",
+        windowDays = 7).collect().map(_.toSeq).toSet == whole,
+      "the retention pair set must render the rolling-active report")
+  }
+
   test("rolling active users HLL twin: same grid, counts within rsd bound") {
     val ev = Tables.events(spark, dir)
     def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
@@ -2967,6 +3012,52 @@ class OpsSpec extends AnyFunSuite {
       assert(math.abs(aw - wau) <= math.max(2L, math.round(0.15 * wau)),
         s"$d wau approx $aw vs exact $wau")
     }
+  }
+
+  test("profile state: shard-merge law, order-invariant, HLL distinct within bound") {
+    val cols = Seq("doc_id", "lang", "source", "n_chars", "lang_dirty")
+    val d = Tables.documents(spark, dir).select(
+      col("doc_id"), col("lang"), col("source"), col("n_chars"),
+      when(col("doc_id") % 7 === 0, lit(null).cast("string"))
+        .otherwise(col("lang")).as("lang_dirty"))
+    val shards = (0 to 2).map(i => d.filter(col("doc_id") % 3 === i))
+    val sts = shards.map(s => graft.ops.Profile.profileState(s, cols))
+    def render(st: org.apache.spark.sql.DataFrame) =
+      graft.ops.Profile.profileFromState(st, cols).collect()
+    def exceptDistinct(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => r.toSeq.patch(3, Nil, 1)).toSet
+    // merge law: every EXACT field is association-order invariant and
+    // equals the whole-data state; the HLL estimate may differ by a few
+    // counts across merge orders (sketch-state paths) but stays inside
+    // the sketch bound in every order — asserted against exact below
+    val m1 = graft.ops.Profile.profileMerge(
+      graft.ops.Profile.profileMerge(sts(0), sts(1), cols), sts(2), cols)
+    val m2 = graft.ops.Profile.profileMerge(sts(0),
+      graft.ops.Profile.profileMerge(sts(2), sts(1), cols), cols)
+    val (r1, r2) = (render(m1), render(m2))
+    assert(exceptDistinct(r1) == exceptDistinct(r2),
+      "exact fields must be association-order invariant")
+    assert(exceptDistinct(r1) ==
+      exceptDistinct(render(graft.ops.Profile.profileState(d, cols))),
+      "merged shards must render exact fields as the whole-data state")
+    // vs the exact one-shot profile: every column identical except
+    // n_distinct, which stays within the HLL bound (lgK=12 → ~1.6% rsd)
+    // in BOTH merge orders
+    val exact = graft.ops.Profile.profile(d, cols)
+      .collect().map(r => r.getString(0) -> r).toMap
+    Seq(r1, r2).foreach(_.foreach { r =>
+      val e = exact(r.getString(0))
+      assert(r.getLong(1) == e.getLong(1) && r.getLong(2) == e.getLong(2),
+        s"${r.getString(0)}: n_rows/n_null must be exact")
+      assert(r.getString(4) == e.getString(4) &&
+        r.getString(5) == e.getString(5),
+        s"${r.getString(0)}: native min/max must be exact")
+      assert(r.get(6) == e.get(6) && r.get(7) == e.get(7),
+        s"${r.getString(0)}: sum_len/avg_len must be exact")
+      val (nd, ed) = (r.getLong(3), e.getLong(3))
+      assert(math.abs(nd - ed) <= math.max(2L, math.round(0.05 * ed)),
+        s"${r.getString(0)}: hll distinct $nd vs exact $ed")
+    })
   }
 
   test("pmi collocations: planted sticky pair scores high, counts exact") {
