@@ -1883,6 +1883,85 @@ object StreamGate {
           .orderBy("user_id", "event_type")
       }
     },
+
+    // s05's restart-safety claim through the TOPIC sink: the capped
+    // stream produces each record to an output graft-topic via the
+    // EXACTLY-ONCE transactional producer (task-staged records publish
+    // through the broker's (queryId, epochId, taskPartition) commit
+    // ledger), is KILLED mid-backlog after ≥2 committed batches, and a
+    // second leg resumes from the checkpoint. The kill lands mid-epoch
+    // by construction, so the resume REPLAYS that epoch — any
+    // re-published record doubles a count and breaks the oracle hash
+    // (with the default at-least-once producer this gate fails; the
+    // ledger is what makes it pass). Aggregation happens batch-side
+    // over the drained output topic; oracle = s05's SQL verbatim.
+    "s25_stream_txn_topic_sink" -> { (s, dir) =>
+      val topic = eventsTopic(s, dir)
+      val total = topicSize(topic)
+      val outTopic = s"s25_out_${java.util.UUID.randomUUID().toString.take(8)}"
+      val ckpt = gateTmpDir("s25_ckpt_")
+      withGateConf(s) {
+        try {
+          def startLeg(): StreamingQuery =
+            s.readStream.format("graft-topic")
+              .option("topic", topic)
+              .option("maxRecordsPerTrigger", math.max(1L, total / 12).toString)
+              .load()
+              .select(col("key"), col("value"), col("timestamp"))
+              .writeStream.format("graft-topic")
+              .option("topic", outTopic)
+              .option("partitions", "4")
+              .option("checkpointLocation", ckpt.toString)
+              .trigger(Trigger.AvailableNow())
+              .start()
+          // the s05 listener-latch cut: stop after >= 2 committed batches,
+          // well inside the ~12-batch backlog
+          val cut = new java.util.concurrent.CountDownLatch(1)
+          @volatile var leg1Run: java.util.UUID = null
+          val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+            override def onQueryStarted(
+              e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit =
+              if (leg1Run == null) leg1Run = e.runId
+            override def onQueryProgress(
+              e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit =
+              if (e.progress.runId == leg1Run && e.progress.batchId >= 2) cut.countDown()
+            override def onQueryTerminated(
+              e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit =
+              if (e.runId == leg1Run) cut.countDown()
+          }
+          s.streams.addListener(listener)
+          val q1 = startLeg()
+          require(leg1Run == q1.runId,
+            s"s25 listener captured runId $leg1Run but leg 1 is ${q1.runId}")
+          try {
+            if (!q1.isActive) cut.countDown()
+            cut.await(120, java.util.concurrent.TimeUnit.SECONDS)
+          } finally {
+            try withQuietLoggers(interruptNoiseLoggers) {
+              cleanupStep("leg1 stop")(q1.stop())
+              q1.awaitTermination()
+            } finally cleanupStep("leg1 listener remove")(
+              s.streams.removeListener(listener))
+          }
+          val q2 = startLeg()
+          drain(q2, ckpt)
+          require(dataBatches(q2) >= 1,
+            "s25 resume leg processed nothing — leg 1 drained the whole backlog")
+          graft.ops.Caches.localCheckpointTracked(
+            s.read.format("graft-topic").option("topic", outTopic).load()
+              .select(col("key").cast("string").cast("long").as("user_id"),
+                from_json(col("value").cast("string"), org.apache.spark.sql.types
+                  .StructType.fromDDL("event_type STRING, value DOUBLE")).as("j"))
+              .groupBy(col("user_id"), col("j.event_type").as("event_type"))
+              .agg(count(lit(1)).as("n"), Tables.dsum(col("j.value")).as("sum_value"))
+              .orderBy("user_id", "event_type"))
+        } finally
+          // per-invocation output topic: released with its ledger so
+          // best-of-N reruns cannot accumulate log copies
+          cleanupStep("output topic delete")(
+            graft.sources.topic.TopicLog.delete(outTopic))
+      }
+    },
   )
 
   private val streamStreamEntry: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
@@ -2239,6 +2318,17 @@ object StreamGate {
     // Exactly-once across the restart: grouped counts/sums must equal the
     // batch aggregate of events bit-for-bit.
     "s05_stream_checkpoint_resume" ->
+      """SELECT user_id, event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY user_id, event_type
+        |ORDER BY user_id, event_type""".stripMargin,
+
+    // The transactional topic producer under a mid-epoch kill + resume:
+    // exactly-once means the drained output topic holds every event
+    // once, so the grouped counts/sums equal the batch aggregate —
+    // s05's SQL verbatim.
+    "s25_stream_txn_topic_sink" ->
       """SELECT user_id, event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
         |FROM events

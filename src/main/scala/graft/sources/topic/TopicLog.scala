@@ -27,12 +27,43 @@ object TopicLog {
 
   private val topics = TrieMap.empty[String, Array[ArrayBuffer[Record]]]
 
+  /** Commit ledger of published (topic, writerId, epochId, taskPartition)
+    * units — the broker-side half of the EXACTLY-ONCE producer (the
+    * in-JVM stand-in for Kafka's transactional producer / idempotent
+    * sequence numbers): [[publishOnce]] appends a task's staged records
+    * atomically at most once per key, so a replayed epoch or a
+    * speculative duplicate attempt cannot double-append. */
+  private val ledger = TrieMap.empty[(String, String, Long, Int), Unit]
+
   def create(topic: String, partitions: Int): Unit = {
     require(partitions > 0, s"topic '$topic' needs at least 1 partition")
     topics.putIfAbsent(topic, Array.fill(partitions)(ArrayBuffer.empty[Record]))
   }
 
-  def delete(topic: String): Unit = topics.remove(topic)
+  def delete(topic: String): Unit = {
+    topics.remove(topic)
+    ledger.keys.filter(_._1 == topic).foreach(ledger.remove)
+  }
+
+  /** Atomically publish a task's staged records unless this
+    * (writerId, epochId, taskPartition) unit already published to the
+    * topic — the transactional-producer commit. The claim and the
+    * appends run under one global lock so a publish is all-or-nothing
+    * even against concurrent tasks (serializing commits is fine for a
+    * heap broker; on a real cluster this is Kafka's own transaction
+    * coordinator). Returns true iff this call appended. */
+  def publishOnce(topic: String, writerId: String, epochId: Long,
+                  taskPartition: Int,
+                  recs: Seq[(Option[Int], Array[Byte], Array[Byte], Long)]): Boolean =
+    ledger.synchronized {
+      val key = (topic, writerId, epochId, taskPartition)
+      if (ledger.contains(key)) false
+      else {
+        recs.foreach { case (p, k, v, ts) => produce(topic, p, k, v, ts) }
+        ledger.put(key, ())
+        true
+      }
+    }
 
   def partitions(topic: String): Int = logOf(topic).length
 

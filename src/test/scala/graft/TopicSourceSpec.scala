@@ -157,6 +157,90 @@ class TopicSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("idempotent batch produce: a replayed epochId write appends nothing") {
+    import spark.implicits._
+    val t = "t_sink_txn"
+    TopicLog.create(t, 2)
+    try {
+      val df = (1 to 10).map(i => (s"k$i", s"""{"i":$i}""")).toDF("key", "value")
+      def save(epoch: Long): Unit = df.write.format("graft-topic")
+        .option("topic", t).option("writerId", "w1")
+        .option("epochId", epoch.toString).mode("append").save()
+      save(7)
+      save(7) // the foreachBatch replay: same writer, same batch id
+      assert(spark.read.format("graft-topic").option("topic", t).load()
+        .count() == 10, "replayed epoch must publish nothing")
+      save(8) // the NEXT batch appends normally
+      assert(spark.read.format("graft-topic").option("topic", t).load()
+        .count() == 20)
+      // a different writer namespace is independent
+      df.write.format("graft-topic").option("topic", t)
+        .option("writerId", "w2").option("epochId", "7").mode("append").save()
+      assert(spark.read.format("graft-topic").option("topic", t).load()
+        .count() == 30)
+    } finally TopicLog.delete(t)
+  }
+
+  test("default batch produce stays at-least-once: a re-run appends again") {
+    import spark.implicits._
+    val t = "t_sink_alo"
+    TopicLog.create(t, 1)
+    try {
+      val df = Seq(("k", "v")).toDF("key", "value")
+      df.write.format("graft-topic").option("topic", t).mode("append").save()
+      df.write.format("graft-topic").option("topic", t).mode("append").save()
+      assert(spark.read.format("graft-topic").option("topic", t).load()
+        .count() == 2, "without an epochId the producer is non-transactional")
+    } finally TopicLog.delete(t)
+  }
+
+  test("streaming produce is exactly-once: checkpoint restart replays no record") {
+    import spark.implicits._
+    val src = "t_txn_src"
+    val dst = "t_txn_dst"
+    fill(src, 24, parts = 2)
+    TopicLog.create(dst, 2)
+    val ckpt = Files.createTempDirectory("graft_txn_ckpt")
+    try {
+      def leg() = spark.readStream.format("graft-topic")
+        .option("topic", src)
+        .option("maxRecordsPerTrigger", "6")
+        .load()
+        .select(col("key"), col("value"))
+        .writeStream.format("graft-topic")
+        .option("topic", dst)
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      // leg 1 drains the whole capped backlog; leg 2 resumes from the
+      // checkpoint with nothing left — and, crucially, leg 2's fresh run
+      // must share leg 1's ledger namespace (the engine's STABLE queryId,
+      // not the per-run id), so even a re-planned epoch cannot re-publish
+      val q1 = leg(); q1.awaitTermination()
+      val afterLeg1 = spark.read.format("graft-topic").option("topic", dst)
+        .load().count()
+      assert(afterLeg1 == 24, s"leg 1 must move the backlog: $afterLeg1")
+      val q2 = leg(); q2.awaitTermination()
+      assert(spark.read.format("graft-topic").option("topic", dst).load()
+        .count() == 24, "the resumed leg must publish nothing new")
+      // direct epoch-replay probe at the broker API: re-publishing leg 1's
+      // first epoch unit under its writerId is a no-op
+      val writerId = {
+        // the streaming write's ledger namespace is the query id recorded
+        // in the checkpoint metadata — stable across restarts
+        val metaFile = ckpt.resolve("metadata")
+        val meta = new String(java.nio.file.Files.readAllBytes(metaFile), "UTF-8")
+        meta.split("\"id\"\\s*:\\s*\"")(1).takeWhile(_ != '"')
+      }
+      val again = TopicLog.publishOnce(dst, writerId, 0L, 0,
+        Seq((Some(0), "k".getBytes, "v".getBytes, 0L)))
+      assert(!again, "epoch 0 partition 0 must already sit in the ledger")
+    } finally {
+      TopicLog.delete(src); TopicLog.delete(dst)
+      graft.util.Fs.deleteTree(ckpt)
+    }
+  }
+
   test("batch read: full envelope, contiguous per-partition offsets, key affinity") {
     val t = "t_batch"
     fill(t, 40)
