@@ -89,6 +89,56 @@ object Chunking {
       .drop("__cum")
   }
 
+  /** STRICT next-fit packing: like [[packChunks]] but no pack ever exceeds
+    * `capacity` (a chunk that would overflow the open pack CLOSES it and
+    * starts the next one) — the boundary law a training loader needs, since
+    * an overrun pack must be truncated at batch-assembly time and the
+    * truncated tokens are silently lost. The one exception is a single
+    * chunk larger than `capacity` itself, which occupies a pack alone
+    * (next-fit semantics; chunk with [[chunk]]`(chunkTokens <= capacity)`
+    * and the case never arises).
+    *
+    * Next-fit fill state is inherently sequential — pack i's boundary
+    * depends on every chunk before it — so there is no window/cumsum
+    * closed form. The scalable shape is a per-shard fold: each shard's
+    * chunks are gathered into one sorted array and folded with
+    * `functions.aggregate` (a codegen-evaluated Catalyst lambda, no UDF).
+    * One shuffle on `shardCol`; shards pack independently, so at 100 TB
+    * the dial is shard granularity (e.g. source × date × hash-bucket),
+    * which bounds the per-task array exactly like the reference pattern
+    * in [[packChunks]] — choose shards of ~10⁵ chunks and a million
+    * shards fold in parallel. Order keys must be unique per shard (they
+    * are the sort key of the gathered array). */
+  def packChunksStrict(chunks: DataFrame, shardCol: String, tokenCol: String,
+                       capacity: Int, orderCols: Seq[String]): DataFrame = {
+    require(capacity > 0, s"need a positive capacity, got $capacity")
+    val cap = lit(capacity.toLong)
+    val item = struct(
+      orderCols.map(col) ++
+        Seq(col(tokenCol).cast("long").as("__tok"),
+            struct(chunks.columns.map(col): _*).as("__row")): _*)
+    // fold state: (fill of the open pack, index of the open pack, the
+    // per-chunk pack assignments in array order). fill starts AT capacity
+    // so the first chunk always opens pack 0.
+    val st0 = struct(cap.as("fill"), lit(-1L).as("bin"),
+      array().cast("array<bigint>").as("bins"))
+    val folded = aggregate(col("__items"), st0, (st, x) => {
+      val tok  = x.getField("__tok")
+      val open = st.getField("fill") + tok > cap
+      val bin  = when(open, st.getField("bin") + 1L).otherwise(st.getField("bin"))
+      val fill = when(open, tok).otherwise(st.getField("fill") + tok)
+      struct(fill.as("fill"), bin.as("bin"),
+        concat(st.getField("bins"), array(bin)).as("bins"))
+    })
+    chunks
+      .groupBy(col(shardCol).as("__shard"))
+      .agg(sort_array(collect_list(item)).as("__items"))
+      .withColumn("__packed", explode(zip_with(
+        col("__items"), folded.getField("bins"),
+        (it, b) => struct(it.getField("__row").as("row"), b.as("pack_id")))))
+      .select(col("__packed.row.*"), col("__packed.pack_id"))
+  }
+
   /** WEIGHTED sampling WITHOUT replacement (Efraimidis–Spirakis A-ES,
     * 2006): keep the k rows with the largest u^(1/w) — equivalently
     * the largest ln(u)/w — where u is a deterministic per-row uniform

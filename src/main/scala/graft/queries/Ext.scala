@@ -2052,6 +2052,26 @@ object Ext {
           col("max_yg") < 0 || col("min_yg") > 63)
         .orderBy("cell")
     },
+
+    // STRICT sequence packing (x128): x36's chunk stream packed by
+    // next-fit so NO pack exceeds the 256-token capacity — a chunk that
+    // would overflow closes the pack and opens the next (the boundary
+    // law a training loader needs; x36's cumsum form may overrun by one
+    // chunk, and the overrun tokens would be truncated at batch time).
+    // Next-fit is sequential per shard, so the operator folds each
+    // source's sorted chunk array with a Catalyst aggregate lambda —
+    // one shuffle on the shard key, shards in parallel.
+    "x128_strict_packing" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val chunks = Chunking.chunk(docs, "doc_id", "text",
+          chunkTokens = 50, overlap = 10, keepCols = Seq("source"))
+      Chunking.packChunksStrict(chunks, "source", "n_chunk_tokens",
+          capacity = 256, orderCols = Seq("doc_id", "chunk_idx"))
+        .groupBy("source", "pack_id")
+        .agg(count(lit(1)).as("n_chunks"),
+             sum(col("n_chunk_tokens")).cast("long").as("pack_tokens"))
+        .orderBy("source", "pack_id")
+    },
   )
 
   /** x72's full replay, parameterized by the Lloyd-TRAINING source
@@ -5910,6 +5930,44 @@ object Ext {
         |FROM w
         |ORDER BY es_key DESC, doc_id
         |LIMIT 100""".stripMargin,
+
+    // Next-fit replay: x36's chunk CTE, ranked per source, then the
+    // sequential fill recurrence as a recursive CTE — pack closes when
+    // fill + tok > 256, exactly the operator's fold.
+    "x128_strict_packing" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |n AS (SELECT doc_id, toks, len(toks) AS nt FROM t WHERE len(toks) > 0),
+        |c AS (
+        |  SELECT doc_id, toks,
+        |    unnest(generate_series(0, GREATEST(CAST(ceil((nt - 10) / 40.0) AS INT), 1) - 1)) AS ci
+        |  FROM n),
+        |ch AS (
+        |  SELECT doc_id, CAST(ci AS INT) AS chunk_idx,
+        |    CAST(len(toks[ci*40+1 : ci*40+50]) AS INT) AS n_chunk_tokens
+        |  FROM c),
+        |j AS (SELECT ch.doc_id, ch.chunk_idx, ch.n_chunk_tokens, d.source
+        |      FROM ch JOIN documents d ON ch.doc_id = d.doc_id),
+        |r AS (
+        |  SELECT source, n_chunk_tokens,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id, chunk_idx) AS rk
+        |  FROM j),
+        |f AS (
+        |  SELECT source, rk, n_chunk_tokens,
+        |    CAST(0 AS BIGINT) AS pack_id, CAST(n_chunk_tokens AS BIGINT) AS fill
+        |  FROM r WHERE rk = 1
+        |  UNION ALL
+        |  SELECT r.source, r.rk, r.n_chunk_tokens,
+        |    CASE WHEN f.fill + r.n_chunk_tokens > 256
+        |         THEN f.pack_id + 1 ELSE f.pack_id END,
+        |    CASE WHEN f.fill + r.n_chunk_tokens > 256
+        |         THEN CAST(r.n_chunk_tokens AS BIGINT)
+        |         ELSE f.fill + r.n_chunk_tokens END
+        |  FROM r JOIN f ON r.source = f.source AND r.rk = f.rk + 1)
+        |SELECT source, pack_id, COUNT(*) AS n_chunks,
+        |  CAST(SUM(n_chunk_tokens) AS BIGINT) AS pack_tokens
+        |FROM f GROUP BY source, pack_id ORDER BY source, pack_id""".stripMargin,
 
     // Decontamination replay: the same 5-gram shingling (x122's split
     // convention, md5 digests, per-doc DISTINCT), the overlap join,

@@ -526,6 +526,51 @@ class OpsSpec extends AnyFunSuite {
       .filter(col("source") === "s2").count() == 4)
   }
 
+  test("packChunksStrict: never exceeds capacity, covers every chunk, monotone packs") {
+    import spark.implicits._
+    // 100-token chunks, capacity 256: the cumsum form overruns pack 0 to
+    // 300; strict must close at 200 and open pack 1.
+    val chunks = (0 until 10).map(i => ("s1", 1L, i, 100)).toDF(
+      "source", "doc_id", "chunk_idx", "n_chunk_tokens")
+    val packed = Chunking.packChunksStrict(chunks, "source", "n_chunk_tokens",
+        capacity = 256, orderCols = Seq("doc_id", "chunk_idx"))
+      .orderBy("chunk_idx").collect()
+    assert(packed.length == 10) // no chunk dropped or duplicated
+    val packOf = packed.map(r => r.getAs[Int]("chunk_idx") -> r.getAs[Long]("pack_id"))
+    // next-fit with uniform 100s: exactly 2 per pack
+    packOf.foreach { case (i, p) => assert(p == i / 2, s"chunk $i in pack $p") }
+    // the strict law on a ragged fixture: no pack's total exceeds capacity
+    val ragged = Seq(200, 100, 30, 60, 250, 10, 5, 256, 1).zipWithIndex
+      .map { case (t, i) => ("s1", 1L, i, t) }
+      .toDF("source", "doc_id", "chunk_idx", "n_chunk_tokens")
+    val rp = Chunking.packChunksStrict(ragged, "source", "n_chunk_tokens",
+        capacity = 256, orderCols = Seq("doc_id", "chunk_idx"))
+    val totals = rp.groupBy("pack_id")
+      .agg(sum(col("n_chunk_tokens")).as("t")).collect()
+      .map(r => r.getAs[Long]("pack_id") -> r.getAs[Long]("t")).toMap
+    assert(totals.values.forall(_ <= 256), s"overrun pack in $totals")
+    // pack ids are contiguous from 0 and monotone in chunk order
+    val inOrder = rp.orderBy("chunk_idx").select("pack_id").as[Long].collect()
+    assert(inOrder.head == 0L)
+    inOrder.sliding(2).foreach { w =>
+      assert(w(1) == w(0) || w(1) == w(0) + 1,
+        s"non-monotone packs ${w(0)} -> ${w(1)}")
+    }
+    // an oversize chunk occupies a pack alone; neighbors are unaffected
+    val over = Seq(("s1", 1L, 0, 100), ("s1", 1L, 1, 500), ("s1", 1L, 2, 100))
+      .toDF("source", "doc_id", "chunk_idx", "n_chunk_tokens")
+    val op = Chunking.packChunksStrict(over, "source", "n_chunk_tokens",
+        capacity = 256, orderCols = Seq("doc_id", "chunk_idx"))
+      .orderBy("chunk_idx").select("pack_id").as[Long].collect()
+    assert(op.sameElements(Array(0L, 1L, 2L)), op.mkString(","))
+    // shards pack independently (same ids in a second shard, same packs)
+    val two = chunks.union(chunks.withColumn("source", lit("s2")))
+    val p2 = Chunking.packChunksStrict(two, "source", "n_chunk_tokens", 256,
+      Seq("doc_id", "chunk_idx"))
+    assert(p2.groupBy("source", "pack_id").count()
+      .filter(col("source") === "s2").count() == 5)
+  }
+
   test("hashKeepFraction approximates its rate and is deterministic") {
     import spark.implicits._
     val ids = (1L to 4000L).toDF("id")
