@@ -110,17 +110,52 @@ object Chunking {
     * shards fold in parallel. Order keys must be unique per shard (they
     * are the sort key of the gathered array). */
   def packChunksStrict(chunks: DataFrame, shardCol: String, tokenCol: String,
-                       capacity: Int, orderCols: Seq[String]): DataFrame = {
+                       capacity: Int, orderCols: Seq[String]): DataFrame =
+    packAssignments(
+      packChunksStrictFold(chunks, shardCol, tokenCol, capacity, orderCols))
+
+  /** The next-fit fold itself, RESUMABLE: one output row per shard with
+    * the sorted item array, its per-chunk pack assignments, and the
+    * post-fold open-pack state `(pack_fill, pack_bin)`. Passing a prior
+    * fold's state as `state` (schema: shardCol, pack_fill, pack_bin)
+    * continues packing where it left off — pack `pack_bin` keeps filling
+    * from `pack_fill` — which is the STREAMING maintenance form: fold
+    * each micro-batch with the running state and the concatenation law
+    * holds (state ∘ batch ≡ one fold over the concatenated stream),
+    * because (fill, bin) is the complete sequential state of next-fit.
+    * Prerequisite, as with every order-sensitive fold here: per-shard
+    * arrival order must equal `orderCols` order across batches (ordered
+    * produce + shard-key routing). Shards absent from `state` seed
+    * fresh; shards absent from `chunks` do NOT appear in the output —
+    * union their prior state back via [[packStateMerge]]. */
+  def packChunksStrictFold(chunks: DataFrame, shardCol: String,
+                           tokenCol: String, capacity: Int,
+                           orderCols: Seq[String],
+                           state: DataFrame = null): DataFrame = {
     require(capacity > 0, s"need a positive capacity, got $capacity")
     val cap = lit(capacity.toLong)
     val item = struct(
       orderCols.map(col) ++
         Seq(col(tokenCol).cast("long").as("__tok"),
             struct(chunks.columns.map(col): _*).as("__row")): _*)
-    // fold state: (fill of the open pack, index of the open pack, the
-    // per-chunk pack assignments in array order). fill starts AT capacity
-    // so the first chunk always opens pack 0.
-    val st0 = struct(cap.as("fill"), lit(-1L).as("bin"),
+    val grouped = chunks
+      .groupBy(col(shardCol).as("__shard"))
+      .agg(sort_array(collect_list(item)).as("__items"))
+    // seed: fill starts AT capacity with bin -1, so the first chunk of a
+    // fresh shard always opens pack 0; a resumed shard starts from its
+    // carried (fill, bin).
+    val seeded =
+      if (state == null)
+        grouped.withColumn("__fill0", cap).withColumn("__bin0", lit(-1L))
+      else
+        grouped
+          .join(state.select(col(shardCol).as("__st_shard"),
+              col("pack_fill").as("__st_fill"), col("pack_bin").as("__st_bin")),
+            col("__shard") === col("__st_shard"), "left")
+          .withColumn("__fill0", coalesce(col("__st_fill"), cap))
+          .withColumn("__bin0", coalesce(col("__st_bin"), lit(-1L)))
+          .drop("__st_shard", "__st_fill", "__st_bin")
+    val st0 = struct(col("__fill0").as("fill"), col("__bin0").as("bin"),
       array().cast("array<bigint>").as("bins"))
     val folded = aggregate(col("__items"), st0, (st, x) => {
       val tok  = x.getField("__tok")
@@ -130,14 +165,35 @@ object Chunking {
       struct(fill.as("fill"), bin.as("bin"),
         concat(st.getField("bins"), array(bin)).as("bins"))
     })
-    chunks
-      .groupBy(col(shardCol).as("__shard"))
-      .agg(sort_array(collect_list(item)).as("__items"))
+    seeded
+      .withColumn("__folded", folded)
+      .select(col("__shard"), col("__items"),
+        col("__folded.bins").as("__bins"),
+        col("__folded.fill").as("pack_fill"),
+        col("__folded.bin").as("pack_bin"))
+  }
+
+  /** Explode a [[packChunksStrictFold]] frame back to the input rows,
+    * each with its `pack_id`. */
+  def packAssignments(folded: DataFrame): DataFrame =
+    folded
       .withColumn("__packed", explode(zip_with(
-        col("__items"), folded.getField("bins"),
+        col("__items"), col("__bins"),
         (it, b) => struct(it.getField("__row").as("row"), b.as("pack_id")))))
       .select(col("__packed.row.*"), col("__packed.pack_id"))
-  }
+
+  /** The open-pack state of a [[packChunksStrictFold]] frame, keyed by
+    * `shardCol` — feed it back as the next fold's `state`. */
+  def packFoldState(folded: DataFrame, shardCol: String): DataFrame =
+    folded.select(col("__shard").as(shardCol),
+      col("pack_fill"), col("pack_bin"))
+
+  /** Carry forward state for shards the fresh batch did not touch:
+    * fresh rows win, untouched shards keep their prior state. */
+  def packStateMerge(old: DataFrame, fresh: DataFrame,
+                     shardCol: String): DataFrame =
+    old.join(fresh.select(shardCol), Seq(shardCol), "left_anti")
+      .unionByName(fresh)
 
   /** WEIGHTED sampling WITHOUT replacement (Efraimidis–Spirakis A-ES,
     * 2006): keep the k rows with the largest u^(1/w) — equivalently

@@ -235,6 +235,32 @@ object StreamGate {
     })
   }
 
+  /** ORDERED chunk-stream topic for the streaming packing gate (s27):
+    * x128's chunk rows (doc_id, source, chunk_idx, n_chunk_tokens)
+    * produced by ONE task sorted (doc_id, chunk_idx) with key = source —
+    * each source's chunks sit in one partition in pack order, so
+    * offset-ranged admission hands every micro-batch a contiguous
+    * ordered per-shard segment: the prerequisite of
+    * [[graft.ops.Chunking.packChunksStrictFold]]'s resume law.
+    * Memoized per (JVM, sf dir). */
+  private val chunkTopics = TrieMap.empty[String, String]
+  private def chunkStreamTopic(s: SparkSession, dir: String): String = synchronized {
+    chunkTopics.getOrElseUpdate(dir, {
+      val topic = s"gate_chunks_${java.util.UUID.randomUUID().toString.take(8)}"
+      graft.ops.Chunking.chunk(Tables.documents(s, dir), "doc_id", "text",
+          chunkTokens = 50, overlap = 10, keepCols = Seq("source"))
+        .select("doc_id", "source", "chunk_idx", "n_chunk_tokens")
+        .repartition(1).sortWithinPartitions("doc_id", "chunk_idx")
+        .select(col("source").as("key"),
+          to_json(struct(col("doc_id"), col("source"), col("chunk_idx"),
+            col("n_chunk_tokens"))).as("value"),
+          to_timestamp(lit("2024-01-01 00:00:00")).as("timestamp"))
+        .write.format("graft-topic").mode("append")
+        .option("topic", topic).option("partitions", "4").save()
+      topic
+    })
+  }
+
   /** HOT-REGION arrivals topic for the streaming Z-order compaction
     * gate (s22): x126's spatially-clustered delta — the %5 lineitem
     * rows whose partkey sits in the bottom 1/16 of the STATIC split's
@@ -1673,6 +1699,86 @@ object StreamGate {
       }
     },
 
+    // Streaming STRICT-PACKING maintenance (s27): x128's next-fit pack
+    // table kept incrementally — state is the per-shard open-pack
+    // (fill, bin) pair plus the accumulated (source, pack_id) totals;
+    // each micro-batch folds its contiguous ordered per-shard chunk
+    // segment from the carried state (the packChunksStrictFold resume
+    // law: (fill, bin) is next-fit's COMPLETE sequential state, so
+    // state ∘ batch ≡ one fold over the concatenation). A pack that
+    // spans a batch boundary keeps filling, its totals merging by sum.
+    // Exact because the topic replays per-source in (doc_id, chunk_idx)
+    // order (ordered produce + key routing). Oracle = x128's SQL
+    // verbatim. ≥2 data batches asserted; scoped per-batch checkpoints.
+    "s27_stream_packing_maintenance" -> { (s, dir) =>
+      val topic = chunkStreamTopic(s, dir)
+      withGateConf(s) {
+        var packs: graft.ops.Checkpointed = null
+        var state: graft.ops.Checkpointed = null
+        val ckpt = gateTmpDir("s27_ckpt_")
+        try {
+  val q = s.readStream.format("graft-topic")
+            .option("topic", topic)
+            .option("maxRecordsPerTrigger",
+              math.max(1L, (topicSize(topic) + 2) / 3).toString)
+            .load()
+            .select(from_json(col("value").cast("string"),
+              org.apache.spark.sql.types.StructType.fromDDL(
+                "doc_id BIGINT, source STRING, chunk_idx INT, n_chunk_tokens INT")).as("j"))
+            .select(col("j.doc_id").as("doc_id"), col("j.source").as("source"),
+              col("j.chunk_idx").as("chunk_idx"),
+              col("j.n_chunk_tokens").as("n_chunk_tokens"))
+            .writeStream
+            .foreachBatch { (df: DataFrame, _: Long) =>
+              if (!df.isEmpty) {
+                val batch = graft.ops.Caches.localCheckpointScoped(df)
+                try {
+                  val sdf = if (state == null) null else state.df
+                  val folded = graft.ops.Caches.localCheckpointScoped(
+                    graft.ops.Chunking.packChunksStrictFold(batch.df, "source",
+                      "n_chunk_tokens", 256, Seq("doc_id", "chunk_idx"), sdf))
+                  try {
+                    val bp = graft.ops.Chunking.packAssignments(folded.df)
+                      .groupBy("source", "pack_id")
+                      .agg(count(lit(1)).as("n_chunks"),
+                        sum(col("n_chunk_tokens")).cast("long").as("pack_tokens"))
+                    val nextPacks = graft.ops.Caches.localCheckpointScoped(
+                      if (packs == null) bp
+                      else packs.df.unionByName(bp).groupBy("source", "pack_id")
+                        .agg(sum(col("n_chunks")).cast("long").as("n_chunks"),
+                          sum(col("pack_tokens")).cast("long").as("pack_tokens")))
+                    if (packs != null) packs.release()
+                    packs = nextPacks
+                    val ns = graft.ops.Chunking.packFoldState(folded.df, "source")
+                    val nextState = graft.ops.Caches.localCheckpointScoped(
+                      if (state == null) ns
+                      else graft.ops.Chunking.packStateMerge(state.df, ns, "source"))
+                    if (state != null) state.release()
+                    state = nextState
+                  } finally folded.release()
+                } finally batch.release()
+              }
+              ()
+            }
+            .option("checkpointLocation", ckpt.toString)
+            .trigger(Trigger.AvailableNow())
+            .start()
+          drain(q, ckpt)
+          require(dataBatches(q) >= 2,
+            s"s27 must fold across batches; ran ${dataBatches(q)} data batches")
+          if (state != null) state.release(); state = null
+          graft.ops.Caches.localCheckpointTracked(
+            graft.ops.Caches.adopt(packs).orderBy("source", "pack_id"))
+        } catch {
+          // a failed drain/fold must not strand scoped blocks
+          case t: Throwable =>
+            if (packs != null) packs.release()
+            if (state != null) state.release()
+            throw t
+        }
+      }
+    },
+
     // Streaming exact dedup under the gate: events replayed through the
     // topic → dropDuplicatesWithinWatermark(user_id) → append-mode memory
     // sink. WHICH occurrence survives is arrival-order-dependent, so the
@@ -2186,6 +2292,11 @@ object StreamGate {
     // (the maintained HLL state is value-pinned against it in-gate) —
     // x119's SQL verbatim.
     "s26_stream_profile_maintenance" -> Ext.oracle("x119_column_profile"),
+
+    // (fill, bin) is next-fit's complete sequential state and the topic
+    // replays per-source in pack order, so the maintained pack table is
+    // the batch pack table — x128's SQL verbatim.
+    "s27_stream_packing_maintenance" -> Ext.oracle("x128_strict_packing"),
 
     // Shard membership is a pure function of the row and every manifest
     // field commutes, so the streamed partitioned tree's manifest equals

@@ -571,6 +571,41 @@ class OpsSpec extends AnyFunSuite {
       .filter(col("source") === "s2").count() == 5)
   }
 
+  test("packChunksStrictFold: resumed fold ≡ one fold over the concatenation") {
+    import spark.implicits._
+    val all = ((0 until 20).map(i => ("s1", 1L, i, (i * 37) % 120 + 5)) ++
+        (0 until 10).map(i => ("s2", 2L, i, (i * 53) % 200 + 10)))
+      .toDF("source", "doc_id", "chunk_idx", "n_chunk_tokens")
+    def asn(df: org.apache.spark.sql.DataFrame) =
+      df.select("source", "chunk_idx", "pack_id").collect()
+        .map(r => (r.getString(0), r.getInt(1)) -> r.getAs[Long]("pack_id")).toMap
+    val wholeFold = Chunking.packChunksStrictFold(all, "source",
+      "n_chunk_tokens", 256, Seq("doc_id", "chunk_idx"))
+    val whole = asn(Chunking.packAssignments(wholeFold))
+    val wholeState = Chunking.packFoldState(wholeFold, "source").collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("pack_fill"),
+        r.getAs[Long]("pack_bin"))).toMap
+    for (split <- Seq(3, 11, 15)) {
+      // batch 2 includes chunk_idx >= split; s2 is ABSENT from batch 2
+      // when split >= 10 (its state must carry via packStateMerge)
+      val b1 = all.filter(col("chunk_idx") < split)
+      val b2 = all.filter(col("chunk_idx") >= split)
+      val f1 = Chunking.packChunksStrictFold(b1, "source",
+        "n_chunk_tokens", 256, Seq("doc_id", "chunk_idx"))
+      val st1 = Chunking.packFoldState(f1, "source")
+      val f2 = Chunking.packChunksStrictFold(b2, "source",
+        "n_chunk_tokens", 256, Seq("doc_id", "chunk_idx"), state = st1)
+      val got = asn(Chunking.packAssignments(f1)) ++
+        asn(Chunking.packAssignments(f2))
+      assert(got == whole, s"split=$split diverges from the whole fold")
+      val endState = Chunking.packStateMerge(st1,
+          Chunking.packFoldState(f2, "source"), "source")
+        .collect().map(r => r.getString(0) -> (r.getAs[Long]("pack_fill"),
+          r.getAs[Long]("pack_bin"))).toMap
+      assert(endState == wholeState, s"split=$split state diverges")
+    }
+  }
+
   test("hashKeepFraction approximates its rate and is deterministic") {
     import spark.implicits._
     val ids = (1L to 4000L).toDF("id")
