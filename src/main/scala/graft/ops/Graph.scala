@@ -500,9 +500,9 @@ object Graph {
     * result is a superset of the true k-core (exact once a round
     * removes nothing — peeling is monotone, so extra rounds never
     * oscillate; on the x112 fixture 4 rounds do converge). `rounds` IS
-    * the dial: raise it, or loop until a round's edge count stops
-    * changing, when the exact core matters more than a bounded round
-    * budget. The k-core is the
+    * the dial: raise it — or call [[kCoreExact]], which loops until a
+    * round's edge count stops changing — when the exact core matters
+    * more than a bounded round budget. The k-core is the
     * graph-curation notion of a DENSE duplicate/community region —
     * stricter than connected components (x16), looser than triangles
     * (x102).
@@ -543,6 +543,57 @@ object Graph {
     } catch {
       // a mid-loop job failure must not strand the live round's blocks:
       // scoped checkpoints are registered nowhere until adopt()
+      case t: Throwable => h.release(); throw t
+    }
+    val e = Caches.adopt(h)
+    e.select(col("__a").as("__id"))
+      .unionAll(e.select(col("__b").as("__id")))
+      .groupBy("__id").agg(count(lit(1)).as("core_deg"))
+      .select(col("__id").as(idCol), col("core_deg"))
+  }
+
+  /** EXACT k-core: peel until a round removes no edge (the fixpoint
+    * [[kCore]]'s bounded budget approximates from above), capped at
+    * `maxRounds` as a runaway guard. Peeling is monotone, so the stop
+    * test is one cheap `count()` per round over the round's ALREADY
+    * materialized local checkpoint (no extra job) — when the count
+    * holds, every remaining degree is >= k and the loop exits with the
+    * true core. Deep peeling chains (each round unlocking the next
+    * removal) need up to |V| rounds in theory; in practice cores
+    * stabilize in a handful, so the driver-side round loop stays short
+    * — the same iterate-with-truncation discipline as PageRank.
+    * Throws if `maxRounds` rounds pass without convergence (a bounded
+    * ANSWER would silently be a superset; callers wanting that
+    * tradeoff call [[kCore]], which prices it in its contract). */
+  def kCoreExact(pairs: DataFrame, k: Int, maxRounds: Int = 64,
+                 idCol: String = "vec_id"): DataFrame = {
+    require(k >= 1 && maxRounds >= 1,
+      s"need k >= 1, maxRounds >= 1: k=$k maxRounds=$maxRounds")
+    var h = Caches.localCheckpointScoped(
+      pairs.select(col("a_id").as("__a"), col("b_id").as("__b")))
+    try {
+      var prev = h.df.count()
+      var converged = prev == 0L
+      var round = 0
+      while (!converged && round < maxRounds) {
+        round += 1
+        val e = h.df
+        val deg = e.select(col("__a").as("__id"))
+          .unionAll(e.select(col("__b").as("__id")))
+          .groupBy("__id").agg(count(lit(1)).as("__deg"))
+        val alive = deg.filter(col("__deg") >= k).select("__id")
+        val next = Caches.localCheckpointScoped(e
+          .join(alive.withColumnRenamed("__id", "__a"), Seq("__a"), "left_semi")
+          .join(alive.withColumnRenamed("__id", "__b"), Seq("__b"), "left_semi"))
+        val n = next.df.count()
+        h.release()
+        h = next
+        converged = n == prev || n == 0L
+        prev = n
+      }
+      require(converged,
+        s"k-core did not converge within $maxRounds rounds (raise maxRounds)")
+    } catch {
       case t: Throwable => h.release(); throw t
     }
     val e = Caches.adopt(h)

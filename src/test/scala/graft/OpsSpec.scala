@@ -2768,6 +2768,33 @@ class OpsSpec extends AnyFunSuite {
     graft.ops.Caches.releaseAll()
   }
 
+  test("kCoreExact reaches the fixpoint a bounded peel misses on a deep chain") {
+    import spark.implicits._
+    // triangle {1,2,3} with a 10-node tail 3-100-101-...-109: the 2-core
+    // is exactly the triangle, but each peel round removes only the
+    // tail's current endpoint, so 4 bounded rounds leave tail residue
+    val tail = (0 until 10).map(i =>
+      (if (i == 0) 3L else 99L + i, 100L + i))
+    val pairs = (Seq((1L, 2L), (1L, 3L), (2L, 3L)) ++ tail).toDF("a_id", "b_id")
+    val bounded = graft.ops.Graph.kCore(pairs, k = 2, rounds = 4)
+      .select("vec_id").as[Long].collect().toSet
+    assert(Set(1L, 2L, 3L).subsetOf(bounded) && bounded.size > 3,
+      s"4 bounded rounds must still hold tail residue here: $bounded")
+    val exact = graft.ops.Graph.kCoreExact(pairs, k = 2)
+      .orderBy("vec_id").as[(Long, Long)].collect().toSeq
+    assert(exact == Seq((1L, 2L), (2L, 2L), (3L, 2L)),
+      s"exact 2-core must be the bare triangle: $exact")
+    // an empty core converges to zero rows, not an error
+    val none = graft.ops.Graph.kCoreExact(pairs, k = 4).count()
+    assert(none == 0L, s"k=4 core of this graph is empty, got $none rows")
+    // the runaway guard trips rather than silently returning a superset
+    val err = intercept[IllegalArgumentException] {
+      graft.ops.Graph.kCoreExact(pairs, k = 2, maxRounds = 2).count()
+    }
+    assert(err.getMessage.contains("did not converge"), err.getMessage)
+    graft.ops.Caches.releaseAll()
+  }
+
   test("nb class report: count conservation, F1 identity, model-class axis") {
     import spark.implicits._
     val tr = docs.filter(col("doc_id") % 5 =!= 0)
