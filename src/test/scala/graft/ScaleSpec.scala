@@ -1121,4 +1121,34 @@ class ScaleSpec extends AnyFunSuite {
     assert(!tPlan.contains("CartesianProduct") &&
            !tPlan.contains("BroadcastNestedLoopJoin"), tPlan)
   }
+
+  test("x128 strict packing: ONE shard shuffle, no corpus sort/window; state broadcasts") {
+    val docs = Tables.documents(spark, dir)
+    val chunks = graft.ops.Chunking.chunk(docs, "doc_id", "text",
+      chunkTokens = 50, overlap = 10, keepCols = Seq("source"))
+    val plan = graft.ops.Chunking.packChunksStrict(chunks, "source",
+        "n_chunk_tokens", 256, Seq("doc_id", "chunk_idx"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoop"), plan)
+    // next-fit's sequential pass lives INSIDE the per-shard array fold —
+    // never a corpus window, never a global sort
+    assert(!plan.contains("Window"), s"corpus window in packing plan:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"global sort in packing plan:\n$plan")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles == 1,
+      s"strict packing must shuffle ONCE, on the shard key (got $shuffles):\n$plan")
+    // the resumed fold's carried state is shards × (fill, bin) — it must
+    // broadcast onto the batch fold, never sort-merge the corpus side
+    val f1 = graft.ops.Chunking.packChunksStrictFold(chunks, "source",
+      "n_chunk_tokens", 256, Seq("doc_id", "chunk_idx"))
+    val rplan = graft.ops.Chunking.packChunksStrictFold(chunks, "source",
+        "n_chunk_tokens", 256, Seq("doc_id", "chunk_idx"),
+        state = graft.ops.Chunking.packFoldState(f1, "source"))
+      .queryExecution.executedPlan.toString
+    assert(rplan.contains("BroadcastHashJoin") &&
+           !rplan.contains("SortMergeJoin"),
+      s"carried pack state must broadcast onto the shard fold:\n$rplan")
+  }
 }
