@@ -14,8 +14,8 @@ import org.apache.spark.sql.functions._
   *   (MinHash-LSH → verify → components → keep-one) → span-level
   *   benchmark decontamination → NB classifier labeling →
   *   sqrt-temperature language rebalancing → PII redaction → chunking →
-  *   sequence packing, plus the embedding-side semantic dedup and a
-  *   drift report.
+  *   strict next-fit sequence packing, plus the embedding-side semantic
+  *   dedup and a drift report.
   *
   * Run: `sbt "runMain graft.examples.Pipeline"` (sf0.001 by default;
   * pass an sf dir to scale up). Prints per-stage survivor counts.
@@ -122,7 +122,10 @@ object Pipeline {
     val chunks = Chunking.chunk(scrubbed, "doc_id", "text",
       chunkTokens = 50, overlap = 10)
     stage("chunks", chunks.count())
-    val packs = Chunking.packChunks(
+    // strict next-fit: no pack exceeds the context capacity, so the
+    // training loader never truncates (packChunks' cumsum form may
+    // overrun a pack by one chunk)
+    val packs = Chunking.packChunksStrict(
       chunks.withColumn("source", lit("corpus")),
       "source", "n_chunk_tokens", capacity = 256, Seq("doc_id", "chunk_idx"))
     stage("training packs", packs.select("source", "pack_id").distinct().count())

@@ -73,7 +73,8 @@ object Chunking {
     * `shardCol` stream (ordered by `orderCols`), chunk i joins pack
     * floor(tokens-before-i / capacity) — a pack closes once the running
     * total crosses the capacity boundary (chunks are never split, so a
-    * pack may overrun by at most one chunk). One window per shard; no
+    * pack may overrun by at most one chunk — [[packChunksStrict]] is
+    * the no-overrun form). One window per shard; no
     * global coordination, so shards pack in parallel at any scale. */
   def packChunks(chunks: DataFrame, shardCol: String, tokenCol: String,
                  capacity: Int, orderCols: Seq[String]): DataFrame = {
