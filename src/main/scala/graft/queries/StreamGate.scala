@@ -2068,6 +2068,119 @@ object StreamGate {
             graft.sources.topic.TopicLog.delete(outTopic))
       }
     },
+
+    // RESTART-SAFE strict-packing maintenance (s28): s27's fold with its
+    // state OUTSIDE the driver. Per batch the gate folds from the LATEST
+    // persisted snapshot with id < batchId, then persists the full shard
+    // (fill, bin) snapshot to state/batch=<id> and the batch's pack-total
+    // DELTA to packs/batch=<id>. A replayed batch — the kill window's
+    // in-flight micro-batch, which restarts with the SAME batch id and
+    // (static topic, fixed admission cap) the same offset range — re-reads
+    // the same prior snapshot and OVERWRITES its own two dirs: idempotent
+    // by construction, no epoch ledger needed. Leg 1 is killed
+    // mid-backlog by the s05 listener latch; leg 2 resumes from the
+    // checkpoint and drains. The report sums the delta tree; oracle =
+    // x128's SQL verbatim — any replayed or skipped chunk shifts a pack
+    // total and breaks the hash. Persisted state is delta-sized per
+    // batch: the snapshot is shards × (fill, bin), the delta the batch's
+    // packs (production appends + compacts like the s11–s16 index folds).
+    "s28_stream_packing_restart" -> { (s, dir) =>
+      val topic = chunkStreamTopic(s, dir)
+      val total = topicSize(topic)
+      val root = gateTmpDir("s28_state_")
+      val ckpt = gateTmpDir("s28_ckpt_")
+      withGateConf(s) {
+        val stateRoot = s"$root/state"
+        val packsRoot = s"$root/packs"
+        def latestStateBefore(b: Long): Option[String] = {
+          val dirs = Option(new java.io.File(stateRoot).listFiles())
+            .getOrElse(Array.empty)
+            .map(_.getName).filter(_.startsWith("batch="))
+            .map(_.stripPrefix("batch=").toLong).filter(_ < b)
+          if (dirs.isEmpty) None else Some(s"$stateRoot/batch=${dirs.max}")
+        }
+        def startLeg(): StreamingQuery =
+          s.readStream.format("graft-topic")
+            .option("topic", topic)
+            .option("maxRecordsPerTrigger", math.max(1L, total / 12).toString)
+            .load()
+            .select(from_json(col("value").cast("string"),
+              org.apache.spark.sql.types.StructType.fromDDL(
+                "doc_id BIGINT, source STRING, chunk_idx INT, n_chunk_tokens INT")).as("j"))
+            .select(col("j.doc_id").as("doc_id"), col("j.source").as("source"),
+              col("j.chunk_idx").as("chunk_idx"),
+              col("j.n_chunk_tokens").as("n_chunk_tokens"))
+            .writeStream
+            .foreachBatch { (df: DataFrame, batchId: Long) =>
+              if (!df.isEmpty) {
+                val batch = graft.ops.Caches.localCheckpointScoped(df)
+                try {
+                  val prior = latestStateBefore(batchId)
+                    .map(p => s.read.parquet(p)).orNull
+                  val folded = graft.ops.Caches.localCheckpointScoped(
+                    graft.ops.Chunking.packChunksStrictFold(batch.df, "source",
+                      "n_chunk_tokens", 256, Seq("doc_id", "chunk_idx"), prior))
+                  try {
+                    graft.ops.Chunking.packAssignments(folded.df)
+                      .groupBy("source", "pack_id")
+                      .agg(count(lit(1)).as("n_chunks"),
+                        sum(col("n_chunk_tokens")).cast("long").as("pack_tokens"))
+                      .write.mode("overwrite")
+                      .parquet(s"$packsRoot/batch=$batchId")
+                    val ns = graft.ops.Chunking.packFoldState(folded.df, "source")
+                    (if (prior == null) ns
+                     else graft.ops.Chunking.packStateMerge(prior, ns, "source"))
+                      .write.mode("overwrite")
+                      .parquet(s"$stateRoot/batch=$batchId")
+                  } finally folded.release()
+                } finally batch.release()
+              }
+              ()
+            }
+            .option("checkpointLocation", ckpt.toString)
+            .trigger(Trigger.AvailableNow())
+            .start()
+        // the s05 listener-latch cut: stop after >= 2 committed batches,
+        // well inside the ~12-batch backlog
+        val cut = new java.util.concurrent.CountDownLatch(1)
+        @volatile var leg1Run: java.util.UUID = null
+        val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+          override def onQueryStarted(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit =
+            if (leg1Run == null) leg1Run = e.runId
+          override def onQueryProgress(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit =
+            if (e.progress.runId == leg1Run && e.progress.batchId >= 2) cut.countDown()
+          override def onQueryTerminated(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit =
+            if (e.runId == leg1Run) cut.countDown()
+        }
+        s.streams.addListener(listener)
+        val q1 = startLeg()
+        require(leg1Run == q1.runId,
+          s"s28 listener captured runId $leg1Run but leg 1 is ${q1.runId}")
+        try {
+          if (!q1.isActive) cut.countDown()
+          cut.await(120, java.util.concurrent.TimeUnit.SECONDS)
+        } finally {
+          try withQuietLoggers(interruptNoiseLoggers) {
+            cleanupStep("leg1 stop")(q1.stop())
+            q1.awaitTermination()
+          } finally cleanupStep("leg1 listener remove")(
+            s.streams.removeListener(listener))
+        }
+        val q2 = startLeg()
+        drain(q2, ckpt)
+        require(dataBatches(q2) >= 1,
+          "s28 resume leg processed nothing — leg 1 drained the whole backlog")
+        graft.ops.Caches.localCheckpointTracked(
+          s.read.parquet(packsRoot)
+            .groupBy("source", "pack_id")
+            .agg(sum(col("n_chunks")).cast("long").as("n_chunks"),
+              sum(col("pack_tokens")).cast("long").as("pack_tokens"))
+            .orderBy("source", "pack_id"))
+      }
+    },
   )
 
   private val streamStreamEntry: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
@@ -2297,6 +2410,12 @@ object StreamGate {
     // replays per-source in pack order, so the maintained pack table is
     // the batch pack table — x128's SQL verbatim.
     "s27_stream_packing_maintenance" -> Ext.oracle("x128_strict_packing"),
+
+    // The persisted-state restart leg changes WHERE the fold state lives,
+    // not what it computes: the summed delta tree is the batch pack
+    // table iff the kill window neither replayed nor skipped a chunk —
+    // x128's SQL verbatim.
+    "s28_stream_packing_restart" -> Ext.oracle("x128_strict_packing"),
 
     // Shard membership is a pure function of the row and every manifest
     // field commutes, so the streamed partitioned tree's manifest equals
