@@ -2135,8 +2135,23 @@ object Ext {
       |      ORDER BY score_fix DESC, lang ASC) AS rn
       |  FROM tot)""".stripMargin
 
+  /** DuckDB evaluates plain CTEs by INLINING: a CTE referenced k times
+    * re-evaluates its whole subtree k times, so an unrolled chain whose
+    * every link references the previous one 2–3× (x98's u-chain, the
+    * pr-chain here, the pipeline replay's staged frames) costs
+    * exponential-in-depth time — >300 s at sf0.1 where the same oracle
+    * runs in seconds once each CTE is evaluated exactly once.
+    * `AS MATERIALIZED` is DuckDB's pure evaluation fence (identical
+    * semantics, forced single evaluation). Recursive CTEs — declared
+    * with a column list, `walk(id, reach) AS (` — are left untouched:
+    * the pattern requires the bare name directly before ` AS (`. */
+  private[queries] def materializeCtes(sql: String): String =
+    sql.replaceAll(
+      "((?:WITH RECURSIVE |WITH |,\\s*)[a-z][a-z0-9_]*) AS \\(",
+      "$1 AS MATERIALIZED (")
+
   private def bandedGraphSql(tail: String): String =
-    """WITH h AS (
+    materializeCtes("""WITH h AS (
       |  SELECT b, list_transform(generate_series(0, 63),
       |    d -> (CAST('0x' || substr(md5('rhp:' || CAST(b AS VARCHAR) || ':' || CAST(d AS VARCHAR)), 1, 8) AS UBIGINT) % 2000001) / 1000000.0 - 1.0) AS hv
       |  FROM generate_series(0, 63) t(b)),
@@ -2166,7 +2181,7 @@ object Ext {
       |    CAST(row_number() OVER (PARTITION BY src_id ORDER BY cos_sim DESC, nbr_id ASC) AS INT) AS rank
       |  FROM scored
       |  QUALIFY rank <= 5)
-      |""".stripMargin + tail
+      |""".stripMargin + tail)
 
   /** The x99 graph-curation replay up to `comps` (recursive min-label
     * components of the >=0.4 mutual pairs) and `pr5` (the x93
@@ -5335,15 +5350,16 @@ object Ext {
            |  FROM pool$t ORDER BY cov ASC, vec_id ASC LIMIT 1),
            |u$t AS (SELECT * FROM u${t - 1} UNION ALL SELECT * FROM s$t)""".stripMargin
       }.mkString(",\n")
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |s1 AS (
-         |  SELECT 1 AS sel_rank, vec_id, CAST(NULL AS BIGINT) AS cov_fix, v
-         |  FROM e ORDER BY vec_id ASC LIMIT 1),
-         |u1 AS (SELECT * FROM s1),
-         |$rounds
-         |SELECT sel_rank, vec_id, cov_fix,
-         |  round(CAST(cov_fix AS DOUBLE) / 1000000000.0, 6) AS cov
-         |FROM u8 ORDER BY sel_rank""".stripMargin
+      materializeCtes(
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |s1 AS (
+           |  SELECT 1 AS sel_rank, vec_id, CAST(NULL AS BIGINT) AS cov_fix, v
+           |  FROM e ORDER BY vec_id ASC LIMIT 1),
+           |u1 AS (SELECT * FROM s1),
+           |$rounds
+           |SELECT sel_rank, vec_id, cov_fix,
+           |  round(CAST(cov_fix AS DOUBLE) / 1000000000.0, 6) AS cov
+           |FROM u8 ORDER BY sel_rank""".stripMargin)
     },
 
     // Graph-curated dedup replay: the graph CTE feeds the ≥0.4 mutual

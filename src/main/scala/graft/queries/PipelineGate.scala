@@ -110,7 +110,7 @@ object PipelineGate {
     * spans / x48 LM / x34 near-dup / x54 mix) re-pointed at the previous
     * stage's CTE exactly as the Spark plan chains DataFrames. */
   private val pipelineCtes: String =
-    """WITH RECURSIVE q AS (
+    Ext.materializeCtes("""WITH RECURSIVE q AS (
         |  SELECT doc_id, text,
         |    len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tokens,
         |    CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
@@ -230,7 +230,7 @@ object PipelineGate {
         |  FROM d5 JOIN documents d USING (doc_id) JOIN r6 ON r6.lang = d.lang
         |  WHERE r6.cut >= 65536 OR
         |    substr(md5(CAST(d5.doc_id AS VARCHAR)), 1, 4) < printf('%04x', r6.cut))
-        |""".stripMargin
+        |""".stripMargin)
 
   val oracle: Map[String, String] = Map(
     "p01_pipeline_clean_mix" ->
