@@ -248,6 +248,38 @@ object Chunking {
       .drop("rk")
   }
 
+  /** EPOCH-SHUFFLE manifest: the reproducible global training-order
+    * permutation for one epoch, realized as (shard, pos) coordinates —
+    * the form a distributed loader actually consumes (write shard
+    * files once, read each sequentially), not a materialized reorder
+    * of the corpus. shard = first 8 md5 hex digits of
+    * `epoch:<epoch>:<id>` mod `nShards`; pos = the row's rank inside
+    * its shard by (full md5 hex, id). A new epoch re-keys everything —
+    * a fresh permutation per epoch from the same one-line recipe, and
+    * both coordinates replay bit-for-bit in any engine (the md5-affine
+    * x66 convention; no RNG state to ship).
+    *
+    * Scale (100 TB): one hash shuffle on `shard` (uniform by
+    * construction — md5 is the partitioner) and a per-shard sort of
+    * corpus/nShards rows inside the rank window; `nShards` is the
+    * parallelism dial (10⁴ shards → ~10 GB sorts that spill cleanly),
+    * and there is NO global sort and no driver-side permutation
+    * table. */
+  def epochShuffle(df: DataFrame, idCol: String, epoch: Int,
+                   nShards: Int): DataFrame = {
+    require(nShards > 0, s"need a positive shard count, got $nShards")
+    require(epoch >= 0, s"need a non-negative epoch, got $epoch")
+    val hx = md5(concat(lit(s"epoch:$epoch:"), col(idCol).cast("string")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("__hx"), col(idCol))
+    df.withColumn("__hx", hx)
+      .withColumn("shard",
+        (conv(substring(col("__hx"), 1, 8), 16, 10).cast("long")
+          % nShards).cast("int"))
+      .withColumn("pos", row_number().over(w).cast("long") - 1)
+      .drop("__hx")
+  }
+
   /** SQRT-TEMPERATURE rebalancing (the α = 0.5 of multilingual-mix
     * practice): downsample each group to rate √(n_min/n_g), so the kept
     * distribution flattens toward the α-tempered one while the smallest

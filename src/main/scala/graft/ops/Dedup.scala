@@ -710,6 +710,42 @@ object Dedup {
         .select(col("id").as(idCol)),
       Seq(idCol), "leftsemi")
 
+  /** LEAKAGE-SAFE train/val/test split: assign the split at the
+    * NEAR-DUP-CLUSTER level, not the document level — the discipline
+    * that keeps a validation document's near-duplicate out of train
+    * (a doc-level hash split leaks every cluster that straddles the
+    * cut, which is exactly the memorization-measurement failure the
+    * split exists to prevent). `components` is
+    * [[connectedComponents]]' raw output (`id`, `cluster_id`); the
+    * split is a pure function of cluster_id — the first 4 md5 hex
+    * digits of `<salt>:<cluster_id>` against permille cuts at
+    * [[Chunking.hashKeepFraction]]'s 1/65536 granularity (val below
+    * the val cut, test below val+test, train above) — so members of a
+    * cluster CANNOT disagree, singletons split i.i.d., and the
+    * assignment replays bit-for-bit in any engine.
+    *
+    * Scale shape: a per-row codegen'd expression over the cluster
+    * frame — no shuffle beyond what component-finding already paid,
+    * no coordination; expected split sizes are permille-exact over
+    * clusters (doc-level fractions inherit cluster-size variance,
+    * which is the price of leakage safety). */
+  def leakageSafeSplit(components: DataFrame, valPermille: Int = 50,
+                       testPermille: Int = 50,
+                       salt: String = "split"): DataFrame = {
+    require(valPermille >= 0 && testPermille >= 0 &&
+      valPermille + testPermille <= 1000,
+      s"permilles must be >= 0 and sum <= 1000: $valPermille/$testPermille")
+    val valCut = math.floor(valPermille / 1000.0 * 65536 + 0.5).toInt
+    val testCut = valCut +
+      math.floor(testPermille / 1000.0 * 65536 + 0.5).toInt
+    val u = conv(substring(md5(concat(lit(s"$salt:"),
+      col("cluster_id").cast("string"))), 1, 4), 16, 10).cast("int")
+    components.withColumn("split",
+      when(u < valCut, lit("val"))
+        .when(u < testCut, lit("test"))
+        .otherwise(lit("train")))
+  }
+
   /** Benchmark decontamination: flag corpus documents sharing at least one
     * word `n`-gram with a benchmark/eval set — the overlap check every
     * training corpus runs before release (n=8..13 typical; exact match on
@@ -878,12 +914,37 @@ object Dedup {
                           idCol: String, textCol: String,
                           benchIdCol: String, benchTextCol: String,
                           ngramN: Int = 8, minShared: Int = 1): DataFrame = {
+    val cs = Caches.persistTracked(
+      contaminationShingles(corpus, idCol, textCol, ngramN))
+    contaminationReportFromShingles(cs, bench, benchIdCol, benchTextCol,
+      ngramN, minShared)
+  }
+
+  /** The corpus-side precompute of [[contaminationReport]]: one row per
+    * (doc, distinct shingle digest) — columns `__did`, `t`. Build (and
+    * persist/write) ONCE per corpus; every subsequent benchmark audit
+    * reuses it, which is the incremental form a living eval suite needs
+    * (new benchmarks keep arriving; the 100-TB corpus must not be
+    * re-shingled per audit). */
+  def contaminationShingles(corpus: DataFrame, idCol: String,
+                            textCol: String, ngramN: Int = 8): DataFrame = {
+    require(ngramN >= 1, s"need ngramN >= 1: $ngramN")
+    ngrams(corpus.select(col(idCol).as("__did"), col(textCol).as("__txt")),
+        "__txt", ngramN)
+      .select(col("__did"), md5(col("g")).as("t"))
+  }
+
+  /** [[contaminationReport]] against a PREBUILT corpus shingle table
+    * ([[contaminationShingles]]' output) — the audit-one-benchmark step.
+    * Each benchmark's report rows are disjoint from every other
+    * benchmark's (keyed by bench doc id), so incremental audits fold by
+    * plain union: batch order and boundaries provably cannot show. */
+  def contaminationReportFromShingles(cs: DataFrame, bench: DataFrame,
+                                      benchIdCol: String, benchTextCol: String,
+                                      ngramN: Int = 8,
+                                      minShared: Int = 1): DataFrame = {
     require(ngramN >= 1 && minShared >= 1,
       s"need ngramN >= 1, minShared >= 1: $ngramN/$minShared")
-    val cs = Caches.persistTracked(
-      ngrams(corpus.select(col(idCol).as("__did"), col(textCol).as("__txt")),
-          "__txt", ngramN)
-        .select(col("__did"), md5(col("g")).as("t")))
     val bs = ngrams(
         bench.select(col(benchIdCol).as("__bid"), col(benchTextCol).as("__txt")),
         "__txt", ngramN)

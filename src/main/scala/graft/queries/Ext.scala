@@ -2072,6 +2072,36 @@ object Ext {
              sum(col("n_chunk_tokens")).cast("long").as("pack_tokens"))
         .orderBy("source", "pack_id")
     },
+
+    // EPOCH-SHUFFLE manifest (x129): the reproducible training-order
+    // permutation for epoch 1 as (shard, pos) loader coordinates —
+    // md5-keyed shard routing + per-shard rank, no global sort, no RNG
+    // state. A different epoch re-keys the whole permutation.
+    "x129_epoch_shuffle" -> { (s, dir) =>
+      Chunking.epochShuffle(
+          Tables.documents(s, dir).select("doc_id"),
+          "doc_id", epoch = 1, nShards = 8)
+        .select(col("doc_id"), col("shard"), col("pos"))
+        .orderBy("shard", "pos")
+    },
+
+    // LEAKAGE-SAFE SPLIT (x130): train/val/test assigned at the
+    // near-dup-CLUSTER level (the x16 components) so a validation doc's
+    // near-duplicate can never sit in train — the split is a pure
+    // md5 function of cluster_id (5%/5% permille cuts), so cluster
+    // members provably agree and the assignment replays anywhere.
+    "x130_leakage_safe_split" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.ngramJaccardPairs(docs,
+          idCol = "doc_id", textCol = "text", blockCol = "lang",
+          n = 3, threshold = 0.5)
+        .select("a_id", "b_id")
+      val comps = Dedup.connectedComponents(docs.select("doc_id"), "doc_id",
+        pairs)
+      Dedup.leakageSafeSplit(comps, valPermille = 50, testPermille = 50)
+        .select(col("id").as("doc_id"), col("cluster_id"), col("split"))
+        .orderBy("doc_id")
+    },
   )
 
   /** x72's full replay, parameterized by the Lloyd-TRAINING source
@@ -5984,6 +6014,54 @@ object Ext {
         |SELECT source, pack_id, COUNT(*) AS n_chunks,
         |  CAST(SUM(n_chunk_tokens) AS BIGINT) AS pack_tokens
         |FROM f GROUP BY source, pack_id ORDER BY source, pack_id""".stripMargin,
+
+    // Epoch-shuffle replay: the same md5('epoch:1:' || id) key — first
+    // 8 hex mod 8 routes the shard, rank by (full hex, id) is the
+    // position. Both engines evaluate the identical hex arithmetic.
+    "x129_epoch_shuffle" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    md5('epoch:1:' || CAST(doc_id AS VARCHAR)) AS hx
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(CAST('0x' || substr(hx, 1, 8) AS UBIGINT) % 8 AS INT) AS shard,
+        |  CAST(row_number() OVER (
+        |    PARTITION BY CAST('0x' || substr(hx, 1, 8) AS UBIGINT) % 8
+        |    ORDER BY hx, doc_id) - 1 AS BIGINT) AS pos
+        |FROM m ORDER BY shard, pos""".stripMargin,
+
+    // Leakage-safe-split replay: x16's cluster walk verbatim, then the
+    // pure-function-of-cluster_id split — first 4 md5 hex of
+    // 'split:<cluster_id>' against the 5%/5% 1/65536-granularity cuts.
+    "x130_leakage_safe_split" ->
+      """WITH RECURSIVE tok AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS ts FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |tri AS (
+        |  SELECT DISTINCT doc_id, lang,
+        |    unnest(list_transform(generate_series(1, len(ts) - 2),
+        |      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS g
+        |  FROM tok),
+        |nt AS (SELECT doc_id, COUNT(*) AS n FROM tri GROUP BY doc_id),
+        |cand AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS common
+        |  FROM tri a JOIN tri b ON a.g = b.g AND a.lang = b.lang AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |p AS (
+        |  SELECT a_id, b_id FROM cand
+        |  JOIN nt na ON a_id = na.doc_id JOIN nt nb ON b_id = nb.doc_id
+        |  WHERE common * 1.0 / (na.n + nb.n - common) >= 0.5),
+        |edges AS (SELECT a_id AS u, b_id AS v FROM p UNION SELECT b_id, a_id FROM p),
+        |walk(id, reach) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT w.id, e.v FROM walk w JOIN edges e ON w.reach = e.u),
+        |comp AS (SELECT id AS doc_id, MIN(reach) AS cluster_id FROM walk GROUP BY id)
+        |SELECT doc_id, cluster_id,
+        |  CASE WHEN CAST('0x' || substr(md5('split:' || CAST(cluster_id AS VARCHAR)), 1, 4) AS INT) < 3277 THEN 'val'
+        |       WHEN CAST('0x' || substr(md5('split:' || CAST(cluster_id AS VARCHAR)), 1, 4) AS INT) < 6554 THEN 'test'
+        |       ELSE 'train' END AS split
+        |FROM comp ORDER BY doc_id""".stripMargin,
 
     // Decontamination replay: the same 5-gram shingling (x122's split
     // convention, md5 digests, per-doc DISTINCT), the overlap join,

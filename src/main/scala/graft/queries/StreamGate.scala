@@ -173,6 +173,26 @@ object StreamGate {
     })
   }
 
+  /** BENCHMARK-DOC topic for the streaming decontamination gate (s29):
+    * x125's benchmark side (the planted %13 eval set, bench_id =
+    * doc_id + 300000) serialized as JSON — the living-eval-suite feed
+    * whose arrivals the gate audits incrementally. Memoized per
+    * (JVM, sf dir). */
+  private val benchTopics = TrieMap.empty[String, String]
+  private def benchDocsTopic(s: SparkSession, dir: String): String = synchronized {
+    benchTopics.getOrElseUpdate(dir, {
+      val topic = s"gate_bench_${java.util.UUID.randomUUID().toString.take(8)}"
+      Tables.documents(s, dir).filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 300000).cast("string").as("key"),
+          to_json(struct((col("doc_id") + 300000).as("bench_id"),
+            col("text"))).as("value"),
+          to_timestamp(lit("2024-01-01 00:00:00")).as("timestamp"))
+        .write.format("graft-topic").mode("append")
+        .option("topic", topic).option("partitions", "4").save()
+      topic
+    })
+  }
+
   /** Typed-measurement topic for the streaming anomaly gate (s21):
     * events re-serialized WITH their event_id (the shared
     * [[eventsTopic]] carries only user/type/value — the z-score report
@@ -2181,6 +2201,62 @@ object StreamGate {
             .orderBy("source", "pack_id"))
       }
     },
+
+    // Streaming DECONTAMINATION maintenance (s29): x125's cross-corpus
+    // audit kept incrementally as BENCHMARK docs arrive — the
+    // living-eval-suite shape: the 100-TB corpus is shingled ONCE
+    // (persisted here; a written digest table at scale) and each
+    // micro-batch audits only its arriving benchmark rows against it,
+    // so incremental cost ∝ batch, never ∝ corpus. Report rows are
+    // keyed by bench doc id — disjoint across batches — so the fold is
+    // plain union: batch order and boundaries provably cannot show.
+    // Oracle = x125's SQL verbatim. ≥2 data batches asserted; scoped
+    // per-batch checkpoints (one live copy).
+    "s29_stream_decontamination" -> { (s, dir) =>
+      val topic = benchDocsTopic(s, dir)
+      withGateConf(s) {
+        var rep: graft.ops.Checkpointed = null
+        val ckpt = gateTmpDir("s29_ckpt_")
+        val cs = graft.ops.Caches.persistTracked(
+          graft.ops.Dedup.contaminationShingles(
+            Tables.documents(s, dir).select("doc_id", "text"),
+            "doc_id", "text", ngramN = 5))
+        try {
+  val q = s.readStream.format("graft-topic")
+            .option("topic", topic)
+            .option("maxRecordsPerTrigger",
+              math.max(1L, (topicSize(topic) + 2) / 3).toString)
+            .load()
+            .select(from_json(col("value").cast("string"),
+              org.apache.spark.sql.types.StructType.fromDDL(
+                "bench_id BIGINT, text STRING")).as("j"))
+            .select(col("j.bench_id").as("bench_id"), col("j.text").as("text"))
+            .writeStream
+            .foreachBatch { (df: DataFrame, _: Long) =>
+              if (!df.isEmpty) {
+                val br = graft.ops.Dedup.contaminationReportFromShingles(
+                  cs, df, "bench_id", "text", ngramN = 5, minShared = 2)
+                val next = graft.ops.Caches.localCheckpointScoped(
+                  if (rep == null) br else rep.df.unionByName(br))
+                if (rep != null) rep.release()
+                rep = next
+              }
+              ()
+            }
+            .option("checkpointLocation", ckpt.toString)
+            .trigger(Trigger.AvailableNow())
+            .start()
+          drain(q, ckpt)
+          require(dataBatches(q) >= 2,
+            s"s29 must fold across batches; ran ${dataBatches(q)} data batches")
+          graft.ops.Caches.localCheckpointTracked(
+            graft.ops.Caches.adopt(rep).orderBy("doc_id", "bench_id"))
+        } catch {
+          // a failed drain/fold must not strand scoped blocks
+          case t: Throwable => if (rep != null) rep.release(); throw t
+        }
+      }
+    },
   )
 
   private val streamStreamEntry: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
@@ -2416,6 +2492,11 @@ object StreamGate {
     // table iff the kill window neither replayed nor skipped a chunk —
     // x128's SQL verbatim.
     "s28_stream_packing_restart" -> Ext.oracle("x128_strict_packing"),
+
+    // The corpus shingle table is static and each benchmark doc's
+    // report rows depend only on that doc's own shingles, so per-batch
+    // audits union to the one-shot audit — x125's SQL verbatim.
+    "s29_stream_decontamination" -> Ext.oracle("x125_decontamination"),
 
     // Shard membership is a pure function of the row and every manifest
     // field commutes, so the streamed partitioned tree's manifest equals

@@ -3558,4 +3558,96 @@ class OpsSpec extends AnyFunSuite {
     assert(fo.forall(r => r.isNullAt(3) && !r.getBoolean(4)),
       "zero-variance slice must emit null z and false flags")
   }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("epochShuffle: md5-reference coordinates, dense positions, epoch re-keys") {
+    import spark.implicits._
+    val ids = docs.select("doc_id").as[Long].collect().toSeq
+    val want = ids.map { id =>
+        val h = md5hex(s"epoch:1:$id")
+        (id, (java.lang.Long.parseLong(h.take(8), 16) % 8).toInt, h)
+      }
+      .groupBy(_._2).toSeq.flatMap { case (_, rows) =>
+        rows.sortBy { case (id, _, h) => (h, id) }.zipWithIndex
+          .map { case ((id, sh, _), pos) => (id, sh, pos.toLong) }
+      }.toSet
+    val got = graft.ops.Chunking.epochShuffle(
+        docs.select("doc_id"), "doc_id", epoch = 1, nShards = 8)
+      .select("doc_id", "shard", "pos").as[(Long, Int, Long)].collect().toSet
+    assert(got == want, "epoch-1 coordinates diverged from the md5 reference")
+    // dense per-shard positions: each shard holds exactly 0..n-1
+    got.groupBy(_._2).foreach { case (sh, rows) =>
+      assert(rows.map(_._3) == (0L until rows.size).toSet,
+        s"shard $sh positions not dense 0..${rows.size - 1}")
+    }
+    // every row appears exactly once, and multiple shards are populated
+    assert(got.size == ids.size && got.map(_._1) == ids.toSet)
+    assert(got.map(_._2).size >= 4, "md5 routing should populate most shards")
+    // a new epoch is a fresh permutation of the SAME rows
+    val e2 = graft.ops.Chunking.epochShuffle(
+        docs.select("doc_id"), "doc_id", epoch = 2, nShards = 8)
+      .select("doc_id", "shard", "pos").as[(Long, Int, Long)].collect().toSet
+    assert(e2.map(_._1) == got.map(_._1) && e2 != got,
+      "epoch 2 must re-key the permutation over the same rows")
+    intercept[IllegalArgumentException] {
+      graft.ops.Chunking.epochShuffle(docs.select("doc_id"), "doc_id", 1, 0)
+    }
+  }
+
+  test("leakageSafeSplit: members of a cluster provably agree; md5 cuts exact") {
+    import spark.implicits._
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", "lang", 3, 0.5)
+      .select("a_id", "b_id")
+    val comps = Dedup.connectedComponents(docs.select("doc_id"), "doc_id", pairs)
+    val out = Dedup.leakageSafeSplit(comps, valPermille = 50, testPermille = 50)
+      .select(col("id"), col("cluster_id"), col("split"))
+      .as[(Long, Long, String)].collect().toSeq
+    assert(out.size == docs.count(), "split must cover every document")
+    // the leakage law: no near-dup cluster straddles a split boundary —
+    // non-vacuous because the fixture plants multi-member clusters
+    val byCluster = out.groupBy(_._2)
+    assert(byCluster.exists(_._2.size > 1), "fixture lost its planted clusters")
+    byCluster.foreach { case (c, rows) =>
+      assert(rows.map(_._3).distinct.size == 1, s"cluster $c straddles splits")
+    }
+    // the assignment is the documented pure function of cluster_id
+    out.foreach { case (_, c, split) =>
+      val u = Integer.parseInt(md5hex(s"split:$c").take(4), 16)
+      val want = if (u < 3277) "val" else if (u < 6554) "test" else "train"
+      assert(split == want, s"cluster $c: got $split want $want (u=$u)")
+    }
+    // both held-out splits draw members; train keeps the bulk
+    val n = out.size.toDouble
+    assert(out.count(_._3 == "train") > 0.8 * n,
+      "train must keep the bulk at 5%/5% cuts")
+    intercept[IllegalArgumentException] {
+      Dedup.leakageSafeSplit(comps, valPermille = 600, testPermille = 600)
+    }
+    graft.ops.Caches.releaseAll()
+  }
+
+  test("contamination audit: per-batch folds over prebuilt shingles == one-shot") {
+    val corpus = docs.select("doc_id", "text")
+    val bench = docs.filter(col("doc_id") % 13 === 0)
+      .select((col("doc_id") + 300000).as("bench_id"), col("text"))
+    val whole = Dedup.contaminationReport(corpus, bench, "doc_id", "text",
+        "bench_id", "text", ngramN = 5, minShared = 2)
+      .orderBy("doc_id", "bench_id").collect().toSeq
+    assert(whole.nonEmpty, "fixture must plant contaminated pairs")
+    // the s29 shape: shingle the corpus ONCE, audit benchmark arrivals in
+    // two batches, fold by union — equal to the one-shot audit because
+    // report rows are keyed by bench doc id (disjoint across batches)
+    val cs = graft.ops.Caches.persistTracked(
+      Dedup.contaminationShingles(corpus, "doc_id", "text", ngramN = 5))
+    val folded = Dedup.contaminationReportFromShingles(cs,
+        bench.filter(col("bench_id") % 2 === 0), "bench_id", "text", 5, 2)
+      .unionByName(Dedup.contaminationReportFromShingles(cs,
+        bench.filter(col("bench_id") % 2 =!= 0), "bench_id", "text", 5, 2))
+      .orderBy("doc_id", "bench_id").collect().toSeq
+    assert(folded == whole, "batched audit folds must equal the one-shot audit")
+    graft.ops.Caches.releaseAll()
+  }
 }

@@ -1151,4 +1151,40 @@ class ScaleSpec extends AnyFunSuite {
            !rplan.contains("SortMergeJoin"),
       s"carried pack state must broadcast onto the shard fold:\n$rplan")
   }
+
+  test("x129 epoch shuffle: ONE shard shuffle, per-shard rank, no global sort") {
+    val plan = graft.ops.Chunking.epochShuffle(
+        Tables.documents(spark, dir).select("doc_id"), "doc_id",
+        epoch = 1, nShards = 8)
+      .queryExecution.executedPlan.toString
+    // the permutation is realized as (shard, pos) coordinates: one hash
+    // shuffle on the md5 shard key and a rank window INSIDE each shard —
+    // never a corpus-wide rangepartitioned sort
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"global sort in the epoch-shuffle plan:\n$plan")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles == 1,
+      s"epoch shuffle must shuffle ONCE, on the shard key (got $shuffles):\n$plan")
+    assert(plan.contains("Window") && plan.contains("row_number"),
+      s"per-shard rank window missing:\n$plan")
+  }
+
+  test("x130 leakage-safe split: assignment adds NO shuffle beyond components") {
+    val docs = Tables.documents(spark, dir)
+    val pairs = graft.ops.Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      "lang", 3, 0.5).select("a_id", "b_id")
+    val comps = graft.ops.Dedup.connectedComponents(
+      docs.select("doc_id"), "doc_id", pairs)
+    def exchanges(p: String): Int = "Exchange ".r.findAllIn(p).size
+    val base = exchanges(comps.queryExecution.executedPlan.toString)
+    val split = graft.ops.Dedup.leakageSafeSplit(comps)
+      .queryExecution.executedPlan.toString
+    // the split is a per-row codegen'd md5 expression over the cluster
+    // frame — component-finding already paid every shuffle there is
+    assert(exchanges(split) == base,
+      s"split added a shuffle beyond component-finding:\n$split")
+    assert(!split.contains("CartesianProduct") &&
+           !split.contains("BroadcastNestedLoop"), split)
+    graft.ops.Caches.releaseAll()
+  }
 }
