@@ -248,6 +248,54 @@ object Chunking {
       .drop("rk")
   }
 
+  /** TOKEN-BUDGET mixture realization: given per-group mix weights (in
+    * permille) and a total token budget, derive each group's keep rate
+    * IN-PLAN and realize the mix with the deterministic md5 predicate —
+    * the "assemble a 1T-token mix at 50% web / 30% wiki / 20% books"
+    * step, downsample-only. Exact integer arithmetic end to end (the
+    * [[temperatureMix]] discipline): target_g = budget·w_g div 1000,
+    * cut_g = target_g·65536 div tokens_g in a DECIMAL(38,0) lane (so a
+    * 10¹⁷-token budget cannot wrap), capped at 65536 when the group is
+    * OVER-subscribed (target > available: the engine keeps everything
+    * and the gap is visible as target_tokens > n_tokens — a filter
+    * cannot upsample; epoch the shortfall with [[epochShuffle]]).
+    * Groups absent from `weightsPermille` get weight 0 and drop — "not
+    * in the mix". Keep decisions hash per ROW at the group's rate, so
+    * kept TOKENS land on target in expectation (docs are exchangeable
+    * w.r.t. md5) — the report columns make the realized mix auditable.
+    *
+    * Returns docs + (n_tokens, w_permille, target_tokens, cut, keep).
+    *
+    * Scale shape: one count aggregate over the corpus, a broadcast of
+    * the group-sized plan table, and a per-row codegen'd md5 predicate
+    * — linear, one shuffle, identical to [[temperatureMix]]'s. */
+  def mixtureBudgetMix(docs: DataFrame, groupCol: String, idCol: String,
+                       tokenCol: String, weightsPermille: Map[String, Int],
+                       budgetTokens: Long): DataFrame = {
+    require(budgetTokens >= 0, s"need a non-negative budget, got $budgetTokens")
+    require(weightsPermille.nonEmpty &&
+      weightsPermille.values.forall(w => w >= 0 && w <= 1000) &&
+      weightsPermille.values.sum <= 1000,
+      s"weights must be permille values summing to <= 1000: $weightsPermille")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wdf = weightsPermille.toSeq.toDF(groupCol, "w_permille")
+    val plan = docs.groupBy(col(groupCol))
+      .agg(sum(col(tokenCol)).cast("long").as("n_tokens"))
+      .join(wdf, Seq(groupCol), "left")
+      .withColumn("w_permille", coalesce(col("w_permille"), lit(0)))
+      .withColumn("target_tokens", expr(
+        s"CAST((${budgetTokens}L * CAST(w_permille AS BIGINT)) div 1000 AS BIGINT)"))
+      .withColumn("cut",
+        when(col("target_tokens") >= col("n_tokens"), lit(65536))
+          .otherwise(expr("CAST((CAST(target_tokens AS DECIMAL(38,0)) * 65536)" +
+            " div n_tokens AS INT)")))
+    docs.join(broadcast(plan), Seq(groupCol))
+      .withColumn("keep", col("cut") >= 65536 ||
+        substring(md5(col(idCol).cast("string")), 1, 4) <
+          lower(lpad(conv(col("cut"), 10, 16), 4, "0")))
+  }
+
   /** EPOCH-SHUFFLE manifest: the reproducible global training-order
     * permutation for one epoch, realized as (shard, pos) coordinates —
     * the form a distributed loader actually consumes (write shard

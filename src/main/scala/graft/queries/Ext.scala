@@ -2102,6 +2102,29 @@ object Ext {
         .select(col("id").as("doc_id"), col("cluster_id"), col("split"))
         .orderBy("doc_id")
     },
+
+    // TOKEN-BUDGET mixture (x131): realize a 40k-token mix at
+    // en 50% / zh 20% / de 15% / fr 15% (es NOT in the mix → dropped) —
+    // per-group rates derived IN-PLAN by exact integer arithmetic
+    // (target = budget·w div 1000, cut = target·65536 div tokens in a
+    // DECIMAL(38,0) lane), realized by the md5 keep predicate. The
+    // report row per group makes the realized mix auditable: target vs
+    // kept tokens, the cut, the drop path.
+    "x131_budget_mix" -> { (s, dir) =>
+      Chunking.mixtureBudgetMix(Tables.documents(s, dir),
+          "lang", "doc_id", "n_chars",
+          Map("en" -> 500, "zh" -> 200, "de" -> 150, "fr" -> 150),
+          budgetTokens = 40000L)
+        .groupBy("lang")
+        .agg(max(col("n_tokens")).as("n_tokens"),
+          max(col("w_permille")).cast("long").as("w_permille"),
+          max(col("target_tokens")).as("target_tokens"),
+          max(col("cut")).cast("long").as("cut"),
+          count_if(col("keep")).as("n_kept"),
+          coalesce(sum(when(col("keep"), col("n_chars"))), lit(0L))
+            .cast("long").as("kept_tokens"))
+        .orderBy("lang")
+    },
   )
 
   /** x72's full replay, parameterized by the Lloyd-TRAINING source
@@ -6062,6 +6085,39 @@ object Ext {
         |       WHEN CAST('0x' || substr(md5('split:' || CAST(cluster_id AS VARCHAR)), 1, 4) AS INT) < 6554 THEN 'test'
         |       ELSE 'train' END AS split
         |FROM comp ORDER BY doc_id""".stripMargin,
+
+    // Budget-mix replay: the same integer plan arithmetic (permille
+    // target, DECIMAL(38,0) cut lane, 65536 cap) and the same md5 keep
+    // predicate; groups outside the weight map fall to w = 0.
+    "x131_budget_mix" ->
+      """WITH s AS (
+        |  SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |w(lang, w_permille) AS (
+        |  VALUES ('en', 500), ('zh', 200), ('de', 150), ('fr', 150)),
+        |p AS (
+        |  SELECT s.lang, s.n_tokens,
+        |    COALESCE(w.w_permille, 0) AS w_permille,
+        |    (40000 * CAST(COALESCE(w.w_permille, 0) AS BIGINT)) // 1000 AS target_tokens
+        |  FROM s LEFT JOIN w USING (lang)),
+        |pc AS (
+        |  SELECT *, CASE WHEN target_tokens >= n_tokens THEN 65536
+        |    ELSE CAST((CAST(target_tokens AS HUGEINT) * 65536) // n_tokens AS INT)
+        |    END AS cut
+        |  FROM p),
+        |k AS (
+        |  SELECT d.lang, d.doc_id, d.n_chars, pc.n_tokens, pc.w_permille,
+        |    pc.target_tokens, pc.cut,
+        |    (pc.cut >= 65536 OR
+        |     substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < printf('%04x', pc.cut)) AS keep
+        |  FROM documents d JOIN pc USING (lang))
+        |SELECT lang, CAST(MAX(n_tokens) AS BIGINT) AS n_tokens,
+        |  CAST(MAX(w_permille) AS BIGINT) AS w_permille,
+        |  CAST(MAX(target_tokens) AS BIGINT) AS target_tokens,
+        |  CAST(MAX(cut) AS BIGINT) AS cut,
+        |  CAST(count_if(keep) AS BIGINT) AS n_kept,
+        |  CAST(COALESCE(SUM(CASE WHEN keep THEN n_chars END), 0) AS BIGINT) AS kept_tokens
+        |FROM k GROUP BY lang ORDER BY lang""".stripMargin,
 
     // Decontamination replay: the same 5-gram shingling (x122's split
     // convention, md5 digests, per-doc DISTINCT), the overlap join,

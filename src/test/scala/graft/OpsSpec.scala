@@ -3629,6 +3629,49 @@ class OpsSpec extends AnyFunSuite {
     graft.ops.Caches.releaseAll()
   }
 
+  test("mixtureBudgetMix: integer plan arithmetic, md5 keeps, drop + cap paths") {
+    import spark.implicits._
+    val weights = Map("en" -> 500, "zh" -> 200, "de" -> 150, "fr" -> 150)
+    val out = graft.ops.Chunking.mixtureBudgetMix(docs, "lang", "doc_id",
+        "n_chars", weights, budgetTokens = 40000L)
+      .select(col("lang"), col("doc_id"), col("n_tokens"), col("w_permille"),
+        col("target_tokens"), col("cut"), col("keep"))
+      .as[(String, Long, Long, Int, Long, Int, Boolean)].collect().toSeq
+    assert(out.size == docs.count(), "every doc must carry a plan row")
+    // the plan columns replay the documented integer arithmetic
+    val tokens = docs.groupBy("lang").agg(sum("n_chars").cast("long"))
+      .as[(String, Long)].collect().toMap
+    out.foreach { case (lang, id, n, w, target, cut, keep) =>
+      assert(n == tokens(lang), s"$lang n_tokens")
+      assert(w == weights.getOrElse(lang, 0), s"$lang weight")
+      assert(target == 40000L * w / 1000, s"$lang target")
+      val wantCut =
+        if (target >= n) 65536
+        else ((BigInt(target) * 65536) / n).toInt
+      assert(cut == wantCut, s"$lang cut: $cut vs $wantCut")
+      val wantKeep = cut >= 65536 ||
+        md5hex(id.toString).take(4) < f"$cut%04x"
+      assert(keep == wantKeep, s"doc $id keep")
+    }
+    // the not-in-the-mix path: es has weight 0, cut 0, keeps nothing
+    assert(out.filter(_._1 == "es").forall(r => r._6 == 0 && !r._7),
+      "groups outside the weight map must drop entirely")
+    // the over-subscribed CAP path: a tiny group with a huge budget
+    val tiny = Seq(("a", 1L, 10L), ("a", 2L, 10L), ("b", 3L, 10L))
+      .toDF("g", "id", "tok")
+    val capped = graft.ops.Chunking.mixtureBudgetMix(tiny, "g", "id", "tok",
+        Map("a" -> 1000), budgetTokens = 1000000L)
+      .select(col("g"), col("cut"), col("keep"))
+      .as[(String, Int, Boolean)].collect()
+    assert(capped.filter(_._1 == "a").forall(r => r._2 == 65536 && r._3),
+      "over-subscribed group must cap at keep-everything")
+    assert(capped.filter(_._1 == "b").forall(!_._3), "unweighted group drops")
+    intercept[IllegalArgumentException] {
+      graft.ops.Chunking.mixtureBudgetMix(tiny, "g", "id", "tok",
+        Map("a" -> 900, "b" -> 200), 100L)
+    }
+  }
+
   test("contamination audit: per-batch folds over prebuilt shingles == one-shot") {
     val corpus = docs.select("doc_id", "text")
     val bench = docs.filter(col("doc_id") % 13 === 0)
