@@ -268,20 +268,53 @@ object Chunking {
     *
     * Scale shape: one count aggregate over the corpus, a broadcast of
     * the group-sized plan table, and a per-row codegen'd md5 predicate
-    * — linear, one shuffle, identical to [[temperatureMix]]'s. */
+    * — linear, one shuffle, identical to [[temperatureMix]]'s.
+    *
+    * Decomposes into [[mixtureStats]] → [[mixturePlanFromStats]] →
+    * [[applyMixturePlan]]: the stats are group-sized integer sums
+    * (folded by add — [[mixtureStatsMerge]]), the plan is a pure
+    * function of them, and keeps are a read-time PREDICATE of the plan
+    * — so the streaming-maintained artifact is the tiny stats/plan
+    * state, never a materialized keep set (a retroactive cut change
+    * re-scores at scan time for free). */
   def mixtureBudgetMix(docs: DataFrame, groupCol: String, idCol: String,
                        tokenCol: String, weightsPermille: Map[String, Int],
-                       budgetTokens: Long): DataFrame = {
+                       budgetTokens: Long): DataFrame =
+    applyMixturePlan(docs,
+      mixturePlanFromStats(mixtureStats(docs, groupCol, tokenCol),
+        groupCol, weightsPermille, budgetTokens),
+      groupCol, idCol)
+
+  /** The group-sized token-sum state behind [[mixtureBudgetMix]]:
+    * (groupCol, n_tokens). Integer sums — associative-commutative, so
+    * incremental maintenance folds batches by [[mixtureStatsMerge]]. */
+  def mixtureStats(docs: DataFrame, groupCol: String,
+                   tokenCol: String): DataFrame =
+    docs.groupBy(col(groupCol))
+      .agg(sum(col(tokenCol)).cast("long").as("n_tokens"))
+
+  /** Fold two [[mixtureStats]] frames by per-group addition. */
+  def mixtureStatsMerge(a: DataFrame, b: DataFrame,
+                        groupCol: String): DataFrame =
+    a.unionByName(b).groupBy(col(groupCol))
+      .agg(sum(col("n_tokens")).cast("long").as("n_tokens"))
+
+  /** The plan arithmetic of [[mixtureBudgetMix]] as a pure function of
+    * the stats state: (groupCol, n_tokens, w_permille, target_tokens,
+    * cut). Group-sized; at scale this is the driver-visible artifact a
+    * reader broadcasts. */
+  def mixturePlanFromStats(stats: DataFrame, groupCol: String,
+                           weightsPermille: Map[String, Int],
+                           budgetTokens: Long): DataFrame = {
     require(budgetTokens >= 0, s"need a non-negative budget, got $budgetTokens")
     require(weightsPermille.nonEmpty &&
       weightsPermille.values.forall(w => w >= 0 && w <= 1000) &&
       weightsPermille.values.sum <= 1000,
       s"weights must be permille values summing to <= 1000: $weightsPermille")
-    val spark = docs.sparkSession
+    val spark = stats.sparkSession
     import spark.implicits._
     val wdf = weightsPermille.toSeq.toDF(groupCol, "w_permille")
-    val plan = docs.groupBy(col(groupCol))
-      .agg(sum(col(tokenCol)).cast("long").as("n_tokens"))
+    stats
       .join(wdf, Seq(groupCol), "left")
       .withColumn("w_permille", coalesce(col("w_permille"), lit(0)))
       .withColumn("target_tokens", expr(
@@ -290,11 +323,17 @@ object Chunking {
         when(col("target_tokens") >= col("n_tokens"), lit(65536))
           .otherwise(expr("CAST((CAST(target_tokens AS DECIMAL(38,0)) * 65536)" +
             " div n_tokens AS INT)")))
+  }
+
+  /** Score rows against a [[mixturePlanFromStats]] plan: the broadcast
+    * join + md5 keep predicate — the read-time realization (keeps are
+    * never materialized; a new plan re-scores the same rows). */
+  def applyMixturePlan(docs: DataFrame, plan: DataFrame, groupCol: String,
+                       idCol: String): DataFrame =
     docs.join(broadcast(plan), Seq(groupCol))
       .withColumn("keep", col("cut") >= 65536 ||
         substring(md5(col(idCol).cast("string")), 1, 4) <
           lower(lpad(conv(col("cut"), 10, 16), 4, "0")))
-  }
 
   /** EPOCH-SHUFFLE manifest: the reproducible global training-order
     * permutation for one epoch, realized as (shard, pos) coordinates —

@@ -2257,6 +2257,92 @@ object StreamGate {
         }
       }
     },
+
+    // Streaming BUDGET-MIX maintenance (s30): x131's mix plan kept
+    // incrementally as catalog rows arrive — the maintained artifact is
+    // the GROUP-SIZED token-sum state (integer adds, associative-
+    // commutative: batch order and boundaries provably cannot show),
+    // from which the plan (targets, cuts) is a pure function and keeps
+    // are a READ-TIME md5 predicate — never a materialized keep set, so
+    // a cut moved by new arrivals re-scores at scan time for free. The
+    // gate accumulates the arrived rows as the exact control: the
+    // folded stats are value-pinned against the accumulated set's stats
+    // in-gate, and the emitted report applies the MAINTAINED plan to
+    // the accumulated rows — oracle = x131's SQL verbatim. ≥2 data
+    // batches asserted; scoped per-batch checkpoints (one live copy).
+    "s30_stream_budget_mix" -> { (s, dir) =>
+      val topic = docsCatalogTopic(s, dir)
+      val weights = Map("en" -> 500, "zh" -> 200, "de" -> 150, "fr" -> 150)
+      withGateConf(s) {
+        var st: graft.ops.Checkpointed = null
+        var seen: graft.ops.Checkpointed = null
+        val ckpt = gateTmpDir("s30_ckpt_")
+        try {
+  val q = s.readStream.format("graft-topic")
+            .option("topic", topic)
+            .option("maxRecordsPerTrigger",
+              math.max(1L, (topicSize(topic) + 2) / 3).toString)
+            .load()
+            .select(from_json(col("value").cast("string"),
+              org.apache.spark.sql.types.StructType.fromDDL(
+                "doc_id BIGINT, lang STRING, source STRING, n_chars BIGINT")).as("j"))
+            .select(col("j.doc_id").as("doc_id"), col("j.lang").as("lang"),
+              col("j.n_chars").as("n_chars"))
+            .writeStream
+            .foreachBatch { (df: DataFrame, _: Long) =>
+              if (!df.isEmpty) {
+                val bs = graft.ops.Chunking.mixtureStats(df, "lang", "n_chars")
+                val nextSt = graft.ops.Caches.localCheckpointScoped(
+                  if (st == null) bs
+                  else graft.ops.Chunking.mixtureStatsMerge(st.df, bs, "lang"))
+                if (st != null) st.release()
+                st = nextSt
+                val nextSeen = graft.ops.Caches.localCheckpointScoped(
+                  if (seen == null) df else seen.df.unionByName(df))
+                if (seen != null) seen.release()
+                seen = nextSeen
+              }
+              ()
+            }
+            .option("checkpointLocation", ckpt.toString)
+            .trigger(Trigger.AvailableNow())
+            .start()
+          drain(q, ckpt)
+          require(dataBatches(q) >= 2,
+            s"s30 must fold across batches; ran ${dataBatches(q)} data batches")
+          val seenDf = graft.ops.Caches.adopt(seen)
+          val stDf = graft.ops.Caches.adopt(st)
+          // value-pin the folded stats against the exact twin over the
+          // accumulated arrivals (integer sums: equality is exact)
+          val folded = stDf.collect()
+            .map(r => r.getString(0) -> r.getLong(1)).toMap
+          val exact = graft.ops.Chunking.mixtureStats(seenDf, "lang", "n_chars")
+            .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+          require(folded == exact,
+            s"s30 folded stats drifted from the exact twin: $folded vs $exact")
+          // the report: the MAINTAINED plan applied to the accumulated rows
+          val plan = graft.ops.Chunking.mixturePlanFromStats(stDf,
+            "lang", weights, budgetTokens = 40000L)
+          graft.ops.Caches.localCheckpointTracked(
+            graft.ops.Chunking.applyMixturePlan(seenDf, plan, "lang", "doc_id")
+              .groupBy("lang")
+              .agg(max(col("n_tokens")).as("n_tokens"),
+                max(col("w_permille")).cast("long").as("w_permille"),
+                max(col("target_tokens")).as("target_tokens"),
+                max(col("cut")).cast("long").as("cut"),
+                count_if(col("keep")).as("n_kept"),
+                coalesce(sum(when(col("keep"), col("n_chars"))), lit(0L))
+                  .cast("long").as("kept_tokens"))
+              .orderBy("lang"))
+        } catch {
+          // a failed drain/fold must not strand scoped blocks
+          case t: Throwable =>
+            if (st != null) st.release()
+            if (seen != null) seen.release()
+            throw t
+        }
+      }
+    },
   )
 
   private val streamStreamEntry: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
@@ -2497,6 +2583,12 @@ object StreamGate {
     // report rows depend only on that doc's own shingles, so per-batch
     // audits union to the one-shot audit — x125's SQL verbatim.
     "s29_stream_decontamination" -> Ext.oracle("x125_decontamination"),
+
+    // The group token sums fold by integer addition (value-pinned
+    // against the exact twin in-gate), the plan is a pure function of
+    // them, and keeps are a read-time predicate of the plan — the
+    // report over the accumulated arrivals is x131's SQL verbatim.
+    "s30_stream_budget_mix" -> Ext.oracle("x131_budget_mix"),
 
     // Shard membership is a pure function of the row and every manifest
     // field commutes, so the streamed partitioned tree's manifest equals

@@ -3672,6 +3672,20 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("mixtureStats merge law: folded shards == whole (the s30 state fold)") {
+    import spark.implicits._
+    val whole = graft.ops.Chunking.mixtureStats(docs, "lang", "n_chars")
+      .as[(String, Long)].collect().toMap
+    val folded = graft.ops.Chunking.mixtureStatsMerge(
+        graft.ops.Chunking.mixtureStats(
+          docs.filter(col("doc_id") % 2 === 0), "lang", "n_chars"),
+        graft.ops.Chunking.mixtureStats(
+          docs.filter(col("doc_id") % 2 =!= 0), "lang", "n_chars"),
+        "lang")
+      .as[(String, Long)].collect().toMap
+    assert(folded == whole, "integer token sums must fold shard-wise")
+  }
+
   test("contamination audit: per-batch folds over prebuilt shingles == one-shot") {
     val corpus = docs.select("doc_id", "text")
     val bench = docs.filter(col("doc_id") % 13 === 0)
