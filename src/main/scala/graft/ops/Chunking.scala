@@ -325,6 +325,36 @@ object Chunking {
             " div n_tokens AS INT)")))
   }
 
+  /** MULTI-EPOCH schedule for OVER-subscribed mixes: where
+    * [[mixturePlanFromStats]] caps an over-subscribed group at
+    * keep-everything (a filter cannot upsample), this emits how
+    * trainers actually close the gap — repeat the group `full_epochs`
+    * whole times and draw the REMAINDER as a partial last epoch:
+    * full_epochs = target div tokens, rem_target = target −
+    * full_epochs·tokens, and `cut` realizes rem_target by the same md5
+    * predicate (rem < tokens, so the cut never saturates). Pair each
+    * whole epoch with [[epochShuffle]] for its training order. Exact
+    * integer arithmetic throughout; groups with weight 0 plan 0/0/0.
+    *
+    * Output: (groupCol, n_tokens, w_permille, target_tokens,
+    * full_epochs, rem_target, cut) — `cut`-compatible with
+    * [[applyMixturePlan]], which then scores the partial epoch's
+    * keeps. */
+  def epochPlanFromStats(stats: DataFrame, groupCol: String,
+                         weightsPermille: Map[String, Int],
+                         budgetTokens: Long): DataFrame =
+    mixturePlanFromStats(stats, groupCol, weightsPermille, budgetTokens)
+      .drop("cut")
+      .withColumn("full_epochs",
+        when(col("n_tokens") <= 0, lit(0))
+          .otherwise(expr("CAST(target_tokens div n_tokens AS INT)")))
+      .withColumn("rem_target",
+        col("target_tokens") - col("full_epochs").cast("long") * col("n_tokens"))
+      .withColumn("cut",
+        when(col("n_tokens") <= 0, lit(0))
+          .otherwise(expr("CAST((CAST(rem_target AS DECIMAL(38,0)) * 65536)" +
+            " div n_tokens AS INT)")))
+
   /** Score rows against a [[mixturePlanFromStats]] plan: the broadcast
     * join + md5 keep predicate — the read-time realization (keeps are
     * never materialized; a new plan re-scores the same rows). */

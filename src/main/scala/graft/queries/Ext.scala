@@ -2125,6 +2125,34 @@ object Ext {
             .cast("long").as("kept_tokens"))
         .orderBy("lang")
     },
+
+    // MULTI-EPOCH schedule (x132): the same mix at a 150k budget —
+    // OVER-subscribing every weighted group at sf0.01 — planned as
+    // full_epochs whole passes + a partial last epoch drawn by the md5
+    // predicate at the remainder rate (a filter cannot upsample; epochs
+    // close the gap). planned_tokens audits the schedule: full passes
+    // carry n_tokens each, the partial carries its kept tokens.
+    "x132_epoch_plan" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val plan = Chunking.epochPlanFromStats(
+        Chunking.mixtureStats(docs, "lang", "n_chars"),
+        "lang", Map("en" -> 500, "zh" -> 200, "de" -> 150, "fr" -> 150),
+        budgetTokens = 150000L)
+      Chunking.applyMixturePlan(docs, plan, "lang", "doc_id")
+        .groupBy("lang")
+        .agg(max(col("n_tokens")).as("n_tokens"),
+          max(col("w_permille")).cast("long").as("w_permille"),
+          max(col("target_tokens")).as("target_tokens"),
+          max(col("full_epochs")).cast("long").as("full_epochs"),
+          max(col("rem_target")).as("rem_target"),
+          max(col("cut")).cast("long").as("cut"),
+          count_if(col("keep")).as("n_kept_partial"),
+          coalesce(sum(when(col("keep"), col("n_chars"))), lit(0L))
+            .cast("long").as("kept_tokens_partial"))
+        .withColumn("planned_tokens",
+          col("full_epochs") * col("n_tokens") + col("kept_tokens_partial"))
+        .orderBy("lang")
+    },
   )
 
   /** x72's full replay, parameterized by the Lloyd-TRAINING source
@@ -2198,7 +2226,7 @@ object Ext {
     * semantics, forced single evaluation). Recursive CTEs — declared
     * with a column list, `walk(id, reach) AS (` — are left untouched:
     * the pattern requires the bare name directly before ` AS (`. */
-  private[queries] def materializeCtes(sql: String): String =
+  private[graft] def materializeCtes(sql: String): String =
     sql.replaceAll(
       "((?:WITH RECURSIVE |WITH |,\\s*)[a-z][a-z0-9_]*) AS \\(",
       "$1 AS MATERIALIZED (")
@@ -6117,6 +6145,50 @@ object Ext {
         |  CAST(MAX(cut) AS BIGINT) AS cut,
         |  CAST(count_if(keep) AS BIGINT) AS n_kept,
         |  CAST(COALESCE(SUM(CASE WHEN keep THEN n_chars END), 0) AS BIGINT) AS kept_tokens
+        |FROM k GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // Epoch-plan replay: the same integer schedule arithmetic — floor
+    // whole-epoch division, remainder, HUGEINT cut lane (DuckDB's //
+    // on DECIMAL rounds — the x131 trap), the md5 partial-epoch draw.
+    "x132_epoch_plan" ->
+      """WITH s AS (
+        |  SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |w(lang, w_permille) AS (
+        |  VALUES ('en', 500), ('zh', 200), ('de', 150), ('fr', 150)),
+        |p AS (
+        |  SELECT s.lang, s.n_tokens,
+        |    COALESCE(w.w_permille, 0) AS w_permille,
+        |    (150000 * CAST(COALESCE(w.w_permille, 0) AS BIGINT)) // 1000 AS target_tokens
+        |  FROM s LEFT JOIN w USING (lang)),
+        |pe AS (
+        |  SELECT *, CASE WHEN n_tokens <= 0 THEN 0
+        |    ELSE CAST(target_tokens // n_tokens AS INT) END AS full_epochs
+        |  FROM p),
+        |pr AS (
+        |  SELECT *, target_tokens - CAST(full_epochs AS BIGINT) * n_tokens AS rem_target
+        |  FROM pe),
+        |pc AS (
+        |  SELECT *, CASE WHEN n_tokens <= 0 THEN 0
+        |    ELSE CAST((CAST(rem_target AS HUGEINT) * 65536) // n_tokens AS INT)
+        |    END AS cut
+        |  FROM pr),
+        |k AS (
+        |  SELECT d.lang, d.doc_id, d.n_chars, pc.n_tokens, pc.w_permille,
+        |    pc.target_tokens, pc.full_epochs, pc.rem_target, pc.cut,
+        |    (pc.cut >= 65536 OR
+        |     substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < printf('%04x', pc.cut)) AS keep
+        |  FROM documents d JOIN pc USING (lang))
+        |SELECT lang, CAST(MAX(n_tokens) AS BIGINT) AS n_tokens,
+        |  CAST(MAX(w_permille) AS BIGINT) AS w_permille,
+        |  CAST(MAX(target_tokens) AS BIGINT) AS target_tokens,
+        |  CAST(MAX(full_epochs) AS BIGINT) AS full_epochs,
+        |  CAST(MAX(rem_target) AS BIGINT) AS rem_target,
+        |  CAST(MAX(cut) AS BIGINT) AS cut,
+        |  CAST(count_if(keep) AS BIGINT) AS n_kept_partial,
+        |  CAST(COALESCE(SUM(CASE WHEN keep THEN n_chars END), 0) AS BIGINT) AS kept_tokens_partial,
+        |  CAST(MAX(full_epochs) * MAX(n_tokens) +
+        |       COALESCE(SUM(CASE WHEN keep THEN n_chars END), 0) AS BIGINT) AS planned_tokens
         |FROM k GROUP BY lang ORDER BY lang""".stripMargin,
 
     // Decontamination replay: the same 5-gram shingling (x122's split

@@ -3672,6 +3672,32 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("epochPlanFromStats: whole epochs + partial remainder, exact arithmetic") {
+    import spark.implicits._
+    val weights = Map("en" -> 500, "zh" -> 200, "de" -> 150, "fr" -> 150)
+    val plan = graft.ops.Chunking.epochPlanFromStats(
+        graft.ops.Chunking.mixtureStats(docs, "lang", "n_chars"),
+        "lang", weights, budgetTokens = 150000L)
+      .as[(String, Long, Int, Long, Int, Long, Int)].collect()
+    plan.foreach { case (lang, n, w, target, fe, rem, cut) =>
+      assert(w == weights.getOrElse(lang, 0), s"$lang weight")
+      assert(target == 150000L * w / 1000, s"$lang target")
+      assert(fe == (if (n <= 0) 0L else target / n), s"$lang full_epochs")
+      assert(rem == target - fe.toLong * n && rem >= 0 && rem < math.max(n, 1L),
+        s"$lang remainder")
+      val wantCut = if (n <= 0) 0 else ((BigInt(rem) * 65536) / n).toInt
+      assert(cut == wantCut && cut < 65536,
+        s"$lang cut never saturates: $cut vs $wantCut")
+    }
+    // the 150k budget over-subscribes every weighted group at this SF —
+    // the schedule path (>=1 whole epoch) is exercised, not just capped
+    assert(plan.filter(p => weights.contains(p._1)).forall(_._5 >= 1),
+      "every weighted group must plan a whole epoch at the 150k budget")
+    assert(plan.filter(p => !weights.contains(p._1))
+        .forall(p => p._5 == 0 && p._6 == 0L && p._7 == 0),
+      "weight-0 groups plan nothing")
+  }
+
   test("mixtureStats merge law: folded shards == whole (the s30 state fold)") {
     import spark.implicits._
     val whole = graft.ops.Chunking.mixtureStats(docs, "lang", "n_chars")

@@ -172,4 +172,30 @@ class PropertySpec extends AnyFunSuite {
       assert(rowsOf(folded) == rowsOf(full), s"seed=$seed fold law broke")
     }
   }
+
+  test("materializeCtes: plain CTEs fenced exactly once, recursive members untouched") {
+    val sql =
+      """WITH RECURSIVE h AS (
+        |  SELECT 1 AS x),
+        |bands AS (SELECT x, x * 2 AS y FROM h),
+        | u2 AS (SELECT * FROM bands),
+        |walk(id, reach) AS (
+        |  SELECT x, x FROM h
+        |  UNION
+        |  SELECT w.id, b.y FROM walk w JOIN bands b ON w.reach = b.x)
+        |SELECT * FROM walk""".stripMargin
+    val out = graft.queries.Ext.materializeCtes(sql)
+    // every bare-name CTE gets exactly one fence; CAST(... AS ...) and
+    // aliases (x * 2 AS y) never match (the pattern needs ` AS (`)
+    assert(out.contains("WITH RECURSIVE h AS MATERIALIZED ("), out)
+    assert(out.contains("bands AS MATERIALIZED ("), out)
+    assert(out.contains("u2 AS MATERIALIZED ("), out)
+    // the recursive member keeps its column list and is NOT fenced
+    // (DuckDB rejects MATERIALIZED on recursive CTEs)
+    assert(out.contains("walk(id, reach) AS ("), out)
+    assert(!out.contains("walk(id, reach) AS MATERIALIZED"), out)
+    assert("AS MATERIALIZED \\(".r.findAllIn(out).size == 3, out)
+    // idempotence: a second pass finds nothing left to fence
+    assert(graft.queries.Ext.materializeCtes(out) == out)
+  }
 }
