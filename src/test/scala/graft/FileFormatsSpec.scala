@@ -38,6 +38,21 @@ class FileFormatsSpec extends AnyFunSuite {
     assert(back.exceptAll(customer).count() == 0)
   }
 
+  test("orc round trip preserves values; predicates push to the orc scan") {
+    val lineitem = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_quantity", "l_returnflag")
+    val path = tmp("orc")
+    lineitem.write.orc(path)
+    val back = spark.read.orc(path)
+    assert(back.exceptAll(lineitem).count() == 0)
+    // the columnar-format contract: the filter reaches the scan (ORC
+    // row-group stats skip), it is not a post-scan residual only
+    val plan = back.filter(col("l_returnflag") === "R")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("EqualTo(l_returnflag,R)"),
+      s"filter must push into the ORC scan:\n$plan")
+  }
+
   test("partitioned parquet write prunes partitions on read") {
     val orders = Tables.orders(spark, dir)
       .withColumn("yr", year(col("o_orderdate")))
