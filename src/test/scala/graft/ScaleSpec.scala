@@ -1169,6 +1169,29 @@ class ScaleSpec extends AnyFunSuite {
       s"per-shard rank window missing:\n$plan")
   }
 
+  test("x131/x132 mixture plans: group-sized plan broadcasts, never a sort-merge join") {
+    val docs = Tables.documents(spark, dir)
+    val stats = graft.ops.Chunking.mixtureStats(docs, "lang", "n_chars")
+    val weights = Map("en" -> 500, "zh" -> 200, "de" -> 150, "fr" -> 150)
+    for (plan <- Seq(
+        graft.ops.Chunking.mixturePlanFromStats(stats, "lang", weights, 40000L),
+        graft.ops.Chunking.epochPlanFromStats(stats, "lang", weights, 150000L))) {
+      val p = graft.ops.Chunking.applyMixturePlan(docs, plan, "lang", "doc_id")
+        .queryExecution.executedPlan.toString
+      // the corpus is scored by a broadcast of the group-sized plan —
+      // the corpus side is never shuffled to meet it
+      assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
+        s"mixture plan must broadcast onto the corpus:\n$p")
+      assert(!p.contains("CartesianProduct") &&
+             !p.contains("BroadcastNestedLoop"), p)
+      // exactly ONE hash shuffle: the stats aggregate (the weight table
+      // joins broadcast; the keep predicate is per-row)
+      val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+      assert(shuffles <= 1,
+        s"scoring must add no shuffle beyond the stats aggregate:\n$p")
+    }
+  }
+
   test("x130 leakage-safe split: assignment adds NO shuffle beyond components") {
     val docs = Tables.documents(spark, dir)
     val pairs = graft.ops.Dedup.ngramJaccardPairs(docs, "doc_id", "text",
