@@ -42,6 +42,61 @@ object Chunking {
         size(col("chunk_toks")).as("n_chunk_tokens"): _*)
   }
 
+  /** CONTENT-DEFINED chunking (the CDC/rolling-hash discipline of the
+    * dedup literature, re-expressed over word tokens): a chunk boundary
+    * falls after token i exactly when the md5 of the trailing
+    * `windowWords`-token window at i lands in the boundary residue
+    * class (first 4 hex mod `maskMod` == 0), plus a forced boundary at
+    * the doc end. Boundaries are a pure function of LOCAL content —
+    * unlike [[chunk]]'s fixed windows, inserting or deleting a passage
+    * shifts only the chunks it touches, and every later chunk's CONTENT
+    * (and hash) is preserved — which is what makes CDC chunks the
+    * stable dedup key for corpora of near-identical revisions
+    * (re-crawls, wiki dumps, code checkpoints). Expected chunk length ≈
+    * `maskMod` tokens; docs shorter than the window are one whole-doc
+    * chunk. Output: one row per (doc, 1-based chunk_idx) with the chunk
+    * text, its token count, and `chunk_hash` = md5(chunk) — the dedup
+    * key (groupBy chunk_hash finds shared content at any alignment).
+    *
+    * Scale shape: boundary detection and segment assembly are codegen'd
+    * higher-order functions per row — no shuffle, no UDF; output
+    * partitioning inherits the input's exactly like [[chunk]]. */
+  def contentDefinedChunks(docs: DataFrame, idCol: String, textCol: String,
+                           windowWords: Int = 4,
+                           maskMod: Int = 16): DataFrame = {
+    require(windowWords >= 1, s"need windowWords >= 1, got $windowWords")
+    require(maskMod >= 1, s"need maskMod >= 1, got $maskMod")
+    val w = windowWords
+    docs
+      .withColumn("toks", split(col(textCol), " "))
+      .withColumn("nt", size(col("toks")))
+      // candidate boundaries: window-hash residue 0 (guard short docs —
+      // Spark's sequence(a, b) DECREASES when b < a)
+      .withColumn("bnd",
+        when(col("nt") >= w,
+          filter(sequence(lit(w), col("nt")), i =>
+            conv(substring(md5(concat_ws(" ",
+              slice(col("toks"), i - (w - 1), lit(w)))), 1, 4), 16, 10)
+              .cast("int") % maskMod === 0))
+          .otherwise(array().cast("array<int>")))
+      // forced boundary at the doc end (unless already one)
+      .withColumn("bnd2",
+        when(size(col("bnd")) > 0 &&
+             element_at(col("bnd"), -1) === col("nt"), col("bnd"))
+          .otherwise(concat(col("bnd"), array(col("nt")))))
+      .withColumn("ci", explode(sequence(lit(1), size(col("bnd2")))))
+      .withColumn("__start",
+        expr("CASE WHEN ci = 1 THEN 1 ELSE element_at(bnd2, ci - 1) + 1 END"))
+      .withColumn("n_chunk_tokens",
+        expr("element_at(bnd2, ci) - " +
+          "CASE WHEN ci = 1 THEN 0 ELSE element_at(bnd2, ci - 1) END"))
+      .withColumn("chunk",
+        expr("concat_ws(' ', slice(toks, __start, n_chunk_tokens))"))
+      .select(col(idCol), col("ci").as("chunk_idx"), col("chunk"),
+        col("n_chunk_tokens").cast("int").as("n_chunk_tokens"),
+        md5(col("chunk")).as("chunk_hash"))
+  }
+
   /** Deterministic ~`keepHexDigits`/16 sample predicate: keep a row iff
     * the first hex digit of md5(id-as-decimal-string) is below the cutoff.
     * Engine- and partitioning-independent (md5 of a decimal string is

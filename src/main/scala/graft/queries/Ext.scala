@@ -2153,6 +2153,18 @@ object Ext {
           col("full_epochs") * col("n_tokens") + col("kept_tokens_partial"))
         .orderBy("lang")
     },
+
+    // CONTENT-DEFINED chunking (x133): rolling-hash boundaries (4-token
+    // window, first-4-hex md5 residue mod 16) — the CDC dedup primitive:
+    // unlike fixed windows, an insertion shifts only the chunks it
+    // touches and every later chunk hash is preserved (the OpsSpec
+    // stability law). chunk_hash is the any-alignment dedup key.
+    "x133_cdc_chunks" -> { (s, dir) =>
+      Chunking.contentDefinedChunks(Tables.documents(s, dir),
+          "doc_id", "text", windowWords = 4, maskMod = 16)
+        .select("doc_id", "chunk_idx", "n_chunk_tokens", "chunk_hash")
+        .orderBy("doc_id", "chunk_idx")
+    },
   )
 
   /** x72's full replay, parameterized by the Lloyd-TRAINING source
@@ -6190,6 +6202,32 @@ object Ext {
         |  CAST(MAX(full_epochs) * MAX(n_tokens) +
         |       COALESCE(SUM(CASE WHEN keep THEN n_chars END), 0) AS BIGINT) AS planned_tokens
         |FROM k GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // CDC replay: the same boundary arithmetic — trailing 4-token
+    // window md5, first-4-hex residue mod 16, forced end boundary,
+    // 1-based inclusive segment slicing.
+    "x133_cdc_chunks" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |n AS (SELECT doc_id, ts, len(ts) AS nt FROM t),
+        |b AS (
+        |  SELECT doc_id, ts, nt,
+        |    CASE WHEN nt >= 4 THEN
+        |      list_filter(generate_series(4, nt), i ->
+        |        CAST('0x' || substr(md5(array_to_string(ts[i-3:i], ' ')), 1, 4) AS INT) % 16 = 0)
+        |    ELSE [] END AS bnd
+        |  FROM n),
+        |fb AS (
+        |  SELECT doc_id, ts, nt,
+        |    CASE WHEN len(bnd) > 0 AND bnd[-1] = nt THEN bnd
+        |         ELSE list_append(bnd, nt) END AS bnd2
+        |  FROM b),
+        |c AS (
+        |  SELECT doc_id, unnest(generate_series(1, len(bnd2))) AS ci, ts, bnd2
+        |  FROM fb)
+        |SELECT doc_id, CAST(ci AS INT) AS chunk_idx,
+        |  CAST(bnd2[ci] - (CASE WHEN ci = 1 THEN 0 ELSE bnd2[ci-1] END) AS INT) AS n_chunk_tokens,
+        |  md5(array_to_string(ts[CASE WHEN ci = 1 THEN 1 ELSE bnd2[ci-1] + 1 END : bnd2[ci]], ' ')) AS chunk_hash
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
 
     // Decontamination replay: the same 5-gram shingling (x122's split
     // convention, md5 digests, per-doc DISTINCT), the overlap join,

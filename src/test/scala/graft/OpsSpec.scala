@@ -3672,6 +3672,47 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("contentDefinedChunks: CDC stability — insertion preserves later chunk hashes") {
+    import spark.implicits._
+    val base = docs.filter(length(col("text")) > 200)
+      .select("doc_id", "text").limit(20)
+    def hashes(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.Chunking.contentDefinedChunks(df, "doc_id", "text")
+        .select(col("doc_id"), col("chunk_idx"), col("chunk_hash"))
+        .as[(Long, Int, String)].collect()
+        .groupBy(_._1).view
+        .mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    val orig = hashes(base)
+    // prepend a passage: boundaries are content-LOCAL, so every chunk
+    // after the original doc's first boundary must survive verbatim —
+    // the property that makes CDC the dedup key for near-identical
+    // revisions (fixed windows shift EVERY later chunk instead)
+    val prefixed = hashes(base.withColumn("text",
+      concat(lit("zq0 zq1 zq2 zq3 zq4 zq5 zq6 "), col("text"))))
+    orig.foreach { case (id, chunks) =>
+      val tail = chunks.drop(1) // all but the alignment-absorbing first
+      val after = prefixed(id)
+      assert(tail.forall(after.contains),
+        s"doc $id lost ${tail.count(h => !after.contains(h))} of " +
+          s"${tail.size} post-boundary chunks under a prefix insertion")
+    }
+    // the law is non-vacuous: multi-chunk docs exist at this window/mod
+    assert(orig.values.count(_.size >= 2) >= 10,
+      "fixture must produce multi-chunk docs")
+    // chunk accounting: tokens partition the doc; short docs chunk whole
+    val one = Seq((1L, "a b")).toDF("doc_id", "text")
+    val oc = graft.ops.Chunking.contentDefinedChunks(one, "doc_id", "text")
+      .select("chunk", "n_chunk_tokens").as[(String, Int)].collect()
+    assert(oc.toSeq == Seq(("a b", 2)), s"short doc must be one chunk: ${oc.toSeq}")
+    val sums = graft.ops.Chunking.contentDefinedChunks(base, "doc_id", "text")
+      .groupBy("doc_id").agg(sum("n_chunk_tokens").cast("long").as("s"))
+      .join(base.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("nt")), "doc_id")
+      .as[(Long, Long, Long)].collect()
+    assert(sums.forall(r => r._2 == r._3),
+      "chunk token counts must partition each doc exactly")
+  }
+
   test("epochPlanFromStats: whole epochs + partial remainder, exact arithmetic") {
     import spark.implicits._
     val weights = Map("en" -> 500, "zh" -> 200, "de" -> 150, "fr" -> 150)
