@@ -20,7 +20,12 @@ object Chunking {
     * chunk. Output: one row per (doc, chunk_idx) with the chunk text and
     * its token count. `keepCols` are carried through unchanged — cheaper
     * than joining metadata back onto the exploded chunk rows afterwards
-    * (that join would re-shuffle the whole chunk table at corpus scale). */
+    * (that join would re-shuffle the whole chunk table at corpus scale).
+    *
+    * Tokenization convention: [[TextStats.tokens]] (empty tokens from
+    * repeated separators are dropped) — DELIBERATELY different from
+    * [[contentDefinedChunks]]' raw single-space split; see there. Mixing
+    * the two over one corpus yields different token counts by design. */
   def chunk(docs: DataFrame, idCol: String, textCol: String,
             chunkTokens: Int = 50, overlap: Int = 10,
             keepCols: Seq[String] = Nil): DataFrame = {
@@ -60,7 +65,14 @@ object Chunking {
     *
     * Scale shape: boundary detection and segment assembly are codegen'd
     * higher-order functions per row — no shuffle, no UDF; output
-    * partitioning inherits the input's exactly like [[chunk]]. */
+    * partitioning inherits the input's exactly like [[chunk]].
+    *
+    * Tokenization convention: a raw single-space split (NOT
+    * [[TextStats.tokens]], which [[chunk]] uses) — CDC chunk hashes must
+    * be reproducible by any engine's plain `string_split(text, ' ')`
+    * convention so a cross-engine reader can recompute and verify
+    * `chunk_hash` boundaries; dropping empty tokens would silently move
+    * boundaries between engines that disagree on separator runs. */
   def contentDefinedChunks(docs: DataFrame, idCol: String, textCol: String,
                            windowWords: Int = 4,
                            maskMod: Int = 16): DataFrame = {
@@ -372,8 +384,14 @@ object Chunking {
     stats
       .join(wdf, Seq(groupCol), "left")
       .withColumn("w_permille", coalesce(col("w_permille"), lit(0)))
+      // target in the DECIMAL(38,0) lane too: budget·w_permille in BIGINT
+      // wraps silently (non-ANSI arithmetic path) above ~9.2e15 at
+      // w=1000, turning a trillion-token target negative → cut 0 → the
+      // group silently dropped. The quotient is <= budget, so the final
+      // BIGINT cast is always safe.
       .withColumn("target_tokens", expr(
-        s"CAST((${budgetTokens}L * CAST(w_permille AS BIGINT)) div 1000 AS BIGINT)"))
+        s"CAST((CAST($budgetTokens AS DECIMAL(38,0)) * w_permille)" +
+          " div 1000 AS BIGINT)"))
       .withColumn("cut",
         when(col("target_tokens") >= col("n_tokens"), lit(65536))
           .otherwise(expr("CAST((CAST(target_tokens AS DECIMAL(38,0)) * 65536)" +
@@ -412,10 +430,18 @@ object Chunking {
 
   /** Score rows against a [[mixturePlanFromStats]] plan: the broadcast
     * join + md5 keep predicate — the read-time realization (keeps are
-    * never materialized; a new plan re-scores the same rows). */
+    * never materialized; a new plan re-scores the same rows). Rows whose
+    * group is ABSENT from the plan score `keep = false` with cut 0 and
+    * weight 0 (left join, never an inner-join drop): when a maintained
+    * stats/plan state lags arrivals, unplanned rows must be visibly
+    * excluded, not silently vanish from the report. Their plan report
+    * columns (`n_tokens`, `target_tokens`) stay null — the plan genuinely
+    * has no numbers for them. */
   def applyMixturePlan(docs: DataFrame, plan: DataFrame, groupCol: String,
                        idCol: String): DataFrame =
-    docs.join(broadcast(plan), Seq(groupCol))
+    docs.join(broadcast(plan), Seq(groupCol), "left")
+      .withColumn("w_permille", coalesce(col("w_permille"), lit(0)))
+      .withColumn("cut", coalesce(col("cut"), lit(0)))
       .withColumn("keep", col("cut") >= 65536 ||
         substring(md5(col(idCol).cast("string")), 1, 4) <
           lower(lpad(conv(col("cut"), 10, 16), 4, "0")))

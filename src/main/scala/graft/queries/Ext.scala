@@ -2237,7 +2237,13 @@ object Ext {
     * `AS MATERIALIZED` is DuckDB's pure evaluation fence (identical
     * semantics, forced single evaluation). Recursive CTEs — declared
     * with a column list, `walk(id, reach) AS (` — are left untouched:
-    * the pattern requires the bare name directly before ` AS (`. */
+    * the pattern requires the bare name directly before ` AS (`.
+    *
+    * CTE-CHAIN-ONLY: the `,\s*name AS (` alternative matches ANY
+    * comma-preceded name-AS-paren, so a query with a multi-definition
+    * named WINDOW clause (`WINDOW w1 AS (...), w2 AS (...)`) would be
+    * rewritten into invalid SQL. Every oracle here keeps window specs
+    * inline in OVER (...) — feed this helper nothing but WITH-chains. */
   private[graft] def materializeCtes(sql: String): String =
     sql.replaceAll(
       "((?:WITH RECURSIVE |WITH |,\\s*)[a-z][a-z0-9_]*) AS \\(",
@@ -6138,7 +6144,7 @@ object Ext {
         |p AS (
         |  SELECT s.lang, s.n_tokens,
         |    COALESCE(w.w_permille, 0) AS w_permille,
-        |    (40000 * CAST(COALESCE(w.w_permille, 0) AS BIGINT)) // 1000 AS target_tokens
+        |    CAST((CAST(40000 AS HUGEINT) * COALESCE(w.w_permille, 0)) // 1000 AS BIGINT) AS target_tokens
         |  FROM s LEFT JOIN w USING (lang)),
         |pc AS (
         |  SELECT *, CASE WHEN target_tokens >= n_tokens THEN 65536
@@ -6171,7 +6177,7 @@ object Ext {
         |p AS (
         |  SELECT s.lang, s.n_tokens,
         |    COALESCE(w.w_permille, 0) AS w_permille,
-        |    (150000 * CAST(COALESCE(w.w_permille, 0) AS BIGINT)) // 1000 AS target_tokens
+        |    CAST((CAST(150000 AS HUGEINT) * COALESCE(w.w_permille, 0)) // 1000 AS BIGINT) AS target_tokens
         |  FROM s LEFT JOIN w USING (lang)),
         |pe AS (
         |  SELECT *, CASE WHEN n_tokens <= 0 THEN 0

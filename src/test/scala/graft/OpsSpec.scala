@@ -3672,6 +3672,34 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("mixture plan: 1e17-token budget cannot wrap; unplanned groups score keep=false") {
+    import spark.implicits._
+    val tiny = Seq(("a", 1L, 10L), ("a", 2L, 10L)).toDF("g", "id", "tok")
+    // budget·w_permille = 1e20 overflows BIGINT; the DECIMAL(38,0) target
+    // lane must yield the exact positive target and the saturated cut
+    val plan = graft.ops.Chunking.mixturePlanFromStats(
+        graft.ops.Chunking.mixtureStats(tiny, "g", "tok"),
+        "g", Map("a" -> 1000), budgetTokens = 100000000000000000L)
+      .select(col("target_tokens"), col("cut"))
+      .as[(Long, Int)].collect()
+    assert(plan.length == 1 &&
+      plan.head._1 == 100000000000000000L && plan.head._2 == 65536,
+      s"trillion-scale target must stay exact and cap: ${plan.toSeq}")
+    // a group ABSENT from the plan (lagging maintained stats) must score
+    // keep=false with cut 0 — visible exclusion, never an inner-join drop
+    val docs2 = Seq(("a", 1L), ("zz", 9L)).toDF("g", "id")
+    val scored = graft.ops.Chunking.applyMixturePlan(docs2,
+        graft.ops.Chunking.mixturePlanFromStats(
+          graft.ops.Chunking.mixtureStats(tiny, "g", "tok"),
+          "g", Map("a" -> 1000), 100L),
+        "g", "id")
+      .select(col("g"), col("cut"), col("keep"))
+      .as[(String, Int, Boolean)].collect()
+    assert(scored.length == 2, "unplanned rows must survive the join")
+    assert(scored.filter(_._1 == "zz").forall(r => r._2 == 0 && !r._3),
+      "unplanned group must score keep=false at cut 0")
+  }
+
   test("contentDefinedChunks: CDC stability — insertion preserves later chunk hashes") {
     import spark.implicits._
     val base = docs.filter(length(col("text")) > 200)
