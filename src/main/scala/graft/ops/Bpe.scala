@@ -192,6 +192,104 @@ object Bpe {
   /** The fixed merge table (trained once per JVM; deterministic). */
   lazy val merges: IndexedSeq[(String, String)] = train(seedText, 120).toIndexedSeq
 
+  /** The id space of a merge table — what turns counted tokens into the
+    * `token_ids` a training loader actually consumes: base alphabet
+    * [0-9a-z] takes ids 0–35 in character order, merge rank r (0-based)
+    * mints id 36+r for its merged symbol. If two merge chains ever mint
+    * the same surface string (e.g. (a,bc) after (ab,c) both yield
+    * "abc"), the FIRST mint wins and the later id is never emitted —
+    * ids stay a function of the symbol string, encode stays
+    * deterministic, and later ids simply go unused (a real tokenizer's
+    * vocab has the same first-wins discipline). */
+  def vocabOf(table: Seq[(String, String)]): IndexedSeq[(String, Int)] = {
+    val minted = "0123456789abcdefghijklmnopqrstuvwxyz".map(_.toString) ++
+      table.map { case (a, b) => a + b }
+    val seen = mutable.LinkedHashMap.empty[String, Int]
+    minted.zipWithIndex.foreach { case (s, i) =>
+      if (!seen.contains(s)) seen(s) = i
+    }
+    seen.toIndexedSeq
+  }
+
+  /** (symbol, id) pairs of the fixed [[merges]] table. */
+  lazy val vocab: IndexedSeq[(String, Int)] = vocabOf(merges)
+
+  /** The merged SYMBOL sequence of one text (reference implementation):
+    * [[tokenCount]]'s fold, returning the symbols instead of their
+    * count. Concatenating the symbols reproduces the letters of
+    * [[words]] exactly — BPE segments, it never rewrites. */
+  def encodeSymbols(text: String,
+                    table: IndexedSeq[(String, String)] = merges): Seq[String] = {
+    val out = mutable.ArrayBuffer.empty[String]
+    for (w <- words(text)) {
+      var syms: IndexedSeq[String] = w.map(_.toString).toIndexedSeq
+      var m = 0
+      while (m < table.length && syms.length > 1) {
+        val (a, b) = table(m)
+        var i = 0
+        var found = false
+        while (!found && i + 1 < syms.length) {
+          if (syms(i) == a && syms(i + 1) == b) found = true else i += 1
+        }
+        if (found) syms = applyMergeOnce(syms, a, b)
+        m += 1
+      }
+      out ++= syms
+    }
+    out.toSeq
+  }
+
+  /** Reference encode-to-ids: [[encodeSymbols]] mapped through
+    * [[vocabOf]]. Backs the x134 specs; the distributed twin is
+    * [[encodeIds]]. */
+  def encodeIdsLocal(text: String,
+                     table: IndexedSeq[(String, String)] = merges): Seq[Int] = {
+    val idOf = vocabOf(table).toMap
+    encodeSymbols(text, table).map(idOf)
+  }
+
+  /** Spark Column: BPE token-ID sequence (`array<int>`) of `textCol`
+    * under `table` — the missing last step between token COUNTS and
+    * what a training loader consumes. Same brace-string replace fold as
+    * [[tokenCountUnder]] (codegen'd, per-row, zero shuffle), then the
+    * symbols are extracted and mapped through the [[vocabOf]] id map as
+    * a plan-literal `map<string,int>` — the broadcast-model enrichment
+    * shape: the frozen merge table and vocab ride the plan, no driver
+    * text, no UDF. Every emitted symbol is in the vocab by construction
+    * (symbols only ever merge FROM the base alphabet), and under ANSI
+    * mode `element_at` would fail loudly, never emit a wrong id, if
+    * that invariant ever broke. */
+  def encodeIds(textCol: org.apache.spark.sql.Column,
+                table: IndexedSeq[(String, String)] = merges): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val prep = array_join(transform(
+      regexp_extract_all(lower(textCol), lit("[a-z0-9]+"), lit(0)),
+      w => regexp_replace(w, "(.)", "\\{$1\\} ")), "/ ")
+    val merged = table.foldLeft(prep) { case (c, (a, b)) =>
+      replace(c, lit(s"{$a} {$b}"), lit(s"{$a$b}"))
+    }
+    val idMap = map(vocabOf(table)
+      .flatMap { case (s, i) => Seq(lit(s), lit(i)) }: _*)
+    transform(regexp_extract_all(merged, lit("\\{([^}]*)\\}"), lit(1)),
+      sy => element_at(idMap, sy))
+  }
+
+  /** DuckDB expression mapping `mergedCol` (a column already holding
+    * [[oracleSqlExpr]]'s merged brace string — evaluate that once in a
+    * subquery, the chain is ~120 nested replaces) to the id LIST:
+    * symbols extracted by the same brace regex, ids via a generated
+    * CASE chain over [[vocab]] (first-wins, identical to the Spark map
+    * literal). ELSE -1 can't fire for well-formed merged strings; it
+    * exists so a convention drift reads as an impossible id, not a
+    * silently dropped NULL element. */
+  def oracleIdsFromMergedExpr(mergedCol: String): String = {
+    val caseChain = "CASE sy " +
+      vocab.map { case (s, i) => s"WHEN '$s' THEN $i" }.mkString(" ") +
+      " ELSE -1 END"
+    s"list_transform(regexp_extract_all($mergedCol, '\\{([^}]*)\\}', 1), " +
+      s"sy -> $caseChain)"
+  }
+
   /** Token count of one text under [[merges]] — the reference
     * implementation backing [[graft.functions.BpeTokenCountExpr]] (which
     * calls this per row) and the specs. */

@@ -2165,6 +2165,23 @@ object Ext {
         .select("doc_id", "chunk_idx", "n_chunk_tokens", "chunk_hash")
         .orderBy("doc_id", "chunk_idx")
     },
+
+    // BPE ENCODE-TO-IDS (x134): the missing last step of the tokenize
+    // path — x44/x83 count tokens, this emits the token-ID sequences a
+    // training loader consumes, under the fixed deterministic merge
+    // table (broadcast model: merges + vocab are plan literals; the
+    // fold is codegen'd per row, zero shuffle, no driver text). The
+    // oracle replays merge application AND the id mapping from the same
+    // table, so every id of every doc is hash-gated (csv-joined — the
+    // driver compare hashes scalar cells).
+    "x134_bpe_encode_ids" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), graft.ops.Bpe.encodeIds(col("text")).as("ids"))
+        .select(col("doc_id"),
+          size(col("ids")).as("n_ids"),
+          concat_ws(",", transform(col("ids"), _.cast("string"))).as("ids_csv"))
+        .orderBy("doc_id")
+    },
   )
 
   /** x72's full replay, parameterized by the Lloyd-TRAINING source
@@ -6234,6 +6251,19 @@ object Ext {
         |  CAST(bnd2[ci] - (CASE WHEN ci = 1 THEN 0 ELSE bnd2[ci-1] END) AS INT) AS n_chunk_tokens,
         |  md5(array_to_string(ts[CASE WHEN ci = 1 THEN 1 ELSE bnd2[ci-1] + 1 END : bnd2[ci]], ' ')) AS chunk_hash
         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // Encode-to-ids replay: the x44 merge-application replace chain
+    // (evaluated once per row in the subquery), then the SAME vocab id
+    // mapping as the Spark plan literal, generated as a CASE chain —
+    // every emitted id replays bit-for-bit.
+    "x134_bpe_encode_ids" ->
+      s"""WITH m AS (SELECT doc_id, ${graft.ops.Bpe.oracleSqlExpr("text")} AS s
+         |           FROM documents),
+         |i AS (SELECT doc_id, ${graft.ops.Bpe.oracleIdsFromMergedExpr("s")} AS ids
+         |      FROM m)
+         |SELECT doc_id, CAST(len(ids) AS INT) AS n_ids,
+         |  array_to_string(list_transform(ids, x -> CAST(x AS VARCHAR)), ',') AS ids_csv
+         |FROM i ORDER BY doc_id""".stripMargin,
 
     // Decontamination replay: the same 5-gram shingling (x122's split
     // convention, md5 digests, per-doc DISTINCT), the overlap join,

@@ -103,6 +103,23 @@ object PipelineGate {
         cleanMixDocs(Tables.documents(s, dir)), "doc_id", "text",
         nShards = 8)
     },
+
+    // The TOKEN-ID shard export (p06): the stage-6 survivors encoded to
+    // BPE token-id sequences (x134's fixed-table encode — broadcast
+    // merges + vocab, per-row codegen'd fold) and shipped through the
+    // x66 shard-manifest discipline with the checksum over the ID
+    // payload itself: shard = md5(doc_id) mod 8, n_tokens = the id
+    // count, checksum = order-free sum of md5(doc_id:ids). This is the
+    // pipeline's real last mile — a loader consumes id shards, not
+    // text — and any drift in any upstream stage, the encode, or the
+    // vocab flips the shard checksums.
+    "p06_pipeline_id_shards" -> { (s, dir) =>
+      val enc = cleanMixDocs(Tables.documents(s, dir))
+        .select(col("doc_id"),
+          concat_ws(" ", transform(graft.ops.Bpe.encodeIds(col("text")),
+            _.cast("string"))).as("ids_txt"))
+      graft.ops.Export.shardManifest(enc, "doc_id", "ids_txt", nShards = 8)
+    },
   )
 
   /** The six-stage CTE chain (q → … → k6), shared by p01 and p02 — each
@@ -251,6 +268,30 @@ object PipelineGate {
           |    len(list_filter(string_split(text, ' '), t -> t <> '')) AS ntok,
           |    CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 8) AS UBIGINT) AS BIGINT) AS chk
           |  FROM k6)
+          |GROUP BY shard ORDER BY shard""".stripMargin),
+
+    // p02's manifest arithmetic over the ID payload: k6 texts run the
+    // x134 encode replay (merge replace-chain + vocab CASE chain), the
+    // ids join space-separated, and the manifest hashes/counts/checksums
+    // that string exactly as the Spark side does.
+    "p06_pipeline_id_shards" ->
+      (pipelineCtes +
+        s""", enc AS (
+          |  SELECT doc_id,
+          |    array_to_string(list_transform(
+          |      ${graft.ops.Bpe.oracleIdsFromMergedExpr("s")},
+          |      x -> CAST(x AS VARCHAR)), ' ') AS ids_txt
+          |  FROM (SELECT doc_id, ${graft.ops.Bpe.oracleSqlExpr("text")} AS s
+          |        FROM k6))
+          |SELECT shard, COUNT(*) AS n_docs, CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+          |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id,
+          |  CAST(SUM(chk) AS BIGINT) AS checksum
+          |FROM (
+          |  SELECT doc_id,
+          |    CAST(CAST('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 8) AS UBIGINT) AS BIGINT) % 8 AS shard,
+          |    len(list_filter(string_split(ids_txt, ' '), t -> t <> '')) AS ntok,
+          |    CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || ids_txt), 1, 8) AS UBIGINT) AS BIGINT) AS chk
+          |  FROM enc)
           |GROUP BY shard ORDER BY shard""".stripMargin),
   )
 }

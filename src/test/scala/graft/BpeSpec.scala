@@ -103,4 +103,39 @@ class BpeSpec extends AnyFunSuite {
     // seed-stem words should merge into few symbols: 'the' is one token
     assert(Bpe.tokenCount("the the the") == 3)
   }
+
+  test("vocab: deterministic base ids 0-35, distinct ids, first-wins on duplicate mints") {
+    // base alphabet pinned: '0'->0 .. '9'->9, 'a'->10 .. 'z'->35
+    val base = Bpe.vocab.toMap
+    assert(base("0") == 0 && base("9") == 9 && base("a") == 10 && base("z") == 35)
+    // ids unique, symbols unique (first-wins collapses duplicate mints)
+    assert(Bpe.vocab.map(_._1).distinct.length == Bpe.vocab.length)
+    assert(Bpe.vocab.map(_._2).distinct.length == Bpe.vocab.length)
+    // a constructed duplicate mint: (a,a)->aa, then (a,aa)->aaa and a
+    // hypothetical (aa,a)->aaa would collide; first occurrence keeps its id
+    val dup = Bpe.vocabOf(Seq(("a", "a"), ("a", "aa"), ("aa", "a"))).toMap
+    assert(dup("aaa") == 37, s"first mint of 'aaa' must win: ${dup("aaa")}")
+  }
+
+  test("encodeIds: Spark column ≡ local reference; segmentation round-trips; length = token count") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001").limit(40)
+    val got = docs.select(col("doc_id"), Bpe.encodeIds(col("text")).as("ids"))
+      .as[(Long, Seq[Int])].collect().toMap
+    docs.select(col("doc_id"), col("text")).collect().foreach { r =>
+      val (id, text) = (r.getLong(0), r.getString(1))
+      val expect = Bpe.encodeIdsLocal(text)
+      assert(got(id) == expect, s"doc $id: ids diverged")
+      // ids count IS the bpe token count (same fold)
+      assert(expect.length == Bpe.tokenCount(text))
+      // decode round-trip: vocab symbols of the ids re-concatenate to the
+      // letters of the words — BPE segments, it never rewrites content
+      val sym = Bpe.vocab.map(_.swap).toMap
+      assert(expect.map(sym).mkString == Bpe.words(text).mkString)
+    }
+    // empty/no-alphanumeric text encodes to the empty sequence
+    val empty = Seq((1L, ""), (2L, "!!! ---")).toDF("doc_id", "text")
+      .select(Bpe.encodeIds(col("text")).as("ids")).as[Seq[Int]].collect()
+    assert(empty.forall(_.isEmpty))
+  }
 }
