@@ -746,6 +746,75 @@ object Dedup {
         .otherwise(lit("train")))
   }
 
+  /** CDC-chunk CONTAINMENT pairs — the consumer of
+    * [[Chunking.contentDefinedChunks]]' `chunk_hash` dedup key: two docs
+    * are scored by the token mass of the content-defined chunks they
+    * SHARE, as a permille of the smaller doc's chunk mass (containment,
+    * not Jaccard — a revision buried inside a longer doc still scores
+    * high). Because CDC boundaries are content-local, shared passages
+    * match at ANY alignment: a prefix-inserted revision keeps every
+    * later chunk hash, where fixed windows at the same cost shift every
+    * hash and miss it (the OpsSpec law).
+    *
+    * Mechanics: per-doc DISTINCT (id, chunk_hash, tokens) — a doc's
+    * repeated chunk counts once, its unique content mass; chunk hashes
+    * shared by more than `maxChunkDf` docs are cut as boilerplate
+    * STOP-CHUNKS (they would connect everything quadratically — at
+    * 100 TB the hot navigation/license chunk is the skew key, and any
+    * pair it alone would connect is boilerplate overlap, not a
+    * revision); both the shared mass and each doc's mass are computed
+    * over the SAME kept universe, so the permille is internally
+    * consistent. Exact integer lane end to end:
+    * `shared·1000 div least(mass_a, mass_b)`.
+    *
+    * Scale shape: one distinct + one groupBy-count on chunk_hash, a
+    * hash-equality self-join on chunk hashes (bucketed by the key,
+    * never all-pairs; the stop-chunk cut bounds per-hash fan-out at
+    * maxChunkDf²), and doc-sized mass joins. Output: (a_id, b_id,
+    * shared_tokens, a_tokens, b_tokens, containment_permille). */
+  def cdcContainmentPairs(chunks: DataFrame, idCol: String,
+                          maxChunkDf: Int = 50): DataFrame = {
+    require(maxChunkDf >= 2, s"need maxChunkDf >= 2, got $maxChunkDf")
+    val d = chunks.select(col(idCol).as("__id"), col("chunk_hash"),
+      col("n_chunk_tokens").cast("long").as("__tok")).distinct()
+    val kept = d.join(
+      d.groupBy("chunk_hash").agg(count(lit(1)).as("__df"))
+        .filter(col("__df") <= maxChunkDf).select("chunk_hash"),
+      "chunk_hash")
+    val mass = kept.groupBy("__id").agg(sum(col("__tok")).as("__mass"))
+    val shared = kept.select(col("chunk_hash"), col("__tok"), col("__id").as("a_id"))
+      .join(kept.select(col("chunk_hash"), col("__id").as("b_id")), "chunk_hash")
+      .filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id")
+      .agg(sum(col("__tok")).as("shared_tokens"))
+    shared
+      .join(mass.select(col("__id").as("a_id"), col("__mass").as("a_tokens")), "a_id")
+      .join(mass.select(col("__id").as("b_id"), col("__mass").as("b_tokens")), "b_id")
+      .withColumn("containment_permille",
+        expr("CAST((shared_tokens * 1000) div least(a_tokens, b_tokens) AS INT)"))
+  }
+
+  /** The CDC dedup end to end: chunk ([[Chunking.contentDefinedChunks]])
+    * → containment pairs ([[cdcContainmentPairs]]) → threshold →
+    * [[connectedComponents]] — the any-alignment revision-dedup
+    * discipline for corpora of near-identical re-crawls/checkpoints.
+    * Returns (id, cluster_id); keep one doc per cluster with
+    * [[keepClusterRepresentatives]], or split leakage-safe with
+    * [[leakageSafeSplit]]. */
+  def cdcNearDupComponents(docs: DataFrame, idCol: String, textCol: String,
+                           windowWords: Int = 4, maskMod: Int = 16,
+                           thresholdPermille: Int = 500,
+                           maxChunkDf: Int = 50): DataFrame = {
+    require(thresholdPermille >= 1 && thresholdPermille <= 1000,
+      s"thresholdPermille must be in [1, 1000]: $thresholdPermille")
+    val chunks = Chunking.contentDefinedChunks(docs, idCol, textCol,
+      windowWords, maskMod)
+    val pairs = cdcContainmentPairs(chunks, idCol, maxChunkDf)
+      .filter(col("containment_permille") >= thresholdPermille)
+      .select("a_id", "b_id")
+    connectedComponents(docs.select(col(idCol)), idCol, pairs)
+  }
+
   /** Benchmark decontamination: flag corpus documents sharing at least one
     * word `n`-gram with a benchmark/eval set — the overlap check every
     * training corpus runs before release (n=8..13 typical; exact match on

@@ -2182,6 +2182,23 @@ object Ext {
           concat_ws(",", transform(col("ids"), _.cast("string"))).as("ids_csv"))
         .orderBy("doc_id")
     },
+
+    // CDC DEDUP CONSUMER (x135): x133's chunk_hash finally dedups —
+    // shared-chunk token mass per doc pair as a permille of the smaller
+    // doc's mass (containment ≥ 500), stop-chunks cut at df > 50,
+    // components, min-id keeper. The any-alignment discipline: a
+    // prefix-inserted revision keeps every later chunk hash, so CDC
+    // catches it where fixed windows shift every hash (OpsSpec law).
+    // Everything is exact integers (token masses, the permille div), so
+    // the oracle replays pair scores, threshold, components, keepers.
+    "x135_cdc_dedup_keeper" -> { (s, dir) =>
+      Dedup.cdcNearDupComponents(Tables.documents(s, dir), "doc_id", "text",
+          windowWords = 4, maskMod = 16, thresholdPermille = 500,
+          maxChunkDf = 50)
+        .select(col("id").as("doc_id"), col("cluster_id"),
+          (col("id") === col("cluster_id")).as("is_keeper"))
+        .orderBy("doc_id")
+    },
   )
 
   /** x72's full replay, parameterized by the Lloyd-TRAINING source
@@ -6264,6 +6281,58 @@ object Ext {
          |SELECT doc_id, CAST(len(ids) AS INT) AS n_ids,
          |  array_to_string(list_transform(ids, x -> CAST(x AS VARCHAR)), ',') AS ids_csv
          |FROM i ORDER BY doc_id""".stripMargin,
+
+    // CDC-dedup replay: x133's chunk chain, per-doc DISTINCT (hash,
+    // tokens), the df <= 50 stop-chunk cut, shared-mass pair scores in
+    // the integer permille lane (HUGEINT-free: shared*1000 fits BIGINT
+    // and // on BIGINT truncates = floors for non-negatives, pairing
+    // Spark's div), threshold 500, the x130 component walk, min-id
+    // keeper. Fenced: the chunk chain is referenced through d/kept by
+    // several consumers and must evaluate once.
+    "x135_cdc_dedup_keeper" -> materializeCtes(
+      """WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |n AS (SELECT doc_id, ts, len(ts) AS nt FROM t),
+        |b AS (
+        |  SELECT doc_id, ts, nt,
+        |    CASE WHEN nt >= 4 THEN
+        |      list_filter(generate_series(4, nt), i ->
+        |        CAST('0x' || substr(md5(array_to_string(ts[i-3:i], ' ')), 1, 4) AS INT) % 16 = 0)
+        |    ELSE [] END AS bnd
+        |  FROM n),
+        |fb AS (
+        |  SELECT doc_id, ts, nt,
+        |    CASE WHEN len(bnd) > 0 AND bnd[-1] = nt THEN bnd
+        |         ELSE list_append(bnd, nt) END AS bnd2
+        |  FROM b),
+        |c AS (
+        |  SELECT doc_id, unnest(generate_series(1, len(bnd2))) AS ci, ts, bnd2
+        |  FROM fb),
+        |ch AS (
+        |  SELECT doc_id,
+        |    CAST(bnd2[ci] - (CASE WHEN ci = 1 THEN 0 ELSE bnd2[ci-1] END) AS BIGINT) AS tok,
+        |    md5(array_to_string(ts[CASE WHEN ci = 1 THEN 1 ELSE bnd2[ci-1] + 1 END : bnd2[ci]], ' ')) AS h
+        |  FROM c),
+        |d AS (SELECT DISTINCT doc_id, h, tok FROM ch),
+        |kept AS (
+        |  SELECT d.doc_id, d.h, d.tok FROM d
+        |  JOIN (SELECT h FROM d GROUP BY h HAVING COUNT(*) <= 50) k USING (h)),
+        |m AS (SELECT doc_id, SUM(tok) AS mass FROM kept GROUP BY 1),
+        |sh AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, SUM(a.tok) AS shared
+        |  FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |p AS (
+        |  SELECT a_id, b_id FROM sh
+        |  JOIN m ma ON ma.doc_id = a_id JOIN m mb ON mb.doc_id = b_id
+        |  WHERE CAST((shared * 1000) // least(ma.mass, mb.mass) AS INT) >= 500),
+        |edges AS (SELECT a_id AS u, b_id AS v FROM p UNION SELECT b_id, a_id FROM p),
+        |walk(id, reach) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT w.id, e.v FROM walk w JOIN edges e ON w.reach = e.u),
+        |comp AS (SELECT id AS doc_id, MIN(reach) AS cluster_id FROM walk GROUP BY id)
+        |SELECT doc_id, cluster_id, doc_id = cluster_id AS is_keeper
+        |FROM comp ORDER BY doc_id""".stripMargin),
 
     // Decontamination replay: the same 5-gram shingling (x122's split
     // convention, md5 digests, per-doc DISTINCT), the overlap join,

@@ -3741,6 +3741,47 @@ class OpsSpec extends AnyFunSuite {
       "chunk token counts must partition each doc exactly")
   }
 
+  test("cdc dedup: prefix-inserted revision caught where fixed windows miss it") {
+    import spark.implicits._
+    // a revision corpus: doc 2 is doc 1 with a 7-token passage PREPENDED
+    // (the re-crawl/checkpoint shape CDC exists for); doc 3 is unrelated
+    val baseText = docs.filter(length(col("text")) > 400)
+      .select("text").as[String].head()
+    val other = docs.filter(length(col("text")) > 400)
+      .select("text").as[String].take(2)(1)
+    val corpus = Seq(
+      (1L, baseText),
+      (2L, "zq0 zq1 zq2 zq3 zq4 zq5 zq6 " + baseText),
+      (3L, other)).toDF("doc_id", "text")
+    // CDC containment: the revision pair scores high (unshifted chunks
+    // match at the new alignment) and clusters; the unrelated doc doesn't
+    val pairs = graft.ops.Dedup.cdcContainmentPairs(
+        graft.ops.Chunking.contentDefinedChunks(corpus, "doc_id", "text"),
+        "doc_id")
+      .select(col("a_id"), col("b_id"), col("containment_permille"))
+      .as[(Long, Long, Int)].collect()
+    val rev = pairs.find(p => p._1 == 1L && p._2 == 2L)
+    assert(rev.exists(_._3 >= 500),
+      s"revision pair must score >= 500 permille containment: ${pairs.toSeq}")
+    assert(pairs.filter(p => p._2 == 3L || p._1 == 3L).forall(_._3 < 500),
+      s"unrelated doc must stay below threshold: ${pairs.toSeq}")
+    val comp = graft.ops.Dedup.cdcNearDupComponents(corpus, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(comp(1L) == 1L && comp(2L) == 1L && comp(3L) == 3L,
+      s"revision must cluster, unrelated must not: $comp")
+    // the SAME cost fixed-window key misses it: aligned token windows
+    // (x17's chunker, zero overlap) shift by the insertion, so the two
+    // revisions share NOT ONE window hash — the discipline gap x133+x135
+    // close
+    val fixed = graft.ops.Chunking.chunk(corpus, "doc_id", "text",
+        chunkTokens = 16, overlap = 0)
+      .select(col("doc_id"), md5(col("chunk")).as("h"))
+    val fixedShared = fixed.filter(col("doc_id") === 1L)
+      .join(fixed.filter(col("doc_id") === 2L).select("h"), "h").count()
+    assert(fixedShared == 0,
+      s"fixed windows must miss the shifted revision (shared $fixedShared)")
+  }
+
   test("epochPlanFromStats: whole epochs + partial remainder, exact arithmetic") {
     import spark.implicits._
     val weights = Map("en" -> 500, "zh" -> 200, "de" -> 150, "fr" -> 150)
