@@ -2103,6 +2103,27 @@ object Ext {
         .orderBy("doc_id")
     },
 
+    // LSH-FED leakage-safe split (x136): the PRODUCTION path of x130 —
+    // at 100 TB nobody computes the exact all-pairs tri-gram components
+    // x130's fixture rides; the caller feeds x34's MinHash-LSH scale
+    // path (bucketed candidates → exact-Jaccard verify → components)
+    // and splits those clusters. With full-recall candidates (the x34
+    // OpsSpec pin) the verified pair set — hence components, hence
+    // every split assignment — equals the exact path's, so this runs
+    // the LSH plan end-to-end under x130's oracle.
+    "x136_lsh_leakage_split" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val cands = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        n = 3, nHashes = 64, bands = 16, threshold = 0.35)
+      val edges = Dedup.verifyPairsJaccard(docs, "doc_id", "text", "lang",
+        cands.select("a_id", "b_id"), 3, 0.5)
+      val comps = Dedup.connectedComponents(docs.select("doc_id"), "doc_id",
+        edges.select("a_id", "b_id"))
+      Dedup.leakageSafeSplit(comps, valPermille = 50, testPermille = 50)
+        .select(col("id").as("doc_id"), col("cluster_id"), col("split"))
+        .orderBy("doc_id")
+    },
+
     // TOKEN-BUDGET mixture (x131): realize a 40k-token mix at
     // en 50% / zh 20% / de 15% / fr 15% (es NOT in the mix → dropped) —
     // per-group rates derived IN-PLAN by exact integer arithmetic
@@ -2853,6 +2874,39 @@ object Ext {
         |  valid_to IS NULL AS is_current, text
         |FROM iv
         |ORDER BY doc_id, valid_from""".stripMargin
+
+  /** x130's oracle — the exact tri-gram pair path, component walk,
+    * md5-of-cluster_id split — shared verbatim by x136 (the LSH-fed
+    * production path yields the identical verified pair set). */
+  private val x130SplitSql: String =
+    """WITH RECURSIVE tok AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS ts FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |tri AS (
+        |  SELECT DISTINCT doc_id, lang,
+        |    unnest(list_transform(generate_series(1, len(ts) - 2),
+        |      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS g
+        |  FROM tok),
+        |nt AS (SELECT doc_id, COUNT(*) AS n FROM tri GROUP BY doc_id),
+        |cand AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS common
+        |  FROM tri a JOIN tri b ON a.g = b.g AND a.lang = b.lang AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |p AS (
+        |  SELECT a_id, b_id FROM cand
+        |  JOIN nt na ON a_id = na.doc_id JOIN nt nb ON b_id = nb.doc_id
+        |  WHERE common * 1.0 / (na.n + nb.n - common) >= 0.5),
+        |edges AS (SELECT a_id AS u, b_id AS v FROM p UNION SELECT b_id, a_id FROM p),
+        |walk(id, reach) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT w.id, e.v FROM walk w JOIN edges e ON w.reach = e.u),
+        |comp AS (SELECT id AS doc_id, MIN(reach) AS cluster_id FROM walk GROUP BY id)
+        |SELECT doc_id, cluster_id,
+        |  CASE WHEN CAST('0x' || substr(md5('split:' || CAST(cluster_id AS VARCHAR)), 1, 4) AS INT) < 3277 THEN 'val'
+        |       WHEN CAST('0x' || substr(md5('split:' || CAST(cluster_id AS VARCHAR)), 1, 4) AS INT) < 6554 THEN 'test'
+        |       ELSE 'train' END AS split
+        |FROM comp ORDER BY doc_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "x30_gopher_quality" ->
@@ -6136,35 +6190,12 @@ object Ext {
     // Leakage-safe-split replay: x16's cluster walk verbatim, then the
     // pure-function-of-cluster_id split — first 4 md5 hex of
     // 'split:<cluster_id>' against the 5%/5% 1/65536-granularity cuts.
-    "x130_leakage_safe_split" ->
-      """WITH RECURSIVE tok AS (
-        |  SELECT doc_id, lang, string_split(text, ' ') AS ts FROM documents
-        |  WHERE len(string_split(text, ' ')) >= 3),
-        |tri AS (
-        |  SELECT DISTINCT doc_id, lang,
-        |    unnest(list_transform(generate_series(1, len(ts) - 2),
-        |      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS g
-        |  FROM tok),
-        |nt AS (SELECT doc_id, COUNT(*) AS n FROM tri GROUP BY doc_id),
-        |cand AS (
-        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS common
-        |  FROM tri a JOIN tri b ON a.g = b.g AND a.lang = b.lang AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |p AS (
-        |  SELECT a_id, b_id FROM cand
-        |  JOIN nt na ON a_id = na.doc_id JOIN nt nb ON b_id = nb.doc_id
-        |  WHERE common * 1.0 / (na.n + nb.n - common) >= 0.5),
-        |edges AS (SELECT a_id AS u, b_id AS v FROM p UNION SELECT b_id, a_id FROM p),
-        |walk(id, reach) AS (
-        |  SELECT doc_id, doc_id FROM documents
-        |  UNION
-        |  SELECT w.id, e.v FROM walk w JOIN edges e ON w.reach = e.u),
-        |comp AS (SELECT id AS doc_id, MIN(reach) AS cluster_id FROM walk GROUP BY id)
-        |SELECT doc_id, cluster_id,
-        |  CASE WHEN CAST('0x' || substr(md5('split:' || CAST(cluster_id AS VARCHAR)), 1, 4) AS INT) < 3277 THEN 'val'
-        |       WHEN CAST('0x' || substr(md5('split:' || CAST(cluster_id AS VARCHAR)), 1, 4) AS INT) < 6554 THEN 'test'
-        |       ELSE 'train' END AS split
-        |FROM comp ORDER BY doc_id""".stripMargin,
+    "x130_leakage_safe_split" -> x130SplitSql,
+
+    // x136 = the same split computed from x34's LSH-verified components;
+    // full-recall candidates (the x34 OpsSpec pin) make the verified
+    // pair set — hence components and split — equal the exact path's.
+    "x136_lsh_leakage_split" -> x130SplitSql,
 
     // Budget-mix replay: the same integer plan arithmetic (permille
     // target, DECIMAL(38,0) cut lane, 65536 cap) and the same md5 keep
