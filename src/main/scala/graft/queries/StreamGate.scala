@@ -193,6 +193,24 @@ object StreamGate {
     })
   }
 
+  /** Whole-corpus document topic for the streaming CDC-digest gate
+    * (s31): every `documents` row as JSON (doc_id, text) — the arrival
+    * feed whose per-batch content-defined chunks fold into the
+    * maintained chunk-digest table. Memoized per (JVM, sf dir). */
+  private val allDocTopics = TrieMap.empty[String, String]
+  private def allDocsTopic(s: SparkSession, dir: String): String = synchronized {
+    allDocTopics.getOrElseUpdate(dir, {
+      val topic = s"gate_alldocs_${java.util.UUID.randomUUID().toString.take(8)}"
+      Tables.documents(s, dir)
+        .select(col("doc_id").cast("string").as("key"),
+          to_json(struct(col("doc_id"), col("text"))).as("value"),
+          to_timestamp(lit("2024-01-01 00:00:00")).as("timestamp"))
+        .write.format("graft-topic").mode("append")
+        .option("topic", topic).option("partitions", "4").save()
+      topic
+    })
+  }
+
   /** Typed-measurement topic for the streaming anomaly gate (s21):
     * events re-serialized WITH their event_id (the shared
     * [[eventsTopic]] carries only user/type/value — the z-score report
@@ -2343,6 +2361,58 @@ object StreamGate {
         }
       }
     },
+
+    // Streaming CDC-DIGEST maintenance (s31): x133's content-defined
+    // chunk digest kept incrementally as documents arrive — the written
+    // artifact every CDC consumer (x135's containment dedup) reads.
+    // Boundaries are a pure per-row function of LOCAL content, so each
+    // batch chunks only its arriving docs (cost ∝ batch, never ∝
+    // corpus) and digest rows are doc-keyed — disjoint across batches —
+    // so the fold is plain union: batch order and boundaries provably
+    // cannot show. Oracle = x133's SQL verbatim. ≥2 data batches
+    // asserted; scoped per-batch checkpoints (one live copy).
+    "s31_stream_cdc_digest" -> { (s, dir) =>
+      val topic = allDocsTopic(s, dir)
+      withGateConf(s) {
+        var digest: graft.ops.Checkpointed = null
+        val ckpt = gateTmpDir("s31_ckpt_")
+        try {
+          val q = s.readStream.format("graft-topic")
+            .option("topic", topic)
+            .option("maxRecordsPerTrigger",
+              math.max(1L, (topicSize(topic) + 2) / 3).toString)
+            .load()
+            .select(from_json(col("value").cast("string"),
+              org.apache.spark.sql.types.StructType.fromDDL(
+                "doc_id BIGINT, text STRING")).as("j"))
+            .select(col("j.doc_id").as("doc_id"), col("j.text").as("text"))
+            .writeStream
+            .foreachBatch { (df: DataFrame, _: Long) =>
+              if (!df.isEmpty) {
+                val bd = graft.ops.Chunking.contentDefinedChunks(
+                    df, "doc_id", "text", windowWords = 4, maskMod = 16)
+                  .select("doc_id", "chunk_idx", "n_chunk_tokens", "chunk_hash")
+                val next = graft.ops.Caches.localCheckpointScoped(
+                  if (digest == null) bd else digest.df.unionByName(bd))
+                if (digest != null) digest.release()
+                digest = next
+              }
+              ()
+            }
+            .option("checkpointLocation", ckpt.toString)
+            .trigger(Trigger.AvailableNow())
+            .start()
+          drain(q, ckpt)
+          require(dataBatches(q) >= 2,
+            s"s31 must fold across batches; ran ${dataBatches(q)} data batches")
+          graft.ops.Caches.localCheckpointTracked(
+            graft.ops.Caches.adopt(digest).orderBy("doc_id", "chunk_idx"))
+        } catch {
+          // a failed drain/fold must not strand scoped blocks
+          case t: Throwable => if (digest != null) digest.release(); throw t
+        }
+      }
+    },
   )
 
   private val streamStreamEntry: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
@@ -2589,6 +2659,11 @@ object StreamGate {
     // them, and keeps are a read-time predicate of the plan — the
     // report over the accumulated arrivals is x131's SQL verbatim.
     "s30_stream_budget_mix" -> Ext.oracle("x131_budget_mix"),
+
+    // CDC boundaries are a pure per-row function of local content and
+    // digest rows are doc-keyed, so per-batch chunking unions to the
+    // one-shot corpus digest — x133's SQL verbatim.
+    "s31_stream_cdc_digest" -> Ext.oracle("x133_cdc_chunks"),
 
     // Shard membership is a pure function of the row and every manifest
     // field commutes, so the streamed partitioned tree's manifest equals
