@@ -1210,4 +1210,32 @@ class ScaleSpec extends AnyFunSuite {
            !split.contains("BroadcastNestedLoop"), split)
     graft.ops.Caches.releaseAll()
   }
+
+  test("x134 encode-to-ids: pure per-row plan — zero shuffles, no join, no UDF") {
+    val docs = Tables.documents(spark, dir)
+    val p = docs.select(col("doc_id"),
+        graft.ops.Bpe.encodeIds(col("text")).as("ids"))
+      .queryExecution.executedPlan.toString
+    // the merge table and vocab ride the plan as literals: encoding is
+    // scan → project, partitioning inherits the input's
+    assert(!p.contains("Exchange"), s"encode must not shuffle:\n$p")
+    assert(!p.contains("Join"), s"encode must not join (broadcast model):\n$p")
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+      s"encode must stay codegen-friendly, no UDF:\n$p")
+  }
+
+  test("x135 CDC containment pairs: chunk_hash-keyed joins only, never all-pairs") {
+    val docs = Tables.documents(spark, dir)
+    val p = graft.ops.Dedup.cdcContainmentPairs(
+        graft.ops.Chunking.contentDefinedChunks(docs, "doc_id", "text"),
+        "doc_id")
+      .queryExecution.executedPlan.toString
+    // the self-join buckets on chunk_hash (equality key) and the mass
+    // joins key on doc id — no plan node may degenerate to all-pairs
+    assert(!p.contains("CartesianProduct") &&
+           !p.contains("BroadcastNestedLoop"),
+      s"CDC pair path must never go all-pairs:\n$p")
+    assert(p.contains("chunk_hash"),
+      s"self-join must key on chunk_hash:\n$p")
+  }
 }
