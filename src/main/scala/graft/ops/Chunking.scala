@@ -61,7 +61,9 @@ object Chunking {
     * `maskMod` tokens; docs shorter than the window are one whole-doc
     * chunk. Output: one row per (doc, 1-based chunk_idx) with the chunk
     * text, its token count, and `chunk_hash` = md5(chunk) — the dedup
-    * key (groupBy chunk_hash finds shared content at any alignment).
+    * key (groupBy chunk_hash finds shared content at any alignment);
+    * `keepCols` carry through unchanged (the [[chunk]] discipline —
+    * cheaper than re-joining metadata onto the exploded chunk rows).
     *
     * Scale shape: boundary detection and segment assembly are codegen'd
     * higher-order functions per row — no shuffle, no UDF; output
@@ -75,7 +77,8 @@ object Chunking {
     * boundaries between engines that disagree on separator runs. */
   def contentDefinedChunks(docs: DataFrame, idCol: String, textCol: String,
                            windowWords: Int = 4,
-                           maskMod: Int = 16): DataFrame = {
+                           maskMod: Int = 16,
+                           keepCols: Seq[String] = Nil): DataFrame = {
     require(windowWords >= 1, s"need windowWords >= 1, got $windowWords")
     require(maskMod >= 1, s"need maskMod >= 1, got $maskMod")
     val w = windowWords
@@ -104,9 +107,9 @@ object Chunking {
           "CASE WHEN ci = 1 THEN 0 ELSE element_at(bnd2, ci - 1) END"))
       .withColumn("chunk",
         expr("concat_ws(' ', slice(toks, __start, n_chunk_tokens))"))
-      .select(col(idCol), col("ci").as("chunk_idx"), col("chunk"),
-        col("n_chunk_tokens").cast("int").as("n_chunk_tokens"),
-        md5(col("chunk")).as("chunk_hash"))
+      .select(col(idCol) +: keepCols.map(col) :+ col("ci").as("chunk_idx") :+
+        col("chunk") :+ col("n_chunk_tokens").cast("int").as("n_chunk_tokens") :+
+        md5(col("chunk")).as("chunk_hash"): _*)
   }
 
   /** Deterministic ~`keepHexDigits`/16 sample predicate: keep a row iff

@@ -2220,6 +2220,30 @@ object Ext {
           (col("id") === col("cluster_id")).as("is_keeper"))
         .orderBy("doc_id")
     },
+
+    // TOKENIZE→PACK composition (x137): the loader-facing loop closed —
+    // CDC chunks (x133) are encoded to BPE ids (x134) and the chunk
+    // stream strict-packs (x128's next-fit fold) by ID count, so pack
+    // boundaries bound what the loader actually ships (whitespace-token
+    // capacities overrun in id space; packing must happen AFTER the
+    // tokenizer). Per-lang shards; the per-pack audit carries chunk
+    // counts and id totals. The oracle chains all three replays: chunk
+    // boundaries, the merge/count chain per chunk, the fill recurrence.
+    "x137_tokenize_pack" -> { (s, dir) =>
+      val chunks = Chunking.contentDefinedChunks(Tables.documents(s, dir),
+          "doc_id", "text", windowWords = 4, maskMod = 16,
+          keepCols = Seq("lang"))
+        .withColumn("n_ids", size(graft.ops.Bpe.encodeIds(col("chunk"))))
+        // the fold gathers surviving columns into per-shard arrays: carry
+        // only the keys + the id count, never the chunk text
+        .select("doc_id", "chunk_idx", "lang", "n_ids")
+      Chunking.packChunksStrict(chunks, "lang", "n_ids",
+          capacity = 512, orderCols = Seq("doc_id", "chunk_idx"))
+        .groupBy("lang", "pack_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(col("n_ids")).cast("long").as("pack_ids"))
+        .orderBy("lang", "pack_id")
+    },
   )
 
   /** x72's full replay, parameterized by the Lloyd-TRAINING source
@@ -6364,6 +6388,56 @@ object Ext {
         |comp AS (SELECT id AS doc_id, MIN(reach) AS cluster_id FROM walk GROUP BY id)
         |SELECT doc_id, cluster_id, doc_id = cluster_id AS is_keeper
         |FROM comp ORDER BY doc_id""".stripMargin),
+
+    // Tokenize→pack replay: x133's boundary chain exposing the chunk
+    // TEXT, the x44 merge chain + '{' count per chunk (n_ids), the x128
+    // fill recurrence per lang at capacity 512 (declared with a column
+    // list so the fence leaves the recursive member alone). Fenced: the
+    // chunk chain feeds the per-chunk encode and the recurrence seeds.
+    "x137_tokenize_pack" -> materializeCtes(
+      s"""WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |n AS (SELECT doc_id, ts, len(ts) AS nt FROM t),
+        |b AS (
+        |  SELECT doc_id, ts, nt,
+        |    CASE WHEN nt >= 4 THEN
+        |      list_filter(generate_series(4, nt), i ->
+        |        CAST('0x' || substr(md5(array_to_string(ts[i-3:i], ' ')), 1, 4) AS INT) % 16 = 0)
+        |    ELSE [] END AS bnd
+        |  FROM n),
+        |fb AS (
+        |  SELECT doc_id, ts, nt,
+        |    CASE WHEN len(bnd) > 0 AND bnd[-1] = nt THEN bnd
+        |         ELSE list_append(bnd, nt) END AS bnd2
+        |  FROM b),
+        |c AS (
+        |  SELECT doc_id, unnest(generate_series(1, len(bnd2))) AS ci, ts, bnd2
+        |  FROM fb),
+        |ck AS (
+        |  SELECT doc_id, CAST(ci AS INT) AS chunk_idx,
+        |    array_to_string(ts[CASE WHEN ci = 1 THEN 1 ELSE bnd2[ci-1] + 1 END : bnd2[ci]], ' ') AS chunk
+        |  FROM c),
+        |enc AS (SELECT doc_id, chunk_idx, ${graft.ops.Bpe.oracleSqlExpr("chunk")} AS s FROM ck),
+        |cnt AS (SELECT doc_id, chunk_idx,
+        |          CAST(length(s) - length(replace(s, '{', '')) AS INT) AS n_ids
+        |        FROM enc),
+        |j AS (SELECT cnt.doc_id, cnt.chunk_idx, cnt.n_ids, d.lang
+        |      FROM cnt JOIN documents d USING (doc_id)),
+        |r AS (
+        |  SELECT lang, n_ids,
+        |    row_number() OVER (PARTITION BY lang ORDER BY doc_id, chunk_idx) AS rk
+        |  FROM j),
+        |f(lang, rk, n_ids, pack_id, fill) AS (
+        |  SELECT lang, rk, n_ids, CAST(0 AS BIGINT), CAST(n_ids AS BIGINT)
+        |  FROM r WHERE rk = 1
+        |  UNION ALL
+        |  SELECT r.lang, r.rk, r.n_ids,
+        |    CASE WHEN f.fill + r.n_ids > 512 THEN f.pack_id + 1 ELSE f.pack_id END,
+        |    CASE WHEN f.fill + r.n_ids > 512 THEN CAST(r.n_ids AS BIGINT)
+        |         ELSE f.fill + r.n_ids END
+        |  FROM r JOIN f ON r.lang = f.lang AND r.rk = f.rk + 1)
+        |SELECT lang, pack_id, COUNT(*) AS n_chunks,
+        |  CAST(SUM(n_ids) AS BIGINT) AS pack_ids
+        |FROM f GROUP BY lang, pack_id ORDER BY lang, pack_id""".stripMargin),
 
     // Decontamination replay: the same 5-gram shingling (x122's split
     // convention, md5 digests, per-doc DISTINCT), the overlap join,
