@@ -274,6 +274,39 @@ object Bpe {
       sy => element_at(idMap, sy))
   }
 
+  /** TOKENIZER FERTILITY report per language — the table a tokenizer
+    * owner reads before pointing a vocab at a multilingual corpus: ids
+    * per word (fertility) and chars per id (compression), both in the
+    * exact permille lane. Words are the tokenizer's own word units
+    * (maximal `[a-z0-9]+` runs of the lowercased text — the same
+    * definition [[encodeIds]] segments, so fertility ≥ 1000 by
+    * construction: every word emits at least one id). One row per
+    * language: (lang, n_docs, n_words, n_ids, n_chars,
+    * fertility_permille, chars_per_id_permille).
+    *
+    * Scale shape: ONE map-side-combinable aggregation over the corpus —
+    * the encode is a codegen'd per-row fold under the plan-literal
+    * merge table (zero shuffle before the lang-keyed combine), and the
+    * output is languages-sized. All counts are exact integers and the
+    * permille ratios integer `div` (guarded: an all-symbol language
+    * with zero words/ids reports null, never an ANSI divide error), so
+    * the x140 oracle replays the report bit-for-bit. */
+  def fertilityReport(docs: org.apache.spark.sql.DataFrame, langCol: String,
+                      textCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    docs.groupBy(col(langCol).as("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(regexp_count(lower(col(textCol)), lit("[a-z0-9]+")))
+          .cast("long").as("n_words"),
+        sum(size(encodeIds(col(textCol)))).cast("long").as("n_ids"),
+        sum(length(col(textCol))).cast("long").as("n_chars"))
+      .withColumn("fertility_permille",
+        expr("CASE WHEN n_words > 0 THEN (n_ids * 1000) div n_words END"))
+      .withColumn("chars_per_id_permille",
+        expr("CASE WHEN n_ids > 0 THEN (n_chars * 1000) div n_ids END"))
+      .orderBy("lang")
+  }
+
   /** DuckDB expression mapping `mergedCol` (a column already holding
     * [[oracleSqlExpr]]'s merged brace string — evaluate that once in a
     * subquery, the chain is ~120 nested replaces) to the id LIST:

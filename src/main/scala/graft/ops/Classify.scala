@@ -74,8 +74,28 @@ object Classify {
     * document's scores). */
   def nbScore(docs: DataFrame, idCol: String, textCol: String,
               m: NbModel): DataFrame = {
+    val perClass = nbClassScores(docs, idCol, textCol, m)
+    // argmax by combinable aggregate: min over (−score, label) = highest
+    // score, smallest label on ties — no per-doc window partition
+    perClass
+      .groupBy(col(idCol))
+      .agg(min(struct((-col("score_fix")).as("neg"),
+        col("label").as("pred_label"),
+        col("score_fix").as("score_fix"))).as("b"))
+      .select(col(idCol), col("b.pred_label").as("pred_label"),
+        round(col("b.score_fix").cast("double") / lit(1e12), 6).as("score_nats"))
+  }
+
+  /** The per-(doc, class) fixed-point score frame behind [[nbScore]]:
+    * (idCol, label, score_fix) — one row per document per model class
+    * (the cross join guarantees coverage; unseen words fall back to the
+    * cwc = 0 smoothing floor). Scale shape: scan + two broadcast hash
+    * joins + one (doc, class)-keyed aggregate — docs × L rows, L the
+    * class count (small by construction). */
+  def nbClassScores(docs: DataFrame, idCol: String, textCol: String,
+                    m: NbModel): DataFrame = {
     val stok = docs.select(col(idCol), explode(split(col(textCol), " ")).as("w"))
-    val perClass = stok
+    stok
       .crossJoin(broadcast(m.classStats))
       .join(broadcast(m.wordCounts), Seq("label", "w"), "left")
       .withColumn("lw_fix",
@@ -86,15 +106,78 @@ object Classify {
       .agg(sum(col("lw_fix")).as("s_fix"))
       .select(col(idCol), col("label"),
         (col("s_fix") + col("prior_fix")).as("score_fix"))
-    // argmax by combinable aggregate: min over (−score, label) = highest
-    // score, smallest label on ties — no per-doc window partition
-    perClass
+  }
+
+  /** Per-document CONFIDENCE MARGIN: best-class score minus runner-up
+    * score in the fixed-point lane — the argmax-confidence proxy a
+    * screening pipeline thresholds on (fixed-point subtraction: exact
+    * integers, no softmax float soup). One row per doc: (idCol,
+    * actual_label, pred_label, margin_fix, is_correct). Requires a
+    * model with ≥ 2 classes — with one class there is no runner-up and
+    * the ANSI element_at fails loudly rather than inventing a margin.
+    *
+    * The top-2 comes from ONE combinable aggregate (array_sort over the
+    * collected (−score, label) structs, slice 2 — L entries per doc, L
+    * the class count), not a per-doc window: no global sort, one
+    * doc-keyed shuffle. */
+  def nbMarginScores(m: NbModel, docs: DataFrame, idCol: String,
+                     labelCol: String, textCol: String): DataFrame =
+    nbClassScores(docs, idCol, textCol, m)
       .groupBy(col(idCol))
-      .agg(min(struct((-col("score_fix")).as("neg"),
-        col("label").as("pred_label"),
-        col("score_fix").as("score_fix"))).as("b"))
-      .select(col(idCol), col("b.pred_label").as("pred_label"),
-        round(col("b.score_fix").cast("double") / lit(1e12), 6).as("score_nats"))
+      .agg(slice(array_sort(collect_list(struct(
+        (-col("score_fix")).as("neg"), col("label").as("l")))), 1, 2).as("t"))
+      .select(col(idCol),
+        element_at(col("t"), 1).getField("l").as("pred_label"),
+        (element_at(col("t"), 2).getField("neg") -
+          element_at(col("t"), 1).getField("neg")).as("margin_fix"))
+      .join(docs.select(col(idCol), col(labelCol).as("actual_label")),
+        Seq(idCol))
+      .select(col(idCol), col("actual_label"), col("pred_label"),
+        col("margin_fix"),
+        (col("actual_label") === col("pred_label")).as("is_correct"))
+
+  /** CALIBRATION report over an [[nbMarginScores]] frame: rank docs by
+    * confidence margin (ascending, doc id tie-break), cut the ranking
+    * into `nBins` exact integer-rank bins (x69's floor((rn−1)·B/m)
+    * convention), and report per-bin accuracy in the permille lane —
+    * the reliability table that tells a pipeline whether "high margin"
+    * actually means "more often right" before it trusts a margin
+    * threshold as a keep gate. One row per non-empty bin: (bin, n_docs,
+    * n_correct, acc_permille, min_margin_nats, max_margin_nats).
+    * Counts and the permille accuracy are exact integers; the margin
+    * BOUNDS report in the round-6 nats lane, not raw fix units —
+    * per-word ln floors can land ±1 ulp apart across engines, so
+    * summed margins carry a few units of fix jitter (the same reason
+    * [[nbScore]] reports score_nats). The RANK still uses the exact
+    * fix lane: an order flip would need two DISTINCT margins within
+    * that jitter (~3·10⁻¹² nats apart), not a realistic collision for
+    * sums of ln terms, while ties (identical texts) are exactly equal
+    * in both engines and break on the doc id.
+    *
+    * The ranking is one global sort of doc-sized rows — the same
+    * extreme-scale swap note as [[Export.curriculumManifest]] (a
+    * report path; swap in a sampled-boundaries rank at 100 TB). */
+  def nbCalibrationReport(margins: DataFrame, idCol: String,
+                          nBins: Int = 10): DataFrame = {
+    require(nBins > 0, s"need a positive bin count, got $nBins")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("margin_fix").asc, col(idCol).asc)
+    margins
+      .withColumn("rn", row_number().over(w))
+      .withColumn("m", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .withColumn("bin", expr(s"((rn - 1) * $nBins) div m"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"),
+        count_if(col("is_correct")).as("n_correct"),
+        round(min(col("margin_fix")).cast("double") / lit(1e12), 6)
+          .as("min_margin_nats"),
+        round(max(col("margin_fix")).cast("double") / lit(1e12), 6)
+          .as("max_margin_nats"))
+      .withColumn("acc_permille", expr("(n_correct * 1000) div n_docs"))
+      .select(col("bin"), col("n_docs"), col("n_correct"),
+        col("acc_permille"), col("min_margin_nats"), col("max_margin_nats"))
+      .orderBy("bin")
   }
 
   /** The classifier evaluation a pipeline runs before trusting a filter:

@@ -171,4 +171,70 @@ object LangModel {
       .agg(max(col("nsrc")).as("n_tokens"),
         round(sum(col("fix")).cast("double") / lit(1e12), 6).as("kl_nats"))
   }
+
+  /** Vocab-sized token-count STATE behind [[driftMoversFromStats]]:
+    * (w, c). Integer counts — associative-commutative, so incremental
+    * maintenance folds batches by [[tokenStatsMerge]] (the s32
+    * streaming gate's state; same discipline as
+    * [[Chunking.mixtureStats]]). */
+  def tokenStats(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(split(col(textCol), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).cast("long").as("c"))
+
+  /** Fold two [[tokenStats]] frames by per-word addition. */
+  def tokenStatsMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("w").agg(sum(col("c")).cast("long").as("c"))
+
+  /** Per-token DRIFT ATTRIBUTION between two corpus snapshots: where
+    * [[distributionDrift]] answers "how far has a slice moved" (one KL
+    * number per slice), this answers the question the operator asks
+    * when that alarm fires — WHICH tokens moved. Each token's
+    * Jensen-Shannon divergence contribution between snapshot A's and
+    * snapshot B's add-one-smoothed unigram distributions (smoothed over
+    * the UNION vocabulary, so one-sided tokens are first-class), top-K
+    * by contribution. One row per mover: (w, c_a, c_b, jsd_fix,
+    * total_jsd_nats) — the constant total is the whole-vocab JSD, so
+    * the report carries both the alarm level and its attribution.
+    *
+    * Scale shape: the corpus-sized work is [[tokenStats]] (map-side-
+    * combinable counts); everything here is vocab-sized — one full
+    * outer join on the word, per-row arithmetic, a global top-K
+    * (TakeOrdered, no full sort). JSD terms pin to longs
+    * (floor(·10¹²) of IEEE doubles whose `ln` is bit-identical
+    * JVM↔DuckDB — x52's verified lane), so the total is an exact
+    * integer sum and the x138 oracle replays the report bit-for-bit.
+    * Contributions are ≥ 0 up to floor jitter (p = q pins to 0; floor
+    * of a −0-side residue can yield −1, identically in both engines). */
+  def driftMoversFromStats(aStats: DataFrame, bStats: DataFrame,
+                           topK: Int): DataFrame = {
+    require(topK > 0, s"need a positive mover count, got $topK")
+    val joined = Caches.persistTracked(
+      aStats.select(col("w"), col("c").as("c_a"))
+        .join(bStats.select(col("w"), col("c").as("c_b")),
+          Seq("w"), "full_outer")
+        .select(col("w"), coalesce(col("c_a"), lit(0L)).as("c_a"),
+          coalesce(col("c_b"), lit(0L)).as("c_b")))
+    val totRow = joined
+      .agg(sum(col("c_a")), sum(col("c_b")), count(lit(1))).head()
+    val (na, nb, v) =
+      (totRow.getLong(0), totRow.getLong(1), totRow.getLong(2))
+    val p = (col("c_a") + lit(1.0)) / lit((na + v).toDouble)
+    val q = (col("c_b") + lit(1.0)) / lit((nb + v).toDouble)
+    val contrib =
+      (p * log(lit(2.0) * p / (p + q)) + q * log(lit(2.0) * q / (p + q))) *
+        lit(0.5)
+    val terms = joined.withColumn("jsd_fix",
+      floor(contrib * lit(1e12)).cast("long"))
+    terms.crossJoin(terms.agg(sum(col("jsd_fix")).as("__t")))
+      .select(col("w"), col("c_a"), col("c_b"), col("jsd_fix"),
+        round(col("__t").cast("double") / lit(1e12), 6).as("total_jsd_nats"))
+      .orderBy(col("jsd_fix").desc, col("w").asc)
+      .limit(topK)
+  }
+
+  /** [[driftMoversFromStats]] over two snapshot frames directly — the
+    * batch path of the x138 gate. */
+  def tokenDriftMovers(a: DataFrame, b: DataFrame, textCol: String,
+                       topK: Int): DataFrame =
+    driftMoversFromStats(tokenStats(a, textCol), tokenStats(b, textCol), topK)
 }

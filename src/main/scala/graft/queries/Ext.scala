@@ -2244,6 +2244,70 @@ object Ext {
           sum(col("n_ids")).cast("long").as("pack_ids"))
         .orderBy("lang", "pack_id")
     },
+
+    // TOKEN-DRIFT ATTRIBUTION (x138): x52 tells you a slice drifted;
+    // this tells you WHICH tokens did it — per-token Jensen-Shannon
+    // contributions between two corpus snapshots (even/odd doc split
+    // standing in for old/new crawl), smoothed over the union vocab,
+    // top 50 movers with the whole-vocab total riding along. The
+    // corpus-sized work is two map-side-combinable token counts; the
+    // attribution is vocab-sized. FULL oracle: exact counts, the
+    // floor(·1e12) ln lane, total as an exact integer sum.
+    "x138_token_drift" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      LangModel.tokenDriftMovers(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 =!= 0),
+        "text", topK = 50)
+    },
+
+    // CALIBRATION report (x139): does "high margin" mean "more often
+    // right"? The x108 NB model's best-minus-runner-up confidence
+    // margin on the held-out split, ranked and cut into 10 exact
+    // integer-rank bins (x69's convention), per-bin accuracy in the
+    // permille lane — the reliability table a pipeline reads before it
+    // trusts a margin threshold as a keep gate (p07 is that gate).
+    "x139_calibration_report" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val m = Classify.trainNaiveBayes(
+        docs.filter(col("doc_id") % 5 =!= 0), "lang", "text")
+      Classify.nbCalibrationReport(
+        Classify.nbMarginScores(m, docs.filter(col("doc_id") % 5 === 0),
+          "doc_id", "lang", "text"),
+        "doc_id", nBins = 10)
+    },
+
+    // TOKENIZER FERTILITY (x140): ids per word and chars per id, per
+    // language, under the frozen x44 merge table — the vocab-fit report
+    // read before pointing one tokenizer at a multilingual corpus. One
+    // combinable aggregation; the encode replays in the oracle via the
+    // same merge chain as x134.
+    "x140_tokenizer_fertility" -> { (s, dir) =>
+      graft.ops.Bpe.fertilityReport(Tables.documents(s, dir), "lang", "text")
+    },
+
+    // p07: MARGIN-screened export — p05 hardened by the calibration
+    // dial x139 audits: keep a doc only when the NB screen is both
+    // 'en' AND confident (margin ≥ 0.3 nats in the fixed-point lane),
+    // then ship the keepers through x66's manifest arithmetic. The
+    // composition a pipeline actually deploys once the reliability
+    // table justifies a threshold; drift in training, scoring, the
+    // top-2, the margin cut, or the manifest flips the checksums.
+    // The cut compares raw fix margins, which carry ±few-ulp ln jitter
+    // across engines — a flip would need a doc's margin within that
+    // jitter of exactly 0.3 nats (the same negligible-collision class
+    // as every fixed-point rank in this suite).
+    "p07_margin_screen_export" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val m = Classify.trainNaiveBayes(
+        docs.filter(col("doc_id") % 5 =!= 0), "lang", "text")
+      val kept = Classify.nbMarginScores(m, docs, "doc_id", "lang", "text")
+        .filter(col("pred_label") === "en" &&
+          col("margin_fix") >= lit(300000000000L))
+        .select("doc_id")
+      Export.shardManifest(docs.join(kept, Seq("doc_id"), "left_semi"),
+        "doc_id", "text", nShards = 8)
+    },
   )
 
   /** x72's full replay, parameterized by the Lloyd-TRAINING source
@@ -6438,6 +6502,135 @@ object Ext {
         |SELECT lang, pack_id, COUNT(*) AS n_chunks,
         |  CAST(SUM(n_ids) AS BIGINT) AS pack_ids
         |FROM f GROUP BY lang, pack_id ORDER BY lang, pack_id""".stripMargin),
+
+    // Token-drift replay: exact per-snapshot counts, the union-vocab
+    // full outer join, p/q as IEEE doubles from exact integers, the
+    // floor(·1e12) JSD term lane (x52's verified ln convention — the
+    // formula text matches the Spark plan shape operation-for-
+    // operation), the exact integer total, top-50 on the unique
+    // (jsd_fix DESC, w ASC) total order. Fenced: j/term feed two
+    // consumers each.
+    "x138_token_drift" -> materializeCtes(
+      """WITH wa AS (
+        |  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+        |  WHERE doc_id % 2 = 0),
+        |wb AS (
+        |  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+        |  WHERE doc_id % 2 <> 0),
+        |ca AS (SELECT w, COUNT(*) AS c_a FROM wa GROUP BY 1),
+        |cb AS (SELECT w, COUNT(*) AS c_b FROM wb GROUP BY 1),
+        |j AS (
+        |  SELECT COALESCE(ca.w, cb.w) AS w,
+        |    CAST(COALESCE(c_a, 0) AS BIGINT) AS c_a,
+        |    CAST(COALESCE(c_b, 0) AS BIGINT) AS c_b
+        |  FROM ca FULL OUTER JOIN cb ON ca.w = cb.w),
+        |tot AS (
+        |  SELECT CAST(SUM(c_a) AS BIGINT) AS na,
+        |    CAST(SUM(c_b) AS BIGINT) AS nb,
+        |    CAST(COUNT(*) AS BIGINT) AS vsz
+        |  FROM j),
+        |pq AS (
+        |  SELECT w, c_a, c_b,
+        |    (c_a + 1.0) / CAST(tot.na + tot.vsz AS DOUBLE) AS p,
+        |    (c_b + 1.0) / CAST(tot.nb + tot.vsz AS DOUBLE) AS q
+        |  FROM j, tot),
+        |term AS (
+        |  SELECT w, c_a, c_b,
+        |    CAST(floor((p * ln(2.0 * p / (p + q)) + q * ln(2.0 * q / (p + q)))
+        |      * 0.5 * 1000000000000.0) AS BIGINT) AS jsd_fix
+        |  FROM pq),
+        |t AS (SELECT CAST(SUM(jsd_fix) AS BIGINT) AS tj FROM term)
+        |SELECT w, c_a, c_b, jsd_fix,
+        |  round(CAST(t.tj AS DOUBLE) / 1000000000000.0, 6) AS total_jsd_nats
+        |FROM term, t
+        |ORDER BY jsd_fix DESC, w ASC LIMIT 50""".stripMargin),
+
+    // Calibration replay: the x108 chain, top-2 scores per doc from the
+    // argmax rank (rn <= 2 pivot), the fixed-point margin, the x69
+    // integer-rank bin cut, per-bin counts and the permille accuracy
+    // division. Counts/accuracy are exact integers; the margin bounds
+    // report round-6 nats (the fix lane carries ±few-ulp ln jitter
+    // across engines — the same reason x108 reports score_nats).
+    "x139_calibration_report" ->
+      (nbChainSql("doc_id % 5 <> 0", "doc_id % 5 = 0") +
+        """,
+          |t2 AS (
+          |  SELECT doc_id,
+          |    MAX(CASE WHEN rn = 1 THEN pred_label END) AS pred_label,
+          |    MAX(CASE WHEN rn = 1 THEN score_fix END) AS s1_fix,
+          |    MAX(CASE WHEN rn = 2 THEN score_fix END) AS s2_fix
+          |  FROM best WHERE rn <= 2 GROUP BY doc_id),
+          |mg AS (
+          |  SELECT t2.doc_id, s1_fix - s2_fix AS margin_fix,
+          |    te.lang = t2.pred_label AS is_correct
+          |  FROM t2 JOIN test te USING (doc_id)),
+          |rk AS (
+          |  SELECT doc_id, margin_fix, is_correct,
+          |    row_number() OVER (ORDER BY margin_fix ASC, doc_id ASC) AS rn,
+          |    COUNT(*) OVER () AS m
+          |  FROM mg)
+          |SELECT ((rn - 1) * 10) // m AS bin,
+          |  COUNT(*) AS n_docs,
+          |  CAST(SUM(CASE WHEN is_correct THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS n_correct,
+          |  (CAST(SUM(CASE WHEN is_correct THEN 1 ELSE 0 END) AS BIGINT)
+          |    * 1000) // COUNT(*) AS acc_permille,
+          |  round(CAST(MIN(margin_fix) AS DOUBLE) / 1000000000000.0, 6)
+          |    AS min_margin_nats,
+          |  round(CAST(MAX(margin_fix) AS DOUBLE) / 1000000000000.0, 6)
+          |    AS max_margin_nats
+          |FROM rk GROUP BY 1 ORDER BY bin""".stripMargin),
+
+    // Fertility replay: the x134 merge chain per doc (evaluated once in
+    // the m subquery), ids via the brace-symbol count, words via the
+    // tokenizer's own [a-z0-9]+ run extraction, exact integer sums and
+    // the guarded permille divisions.
+    "x140_tokenizer_fertility" ->
+      s"""WITH m AS (
+         |  SELECT lang, text, ${graft.ops.Bpe.oracleSqlExpr("text")} AS s
+         |  FROM documents)
+         |SELECT lang, COUNT(*) AS n_docs,
+         |  CAST(SUM(len(regexp_extract_all(lower(text), '[a-z0-9]+')))
+         |    AS BIGINT) AS n_words,
+         |  CAST(SUM(length(s) - length(replace(s, '{', ''))) AS BIGINT)
+         |    AS n_ids,
+         |  CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+         |  CASE WHEN CAST(SUM(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS BIGINT) > 0
+         |    THEN (CAST(SUM(length(s) - length(replace(s, '{', ''))) AS BIGINT) * 1000)
+         |      // CAST(SUM(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS BIGINT) END
+         |    AS fertility_permille,
+         |  CASE WHEN CAST(SUM(length(s) - length(replace(s, '{', ''))) AS BIGINT) > 0
+         |    THEN (CAST(SUM(length(text)) AS BIGINT) * 1000)
+         |      // CAST(SUM(length(s) - length(replace(s, '{', ''))) AS BIGINT) END
+         |    AS chars_per_id_permille
+         |FROM m GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // p07 replay: the NB chain screening the WHOLE corpus, the top-2
+    // pivot and exact fixed-point margin (x139's lane), the pred='en' ∧
+    // margin ≥ 3·10¹¹ keeper set, and x66's manifest arithmetic over
+    // the kept documents.
+    "p07_margin_screen_export" ->
+      (nbChainSql("doc_id % 5 <> 0", "1 = 1") +
+        """,
+          |t2 AS (
+          |  SELECT doc_id,
+          |    MAX(CASE WHEN rn = 1 THEN pred_label END) AS pred_label,
+          |    MAX(CASE WHEN rn = 1 THEN score_fix END) AS s1_fix,
+          |    MAX(CASE WHEN rn = 2 THEN score_fix END) AS s2_fix
+          |  FROM best WHERE rn <= 2 GROUP BY doc_id),
+          |kept AS (
+          |  SELECT doc_id FROM t2
+          |  WHERE pred_label = 'en' AND s1_fix - s2_fix >= 300000000000),
+          |d AS (
+          |  SELECT d0.doc_id,
+          |    CAST(CAST('0x' || substr(md5('shard:' || CAST(d0.doc_id AS VARCHAR)), 1, 8) AS UBIGINT) AS BIGINT) % 8 AS shard,
+          |    len(list_filter(string_split(d0.text, ' '), t -> t <> '')) AS ntok,
+          |    CAST(CAST('0x' || substr(md5(CAST(d0.doc_id AS VARCHAR) || ':' || d0.text), 1, 8) AS UBIGINT) AS BIGINT) AS chk
+          |  FROM documents d0 JOIN kept USING (doc_id))
+          |SELECT shard, COUNT(*) AS n_docs, CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+          |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id,
+          |  CAST(SUM(chk) AS BIGINT) AS checksum
+          |FROM d GROUP BY shard ORDER BY shard""".stripMargin),
 
     // Decontamination replay: the same 5-gram shingling (x122's split
     // convention, md5 digests, per-doc DISTINCT), the overlap join,

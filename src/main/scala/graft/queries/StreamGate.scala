@@ -2413,6 +2413,95 @@ object StreamGate {
         }
       }
     },
+
+    // Streaming TOKEN-DRIFT maintenance (s32): x138's two snapshot
+    // token histograms kept incrementally as documents arrive — the
+    // maintained artifact is the VOCAB-SIZED (side, w, c) count state
+    // (integer adds, associative-commutative: batch order and
+    // boundaries provably cannot show), from which the drift
+    // attribution report is a pure function — nothing corpus-sized is
+    // ever maintained, and the alarm re-reads the same state each
+    // trigger for free. The folded state is value-pinned against the
+    // exact twin over the accumulated arrivals in-gate; the emitted
+    // report is [[graft.ops.LangModel.driftMoversFromStats]] over the
+    // maintained sides — oracle = x138's SQL verbatim. ≥2 data batches
+    // asserted; scoped per-batch checkpoints (one live copy).
+    "s32_stream_token_drift" -> { (s, dir) =>
+      val topic = allDocsTopic(s, dir)
+      withGateConf(s) {
+        var st: graft.ops.Checkpointed = null
+        var seen: graft.ops.Checkpointed = null
+        val ckpt = gateTmpDir("s32_ckpt_")
+        try {
+          val q = s.readStream.format("graft-topic")
+            .option("topic", topic)
+            .option("maxRecordsPerTrigger",
+              math.max(1L, (topicSize(topic) + 2) / 3).toString)
+            .load()
+            .select(from_json(col("value").cast("string"),
+              org.apache.spark.sql.types.StructType.fromDDL(
+                "doc_id BIGINT, text STRING")).as("j"))
+            .select(col("j.doc_id").as("doc_id"), col("j.text").as("text"))
+            .writeStream
+            .foreachBatch { (df: DataFrame, _: Long) =>
+              if (!df.isEmpty) {
+                val sided = df.withColumn("side",
+                  when(col("doc_id") % 2 === 0, lit("a")).otherwise(lit("b")))
+                val bs = sided
+                  .select(col("side"),
+                    explode(split(col("text"), " ")).as("w"))
+                  .groupBy("side", "w")
+                  .agg(count(lit(1)).cast("long").as("c"))
+                val nextSt = graft.ops.Caches.localCheckpointScoped(
+                  if (st == null) bs
+                  else st.df.unionByName(bs).groupBy("side", "w")
+                    .agg(sum(col("c")).cast("long").as("c")))
+                if (st != null) st.release()
+                st = nextSt
+                val nextSeen = graft.ops.Caches.localCheckpointScoped(
+                  if (seen == null) df else seen.df.unionByName(df))
+                if (seen != null) seen.release()
+                seen = nextSeen
+              }
+              ()
+            }
+            .option("checkpointLocation", ckpt.toString)
+            .trigger(Trigger.AvailableNow())
+            .start()
+          drain(q, ckpt)
+          require(dataBatches(q) >= 2,
+            s"s32 must fold across batches; ran ${dataBatches(q)} data batches")
+          val seenDf = graft.ops.Caches.adopt(seen)
+          val stDf = graft.ops.Caches.adopt(st)
+          // value-pin the folded histograms against the exact twin over
+          // the accumulated arrivals (integer counts: equality is exact)
+          val folded = stDf.collect()
+            .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+          val exact = seenDf
+            .select(when(col("doc_id") % 2 === 0, lit("a")).otherwise(lit("b"))
+              .as("side"), explode(split(col("text"), " ")).as("w"))
+            .groupBy("side", "w").agg(count(lit(1)).cast("long").as("c"))
+            .collect()
+            .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+          require(folded == exact,
+            s"s32 folded histograms drifted from the exact twin " +
+              s"(${folded.size} vs ${exact.size} keys)")
+          // the report: the drift attribution as a pure function of the
+          // maintained state sides
+          graft.ops.Caches.localCheckpointTracked(
+            graft.ops.LangModel.driftMoversFromStats(
+              stDf.filter(col("side") === "a").select("w", "c"),
+              stDf.filter(col("side") === "b").select("w", "c"),
+              topK = 50))
+        } catch {
+          // a failed drain/fold must not strand scoped blocks
+          case t: Throwable =>
+            if (st != null) st.release()
+            if (seen != null) seen.release()
+            throw t
+        }
+      }
+    },
   )
 
   private val streamStreamEntry: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
@@ -2664,6 +2753,12 @@ object StreamGate {
     // digest rows are doc-keyed, so per-batch chunking unions to the
     // one-shot corpus digest — x133's SQL verbatim.
     "s31_stream_cdc_digest" -> Ext.oracle("x133_cdc_chunks"),
+
+    // The side-keyed token histograms fold by integer addition
+    // (value-pinned against the exact twin in-gate) and the drift
+    // attribution is a pure function of the folded state — the report
+    // over the accumulated arrivals is x138's SQL verbatim.
+    "s32_stream_token_drift" -> Ext.oracle("x138_token_drift"),
 
     // Shard membership is a pure function of the row and every manifest
     // field commutes, so the streamed partitioned tree's manifest equals

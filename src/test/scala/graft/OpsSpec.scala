@@ -3843,4 +3843,100 @@ class OpsSpec extends AnyFunSuite {
     assert(folded == whole, "batched audit folds must equal the one-shot audit")
     graft.ops.Caches.releaseAll()
   }
+
+  test("token drift: stats fold shard-wise; identical snapshots pin to zero") {
+    import spark.implicits._
+    val whole = graft.ops.LangModel.tokenStats(docs, "text")
+      .as[(String, Long)].collect().toMap
+    val folded = graft.ops.LangModel.tokenStatsMerge(
+        graft.ops.LangModel.tokenStats(
+          docs.filter(col("doc_id") % 2 === 0), "text"),
+        graft.ops.LangModel.tokenStats(
+          docs.filter(col("doc_id") % 2 =!= 0), "text"))
+      .as[(String, Long)].collect().toMap
+    assert(folded == whole, "token counts must fold shard-wise (s32's state)")
+    // identical snapshots: p = q exactly for every token → every JSD
+    // term and the total pin to 0
+    val self = graft.ops.LangModel.tokenDriftMovers(docs, docs, "text", 10)
+      .collect()
+    assert(self.nonEmpty &&
+      self.forall(r => r.getLong(3) == 0L && r.getDouble(4) == 0.0),
+      "identical snapshots must report zero drift")
+  }
+
+  test("token drift: a planted replacement tops the movers, symmetrically") {
+    val a = docs.select(col("doc_id"), col("text"))
+    // b = a with every token 'the' rewritten — both the vanished and the
+    // arriving word must surface as the top two movers
+    val b = docs.select(col("doc_id"),
+      array_join(transform(split(col("text"), " "),
+        w => when(w === "the", lit("zzzdrift")).otherwise(w)), " ").as("text"))
+    val top = graft.ops.LangModel.tokenDriftMovers(a, b, "text", 2)
+      .collect().map(_.getString(0)).toSet
+    assert(top == Set("the", "zzzdrift"), s"expected the planted pair, got $top")
+    // JSD is symmetric and IEEE addition commutative: swapping snapshots
+    // preserves every mover's fixed-point contribution bit-for-bit
+    val ab = graft.ops.LangModel.tokenDriftMovers(a, b, "text", 50)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    val ba = graft.ops.LangModel.tokenDriftMovers(b, a, "text", 50)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(ab == ba, "drift attribution must be snapshot-symmetric")
+    graft.ops.Caches.releaseAll()
+  }
+
+  test("calibration report: bins partition the ranking and replay a local reference") {
+    import spark.implicits._
+    val m = graft.ops.Classify.trainNaiveBayes(
+      docs.filter(col("doc_id") % 5 =!= 0), "lang", "text")
+    val test5 = docs.filter(col("doc_id") % 5 === 0)
+    val mg = graft.ops.Classify.nbMarginScores(m, test5,
+      "doc_id", "lang", "text")
+    val rows = mg.select("doc_id", "margin_fix", "is_correct")
+      .as[(Long, Long, Boolean)].collect().toSeq
+    assert(rows.nonEmpty && rows.forall(_._2 >= 0),
+      "margins are best minus runner-up: non-negative")
+    // the top-2 argmax must agree with nbScore's single-argmax path
+    val pred1 = mg.select("doc_id", "pred_label")
+      .as[(Long, String)].collect().toMap
+    val pred2 = graft.ops.Classify.nbScore(test5, "doc_id", "text", m)
+      .select("doc_id", "pred_label").as[(Long, String)].collect().toMap
+    assert(pred1 == pred2, "margin path argmax must equal nbScore argmax")
+    // local integer reference of the x69-convention bin cut
+    val sorted = rows.sortBy(r => (r._2, r._1))
+    val mc = sorted.size
+    val ref = sorted.zipWithIndex
+      .groupBy { case (_, i) => i.toLong * 10 / mc }
+      .map { case (bin, xs) => bin ->
+        ((xs.size.toLong, xs.count(_._1._3).toLong,
+          xs.map(_._1._2).min, xs.map(_._1._2).max)) }
+    def nats(fix: Long): Double = java.math.BigDecimal.valueOf(fix / 1e12)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val got = graft.ops.Classify.nbCalibrationReport(mg, "doc_id", 10)
+      .as[(Long, Long, Long, Long, Double, Double)].collect()
+    assert(got.map(_._2).sum == mc, "bins must partition the ranking")
+    got.foreach { case (bin, n, nc, acc, lo, hi) =>
+      val (rn, rc, rlo, rhi) = ref(bin)
+      assert(n == rn && nc == rc && lo == nats(rlo) && hi == nats(rhi),
+        s"bin $bin drifted from the local reference")
+      assert(acc == nc * 1000 / n, s"bin $bin permille accuracy")
+    }
+  }
+
+  test("tokenizer fertility: every word emits >= 1 id; totals match a direct encode") {
+    import spark.implicits._
+    val rep = graft.ops.Bpe.fertilityReport(docs, "lang", "text")
+      .as[(String, Long, Long, Long, Long, Option[Long], Option[Long])]
+      .collect()
+    assert(rep.nonEmpty)
+    rep.foreach { case (lang, nd, nw, ni, nch, f, cpi) =>
+      assert(nd > 0 && nw > 0 && ni >= nw,
+        s"$lang: every [a-z0-9]+ word must emit at least one id")
+      assert(f.exists(_ >= 1000), s"$lang: fertility is ids-per-word >= 1")
+      assert(cpi.isDefined && nch >= ni, s"$lang: chars per id >= 1")
+    }
+    val direct = docs
+      .agg(sum(size(graft.ops.Bpe.encodeIds(col("text"))))).head().getLong(0)
+    assert(rep.map(_._4).sum == direct,
+      "per-lang id totals must sum to the corpus encode total")
+  }
 }

@@ -1238,4 +1238,54 @@ class ScaleSpec extends AnyFunSuite {
     assert(p.contains("chunk_hash"),
       s"self-join must key on chunk_hash:\n$p")
   }
+
+  test("x138 drift attribution: top-K is TakeOrdered; corpus work is combinable counts") {
+    val docs = Tables.documents(spark, dir)
+    val drift = graft.ops.LangModel.tokenDriftMovers(
+      docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 =!= 0), "text", topK = 50)
+    val p = drift.queryExecution.executedPlan.toString
+    // top-K must never be a global sort of the vocab
+    assert(p.contains("TakeOrderedAndProject"),
+      s"drift top-K must be TakeOrdered, not a full sort:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no all-pairs anywhere:\n$p")
+    // the corpus-sized aggregation (token counts) must combine map-side
+    val stats = graft.ops.LangModel.tokenStats(docs, "text")
+      .queryExecution.executedPlan.toString
+    assert(stats.contains("partial_count") || stats.contains("partial count"),
+      s"token counts must map-side combine:\n$stats")
+    graft.ops.Caches.releaseAll()
+  }
+
+  test("x139 margin scores: top-2 is an aggregate (no per-doc window), model broadcasts") {
+    val docs = Tables.documents(spark, dir)
+    val m = graft.ops.Classify.trainNaiveBayes(
+      docs.filter(col("doc_id") % 5 =!= 0), "lang", "text")
+    val p = graft.ops.Classify.nbMarginScores(m,
+        docs.filter(col("doc_id") % 5 === 0), "doc_id", "lang", "text")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Window"),
+      s"the top-2 must come from one combinable aggregate, not a window:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the word-count model must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"no corpus-sized shuffle joins in the scoring path:\n$p")
+  }
+
+  test("x140 fertility: ONE lang-keyed combine — no join, no UDF, one exchange") {
+    val docs = Tables.documents(spark, dir)
+    val p = graft.ops.Bpe.fertilityReport(docs, "lang", "text")
+      .queryExecution.executedPlan.toString
+    // exactly one hash exchange (the lang-keyed combine); the only other
+    // allowed exchange is the rangepartitioning of the languages-sized
+    // ordered output
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 1,
+      s"fertility is one aggregation: expected 1 hash exchange, got $hashEx:\n$p")
+    assert(p.contains("partial_count"),
+      s"the corpus pass must combine map-side:\n$p")
+    assert(!p.contains("Join"), s"the merge table rides the plan, no join:\n$p")
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+      s"the encode must stay codegen-friendly, no UDF:\n$p")
+  }
 }
