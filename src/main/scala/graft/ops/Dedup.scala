@@ -1132,4 +1132,87 @@ object Dedup {
       .distinct()
     (tokP, sz, cand)
   }
+
+  /** WINNOWING fingerprints (Schleimer/Wilkerson/Aiken 2003, the MOSS
+    * algorithm): hash every `k`-token gram, slide a window of `w`
+    * consecutive gram hashes, keep each window's MINIMUM — the
+    * guarantee the other fingerprint families here lack: ANY shared
+    * token run of length ≥ w + k − 1 between two documents yields at
+    * least one shared fingerprint (every such run contains a full
+    * window of identical gram hashes, and a window's min is a pure
+    * function of its contents), while the kept set is a ~2/(w+1)
+    * sample of the grams. CDC (x133) shares the any-alignment idea but
+    * fingerprints variable CHUNKS for dedup storage; winnowing
+    * fingerprints fixed-size grams for overlap DETECTION. Docs with at
+    * least one gram but fewer than `w` of them keep one fingerprint
+    * (the min of all — the standard short-input degeneration); docs
+    * shorter than `k` tokens carry no signal and emit nothing.
+    *
+    * One row per (doc, DISTINCT fingerprint). Pure per-row HOFs over
+    * the token array (codegen'd, O(n·w) per doc, no UDF) + one
+    * doc-keyed distinct — the only shuffle. Hashes are the first 8 md5
+    * hex digits as a BIGINT (the x133/x135 integer convention), so the
+    * x141 oracle replays them exactly. */
+  def winnowingFingerprints(docs: DataFrame, idCol: String, textCol: String,
+                            k: Int = 4, w: Int = 8): DataFrame = {
+    require(k >= 1, s"need gram size k >= 1, got $k")
+    require(w >= 1, s"need window size w >= 1, got $w")
+    docs
+      .withColumn("toks", split(col(textCol), " "))
+      .withColumn("nt", size(col("toks")))
+      // k-gram hashes (guard short docs — Spark's sequence(a, b)
+      // DECREASES when b < a)
+      .withColumn("hs",
+        when(col("nt") >= k,
+          transform(sequence(lit(1), col("nt") - (k - 1)), i =>
+            conv(substring(md5(concat_ws(" ",
+              slice(col("toks"), i, lit(k)))), 1, 8), 16, 10)
+              .cast("long")))
+          .otherwise(array().cast("array<long>")))
+      .withColumn("fp", explode(
+        when(size(col("hs")) >= w,
+          array_distinct(transform(sequence(lit(1), size(col("hs")) - (w - 1)),
+            j => array_min(slice(col("hs"), j, lit(w))))))
+          .otherwise(when(size(col("hs")) >= 1, array(array_min(col("hs"))))
+            .otherwise(array().cast("array<long>")))))
+      .select(col(idCol), col("fp"))
+      .distinct()
+  }
+
+  /** Pairwise OVERLAP report over [[winnowingFingerprints]]: one row
+    * per doc pair sharing ≥ `minShared` fingerprints, with the shared
+    * count — the plagiarism/clone-detection join. Fingerprints seen in
+    * more than `maxFpDf` docs are stop-fingerprints (boilerplate
+    * phrases) and are cut BEFORE the self-join, bounding per-key
+    * fan-out at maxFpDf² — the same discipline as x135's stop-chunks;
+    * everything shuffles on the fingerprint or the pair, never
+    * all-pairs. */
+  def winnowingOverlapPairs(docs: DataFrame, idCol: String, textCol: String,
+                            k: Int = 4, w: Int = 8, minShared: Int = 3,
+                            maxFpDf: Int = 50): DataFrame =
+    winnowingOverlapFromFingerprints(
+      Caches.persistTracked(winnowingFingerprints(docs, idCol, textCol, k, w)),
+      idCol, minShared, maxFpDf)
+
+  /** The pair tail of [[winnowingOverlapPairs]] over an already-built
+    * (idCol, fp) index — the s33 streaming gate's read path: the index
+    * is the maintained artifact (doc-keyed rows, a pure per-row
+    * function of content, so batches union order-free) and this report
+    * is a pure function of it. */
+  def winnowingOverlapFromFingerprints(fps: DataFrame, idCol: String,
+                                       minShared: Int = 3,
+                                       maxFpDf: Int = 50): DataFrame = {
+    require(minShared >= 1, s"need minShared >= 1, got $minShared")
+    require(maxFpDf >= 2, s"need maxFpDf >= 2 (pairs need df 2), got $maxFpDf")
+    val kept = fps.join(
+      fps.groupBy("fp").agg(count(lit(1)).as("__df"))
+        .filter(col("__df") <= maxFpDf).select("fp"),
+      Seq("fp"), "left_semi")
+    kept.as("a").join(kept.as("b"),
+        col("a.fp") === col("b.fp") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("a_id"), col(s"b.$idCol").as("b_id"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= minShared)
+  }
 }

@@ -239,4 +239,41 @@ object TextStats {
           (col("n_bi").cast("double") * col("c1") * col("c2"))), 6)
           .as("pmi"))
   }
+
+  /** TF-IDF SALIENCE per slice: the top-K terms that CHARACTERIZE each
+    * source/domain/day — term frequency within the slice × corpus
+    * inverse document frequency, the "what is this domain about"
+    * report next to x52's "how far has it drifted" and x120's
+    * corpus-wide collocations. idf_fix = floor(ln(N/df)·10⁶) (df ≥ 1
+    * for every observed term, a corpus-wide term scores exactly 0);
+    * salience_fix = tf · idf_fix stays in BIGINT at any realistic
+    * slice tf (swap the product into a DECIMAL(38,0) lane past ~10¹²
+    * tf). One row per (slice, rank ≤ topK), tie-broken on the term.
+    *
+    * Scale shape: two map-side-combinable counts over the token stream
+    * (tf slice-keyed, df per-doc-distinct), a vocab-sized join, and a
+    * SLICE-KEYED window rank (partitioned — never a global sort). The
+    * x142 oracle replays the fix lane exactly (the ±1-ulp ln floor
+    * class every fix-lane report here accepts). */
+  def tfidfSalience(docs: DataFrame, idCol: String, groupCol: String,
+                    textCol: String, topK: Int = 10): DataFrame = {
+    require(topK >= 1, s"need topK >= 1, got $topK")
+    val words = Caches.persistTracked(docs.select(col(idCol).as("__id"),
+      col(groupCol).as("__grp"), explode(split(col(textCol), " ")).as("w")))
+    val n = docs.agg(count(lit(1))).head().getLong(0)
+    val df = words.select("__id", "w").distinct()
+      .groupBy("w").agg(count(lit(1)).as("df"))
+    val tf = words.groupBy("__grp", "w").agg(count(lit(1)).as("tf"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__grp"))
+      .orderBy(col("salience_fix").desc, col("w").asc)
+    tf.join(df, Seq("w"))
+      .withColumn("idf_fix",
+        floor(log(lit(n.toDouble) / col("df")) * lit(1e6)).cast("long"))
+      .withColumn("salience_fix", col("tf") * col("idf_fix"))
+      .withColumn("rk", row_number().over(win))
+      .filter(col("rk") <= topK)
+      .select(col("__grp").as(groupCol), col("w").as("term"),
+        col("tf"), col("df"), col("salience_fix"), col("rk"))
+  }
 }

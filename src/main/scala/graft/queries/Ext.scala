@@ -2308,6 +2308,32 @@ object Ext {
       Export.shardManifest(docs.join(kept, Seq("doc_id"), "left_semi"),
         "doc_id", "text", nShards = 8)
     },
+
+    // WINNOWING overlap (x141): the MOSS fingerprint discipline — every
+    // shared run of >= w+k-1 = 11 tokens is GUARANTEED a shared
+    // fingerprint (the OpsSpec law), at ~2/(w+1) of the gram volume.
+    // CDC (x133/x135) fingerprints variable chunks for dedup storage;
+    // winnowing fingerprints fixed grams for overlap DETECTION. Pair
+    // report at >= 3 shared, stop-fingerprints cut at df > 50 (x135's
+    // bound). FULL oracle: identical gram hashes, window minima,
+    // distinct sets, df cut, pair counts.
+    "x141_winnowing_overlap" -> { (s, dir) =>
+      Dedup.winnowingOverlapPairs(Tables.documents(s, dir), "doc_id", "text",
+          k = 4, w = 8, minShared = 3, maxFpDf = 50)
+        .orderBy("a_id", "b_id")
+    },
+
+    // TF-IDF SALIENCE (x142): the top-10 terms characterizing each
+    // source — tf within the slice x corpus idf in the floor(ln·1e6)
+    // lane; x52 says how far a source drifted, x138 which tokens moved,
+    // this what a slice is ABOUT. Slice-keyed window rank (never a
+    // global sort). FULL oracle: exact counts, the fix lane, the
+    // (salience DESC, term ASC) total order.
+    "x142_tfidf_salience" -> { (s, dir) =>
+      TextStats.tfidfSalience(Tables.documents(s, dir), "doc_id", "source",
+          "text", topK = 10)
+        .orderBy("source", "rk")
+    },
   )
 
   /** x72's full replay, parameterized by the Lloyd-TRAINING source
@@ -6020,6 +6046,63 @@ object Ext {
           |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id,
           |  CAST(SUM(chk) AS BIGINT) AS checksum
           |FROM d GROUP BY shard ORDER BY shard""".stripMargin),
+
+    // Winnowing replay: the same 4-gram 8-hex md5 hashes, window-of-8
+    // minima (short-doc one-fingerprint degeneration included), per-doc
+    // DISTINCT, the df <= 50 stop-fingerprint cut, pair counts at >= 3.
+    // Fenced: f feeds the df cut and both join sides.
+    "x141_winnowing_overlap" -> materializeCtes(
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |n AS (SELECT doc_id, ts, len(ts) AS nt FROM t),
+        |h AS (
+        |  SELECT doc_id,
+        |    CASE WHEN nt >= 4 THEN
+        |      list_transform(generate_series(1, nt - 3), i ->
+        |        CAST(CAST('0x' || substr(md5(array_to_string(ts[i:i+3], ' ')), 1, 8) AS UBIGINT) AS BIGINT))
+        |    ELSE [] END AS hs
+        |  FROM n),
+        |wnd AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(hs) >= 8 THEN
+        |      list_distinct(list_transform(generate_series(1, len(hs) - 7),
+        |        j -> list_min(hs[j:j+7])))
+        |    WHEN len(hs) >= 1 THEN [list_min(hs)]
+        |    ELSE [] END AS fps
+        |  FROM h),
+        |f AS (SELECT DISTINCT doc_id, unnest(fps) AS fp FROM wnd),
+        |kept AS (
+        |  SELECT f.doc_id, f.fp FROM f
+        |  JOIN (SELECT fp FROM f GROUP BY fp HAVING COUNT(*) <= 50) k USING (fp)),
+        |p AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS shared_fps
+        |  FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT a_id, b_id, CAST(shared_fps AS BIGINT) AS shared_fps
+        |FROM p WHERE shared_fps >= 3 ORDER BY a_id, b_id""".stripMargin),
+
+    // Salience replay: exact tf/df counts (df per-doc-distinct), the
+    // floor(ln(N/df)·1e6) idf lane, the integer product, the
+    // (salience DESC, term ASC) rank per source.
+    "x142_tfidf_salience" -> materializeCtes(
+      """WITH wds AS (
+        |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |n AS (SELECT COUNT(*) AS nd FROM documents),
+        |df AS (
+        |  SELECT w, COUNT(*) AS df
+        |  FROM (SELECT DISTINCT doc_id, w FROM wds) GROUP BY 1),
+        |tf AS (SELECT source, w, COUNT(*) AS tf FROM wds GROUP BY 1, 2),
+        |sal AS (
+        |  SELECT tf.source, tf.w, tf.tf, df.df,
+        |    tf.tf * CAST(floor(ln(CAST(n.nd AS DOUBLE) / df.df) * 1000000.0) AS BIGINT) AS salience_fix
+        |  FROM tf JOIN df USING (w), n),
+        |rk AS (
+        |  SELECT source, w AS term, tf, df, salience_fix,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY salience_fix DESC, w ASC) AS rk
+        |  FROM sal)
+        |SELECT source, term, tf, df, salience_fix, CAST(rk AS INT) AS rk
+        |FROM rk WHERE rk <= 10 ORDER BY source, rk""".stripMargin),
 
     // Funnel replay: three sequential conditional-min CTEs, the stage
     // count, the 48 h conversion-window rule.

@@ -2502,6 +2502,60 @@ object StreamGate {
         }
       }
     },
+
+    // Streaming WINNOWING-INDEX maintenance (s33): x141's fingerprint
+    // index kept incrementally — fingerprints are a pure per-row
+    // function of LOCAL content (the same property as s31's CDC
+    // digest), so each micro-batch fingerprints only its arriving docs
+    // (cost ∝ batch, never ∝ corpus) and the doc-keyed index rows union
+    // order-free; the overlap-pair report is a pure READ of the
+    // maintained index (df cut + fp-keyed join), re-runnable each
+    // trigger. Oracle = x141's SQL verbatim. ≥2 data batches asserted;
+    // scoped per-batch checkpoints (one live copy).
+    "s33_stream_winnowing_index" -> { (s, dir) =>
+      val topic = allDocsTopic(s, dir)
+      withGateConf(s) {
+        var idx: graft.ops.Checkpointed = null
+        val ckpt = gateTmpDir("s33_ckpt_")
+        try {
+          val q = s.readStream.format("graft-topic")
+            .option("topic", topic)
+            .option("maxRecordsPerTrigger",
+              math.max(1L, (topicSize(topic) + 2) / 3).toString)
+            .load()
+            .select(from_json(col("value").cast("string"),
+              org.apache.spark.sql.types.StructType.fromDDL(
+                "doc_id BIGINT, text STRING")).as("j"))
+            .select(col("j.doc_id").as("doc_id"), col("j.text").as("text"))
+            .writeStream
+            .foreachBatch { (df: DataFrame, _: Long) =>
+              if (!df.isEmpty) {
+                val bf = graft.ops.Dedup.winnowingFingerprints(
+                  df, "doc_id", "text", k = 4, w = 8)
+                val next = graft.ops.Caches.localCheckpointScoped(
+                  if (idx == null) bf else idx.df.unionByName(bf))
+                if (idx != null) idx.release()
+                idx = next
+              }
+              ()
+            }
+            .option("checkpointLocation", ckpt.toString)
+            .trigger(Trigger.AvailableNow())
+            .start()
+          drain(q, ckpt)
+          require(dataBatches(q) >= 2,
+            s"s33 must fold across batches; ran ${dataBatches(q)} data batches")
+          graft.ops.Caches.localCheckpointTracked(
+            graft.ops.Dedup.winnowingOverlapFromFingerprints(
+                graft.ops.Caches.adopt(idx), "doc_id",
+                minShared = 3, maxFpDf = 50)
+              .orderBy("a_id", "b_id"))
+        } catch {
+          // a failed drain/fold must not strand scoped blocks
+          case t: Throwable => if (idx != null) idx.release(); throw t
+        }
+      }
+    },
   )
 
   private val streamStreamEntry: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
@@ -2759,6 +2813,12 @@ object StreamGate {
     // attribution is a pure function of the folded state — the report
     // over the accumulated arrivals is x138's SQL verbatim.
     "s32_stream_token_drift" -> Ext.oracle("x138_token_drift"),
+
+    // Winnowing fingerprints are a pure per-row function of content and
+    // index rows are doc-keyed, so per-batch fingerprinting unions to
+    // the one-shot corpus index; the pair report is a pure read of it —
+    // x141's SQL verbatim.
+    "s33_stream_winnowing_index" -> Ext.oracle("x141_winnowing_overlap"),
 
     // Shard membership is a pure function of the row and every manifest
     // field commutes, so the streamed partitioned tree's manifest equals

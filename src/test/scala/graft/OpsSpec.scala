@@ -3922,6 +3922,103 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("winnowing: the w+k-1 guarantee, short-doc degeneration, local reference") {
+    import spark.implicits._
+    // two docs sharing an 11-token run (w + k - 1 = 11 at k=4, w=8),
+    // everything else disjoint: the MOSS guarantee demands >= 1 shared
+    // fingerprint
+    val a = "a1 a2 a3 a4 a5 s1 s2 s3 s4 s5 s6 s7 s8 s9 s10 s11 a6 a7 a8 a9"
+    val b = "b1 b2 b3 b4 s1 s2 s3 s4 s5 s6 s7 s8 s9 s10 s11 b5 b6 b7"
+    val two = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val byDoc = graft.ops.Dedup.winnowingFingerprints(two, "doc_id", "text",
+        k = 4, w = 8)
+      .as[(Long, Long)].collect().groupBy(_._1)
+      .map { case (id, v) => id -> v.map(_._2).toSet }
+    assert((byDoc(1L) intersect byDoc(2L)).nonEmpty,
+      "a shared >= w+k-1 token run must share a fingerprint")
+    // >= k tokens but fewer than w grams: exactly one fingerprint (the
+    // min of all); < k tokens: no signal, no rows
+    val short = Seq((3L, "x1 x2 x3 x4 x5")).toDF("doc_id", "text")
+    assert(graft.ops.Dedup.winnowingFingerprints(short, "doc_id", "text",
+      4, 8).count() == 1)
+    val tiny = Seq((4L, "y1 y2 y3")).toDF("doc_id", "text")
+    assert(graft.ops.Dedup.winnowingFingerprints(tiny, "doc_id", "text",
+      4, 8).count() == 0)
+    // bit-exact local reference on one corpus doc
+    val head = docs.orderBy("doc_id").select("doc_id", "text").head()
+    val (id0, text0) = (head.getLong(0), head.getString(1))
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val toks = text0.split(" ")
+    val hs =
+      if (toks.length >= 4)
+        toks.sliding(4).map(g =>
+          java.lang.Long.parseLong(md5hex(g.mkString(" ")).take(8), 16)).toArray
+      else Array.empty[Long]
+    val expect =
+      if (hs.length >= 8) hs.sliding(8).map(_.min).toSet
+      else if (hs.nonEmpty) Set(hs.min)
+      else Set.empty[Long]
+    val got = graft.ops.Dedup.winnowingFingerprints(
+        docs.filter(col("doc_id") === id0), "doc_id", "text", 4, 8)
+      .select("fp").as[Long].collect().toSet
+    assert(got == expect, "fingerprints must replay the local reference")
+  }
+
+  test("winnowing pairs: planted near-dups surface; the index folds batch-wise") {
+    import spark.implicits._
+    val pairs = graft.ops.Dedup.winnowingOverlapPairs(docs, "doc_id", "text")
+      .collect()
+    assert(pairs.nonEmpty, "planted near-dups must share winnowing fingerprints")
+    // the s33 state law: per-batch fingerprinting unions to the
+    // one-shot corpus index (fingerprints are per-row pure)
+    val whole = graft.ops.Dedup.winnowingFingerprints(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+    val folded = graft.ops.Dedup.winnowingFingerprints(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+      .unionByName(graft.ops.Dedup.winnowingFingerprints(
+        docs.filter(col("doc_id") % 2 =!= 0), "doc_id", "text"))
+      .as[(Long, Long)].collect().toSet
+    assert(folded == whole, "the fingerprint index must fold batch-wise")
+    graft.ops.Caches.releaseAll()
+  }
+
+  test("tfidf salience: fix-lane arithmetic and ranks replay a local reference") {
+    import spark.implicits._
+    val got = graft.ops.TextStats.tfidfSalience(docs, "doc_id", "source",
+        "text", topK = 10)
+      .as[(String, String, Long, Long, Long, Int)].collect()
+    assert(got.nonEmpty)
+    val n = docs.count()
+    val rows = docs.select("doc_id", "source", "text")
+      .as[(Long, String, String)].collect()
+    val words = rows.flatMap { case (id, src, t) =>
+      t.split(" ").map(w => (id, src, w)) }
+    val dfm = words.map(x => (x._1, x._3)).distinct.groupBy(_._2)
+      .map { case (w, xs) => w -> xs.length.toLong }
+    val tfm = words.groupBy(x => (x._2, x._3))
+      .map { case (k2, xs) => k2 -> xs.length.toLong }
+    got.foreach { case (src, term, tf, df, sFix, _) =>
+      assert(tf == tfm((src, term)) && df == dfm(term),
+        s"($src, $term) counts drifted")
+      val ref = tf * math.floor(math.log(n.toDouble / df) * 1e6).toLong
+      assert(sFix == ref, s"($src, $term) salience_fix drifted")
+    }
+    got.groupBy(_._1).foreach { case (src, xs) =>
+      val sorted = xs.sortBy(_._6)
+      assert(sorted.map(_._6).toSeq == (1 to sorted.length).toSeq,
+        s"$src ranks must be dense from 1")
+      sorted.sliding(2).foreach {
+        case Array(p, q) =>
+          assert(p._5 > q._5 || (p._5 == q._5 && p._2 < q._2),
+            s"$src rank order must follow (salience DESC, term ASC)")
+        case _ => ()
+      }
+    }
+    graft.ops.Caches.releaseAll()
+  }
+
   test("tokenizer fertility: every word emits >= 1 id; totals match a direct encode") {
     import spark.implicits._
     val rep = graft.ops.Bpe.fertilityReport(docs, "lang", "text")

@@ -1272,6 +1272,37 @@ class ScaleSpec extends AnyFunSuite {
       s"no corpus-sized shuffle joins in the scoring path:\n$p")
   }
 
+  test("x141 winnowing: per-row fingerprints, fp-keyed pair join — never all-pairs") {
+    val docs = Tables.documents(spark, dir)
+    val fp = graft.ops.Dedup.winnowingFingerprints(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    // fingerprinting is scan -> per-row HOFs -> one doc-keyed distinct
+    assert(!fp.contains("Join"), s"fingerprinting must not join:\n$fp")
+    assert(!fp.contains("BatchEvalPython") && !fp.contains("ScalaUDF"),
+      s"fingerprinting must stay codegen-friendly, no UDF:\n$fp")
+    val p = graft.ops.Dedup.winnowingOverlapPairs(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+           !p.contains("BroadcastNestedLoop"),
+      s"the overlap join must bucket on the fingerprint, never all-pairs:\n$p")
+    assert(p.contains("fp"), s"self-join must key on fp:\n$p")
+    graft.ops.Caches.releaseAll()
+  }
+
+  test("x142 salience: slice-keyed window (never a global sort), combinable counts") {
+    val docs = Tables.documents(spark, dir)
+    val p = graft.ops.TextStats.tfidfSalience(docs, "doc_id", "source", "text")
+      .queryExecution.executedPlan.toString
+    // the rank partitions by the slice — a Window with an empty
+    // partition spec would single-partition the corpus
+    assert(p.contains("windowspecdefinition(__grp"),
+      s"the rank must partition by the slice:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no all-pairs anywhere:\n$p")
+    assert(p.contains("partial_count"),
+      s"tf/df counts must map-side combine:\n$p")
+    graft.ops.Caches.releaseAll()
+  }
+
   test("x140 fertility: ONE lang-keyed combine — no join, no UDF, one exchange") {
     val docs = Tables.documents(spark, dir)
     val p = graft.ops.Bpe.fertilityReport(docs, "lang", "text")
