@@ -1133,6 +1133,43 @@ object Dedup {
     (tokP, sz, cand)
   }
 
+  /** CROSS-SLICE DUPLICATION matrix: which sources copy from each
+    * other — the exact near-dup pairs ([[ngramJaccardPairs]], the
+    * verify-grade path) attributed to their (source, source) cell,
+    * slice pair ordered lexicographically so within-slice duplication
+    * sits on the diagonal. One row per implicated cell: n_pairs (dup
+    * pairs straddling the cell) and n_docs (distinct docs involved) —
+    * the provenance telemetry a curation pipeline reads before
+    * deciding WHERE its duplication comes from (crawl overlap between
+    * two sources vs boilerplate within one).
+    *
+    * Scale shape: everything after the pair step is pair-sized — two
+    * id-keyed attribution joins and two cell-keyed aggregates. The
+    * pair step itself is the exact path (small-scale/verify grade);
+    * swap in [[minhashLshPairs]] → [[verifyPairsJaccard]] for the
+    * 100 TB run — the matrix tail is identical. */
+  def crossSliceDuplication(docs: DataFrame, idCol: String, textCol: String,
+                            blockCol: String, sliceCol: String,
+                            ngramN: Int = 3,
+                            threshold: Double = 0.5): DataFrame = {
+    val pairs = ngramJaccardPairs(docs, idCol, textCol, blockCol,
+      ngramN, threshold).select("a_id", "b_id")
+    val src = docs.select(col(idCol), col(sliceCol).cast("string").as("__s"))
+    val lab = Caches.persistTracked(pairs
+      .join(src.select(col(idCol).as("a_id"), col("__s").as("sa")), Seq("a_id"))
+      .join(src.select(col(idCol).as("b_id"), col("__s").as("sb")), Seq("b_id"))
+      .select(least(col("sa"), col("sb")).as("src_a"),
+        greatest(col("sa"), col("sb")).as("src_b"),
+        col("a_id"), col("b_id")))
+    val np = lab.groupBy("src_a", "src_b").agg(count(lit(1)).as("n_pairs"))
+    val nd = lab
+      .select(col("src_a"), col("src_b"),
+        explode(array(col("a_id"), col("b_id"))).as("d"))
+      .distinct()
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_docs"))
+    np.join(nd, Seq("src_a", "src_b"))
+  }
+
   /** WINNOWING fingerprints (Schleimer/Wilkerson/Aiken 2003, the MOSS
     * algorithm): hash every `k`-token gram, slide a window of `w`
     * consecutive gram hashes, keep each window's MINIMUM — the

@@ -256,14 +256,54 @@ object TextStats {
     * x142 oracle replays the fix lane exactly (the ±1-ulp ln floor
     * class every fix-lane report here accepts). */
   def tfidfSalience(docs: DataFrame, idCol: String, groupCol: String,
-                    textCol: String, topK: Int = 10): DataFrame = {
-    require(topK >= 1, s"need topK >= 1, got $topK")
+                    textCol: String, topK: Int = 10): DataFrame =
+    tfidfSalienceFromStats(
+      Caches.persistTracked(tfidfStats(docs, idCol, groupCol, textCol)),
+      groupCol, topK)
+
+  /** The TALL vocab-sized stats state behind [[tfidfSalience]] — one
+    * frame so a streaming maintainer folds ONE artifact: kind 'tf'
+    * rows are (group, word) term counts, kind 'df' rows per-doc-
+    * DISTINCT word doc frequencies, the single kind 'nd' row the doc
+    * count. All integer counts folded by [[tfidfStatsMerge]] —
+    * tf/nd unconditionally; df validly, PROVIDED batches partition the
+    * docs (each doc arrives exactly once — the s34 arrival contract,
+    * same doc-keyed argument as the s31/s33 indexes), since a doc's
+    * distinct words are counted within its own batch. `grp` is
+    * stringified ('' for non-tf rows) so one schema carries all three
+    * kinds. */
+  def tfidfStats(docs: DataFrame, idCol: String, groupCol: String,
+                 textCol: String): DataFrame = {
     val words = Caches.persistTracked(docs.select(col(idCol).as("__id"),
-      col(groupCol).as("__grp"), explode(split(col(textCol), " ")).as("w")))
-    val n = docs.agg(count(lit(1))).head().getLong(0)
+      col(groupCol).cast("string").as("__grp"),
+      explode(split(col(textCol), " ")).as("w")))
+    val tf = words.groupBy("__grp", "w").agg(count(lit(1)).as("c"))
+      .select(lit("tf").as("kind"), col("__grp").as("grp"), col("w"), col("c"))
     val df = words.select("__id", "w").distinct()
-      .groupBy("w").agg(count(lit(1)).as("df"))
-    val tf = words.groupBy("__grp", "w").agg(count(lit(1)).as("tf"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .select(lit("df").as("kind"), lit("").as("grp"), col("w"), col("c"))
+    val nd = docs.agg(count(lit(1)).as("c"))
+      .select(lit("nd").as("kind"), lit("").as("grp"), lit("").as("w"), col("c"))
+    tf.unionByName(df).unionByName(nd)
+  }
+
+  /** Fold two [[tfidfStats]] frames by per-key addition. */
+  def tfidfStatsMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("kind", "grp", "w")
+      .agg(sum(col("c")).cast("long").as("c"))
+
+  /** The salience report as a pure function of a [[tfidfStats]] state
+    * (the s34 read path). Output matches [[tfidfSalience]] with the
+    * group column rendered as string. */
+  def tfidfSalienceFromStats(stats: DataFrame, groupCol: String,
+                             topK: Int = 10): DataFrame = {
+    require(topK >= 1, s"need topK >= 1, got $topK")
+    val n = stats.filter(col("kind") === "nd").agg(sum(col("c")))
+      .head().getLong(0)
+    val tf = stats.filter(col("kind") === "tf")
+      .select(col("grp").as("__grp"), col("w"), col("c").as("tf"))
+    val df = stats.filter(col("kind") === "df")
+      .select(col("w"), col("c").as("df"))
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__grp"))
       .orderBy(col("salience_fix").desc, col("w").asc)

@@ -2334,6 +2334,21 @@ object Ext {
           "text", topK = 10)
         .orderBy("source", "rk")
     },
+
+    // CROSS-SOURCE DUPLICATION matrix (x143): x02's exact near-dup
+    // pairs attributed to (source, source) cells — WHERE the
+    // duplication comes from (crawl overlap between two sources on the
+    // off-diagonal, within-source boilerplate on the diagonal), with
+    // distinct implicated docs per cell. Everything after the pair step
+    // is pair-sized; the 100 TB swap is the LSH pair path under the
+    // same matrix tail. FULL oracle: the x02 chain, least/greatest cell
+    // keys, both cell aggregates.
+    "x143_cross_source_dup" -> { (s, dir) =>
+      Dedup.crossSliceDuplication(Tables.documents(s, dir), "doc_id", "text",
+          blockCol = "lang", sliceCol = "source", ngramN = 3,
+          threshold = 0.5)
+        .orderBy("src_a", "src_b")
+    },
   )
 
   /** x72's full replay, parameterized by the Lloyd-TRAINING source
@@ -6103,6 +6118,43 @@ object Ext {
         |  FROM sal)
         |SELECT source, term, tf, df, salience_fix, CAST(rk AS INT) AS rk
         |FROM rk WHERE rk <= 10 ORDER BY source, rk""".stripMargin),
+
+    // Cross-source matrix replay: the x02 trigram-Jaccard chain, the
+    // >= 0.5 cut, least/greatest source cell keys, pair counts and
+    // distinct implicated docs per cell. Fenced: tri/lab feed multiple
+    // consumers.
+    "x143_cross_source_dup" -> materializeCtes(
+      """WITH tok AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS ts FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |tri AS (
+        |  SELECT DISTINCT doc_id, lang,
+        |    unnest(list_transform(generate_series(1, len(ts) - 2),
+        |      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS g
+        |  FROM tok),
+        |nt AS (SELECT doc_id, COUNT(*) AS n FROM tri GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS common
+        |  FROM tri a JOIN tri b ON a.g = b.g AND a.lang = b.lang AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |jp AS (
+        |  SELECT a_id, b_id FROM pairs
+        |  JOIN nt na ON a_id = na.doc_id JOIN nt nb ON b_id = nb.doc_id
+        |  WHERE common * 1.0 / (na.n + nb.n - common) >= 0.5),
+        |lab AS (
+        |  SELECT least(da.source, db.source) AS src_a,
+        |    greatest(da.source, db.source) AS src_b, a_id, b_id
+        |  FROM jp
+        |  JOIN documents da ON da.doc_id = a_id
+        |  JOIN documents db ON db.doc_id = b_id),
+        |np AS (SELECT src_a, src_b, COUNT(*) AS n_pairs FROM lab GROUP BY 1, 2),
+        |nd AS (
+        |  SELECT src_a, src_b, COUNT(*) AS n_docs FROM (
+        |    SELECT DISTINCT src_a, src_b, unnest([a_id, b_id]) AS d FROM lab)
+        |  GROUP BY 1, 2)
+        |SELECT np.src_a, np.src_b, np.n_pairs, nd.n_docs
+        |FROM np JOIN nd USING (src_a, src_b)
+        |ORDER BY src_a, src_b""".stripMargin),
 
     // Funnel replay: three sequential conditional-min CTEs, the stage
     // count, the 48 h conversion-window rule.

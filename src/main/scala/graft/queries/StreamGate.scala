@@ -211,6 +211,23 @@ object StreamGate {
     })
   }
 
+  /** Source-attributed document topic for the streaming TF-IDF gate
+    * (s34): every `documents` row as JSON (doc_id, source, text).
+    * Memoized per (JVM, sf dir). */
+  private val srcDocTopics = TrieMap.empty[String, String]
+  private def srcDocsTopic(s: SparkSession, dir: String): String = synchronized {
+    srcDocTopics.getOrElseUpdate(dir, {
+      val topic = s"gate_srcdocs_${java.util.UUID.randomUUID().toString.take(8)}"
+      Tables.documents(s, dir)
+        .select(col("doc_id").cast("string").as("key"),
+          to_json(struct(col("doc_id"), col("source"), col("text"))).as("value"),
+          to_timestamp(lit("2024-01-01 00:00:00")).as("timestamp"))
+        .write.format("graft-topic").mode("append")
+        .option("topic", topic).option("partitions", "4").save()
+      topic
+    })
+  }
+
   /** Typed-measurement topic for the streaming anomaly gate (s21):
     * events re-serialized WITH their event_id (the shared
     * [[eventsTopic]] carries only user/type/value — the z-score report
@@ -2556,6 +2573,76 @@ object StreamGate {
         }
       }
     },
+
+    // Streaming TF-IDF-SALIENCE maintenance (s34): x142's stats kept
+    // incrementally — the maintained artifact is the ONE tall
+    // vocab-sized (kind, grp, w, c) frame (tf term counts, per-doc-
+    // distinct df, the doc count), folded by integer adds. tf/nd fold
+    // unconditionally; df folds because each doc arrives in exactly
+    // one batch (the topic partitions the corpus), so its distinct
+    // words are counted within its own batch — the same doc-keyed
+    // argument as s31/s33. The salience report is a pure function of
+    // the state. Folded state value-pinned against the exact twin
+    // in-gate; oracle = x142's SQL verbatim. ≥2 data batches asserted.
+    "s34_stream_tfidf_salience" -> { (s, dir) =>
+      val topic = srcDocsTopic(s, dir)
+      withGateConf(s) {
+        var st: graft.ops.Checkpointed = null
+        val ckpt = gateTmpDir("s34_ckpt_")
+        try {
+          val q = s.readStream.format("graft-topic")
+            .option("topic", topic)
+            .option("maxRecordsPerTrigger",
+              math.max(1L, (topicSize(topic) + 2) / 3).toString)
+            .load()
+            .select(from_json(col("value").cast("string"),
+              org.apache.spark.sql.types.StructType.fromDDL(
+                "doc_id BIGINT, source STRING, text STRING")).as("j"))
+            .select(col("j.doc_id").as("doc_id"), col("j.source").as("source"),
+              col("j.text").as("text"))
+            .writeStream
+            .foreachBatch { (df: DataFrame, _: Long) =>
+              if (!df.isEmpty) {
+                val bs = graft.ops.TextStats.tfidfStats(
+                  df, "doc_id", "source", "text")
+                val next = graft.ops.Caches.localCheckpointScoped(
+                  if (st == null) bs
+                  else graft.ops.TextStats.tfidfStatsMerge(st.df, bs))
+                if (st != null) st.release()
+                st = next
+              }
+              ()
+            }
+            .option("checkpointLocation", ckpt.toString)
+            .trigger(Trigger.AvailableNow())
+            .start()
+          drain(q, ckpt)
+          require(dataBatches(q) >= 2,
+            s"s34 must fold across batches; ran ${dataBatches(q)} data batches")
+          val stDf = graft.ops.Caches.adopt(st)
+          // value-pin the folded stats against the exact twin over the
+          // whole corpus (integer counts: equality is exact)
+          val folded = stDf.collect()
+            .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+              r.getLong(3)).toMap
+          val exact = graft.ops.TextStats.tfidfStats(
+              Tables.documents(s, dir), "doc_id", "source", "text")
+            .collect()
+            .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+              r.getLong(3)).toMap
+          require(folded == exact,
+            s"s34 folded stats drifted from the exact twin " +
+              s"(${folded.size} vs ${exact.size} keys)")
+          graft.ops.Caches.localCheckpointTracked(
+            graft.ops.TextStats.tfidfSalienceFromStats(stDf, "source",
+                topK = 10)
+              .orderBy("source", "rk"))
+        } catch {
+          // a failed drain/fold must not strand scoped blocks
+          case t: Throwable => if (st != null) st.release(); throw t
+        }
+      }
+    },
   )
 
   private val streamStreamEntry: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
@@ -2819,6 +2906,12 @@ object StreamGate {
     // the one-shot corpus index; the pair report is a pure read of it —
     // x141's SQL verbatim.
     "s33_stream_winnowing_index" -> Ext.oracle("x141_winnowing_overlap"),
+
+    // The tall tf/df/nd stats frame folds by integer addition (df
+    // validly because the topic partitions docs across batches;
+    // value-pinned against the exact twin in-gate) and the salience
+    // report is a pure function of the state — x142's SQL verbatim.
+    "s34_stream_tfidf_salience" -> Ext.oracle("x142_tfidf_salience"),
 
     // Shard membership is a pure function of the row and every manifest
     // field commutes, so the streamed partitioned tree's manifest equals

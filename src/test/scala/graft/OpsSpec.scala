@@ -4019,6 +4019,59 @@ class OpsSpec extends AnyFunSuite {
     graft.ops.Caches.releaseAll()
   }
 
+  test("tfidf stats: doc-partitioned batches fold to the whole (the s34 state law)") {
+    import spark.implicits._
+    val whole = graft.ops.TextStats.tfidfStats(docs, "doc_id", "source", "text")
+      .as[(String, String, String, Long)].collect()
+      .map(r => (r._1, r._2, r._3) -> r._4).toMap
+    // halves partition the docs, so even the per-doc-distinct df rows fold
+    val folded = graft.ops.TextStats.tfidfStatsMerge(
+        graft.ops.TextStats.tfidfStats(
+          docs.filter(col("doc_id") % 2 === 0), "doc_id", "source", "text"),
+        graft.ops.TextStats.tfidfStats(
+          docs.filter(col("doc_id") % 2 =!= 0), "doc_id", "source", "text"))
+      .as[(String, String, String, Long)].collect()
+      .map(r => (r._1, r._2, r._3) -> r._4).toMap
+    assert(folded == whole, "tf/df/nd stats must fold over doc-partitioned batches")
+    // and the report from folded state equals the direct path
+    val direct = graft.ops.TextStats.tfidfSalience(docs, "doc_id", "source",
+        "text", topK = 10)
+      .orderBy("source", "rk").collect().toSeq
+    val viaState = graft.ops.TextStats.tfidfSalienceFromStats(
+        graft.ops.TextStats.tfidfStats(docs, "doc_id", "source", "text"),
+        "source", topK = 10)
+      .orderBy("source", "rk").collect().toSeq
+    assert(direct == viaState, "fromStats must equal the direct path")
+    graft.ops.Caches.releaseAll()
+  }
+
+  test("cross-source duplication matrix replays the attributed pair set") {
+    import spark.implicits._
+    val srcOf = docs.select("doc_id", "source").as[(Long, String)]
+      .collect().toMap
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", "lang", 3, 0.5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSeq
+    assert(pairs.nonEmpty, "fixture must plant near-dup pairs")
+    val cells = pairs.map { case (a, b) =>
+      val (sa, sb) = (srcOf(a), srcOf(b))
+      (if (sa <= sb) sa else sb, if (sa <= sb) sb else sa, a, b)
+    }
+    val refPairs = cells.groupBy(c => (c._1, c._2))
+      .map { case (k2, xs) => k2 -> xs.size.toLong }
+    val refDocs = cells.flatMap(c => Seq((c._1, c._2, c._3), (c._1, c._2, c._4)))
+      .distinct.groupBy(c => (c._1, c._2))
+      .map { case (k2, xs) => k2 -> xs.size.toLong }
+    val got = Dedup.crossSliceDuplication(docs, "doc_id", "text",
+        "lang", "source")
+      .as[(String, String, Long, Long)].collect()
+    assert(got.nonEmpty && got.length == refPairs.size)
+    got.foreach { case (sa, sb, np, ndv) =>
+      assert(np == refPairs((sa, sb)) && ndv == refDocs((sa, sb)),
+        s"cell ($sa, $sb) drifted from the local reference")
+    }
+    graft.ops.Caches.releaseAll()
+  }
+
   test("tokenizer fertility: every word emits >= 1 id; totals match a direct encode") {
     import spark.implicits._
     val rep = graft.ops.Bpe.fertilityReport(docs, "lang", "text")

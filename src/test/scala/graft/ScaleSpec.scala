@@ -1303,6 +1303,19 @@ class ScaleSpec extends AnyFunSuite {
     graft.ops.Caches.releaseAll()
   }
 
+  test("x143 cross-source matrix: attribution joins key on ids, tail is pair-sized") {
+    val docs = Tables.documents(spark, dir)
+    val p = graft.ops.Dedup.crossSliceDuplication(docs, "doc_id", "text",
+        "lang", "source")
+      .queryExecution.executedPlan.toString
+    // the matrix tail must stay keyed: id-keyed attribution joins +
+    // cell-keyed aggregates, nothing all-pairs beyond the gram buckets
+    assert(!p.contains("CartesianProduct") &&
+           !p.contains("BroadcastNestedLoop"),
+      s"the matrix path must never go all-pairs:\n$p")
+    graft.ops.Caches.releaseAll()
+  }
+
   test("x140 fertility: ONE lang-keyed combine — no join, no UDF, one exchange") {
     val docs = Tables.documents(spark, dir)
     val p = graft.ops.Bpe.fertilityReport(docs, "lang", "text")
