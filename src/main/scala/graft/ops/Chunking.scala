@@ -244,6 +244,29 @@ object Chunking {
         col("__folded.bin").as("pack_bin"))
   }
 
+  /** PACK-FILL efficiency report over a [[packChunksStrict]] frame: per
+    * shard, how well next-fit filled the capacity — pack count, chunk
+    * count, packed token mass, and the realized fill as a permille of
+    * shard capacity (n_packs · capacity). The loader-budget telemetry
+    * read next to x128/x137's pack manifests: a low fill permille means
+    * oversized chunks are forcing early pack breaks and the capacity or
+    * the chunker needs retuning. Shard-keyed aggregates only; output is
+    * shards-sized; all integers (the x145 oracle replays it exactly). */
+  def packFillReport(packs: DataFrame, shardCol: String, tokenCol: String,
+                     capacity: Int): DataFrame = {
+    require(capacity > 0, s"need a positive capacity, got $capacity")
+    packs
+      .groupBy(col(shardCol), col("pack_id"))
+      .agg(count(lit(1)).as("__nc"),
+        sum(col(tokenCol)).cast("long").as("__pt"))
+      .groupBy(col(shardCol))
+      .agg(count(lit(1)).as("n_packs"),
+        sum(col("__nc")).cast("long").as("n_chunks"),
+        sum(col("__pt")).cast("long").as("packed_tokens"))
+      .withColumn("fill_permille",
+        expr(s"(packed_tokens * 1000) div (n_packs * ${capacity}L)"))
+  }
+
   /** Explode a [[packChunksStrictFold]] frame back to the input rows,
     * each with its `pack_id`. */
   def packAssignments(folded: DataFrame): DataFrame =

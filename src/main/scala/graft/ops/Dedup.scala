@@ -1133,6 +1133,31 @@ object Dedup {
     (tokP, sz, cand)
   }
 
+  /** CLUSTER-SIZE HISTOGRAM over a [[connectedComponents]] frame — the
+    * dedup telemetry read before believing a dedup pass: how big are
+    * the near-dup families (cluster_size 1 = unique docs), how many of
+    * each, and the corpus-level dedup rate (removable docs = size − 1
+    * per cluster, as a permille of all docs) riding along as a
+    * constant column. One row per occurring cluster size.
+    *
+    * Scale shape: one cluster-keyed count over the doc-sized component
+    * frame, then everything is histogram-sized (a size-keyed count, a
+    * broadcast 1-row total). All integers — the x144 oracle replays it
+    * exactly. */
+  def clusterSizeHistogram(components: DataFrame): DataFrame = {
+    val cs = Caches.persistTracked(components.groupBy("cluster_id")
+      .agg(count(lit(1)).as("cluster_size")))
+    val tot = cs.agg(sum(col("cluster_size")).as("__n_total"),
+      sum(col("cluster_size") - 1).as("__n_removable"))
+    cs.groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+      .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
+      .crossJoin(broadcast(tot))
+      .withColumn("dedup_rate_permille",
+        expr("(__n_removable * 1000) div __n_total"))
+      .select(col("cluster_size"), col("n_clusters"), col("n_docs"),
+        col("dedup_rate_permille"))
+  }
+
   /** CROSS-SLICE DUPLICATION matrix: which sources copy from each
     * other — the exact near-dup pairs ([[ngramJaccardPairs]], the
     * verify-grade path) attributed to their (source, source) cell,

@@ -2349,6 +2349,39 @@ object Ext {
           threshold = 0.5)
         .orderBy("src_a", "src_b")
     },
+
+    // CLUSTER-SIZE HISTOGRAM (x144): the dedup telemetry over x16's
+    // components — how big the near-dup families are, how many of each
+    // size, and the corpus dedup rate (removable = size-1 per cluster,
+    // permille of all docs) as a constant column. The report a pipeline
+    // reads to decide whether dedup is even worth a pass. FULL oracle:
+    // the x16 walk + exact size/count/rate integer arithmetic.
+    "x144_cluster_size_histogram" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+          blockCol = "lang", n = 3, threshold = 0.5)
+        .select("a_id", "b_id")
+      Dedup.clusterSizeHistogram(
+          Dedup.connectedComponents(docs.select("doc_id"), "doc_id", pairs))
+        .orderBy("cluster_size")
+    },
+
+    // PACK-FILL efficiency (x145): per-source next-fit realization over
+    // x128's packs — pack/chunk counts, packed mass, and the fill as a
+    // permille of shard capacity. Low fill = oversized chunks forcing
+    // early pack breaks; the capacity-tuning dial next to the pack
+    // manifests. FULL oracle: the x128 fill recurrence + shard-keyed
+    // integer aggregation.
+    "x145_pack_fill_report" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val chunks = Chunking.chunk(docs, "doc_id", "text",
+          chunkTokens = 50, overlap = 10, keepCols = Seq("source"))
+      Chunking.packFillReport(
+          Chunking.packChunksStrict(chunks, "source", "n_chunk_tokens",
+            capacity = 256, orderCols = Seq("doc_id", "chunk_idx")),
+          "source", "n_chunk_tokens", capacity = 256)
+        .orderBy("source")
+    },
   )
 
   /** x72's full replay, parameterized by the Lloyd-TRAINING source
@@ -6155,6 +6188,89 @@ object Ext {
         |SELECT np.src_a, np.src_b, np.n_pairs, nd.n_docs
         |FROM np JOIN nd USING (src_a, src_b)
         |ORDER BY src_a, src_b""".stripMargin),
+
+    // Histogram replay: the x16 component walk, cluster sizes, the
+    // size-keyed histogram, and the exact removable-permille rate.
+    // Recursive chain stays unfenced (x16's shape); cs feeds both the
+    // histogram and the totals so it is computed in each, exact either
+    // way (integer counts).
+    "x144_cluster_size_histogram" ->
+      """WITH RECURSIVE tok AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS ts FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |tri AS (
+        |  SELECT DISTINCT doc_id, lang,
+        |    unnest(list_transform(generate_series(1, len(ts) - 2),
+        |      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS g
+        |  FROM tok),
+        |nt AS (SELECT doc_id, COUNT(*) AS n FROM tri GROUP BY doc_id),
+        |cand AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS common
+        |  FROM tri a JOIN tri b ON a.g = b.g AND a.lang = b.lang AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |p AS (
+        |  SELECT a_id, b_id FROM cand
+        |  JOIN nt na ON a_id = na.doc_id JOIN nt nb ON b_id = nb.doc_id
+        |  WHERE common * 1.0 / (na.n + nb.n - common) >= 0.5),
+        |edges AS (SELECT a_id AS u, b_id AS v FROM p UNION SELECT b_id, a_id FROM p),
+        |walk(id, reach) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT w.id, e.v FROM walk w JOIN edges e ON w.reach = e.u),
+        |comp AS (SELECT id, MIN(reach) AS cluster_id FROM walk GROUP BY id),
+        |cs AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM comp GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(SUM(cluster_size) AS BIGINT) AS n_total,
+        |    CAST(SUM(cluster_size - 1) AS BIGINT) AS n_removable
+        |  FROM cs)
+        |SELECT cluster_size, COUNT(*) AS n_clusters,
+        |  CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs,
+        |  (tot.n_removable * 1000) // tot.n_total AS dedup_rate_permille
+        |FROM cs, tot GROUP BY cluster_size, tot.n_removable, tot.n_total
+        |ORDER BY cluster_size""".stripMargin,
+
+    // Pack-fill replay: the x128 chunk + fill recurrence, then the
+    // shard-keyed pack/chunk/mass aggregation and the capacity permille.
+    "x145_pack_fill_report" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |n AS (SELECT doc_id, toks, len(toks) AS nt FROM t WHERE len(toks) > 0),
+        |c AS (
+        |  SELECT doc_id, toks,
+        |    unnest(generate_series(0, GREATEST(CAST(ceil((nt - 10) / 40.0) AS INT), 1) - 1)) AS ci
+        |  FROM n),
+        |ch AS (
+        |  SELECT doc_id, CAST(ci AS INT) AS chunk_idx,
+        |    CAST(len(toks[ci*40+1 : ci*40+50]) AS INT) AS n_chunk_tokens
+        |  FROM c),
+        |j AS (SELECT ch.doc_id, ch.chunk_idx, ch.n_chunk_tokens, d.source
+        |      FROM ch JOIN documents d ON ch.doc_id = d.doc_id),
+        |r AS (
+        |  SELECT source, n_chunk_tokens,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id, chunk_idx) AS rk
+        |  FROM j),
+        |f AS (
+        |  SELECT source, rk, n_chunk_tokens,
+        |    CAST(0 AS BIGINT) AS pack_id, CAST(n_chunk_tokens AS BIGINT) AS fill
+        |  FROM r WHERE rk = 1
+        |  UNION ALL
+        |  SELECT r.source, r.rk, r.n_chunk_tokens,
+        |    CASE WHEN f.fill + r.n_chunk_tokens > 256
+        |         THEN f.pack_id + 1 ELSE f.pack_id END,
+        |    CASE WHEN f.fill + r.n_chunk_tokens > 256
+        |         THEN CAST(r.n_chunk_tokens AS BIGINT)
+        |         ELSE f.fill + r.n_chunk_tokens END
+        |  FROM r JOIN f ON r.source = f.source AND r.rk = f.rk + 1),
+        |pk AS (
+        |  SELECT source, pack_id, COUNT(*) AS nc,
+        |    CAST(SUM(n_chunk_tokens) AS BIGINT) AS pt
+        |  FROM f GROUP BY source, pack_id)
+        |SELECT source, COUNT(*) AS n_packs,
+        |  CAST(SUM(nc) AS BIGINT) AS n_chunks,
+        |  CAST(SUM(pt) AS BIGINT) AS packed_tokens,
+        |  (CAST(SUM(pt) AS BIGINT) * 1000) // (COUNT(*) * 256) AS fill_permille
+        |FROM pk GROUP BY source ORDER BY source""".stripMargin,
 
     // Funnel replay: three sequential conditional-min CTEs, the stage
     // count, the 48 h conversion-window rule.

@@ -4072,6 +4072,49 @@ class OpsSpec extends AnyFunSuite {
     graft.ops.Caches.releaseAll()
   }
 
+  test("cluster-size histogram replays a local reference; rate counts removables") {
+    import spark.implicits._
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", "lang", 3, 0.5)
+      .select("a_id", "b_id")
+    val comps = Dedup.connectedComponents(docs.select("doc_id"), "doc_id", pairs)
+    val byCluster = comps.as[(Long, Long)].collect().groupBy(_._2)
+    val sizes = byCluster.values.map(_.length.toLong).toSeq
+    val refHist = sizes.groupBy(identity).map { case (sz, xs) => sz -> xs.size.toLong }
+    val refRate = (sizes.sum - sizes.length) * 1000 / sizes.sum
+    val got = Dedup.clusterSizeHistogram(comps)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.map(_._2).sum == sizes.length.toLong,
+      "histogram must cover every cluster")
+    assert(got.map(_._3).sum == sizes.sum, "n_docs must cover every doc")
+    got.foreach { case (sz, nc, ndv, rate) =>
+      assert(nc == refHist(sz) && ndv == sz * nc && rate == refRate,
+        s"size $sz drifted from the local reference")
+    }
+    graft.ops.Caches.releaseAll()
+  }
+
+  test("pack-fill report: capacity bound holds, masses reconcile with the packs") {
+    import spark.implicits._
+    val chunks = graft.ops.Chunking.chunk(docs, "doc_id", "text",
+      chunkTokens = 50, overlap = 10, keepCols = Seq("source"))
+    val packs = graft.ops.Chunking.packChunksStrict(chunks, "source",
+      "n_chunk_tokens", capacity = 256, orderCols = Seq("doc_id", "chunk_idx"))
+    val rep = graft.ops.Chunking.packFillReport(packs, "source",
+        "n_chunk_tokens", capacity = 256)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(rep.nonEmpty)
+    val totalChunks = chunks.count()
+    val totalTokens = chunks.agg(sum(col("n_chunk_tokens"))).head().getLong(0)
+    assert(rep.map(_._3).sum == totalChunks, "every chunk lands in a pack")
+    assert(rep.map(_._4).sum == totalTokens, "packed mass equals chunk mass")
+    rep.foreach { case (src, nPacks, _, packed, fill) =>
+      assert(nPacks > 0 && fill <= 1000,
+        s"$src: strict packing can never exceed capacity")
+      assert(fill == packed * 1000 / (nPacks * 256L), s"$src permille arithmetic")
+    }
+    graft.ops.Caches.releaseAll()
+  }
+
   test("tokenizer fertility: every word emits >= 1 id; totals match a direct encode") {
     import spark.implicits._
     val rep = graft.ops.Bpe.fertilityReport(docs, "lang", "text")
