@@ -199,6 +199,25 @@ object Pipeline {
       .foreach(r => println(f"[pipeline] drift ${r.getString(0)}%-6s " +
         f"kl=${r.getDouble(2)}%.4f over ${r.getLong(1)}%d tokens"))
 
+    // 10b. the round-14 telemetry row the curation loop reads each
+    //      refresh: WHICH tokens moved between corpus halves (x138 —
+    //      the attribution behind the KL alarm above), how the frozen
+    //      tokenizer fits each language (x140), and what the top source
+    //      is about (x142)
+    LangModel.tokenDriftMovers(docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 =!= 0), "text", topK = 3)
+      .collect()
+      .foreach(r => println(f"[pipeline] drift mover '${r.getString(0)}%s' " +
+        f"${r.getLong(1)}%d vs ${r.getLong(2)}%d"))
+    graft.ops.Bpe.fertilityReport(docs, "lang", "text")
+      .collect()
+      .foreach(r => println(f"[pipeline] fertility ${r.getString(0)}%-6s " +
+        f"${r.getLong(5)}%d ids/1000 words"))
+    TextStats.tfidfSalience(docs, "doc_id", "source", "text", topK = 3)
+      .orderBy("source", "rk").collect()
+      .foreach(r => println(f"[pipeline] salient ${r.getString(0)}%-6s " +
+        f"#${r.getInt(5)}%d '${r.getString(1)}%s'"))
+
     graft.ops.Caches.releaseAll()
     spark.stop()
     sys.exit(0)

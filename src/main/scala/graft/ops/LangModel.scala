@@ -216,8 +216,14 @@ object LangModel {
           coalesce(col("c_b"), lit(0L)).as("c_b")))
     val totRow = joined
       .agg(sum(col("c_a")), sum(col("c_b")), count(lit(1))).head()
-    val (na, nb, v) =
-      (totRow.getLong(0), totRow.getLong(1), totRow.getLong(2))
+    // one-sided snapshots are fine (sum over all-zero coalesced counts
+    // is 0); an EMPTY union vocab means there is nothing to attribute —
+    // fail loudly rather than divide by zero inside the smoothing
+    val (na, nb, v) = (
+      if (totRow.isNullAt(0)) 0L else totRow.getLong(0),
+      if (totRow.isNullAt(1)) 0L else totRow.getLong(1),
+      totRow.getLong(2))
+    require(v > 0, "token drift needs at least one token across both snapshots")
     val p = (col("c_a") + lit(1.0)) / lit((na + v).toDouble)
     val q = (col("c_b") + lit(1.0)) / lit((nb + v).toDouble)
     val contrib =
