@@ -2042,4 +2042,51 @@ object Similarity {
     ivfPqProbe(cents, index, emb, vecCol, idCol, queryVec, cb, k,
       nProbe, refine, m)
   }
+
+  /** EXACT L2 top-k for every query in a query TABLE — the brute-force
+    * ground truth the ANN family is measured against ([[recallAtK]]'s
+    * `exact` side). One row per (q_id, rank ≤ k): the same squared-L2
+    * fold as [[ivfPqServeAll]]'s rerank, ranked per query with the
+    * salted two-phase cut (a query's candidate set here is the WHOLE
+    * corpus — the hot-partition case the salt exists for). Queries
+    * broadcast; the corpus is scanned once per batch of queries, never
+    * shuffled. Quadratic by construction — the measurement/baseline
+    * path, not the serving path. */
+  def l2TopKAll(vectors: DataFrame, vecCol: String, idCol: String,
+                queries: DataFrame, qIdCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val e = vectors.select(col(idCol).as("vec_id"),
+      col(vecCol).cast("array<double>").as("__v"))
+    val q = queries.select(col(qIdCol).as("q_id"),
+      col(vecCol).cast("array<double>").as("__qv"))
+    val scored = e.crossJoin(broadcast(q))
+      .withColumn("l2", aggregate(
+        zip_with(col("__v"), col("__qv"), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x))
+    TopK.rankTopK(scored, "q_id", col("vec_id"),
+        Seq(col("l2").asc, col("vec_id").asc), k, "rank")
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id"),
+        round(col("l2"), 6).as("l2_dist"))
+  }
+
+  /** Per-query RECALL@k between an approximate candidate frame and the
+    * exact ground truth (both (q_id, vec_id), e.g. [[ivfPqServeAll]] vs
+    * [[l2TopKAll]]) — the index-quality audit a serving pipeline runs
+    * in-plan before trusting an ANN index, instead of eyeballing spec
+    * thresholds. One row per query: (q_id, n_hits, recall_permille).
+    * Queries with zero hits still report (left join from the exact
+    * side's query set — never silently dropped). Pair-keyed semi join +
+    * query-keyed count: everything is candidates-sized. */
+  def recallAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val hits = approx.select(col("q_id"), col("vec_id"))
+      .join(exact.select(col("q_id"), col("vec_id")),
+        Seq("q_id", "vec_id"), "left_semi")
+      .groupBy("q_id").agg(count(lit(1)).as("n_hits"))
+    exact.select("q_id").distinct()
+      .join(hits, Seq("q_id"), "left")
+      .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+      .withColumn("recall_permille", expr(s"(n_hits * 1000) div ${k}L"))
+  }
 }

@@ -2382,6 +2382,28 @@ object Ext {
           "source", "n_chunk_tokens", capacity = 256)
         .orderBy("source")
     },
+
+    // ANN RECALL audit (x146): recall@5 of the IVF×PQ batch serve (x75)
+    // against the exact brute-force L2 top-5, per query — the
+    // index-quality report a serving pipeline gates deploys on, run
+    // IN-PLAN over the same corpus/query split as x75 (specs assert
+    // recall thresholds; this makes the measurement itself a
+    // hash-gated, engine-replayable artifact). Zero-hit queries report
+    // 0, never vanish. FULL oracle: the whole x75 serve chain, the
+    // exact chain, the intersection counts.
+    "x146_ann_recall_report" -> { (s, dir) =>
+      val all = Tables.embeddings(s, dir)
+      val corpus = all.filter(col("vec_id") % 50 =!= 0)
+      val qtab = all.filter(col("vec_id") % 50 === 0)
+      val (cents, assigned) = Similarity.ivfBuild(corpus, "embedding", "vec_id")
+      val cb = Similarity.pqBuildCodebook(corpus, "embedding", "vec_id")
+      val served = Similarity.ivfPqServeAll(cents,
+        Similarity.ivfPqEncode(assigned, "vec_id", cb), corpus,
+        "embedding", "vec_id", qtab, "vec_id", cb, k = 5)
+      val exact = Similarity.l2TopKAll(corpus, "embedding", "vec_id",
+        qtab, "vec_id", k = 5)
+      Similarity.recallAtK(served, exact, k = 5).orderBy("q_id")
+    },
   )
 
   /** x72's full replay, parameterized by the Lloyd-TRAINING source
@@ -2394,6 +2416,78 @@ object Ext {
     * label propagation): the graph is the stored artifact; each
     * consumer appends its own relational tail (starting `SELECT …` or
     * `, cte AS …`). `e` (vec_id, v) stays visible to tails. */
+  /** x75's full serve replay up to `srv` (per-query L2-reranked
+    * top-5 of the IVF×PQ batch serve) — shared by x75 (which appends
+    * the rounded-distance projection) and x146 (which appends the
+    * exact-L2 ground truth and the recall intersection). */
+  private val ivfPqServeChainSql: String =
+    """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id % 50 <> 0),
+        |qs AS (
+        |  SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id % 50 = 0),
+        |samp AS (
+        |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS k,
+        |    vec_id AS cid, v AS cv
+        |  FROM e
+        |  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 16),
+        |asg AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT e.vec_id, samp.cid,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_sum(list_transform(generate_series(1, len(e.v)), i -> e.v[i] * samp.cv[i])) /
+        |          (sqrt(list_sum(list_transform(generate_series(1, len(e.v)), i -> e.v[i] * e.v[i]))) *
+        |           sqrt(list_sum(list_transform(generate_series(1, len(samp.cv)), i -> samp.cv[i] * samp.cv[i])))) DESC,
+        |        samp.cid ASC) AS rk
+        |    FROM e, samp) WHERE rk = 1),
+        |qprobe AS (
+        |  SELECT q_id, cid FROM (
+        |    SELECT qs.q_id, samp.cid,
+        |      row_number() OVER (PARTITION BY qs.q_id ORDER BY
+        |        list_sum(list_transform(generate_series(1, len(qs.qv)), i -> qs.qv[i] * samp.cv[i])) /
+        |          (sqrt(list_sum(list_transform(generate_series(1, len(qs.qv)), i -> qs.qv[i] * qs.qv[i]))) *
+        |           sqrt(list_sum(list_transform(generate_series(1, len(samp.cv)), i -> samp.cv[i] * samp.cv[i])))) DESC,
+        |        samp.cid ASC) AS rk
+        |    FROM qs, samp) WHERE rk <= 4),
+        |pruned AS (SELECT DISTINCT vec_id FROM asg JOIN qprobe USING (cid)),
+        |jj AS (SELECT unnest(generate_series(0, 7)) AS j),
+        |dist AS (
+        |  SELECT e.vec_id, jj.j, samp.k,
+        |    list_sum(list_transform(generate_series(1, 8), t ->
+        |      (e.v[jj.j * 8 + t] - samp.cv[jj.j * 8 + t]) *
+        |      (e.v[jj.j * 8 + t] - samp.cv[jj.j * 8 + t]))) AS dist
+        |  FROM e JOIN pruned USING (vec_id), jj, samp),
+        |codes AS (
+        |  SELECT vec_id, j, k FROM dist
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, k) = 1),
+        |qtab AS (
+        |  SELECT qs.q_id, jj.j, samp.k,
+        |    list_sum(list_transform(generate_series(1, 8), t ->
+        |      (qs.qv[jj.j * 8 + t] - samp.cv[jj.j * 8 + t]) *
+        |      (qs.qv[jj.j * 8 + t] - samp.cv[jj.j * 8 + t]))) AS dist
+        |  FROM qs, jj, samp),
+        |approx AS (
+        |  SELECT qp.q_id, c.vec_id, list_sum(list(qt.dist ORDER BY c.j)) AS pq
+        |  FROM qprobe qp
+        |  JOIN asg ON asg.cid = qp.cid
+        |  JOIN codes c ON c.vec_id = asg.vec_id
+        |  JOIN qtab qt ON qt.q_id = qp.q_id AND qt.j = c.j AND qt.k = c.k
+        |  GROUP BY qp.q_id, c.vec_id),
+        |cand AS (
+        |  SELECT q_id, vec_id, pq FROM approx
+        |  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY pq, vec_id) <= 15),
+        |scored AS (
+        |  SELECT cand.q_id, cand.vec_id, cand.pq,
+        |    list_sum(list_transform(generate_series(1, len(e.v)), t ->
+        |      (e.v[t] - qs.qv[t]) * (e.v[t] - qs.qv[t]))) AS l2
+        |  FROM cand JOIN e USING (vec_id) JOIN qs USING (q_id)),
+        |srv AS (
+        |  SELECT q_id, CAST(row_number() OVER (PARTITION BY q_id ORDER BY l2 ASC, vec_id ASC) AS INT) AS rank,
+        |    vec_id, pq, l2
+        |  FROM scored
+        |  QUALIFY rank <= 5)""".stripMargin
+
   /** The full Naive-Bayes replay, parameterized by the train/test split
     * predicates on `documents` — shared by x108 (the %5 evaluation
     * split) and s17 (the streaming ingest screen's static/arrival
@@ -3508,73 +3602,37 @@ object Ext {
     // query TABLE — per-query probe ranks (row_number over q × samp),
     // codes over the UNION of probed cells, per-(query, j, k) ADC
     // tables, the ordered-by-j group sum, per-query cut and rerank.
+    // The chain up to `srv` is shared with x146's recall audit.
     "x75_ivfpq_serve" ->
-      """WITH e AS (
-        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-        |  FROM embeddings WHERE vec_id % 50 <> 0),
-        |qs AS (
-        |  SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
-        |  FROM embeddings WHERE vec_id % 50 = 0),
-        |samp AS (
-        |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS k,
-        |    vec_id AS cid, v AS cv
-        |  FROM e
-        |  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 16),
-        |asg AS (
-        |  SELECT vec_id, cid FROM (
-        |    SELECT e.vec_id, samp.cid,
-        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-        |        list_sum(list_transform(generate_series(1, len(e.v)), i -> e.v[i] * samp.cv[i])) /
-        |          (sqrt(list_sum(list_transform(generate_series(1, len(e.v)), i -> e.v[i] * e.v[i]))) *
-        |           sqrt(list_sum(list_transform(generate_series(1, len(samp.cv)), i -> samp.cv[i] * samp.cv[i])))) DESC,
-        |        samp.cid ASC) AS rk
-        |    FROM e, samp) WHERE rk = 1),
-        |qprobe AS (
-        |  SELECT q_id, cid FROM (
-        |    SELECT qs.q_id, samp.cid,
+      (ivfPqServeChainSql + """
+        |SELECT q_id, rank, vec_id, round(pq, 6) AS pq_dist,
+        |  round(l2, 6) AS l2_dist
+        |FROM srv ORDER BY q_id, rank""".stripMargin),
+
+    // ANN recall audit replay: the full x75 serve chain, the exact
+    // brute-force per-query L2 top-5 over the same corpus/queries, the
+    // (q_id, vec_id) intersection counts, zero-hit queries kept by the
+    // left join. Integers only in the output.
+    "x146_ann_recall_report" ->
+      (ivfPqServeChainSql + """,
+        |exact AS (
+        |  SELECT q_id, vec_id FROM (
+        |    SELECT qs.q_id, e.vec_id,
         |      row_number() OVER (PARTITION BY qs.q_id ORDER BY
-        |        list_sum(list_transform(generate_series(1, len(qs.qv)), i -> qs.qv[i] * samp.cv[i])) /
-        |          (sqrt(list_sum(list_transform(generate_series(1, len(qs.qv)), i -> qs.qv[i] * qs.qv[i]))) *
-        |           sqrt(list_sum(list_transform(generate_series(1, len(samp.cv)), i -> samp.cv[i] * samp.cv[i])))) DESC,
-        |        samp.cid ASC) AS rk
-        |    FROM qs, samp) WHERE rk <= 4),
-        |pruned AS (SELECT DISTINCT vec_id FROM asg JOIN qprobe USING (cid)),
-        |jj AS (SELECT unnest(generate_series(0, 7)) AS j),
-        |dist AS (
-        |  SELECT e.vec_id, jj.j, samp.k,
-        |    list_sum(list_transform(generate_series(1, 8), t ->
-        |      (e.v[jj.j * 8 + t] - samp.cv[jj.j * 8 + t]) *
-        |      (e.v[jj.j * 8 + t] - samp.cv[jj.j * 8 + t]))) AS dist
-        |  FROM e JOIN pruned USING (vec_id), jj, samp),
-        |codes AS (
-        |  SELECT vec_id, j, k FROM dist
-        |  QUALIFY row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, k) = 1),
-        |qtab AS (
-        |  SELECT qs.q_id, jj.j, samp.k,
-        |    list_sum(list_transform(generate_series(1, 8), t ->
-        |      (qs.qv[jj.j * 8 + t] - samp.cv[jj.j * 8 + t]) *
-        |      (qs.qv[jj.j * 8 + t] - samp.cv[jj.j * 8 + t]))) AS dist
-        |  FROM qs, jj, samp),
-        |approx AS (
-        |  SELECT qp.q_id, c.vec_id, list_sum(list(qt.dist ORDER BY c.j)) AS pq
-        |  FROM qprobe qp
-        |  JOIN asg ON asg.cid = qp.cid
-        |  JOIN codes c ON c.vec_id = asg.vec_id
-        |  JOIN qtab qt ON qt.q_id = qp.q_id AND qt.j = c.j AND qt.k = c.k
-        |  GROUP BY qp.q_id, c.vec_id),
-        |cand AS (
-        |  SELECT q_id, vec_id, pq FROM approx
-        |  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY pq, vec_id) <= 15),
-        |scored AS (
-        |  SELECT cand.q_id, cand.vec_id, cand.pq,
-        |    list_sum(list_transform(generate_series(1, len(e.v)), t ->
-        |      (e.v[t] - qs.qv[t]) * (e.v[t] - qs.qv[t]))) AS l2
-        |  FROM cand JOIN e USING (vec_id) JOIN qs USING (q_id))
-        |SELECT q_id, CAST(row_number() OVER (PARTITION BY q_id ORDER BY l2 ASC, vec_id ASC) AS INT) AS rank,
-        |  vec_id, round(pq, 6) AS pq_dist, round(l2, 6) AS l2_dist
-        |FROM scored
-        |QUALIFY rank <= 5
-        |ORDER BY q_id, rank""".stripMargin,
+        |        list_sum(list_transform(generate_series(1, len(e.v)), t ->
+        |          (e.v[t] - qs.qv[t]) * (e.v[t] - qs.qv[t]))) ASC,
+        |        e.vec_id ASC) AS rk
+        |    FROM e, qs) WHERE rk <= 5),
+        |hits AS (
+        |  SELECT s.q_id, COUNT(*) AS n_hits
+        |  FROM srv s JOIN exact x ON x.q_id = s.q_id AND x.vec_id = s.vec_id
+        |  GROUP BY 1)
+        |SELECT qs.q_id AS q_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+        |  (CAST(COALESCE(h.n_hits, 0) AS BIGINT) * 1000) // 5 AS recall_permille
+        |FROM qs LEFT JOIN hits h ON h.q_id = qs.q_id
+        |ORDER BY qs.q_id""".stripMargin),
+
+    
 
     // Hierarchical IVF replay: x15's sample + probe + rescore with the
     // assignment split into the two routed argmax levels — super sample

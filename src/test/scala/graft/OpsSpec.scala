@@ -4115,6 +4115,37 @@ class OpsSpec extends AnyFunSuite {
     graft.ops.Caches.releaseAll()
   }
 
+  test("ann recall audit: exact-vs-exact pins to 1000; serve recall bounded, query-complete") {
+    import spark.implicits._
+    val corpus = emb.filter(col("vec_id") % 50 =!= 0)
+    val qtab = emb.filter(col("vec_id") % 50 === 0)
+    val exact = graft.ops.Similarity.l2TopKAll(corpus, "embedding", "vec_id",
+      qtab, "vec_id", k = 5)
+    // the ground truth audited against itself is perfect recall — the
+    // identity every recall measurement must satisfy
+    val self = graft.ops.Similarity.recallAtK(exact, exact, k = 5)
+      .as[(Long, Long, Long)].collect()
+    assert(self.length == qtab.count(),
+      "every query must appear in the report")
+    assert(self.forall(r => r._2 == 5L && r._3 == 1000L),
+      "exact vs exact must pin to recall 1000")
+    // the served side: bounded, arithmetic consistent, query-complete
+    val (cents, assigned) = graft.ops.Similarity.ivfBuild(corpus,
+      "embedding", "vec_id")
+    val cb = graft.ops.Similarity.pqBuildCodebook(corpus, "embedding", "vec_id")
+    val served = graft.ops.Similarity.ivfPqServeAll(cents,
+      graft.ops.Similarity.ivfPqEncode(assigned, "vec_id", cb), corpus,
+      "embedding", "vec_id", qtab, "vec_id", cb, k = 5)
+    val rep = graft.ops.Similarity.recallAtK(served, exact, k = 5)
+      .as[(Long, Long, Long)].collect()
+    assert(rep.length == self.length, "zero-hit queries must not vanish")
+    rep.foreach { case (q, hits, pm) =>
+      assert(hits >= 0 && hits <= 5 && pm == hits * 200,
+        s"query $q recall arithmetic")
+    }
+    graft.ops.Caches.releaseAll()
+  }
+
   test("tokenizer fertility: every word emits >= 1 id; totals match a direct encode") {
     import spark.implicits._
     val rep = graft.ops.Bpe.fertilityReport(docs, "lang", "text")
