@@ -2049,9 +2049,11 @@ object Similarity {
     * fold as [[ivfPqServeAll]]'s rerank, ranked per query with the
     * salted two-phase cut (a query's candidate set here is the WHOLE
     * corpus — the hot-partition case the salt exists for). Queries
-    * broadcast; the corpus is scanned once per batch of queries, never
-    * shuffled. Quadratic by construction — the measurement/baseline
-    * path, not the serving path. */
+    * broadcast, so the corpus SCAN is shuffle-free; the scored
+    * (corpus × query) pairs then shuffle on (q_id, salt) for the cut —
+    * pair-sized, the unavoidable cost of an exact ranking. Quadratic by
+    * construction — the measurement/baseline path, not the serving
+    * path. */
   def l2TopKAll(vectors: DataFrame, vecCol: String, idCol: String,
                 queries: DataFrame, qIdCol: String, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")

@@ -298,8 +298,9 @@ object TextStats {
   def tfidfSalienceFromStats(stats: DataFrame, groupCol: String,
                              topK: Int = 10): DataFrame = {
     require(topK >= 1, s"need topK >= 1, got $topK")
-    val n = stats.filter(col("kind") === "nd").agg(sum(col("c")))
-      .head().getLong(0)
+    val ndRow = stats.filter(col("kind") === "nd").agg(sum(col("c"))).head()
+    val n = if (ndRow.isNullAt(0)) 0L else ndRow.getLong(0)
+    require(n > 0, "salience needs a non-empty doc-count ('nd') state row")
     val tf = stats.filter(col("kind") === "tf")
       .select(col("grp").as("__grp"), col("w"), col("c").as("tf"))
     val df = stats.filter(col("kind") === "df")
