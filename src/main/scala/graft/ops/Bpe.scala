@@ -180,13 +180,26 @@ object Bpe {
   def tokenCountUnder(textCol: org.apache.spark.sql.Column,
                       table: Seq[(String, String)]): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions._
+    val merged = mergedUnder(textCol, table)
+    (length(merged) - length(replace(merged, lit("{"), lit("")))).cast("int")
+  }
+
+  /** The shared brace-string encode core: words (maximal `[a-z0-9]+`
+    * runs of the lowercased text) rendered as "{c} {c} … " and joined
+    * "/ " so merges cannot cross word boundaries, then the merge table
+    * folded through one codegen'd `replace` per merge. ONE definition
+    * consumed by [[tokenCountUnder]] (counts '{') and [[encodeIds]]
+    * (extracts symbols) — the two MUST stay bit-identical for the
+    * oracle contract, so the convention lives here exactly once. */
+  private def mergedUnder(textCol: org.apache.spark.sql.Column,
+                          table: Seq[(String, String)]): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
     val prep = array_join(transform(
       regexp_extract_all(lower(textCol), lit("[a-z0-9]+"), lit(0)),
       w => regexp_replace(w, "(.)", "\\{$1\\} ")), "/ ")
-    val merged = table.foldLeft(prep) { case (c, (a, b)) =>
+    table.foldLeft(prep) { case (c, (a, b)) =>
       replace(c, lit(s"{$a} {$b}"), lit(s"{$a$b}"))
     }
-    (length(merged) - length(replace(merged, lit("{"), lit("")))).cast("int")
   }
 
   /** The fixed merge table (trained once per JVM; deterministic). */
@@ -262,12 +275,7 @@ object Bpe {
   def encodeIds(textCol: org.apache.spark.sql.Column,
                 table: IndexedSeq[(String, String)] = merges): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions._
-    val prep = array_join(transform(
-      regexp_extract_all(lower(textCol), lit("[a-z0-9]+"), lit(0)),
-      w => regexp_replace(w, "(.)", "\\{$1\\} ")), "/ ")
-    val merged = table.foldLeft(prep) { case (c, (a, b)) =>
-      replace(c, lit(s"{$a} {$b}"), lit(s"{$a$b}"))
-    }
+    val merged = mergedUnder(textCol, table)
     val idMap = map(vocabOf(table)
       .flatMap { case (s, i) => Seq(lit(s), lit(i)) }: _*)
     transform(regexp_extract_all(merged, lit("\\{([^}]*)\\}"), lit(1)),
@@ -298,7 +306,10 @@ object Bpe {
       .agg(count(lit(1)).as("n_docs"),
         sum(regexp_count(lower(col(textCol)), lit("[a-z0-9]+")))
           .cast("long").as("n_words"),
-        sum(size(encodeIds(col(textCol)))).cast("long").as("n_ids"),
+        // ids-per-doc = tokenCountUnder's brace count (BpeSpec pins it
+        // == encodeIds length) — no id array or vocab map materialized
+        // on the corpus-sized hot path just to take a size
+        sum(tokenCountUnder(col(textCol), merges)).cast("long").as("n_ids"),
         sum(length(col(textCol))).cast("long").as("n_chars"))
       .withColumn("fertility_permille",
         expr("CASE WHEN n_words > 0 THEN (n_ids * 1000) div n_words END"))

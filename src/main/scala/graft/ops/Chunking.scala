@@ -230,7 +230,11 @@ object Chunking {
       array().cast("array<bigint>").as("bins"))
     val folded = aggregate(col("__items"), st0, (st, x) => {
       val tok  = x.getField("__tok")
-      val open = st.getField("fill") + tok > cap
+      // bin < 0: a fresh shard's first chunk ALWAYS opens pack 0, even
+      // a zero-token one (a symbol-free chunk under an id-count token
+      // column) — the fill test alone would leave it at the invalid
+      // seed bin -1, where the oracle recurrence seeds rk=1 at pack 0
+      val open = st.getField("fill") + tok > cap || st.getField("bin") < 0L
       val bin  = when(open, st.getField("bin") + 1L).otherwise(st.getField("bin"))
       val fill = when(open, tok).otherwise(st.getField("fill") + tok)
       struct(fill.as("fill"), bin.as("bin"),

@@ -775,12 +775,17 @@ object Dedup {
   def cdcContainmentPairs(chunks: DataFrame, idCol: String,
                           maxChunkDf: Int = 50): DataFrame = {
     require(maxChunkDf >= 2, s"need maxChunkDf >= 2, got $maxChunkDf")
-    val d = chunks.select(col(idCol).as("__id"), col("chunk_hash"),
-      col("n_chunk_tokens").cast("long").as("__tok")).distinct()
-    val kept = d.join(
+    // persist both reused frames: d feeds the df cut AND kept; kept
+    // feeds the mass aggregate and both self-join sides — unpersisted,
+    // the corpus-sized CDC chunk chain re-executes 4-5x (the same
+    // discipline as verifyPairsJaccard's `sets`)
+    val d = Caches.persistTracked(
+      chunks.select(col(idCol).as("__id"), col("chunk_hash"),
+        col("n_chunk_tokens").cast("long").as("__tok")).distinct())
+    val kept = Caches.persistTracked(d.join(
       d.groupBy("chunk_hash").agg(count(lit(1)).as("__df"))
         .filter(col("__df") <= maxChunkDf).select("chunk_hash"),
-      "chunk_hash")
+      "chunk_hash"))
     val mass = kept.groupBy("__id").agg(sum(col("__tok")).as("__mass"))
     val shared = kept.select(col("chunk_hash"), col("__tok"), col("__id").as("a_id"))
       .join(kept.select(col("chunk_hash"), col("__id").as("b_id")), "chunk_hash")

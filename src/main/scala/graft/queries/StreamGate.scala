@@ -2447,7 +2447,6 @@ object StreamGate {
       val topic = allDocsTopic(s, dir)
       withGateConf(s) {
         var st: graft.ops.Checkpointed = null
-        var seen: graft.ops.Checkpointed = null
         val ckpt = gateTmpDir("s32_ckpt_")
         try {
           val q = s.readStream.format("graft-topic")
@@ -2475,10 +2474,6 @@ object StreamGate {
                     .agg(sum(col("c")).cast("long").as("c")))
                 if (st != null) st.release()
                 st = nextSt
-                val nextSeen = graft.ops.Caches.localCheckpointScoped(
-                  if (seen == null) df else seen.df.unionByName(df))
-                if (seen != null) seen.release()
-                seen = nextSeen
               }
               ()
             }
@@ -2488,13 +2483,15 @@ object StreamGate {
           drain(q, ckpt)
           require(dataBatches(q) >= 2,
             s"s32 must fold across batches; ran ${dataBatches(q)} data batches")
-          val seenDf = graft.ops.Caches.adopt(seen)
           val stDf = graft.ops.Caches.adopt(st)
           // value-pin the folded histograms against the exact twin over
-          // the accumulated arrivals (integer counts: equality is exact)
+          // the source table — the topic IS the whole documents table
+          // drained with AvailableNow, so the arrival set equals it
+          // (the s34 discipline; integer counts, equality exact). The
+          // gate maintains ONLY the vocab-sized state, never the corpus.
           val folded = stDf.collect()
             .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
-          val exact = seenDf
+          val exact = Tables.documents(s, dir)
             .select(when(col("doc_id") % 2 === 0, lit("a")).otherwise(lit("b"))
               .as("side"), explode(split(col("text"), " ")).as("w"))
             .groupBy("side", "w").agg(count(lit(1)).cast("long").as("c"))
@@ -2514,7 +2511,6 @@ object StreamGate {
           // a failed drain/fold must not strand scoped blocks
           case t: Throwable =>
             if (st != null) st.release()
-            if (seen != null) seen.release()
             throw t
         }
       }

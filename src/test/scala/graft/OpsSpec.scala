@@ -569,6 +569,16 @@ class OpsSpec extends AnyFunSuite {
       Seq("doc_id", "chunk_idx"))
     assert(p2.groupBy("source", "pack_id").count()
       .filter(col("source") === "s2").count() == 5)
+    // a ZERO-token first chunk (a symbol-free chunk under an id-count
+    // token column — x137's lane) still opens pack 0, never the invalid
+    // seed bin -1; zero-token followers join the open pack
+    val zlead = Seq(("s1", 1L, 0, 0), ("s1", 1L, 1, 0), ("s1", 1L, 2, 100))
+      .toDF("source", "doc_id", "chunk_idx", "n_chunk_tokens")
+    val zp = Chunking.packChunksStrict(zlead, "source", "n_chunk_tokens",
+        capacity = 256, orderCols = Seq("doc_id", "chunk_idx"))
+      .orderBy("chunk_idx").select("pack_id").as[Long].collect()
+    assert(zp.sameElements(Array(0L, 0L, 0L)),
+      s"zero-token lead must open pack 0, got ${zp.mkString(",")}")
   }
 
   test("packChunksStrictFold: resumed fold ≡ one fold over the concatenation") {
