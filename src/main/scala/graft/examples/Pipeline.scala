@@ -211,8 +211,10 @@ object Pipeline {
         f"${r.getLong(1)}%d vs ${r.getLong(2)}%d"))
     graft.ops.Bpe.fertilityReport(docs, "lang", "text")
       .collect()
+      // fertility_permille is null for a language with zero words
+      // (whitespace-only texts) — print n/a rather than throw
       .foreach(r => println(f"[pipeline] fertility ${r.getString(0)}%-6s " +
-        f"${r.getLong(5)}%d ids/1000 words"))
+        (if (r.isNullAt(5)) "n/a" else f"${r.getLong(5)}%d ids/1000 words")))
     TextStats.tfidfSalience(docs, "doc_id", "source", "text", topK = 3)
       .orderBy("source", "rk").collect()
       .foreach(r => println(f"[pipeline] salient ${r.getString(0)}%-6s " +

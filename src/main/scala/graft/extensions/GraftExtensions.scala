@@ -88,6 +88,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.BpeTokenCountExpr(args.head)
       }))
     ext.injectFunction((
+      new FunctionIdentifier("bpe_encode_ids"),
+      new ExpressionInfo(classOf[graft.functions.BpeEncodeIdsExpr].getName, "bpe_encode_ids"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, s"bpe_encode_ids takes 1 argument, got ${args.length}")
+        graft.functions.BpeEncodeIdsExpr(args.head)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[graft.functions.MinhashSigExpr].getName, "minhash_sig"),
       (args: Seq[Expression]) => {

@@ -162,13 +162,15 @@ case class MinhashSigExpr(child: Expression, nHashes: Int, portable: Boolean)
     copy(child = newChild)
 }
 
-/** Native token count under the fixed BPE merge table
+/** Native token count under the fixed BYTE-complete BPE merge table
   * ([[graft.ops.Bpe.merges]]) — real rank-ordered merge application per
-  * word (Sennrich et al. 2016), not x29's regex proxy. One JVM method
-  * call per row from codegen (the RegExpReplace pattern), so the
-  * surrounding stage stays whole-stage-compiled. The DuckDB oracle
-  * replays the application from the same merge table as a generated
-  * replace-chain ([[graft.ops.Bpe.oracleSqlExpr]]). */
+  * word (Sennrich et al. 2016) over UTF-8 byte symbols, not x29's regex
+  * proxy. One JVM method call per row from codegen (the RegExpReplace
+  * pattern), so the surrounding stage stays whole-stage-compiled, and
+  * the per-word merge loop rides [[graft.ops.Bpe]]'s bounded word memo —
+  * ~10× cheaper than the replace-chain fold's O(merges × text) rescans.
+  * The DuckDB oracle replays the application from the same merge table
+  * as a generated replace-chain ([[graft.ops.Bpe.oracleSqlExpr]]). */
 case class BpeTokenCountExpr(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = org.apache.spark.sql.types.IntegerType
@@ -199,10 +201,53 @@ case class BpeTokenCountExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Native BPE encode-to-ids under the fixed BYTE-complete merge table —
+  * `array<int>` of token ids per row (the x134/p06 hot path). The
+  * rank-ordered per-word merge loop ([[graft.ops.Bpe.encodeIdsArray]],
+  * memoized per word) replaces the ~160-pass replace-chain fold that
+  * made x134/x137/x140 the slowest round-14 queries: the chain rescans
+  * the whole brace string once per merge, the loop touches each word
+  * once. Bit-parity with the chain form ([[graft.ops.Bpe.encodeIdsChain]])
+  * and the local reference is spec-pinned; the DuckDB oracle replays the
+  * chain + a vocab CASE chain from the same table
+  * ([[graft.ops.Bpe.oracleIdsFromMergedExpr]]). */
+case class BpeEncodeIdsExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"bpe_encode_ids expects string, got ${other.simpleString}")
+    }
+
+  def compute(s: org.apache.spark.unsafe.types.UTF8String): ArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      graft.ops.Bpe.encodeIdsArray(s.toString))
+
+  override protected def nullSafeEval(a: Any): Any =
+    compute(a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val self = ctx.addReferenceObj("bpeEncodeIds", this,
+        "graft.functions.BpeEncodeIdsExpr")
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $self.compute($a);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextExpressions {
   private val fnName = "graft_simhash63"
   private val minhashFnName = "graft_minhash_sig"
   private val bpeFnName = "graft_bpe_token_count"
+  private val bpeIdsFnName = "graft_bpe_encode_ids"
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
@@ -219,6 +264,10 @@ object TextExpressions {
     if (!registry.functionExists(bpeIdent))
       registry.createOrReplaceTempFunction(
         bpeFnName, exprs => BpeTokenCountExpr(exprs(0)), "scala_udf")
+    val bpeIdsIdent = org.apache.spark.sql.catalyst.FunctionIdentifier(bpeIdsFnName)
+    if (!registry.functionExists(bpeIdsIdent))
+      registry.createOrReplaceTempFunction(
+        bpeIdsFnName, exprs => BpeEncodeIdsExpr(exprs(0)), "scala_udf")
   }
 
   private def litInt(e: Expression): Int = e match {
@@ -252,5 +301,12 @@ object TextExpressions {
   def bpeTokenCountNative(text: Column): Column = {
     SparkSession.getActiveSession.foreach(register)
     call_function(bpeFnName, text)
+  }
+
+  /** Real-BPE token-ID sequence (`array<int>`) of a string column under
+    * the fixed byte-complete merge table — see [[BpeEncodeIdsExpr]]. */
+  def bpeEncodeIdsNative(text: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function(bpeIdsFnName, text)
   }
 }

@@ -10,22 +10,43 @@ import scala.collection.mutable
   * apply it corpus-wide; that split is what makes the operator gateable
   * here: the merge list is derived deterministically at object init from
   * a seed text embedded below, so BOTH the Spark-side native expression
-  * ([[graft.functions.BpeTokenCountExpr]]) and the static DuckDB oracle
-  * (a generated chain of `replace()` calls over a brace-delimited symbol
-  * encoding, [[oracleSqlExpr]]) are built from the same merges and agree
-  * exactly. A CORPUS-derived merge table cannot sit under this driver's
-  * oracle contract — `oracleSql` is static SQL over the input tables,
-  * and replaying ~100 BPE TRAINING iterations in SQL is a recursive
-  * program, not a query — so training stays offline-deterministic, which
-  * is also the production shape (you don't retrain the tokenizer per
-  * batch at 100 TB; you version the vocab).
+  * ([[graft.functions.BpeTokenCountExpr]] / [[graft.functions.BpeEncodeIdsExpr]])
+  * and the static DuckDB oracle (a generated chain of `replace()` calls
+  * over a brace-delimited symbol encoding, [[oracleSqlExpr]]) are built
+  * from the same merges and agree exactly. A CORPUS-derived merge table
+  * cannot sit under this driver's oracle contract — `oracleSql` is
+  * static SQL over the input tables, and replaying ~100 BPE TRAINING
+  * iterations in SQL is a recursive program, not a query — so training
+  * stays offline-deterministic, which is also the production shape (you
+  * don't retrain the tokenizer per batch at 100 TB; you version the
+  * vocab).
   *
-  * Application semantics (both engines): words are maximal `[a-z0-9]+`
-  * runs of the lowercased text; each word starts as its character
-  * sequence; merges apply IN RANK ORDER, each as one left-to-right
-  * non-overlapping pass. Rank-order application is equivalent to the
-  * priority-queue formulation because a merged symbol can only appear in
-  * pairs of strictly later rank (it did not exist when earlier pairs were
+  * TWO symbol conventions live here, deliberately:
+  *
+  *  1. The FIXED tokenizer (x44/x134/x137/x140/p06) is BYTE-COMPLETE
+  *     (GPT-2-style byte fallback): words are maximal runs of
+  *     non-whitespace (ASCII whitespace set { ' ', \t, \n, \f, \r } —
+  *     vertical tab U+000B is deliberately a word char because Java's `\s` and
+  *     RE2's `\s` disagree on it, and the oracle regexes must agree
+  *     with the JVM scanner); each word starts as the sequence of its
+  *     UTF-8 BYTES, rendered as lowercase two-hex-digit base symbols
+  *     ("74" for 't'). EVERY character of every text — case,
+  *     punctuation, digits, non-ASCII — maps to base symbols, so no
+  *     input is ever silently dropped and there is no UNK. Merged
+  *     symbols are concatenated hex strings, so the symbol alphabet is
+  *     [0-9a-f] and the brace/slash delimiters of the oracle encoding
+  *     can never collide with symbol text.
+  *  2. The CORPUS-TRAINED path (x83, [[trainCorpus]]) keeps its
+  *     documented char-level `[a-z0-9]+` convention: its whole training
+  *     replays in unrolled SQL, and the char alphabet is what keeps
+  *     that replay readable; it is a data-derived model demo, not the
+  *     shipping tokenizer.
+  *
+  * Application semantics (both engines, both conventions): merges apply
+  * IN RANK ORDER, each as one left-to-right non-overlapping pass.
+  * Rank-order application is equivalent to the priority-queue
+  * formulation because a merged symbol can only appear in pairs of
+  * strictly later rank (it did not exist when earlier pairs were
   * learned), and one pass per merge is exhaustive because merging (a,b)
   * creates only (left,ab)/(ab,right) adjacencies, never a new (a,b).
   */
@@ -54,6 +75,29 @@ object Bpe {
       |and the resumed streams are watermarked the watermarking stage
       |evicts state and the evicted state is bounded""".stripMargin
 
+  /** Seed corpus for the BYTE-complete fixed table: [[seedText]] plus a
+    * punctuated, mixed-case, digit- and non-ASCII-bearing paragraph
+    * (also written for this repo), so the trained merges cover
+    * capitalized stems, common punctuation bigrams, decimal digits and
+    * multi-byte UTF-8 sequences — the classes the `[a-z0-9]`-only
+    * alphabet used to drop. */
+  val seedTextBytes: String = seedText +
+    """
+      |The Engine, version 2.0 (build 2024), reads CSV, JSON, and Parquet.
+      |The Reader retries; the Writer commits; the Planner prunes. "Exactly
+      |once," they said -- and exactly once it was! Costs: $3.50, $7.25,
+      |$12.99 -- the totals add up to 100%. Don't re-tokenize; don't
+      |re-shuffle; don't re-read. The 1,000 executors wrote 2,000,000 rows
+      |in 3.5 seconds? Yes -- 10x faster than the 2023 run. Quoted "tokens"
+      |keep their quotes, (parenthesized notes) keep their parens, and
+      |trailing periods stay. The cafe vs. café pair, the naive vs.
+      |naïve pair, and the über-prefix all round-trip byte-for-byte:
+      |UTF-8 text is just bytes here. Version 2.0? Version 2.0. Build
+      |2024-01-01, build 2024-02-02, build 2024-03-03: dates repeat, so the
+      |"20" and "2024" and "-0" byte pairs earn merges. The Engine, the
+      |Reader, the Writer, the Planner: Capitalized Determiners Repeat Too.
+      |""".stripMargin
+
   /** One left-to-right non-overlapping merge pass (shared by training and
     * application — the two must agree on overlap tie-breaking). */
   def applyMergeOnce(syms: IndexedSeq[String], a: String, b: String): IndexedSeq[String] = {
@@ -67,7 +111,9 @@ object Bpe {
     out.toIndexedSeq
   }
 
-  /** Maximal [a-z0-9]+ runs of the lowercased text. */
+  /** Maximal [a-z0-9]+ runs of the lowercased text — the CORPUS-TRAINED
+    * path's word unit ([[trainCorpus]]/x83 only; the fixed tokenizer
+    * uses [[wordsBytes]]). */
   def words(text: String): Seq[String] = {
     val t = text.toLowerCase(java.util.Locale.ROOT)
     val out = mutable.ArrayBuffer.empty[String]
@@ -83,15 +129,45 @@ object Bpe {
     out.toSeq
   }
 
-  /** Classic BPE training: count words, then repeatedly merge the most
-    * frequent adjacent symbol pair (ties broken lexicographically — the
-    * determinism the oracle depends on). Stops early once no pair occurs
-    * twice (merging count-1 pairs would just memorize the seed). */
-  def train(text: String, nMerges: Int): Seq[(String, String)] = {
+  /** The fixed tokenizer's word unit: maximal runs of non-whitespace,
+    * case and punctuation PRESERVED. Whitespace is the explicit ASCII
+    * set { ' ', \t, \n, \f, \r } — the intersection both engines'
+    * regex `[^ \t\n\f\r]+` scans identically (vertical tab U+000B is a word char;
+    * Java `\s` and RE2 `\s` disagree on it, so it must not split). */
+  def wordsBytes(text: String): Seq[String] = {
+    val out = mutable.ArrayBuffer.empty[String]
+    val sb = new StringBuilder
+    var i = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (c == ' ' || c == '\t' || c == '\n' || c == '\f' || c == '\r') {
+        if (sb.nonEmpty) { out += sb.toString; sb.clear() }
+      } else sb.append(c)
+      i += 1
+    }
+    if (sb.nonEmpty) out += sb.toString
+    out.toSeq
+  }
+
+  /** A word's base-symbol sequence: its UTF-8 bytes as lowercase
+    * two-hex-digit strings — the byte-fallback discipline that makes
+    * the fixed tokenizer total over arbitrary text. */
+  def byteSyms(word: String): IndexedSeq[String] = {
+    val bytes = word.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val out = new Array[String](bytes.length)
+    var i = 0
+    while (i < bytes.length) { out(i) = f"${bytes(i) & 0xff}%02x"; i += 1 }
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
+  }
+
+  /** Classic BPE training over pre-symbolized words: count word forms,
+    * then repeatedly merge the most frequent adjacent symbol pair (ties
+    * broken lexicographically — the determinism the oracle depends on).
+    * Stops early once no pair occurs twice (merging count-1 pairs would
+    * just memorize the seed). */
+  private def trainFrom(symWords: Seq[IndexedSeq[String]], nMerges: Int): Seq[(String, String)] = {
     var vocab: Map[IndexedSeq[String], Int] =
-      words(text).groupBy(identity).map { case (w, ws) =>
-        w.map(_.toString).toIndexedSeq -> ws.size
-      }
+      symWords.groupBy(identity).map { case (w, ws) => w -> ws.size }
     val merges = mutable.ArrayBuffer.empty[(String, String)]
     var done = false
     while (!done && merges.length < nMerges) {
@@ -111,6 +187,16 @@ object Bpe {
     merges.toSeq
   }
 
+  /** Char-level training ([[words]] units) — the sequential reference
+    * [[trainCorpus]] is spec-pinned against. */
+  def train(text: String, nMerges: Int): Seq[(String, String)] =
+    trainFrom(words(text).map(w => w.map(_.toString): IndexedSeq[String]), nMerges)
+
+  /** Byte-level training ([[wordsBytes]] units over [[byteSyms]]) — what
+    * mints the fixed [[merges]] table. */
+  def trainBytes(text: String, nMerges: Int): Seq[(String, String)] =
+    trainFrom(wordsBytes(text).map(byteSyms), nMerges)
+
   /** DISTRIBUTED corpus BPE training — [[train]]'s algorithm run over a
     * documents TABLE instead of a driver-side string: word counts are
     * ONE corpus pass/shuffle (the only corpus-sized work — classic BPE
@@ -125,15 +211,15 @@ object Bpe {
     * millions of rows, so rounds stay distributed rather than
     * collapsing the vocabulary to the driver.
     *
-    * The symbol state is the brace-delimited string of
-    * [[oracleSqlExpr]]'s convention ("{h} {i} "), so one `replace(s,
-    * "{a} {b}", "{ab}")` IS the left-to-right non-overlapping merge
-    * pass ([[applyMergeOnce]]'s semantics) in Spark and DuckDB alike —
-    * everything is exact integer counts and string rewriting, zero
-    * floats, so harness query x83 replays the whole training (unrolled
-    * rounds, the x57 Lloyd-unrolling pattern) and the application in
-    * SQL. Ties: (count desc, a asc, b asc) — OpsSpec pins distributed ≡
-    * the sequential reference [[train]] on the same corpus. */
+    * The symbol state is the brace-delimited string of the oracle
+    * convention ("{h} {i} "), so one `replace(s, "{a} {b}", "{ab}")` IS
+    * the left-to-right non-overlapping merge pass ([[applyMergeOnce]]'s
+    * semantics) in Spark and DuckDB alike — everything is exact integer
+    * counts and string rewriting, zero floats, so harness query x83
+    * replays the whole training (unrolled rounds, the x57
+    * Lloyd-unrolling pattern) and the application in SQL. Ties:
+    * (count desc, a asc, b asc) — OpsSpec pins distributed ≡ the
+    * sequential reference [[train]] on the same corpus. */
   def trainCorpus(docs: org.apache.spark.sql.DataFrame, textCol: String,
                   nMerges: Int): Seq[(String, String)] = {
     import org.apache.spark.sql.functions._
@@ -172,11 +258,12 @@ object Bpe {
   }
 
   /** Spark Column: BPE token count of `textCol` under an arbitrary
-    * merge `table` — the brace-string prep (words joined "/ " so merges
-    * cannot cross word boundaries) folded through one codegen'd
+    * CHAR-level merge `table` (the [[trainCorpus]] convention — x83's
+    * application path): the brace-string prep (words joined "/ " so
+    * merges cannot cross word boundaries) folded through one codegen'd
     * `replace` per merge, then '{' counted. Bit-identical to
     * [[tokenCount]] with the same table (OpsSpec pins it) and to the
-    * oracle's replace-chain. */
+    * x83 oracle's replace-chain. */
   def tokenCountUnder(textCol: org.apache.spark.sql.Column,
                       table: Seq[(String, String)]): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions._
@@ -184,13 +271,11 @@ object Bpe {
     (length(merged) - length(replace(merged, lit("{"), lit("")))).cast("int")
   }
 
-  /** The shared brace-string encode core: words (maximal `[a-z0-9]+`
-    * runs of the lowercased text) rendered as "{c} {c} … " and joined
-    * "/ " so merges cannot cross word boundaries, then the merge table
-    * folded through one codegen'd `replace` per merge. ONE definition
-    * consumed by [[tokenCountUnder]] (counts '{') and [[encodeIds]]
-    * (extracts symbols) — the two MUST stay bit-identical for the
-    * oracle contract, so the convention lives here exactly once. */
+  /** The CHAR-level brace-string encode core (corpus-trained tables):
+    * words (maximal `[a-z0-9]+` runs of the lowercased text) rendered
+    * as "{c} {c} … " and joined "/ " so merges cannot cross word
+    * boundaries, then the merge table folded through one codegen'd
+    * `replace` per merge. */
   private def mergedUnder(textCol: org.apache.spark.sql.Column,
                           table: Seq[(String, String)]): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions._
@@ -202,20 +287,43 @@ object Bpe {
     }
   }
 
-  /** The fixed merge table (trained once per JVM; deterministic). */
-  lazy val merges: IndexedSeq[(String, String)] = train(seedText, 120).toIndexedSeq
+  /** The BYTE-level brace-string encode core under an arbitrary table —
+    * the replace-chain twin of the native expression, kept for the
+    * bit-parity specs and as the textual mirror of [[oracleSqlExpr]]:
+    * words (maximal non-whitespace runs) rendered as hex-pair symbols
+    * "{74} {68} … " and joined "/ ", then one codegen'd `replace` per
+    * merge. Symbols are [0-9a-f] so the delimiters can never collide. */
+  def mergedUnderBytes(textCol: org.apache.spark.sql.Column,
+                       table: Seq[(String, String)]): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val prep = array_join(transform(
+      regexp_extract_all(textCol, lit("[^ \\t\\n\\f\\r]+"), lit(0)),
+      w => regexp_replace(lower(hex(encode(w, "UTF-8"))), "(..)", "\\{$1\\} ")), "/ ")
+    table.foldLeft(prep) { case (c, (a, b)) =>
+      replace(c, lit(s"{$a} {$b}"), lit(s"{$a$b}"))
+    }
+  }
 
-  /** The id space of a merge table — what turns counted tokens into the
-    * `token_ids` a training loader actually consumes: base alphabet
-    * [0-9a-z] takes ids 0–35 in character order, merge rank r (0-based)
-    * mints id 36+r for its merged symbol. If two merge chains ever mint
-    * the same surface string (e.g. (a,bc) after (ab,c) both yield
-    * "abc"), the FIRST mint wins and the later id is never emitted —
-    * ids stay a function of the symbol string, encode stays
-    * deterministic, and later ids simply go unused (a real tokenizer's
-    * vocab has the same first-wins discipline). */
+  /** The fixed BYTE-complete merge table (trained once per JVM;
+    * deterministic). 160 merges over the byte alphabet lands the same
+    * subword granularity the 120-merge char table had (ASCII chars are
+    * one byte each) plus coverage of case/punctuation/digit/UTF-8
+    * patterns from the extended seed. */
+  lazy val merges: IndexedSeq[(String, String)] = trainBytes(seedTextBytes, 160).toIndexedSeq
+
+  /** The id space of a byte-level merge table — what turns counted
+    * tokens into the `token_ids` a training loader actually consumes:
+    * the 256 byte symbols "00".."ff" take ids 0–255 in byte order, and
+    * merge rank r (0-based) mints id 256+r for its merged symbol. If
+    * two merge chains ever mint the same surface string (same byte
+    * sequence via different merge orders), the FIRST mint wins and the
+    * later id is never emitted — ids stay a function of the symbol
+    * string, encode stays deterministic, and later ids simply go unused
+    * (a real tokenizer's vocab has the same first-wins discipline).
+    * Merged symbols are ≥2 concatenated hex pairs (length ≥4), so they
+    * can never collide with a 2-char base symbol. */
   def vocabOf(table: Seq[(String, String)]): IndexedSeq[(String, Int)] = {
-    val minted = "0123456789abcdefghijklmnopqrstuvwxyz".map(_.toString) ++
+    val minted = (0 until 256).map(b => f"$b%02x") ++
       table.map { case (a, b) => a + b }
     val seen = mutable.LinkedHashMap.empty[String, Int]
     minted.zipWithIndex.foreach { case (s, i) =>
@@ -227,124 +335,118 @@ object Bpe {
   /** (symbol, id) pairs of the fixed [[merges]] table. */
   lazy val vocab: IndexedSeq[(String, Int)] = vocabOf(merges)
 
+  @transient private lazy val fixedIdOf: Map[String, Int] = vocab.toMap
+
   /** The merged SYMBOL sequence of one text (reference implementation):
-    * [[tokenCount]]'s fold, returning the symbols instead of their
-    * count. Concatenating the symbols reproduces the letters of
-    * [[words]] exactly — BPE segments, it never rewrites. */
+    * rank-ordered per-word merge application over [[byteSyms]].
+    * Concatenating the symbols reproduces the hex of each word's UTF-8
+    * bytes exactly — BPE segments, it never rewrites. */
   def encodeSymbols(text: String,
                     table: IndexedSeq[(String, String)] = merges): Seq[String] = {
     val out = mutable.ArrayBuffer.empty[String]
-    for (w <- words(text)) {
-      var syms: IndexedSeq[String] = w.map(_.toString).toIndexedSeq
-      var m = 0
-      while (m < table.length && syms.length > 1) {
-        val (a, b) = table(m)
-        var i = 0
-        var found = false
-        while (!found && i + 1 < syms.length) {
-          if (syms(i) == a && syms(i + 1) == b) found = true else i += 1
-        }
-        if (found) syms = applyMergeOnce(syms, a, b)
-        m += 1
-      }
-      out ++= syms
-    }
+    for (w <- wordsBytes(text)) out ++= encodeWordSymbols(w, table)
     out.toSeq
+  }
+
+  /** One word's merged symbol sequence: [[byteSyms]] base symbols, each
+    * table entry applied in rank order as one non-overlapping pass,
+    * with a containment scan before each rebuild. */
+  private def encodeWordSymbols(w: String,
+                                table: IndexedSeq[(String, String)]): IndexedSeq[String] = {
+    var syms: IndexedSeq[String] = byteSyms(w)
+    var m = 0
+    while (m < table.length && syms.length > 1) {
+      val (a, b) = table(m)
+      var i = 0
+      var found = false
+      while (!found && i + 1 < syms.length) {
+        if (syms(i) == a && syms(i + 1) == b) found = true else i += 1
+      }
+      if (found) syms = applyMergeOnce(syms, a, b)
+      m += 1
+    }
+    syms
   }
 
   /** Reference encode-to-ids: [[encodeSymbols]] mapped through
     * [[vocabOf]]. Backs the x134 specs; the distributed twin is
-    * [[encodeIds]]. */
+    * [[graft.functions.BpeEncodeIdsExpr]] (hot path) /
+    * [[encodeIdsChain]] (replace-chain twin). */
   def encodeIdsLocal(text: String,
                      table: IndexedSeq[(String, String)] = merges): Seq[Int] = {
-    val idOf = vocabOf(table).toMap
+    val idOf = if (table eq merges) fixedIdOf else vocabOf(table).toMap
     encodeSymbols(text, table).map(idOf)
   }
 
-  /** Spark Column: BPE token-ID sequence (`array<int>`) of `textCol`
-    * under `table` — the missing last step between token COUNTS and
-    * what a training loader consumes. Same brace-string replace fold as
-    * [[tokenCountUnder]] (codegen'd, per-row, zero shuffle), then the
-    * symbols are extracted and mapped through the [[vocabOf]] id map as
-    * a plan-literal `map<string,int>` — the broadcast-model enrichment
-    * shape: the frozen merge table and vocab ride the plan, no driver
-    * text, no UDF. Every emitted symbol is in the vocab by construction
-    * (symbols only ever merge FROM the base alphabet), and under ANSI
-    * mode `element_at` would fail loudly, never emit a wrong id, if
-    * that invariant ever broke. */
-  def encodeIds(textCol: org.apache.spark.sql.Column,
-                table: IndexedSeq[(String, String)] = merges): org.apache.spark.sql.Column = {
-    import org.apache.spark.sql.functions._
-    val merged = mergedUnder(textCol, table)
-    val idMap = map(vocabOf(table)
-      .flatMap { case (s, i) => Seq(lit(s), lit(i)) }: _*)
-    transform(regexp_extract_all(merged, lit("\\{([^}]*)\\}"), lit(1)),
-      sy => element_at(idMap, sy))
+  // ---- fixed-table hot path -------------------------------------------
+  //
+  // The per-word merge loop is O(|table| × word-bytes) — already ~10×
+  // cheaper than the replace-chain fold's O(|table| × TEXT-bytes) rescans
+  // — and natural-language words repeat heavily, so a bounded word→ids
+  // memo makes the amortized cost one hash probe per word. The cache is
+  // valid for the lifetime of the JVM because the fixed table is
+  // immutable; the cap bounds memory against adversarial vocabularies
+  // (past it, words are encoded without caching — correctness unchanged).
+
+  private val wordIdCacheCap = 1 << 17
+  @transient private lazy val wordIdCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Int]]()
+
+  private def idsOfWordFixed(w: String): Array[Int] = {
+    val hit = wordIdCache.get(w)
+    if (hit != null) hit
+    else {
+      val syms = encodeWordSymbols(w, merges)
+      val ids = new Array[Int](syms.length)
+      var i = 0
+      while (i < syms.length) { ids(i) = fixedIdOf(syms(i)); i += 1 }
+      if (wordIdCache.size < wordIdCacheCap) wordIdCache.put(w, ids)
+      ids
+    }
   }
 
-  /** TOKENIZER FERTILITY report per language — the table a tokenizer
-    * owner reads before pointing a vocab at a multilingual corpus: ids
-    * per word (fertility) and chars per id (compression), both in the
-    * exact permille lane. Words are the tokenizer's own word units
-    * (maximal `[a-z0-9]+` runs of the lowercased text — the same
-    * definition [[encodeIds]] segments, so fertility ≥ 1000 by
-    * construction: every word emits at least one id). One row per
-    * language: (lang, n_docs, n_words, n_ids, n_chars,
-    * fertility_permille, chars_per_id_permille).
-    *
-    * Scale shape: ONE map-side-combinable aggregation over the corpus —
-    * the encode is a codegen'd per-row fold under the plan-literal
-    * merge table (zero shuffle before the lang-keyed combine), and the
-    * output is languages-sized. All counts are exact integers and the
-    * permille ratios integer `div` (guarded: an all-symbol language
-    * with zero words/ids reports null, never an ANSI divide error), so
-    * the x140 oracle replays the report bit-for-bit. */
-  def fertilityReport(docs: org.apache.spark.sql.DataFrame, langCol: String,
-                      textCol: String): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.functions._
-    docs.groupBy(col(langCol).as("lang"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(regexp_count(lower(col(textCol)), lit("[a-z0-9]+")))
-          .cast("long").as("n_words"),
-        // ids-per-doc = tokenCountUnder's brace count (BpeSpec pins it
-        // == encodeIds length) — no id array or vocab map materialized
-        // on the corpus-sized hot path just to take a size
-        sum(tokenCountUnder(col(textCol), merges)).cast("long").as("n_ids"),
-        sum(length(col(textCol))).cast("long").as("n_chars"))
-      .withColumn("fertility_permille",
-        expr("CASE WHEN n_words > 0 THEN (n_ids * 1000) div n_words END"))
-      .withColumn("chars_per_id_permille",
-        expr("CASE WHEN n_ids > 0 THEN (n_chars * 1000) div n_ids END"))
-      .orderBy("lang")
+  /** Hot-path encode of one text under the FIXED table — the body of
+    * [[graft.functions.BpeEncodeIdsExpr]]. One memoized merge loop per
+    * word; bit-identical to [[encodeIdsLocal]] (spec-pinned). */
+  def encodeIdsArray(text: String): Array[Int] = {
+    val ws = wordsBytes(text)
+    var n = 0
+    ws.foreach(w => n += idsOfWordFixed(w).length)
+    val out = new Array[Int](n)
+    var o = 0
+    ws.foreach { w =>
+      val ids = idsOfWordFixed(w)
+      System.arraycopy(ids, 0, out, o, ids.length)
+      o += ids.length
+    }
+    out
   }
 
-  /** DuckDB expression mapping `mergedCol` (a column already holding
-    * [[oracleSqlExpr]]'s merged brace string — evaluate that once in a
-    * subquery, the chain is ~120 nested replaces) to the id LIST:
-    * symbols extracted by the same brace regex, ids via a generated
-    * CASE chain over [[vocab]] (first-wins, identical to the Spark map
-    * literal). ELSE -1 can't fire for well-formed merged strings; it
-    * exists so a convention drift reads as an impossible id, not a
-    * silently dropped NULL element. */
-  def oracleIdsFromMergedExpr(mergedCol: String): String = {
-    val caseChain = "CASE sy " +
-      vocab.map { case (s, i) => s"WHEN '$s' THEN $i" }.mkString(" ") +
-      " ELSE -1 END"
-    s"list_transform(regexp_extract_all($mergedCol, '\\{([^}]*)\\}', 1), " +
-      s"sy -> $caseChain)"
-  }
+  /** Token count of one text under a byte-level merge table — the
+    * reference backing [[graft.functions.BpeTokenCountExpr]] (which
+    * calls this per row) and the specs. Fixed-table calls ride the
+    * word memo. */
+  def tokenCount(text: String, table: IndexedSeq[(String, String)] = merges): Int =
+    if (table eq merges) {
+      var total = 0
+      wordsBytes(text).foreach(w => total += idsOfWordFixed(w).length)
+      total
+    } else {
+      var total = 0
+      for (w <- wordsBytes(text)) total += encodeWordSymbols(w, table).length
+      total
+    }
 
-  /** Token count of one text under [[merges]] — the reference
-    * implementation backing [[graft.functions.BpeTokenCountExpr]] (which
-    * calls this per row) and the specs. */
-  def tokenCount(text: String, table: IndexedSeq[(String, String)] = merges): Int = {
+  /** Char-level token count under a CORPUS-trained table ([[words]]
+    * units — x83's application semantics, spec-pinned against
+    * [[tokenCountUnder]]). */
+  def tokenCountChars(text: String, table: IndexedSeq[(String, String)]): Int = {
     var total = 0
     for (w <- words(text)) {
       var syms: IndexedSeq[String] = w.map(_.toString).toIndexedSeq
       var m = 0
       while (m < table.length && syms.length > 1) {
         val (a, b) = table(m)
-        // cheap containment guard: scan for the pair before rebuilding
         var i = 0
         var found = false
         while (!found && i + 1 < syms.length) {
@@ -358,21 +460,105 @@ object Bpe {
     total
   }
 
+  /** Spark Column: BPE token-ID sequence (`array<int>`) via the
+    * replace-chain fold — the bit-parity TWIN of the native expression
+    * (its plan shape textually mirrors the DuckDB oracle: the same
+    * brace-string fold, then symbols mapped through the [[vocabOf]] id
+    * map as a plan-literal `map<string,int>`). Production queries use
+    * [[graft.functions.TextExpressions.bpeEncodeIdsNative]]; this form
+    * exists so the specs can pin native ≡ chain ≡ local reference.
+    * Every emitted symbol is in the vocab by construction (symbols only
+    * ever merge FROM the 256-byte base alphabet), and under ANSI mode
+    * `element_at` would fail loudly, never emit a wrong id, if that
+    * invariant ever broke. */
+  def encodeIdsChain(textCol: org.apache.spark.sql.Column,
+                     table: IndexedSeq[(String, String)] = merges): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val merged = mergedUnderBytes(textCol, table)
+    val idMap = map(vocabOf(table)
+      .flatMap { case (s, i) => Seq(lit(s), lit(i)) }: _*)
+    transform(regexp_extract_all(merged, lit("\\{([^}]*)\\}"), lit(1)),
+      sy => element_at(idMap, sy))
+  }
+
+  /** TOKENIZER FERTILITY report per language — the table a tokenizer
+    * owner reads before pointing a vocab at a multilingual corpus: ids
+    * per word (fertility) and chars per id (compression), both in the
+    * exact permille lane. Words are the tokenizer's own word units
+    * (maximal non-whitespace runs — the same definition the encode
+    * segments, so fertility ≥ 1000 by construction: every word emits at
+    * least one id). One row per language: (lang, n_docs, n_words,
+    * n_ids, n_chars, fertility_permille, chars_per_id_permille).
+    *
+    * Scale shape: ONE map-side-combinable aggregation over the corpus —
+    * the encode is the native per-row merge loop under the frozen table
+    * (zero shuffle before the lang-keyed combine), and the output is
+    * languages-sized. All counts are exact integers and the permille
+    * ratios integer `div` (guarded: a whitespace-only language with
+    * zero words/ids reports null, never an ANSI divide error), so the
+    * x140 oracle replays the report bit-for-bit. */
+  def fertilityReport(docs: org.apache.spark.sql.DataFrame, langCol: String,
+                      textCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    docs.groupBy(col(langCol).as("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(regexp_count(col(textCol), lit("[^ \\t\\n\\f\\r]+")))
+          .cast("long").as("n_words"),
+        // ids-per-doc = the native count (BpeSpec pins it == encode-ids
+        // length) — no id array materialized on the corpus-sized hot
+        // path just to take a size
+        sum(graft.functions.TextExpressions.bpeTokenCountNative(col(textCol)))
+          .cast("long").as("n_ids"),
+        sum(length(col(textCol))).cast("long").as("n_chars"))
+      .withColumn("fertility_permille",
+        expr("CASE WHEN n_words > 0 THEN (n_ids * 1000) div n_words END"))
+      .withColumn("chars_per_id_permille",
+        expr("CASE WHEN n_ids > 0 THEN (n_chars * 1000) div n_ids END"))
+      .orderBy("lang")
+  }
+
+  /** DuckDB expression mapping `mergedCol` (a column already holding
+    * [[oracleSqlExpr]]'s merged brace string — evaluate that once in a
+    * subquery, the chain is ~160 nested replaces) to the id LIST:
+    * symbols extracted by the same brace regex, ids via a generated
+    * CASE chain over [[vocab]] (first-wins, identical to the Spark map
+    * literal). ELSE -1 can't fire for well-formed merged strings; it
+    * exists so a convention drift reads as an impossible id, not a
+    * silently dropped NULL element. */
+  def oracleIdsFromMergedExpr(mergedCol: String): String = {
+    val caseChain = "CASE sy " +
+      vocab.map { case (s, i) => s"WHEN '$s' THEN $i" }.mkString(" ") +
+      " ELSE -1 END"
+    s"list_transform(regexp_extract_all($mergedCol, '\\{([^}]*)\\}', 1), " +
+      s"sy -> $caseChain)"
+  }
+
   /** DuckDB expression producing the MERGED symbol string for column
-    * `col`: every word becomes brace-delimited symbols ("{h} {i} "),
-    * words are joined with "/ " so merges cannot cross word boundaries,
-    * and each merge is one plain `replace` pass (left-to-right
-    * non-overlapping — the same tie-break as [[applyMergeOnce]]). Braces
-    * and '/' cannot collide with symbol text because the alphabet is
-    * [a-z0-9]. The caller counts tokens as the number of '{' characters
-    * (wrap in a subquery — the chain is ~100 nested calls and should be
-    * evaluated once per row). */
+    * `col` under the fixed BYTE table: every word (maximal
+    * non-whitespace run — RE2 scans the same explicit ASCII class the
+    * JVM scanner uses) becomes brace-delimited lowercase hex-pair
+    * symbols of its UTF-8 bytes ("{74} {68} "), words are joined with
+    * "/ " so merges cannot cross word boundaries, and each merge is one
+    * plain `replace` pass (left-to-right non-overlapping — the same
+    * tie-break as [[applyMergeOnce]]). Braces and '/' cannot collide
+    * with symbol text because the symbol alphabet is [0-9a-f]. The
+    * caller counts tokens as the number of '{' characters (wrap in a
+    * subquery — the fold is ~160 replace passes and should be evaluated
+    * once per row).
+    *
+    * Shape: a `list_reduce` fold over a flat list literal — the seed is
+    * the prepared brace string, each further element is one merge as
+    * "pattern|replacement" ('|' can never occur in symbol text) — NOT a
+    * syntactically nested replace chain: DuckDB's binder caps expression
+    * nesting at 128, which the byte table's 160 merges exceed; the flat
+    * fold is depth-constant in the merge count while computing the
+    * identical left-to-right pass sequence. */
   def oracleSqlExpr(col: String): String = {
     val prepared =
-      s"array_to_string(list_transform(regexp_extract_all(lower($col), '[a-z0-9]+'), " +
-        "w -> regexp_replace(w, '(.)', '{\\1} ', 'g')), '/ ')"
-    merges.foldLeft(prepared) { case (s, (a, b)) =>
-      s"replace($s, '{$a} {$b}', '{$a$b}')"
-    }
+      s"array_to_string(list_transform(regexp_extract_all($col, '[^ \\t\\n\\f\\r]+'), " +
+        "w -> regexp_replace(lower(hex(encode(w))), '(..)', '{\\1} ', 'g')), '/ ')"
+    val mergeList = merges.map { case (a, b) => s"'{$a} {$b}|{$a$b}'" }.mkString(", ")
+    s"list_reduce(list_prepend($prepared, [$mergeList]), " +
+      "(acc, x) -> replace(acc, string_split(x, '|')[1], string_split(x, '|')[2]))"
   }
 }

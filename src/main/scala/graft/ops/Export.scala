@@ -56,6 +56,60 @@ object Export {
       .orderBy("shard")
   }
 
+  /** PACK-payload manifest (p08 — VERDICT r14 next #6): the loader-
+    * facing form of a [[graft.ops.Chunking.packChunksStrict]] result.
+    * A training loader consumes each pack as ONE concatenated token-id
+    * sequence with doc/chunk-boundary OFFSETS (where in the id stream
+    * each chunk starts), so the integrity field must cover the payload
+    * bytes and the boundaries, not just row counts: per pack, the
+    * chunks sort by `orderCols` (the pack fold's own order), the
+    * payload joins their `idsCol` texts, the offsets are the exclusive
+    * running sum of `nIdsCol`, and the pack's 32-bit content hash runs
+    * over "group:pack:offsets:payload". Packs then roll up through the
+    * [[shardManifest]] discipline — shard = md5 of the pack key mod
+    * `nShards`, checksum = order-free SUM of pack hashes — so
+    * independent writers' manifests add to the corpus manifest and any
+    * drift in chunking, encoding, packing order, or boundary arithmetic
+    * flips a shard checksum.
+    *
+    * Scale shape: one shuffle to (groupCol, pack_id) — pack-sized
+    * groups (≤ capacity ids each), never corpus-wide — then the
+    * shard-keyed rollup; the per-pack fold is codegen'd HOFs, no UDF. */
+  def packPayloadManifest(packed: DataFrame, groupCol: String,
+                          idsCol: String, nIdsCol: String,
+                          orderCols: Seq[String],
+                          nShards: Int = 8): DataFrame = {
+    require(nShards > 0, s"need a positive shard count, got $nShards")
+    val item = struct(
+      orderCols.map(col) ++
+        Seq(col(nIdsCol).cast("long").as("__n"), col(idsCol).as("__ids")): _*)
+    val offs = (arr: Column) => aggregate(arr,
+      struct(array().cast("array<bigint>").as("o"), lit(0L).as("run")),
+      (st, x) => struct(
+        concat(st.getField("o"), array(st.getField("run"))).as("o"),
+        (st.getField("run") + x.getField("__n")).as("run")),
+      st => st.getField("o"))
+    val key = concat_ws(":", col("__g"), col("pack_id").cast("string"))
+    packed
+      .groupBy(col(groupCol).cast("string").as("__g"), col("pack_id"))
+      .agg(sort_array(collect_list(item)).as("__arr"))
+      .withColumn("__n_chunks", size(col("__arr")).cast("long"))
+      .withColumn("__n_ids", aggregate(col("__arr"), lit(0L),
+        (a, x) => a + x.getField("__n")))
+      .withColumn("__payload",
+        array_join(transform(col("__arr"), _.getField("__ids")), " "))
+      .withColumn("__offsets", array_join(
+        transform(offs(col("__arr")), _.cast("string")), " "))
+      .select(shardOf(key, nShards).as("shard"), col("__n_chunks"),
+        col("__n_ids"),
+        conv(substring(md5(concat_ws(":", key, col("__offsets"),
+          col("__payload"))), 1, 8), 16, 10).cast("long").as("__chk"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_packs"), sum(col("__n_chunks")).as("n_chunks"),
+        sum(col("__n_ids")).as("n_ids"), sum(col("__chk")).as("checksum"))
+      .orderBy("shard")
+  }
+
   /** CURRICULUM manifest: rank documents easiest-first by bigram-LM
     * fluency ([[LangModel.perplexityScoreSelf]]'s nll — low = fluent)
     * and cut the ranking into `nBuckets` integer-rank buckets — the

@@ -2077,18 +2077,32 @@ object Similarity {
     * [[l2TopKAll]]) — the index-quality audit a serving pipeline runs
     * in-plan before trusting an ANN index, instead of eyeballing spec
     * thresholds. One row per query: (q_id, n_hits, recall_permille).
-    * Queries with zero hits still report (left join from the exact
-    * side's query set — never silently dropped). Pair-keyed semi join +
-    * query-keyed count: everything is candidates-sized. */
-  def recallAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    *
+    * The query universe is `queries` when given (zero-hit completeness
+    * unconditional — a query the index returned nothing for AND the
+    * exact side somehow missed still reports 0); without it the
+    * universe is the EXACT side's query set (complete whenever the
+    * ground truth covers every query, i.e. a non-empty corpus). Hits
+    * are DISTINCT matched ids, and >k hits for any query fails loudly
+    * in-plan (`raise_error`) instead of reporting recall > 1000 — that
+    * shape means the caller passed an un-cut candidate frame. Pair-keyed
+    * semi join + query-keyed count: everything is candidates-sized. */
+  def recallAtK(approx: DataFrame, exact: DataFrame, k: Int,
+                queries: Option[DataFrame] = None): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val hits = approx.select(col("q_id"), col("vec_id"))
       .join(exact.select(col("q_id"), col("vec_id")),
         Seq("q_id", "vec_id"), "left_semi")
-      .groupBy("q_id").agg(count(lit(1)).as("n_hits"))
-    exact.select("q_id").distinct()
+      .groupBy("q_id").agg(count_distinct(col("vec_id")).as("n_hits"))
+    val universe = queries.map(_.select("q_id").distinct())
+      .getOrElse(exact.select("q_id").distinct())
+    universe
       .join(hits, Seq("q_id"), "left")
       .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+      .withColumn("n_hits", expr(
+        s"CASE WHEN n_hits > ${k}L THEN CAST(raise_error(concat(" +
+          s"'recallAtK: more than k=$k distinct hits for query ', q_id)) " +
+          s"AS BIGINT) ELSE n_hits END"))
       .withColumn("recall_permille", expr(s"(n_hits * 1000) div ${k}L"))
   }
 }

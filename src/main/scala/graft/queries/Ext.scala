@@ -1174,6 +1174,20 @@ object Ext {
         .orderBy("doc_id")
     },
 
+    // DSIR THRESHOLD selection (x150): x60's keep decision as a pure
+    // per-doc weight cut — kept iff wfix ≥ 0, i.e. the document looks
+    // at least as target-like as the raw average — with NO global rank
+    // window anywhere in the plan (the extreme-scale form the x60
+    // scaladoc prescribed; VERDICT r14 missing #4). The threshold is a
+    // frozen dial; 0 nats is the natural reference point. FULL oracle:
+    // x60's weight chain verbatim, the cut a literal integer compare.
+    "x150_dsir_threshold_select" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      Dsir.dsirSelectThreshold(docs, docs.filter(col("lang") === "en"),
+          "doc_id", "text", thresholdFix = 0L)
+        .orderBy("doc_id")
+    },
+
     // Histogram-sketch quantiles: per-lang p50/p90 of n_chars estimated
     // from a 64-bucket equi-width grid — the mergeable quantile sketch.
     // FULL oracle: integer floor-division buckets, integer rank
@@ -2189,15 +2203,19 @@ object Ext {
 
     // BPE ENCODE-TO-IDS (x134): the missing last step of the tokenize
     // path — x44/x83 count tokens, this emits the token-ID sequences a
-    // training loader consumes, under the fixed deterministic merge
-    // table (broadcast model: merges + vocab are plan literals; the
-    // fold is codegen'd per row, zero shuffle, no driver text). The
-    // oracle replays merge application AND the id mapping from the same
-    // table, so every id of every doc is hash-gated (csv-joined — the
-    // driver compare hashes scalar cells).
+    // training loader consumes, under the fixed deterministic
+    // BYTE-COMPLETE merge table (every char of every text maps to UTF-8
+    // byte symbols — case, punctuation, non-ASCII — no silent drops, no
+    // UNK). The encode is the native rank-ordered per-word merge loop
+    // (BpeEncodeIdsExpr: one memoized JVM call per row from codegen,
+    // zero shuffle, no driver text — ~10× cheaper than the r14
+    // replace-chain fold). The oracle replays merge application AND the
+    // id mapping from the same table, so every id of every doc is
+    // hash-gated (csv-joined — the driver compare hashes scalar cells).
     "x134_bpe_encode_ids" -> { (s, dir) =>
       Tables.documents(s, dir)
-        .select(col("doc_id"), graft.ops.Bpe.encodeIds(col("text")).as("ids"))
+        .select(col("doc_id"),
+          graft.functions.TextExpressions.bpeEncodeIdsNative(col("text")).as("ids"))
         .select(col("doc_id"),
           size(col("ids")).as("n_ids"),
           concat_ws(",", transform(col("ids"), _.cast("string"))).as("ids_csv"))
@@ -2233,7 +2251,8 @@ object Ext {
       val chunks = Chunking.contentDefinedChunks(Tables.documents(s, dir),
           "doc_id", "text", windowWords = 4, maskMod = 16,
           keepCols = Seq("lang"))
-        .withColumn("n_ids", size(graft.ops.Bpe.encodeIds(col("chunk"))))
+        .withColumn("n_ids",
+          graft.functions.TextExpressions.bpeTokenCountNative(col("chunk")))
         // the fold gathers surviving columns into per-shard arrays: carry
         // only the keys + the id count, never the chunk text
         .select("doc_id", "chunk_idx", "lang", "n_ids")
@@ -2402,7 +2421,79 @@ object Ext {
         "embedding", "vec_id", qtab, "vec_id", cb, k = 5)
       val exact = Similarity.l2TopKAll(corpus, "embedding", "vec_id",
         qtab, "vec_id", k = 5)
-      Similarity.recallAtK(served, exact, k = 5).orderBy("q_id")
+      Similarity.recallAtK(served, exact, k = 5,
+        queries = Some(qtab.select(col("vec_id").as("q_id")))).orderBy("q_id")
+    },
+
+    // TRAINED-INDEX RECALL audit (x147): x146's recall@5 report pointed
+    // at the FULLY-TRAINED IVF×PQ family (x71's geometry — 2-round
+    // fixed-point Lloyd coarse cells, 2-iteration per-subspace-k-means
+    // 256-centroid PQ codebook, nProbe=6, refine=8) on the same
+    // corpus/query split — the audit that prices what training buys
+    // over x146's sampled build (VERDICT r14 missing #2: the families a
+    // deployer chooses between had spec thresholds but no in-plan,
+    // hash-gated recall artifact). FULL oracle: BOTH training chains
+    // (x71's replay), the q_id-threaded probe/ADC/rerank, the exact
+    // chain, the intersection counts.
+    "x147_ann_recall_trained" -> { (s, dir) =>
+      val all = Tables.embeddings(s, dir)
+      val corpus = all.filter(col("vec_id") % 50 =!= 0)
+      val qtab = all.filter(col("vec_id") % 50 === 0)
+      val (cents, assigned) =
+        Similarity.ivfBuildKmeans(corpus, "embedding", "vec_id")
+      val cb = Similarity.pqTrainCodebook(corpus, "embedding", "vec_id",
+        nCentroids = 256)
+      val served = Similarity.ivfPqServeAll(cents,
+        Similarity.ivfPqEncode(assigned, "vec_id", cb), corpus,
+        "embedding", "vec_id", qtab, "vec_id", cb, k = 5,
+        nProbe = 6, refine = 8)
+      val exact = Similarity.l2TopKAll(corpus, "embedding", "vec_id",
+        qtab, "vec_id", k = 5)
+      Similarity.recallAtK(served, exact, k = 5,
+        queries = Some(qtab.select(col("vec_id").as("q_id")))).orderBy("q_id")
+    },
+
+    // WINNOWING WRITTEN INDEX (x148): x141's fingerprint index
+    // persisted as the fp-bucketed tree a 100 TB overlap service
+    // actually reads — base docs written partitionBy(fp mod 16), the
+    // held-out tenth folded in by bucket-local compaction (only touched
+    // bucket dirs rewritten — OpsSpec pins the file-level locality),
+    // the report served from the read-back tree. The index row is a
+    // pure per-doc function of content, so compact-then-serve ≡
+    // build-on-everything: the oracle is x141's SQL VERBATIM.
+    "x148_winnowing_tree" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val tree = scratchTree("x148_winnow")
+      // 16-bucket GATE dial (the x84 convention: results are
+      // bucket-count-invariant, the oracle bucketless; 64 stays the
+      // documented production default)
+      Dedup.winnowingWriteIndex(
+        Dedup.winnowingFingerprints(docs.filter(col("doc_id") % 10 =!= 0),
+          "doc_id", "text", k = 4, w = 8),
+        "doc_id", tree, nBuckets = 16)
+      Dedup.winnowingCompact(s, tree, docs.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", k = 4, w = 8, nBuckets = 16)
+      Dedup.winnowingServeTree(s, tree, "doc_id", minShared = 3,
+          maxFpDf = 50)
+        .orderBy("a_id", "b_id")
+    },
+
+    // LSH-FED cross-source matrix (x149): the PRODUCTION path of x143
+    // — at 100 TB the pair step is x34's MinHash-LSH bucketed
+    // candidates → exact-Jaccard verify, not the exact all-gram
+    // self-join x143's fixture rides; the matrix tail is the identical
+    // code. With full-recall candidates (the x34 OpsSpec pin) the
+    // verified pair set — hence every cell count — equals the exact
+    // path's, so this runs the LSH plan end-to-end under x143's
+    // oracle (the x136-gating precedent applied to the matrix).
+    "x149_lsh_cross_source_dup" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val cands = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        n = 3, nHashes = 64, bands = 16, threshold = 0.35)
+      val verified = Dedup.verifyPairsJaccard(docs, "doc_id", "text", "lang",
+        cands.select("a_id", "b_id"), 3, 0.5)
+      Dedup.crossSliceMatrixFromPairs(docs, verified, "doc_id", "source")
+        .orderBy("src_a", "src_b")
     },
   )
 
@@ -2477,6 +2568,183 @@ object Ext {
         |cand AS (
         |  SELECT q_id, vec_id, pq FROM approx
         |  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY pq, vec_id) <= 15),
+        |scored AS (
+        |  SELECT cand.q_id, cand.vec_id, cand.pq,
+        |    list_sum(list_transform(generate_series(1, len(e.v)), t ->
+        |      (e.v[t] - qs.qv[t]) * (e.v[t] - qs.qv[t]))) AS l2
+        |  FROM cand JOIN e USING (vec_id) JOIN qs USING (q_id)),
+        |srv AS (
+        |  SELECT q_id, CAST(row_number() OVER (PARTITION BY q_id ORDER BY l2 ASC, vec_id ASC) AS INT) AS rank,
+        |    vec_id, pq, l2
+        |  FROM scored
+        |  QUALIFY rank <= 5)""".stripMargin
+
+  /** The recall@5 tail appended to a serve chain ending at `srv` with
+    * `e`/`qs` in scope — the exact brute-force per-query L2 top-5, the
+    * (q_id, vec_id) intersection counts, zero-hit queries kept by the
+    * left join from the query table. Shared by x146 (sampled build) and
+    * x147 (trained build) so the audits differ ONLY in the index under
+    * measurement. */
+  private val recallTailSql: String =
+    """,
+      |exact AS (
+      |  SELECT q_id, vec_id FROM (
+      |    SELECT qs.q_id, e.vec_id,
+      |      row_number() OVER (PARTITION BY qs.q_id ORDER BY
+      |        list_sum(list_transform(generate_series(1, len(e.v)), t ->
+      |          (e.v[t] - qs.qv[t]) * (e.v[t] - qs.qv[t]))) ASC,
+      |        e.vec_id ASC) AS rk
+      |    FROM e, qs) WHERE rk <= 5),
+      |hits AS (
+      |  SELECT s.q_id, COUNT(*) AS n_hits
+      |  FROM srv s JOIN exact x ON x.q_id = s.q_id AND x.vec_id = s.vec_id
+      |  GROUP BY 1)
+      |SELECT qs.q_id AS q_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+      |  (CAST(COALESCE(h.n_hits, 0) AS BIGINT) * 1000) // 5 AS recall_permille
+      |FROM qs LEFT JOIN hits h ON h.q_id = qs.q_id
+      |ORDER BY qs.q_id""".stripMargin
+
+  /** x71's trained replay (coarse Lloyd rounds ka1/kc1/ka2/kc2,
+    * per-subspace PQ k-means a1/m1/s1/a2/m2/s2 — fixed-point centroid
+    * means and all) re-pointed
+    * at the x146 corpus/query split, with the serve stages threaded by
+    * q_id exactly as [[ivfPqServeChainSql]] threads the sampled build:
+    * per-query probe LIMIT 6 over the TRAINED cells (kc2), codes over
+    * the union of probed cells from the TRAINED codebook (s2), ADC cut
+    * ≤ refine·k = 40, exact-L2 rerank to `srv`. */
+  private val ivfPqTrainedServeChainSql: String =
+    """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id % 50 <> 0),
+        |qs AS (
+        |  SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id % 50 = 0),
+        |c0 AS (SELECT vec_id AS cid, v AS cv FROM e
+        |       ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC LIMIT 16),
+        |ka1 AS (
+        |  SELECT vec_id, v, cid FROM (
+        |    SELECT e.vec_id, e.v, c0.cid,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_sum(list_transform(generate_series(1, len(e.v)), i -> e.v[i] * c0.cv[i])) /
+        |          (sqrt(list_sum(list_transform(generate_series(1, len(e.v)), i -> e.v[i] * e.v[i]))) *
+        |           sqrt(list_sum(list_transform(generate_series(1, len(c0.cv)), i -> c0.cv[i] * c0.cv[i])))) DESC,
+        |        c0.cid ASC) AS rk
+        |    FROM e, c0) WHERE rk = 1),
+        |kc1 AS (
+        |  SELECT cid, list(m ORDER BY pos) AS cv FROM (
+        |    SELECT cid, pos, ((u - ((u % n2) + n2) % n2) / n2) / 1000000.0 AS m FROM (
+        |      SELECT cid, pos,
+        |        2 * CAST(SUM(CAST(floor(vv * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) + COUNT(*) AS u,
+        |        2 * COUNT(*) AS n2
+        |      FROM (SELECT cid, unnest(generate_series(1, len(v))) AS pos, unnest(v) AS vv FROM ka1)
+        |      GROUP BY cid, pos)) GROUP BY cid),
+        |ka2 AS (
+        |  SELECT vec_id, v, cid FROM (
+        |    SELECT e.vec_id, e.v, kc1.cid,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_sum(list_transform(generate_series(1, len(e.v)), i -> e.v[i] * kc1.cv[i])) /
+        |          (sqrt(list_sum(list_transform(generate_series(1, len(e.v)), i -> e.v[i] * e.v[i]))) *
+        |           sqrt(list_sum(list_transform(generate_series(1, len(kc1.cv)), i -> kc1.cv[i] * kc1.cv[i])))) DESC,
+        |        kc1.cid ASC) AS rk
+        |    FROM e, kc1) WHERE rk = 1),
+        |kc2 AS (
+        |  SELECT cid, list(m ORDER BY pos) AS cv FROM (
+        |    SELECT cid, pos, ((u - ((u % n2) + n2) % n2) / n2) / 1000000.0 AS m FROM (
+        |      SELECT cid, pos,
+        |        2 * CAST(SUM(CAST(floor(vv * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) + COUNT(*) AS u,
+        |        2 * COUNT(*) AS n2
+        |      FROM (SELECT cid, unnest(generate_series(1, len(v))) AS pos, unnest(v) AS vv FROM ka2)
+        |      GROUP BY cid, pos)) GROUP BY cid),
+        |casg AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT e.vec_id, kc2.cid,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_sum(list_transform(generate_series(1, len(e.v)), i -> e.v[i] * kc2.cv[i])) /
+        |          (sqrt(list_sum(list_transform(generate_series(1, len(e.v)), i -> e.v[i] * e.v[i]))) *
+        |           sqrt(list_sum(list_transform(generate_series(1, len(kc2.cv)), i -> kc2.cv[i] * kc2.cv[i])))) DESC,
+        |        kc2.cid ASC) AS rk
+        |    FROM e, kc2) WHERE rk = 1),
+        |qprobe AS (
+        |  SELECT q_id, cid FROM (
+        |    SELECT qs.q_id, kc2.cid,
+        |      row_number() OVER (PARTITION BY qs.q_id ORDER BY
+        |        list_sum(list_transform(generate_series(1, len(kc2.cv)), i -> kc2.cv[i] * qs.qv[i])) /
+        |          (sqrt(list_sum(list_transform(generate_series(1, len(kc2.cv)), i -> kc2.cv[i] * kc2.cv[i]))) *
+        |           sqrt(list_sum(list_transform(generate_series(1, len(qs.qv)), i -> qs.qv[i] * qs.qv[i])))) DESC,
+        |        kc2.cid ASC) AS rk
+        |    FROM qs, kc2) WHERE rk <= 6),
+        |pruned AS (SELECT DISTINCT vec_id FROM casg JOIN qprobe USING (cid)),
+        |jj AS (SELECT unnest(generate_series(0, 7)) AS j),
+        |pp AS (SELECT unnest(generate_series(1, 8)) AS pos),
+        |cb0 AS (
+        |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS k, v AS cv
+        |  FROM e
+        |  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 256),
+        |s0 AS (
+        |  SELECT jj.j, cb0.k,
+        |    list_transform(generate_series(1, 8), t -> cb0.cv[jj.j * 8 + t]) AS sub
+        |  FROM jj, cb0),
+        |a1 AS (
+        |  SELECT vec_id, j, k FROM (
+        |    SELECT e.vec_id, s0.j, s0.k,
+        |      row_number() OVER (PARTITION BY e.vec_id, s0.j ORDER BY
+        |        list_sum(list_transform(generate_series(1, 8), t ->
+        |          (e.v[s0.j * 8 + t] - s0.sub[t]) * (e.v[s0.j * 8 + t] - s0.sub[t]))) ASC,
+        |        s0.k ASC) AS rk
+        |    FROM e, s0) WHERE rk = 1),
+        |m1 AS (
+        |  SELECT j, k, list(mm ORDER BY pos) AS sub FROM (
+        |    SELECT j, k, pos, ((u - ((u % n2) + n2) % n2) / n2) / 1000000.0 AS mm FROM (
+        |      SELECT a1.j, a1.k, pp.pos,
+        |        2 * CAST(SUM(CAST(floor(e.v[a1.j * 8 + pp.pos] * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) + COUNT(*) AS u,
+        |        2 * COUNT(*) AS n2
+        |      FROM a1 JOIN e USING (vec_id), pp
+        |      GROUP BY a1.j, a1.k, pp.pos)) GROUP BY j, k),
+        |s1 AS (
+        |  SELECT s0.j, s0.k, COALESCE(m1.sub, s0.sub) AS sub
+        |  FROM s0 LEFT JOIN m1 ON m1.j = s0.j AND m1.k = s0.k),
+        |a2 AS (
+        |  SELECT vec_id, j, k FROM (
+        |    SELECT e.vec_id, s1.j, s1.k,
+        |      row_number() OVER (PARTITION BY e.vec_id, s1.j ORDER BY
+        |        list_sum(list_transform(generate_series(1, 8), t ->
+        |          (e.v[s1.j * 8 + t] - s1.sub[t]) * (e.v[s1.j * 8 + t] - s1.sub[t]))) ASC,
+        |        s1.k ASC) AS rk
+        |    FROM e, s1) WHERE rk = 1),
+        |m2 AS (
+        |  SELECT j, k, list(mm ORDER BY pos) AS sub FROM (
+        |    SELECT j, k, pos, ((u - ((u % n2) + n2) % n2) / n2) / 1000000.0 AS mm FROM (
+        |      SELECT a2.j, a2.k, pp.pos,
+        |        2 * CAST(SUM(CAST(floor(e.v[a2.j * 8 + pp.pos] * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) + COUNT(*) AS u,
+        |        2 * COUNT(*) AS n2
+        |      FROM a2 JOIN e USING (vec_id), pp
+        |      GROUP BY a2.j, a2.k, pp.pos)) GROUP BY j, k),
+        |s2 AS (
+        |  SELECT s1.j, s1.k, COALESCE(m2.sub, s1.sub) AS sub
+        |  FROM s1 LEFT JOIN m2 ON m2.j = s1.j AND m2.k = s1.k),
+        |codes AS (
+        |  SELECT vec_id, j, k FROM (
+        |    SELECT e.vec_id, s2.j, s2.k,
+        |      row_number() OVER (PARTITION BY e.vec_id, s2.j ORDER BY
+        |        list_sum(list_transform(generate_series(1, 8), t ->
+        |          (e.v[s2.j * 8 + t] - s2.sub[t]) * (e.v[s2.j * 8 + t] - s2.sub[t]))) ASC,
+        |        s2.k ASC) AS rk
+        |    FROM e JOIN pruned USING (vec_id), s2) WHERE rk = 1),
+        |qtab AS (
+        |  SELECT qs.q_id, s2.j, s2.k,
+        |    list_sum(list_transform(generate_series(1, 8), t ->
+        |      (qs.qv[s2.j * 8 + t] - s2.sub[t]) * (qs.qv[s2.j * 8 + t] - s2.sub[t]))) AS dist
+        |  FROM qs, s2),
+        |approx AS (
+        |  SELECT qp.q_id, c.vec_id, list_sum(list(qt.dist ORDER BY c.j)) AS pq
+        |  FROM qprobe qp
+        |  JOIN casg ON casg.cid = qp.cid
+        |  JOIN codes c ON c.vec_id = casg.vec_id
+        |  JOIN qtab qt ON qt.q_id = qp.q_id AND qt.j = c.j AND qt.k = c.k
+        |  GROUP BY qp.q_id, c.vec_id),
+        |cand AS (
+        |  SELECT q_id, vec_id, pq FROM approx
+        |  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY pq, vec_id) <= 40),
         |scored AS (
         |  SELECT cand.q_id, cand.vec_id, cand.pq,
         |    list_sum(list_transform(generate_series(1, len(e.v)), t ->
@@ -3097,6 +3365,83 @@ object Ext {
         |QUALIFY rank <= 10
         |ORDER BY q_id, rank""".stripMargin
 
+  /** Winnowing overlap replay — the 4-gram 8-hex md5 hashes,
+    * window-of-8 minima (short-doc one-fingerprint degeneration
+    * included), per-doc DISTINCT, the df <= 50 stop-fingerprint cut,
+    * pair counts at >= 3. Shared by x141 (the one-shot frame) and x148
+    * (the written fp-bucketed tree after compaction — the index row is
+    * a pure per-doc function of content, so the tree read-back equals
+    * the one-shot frame). Fenced: f feeds the df cut and both join
+    * sides. */
+  private val winnowingOverlapSql: String = materializeCtes(
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      |n AS (SELECT doc_id, ts, len(ts) AS nt FROM t),
+      |h AS (
+      |  SELECT doc_id,
+      |    CASE WHEN nt >= 4 THEN
+      |      list_transform(generate_series(1, nt - 3), i ->
+      |        CAST(CAST('0x' || substr(md5(array_to_string(ts[i:i+3], ' ')), 1, 8) AS UBIGINT) AS BIGINT))
+      |    ELSE [] END AS hs
+      |  FROM n),
+      |wnd AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(hs) >= 8 THEN
+      |      list_distinct(list_transform(generate_series(1, len(hs) - 7),
+      |        j -> list_min(hs[j:j+7])))
+      |    WHEN len(hs) >= 1 THEN [list_min(hs)]
+      |    ELSE [] END AS fps
+      |  FROM h),
+      |f AS (SELECT DISTINCT doc_id, unnest(fps) AS fp FROM wnd),
+      |kept AS (
+      |  SELECT f.doc_id, f.fp FROM f
+      |  JOIN (SELECT fp FROM f GROUP BY fp HAVING COUNT(*) <= 50) k USING (fp)),
+      |p AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS shared_fps
+      |  FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT a_id, b_id, CAST(shared_fps AS BIGINT) AS shared_fps
+      |FROM p WHERE shared_fps >= 3 ORDER BY a_id, b_id""".stripMargin)
+
+  /** Cross-source matrix replay — the x02 trigram-Jaccard chain, the
+    * >= 0.5 cut, least/greatest source cell keys, pair counts and
+    * distinct implicated docs per cell. Shared by x143 (the exact pair
+    * step) and x149 (the MinHash-LSH → verify production pair step —
+    * full-recall candidates, the x34 OpsSpec pin, make the verified
+    * pair set equal the exact path's). Fenced: tri/lab feed multiple
+    * consumers. */
+  private val crossSourceDupSql: String = materializeCtes(
+    """WITH tok AS (
+      |  SELECT doc_id, lang, string_split(text, ' ') AS ts FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3),
+      |tri AS (
+      |  SELECT DISTINCT doc_id, lang,
+      |    unnest(list_transform(generate_series(1, len(ts) - 2),
+      |      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS g
+      |  FROM tok),
+      |nt AS (SELECT doc_id, COUNT(*) AS n FROM tri GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS common
+      |  FROM tri a JOIN tri b ON a.g = b.g AND a.lang = b.lang AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |jp AS (
+      |  SELECT a_id, b_id FROM pairs
+      |  JOIN nt na ON a_id = na.doc_id JOIN nt nb ON b_id = nb.doc_id
+      |  WHERE common * 1.0 / (na.n + nb.n - common) >= 0.5),
+      |lab AS (
+      |  SELECT least(da.source, db.source) AS src_a,
+      |    greatest(da.source, db.source) AS src_b, a_id, b_id
+      |  FROM jp
+      |  JOIN documents da ON da.doc_id = a_id
+      |  JOIN documents db ON db.doc_id = b_id),
+      |np AS (SELECT src_a, src_b, COUNT(*) AS n_pairs FROM lab GROUP BY 1, 2),
+      |nd AS (
+      |  SELECT src_a, src_b, COUNT(*) AS n_docs FROM (
+      |    SELECT DISTINCT src_a, src_b, unnest([a_id, b_id]) AS d FROM lab)
+      |  GROUP BY 1, 2)
+      |SELECT np.src_a, np.src_b, np.n_pairs, nd.n_docs
+      |FROM np JOIN nd USING (src_a, src_b)
+      |ORDER BY src_a, src_b""".stripMargin)
+
   /** The x118 CTE chain up to `iv` (doc_id, valid_from, valid_to,
     * text) — shared by x118/x123 (the full build; the apply law says
     * the folded history IS the full build) and x124 (the point-in-time
@@ -3613,26 +3958,17 @@ object Ext {
     // brute-force per-query L2 top-5 over the same corpus/queries, the
     // (q_id, vec_id) intersection counts, zero-hit queries kept by the
     // left join. Integers only in the output.
-    "x146_ann_recall_report" ->
-      (ivfPqServeChainSql + """,
-        |exact AS (
-        |  SELECT q_id, vec_id FROM (
-        |    SELECT qs.q_id, e.vec_id,
-        |      row_number() OVER (PARTITION BY qs.q_id ORDER BY
-        |        list_sum(list_transform(generate_series(1, len(e.v)), t ->
-        |          (e.v[t] - qs.qv[t]) * (e.v[t] - qs.qv[t]))) ASC,
-        |        e.vec_id ASC) AS rk
-        |    FROM e, qs) WHERE rk <= 5),
-        |hits AS (
-        |  SELECT s.q_id, COUNT(*) AS n_hits
-        |  FROM srv s JOIN exact x ON x.q_id = s.q_id AND x.vec_id = s.vec_id
-        |  GROUP BY 1)
-        |SELECT qs.q_id AS q_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
-        |  (CAST(COALESCE(h.n_hits, 0) AS BIGINT) * 1000) // 5 AS recall_permille
-        |FROM qs LEFT JOIN hits h ON h.q_id = qs.q_id
-        |ORDER BY qs.q_id""".stripMargin),
+    "x146_ann_recall_report" -> (ivfPqServeChainSql + recallTailSql),
 
-    
+    // Trained-index recall replay: x71's two training chains (the
+    // coarse Lloyd rounds and the per-subspace PQ k-means, fixed-point
+    // centroid means and all) re-pointed at the x146 corpus/query
+    // split, the probe/ADC/rerank threaded by q_id, then the same
+    // exact + intersection tail as x146. Fenced: the Lloyd chain is
+    // re-referenced by assignment AND probe, the PQ chain by codes AND
+    // the ADC tables — materialization keeps each round evaluated once.
+    "x147_ann_recall_trained" ->
+      materializeCtes(ivfPqTrainedServeChainSql + recallTailSql),
 
     // Hierarchical IVF replay: x15's sample + probe + rescore with the
     // assignment split into the two routed argmax levels — super sample
@@ -4823,6 +5159,35 @@ object Ext {
         |  round(CAST(sfix AS DOUBLE) / 1000000000000.0, 6) AS logw_nats,
         |  rn <= floor((m * 1 + 3) / 4) AS kept
         |FROM ranked ORDER BY doc_id""".stripMargin,
+
+    // Threshold-select replay: x60's weight chain verbatim, the keep
+    // decision a literal integer compare (sfix >= 0) — no rank CTE.
+    "x150_dsir_threshold_select" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |tb AS (
+        |  SELECT doc_id, lang,
+        |    CAST(CAST('0x' || substr(md5(w), 1, 8) AS UBIGINT) AS BIGINT) % 64 AS b
+        |  FROM tok),
+        |rawc AS (SELECT b, COUNT(*) AS c FROM tb GROUP BY 1),
+        |rawn AS (SELECT COUNT(*) AS n FROM tb),
+        |tgtc AS (SELECT b, COUNT(*) AS c FROM tb WHERE lang = 'en' GROUP BY 1),
+        |tgtn AS (SELECT COUNT(*) AS n FROM tb WHERE lang = 'en'),
+        |grid AS (
+        |  SELECT gs.b,
+        |    CAST(floor(ln((COALESCE(t.c, 0) + 1.0) / (tn.n + 64)) * 1000000000000.0) AS BIGINT)
+        |  - CAST(floor(ln((COALESCE(r.c, 0) + 1.0) / (rn.n + 64)) * 1000000000000.0) AS BIGINT) AS lr_fix
+        |  FROM generate_series(0, 63) gs(b)
+        |  LEFT JOIN tgtc t ON t.b = gs.b
+        |  LEFT JOIN rawc r ON r.b = gs.b, tgtn tn, rawn rn),
+        |perdoc AS (
+        |  SELECT tb.doc_id, COUNT(*) AS n_tokens, SUM(g.lr_fix) AS sfix
+        |  FROM tb JOIN grid g ON g.b = tb.b GROUP BY 1)
+        |SELECT doc_id, n_tokens,
+        |  round(CAST(sfix AS DOUBLE) / 1000000000000.0, 6) AS logw_nats,
+        |  sfix >= 0 AS kept
+        |FROM perdoc ORDER BY doc_id""".stripMargin,
 
     // Histogram replay: integer buckets, window cumsum, rank pick,
     // identical interpolation arithmetic.
@@ -6157,34 +6522,13 @@ object Ext {
     // minima (short-doc one-fingerprint degeneration included), per-doc
     // DISTINCT, the df <= 50 stop-fingerprint cut, pair counts at >= 3.
     // Fenced: f feeds the df cut and both join sides.
-    "x141_winnowing_overlap" -> materializeCtes(
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
-        |n AS (SELECT doc_id, ts, len(ts) AS nt FROM t),
-        |h AS (
-        |  SELECT doc_id,
-        |    CASE WHEN nt >= 4 THEN
-        |      list_transform(generate_series(1, nt - 3), i ->
-        |        CAST(CAST('0x' || substr(md5(array_to_string(ts[i:i+3], ' ')), 1, 8) AS UBIGINT) AS BIGINT))
-        |    ELSE [] END AS hs
-        |  FROM n),
-        |wnd AS (
-        |  SELECT doc_id,
-        |    CASE WHEN len(hs) >= 8 THEN
-        |      list_distinct(list_transform(generate_series(1, len(hs) - 7),
-        |        j -> list_min(hs[j:j+7])))
-        |    WHEN len(hs) >= 1 THEN [list_min(hs)]
-        |    ELSE [] END AS fps
-        |  FROM h),
-        |f AS (SELECT DISTINCT doc_id, unnest(fps) AS fp FROM wnd),
-        |kept AS (
-        |  SELECT f.doc_id, f.fp FROM f
-        |  JOIN (SELECT fp FROM f GROUP BY fp HAVING COUNT(*) <= 50) k USING (fp)),
-        |p AS (
-        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS shared_fps
-        |  FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2)
-        |SELECT a_id, b_id, CAST(shared_fps AS BIGINT) AS shared_fps
-        |FROM p WHERE shared_fps >= 3 ORDER BY a_id, b_id""".stripMargin),
+    "x141_winnowing_overlap" -> winnowingOverlapSql,
+
+    // x148 = the same report served from the written fp-bucketed tree
+    // after a bucket-local compaction; the index row is a pure per-doc
+    // function of content, so the tree read-back equals the one-shot
+    // fingerprint frame and x141's SQL replays it verbatim.
+    "x148_winnowing_tree" -> winnowingOverlapSql,
 
     // Salience replay: exact tf/df counts (df per-doc-distinct), the
     // floor(ln(N/df)·1e6) idf lane, the integer product, the
@@ -6212,40 +6556,14 @@ object Ext {
 
     // Cross-source matrix replay: the x02 trigram-Jaccard chain, the
     // >= 0.5 cut, least/greatest source cell keys, pair counts and
-    // distinct implicated docs per cell. Fenced: tri/lab feed multiple
-    // consumers.
-    "x143_cross_source_dup" -> materializeCtes(
-      """WITH tok AS (
-        |  SELECT doc_id, lang, string_split(text, ' ') AS ts FROM documents
-        |  WHERE len(string_split(text, ' ')) >= 3),
-        |tri AS (
-        |  SELECT DISTINCT doc_id, lang,
-        |    unnest(list_transform(generate_series(1, len(ts) - 2),
-        |      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS g
-        |  FROM tok),
-        |nt AS (SELECT doc_id, COUNT(*) AS n FROM tri GROUP BY doc_id),
-        |pairs AS (
-        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS common
-        |  FROM tri a JOIN tri b ON a.g = b.g AND a.lang = b.lang AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |jp AS (
-        |  SELECT a_id, b_id FROM pairs
-        |  JOIN nt na ON a_id = na.doc_id JOIN nt nb ON b_id = nb.doc_id
-        |  WHERE common * 1.0 / (na.n + nb.n - common) >= 0.5),
-        |lab AS (
-        |  SELECT least(da.source, db.source) AS src_a,
-        |    greatest(da.source, db.source) AS src_b, a_id, b_id
-        |  FROM jp
-        |  JOIN documents da ON da.doc_id = a_id
-        |  JOIN documents db ON db.doc_id = b_id),
-        |np AS (SELECT src_a, src_b, COUNT(*) AS n_pairs FROM lab GROUP BY 1, 2),
-        |nd AS (
-        |  SELECT src_a, src_b, COUNT(*) AS n_docs FROM (
-        |    SELECT DISTINCT src_a, src_b, unnest([a_id, b_id]) AS d FROM lab)
-        |  GROUP BY 1, 2)
-        |SELECT np.src_a, np.src_b, np.n_pairs, nd.n_docs
-        |FROM np JOIN nd USING (src_a, src_b)
-        |ORDER BY src_a, src_b""".stripMargin),
+    // distinct implicated docs per cell.
+    "x143_cross_source_dup" -> crossSourceDupSql,
+
+    // x149 = the same matrix computed from the MinHash-LSH → verify
+    // production pair step; full-recall candidates (the x34 OpsSpec
+    // pin) make the verified pair set — hence every cell — equal the
+    // exact path's.
+    "x149_lsh_cross_source_dup" -> crossSourceDupSql,
 
     // Histogram replay: the x16 component walk, cluster sizes, the
     // size-keyed histogram, and the exact removable-permille rate.
@@ -6892,21 +7210,22 @@ object Ext {
 
     // Fertility replay: the x134 merge chain per doc (evaluated once in
     // the m subquery), ids via the brace-symbol count, words via the
-    // tokenizer's own [a-z0-9]+ run extraction, exact integer sums and
-    // the guarded permille divisions.
+    // byte tokenizer's own non-whitespace-run extraction (the explicit
+    // ASCII class both regex engines scan identically), exact integer
+    // sums and the guarded permille divisions.
     "x140_tokenizer_fertility" ->
       s"""WITH m AS (
          |  SELECT lang, text, ${graft.ops.Bpe.oracleSqlExpr("text")} AS s
          |  FROM documents)
          |SELECT lang, COUNT(*) AS n_docs,
-         |  CAST(SUM(len(regexp_extract_all(lower(text), '[a-z0-9]+')))
+         |  CAST(SUM(len(regexp_extract_all(text, '[^ \t\n\f\r]+')))
          |    AS BIGINT) AS n_words,
          |  CAST(SUM(length(s) - length(replace(s, '{', ''))) AS BIGINT)
          |    AS n_ids,
          |  CAST(SUM(length(text)) AS BIGINT) AS n_chars,
-         |  CASE WHEN CAST(SUM(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS BIGINT) > 0
+         |  CASE WHEN CAST(SUM(len(regexp_extract_all(text, '[^ \t\n\f\r]+'))) AS BIGINT) > 0
          |    THEN (CAST(SUM(length(s) - length(replace(s, '{', ''))) AS BIGINT) * 1000)
-         |      // CAST(SUM(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS BIGINT) END
+         |      // CAST(SUM(len(regexp_extract_all(text, '[^ \t\n\f\r]+'))) AS BIGINT) END
          |    AS fertility_permille,
          |  CASE WHEN CAST(SUM(length(s) - length(replace(s, '{', ''))) AS BIGINT) > 0
          |    THEN (CAST(SUM(length(text)) AS BIGINT) * 1000)

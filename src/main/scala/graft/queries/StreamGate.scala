@@ -2639,6 +2639,71 @@ object StreamGate {
         }
       }
     },
+
+    // STREAMING-MAINTAINED TREE RECALL (s35) — x146's quality audit
+    // pointed at the tree s12 maintains: micro-batches of vector
+    // arrivals compact into the written partitionBy(centroid_id) IVF×PQ
+    // tree under the frozen model (only touched cells rewritten), and
+    // AFTER the drain the recall@5 report is computed by SERVING THE
+    // COMPACTED TREE for the whole query table and intersecting with
+    // the exact L2 ground truth. This is the audit a deployer actually
+    // needs: x146 measures the batch-built index, but quality drift
+    // hides exactly in the maintenance fold (VERDICT r14 missing #2) —
+    // so the hash-gated recall artifact must be measured over the tree
+    // the folds produced. Cell ids and codes are pure per-row functions
+    // of the frozen model and micro-batches deliver disjoint arrival
+    // sets, so the final tree ≡ the whole-corpus encode (the s12/x79
+    // law) and the oracle is x146's SQL verbatim.
+    "s35_stream_tree_recall" -> { (s, dir) =>
+      val topic = arrivalVecTopic(s, dir)
+      withGateConf(s) {
+        val all = Tables.embeddings(s, dir)
+        val corpus = all.filter(col("vec_id") % 50 =!= 0)
+        val qtab = all.filter(col("vec_id") % 50 === 0)
+        val (cents, assigned) =
+          graft.ops.Similarity.ivfBuild(corpus, "embedding", "vec_id")
+        val cb = graft.ops.Similarity.pqBuildCodebook(corpus, "embedding", "vec_id")
+        val tree = gateTmpDir("s35_tree_")
+        // static tree: the corpus minus what the arrival topic carries
+        graft.ops.Similarity.ivfPqEncode(
+            assigned.filter(col("vec_id") % 7 =!= 0), "vec_id", cb)
+          .select("vec_id", "centroid_id", "codes")
+          .write.mode("overwrite").partitionBy("centroid_id")
+          .parquet(tree.toString)
+        val ckpt = gateTmpDir("s35_ckpt_")
+        val stream = s.readStream.format("graft-topic")
+          .option("topic", topic)
+          .option("maxRecordsPerTrigger", math.max(1L, topicSize(topic) / 3).toString)
+          .load()
+          .select(from_json(col("value").cast("string"), org.apache.spark.sql.types
+            .StructType.fromDDL("vec_id BIGINT, v ARRAY<DOUBLE>")).as("j"))
+          .select(col("j.vec_id").as("vec_id"), col("j.v").as("embedding"))
+        val q = stream.writeStream
+          .foreachBatch { (df: DataFrame, _: Long) =>
+            if (!df.isEmpty)
+              graft.ops.Similarity.ivfPqCompact(tree.toString, cents, df,
+                "embedding", "vec_id", cb)
+            ()
+          }
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        drain(q, ckpt)
+        require(dataBatches(q) >= 2,
+          s"s35 must compact across batches; ran ${dataBatches(q)} data batches")
+        val served = graft.ops.Similarity.ivfPqServeAll(cents,
+          s.read.parquet(tree.toString), corpus, "embedding", "vec_id",
+          qtab, "vec_id", cb, k = 5)
+        val exact = graft.ops.Similarity.l2TopKAll(corpus, "embedding",
+          "vec_id", qtab, "vec_id", k = 5)
+        val out = graft.ops.Caches.localCheckpointTracked(
+          graft.ops.Similarity.recallAtK(served, exact, k = 5,
+              queries = Some(qtab.select(col("vec_id").as("q_id"))))
+            .orderBy("q_id"))
+        cleanupStep("tree delete")(graft.util.Fs.deleteTree(tree))
+        out
+      }
+    },
   )
 
   private val streamStreamEntry: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
@@ -2954,6 +3019,13 @@ object StreamGate {
     // the vector side; static ∪ streamed = whole in both), and seek
     // reads are exact — the served hybrid is x78's SQL verbatim.
     "s14_stream_hybrid_maintenance" -> Ext.oracle("x78_hybrid_serve_ann"),
+
+    // s35: static tree ∪ streamed arrivals = the whole %50≠0 corpus and
+    // cells/codes are pure per-row functions of the frozen model, so
+    // the compacted tree ≡ x146's batch-built index frame (the s12/x79
+    // law); serve-all, the exact ground truth and the intersection are
+    // then x146's replay verbatim.
+    "s35_stream_tree_recall" -> Ext.oracle("x146_ann_recall_report"),
 
     // s15: the assignment row is a pure per-row function of the frozen
     // model, appends land new files in their cell dirs (no rewrites),

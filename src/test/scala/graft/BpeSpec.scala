@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{BpeTokenCountExpr, TextExpressions}
+import graft.functions.TextExpressions
 import graft.ops.Bpe
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -8,17 +8,27 @@ import org.scalatest.funsuite.AnyFunSuite
 class BpeSpec extends AnyFunSuite {
   lazy val spark = GraftSession.local("4")
 
-  test("trainer learns the hand-computed merge sequence on a toy corpus") {
+  /** Adversarial fixtures for the byte-complete convention: mixed case,
+    * punctuation, digits, multi-byte UTF-8, tabs/newlines as separators. */
+  val byteFixtures: Seq[String] = Seq(
+    "the streaming engine keeps streaming",
+    "The Engine, version 2.0 (build 2024), reads CSV!",
+    "Don't re-tokenize; don't\tre-shuffle -- $3.50, 100%.",
+    "café naïve über-prefix äöü",
+    "mixed\nlines\r\nand\ftabs\there",
+    "a", "", "   \t \n ", "zz qq xx", "!!! ---")
+
+  test("char trainer learns the hand-computed merge sequence on a toy corpus") {
     // words: aaab x2, aab x1. Pair counts: (a,a)=5, (a,b)=3 -> merge (a,a).
     // Then (aa,a)=2 ties (a,b)=2 -> lexicographic min is (a,b). Then
     // (aa,ab)=2 -> merged; remaining (aa,b)=1 < 2 -> stop.
     val merges = Bpe.train("aaab aaab aab", 120)
     assert(merges == Seq(("a", "a"), ("a", "b"), ("aa", "ab")))
     // aaab -> [aaab] (1), aab -> [aa, b] (2)
-    assert(Bpe.tokenCount("aaab aab aaab", merges.toIndexedSeq) == 1 + 2 + 1)
+    assert(Bpe.tokenCountChars("aaab aab aaab", merges.toIndexedSeq) == 1 + 2 + 1)
   }
 
-  test("distributed corpus training ≡ sequential reference train; tokenCountUnder ≡ tokenCount") {
+  test("distributed corpus training ≡ sequential reference train; tokenCountUnder ≡ tokenCountChars") {
     import spark.implicits._
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     // the same word multiset sequentially: concatenate the corpus text
@@ -29,12 +39,12 @@ class BpeSpec extends AnyFunSuite {
       s"distributed merges $distTable diverged from sequential $seqTable")
     // partitioning cannot move a merge (exact counts, total-order argmax)
     assert(Bpe.trainCorpus(docs.repartition(7), "text", 6) == seqTable)
-    // application parity: the Column fold equals the driver tokenCount
+    // application parity: the Column fold equals the driver reference
     val got = docs.select(col("doc_id"),
         Bpe.tokenCountUnder(col("text"), distTable).as("n"))
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     docs.select(col("doc_id"), col("text")).collect().foreach { r =>
-      val expect = Bpe.tokenCount(r.getString(1), distTable.toIndexedSeq)
+      val expect = Bpe.tokenCountChars(r.getString(1), distTable.toIndexedSeq)
       assert(got(r.getLong(0)) == expect,
         s"doc ${r.getLong(0)}: column fold ${got(r.getLong(0))} vs reference $expect")
     }
@@ -43,12 +53,26 @@ class BpeSpec extends AnyFunSuite {
     assert(Bpe.trainCorpus(toy, "text", 3) == Seq(("a", "a"), ("a", "b"), ("aa", "ab")))
   }
 
-  test("fixed merge table is deterministic, non-trivial, and learns real subwords") {
-    assert(Bpe.merges == Bpe.train(Bpe.seedText, 120))
-    assert(Bpe.merges.length >= 50, s"only ${Bpe.merges.length} merges learned")
-    // the seed's repeated stems must produce multi-char subword symbols
+  test("fixed byte merge table is deterministic, non-trivial, and learns real subwords") {
+    assert(Bpe.merges == Bpe.trainBytes(Bpe.seedTextBytes, 160))
+    assert(Bpe.merges.length >= 120, s"only ${Bpe.merges.length} merges learned")
     val symbols = Bpe.merges.map { case (a, b) => a + b }
-    assert(symbols.exists(_.length >= 4), symbols.mkString(","))
+    // the seed's repeated stems must produce multi-BYTE subword symbols
+    // (a 4-byte subword is 8 hex chars)
+    assert(symbols.exists(_.length >= 8), symbols.mkString(","))
+    // every symbol is an even-length lowercase hex string (byte sequence)
+    symbols.foreach { s =>
+      assert(s.length % 2 == 0 && s.forall(c => (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f')), s)
+    }
+    // the extended seed must have taught at least one merge outside the
+    // old [a-z0-9] alphabet: a pair whose merged bytes include a
+    // capital letter, punctuation or a non-ASCII byte
+    def hasNonAlnumByte(hexStr: String): Boolean =
+      hexStr.grouped(2).map(h => Integer.parseInt(h, 16)).exists { b =>
+        !((b >= 'a' && b <= 'z') || (b >= '0' && b <= '9'))
+      }
+    assert(symbols.exists(hasNonAlnumByte),
+      "byte-complete training must learn case/punctuation/UTF-8 merges")
     // rank order: a merged symbol only ever appears in later-rank pairs
     // (the property that makes rank-order application correct)
     Bpe.merges.zipWithIndex.foreach { case ((a, b), r) =>
@@ -57,18 +81,23 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
-  test("token counts: bounded by chars and words, merge-order exhaustive") {
-    val merges = Bpe.merges
-    for (text <- Seq("the streaming engine keeps streaming", "a", "", "zz qq xx")) {
-      val n = Bpe.tokenCount(text, merges)
-      val ws = Bpe.words(text)
+  test("token counts: bounded by bytes and words, total over arbitrary text") {
+    for (text <- byteFixtures) {
+      val n = Bpe.tokenCount(text)
+      val ws = Bpe.wordsBytes(text)
+      val nBytes = ws.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8).length).sum
       assert(n >= ws.length, s"'$text': $n tokens < ${ws.length} words")
-      assert(n <= ws.map(_.length).sum, s"'$text': $n tokens > char count")
+      assert(n <= nBytes, s"'$text': $n tokens > byte count $nBytes")
+      if (ws.nonEmpty) assert(n > 0, s"'$text': non-empty text must tokenize")
     }
-    assert(Bpe.tokenCount("", merges) == 0)
+    assert(Bpe.tokenCount("") == 0)
+    assert(Bpe.tokenCount("  \t\n ") == 0)
+    // byte completeness: punctuation-only text is NOT dropped (the
+    // [a-z0-9]-only convention used to emit zero tokens here)
+    assert(Bpe.tokenCount("!!! ---") > 0)
   }
 
-  test("native expression matches the reference implementation on real docs, both execution paths") {
+  test("native count matches the reference implementation on real docs, both execution paths") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val got = docs
       .select(col("doc_id"), col("text"),
@@ -95,7 +124,7 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
-  test("null text yields null count; real BPE compresses below the x29 regex proxy's word-split") {
+  test("null text yields null count; seed stems merge to single tokens") {
     import spark.implicits._
     val df = Seq(Some("the streaming engine"), None).toDF("text")
     val rows = df.select(TextExpressions.bpeTokenCountNative(col("text"))).collect()
@@ -104,38 +133,59 @@ class BpeSpec extends AnyFunSuite {
     assert(Bpe.tokenCount("the the the") == 3)
   }
 
-  test("vocab: deterministic base ids 0-35, distinct ids, first-wins on duplicate mints") {
-    // base alphabet pinned: '0'->0 .. '9'->9, 'a'->10 .. 'z'->35
+  test("vocab: byte base ids 0-255, merge mints from 256, first-wins on duplicates") {
     val base = Bpe.vocab.toMap
-    assert(base("0") == 0 && base("9") == 9 && base("a") == 10 && base("z") == 35)
+    // base alphabet pinned: byte 0x00 -> 0 .. 0xff -> 255
+    assert(base("00") == 0 && base("0a") == 10 && base("61") == 0x61 && base("ff") == 255)
+    // first merge mints id 256
+    val (a0, b0) = Bpe.merges.head
+    assert(base(a0 + b0) == 256)
     // ids unique, symbols unique (first-wins collapses duplicate mints)
     assert(Bpe.vocab.map(_._1).distinct.length == Bpe.vocab.length)
     assert(Bpe.vocab.map(_._2).distinct.length == Bpe.vocab.length)
-    // a constructed duplicate mint: (a,a)->aa, then (a,aa)->aaa and a
-    // hypothetical (aa,a)->aaa would collide; first occurrence keeps its id
-    val dup = Bpe.vocabOf(Seq(("a", "a"), ("a", "aa"), ("aa", "a"))).toMap
-    assert(dup("aaa") == 37, s"first mint of 'aaa' must win: ${dup("aaa")}")
+    // merged symbols (length >= 4) can never collide with a 2-char base
+    // symbol; a constructed duplicate mint between merge chains:
+    // (61,61)->6161, then (61,6161)->616161 and a hypothetical
+    // (6161,61)->616161 collide; the first occurrence keeps its id
+    val dup = Bpe.vocabOf(Seq(("61", "61"), ("61", "6161"), ("6161", "61"))).toMap
+    assert(dup("616161") == 257, s"first mint of '616161' must win: ${dup("616161")}")
   }
 
-  test("encodeIds: Spark column ≡ local reference; segmentation round-trips; length = token count") {
+  test("encode ids: native expr ≡ replace-chain ≡ local reference; byte round-trip; length = count") {
     import spark.implicits._
-    val docs = Tables.documents(spark, "/root/testdata/sf0.001").limit(40)
-    val got = docs.select(col("doc_id"), Bpe.encodeIds(col("text")).as("ids"))
-      .as[(Long, Seq[Int])].collect().toMap
-    docs.select(col("doc_id"), col("text")).collect().foreach { r =>
-      val (id, text) = (r.getLong(0), r.getString(1))
+    val fixtures = byteFixtures.zipWithIndex.map { case (t, i) => (i.toLong + 1000L, t) }
+    val sample = Tables.documents(spark, "/root/testdata/sf0.001").limit(40)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().toSeq
+    val all = (sample ++ fixtures).toDF("doc_id", "text")
+    val got = all.select(col("doc_id"),
+        TextExpressions.bpeEncodeIdsNative(col("text")).as("native"),
+        Bpe.encodeIdsChain(col("text")).as("chain"))
+      .as[(Long, Seq[Int], Seq[Int])].collect()
+    val textOf = (sample ++ fixtures).toMap
+    got.foreach { case (id, native, chain) =>
+      val text = textOf(id)
       val expect = Bpe.encodeIdsLocal(text)
-      assert(got(id) == expect, s"doc $id: ids diverged")
+      assert(native == expect, s"doc $id: native ids diverged from reference")
+      assert(chain == expect, s"doc $id: replace-chain ids diverged from reference")
       // ids count IS the bpe token count (same fold)
       assert(expect.length == Bpe.tokenCount(text))
       // decode round-trip: vocab symbols of the ids re-concatenate to the
-      // letters of the words — BPE segments, it never rewrites content
+      // hex of each word's UTF-8 bytes — BPE segments, it never rewrites,
+      // and NOTHING is dropped (case, punctuation, non-ASCII included)
       val sym = Bpe.vocab.map(_.swap).toMap
-      assert(expect.map(sym).mkString == Bpe.words(text).mkString)
+      assert(expect.map(sym).mkString ==
+        Bpe.wordsBytes(text).map(w => Bpe.byteSyms(w).mkString).mkString,
+        s"doc $id: byte round-trip failed")
     }
-    // empty/no-alphanumeric text encodes to the empty sequence
-    val empty = Seq((1L, ""), (2L, "!!! ---")).toDF("doc_id", "text")
-      .select(Bpe.encodeIds(col("text")).as("ids")).as[Seq[Int]].collect()
+    // empty/whitespace-only text encodes to the empty sequence
+    val empty = Seq((1L, ""), (2L, "   \t \n ")).toDF("doc_id", "text")
+      .select(TextExpressions.bpeEncodeIdsNative(col("text")).as("ids"))
+      .as[Seq[Int]].collect()
     assert(empty.forall(_.isEmpty))
+    // punctuation-only text does NOT vanish under the byte alphabet
+    val punct = Seq((1L, "!!! ---")).toDF("doc_id", "text")
+      .select(TextExpressions.bpeEncodeIdsNative(col("text")).as("ids"))
+      .as[Seq[Int]].head()
+    assert(punct.nonEmpty)
   }
 }

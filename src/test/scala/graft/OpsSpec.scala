@@ -1164,6 +1164,57 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("winnowing written index: compacted tree ≡ one-shot fingerprints; one-fp delta rewrites ≤ 1 bucket") {
+    import spark.implicits._
+    val treeA = java.nio.file.Files.createTempDirectory("wn_cA_").toString
+    val treeB = java.nio.file.Files.createTempDirectory("wn_cB_").toString
+    try {
+      // equivalence: 6/7 written, 1/7 compacted in → the read-back rows
+      // equal the one-shot fingerprint frame over everything, and the
+      // served report equals the in-memory x141 path exactly
+      Dedup.winnowingWriteIndex(Dedup.winnowingFingerprints(
+          docs.filter(col("doc_id") % 7 =!= 0), "doc_id", "text"),
+        "doc_id", treeA, nBuckets = 16)
+      Dedup.winnowingCompact(spark, treeA,
+        docs.filter(col("doc_id") % 7 === 0), "doc_id", "text", nBuckets = 16)
+      val got = spark.read.parquet(treeA).select("doc_id", "fp").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val exp = Dedup.winnowingFingerprints(docs, "doc_id", "text").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == exp, "compacted tree diverged from one-shot fingerprints")
+      val served = Dedup.winnowingServeTree(spark, treeA, "doc_id")
+        .orderBy("a_id", "b_id").as[(Long, Long, Long)].collect().toSeq
+      val direct = Dedup.winnowingOverlapPairs(docs, "doc_id", "text")
+        .orderBy("a_id", "b_id").as[(Long, Long, Long)].collect().toSeq
+      assert(served == direct, "tree serve diverged from the in-memory path")
+      graft.ops.Caches.releaseAll()
+      // locality: a 5-token delta doc (2 gram hashes < w → exactly one
+      // fingerprint) touches exactly one bucket; untouched bucket dirs
+      // keep their files
+      Dedup.winnowingWriteIndex(Dedup.winnowingFingerprints(
+        docs, "doc_id", "text"), "doc_id", treeB, nBuckets = 16)
+      def cellFiles(): Map[String, Set[String]] = {
+        val root = new java.io.File(treeB)
+        root.listFiles().filter(_.isDirectory).map(d =>
+          d.getName -> d.listFiles().map(_.getName)
+            .filter(_.endsWith(".parquet")).toSet).toMap
+      }
+      val before = cellFiles()
+      Dedup.winnowingCompact(spark, treeB,
+        Seq((999999L, "qq ww ee rr tt")).toDF("doc_id", "text"),
+        "doc_id", "text", nBuckets = 16)
+      val after = cellFiles()
+      val changed = (before.keySet ++ after.keySet).filter(c =>
+        before.getOrElse(c, Set.empty[String]) !=
+          after.getOrElse(c, Set.empty[String]))
+      assert(changed.size <= 1, s"one-fp delta rewrote buckets: $changed")
+    } finally {
+      graft.util.Fs.deleteTree(java.nio.file.Paths.get(treeA))
+      graft.util.Fs.deleteTree(java.nio.file.Paths.get(treeB))
+      graft.ops.Caches.releaseAll()
+    }
+  }
+
   test("batch hybrid serving: every per-query slice equals the single-query hybridTopK") {
     import spark.implicits._
     val qdef = Seq(
@@ -1862,6 +1913,37 @@ class OpsSpec extends AnyFunSuite {
     val m = docs.count()
     val keptN = a.count(_.getBoolean(3))
     assert(keptN == (m * 1 + 3) / 4, s"kept $keptN of $m")
+  }
+
+  test("DSIR threshold cut ≡ rank cut at the k-th weight; plan carries no window") {
+    import graft.ops.Dsir
+    import spark.implicits._
+    val target = docs.filter(col("lang") === "en")
+    // the k-th and (k+1)-th exact weights under the rank form's order
+    val weights = Dsir.importanceWeights(docs, target, "doc_id", "text")
+      .orderBy(col("wfix").desc, col("doc_id").asc)
+      .select("doc_id", "wfix").as[(Long, Long)].collect()
+    val k = ((weights.length * 1 + 3) / 4).toInt
+    val (kth, next) = (weights(k - 1)._2, weights(k)._2)
+    // the equivalence law needs an untied boundary — holds on this
+    // corpus (weights are large exact sums); a tie would make the
+    // threshold form keep strictly more, which is its documented shape
+    assert(kth > next, s"fixture boundary tied at $kth — pick another k")
+    val rankKeep = Dsir.dsirSelect(docs, target, "doc_id", "text")
+      .filter(col("kept")).select("doc_id").as[Long].collect().toSet
+    val thrDf = Dsir.dsirSelectThreshold(docs, target, "doc_id", "text",
+      thresholdFix = kth)
+    val thrKeep = thrDf.filter(col("kept")).select("doc_id")
+      .as[Long].collect().toSet
+    assert(thrKeep == rankKeep,
+      s"threshold cut at k-th weight $kth diverged from the rank cut")
+    // the scale property the swap exists for: no window anywhere — the
+    // rank form's global single-partition row_number is gone
+    // (the only single-partition stage left is the scalar token total's
+    // one-row aggregate — model-sized, not corpus-width)
+    val plan = thrDf.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"threshold select must be window-free:\n$plan")
   }
 
   test("repetition signals: planted repeats, tie-break, overlap mass, floors") {
@@ -4153,6 +4235,26 @@ class OpsSpec extends AnyFunSuite {
       assert(hits >= 0 && hits <= 5 && pm == hits * 200,
         s"query $q recall arithmetic")
     }
+    // hardened contract (ADVICE r14): an explicit query universe keeps a
+    // query even when the exact side never saw it (empty-corpus shape)
+    val ghost = qtab.select(col("vec_id").as("q_id"))
+      .union(Seq(-999L).toDF("q_id"))
+    val withGhost = graft.ops.Similarity.recallAtK(served, exact, k = 5,
+        queries = Some(ghost))
+      .as[(Long, Long, Long)].collect()
+    assert(withGhost.length == self.length + 1,
+      "explicit universe must carry the exact-less query")
+    assert(withGhost.find(_._1 == -999L).exists(r => r._2 == 0L && r._3 == 0L),
+      "the exact-less query reports recall 0, not a dropped row")
+    // an un-cut approx frame (more than k hits for a query) fails loudly
+    // in-plan instead of reporting recall_permille > 1000
+    val e2 = intercept[Exception] {
+      graft.ops.Similarity.recallAtK(exact, exact, k = 3).collect()
+    }
+    def rootMessages(t: Throwable): Seq[String] =
+      Option(t.getMessage).toSeq ++ Option(t.getCause).toSeq.flatMap(rootMessages)
+    assert(rootMessages(e2).exists(_.contains("more than k=3")),
+      s"expected the recallAtK raise_error, got: $e2")
     graft.ops.Caches.releaseAll()
   }
 
@@ -4164,12 +4266,14 @@ class OpsSpec extends AnyFunSuite {
     assert(rep.nonEmpty)
     rep.foreach { case (lang, nd, nw, ni, nch, f, cpi) =>
       assert(nd > 0 && nw > 0 && ni >= nw,
-        s"$lang: every [a-z0-9]+ word must emit at least one id")
+        s"$lang: every non-whitespace word must emit at least one id")
       assert(f.exists(_ >= 1000), s"$lang: fertility is ids-per-word >= 1")
       assert(cpi.isDefined && nch >= ni, s"$lang: chars per id >= 1")
     }
+    // cross-path pin: the replace-chain twin, not the native expression
+    // the report itself uses
     val direct = docs
-      .agg(sum(size(graft.ops.Bpe.encodeIds(col("text"))))).head().getLong(0)
+      .agg(sum(size(graft.ops.Bpe.encodeIdsChain(col("text"))))).head().getLong(0)
     assert(rep.map(_._4).sum == direct,
       "per-lang id totals must sum to the corpus encode total")
   }

@@ -1214,10 +1214,10 @@ class ScaleSpec extends AnyFunSuite {
   test("x134 encode-to-ids: pure per-row plan — zero shuffles, no join, no UDF") {
     val docs = Tables.documents(spark, dir)
     val p = docs.select(col("doc_id"),
-        graft.ops.Bpe.encodeIds(col("text")).as("ids"))
+        graft.functions.TextExpressions.bpeEncodeIdsNative(col("text")).as("ids"))
       .queryExecution.executedPlan.toString
-    // the merge table and vocab ride the plan as literals: encoding is
-    // scan → project, partitioning inherits the input's
+    // the merge table and vocab ride the native expression (broadcast
+    // model): encoding is scan → project, partitioning inherits the input's
     assert(!p.contains("Exchange"), s"encode must not shuffle:\n$p")
     assert(!p.contains("Join"), s"encode must not join (broadcast model):\n$p")
     assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
@@ -1331,5 +1331,50 @@ class ScaleSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"the merge table rides the plan, no join:\n$p")
     assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
       s"the encode must stay codegen-friendly, no UDF:\n$p")
+  }
+
+  test("x149 LSH matrix: banded pair step + keyed tail — never all-pairs") {
+    val docs = Tables.documents(spark, dir)
+    val cands = graft.ops.Dedup.minhashLshPairs(docs, "doc_id", "text",
+      n = 3, nHashes = 64, bands = 16, threshold = 0.35)
+    val verified = graft.ops.Dedup.verifyPairsJaccard(docs, "doc_id", "text",
+      "lang", cands.select("a_id", "b_id"), 3, 0.5)
+    val p = graft.ops.Dedup.crossSliceMatrixFromPairs(docs, verified,
+        "doc_id", "source")
+      .queryExecution.executedPlan.toString
+    // the whole production chain — banding, verify, attribution,
+    // cell aggregates — shuffles on keys (band_hash, ids, cells);
+    // nothing may fall back to an all-pairs physical join
+    assert(!p.contains("CartesianProduct") &&
+           !p.contains("BroadcastNestedLoop"),
+      s"the LSH matrix path must never go all-pairs:\n$p")
+    graft.ops.Caches.releaseAll()
+  }
+
+  test("p08 pack-payload manifest: pack-keyed folds, no UDF, no corpus window") {
+    val docs = Tables.documents(spark, dir)
+    val chunks = graft.ops.Chunking.contentDefinedChunks(docs, "doc_id",
+        "text", windowWords = 4, maskMod = 16, keepCols = Seq("lang"))
+      .withColumn("ids_txt", concat_ws(" ", transform(
+        graft.functions.TextExpressions.bpeEncodeIdsNative(col("chunk")),
+        _.cast("string"))))
+      .withColumn("n_ids",
+        graft.functions.TextExpressions.bpeTokenCountNative(col("chunk")))
+      .select("doc_id", "chunk_idx", "lang", "n_ids", "ids_txt")
+    val p = graft.ops.Export.packPayloadManifest(
+        graft.ops.Chunking.packChunksStrict(chunks, "lang", "n_ids",
+          capacity = 512, orderCols = Seq("doc_id", "chunk_idx")),
+        groupCol = "lang", idsCol = "ids_txt", nIdsCol = "n_ids",
+        orderCols = Seq("doc_id", "chunk_idx"))
+      .queryExecution.executedPlan.toString
+    // the payload/offset folds are codegen'd HOFs over pack-sized
+    // groups; the manifest is shard-keyed aggregation — no per-row UDF,
+    // no corpus-wide single-partition window, no all-pairs
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+      s"payload assembly must stay codegen-friendly, no UDF:\n$p")
+    assert(!p.contains("Window"),
+      s"no window anywhere — folds and keyed aggregates only:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no all-pairs anywhere:\n$p")
+    graft.ops.Caches.releaseAll()
   }
 }
