@@ -2072,6 +2072,84 @@ object Similarity {
         round(col("l2"), 6).as("l2_dist"))
   }
 
+  /** EXACT COSINE top-k for every query in a query table — the ground
+    * truth for the cosine-ranked index families ([[projectedIvfTopK]],
+    * the banded/RHP paths), as [[l2TopKAll]] is for the L2-ranked ones.
+    * Ranks on the ROUNDED score (the x89/x05 rounded-cosine gate
+    * convention — hash-proven engine-identical) with id tie-break, so
+    * the per-query sets replay exactly. Same scale shape as
+    * [[l2TopKAll]]: queries broadcast, shuffle-free corpus scan, salted
+    * two-phase cut over the pair-sized scores — quadratic by
+    * construction, the measurement path, not the serving path. */
+  def cosineTopKAll(vectors: DataFrame, vecCol: String, idCol: String,
+                    queries: DataFrame, qIdCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val e = vectors.select(col(idCol).as("vec_id"),
+      col(vecCol).cast("array<double>").as("__v"))
+    val q = queries.select(col(qIdCol).as("q_id"),
+      col(vecCol).cast("array<double>").as("__qv"))
+    val scored = e.crossJoin(broadcast(q))
+      .withColumn("cos_sim",
+        round(VectorFunctions.dot(col("__v"), col("__qv")) /
+          (VectorFunctions.norm(col("__v")) *
+            VectorFunctions.norm(col("__qv"))), 6))
+    TopK.rankTopK(scored, "q_id", col("vec_id"),
+        Seq(col("cos_sim").desc, col("vec_id").asc), k, "rank")
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("cos_sim"))
+  }
+
+  /** BATCH serve of the PROJECTED-space IVF ([[projectedIvfTopK]] for a
+    * query TABLE — the x147/x151 audit needs every query served through
+    * the same index): the corpus projects ONCE (the stored artifact),
+    * the IVF builds over projected vectors, every query probes its
+    * `nProbe` nearest projected cells (one window over the
+    * queries × nLists broadcast cross — model-sized), and candidates
+    * exact-rerank per query with the ORIGINAL vectors (rounded cosine,
+    * id ties — [[projectedIvfTopK]]'s exact arithmetic). One row per
+    * (q_id, rank ≤ k). Candidate volume is ∝ probed-cell mass per
+    * query, never corpus × queries. */
+  def projectedIvfServeAll(emb: DataFrame, vecCol: String, idCol: String,
+                           queries: DataFrame, qIdCol: String, k: Int,
+                           outDims: Int = 16, nLists: Int = 16,
+                           nProbe: Int = 4, dims: Int = 64): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val proj = Caches.localCheckpointTracked(
+      randomProject(emb, vecCol, idCol, outDims, dims))
+    val (cents, assigned) = ivfBuild(proj, "proj", idCol, nLists)
+    // queries project through the SAME column-side folds as the corpus
+    // (bit-parity with randomProjectLocal is the pinned convention)
+    val qproj = randomProject(
+      queries.select(col(qIdCol).as("q_id"), col(vecCol)),
+      vecCol, "q_id", outDims, dims)
+    val probed = TopK.rankTopK(
+        qproj.crossJoin(broadcast(cents))
+          .withColumn("qscore",
+            VectorFunctions.dot(col("cv"), col("proj")) /
+              (VectorFunctions.norm(col("cv")) *
+                VectorFunctions.norm(col("proj")))),
+        "q_id", col("centroid_id"),
+        Seq(col("qscore").desc, col("centroid_id").asc), nProbe, "prk")
+      .filter(col("prk") <= nProbe)
+      .select(col("q_id"), col("centroid_id"))
+    val scored = assigned
+      .select(col(idCol), col("centroid_id"))
+      .join(probed, "centroid_id")
+      .join(emb.select(col(idCol),
+        col(vecCol).cast("array<double>").as("__v")), Seq(idCol))
+      .join(broadcast(queries.select(col(qIdCol).as("q_id"),
+        col(vecCol).cast("array<double>").as("__qv"))), Seq("q_id"))
+      .withColumn("cos_sim",
+        round(VectorFunctions.dot(col("__v"), col("__qv")) /
+          (VectorFunctions.norm(col("__v")) *
+            VectorFunctions.norm(col("__qv"))), 6))
+    TopK.rankTopK(scored, "q_id", col(idCol),
+        Seq(col("cos_sim").desc, col(idCol).asc), k, "rank")
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col(idCol).as("vec_id"),
+        col("cos_sim"))
+  }
+
   /** Per-query RECALL@k between an approximate candidate frame and the
     * exact ground truth (both (q_id, vec_id), e.g. [[ivfPqServeAll]] vs
     * [[l2TopKAll]]) — the index-quality audit a serving pipeline runs

@@ -2495,6 +2495,28 @@ object Ext {
       Dedup.crossSliceMatrixFromPairs(docs, verified, "doc_id", "source")
         .orderBy("src_a", "src_b")
     },
+
+    // PROJECTED-index recall audit (x151): the x146 discipline applied
+    // to the reduce-then-index family — x89's projected IVF served for
+    // the whole query table (corpus projected once, per-query probe of
+    // the 4 nearest projected cells, original-space rounded-cosine
+    // rerank), measured against the exact brute-force COSINE top-5
+    // (the metric this family ranks by — L2 truth would conflate metric
+    // mismatch with index quality). Zero-hit queries report 0. FULL
+    // oracle: the x89 chain threaded by q_id, the exact cosine chain,
+    // the intersection counts.
+    "x151_ann_recall_projected" -> { (s, dir) =>
+      val all = Tables.embeddings(s, dir)
+      val corpus = all.filter(col("vec_id") % 50 =!= 0)
+      val qtab = all.filter(col("vec_id") % 50 === 0)
+      val served = Similarity.projectedIvfServeAll(corpus, "embedding",
+        "vec_id", qtab, "vec_id", k = 5, outDims = 16, nLists = 16,
+        nProbe = 4)
+      val exact = Similarity.cosineTopKAll(corpus, "embedding", "vec_id",
+        qtab, "vec_id", k = 5)
+      Similarity.recallAtK(served, exact, k = 5,
+        queries = Some(qtab.select(col("vec_id").as("q_id")))).orderBy("q_id")
+    },
   )
 
   /** x72's full replay, parameterized by the Lloyd-TRAINING source
@@ -2755,6 +2777,85 @@ object Ext {
         |    vec_id, pq, l2
         |  FROM scored
         |  QUALIFY rank <= 5)""".stripMargin
+
+  /** x89's projected-IVF replay threaded by q_id (the x151 audit):
+    * projection matrix + per-row folds, md5 centroid sample + argmax
+    * assignment in the 16-dim space, per-query top-4 projected-cosine
+    * probe, original-space rounded-cosine rerank to `srv`
+    * (q_id, vec_id). `e`/`qs` stay visible to the recall tail. */
+  private val projectedServeChainSql: String =
+    """WITH h AS (
+        |  SELECT b, list_transform(generate_series(0, 63),
+        |    d -> (CAST('0x' || substr(md5('rhp:' || CAST(b AS VARCHAR) || ':' || CAST(d AS VARCHAR)), 1, 8) AS UBIGINT) % 2000001) / 1000000.0 - 1.0) AS hv
+        |  FROM generate_series(0, 15) t(b)),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |      FROM embeddings WHERE vec_id % 50 <> 0),
+        |qs AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+        |       FROM embeddings WHERE vec_id % 50 = 0),
+        |ep AS (
+        |  SELECT e.vec_id,
+        |    list(list_sum(list_transform(generate_series(1, 64), i -> e.v[i] * h.hv[i])) ORDER BY h.b) AS p
+        |  FROM e, h GROUP BY e.vec_id),
+        |qp AS (
+        |  SELECT qs.q_id,
+        |    list(list_sum(list_transform(generate_series(1, 64), i -> qs.qv[i] * h.hv[i])) ORDER BY h.b) AS p
+        |  FROM qs, h GROUP BY qs.q_id),
+        |c0 AS (SELECT vec_id AS cid, p AS cv FROM ep
+        |       ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC LIMIT 16),
+        |asg AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT ep.vec_id, c0.cid,
+        |      row_number() OVER (PARTITION BY ep.vec_id ORDER BY
+        |        list_sum(list_transform(generate_series(1, 16), i -> ep.p[i] * c0.cv[i])) /
+        |          (sqrt(list_sum(list_transform(generate_series(1, 16), i -> ep.p[i] * ep.p[i]))) *
+        |           sqrt(list_sum(list_transform(generate_series(1, 16), i -> c0.cv[i] * c0.cv[i])))) DESC,
+        |        c0.cid ASC) AS rk
+        |    FROM ep, c0) WHERE rk = 1),
+        |probe AS (
+        |  SELECT q_id, cid FROM (
+        |    SELECT qp.q_id, c0.cid,
+        |      row_number() OVER (PARTITION BY qp.q_id ORDER BY
+        |        list_sum(list_transform(generate_series(1, 16), i -> c0.cv[i] * qp.p[i])) /
+        |          (sqrt(list_sum(list_transform(generate_series(1, 16), i -> c0.cv[i] * c0.cv[i]))) *
+        |           sqrt(list_sum(list_transform(generate_series(1, 16), i -> qp.p[i] * qp.p[i])))) DESC,
+        |        c0.cid ASC) AS rk
+        |    FROM qp, c0) WHERE rk <= 4),
+        |srv AS (
+        |  SELECT q_id, vec_id FROM (
+        |    SELECT probe.q_id, asg.vec_id,
+        |      row_number() OVER (PARTITION BY probe.q_id ORDER BY
+        |        round(list_sum(list_transform(generate_series(1, 64), i -> e.v[i] * qs.qv[i])) /
+        |          (sqrt(list_sum(list_transform(generate_series(1, 64), i -> e.v[i] * e.v[i]))) *
+        |           sqrt(list_sum(list_transform(generate_series(1, 64), i -> qs.qv[i] * qs.qv[i])))), 6) DESC,
+        |        asg.vec_id ASC) AS rk
+        |    FROM asg JOIN probe USING (cid)
+        |      JOIN e ON e.vec_id = asg.vec_id
+        |      JOIN qs ON qs.q_id = probe.q_id) WHERE rk <= 5)""".stripMargin
+
+  /** The recall@5 tail for COSINE-ranked families — [[recallTailSql]]
+    * with the exact ground truth ranked by the rounded original-space
+    * cosine (the metric the projected/banded paths serve by; L2 truth
+    * would conflate metric mismatch with index quality). Appends to a
+    * chain ending at `srv` with `e`/`qs` in scope. */
+  private val recallTailCosineSql: String =
+    """,
+      |exact AS (
+      |  SELECT q_id, vec_id FROM (
+      |    SELECT qs.q_id, e.vec_id,
+      |      row_number() OVER (PARTITION BY qs.q_id ORDER BY
+      |        round(list_sum(list_transform(generate_series(1, 64), i -> e.v[i] * qs.qv[i])) /
+      |          (sqrt(list_sum(list_transform(generate_series(1, 64), i -> e.v[i] * e.v[i]))) *
+      |           sqrt(list_sum(list_transform(generate_series(1, 64), i -> qs.qv[i] * qs.qv[i])))), 6) DESC,
+      |        e.vec_id ASC) AS rk
+      |    FROM e, qs) WHERE rk <= 5),
+      |hits AS (
+      |  SELECT s.q_id, COUNT(*) AS n_hits
+      |  FROM srv s JOIN exact x ON x.q_id = s.q_id AND x.vec_id = s.vec_id
+      |  GROUP BY 1)
+      |SELECT qs.q_id AS q_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+      |  (CAST(COALESCE(h.n_hits, 0) AS BIGINT) * 1000) // 5 AS recall_permille
+      |FROM qs LEFT JOIN hits h ON h.q_id = qs.q_id
+      |ORDER BY qs.q_id""".stripMargin
 
   /** The full Naive-Bayes replay, parameterized by the train/test split
     * predicates on `documents` — shared by x108 (the %5 evaluation
@@ -3969,6 +4070,15 @@ object Ext {
     // the ADC tables — materialization keeps each round evaluated once.
     "x147_ann_recall_trained" ->
       materializeCtes(ivfPqTrainedServeChainSql + recallTailSql),
+
+    // Projected-index recall replay: the x89 chain threaded by q_id
+    // (projection folds, md5 sample, argmax assignment, per-query
+    // probe, original-space rounded-cosine rerank), then the exact
+    // cosine top-5 + intersection tail — the metric this family ranks
+    // by. Fenced: ep feeds the sample and the assignment, e/qs feed
+    // projection, rerank and the exact side.
+    "x151_ann_recall_projected" ->
+      materializeCtes(projectedServeChainSql + recallTailCosineSql),
 
     // Hierarchical IVF replay: x15's sample + probe + rescore with the
     // assignment split into the two routed argmax levels — super sample

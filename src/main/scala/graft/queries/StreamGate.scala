@@ -2704,6 +2704,59 @@ object StreamGate {
         out
       }
     },
+
+    // STREAMING WINNOWING-TREE maintenance (s36): s33 maintains the
+    // fingerprint index as a frame; this maintains the WRITTEN
+    // fp-bucketed tree (x148's storage shape — what a 100 TB overlap
+    // service actually reads): the static split writes the base tree,
+    // each micro-batch folds its arrivals in by bucket-local
+    // winnowingCompact (the s13 discipline applied to fingerprints),
+    // and the overlap report is served from the compacted tree after
+    // the drain. Fingerprints are a pure per-doc function of content
+    // and doc sets are disjoint across batches, so compact-then-serve
+    // ≡ build-on-everything: oracle = x141's SQL verbatim. ≥2 data
+    // batches asserted.
+    "s36_stream_winnowing_tree" -> { (s, dir) =>
+      val topic = incomingDocsTopic(s, dir)
+      withGateConf(s) {
+        val docs = Tables.documents(s, dir)
+        val tree = gateTmpDir("s36_tree_")
+        // 16-bucket gate dial (the s13/x84 convention: results are
+        // bucket-count-invariant, the oracle bucketless)
+        graft.ops.Dedup.winnowingWriteIndex(
+          graft.ops.Dedup.winnowingFingerprints(
+            docs.filter(col("doc_id") < 400), "doc_id", "text", k = 4, w = 8),
+          "doc_id", tree.toString, nBuckets = 16)
+        val ckpt = gateTmpDir("s36_ckpt_")
+        val stream = s.readStream.format("graft-topic")
+          .option("topic", topic)
+          .option("maxRecordsPerTrigger",
+            math.max(1L, (topicSize(topic) + 1) / 2).toString)
+          .load()
+          .select(from_json(col("value").cast("string"), org.apache.spark.sql.types
+            .StructType.fromDDL("doc_id BIGINT, text STRING, lang STRING")).as("j"))
+          .select(col("j.doc_id").as("doc_id"), col("j.text").as("text"))
+        val q = stream.writeStream
+          .foreachBatch { (df: DataFrame, _: Long) =>
+            if (!df.isEmpty)
+              graft.ops.Dedup.winnowingCompact(s, tree.toString, df,
+                "doc_id", "text", k = 4, w = 8, nBuckets = 16)
+            ()
+          }
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        drain(q, ckpt)
+        require(dataBatches(q) >= 2,
+          s"s36 must compact across batches; ran ${dataBatches(q)} data batches")
+        val out = graft.ops.Caches.localCheckpointTracked(
+          graft.ops.Dedup.winnowingServeTree(s, tree.toString, "doc_id",
+              minShared = 3, maxFpDf = 50)
+            .orderBy("a_id", "b_id"))
+        cleanupStep("tree delete")(graft.util.Fs.deleteTree(tree))
+        out
+      }
+    },
   )
 
   private val streamStreamEntry: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
@@ -3026,6 +3079,11 @@ object StreamGate {
     // law); serve-all, the exact ground truth and the intersection are
     // then x146's replay verbatim.
     "s35_stream_tree_recall" -> Ext.oracle("x146_ann_recall_report"),
+
+    // s36 = x141's report served from the streaming-compacted written
+    // tree; fingerprints are pure per-doc functions and batch doc sets
+    // are disjoint, so the tree read-back equals the one-shot frame.
+    "s36_stream_winnowing_tree" -> Ext.oracle("x141_winnowing_overlap"),
 
     // s15: the assignment row is a pure per-row function of the frozen
     // model, appends land new files in their cell dirs (no rewrites),

@@ -4258,6 +4258,43 @@ class OpsSpec extends AnyFunSuite {
     graft.ops.Caches.releaseAll()
   }
 
+  test("projected IVF batch serve: per-query slice ≡ single-query path; exact cosine self-recall 1000") {
+    import spark.implicits._
+    val corpus = emb.filter(col("vec_id") % 50 =!= 0)
+    val qtab = emb.filter(col("vec_id") % 50 === 0)
+    val served = graft.ops.Similarity.projectedIvfServeAll(corpus,
+        "embedding", "vec_id", qtab, "vec_id", k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3)))
+    graft.ops.Caches.releaseAll()
+    // the batch serve is the single-query path fanned out: each query's
+    // slice equals projectedIvfTopK at the same dials (same projection,
+    // sample, probe, rounded-cosine rerank)
+    for (q <- served.map(_._1).distinct.sorted.take(3)) {
+      val qv = qtab.filter(col("vec_id") === q)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0)
+      val single = graft.ops.Similarity.projectedIvfTopK(corpus,
+          "embedding", "vec_id", qv, k = 5)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val slice = served.filter(_._1 == q).sortBy(_._2)
+        .map(t => (t._3, t._4)).toSeq
+      assert(slice == single,
+        s"query $q: batch slice diverged from the single-query serve")
+      graft.ops.Caches.releaseAll()
+    }
+    // the cosine ground truth satisfies the same self-recall identity
+    // as the L2 one
+    val exact = graft.ops.Similarity.cosineTopKAll(corpus, "embedding",
+      "vec_id", qtab, "vec_id", k = 5)
+    val self = graft.ops.Similarity.recallAtK(exact, exact, k = 5)
+      .as[(Long, Long, Long)].collect()
+    assert(self.length == qtab.count() &&
+      self.forall(r => r._2 == 5L && r._3 == 1000L),
+      "exact-vs-exact cosine recall must pin to 1000")
+    graft.ops.Caches.releaseAll()
+  }
+
   test("tokenizer fertility: every word emits >= 1 id; totals match a direct encode") {
     import spark.implicits._
     val rep = graft.ops.Bpe.fertilityReport(docs, "lang", "text")
