@@ -1369,4 +1369,42 @@ object Dedup {
       Caches.persistTracked(
         spark.read.parquet(path).select(col(idCol), col("fp"))),
       idCol, minShared, maxFpDf)
+
+  /** PROBE a written [[winnowingWriteIndex]] tree with a QUERY batch —
+    * the true index SEEK (the x82/x85 discipline): the query docs
+    * fingerprint themselves (cost ∝ batch), their distinct buckets
+    * (≤ `nBuckets` values — model-sized, the ivfPqProbe collect
+    * convention) push as a literal IN-filter on the partition column,
+    * so the tree scan reads ONLY the matching bucket directories; the
+    * overlap then joins query fingerprints against the pruned index
+    * rows. One row per (a_id = query doc, b_id = indexed doc) sharing
+    * ≥ `minShared` fingerprints. The stop cut uses the INDEX-side df —
+    * well-defined under pruning because a fingerprint's index rows all
+    * live in its own bucket, which the probe reads whenever that
+    * fingerprint is queried. Query and indexed doc sets should be
+    * disjoint (a doc probing an index containing itself matches
+    * itself). ScaleSpec pins the partition pruning; harness query x152
+    * replays the asymmetric chain in full. */
+  def winnowingProbeTree(spark: org.apache.spark.sql.SparkSession,
+                         path: String, queryDocs: DataFrame, idCol: String,
+                         textCol: String, k: Int = 4, w: Int = 8,
+                         minShared: Int = 3, maxFpDf: Int = 50,
+                         nBuckets: Int = 64): DataFrame = {
+    val qfp = Caches.persistTracked(
+      winnowingFingerprints(queryDocs, idCol, textCol, k, w)
+        .withColumn("fpb", pmod(col("fp"), lit(nBuckets.toLong))))
+    val buckets = qfp.select("fpb").distinct().collect().map(_.getLong(0))
+    val idx = spark.read.parquet(path)
+      .withColumn("fpb", col("fpb").cast("long"))
+      .filter(col("fpb").isin(buckets.map(Long.box): _*))
+      .select(col(idCol).as("b_id"), col("fp"))
+    val kept = idx.join(
+      idx.groupBy("fp").agg(count(lit(1)).as("__df"))
+        .filter(col("__df") <= maxFpDf).select("fp"),
+      Seq("fp"), "left_semi")
+    qfp.select(col(idCol).as("a_id"), col("fp"))
+      .join(kept, "fp")
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= minShared)
+  }
 }

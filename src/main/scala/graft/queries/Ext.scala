@@ -2517,6 +2517,52 @@ object Ext {
       Similarity.recallAtK(served, exact, k = 5,
         queries = Some(qtab.select(col("vec_id").as("q_id")))).orderBy("q_id")
     },
+
+    // WINNOWING index SEEK (x152): the probe side of x148 — a query
+    // batch (the held-out tenth) fingerprints itself, pushes its
+    // distinct fp-buckets as a literal partition IN-filter, and reads
+    // ONLY those bucket dirs of the written index (ScaleSpec pins the
+    // pruning); overlap = query fps × pruned index rows under the
+    // index-side df stop cut — well-defined because a fingerprint's
+    // index rows all live in its own bucket. The clone-detection query
+    // a 100 TB overlap service answers without touching the corpus.
+    // FULL oracle: the x141 fingerprint chain split asymmetrically
+    // (query side vs index side), index-df cut, cross-side pair counts.
+    "x152_winnowing_seek" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val tree = scratchTree("x152_winnow")
+      Dedup.winnowingWriteIndex(
+        Dedup.winnowingFingerprints(docs.filter(col("doc_id") % 10 =!= 0),
+          "doc_id", "text", k = 4, w = 8),
+        "doc_id", tree, nBuckets = 16)
+      Dedup.winnowingProbeTree(s, tree,
+          docs.filter(col("doc_id") % 10 === 0), "doc_id", "text",
+          k = 4, w = 8, minShared = 3, maxFpDf = 50, nBuckets = 16)
+        .orderBy("a_id", "b_id")
+    },
+
+    // BANDED-index recall audit (x153): the x146 discipline applied to
+    // the RHP-LSH banded family — x45's batch band_key serve measured
+    // against the exact brute-force cosine top-5 per query. The banded
+    // path can return NOTHING for a query (no band collision at all) —
+    // exactly the failure recall audits exist to surface — so the
+    // explicit query universe keeps those queries as recall-0 rows.
+    // With x147 (trained), x151 (projected) and s35 (streaming-
+    // maintained), every served ANN family now has an in-plan,
+    // hash-gated quality artifact. FULL oracle: the x45 banding chain
+    // to srv + the exact cosine chain + intersections.
+    "x153_ann_recall_banded" -> { (s, dir) =>
+      val all = Tables.embeddings(s, dir)
+      val corpus = all.filter(col("vec_id") % 50 =!= 0)
+      val qtab = all.filter(col("vec_id") % 50 === 0)
+      val served = Similarity.annProbeBandedAll(corpus, qtab,
+        vecCol = "embedding", idCol = "vec_id", qIdCol = "vec_id", k = 5)
+      val exact = Similarity.cosineTopKAll(corpus, "embedding", "vec_id",
+        qtab, "vec_id", k = 5)
+      Similarity.recallAtK(
+        served.select(col("q_id"), col("vec_id")), exact, k = 5,
+        queries = Some(qtab.select(col("vec_id").as("q_id")))).orderBy("q_id")
+    },
   )
 
   /** x72's full replay, parameterized by the Lloyd-TRAINING source
@@ -2856,6 +2902,46 @@ object Ext {
       |  (CAST(COALESCE(h.n_hits, 0) AS BIGINT) * 1000) // 5 AS recall_permille
       |FROM qs LEFT JOIN hits h ON h.q_id = qs.q_id
       |ORDER BY qs.q_id""".stripMargin
+
+  /** x45's banded batch serve as a chain ending at `srv` (q_id, vec_id)
+    * with `e`/`qs` in scope for the cosine recall tail (the x153
+    * audit): both sides banded by the same 128 md5 planes, candidates
+    * by the (j, bv) equi-join, per-query rounded-cosine top-5. */
+  private val bandedServeChainSql: String =
+    """WITH h AS (
+        |  SELECT b, list_transform(generate_series(0, 63),
+        |    d -> (CAST('0x' || substr(md5('rhp:' || CAST(b AS VARCHAR) || ':' || CAST(d AS VARCHAR)), 1, 8) AS UBIGINT) % 2000001) / 1000000.0 - 1.0) AS hv
+        |  FROM generate_series(0, 127) t(b)),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |      FROM embeddings WHERE vec_id % 50 <> 0),
+        |qs AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+        |       FROM embeddings WHERE vec_id % 50 = 0),
+        |bitsC AS (
+        |  SELECT e.vec_id, CAST(h.b // 8 AS INT) AS j,
+        |    CASE WHEN list_sum(list_transform(generate_series(1, len(v)), i -> v[i] * hv[i])) > 0
+        |      THEN CAST(1 << (7 - (h.b % 8)) AS BIGINT) ELSE 0 END AS bit
+        |  FROM e, h),
+        |bandsC AS (SELECT vec_id, j, SUM(bit) AS bv FROM bitsC GROUP BY vec_id, j),
+        |bitsQ AS (
+        |  SELECT qs.q_id, CAST(h.b // 8 AS INT) AS j,
+        |    CASE WHEN list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * hv[i])) > 0
+        |      THEN CAST(1 << (7 - (h.b % 8)) AS BIGINT) ELSE 0 END AS bit
+        |  FROM qs, h),
+        |bandsQ AS (SELECT q_id, j, SUM(bit) AS bv FROM bitsQ GROUP BY q_id, j),
+        |cand AS (
+        |  SELECT DISTINCT q.q_id, c.vec_id
+        |  FROM bandsQ q JOIN bandsC c USING (j, bv)),
+        |srv AS (
+        |  SELECT q_id, vec_id FROM (
+        |    SELECT cand.q_id, cand.vec_id,
+        |      row_number() OVER (PARTITION BY cand.q_id ORDER BY
+        |        round(list_sum(list_transform(generate_series(1, len(c.v)), i -> c.v[i] * q.qv[i])) /
+        |          (sqrt(list_sum(list_transform(generate_series(1, len(c.v)), i -> c.v[i] * c.v[i]))) *
+        |           sqrt(list_sum(list_transform(generate_series(1, len(q.qv)), i -> q.qv[i] * q.qv[i])))), 6) DESC,
+        |        cand.vec_id ASC) AS rk
+        |    FROM cand
+        |    JOIN e c ON c.vec_id = cand.vec_id
+        |    JOIN qs q ON q.q_id = cand.q_id) WHERE rk <= 5)""".stripMargin
 
   /** The full Naive-Bayes replay, parameterized by the train/test split
     * predicates on `documents` — shared by x108 (the %5 evaluation
@@ -4079,6 +4165,15 @@ object Ext {
     // projection, rerank and the exact side.
     "x151_ann_recall_projected" ->
       materializeCtes(projectedServeChainSql + recallTailCosineSql),
+
+    // Banded-index recall replay: the x45 banding chain (both sides
+    // banded by the same md5 planes, (j, bv) candidates, per-query
+    // rounded-cosine top-5), then the exact cosine + intersection
+    // tail; queries with zero band collisions survive as recall-0 rows
+    // through the tail's left join. Fenced: bands/e/qs feed multiple
+    // consumers.
+    "x153_ann_recall_banded" ->
+      materializeCtes(bandedServeChainSql + recallTailCosineSql),
 
     // Hierarchical IVF replay: x15's sample + probe + rescore with the
     // assignment split into the two routed argmax levels — super sample
@@ -6639,6 +6734,45 @@ object Ext {
     // function of content, so the tree read-back equals the one-shot
     // fingerprint frame and x141's SQL replays it verbatim.
     "x148_winnowing_tree" -> winnowingOverlapSql,
+
+    // Winnowing seek replay: the x141 fingerprint chain computed for
+    // ALL docs, then split asymmetrically — query side (doc_id%10=0)
+    // probes the index side (the rest) under the INDEX-side df <= 50
+    // stop cut; pair counts cross sides (no a<b — the sides are
+    // disjoint). Bucket pruning keeps every index row of every queried
+    // fingerprint (a fingerprint's rows live in its own bucket), so
+    // the pruned probe equals this full-index replay. Fenced: f feeds
+    // both sides, fi feeds the df cut and the join.
+    "x152_winnowing_seek" -> materializeCtes(
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |n AS (SELECT doc_id, ts, len(ts) AS nt FROM t),
+        |h AS (
+        |  SELECT doc_id,
+        |    CASE WHEN nt >= 4 THEN
+        |      list_transform(generate_series(1, nt - 3), i ->
+        |        CAST(CAST('0x' || substr(md5(array_to_string(ts[i:i+3], ' ')), 1, 8) AS UBIGINT) AS BIGINT))
+        |    ELSE [] END AS hs
+        |  FROM n),
+        |wnd AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(hs) >= 8 THEN
+        |      list_distinct(list_transform(generate_series(1, len(hs) - 7),
+        |        j -> list_min(hs[j:j+7])))
+        |    WHEN len(hs) >= 1 THEN [list_min(hs)]
+        |    ELSE [] END AS fps
+        |  FROM h),
+        |f AS (SELECT DISTINCT doc_id, unnest(fps) AS fp FROM wnd),
+        |fq AS (SELECT doc_id, fp FROM f WHERE doc_id % 10 = 0),
+        |fi AS (SELECT doc_id, fp FROM f WHERE doc_id % 10 <> 0),
+        |kept AS (
+        |  SELECT fi.doc_id, fi.fp FROM fi
+        |  JOIN (SELECT fp FROM fi GROUP BY fp HAVING COUNT(*) <= 50) k USING (fp)),
+        |p AS (
+        |  SELECT fq.doc_id AS a_id, kept.doc_id AS b_id, COUNT(*) AS shared_fps
+        |  FROM fq JOIN kept ON fq.fp = kept.fp
+        |  GROUP BY 1, 2)
+        |SELECT a_id, b_id, CAST(shared_fps AS BIGINT) AS shared_fps
+        |FROM p WHERE shared_fps >= 3 ORDER BY a_id, b_id""".stripMargin),
 
     // Salience replay: exact tf/df counts (df per-doc-distinct), the
     // floor(ln(N/df)·1e6) idf lane, the integer product, the

@@ -1377,4 +1377,46 @@ class ScaleSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"no all-pairs anywhere:\n$p")
     graft.ops.Caches.releaseAll()
   }
+
+  test("x152 winnowing seek: tree scan prunes to exactly the query fingerprints' buckets") {
+    val docs = Tables.documents(spark, dir)
+    val tree = Files.createTempDirectory("wn_seek_").toString
+    try {
+      graft.ops.Dedup.winnowingWriteIndex(
+        graft.ops.Dedup.winnowingFingerprints(
+          docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text"),
+        "doc_id", tree, nBuckets = 64)
+      // ONE query doc → few fingerprints → few buckets; the probe scan
+      // must read only those bucket dirs
+      val qdoc = docs.filter(col("doc_id") === 10)
+      val probed = graft.ops.Dedup.winnowingProbeTree(spark, tree, qdoc,
+        "doc_id", "text", nBuckets = 64)
+      // inspect the UNEXECUTED plan: selectedPartitions prunes lazily,
+      // and running first would let AQE collapse an empty result to
+      // EmptyRelation, erasing the scan under audit
+      val expectBuckets = graft.ops.Dedup
+        .winnowingFingerprints(qdoc, "doc_id", "text")
+        .select(pmod(col("fp"), lit(64L))).distinct().count()
+      def allScans(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          allScans(a.executedPlan)
+        case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          allScans(s.plan)
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+        case other => other.children.flatMap(allScans)
+      }
+      val treeScans = allScans(probed.queryExecution.executedPlan)
+        .filter(_.relation.location.rootPaths.mkString.contains("wn_seek_"))
+      assert(treeScans.nonEmpty, "no scan over the written tree found")
+      treeScans.foreach { sc =>
+        assert(sc.partitionFilters.mkString.contains("fpb"),
+          s"bucket predicate must become a partition filter:\n${sc.partitionFilters}")
+        assert(sc.selectedPartitions.partitionCount <= expectBuckets,
+          s"read ${sc.selectedPartitions.partitionCount} bucket dirs for " +
+            s"$expectBuckets query-fingerprint buckets")
+      }
+      graft.ops.Caches.releaseAll()
+    } finally graft.util.Fs.deleteTree(java.nio.file.Paths.get(tree))
+  }
 }
