@@ -1908,6 +1908,84 @@ object Similarity {
       vectors, vecCol, idCol, queries, qIdCol, codebook, k, nProbe,
       refine, m, dims)
 
+  /** BATCH serve of the RESIDUAL IVF×PQ ([[ivfPqResidualTopK]] for a
+    * query TABLE — the x154 audit serves every query through the same
+    * trained-residual index): coarse build + residual encode as the
+    * single-query path, then the per-cell ADC table becomes
+    * per-(query, probed cell) — one frame row carrying the m·K
+    * distances of the residual `q − c_cell` against the residual
+    * codebook, built by the same codegen'd fold as [[ivfPqServeAll]]'s
+    * per-query table (queries × nProbe rows, model-sized). Candidates
+    * are the (q_id, cell) × (cell, id, codes) equi-join; salted ADC cut
+    * at refine·k; exact-L2 rerank per query. One row per
+    * (q_id, rank ≤ k). */
+  def ivfPqResidualServeAll(emb: DataFrame, vecCol: String, idCol: String,
+                            queries: DataFrame, qIdCol: String, k: Int,
+                            nLists: Int = 16, nProbe: Int = 4, m: Int = 8,
+                            nCentroids: Int = 16, refine: Int = 3,
+                            trainIters: Int = 0, coarseIters: Int = 0,
+                            dims: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(refine >= 1, s"refine must be >= 1, got $refine")
+    require(dims % m == 0, s"m=$m must divide dims=$dims")
+    val d = dims / m
+    val nK = nCentroids
+    val (cents, assigned) =
+      if (coarseIters > 0) ivfBuildKmeans(emb, vecCol, idCol, nLists, coarseIters)
+      else ivfBuild(emb, vecCol, idCol, nLists)
+    val resid = Caches.persistTracked(assigned
+      .join(broadcast(cents), "centroid_id")
+      .select(col(idCol), col("centroid_id"),
+        zip_with(col("vec"), col("cv"), (a, b) => a - b).as("rvec")))
+    val cb =
+      if (trainIters > 0)
+        pqTrainCodebook(resid, "rvec", idCol, nCentroids, m, dims, trainIters)
+      else pqBuildCodebook(resid, "rvec", idCol, nCentroids)
+    val encoded = resid.withColumn("codes",
+        graft.functions.VectorExpressions.pqCodesNative(
+          col("rvec"), cb.flatten, nCentroids, m, dims))
+      .select(col(idCol), col("centroid_id"), col("codes"))
+    val cbLit = typedLit(cb.map(_.toSeq).toSeq)
+    val qcells = assignProbeCells(queries, vecCol, qIdCol, cents, nProbe)
+      .select(col(qIdCol).as("q_id"), col("centroid_id"))
+    val qtab = qcells
+      .join(broadcast(cents), "centroid_id")
+      .join(queries.select(col(qIdCol).as("q_id"),
+        col(vecCol).cast("array<double>").as("qv")), "q_id")
+      .withColumn("rq", zip_with(col("qv"), col("cv"), (a, b) => a - b))
+      .withColumn("tab", transform(sequence(lit(0), lit(m * nK - 1)), idx => {
+        val j = (idx / nK).cast("int")
+        val kk = pmod(idx, lit(nK)).cast("int")
+        aggregate(sequence(lit(1), lit(d)), lit(0.0), (acc, t) => {
+          val diff = element_at(col("rq"), j * d + t) -
+            element_at(element_at(cbLit, kk + 1), j * d + t)
+          acc + diff * diff
+        })
+      }))
+      .select(col("q_id"), col("centroid_id"), col("tab"))
+    val adcScored = qtab
+      .join(encoded, "centroid_id")
+      .withColumn("pq", aggregate(
+        sequence(lit(0), lit(m - 1)), lit(0.0), (acc, j) =>
+          acc + element_at(col("tab"),
+            j * nK + element_at(col("codes"), j + 1) + 1)))
+    val cands = TopK.rankTopK(adcScored, "q_id", col(idCol),
+      Seq(col("pq").asc, col(idCol).asc), refine * k, "crk")
+    cands
+      .join(queries.select(col(qIdCol).as("q_id"),
+        col(vecCol).cast("array<double>").as("__qv")), "q_id")
+      .join(emb.select(col(idCol),
+        col(vecCol).cast("array<double>").as("__v")), Seq(idCol))
+      .withColumn("l2", aggregate(
+        zip_with(col("__v"), col("__qv"), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("l2").asc, col(idCol).asc)))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col(idCol).as("vec_id"),
+        round(col("pq"), 6).as("pq_dist"), round(col("l2"), 6).as("l2_dist"))
+  }
+
   /** RESIDUAL IVF×PQ top-k — classic IVFADC: PQ encodes the residual
     * `v − centroid(cell)` instead of the raw vector, so the codebook
     * spends its 16 cells on the (much tighter) within-cell displacement

@@ -2563,6 +2563,27 @@ object Ext {
         served.select(col("q_id"), col("vec_id")), exact, k = 5,
         queries = Some(qtab.select(col("vec_id").as("q_id")))).orderBy("q_id")
     },
+
+    // RESIDUAL-index recall audit (x154): the last served family under
+    // the x146 discipline — x80's trained-residual IVFADC (codebook
+    // trained on the within-cell displacements) batch-served at the
+    // x147 dials and measured against the exact L2 top-5 (this family
+    // reranks by L2). Completes the audit matrix: sampled x146,
+    // trained x147, projected x151, banded x153, residual x154,
+    // streaming-maintained s35. FULL oracle: x80's residual training
+    // chain threaded by q_id + the shared exact/intersection tail.
+    "x154_ann_recall_residual" -> { (s, dir) =>
+      val all = Tables.embeddings(s, dir)
+      val corpus = all.filter(col("vec_id") % 50 =!= 0)
+      val qtab = all.filter(col("vec_id") % 50 === 0)
+      val served = Similarity.ivfPqResidualServeAll(corpus, "embedding",
+        "vec_id", qtab, "vec_id", k = 5, nProbe = 6, refine = 8,
+        trainIters = 2)
+      val exact = Similarity.l2TopKAll(corpus, "embedding", "vec_id",
+        qtab, "vec_id", k = 5)
+      Similarity.recallAtK(served, exact, k = 5,
+        queries = Some(qtab.select(col("vec_id").as("q_id")))).orderBy("q_id")
+    },
   )
 
   /** x72's full replay, parameterized by the Lloyd-TRAINING source
@@ -2902,6 +2923,132 @@ object Ext {
       |  (CAST(COALESCE(h.n_hits, 0) AS BIGINT) * 1000) // 5 AS recall_permille
       |FROM qs LEFT JOIN hits h ON h.q_id = qs.q_id
       |ORDER BY qs.q_id""".stripMargin
+
+  /** x80's trained-residual IVFADC replay threaded by q_id (the x154
+    * audit): coarse md5 sample + argmax assignment, residual frame,
+    * the two residual PQ training rounds (fixed-point integer means,
+    * COALESCE empty cells), codes over the union of probed cells,
+    * per-(query, cell) ADC tables from the residual q − c, cut ≤
+    * refine·k = 40, exact-L2 rerank to `srv`. `e`/`qs` stay visible to
+    * the recall tail. */
+  private val residualServeChainSql: String =
+    """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id % 50 <> 0),
+        |qs AS (
+        |  SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id % 50 = 0),
+        |samp AS (
+        |  SELECT vec_id AS cid, v AS cv
+        |  FROM e
+        |  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 16),
+        |asg AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT e.vec_id, samp.cid,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_sum(list_transform(generate_series(1, len(e.v)), i -> e.v[i] * samp.cv[i])) /
+        |          (sqrt(list_sum(list_transform(generate_series(1, len(e.v)), i -> e.v[i] * e.v[i]))) *
+        |           sqrt(list_sum(list_transform(generate_series(1, len(samp.cv)), i -> samp.cv[i] * samp.cv[i])))) DESC,
+        |        samp.cid ASC) AS rk
+        |    FROM e, samp) WHERE rk = 1),
+        |probe AS (
+        |  SELECT q_id, cid, cv FROM (
+        |    SELECT qs.q_id, samp.cid, samp.cv,
+        |      row_number() OVER (PARTITION BY qs.q_id ORDER BY
+        |        list_sum(list_transform(generate_series(1, len(samp.cv)), i -> samp.cv[i] * qs.qv[i])) /
+        |          (sqrt(list_sum(list_transform(generate_series(1, len(samp.cv)), i -> samp.cv[i] * samp.cv[i]))) *
+        |           sqrt(list_sum(list_transform(generate_series(1, len(qs.qv)), i -> qs.qv[i] * qs.qv[i])))) DESC,
+        |        samp.cid ASC) AS rk
+        |    FROM samp, qs) WHERE rk <= 6),
+        |rv AS (
+        |  SELECT a.vec_id, a.cid,
+        |    list_transform(generate_series(1, len(e.v)), i -> e.v[i] - samp.cv[i]) AS r
+        |  FROM asg a JOIN e USING (vec_id) JOIN samp ON samp.cid = a.cid),
+        |jj AS (SELECT unnest(generate_series(0, 7)) AS j),
+        |pp AS (SELECT unnest(generate_series(1, 8)) AS pos),
+        |rcb0 AS (
+        |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS k,
+        |    r AS cv
+        |  FROM rv
+        |  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 16),
+        |s0 AS (
+        |  SELECT jj.j, rcb0.k,
+        |    list_transform(generate_series(1, 8), t -> rcb0.cv[jj.j * 8 + t]) AS sub
+        |  FROM jj, rcb0),
+        |a1 AS (
+        |  SELECT vec_id, j, k FROM (
+        |    SELECT rv.vec_id, s0.j, s0.k,
+        |      row_number() OVER (PARTITION BY rv.vec_id, s0.j ORDER BY
+        |        list_sum(list_transform(generate_series(1, 8), t ->
+        |          (rv.r[s0.j * 8 + t] - s0.sub[t]) * (rv.r[s0.j * 8 + t] - s0.sub[t]))) ASC,
+        |        s0.k ASC) AS rk
+        |    FROM rv, s0) WHERE rk = 1),
+        |m1 AS (
+        |  SELECT j, k, list(mm ORDER BY pos) AS sub FROM (
+        |    SELECT j, k, pos, ((u - ((u % n2) + n2) % n2) / n2) / 1000000.0 AS mm FROM (
+        |      SELECT a1.j, a1.k, pp.pos,
+        |        2 * CAST(SUM(CAST(floor(rv.r[a1.j * 8 + pp.pos] * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) + COUNT(*) AS u,
+        |        2 * COUNT(*) AS n2
+        |      FROM a1 JOIN rv USING (vec_id), pp
+        |      GROUP BY a1.j, a1.k, pp.pos)) GROUP BY j, k),
+        |s1 AS (
+        |  SELECT s0.j, s0.k, COALESCE(m1.sub, s0.sub) AS sub
+        |  FROM s0 LEFT JOIN m1 ON m1.j = s0.j AND m1.k = s0.k),
+        |a2 AS (
+        |  SELECT vec_id, j, k FROM (
+        |    SELECT rv.vec_id, s1.j, s1.k,
+        |      row_number() OVER (PARTITION BY rv.vec_id, s1.j ORDER BY
+        |        list_sum(list_transform(generate_series(1, 8), t ->
+        |          (rv.r[s1.j * 8 + t] - s1.sub[t]) * (rv.r[s1.j * 8 + t] - s1.sub[t]))) ASC,
+        |        s1.k ASC) AS rk
+        |    FROM rv, s1) WHERE rk = 1),
+        |m2 AS (
+        |  SELECT j, k, list(mm ORDER BY pos) AS sub FROM (
+        |    SELECT j, k, pos, ((u - ((u % n2) + n2) % n2) / n2) / 1000000.0 AS mm FROM (
+        |      SELECT a2.j, a2.k, pp.pos,
+        |        2 * CAST(SUM(CAST(floor(rv.r[a2.j * 8 + pp.pos] * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) + COUNT(*) AS u,
+        |        2 * COUNT(*) AS n2
+        |      FROM a2 JOIN rv USING (vec_id), pp
+        |      GROUP BY a2.j, a2.k, pp.pos)) GROUP BY j, k),
+        |s2 AS (
+        |  SELECT s1.j, s1.k, COALESCE(m2.sub, s1.sub) AS sub
+        |  FROM s1 LEFT JOIN m2 ON m2.j = s1.j AND m2.k = s1.k),
+        |pruned AS (
+        |  SELECT DISTINCT vec_id FROM asg
+        |  JOIN (SELECT DISTINCT cid FROM probe) p USING (cid)),
+        |codes AS (
+        |  SELECT vec_id, j, k FROM (
+        |    SELECT rv.vec_id, s2.j, s2.k,
+        |      row_number() OVER (PARTITION BY rv.vec_id, s2.j ORDER BY
+        |        list_sum(list_transform(generate_series(1, 8), t ->
+        |          (rv.r[s2.j * 8 + t] - s2.sub[t]) * (rv.r[s2.j * 8 + t] - s2.sub[t]))) ASC,
+        |        s2.k ASC) AS rk
+        |    FROM rv JOIN pruned USING (vec_id), s2) WHERE rk = 1),
+        |qtab AS (
+        |  SELECT probe.q_id, probe.cid, s2.j, s2.k,
+        |    list_sum(list_transform(generate_series(1, 8), t ->
+        |      ((qs.qv[s2.j * 8 + t] - probe.cv[s2.j * 8 + t]) - s2.sub[t]) *
+        |      ((qs.qv[s2.j * 8 + t] - probe.cv[s2.j * 8 + t]) - s2.sub[t]))) AS dist
+        |  FROM qs JOIN probe ON probe.q_id = qs.q_id, s2),
+        |approx AS (
+        |  SELECT qt.q_id, c.vec_id, list_sum(list(qt.dist ORDER BY c.j)) AS pq
+        |  FROM codes c
+        |  JOIN asg ON asg.vec_id = c.vec_id
+        |  JOIN qtab qt ON qt.cid = asg.cid AND qt.j = c.j AND qt.k = c.k
+        |  GROUP BY qt.q_id, c.vec_id),
+        |cand AS (
+        |  SELECT q_id, vec_id, pq FROM approx
+        |  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY pq, vec_id) <= 40),
+        |scored AS (
+        |  SELECT cand.q_id, cand.vec_id, cand.pq,
+        |    list_sum(list_transform(generate_series(1, len(e.v)), t ->
+        |      (e.v[t] - qs.qv[t]) * (e.v[t] - qs.qv[t]))) AS l2
+        |  FROM cand JOIN e USING (vec_id) JOIN qs USING (q_id)),
+        |srv AS (
+        |  SELECT q_id, CAST(row_number() OVER (PARTITION BY q_id ORDER BY l2 ASC, vec_id ASC) AS INT) AS rank,
+        |    vec_id, pq, l2
+        |  FROM scored
+        |  QUALIFY rank <= 5)""".stripMargin
 
   /** x45's banded batch serve as a chain ending at `srv` (q_id, vec_id)
     * with `e`/`qs` in scope for the cosine recall tail (the x153
@@ -4174,6 +4321,15 @@ object Ext {
     // consumers.
     "x153_ann_recall_banded" ->
       materializeCtes(bandedServeChainSql + recallTailCosineSql),
+
+    // Residual-index recall replay: x80's trained-residual chain (the
+    // two fixed-point PQ rounds over the residual frame) threaded by
+    // q_id — per-query probe LIMIT 6, per-(query, cell) residual ADC
+    // tables, cut ≤ 40, exact-L2 rerank — then the shared exact +
+    // intersection tail. Fenced: rv feeds the codebook rounds, codes
+    // and sample; e/qs feed assignment, rerank and the exact side.
+    "x154_ann_recall_residual" ->
+      materializeCtes(residualServeChainSql + recallTailSql),
 
     // Hierarchical IVF replay: x15's sample + probe + rescore with the
     // assignment split into the two routed argmax levels — super sample
