@@ -385,10 +385,14 @@ object Bpe {
   // — and natural-language words repeat heavily, so a bounded word→ids
   // memo makes the amortized cost one hash probe per word. The cache is
   // valid for the lifetime of the JVM because the fixed table is
-  // immutable; the cap bounds memory against adversarial vocabularies
-  // (past it, words are encoded without caching — correctness unchanged).
+  // immutable; the caps bound memory against adversarial vocabularies
+  // on BOTH axes — entry count AND entry size (a corpus of long
+  // whitespace-free blobs would otherwise pin count-cap × blob-size
+  // bytes per executor forever). Past either cap, words are encoded
+  // without caching — correctness unchanged.
 
   private val wordIdCacheCap = 1 << 17
+  private val wordIdCacheMaxWordLen = 256
   @transient private lazy val wordIdCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Int]]()
 
@@ -400,22 +404,24 @@ object Bpe {
       val ids = new Array[Int](syms.length)
       var i = 0
       while (i < syms.length) { ids(i) = fixedIdOf(syms(i)); i += 1 }
-      if (wordIdCache.size < wordIdCacheCap) wordIdCache.put(w, ids)
+      if (w.length <= wordIdCacheMaxWordLen &&
+          wordIdCache.size < wordIdCacheCap) wordIdCache.put(w, ids)
       ids
     }
   }
 
   /** Hot-path encode of one text under the FIXED table — the body of
     * [[graft.functions.BpeEncodeIdsExpr]]. One memoized merge loop per
-    * word; bit-identical to [[encodeIdsLocal]] (spec-pinned). */
+    * word (each word encoded exactly once per call even on a memo
+    * miss); bit-identical to [[encodeIdsLocal]] (spec-pinned). */
   def encodeIdsArray(text: String): Array[Int] = {
     val ws = wordsBytes(text)
+    val arrs = ws.map(idsOfWordFixed)
     var n = 0
-    ws.foreach(w => n += idsOfWordFixed(w).length)
+    arrs.foreach(a => n += a.length)
     val out = new Array[Int](n)
     var o = 0
-    ws.foreach { w =>
-      val ids = idsOfWordFixed(w)
+    arrs.foreach { ids =>
       System.arraycopy(ids, 0, out, o, ids.length)
       o += ids.length
     }

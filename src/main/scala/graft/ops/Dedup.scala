@@ -1329,30 +1329,36 @@ object Dedup {
                        path: String, deltaDocs: DataFrame, idCol: String,
                        textCol: String, k: Int = 4, w: Int = 8,
                        nBuckets: Int = 64): Unit = {
-    val dfp = winnowingFingerprints(deltaDocs, idCol, textCol, k, w)
-      .withColumn("fpb", pmod(col("fp"), lit(nBuckets.toLong)))
-    val touched = dfp.select("fpb").distinct()
-    // materialize before the overwrite — Spark cannot safely overwrite
-    // storage it is still lazily reading
-    val merged = Caches.localCheckpointScoped(
-      spark.read.parquet(path)
-        .withColumn("fpb", col("fpb").cast("long"))
-        .join(broadcast(touched), "fpb")
-        .select(col(idCol), col("fp"), col("fpb"))
-        .unionByName(dfp.select(col(idCol), col("fp"), col("fpb")))
-        .repartition(col("fpb"))
-        .sortWithinPartitions(col("fpb"), col("fp"), col(idCol)))
-    val key = "spark.sql.sources.partitionOverwriteMode"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "dynamic")
-    try merged.df.write.mode("overwrite").partitionBy("fpb").parquet(path)
-    finally {
-      prev match {
-        case Some(v) => spark.conf.set(key, v)
-        case None => spark.conf.unset(key)
+    // the delta fingerprinting feeds BOTH the touched-bucket broadcast
+    // and the union side — materialize it once (the cost-∝-|delta| claim
+    // would otherwise pay the gram hashing twice per compaction)
+    val dfp = Caches.localCheckpointScoped(
+      winnowingFingerprints(deltaDocs, idCol, textCol, k, w)
+        .withColumn("fpb", pmod(col("fp"), lit(nBuckets.toLong))))
+    try {
+      val touched = dfp.df.select("fpb").distinct()
+      // materialize before the overwrite — Spark cannot safely overwrite
+      // storage it is still lazily reading
+      val merged = Caches.localCheckpointScoped(
+        spark.read.parquet(path)
+          .withColumn("fpb", col("fpb").cast("long"))
+          .join(broadcast(touched), "fpb")
+          .select(col(idCol), col("fp"), col("fpb"))
+          .unionByName(dfp.df.select(col(idCol), col("fp"), col("fpb")))
+          .repartition(col("fpb"))
+          .sortWithinPartitions(col("fpb"), col("fp"), col(idCol)))
+      val key = "spark.sql.sources.partitionOverwriteMode"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "dynamic")
+      try merged.df.write.mode("overwrite").partitionBy("fpb").parquet(path)
+      finally {
+        prev match {
+          case Some(v) => spark.conf.set(key, v)
+          case None => spark.conf.unset(key)
+        }
+        merged.release()
       }
-      merged.release()
-    }
+    } finally dfp.release()
   }
 
   /** SERVE the overlap report from a WRITTEN [[winnowingWriteIndex]]

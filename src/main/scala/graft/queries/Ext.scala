@@ -2674,6 +2674,20 @@ object Ext {
     * left join from the query table. Shared by x146 (sampled build) and
     * x147 (trained build) so the audits differ ONLY in the index under
     * measurement. */
+  /** The hits + report half of every recall tail — identical for all
+    * metrics, so the L2 and cosine audits are provably the same
+    * arithmetic and a change lands in both at once. */
+  private val recallHitsTailSql: String =
+    """,
+      |hits AS (
+      |  SELECT s.q_id, COUNT(*) AS n_hits
+      |  FROM srv s JOIN exact x ON x.q_id = s.q_id AND x.vec_id = s.vec_id
+      |  GROUP BY 1)
+      |SELECT qs.q_id AS q_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+      |  (CAST(COALESCE(h.n_hits, 0) AS BIGINT) * 1000) // 5 AS recall_permille
+      |FROM qs LEFT JOIN hits h ON h.q_id = qs.q_id
+      |ORDER BY qs.q_id""".stripMargin
+
   private val recallTailSql: String =
     """,
       |exact AS (
@@ -2683,15 +2697,7 @@ object Ext {
       |        list_sum(list_transform(generate_series(1, len(e.v)), t ->
       |          (e.v[t] - qs.qv[t]) * (e.v[t] - qs.qv[t]))) ASC,
       |        e.vec_id ASC) AS rk
-      |    FROM e, qs) WHERE rk <= 5),
-      |hits AS (
-      |  SELECT s.q_id, COUNT(*) AS n_hits
-      |  FROM srv s JOIN exact x ON x.q_id = s.q_id AND x.vec_id = s.vec_id
-      |  GROUP BY 1)
-      |SELECT qs.q_id AS q_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
-      |  (CAST(COALESCE(h.n_hits, 0) AS BIGINT) * 1000) // 5 AS recall_permille
-      |FROM qs LEFT JOIN hits h ON h.q_id = qs.q_id
-      |ORDER BY qs.q_id""".stripMargin
+      |    FROM e, qs) WHERE rk <= 5)""".stripMargin + recallHitsTailSql
 
   /** x71's trained replay (coarse Lloyd rounds ka1/kc1/ka2/kc2,
     * per-subspace PQ k-means a1/m1/s1/a2/m2/s2 — fixed-point centroid
@@ -2914,15 +2920,7 @@ object Ext {
       |          (sqrt(list_sum(list_transform(generate_series(1, 64), i -> e.v[i] * e.v[i]))) *
       |           sqrt(list_sum(list_transform(generate_series(1, 64), i -> qs.qv[i] * qs.qv[i])))), 6) DESC,
       |        e.vec_id ASC) AS rk
-      |    FROM e, qs) WHERE rk <= 5),
-      |hits AS (
-      |  SELECT s.q_id, COUNT(*) AS n_hits
-      |  FROM srv s JOIN exact x ON x.q_id = s.q_id AND x.vec_id = s.vec_id
-      |  GROUP BY 1)
-      |SELECT qs.q_id AS q_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
-      |  (CAST(COALESCE(h.n_hits, 0) AS BIGINT) * 1000) // 5 AS recall_permille
-      |FROM qs LEFT JOIN hits h ON h.q_id = qs.q_id
-      |ORDER BY qs.q_id""".stripMargin
+      |    FROM e, qs) WHERE rk <= 5)""".stripMargin + recallHitsTailSql
 
   /** x80's trained-residual IVFADC replay threaded by q_id (the x154
     * audit): coarse md5 sample + argmax assignment, residual frame,
@@ -3699,15 +3697,14 @@ object Ext {
         |QUALIFY rank <= 10
         |ORDER BY q_id, rank""".stripMargin
 
-  /** Winnowing overlap replay — the 4-gram 8-hex md5 hashes,
-    * window-of-8 minima (short-doc one-fingerprint degeneration
-    * included), per-doc DISTINCT, the df <= 50 stop-fingerprint cut,
-    * pair counts at >= 3. Shared by x141 (the one-shot frame) and x148
-    * (the written fp-bucketed tree after compaction — the index row is
-    * a pure per-doc function of content, so the tree read-back equals
-    * the one-shot frame). Fenced: f feeds the df cut and both join
-    * sides. */
-  private val winnowingOverlapSql: String = materializeCtes(
+  /** The winnowing fingerprint chain up to `f` (doc_id, fp) — the
+    * 4-gram 8-hex md5 hashes, window-of-8 minima (short-doc
+    * one-fingerprint degeneration included), per-doc DISTINCT. Shared
+    * by [[winnowingOverlapSql]] (the symmetric x141/x148/s33/s36
+    * report) and the x152 seek oracle (the asymmetric query-vs-index
+    * split) so a fix to the fingerprint arithmetic lands in every
+    * consumer at once. */
+  private val winnowingFpChainSql: String =
     """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
       |n AS (SELECT doc_id, ts, len(ts) AS nt FROM t),
       |h AS (
@@ -3725,7 +3722,16 @@ object Ext {
       |    WHEN len(hs) >= 1 THEN [list_min(hs)]
       |    ELSE [] END AS fps
       |  FROM h),
-      |f AS (SELECT DISTINCT doc_id, unnest(fps) AS fp FROM wnd),
+      |f AS (SELECT DISTINCT doc_id, unnest(fps) AS fp FROM wnd)""".stripMargin
+
+  /** Winnowing overlap replay — the fingerprint chain, the df <= 50
+    * stop-fingerprint cut, pair counts at >= 3. Shared by x141 (the
+    * one-shot frame) and x148 (the written fp-bucketed tree after
+    * compaction — the index row is a pure per-doc function of content,
+    * so the tree read-back equals the one-shot frame). Fenced: f feeds
+    * the df cut and both join sides. */
+  private val winnowingOverlapSql: String = materializeCtes(
+    winnowingFpChainSql + """,
       |kept AS (
       |  SELECT f.doc_id, f.fp FROM f
       |  JOIN (SELECT fp FROM f GROUP BY fp HAVING COUNT(*) <= 50) k USING (fp)),
@@ -6900,24 +6906,7 @@ object Ext {
     // the pruned probe equals this full-index replay. Fenced: f feeds
     // both sides, fi feeds the df cut and the join.
     "x152_winnowing_seek" -> materializeCtes(
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
-        |n AS (SELECT doc_id, ts, len(ts) AS nt FROM t),
-        |h AS (
-        |  SELECT doc_id,
-        |    CASE WHEN nt >= 4 THEN
-        |      list_transform(generate_series(1, nt - 3), i ->
-        |        CAST(CAST('0x' || substr(md5(array_to_string(ts[i:i+3], ' ')), 1, 8) AS UBIGINT) AS BIGINT))
-        |    ELSE [] END AS hs
-        |  FROM n),
-        |wnd AS (
-        |  SELECT doc_id,
-        |    CASE WHEN len(hs) >= 8 THEN
-        |      list_distinct(list_transform(generate_series(1, len(hs) - 7),
-        |        j -> list_min(hs[j:j+7])))
-        |    WHEN len(hs) >= 1 THEN [list_min(hs)]
-        |    ELSE [] END AS fps
-        |  FROM h),
-        |f AS (SELECT DISTINCT doc_id, unnest(fps) AS fp FROM wnd),
+      winnowingFpChainSql + """,
         |fq AS (SELECT doc_id, fp FROM f WHERE doc_id % 10 = 0),
         |fi AS (SELECT doc_id, fp FROM f WHERE doc_id % 10 <> 0),
         |kept AS (
@@ -7618,14 +7607,14 @@ object Ext {
          |  SELECT lang, text, ${graft.ops.Bpe.oracleSqlExpr("text")} AS s
          |  FROM documents)
          |SELECT lang, COUNT(*) AS n_docs,
-         |  CAST(SUM(len(regexp_extract_all(text, '[^ \t\n\f\r]+')))
+         |  CAST(SUM(len(regexp_extract_all(text, '[^ \\t\\n\\f\\r]+')))
          |    AS BIGINT) AS n_words,
          |  CAST(SUM(length(s) - length(replace(s, '{', ''))) AS BIGINT)
          |    AS n_ids,
          |  CAST(SUM(length(text)) AS BIGINT) AS n_chars,
-         |  CASE WHEN CAST(SUM(len(regexp_extract_all(text, '[^ \t\n\f\r]+'))) AS BIGINT) > 0
+         |  CASE WHEN CAST(SUM(len(regexp_extract_all(text, '[^ \\t\\n\\f\\r]+'))) AS BIGINT) > 0
          |    THEN (CAST(SUM(length(s) - length(replace(s, '{', ''))) AS BIGINT) * 1000)
-         |      // CAST(SUM(len(regexp_extract_all(text, '[^ \t\n\f\r]+'))) AS BIGINT) END
+         |      // CAST(SUM(len(regexp_extract_all(text, '[^ \\t\\n\\f\\r]+'))) AS BIGINT) END
          |    AS fertility_permille,
          |  CASE WHEN CAST(SUM(length(s) - length(replace(s, '{', ''))) AS BIGINT) > 0
          |    THEN (CAST(SUM(length(text)) AS BIGINT) * 1000)

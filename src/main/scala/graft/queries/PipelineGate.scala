@@ -136,14 +136,17 @@ object PipelineGate {
     // chunk replay + merge-fold encode + fill recurrence + the payload
     // string/offset/checksum arithmetic, chained.
     "p08_pack_payload_manifest" -> { (s, dir) =>
+      // ONE encode per chunk: ids_txt and n_ids both derive from the
+      // same materialized id array (unlike x137, which counts without
+      // ever materializing ids, p08 ships the ids — so size() is free)
       val chunks = Chunking.contentDefinedChunks(Tables.documents(s, dir),
           "doc_id", "text", windowWords = 4, maskMod = 16,
           keepCols = Seq("lang"))
-        .withColumn("ids_txt", concat_ws(" ", transform(
-          graft.functions.TextExpressions.bpeEncodeIdsNative(col("chunk")),
-          _.cast("string"))))
-        .withColumn("n_ids",
-          graft.functions.TextExpressions.bpeTokenCountNative(col("chunk")))
+        .withColumn("ids",
+          graft.functions.TextExpressions.bpeEncodeIdsNative(col("chunk")))
+        .withColumn("ids_txt",
+          concat_ws(" ", transform(col("ids"), _.cast("string"))))
+        .withColumn("n_ids", size(col("ids")))
         .select("doc_id", "chunk_idx", "lang", "n_ids", "ids_txt")
       graft.ops.Export.packPayloadManifest(
         Chunking.packChunksStrict(chunks, "lang", "n_ids",

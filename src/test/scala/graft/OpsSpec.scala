@@ -4295,6 +4295,36 @@ class OpsSpec extends AnyFunSuite {
     graft.ops.Caches.releaseAll()
   }
 
+  test("residual IVFADC batch serve: per-query slice ≡ the single-query path") {
+    val corpus = emb.filter(col("vec_id") % 50 =!= 0)
+    val qtab = emb.filter(col("vec_id") % 50 === 0)
+    val served = graft.ops.Similarity.ivfPqResidualServeAll(corpus,
+        "embedding", "vec_id", qtab, "vec_id", k = 5,
+        nProbe = 4, refine = 3, trainIters = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    graft.ops.Caches.releaseAll()
+    assert(served.nonEmpty, "batch residual serve returned nothing")
+    // the batch serve is the single-query trained-residual path fanned
+    // out: same coarse sample, residual training rounds, per-cell ADC
+    // tables, cut and rerank
+    for (q <- served.map(_._1).distinct.sorted.take(2)) {
+      val qv = qtab.filter(col("vec_id") === q)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0)
+      val single = graft.ops.Similarity.ivfPqResidualTopK(corpus,
+          "embedding", "vec_id", qv, k = 5,
+          nProbe = 4, refine = 3, trainIters = 2)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+        .toSeq
+      val slice = served.filter(_._1 == q).sortBy(_._2)
+        .map(t => (t._3, t._4, t._5)).toSeq
+      assert(slice == single,
+        s"query $q: batch residual slice diverged from the single-query serve")
+      graft.ops.Caches.releaseAll()
+    }
+  }
+
   test("tokenizer fertility: every word emits >= 1 id; totals match a direct encode") {
     import spark.implicits._
     val rep = graft.ops.Bpe.fertilityReport(docs, "lang", "text")
@@ -4305,7 +4335,12 @@ class OpsSpec extends AnyFunSuite {
       assert(nd > 0 && nw > 0 && ni >= nw,
         s"$lang: every non-whitespace word must emit at least one id")
       assert(f.exists(_ >= 1000), s"$lang: fertility is ids-per-word >= 1")
-      assert(cpi.isDefined && nch >= ni, s"$lang: chars per id >= 1")
+      // NOTE: nch >= ni held structurally under the old char tokenizer
+      // but NOT under byte BPE (a multi-byte-heavy slice can emit more
+      // ids than CHARS — up to one id per UTF-8 byte), so only the
+      // report's presence is asserted here; the id arithmetic itself is
+      // pinned by the corpus-total cross-path check below
+      assert(cpi.isDefined, s"$lang: chars-per-id lane must be present")
     }
     // cross-path pin: the replace-chain twin, not the native expression
     // the report itself uses

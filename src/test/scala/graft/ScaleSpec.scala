@@ -1355,11 +1355,11 @@ class ScaleSpec extends AnyFunSuite {
     val docs = Tables.documents(spark, dir)
     val chunks = graft.ops.Chunking.contentDefinedChunks(docs, "doc_id",
         "text", windowWords = 4, maskMod = 16, keepCols = Seq("lang"))
-      .withColumn("ids_txt", concat_ws(" ", transform(
-        graft.functions.TextExpressions.bpeEncodeIdsNative(col("chunk")),
-        _.cast("string"))))
-      .withColumn("n_ids",
-        graft.functions.TextExpressions.bpeTokenCountNative(col("chunk")))
+      .withColumn("ids",
+        graft.functions.TextExpressions.bpeEncodeIdsNative(col("chunk")))
+      .withColumn("ids_txt",
+        concat_ws(" ", transform(col("ids"), _.cast("string"))))
+      .withColumn("n_ids", size(col("ids")))
       .select("doc_id", "chunk_idx", "lang", "n_ids", "ids_txt")
     val p = graft.ops.Export.packPayloadManifest(
         graft.ops.Chunking.packChunksStrict(chunks, "lang", "n_ids",
