@@ -386,37 +386,67 @@ object Bpe {
   // memo makes the amortized cost one hash probe per word. The cache is
   // valid for the lifetime of the JVM because the fixed table is
   // immutable; the caps bound memory against adversarial vocabularies
-  // on BOTH axes — entry count AND entry size (a corpus of long
-  // whitespace-free blobs would otherwise pin count-cap × blob-size
-  // bytes per executor forever). Past either cap, words are encoded
-  // without caching — correctness unchanged.
+  // on THREE axes — entry count, entry size, and TOTAL retained bytes
+  // (the count×size worst case alone would pin ~hundreds of MB per
+  // executor JVM forever; the byte budget caps the sum regardless of
+  // the entry-size mix). Past any cap the global cache stops admitting;
+  // repeat occurrences of uncached words then re-encode across CALLS,
+  // but never within one call — encodeIdsArray keeps a per-call local
+  // memo for global-cache misses, so each distinct word is encoded at
+  // most once per text either way. Correctness is unchanged in every
+  // regime (the memo only short-circuits a pure function).
 
   private val wordIdCacheCap = 1 << 17
   private val wordIdCacheMaxWordLen = 256
+  // ~64 MiB retained-byte budget; an entry retains roughly
+  // 2·|word| (String chars) + 4·|ids| + ~64 object/CHM overhead bytes
+  private val wordIdCacheMaxBytes = 64L << 20
+  @transient private lazy val wordIdCacheBytes =
+    new java.util.concurrent.atomic.AtomicLong(0L)
   @transient private lazy val wordIdCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Int]]()
+
+  private def encodeWordIdsUncached(w: String): Array[Int] = {
+    val syms = encodeWordSymbols(w, merges)
+    val ids = new Array[Int](syms.length)
+    var i = 0
+    while (i < syms.length) { ids(i) = fixedIdOf(syms(i)); i += 1 }
+    ids
+  }
 
   private def idsOfWordFixed(w: String): Array[Int] = {
     val hit = wordIdCache.get(w)
     if (hit != null) hit
     else {
-      val syms = encodeWordSymbols(w, merges)
-      val ids = new Array[Int](syms.length)
-      var i = 0
-      while (i < syms.length) { ids(i) = fixedIdOf(syms(i)); i += 1 }
+      val ids = encodeWordIdsUncached(w)
       if (w.length <= wordIdCacheMaxWordLen &&
-          wordIdCache.size < wordIdCacheCap) wordIdCache.put(w, ids)
+          wordIdCache.size < wordIdCacheCap &&
+          wordIdCacheBytes.get < wordIdCacheMaxBytes &&
+          wordIdCache.putIfAbsent(w, ids) == null)
+        wordIdCacheBytes.addAndGet(2L * w.length + 4L * ids.length + 64L)
       ids
     }
   }
 
   /** Hot-path encode of one text under the FIXED table — the body of
     * [[graft.functions.BpeEncodeIdsExpr]]. One memoized merge loop per
-    * word (each word encoded exactly once per call even on a memo
-    * miss); bit-identical to [[encodeIdsLocal]] (spec-pinned). */
+    * distinct word per call (a per-call local memo covers words the
+    * bounded global cache declines, so repeats within one text never
+    * re-encode; repeats across calls re-encode only once the global
+    * caps are hit); bit-identical to [[encodeIdsLocal]] (spec-pinned). */
   def encodeIdsArray(text: String): Array[Int] = {
     val ws = wordsBytes(text)
-    val arrs = ws.map(idsOfWordFixed)
+    var local: java.util.HashMap[String, Array[Int]] = null
+    val arrs = ws.map { w =>
+      val hit = wordIdCache.get(w)
+      if (hit != null) hit
+      else {
+        if (local == null) local = new java.util.HashMap[String, Array[Int]]()
+        var ids = local.get(w)
+        if (ids == null) { ids = idsOfWordFixed(w); local.put(w, ids) }
+        ids
+      }
+    }
     var n = 0
     arrs.foreach(a => n += a.length)
     val out = new Array[Int](n)

@@ -376,6 +376,20 @@ object Dedup {
           (element_at(lit(as), i + 1) * m + element_at(lit(bs), i + 1)) % M)))
   }
 
+  /** The PRODUCTION LSH dial tuple: the n-gram width, signature size,
+    * band count and candidate cut the scale path runs with, plus the
+    * exact-Jaccard verify cut it feeds. ONE constant shared by the
+    * OpsSpec full-recall pin (LSH candidates ⊇ every exact
+    * Jaccard≥`jaccardThreshold` pair on the gate fixture) and gated
+    * query x149 (which serves these dials under x143's exact-path
+    * oracle) — x149's full-oracle validity RESTS on the pin, so the
+    * two must be mechanically unable to drift (VERDICT r15 #6). */
+  final case class LshDials(n: Int, nHashes: Int, bands: Int,
+                            lshThreshold: Double, jaccardThreshold: Double)
+  val lshProductionDials: LshDials = LshDials(
+    n = 3, nHashes = 64, bands = 16, lshThreshold = 0.35,
+    jaccardThreshold = 0.5)
+
   /** MinHash + LSH banding candidate pairs with signature-estimated
     * Jaccard. `bands` × `rowsPerBand` must equal `nHashes`; two docs
     * collide iff some band of their signatures is identical. */
@@ -1324,7 +1338,14 @@ object Dedup {
     * doc sets union order-free: compact-then-serve ≡ rebuild-then-serve
     * exactly (the x70/x73/x79/x81 law; harness query x148's oracle is
     * x141's SQL verbatim over the read-back tree). Doc sets must be
-    * disjoint (appends are new docs). */
+    * disjoint (appends are new docs). REPLAY-SAFE: `foreachBatch` is
+    * at-least-once (a failure between the overwrite and the checkpoint
+    * commit re-runs the batch), so the union dedupes on (id, fp) —
+    * a replayed delta's rows are exact duplicates of rows already in
+    * the touched buckets and collapse to a no-op instead of inflating
+    * the served shared_fps counts. The dedupe key determines its
+    * bucket, so the shuffle stays bucket-local-sized (touched buckets
+    * + delta, never the full tree). */
   def winnowingCompact(spark: org.apache.spark.sql.SparkSession,
                        path: String, deltaDocs: DataFrame, idCol: String,
                        textCol: String, k: Int = 4, w: Int = 8,
@@ -1345,6 +1366,7 @@ object Dedup {
           .join(broadcast(touched), "fpb")
           .select(col(idCol), col("fp"), col("fpb"))
           .unionByName(dfp.df.select(col(idCol), col("fp"), col("fpb")))
+          .dropDuplicates(idCol, "fp")
           .repartition(col("fpb"))
           .sortWithinPartitions(col("fpb"), col("fp"), col(idCol)))
       val key = "spark.sql.sources.partitionOverwriteMode"

@@ -116,7 +116,19 @@ object Dsir {
     * other frozen model here. Same output shape as [[dsirSelect]];
     * OpsSpec pins cut ≡ rank at the threshold implied by the rank
     * form's k-th weight (when the boundary is untied), ScaleSpec pins
-    * the window-free plan. */
+    * the window-free plan.
+    *
+    * DIAL RULE (the fix-lane dead-band): `thresholdFix` must NOT be
+    * chosen at (or within jitter distance of) an attainable exact
+    * weight sum. `wfix` sums per-bucket floor(ln·1e12) differences, and
+    * a 1-ulp cross-engine libm difference in ln() can shift one grid
+    * cell's lr_fix by ±1 — i.e. shift a document's sum by at most its
+    * token count — so a document sitting exactly AT the threshold
+    * could flip `kept` between engines. Pick the threshold mid-gap
+    * (the rank form's k-th/(k+1)-th weight midpoint, or a round
+    * reference point verified ≥ max-token-count away from every
+    * attainable sum). OpsSpec pins a ≥1000× n_tokens margin for the
+    * gated x150 dial (0 nats) on the gate fixture. */
   def dsirSelectThreshold(raw: DataFrame, target: DataFrame, idCol: String,
                           textCol: String, thresholdFix: Long,
                           buckets: Int = 64): DataFrame =

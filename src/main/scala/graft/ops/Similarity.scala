@@ -1783,7 +1783,11 @@ object Similarity {
     * The touched-cell union is materialized (localCheckpoint) BEFORE
     * the overwrite starts — Spark cannot safely overwrite storage it is
     * still lazily reading; at cluster scale checkpoint to reliable
-    * storage instead. */
+    * storage instead. REPLAY-SAFE: a replayed delta (`foreachBatch`
+    * at-least-once) contributes exact duplicates of rows already in
+    * the touched cells; the union dedupes on the vector id (one row
+    * per vector in the tree by construction), so replays fold to a
+    * no-op instead of double-counting rows in the manifest. */
   def ivfPqCompact(indexPath: String, centroids: DataFrame,
                    delta: DataFrame, vecCol: String, idCol: String,
                    codebook: Array[Array[Double]], m: Int = 8,
@@ -1800,6 +1804,7 @@ object Similarity {
       .select(col(idCol), col("centroid_id"), col("codes"))
     val merged = Caches.localCheckpointScoped(staticTouched
       .unionByName(deltaIdx)
+      .dropDuplicates(idCol)
       .repartition(col("centroid_id"))
       .sortWithinPartitions(col("centroid_id"), col(idCol)))
     val prevMode = sess.conf.getOption("spark.sql.sources.partitionOverwriteMode")

@@ -2488,10 +2488,12 @@ object Ext {
     // oracle (the x136-gating precedent applied to the matrix).
     "x149_lsh_cross_source_dup" -> { (s, dir) =>
       val docs = Tables.documents(s, dir)
+      val d = Dedup.lshProductionDials // the OpsSpec full-recall pin's dials
       val cands = Dedup.minhashLshPairs(docs, "doc_id", "text",
-        n = 3, nHashes = 64, bands = 16, threshold = 0.35)
+        n = d.n, nHashes = d.nHashes, bands = d.bands,
+        threshold = d.lshThreshold)
       val verified = Dedup.verifyPairsJaccard(docs, "doc_id", "text", "lang",
-        cands.select("a_id", "b_id"), 3, 0.5)
+        cands.select("a_id", "b_id"), d.n, d.jaccardThreshold)
       Dedup.crossSliceMatrixFromPairs(docs, verified, "doc_id", "source")
         .orderBy("src_a", "src_b")
     },

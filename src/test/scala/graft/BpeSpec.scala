@@ -153,9 +153,16 @@ class BpeSpec extends AnyFunSuite {
 
   test("encode ids: native expr ≡ replace-chain ≡ local reference; byte round-trip; length = count") {
     import spark.implicits._
-    val fixtures = byteFixtures.zipWithIndex.map { case (t, i) => (i.toLong + 1000L, t) }
     val sample = Tables.documents(spark, "/root/testdata/sf0.001").limit(40)
       .select(col("doc_id"), col("text")).as[(Long, String)].collect().toSeq
+    // fixture ids start past the sampled id range — a colliding key in
+    // the textOf map below would silently shadow one text and
+    // misattribute its expected value (masking or faking a divergence)
+    val fixtureBase = sample.map(_._1).max + 1L
+    val fixtures = byteFixtures.zipWithIndex.map {
+      case (t, i) => (fixtureBase + i.toLong, t)
+    }
+    assert(sample.map(_._1).toSet.intersect(fixtures.map(_._1).toSet).isEmpty)
     val all = (sample ++ fixtures).toDF("doc_id", "text")
     val got = all.select(col("doc_id"),
         TextExpressions.bpeEncodeIdsNative(col("text")).as("native"),

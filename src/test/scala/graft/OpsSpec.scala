@@ -14,11 +14,18 @@ class OpsSpec extends AnyFunSuite {
   lazy val docs = Tables.documents(spark, dir)
   lazy val emb = Tables.embeddings(spark, dir)
 
+  // x149's full-oracle validity rests on these pins running the SAME
+  // dials the gated query serves — one shared constant, zero drift
+  val lshDials = Dedup.lshProductionDials
+
   test("minhash-LSH finds every exact-Jaccard>=0.5 pair (planted dups)") {
-    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", "lang", 3, 0.5)
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", "lang",
+        lshDials.n, lshDials.jaccardThreshold)
       .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(exact.size >= 5, s"expected planted near-dup pairs, got $exact")
-    val approx = Dedup.minhashLshPairs(docs, "doc_id", "text", threshold = 0.35)
+    val approx = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        n = lshDials.n, nHashes = lshDials.nHashes, bands = lshDials.bands,
+        threshold = lshDials.lshThreshold)
       .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(exact.subsetOf(approx),
       s"missed pairs: ${exact -- approx} (approx found ${approx.size})")
@@ -27,10 +34,13 @@ class OpsSpec extends AnyFunSuite {
   test("LSH scale path == exact path end-to-end: verify, clusters, retention") {
     import spark.implicits._
     // the production chain: LSH candidates → exact verify → CC → keep-one
-    val cands = Dedup.minhashLshPairs(docs, "doc_id", "text", threshold = 0.35)
+    val cands = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      n = lshDials.n, nHashes = lshDials.nHashes, bands = lshDials.bands,
+      threshold = lshDials.lshThreshold)
     val verified = Dedup.verifyPairsJaccard(docs, "doc_id", "text", "lang",
-      cands, n = 3, threshold = 0.5)
-    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", "lang", 3, 0.5)
+      cands, n = lshDials.n, threshold = lshDials.jaccardThreshold)
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", "lang",
+      lshDials.n, lshDials.jaccardThreshold)
     // verified edges equal the exact quadratic path's edges, values included
     val vRows = verified.orderBy("a_id", "b_id")
       .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
@@ -1188,6 +1198,18 @@ class OpsSpec extends AnyFunSuite {
         .orderBy("a_id", "b_id").as[(Long, Long, Long)].collect().toSeq
       assert(served == direct, "tree serve diverged from the in-memory path")
       graft.ops.Caches.releaseAll()
+      // replay safety: foreachBatch is at-least-once — a failure between
+      // the overwrite and the checkpoint commit re-runs the batch, so
+      // re-folding the SAME delta must be a no-op (the union dedupes on
+      // (id, fp)), not inflate rows or the served shared_fps counts
+      Dedup.winnowingCompact(spark, treeA,
+        docs.filter(col("doc_id") % 7 === 0), "doc_id", "text", nBuckets = 16)
+      assert(spark.read.parquet(treeA).count() == exp.size.toLong,
+        "replayed compaction duplicated (doc, fp) rows")
+      val served2 = Dedup.winnowingServeTree(spark, treeA, "doc_id")
+        .orderBy("a_id", "b_id").as[(Long, Long, Long)].collect().toSeq
+      assert(served2 == direct, "replayed compaction inflated shared_fps")
+      graft.ops.Caches.releaseAll()
       // locality: a 5-token delta doc (2 gram hashes < w → exactly one
       // fingerprint) touches exactly one bucket; untouched bucket dirs
       // keep their files
@@ -1211,6 +1233,44 @@ class OpsSpec extends AnyFunSuite {
     } finally {
       graft.util.Fs.deleteTree(java.nio.file.Paths.get(treeA))
       graft.util.Fs.deleteTree(java.nio.file.Paths.get(treeB))
+      graft.ops.Caches.releaseAll()
+    }
+  }
+
+  test("winnowing probe: pruned-bucket df equals full-index df for every queried fp") {
+    // The x152 seek's stop cut uses the INDEX-side df computed over the
+    // PRUNED scan (Dedup.winnowingProbeTree). That is only well-defined
+    // because a fingerprint's index rows all live in its own bucket,
+    // which the probe reads whenever that fingerprint is queried — pin
+    // the invariant on the x152 fixture shape instead of arguing it in
+    // prose: df-over-pruned-buckets == df-over-full-index for EVERY
+    // queried fingerprint.
+    val tree = java.nio.file.Files.createTempDirectory("wn_df_").toString
+    try {
+      val nB = 16
+      Dedup.winnowingWriteIndex(
+        Dedup.winnowingFingerprints(
+          docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text"),
+        "doc_id", tree, nBuckets = nB)
+      val qfps = Dedup.winnowingFingerprints(
+          docs.filter(col("doc_id") % 10 === 0), "doc_id", "text")
+        .select("fp").distinct().collect().map(_.getLong(0)).toSet
+      val full = spark.read.parquet(tree).groupBy("fp").count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val buckets = qfps.map(fp => java.lang.Math.floorMod(fp, nB.toLong))
+      val pruned = spark.read.parquet(tree)
+        .withColumn("fpb", col("fpb").cast("long"))
+        .filter(col("fpb").isin(buckets.toSeq.map(Long.box): _*))
+        .groupBy("fp").count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val shared = qfps.filter(full.contains)
+      assert(shared.nonEmpty, "fixture must share fingerprints with the index")
+      qfps.foreach { fp =>
+        assert(pruned.getOrElse(fp, 0L) == full.getOrElse(fp, 0L),
+          s"fp $fp: pruned df ${pruned.get(fp)} != full df ${full.get(fp)}")
+      }
+    } finally {
+      graft.util.Fs.deleteTree(java.nio.file.Paths.get(tree))
       graft.ops.Caches.releaseAll()
     }
   }
@@ -1616,6 +1676,15 @@ class OpsSpec extends AnyFunSuite {
         .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq
       assert(probeTree == probeRebuilt,
         "probe over the compacted tree diverged from the rebuilt index")
+      // replay safety: foreachBatch is at-least-once — re-folding the
+      // SAME delta must be a no-op (the union dedupes on the vector id),
+      // not inflate per-cell n_rows/checksum in the manifest
+      val manReplay = Similarity.ivfPqCompact(idxDir, cents,
+        rest.filter(col("vec_id") % 7 === 0 && col("vec_id") =!= 7),
+        "embedding", "vec_id", cb)
+      assert(manReplay.collect().map(r => r.getLong(0) -> (r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4))).toMap == fM,
+        "replayed compaction changed the manifest")
     } finally graft.util.Fs.deleteTree(java.nio.file.Paths.get(idxDir))
   }
 
@@ -1944,6 +2013,26 @@ class OpsSpec extends AnyFunSuite {
     val plan = thrDf.queryExecution.executedPlan.toString
     assert(!plan.contains("Window"),
       s"threshold select must be window-free:\n$plan")
+  }
+
+  test("DSIR x150 dial dead-band: every exact weight sits ≥1000×n_tokens from 0") {
+    import graft.ops.Dsir
+    import spark.implicits._
+    // The gated x150 dial is thresholdFix = 0. A 1-ulp cross-engine
+    // libm difference in ln() shifts one grid cell's lr_fix by ±1,
+    // i.e. a document's wfix by at most its token count — so the gate
+    // is engine-robust iff no attainable sum sits within that jitter
+    // of the threshold (the dsirSelectThreshold DIAL RULE). Pin a
+    // 1000× safety margin on the gate fixture; loud-fail if the data
+    // ever parks a document near the boundary.
+    val w = Dsir.importanceWeights(docs, docs.filter(col("lang") === "en"),
+        "doc_id", "text")
+      .select("wfix", "n_tokens").as[(Long, Long)].collect()
+    assert(w.nonEmpty)
+    w.foreach { case (wfix, n) =>
+      assert(math.abs(wfix) >= 1000L * n,
+        s"wfix=$wfix is within the jitter dead-band of threshold 0 (n_tokens=$n)")
+    }
   }
 
   test("repetition signals: planted repeats, tie-break, overlap mass, floors") {
