@@ -223,11 +223,50 @@ object Bpe {
   def trainCorpus(docs: org.apache.spark.sql.DataFrame, textCol: String,
                   nMerges: Int): Seq[(String, String)] = {
     import org.apache.spark.sql.functions._
-    var cur = Caches.localCheckpointScoped(docs
+    trainRounds(docs
       .select(explode(expr(
         s"regexp_extract_all(lower($textCol), '[a-z0-9]+', 0)")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cnt"))
-      .withColumn("s", regexp_replace(col("w"), "(.)", "\\{$1\\} ")))
+      .withColumn("s", regexp_replace(col("w"), "(.)", "\\{$1\\} ")),
+      nMerges)
+  }
+
+  /** [[trainCorpus]] lifted to the BYTE convention (VERDICT r15 #3):
+    * words are maximal non-whitespace runs of the RAW text
+    * ([[wordsBytes]]'s scanner — the fixed tokenizer's unit), base
+    * symbols are the lowercase hex pairs of each word's UTF-8 bytes
+    * ([[byteSyms]]), so the TRAINED tokenizer — not just the seed-fixed
+    * one — is byte-complete: every character of every document maps to
+    * base symbols, nothing is dropped, no UNK. The merge rounds are
+    * [[trainRounds]] verbatim (the loop is symbol-agnostic); only the
+    * word/symbol prep differs, and the hex alphabet keeps the brace
+    * encoding collision-free (`Bpe` header convention 1), so harness
+    * query x157 replays the whole training in unrolled SQL exactly as
+    * x83 replays the char-level path. OpsSpec pins distributed ≡ the
+    * sequential [[trainBytes]] on the same corpus. */
+  def trainCorpusBytes(docs: org.apache.spark.sql.DataFrame, textCol: String,
+                       nMerges: Int): Seq[(String, String)] = {
+    import org.apache.spark.sql.functions._
+    trainRounds(docs
+      .select(explode(regexp_extract_all(col(textCol),
+        lit("[^ \\t\\n\\f\\r]+"), lit(0))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .withColumn("s", regexp_replace(
+        lower(hex(encode(col("w"), "UTF-8"))), "(..)", "\\{$1\\} ")),
+      nMerges)
+  }
+
+  /** The shared merge-round loop of [[trainCorpus]] /
+    * [[trainCorpusBytes]]: `cur0` is the VOCABULARY-sized
+    * (w, cnt, s) frame with `s` the brace-delimited base-symbol string;
+    * each round counts adjacent pairs weighted by word frequency
+    * (exact integers), takes the (count desc, a asc, b asc) argmax
+    * under the ≥2 rule, and applies one `replace` pass. Symbol-agnostic
+    * — the pair-extraction regex reads whatever sits between braces. */
+  private def trainRounds(cur0: org.apache.spark.sql.DataFrame,
+                          nMerges: Int): Seq[(String, String)] = {
+    import org.apache.spark.sql.functions._
+    var cur = Caches.localCheckpointScoped(cur0)
     val found = scala.collection.mutable.ArrayBuffer[(String, String)]()
     for (_ <- 1 to nMerges) {
       val best = cur.df
@@ -268,6 +307,20 @@ object Bpe {
                       table: Seq[(String, String)]): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions._
     val merged = mergedUnder(textCol, table)
+    (length(merged) - length(replace(merged, lit("{"), lit("")))).cast("int")
+  }
+
+  /** [[tokenCountUnder]]'s BYTE-convention twin: BPE token count of
+    * `textCol` under an arbitrary BYTE-level merge table (the
+    * [[trainCorpusBytes]] convention — x157's application path): the
+    * hex-pair brace-string prep folded through one codegen'd `replace`
+    * per merge, then '{' counted. Bit-identical to the x157 oracle's
+    * replace-chain by construction ([[mergedUnderBytes]] is the shared
+    * core). */
+  def tokenCountUnderBytes(textCol: org.apache.spark.sql.Column,
+                           table: Seq[(String, String)]): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val merged = mergedUnderBytes(textCol, table)
     (length(merged) - length(replace(merged, lit("{"), lit("")))).cast("int")
   }
 

@@ -122,7 +122,8 @@ object Export {
     * convention; the rank is a total order on (nll, id); the bucket is
     * pure integer arithmetic floor((rn−1)·B/m). The ranking is one
     * global sort of doc-sized rows — the same extreme-scale swap note
-    * as [[graft.ops.Dsir.dsirSelect]]. */
+    * as [[graft.ops.Dsir.dsirSelect]];
+    * [[curriculumManifestThreshold]] is the callable swap. */
   def curriculumManifest(docs: DataFrame, idCol: String, textCol: String,
                          nBuckets: Int = 10): DataFrame = {
     require(nBuckets > 0, s"need a positive bucket count, got $nBuckets")
@@ -134,6 +135,48 @@ object Export {
       .withColumn("m", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy()))
       .withColumn("bucket", expr(s"((rn - 1) * $nBuckets) div m"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_transitions")).as("n_transitions"),
+        min(col("nll_nats")).as("nll_lo"), max(col("nll_nats")).as("nll_hi"))
+      .orderBy("bucket")
+  }
+
+  /** The EXTREME-SCALE curriculum form (VERDICT r15 #2 — the
+    * [[graft.ops.Dsir.dsirSelectThreshold]] treatment applied to the
+    * LAST global window in the export lane): bucket documents by
+    * comparing each doc's nll against FROZEN ascending cut points
+    * instead of ranking the whole corpus — bucket = #{cuts ≤ nll}, a
+    * pure per-doc function, so the plan has no corpus-width
+    * single-partition stage: at 100 TB [[curriculumManifest]]'s
+    * unpartitioned row_number over doc-sized rows is the bottleneck,
+    * while the threshold form stays embarrassingly parallel (one
+    * map-side-combinable aggregate over ≤ cuts+1 buckets). The cuts are
+    * a frozen dial (a prior rank run's bucket-boundary nll values, or
+    * quantiles of an nll sample) — model-sized input. Same output shape
+    * as [[curriculumManifest]]; buckets no doc reaches simply don't
+    * appear (report rows are data, not a fixed grid).
+    *
+    * DIAL RULE (the dsirSelectThreshold dead-band, in the ROUNDED
+    * lane): `cutsNats` compare against `nll_nats`, the 6-decimal
+    * ROUNDED per-transition nll (x48's hash-gated reported lane, so
+    * the compared value is cross-engine bit-stable) — a cut must NOT
+    * be an attainable 6-decimal grid value, or a doc could sit exactly
+    * at the boundary; pick cuts strictly between grid points (e.g.
+    * ending in 5e-7). OpsSpec pins cut ≡ rank at a fixture boundary;
+    * ScaleSpec pins the window-free plan. */
+  def curriculumManifestThreshold(docs: DataFrame, idCol: String,
+                                  textCol: String,
+                                  cutsNats: Seq[Double]): DataFrame = {
+    require(cutsNats.nonEmpty, "need at least one cut point")
+    require(cutsNats.sliding(2).forall(w => w.size < 2 || w(0) < w(1)),
+      s"cuts must be strictly increasing: $cutsNats")
+    val bucket = cutsNats
+      .map(c => when(col("nll_nats") >= lit(c), 1).otherwise(0))
+      .reduce(_ + _)
+    LangModel.perplexityScoreSelf(docs, idCol, textCol)
+      .filter(col("n_transitions") > 0)
+      .withColumn("bucket", bucket.cast("int"))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_transitions")).as("n_transitions"),

@@ -1848,12 +1848,33 @@ object Similarity {
                     dims: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(refine >= 1, s"refine must be >= 1, got $refine")
+    val adcScored = ivfPqAdcRanked(centroids, index, vecCol, idCol,
+      queries, qIdCol, codebook, nProbe, m, dims)
+    // two-phase ADC cut (VERDICT r9 watch item): a hot cell puts its
+    // whole membership in one query's window partition — the salted
+    // local cut bounds it; ranks are identical (TopK scaladoc)
+    val cands = TopK.rankTopK(adcScored, "q_id", col(idCol),
+      Seq(col("pq").asc, col(idCol).asc), refine * k, "crk")
+    ivfPqRerankTopK(cands, vectors, vecCol, idCol, queries, qIdCol, k)
+  }
+
+  /** The shared ADC-scan core of [[ivfPqServeAll]] /
+    * [[ivfPqRecallCostLadder]]: per-query probe cells (top-`nProbe`,
+    * probe rank `rk` RETAINED), one m×K ADC table per query, the
+    * (query-cell, member) equi-join scored in m lookups per row.
+    * Probe sets NEST in the rank, so the widest dial's scan filtered
+    * to `rk ≤ p` IS dial p's scan — the ladder pays the join once. */
+  private def ivfPqAdcRanked(centroids: DataFrame, index: DataFrame,
+                             vecCol: String, idCol: String,
+                             queries: DataFrame, qIdCol: String,
+                             codebook: Array[Array[Double]], nProbe: Int,
+                             m: Int, dims: Int): DataFrame = {
     require(dims % m == 0, s"m=$m must divide dims=$dims")
     val d = dims / m
     val nK = codebook.length
     val cbLit = typedLit(codebook.map(_.toSeq).toSeq)
     val qcells = assignProbeCells(queries, vecCol, qIdCol, centroids, nProbe)
-      .select(col(qIdCol).as("q_id"), col("centroid_id"))
+      .select(col(qIdCol).as("q_id"), col("rk"), col("centroid_id"))
     // one ADC table per query: tab[j*K + kk] = ||q_sub_j − cb[kk]_sub_j||²
     val qtab = queries
       .select(col(qIdCol).as("q_id"),
@@ -1868,7 +1889,7 @@ object Similarity {
         })
       }))
       .select(col("q_id"), col("tab"))
-    val adcScored = qcells
+    qcells
       .join(index.select(col(idCol), col("centroid_id"), col("codes")),
         "centroid_id")
       .join(qtab, "q_id")
@@ -1876,11 +1897,15 @@ object Similarity {
         sequence(lit(0), lit(m - 1)), lit(0.0), (acc, j) =>
           acc + element_at(col("tab"),
             j * nK + element_at(col("codes"), j + 1) + 1)))
-    // two-phase ADC cut (VERDICT r9 watch item): a hot cell puts its
-    // whole membership in one query's window partition — the salted
-    // local cut bounds it; ranks are identical (TopK scaladoc)
-    val cands = TopK.rankTopK(adcScored, "q_id", col(idCol),
-      Seq(col("pq").asc, col(idCol).asc), refine * k, "crk")
+  }
+
+  /** The shared refine tail: exact-L2 rerank of an ADC candidate frame
+    * (must carry q_id, `idCol`, pq) to per-query top-`k`. */
+  private def ivfPqRerankTopK(cands: DataFrame, vectors: DataFrame,
+                              vecCol: String, idCol: String,
+                              queries: DataFrame, qIdCol: String,
+                              k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     cands
       .join(queries.select(col(qIdCol).as("q_id"),
         col(vecCol).cast("array<double>").as("__qv")), "q_id")
@@ -2265,5 +2290,73 @@ object Similarity {
           s"'recallAtK: more than k=$k distinct hits for query ', q_id)) " +
           s"AS BIGINT) ELSE n_hits END"))
       .withColumn("recall_permille", expr(s"(n_hits * 1000) div ${k}L"))
+  }
+
+  /** RECALL-vs-COST dial ladder (VERDICT r15 #4): serve ONE built
+    * IVF×PQ index at each `nProbes` dial (fixed k/refine) and report,
+    * per dial, the recall@k mass over the whole query table and the
+    * candidate volume the ADC scan touches — the tuning table a
+    * deployer reads to price probe width before freezing it. One row
+    * per dial: (n_probe, n_queries, sum_recall_permille,
+    * mean_recall_permille, n_candidates), everything exact integers
+    * (recall_permille is [[recallAtK]]'s integer lane; the mean is an
+    * integer div; candidates are exact row counts), so the whole
+    * ladder hash-gates (harness query x155, the x146 oracle shape × 4
+    * dials with a shared exact tail).
+    *
+    * 100 TB shape: the index is built ONCE and shared by every dial,
+    * and the expensive ADC scan runs ONCE at the widest dial with the
+    * probe rank retained — probe sets nest, so dial p's serve is the
+    * `rk ≤ p` slice of the shared checkpointed scan pushed through the
+    * production cut/rerank tail ([[ivfPqServeAll]]'s own stages, via
+    * the shared [[ivfPqAdcRanked]]/[[ivfPqRerankTopK]] cores — the
+    * spec pins each dial ≡ an independent serve); the candidate count
+    * is the slice's cardinality — nothing ever rescans the index per
+    * dial. The exact ground truth is [[l2TopKAll]] — quadratic by
+    * construction, the documented measurement path (audit a query
+    * SAMPLE at scale), persisted so the ladder pays it once, not once
+    * per dial. */
+  def ivfPqRecallCostLadder(centroids: DataFrame, index: DataFrame,
+                            vectors: DataFrame, vecCol: String,
+                            idCol: String, queries: DataFrame,
+                            qIdCol: String,
+                            codebook: Array[Array[Double]], k: Int,
+                            nProbes: Seq[Int], refine: Int = 3,
+                            m: Int = 8, dims: Int = 64): DataFrame = {
+    require(nProbes.nonEmpty, "need at least one nProbe dial")
+    require(nProbes.sliding(2).forall(w => w.size < 2 || w(0) < w(1)),
+      s"nProbe dials must be strictly increasing: $nProbes")
+    require(refine >= 1, s"refine must be >= 1, got $refine")
+    val exact = Caches.persistTracked(
+      l2TopKAll(vectors, vecCol, idCol, queries, qIdCol, k))
+    val qUniverse = queries.select(col(qIdCol).as("q_id"))
+    // ONE ADC scan at the widest dial, probe rank retained — dial p's
+    // scan is exactly the rk ≤ p slice (probe sets nest), so the ladder
+    // pays the expensive (query-cell, member) join once, not per dial;
+    // eager checkpoint per the iterative-operator discipline
+    val adc = Caches.localCheckpointTracked(
+      ivfPqAdcRanked(centroids, index, vecCol, idCol, queries, qIdCol,
+        codebook, nProbes.max, m, dims)
+        .select(col("q_id"), col("rk"), col(idCol), col("pq")))
+    nProbes.map { p =>
+      val dialScan = adc.filter(col("rk") <= p)
+      val served = ivfPqRerankTopK(
+        TopK.rankTopK(dialScan, "q_id", col(idCol),
+          Seq(col("pq").asc, col(idCol).asc), refine * k, "crk"),
+        vectors, vecCol, idCol, queries, qIdCol, k)
+      val rep = recallAtK(served, exact, k, queries = Some(qUniverse))
+        .agg(count(lit(1)).as("n_queries"),
+          sum(col("recall_permille")).as("sum_recall_permille"))
+      // candidate volume = the dial's ADC scan cardinality, read off the
+      // shared checkpointed scan — never rescans the index
+      val nCand = dialScan
+        .agg(count(lit(1)).as("n_candidates"))
+      rep.crossJoin(nCand)
+        .select(lit(p).as("n_probe"), col("n_queries"),
+          col("sum_recall_permille"),
+          expr("sum_recall_permille div n_queries")
+            .as("mean_recall_permille"),
+          col("n_candidates"))
+    }.reduce(_.unionByName(_))
   }
 }

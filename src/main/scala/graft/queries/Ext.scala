@@ -757,6 +757,24 @@ object Ext {
         .orderBy("doc_id")
     },
 
+    // BYTE-convention corpus training (x157, VERDICT r15 #3): x83's
+    // distributed training lifted to the fixed tokenizer's byte
+    // discipline — words are raw non-whitespace runs, base symbols the
+    // hex pairs of each word's UTF-8 bytes — so the TRAINED tokenizer
+    // (not just the seed-fixed one) is byte-complete: case,
+    // punctuation, digits and non-ASCII all train and tokenize, no
+    // drop, no UNK. Merge rounds are the shared trainRounds loop
+    // (symbol-agnostic). FULL oracle: the x83 replay with the byte
+    // prep — the hex alphabet keeps the brace encoding collision-free.
+    "x157_bpe_corpus_trained_bytes" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val table = graft.ops.Bpe.trainCorpusBytes(docs, "text", nMerges = 6)
+      docs.select(col("doc_id"),
+          graft.ops.Bpe.tokenCountUnderBytes(col("text"), table)
+            .as("bpe_tokens"))
+        .orderBy("doc_id")
+    },
+
     "x12_lang_guess" -> { (s, dir) =>
       Tables.documents(s, dir)
         .withColumn("lang_guess", TextStats.langGuess(col("text")))
@@ -1416,6 +1434,21 @@ object Ext {
     // order, floor((rn−1)·10/m) integer buckets.
     "x69_curriculum_manifest" -> { (s, dir) =>
       Export.curriculumManifest(Tables.documents(s, dir), "doc_id", "text")
+    },
+
+    // THRESHOLD curriculum manifest (x156, VERDICT r15 #2): x69's
+    // difficulty bucketing as a pure per-doc cut against FROZEN nll
+    // boundaries — bucket = #{cuts ≤ nll}, NO unpartitioned row_number
+    // anywhere (the extreme-scale swap the x69 scaladoc prescribed;
+    // same discipline as x150). Cuts are a frozen dial in the ROUNDED
+    // 6-decimal nll lane (x48's hash-gated column), each ending in
+    // 5e-7 so no attainable rounded value can sit on a boundary (the
+    // dead-band rule). FULL oracle: x48's nll chain + the same literal
+    // comparisons.
+    "x156_curriculum_threshold" -> { (s, dir) =>
+      Export.curriculumManifestThreshold(Tables.documents(s, dir),
+        "doc_id", "text",
+        cutsNats = Seq(3.3500005, 3.3800005, 3.4000005, 3.4500005))
     },
 
     // k-NN graph: every vector's top-5 neighbors from its banded-LSH
@@ -2498,6 +2531,27 @@ object Ext {
         .orderBy("src_a", "src_b")
     },
 
+    // RECALL-vs-COST dial ladder (x155, VERDICT r15 #4): ONE built
+    // IVF×PQ index (x146's sampled build on the same corpus/query
+    // split) served at nProbe ∈ {1,2,4,8} with fixed k=5/refine=3,
+    // reporting per dial the recall@5 mass and the exact candidate
+    // volume the ADC scan touches — the tuning table a deployer reads
+    // to price probe width before freezing it. Everything exact
+    // integers. FULL oracle: the x146 serve chain × 4 dials (probe
+    // ranks retained, codes computed once over the widest dial's
+    // pruned set) with a shared exact tail, materialize-fenced.
+    "x155_ann_recall_cost_ladder" -> { (s, dir) =>
+      val all = Tables.embeddings(s, dir)
+      val corpus = all.filter(col("vec_id") % 50 =!= 0)
+      val qtab = all.filter(col("vec_id") % 50 === 0)
+      val (cents, assigned) = Similarity.ivfBuild(corpus, "embedding", "vec_id")
+      val cb = Similarity.pqBuildCodebook(corpus, "embedding", "vec_id")
+      Similarity.ivfPqRecallCostLadder(cents,
+        Similarity.ivfPqEncode(assigned, "vec_id", cb), corpus,
+        "embedding", "vec_id", qtab, "vec_id", cb, k = 5,
+        nProbes = Seq(1, 2, 4, 8)).orderBy("n_probe")
+    },
+
     // PROJECTED-index recall audit (x151): the x146 discipline applied
     // to the reduce-then-index family — x89's projected IVF served for
     // the whole query table (corpus projected once, per-query probe of
@@ -2700,6 +2754,118 @@ object Ext {
       |          (e.v[t] - qs.qv[t]) * (e.v[t] - qs.qv[t]))) ASC,
       |        e.vec_id ASC) AS rk
       |    FROM e, qs) WHERE rk <= 5)""".stripMargin + recallHitsTailSql
+
+  /** x155's oracle: the [[ivfPqServeChainSql]] sampled build swept
+    * over the probe dials — `qp` retains probe ranks to the WIDEST
+    * dial (rk ≤ 8; probe sets nest, so dial p's cells are
+    * `qp WHERE rk ≤ p`), `pruned`/`codes` computed ONCE over the
+    * widest dial's cells, then per dial the ADC/cut/rerank stages, the
+    * recall mass over the shared exact tail, and the candidate count
+    * (the (query-cell, member) join's cardinality — exactly what the
+    * ADC scan touches). Everything integer-exact in the report.
+    * Wrapped in [[materializeCtes]] at the map entry (e/asg/exact are
+    * referenced once per dial — unfenced, DuckDB would inline them
+    * exponentially). */
+  private val x155LadderSql: String = {
+    val dials = Seq(1, 2, 4, 8)
+    val perDial = dials.map { p =>
+      s"""|qprobe$p AS (SELECT q_id, cid FROM qp WHERE rk <= $p),
+          |approx$p AS (
+          |  SELECT qpp.q_id, c.vec_id, list_sum(list(qt.dist ORDER BY c.j)) AS pq
+          |  FROM qprobe$p qpp
+          |  JOIN asg ON asg.cid = qpp.cid
+          |  JOIN codes c ON c.vec_id = asg.vec_id
+          |  JOIN qtab qt ON qt.q_id = qpp.q_id AND qt.j = c.j AND qt.k = c.k
+          |  GROUP BY qpp.q_id, c.vec_id),
+          |cand$p AS (
+          |  SELECT q_id, vec_id, pq FROM approx$p
+          |  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY pq, vec_id) <= 15),
+          |scored$p AS (
+          |  SELECT cand$p.q_id, cand$p.vec_id,
+          |    list_sum(list_transform(generate_series(1, len(e.v)), t ->
+          |      (e.v[t] - qs.qv[t]) * (e.v[t] - qs.qv[t]))) AS l2
+          |  FROM cand$p JOIN e USING (vec_id) JOIN qs USING (q_id)),
+          |srv$p AS (
+          |  SELECT q_id, vec_id FROM scored$p
+          |  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY l2 ASC, vec_id ASC) <= 5),
+          |hits$p AS (
+          |  SELECT s.q_id, COUNT(*) AS n_hits
+          |  FROM srv$p s JOIN exact x ON x.q_id = s.q_id AND x.vec_id = s.vec_id
+          |  GROUP BY 1),
+          |rep$p AS (
+          |  SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+          |    CAST(SUM((CAST(COALESCE(h.n_hits, 0) AS BIGINT) * 1000) // 5) AS BIGINT) AS sum_rp
+          |  FROM qs LEFT JOIN hits$p h ON h.q_id = qs.q_id),
+          |nc$p AS (
+          |  SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates
+          |  FROM qprobe$p JOIN asg USING (cid)),""".stripMargin
+    }.mkString("\n")
+    val selects = dials.map { p =>
+      s"""|SELECT CAST($p AS INT) AS n_probe, n_queries,
+          |  sum_rp AS sum_recall_permille,
+          |  sum_rp // n_queries AS mean_recall_permille, n_candidates
+          |FROM rep$p, nc$p""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""|WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id % 50 <> 0),
+        |qs AS (
+        |  SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id % 50 = 0),
+        |samp AS (
+        |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS k,
+        |    vec_id AS cid, v AS cv
+        |  FROM e
+        |  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 16),
+        |asg AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT e.vec_id, samp.cid,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_sum(list_transform(generate_series(1, len(e.v)), i -> e.v[i] * samp.cv[i])) /
+        |          (sqrt(list_sum(list_transform(generate_series(1, len(e.v)), i -> e.v[i] * e.v[i]))) *
+        |           sqrt(list_sum(list_transform(generate_series(1, len(samp.cv)), i -> samp.cv[i] * samp.cv[i])))) DESC,
+        |        samp.cid ASC) AS rk
+        |    FROM e, samp) WHERE rk = 1),
+        |qp AS (
+        |  SELECT q_id, cid, rk FROM (
+        |    SELECT qs.q_id, samp.cid,
+        |      row_number() OVER (PARTITION BY qs.q_id ORDER BY
+        |        list_sum(list_transform(generate_series(1, len(qs.qv)), i -> qs.qv[i] * samp.cv[i])) /
+        |          (sqrt(list_sum(list_transform(generate_series(1, len(qs.qv)), i -> qs.qv[i] * qs.qv[i]))) *
+        |           sqrt(list_sum(list_transform(generate_series(1, len(samp.cv)), i -> samp.cv[i] * samp.cv[i])))) DESC,
+        |        samp.cid ASC) AS rk
+        |    FROM qs, samp) WHERE rk <= 8),
+        |pruned AS (SELECT DISTINCT vec_id FROM asg JOIN qp USING (cid)),
+        |jj AS (SELECT unnest(generate_series(0, 7)) AS j),
+        |dist AS (
+        |  SELECT e.vec_id, jj.j, samp.k,
+        |    list_sum(list_transform(generate_series(1, 8), t ->
+        |      (e.v[jj.j * 8 + t] - samp.cv[jj.j * 8 + t]) *
+        |      (e.v[jj.j * 8 + t] - samp.cv[jj.j * 8 + t]))) AS dist
+        |  FROM e JOIN pruned USING (vec_id), jj, samp),
+        |codes AS (
+        |  SELECT vec_id, j, k FROM dist
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, k) = 1),
+        |qtab AS (
+        |  SELECT qs.q_id, jj.j, samp.k,
+        |    list_sum(list_transform(generate_series(1, 8), t ->
+        |      (qs.qv[jj.j * 8 + t] - samp.cv[jj.j * 8 + t]) *
+        |      (qs.qv[jj.j * 8 + t] - samp.cv[jj.j * 8 + t]))) AS dist
+        |  FROM qs, jj, samp),
+        |exact AS (
+        |  SELECT q_id, vec_id FROM (
+        |    SELECT qs.q_id, e.vec_id,
+        |      row_number() OVER (PARTITION BY qs.q_id ORDER BY
+        |        list_sum(list_transform(generate_series(1, len(e.v)), t ->
+        |          (e.v[t] - qs.qv[t]) * (e.v[t] - qs.qv[t]))) ASC,
+        |        e.vec_id ASC) AS rk
+        |    FROM e, qs) WHERE rk <= 5),
+        |$perDial
+        |fin AS (
+        |$selects
+        |)
+        |SELECT * FROM fin ORDER BY n_probe""".stripMargin
+  }
 
   /** x71's trained replay (coarse Lloyd rounds ka1/kc1/ka2/kc2,
     * per-subspace PQ k-means a1/m1/s1/a2/m2/s2 — fixed-point centroid
@@ -3470,8 +3636,12 @@ object Ext {
     * (count desc, a, b) argmax with the ≥2 rule, one replace pass; the
     * application chain then folds the six learned pairs over each
     * doc's brace string and counts '{'. Zero floats anywhere. */
-  private val x83BpeSql: String = {
-    val rounds = (1 to 6).map { r =>
+  /** The SYMBOL-AGNOSTIC training-round CTEs shared by x83 (char
+    * convention) and x157 (byte convention) — the pair-extraction
+    * regex reads whatever sits between braces, so the same unrolled
+    * rounds replay both alphabets; only the s0/app0 prep differs. */
+  private def bpeRoundsSql(nMerges: Int): String =
+    (1 to nMerges).map { r =>
       val prev = s"s${r - 1}"
       s"""|p$r AS (
           |  SELECT string_split(pr, ' ')[1] AS a, string_split(pr, ' ')[2] AS b,
@@ -3488,30 +3658,58 @@ object Ext {
           |    '{' || b$r.a || b$r.b || '}') AS s
           |  FROM $prev, b$r),""".stripMargin
     }.mkString("\n")
-    val apps = (1 to 6).map { r =>
+
+  private def bpeAppsSql(nMerges: Int): String =
+    (1 to nMerges).map { r =>
       s"""|app$r AS (
           |  SELECT doc_id, replace(s, '{' || b$r.a || '} {' || b$r.b || '}',
           |    '{' || b$r.a || b$r.b || '}') AS s
           |  FROM app${r - 1}, b$r),""".stripMargin
     }.mkString("\n")
+
+  private val x83BpeSql: String =
     s"""|WITH w0 AS (
         |  SELECT w, COUNT(*) AS cnt FROM (
         |    SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
         |    FROM documents)
         |  GROUP BY w),
         |s0 AS (SELECT cnt, regexp_replace(w, '(.)', '{\\1} ', 'g') AS s FROM w0),
-        |$rounds
+        |${bpeRoundsSql(6)}
         |app0 AS (
         |  SELECT doc_id, array_to_string(list_transform(
         |    regexp_extract_all(lower(text), '[a-z0-9]+'),
         |    w -> regexp_replace(w, '(.)', '{\\1} ', 'g')), '/ ') AS s
         |  FROM documents),
-        |$apps
+        |${bpeAppsSql(6)}
         |final AS (SELECT doc_id, s FROM app6)
         |SELECT doc_id,
         |  CAST(length(s) - length(replace(s, '{', '')) AS INT) AS bpe_tokens
         |FROM final ORDER BY doc_id""".stripMargin
-  }
+
+  /** x157's oracle: x83's training replay lifted to the BYTE
+    * convention — words are raw non-whitespace runs, base symbols the
+    * lowercase hex pairs of each word's UTF-8 bytes (DuckDB's
+    * `hex(varchar)` hexes the UTF-8 bytes, the [[graft.ops.Bpe
+    * .byteSyms]] convention), the rounds/application CTEs verbatim
+    * from the shared generators. */
+  private val x157BpeBytesSql: String =
+    s"""|WITH w0 AS (
+        |  SELECT w, COUNT(*) AS cnt FROM (
+        |    SELECT unnest(regexp_extract_all(text, '[^ \\t\\n\\f\\r]+')) AS w
+        |    FROM documents)
+        |  GROUP BY w),
+        |s0 AS (SELECT cnt, regexp_replace(lower(hex(w)), '(..)', '{\\1} ', 'g') AS s FROM w0),
+        |${bpeRoundsSql(6)}
+        |app0 AS (
+        |  SELECT doc_id, array_to_string(list_transform(
+        |    regexp_extract_all(text, '[^ \\t\\n\\f\\r]+'),
+        |    w -> regexp_replace(lower(hex(w)), '(..)', '{\\1} ', 'g')), '/ ') AS s
+        |  FROM documents),
+        |${bpeAppsSql(6)}
+        |final AS (SELECT doc_id, s FROM app6)
+        |SELECT doc_id,
+        |  CAST(length(s) - length(replace(s, '{', '')) AS INT) AS bpe_tokens
+        |FROM final ORDER BY doc_id""".stripMargin
 
   private val enList = TextStats.stopwords("en").map(w => s"'$w'").mkString("[", ",", "]")
   private val esList = TextStats.stopwords("es").map(w => s"'$w'").mkString("[", ",", "]")
@@ -4302,6 +4500,8 @@ object Ext {
     // left join. Integers only in the output.
     "x146_ann_recall_report" -> (ivfPqServeChainSql + recallTailSql),
 
+    "x155_ann_recall_cost_ladder" -> materializeCtes(x155LadderSql),
+
     // Trained-index recall replay: x71's two training chains (the
     // coarse Lloyd rounds and the per-subspace PQ k-means, fixed-point
     // centroid means and all) re-pointed at the x146 corpus/query
@@ -4521,6 +4721,8 @@ object Ext {
     // replace pass — all exact integers and string rewrites), then the
     // application chain under the learned pairs.
     "x83_bpe_corpus_trained" -> x83BpeSql,
+
+    "x157_bpe_corpus_trained_bytes" -> x157BpeBytesSql,
 
     // Generated from the same merge table the engine applies: the chain
     // of replace() passes IS the BPE application, so hits and misses of
@@ -6256,6 +6458,42 @@ object Ext {
         |  CAST(SUM(n_transitions) AS BIGINT) AS n_transitions,
         |  MIN(nll_nats) AS nll_lo, MAX(nll_nats) AS nll_hi
         |FROM ranked GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    // Threshold-curriculum replay: x48's nll chain verbatim, the bucket
+    // a sum of literal comparisons against the frozen cuts — no window.
+    "x156_curriculum_threshold" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |tr AS (
+        |  SELECT doc_id, ts[i] AS prev, ts[i+1] AS cur
+        |  FROM tok, unnest(generate_series(1, len(ts) - 1)) u(i)
+        |  WHERE len(ts) >= 2),
+        |uni AS (SELECT prev, COUNT(*) AS cu FROM tr GROUP BY 1),
+        |bi AS (SELECT prev, cur, COUNT(*) AS cb FROM tr GROUP BY 1, 2),
+        |v AS (SELECT COUNT(DISTINCT w) AS vsz
+        |      FROM (SELECT unnest(ts) AS w FROM tok)),
+        |lp AS (
+        |  SELECT tr.doc_id,
+        |    CAST(floor(ln((bi.cb + 1.0) / (uni.cu + v.vsz)) * 1000000000000.0) AS BIGINT) AS lp_fix
+        |  FROM tr
+        |  JOIN uni ON uni.prev = tr.prev
+        |  JOIN bi ON bi.prev = tr.prev AND bi.cur = tr.cur, v),
+        |agg AS (
+        |  SELECT doc_id, COUNT(*) AS n_transitions, SUM(lp_fix) AS sfix
+        |  FROM lp GROUP BY 1),
+        |scored AS (
+        |  SELECT doc_id, n_transitions,
+        |    round(CAST(-sfix AS DOUBLE) / 1000000000000.0 / n_transitions, 6) AS nll_nats
+        |  FROM agg WHERE n_transitions > 0)
+        |SELECT CAST(
+        |    CAST(nll_nats >= CAST(3.3500005 AS DOUBLE) AS INT)
+        |  + CAST(nll_nats >= CAST(3.3800005 AS DOUBLE) AS INT)
+        |  + CAST(nll_nats >= CAST(3.4000005 AS DOUBLE) AS INT)
+        |  + CAST(nll_nats >= CAST(3.4500005 AS DOUBLE) AS INT) AS INT) AS bucket,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(n_transitions) AS BIGINT) AS n_transitions,
+        |  MIN(nll_nats) AS nll_lo, MAX(nll_nats) AS nll_hi
+        |FROM scored GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     // k-NN graph replay: x45's band arithmetic at the 16×4-bit dial
     // (planes 0..63, j = b div 4, bit 1 << (3 − b mod 4)) with the

@@ -53,6 +53,38 @@ class BpeSpec extends AnyFunSuite {
     assert(Bpe.trainCorpus(toy, "text", 3) == Seq(("a", "a"), ("a", "b"), ("aa", "ab")))
   }
 
+  test("byte corpus training: distributed ≡ sequential trainBytes; application parity; byte-complete") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    // the same word multiset sequentially: concatenate the corpus text
+    val all = docs.select(col("text")).collect().map(_.getString(0)).mkString(" ")
+    val seqTable = Bpe.trainBytes(all, 6)
+    val distTable = Bpe.trainCorpusBytes(docs, "text", 6)
+    assert(distTable == seqTable,
+      s"distributed byte merges $distTable diverged from sequential $seqTable")
+    // partitioning cannot move a merge (exact counts, total-order argmax)
+    assert(Bpe.trainCorpusBytes(docs.repartition(7), "text", 6) == seqTable)
+    // application parity: the Column fold equals the rank-ordered local
+    // reference under the same trained table
+    val got = docs.select(col("doc_id"),
+        Bpe.tokenCountUnderBytes(col("text"), distTable).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    docs.select(col("doc_id"), col("text")).collect().foreach { r =>
+      val expect = Bpe.encodeSymbols(r.getString(1), distTable.toIndexedSeq).length
+      assert(got(r.getLong(0)) == expect,
+        s"doc ${r.getLong(0)}: column fold ${got(r.getLong(0))} vs reference $expect")
+    }
+    // byte-completeness: case, punctuation, digits and non-ASCII all
+    // train and tokenize — nothing is dropped, no UNK
+    val toy = Seq((1L, "Héllo, Wörld! 42 Héllo, 42")).toDF("doc_id", "text")
+    val toyTable = Bpe.trainCorpusBytes(toy, "text", 2)
+    assert(toyTable == Bpe.trainBytes("Héllo, Wörld! 42 Héllo, 42", 2))
+    val toyGot = toy.select(Bpe.tokenCountUnderBytes(col("text"), toyTable))
+      .head().getInt(0)
+    assert(toyGot ==
+      Bpe.encodeSymbols("Héllo, Wörld! 42 Héllo, 42", toyTable.toIndexedSeq).length)
+  }
+
   test("fixed byte merge table is deterministic, non-trivial, and learns real subwords") {
     assert(Bpe.merges == Bpe.trainBytes(Bpe.seedTextBytes, 160))
     assert(Bpe.merges.length >= 120, s"only ${Bpe.merges.length} merges learned")

@@ -2357,6 +2357,75 @@ class OpsSpec extends AnyFunSuite {
     assert(out.toSeq == out2.toSeq, "manifest depends on partitioning")
   }
 
+  test("curriculum threshold cut ≡ rank cut at the fixture boundaries; plan carries no window") {
+    import graft.ops.Export
+    import spark.implicits._
+    val B = 10
+    // per-doc (id, nll) under the rank form's total order (nll asc, id asc)
+    val scored = graft.ops.LangModel.perplexityScoreSelf(docs, "doc_id", "text")
+      .filter(col("n_transitions") > 0)
+      .select("doc_id", "nll_nats").as[(Long, Double)].collect()
+      .sortBy { case (id, nll) => (nll, id) }
+    val m = scored.length
+    // cut b sits just below the first doc of rank bucket b — strictly
+    // between 6-decimal grid points (the dead-band rule), so the
+    // threshold form reproduces the rank form iff boundaries are untied
+    val cuts = (1 until B).map { b =>
+      val i = (b * m + B - 1) / B // first 0-based index with bucket == b
+      val bMin = scored(i)._2
+      val prevMax = scored(i - 1)._2
+      assert(prevMax < bMin,
+        s"fixture boundary tied at bucket $b ($bMin) — pick another fixture")
+      bMin - 5e-7
+    }
+    val thr = Export.curriculumManifestThreshold(docs, "doc_id", "text", cuts)
+    val thrRows = thr.collect().map(r => (r.getInt(0).toLong, r.getLong(1),
+      r.getLong(2), r.getDouble(3), r.getDouble(4))).toSeq
+    val rankRows = Export.curriculumManifest(docs, "doc_id", "text", B)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSeq
+    assert(thrRows == rankRows,
+      s"threshold buckets diverged from the rank form:\n$thrRows\nvs\n$rankRows")
+    // the scale property the swap exists for: no window anywhere — the
+    // rank form's global single-partition row_number is gone
+    val plan = thr.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"threshold manifest must be window-free:\n$plan")
+  }
+
+  test("recall-cost ladder: dials agree with independent serves; candidate volume monotone") {
+    val corpus = emb.filter(col("vec_id") % 50 =!= 0)
+    val qtab = emb.filter(col("vec_id") % 50 === 0)
+    val (cents, assigned) = Similarity.ivfBuild(corpus, "embedding", "vec_id")
+    val cb = Similarity.pqBuildCodebook(corpus, "embedding", "vec_id")
+    val idx = Similarity.ivfPqEncode(assigned, "vec_id", cb)
+    val ladder = Similarity.ivfPqRecallCostLadder(cents, idx, corpus,
+        "embedding", "vec_id", qtab, "vec_id", cb, k = 5,
+        nProbes = Seq(1, 4))
+      .orderBy("n_probe").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(ladder.map(_._1).toSeq == Seq(1, 4))
+    val nq = qtab.count()
+    assert(ladder.forall(_._2 == nq), "every dial reports the full query universe")
+    // probe sets nest and cells are non-empty: candidate volume strictly grows
+    assert(ladder(0)._5 < ladder(1)._5,
+      s"candidate volume must grow with nProbe: ${ladder.toSeq}")
+    // mean is the integer div of the mass
+    assert(ladder.forall(r => r._4 == r._3 / r._2))
+    // each dial's recall mass equals an INDEPENDENT serve + recallAtK
+    val exact = Similarity.l2TopKAll(corpus, "embedding", "vec_id",
+      qtab, "vec_id", k = 5)
+    Seq(1, 4).zipWithIndex.foreach { case (p, i) =>
+      val served = Similarity.ivfPqServeAll(cents, idx, corpus, "embedding",
+        "vec_id", qtab, "vec_id", cb, k = 5, nProbe = p)
+      val mass = Similarity.recallAtK(served, exact, k = 5,
+          queries = Some(qtab.select(col("vec_id").as("q_id"))))
+        .agg(sum(col("recall_permille"))).head().getLong(0)
+      assert(ladder(i)._3 == mass, s"ladder dial $p recall mass diverged")
+    }
+  }
+
   test("kNN graph: shape invariants and recall@5 vs the exact quadratic twin") {
     import org.apache.spark.sql.expressions.Window
     val banded = Similarity.knnGraphBanded(emb, "embedding", "vec_id", k = 5,
