@@ -325,6 +325,51 @@ object Dedup {
       .select("a_id", "b_id", "common", "na", "nb", "jac")
   }
 
+  /** DEDUP-RATE dial ladder (the x155 recall-cost-ladder discipline
+    * applied to the dedup lane): the pair step runs ONCE at the
+    * LOOSEST threshold with exact Jaccard values attached — threshold
+    * sets NEST (jac ≥ t₂ ⊆ jac ≥ t₁ for t₁ < t₂) — and each dial is a
+    * filter slice pushed through connected components and retention.
+    * One row per dial: (tau_permille, n_pairs, n_dup_clusters,
+    * n_removable) — the tuning table a dedup deployer reads before
+    * freezing τ (harness query x158 gates all dials under one oracle).
+    *
+    * Engine-robustness of the dial compare: jac is the IEEE quotient
+    * of exact integer counts (common / (na+nb−common)) — division is
+    * correctly rounded and bit-identical across engines (no libm in
+    * the lane, unlike the ln gates), so `jac ≥ τ` agrees even for a
+    * pair sitting exactly AT the boundary; no dead-band needed.
+    *
+    * 100 TB shape: grams/sizes/pairs are computed once and
+    * checkpointed (the expensive stage); each dial re-runs only the
+    * pair-sized slice + components — per-dial CC is the real
+    * incremental cost and is exactly what the table prices. At scale,
+    * feed the slice from the LSH production pair step (x149) instead
+    * of the exact self-join — the ladder tail is identical. */
+  def dedupRateLadder(docs: DataFrame, idCol: String, textCol: String,
+                      blockCol: String, n: Int,
+                      taus: Seq[Double]): DataFrame = {
+    require(taus.nonEmpty, "need at least one threshold dial")
+    require(taus.sliding(2).forall(w => w.size < 2 || w(0) < w(1)),
+      s"thresholds must be strictly increasing: $taus")
+    val nDocs = docs.select(col(idCol)).agg(count(lit(1)).as("__n"))
+    val pairs = Caches.localCheckpointTracked(
+      ngramJaccardPairs(docs, idCol, textCol, blockCol, n, taus.min)
+        .select(col("a_id"), col("b_id"), col("jac")))
+    taus.map { t =>
+      val sel = pairs.filter(col("jac") >= t)
+      val comp = connectedComponents(docs.select(col(idCol)), idCol, sel)
+      val sizes = comp.groupBy("cluster_id").agg(count(lit(1)).as("__sz"))
+      val rep = sizes.agg(count(lit(1)).as("__n_clusters"),
+        sum(when(col("__sz") >= 2, 1L).otherwise(0L)).as("n_dup_clusters"))
+      val np = sel.agg(count(lit(1)).as("n_pairs"))
+      rep.crossJoin(np).crossJoin(nDocs)
+        .select(lit(math.round(t * 1000).toInt).as("tau_permille"),
+          col("n_pairs"), col("n_dup_clusters"),
+          (col("__n") - col("__n_clusters")).as("n_removable"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** MinHash signature of a document's distinct n-gram set: for each of
     * `nHashes` seeded hash functions, the min hash over the set. Computed
     * per-row (no explode/shuffle) via one left-fold over the grams with an

@@ -167,14 +167,24 @@ object Export {
     * ScaleSpec pins the window-free plan. */
   def curriculumManifestThreshold(docs: DataFrame, idCol: String,
                                   textCol: String,
-                                  cutsNats: Seq[Double]): DataFrame = {
+                                  cutsNats: Seq[Double]): DataFrame =
+    curriculumThresholdFromScored(
+      LangModel.perplexityScoreSelf(docs, idCol, textCol), cutsNats)
+
+  /** The bucket/aggregate tail of [[curriculumManifestThreshold]] over
+    * an already-scored (…, n_transitions, nll_nats) frame — shared
+    * with the streaming serve path (s37 scores from MAINTAINED LM
+    * stats and buckets here, so batch and streaming provably run the
+    * same arithmetic). */
+  def curriculumThresholdFromScored(scored: DataFrame,
+                                    cutsNats: Seq[Double]): DataFrame = {
     require(cutsNats.nonEmpty, "need at least one cut point")
     require(cutsNats.sliding(2).forall(w => w.size < 2 || w(0) < w(1)),
       s"cuts must be strictly increasing: $cutsNats")
     val bucket = cutsNats
       .map(c => when(col("nll_nats") >= lit(c), 1).otherwise(0))
       .reduce(_ + _)
-    LangModel.perplexityScoreSelf(docs, idCol, textCol)
+    scored
       .filter(col("n_transitions") > 0)
       .withColumn("bucket", bucket.cast("int"))
       .groupBy("bucket")

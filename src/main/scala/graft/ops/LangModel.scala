@@ -108,6 +108,69 @@ object LangModel {
     perplexityScore(docs, idCol, textCol,
       trainBigramLm(docs, idCol, textCol))
 
+  // ---- foldable LM-lane stats (streaming maintenance, s37) ----------
+  //
+  // The self-scored LM decomposes into THREE maintainable artifacts,
+  // each with an order-free fold: the (prev, cur, cb) bigram grid
+  // (integer adds — and the unigram denominator DERIVES from it,
+  // cu(prev) = Σ_cur cb(prev, cur), so only one count frame is
+  // maintained), the distinct-word vocabulary (union+distinct,
+  // idempotent), and the doc-keyed per-doc transition counts (batches
+  // deliver disjoint docs, so append is the fold — the s33 doc-keyed
+  // argument). Scoring is then a pure function of the three states,
+  // bit-identical to [[perplexityScoreSelf]] (spec-pinned).
+
+  /** Batch bigram stats: (prev, cur, cb) counts over the transition
+    * stream — folds across batches by [[bigramStatsMerge]]. */
+  def bigramStats(docs: DataFrame, idCol: String,
+                  textCol: String): DataFrame =
+    transitions(docs, idCol, textCol)
+      .groupBy("prev", "cur").agg(count(lit(1)).as("cb"))
+
+  /** The fold: counts add (exact integers, order-free). */
+  def bigramStatsMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("prev", "cur").agg(sum(col("cb")).as("cb"))
+
+  /** Batch distinct-word frame — folds by union+distinct (idempotent:
+    * replayed batches cannot change the set). */
+  def vocabWords(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(split(col(textCol), " ")).as("w")).distinct()
+
+  /** Doc-keyed transition counts (doc, prev, cur, c) — the compressed
+    * per-doc transition state a scorer replays; batches carry disjoint
+    * docs, so the fold is a plain append. */
+  def docTransitionStats(docs: DataFrame, idCol: String,
+                         textCol: String): DataFrame =
+    transitions(docs, idCol, textCol)
+      .groupBy(col(idCol), col("prev"), col("cur"))
+      .agg(count(lit(1)).as("c"))
+
+  /** Score from MAINTAINED stats (the s37 serve path): per-doc
+    * (n_transitions, nll_nats) from the folded bigram grid — cu
+    * derives as the per-prev sum of cb, vocabSize from the maintained
+    * word state — with [[perplexityScore]]'s exact fixed-point
+    * arithmetic (per-transition lp_fix longs, weighted by the doc's
+    * transition count c: Σ c·lp_fix ≡ the instance-stream sum).
+    * Covers docs with ≥1 transition (exactly the set the curriculum
+    * lanes score); bit-identical to [[perplexityScoreSelf]] on the
+    * same corpus (OpsSpec pins it). */
+  def scoreFromBigramStats(docTr: DataFrame, idCol: String, bi: DataFrame,
+                           vocabSize: Long): DataFrame = {
+    val uni = bi.groupBy("prev").agg(sum(col("cb")).as("cu"))
+    val p = (coalesce(col("cb"), lit(0L)) + lit(1.0)) /
+      (coalesce(col("cu"), lit(0L)) + lit(vocabSize.toDouble))
+    docTr
+      .join(broadcast(uni), Seq("prev"), "left")
+      .join(broadcast(bi), Seq("prev", "cur"), "left")
+      .withColumn("lp_fix", floor(log(p) * lit(1e12)).cast("long"))
+      .groupBy(col(idCol))
+      .agg(sum(col("c")).as("n_transitions"),
+        sum(col("c") * col("lp_fix")).as("sfix"))
+      .select(col(idCol), col("n_transitions"),
+        round((-col("sfix")).cast("double") / lit(1e12) /
+          col("n_transitions"), 6).as("nll_nats"))
+  }
+
   /** EXACT deterministic fluency cut over a [[perplexityScore]] frame:
     * the `nll_nats` value at integer rank ceil(numer/denom · m) under
     * (nll, id) total order, over the m docs with ≥1 transition — the

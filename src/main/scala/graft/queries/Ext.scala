@@ -1447,8 +1447,7 @@ object Ext {
     // comparisons.
     "x156_curriculum_threshold" -> { (s, dir) =>
       Export.curriculumManifestThreshold(Tables.documents(s, dir),
-        "doc_id", "text",
-        cutsNats = Seq(3.3500005, 3.3800005, 3.4000005, 3.4500005))
+        "doc_id", "text", cutsNats = curriculumCutDials)
     },
 
     // k-NN graph: every vector's top-5 neighbors from its banded-LSH
@@ -2552,6 +2551,21 @@ object Ext {
         nProbes = Seq(1, 2, 4, 8)).orderBy("n_probe")
     },
 
+    // DEDUP-RATE dial ladder (x158): the x155 ladder discipline on the
+    // dedup lane — the exact trigram-Jaccard pair step runs ONCE at
+    // the loosest τ (threshold sets nest), each dial τ ∈ {.5,.6,.7,.8}
+    // is a filter slice pushed through connected components and
+    // retention, reporting (tau_permille, n_pairs, n_dup_clusters,
+    // n_removable) — the table a deployer reads before freezing τ.
+    // Dial compares are IEEE quotients of exact integer counts —
+    // bit-identical across engines, no dead-band needed. FULL oracle:
+    // x16's chain with the pair cut swept per dial (4 recursive walks).
+    "x158_dedup_rate_ladder" -> { (s, dir) =>
+      Dedup.dedupRateLadder(Tables.documents(s, dir), "doc_id", "text",
+          "lang", n = 3, taus = Seq(0.5, 0.6, 0.7, 0.8))
+        .orderBy("tau_permille")
+    },
+
     // PROJECTED-index recall audit (x151): the x146 discipline applied
     // to the reduce-then-index family — x89's projected IVF served for
     // the whole query table (corpus projected once, per-query probe of
@@ -2865,6 +2879,70 @@ object Ext {
         |$selects
         |)
         |SELECT * FROM fin ORDER BY n_probe""".stripMargin
+  }
+
+  /** The frozen curriculum cut dials shared by x156 and its streaming
+    * twin s37 (whose oracle is x156's SQL verbatim — the dials must be
+    * mechanically unable to drift, the x149 lesson). Each ends in 5e-7
+    * so no attainable 6-decimal-rounded nll can sit on a boundary (the
+    * dsirSelectThreshold dead-band rule); the x156 oracle spells the
+    * same literals. */
+  private[graft] val curriculumCutDials: Seq[Double] =
+    Seq(3.3500005, 3.3800005, 3.4000005, 3.4500005)
+
+  /** x158's oracle: x16's trigram-Jaccard + recursive-walk chain with
+    * the pair cut swept per dial — tok/tri/nt/cand shared (computed at
+    * the loosest cut with exact counts), then per dial the threshold
+    * slice, the undirected edge set, the reachability walk, min-reach
+    * components, cluster sizes, and the retention report. Dial
+    * compares are quotients of exact integers — deterministic in both
+    * engines. NOT materialize-fenced: recursive CTEs cannot be
+    * MATERIALIZED, and the reference fan-out is flat (4 × cand), not
+    * chained doubling. */
+  private val x158DedupLadderSql: String = {
+    val dials = Seq(500, 600, 700, 800)
+    val perDial = dials.map { tp =>
+      val tau = tp / 1000.0
+      s"""|p$tp AS (
+          |  SELECT a_id, b_id FROM cand
+          |  JOIN nt na ON a_id = na.doc_id JOIN nt nb ON b_id = nb.doc_id
+          |  WHERE common * 1.0 / (na.n + nb.n - common) >= $tau),
+          |e$tp AS (SELECT a_id AS u, b_id AS v FROM p$tp UNION SELECT b_id, a_id FROM p$tp),
+          |walk$tp(id, reach) AS (
+          |  SELECT doc_id, doc_id FROM documents
+          |  UNION
+          |  SELECT w.id, e.v FROM walk$tp w JOIN e$tp e ON w.reach = e.u),
+          |cs$tp AS (
+          |  SELECT cluster_id, COUNT(*) AS sz FROM (
+          |    SELECT id, MIN(reach) AS cluster_id FROM walk$tp GROUP BY id)
+          |  GROUP BY 1),
+          |rep$tp AS (
+          |  SELECT CAST($tp AS INT) AS tau_permille,
+          |    (SELECT CAST(COUNT(*) AS BIGINT) FROM p$tp) AS n_pairs,
+          |    CAST(SUM(CASE WHEN sz >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_clusters,
+          |    (SELECT COUNT(*) FROM documents) - CAST(COUNT(*) AS BIGINT) AS n_removable
+          |  FROM cs$tp),""".stripMargin
+    }.mkString("\n")
+    val selects = dials.map(tp => s"SELECT * FROM rep$tp")
+      .mkString("\nUNION ALL\n")
+    s"""|WITH RECURSIVE tok AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS ts FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |tri AS (
+        |  SELECT DISTINCT doc_id, lang,
+        |    unnest(list_transform(generate_series(1, len(ts) - 2),
+        |      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS g
+        |  FROM tok),
+        |nt AS (SELECT doc_id, COUNT(*) AS n FROM tri GROUP BY doc_id),
+        |cand AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS common
+        |  FROM tri a JOIN tri b ON a.g = b.g AND a.lang = b.lang AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |$perDial
+        |fin AS (
+        |$selects
+        |)
+        |SELECT * FROM fin ORDER BY tau_permille""".stripMargin
   }
 
   /** x71's trained replay (coarse Lloyd rounds ka1/kc1/ka2/kc2,
@@ -4501,6 +4579,8 @@ object Ext {
     "x146_ann_recall_report" -> (ivfPqServeChainSql + recallTailSql),
 
     "x155_ann_recall_cost_ladder" -> materializeCtes(x155LadderSql),
+
+    "x158_dedup_rate_ladder" -> x158DedupLadderSql,
 
     // Trained-index recall replay: x71's two training chains (the
     // coarse Lloyd rounds and the per-subspace PQ k-means, fixed-point

@@ -2157,6 +2157,12 @@ object StreamGate {
         def startLeg(): StreamingQuery =
           s.readStream.format("graft-topic")
             .option("topic", topic)
+            // ~12-batch backlog — DELIBERATELY not trimmed (r16 gate-dial
+            // audit): the backlog is the RUNWAY for the kill-resume race —
+            // leg 1's stop lands asynchronously after the ≥3-committed
+            // latch, and a short backlog lets leg 1 drain everything
+            // before the stop, starving leg 2's ≥1-data-batch assert; the
+            // extra folds are the price of a non-flaky resume leg
             .option("maxRecordsPerTrigger", math.max(1L, total / 12).toString)
             .load()
             .select(from_json(col("value").cast("string"),
@@ -2757,6 +2763,103 @@ object StreamGate {
         out
       }
     },
+
+    // STREAMING LM-CURRICULUM MAINTENANCE (s37) — the LM lane's
+    // streaming twin: the self-scored bigram LM decomposes into three
+    // maintainable states, each with an order-free fold — the
+    // (prev, cur, cb) bigram grid (integer adds; the unigram
+    // denominator DERIVES from it, cu = Σ_cur cb, so one count frame
+    // maintains the whole model), the distinct-word vocabulary
+    // (union+distinct, idempotent), and doc-keyed per-doc transition
+    // counts (disjoint docs per batch → append, the s33 argument).
+    // After the drain the threshold-curriculum manifest is served as a
+    // pure function of the three states (scoreFromBigramStats ≡
+    // perplexityScoreSelf, spec-pinned; the bucket tail is x156's own
+    // curriculumThresholdFromScored, shared code). Both model states
+    // value-pinned against exact twins in-gate; oracle = x156's SQL
+    // verbatim, dials the shared curriculumCutDials constant.
+    "s37_stream_lm_curriculum" -> { (s, dir) =>
+      val topic = srcDocsTopic(s, dir)
+      withGateConf(s) {
+        var bi: graft.ops.Checkpointed = null
+        var vw: graft.ops.Checkpointed = null
+        var dt: graft.ops.Checkpointed = null
+        val ckpt = gateTmpDir("s37_ckpt_")
+        try {
+          val q = s.readStream.format("graft-topic")
+            .option("topic", topic)
+            .option("maxRecordsPerTrigger",
+              math.max(1L, (topicSize(topic) + 2) / 3).toString)
+            .load()
+            .select(from_json(col("value").cast("string"),
+              org.apache.spark.sql.types.StructType.fromDDL(
+                "doc_id BIGINT, source STRING, text STRING")).as("j"))
+            .select(col("j.doc_id").as("doc_id"), col("j.text").as("text"))
+            .writeStream
+            .foreachBatch { (df: DataFrame, _: Long) =>
+              if (!df.isEmpty) {
+                val lm = graft.ops.LangModel
+                val nextBi = graft.ops.Caches.localCheckpointScoped(
+                  if (bi == null) lm.bigramStats(df, "doc_id", "text")
+                  else lm.bigramStatsMerge(bi.df,
+                    lm.bigramStats(df, "doc_id", "text")))
+                if (bi != null) bi.release()
+                bi = nextBi
+                val nextVw = graft.ops.Caches.localCheckpointScoped(
+                  if (vw == null) lm.vocabWords(df, "text")
+                  else vw.df.unionByName(lm.vocabWords(df, "text")).distinct())
+                if (vw != null) vw.release()
+                vw = nextVw
+                val nextDt = graft.ops.Caches.localCheckpointScoped(
+                  if (dt == null) lm.docTransitionStats(df, "doc_id", "text")
+                  else dt.df.unionByName(
+                    lm.docTransitionStats(df, "doc_id", "text")))
+                if (dt != null) dt.release()
+                dt = nextDt
+              }
+              ()
+            }
+            .option("checkpointLocation", ckpt.toString)
+            .trigger(Trigger.AvailableNow())
+            .start()
+          drain(q, ckpt)
+          require(dataBatches(q) >= 2,
+            s"s37 must fold across batches; ran ${dataBatches(q)} data batches")
+          val biDf = graft.ops.Caches.adopt(bi)
+          val vwDf = graft.ops.Caches.adopt(vw)
+          val dtDf = graft.ops.Caches.adopt(dt)
+          val docs = Tables.documents(s, dir)
+          // value-pin the folded MODEL states against the exact twins
+          // (integer counts / a distinct set: equality is exact)
+          val foldedBi = biDf.collect()
+            .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+          val exactBi = graft.ops.LangModel
+            .bigramStats(docs, "doc_id", "text").collect()
+            .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+          require(foldedBi == exactBi,
+            s"s37 folded bigram grid drifted from the exact twin " +
+              s"(${foldedBi.size} vs ${exactBi.size} keys)")
+          val foldedV = vwDf.collect().map(_.getString(0)).toSet
+          val exactV = graft.ops.LangModel.vocabWords(docs, "text")
+            .collect().map(_.getString(0)).toSet
+          require(foldedV == exactV,
+            s"s37 folded vocabulary drifted (${foldedV.size} vs ${exactV.size})")
+          val scored = graft.ops.LangModel.scoreFromBigramStats(
+            dtDf, "doc_id", biDf, foldedV.size.toLong)
+          graft.ops.Caches.localCheckpointTracked(
+            graft.ops.Export.curriculumThresholdFromScored(scored,
+                Ext.curriculumCutDials)
+              .orderBy("bucket"))
+        } catch {
+          // a failed drain/fold must not strand scoped blocks
+          case t: Throwable =>
+            if (bi != null) bi.release()
+            if (vw != null) vw.release()
+            if (dt != null) dt.release()
+            throw t
+        }
+      }
+    },
   )
 
   private val streamStreamEntry: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
@@ -3084,6 +3187,7 @@ object StreamGate {
     // tree; fingerprints are pure per-doc functions and batch doc sets
     // are disjoint, so the tree read-back equals the one-shot frame.
     "s36_stream_winnowing_tree" -> Ext.oracle("x141_winnowing_overlap"),
+    "s37_stream_lm_curriculum" -> Ext.oracle("x156_curriculum_threshold"),
 
     // s15: the assignment row is a pure per-row function of the frozen
     // model, appends land new files in their cell dirs (no rewrites),

@@ -61,6 +61,29 @@ class OpsSpec extends AnyFunSuite {
     assert(keptScale.size < docs.count(), "expected at least one dup removed")
   }
 
+  test("dedup-rate ladder: dials ≡ independent chains; tightening τ only drops") {
+    val taus = Seq(0.5, 0.8)
+    val ladder = Dedup.dedupRateLadder(docs, "doc_id", "text", "lang", 3, taus)
+      .orderBy("tau_permille").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(ladder.map(_._1).toSeq == Seq(500, 800))
+    assert(ladder(0)._2 > 0 && ladder(0)._3 > 0,
+      "fixture must contain planted dup pairs at the loosest dial")
+    // threshold sets nest: tightening τ can only drop pairs/removables
+    assert(ladder(0)._2 >= ladder(1)._2 && ladder(0)._4 >= ladder(1)._4)
+    // each dial row equals an INDEPENDENT pair build + components chain
+    val nDocs = docs.count()
+    taus.zipWithIndex.foreach { case (t, i) =>
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", "lang", 3, t)
+      val comp = Dedup.connectedComponents(docs.select("doc_id"), "doc_id",
+        pairs.select("a_id", "b_id"))
+      val sizes = comp.groupBy("cluster_id").count()
+      val expect = (math.round(t * 1000).toInt, pairs.count(),
+        sizes.filter(col("count") >= 2).count(), nDocs - sizes.count())
+      assert(ladder(i) == expect, s"dial $t: ${ladder(i)} vs $expect")
+    }
+  }
+
   test("minhash signature estimates Jaccard within 0.25 of exact") {
     val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", "lang", 3, 0.5)
       .select(col("a_id"), col("b_id"), col("jac"))
@@ -2355,6 +2378,47 @@ class OpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
         r.getDouble(3), r.getDouble(4)))
     assert(out.toSeq == out2.toSeq, "manifest depends on partitioning")
+  }
+
+  test("LM foldable stats: shard-merge laws; scoreFromStats ≡ perplexityScoreSelf") {
+    import graft.ops.LangModel
+    // bigram-grid fold law: per-shard grids merge to the whole-corpus
+    // grid exactly (integer adds)
+    val whole = LangModel.bigramStats(docs, "doc_id", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val merged = LangModel.bigramStatsMerge(
+        LangModel.bigramStats(docs.filter(col("doc_id") % 2 === 0),
+          "doc_id", "text"),
+        LangModel.bigramStats(docs.filter(col("doc_id") % 2 =!= 0),
+          "doc_id", "text"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(merged == whole, "shard bigram grids must merge to the corpus grid")
+    // vocab fold: union+distinct — idempotent even on OVERLAPPING shards
+    val v = LangModel.vocabWords(docs, "text")
+    val vFold = LangModel.vocabWords(docs.filter(col("doc_id") % 2 === 0), "text")
+      .unionByName(LangModel.vocabWords(docs, "text")).distinct()
+    assert(vFold.count() == v.count(), "vocab fold must be idempotent")
+    // unigram derivation: cu = Σ_cur cb — the reason ONE maintained
+    // frame carries the whole model
+    val cuDerived = merged.toSeq.groupBy(_._1._1)
+      .map { case (p, xs) => p -> xs.map(_._2).sum }
+    val cuDirect = LangModel.bigramStats(docs, "doc_id", "text")
+      .groupBy("prev").agg(sum(col("cb")).as("cu")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(cuDerived == cuDirect)
+    // serve parity: scoring from the maintained states is bit-identical
+    // to the direct self-scored path (the s37 serve law)
+    val fromStats = LangModel.scoreFromBigramStats(
+        LangModel.docTransitionStats(docs, "doc_id", "text"), "doc_id",
+        LangModel.bigramStats(docs, "doc_id", "text"), v.count())
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val direct = LangModel.perplexityScoreSelf(docs, "doc_id", "text")
+      .filter(col("n_transitions") > 0)
+      .select("doc_id", "n_transitions", "nll_nats")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(fromStats == direct, "scoreFromStats diverged from the direct path")
   }
 
   test("curriculum threshold cut ≡ rank cut at the fixture boundaries; plan carries no window") {
