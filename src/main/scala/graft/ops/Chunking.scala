@@ -271,6 +271,39 @@ object Chunking {
         expr(s"(packed_tokens * 1000) div (n_packs * ${capacity}L)"))
   }
 
+  /** PACK-CAPACITY dial ladder (the x155/x158/x159 tuning-table
+    * discipline on the EXPORT lane): re-run the next-fit pack fold at
+    * each capacity dial over ONE chunk frame (checkpoint it at the
+    * call site) and report, per capacity, the corpus-wide pack count,
+    * chunk/token mass, and fill efficiency — the table a deployer
+    * reads to pick the training sequence length (harness query x160).
+    * One row per dial: (capacity, n_packs, n_chunks, packed_tokens,
+    * fill_permille), all exact integers. Capacities do NOT nest (a
+    * different capacity re-threads every pack boundary), so each dial
+    * pays its own fold — that per-dial recurrence is the real cost the
+    * table prices, exactly like x158's per-dial components; the
+    * corpus-sized chunking runs once. */
+  def packCapacityLadder(chunks: DataFrame, shardCol: String,
+                         tokenCol: String, capacities: Seq[Int],
+                         orderCols: Seq[String]): DataFrame = {
+    require(capacities.nonEmpty, "need at least one capacity dial")
+    require(capacities.sliding(2).forall(w => w.size < 2 || w(0) < w(1)),
+      s"capacities must be strictly increasing: $capacities")
+    capacities.map { cap =>
+      packChunksStrict(chunks, shardCol, tokenCol, cap, orderCols)
+        .groupBy(col(shardCol), col("pack_id"))
+        .agg(count(lit(1)).as("__nc"),
+          sum(col(tokenCol)).cast("long").as("__pt"))
+        .agg(count(lit(1)).as("n_packs"),
+          sum(col("__nc")).cast("long").as("n_chunks"),
+          sum(col("__pt")).cast("long").as("packed_tokens"))
+        .select(lit(cap).as("capacity"), col("n_packs"), col("n_chunks"),
+          col("packed_tokens"),
+          expr(s"(packed_tokens * 1000) div (n_packs * ${cap}L)")
+            .as("fill_permille"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** Explode a [[packChunksStrictFold]] frame back to the input rows,
     * each with its `pack_id`. */
   def packAssignments(folded: DataFrame): DataFrame =

@@ -180,6 +180,38 @@ object Classify {
       .orderBy("bin")
   }
 
+  /** MARGIN-SCREEN dial ladder (the x155/x158 tuning-table discipline
+    * on the quality lane): sweep confidence-margin cuts over ONE
+    * [[nbMarginScores]] frame and report, per cut, the retention and
+    * the accuracy among the kept — the precision-vs-threshold table a
+    * deployer reads before freezing p07's margin gate. Cut sets NEST
+    * (margin ≥ c₂ ⊆ margin ≥ c₁ for c₁ < c₂), so the scored frame is
+    * computed once (checkpoint it at the call site) and each dial is a
+    * filter slice + one aggregate. One row per cut: (cut_fix, n_kept,
+    * n_correct_kept, kept_acc_permille) — all exact integers (margins
+    * are fixed-point longs, the cut a literal long compare).
+    *
+    * DIAL RULE: summed per-word ln floors carry ±few-fix-unit
+    * cross-engine jitter (the x139/p07 caveat), so cuts must sit a
+    * dead-band away from every attainable margin — round-nats dials
+    * (10¹¹-unit multiples) are ~10 orders of magnitude away from the
+    * jitter; OpsSpec pins the fixture margin-to-cut distance. */
+  def marginScreenLadder(scored: DataFrame,
+                         cutsFix: Seq[Long]): DataFrame = {
+    require(cutsFix.nonEmpty, "need at least one margin cut")
+    require(cutsFix.sliding(2).forall(w => w.size < 2 || w(0) < w(1)),
+      s"cuts must be strictly increasing: $cutsFix")
+    cutsFix.map { c =>
+      scored.filter(col("margin_fix") >= c)
+        .agg(count(lit(1)).as("n_kept"),
+          count_if(col("is_correct")).as("n_correct_kept"))
+        .select(lit(c).as("cut_fix"), col("n_kept"), col("n_correct_kept"),
+          when(col("n_kept") === 0, lit(0L))
+            .otherwise(expr("(n_correct_kept * 1000) div n_kept"))
+            .as("kept_acc_permille"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** The classifier evaluation a pipeline runs before trusting a filter:
     * train on one split, score the held-out split, emit per-doc
     * prediction + correctness. */

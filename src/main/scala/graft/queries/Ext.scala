@@ -2328,6 +2328,27 @@ object Ext {
         "doc_id", nBins = 10)
     },
 
+    // MARGIN-SCREEN dial ladder (x159): the tuning-table discipline
+    // (x155 ANN, x158 dedup) completed on the QUALITY lane — sweep
+    // confidence-margin cuts over ONE held-out nbMarginScores frame
+    // (cut sets nest; scored once, checkpointed) and report retention
+    // + accuracy-among-kept per cut: the precision-vs-threshold table
+    // that justifies p07's frozen 0.3-nat gate. All exact integers;
+    // round-nat cut dials sit ~10 orders of magnitude from the
+    // few-fix-unit ln jitter (OpsSpec pins the fixture distance).
+    // FULL oracle: the NB chain + x139's top-2/margin lane + per-dial
+    // filtered aggregates.
+    "x159_margin_screen_ladder" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val m = Classify.trainNaiveBayes(
+        docs.filter(col("doc_id") % 5 =!= 0), "lang", "text")
+      val scored = graft.ops.Caches.localCheckpointTracked(
+        Classify.nbMarginScores(m, docs.filter(col("doc_id") % 5 === 0),
+          "doc_id", "lang", "text"))
+      Classify.marginScreenLadder(scored, marginCutDials)
+        .orderBy("cut_fix")
+    },
+
     // TOKENIZER FERTILITY (x140): ids per word and chars per id, per
     // language, under the frozen x44 merge table — the vocab-fit report
     // read before pointing one tokenizer at a multilingual corpus. One
@@ -2432,6 +2453,24 @@ object Ext {
             capacity = 256, orderCols = Seq("doc_id", "chunk_idx")),
           "source", "n_chunk_tokens", capacity = 256)
         .orderBy("source")
+    },
+
+    // PACK-CAPACITY dial ladder (x160): the tuning-table discipline on
+    // the EXPORT lane — x145's next-fit fold re-run at capacity ∈
+    // {128, 256, 512} over ONE chunk frame (chunking runs once,
+    // checkpointed; capacities don't nest, so each dial pays its own
+    // fold — the cost the table prices), reporting corpus-wide packs,
+    // mass, and fill per dial: the sequence-length tuning table. FULL
+    // oracle: x145's chunk chain + one fill recurrence per dial.
+    "x160_pack_capacity_ladder" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val chunks = graft.ops.Caches.localCheckpointTracked(
+        Chunking.chunk(docs, "doc_id", "text", chunkTokens = 50,
+          overlap = 10, keepCols = Seq("source")))
+      Chunking.packCapacityLadder(chunks, "source", "n_chunk_tokens",
+          capacities = Seq(128, 256, 512),
+          orderCols = Seq("doc_id", "chunk_idx"))
+        .orderBy("capacity")
     },
 
     // ANN RECALL audit (x146): recall@5 of the IVF×PQ batch serve (x75)
@@ -2890,6 +2929,12 @@ object Ext {
   private[graft] val curriculumCutDials: Seq[Double] =
     Seq(3.3500005, 3.3800005, 3.4000005, 3.4500005)
 
+  /** x159's frozen margin-cut dials (fix-lane longs: 0.1/0.3/0.6/1.0
+    * nats) — one constant shared by the gated query, its oracle
+    * generator below, and the OpsSpec dead-band pin. */
+  private[graft] val marginCutDials: Seq[Long] =
+    Seq(100000000000L, 300000000000L, 600000000000L, 1000000000000L)
+
   /** x158's oracle: x16's trigram-Jaccard + recursive-walk chain with
     * the pair cut swept per dial — tok/tri/nt/cand shared (computed at
     * the loosest cut with exact counts), then per dial the threshold
@@ -2943,6 +2988,62 @@ object Ext {
         |$selects
         |)
         |SELECT * FROM fin ORDER BY tau_permille""".stripMargin
+  }
+
+  /** x160's oracle: x145's chunk chain shared, then one next-fit fill
+    * recurrence per capacity dial (recursive CTEs — not fenceable, and
+    * the fan-out is flat: each dial reads `r` once). */
+  private val x160PackLadderSql: String = {
+    val caps = Seq(128, 256, 512)
+    val perCap = caps.map { cap =>
+      s"""|f$cap AS (
+          |  SELECT source, rk, n_chunk_tokens,
+          |    CAST(0 AS BIGINT) AS pack_id, CAST(n_chunk_tokens AS BIGINT) AS fill
+          |  FROM r WHERE rk = 1
+          |  UNION ALL
+          |  SELECT r.source, r.rk, r.n_chunk_tokens,
+          |    CASE WHEN f$cap.fill + r.n_chunk_tokens > $cap
+          |         THEN f$cap.pack_id + 1 ELSE f$cap.pack_id END,
+          |    CASE WHEN f$cap.fill + r.n_chunk_tokens > $cap
+          |         THEN CAST(r.n_chunk_tokens AS BIGINT)
+          |         ELSE f$cap.fill + r.n_chunk_tokens END
+          |  FROM r JOIN f$cap ON r.source = f$cap.source AND r.rk = f$cap.rk + 1),
+          |pk$cap AS (
+          |  SELECT source, pack_id, COUNT(*) AS nc,
+          |    CAST(SUM(n_chunk_tokens) AS BIGINT) AS pt
+          |  FROM f$cap GROUP BY source, pack_id),
+          |rep$cap AS (
+          |  SELECT CAST($cap AS INT) AS capacity,
+          |    CAST(COUNT(*) AS BIGINT) AS n_packs,
+          |    CAST(SUM(nc) AS BIGINT) AS n_chunks,
+          |    CAST(SUM(pt) AS BIGINT) AS packed_tokens,
+          |    (CAST(SUM(pt) AS BIGINT) * 1000) // (COUNT(*) * $cap) AS fill_permille
+          |  FROM pk$cap),""".stripMargin
+    }.mkString("\n")
+    val selects = caps.map(c => s"SELECT * FROM rep$c").mkString("\nUNION ALL\n")
+    s"""|WITH RECURSIVE t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |n AS (SELECT doc_id, toks, len(toks) AS nt FROM t WHERE len(toks) > 0),
+        |c AS (
+        |  SELECT doc_id, toks,
+        |    unnest(generate_series(0, GREATEST(CAST(ceil((nt - 10) / 40.0) AS INT), 1) - 1)) AS ci
+        |  FROM n),
+        |ch AS (
+        |  SELECT doc_id, CAST(ci AS INT) AS chunk_idx,
+        |    CAST(len(toks[ci*40+1 : ci*40+50]) AS INT) AS n_chunk_tokens
+        |  FROM c),
+        |j AS (SELECT ch.doc_id, ch.chunk_idx, ch.n_chunk_tokens, d.source
+        |      FROM ch JOIN documents d ON ch.doc_id = d.doc_id),
+        |r AS (
+        |  SELECT source, n_chunk_tokens,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id, chunk_idx) AS rk
+        |  FROM j),
+        |$perCap
+        |fin AS (
+        |$selects
+        |)
+        |SELECT * FROM fin ORDER BY capacity""".stripMargin
   }
 
   /** x71's trained replay (coarse Lloyd rounds ka1/kc1/ka2/kc2,
@@ -4581,6 +4682,8 @@ object Ext {
     "x155_ann_recall_cost_ladder" -> materializeCtes(x155LadderSql),
 
     "x158_dedup_rate_ladder" -> x158DedupLadderSql,
+
+    "x160_pack_capacity_ladder" -> x160PackLadderSql,
 
     // Trained-index recall replay: x71's two training chains (the
     // coarse Lloyd rounds and the per-subspace PQ k-means, fixed-point
@@ -7941,6 +8044,39 @@ object Ext {
          |      // CAST(SUM(length(s) - length(replace(s, '{', ''))) AS BIGINT) END
          |    AS chars_per_id_permille
          |FROM m GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // Margin-ladder replay: the NB chain on the x139 split, the top-2
+    // pivot and exact fixed-point margin, then one filtered aggregate
+    // per frozen cut dial (the shared marginCutDials literals).
+    "x159_margin_screen_ladder" ->
+      (nbChainSql("doc_id % 5 <> 0", "doc_id % 5 = 0") +
+        """,
+          |t2 AS (
+          |  SELECT doc_id,
+          |    MAX(CASE WHEN rn = 1 THEN pred_label END) AS pred_label,
+          |    MAX(CASE WHEN rn = 1 THEN score_fix END) AS s1_fix,
+          |    MAX(CASE WHEN rn = 2 THEN score_fix END) AS s2_fix
+          |  FROM best WHERE rn <= 2 GROUP BY doc_id),
+          |mg AS (
+          |  SELECT t2.doc_id, s1_fix - s2_fix AS margin_fix,
+          |    te.lang = t2.pred_label AS is_correct
+          |  FROM t2 JOIN test te USING (doc_id)),
+          |""".stripMargin +
+        marginCutDials.zipWithIndex.map { case (c, i) =>
+          s"""|rep$i AS (
+              |  SELECT CAST($c AS BIGINT) AS cut_fix,
+              |    CAST(COUNT(*) AS BIGINT) AS n_kept,
+              |    CAST(SUM(CASE WHEN is_correct THEN 1 ELSE 0 END) AS BIGINT) AS n_correct_kept,
+              |    CASE WHEN COUNT(*) = 0 THEN 0
+              |      ELSE (CAST(SUM(CASE WHEN is_correct THEN 1 ELSE 0 END) AS BIGINT) * 1000) // COUNT(*)
+              |    END AS kept_acc_permille
+              |  FROM mg WHERE margin_fix >= $c),""".stripMargin
+        }.mkString("\n") +
+        s"""|
+            |fin AS (
+            |${marginCutDials.indices.map(i => s"SELECT * FROM rep$i").mkString("\nUNION ALL\n")}
+            |)
+            |SELECT * FROM fin ORDER BY cut_fix""".stripMargin),
 
     // p07 replay: the NB chain screening the WHOLE corpus, the top-2
     // pivot and exact fixed-point margin (x139's lane), the pred='en' ∧

@@ -2380,6 +2380,70 @@ class OpsSpec extends AnyFunSuite {
     assert(out.toSeq == out2.toSeq, "manifest depends on partitioning")
   }
 
+  test("pack-capacity ladder: dials ≡ independent folds; mass conserved; fill bounded") {
+    import graft.ops.Chunking
+    val chunks = Chunking.chunk(docs, "doc_id", "text", chunkTokens = 50,
+      overlap = 10, keepCols = Seq("source"))
+    val caps = Seq(128, 256, 512)
+    val ladder = Chunking.packCapacityLadder(chunks, "source",
+        "n_chunk_tokens", caps, Seq("doc_id", "chunk_idx"))
+      .orderBy("capacity").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(ladder.map(_._1).toSeq == caps)
+    // conservation: every dial packs the same chunks and token mass
+    assert(ladder.map(_._3).distinct.length == 1 &&
+      ladder.map(_._4).distinct.length == 1,
+      s"dials disagree on chunk/token mass: ${ladder.toSeq}")
+    // more capacity can only reduce pack count; fill never exceeds 1000
+    ladder.sliding(2).foreach(w =>
+      if (w.length == 2) assert(w(0)._2 >= w(1)._2, s"packs grew: $w"))
+    assert(ladder.forall(r => r._5 > 0 && r._5 <= 1000))
+    // each dial row equals an INDEPENDENT fold + report
+    caps.zipWithIndex.foreach { case (cap, i) =>
+      val rep = Chunking.packFillReport(
+          Chunking.packChunksStrict(chunks, "source", "n_chunk_tokens",
+            cap, Seq("doc_id", "chunk_idx")),
+          "source", "n_chunk_tokens", cap)
+        .agg(sum(col("n_packs")), sum(col("n_chunks")),
+          sum(col("packed_tokens"))).head()
+      assert((ladder(i)._2, ladder(i)._3, ladder(i)._4) ==
+        ((rep.getLong(0), rep.getLong(1), rep.getLong(2))), s"dial $cap")
+    }
+  }
+
+  test("margin-screen ladder: dials ≡ independent filters; dead-band pinned; retention monotone") {
+    import graft.ops.Classify
+    val m = Classify.trainNaiveBayes(
+      docs.filter(col("doc_id") % 5 =!= 0), "lang", "text")
+    val scored = Classify.nbMarginScores(m,
+      docs.filter(col("doc_id") % 5 === 0), "doc_id", "lang", "text")
+    val cuts = graft.queries.Ext.marginCutDials
+    val ladder = Classify.marginScreenLadder(scored, cuts)
+      .orderBy("cut_fix").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(ladder.map(_._1).toSeq == cuts)
+    assert(ladder(0)._2 > 0, "loosest dial must keep something")
+    // cut sets nest: retention never grows with the cut
+    ladder.sliding(2).foreach(w =>
+      if (w.length == 2) assert(w(0)._2 >= w(1)._2, s"retention grew: $w"))
+    // dead-band: every attainable margin sits ≥10⁶ fix units (≫ the
+    // few-unit ln jitter) from every frozen dial — the dial rule
+    val margins = scored.select("margin_fix").collect().map(_.getLong(0))
+    cuts.foreach { c =>
+      margins.foreach(mg => assert(math.abs(mg - c) > 1000000L,
+        s"margin $mg within the jitter dead-band of dial $c"))
+    }
+    // each dial row equals an INDEPENDENT filter + aggregate
+    cuts.zipWithIndex.foreach { case (c, i) =>
+      val kept = scored.filter(col("margin_fix") >= c)
+      val nk = kept.count()
+      val nc = kept.filter(col("is_correct")).count()
+      val acc = if (nk == 0) 0L else nc * 1000 / nk
+      assert(ladder(i) == ((c, nk, nc, acc)), s"dial $c: ${ladder(i)}")
+    }
+  }
+
   test("LM foldable stats: shard-merge laws; scoreFromStats ≡ perplexityScoreSelf") {
     import graft.ops.LangModel
     // bigram-grid fold law: per-shard grids merge to the whole-corpus
