@@ -230,7 +230,15 @@ object Layout {
     * reads back exactly as a full rebuild over static ∪ delta with the
     * static bounds — the x126 oracle law. `filesPerCell` applies to the
     * rewritten cell dirs exactly as in [[zOrderWrite]] (a touched cell's
-    * rewrite is a small full write of that cell). */
+    * rewrite is a small full write of that cell).
+    *
+    * REPLAY CONTRACT (the r16 at-least-once review): delta rows append
+    * VERBATIM — unlike the keyed compactions (winnowing/ivfPq/bm25)
+    * this operator cannot dedupe, because layout rows need no unique
+    * key and legitimate duplicate rows must survive. An at-least-once
+    * caller (foreachBatch) must make replays idempotent upstream:
+    * carry a unique row key and anti-join it, or land batches in
+    * batch-keyed directories (the s28 pattern) before folding. */
   def zOrderCompact(spark: SparkSession, path: String, delta: DataFrame,
                     xCol: String, yCol: String, b: ZBounds,
                     bits: Int = 8, cellBits: Int = 4,

@@ -215,7 +215,12 @@ object Retrieval {
     model.df.withColumn("wb", termBucket(col("w"), nBuckets))
       .repartition(col("wb")).sortWithinPartitions(col("wb"), col("w"))
       .write.mode("overwrite").partitionBy("wb").parquet(s"$path/df")
-    model.stats.coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+    // stats rows are BATCH-KEYED (bk): the base write owns bk=base, each
+    // compaction owns a content-derived key — serving aggregates the
+    // tiny per-fold rows, and an at-least-once replayed fold OVERWRITES
+    // its own row instead of double-adding (see [[bm25Compact]])
+    model.stats.withColumn("bk", lit("base")).coalesce(1)
+      .write.mode("overwrite").partitionBy("bk").parquet(s"$path/stats")
   }
 
   /** COMPACTION of a written [[bm25WriteModel]] tree (the text analog of
@@ -231,7 +236,20 @@ object Retrieval {
     * streaming engine). Doc sets must be disjoint (appends are new
     * docs). Merged frames are materialized (localCheckpoint) before the
     * overwrite starts — Spark cannot safely overwrite storage it is
-    * still lazily reading. */
+    * still lazily reading.
+    *
+    * REPLAY-SAFE (the winnowing/ivfPq r16 review applied to the
+    * ADDITIVE fold): `foreachBatch` is at-least-once, and a replayed
+    * count-adding fold would silently double df/nd/ntok. Three moves
+    * make the whole fold idempotent: postings dedupe on (id, term)
+    * (replayed rows are exact duplicates); df DERIVES from the deduped
+    * postings (df(w) = #(doc, w) rows — identical to the additive
+    * merge for genuinely-new appends, immune to replays); stats rows
+    * are keyed by a CONTENT-derived batch key under dynamic partition
+    * overwrite, so a replayed delta overwrites its own 1-row partition
+    * instead of appending a second copy (serving aggregates the
+    * per-fold rows — fold-count-sized, tiny). OpsSpec asserts
+    * fold-twice ≡ fold-once on the served output. */
   def bm25Compact(spark: org.apache.spark.sql.SparkSession, path: String,
                   deltaDocs: DataFrame, idCol: String, textCol: String,
                   nBuckets: Int = 64): Unit = {
@@ -254,20 +272,22 @@ object Retrieval {
         .select(col(idCol), col("dl"), col("w"), col("tf"), col("wb"))
         .unionByName(dp.select(col(idCol), col("dl"), col("w"), col("tf"),
           col("wb")))
+        .dropDuplicates(idCol, "w")
         .repartition(col("wb")).sortWithinPartitions(col("wb"), col("w")))
+    // df DERIVES from the deduped postings: df(w) = #(doc, w) rows —
+    // exact for genuinely-new appends AND under replays
     val mergedDf = Caches.localCheckpointScoped(
-      spark.read.parquet(s"$path/df")
-        .withColumn("wb", col("wb").cast("long"))
-        .join(broadcast(touched), "wb")
-        .select(col("w"), col("df"), col("wb"))
-        .unionByName(deltaM.df
-          .withColumn("wb", termBucket(col("w"), nBuckets))
-          .select(col("w"), col("df"), col("wb")))
-        .groupBy("wb", "w").agg(sum(col("df")).as("df"))
+      mergedP.df.groupBy("wb", "w").agg(count(lit(1)).as("df"))
         .repartition(col("wb")).sortWithinPartitions(col("wb"), col("w")))
-    val mergedStats = Caches.localCheckpointScoped(
-      spark.read.parquet(s"$path/stats").unionByName(deltaM.stats)
-        .agg(sum(col("nd")).as("nd"), sum(col("ntok")).as("ntok")))
+    // content-derived batch key: identical delta ⇒ identical key ⇒ a
+    // replayed fold overwrites its own stats row (one small delta agg)
+    // per-row hashes fold into a mod-p lane so the ANSI sum cannot
+    // overflow (≤ ~9·10⁹ rows per batch before wrap — far past any
+    // micro-batch); order-free, deterministic
+    val bkRow = dp.agg(count(lit(1)).as("n"),
+      coalesce(sum(pmod(xxhash64(col(idCol), col("w"), col("tf")),
+        lit(1000000007L))), lit(0L)).as("h")).head()
+    val bk = s"${bkRow.getLong(0)}_${java.lang.Long.toHexString(bkRow.getLong(1))}"
     try {
       withDynamicOverwrite {
         mergedP.df.write.mode("overwrite").partitionBy("wb")
@@ -275,10 +295,18 @@ object Retrieval {
         mergedDf.df.select(col("w"), col("df"), col("wb"))
           .write.mode("overwrite").partitionBy("wb").parquet(s"$path/df")
       }
-      mergedStats.df.coalesce(1).write.mode("overwrite")
-        .parquet(s"$path/stats")
+      // the stats row writes DIRECTLY into its keyed subdirectory —
+      // dir-scoped overwrite, deliberately NOT partitionBy+dynamic:
+      // inside foreachBatch this frame derives from the micro-batch df,
+      // whose CLONED session snapshotted the overwrite mode before the
+      // conf above was set — partitionBy under that clone would run a
+      // STATIC overwrite and silently delete every other fold's row
+      // (the postings/df writes are immune: their unions lead with this
+      // session's reads, so the dynamic conf applies)
+      deltaM.stats.coalesce(1).write.mode("overwrite")
+        .parquet(s"$path/stats/bk=$bk")
     } finally {
-      mergedP.release(); mergedDf.release(); mergedStats.release()
+      mergedP.release(); mergedDf.release()
     }
   }
 
@@ -305,7 +333,9 @@ object Retrieval {
     val dfT = spark.read.parquet(s"$path/df")
       .filter(col("wb").isin(buckets: _*))
       .select(col("w"), col("df"))
+    // per-fold batch-keyed stats rows aggregate to the corpus totals
     val stats = spark.read.parquet(s"$path/stats")
+      .agg(sum(col("nd")).as("nd"), sum(col("ntok")).as("ntok"))
     bm25ServeAllIndexed(Bm25Model(postings, dfT, stats), idCol, queries,
       qIdCol, termsCol, k)
   }

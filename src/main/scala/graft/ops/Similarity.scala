@@ -597,7 +597,11 @@ object Similarity {
     * rows are carried over untouched. Read-after-compaction ≡ the
     * frozen-model rebuild over static ∪ Δ (harness query x91's oracle
     * is x90's SQL verbatim; OpsSpec pins read-back ≡ the delta
-    * operator for 1-vector and full deltas). */
+    * operator for 1-vector and full deltas). REPLAY-SAFE by
+    * construction (the r16 at-least-once review): affected sources'
+    * lists are RECOMPUTED as a pure function of stored ∪ Δ-touching
+    * pairs — re-folding the same Δ recomputes the identical lists and
+    * rewrites the same cells, a no-op, with nothing additive anywhere. */
   def knnGraphCompact(spark: org.apache.spark.sql.SparkSession,
                       path: String, staticEmb: DataFrame, delta: DataFrame,
                       vecCol: String, idCol: String, k: Int = 5,

@@ -1169,10 +1169,29 @@ class OpsSpec extends AnyFunSuite {
         .map(r => r.getString(0) -> r.getLong(1)).toMap
       val expDf = full.df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       assert(gotDf == expDf, "compacted df diverged")
-      val gotS = spark.read.parquet(s"$treeA/stats").collect()
-        .map(r => (r.getLong(0), r.getLong(1))).toSeq
-      val expS = full.stats.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
-      assert(gotS == expS, "compacted stats diverged")
+      // stats rows are batch-keyed (base + one per fold) and AGGREGATE
+      // to the rebuilt model's totals
+      def statTotals(path: String): (Long, Long) = {
+        val r = spark.read.parquet(s"$path/stats")
+          .agg(sum(col("nd")), sum(col("ntok"))).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      val expS = full.stats.head()
+      assert(statTotals(treeA) == ((expS.getLong(0), expS.getLong(1))),
+        "compacted stats diverged")
+      // replay safety: foreachBatch is at-least-once — re-folding the
+      // SAME delta must be a no-op (postings dedupe on (doc, term), df
+      // re-derives from them, the stats row overwrites its own
+      // content-derived batch key instead of double-adding)
+      Retrieval.bm25Compact(spark, treeA,
+        docs.filter(col("doc_id") % 7 === 0), "doc_id", "text")
+      val replayP = spark.read.parquet(s"$treeA/postings")
+        .select("doc_id", "dl", "w", "tf").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3)))
+      assert(replayP.length == expP.size && replayP.toSet == expP,
+        "replayed compaction duplicated postings")
+      assert(statTotals(treeA) == ((expS.getLong(0), expS.getLong(1))),
+        "replayed compaction double-added stats")
       // locality: a single-NEW-term delta doc touches exactly one bucket
       // in postings and df; untouched bucket dirs keep their files
       Retrieval.bm25WriteModel(Retrieval.bm25BuildModel(docs, "doc_id",
