@@ -473,10 +473,17 @@ object Bpe {
     else {
       val ids = encodeWordIdsUncached(w)
       if (w.length <= wordIdCacheMaxWordLen &&
-          wordIdCache.size < wordIdCacheCap &&
-          wordIdCacheBytes.get < wordIdCacheMaxBytes &&
-          wordIdCache.putIfAbsent(w, ids) == null)
-        wordIdCacheBytes.addAndGet(2L * w.length + 4L * ids.length + 64L)
+          wordIdCache.size < wordIdCacheCap) {
+        // RESERVE the bytes before inserting (addAndGet, rolled back on
+        // a lost put race or a blown budget) so concurrent executor
+        // threads cannot collectively overshoot the byte cap — the
+        // check-then-add form could exceed it by threads × entry size
+        val sz = 2L * w.length + 4L * ids.length + 64L
+        if (wordIdCacheBytes.addAndGet(sz) <= wordIdCacheMaxBytes) {
+          if (wordIdCache.putIfAbsent(w, ids) != null)
+            wordIdCacheBytes.addAndGet(-sz)
+        } else wordIdCacheBytes.addAndGet(-sz)
+      }
       ids
     }
   }

@@ -153,7 +153,15 @@ object LangModel {
     * transition count c: Σ c·lp_fix ≡ the instance-stream sum).
     * Covers docs with ≥1 transition (exactly the set the curriculum
     * lanes score); bit-identical to [[perplexityScoreSelf]] on the
-    * same corpus (OpsSpec pins it). */
+    * same corpus (OpsSpec pins it).
+    *
+    * Extreme-scale note: the bigram grid and its derived unigram frame
+    * are VOCABULARY²-bounded and broadcast here (right for the
+    * word-level grids this lane maintains); at a corpus whose observed
+    * bigram vocabulary outgrows the broadcast budget, swap the two
+    * broadcasts for plain shuffle joins on `prev` / (`prev`, `cur`) —
+    * the arithmetic is unchanged, the joins are standard keyed
+    * shuffles. */
   def scoreFromBigramStats(docTr: DataFrame, idCol: String, bi: DataFrame,
                            vocabSize: Long): DataFrame = {
     val uni = bi.groupBy("prev").agg(sum(col("cb")).as("cu"))

@@ -238,6 +238,17 @@ object Retrieval {
     * overwrite starts — Spark cannot safely overwrite storage it is
     * still lazily reading.
     *
+    * The disjoint-docs contract is LOUD (VERDICT r16): a delta id that
+    * already exists in the touched buckets must be an EXACT replay —
+    * every (id, term) row agreeing on (tf, dl) in both directions. A
+    * delta that re-ships an existing doc with CHANGED text raises
+    * before any write (one delta-sized symmetric-difference count over
+    * the touched-bucket postings), instead of silently keeping an
+    * arbitrary tf/dl row and letting df drift from a rebuild. The
+    * check is touched-bucket-scoped — best-effort for a changed doc
+    * sharing ZERO term buckets with its old self (practically never:
+    * dl rides every row, so any shared bucket flags it).
+    *
     * REPLAY-SAFE (the winnowing/ivfPq r16 review applied to the
     * ADDITIVE fold): `foreachBatch` is at-least-once, and a replayed
     * count-adding fold would silently double df/nd/ntok. Three moves
@@ -265,11 +276,30 @@ object Retrieval {
         case None => spark.conf.unset(key)
       }
     }
+    val existing = spark.read.parquet(s"$path/postings")
+      .withColumn("wb", col("wb").cast("long"))
+      .join(broadcast(touched), "wb")
+      .select(col(idCol), col("dl"), col("w"), col("tf"), col("wb"))
+    // loud disjoint-docs contract: rows of delta ids already present in
+    // the touched buckets must match EXACTLY (an at-least-once replay);
+    // any symmetric difference on (id, w, dl, tf) is a changed re-ship
+    // — fail before any write. Both sides are delta-sized.
+    val deltaIds = dp.select(col(idCol)).distinct()
+    val exShared = existing.join(broadcast(deltaIds), Seq(idCol), "left_semi")
+      .select(col(idCol), col("dl"), col("w"), col("tf"))
+    val dpShared = dp.join(
+        broadcast(exShared.select(col(idCol)).distinct()), Seq(idCol),
+        "left_semi")
+      .select(col(idCol), col("dl"), col("w"), col("tf"))
+    val nChanged = dpShared.except(exShared)
+      .union(exShared.except(dpShared)).count()
+    require(nChanged == 0L,
+      s"bm25Compact: delta re-ships existing docs with CHANGED content " +
+        s"($nChanged differing (doc, term) rows in the touched buckets); " +
+        "appends must be new docs — exact replays are the only tolerated " +
+        "overlap (they fold idempotently)")
     val mergedP = Caches.localCheckpointScoped(
-      spark.read.parquet(s"$path/postings")
-        .withColumn("wb", col("wb").cast("long"))
-        .join(broadcast(touched), "wb")
-        .select(col(idCol), col("dl"), col("w"), col("tf"), col("wb"))
+      existing
         .unionByName(dp.select(col(idCol), col("dl"), col("w"), col("tf"),
           col("wb")))
         .dropDuplicates(idCol, "w")
@@ -280,14 +310,22 @@ object Retrieval {
       mergedP.df.groupBy("wb", "w").agg(count(lit(1)).as("df"))
         .repartition(col("wb")).sortWithinPartitions(col("wb"), col("w")))
     // content-derived batch key: identical delta ⇒ identical key ⇒ a
-    // replayed fold overwrites its own stats row (one small delta agg)
-    // per-row hashes fold into a mod-p lane so the ANSI sum cannot
-    // overflow (≤ ~9·10⁹ rows per batch before wrap — far past any
-    // micro-batch); order-free, deterministic
+    // replayed fold overwrites its own stats row (one small delta agg).
+    // THREE independent lanes (ADVICE r16: the count+mod-p-sum pair
+    // alone could collide across different deltas and silently overwrite
+    // a foreign fold's stats partition): row count; per-row hashes
+    // summed in a mod-p lane (the ANSI sum cannot overflow below ~9·10⁹
+    // rows per batch — far past any micro-batch); and the full 64-bit
+    // xxhash64 values folded by XOR (order-free, no overflow by
+    // construction). A collision now needs all three to agree — ~2⁻⁹⁴
+    // for adversarial inputs, negligible for real deltas.
     val bkRow = dp.agg(count(lit(1)).as("n"),
       coalesce(sum(pmod(xxhash64(col(idCol), col("w"), col("tf")),
-        lit(1000000007L))), lit(0L)).as("h")).head()
-    val bk = s"${bkRow.getLong(0)}_${java.lang.Long.toHexString(bkRow.getLong(1))}"
+        lit(1000000007L))), lit(0L)).as("h"),
+      coalesce(expr(s"bit_xor(xxhash64($idCol, w, tf))"), lit(0L)).as("x"))
+      .head()
+    val bk = s"${bkRow.getLong(0)}_${java.lang.Long.toHexString(bkRow.getLong(1))}" +
+      s"_${java.lang.Long.toHexString(bkRow.getLong(2))}"
     try {
       withDynamicOverwrite {
         mergedP.df.write.mode("overwrite").partitionBy("wb")

