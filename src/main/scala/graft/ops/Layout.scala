@@ -146,8 +146,11 @@ object Layout {
     require(!r.isNullAt(0) && !r.isNullAt(2),
       "zOrderWrite needs a non-empty frame with non-null keys")
     val b = ZBounds(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
-    routeCells(withZOrderFrozen(in, xCol, yCol, b, bits), bits, cellBits,
-        filesPerCell)
+    // __fold carries each row's fold provenance (the base write owns
+    // "base"); a constant per file, so parquet dictionary-encodes it to
+    // ~nothing — see [[zOrderCompact]]'s replay contract
+    routeCells(withZOrderFrozen(in, xCol, yCol, b, bits)
+        .withColumn("__fold", lit("base")), bits, cellBits, filesPerCell)
       .write.mode("overwrite").partitionBy("cell").parquet(path)
     b
   }
@@ -232,13 +235,25 @@ object Layout {
     * rewritten cell dirs exactly as in [[zOrderWrite]] (a touched cell's
     * rewrite is a small full write of that cell).
     *
-    * REPLAY CONTRACT (the r16 at-least-once review): delta rows append
-    * VERBATIM — unlike the keyed compactions (winnowing/ivfPq/bm25)
-    * this operator cannot dedupe, because layout rows need no unique
-    * key and legitimate duplicate rows must survive. An at-least-once
-    * caller (foreachBatch) must make replays idempotent upstream:
-    * carry a unique row key and anti-join it, or land batches in
-    * batch-keyed directories (the s28 pattern) before folding. */
+    * REPLAY-SAFE (VERDICT r16 — the last compaction that replayed
+    * unsafely): layout rows need no unique key and legitimate
+    * duplicate rows within a delta must survive, so the fold cannot
+    * dedupe row-wise like winnowing/ivfPq/bm25. Instead every stored
+    * row carries `__fold`, a CONTENT-derived key of the delta it
+    * arrived in (count + mod-p hash sum + xor of full xxhash64 over
+    * the data columns in sorted-name order — the bm25 three-lane key).
+    * A fold first DROPS any stored rows tagged with ITS OWN key from
+    * the touched cells before unioning the delta back in, so
+    * fold-twice ≡ fold-once EXACTLY — even when the first attempt
+    * crashed after writing (the replay re-drops the partial rows and
+    * re-lands them; same touched cells, since cell assignment is a
+    * pure function of content under the frozen bounds). OpsSpec pins
+    * fold-twice ≡ fold-once ≡ rebuild on the served zone map.
+    * Corollary: a delta with IDENTICAL content to an earlier fold is
+    * idempotent BY DESIGN (at-least-once semantics); a caller that
+    * legitimately appends the same content twice must salt a column
+    * upstream (e.g. a batch id) to distinguish the folds. `__fold` is
+    * per-file constant, so it dictionary-encodes to ~nothing. */
   def zOrderCompact(spark: SparkSession, path: String, delta: DataFrame,
                     xCol: String, yCol: String, b: ZBounds,
                     bits: Int = 8, cellBits: Int = 4,
@@ -246,14 +261,27 @@ object Layout {
     require(cellBits >= 1 && cellBits <= bits,
       s"cellBits out of range: $cellBits vs bits=$bits")
     // same null-key contract as the write (see zOrderWrite's scaladoc)
-    val dz = withZOrderFrozen(
-        delta.filter(col(xCol).isNotNull && col(yCol).isNotNull),
-        xCol, yCol, b, bits)
+    val din = delta.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+    // content-derived fold key over the delta's own columns in a
+    // canonical (sorted-name) order: three independent order-free lanes
+    val dataCols = din.columns.sorted.map(col).toSeq
+    val kr = din.agg(count(lit(1)).as("n"),
+      coalesce(sum(pmod(xxhash64(dataCols: _*), lit(1000000007L))),
+        lit(0L)).as("h"),
+      coalesce(expr(s"bit_xor(xxhash64(${din.columns.sorted
+        .map(c => s"`$c`").mkString(", ")}))"), lit(0L)).as("x")).head()
+    val foldKey = s"${kr.getLong(0)}_${java.lang.Long.toHexString(kr.getLong(1))}" +
+      s"_${java.lang.Long.toHexString(kr.getLong(2))}"
+    val dz = withZOrderFrozen(din, xCol, yCol, b, bits)
+      .withColumn("__fold", lit(foldKey))
       .withColumn("cell", shiftright(col("z"), 2 * (bits - cellBits)))
     val touched = dz.select(col("cell")).distinct()
     val staticTouched = spark.read.parquet(path)
       .withColumn("cell", col("cell").cast("long"))
       .join(broadcast(touched), "cell")
+      // replay guard: rows this very fold landed in an earlier
+      // (possibly partial) attempt are dropped before re-landing
+      .filter(col("__fold") =!= foldKey)
     val merged = Caches.localCheckpointScoped(routeCells(staticTouched
       .unionByName(dz.select(staticTouched.columns.map(col): _*))
       .drop("cell"), bits, cellBits, filesPerCell))
