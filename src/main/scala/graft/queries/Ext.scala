@@ -775,6 +775,42 @@ object Ext {
         .orderBy("doc_id")
     },
 
+    // TRAINED-TOKENIZER PRODUCTION LANE (x161, VERDICT r16 #1): the
+    // composition a real pipeline ships — train the byte-complete
+    // vocab ON THE CORPUS (x157's trainCorpusBytes), FREEZE the merge
+    // table, then run the x137-shaped encode→pack under the TRAINED
+    // table instead of the fixed seed one: CDC chunks → token-id
+    // sequences (count + exact id sum per chunk) → strict next-fit
+    // packs per lang, with per-pack chunk/id/id-sum totals. The hash
+    // moves if TRAINING drifts (different merges → different ids and
+    // counts), if ENCODING drifts (merge application or the 255+rank
+    // first-wins id mint), or if PACKING drifts (the fill recurrence).
+    // At a production vocab size (~100k merges) the replace-chain
+    // encode would swap for the native per-word merge-loop expression
+    // under the trained table (the x134 hot path generalized); the
+    // 6-merge gate rides the chain, which IS the oracle's textual
+    // mirror. FULL oracle: x157's training replay chained into x137's
+    // chunk/pack replay with ids minted from the learned pairs.
+    "x161_trained_tokenizer_pipeline" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val table = graft.ops.Bpe.trainCorpusBytes(docs, "text", nMerges = 6)
+        .toIndexedSeq
+      val chunks = Chunking.contentDefinedChunks(docs, "doc_id", "text",
+          windowWords = 4, maskMod = 16, keepCols = Seq("lang"))
+        .withColumn("ids", graft.ops.Bpe.encodeIdsChain(col("chunk"), table))
+        .select(col("doc_id"), col("chunk_idx"), col("lang"),
+          size(col("ids")).as("n_ids"),
+          expr("aggregate(ids, CAST(0 AS BIGINT), (a, x) -> a + x)")
+            .as("ids_sum"))
+      Chunking.packChunksStrict(chunks, "lang", "n_ids",
+          capacity = 512, orderCols = Seq("doc_id", "chunk_idx"))
+        .groupBy("lang", "pack_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(col("n_ids")).cast("long").as("pack_ids"),
+          sum(col("ids_sum")).cast("long").as("pack_ids_sum"))
+        .orderBy("lang", "pack_id")
+    },
+
     "x12_lang_guess" -> { (s, dir) =>
       Tables.documents(s, dir)
         .withColumn("lang_guess", TextStats.langGuess(col("text")))
@@ -3838,10 +3874,12 @@ object Ext {
           |  FROM $prev, b$r),""".stripMargin
     }.mkString("\n")
 
-  private def bpeAppsSql(nMerges: Int): String =
+  /** The application-pass CTEs (one learned replace per round) shared
+    * by x83/x157 (doc-keyed) and x161 (chunk-keyed via `keyCols`). */
+  private def bpeAppsSql(nMerges: Int, keyCols: String = "doc_id"): String =
     (1 to nMerges).map { r =>
       s"""|app$r AS (
-          |  SELECT doc_id, replace(s, '{' || b$r.a || '} {' || b$r.b || '}',
+          |  SELECT $keyCols, replace(s, '{' || b$r.a || '} {' || b$r.b || '}',
           |    '{' || b$r.a || b$r.b || '}') AS s
           |  FROM app${r - 1}, b$r),""".stripMargin
     }.mkString("\n")
@@ -3889,6 +3927,88 @@ object Ext {
         |SELECT doc_id,
         |  CAST(length(s) - length(replace(s, '{', '')) AS INT) AS bpe_tokens
         |FROM final ORDER BY doc_id""".stripMargin
+
+  /** x161's oracle — the TRAINED-tokenizer production lane: x157's
+    * training replay (shared round CTEs minting b1..b6) chained into
+    * x137's chunk/pack replay, with the per-chunk encode applying the
+    * LEARNED pairs instead of the fixed seed table and ids minted by
+    * [[graft.ops.Bpe.vocabOf]]'s discipline in SQL — base hex symbols
+    * id = their byte value, merge rank r (1-based) mints 255 + r,
+    * first-wins on duplicate surface strings (MIN(r)). n_ids derives
+    * from the brace count (not the unnested symbol rows, which would
+    * drop an empty chunk); ids_sum left-joins back with COALESCE 0 for
+    * the same reason. The pack recurrence is x137's verbatim with
+    * ids_sum threaded through. */
+  private val x161TrainedPipelineSql: String = {
+    val vcbUnion = (1 to 6)
+      .map(r => s"SELECT $r AS r, a || b AS s FROM b$r")
+      .mkString(" UNION ALL ")
+    s"""|WITH RECURSIVE w0 AS (
+        |  SELECT w, COUNT(*) AS cnt FROM (
+        |    SELECT unnest(regexp_extract_all(text, '[^ \\t\\n\\f\\r]+')) AS w
+        |    FROM documents)
+        |  GROUP BY w),
+        |s0 AS (SELECT cnt, regexp_replace(lower(hex(w)), '(..)', '{\\1} ', 'g') AS s FROM w0),
+        |${bpeRoundsSql(6)}
+        |vcb AS (SELECT s, 255 + MIN(r) AS id FROM ($vcbUnion) GROUP BY s),
+        |t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |n AS (SELECT doc_id, ts, len(ts) AS nt FROM t),
+        |bd AS (
+        |  SELECT doc_id, ts, nt,
+        |    CASE WHEN nt >= 4 THEN
+        |      list_filter(generate_series(4, nt), i ->
+        |        CAST('0x' || substr(md5(array_to_string(ts[i-3:i], ' ')), 1, 4) AS INT) % 16 = 0)
+        |    ELSE [] END AS bnd
+        |  FROM n),
+        |fb AS (
+        |  SELECT doc_id, ts, nt,
+        |    CASE WHEN len(bnd) > 0 AND bnd[-1] = nt THEN bnd
+        |         ELSE list_append(bnd, nt) END AS bnd2
+        |  FROM bd),
+        |c AS (
+        |  SELECT doc_id, unnest(generate_series(1, len(bnd2))) AS ci, ts, bnd2
+        |  FROM fb),
+        |ck AS (
+        |  SELECT doc_id, CAST(ci AS INT) AS chunk_idx,
+        |    array_to_string(ts[CASE WHEN ci = 1 THEN 1 ELSE bnd2[ci-1] + 1 END : bnd2[ci]], ' ') AS chunk
+        |  FROM c),
+        |app0 AS (
+        |  SELECT doc_id, chunk_idx, array_to_string(list_transform(
+        |    regexp_extract_all(chunk, '[^ \\t\\n\\f\\r]+'),
+        |    w -> regexp_replace(lower(hex(w)), '(..)', '{\\1} ', 'g')), '/ ') AS s
+        |  FROM ck),
+        |${bpeAppsSql(6, "doc_id, chunk_idx")}
+        |syms AS (SELECT doc_id, chunk_idx,
+        |    unnest(regexp_extract_all(s, '\\{([^}]*)\\}', 1)) AS sy FROM app6),
+        |tid AS (SELECT doc_id, chunk_idx,
+        |    CASE WHEN length(sy) = 2 THEN CAST('0x' || sy AS INT) ELSE vcb.id END AS tid
+        |  FROM syms LEFT JOIN vcb ON vcb.s = sy),
+        |idsum AS (SELECT doc_id, chunk_idx, CAST(SUM(tid) AS BIGINT) AS ids_sum
+        |          FROM tid GROUP BY 1, 2),
+        |cnt AS (SELECT a.doc_id, a.chunk_idx,
+        |    CAST(length(a.s) - length(replace(a.s, '{', '')) AS INT) AS n_ids,
+        |    COALESCE(idsum.ids_sum, 0) AS ids_sum
+        |  FROM app6 a LEFT JOIN idsum USING (doc_id, chunk_idx)),
+        |j AS (SELECT cnt.doc_id, cnt.chunk_idx, cnt.n_ids, cnt.ids_sum, d.lang
+        |      FROM cnt JOIN documents d USING (doc_id)),
+        |r AS (
+        |  SELECT lang, n_ids, ids_sum,
+        |    row_number() OVER (PARTITION BY lang ORDER BY doc_id, chunk_idx) AS rk
+        |  FROM j),
+        |f(lang, rk, n_ids, ids_sum, pack_id, fill) AS (
+        |  SELECT lang, rk, n_ids, ids_sum, CAST(0 AS BIGINT), CAST(n_ids AS BIGINT)
+        |  FROM r WHERE rk = 1
+        |  UNION ALL
+        |  SELECT r.lang, r.rk, r.n_ids, r.ids_sum,
+        |    CASE WHEN f.fill + r.n_ids > 512 THEN f.pack_id + 1 ELSE f.pack_id END,
+        |    CASE WHEN f.fill + r.n_ids > 512 THEN CAST(r.n_ids AS BIGINT)
+        |         ELSE f.fill + r.n_ids END
+        |  FROM r JOIN f ON r.lang = f.lang AND r.rk = f.rk + 1)
+        |SELECT lang, pack_id, COUNT(*) AS n_chunks,
+        |  CAST(SUM(n_ids) AS BIGINT) AS pack_ids,
+        |  CAST(SUM(ids_sum) AS BIGINT) AS pack_ids_sum
+        |FROM f GROUP BY lang, pack_id ORDER BY lang, pack_id""".stripMargin
+  }
 
   private val enList = TextStats.stopwords("en").map(w => s"'$w'").mkString("[", ",", "]")
   private val esList = TextStats.stopwords("es").map(w => s"'$w'").mkString("[", ",", "]")
@@ -4906,6 +5026,12 @@ object Ext {
     "x83_bpe_corpus_trained" -> x83BpeSql,
 
     "x157_bpe_corpus_trained_bytes" -> x157BpeBytesSql,
+
+    // Trained-tokenizer production-lane replay: training rounds +
+    // learned-pair application per CDC chunk + vocab id mint + the
+    // pack recurrence — fenced (b1..b6/app6/vcb feed multiple
+    // consumers; the recursive member is left alone).
+    "x161_trained_tokenizer_pipeline" -> materializeCtes(x161TrainedPipelineSql),
 
     // Generated from the same merge table the engine applies: the chain
     // of replace() passes IS the BPE application, so hits and misses of

@@ -85,6 +85,25 @@ class BpeSpec extends AnyFunSuite {
       Bpe.encodeSymbols("Héllo, Wörld! 42 Héllo, 42", toyTable.toIndexedSeq).length)
   }
 
+  test("trained-table encode-to-ids (the x161 lane): chain ≡ local reference, ids in the minted vocab") {
+    // the production-lane composition: TRAIN on the corpus, freeze,
+    // encode under the trained table — the id sequences must equal the
+    // rank-ordered sequential reference under the same vocabOf mint
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val table = Bpe.trainCorpusBytes(docs, "text", 6).toIndexedSeq
+    val got = docs.select(col("doc_id"),
+        Bpe.encodeIdsChain(col("text"), table).as("ids"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toList).toMap
+    val vocabIds = Bpe.vocabOf(table).map(_._2).toSet
+    docs.select(col("doc_id"), col("text")).collect().foreach { r =>
+      val expect = Bpe.encodeIdsLocal(r.getString(1), table).toList
+      assert(got(r.getLong(0)) == expect,
+        s"doc ${r.getLong(0)}: trained-table chain ids diverged from reference")
+      assert(expect.forall(vocabIds.contains),
+        s"doc ${r.getLong(0)}: id outside the minted vocab")
+    }
+  }
+
   test("fixed byte merge table is deterministic, non-trivial, and learns real subwords") {
     assert(Bpe.merges == Bpe.trainBytes(Bpe.seedTextBytes, 160))
     assert(Bpe.merges.length >= 120, s"only ${Bpe.merges.length} merges learned")
