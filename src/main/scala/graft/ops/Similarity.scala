@@ -2363,4 +2363,95 @@ object Similarity {
           col("n_candidates"))
     }.reduce(_.unionByName(_))
   }
+
+  /** RECALL-vs-COST dial ladder for the BANDED LSH family (VERDICT r16
+    * #2 — the x155 discipline on the dial a deployer most needs priced:
+    * collision probability moves recall sharply with band geometry,
+    * the x68 25%→90% observation). Serves the x45/x153 banded batch
+    * path at each `(nBands, bandBits)` dial over ONE shared
+    * corpus/query set and reports, per dial, the recall@k mass against
+    * the exact rounded-cosine ground truth and the candidate-pair
+    * volume the exact rescore touches. One row per dial: (n_bands,
+    * band_bits, n_queries, sum_recall_permille, mean_recall_permille,
+    * n_candidates) — everything exact integers, so the whole ladder
+    * hash-gates (harness query x162).
+    *
+    * Cost structure — what nests and what doesn't: band VALUES change
+    * completely with `bandBits` (the same global planes regroup into
+    * different band words), so each distinct bandBits level pays its
+    * own index build + collision join (the x160 "dials don't nest"
+    * precedent, stated honestly). But for FIXED bandBits, band j's
+    * word depends only on j — an nBands=8 index IS the `pos < 8` slice
+    * of the nBands=16 one — so all same-bits dials share ONE build and
+    * ONE collision join at the group's widest nBands, with the
+    * per-pair MINIMUM colliding band index retained: dial n's
+    * candidate set is exactly the `first_band < n` slice (a pair
+    * collides within the first n bands iff its first collision sits
+    * there). The per-pair frame is checkpointed per group (iterative-
+    * operator discipline); the exact ground truth ([[cosineTopKAll]] —
+    * quadratic by construction, the documented measurement path: audit
+    * a query SAMPLE at 100 TB) is persisted and paid once for ALL
+    * dials. */
+  def annBandedRecallCostLadder(corpus: DataFrame, queries: DataFrame,
+                                vecCol: String, idCol: String,
+                                qIdCol: String, k: Int,
+                                dials: Seq[(Int, Int)],
+                                dims: Int = 64): DataFrame = {
+    require(dials.nonEmpty, "need at least one (nBands, bandBits) dial")
+    require(dials.distinct == dials, s"duplicate dials: $dials")
+    dials.foreach { case (n, b) =>
+      require(n >= 1 && b >= 1 && b <= 16,
+        s"dial out of range: nBands=$n, bandBits=$b")
+    }
+    val exact = Caches.persistTracked(
+      cosineTopKAll(corpus, vecCol, idCol, queries, qIdCol, k))
+    val qUniverse = queries.select(col(qIdCol).as("q_id"))
+    val cVec = corpus.select(col(idCol).as("vec_id"),
+      col(vecCol).cast("array<double>").as("__v"))
+    val qVec = queries.select(col(qIdCol).as("q_id"),
+      col(vecCol).cast("array<double>").as("__qv"))
+    val out = dials.groupBy(_._2).toSeq.sortBy(_._1).flatMap {
+      case (bandBits, group) =>
+        val maxBands = group.map(_._1).max
+        def bandIdx(df: DataFrame, keyCol: String, outName: String) = df
+          .select(col(keyCol).as(outName), posexplode(
+            graft.functions.VectorExpressions.rhpBandsNative(
+              col(vecCol).cast("array<double>"), maxBands, bandBits, dims)))
+          .select(col(outName), col("pos"),
+            (col("pos").cast("long") * (1L << bandBits) + col("col"))
+              .as("band_key"))
+        // ONE collision join at the group's widest nBands; band_key
+        // encodes the band index, so pos is kept from one side only
+        val firstBand = Caches.localCheckpointTracked(
+          bandIdx(queries, qIdCol, "q_id").drop("pos")
+            .join(bandIdx(corpus, idCol, "vec_id"), "band_key")
+            .groupBy("q_id", "vec_id").agg(min(col("pos")).as("first_band")))
+        group.sortBy(_._1).map { case (nBands, _) =>
+          val cands = firstBand.filter(col("first_band") < nBands)
+          val served = TopK.rankTopK(
+              cands.join(cVec, "vec_id").join(qVec, "q_id")
+                .withColumn("cos_sim",
+                  round(VectorFunctions.dot(col("__v"), col("__qv")) /
+                    (VectorFunctions.norm(col("__v")) *
+                      VectorFunctions.norm(col("__qv"))), 6)),
+              "q_id", col("vec_id"),
+              Seq(col("cos_sim").desc, col("vec_id").asc), k, "rank")
+            .filter(col("rank") <= k)
+            .select(col("q_id"), col("vec_id"))
+          val rep = recallAtK(served, exact, k, queries = Some(qUniverse))
+            .agg(count(lit(1)).as("n_queries"),
+              sum(col("recall_permille")).as("sum_recall_permille"))
+          // candidate volume = the slice's cardinality off the shared
+          // checkpointed pair frame — nothing rebuilds per dial
+          val nCand = cands.agg(count(lit(1)).as("n_candidates"))
+          rep.crossJoin(nCand)
+            .select(lit(nBands).as("n_bands"), lit(bandBits).as("band_bits"),
+              col("n_queries"), col("sum_recall_permille"),
+              expr("sum_recall_permille div n_queries")
+                .as("mean_recall_permille"),
+              col("n_candidates"))
+        }
+    }
+    out.reduce(_.unionByName(_))
+  }
 }

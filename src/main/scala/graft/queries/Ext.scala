@@ -2641,6 +2641,28 @@ object Ext {
         .orderBy("tau_permille")
     },
 
+    // BANDED-ANN dial ladder (x162, VERDICT r16 #2): the x155 ladder
+    // discipline on the x45/x153 banded family's (nBands, bandBits)
+    // dial — the geometry knob that moves recall sharpest (the x68
+    // 25%→90% observation). Four nested same-bits dials share ONE
+    // collision join at nBands=16 with the per-pair MIN band index
+    // retained (dial n = the first_band < n slice); the 4- and 6-bit
+    // dials each pay their own join (band words regroup across bits —
+    // stated honestly, the x160 precedent). Reports recall@5 mass vs
+    // the exact rounded-cosine truth and the candidate-pair volume per
+    // dial — all exact integers. FULL oracle: the x153 banding chain
+    // per distinct bandBits + per-dial slice/rescore/recall tails over
+    // a shared exact ground truth.
+    "x162_ann_banded_ladder" -> { (s, dir) =>
+      val all = Tables.embeddings(s, dir)
+      Similarity.annBandedRecallCostLadder(
+          all.filter(col("vec_id") % 50 =!= 0),
+          all.filter(col("vec_id") % 50 === 0),
+          vecCol = "embedding", idCol = "vec_id", qIdCol = "vec_id",
+          k = 5, dials = bandLadderDials)
+        .orderBy("band_bits", "n_bands")
+    },
+
     // PROJECTED-index recall audit (x151): the x146 discipline applied
     // to the reduce-then-index family — x89's projected IVF served for
     // the whole query table (corpus projected once, per-query probe of
@@ -2954,6 +2976,100 @@ object Ext {
         |$selects
         |)
         |SELECT * FROM fin ORDER BY n_probe""".stripMargin
+  }
+
+  /** x162's frozen (nBands, bandBits) dials — one constant shared by
+    * the gated query and the oracle generator below so the two can
+    * never drift (the x149 lesson). Four nested same-bits dials price
+    * band COUNT off one shared collision join; the 4- and 6-bit dials
+    * price band WIDTH, each paying its own join (band words regroup —
+    * they don't nest across bits). */
+  private[graft] val bandLadderDials: Seq[(Int, Int)] =
+    Seq((2, 8), (4, 8), (8, 8), (16, 8), (16, 4), (16, 6))
+
+  /** x162's oracle: the x153 banded chain generalized over the dial
+    * table — ONE plane/band/collision chain per DISTINCT bandBits (at
+    * the group's widest nBands, per-pair MIN band index retained), each
+    * same-bits dial a `first_band < n` slice, then the x155-shaped
+    * per-dial rescore/recall/candidate tails against a shared exact
+    * rounded-cosine ground truth. Plane values are the global-bit-index
+    * md5 affine of the build expression, so each bandBits level's words
+    * regroup the same planes exactly as the Spark side's. */
+  private val x162BandLadderSql: String = {
+    val byBits = bandLadderDials.groupBy(_._2).toSeq.sortBy(_._1)
+    val groups = byBits.map { case (bb, group) =>
+      val maxBands = group.map(_._1).max
+      val nBits = maxBands * bb
+      s"""|h$bb AS (
+          |  SELECT b, list_transform(generate_series(0, 63),
+          |    d -> (CAST('0x' || substr(md5('rhp:' || CAST(b AS VARCHAR) || ':' || CAST(d AS VARCHAR)), 1, 8) AS UBIGINT) % 2000001) / 1000000.0 - 1.0) AS hv
+          |  FROM generate_series(0, ${nBits - 1}) t(b)),
+          |bitsC$bb AS (
+          |  SELECT e.vec_id, CAST(h$bb.b // $bb AS INT) AS j,
+          |    CASE WHEN list_sum(list_transform(generate_series(1, len(v)), i -> v[i] * hv[i])) > 0
+          |      THEN CAST(1 << (${bb - 1} - (h$bb.b % $bb)) AS BIGINT) ELSE 0 END AS bit
+          |  FROM e, h$bb),
+          |bandsC$bb AS (SELECT vec_id, j, SUM(bit) AS bv FROM bitsC$bb GROUP BY vec_id, j),
+          |bitsQ$bb AS (
+          |  SELECT qs.q_id, CAST(h$bb.b // $bb AS INT) AS j,
+          |    CASE WHEN list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * hv[i])) > 0
+          |      THEN CAST(1 << (${bb - 1} - (h$bb.b % $bb)) AS BIGINT) ELSE 0 END AS bit
+          |  FROM qs, h$bb),
+          |bandsQ$bb AS (SELECT q_id, j, SUM(bit) AS bv FROM bitsQ$bb GROUP BY q_id, j),
+          |fb$bb AS (
+          |  SELECT q.q_id, c.vec_id, MIN(q.j) AS first_band
+          |  FROM bandsQ$bb q JOIN bandsC$bb c USING (j, bv) GROUP BY 1, 2),""".stripMargin
+    }.mkString("\n")
+    val perDial = bandLadderDials.map { case (n, bb) =>
+      val t = s"${n}x$bb"
+      s"""|cand$t AS (SELECT q_id, vec_id FROM fb$bb WHERE first_band < $n),
+          |srv$t AS (
+          |  SELECT q_id, vec_id FROM (
+          |    SELECT cand$t.q_id, cand$t.vec_id,
+          |      row_number() OVER (PARTITION BY cand$t.q_id ORDER BY
+          |        round(list_sum(list_transform(generate_series(1, len(c.v)), i -> c.v[i] * q.qv[i])) /
+          |          (sqrt(list_sum(list_transform(generate_series(1, len(c.v)), i -> c.v[i] * c.v[i]))) *
+          |           sqrt(list_sum(list_transform(generate_series(1, len(q.qv)), i -> q.qv[i] * q.qv[i])))), 6) DESC,
+          |        cand$t.vec_id ASC) AS rk
+          |    FROM cand$t
+          |    JOIN e c ON c.vec_id = cand$t.vec_id
+          |    JOIN qs q ON q.q_id = cand$t.q_id) WHERE rk <= 5),
+          |hits$t AS (
+          |  SELECT s.q_id, COUNT(DISTINCT s.vec_id) AS n_hits
+          |  FROM srv$t s JOIN exactc x ON x.q_id = s.q_id AND x.vec_id = s.vec_id
+          |  GROUP BY 1),
+          |rep$t AS (
+          |  SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+          |    CAST(SUM((CAST(COALESCE(h.n_hits, 0) AS BIGINT) * 1000) // 5) AS BIGINT) AS sum_rp
+          |  FROM qs LEFT JOIN hits$t h ON h.q_id = qs.q_id),
+          |nc$t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates FROM cand$t),""".stripMargin
+    }.mkString("\n")
+    val selects = bandLadderDials.map { case (n, bb) =>
+      val t = s"${n}x$bb"
+      s"""|SELECT CAST($n AS INT) AS n_bands, CAST($bb AS INT) AS band_bits,
+          |  n_queries, sum_rp AS sum_recall_permille,
+          |  sum_rp // n_queries AS mean_recall_permille, n_candidates
+          |FROM rep$t, nc$t""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""|WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |      FROM embeddings WHERE vec_id % 50 <> 0),
+        |qs AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+        |       FROM embeddings WHERE vec_id % 50 = 0),
+        |exactc AS (
+        |  SELECT q_id, vec_id FROM (
+        |    SELECT qs.q_id, e.vec_id,
+        |      row_number() OVER (PARTITION BY qs.q_id ORDER BY
+        |        round(list_sum(list_transform(generate_series(1, len(e.v)), i -> e.v[i] * qs.qv[i])) /
+        |          (sqrt(list_sum(list_transform(generate_series(1, len(e.v)), i -> e.v[i] * e.v[i]))) *
+        |           sqrt(list_sum(list_transform(generate_series(1, len(qs.qv)), i -> qs.qv[i] * qs.qv[i])))), 6) DESC,
+        |        e.vec_id ASC) AS rk
+        |    FROM e, qs) WHERE rk <= 5),
+        |$groups
+        |$perDial
+        |fin AS (
+        |$selects
+        |)
+        |SELECT * FROM fin ORDER BY band_bits, n_bands""".stripMargin
   }
 
   /** The frozen curriculum cut dials shared by x156 and its streaming
@@ -4800,6 +4916,12 @@ object Ext {
     "x146_ann_recall_report" -> (ivfPqServeChainSql + recallTailSql),
 
     "x155_ann_recall_cost_ladder" -> materializeCtes(x155LadderSql),
+
+    // Banded-ladder replay: per distinct bandBits one plane/band/
+    // collision chain (min band index per pair), per dial the slice +
+    // rescore + recall/candidate tails, shared exact ground truth.
+    // Fenced: e/qs/exactc/fb* feed many consumers.
+    "x162_ann_banded_ladder" -> materializeCtes(x162BandLadderSql),
 
     "x158_dedup_rate_ladder" -> x158DedupLadderSql,
 

@@ -2589,6 +2589,42 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("banded recall-cost ladder: dials agree with independent banded serves; volume monotone in nBands") {
+    val corpus = emb.filter(col("vec_id") % 50 =!= 0)
+    val qtab = emb.filter(col("vec_id") % 50 === 0)
+    val dials = Seq((4, 8), (16, 8), (16, 4))
+    val ladder = Similarity.annBandedRecallCostLadder(corpus, qtab,
+        "embedding", "vec_id", "vec_id", k = 5, dials = dials)
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(ladder.keySet == dials.toSet, s"dial rows: ${ladder.keySet}")
+    val nq = qtab.count()
+    assert(ladder.values.forall(_._1 == nq),
+      "every dial reports the full query universe")
+    // same-bits dials: the nBands=4 slice of the shared join must cost
+    // no more than the nBands=16 one (band sets nest)
+    assert(ladder((4, 8))._4 <= ladder((16, 8))._4,
+      s"candidate volume must be monotone in nBands: $ladder")
+    // mean is the integer div of the mass
+    assert(ladder.values.forall(r => r._3 == r._2 / r._1))
+    // each dial's recall mass equals an INDEPENDENT annProbeBandedAll
+    // serve + recallAtK — incl. the 4-bit dial, which pays its own join
+    val exact = Similarity.cosineTopKAll(corpus, "embedding", "vec_id",
+      qtab, "vec_id", k = 5)
+    dials.foreach { case (n, b) =>
+      val served = Similarity.annProbeBandedAll(corpus, qtab,
+        "embedding", "vec_id", "vec_id", k = 5, nBands = n, bandBits = b)
+      val mass = Similarity.recallAtK(
+          served.select(col("q_id"), col("vec_id")), exact, k = 5,
+          queries = Some(qtab.select(col("vec_id").as("q_id"))))
+        .agg(sum(col("recall_permille"))).head().getLong(0)
+      assert(ladder((n, b))._2 == mass,
+        s"ladder dial ($n, $b) recall mass diverged from independent serve")
+    }
+    graft.ops.Caches.releaseAll()
+  }
+
   test("kNN graph: shape invariants and recall@5 vs the exact quadratic twin") {
     import org.apache.spark.sql.expressions.Window
     val banded = Similarity.knnGraphBanded(emb, "embedding", "vec_id", k = 5,
