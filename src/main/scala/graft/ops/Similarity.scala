@@ -2454,4 +2454,176 @@ object Similarity {
     }
     out.reduce(_.unionByName(_))
   }
+
+  /** RECALL-vs-COST dial ladder for the PROJECTED-index family — the
+    * x155 discipline on [[projectedIvfServeAll]]'s probe width: serve
+    * ONE projected IVF build at each `nProbes` dial and report recall@k
+    * mass against the exact ROUNDED-COSINE ground truth (the metric
+    * this family ranks by) plus the candidate-pair volume the
+    * original-space rerank touches. One row per dial: (n_probe,
+    * n_queries, sum_recall_permille, mean_recall_permille,
+    * n_candidates) — exact integers throughout (harness query x163).
+    *
+    * 100 TB shape: projection + IVF build + the (probed cell, member)
+    * rescore all run ONCE at the widest dial with the probe rank
+    * retained — probe sets nest (row_number prefixes are rank-stable),
+    * so dial p is the `prk ≤ p` slice of the shared checkpointed
+    * scored frame; nothing re-projects, re-probes, or re-scores per
+    * dial. The projection WIDTH (`outDims`) deliberately stays a
+    * parameter, not a dial: projected coordinates change wholesale
+    * with outDims (no nesting — the x160 precedent), so pricing widths
+    * means one ladder call per width, each paying its own build. The
+    * exact ground truth is the documented quadratic measurement path,
+    * persisted and paid once. */
+  def projectedIvfRecallCostLadder(emb: DataFrame, vecCol: String,
+                                   idCol: String, queries: DataFrame,
+                                   qIdCol: String, k: Int,
+                                   nProbes: Seq[Int], outDims: Int = 16,
+                                   nLists: Int = 16,
+                                   dims: Int = 64): DataFrame = {
+    require(nProbes.nonEmpty, "need at least one nProbe dial")
+    require(nProbes.sliding(2).forall(w => w.size < 2 || w(0) < w(1)),
+      s"nProbe dials must be strictly increasing: $nProbes")
+    val exact = Caches.persistTracked(
+      cosineTopKAll(emb, vecCol, idCol, queries, qIdCol, k))
+    val qUniverse = queries.select(col(qIdCol).as("q_id"))
+    val proj = Caches.localCheckpointTracked(
+      randomProject(emb, vecCol, idCol, outDims, dims))
+    val (cents, assigned) = ivfBuild(proj, "proj", idCol, nLists)
+    val qproj = randomProject(
+      queries.select(col(qIdCol).as("q_id"), col(vecCol)),
+      vecCol, "q_id", outDims, dims)
+    // probe ONCE at the widest dial, rank retained
+    val probed = TopK.rankTopK(
+        qproj.crossJoin(broadcast(cents))
+          .withColumn("qscore",
+            VectorFunctions.dot(col("cv"), col("proj")) /
+              (VectorFunctions.norm(col("cv")) *
+                VectorFunctions.norm(col("proj")))),
+        "q_id", col("centroid_id"),
+        Seq(col("qscore").desc, col("centroid_id").asc), nProbes.max, "prk")
+      .filter(col("prk") <= nProbes.max)
+      .select(col("q_id"), col("prk"), col("centroid_id"))
+    // ...and rescore ONCE: the checkpoint carries only (q_id, prk,
+    // vec_id, cos_sim) — never the vectors
+    val scoredAll = Caches.localCheckpointTracked(assigned
+      .select(col(idCol), col("centroid_id"))
+      .join(probed, "centroid_id")
+      .join(emb.select(col(idCol),
+        col(vecCol).cast("array<double>").as("__v")), Seq(idCol))
+      .join(broadcast(queries.select(col(qIdCol).as("q_id"),
+        col(vecCol).cast("array<double>").as("__qv"))), Seq("q_id"))
+      .withColumn("cos_sim",
+        round(VectorFunctions.dot(col("__v"), col("__qv")) /
+          (VectorFunctions.norm(col("__v")) *
+            VectorFunctions.norm(col("__qv"))), 6))
+      .select(col("q_id"), col("prk"), col(idCol), col("cos_sim")))
+    nProbes.map { p =>
+      val slice = scoredAll.filter(col("prk") <= p)
+      val served = TopK.rankTopK(slice, "q_id", col(idCol),
+          Seq(col("cos_sim").desc, col(idCol).asc), k, "rank")
+        .filter(col("rank") <= k)
+        .select(col("q_id"), col(idCol).as("vec_id"))
+      val rep = recallAtK(served, exact, k, queries = Some(qUniverse))
+        .agg(count(lit(1)).as("n_queries"),
+          sum(col("recall_permille")).as("sum_recall_permille"))
+      val nCand = slice.agg(count(lit(1)).as("n_candidates"))
+      rep.crossJoin(nCand)
+        .select(lit(p).as("n_probe"), col("n_queries"),
+          col("sum_recall_permille"),
+          expr("sum_recall_permille div n_queries")
+            .as("mean_recall_permille"),
+          col("n_candidates"))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** RECALL-vs-COST dial ladder for the RESIDUAL IVFADC family — the
+    * x155 discipline on [[ivfPqResidualServeAll]]'s probe width over
+    * the SAMPLED residual build (the x146/x155 convention: the ladder
+    * prices the serving dial, not training — x154 already audits what
+    * training buys). ONE coarse build + residual encode + per-(query,
+    * cell) ADC tables, the expensive (query-cell, member) scan run
+    * ONCE at the widest dial with the probe rank retained; dial p is
+    * the `rk ≤ p` slice pushed through the production cut/rerank tail
+    * ([[ivfPqRerankTopK]], the shared core), measured against the
+    * persisted exact L2 ground truth (this family reranks by L2). One
+    * row per dial: (n_probe, n_queries, sum_recall_permille,
+    * mean_recall_permille, n_candidates) — exact integers (harness
+    * query x164). */
+  def ivfPqResidualRecallCostLadder(emb: DataFrame, vecCol: String,
+                                    idCol: String, queries: DataFrame,
+                                    qIdCol: String, k: Int,
+                                    nProbes: Seq[Int], refine: Int = 3,
+                                    m: Int = 8, nCentroids: Int = 16,
+                                    nLists: Int = 16,
+                                    dims: Int = 64): DataFrame = {
+    require(nProbes.nonEmpty, "need at least one nProbe dial")
+    require(nProbes.sliding(2).forall(w => w.size < 2 || w(0) < w(1)),
+      s"nProbe dials must be strictly increasing: $nProbes")
+    require(refine >= 1, s"refine must be >= 1, got $refine")
+    require(dims % m == 0, s"m=$m must divide dims=$dims")
+    val d = dims / m
+    val nK = nCentroids
+    val exact = Caches.persistTracked(
+      l2TopKAll(emb, vecCol, idCol, queries, qIdCol, k))
+    val qUniverse = queries.select(col(qIdCol).as("q_id"))
+    val (cents, assigned) = ivfBuild(emb, vecCol, idCol, nLists)
+    val resid = Caches.persistTracked(assigned
+      .join(broadcast(cents), "centroid_id")
+      .select(col(idCol), col("centroid_id"),
+        zip_with(col("vec"), col("cv"), (a, b) => a - b).as("rvec")))
+    val cb = pqBuildCodebook(resid, "rvec", idCol, nCentroids)
+    val encoded = resid.withColumn("codes",
+        graft.functions.VectorExpressions.pqCodesNative(
+          col("rvec"), cb.flatten, nCentroids, m, dims))
+      .select(col(idCol), col("centroid_id"), col("codes"))
+    val cbLit = typedLit(cb.map(_.toSeq).toSeq)
+    // probe at the widest dial, rank retained; per-(query, cell) ADC
+    // tables from the residual q − c_cell (model-sized)
+    val qcells = assignProbeCells(queries, vecCol, qIdCol, cents,
+        nProbes.max)
+      .select(col(qIdCol).as("q_id"), col("rk"), col("centroid_id"))
+    val qtab = qcells
+      .join(broadcast(cents), "centroid_id")
+      .join(queries.select(col(qIdCol).as("q_id"),
+        col(vecCol).cast("array<double>").as("qv")), "q_id")
+      .withColumn("rq", zip_with(col("qv"), col("cv"), (a, b) => a - b))
+      .withColumn("tab", transform(sequence(lit(0), lit(m * nK - 1)), idx => {
+        val j = (idx / nK).cast("int")
+        val kk = pmod(idx, lit(nK)).cast("int")
+        aggregate(sequence(lit(1), lit(d)), lit(0.0), (acc, t) => {
+          val diff = element_at(col("rq"), j * d + t) -
+            element_at(element_at(cbLit, kk + 1), j * d + t)
+          acc + diff * diff
+        })
+      }))
+      .select(col("q_id"), col("rk"), col("centroid_id"), col("tab"))
+    // ONE ADC scan at the widest dial; the checkpoint carries only
+    // (q_id, rk, id, pq)
+    val adc = Caches.localCheckpointTracked(qtab
+      .join(encoded, "centroid_id")
+      .withColumn("pq", aggregate(
+        sequence(lit(0), lit(m - 1)), lit(0.0), (acc, j) =>
+          acc + element_at(col("tab"),
+            j * nK + element_at(col("codes"), j + 1) + 1)))
+      .select(col("q_id"), col("rk"), col(idCol), col("pq")))
+    nProbes.map { p =>
+      val dialScan = adc.filter(col("rk") <= p)
+      val served = ivfPqRerankTopK(
+          TopK.rankTopK(dialScan, "q_id", col(idCol),
+            Seq(col("pq").asc, col(idCol).asc), refine * k, "crk"),
+          emb, vecCol, idCol, queries, qIdCol, k)
+        .select(col("q_id"), col(idCol).as("vec_id"))
+      val rep = recallAtK(served, exact, k, queries = Some(qUniverse))
+        .agg(count(lit(1)).as("n_queries"),
+          sum(col("recall_permille")).as("sum_recall_permille"))
+      val nCand = dialScan.agg(count(lit(1)).as("n_candidates"))
+      rep.crossJoin(nCand)
+        .select(lit(p).as("n_probe"), col("n_queries"),
+          col("sum_recall_permille"),
+          expr("sum_recall_permille div n_queries")
+            .as("mean_recall_permille"),
+          col("n_candidates"))
+    }.reduce(_.unionByName(_))
+  }
 }

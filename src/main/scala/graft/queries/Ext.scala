@@ -2663,6 +2663,44 @@ object Ext {
         .orderBy("band_bits", "n_bands")
     },
 
+    // PROJECTED-index dial ladder (x163): the x155 discipline on the
+    // x89/x151 reduce-then-index family's probe width — projection,
+    // IVF build, and the (probed cell, member) original-space rescore
+    // all run ONCE at nProbe=8 with the probe rank retained; dial
+    // p ∈ {1,2,4,8} is the prk ≤ p slice. Recall@5 vs the exact
+    // rounded-cosine truth + candidate volume per dial. With x155
+    // (IVF×PQ), x162 (banded) and x164 (residual), every served ANN
+    // family now carries its tuning table. FULL oracle: the x151
+    // projected chain with the ranked probe + per-dial slice/rescore
+    // tails over a shared exact ground truth.
+    "x163_ann_projected_ladder" -> { (s, dir) =>
+      val all = Tables.embeddings(s, dir)
+      Similarity.projectedIvfRecallCostLadder(
+          all.filter(col("vec_id") % 50 =!= 0),
+          "embedding", "vec_id",
+          all.filter(col("vec_id") % 50 === 0), "vec_id",
+          k = 5, nProbes = Seq(1, 2, 4, 8))
+        .orderBy("n_probe")
+    },
+
+    // RESIDUAL-IVFADC dial ladder (x164): the x155 discipline on the
+    // x59/x154 residual family at its SAMPLED rung (the ladder prices
+    // the SERVING dial; x154 already audits what training buys) —
+    // coarse build, residual encode, per-(query, cell) ADC tables and
+    // the expensive scan all at nProbe=8 with rank retained; dial p is
+    // the rk ≤ p slice through the refine·k cut and exact-L2 rerank.
+    // FULL oracle: the sampled-residual chain threaded by probe rank ×
+    // 4 dials with a shared exact L2 tail.
+    "x164_ann_residual_ladder" -> { (s, dir) =>
+      val all = Tables.embeddings(s, dir)
+      Similarity.ivfPqResidualRecallCostLadder(
+          all.filter(col("vec_id") % 50 =!= 0),
+          "embedding", "vec_id",
+          all.filter(col("vec_id") % 50 === 0), "vec_id",
+          k = 5, nProbes = Seq(1, 2, 4, 8))
+        .orderBy("n_probe")
+    },
+
     // PROJECTED-index recall audit (x151): the x146 discipline applied
     // to the reduce-then-index family — x89's projected IVF served for
     // the whole query table (corpus projected once, per-query probe of
@@ -3070,6 +3108,208 @@ object Ext {
         |$selects
         |)
         |SELECT * FROM fin ORDER BY band_bits, n_bands""".stripMargin
+  }
+
+  /** x163's oracle: the x151 projected chain (16 planes, projected
+    * corpus/query coordinates, md5 sample, argmax assignment) with the
+    * probe ranked to the widest dial, each dial a `rk ≤ p` slice of
+    * the (probed cell, member) pairs pushed through the original-space
+    * rounded-cosine rescore, against a shared exact cosine ground
+    * truth — the x155 ladder shape on the projected family. */
+  private val x163ProjLadderSql: String = {
+    val dials = Seq(1, 2, 4, 8)
+    def cos(n: Int, a: String, b: String): String =
+      s"list_sum(list_transform(generate_series(1, $n), i -> $a[i] * $b[i])) / " +
+        s"(sqrt(list_sum(list_transform(generate_series(1, $n), i -> $a[i] * $a[i]))) * " +
+        s"sqrt(list_sum(list_transform(generate_series(1, $n), i -> $b[i] * $b[i]))))"
+    val perDial = dials.map { p =>
+      s"""|cand$p AS (
+          |  SELECT q.q_id, a.vec_id FROM qpr q JOIN asg a USING (cid)
+          |  WHERE q.rk <= $p),
+          |srv$p AS (
+          |  SELECT q_id, vec_id FROM (
+          |    SELECT cand$p.q_id, cand$p.vec_id,
+          |      row_number() OVER (PARTITION BY cand$p.q_id ORDER BY
+          |        round(${cos(64, "e.v", "qs.qv")}, 6) DESC,
+          |        cand$p.vec_id ASC) AS rk
+          |    FROM cand$p JOIN e ON e.vec_id = cand$p.vec_id
+          |      JOIN qs ON qs.q_id = cand$p.q_id) WHERE rk <= 5),
+          |hits$p AS (
+          |  SELECT s.q_id, COUNT(DISTINCT s.vec_id) AS n_hits
+          |  FROM srv$p s JOIN exactc x ON x.q_id = s.q_id AND x.vec_id = s.vec_id
+          |  GROUP BY 1),
+          |rep$p AS (
+          |  SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+          |    CAST(SUM((CAST(COALESCE(h.n_hits, 0) AS BIGINT) * 1000) // 5) AS BIGINT) AS sum_rp
+          |  FROM qs LEFT JOIN hits$p h ON h.q_id = qs.q_id),
+          |nc$p AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates FROM cand$p),""".stripMargin
+    }.mkString("\n")
+    val selects = dials.map { p =>
+      s"""|SELECT CAST($p AS INT) AS n_probe, n_queries,
+          |  sum_rp AS sum_recall_permille,
+          |  sum_rp // n_queries AS mean_recall_permille, n_candidates
+          |FROM rep$p, nc$p""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""|WITH h AS (
+        |  SELECT b, list_transform(generate_series(0, 63),
+        |    d -> (CAST('0x' || substr(md5('rhp:' || CAST(b AS VARCHAR) || ':' || CAST(d AS VARCHAR)), 1, 8) AS UBIGINT) % 2000001) / 1000000.0 - 1.0) AS hv
+        |  FROM generate_series(0, 15) t(b)),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |      FROM embeddings WHERE vec_id % 50 <> 0),
+        |qs AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+        |       FROM embeddings WHERE vec_id % 50 = 0),
+        |ep AS (
+        |  SELECT e.vec_id,
+        |    list(list_sum(list_transform(generate_series(1, 64), i -> e.v[i] * h.hv[i])) ORDER BY h.b) AS p
+        |  FROM e, h GROUP BY e.vec_id),
+        |qp AS (
+        |  SELECT qs.q_id,
+        |    list(list_sum(list_transform(generate_series(1, 64), i -> qs.qv[i] * h.hv[i])) ORDER BY h.b) AS p
+        |  FROM qs, h GROUP BY qs.q_id),
+        |c0 AS (SELECT vec_id AS cid, p AS cv FROM ep
+        |       ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC LIMIT 16),
+        |asg AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT ep.vec_id, c0.cid,
+        |      row_number() OVER (PARTITION BY ep.vec_id ORDER BY
+        |        ${cos(16, "ep.p", "c0.cv")} DESC,
+        |        c0.cid ASC) AS rk
+        |    FROM ep, c0) WHERE rk = 1),
+        |qpr AS (
+        |  SELECT q_id, cid, rk FROM (
+        |    SELECT qp.q_id, c0.cid,
+        |      row_number() OVER (PARTITION BY qp.q_id ORDER BY
+        |        ${cos(16, "c0.cv", "qp.p")} DESC,
+        |        c0.cid ASC) AS rk
+        |    FROM qp, c0) WHERE rk <= 8),
+        |exactc AS (
+        |  SELECT q_id, vec_id FROM (
+        |    SELECT qs.q_id, e.vec_id,
+        |      row_number() OVER (PARTITION BY qs.q_id ORDER BY
+        |        round(${cos(64, "e.v", "qs.qv")}, 6) DESC,
+        |        e.vec_id ASC) AS rk
+        |    FROM e, qs) WHERE rk <= 5),
+        |$perDial
+        |fin AS (
+        |$selects
+        |)
+        |SELECT * FROM fin ORDER BY n_probe""".stripMargin
+  }
+
+  /** x164's oracle: the x154 residual-family chain at its SAMPLED rung
+    * (md5 coarse sample + argmax assignment, residual frame, sampled
+    * residual codebook, codes over the widest dial's pruned members,
+    * per-(query, probed cell) ADC tables from ((q − c) − codeword)
+    * with the probe rank retained) — each dial the `rk ≤ p` slice
+    * through the refine·k cut and exact-L2 rerank, against a shared
+    * exact L2 ground truth. */
+  private val x164ResidLadderSql: String = {
+    val dials = Seq(1, 2, 4, 8)
+    def cosFull(a: String, b: String): String =
+      s"list_sum(list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i])) / " +
+        s"(sqrt(list_sum(list_transform(generate_series(1, len($a)), i -> $a[i] * $a[i]))) * " +
+        s"sqrt(list_sum(list_transform(generate_series(1, len($b)), i -> $b[i] * $b[i]))))"
+    val perDial = dials.map { p =>
+      s"""|qprobe$p AS (SELECT q_id, cid FROM qpr WHERE rk <= $p),
+          |approx$p AS (
+          |  SELECT qpp.q_id, c.vec_id, list_sum(list(qt.dist ORDER BY c.j)) AS pq
+          |  FROM qprobe$p qpp
+          |  JOIN asg ON asg.cid = qpp.cid
+          |  JOIN codes c ON c.vec_id = asg.vec_id
+          |  JOIN qtab qt ON qt.q_id = qpp.q_id AND qt.cid = qpp.cid AND qt.j = c.j AND qt.k = c.k
+          |  GROUP BY qpp.q_id, c.vec_id),
+          |cand$p AS (
+          |  SELECT q_id, vec_id, pq FROM approx$p
+          |  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY pq, vec_id) <= 15),
+          |scored$p AS (
+          |  SELECT cand$p.q_id, cand$p.vec_id,
+          |    list_sum(list_transform(generate_series(1, len(e.v)), t ->
+          |      (e.v[t] - qs.qv[t]) * (e.v[t] - qs.qv[t]))) AS l2
+          |  FROM cand$p JOIN e USING (vec_id) JOIN qs USING (q_id)),
+          |srv$p AS (
+          |  SELECT q_id, vec_id FROM scored$p
+          |  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY l2 ASC, vec_id ASC) <= 5),
+          |hits$p AS (
+          |  SELECT s.q_id, COUNT(*) AS n_hits
+          |  FROM srv$p s JOIN exact x ON x.q_id = s.q_id AND x.vec_id = s.vec_id
+          |  GROUP BY 1),
+          |rep$p AS (
+          |  SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+          |    CAST(SUM((CAST(COALESCE(h.n_hits, 0) AS BIGINT) * 1000) // 5) AS BIGINT) AS sum_rp
+          |  FROM qs LEFT JOIN hits$p h ON h.q_id = qs.q_id),
+          |nc$p AS (
+          |  SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates
+          |  FROM qprobe$p JOIN asg USING (cid)),""".stripMargin
+    }.mkString("\n")
+    val selects = dials.map { p =>
+      s"""|SELECT CAST($p AS INT) AS n_probe, n_queries,
+          |  sum_rp AS sum_recall_permille,
+          |  sum_rp // n_queries AS mean_recall_permille, n_candidates
+          |FROM rep$p, nc$p""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""|WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id % 50 <> 0),
+        |qs AS (
+        |  SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id % 50 = 0),
+        |samp AS (
+        |  SELECT vec_id AS cid, v AS cv
+        |  FROM e
+        |  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 16),
+        |asg AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT e.vec_id, samp.cid,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        ${cosFull("e.v", "samp.cv")} DESC,
+        |        samp.cid ASC) AS rk
+        |    FROM e, samp) WHERE rk = 1),
+        |qpr AS (
+        |  SELECT q_id, cid, cv, rk FROM (
+        |    SELECT qs.q_id, samp.cid, samp.cv,
+        |      row_number() OVER (PARTITION BY qs.q_id ORDER BY
+        |        ${cosFull("samp.cv", "qs.qv")} DESC,
+        |        samp.cid ASC) AS rk
+        |    FROM samp, qs) WHERE rk <= 8),
+        |rv AS (
+        |  SELECT a.vec_id, a.cid,
+        |    list_transform(generate_series(1, len(e.v)), i -> e.v[i] - samp.cv[i]) AS r
+        |  FROM asg a JOIN e USING (vec_id) JOIN samp ON samp.cid = a.cid),
+        |pruned AS (SELECT DISTINCT vec_id FROM asg JOIN qpr USING (cid)),
+        |jj AS (SELECT unnest(generate_series(0, 7)) AS j),
+        |rcb0 AS (
+        |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS k,
+        |    r AS cv
+        |  FROM rv
+        |  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 16),
+        |dist AS (
+        |  SELECT rv.vec_id, jj.j, rcb0.k,
+        |    list_sum(list_transform(generate_series(1, 8), t ->
+        |      (rv.r[jj.j * 8 + t] - rcb0.cv[jj.j * 8 + t]) *
+        |      (rv.r[jj.j * 8 + t] - rcb0.cv[jj.j * 8 + t]))) AS dist
+        |  FROM rv JOIN pruned USING (vec_id), jj, rcb0),
+        |codes AS (
+        |  SELECT vec_id, j, k FROM dist
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, k) = 1),
+        |qtab AS (
+        |  SELECT qpr.q_id, qpr.cid, jj.j, rcb0.k,
+        |    list_sum(list_transform(generate_series(1, 8), t ->
+        |      ((qs.qv[jj.j * 8 + t] - qpr.cv[jj.j * 8 + t]) - rcb0.cv[jj.j * 8 + t]) *
+        |      ((qs.qv[jj.j * 8 + t] - qpr.cv[jj.j * 8 + t]) - rcb0.cv[jj.j * 8 + t]))) AS dist
+        |  FROM qpr JOIN qs USING (q_id), jj, rcb0),
+        |exact AS (
+        |  SELECT q_id, vec_id FROM (
+        |    SELECT qs.q_id, e.vec_id,
+        |      row_number() OVER (PARTITION BY qs.q_id ORDER BY
+        |        list_sum(list_transform(generate_series(1, len(e.v)), t ->
+        |          (e.v[t] - qs.qv[t]) * (e.v[t] - qs.qv[t]))) ASC,
+        |        e.vec_id ASC) AS rk
+        |    FROM e, qs) WHERE rk <= 5),
+        |$perDial
+        |fin AS (
+        |$selects
+        |)
+        |SELECT * FROM fin ORDER BY n_probe""".stripMargin
   }
 
   /** The frozen curriculum cut dials shared by x156 and its streaming
@@ -4922,6 +5162,18 @@ object Ext {
     // rescore + recall/candidate tails, shared exact ground truth.
     // Fenced: e/qs/exactc/fb* feed many consumers.
     "x162_ann_banded_ladder" -> materializeCtes(x162BandLadderSql),
+
+    // Projected-ladder replay: the x151 chain with the probe ranked to
+    // the widest dial, per-dial member slices + rounded-cosine rescore
+    // + recall/candidate tails. Fenced: ep/qp/c0/asg/qpr/exactc feed
+    // many consumers.
+    "x163_ann_projected_ladder" -> materializeCtes(x163ProjLadderSql),
+
+    // Residual-ladder replay: the sampled-residual x154 chain with the
+    // probe ranked, codes over the widest dial's pruned members,
+    // per-dial ADC slice/cut/rerank + recall/candidate tails. Fenced:
+    // asg/qpr/rv/rcb0/codes/qtab/exact feed many consumers.
+    "x164_ann_residual_ladder" -> materializeCtes(x164ResidLadderSql),
 
     "x158_dedup_rate_ladder" -> x158DedupLadderSql,
 

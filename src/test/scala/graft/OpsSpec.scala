@@ -2625,6 +2625,52 @@ class OpsSpec extends AnyFunSuite {
     graft.ops.Caches.releaseAll()
   }
 
+  test("projected + residual recall-cost ladders: dials agree with independent serves") {
+    val corpus = emb.filter(col("vec_id") % 50 =!= 0)
+    val qtab = emb.filter(col("vec_id") % 50 === 0)
+    val qUni = qtab.select(col("vec_id").as("q_id"))
+    val nq = qtab.count()
+    // projected family: dial p ≡ projectedIvfServeAll at nProbe = p
+    val pl = Similarity.projectedIvfRecallCostLadder(corpus, "embedding",
+        "vec_id", qtab, "vec_id", k = 5, nProbes = Seq(2, 4))
+      .orderBy("n_probe").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(pl.map(_._1).toSeq == Seq(2, 4) && pl.forall(_._2 == nq))
+    assert(pl(0)._5 < pl(1)._5, s"projected candidate volume must grow: ${pl.toSeq}")
+    val exactCos = Similarity.cosineTopKAll(corpus, "embedding", "vec_id",
+      qtab, "vec_id", k = 5)
+    Seq(2, 4).zipWithIndex.foreach { case (p, i) =>
+      val served = Similarity.projectedIvfServeAll(corpus, "embedding",
+        "vec_id", qtab, "vec_id", k = 5, nProbe = p)
+      val mass = Similarity.recallAtK(
+          served.select(col("q_id"), col("vec_id")), exactCos, k = 5,
+          queries = Some(qUni))
+        .agg(sum(col("recall_permille"))).head().getLong(0)
+      assert(pl(i)._3 == mass, s"projected ladder dial $p recall mass diverged")
+    }
+    // residual family (sampled rung): dial p ≡ ivfPqResidualServeAll
+    // at nProbe = p, trainIters = 0
+    val rl = Similarity.ivfPqResidualRecallCostLadder(corpus, "embedding",
+        "vec_id", qtab, "vec_id", k = 5, nProbes = Seq(2, 4))
+      .orderBy("n_probe").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rl.map(_._1).toSeq == Seq(2, 4) && rl.forall(_._2 == nq))
+    assert(rl(0)._5 < rl(1)._5, s"residual candidate volume must grow: ${rl.toSeq}")
+    val exactL2 = Similarity.l2TopKAll(corpus, "embedding", "vec_id",
+      qtab, "vec_id", k = 5)
+    Seq(2, 4).zipWithIndex.foreach { case (p, i) =>
+      val served = Similarity.ivfPqResidualServeAll(corpus, "embedding",
+        "vec_id", qtab, "vec_id", k = 5, nProbe = p)
+      val mass = Similarity.recallAtK(served, exactL2, k = 5,
+          queries = Some(qUni))
+        .agg(sum(col("recall_permille"))).head().getLong(0)
+      assert(rl(i)._3 == mass, s"residual ladder dial $p recall mass diverged")
+    }
+    graft.ops.Caches.releaseAll()
+  }
+
   test("kNN graph: shape invariants and recall@5 vs the exact quadratic twin") {
     import org.apache.spark.sql.expressions.Window
     val banded = Similarity.knnGraphBanded(emb, "embedding", "vec_id", k = 5,
