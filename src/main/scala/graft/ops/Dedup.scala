@@ -686,14 +686,20 @@ object Dedup {
   def connectedComponents(vertices: DataFrame, idCol: String, pairs: DataFrame,
                           aCol: String = "a_id", bCol: String = "b_id",
                           maxIter: Int = 25): DataFrame = {
-    // Both union branches read `pairs`; persist the projection first so the
-    // (potentially expensive — e.g. a full LSH+verify pipeline) pair build
-    // runs once, not twice. Registered with Caches → harness-released.
-    val p0 = Caches.persistTracked(pairs
+    // Both union branches read `pairs`; EAGERLY checkpoint the projection
+    // so the (potentially expensive — e.g. a full LSH+verify pipeline or a
+    // mutual-kNN graph build) pair build runs once, not once per round: a
+    // lazily persisted pair frame is re-derived from scratch by the
+    // per-round join jobs (the r17 pageRank finding). The pair blocks are
+    // freed as soon as the symmetrized edge frame is materialized.
+    val p0 = Caches.localCheckpointScoped(pairs
       .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v")))
-    val edges = p0
-      .union(p0.select(col("v").as("u"), col("u").as("v")))
-      .persist()
+    val edgesCp =
+      try Caches.localCheckpointScoped(
+        p0.df.union(p0.df.select(col("v").as("u"), col("u").as("v"))))
+      catch { case t: Throwable => p0.release(); throw t }
+    p0.release()
+    val edges = edgesCp.df
     // Iterate ONLY over pair-incident vertices: for near-dup graphs the
     // pair set is orders of magnitude smaller than the corpus, so the
     // per-round frames stay edge-sized; corpus-only vertices are appended
@@ -704,13 +710,15 @@ object Dedup {
     // round's blocks; the convergence count runs only every 2nd round —
     // min-label propagation is monotone (labels only decrease), so a
     // skipped check can at worst run one no-change round, never oscillate.
-    var cur = Caches.localCheckpointScoped(
-      edges.select(col("u").as("id")).distinct()
-        .select(col("id"), col("id").as("cluster_id")))
+    var cur =
+      try Caches.localCheckpointScoped(
+        edges.select(col("u").as("id")).distinct()
+          .select(col("id"), col("id").as("cluster_id")))
+      catch { case t: Throwable => edgesCp.release(); throw t }
     var labels = cur.df
     var converged = false
     var iter = 0
-    while (!converged && iter < maxIter) {
+    try while (!converged && iter < maxIter) {
       val nbrMin = edges
         .join(labels.withColumnsRenamed(Map("id" -> "v", "cluster_id" -> "vl")), "v")
         .groupBy("u").agg(min(col("vl")).as("nbr_min"))
@@ -729,8 +737,11 @@ object Dedup {
       cur = next
       labels = next.df.select("id", "cluster_id")
       iter += 1
+    } catch {
+      // a mid-loop failure must not strand the live round's blocks
+      case t: Throwable => cur.release(); edgesCp.release(); throw t
     }
-    edges.unpersist(false)
+    edgesCp.release()
     // the final round's blocks back the returned plan — registry-owned
     val finalLabels = Caches.adopt(cur).select("id", "cluster_id")
     val all = vertices.select(col(idCol).cast("long").as("id"))

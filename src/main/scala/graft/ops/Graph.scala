@@ -48,8 +48,13 @@ object Graph {
     * the a→b direction's score (bit-identical to b→a, scaladoc above).
     */
   def mutualKnnPairs(graph: DataFrame): DataFrame = {
-    val fwd = graph.select(col("src_id"), col("nbr_id"), col("cos_sim"))
-    val rev = graph.select(col("src_id").as("r_src"), col("nbr_id").as("r_nbr"))
+    // both sides of the reciprocity self-join read `graph`; eager so an
+    // inline graph BUILD runs once, not once per side (the broadcast-build
+    // job for one side does not populate a lazy persist for the other)
+    val g = Caches.localCheckpointTracked(
+      graph.select(col("src_id"), col("nbr_id"), col("cos_sim")))
+    val fwd = g.select(col("src_id"), col("nbr_id"), col("cos_sim"))
+    val rev = g.select(col("src_id").as("r_src"), col("nbr_id").as("r_nbr"))
     fwd.join(rev, fwd("src_id") === rev("r_nbr") && fwd("nbr_id") === rev("r_src"))
       .filter(col("src_id") < col("nbr_id"))
       .select(col("src_id").as("a_id"), col("nbr_id").as("b_id"),
@@ -90,9 +95,15 @@ object Graph {
     val n = nodes.count()
     require(n > 0, "pageRank needs a non-empty node frame")
     val base = (SCALE * 15L / 100L) / n
-    val ge = Caches.persistTracked(
+    // edges and out-degrees are EAGERLY checkpointed (the x98 lesson,
+    // extended r17): a lazily persisted edge frame is re-derived from
+    // scratch by every round's broadcast-build job — the graph BUILD
+    // above this operator re-ran once per iteration (profiled 6–15 s
+    // CPU per round on x93 before the fix, ~0 after)
+    val ge = Caches.localCheckpointTracked(
       edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst")))
-    val od = ge.groupBy("__src").agg(count(lit(1)).as("__od"))
+    val od = Caches.localCheckpointTracked(
+      ge.groupBy("__src").agg(count(lit(1)).as("__od")))
     var pr = nodes.select(col(idCol).as("__nid"))
       .withColumn("pr_fix", lit(SCALE / n))
     for (_ <- 1 to iters) {
@@ -102,7 +113,7 @@ object Graph {
         .select(col("__dst").as("__nid"),
           expr("((pr_fix * 85) div 100) div __od").as("__c"))
         .groupBy("__nid").agg(sum("__c").as("__s"))
-      pr = Caches.persistTracked(
+      pr = Caches.localCheckpointTracked(
         nodes.select(col(idCol).as("__nid"))
           .join(msgs, Seq("__nid"), "left")
           .select(col("__nid"),
@@ -138,9 +149,12 @@ object Graph {
     val n = nodes.count()
     require(n > 0, "pageRankWeighted needs a non-empty node frame")
     val base = (SCALE * 15L / 100L) / n
-    val ge = Caches.persistTracked(edges.select(col(srcCol).as("__src"),
+    // eager, like [[pageRank]]: a lazy edge persist re-derives the graph
+    // build in every round's broadcast job
+    val ge = Caches.localCheckpointTracked(edges.select(col(srcCol).as("__src"),
       col(dstCol).as("__dst"), col(weightCol).cast("long").as("__w")))
-    val ws = ge.groupBy("__src").agg(sum("__w").as("__ws"))
+    val ws = Caches.localCheckpointTracked(
+      ge.groupBy("__src").agg(sum("__w").as("__ws")))
     var pr = nodes.select(col(idCol).as("__nid"))
       .withColumn("pr_fix", lit(SCALE / n))
     for (_ <- 1 to iters) {
@@ -150,7 +164,7 @@ object Graph {
         .select(col("__dst").as("__nid"),
           expr("(((pr_fix * 85) div 100) * __w) div __ws").as("__c"))
         .groupBy("__nid").agg(sum("__c").as("__s"))
-      pr = Caches.persistTracked(
+      pr = Caches.localCheckpointTracked(
         nodes.select(col(idCol).as("__nid"))
           .join(msgs, Seq("__nid"), "left")
           .select(col("__nid"),
@@ -181,8 +195,9 @@ object Graph {
     // pairs feeds both orientations and und feeds both the degree frame
     // and the endpoint join — persist each so the (possibly expensive)
     // pair build runs once, not four times
-    val p = Caches.persistTracked(pairs.select(col("a_id"), col("b_id")))
-    val und = Caches.persistTracked(
+    val p = Caches.localCheckpointTracked(
+      pairs.select(col("a_id"), col("b_id")))
+    val und = Caches.localCheckpointTracked(
       p.select(col("a_id").as("__u"), col("b_id").as("__v"))
         .unionAll(p.select(col("b_id").as("__u"), col("a_id").as("__v"))))
     val deg = und.groupBy("__u").agg(count(lit(1)).as("__deg"))
@@ -224,14 +239,17 @@ object Graph {
                            iters: Int = 5): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val SCALE = 1000000000000L
-    val seedF = Caches.persistTracked(
+    val seedF = Caches.localCheckpointTracked(
       seeds.select(col(idCol).as("__nid")).distinct())
     val nS = seedF.count()
     require(nS > 0, "personalizedPageRank needs a non-empty seed set")
     val base = (SCALE * 15L / 100L) / nS
-    val ge = Caches.persistTracked(
+    // eager, like [[pageRank]]: a lazy edge persist re-derives the graph
+    // build in every round's broadcast job
+    val ge = Caches.localCheckpointTracked(
       edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst")))
-    val od = ge.groupBy("__src").agg(count(lit(1)).as("__od"))
+    val od = Caches.localCheckpointTracked(
+      ge.groupBy("__src").agg(count(lit(1)).as("__od")))
     val nodeF = nodes.select(col(idCol).as("__nid"))
     val isSeed = seedF.withColumn("__s", lit(1))
     var pr = nodeF.join(isSeed, Seq("__nid"), "left")
@@ -245,7 +263,7 @@ object Graph {
         .select(col("__dst").as("__nid"),
           expr("((pr_fix * 85) div 100) div __od").as("__c"))
         .groupBy("__nid").agg(sum("__c").as("__m"))
-      pr = Caches.persistTracked(
+      pr = Caches.localCheckpointTracked(
         nodeF.join(isSeed, Seq("__nid"), "left")
           .join(msgs, Seq("__nid"), "left")
           .select(col("__nid"),
@@ -278,11 +296,14 @@ object Graph {
   def linkScores(pairs: DataFrame, edges: DataFrame,
                  srcCol: String = "src_id",
                  dstCol: String = "nbr_id"): DataFrame = {
-    val e = Caches.persistTracked(
+    val e = Caches.localCheckpointTracked(
       edges.select(col(srcCol).as("__s"), col(dstCol).as("__d")))
     val dout = e.groupBy(col("__s")).agg(count(lit(1)).as("__dout"))
     val din = e.groupBy(col("__d")).agg(count(lit(1)).as("__din"))
-    val p = pairs.select(col("a_id"), col("b_id"))
+    // pairs feeds the common-neighbor join AND the final left join —
+    // eager so a composed pair build (e.g. mutual-kNN) runs once
+    val p = Caches.localCheckpointTracked(
+      pairs.select(col("a_id"), col("b_id")))
     val com = p
       .join(e.select(col("__s").as("a_id"), col("__d").as("__z")), "a_id")
       .join(e.select(col("__s").as("b_id"), col("__d").as("__z")),
@@ -331,7 +352,9 @@ object Graph {
                       srcCol: String = "src_id", dstCol: String = "nbr_id",
                       iters: Int = 8): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    val ge = Caches.persistTracked(
+    // eager, like [[pageRank]]: a lazy edge persist re-derives the graph
+    // build in every round's join/aggregate job
+    val ge = Caches.localCheckpointTracked(
       edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst")))
     val nodeF = nodes.select(col(idCol).as("__nid"))
     // each round is EAGERLY checkpointed (the x98 lesson — a lazy
@@ -374,7 +397,10 @@ object Graph {
     * (undefined, not 0). Harness query x102 replays wedges, closure,
     * corner counts and the coefficient in SQL. */
   def triangleCounts(pairs: DataFrame, idCol: String = "vec_id"): DataFrame = {
-    val e = Caches.persistTracked(pairs.select(col("a_id"), col("b_id")))
+    // four consumers (two wedge sides, the semi-join probe, degrees) —
+    // eager so a composed pair build runs once
+    val e = Caches.localCheckpointTracked(
+      pairs.select(col("a_id"), col("b_id")))
     val wedges = e.select(col("a_id").as("__x"), col("b_id").as("__y"))
       .join(e.select(col("a_id").as("__y"), col("b_id").as("__z")), "__y")
     val tris = wedges
@@ -417,7 +443,7 @@ object Graph {
                        terms: Seq[String], k: Int = 10, kCand: Int = 20,
                        fbDocs: Int = 5, iters: Int = 5): DataFrame = {
     val bagg = Retrieval.bm25Scored(docs, docIdCol, textCol, terms)
-    val trank = Caches.persistTracked(bagg
+    val trank = Caches.localCheckpointTracked(bagg
       .orderBy(col("score_fix").desc, col(docIdCol).asc).limit(kCand)
       .withColumn("t_rank", row_number().over(Window
         .orderBy(col("score_fix").desc, col(docIdCol).asc)))
@@ -465,7 +491,9 @@ object Graph {
                      labelCol: String, srcCol: String = "src_id",
                      dstCol: String = "nbr_id", iters: Int = 3): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    val ge = Caches.persistTracked(
+    // eager, like [[pageRank]]: a lazy edge persist re-derives the graph
+    // build in every round's broadcast job
+    val ge = Caches.localCheckpointTracked(
       edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst")))
     var st = seeds.select(col(idCol).as("__nid"),
       col(labelCol).as("__seed"), col(labelCol).as("__cur"))
@@ -480,7 +508,7 @@ object Graph {
           .orderBy(col("__cnt").desc, col("__nlbl").asc)))
         .filter(col("__rk") === 1)
         .select(col("__src").as("__nid"), col("__nlbl").as("__maj"))
-      st = Caches.persistTracked(
+      st = Caches.localCheckpointTracked(
         st.join(best, Seq("__nid"), "left")
           .select(col("__nid"), col("__seed"),
             coalesce(col("__seed"), col("__maj"), col("__cur")).as("__cur")))

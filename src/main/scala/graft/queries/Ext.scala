@@ -1659,7 +1659,7 @@ object Ext {
     // both the pair filter and the centrality prior.
     "x99_graph_dedup_keeper" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
-      val g = graft.ops.Caches.persistTracked(
+      val g = graft.ops.Caches.localCheckpointTracked(
         Similarity.knnGraphBanded(emb, "embedding", "vec_id", k = 5,
           nBands = 16, bandBits = 4))
       val strong = Graph.mutualKnnPairs(g).filter(col("cos_sim") >= 0.4)
@@ -1754,7 +1754,7 @@ object Ext {
     "x107_assortativity" -> { (s, dir) =>
       Graph.assortativity(
         Graph.mutualKnnPairs(
-          graft.ops.Caches.persistTracked(
+          graft.ops.Caches.localCheckpointTracked(
             Similarity.knnGraphBanded(Tables.embeddings(s, dir), "embedding",
               "vec_id", k = 5, nBands = 16, bandBits = 4))))
     },
@@ -1764,7 +1764,7 @@ object Ext {
     // dup-confidence features beyond the pair's own cosine.
     "x105_link_scores" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
-      val g = graft.ops.Caches.persistTracked(
+      val g = graft.ops.Caches.localCheckpointTracked(
         Similarity.knnGraphBanded(emb, "embedding", "vec_id", k = 5,
           nBands = 16, bandBits = 4))
       Graph.linkScores(Graph.mutualKnnPairs(g), g)
@@ -1823,7 +1823,7 @@ object Ext {
     // is the deduplicated corpus.
     "p04_graph_curate_export" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
-      val g = graft.ops.Caches.persistTracked(
+      val g = graft.ops.Caches.localCheckpointTracked(
         Similarity.knnGraphBanded(emb, "embedding", "vec_id", k = 5,
           nBands = 16, bandBits = 4))
       val comps = Dedup.connectedComponents(emb.select("vec_id"), "vec_id",
@@ -1889,7 +1889,7 @@ object Ext {
     "x112_kcore" -> { (s, dir) =>
       Graph.kCore(
           Graph.mutualKnnPairs(
-            graft.ops.Caches.persistTracked(
+            graft.ops.Caches.localCheckpointTracked(
               Similarity.knnGraphBanded(Tables.embeddings(s, dir), "embedding",
                 "vec_id", k = 5, nBands = 16, bandBits = 4))),
           k = 3, rounds = 4)
