@@ -51,9 +51,18 @@ object ProfileQuery {
     spark.sparkContext.addSparkListener(listener)
 
     val t0 = System.nanoTime()
-    SparkEntry.queries(name)(spark, sfDir)
-      .write.format("noop").mode("overwrite").save()
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    df.write.format("noop").mode("overwrite").save()
     val wall = (System.nanoTime() - t0) / 1e9
+    // SPARK_GRAFT_PROFILE_PLAN=1: print the FINAL (post-AQE) physical plan
+    // of a second run via collect, with WholeStageCodegen annotations —
+    // the codegen-coverage audit explain("formatted") can't give pre-run
+    if (sys.env.get("SPARK_GRAFT_PROFILE_PLAN").contains("1")) {
+      val df2 = SparkEntry.queries(name)(spark, sfDir)
+      df2.collect()
+      println("\n== executed plan (final) ==")
+      println(df2.queryExecution.executedPlan.toString)
+    }
     spark.sparkContext.removeSparkListener(listener)
     // listener bus is async; let the last events drain
     Thread.sleep(500)

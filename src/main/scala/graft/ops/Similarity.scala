@@ -296,12 +296,18 @@ object Similarity {
       .withColumnRenamed(qIdCol, "q_id")
     val cands = qIdx.join(cIdx, "band_key")
       .select(col("q_id"), col(idCol)).distinct()
+    // precomputed per-vector norms (the [[rescorePairsTopK]] discipline):
+    // identical IEEE sequence, bit-identical cos_sim
     val cVec = corpus.select(col(idCol), col(vecCol).cast("array<double>").as("cv"))
+      .withColumn("cn", VectorFunctions.norm(col("cv")))
     val qVec = queries.select(col(qIdCol).as("q_id"),
-      col(vecCol).cast("array<double>").as("qv"))
+        col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("qn", VectorFunctions.norm(col("qv")))
     cands
       .join(cVec, idCol).join(qVec, "q_id")
-      .withColumn("cos_sim", round(VectorFunctions.cosine(col("cv"), col("qv")), 6))
+      .withColumn("cos_sim", round(
+        VectorFunctions.dot(col("cv"), col("qv")) /
+          (col("cn") * col("qn")), 6))
       .withColumn("rank", row_number().over(
         Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col(idCol).asc)))
       .filter(col("rank") <= k)
@@ -340,15 +346,43 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val idx = Caches.persistTracked(
       annBuildBandIndex(emb, vecCol, idCol, nBands, bandBits, dims))
+    // (r17 measured, kept as-is: repartitioning the streamed side by
+    // band_key before this join was tried and REVERTED — it splits each
+    // pair's band collisions across tasks, so the partial distinct stops
+    // pre-deduplicating and both the exchange and the final stage grow;
+    // x68 wall 8.4 s → 23.7 s. The single-task join stage on a one-file
+    // local input is an artifact of the tiny fixture, not the plan: at
+    // scale the index scan has many splits and the join parallelizes.)
     val cands = idx.withColumnRenamed(idCol, "src_id")
       .join(idx.withColumnRenamed(idCol, "nbr_id"), "band_key")
       .filter(col("src_id") =!= col("nbr_id"))
       .select("src_id", "nbr_id").distinct()
+    rescorePairsTopK(cands, emb, vecCol, idCol, k)
+  }
+
+  /** Exact rescoring of a deduplicated (src_id, nbr_id) candidate frame —
+    * the shared tail of every graph builder: attach both endpoint vectors
+    * with their PRECOMPUTED norms (n sqrts once per vector instead of two
+    * per candidate pair — r17 §4: the pair stage is the hot path, the
+    * vector frame is n-sized), exact cosine, per-source top-k. cos_sim is
+    * dot/(‖s‖·‖n‖) in the identical IEEE operation sequence as
+    * [[VectorFunctions.cosine]] (dot, then each norm = sqrt of the
+    * self-dot, then one multiply and one divide), so every rounded value —
+    * and the x68/x72/x90/x91 oracle hashes — is bit-for-bit unchanged. */
+  private def rescorePairsTopK(cands: DataFrame, emb: DataFrame,
+                               vecCol: String, idCol: String,
+                               k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val vecs = emb.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+      .withColumn("__n", VectorFunctions.norm(col("__v")))
     cands
-      .join(vecs.withColumnsRenamed(Map(idCol -> "src_id", "__v" -> "__sv")), "src_id")
-      .join(vecs.withColumnsRenamed(Map(idCol -> "nbr_id", "__v" -> "__nv")), "nbr_id")
-      .withColumn("cos_sim", round(VectorFunctions.cosine(col("__sv"), col("__nv")), 6))
+      .join(vecs.withColumnsRenamed(
+        Map(idCol -> "src_id", "__v" -> "__sv", "__n" -> "__sn")), "src_id")
+      .join(vecs.withColumnsRenamed(
+        Map(idCol -> "nbr_id", "__v" -> "__nv", "__n" -> "__nn")), "nbr_id")
+      .withColumn("cos_sim", round(
+        VectorFunctions.dot(col("__sv"), col("__nv")) /
+          (col("__sn") * col("__nn")), 6))
       .withColumn("rank", row_number().over(
         Window.partitionBy("src_id").orderBy(col("cos_sim").desc, col("nbr_id").asc)))
       .filter(col("rank") <= k)
@@ -481,15 +515,7 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val cands = knnGraphCellCandidates(emb, vecCol, idCol, nProbeCells,
       nBands, bandBits, dims, nLists, iters)
-    val vecs = emb.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
-    cands
-      .join(vecs.withColumnsRenamed(Map(idCol -> "src_id", "__v" -> "__sv")), "src_id")
-      .join(vecs.withColumnsRenamed(Map(idCol -> "nbr_id", "__v" -> "__nv")), "nbr_id")
-      .withColumn("cos_sim", round(VectorFunctions.cosine(col("__sv"), col("__nv")), 6))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("src_id").orderBy(col("cos_sim").desc, col("nbr_id").asc)))
-      .filter(col("rank") <= k)
-      .select(col("src_id"), col("nbr_id"), col("cos_sim"), col("rank"))
+    rescorePairsTopK(cands, emb, vecCol, idCol, k)
   }
 
   /** DELTA-MAINTAINED k-NN graph — [[knnGraphCells]]'s x73 analog: the
@@ -526,18 +552,11 @@ object Similarity {
     // same frozen model). Using only n·k stored pairs is exact by the
     // displacement argument in the scaladoc — any batch-top-k entry from
     // the static side already ranked top-k before the arrivals.
-    val sVecs = staticEmb.select(col(idCol),
-      col(vecCol).cast("array<double>").as("__v"))
     val oldPairs = Caches.persistTracked(
-      knnGraphCandidatesWithCents(staticEmb, vecCol, idCol, cents,
-          nProbeCells, nBands, bandBits, dims)
-        .join(sVecs.withColumnsRenamed(Map(idCol -> "src_id", "__v" -> "__sv")), "src_id")
-        .join(sVecs.withColumnsRenamed(Map(idCol -> "nbr_id", "__v" -> "__nv")), "nbr_id")
-        .withColumn("cos_sim", round(VectorFunctions.cosine(col("__sv"), col("__nv")), 6))
-        .withColumn("rank", row_number().over(
-          org.apache.spark.sql.expressions.Window.partitionBy("src_id")
-            .orderBy(col("cos_sim").desc, col("nbr_id").asc)))
-        .filter(col("rank") <= k)
+      rescorePairsTopK(
+        knnGraphCandidatesWithCents(staticEmb, vecCol, idCol, cents,
+          nProbeCells, nBands, bandBits, dims),
+        staticEmb, vecCol, idCol, k)
         .select(col("src_id"), col("nbr_id")))
     val union = staticEmb.select(col(idCol), col(vecCol))
       .unionByName(delta.select(col(idCol), col(vecCol)))
@@ -569,15 +588,8 @@ object Similarity {
       .select(col("p_id").as("src_id"), col("h_id").as("nbr_id"))
       .unionAll(dir.select(col("h_id").as("src_id"), col("p_id").as("nbr_id")))
       .distinct()
-    val vecs = union.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
-    oldPairs.unionByName(deltaPairs).distinct()
-      .join(vecs.withColumnsRenamed(Map(idCol -> "src_id", "__v" -> "__sv")), "src_id")
-      .join(vecs.withColumnsRenamed(Map(idCol -> "nbr_id", "__v" -> "__nv")), "nbr_id")
-      .withColumn("cos_sim", round(VectorFunctions.cosine(col("__sv"), col("__nv")), 6))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("src_id").orderBy(col("cos_sim").desc, col("nbr_id").asc)))
-      .filter(col("rank") <= k)
-      .select(col("src_id"), col("nbr_id"), col("cos_sim"), col("rank"))
+    rescorePairsTopK(oldPairs.unionByName(deltaPairs).distinct(),
+      union, vecCol, idCol, k)
   }
 
   /** COMPACTION of a WRITTEN k-NN graph tree — the x79 discipline on
@@ -656,16 +668,9 @@ object Similarity {
     val storedAffected = stored
       .join(affected, Seq("src_id"), "left_semi")
       .select(col("src_id"), col("nbr_id"))
-    val vecs = union.select(col(idCol),
-      col(vecCol).cast("array<double>").as("__v"))
-    val recomputed = storedAffected.unionByName(deltaPairs.df).distinct()
-      .join(vecs.withColumnsRenamed(Map(idCol -> "src_id", "__v" -> "__sv")), "src_id")
-      .join(vecs.withColumnsRenamed(Map(idCol -> "nbr_id", "__v" -> "__nv")), "nbr_id")
-      .withColumn("cos_sim", round(VectorFunctions.cosine(col("__sv"), col("__nv")), 6))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("src_id").orderBy(col("cos_sim").desc, col("nbr_id").asc)))
-      .filter(col("rank") <= k)
-      .select(col("src_id"), col("nbr_id"), col("cos_sim"), col("rank"))
+    val recomputed = rescorePairsTopK(
+      storedAffected.unionByName(deltaPairs.df).distinct(),
+      union, vecCol, idCol, k)
     val carried = stored.join(affected, Seq("src_id"), "left_anti")
     val merged = Caches.localCheckpointScoped(
       recomputed.unionByName(carried)
