@@ -152,9 +152,16 @@ object Bench {
     }.mkString("{", ",", "}")
     val fullJson =
       s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"cpu_ms":$totalCpuMs,"gc_ms":$totalGcMs,"queries":$fullQs,"sf":"$sfDir"}"""
-    println(shortJson)
     Files.writeString(outPath, fullJson + "\n")
+    // stop Spark BEFORE printing the result line: spark.stop() logs
+    // several lines, and the driver parses the stdout TAIL — r16's line
+    // was emitted early and a later interleaved [warn] defeated the
+    // parse (VERDICT r17 what's-wrong #2). Printing last (flushed),
+    // with the full JSON already safe in SPARK_GRAFT_BENCH_OUT, keeps
+    // the one-line contract AND minimizes the interleave window.
     spark.stop()
+    println(shortJson)
+    System.out.flush()
     // exit explicitly: non-daemon helper threads (the h01 embedded HTTP
     // endpoint) are stopped by shutdown hooks, which only run on exit
     sys.exit(0)

@@ -63,9 +63,10 @@ object ProfileQuery {
       println("\n== executed plan (final) ==")
       println(df2.queryExecution.executedPlan.toString)
     }
-    spark.sparkContext.removeSparkListener(listener)
-    // listener bus is async; let the last events drain
+    // listener bus is async; let the last events drain BEFORE removal —
+    // removing first drops still-queued trailing stage events (ADVICE r17)
     Thread.sleep(500)
+    spark.sparkContext.removeSparkListener(listener)
 
     println(f"%nTOTAL $name: $wall%.2f s, ${jobs.size} jobs, ${stages.size} stages")
     val jobWall = jobs.values.collect { case (s, e, _) if e > 0 => e - s }.sum

@@ -129,7 +129,12 @@ object Dedup {
   def exactSubstringDedup(docs: DataFrame, idCol: String, textCol: String,
                           windowWords: Int = 8): DataFrame = {
     require(windowWords > 1, s"windowWords must be > 1, got $windowWords")
-    val base = Caches.persistTracked(
+    // EAGER (r18, guide §5): the tokenized base feeds three subtrees
+    // (gram index, word scrub, per-doc lengths) that evaluate in separate
+    // jobs/broadcast builds — a lazy persist re-derived the whole
+    // upstream chain per consumer (p01 profiled the quality+blockDedup
+    // chain running 3× under this operator; ~25 s of its 81 s CPU)
+    val base = Caches.localCheckpointTracked(
       docs.select(col(idCol), split(col(textCol), " ").as("toks")))
     exactSubstringDedupImpl(base,
       windowIndexFromBase(base, idCol, windowWords), idCol, windowWords)
@@ -731,8 +736,13 @@ object Dedup {
         stepped.join(jump, stepped("mid") === jump("mid_id"), "left")
           .select(col("id"), col("prev"),
             least(col("mid"), coalesce(col("mid_label"), col("mid"))).as("cluster_id")))
+      // the convergence check is an action on `next` BEFORE it is adopted
+      // as `cur` — a failure here must release next's blocks itself (the
+      // outer catch only knows cur/edgesCp; ADVICE r17)
       if (iter % 2 == 1 || iter == maxIter - 1)
-        converged = next.df.filter(col("cluster_id") =!= col("prev")).isEmpty
+        converged =
+          try next.df.filter(col("cluster_id") =!= col("prev")).isEmpty
+          catch { case t: Throwable => next.release(); throw t }
       cur.release() // round N is materialized → free round N-1's blocks
       cur = next
       labels = next.df.select("id", "cluster_id")

@@ -50,9 +50,21 @@ object Graph {
   def mutualKnnPairs(graph: DataFrame): DataFrame = {
     // both sides of the reciprocity self-join read `graph`; eager so an
     // inline graph BUILD runs once, not once per side (the broadcast-build
-    // job for one side does not populate a lazy persist for the other)
-    val g = Caches.localCheckpointTracked(
-      graph.select(col("src_id"), col("nbr_id"), col("cos_sim")))
+    // job for one side does not populate a lazy persist for the other).
+    // SKIP the checkpoint when the caller already passes a materialized
+    // (checkpointed) frame — x99/x105/x107/x112/p04 do — so the k-NN edge
+    // frame is not written to block storage twice (ADVICE r17).
+    val proj = graph.select(col("src_id"), col("nbr_id"), col("cos_sim"))
+    def materializedAlready(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean =
+      p match {
+        case _: org.apache.spark.sql.execution.LogicalRDD => true
+        case pr: org.apache.spark.sql.catalyst.plans.logical.Project =>
+          materializedAlready(pr.child)
+        case _ => false
+      }
+    val g =
+      if (materializedAlready(proj.queryExecution.analyzed)) proj
+      else Caches.localCheckpointTracked(proj)
     val fwd = g.select(col("src_id"), col("nbr_id"), col("cos_sim"))
     val rev = g.select(col("src_id").as("r_src"), col("nbr_id").as("r_nbr"))
     fwd.join(rev, fwd("src_id") === rev("r_nbr") && fwd("nbr_id") === rev("r_src"))

@@ -104,9 +104,44 @@ object LangModel {
     * (minus the exp column) against a DuckDB oracle that retrains the
     * model and replays the fixed-point scoring bit-for-bit. */
   def perplexityScoreSelf(docs: DataFrame, idCol: String,
-                          textCol: String): DataFrame =
-    perplexityScore(docs, idCol, textCol,
-      trainBigramLm(docs, idCol, textCol))
+                          textCol: String): DataFrame = {
+    // ONE transition pass shared by training (two broadcast-built count
+    // frames) and scoring (r18, guide §5): the lazy form re-tokenized
+    // the corpus once per consumer — unigram broadcast, bigram
+    // broadcast, and the scoring join each re-derived `transitions`
+    // (p01 profiled ~4 passes ≈ 20 s CPU of its 81 s). The frames and
+    // arithmetic are unchanged — x48's oracle hash is bit-identical.
+    val tr = Caches.localCheckpointTracked(
+      transitions(docs, idCol, textCol))
+    val uni = tr.groupBy("prev").agg(count(lit(1)).as("cu"))
+    val bi = tr.groupBy("prev", "cur").agg(count(lit(1)).as("cb"))
+    val v = docs.select(explode(split(col(textCol), " ")).as("w"))
+      .agg(countDistinct(col("w"))).head().getLong(0)
+    scoreTransitions(docs, idCol, tr, BigramLm(bi, uni, v))
+  }
+
+  /** [[perplexityScore]]'s scoring tail over a PRE-BUILT transition
+    * frame — shared by the self-scoring composition so the corpus
+    * tokenize runs once, not once per model/score consumer. */
+  private def scoreTransitions(docs: DataFrame, idCol: String,
+                               tr: DataFrame, lm: BigramLm): DataFrame = {
+    val p = (coalesce(col("cb"), lit(0L)) + lit(1.0)) /
+      (coalesce(col("cu"), lit(0L)) + lit(lm.vocabSize.toDouble))
+    val perDoc = tr
+      .join(broadcast(lm.unigrams), Seq("prev"), "left")
+      .join(broadcast(lm.bigrams), Seq("prev", "cur"), "left")
+      .withColumn("lp_fix", floor(log(p) * lit(1e12)).cast("long"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_transitions"), sum(col("lp_fix")).as("sfix"))
+    val avg = (-col("sfix")).cast("double") / lit(1e12) / col("n_transitions")
+    docs
+      .select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_transitions"), lit(0L)).as("n_transitions"),
+        round(avg, 6).as("nll_nats"),
+        round(exp(avg), 6).as("ppl"))
+  }
 
   // ---- foldable LM-lane stats (streaming maintenance, s37) ----------
   //

@@ -46,11 +46,14 @@ object Retrieval {
       .select(col(idCol), col("__ts"), size(col("__ts")).as("dl"))
     // 1-row corpus stats (docs, total tokens) — broadcast scalar
     val stats = base.agg(count(lit(1)).as("nd"), sum(col("dl")).as("ntok"))
-    val tf = base
+    // the match-set frame feeds BOTH the df broadcast and the scoring
+    // join — eager checkpoint so the corpus tokenize runs twice (stats +
+    // tf), not three times (guide §5; the r17 lazy-persist finding)
+    val tf = Caches.localCheckpointTracked(base
       .select(col(idCol), col("dl"), explode(col("__ts")).as("w"))
       .filter(col("w").isin(terms: _*))
       .groupBy(col(idCol), col("dl"), col("w"))
-      .agg(count(lit(1)).as("tf"))
+      .agg(count(lit(1)).as("tf")))
     // |terms|-row document frequencies — broadcast model
     val dfT = tf.groupBy("w").agg(count(lit(1)).as("df"))
     val norm = (col("dl") * col("nd")).cast("double") / col("ntok").cast("double")
@@ -101,16 +104,21 @@ object Retrieval {
     val base = docs.select(col(idCol),
       TextStats.tokens(col(textCol)).as("__ts"))
       .select(col(idCol), col("__ts"), size(col("__ts")).as("dl"))
-    val stats = base.agg(count(lit(1)).as("nd"), sum(col("dl")).as("ntok"))
+    // per-doc (dl) and match-set (tf) frames are each consumed by
+    // several downstream jobs (stats broadcast; df broadcast + scoring)
+    // — eager checkpoints hold the corpus tokenize to exactly two
+    // passes instead of three (guide §5; the r17 lazy-persist finding)
+    val dls = Caches.localCheckpointTracked(base.select(col(idCol), col("dl")))
+    val stats = dls.agg(count(lit(1)).as("nd"), sum(col("dl")).as("ntok"))
     val qterms = Caches.persistTracked(queries
       .select(col(qIdCol).as("q_id"), explode(col(termsCol)).as("w"))
       .distinct())
     val termSet = qterms.select("w").distinct()
-    val tf = base
+    val tf = Caches.localCheckpointTracked(base
       .select(col(idCol), col("dl"), explode(col("__ts")).as("w"))
       .join(broadcast(termSet), "w")
       .groupBy(col(idCol), col("dl"), col("w"))
-      .agg(count(lit(1)).as("tf"))
+      .agg(count(lit(1)).as("tf")))
     val dfT = tf.groupBy("w").agg(count(lit(1)).as("df"))
     val norm = (col("dl") * col("nd")).cast("double") / col("ntok").cast("double")
     val idf = log((lit(2L) * col("nd") - lit(2L) * col("df") + lit(1L))
@@ -157,19 +165,35 @@ object Retrieval {
   final case class Bm25Model(postings: DataFrame, df: DataFrame,
                              stats: DataFrame)
 
-  /** Build the [[Bm25Model]] of a corpus: one tokenize pass — postings
-    * via (doc, term) count, df via term count, stats via the corpus
-    * aggregate (docs with zero tokens still count toward nd). */
+  /** Build the [[Bm25Model]] of a corpus: ONE tokenize pass, eagerly
+    * checkpointed — postings via (doc, term) count, df via term count,
+    * stats via the per-doc slice of the same frame (docs with zero
+    * tokens still count toward nd: `explode_outer` keeps them as a
+    * (id, dl, w=null) row, filtered out of postings but present in the
+    * per-doc distinct).
+    *
+    * Eager (guide §5 recompute amplification, the r17 finding applied
+    * to text): the lazy form re-ran the corpus tokenize once per model
+    * consumer — [[bm25WriteModel]]'s three writes (postings, df, stats)
+    * each re-derived it, and [[bm25Compact]]'s validation/batch-key/
+    * merge actions re-derived the delta model up to six times. All
+    * model fields are unchanged exact integers (postings rows identical
+    * — the w IS NOT NULL filter removes exactly the rows the old
+    * `explode` never emitted; nd/ntok aggregate the same per-doc dl
+    * values), so every downstream oracle hash is bit-identical. */
   def bm25BuildModel(docs: DataFrame, idCol: String,
                      textCol: String): Bm25Model = {
     val base = docs.select(col(idCol),
       TextStats.tokens(col(textCol)).as("__ts"))
       .select(col(idCol), col("__ts"), size(col("__ts")).as("dl"))
-    val stats = base.agg(count(lit(1)).as("nd"), sum(col("dl")).as("ntok"))
-    val postings = base
-      .select(col(idCol), col("dl"), explode(col("__ts")).as("w"))
-      .groupBy(col(idCol), col("dl"), col("w"))
-      .agg(count(lit(1)).as("tf"))
+    val expl = Caches.localCheckpointTracked(
+      base.select(col(idCol), col("dl"), explode_outer(col("__ts")).as("w"))
+        .groupBy(col(idCol), col("dl"), col("w"))
+        .agg(count(lit(1)).as("tf")))
+    val postings = expl.filter(col("w").isNotNull)
+      .select(col(idCol), col("dl"), col("w"), col("tf"))
+    val stats = expl.select(col(idCol), col("dl")).distinct()
+      .agg(count(lit(1)).as("nd"), sum(col("dl")).as("ntok"))
     val dfT = postings.groupBy("w").agg(count(lit(1)).as("df"))
     Bm25Model(postings, dfT, stats)
   }
@@ -209,18 +233,34 @@ object Retrieval {
   def bm25WriteModel(model: Bm25Model, path: String,
                      nBuckets: Int = 64): Unit = {
     require(nBuckets > 0, s"need a positive bucket count, got $nBuckets")
-    model.postings.withColumn("wb", termBucket(col("w"), nBuckets))
-      .repartition(col("wb")).sortWithinPartitions(col("wb"), col("w"))
-      .write.mode("overwrite").partitionBy("wb").parquet(s"$path/postings")
-    model.df.withColumn("wb", termBucket(col("w"), nBuckets))
-      .repartition(col("wb")).sortWithinPartitions(col("wb"), col("w"))
-      .write.mode("overwrite").partitionBy("wb").parquet(s"$path/df")
-    // stats rows are BATCH-KEYED (bk): the base write owns bk=base, each
-    // compaction owns a content-derived key — serving aggregates the
-    // tiny per-fold rows, and an at-least-once replayed fold OVERWRITES
-    // its own row instead of double-adding (see [[bm25Compact]])
-    model.stats.withColumn("bk", lit("base")).coalesce(1)
-      .write.mode("overwrite").partitionBy("bk").parquet(s"$path/stats")
+    // the three tree writes are INDEPENDENT (distinct subdirectories, all
+    // reading the build's checkpointed frame) and each is dominated by
+    // fixed per-write machinery (plan + nBuckets partition commits) at
+    // gate scale — run them concurrently so the commit overhead overlaps
+    // (guide §2.6 "overlap independent jobs")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val writes = Seq(
+      Future {
+        model.postings.withColumn("wb", termBucket(col("w"), nBuckets))
+          .repartition(col("wb")).sortWithinPartitions(col("wb"), col("w"))
+          .write.mode("overwrite").partitionBy("wb").parquet(s"$path/postings")
+      },
+      Future {
+        model.df.withColumn("wb", termBucket(col("w"), nBuckets))
+          .repartition(col("wb")).sortWithinPartitions(col("wb"), col("w"))
+          .write.mode("overwrite").partitionBy("wb").parquet(s"$path/df")
+      },
+      // stats rows are BATCH-KEYED (bk): the base write owns bk=base, each
+      // compaction owns a content-derived key — serving aggregates the
+      // tiny per-fold rows, and an at-least-once replayed fold OVERWRITES
+      // its own row instead of double-adding (see [[bm25Compact]])
+      Future {
+        model.stats.withColumn("bk", lit("base")).coalesce(1)
+          .write.mode("overwrite").partitionBy("bk").parquet(s"$path/stats")
+      })
+    writes.foreach(Await.result(_, Duration.Inf))
   }
 
   /** COMPACTION of a written [[bm25WriteModel]] tree (the text analog of
@@ -291,8 +331,16 @@ object Retrieval {
         broadcast(exShared.select(col(idCol)).distinct()), Seq(idCol),
         "left_semi")
       .select(col(idCol), col("dl"), col("w"), col("tf"))
-    val nChanged = dpShared.except(exShared)
-      .union(exShared.except(dpShared)).count()
+    // symmetric difference as ONE ±1-tagged aggregation instead of two
+    // except branches + union (3 wide ops → 1; each side is unique per
+    // (id, w) — postings are groupBy outputs / one tree row per term —
+    // so multiset and set semantics agree and sum≠0 ⟺ the row is on
+    // exactly one side). Same count, same require, fewer gate-scale jobs.
+    val nChanged = dpShared.withColumn("__side", lit(1L))
+      .unionByName(exShared.withColumn("__side", lit(-1L)))
+      .groupBy(col(idCol), col("dl"), col("w"), col("tf"))
+      .agg(sum(col("__side")).as("__d"))
+      .filter(col("__d") =!= 0L).count()
     require(nChanged == 0L,
       s"bm25Compact: delta re-ships existing docs with CHANGED content " +
         s"($nChanged differing (doc, term) rows in the touched buckets); " +
@@ -305,10 +353,16 @@ object Retrieval {
         .dropDuplicates(idCol, "w")
         .repartition(col("wb")).sortWithinPartitions(col("wb"), col("w")))
     // df DERIVES from the deduped postings: df(w) = #(doc, w) rows —
-    // exact for genuinely-new appends AND under replays
-    val mergedDf = Caches.localCheckpointScoped(
+    // exact for genuinely-new appends AND under replays. NOT checkpointed
+    // (r18): its only storage dependency is mergedP's already-severed
+    // blocks — the df-tree overwrite below never reads $path/df, so the
+    // "overwrite what you lazily read" hazard the mergedP checkpoint
+    // exists for does not apply, and the extra materialization was one
+    // more fixed-cost job per fold (×1 in x84, ×every micro-batch in
+    // s13/s14).
+    val mergedDf =
       mergedP.df.groupBy("wb", "w").agg(count(lit(1)).as("df"))
-        .repartition(col("wb")).sortWithinPartitions(col("wb"), col("w")))
+        .repartition(col("wb")).sortWithinPartitions(col("wb"), col("w"))
     // content-derived batch key: identical delta ⇒ identical key ⇒ a
     // replayed fold overwrites its own stats row (one small delta agg).
     // THREE independent lanes (ADVICE r16: the count+mod-p-sum pair
@@ -328,10 +382,20 @@ object Retrieval {
       s"_${java.lang.Long.toHexString(bkRow.getLong(2))}"
     try {
       withDynamicOverwrite {
-        mergedP.df.write.mode("overwrite").partitionBy("wb")
-          .parquet(s"$path/postings")
-        mergedDf.df.select(col("w"), col("df"), col("wb"))
-          .write.mode("overwrite").partitionBy("wb").parquet(s"$path/df")
+        // independent target dirs, both reading mergedP's severed blocks —
+        // overlap the two partitioned-overwrite commits (guide §2.6)
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val w1 = Future {
+          mergedP.df.write.mode("overwrite").partitionBy("wb")
+            .parquet(s"$path/postings")
+        }
+        val w2 = Future {
+          mergedDf.select(col("w"), col("df"), col("wb"))
+            .write.mode("overwrite").partitionBy("wb").parquet(s"$path/df")
+        }
+        Seq(w1, w2).foreach(Await.result(_, Duration.Inf))
       }
       // the stats row writes DIRECTLY into its keyed subdirectory —
       // dir-scoped overwrite, deliberately NOT partitionBy+dynamic:
@@ -344,7 +408,7 @@ object Retrieval {
       deltaM.stats.coalesce(1).write.mode("overwrite")
         .parquet(s"$path/stats/bk=$bk")
     } finally {
-      mergedP.release(); mergedDf.release()
+      mergedP.release()
     }
   }
 

@@ -375,7 +375,25 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val vecs = emb.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
       .withColumn("__n", VectorFunctions.norm(col("__v")))
+    // PIN the rescore width (guide §2.5/§1.2): the deduped pair frame is
+    // BYTE-small (two longs/row) but CPU-dense downstream (two vector
+    // attachments + a 64-dim dot per pair), so AQE's byte-advisory
+    // coalescing squeezed it onto a handful of tasks (x91 profiled 17.6 s
+    // executor-CPU on 10 of 32 slots). An explicit-N repartition is
+    // exempt from coalescing and spreads the dot work over every core;
+    // N follows the session's shuffle-partition conf — scale-adaptive,
+    // not a constant. Keyed on (src_id, nbr_id) — NOT src_id alone:
+    // hash(src_id, N) would satisfy the window's required distribution,
+    // eliminate the window exchange, and put the whole join+cosine+sort
+    // subtree directly under the final orderBy's range exchange — whose
+    // bounds SAMPLING pass then evaluates that subtree a second time
+    // (profiled: a duplicate 16 s-CPU stage on x68). With the pair-keyed
+    // partitioning the window inserts its own exchange BELOW the range
+    // sampler, carrying only the WindowGroupLimit-partial top-k cut, so
+    // the expensive stage runs exactly once.
+    val nPart = cands.sparkSession.sessionState.conf.numShufflePartitions
     cands
+      .repartition(nPart, col("src_id"), col("nbr_id"))
       .join(vecs.withColumnsRenamed(
         Map(idCol -> "src_id", "__v" -> "__sv", "__n" -> "__sn")), "src_id")
       .join(vecs.withColumnsRenamed(
@@ -511,10 +529,19 @@ object Similarity {
   def knnGraphCells(emb: DataFrame, vecCol: String, idCol: String,
                     k: Int = 5, nProbeCells: Int = 5, nBands: Int = 16,
                     bandBits: Int = 4, dims: Int = 64, nLists: Int = 0,
-                    iters: Int = 2): DataFrame = {
+                    iters: Int = 2,
+                    centsOpt: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cands = knnGraphCellCandidates(emb, vecCol, idCol, nProbeCells,
-      nBands, bandBits, dims, nLists, iters)
+    // `centsOpt` injects a pre-trained frozen model (the knnGraphCompact
+    // convention): a build-then-compact caller (x91) trains k-means ONCE
+    // and shares the deterministic centroids — retraining here would
+    // produce the identical model at the cost of a second Lloyd run.
+    val cands = centsOpt match {
+      case Some(cents) => knnGraphCandidatesWithCents(emb, vecCol, idCol,
+        cents, nProbeCells, nBands, bandBits, dims)
+      case None => knnGraphCellCandidates(emb, vecCol, idCol, nProbeCells,
+        nBands, bandBits, dims, nLists, iters)
+    }
     rescorePairsTopK(cands, emb, vecCol, idCol, k)
   }
 

@@ -530,13 +530,24 @@ object Ext {
       val bm25Tree = scratchTree("x85_bm25")
       val annTree = scratchTree("x85_ann")
       // x84's 16-bucket gate dial; 64 stays the production default
-      // (exercised by x82 and both ScaleSpec seek audits)
-      Retrieval.bm25WriteModel(Retrieval.bm25BuildModel(
-        Tables.documents(s, dir), "doc_id", "text"), bm25Tree,
-        nBuckets = 16)
-      Similarity.ivfPqEncode(assigned, "vec_id", cb)
-        .select("vec_id", "centroid_id", "codes")
-        .write.mode("overwrite").partitionBy("centroid_id").parquet(annTree)
+      // (exercised by x82 and both ScaleSpec seek audits).
+      // The text tree and the ANN tree are INDEPENDENT artifacts — deploy
+      // them concurrently so the two write/commit chains overlap
+      // (guide §2.6); results are the reads below, unchanged.
+      locally {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val textSide = Future {
+          Retrieval.bm25WriteModel(Retrieval.bm25BuildModel(
+            Tables.documents(s, dir), "doc_id", "text"), bm25Tree,
+            nBuckets = 16)
+        }
+        Similarity.ivfPqEncode(assigned, "vec_id", cb)
+          .select("vec_id", "centroid_id", "codes")
+          .write.mode("overwrite").partitionBy("centroid_id").parquet(annTree)
+        Await.result(textSide, Duration.Inf)
+      }
       Retrieval.hybridServeAllSeek(s, bm25Tree, annTree, "doc_id", cents,
           corpus, "embedding", "vec_id", qs, "q_id", "terms", cb,
           kCand = 100, k = 10, nBuckets = 16)
@@ -563,12 +574,22 @@ object Ext {
       val cb = Similarity.pqBuildCodebook(corpus, "embedding", "vec_id")
       val bm25Tree = scratchTree("x88_bm25")
       val annTree = scratchTree("x88_ann")
-      Retrieval.bm25WriteModel(Retrieval.bm25BuildModel(
-        Tables.documents(s, dir), "doc_id", "text"), bm25Tree,
-        nBuckets = 16)
-      Similarity.ivfPqEncodePacked(assigned, "vec_id", cb)
-        .select("vec_id", "centroid_id", "codes8")
-        .write.mode("overwrite").partitionBy("centroid_id").parquet(annTree)
+      // independent text/ANN artifacts deployed concurrently (the x85
+      // overlap; guide §2.6) — results are the reads below, unchanged
+      locally {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val textSide = Future {
+          Retrieval.bm25WriteModel(Retrieval.bm25BuildModel(
+            Tables.documents(s, dir), "doc_id", "text"), bm25Tree,
+            nBuckets = 16)
+        }
+        Similarity.ivfPqEncodePacked(assigned, "vec_id", cb)
+          .select("vec_id", "centroid_id", "codes8")
+          .write.mode("overwrite").partitionBy("centroid_id").parquet(annTree)
+        Await.result(textSide, Duration.Inf)
+      }
       Retrieval.hybridServeAllSeek(s, bm25Tree, annTree, "doc_id", cents,
           corpus, "embedding", "vec_id", qs, "q_id", "terms", cb,
           kCand = 100, k = 10, nBuckets = 16, packed = true)
@@ -1542,13 +1563,21 @@ object Ext {
       val emb = Tables.embeddings(s, dir)
       val static0 = emb.filter(col("vec_id") % 7 =!= 0)
       val tree = scratchTree("x91_graph")
-      Similarity.knnGraphCells(static0, "embedding", "vec_id", k = 5)
+      // ONE k-means training shared by build and compact (r18): both
+      // previously trained the identical deterministic model on static0
+      // (autoCellCount dial, 2 Lloyd rounds) — results are bit-identical,
+      // the second Lloyd run and its ~10 per-round checkpoint jobs gone.
+      val (cents, _) = Similarity.ivfBuildKmeans(static0, "embedding",
+        "vec_id", nLists = Similarity.autoCellCount(static0), iters = 2)
+      Similarity.knnGraphCells(static0, "embedding", "vec_id", k = 5,
+          centsOpt = Some(cents))
         .withColumn("sb", pmod(col("src_id"), lit(16L)))
         .repartition(col("sb"))
         .sortWithinPartitions(col("sb"), col("src_id"), col("rank"))
         .write.mode("overwrite").partitionBy("sb").parquet(tree)
       Similarity.knnGraphCompact(s, tree, static0,
-        emb.filter(col("vec_id") % 7 === 0), "embedding", "vec_id", k = 5)
+        emb.filter(col("vec_id") % 7 === 0), "embedding", "vec_id", k = 5,
+        centsOpt = Some(cents))
       s.read.parquet(tree)
         .select(col("src_id"), col("nbr_id"), col("cos_sim"), col("rank"))
         .orderBy("src_id", "rank")

@@ -43,6 +43,33 @@ class CachesSpec extends AnyFunSuite {
     assert(persistedIds.diff(before).isEmpty, "releaseAll left checkpoint blocks")
   }
 
+  test("reliable-checkpoint switch: same values, durable path, no local blocks") {
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val localCp = Caches.localCheckpointTracked(emb)
+    val expected = localCp.orderBy("vec_id").collect()
+    Caches.releaseAll()
+    val before = persistedIds
+    spark.conf.set("spark.graft.checkpoint.reliable", "true")
+    try {
+      val cp = Caches.localCheckpointTracked(emb)
+      // reliable checkpoints live in the checkpoint DIR (files), not in
+      // executor block storage — cluster-safe under executor loss
+      assert(persistedIds.diff(before).isEmpty,
+        "reliable mode must not create executor-resident blocks")
+      assert(spark.sparkContext.getCheckpointDir.nonEmpty,
+        "reliable mode must establish a checkpoint dir")
+      // lineage truncated (same contract as localCheckpoint)
+      assert(cp.queryExecution.analyzed.isInstanceOf[
+        org.apache.spark.sql.execution.LogicalRDD])
+      assert(cp.orderBy("vec_id").collect().sameElements(expected))
+      val scoped = Caches.localCheckpointScoped(emb)
+      assert(scoped.df.count() == expected.length)
+      scoped.release() // no-op for reliable checkpoints; must not throw
+      Caches.releaseAll()
+    } finally spark.conf.unset("spark.graft.checkpoint.reliable")
+  }
+
   test("sketchJaccardPairs: sketch build persisted (single evaluation), then released") {
     val docs = Tables.documents(spark, dir)
     val before = persistedIds
