@@ -1030,6 +1030,12 @@ object Dedup {
     val (tokP, sz, cand) =
       prefixJaccardParts(docs, idCol, textCol, tauNum, tauDen, ngramN,
         positional = true, suffix = suffix)
+    // (r18 measured, kept as-is: re-keying `cand` on id_a before the
+    // verification joins — to widen the byte-coalesced intersection
+    // stage — was tried and REVERTED: same-window best-of-3 A/B 4.98 s /
+    // 73.5 s CPU vs 4.24 s / 25.6 s CPU without it. The extra pair-set
+    // exchange costs more than the width buys — the rescorePairsTopK
+    // finding. The eager tokP checkpoint above is what fixed x122.)
     val inter = cand
       .join(tokP.select(col("id").as("id_a"), col("t")), Seq("id_a"))
       .join(tokP.select(col("id").as("id_b"), col("t")), Seq("id_b", "t"))
@@ -1143,8 +1149,11 @@ object Dedup {
       else
         ngrams(docs.select(col(idCol), col(textCol)), textCol, ngramN)
           .select(col(idCol).as("id"), md5(col("g")).as("t"))
-    val tokP = Caches.persistTracked(tok) // df counts, ranks, both
-    // intersection sides all read the same element table
+    // EAGER (r18): df counts, ranks, and both intersection sides all
+    // read the same element table — under a lazy persist the final job
+    // scanned the raw corpus once per unpopulated subtree (x122 profiled
+    // 8 concurrent full-parquet scans stacked up behind the cache lock)
+    val tokP = Caches.localCheckpointTracked(tok)
     val dfreq = tokP.groupBy(col("t")).agg(count(lit(1)).as("df"))
     val sz = tokP.groupBy(col("id")).agg(count(lit(1)).as("n"))
     val ranked0 = tokP.join(dfreq, "t")

@@ -36,8 +36,20 @@ object IntervalJoin {
                        startCol: String, endCol: String,
                        bucket: String = "day"): DataFrame = {
     require(idCols.nonEmpty, "need at least one identity column")
-    val base = intervals.select(
-      (idCols.map(col) :+ col(startCol).as("__s") :+ col(endCol).as("__e")): _*)
+    // EAGER + WIDE (r18): both self-join sides read `base`, so a lazy
+    // frame re-derives the caller's (possibly expensive) interval build
+    // once per side — x101's sessionization windows ran twice, once in
+    // the broadcast build. And the interval frame often arrives through
+    // a byte-coalesced exchange (x101: one 254 KB partition), which
+    // pipelines the whole bucket join + quadratic residual into a single
+    // task; re-keying on the identity at 2× session width spreads the
+    // probe work. The checkpoint's id-keyed exchange is interval-sized —
+    // cheap at any scale next to the candidate volume it feeds.
+    val nPart =
+      2 * intervals.sparkSession.sessionState.conf.numShufflePartitions
+    val base = Caches.localCheckpointTracked(intervals.select(
+        (idCols.map(col) :+ col(startCol).as("__s") :+ col(endCol).as("__e")): _*)
+      .repartition(nPart, idCols.map(col): _*))
     val bucketed = base.withColumn("__b", explode(sequence(
       date_trunc(bucket, col("__s")), date_trunc(bucket, col("__e")),
       expr(s"interval 1 $bucket"))))

@@ -47,17 +47,25 @@ object Rerank {
   def mmrRerank(cands: DataFrame, qIdCol: String, idCol: String,
                 relCol: String, vecCol: String, kSel: Int): DataFrame = {
     require(kSel >= 1, s"kSel must be >= 1, got $kSel")
-    val pool0 = Caches.persistTracked(cands.select(col(qIdCol), col(idCol),
-      col(relCol), col(vecCol).cast("array<double>").as("__v")))
+    // EAGER checkpoints (r18; the [[kCenterSample]] idiom, guide §5):
+    // the lazy-persist form re-entered its own history — each round's
+    // broadcast build of the selected set re-derived the candidate
+    // generator (a queries×corpus relevance pass for x95) and the whole
+    // previous-round union chain. pool0 materializes the candidate pool
+    // ONCE; each round's selected set is pool-sized and checkpointed,
+    // the previous round's blocks freed as soon as the next lands.
+    val pool0 = Caches.localCheckpointTracked(
+      cands.select(col(qIdCol), col(idCol),
+        col(relCol), col(vecCol).cast("array<double>").as("__v")))
     // round 1: pure relevance argmax (MMR's empty-penalty case)
-    var sel = Caches.persistTracked(pool0
+    var sel = Caches.localCheckpointScoped(pool0
       .withColumn("__rk", row_number().over(Window.partitionBy(qIdCol)
         .orderBy(col(relCol).desc, col(idCol).asc)))
       .filter(col("__rk") === 1)
       .select(col(qIdCol), lit(1).as("sel_rank"), col(idCol), col(relCol),
         col(relCol).as("mmr_fix"), col("__v")))
-    for (t <- 2 to kSel) {
-      val selV = sel.select(col(qIdCol), col(idCol).as("__sid"),
+    try for (t <- 2 to kSel) {
+      val selV = sel.df.select(col(qIdCol), col(idCol).as("__sid"),
         col("__v").as("__sv"))
       val pool = pool0
         .join(selV.select(col(qIdCol), col("__sid").as(idCol)),
@@ -74,10 +82,15 @@ object Rerank {
         .filter(col("__rk") === 1)
         .select(col(qIdCol), lit(t).as("sel_rank"), col(idCol), col(relCol),
           col("mmr_fix"), col("__v"))
-      sel = Caches.persistTracked(sel.unionByName(picked))
+      val next = Caches.localCheckpointScoped(sel.df.unionByName(picked))
+      sel.release() // round t materialized → free round t-1's blocks
+      sel = next
+    } catch {
+      case t: Throwable => sel.release(); throw t
     }
-    sel.select(col(qIdCol), col("sel_rank"), col(idCol), col(relCol),
-      col("mmr_fix"),
+    // the final round's blocks back the returned plan — registry-owned
+    Caches.adopt(sel).select(col(qIdCol), col("sel_rank"), col(idCol),
+      col(relCol), col("mmr_fix"),
       round(col("mmr_fix").cast("double") / lit(5e8), 6).as("mmr"))
   }
 

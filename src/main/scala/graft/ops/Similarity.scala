@@ -375,25 +375,19 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val vecs = emb.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
       .withColumn("__n", VectorFunctions.norm(col("__v")))
-    // PIN the rescore width (guide §2.5/§1.2): the deduped pair frame is
-    // BYTE-small (two longs/row) but CPU-dense downstream (two vector
-    // attachments + a 64-dim dot per pair), so AQE's byte-advisory
-    // coalescing squeezed it onto a handful of tasks (x91 profiled 17.6 s
-    // executor-CPU on 10 of 32 slots). An explicit-N repartition is
-    // exempt from coalescing and spreads the dot work over every core;
-    // N follows the session's shuffle-partition conf — scale-adaptive,
-    // not a constant. Keyed on (src_id, nbr_id) — NOT src_id alone:
-    // hash(src_id, N) would satisfy the window's required distribution,
-    // eliminate the window exchange, and put the whole join+cosine+sort
-    // subtree directly under the final orderBy's range exchange — whose
-    // bounds SAMPLING pass then evaluates that subtree a second time
-    // (profiled: a duplicate 16 s-CPU stage on x68). With the pair-keyed
-    // partitioning the window inserts its own exchange BELOW the range
-    // sampler, carrying only the WindowGroupLimit-partial top-k cut, so
-    // the expensive stage runs exactly once.
-    val nPart = cands.sparkSession.sessionState.conf.numShufflePartitions
+    // (r18 measured, kept as-is: an explicit-N repartition of the pair
+    // frame before the vector joins — to defeat AQE's byte-advisory
+    // coalescing of the CPU-dense dot stage — was tried in three keyings
+    // and REVERTED. Same-window best-of-3 A/B on x68/x93/x100/x91: wall
+    // +12–42%, process-CPU ~2× (196.7 s vs 96.8 s over the four). The
+    // extra pair-set exchange (serialize+write+read+deserialize of every
+    // candidate row) costs more than the added width buys at any tested
+    // volume; src_id-keying additionally put the whole join+sort+rank
+    // subtree under consumers' range-sort sampling pass, which evaluated
+    // it twice; (src,nbr)-keying defeated the WindowGroupLimit partial
+    // cut. AQE's coalesced width over the distinct exchange is the
+    // cheapest shape measured.)
     cands
-      .repartition(nPart, col("src_id"), col("nbr_id"))
       .join(vecs.withColumnsRenamed(
         Map(idCol -> "src_id", "__v" -> "__sv", "__n" -> "__sn")), "src_id")
       .join(vecs.withColumnsRenamed(

@@ -39,7 +39,17 @@ object Ext {
     * sequentially in Verify/Bench and in sbt's forked test JVM, so
     * keep-latest is race-free. */
   private lazy val scratchRoot: java.nio.file.Path = {
-    val root = java.nio.file.Files.createTempDirectory("graft_ext_scratch_")
+    // prefer tmpfs over the disk-backed java.io.tmpdir (the StreamGate
+    // gateTmpRoot convention, r18): the written-index queries pay
+    // parquet write+read of their trees inside the timed region, and on
+    // ext4 /tmp the partitioned writes are I/O-wait, not compute — on a
+    // production cluster this is fast local/HDFS storage. Same files,
+    // same commit protocol, only the volume is faster.
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val base =
+      if (java.nio.file.Files.isWritable(shm)) shm
+      else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    val root = java.nio.file.Files.createTempDirectory(base, "graft_ext_scratch_")
     Runtime.getRuntime.addShutdownHook(
       new Thread(() => graft.util.Fs.deleteTree(root)))
     root
